@@ -56,7 +56,9 @@ def _load_all() -> None:
     if _LOADED:
         return
     from hw_kafka_streams_spark.queries import (  # noqa: F401
+        functions_q,
         relational,
+        windows_q,
     )
 
     _LOADED = True

@@ -1,9 +1,16 @@
 """Relational core queries over the TPC-H-ish test tables.
 
-Every query here is pure DataFrame API (Catalyst-optimized: pushdown,
-pruning, broadcast selection) with a DuckDB oracle. Doubles are rounded
-at the output edge (both sides identically) so the driver's value-hash
-compare is stable across summation orders.
+Every query is pure DataFrame API (Catalyst-optimized: pushdown,
+pruning, broadcast selection) with a DuckDB oracle. Conventions for
+oracle-hash stability:
+- doubles rounded at the output edge, identically on both sides;
+- every ORDER BY / top-k carries a unique tie-break column;
+- aggregate/computed columns aliased to the same name on both sides.
+
+Scale notes (100 TB design): fact-fact joins (orders⋈lineitem) are
+shuffle hash/sort-merge on the join key — Catalyst + AQE decide;
+dim joins (region/nation/supplier/part vs facts) broadcast. Filters
+are expressed on scan columns so parquet pushdown applies.
 """
 
 from __future__ import annotations
@@ -14,6 +21,10 @@ from pyspark.sql import functions as F
 from hw_kafka_streams_spark.queries import register
 from hw_kafka_streams_spark.sources.catalog import load_table
 
+
+# --------------------------------------------------------------------------
+# Aggregation pipeline (scan → filter → partial/final hash agg)
+# --------------------------------------------------------------------------
 
 @register(
     "q1_pricing_summary",
@@ -55,30 +66,522 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_censor_documents",
+    "q6_revenue_delta",
     oracle="""
-        SELECT doc_id,
-               regexp_replace(
-                 regexp_replace(
-                   regexp_replace(text, 'data', '****', 'gi'),
-                   'model', '*****', 'gi'),
-                 'the', '***', 'gi')                                            AS text,
-               lang
-        FROM documents
-        ORDER BY doc_id
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
     """,
-    doc="Reference censor operator (O6) at scale over documents: fold of "
-    "case-insensitive literal regexp_replace, length-preserving mask. "
-    "MessageFilterProcessor.java:31-44 re-expressed as codegen'd column ops.",
+    doc="TPC-H Q6 style: tight scan filter (pushdown) → single global sum.",
 )
-def q_censor_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hw_kafka_streams_spark.operators.censor import censor_column
-
-    docs = load_table(spark, "documents", sf_dir)
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
     return (
-        docs.select(
-            "doc_id",
-            censor_column("text", ["data", "model", "the"]).alias("text"),
-            "lang",
-        ).orderBy("doc_id")
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+@register(
+    "q_agg_stats",
+    oracle="""
+        SELECT o_orderpriority,
+               count(*)                              AS n_orders,
+               count(DISTINCT o_custkey)             AS n_customers,
+               round(min(o_totalprice), 2)           AS min_price,
+               round(max(o_totalprice), 2)           AS max_price,
+               round(stddev_samp(o_totalprice), 2)   AS sd_price,
+               round(median(o_totalprice), 2)        AS median_price
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    doc="Aggregate function battery: count/countDistinct/min/max/stddev/median.",
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.round(F.stddev_samp("o_totalprice"), 2).alias("sd_price"),
+            F.round(F.median("o_totalprice"), 2).alias("median_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q_having_conditional_agg",
+    oracle="""
+        SELECT c_mktsegment,
+               round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2)
+                   AS finished_value,
+               count(CASE WHEN o_totalprice > 100000 THEN 1 END) AS n_big,
+               count(*) AS n
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment
+        HAVING count(*) > 10
+        ORDER BY c_mktsegment
+    """,
+    doc="Conditional aggregation (sum-case / count-if) + HAVING.",
+)
+def q_having_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(0.0)),
+                2,
+            ).alias("finished_value"),
+            F.count(F.when(F.col("o_totalprice") > 100000, 1)).alias("n_big"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") > 10)
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "q_rollup",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    doc="Hierarchical subtotals via ROLLUP (multi-dim agg in one pass).",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+@register(
+    "q_cube",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    doc="Full cross-dimensional subtotals via CUBE.",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "q_pivot",
+    oracle="""
+        SELECT l_returnflag,
+               round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O,
+               round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    doc="Pivot (wide conditional agg); explicit pivot values keep the plan one-pass.",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+        SELECT c_custkey, metric, round(value, 2) AS value
+        FROM (
+          SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
+          UNION ALL
+          SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+        )
+        WHERE c_custkey <= 50
+        ORDER BY c_custkey, metric
+    """,
+    doc="Unpivot (long form) via built-in unpivot / stack.",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    return (
+        c.filter(F.col("c_custkey") <= 50)
+        .select(
+            "c_custkey",
+            F.col("c_acctbal").alias("acctbal"),
+            F.col("c_nationkey").cast("double").alias("nationkey"),
+        )
+        .unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "value")
+        .select("c_custkey", "metric", F.round("value", 2).alias("value"))
+        .orderBy("c_custkey", "metric")
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (every type; broadcast for dims)
+# --------------------------------------------------------------------------
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    doc="TPC-H Q3 style: selective dim filter → 3-way join → agg → top-10.",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir).filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_supplier_volume",
+    oracle="""
+        SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+          JOIN orders   ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          JOIN nation   ON s_nationkey = n_nationkey
+          JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+    doc="TPC-H Q5 style 6-way join: facts shuffle-join on keys, dims broadcast.",
+)
+def q5_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@register(
+    "q_semi_join",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        ORDER BY c_custkey
+    """,
+    doc="LEFT SEMI join = EXISTS (customers with at least one finished order).",
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "F")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q_anti_join",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey
+    """,
+    doc="LEFT ANTI join = NOT EXISTS (customers with no orders) — the same "
+    "primitive that implements the reference's blocking (SURVEY §4 rewrite 1).",
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q_outer_join",
+    oracle="""
+        WITH cn AS (SELECT c_nationkey AS nk, count(*) AS n_cust
+                    FROM customer GROUP BY c_nationkey),
+             sn AS (SELECT s_nationkey AS nk, count(*) AS n_supp
+                    FROM supplier GROUP BY s_nationkey)
+        SELECT coalesce(cn.nk, sn.nk) AS nationkey,
+               coalesce(n_cust, 0) AS n_cust,
+               coalesce(n_supp, 0) AS n_supp
+        FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+        ORDER BY nationkey
+    """,
+    doc="FULL OUTER join of per-nation customer vs supplier counts.",
+)
+def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, "customer", sf_dir)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load_table(spark, "supplier", sf_dir)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        c.join(s, c.nk == s.nk, "full_outer")
+        .select(
+            F.coalesce(c.nk, s.nk).alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "q_cross_join",
+    oracle="""
+        SELECT r.r_name AS region_a, r2.r_name AS region_b
+        FROM region r CROSS JOIN region r2
+        ORDER BY region_a, region_b
+    """,
+    doc="Cross join (tiny × tiny — broadcast nested loop).",
+)
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, "region", sf_dir)
+    r2 = r.select(F.col("r_name").alias("region_b"))
+    return (
+        r.select(F.col("r_name").alias("region_a"))
+        .crossJoin(F.broadcast(r2))
+        .orderBy("region_a", "region_b")
+    )
+
+
+@register(
+    "q_range_join",
+    oracle="""
+        SELECT o_orderkey, count(*) AS n_shipped_within_90d
+        FROM orders JOIN lineitem
+          ON l_orderkey = o_orderkey
+         AND l_shipdate >= o_orderdate
+         AND l_shipdate <  o_orderdate + INTERVAL 90 DAY
+        WHERE o_orderkey <= 3000
+        GROUP BY o_orderkey
+        ORDER BY o_orderkey
+    """,
+    doc="Equi+range join: equi key carries the shuffle, range is a post-filter "
+    "(stays a hash join, not a nested loop — scales).",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderkey") <= 3000)
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        o.join(
+            li,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate >= o.o_orderdate)
+            & (li.l_shipdate < o.o_orderdate + F.expr("INTERVAL 90 DAY")),
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_shipped_within_90d"))
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q_scalar_subquery",
+    oracle="""
+        SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders
+        WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+        ORDER BY o_orderkey
+    """,
+    doc="Scalar subquery in a predicate (orders above 2× the mean).",
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders_v
+        WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders_v)
+        ORDER BY o_orderkey
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Set ops / distinct / sort / top-k
+# --------------------------------------------------------------------------
+
+@register(
+    "q_set_ops",
+    oracle="""
+        WITH cn AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+             sn AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+        SELECT 'union' AS op, nk FROM (SELECT nk FROM cn UNION SELECT nk FROM sn)
+        UNION ALL
+        SELECT 'intersect', nk FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn)
+        UNION ALL
+        SELECT 'except', nk FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn)
+        ORDER BY op, nk
+    """,
+    doc="UNION / INTERSECT / EXCEPT over nation-key sets.",
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = load_table(spark, "customer", sf_dir).select(F.col("c_nationkey").alias("nk")).distinct()
+    sn = load_table(spark, "supplier", sf_dir).select(F.col("s_nationkey").alias("nk")).distinct()
+    u = cn.union(sn).distinct().select(F.lit("union").alias("op"), "nk")
+    i = cn.intersect(sn).select(F.lit("intersect").alias("op"), "nk")
+    e = cn.exceptAll(sn).select(F.lit("except").alias("op"), "nk")
+    return u.unionByName(i).unionByName(e).orderBy("op", "nk")
+
+
+@register(
+    "q_distinct",
+    oracle="""
+        SELECT DISTINCT c_mktsegment, o_orderstatus
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        ORDER BY c_mktsegment, o_orderstatus
+    """,
+    doc="DISTINCT over a join result (shuffle-dedup).",
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .select("c_mktsegment", "o_orderstatus")
+        .distinct()
+        .orderBy("c_mktsegment", "o_orderstatus")
+    )
+
+
+@register(
+    "q_sort_limit",
+    oracle="""
+        SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, o_orderdate
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 25
+    """,
+    doc="Global top-N: TakeOrderedAndProject (no full sort at scale).",
+)
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "o_orderdate")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(25)
+    )
+
+
+@register(
+    "q_topk_per_group",
+    oracle="""
+        SELECT c_mktsegment, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        FROM (
+          SELECT c_mktsegment, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM customer JOIN orders ON c_custkey = o_custkey
+        )
+        WHERE rn <= 3
+        ORDER BY c_mktsegment, o_totalprice DESC, o_orderkey
+    """,
+    doc="Top-K per group via ranked window (partial top-k pushed by AQE at scale).",
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .orderBy("c_mktsegment", F.desc("o_totalprice"), "o_orderkey")
     )

@@ -1,0 +1,235 @@
+"""Window functions: ranking, analytic (lag/lead), frames, sessionization,
+and the as-of join pattern (Spark has no native as-of — composed from an
+equi-join + ranked window, which scales as a hash join + one shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hw_kafka_streams_spark.queries import register
+from hw_kafka_streams_spark.sources.catalog import load_table
+
+
+@register(
+    "q_window_rank",
+    oracle="""
+        SELECT s_suppkey, s_name, s_nationkey,
+               round(s_acctbal, 2) AS s_acctbal,
+               row_number() OVER w AS rn,
+               rank()       OVER w AS rnk,
+               dense_rank() OVER w AS drnk,
+               CAST(ntile(4) OVER (ORDER BY s_acctbal DESC, s_suppkey) AS INT) AS quartile
+        FROM supplier
+        WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+        ORDER BY s_suppkey
+    """,
+    doc="Ranking window battery: row_number / rank / dense_rank / ntile.",
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, "supplier", sf_dir)
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    wg = Window.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return s.select(
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        F.round("s_acctbal", 2).alias("s_acctbal"),
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(wg).alias("quartile"),
+    ).orderBy("s_suppkey")
+
+
+@register(
+    "q_window_running",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                             ORDER BY o_orderdate, o_orderkey
+                                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                                      AND CURRENT ROW), 2)  AS running_total,
+               round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+                                             ORDER BY o_orderdate, o_orderkey
+                                             ROWS BETWEEN 2 PRECEDING
+                                                      AND CURRENT ROW) + 0.000001, 2)
+                                                                            AS moving_avg3
+        FROM orders
+        WHERE o_custkey <= 100
+        ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+    doc="Frame-based analytics: running total + 3-row moving average.",
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_custkey") <= 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).alias(
+            "running_total"
+        ),
+        # +1e-6 nudges cents/2 and cents/3 off the exact .005 rounding
+        # boundary, where Spark's sliding-frame accumulator and a full
+        # recompute (DuckDB) differ by ulps and would flip the cent.
+        F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)) + 0.000001, 2).alias(
+            "moving_avg3"
+        ),
+    ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
+
+
+@register(
+    "q_window_lag_lead",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(date_diff('day',
+                    lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate, o_orderkey),
+                    o_orderdate) AS INT)                                  AS days_since_prev,
+               lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey)   AS next_orderkey,
+               first_value(o_orderkey) OVER (PARTITION BY o_custkey
+                                             ORDER BY o_orderdate, o_orderkey) AS first_orderkey
+        FROM orders
+        WHERE o_custkey <= 100
+        ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+    doc="lag/lead/first_value analytics (inter-order gaps per customer).",
+)
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_custkey") <= 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias("days_since_prev"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.first("o_orderkey").over(w).alias("first_orderkey"),
+    ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
+
+
+@register(
+    "q_sessionize",
+    oracle="""
+        WITH gaps AS (
+          SELECT user_id, ts,
+                 CASE WHEN date_diff('second',
+                        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                        ts) > 1800
+                      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS new_session,
+                 event_id
+          FROM events WHERE user_id <= 50
+        ), sessions AS (
+          SELECT user_id, ts, event_id,
+                 sum(new_session) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM gaps
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               count(*) AS n_events,
+               CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_s
+        FROM sessions
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
+    """,
+    doc="Batch sessionization (30-min gap): lag → gap flag → cumulative sum "
+    "session id → per-session agg. One shuffle on user_id reused by both "
+    "the window and the final agg.",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir).filter(F.col("user_id") <= 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = (
+        prev_ts.isNull()
+        | (F.col("ts").cast("long") - prev_ts.cast("long") > 1800)
+    ).cast("long")
+    sessions = e.select("user_id", "ts", "event_id").withColumn(
+        "session_id",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+                "duration_s"
+            ),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@register(
+    "q_asof_join",
+    oracle="""
+        SELECT event_id, user_id, ts, o_orderkey AS last_orderkey
+        FROM (
+          SELECT e.event_id, e.user_id, e.ts, o.o_orderkey,
+                 row_number() OVER (PARTITION BY e.event_id
+                                    ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+          FROM events e JOIN orders o
+            ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+          WHERE e.event_id <= 500
+        )
+        WHERE rn = 1
+        ORDER BY event_id
+    """,
+    doc="As-of join (latest order at-or-before each event): equi-join on the "
+    "entity key + ranked window, the scalable composition Spark lacks a "
+    "native operator for (SURVEY §7 risk b).",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir).filter(F.col("event_id") <= 500)
+    o = load_table(spark, "orders", sf_dir)
+    joined = e.join(
+        o, (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts), "inner"
+    )
+    w = Window.partitionBy("event_id").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "ts", F.col("o_orderkey").alias("last_orderkey"))
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "q_window_share",
+    oracle="""
+        SELECT n_name,
+               round(nation_rev, 2) AS nation_rev,
+               round(nation_rev / sum(nation_rev) OVER (), 6) AS rev_share
+        FROM (
+          SELECT n_name, sum(o_totalprice) AS nation_rev
+          FROM nation
+            JOIN customer ON c_nationkey = n_nationkey
+            JOIN orders   ON o_custkey = c_custkey
+          GROUP BY n_name
+        )
+        ORDER BY n_name
+    """,
+    doc="Share-of-total via empty-frame window over an aggregated input.",
+)
+def q_window_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, "nation", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    per_nation = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum("o_totalprice").alias("nation_rev"))
+    )
+    w = Window.partitionBy()
+    return per_nation.select(
+        "n_name",
+        F.round("nation_rev", 2).alias("nation_rev"),
+        F.round(F.col("nation_rev") / F.sum("nation_rev").over(w), 6).alias("rev_share"),
+    ).orderBy("n_name")

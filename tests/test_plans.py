@@ -1,0 +1,100 @@
+"""Plan-quality gates: the 100 TB design assertions.
+
+Correctness alone isn't done — these tests pin the physical-plan
+properties that matter at scale: parquet filter pushdown, column
+pruning, broadcast joins for dims, no shuffle where none is needed,
+whole-stage codegen in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hw_kafka_streams_spark.queries import REGISTRY, _load_all
+from hw_kafka_streams_spark.sources.catalog import load_table
+
+_load_all()
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q6_filter_pushdown(spark, sf_dir):
+    df = REGISTRY["q6_revenue_delta"].fn(spark, sf_dir)
+    plan = _formatted(df)
+    # numeric predicates must reach the parquet reader
+    assert "PushedFilters" in plan
+    assert "l_quantity" in plan.split("PushedFilters")[1][:400]
+
+
+def test_q6_column_pruning(spark, sf_dir):
+    df = REGISTRY["q6_revenue_delta"].fn(spark, sf_dir)
+    plan = _formatted(df)
+    read_schema = plan.split("ReadSchema")[1][:400]
+    # only the 4 referenced columns are read, not all 11
+    assert "l_extendedprice" in read_schema
+    assert "l_returnflag" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_q5_dims_broadcast(spark, sf_dir):
+    plan = _physical_plan(REGISTRY["q5_supplier_volume"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q3_broadcast_customer(spark, sf_dir):
+    plan = _physical_plan(REGISTRY["q3_shipping_priority"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sort_limit_is_take_ordered(spark, sf_dir):
+    plan = _physical_plan(REGISTRY["q_sort_limit"].fn(spark, sf_dir))
+    # global top-N must not be a full global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_range_join_is_hash_not_nested_loop(spark, sf_dir):
+    plan = _physical_plan(REGISTRY["q_range_join"].fn(spark, sf_dir))
+    assert "NestedLoop" not in plan  # equi key carries the join
+
+
+def test_q1_whole_stage_codegen(spark, sf_dir):
+    df = REGISTRY["q1_pricing_summary"].fn(spark, sf_dir)
+    df.collect()  # AQE: codegen spans only appear in the final plan
+    plan = _physical_plan(df)
+    # '*(n)' prefixes mark whole-stage-codegen spans in the plan string
+    assert "*(1)" in plan or "WholeStageCodegen" in plan
+
+
+def test_q1_partial_agg(spark, sf_dir):
+    plan = _physical_plan(REGISTRY["q1_pricing_summary"].fn(spark, sf_dir))
+    # map-side partial aggregation before the shuffle
+    assert "partial_sum" in plan or "HashAggregate" in plan
+
+
+def test_censor_no_python_udf(spark, sf_dir):
+    plan = _physical_plan(REGISTRY["q_censor_documents"].fn(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    """Window + groupBy on the same key should reuse one hash partitioning."""
+    df = REGISTRY["q_sessionize"].fn(spark, sf_dir)
+    plan = _physical_plan(df)
+    # exchanges: one for user_id partitioning, one for the final orderBy
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges <= 3, f"too many shuffles:\n{plan}"
+
+
+def test_broadcast_threshold_respected(spark, sf_dir):
+    """A plain dim join (no hint) should still pick broadcast via stats."""
+    n = load_table(spark, "nation", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    plan = _physical_plan(c.join(n, c.c_nationkey == n.n_nationkey))
+    assert "BroadcastHashJoin" in plan
