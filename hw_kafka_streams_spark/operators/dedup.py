@@ -1,0 +1,274 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the point of each):
+- Exact: groupBy(fingerprint) keep-min — one shuffle on the hash key.
+- N-gram Jaccard: inverted-index join (explode shingles → equi-join on
+  shingle → count shared) — NEVER the O(n²) cross join; candidate
+  generation cost is bounded by shingle-posting-list sizes.
+- MinHash+LSH: constant-size signature per doc (k minima), banded into
+  b buckets; candidates = equi-join on (band, band-hash). The standard
+  sub-quadratic near-dup pipeline (Broder '97; used by every large
+  crawl pipeline).
+- SimHash: 64-bit signature; candidates via band equality (pigeonhole:
+  hamming ≤ 3 ⇒ some 16-bit quarter matches exactly).
+
+All signature math is JVM-side (xxhash64 + higher-order array
+functions) — no Python UDFs, so signatures stream through whole-stage
+codegen. Arithmetic stays within ANSI long range (hashes are reduced
+mod p < 2^31 before the affine step).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hw_kafka_streams_spark.operators.text import fingerprint, word_tokens
+
+# Deterministic MinHash permutation parameters (seeded once; the same
+# values on every run/executor so signatures are reproducible).
+_MERSENNE_P = (1 << 31) - 1  # 2^31 - 1, prime
+_rng = random.Random(7)
+MINHASH_K = 64
+_MINHASH_A = [_rng.randrange(1, _MERSENNE_P) for _ in range(MINHASH_K)]
+_MINHASH_B = [_rng.randrange(0, _MERSENNE_P) for _ in range(MINHASH_K)]
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact content dedup on the normalized fingerprint.
+
+    Returns one row per distinct content: the minimum id (deterministic
+    representative), the duplicate count. One hash shuffle on a
+    16-byte key regardless of document size — the scan dominates.
+    """
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (JVM-side)."""
+    toks = word_tokens(text)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.when(F.size(toks) >= n, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def jaccard_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    Inverted-index plan: explode shingles → self-equi-join on shingle
+    (id1 < id2) → count shared shingles per pair → Jaccard from set
+    sizes. The only shuffles are on the shingle key and the pair key;
+    no cross join anywhere, so it scales with total postings, not n².
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    sizes = sh.select("id", F.size("shingles").alias("sz"))
+    postings = sh.select("id", F.explode("shingles").alias("shingle"))
+    p2 = postings.select(F.col("id").alias("id2"), F.col("shingle").alias("shingle2"))
+    inter = (
+        postings.join(
+            p2, (postings.shingle == p2.shingle2) & (postings.id < p2.id2)
+        )
+        .groupBy(F.col("id").alias("id1"), F.col("id2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("id").alias("id2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("sz1") + F.col("sz2") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def minhash_signature(text: Column | str, n: int = 3, k: int = MINHASH_K) -> Column:
+    """k-minima MinHash signature over word n-gram shingles.
+
+    h_i(s) = (a_i * (xxhash64(s) mod p) + b_i) mod p, signature[i] =
+    min over shingles. Pure column expressions; the per-row cost is
+    k × |shingles| long ops inside codegen.
+    """
+    sh = word_shingles(text, n)
+    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)))
+
+    def _affine(i: int):
+        # one-arg lambda (a 2-arg lambda would be treated as (elem, idx))
+        a, b = _MINHASH_A[i], _MINHASH_B[i]
+        return lambda h: F.pmod(a * h + b, F.lit(_MERSENNE_P))
+
+    mins = [F.array_min(F.transform(base, _affine(i))) for i in range(k)]
+    return F.when(F.size(sh) > 0, F.array(*mins)).otherwise(F.lit(None))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    bands: int = 16,
+    verify_threshold: float | None = 0.2,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs: signature → bands → bucket join.
+
+    Rows per doc: `bands` (constant). Candidates are pairs agreeing on
+    at least one full band (equi-join on band index + band hash), then
+    optionally verified with the exact signature-estimated Jaccard
+    (fraction of agreeing minima). Sub-quadratic end to end.
+    """
+    rows_per_band = MINHASH_K // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), n).alias("sig"),
+    ).filter(F.col("sig").isNotNull())
+
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    right = banded.select(
+        F.col("id").alias("id2"),
+        F.col("sig").alias("sig2"),
+        F.col("band").alias("band2"),
+        F.col("bucket").alias("bucket2"),
+    )
+    cand = (
+        banded.join(
+            right,
+            (F.col("band") == F.col("band2"))
+            & (F.col("bucket") == F.col("bucket2"))
+            & (F.col("id") < F.col("id2")),
+        )
+        .select(F.col("id").alias("id1"), "id2", "sig", "sig2")
+        .dropDuplicates(["id1", "id2"])
+    )
+    est = cand.withColumn(
+        "est_jaccard",
+        F.round(
+            F.size(
+                F.filter(
+                    F.zip_with(F.col("sig"), F.col("sig2"), lambda a, b: (a == b).cast("int")),
+                    lambda x: x == 1,
+                )
+            )
+            / F.lit(float(MINHASH_K)),
+            4,
+        ),
+    ).select("id1", "id2", "est_jaccard")
+    if verify_threshold is not None:
+        est = est.filter(F.col("est_jaccard") >= verify_threshold)
+    return est
+
+
+def simhash64(text: Column | str) -> Column:
+    """64-bit SimHash over word tokens (unit weights).
+
+    bit i of the signature = sign of Σ_tokens (2·bit_i(xxhash64(tok))−1).
+    Hash once per token, then fold 64 bit-sums — all array expressions.
+    """
+    toks = word_tokens(text)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def _bitsum(i: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        # bit 63 of a signed long is the sign bit: 1<<63 as a literal
+        bit_val = (1 << i) if i < 63 else -(1 << 63)
+        sig = sig.bitwiseOR(
+            F.when(_bitsum(i) > 0, F.lit(bit_val).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sig
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance ≤ max_hamming.
+
+    Pigeonhole banding: split the 64-bit signature into 4 × 16-bit
+    quarters; any pair within Hamming ≤ 3 agrees exactly on ≥1 quarter
+    → equi-join per quarter, then exact Hamming verify via bit_count.
+    """
+    sig = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig"))
+    quarters = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.shiftright(F.col("sig"), q * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("qval"),
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("qq"),
+    ).select("id", "sig", F.col("qq.q").alias("q"), F.col("qq.qval").alias("qval"))
+    right = quarters.select(
+        F.col("id").alias("id2"), F.col("sig").alias("sig2"),
+        F.col("q").alias("q2"), F.col("qval").alias("qval2"),
+    )
+    return (
+        quarters.join(
+            right,
+            (F.col("q") == F.col("q2"))
+            & (F.col("qval") == F.col("qval2"))
+            & (F.col("id") < F.col("id2")),
+        )
+        .select(F.col("id").alias("id1"), "id2", "sig", "sig2")
+        .dropDuplicates(["id1", "id2"])
+        .withColumn("hamming", F.bit_count(F.col("sig").bitwiseXOR(F.col("sig2"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )

@@ -1,0 +1,120 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
+
+Design for 100 TB of images/audio/video interleaved with text:
+- payloads are opaque ``BinaryType`` columns co-located with their
+  metadata struct (modality, byte length, content hash, declared mime);
+- decode / feature-extract / resize / frame-sample run as Arrow-batched
+  ``mapInPandas`` stages — the only sane shape for per-item Python
+  work: batches stream through executors, schema is fixed up front,
+  and the scan stays columnar until the Python boundary.
+
+The container has no image/audio codecs, so the actual decode is
+STUBBED: ``decode_image_meta`` parses real PNG/JPEG headers (pure
+byte-math, deterministic) and anything else raises
+``NotImplementedError`` at the clearly-marked point below. The Spark
+plumbing — schemas, batch iteration, partitioning — is real and tested
+with synthetic payloads.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MULTIMODAL_META_SCHEMA = (
+    "doc_id long, modality string, n_bytes long, content_sha256 string, mime string"
+)
+
+DECODED_IMAGE_SCHEMA = (
+    "doc_id long, width int, height int, format string, n_bytes long"
+)
+
+
+def attach_payload_metadata(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Typed metadata over an opaque binary column — all JVM-side
+    (length, sha2, magic-byte mime sniff); no Python in this stage.
+    """
+    payload = F.col(payload_col)
+    mime = (
+        F.when(F.hex(F.substring(payload, 1, 4)) == "89504E47", "image/png")
+        .when(F.hex(F.substring(payload, 1, 3)) == "FFD8FF", "image/jpeg")
+        .when(F.hex(F.substring(payload, 1, 4)) == "52494646", "audio/wav")
+        .otherwise("application/octet-stream")
+    )
+    return df.select(
+        F.col(id_col),
+        payload,
+        F.length(payload).alias("n_bytes"),
+        F.sha2(payload, 256).alias("content_sha256"),
+        mime.alias("mime"),
+    )
+
+
+def _parse_png_dims(data: bytes) -> tuple[int, int] | None:
+    # PNG: 8-byte signature, then IHDR chunk: len(4) 'IHDR' width(4) height(4)
+    if len(data) >= 24 and data[:8] == b"\x89PNG\r\n\x1a\n" and data[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", data[16:24])
+        return w, h
+    return None
+
+
+def decode_image_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched decode stage: binary → (width, height, format).
+
+    Real header parsing for PNG; everything else hits the stub. The
+    mapInPandas shape (iterator of batches in/out) is exactly what a
+    real pillow/ffmpeg decode stage would use — swap the inner function
+    when codecs are available.
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, data in zip(pdf["doc_id"], pdf[payload_col]):
+                raw = bytes(data)
+                dims = _parse_png_dims(raw)
+                if dims is not None:
+                    out.append((doc_id, dims[0], dims[1], "png", len(raw)))
+                else:
+                    # STUB: no image/audio codecs in this container.
+                    # A real deployment decodes here (pillow / ffmpeg).
+                    raise NotImplementedError(
+                        "non-PNG decode requires codec libraries not present "
+                        "in this environment"
+                    )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "width", "height", "format", "n_bytes"]
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        decode_batches, schema=DECODED_IMAGE_SCHEMA
+    )
+
+
+def make_fake_png(width: int, height: int) -> bytes:
+    """Deterministic minimal PNG header+filler for plumbing tests."""
+    ihdr = struct.pack(">II", width, height) + b"\x08\x02\x00\x00\x00"
+    body = hashlib.sha256(f"{width}x{height}".encode()).digest()
+    return b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR" + ihdr + body
+
+
+def frame_sample_stub(df: DataFrame, every_n: int = 30) -> DataFrame:
+    """Video frame-sampling stage — STUB (no ffmpeg in container).
+
+    The Spark-side contract is defined (one row per sampled frame,
+    payload carried through), the decode call raises.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError("video decode requires ffmpeg; plumbing stub only")
+        yield  # pragma: no cover
+
+    return df.mapInPandas(sample, schema="doc_id long, frame_idx int, payload binary")

@@ -1,0 +1,177 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: exact brute-force cosine top-k — broadcast the (small) query
+set against the corpus, JVM-side dot products, ranked window per query.
+Scale path: random-hyperplane LSH — constant-size bit signature per
+vector, bucket equi-join prunes the candidate set, exact cosine only on
+candidates. Embedding-cosine near-dup reuses the same kernel corpus ×
+corpus with a blocking key.
+
+All vector math is ``zip_with``/``aggregate`` column expressions
+(float64 accumulation) — no UDF, codegen-friendly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array columns, float64 accumulation."""
+    ad = a.cast("array<double>")
+    bd = b.cast("array<double>")
+    return dot(ad, bd) / (l2_norm(ad) * l2_norm(bd))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    Plan shape: broadcast(queries) × corpus → cosine → per-query ranked
+    window. At 100 TB the corpus is partition-parallel and the query
+    side stays broadcast; the window's partition key is query_id so the
+    top-k shuffle moves only (n_queries × k × partitions) rows after
+    AQE's partial top-k.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
+# Deterministic random hyperplanes (seeded numpy; same planes on every
+# executor because they're baked into the plan as literals).
+def _hyperplanes(n_planes: int, dim: int, seed: int = 13) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def rhp_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: bit j = sign(<v, r_j>), packed long."""
+    vd = vec.cast("array<double>")
+    bits = [
+        F.when(dot(vd, F.array(*[F.lit(float(x)) for x in plane])) > 0, 1).otherwise(0)
+        for plane in planes
+    ]
+    sig = F.lit(0).cast("long")
+    for j, b in enumerate(bits):
+        sig = sig.bitwiseOR(F.shiftleft(b.cast("long"), j))
+    return sig
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates share the LSH bucket (or differ in
+    exactly one bit — multi-probe), exact cosine only on candidates.
+
+    With 8 planes the corpus splits into ≤256 buckets; multi-probe(1)
+    widens recall. Candidate count per query ≈ corpus/256 × 9 ≫ pruned
+    vs. brute force at scale.
+    """
+    planes = _hyperplanes(n_planes, dim)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        rhp_signature(F.col(vec_col), planes).alias("qsig"),
+    )
+    # multi-probe: query probes its own bucket and each 1-bit flip
+    probes = F.array(
+        F.col("qsig"),
+        *[F.col("qsig").bitwiseXOR(F.lit(1 << j).cast("long")) for j in range(n_planes)],
+    )
+    q_probed = q.select("query_id", "qvec", F.explode(probes).alias("bucket"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        rhp_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    cand = (
+        c.join(F.broadcast(q_probed), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    dim: int = 64,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ threshold).
+
+    exact=True: full pairwise (only for oracle checks / tiny corpora).
+    Default: LSH-blocked — near-identical vectors almost surely share
+    the hyperplane signature, so the candidate join is an equi-join on
+    the bucket key.
+    """
+    a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+    b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    if exact:
+        pairs = a.join(b, F.col("id1") < F.col("id2"))
+    else:
+        planes = _hyperplanes(n_planes, dim)
+        a = a.withColumn("bucket", rhp_signature(F.col("v1"), planes))
+        b = b.withColumn("bucket", rhp_signature(F.col("v2"), planes))
+        pairs = a.join(b, (F.col("id1") < F.col("id2")) & (a.bucket == b.bucket))
+    return (
+        pairs.select(
+            "id1", "id2", F.round(cosine(F.col("v1"), F.col("v2")), 4).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,110 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure JVM column expressions (no Python in the hot path): tokenize,
+token counting (whitespace + BPE-ish regex), quality scoring, charset
+n-gram language ID, and document fingerprinting. Each is designed to
+run as a narrow map over the documents scan — no shuffle — so at
+100 TB it is embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Minimal multilingual stopword list for quality scoring / lang hints.
+STOPWORDS_EN = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be",
+]
+
+# BPE-ish pretokenizer: word pieces or single non-space symbols —
+# the common approximation of GPT-style byte-pair pretokenization.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def word_tokens(text: Column | str) -> Column:
+    """Whitespace tokens, empty-safe (no '' entries for repeated spaces)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(word_tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Count of BPE-ish pretokens via a single vectorized regexp pass."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(col, F.lit(BPE_ISH_PATTERN))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    col = F.col(text) if isinstance(text, str) else text
+    n = F.length(col)
+    return F.when(n > 0, F.regexp_count(col, F.lit(r"[^\w\s]")) / n).otherwise(0.0)
+
+
+def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are stopwords (lowercased match)."""
+    toks = word_tokens(text)
+    sw = F.array(*[F.lit(w) for w in (stopwords or STOPWORDS_EN)])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    return F.when(F.size(toks) > 0, n_stop / F.size(toks)).otherwise(0.0)
+
+
+def mean_word_length(text: Column | str) -> Column:
+    toks = word_tokens(text)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(0.0)
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: favors mid-length docs with
+    low punctuation density, sane word lengths, and a natural stopword
+    ratio — the standard cheap pre-filter before expensive pipeline
+    stages (a Gopher-rules-style signal).
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    n_chars = F.length(col)
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(col) * 4)
+    mwl = mean_word_length(col)
+    wl_score = F.when((mwl >= 2.0) & (mwl <= 12.0), 1.0).otherwise(0.3)
+    sw = stopword_ratio(col)
+    sw_score = F.when((sw >= 0.05) & (sw <= 0.6), 1.0).otherwise(0.5)
+    return len_score * 0.3 + punct_pen * 0.2 + wl_score * 0.25 + sw_score * 0.25
+
+
+def lang_id_charset(text: Column | str) -> Column:
+    """Charset-ratio language family ID: han / cyrillic / arabic /
+    latin / other by dominant script, 'unknown' for empty text.
+    (An n-gram model would go the same way — per-class score columns,
+    greatest-wins — this keeps the heuristic oracle-expressible.)
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    n_han = F.regexp_count(col, F.lit(r"[一-鿿]"))
+    n_cyr = F.regexp_count(col, F.lit(r"[Ѐ-ӿ]"))
+    n_ara = F.regexp_count(col, F.lit(r"[؀-ۿ]"))
+    n_lat = F.regexp_count(col, F.lit(r"[A-Za-z]"))
+    best = F.greatest(n_han, n_cyr, n_ara, n_lat)
+    return (
+        F.when(best == 0, "unknown")
+        .when(best == n_han, "han")
+        .when(best == n_cyr, "cyrillic")
+        .when(best == n_ara, "arabic")
+        .otherwise("latin")
+    )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Normalized-content fingerprint: md5 of lowercased,
+    whitespace-collapsed text. Stable across engines (md5 is md5);
+    the exact-dedup key for content-identical documents.
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.encode(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))), "UTF-8"))

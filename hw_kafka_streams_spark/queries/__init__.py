@@ -57,6 +57,7 @@ def _load_all() -> None:
         return
     from hw_kafka_streams_spark.queries import (  # noqa: F401
         functions_q,
+        llm_q,
         relational,
         windows_q,
     )

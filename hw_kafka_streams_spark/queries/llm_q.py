@@ -1,0 +1,329 @@
+"""LLM-training-data pipeline queries: dedup, similarity, text analysis.
+
+Oracle policy: everything whose kernel is deterministic arithmetic /
+standard hashing (jaccard via inverted index, cosine, md5 fingerprints,
+token stats, charset lang-id) gets a DuckDB oracle. Signature schemes
+built on xxhash64 (MinHash, SimHash, RHP-LSH) have no DuckDB twin —
+registered as rows-only checks; their semantics are pinned by unit
+tests against constructed fixtures instead (tests/test_dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hw_kafka_streams_spark.operators import dedup as D
+from hw_kafka_streams_spark.operators import similarity as S
+from hw_kafka_streams_spark.operators import text as T
+from hw_kafka_streams_spark.queries import register
+from hw_kafka_streams_spark.sources.catalog import load_table
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+        SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+               min(doc_id) AS keep_id,
+               count(*)    AS n_copies
+        FROM documents
+        GROUP BY 1
+        ORDER BY keep_id
+    """,
+    doc="Exact dedup on normalized-content fingerprint (hash-groupBy; one "
+    "shuffle on a 16-byte key).",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return D.exact_dedup(docs).orderBy("keep_id")
+
+
+@register(
+    "q_dedup_jaccard",
+    oracle="""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct([
+                   array_to_string(toks[i:i+2], ' ')
+                   FOR i IN range(1, len(toks) - 1)
+                 ]) AS shingles
+          FROM (SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\\s+'),
+                                   t -> t <> '') AS toks
+                FROM documents)
+          WHERE len(toks) >= 3
+        ),
+        postings AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+        inter AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+          FROM postings a JOIN postings b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id1, id2,
+               round(n_common / (s1.sz + s2.sz - n_common), 4) AS jaccard
+        FROM inter
+          JOIN sizes s1 ON s1.doc_id = id1
+          JOIN sizes s2 ON s2.doc_id = id2
+        WHERE n_common / (s1.sz + s2.sz - n_common) >= 0.05
+        ORDER BY id1, id2
+    """,
+    doc="Exact 3-gram Jaccard near-dup pairs via inverted-index join — "
+    "sub-quadratic candidate generation (no cross join).",
+)
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return D.jaccard_candidate_pairs(docs, threshold=0.05).orderBy("id1", "id2")
+
+
+@register(
+    "q_dedup_minhash_lsh",
+    oracle=None,  # xxhash64-based signatures have no DuckDB twin
+    doc="MinHash(64)+LSH(16 bands) near-dup candidate pairs with "
+    "signature-estimated Jaccard. Rows-only driver check; semantics "
+    "pinned by unit tests on constructed duplicates.",
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return D.minhash_lsh_pairs(docs, verify_threshold=0.2).orderBy("id1", "id2")
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=None,
+    doc="SimHash64 near-dup pairs (Hamming ≤ 3) via pigeonhole quarter-band "
+    "join + bit_count verify. Rows-only driver check.",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return D.simhash_candidate_pairs(docs).orderBy("id1", "id2")
+
+
+@register(
+    "q_dedup_embedding",
+    oracle="""
+        SELECT a.vec_id AS id1, b.vec_id AS id2,
+               round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 4) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.8
+        ORDER BY id1, id2
+    """,
+    doc="Embedding-cosine near-dup pairs (exact mode for the oracle; the "
+    "LSH-blocked variant is q_similarity_lsh_topk's kernel).",
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return S.embedding_near_dup_pairs(emb, threshold=0.8, exact=True).orderBy("id1", "id2")
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+@register(
+    "q_similarity_topk",
+    oracle="""
+        SELECT query_id, neighbor_id, cos_sim, rnk
+        FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                              c.embedding::DOUBLE[]), 4) AS cos_sim,
+                 CAST(row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                         c.embedding::DOUBLE[]), 4) DESC,
+                            c.vec_id) AS INT) AS rnk
+          FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+        )
+        WHERE rnk <= 5
+        ORDER BY query_id, rnk
+    """,
+    doc="Exact brute-force cosine top-5 for 10 query vectors: broadcast "
+    "queries × corpus, JVM-side dot products, ranked window.",
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.brute_force_topk(queries, emb, k=5).orderBy("query_id", "rnk")
+
+
+@register(
+    "q_similarity_lsh_topk",
+    oracle=None,  # approximate by construction
+    doc="ANN top-5 via random-hyperplane LSH (8 planes, multi-probe 1): "
+    "bucket equi-join prunes candidates, exact cosine re-rank. "
+    "Rows-only check; recall vs brute force asserted in unit tests.",
+)
+def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.lsh_topk(queries, emb, k=5).orderBy("query_id", "rnk")
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+@register(
+    "q_text_token_stats",
+    oracle="""
+        SELECT doc_id,
+               len(list_filter(string_split_regex(trim(text), '\\s+'),
+                               t -> t <> ''))                              AS n_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))
+                                                                           AS n_bpe_tokens,
+               length(text)                                                AS n_chars_text,
+               n_chars                                                     AS n_chars_meta
+        FROM documents
+        ORDER BY doc_id
+    """,
+    doc="Token counting: whitespace tokens + BPE-ish regex pretokens, "
+    "single narrow pass over the scan.",
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_text"),
+        F.col("n_chars").alias("n_chars_meta"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_text_quality",
+    oracle="""
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks,
+                 length(text) AS n_chars
+          FROM documents
+        ), m AS (
+          SELECT doc_id,
+                 CASE WHEN n_chars > 0
+                      THEN len(regexp_extract_all(text, '[^\\w\\s]')) / n_chars
+                      ELSE 0 END AS punct_ratio,
+                 CASE WHEN len(toks) > 0
+                      THEN len(list_filter(toks, x -> list_contains(
+                             ['the','a','an','and','or','of','to','in','is','it',
+                              'that','for','on','with','as','was','at','by','be'],
+                             lower(x)))) / len(toks)
+                      ELSE 0 END AS stopword_ratio,
+                 CASE WHEN len(toks) > 0
+                      THEN list_aggregate(list_transform(toks, x -> length(x)::DOUBLE),
+                                          'sum') / len(toks)
+                      ELSE 0 END AS mean_word_len,
+                 least(n_chars / 500.0, 1.0) AS len_score
+          FROM t
+        )
+        SELECT doc_id,
+               round(punct_ratio, 4)    AS punct_ratio,
+               round(stopword_ratio, 4) AS stopword_ratio,
+               round(mean_word_len, 4)  AS mean_word_len,
+               round(len_score * 0.3
+                     + greatest(0.0, 1.0 - punct_ratio * 4) * 0.2
+                     + (CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0
+                             THEN 1.0 ELSE 0.3 END) * 0.25
+                     + (CASE WHEN stopword_ratio BETWEEN 0.05 AND 0.6
+                             THEN 1.0 ELSE 0.5 END) * 0.25, 4) AS quality
+        FROM m
+        ORDER BY doc_id
+    """,
+    doc="Quality scoring (Gopher-rules-style): length/punct/stopword/word-"
+    "length signals folded into one [0,1] score, all JVM expressions.",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.round(T.punct_ratio("text"), 4).alias("punct_ratio"),
+        F.round(T.stopword_ratio("text"), 4).alias("stopword_ratio"),
+        F.round(T.mean_word_length("text"), 4).alias("mean_word_len"),
+        F.round(T.quality_score("text"), 4).alias("quality"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_text_lang_id",
+    oracle="""
+        WITH c AS (
+          SELECT doc_id, lang,
+                 len(regexp_extract_all(text, '[一-鿿]')) AS n_han,
+                 len(regexp_extract_all(text, '[Ѐ-ӿ]'))  AS n_cyr,
+                 len(regexp_extract_all(text, '[؀-ۿ]'))  AS n_ara,
+                 len(regexp_extract_all(text, '[A-Za-z]')) AS n_lat
+          FROM documents
+        )
+        SELECT doc_id, lang AS lang_meta,
+               CASE WHEN greatest(n_han, n_cyr, n_ara, n_lat) = 0 THEN 'unknown'
+                    WHEN greatest(n_han, n_cyr, n_ara, n_lat) = n_han THEN 'han'
+                    WHEN greatest(n_han, n_cyr, n_ara, n_lat) = n_cyr THEN 'cyrillic'
+                    WHEN greatest(n_han, n_cyr, n_ara, n_lat) = n_ara THEN 'arabic'
+                    ELSE 'latin' END AS script
+        FROM c
+        ORDER BY doc_id
+    """,
+    doc="Charset-ratio language/script ID (n-gram-heuristic family): "
+    "dominant Unicode script per document.",
+)
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_meta"),
+        T.lang_id_charset("text").alias("script"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_text_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+               substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 8)
+                   AS fp_prefix
+        FROM documents
+        ORDER BY doc_id
+    """,
+    doc="Content fingerprinting: md5 of normalized text (+ bucket prefix).",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    fp = T.fingerprint("text")
+    return docs.select(
+        "doc_id", fp.alias("fp"), F.substring(fp, 1, 8).alias("fp_prefix")
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_doc_word_freq",
+    oracle="""
+        SELECT word, count(*) AS freq, count(DISTINCT doc_id) AS doc_freq
+        FROM (SELECT doc_id, unnest(list_filter(
+                 string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS word
+              FROM documents)
+        GROUP BY word
+        HAVING count(*) >= 10
+        ORDER BY freq DESC, word
+    """,
+    doc="Corpus term/document frequency (tokenize → explode → agg): the "
+    "tf-idf building block.",
+)
+def q_doc_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.text import word_tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select("doc_id", F.explode(word_tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"), F.countDistinct("doc_id").alias("doc_freq"))
+        .filter(F.col("freq") >= 10)
+        .orderBy(F.desc("freq"), "word")
+    )

@@ -1,0 +1,126 @@
+"""Semantics tests for the dedup operators on constructed fixtures —
+this is what pins MinHash/SimHash behavior since they have no DuckDB
+oracle (xxhash64 has no DuckDB twin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hw_kafka_streams_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_candidate_pairs,
+    minhash_lsh_pairs,
+    simhash_candidate_pairs,
+    word_shingles,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_normalization(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "Hello   World"),
+            (2, "hello world"),          # same after normalize
+            (3, "  HELLO WORLD  "),      # same after normalize
+            (4, "something else"),
+        ],
+    )
+    out = {r.keep_id: r.n_copies for r in exact_dedup(df).collect()}
+    assert out == {1: 3, 4: 1}
+
+
+def test_word_shingles(spark):
+    df = _docs(spark, [(1, "a b c d"), (2, "a b"), (3, "x x x x x")])
+    out = {
+        r.doc_id: sorted(r.sh)
+        for r in df.select("doc_id", word_shingles(F.col("text"), 3).alias("sh")).collect()
+    }
+    assert out[1] == ["a b c", "b c d"]
+    assert out[2] == []  # fewer than n tokens
+    assert out[3] == ["x x x"]  # distinct
+
+
+def test_jaccard_identical_docs(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different words entirely here now"),
+        ],
+    )
+    pairs = {(r.id1, r.id2): r.jaccard for r in jaccard_candidate_pairs(df).collect()}
+    assert pairs == {(1, 2): 1.0}
+
+
+def test_minhash_lsh_finds_near_duplicates(spark):
+    base = "one two three four five six seven eight nine ten eleven twelve " \
+           "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    near = base.replace("twenty", "twentyone")  # 1 token changed
+    df = _docs(
+        spark,
+        [
+            (1, base),
+            (2, base),          # exact dup
+            (3, near),          # near dup
+            (4, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        ],
+    )
+    pairs = {(r.id1, r.id2): r.est_jaccard for r in minhash_lsh_pairs(df).collect()}
+    assert pairs.get((1, 2)) == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.5
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_signature_is_similarity_estimate(spark):
+    """Estimated Jaccard from signatures tracks true shingle Jaccard."""
+    a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"
+    b = a.replace("w16", "x16").replace("w15", "x15")
+    df = _docs(spark, [(1, a), (2, b)])
+    true_j = jaccard_candidate_pairs(df, threshold=0.0).collect()[0].jaccard
+    est = minhash_lsh_pairs(df, verify_threshold=None).collect()
+    assert est, "near-identical docs must share an LSH band"
+    assert abs(est[0].est_jaccard - true_j) < 0.25
+
+
+def test_simhash_hamming(spark):
+    from hw_kafka_streams_spark.operators.dedup import simhash64
+
+    base = " ".join(f"tok{i}" for i in range(200))
+    near = base.replace("tok199", "tokX")
+    df = _docs(
+        spark,
+        [(1, base), (2, base), (3, near), (4, "unrelated content words only four")],
+    )
+    # signature property: near docs are few bits apart, unrelated ~32
+    sigs = {
+        r.doc_id: r.sig
+        for r in df.select("doc_id", simhash64(F.col("text")).alias("sig")).collect()
+    }
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    assert ham(sigs[1], sigs[2]) == 0
+    assert ham(sigs[1], sigs[3]) < 16 < ham(sigs[1], sigs[4])
+    # candidate generation: exact dups always found (hamming 0 ≤ 3);
+    # unrelated docs never pair
+    pairs = {(r.id1, r.id2): r.hamming for r in simhash_candidate_pairs(df).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert not any(4 in p for p in pairs)
+
+
+def test_dedup_plans_have_no_cartesian(spark):
+    """The sub-quadratic promise: no cross/nested-loop join in any
+    dedup plan — candidates come from equi-joins."""
+    df = _docs(spark, [(i, f"word{i} common text here now") for i in range(20)])
+    for out in (
+        jaccard_candidate_pairs(df),
+        minhash_lsh_pairs(df),
+        simhash_candidate_pairs(df),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

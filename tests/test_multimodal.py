@@ -1,0 +1,62 @@
+"""Multimodal plumbing tests: binary columns + metadata (JVM-side),
+Arrow-batched decode stage on synthetic PNG payloads, stub behavior
+for codecs absent from the container."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hw_kafka_streams_spark.operators.multimodal import (
+    attach_payload_metadata,
+    decode_image_meta,
+    frame_sample_stub,
+    make_fake_png,
+)
+
+
+def _payloads(spark):
+    rows = [
+        (1, make_fake_png(640, 480)),
+        (2, make_fake_png(1920, 1080)),
+        (3, b"\xff\xd8\xff\xe0notajpegreally"),
+        (4, b"plain text bytes"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def test_metadata_is_jvm_side(spark):
+    df = attach_payload_metadata(_payloads(spark))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan  # metadata stage must not cross into Python
+    rows = {r.doc_id: r for r in df.collect()}
+    assert rows[1].mime == "image/png"
+    assert rows[3].mime == "image/jpeg"
+    assert rows[4].mime == "application/octet-stream"
+    assert rows[4].n_bytes == 16
+    assert len(rows[1].content_sha256) == 64
+
+
+def test_decode_png_dims(spark):
+    df = _payloads(spark).filter(F.col("doc_id") <= 2)
+    out = {r.doc_id: (r.width, r.height, r.format) for r in decode_image_meta(df).collect()}
+    assert out == {1: (640, 480, "png"), 2: (1920, 1080, "png")}
+
+
+def test_decode_non_png_hits_stub(spark):
+    df = _payloads(spark).filter(F.col("doc_id") == 4)
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        decode_image_meta(df).collect()
+
+
+def test_frame_sample_is_stub(spark):
+    df = _payloads(spark)
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+        frame_sample_stub(df).collect()
+
+
+def test_decode_schema_stable(spark):
+    out = decode_image_meta(_payloads(spark).limit(0))
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "width", "height", "format", "n_bytes",
+    ]

@@ -1,0 +1,120 @@
+"""Similarity-search semantics: exact cosine correctness, LSH recall
+vs the brute-force baseline, plan shape (broadcast, no shuffle of the
+corpus side beyond the top-k window)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from hw_kafka_streams_spark.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    embedding_near_dup_pairs,
+    lsh_topk,
+)
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_known_values(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 2.0], [2.0, 4.0]), ([1.0, 1.0], [1.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    got = [r.c for r in df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert abs(got[0] - 0.0) < 1e-12
+    assert abs(got[1] - 1.0) < 1e-12
+    assert abs(got[2] - 1 / math.sqrt(2)) < 1e-12
+
+
+def test_brute_force_topk_orders_correctly(spark):
+    corpus = _vecs(
+        spark,
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),   # closest to 0
+            (2, [0.0, 1.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0]),  # farthest from 0
+        ],
+    )
+    queries = corpus.filter(F.col("vec_id") == 0)
+    out = brute_force_topk(queries, corpus, k=3).collect()
+    order = [r.neighbor_id for r in sorted(out, key=lambda r: r.rnk)]
+    assert order == [1, 2, 3]
+    assert not any(r.neighbor_id == 0 for r in out)  # self excluded
+
+
+def test_lsh_topk_recall_on_real_embeddings(spark, sf_dir):
+    """The test embeddings are near-uniform random — LSH's worst case
+    (true neighbors barely more aligned than random). The property
+    that must hold even here: recall well above the scanned fraction
+    (~11% of the corpus with 6 planes + multi-probe 1). Observed 0.26
+    deterministic; pinned at ≥0.2."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(queries, emb, k=5).collect()
+    approx = lsh_topk(queries, emb, k=5).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.2, f"LSH recall below 2x scanned fraction: {recall}"
+
+
+def test_lsh_prunes_candidates(spark, sf_dir):
+    """The LSH variant must score strictly fewer pairs than brute force."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    n_corpus = emb.count()
+    # count candidate pairs scored by each plan via an un-windowed probe
+    from hw_kafka_streams_spark.operators.similarity import _hyperplanes, rhp_signature
+
+    planes = _hyperplanes(8, 64)
+    c = emb.select("vec_id", rhp_signature(F.col("embedding"), planes).alias("b"))
+    qsig = c.filter(F.col("vec_id") < 10).collect()
+    buckets = {}
+    for r in c.collect():
+        buckets.setdefault(r.b, 0)
+        buckets[r.b] += 1
+    # probes = own bucket + 8 one-bit flips
+    scored = sum(
+        buckets.get(q.b ^ flip, 0)
+        for q in qsig
+        for flip in [0] + [1 << j for j in range(8)]
+    )
+    assert scored < 10 * n_corpus * 0.5, "LSH should prune >50% of pairs"
+
+
+def test_near_dup_exact_vs_lsh_blocked_agree_on_high_threshold(spark):
+    rows = [
+        (1, [1.0, 2.0, 3.0, 4.0]),
+        (2, [1.0, 2.0, 3.0, 4.001]),   # ~identical
+        (3, [4.0, -3.0, 2.0, -1.0]),
+    ]
+    df = _vecs(spark, rows)
+    exact = {
+        (r.id1, r.id2)
+        for r in embedding_near_dup_pairs(df, threshold=0.999, exact=True, dim=4).collect()
+    }
+    blocked = {
+        (r.id1, r.id2)
+        for r in embedding_near_dup_pairs(df, threshold=0.999, exact=False, dim=4).collect()
+    }
+    assert exact == {(1, 2)}
+    assert blocked == exact  # identical vectors share every hyperplane side
+
+
+def test_topk_plan_broadcasts_queries(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    plan = (
+        brute_force_topk(queries, emb, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
