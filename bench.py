@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock over the headline set. Each query is
+executed to completion (count + write-to-noop style collect of the
+aggregate result), never ``.show()``; timings include plan + execution
+but not session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hw_kafka_streams_spark.queries import queries as _queries  # noqa: E402
+from hw_kafka_streams_spark.session import get_spark  # noqa: E402
+
+# Headline set: the queries a 100 TB deployment would live in — scan-heavy
+# agg, shuffle joins, windows, and the LLM-pipeline ops (dedup/similarity/
+# text). Kept to ~a dozen so per-round bench stays fast but representative.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_supplier_volume",
+    "q6_revenue_delta",
+    "q_topk_per_group",
+    "q_window_running",
+    "q_sessionize",
+    "q_asof_join",
+    "q_dedup_exact",
+    "q_dedup_minhash_lsh",
+    "q_similarity_topk",
+    "q_text_quality",
+    "q_censor_documents",
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    qmap = _queries()
+    names = [n for n in HEADLINE if n in qmap]
+    # Warm the JVM + parquet footers once so timings measure the queries.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = qmap[name](spark, sf_dir)
+        # Force full execution; aggregate results are small, so collect
+        # is bounded. count() alone could let Spark prune work.
+        rows = df.collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        del rows
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_of(sf_dir),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -101,23 +101,36 @@ def jaccard_candidate_pairs(
     )
 
 
-def minhash_signature(text: Column | str, n: int = 3, k: int = MINHASH_K) -> Column:
-    """k-minima MinHash signature over word n-gram shingles.
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Per-document k-minima MinHash signatures: (id, sig: array<long>).
 
     h_i(s) = (a_i * (xxhash64(s) mod p) + b_i) mod p, signature[i] =
-    min over shingles. Pure column expressions; the per-row cost is
-    k × |shingles| long ops inside codegen.
+    min over shingles. Computed as explode(shingles) → hash each
+    shingle ONCE → groupBy(id) with k narrow `min` aggregates. This
+    shape is deliberate for scale: the k mins partial-aggregate
+    map-side, so the shuffle carries one k-long row per doc per
+    partition, and every expression is simple enough for whole-stage
+    codegen. (A k-wide array<->transform expression tree per row
+    defeats codegen and re-hashes shingles k times — measured 10×
+    slower.) Docs with no shingles (fewer than n words) get no row.
     """
-    sh = word_shingles(text, n)
-    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)))
-
-    def _affine(i: int):
-        # one-arg lambda (a 2-arg lambda would be treated as (elem, idx))
-        a, b = _MINHASH_A[i], _MINHASH_B[i]
-        return lambda h: F.pmod(a * h + b, F.lit(_MERSENNE_P))
-
-    mins = [F.array_min(F.transform(base, _affine(i))) for i in range(k)]
-    return F.when(F.size(sh) > 0, F.array(*mins)).otherwise(F.lit(None))
+    postings = (
+        df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("id", F.explode("sh").alias("s"))
+        .select("id", F.pmod(F.xxhash64("s"), F.lit(_MERSENNE_P)).alias("h"))
+    )
+    mins = [
+        F.min(F.pmod(_MINHASH_A[i] * F.col("h") + _MINHASH_B[i], F.lit(_MERSENNE_P))).alias(
+            f"m{i}"
+        )
+        for i in range(MINHASH_K)
+    ]
+    return postings.groupBy("id").agg(*mins).select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(MINHASH_K)]).alias("sig")
+    )
 
 
 def minhash_lsh_pairs(
@@ -136,10 +149,7 @@ def minhash_lsh_pairs(
     (fraction of agreeing minima). Sub-quadratic end to end.
     """
     rows_per_band = MINHASH_K // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), n).alias("sig"),
-    ).filter(F.col("sig").isNotNull())
+    sig = minhash_signatures(df, text_col, id_col, n)
 
     banded = sig.select(
         "id",
@@ -225,6 +235,37 @@ def simhash64(text: Column | str) -> Column:
     return sig
 
 
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document 64-bit SimHash signatures: (id, sig: long).
+
+    Same math as :func:`simhash64`, but shaped for scale: explode
+    tokens → hash each token ONCE → groupBy(id) with 64 narrow `sum`
+    aggregates (one per bit), then assemble the signature from the 64
+    sums post-aggregation. Partial aggregation keeps the shuffle at
+    one 64-long row per doc per partition; token-less docs get no row.
+    """
+    postings = (
+        df.select(F.col(id_col).alias("id"), F.explode(word_tokens(F.col(text_col))).alias("t"))
+        .select("id", F.xxhash64("t").alias("h"))
+    )
+    sums = [
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = postings.groupBy("id").agg(*sums)
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        bit_val = (1 << i) if i < 63 else -(1 << 63)
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.lit(bit_val).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return agg.select("id", sig.alias("sig"))
+
+
 def simhash_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -237,7 +278,7 @@ def simhash_candidate_pairs(
     quarters; any pair within Hamming ≤ 3 agrees exactly on ≥1 quarter
     → equi-join per quarter, then exact Hamming verify via bit_count.
     """
-    sig = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig"))
+    sig = simhash_signatures(df, text_col, id_col)
     quarters = sig.select(
         "id",
         "sig",
