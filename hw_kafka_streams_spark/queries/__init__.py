@@ -59,6 +59,7 @@ def _load_all() -> None:
         functions_q,
         llm_q,
         relational,
+        streaming_q,
         windows_q,
     )
 

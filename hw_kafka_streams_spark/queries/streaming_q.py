@@ -1,0 +1,139 @@
+"""Streaming-surface operators exercised on their batch path, so the
+DuckDB oracle can verify the window/compaction SEMANTICS. The
+streaming execution of the same plans (state, watermarks, microbatch)
+is covered by tests/test_streaming.py (rows-only by nature).
+
+Window-start timestamps are emitted as epoch seconds (long) on both
+sides — sidestepping DuckDB TIMESTAMPTZ vs Spark session-TZ drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hw_kafka_streams_spark.queries import register
+from hw_kafka_streams_spark.sources.catalog import load_table
+from hw_kafka_streams_spark.streaming import serde, windows
+
+
+@register(
+    "q_stream_tumbling",
+    oracle="""
+        SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS win_start_s,
+               user_id, count(*) AS n_events,
+               round(sum("value"), 2) AS sum_value
+        FROM events WHERE user_id <= 100
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Tumbling 5-minute window agg (F.window) — the watermarked "
+    "streaming agg's exact batch semantics. One shuffle on (window,key); "
+    "partial agg map-side.",
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir).filter(F.col("user_id") <= 100)
+    out = windows.tumbling_counts(
+        e,
+        ts_col="ts",
+        key_col="user_id",
+        window="5 minutes",
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        ],
+    )
+    return out.select(
+        F.col("win_start").cast("long").alias("win_start_s"),
+        "user_id",
+        "n_events",
+        "sum_value",
+    ).orderBy("win_start_s", "user_id")
+
+
+@register(
+    "q_stream_sliding",
+    oracle="""
+        WITH e AS (
+          SELECT user_id, CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS b
+          FROM events WHERE user_id <= 100
+        ), assigned AS (
+          SELECT user_id, b AS win_start_s FROM e
+          UNION ALL
+          SELECT user_id, b - 300 AS win_start_s FROM e
+        )
+        SELECT win_start_s, user_id, count(*) AS n_events
+        FROM assigned GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Sliding window (10 min / 5 min slide): each event lands in 2 "
+    "overlapping windows. Oracle assigns both window-starts explicitly.",
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir).filter(F.col("user_id") <= 100)
+    out = windows.sliding_counts(
+        e, ts_col="ts", key_col="user_id", window="10 minutes", slide="5 minutes"
+    )
+    return out.select(
+        F.col("win_start").cast("long").alias("win_start_s"), "user_id", "n_events"
+    ).orderBy("win_start_s", "user_id")
+
+
+@register(
+    "q_stream_session",
+    oracle="""
+        WITH gaps AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR date_diff('second', lag(ts) OVER w, ts) >= 600
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events WHERE user_id <= 50
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sess AS (
+          SELECT user_id, ts,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+          FROM gaps
+        )
+        SELECT user_id,
+               CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
+               CAST(floor(epoch(max(ts))) + 600 AS BIGINT) AS session_end_s,
+               count(*) AS n_events
+        FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start_s
+    """,
+    doc="F.session_window (10-min gap) vs gaps-and-islands oracle. "
+    "Session end = last event + gap, per session_window semantics.",
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir).filter(F.col("user_id") <= 50)
+    out = windows.session_windows(e, ts_col="ts", key_col="user_id", gap="10 minutes")
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("long").alias("session_start_s"),
+        F.col("session_end").cast("long").alias("session_end_s"),
+        "n_events",
+    ).orderBy("user_id", "session_start_s")
+
+
+@register(
+    "q_changelog_compact",
+    oracle="""
+        SELECT user_id AS key,
+               arg_max(event_type, event_id) AS event_type,
+               max(event_id) AS last_event_id
+        FROM events WHERE user_id <= 200
+        GROUP BY user_id ORDER BY key
+    """,
+    doc="GlobalKTable materialization semantics (latest value per key) "
+    "over a changelog — max_by aggregate, one shuffle, no window sort.",
+)
+def q_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("user_id") <= 200)
+        .select(F.col("user_id").alias("key"), "event_type", "event_id")
+    )
+    out = serde.latest_per_key(e, key_col="key", order_col="event_id")
+    return out.select(
+        "key",
+        "event_type",
+        F.col("event_id").alias("last_event_id"),
+    ).orderBy("key")

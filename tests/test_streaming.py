@@ -1,0 +1,214 @@
+"""Streaming-layer tests: serde roundtrip, changelog compaction, the
+reference topology run as a real StreamingQuery (file source → memory
+sink), watermarked windows, streaming dedup, custom stateful counts.
+
+These are the SURVEY §5.3 "streaming semantics" tests — not
+SQL-expressible, so no DuckDB oracle; correctness is asserted against
+hand-computed expectations on tiny fixtures.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from hw_kafka_streams_spark.streaming import serde, windows
+from hw_kafka_streams_spark.streaming.pipeline import filtered_messages, run_file_topology
+from hw_kafka_streams_spark.streaming.stateful import running_counts
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="sgtest_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+GOLDEN_MESSAGES = [
+    ("login4", "Java", "login1"),
+    ("login2", "Spring", "login1"),
+    ("login3", "1С", "login1"),  # Cyrillic С
+    ("login5", "Политика React", "login1"),
+]
+GOLDEN_BLOCKED = [
+    ("login1:login2", "blocked"),
+    ("login1:login3", "blocked"),
+    ("login2:login4", "blocked"),
+]
+GOLDEN_WORDS = ["Политика", "1C", "Алкоголь"]  # Latin C
+
+
+def test_serde_roundtrip(spark):
+    wire = spark.createDataFrame(
+        [("login2", '{"text":"Spring","receiver":"login1"}'), ("login9", None)],
+        "key string, value string",
+    ).select(F.col("key").cast("binary"), F.col("value").cast("binary"))
+    decoded = serde.decode_messages(wire)
+    rows = {(r.sender, r.text, r.receiver) for r in decoded.collect()}
+    assert rows == {("login2", "Spring", "login1"), ("login9", None, None)}
+
+    back = serde.encode_messages(decoded.filter(F.col("text").isNotNull()))
+    [r] = back.collect()
+    assert r.key == "login2" and '"text":"Spring"' in r.value
+
+
+def test_changelog_compaction(spark):
+    log = spark.createDataFrame(
+        [
+            ("w1", "ban", 0),
+            ("w1", "ok", 5),      # later value wins
+            ("w2", "ban", 1),
+            ("w2", None, 7),      # tombstone deletes w2
+            ("w3", "ban", 2),
+        ],
+        "key string, value string, offset long",
+    )
+    compacted = {(r.key, r.value) for r in serde.compact_changelog(log).collect()}
+    assert compacted == {("w1", "ok"), ("w3", "ban")}
+
+
+def test_reference_topology_streaming(spark, tmpdir):
+    """The golden run, executed as an actual StreamingQuery."""
+    spark.createDataFrame(
+        GOLDEN_MESSAGES, "sender string, text string, receiver string"
+    ).coalesce(1).write.parquet(f"{tmpdir}/messages")
+    blocked = spark.createDataFrame(GOLDEN_BLOCKED, "key string, value string")
+
+    name = f"golden_{uuid.uuid4().hex[:8]}"
+    q = run_file_topology(
+        spark, f"{tmpdir}/messages", blocked, GOLDEN_WORDS, queryName=name
+    )
+    try:
+        q.processAllAvailable()
+        rows = {
+            (r.sender, r.text, r.receiver)
+            for r in spark.sql(f"select * from {name}").collect()
+        }
+    finally:
+        q.stop()
+    assert rows == {
+        ("login4", "Java", "login1"),
+        ("login5", "******** React", "login1"),
+    }
+
+
+def test_filtered_messages_plan_is_shuffle_free(spark):
+    msgs = spark.createDataFrame(
+        GOLDEN_MESSAGES, "sender string, text string, receiver string"
+    )
+    blocked = spark.createDataFrame(GOLDEN_BLOCKED, "key string, value string")
+    plan = (
+        filtered_messages(msgs, blocked, GOLDEN_WORDS)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "Exchange hashpartitioning" not in plan  # no shuffle
+
+
+EVENTS = [
+    ("u1", "2026-01-01 00:01:00"),
+    ("u1", "2026-01-01 00:02:00"),
+    ("u1", "2026-01-01 00:07:00"),
+    ("u2", "2026-01-01 00:03:00"),
+    ("u2", "2026-01-01 01:00:00"),
+]
+
+
+def _events_df(spark):
+    return spark.createDataFrame(EVENTS, "user_id string, ts_s string").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+
+
+def test_tumbling_batch_semantics(spark):
+    out = windows.tumbling_counts(_events_df(spark), window="5 minutes")
+    got = {(r.user_id, str(r.win_start), r.n_events) for r in out.collect()}
+    assert got == {
+        ("u1", "2026-01-01 00:00:00", 2),
+        ("u1", "2026-01-01 00:05:00", 1),
+        ("u2", "2026-01-01 00:00:00", 1),
+        ("u2", "2026-01-01 01:00:00", 1),
+    }
+
+
+def test_session_window_batch_semantics(spark):
+    out = windows.session_windows(_events_df(spark), gap="10 minutes")
+    got = {(r.user_id, r.n_events) for r in out.collect()}
+    # u1: all three within 10-min gaps → one session; u2: two sessions.
+    assert got == {("u1", 3), ("u2", 1)}
+
+
+def test_streaming_windowed_counts(spark, tmpdir):
+    _events_df(spark).coalesce(1).write.parquet(f"{tmpdir}/events")
+    stream = spark.readStream.schema("user_id string, ts timestamp").parquet(
+        f"{tmpdir}/events"
+    )
+    name = f"win_{uuid.uuid4().hex[:8]}"
+    q = (
+        windows.tumbling_counts(stream, window="5 minutes")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n = spark.sql(f"select sum(n_events) s from {name}").collect()[0].s
+    finally:
+        q.stop()
+    assert n == len(EVENTS)
+
+
+def test_streaming_dedup(spark, tmpdir):
+    dup_events = EVENTS + [("u1", "2026-01-01 00:01:00")]  # exact dup
+    df = spark.createDataFrame(dup_events, "user_id string, ts_s string").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    df.coalesce(1).write.parquet(f"{tmpdir}/events")
+    stream = spark.readStream.schema("user_id string, ts timestamp").parquet(
+        f"{tmpdir}/events"
+    )
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        windows.dedup_stream(stream, ["user_id", "ts"])
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n = spark.sql(f"select count(*) n from {name}").collect()[0].n
+    finally:
+        q.stop()
+    assert n == len(EVENTS)  # the duplicate row was dropped
+
+
+def test_stateful_running_counts(spark, tmpdir):
+    _events_df(spark).coalesce(1).write.parquet(f"{tmpdir}/events")
+    stream = spark.readStream.schema("user_id string, ts timestamp").parquet(
+        f"{tmpdir}/events"
+    )
+    name = f"state_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_counts(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.key, r.n_total)
+            for r in spark.sql(
+                f"select key, max(n_total) n_total from {name} group by key"
+            ).collect()
+        }
+    finally:
+        q.stop()
+    assert got == {("u1", 3), ("u2", 2)}
