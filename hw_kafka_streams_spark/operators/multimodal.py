@@ -106,6 +106,31 @@ def make_fake_png(width: int, height: int) -> bytes:
     return b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR" + ihdr + body
 
 
+def synthesize_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic fake-PNG payload per row (test/bench stand-in for a
+    real binary column, which the driver tables don't carry).
+
+    width = id % 640 + 16, height = id % 480 + 16 — pure arithmetic so
+    an SQL oracle can verify the decode roundtrip. Runs as an
+    Arrow-batched mapInPandas stage, the same shape a real
+    payload-bearing scan would feed downstream.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        make_fake_png(int(i) % 640 + 16, int(i) % 480 + 16) for i in ids
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(gen, schema="doc_id long, payload binary")
+
+
 def frame_sample_stub(df: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling stage — STUB (no ffmpeg in container).
 

@@ -1,0 +1,65 @@
+"""Physical-plan introspection helpers.
+
+Correctness on 60k rows says nothing about 100 TB; these helpers make
+the scale-critical plan properties inspectable (and assertable in
+tests/test_plans.py): did the filter reach the parquet scan, is the
+dim join broadcast, how many exchanges (shuffles) does the plan have,
+are the hot-path operators inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame) -> str:
+    """Executed physical plan as a string (post-AQE if collected)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """`explain("formatted")` output, returned instead of printed."""
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def count_shuffles(df: DataFrame) -> int:
+    """Number of exchange (shuffle/broadcast-build) boundaries."""
+    return physical_plan(df).count("Exchange hashpartitioning")
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Filters that reached the parquet reader (want: every sargable one)."""
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", formatted_plan(df)):
+        if m.group(1).strip():
+            out.extend(s.strip() for s in m.group(1).split(","))
+    return out
+
+
+def read_schema(df: DataFrame) -> list[str]:
+    """Columns actually read from parquet (want: exactly the referenced set)."""
+    cols: set[str] = set()
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", formatted_plan(df)):
+        for field in m.group(1).split(","):
+            if ":" in field:
+                cols.add(field.split(":")[0].strip())
+    return sorted(cols)
+
+
+def plan_report(df: DataFrame) -> dict:
+    """One-look scale review of a plan."""
+    plan = physical_plan(df)
+    return {
+        "shuffles": plan.count("Exchange hashpartitioning"),
+        "broadcasts": plan.count("BroadcastHashJoin"),
+        "sort_merge_joins": plan.count("SortMergeJoin"),
+        "nested_loop_joins": plan.count("NestedLoop"),
+        "python_stages": plan.count("EvalPython") + plan.count("MapInPandas"),
+        "wholestage_codegen": bool(re.search(r"\*\(\d+\)", plan)),
+        "pushed_filters": pushed_filters(df),
+        "read_schema": read_schema(df),
+    }

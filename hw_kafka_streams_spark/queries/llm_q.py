@@ -327,3 +327,53 @@ def q_doc_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("freq") >= 10)
         .orderBy(F.desc("freq"), "word")
     )
+
+
+@register(
+    "q_multimodal_meta",
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               sha256(text) AS content_sha256,
+               'application/octet-stream' AS mime
+        FROM documents ORDER BY doc_id
+    """,
+    doc="Typed metadata over an opaque binary payload column — length / "
+    "sha256 / magic-byte mime sniff, all JVM-side (operators/multimodal."
+    "attach_payload_metadata). Payload here = UTF-8 text bytes so the "
+    "oracle can recompute it.",
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.multimodal import attach_payload_metadata
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "payload", F.col("text").cast("binary")
+    )
+    out = attach_payload_metadata(docs)
+    return out.select("doc_id", "n_bytes", "content_sha256", "mime").orderBy("doc_id")
+
+
+@register(
+    "q_multimodal_decode",
+    oracle="""
+        SELECT doc_id,
+               CAST(doc_id % 640 + 16 AS INT) AS width,
+               CAST(doc_id % 480 + 16 AS INT) AS height,
+               'png' AS format,
+               CAST(61 AS BIGINT) AS n_bytes
+        FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+    doc="Binary → decoded image metadata roundtrip: synthesize "
+    "deterministic PNG payloads (mapInPandas), parse headers back in an "
+    "Arrow-batched decode stage (operators/multimodal.decode_image_meta). "
+    "The oracle recomputes the dims arithmetically.",
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.multimodal import (
+        decode_image_meta,
+        synthesize_png_payloads,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
+    payloads = synthesize_png_payloads(docs)
+    return decode_image_meta(payloads).orderBy("doc_id")

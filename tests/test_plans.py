@@ -10,20 +10,17 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from hw_kafka_streams_spark.plans import (
+    formatted_plan as _formatted,
+)
+from hw_kafka_streams_spark.plans import (
+    physical_plan as _physical_plan,
+)
+from hw_kafka_streams_spark.plans import plan_report, pushed_filters, read_schema
 from hw_kafka_streams_spark.queries import REGISTRY, _load_all
 from hw_kafka_streams_spark.sources.catalog import load_table
 
 _load_all()
-
-
-def _physical_plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
-def _formatted(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
 
 
 def test_q6_filter_pushdown(spark, sf_dir):
@@ -98,3 +95,37 @@ def test_broadcast_threshold_respected(spark, sf_dir):
     c = load_table(spark, "customer", sf_dir)
     plan = _physical_plan(c.join(n, c.c_nationkey == n.n_nationkey))
     assert "BroadcastHashJoin" in plan
+
+
+def test_pushdown_helper_sees_q6_filters(spark, sf_dir):
+    df = REGISTRY["q6_revenue_delta"].fn(spark, sf_dir)
+    assert any("l_quantity" in f for f in pushed_filters(df))
+
+
+def test_read_schema_helper_prunes(spark, sf_dir):
+    cols = read_schema(REGISTRY["q6_revenue_delta"].fn(spark, sf_dir))
+    assert "l_extendedprice" in cols and "l_partkey" not in cols
+
+
+def test_minhash_partial_agg(spark, sf_dir):
+    """Signature agg must partial-aggregate map-side (shuffle carries one
+    64-long row per doc per partition, not raw postings)."""
+    from hw_kafka_streams_spark.operators.dedup import minhash_signatures
+
+    docs = load_table(spark, "documents", sf_dir)
+    plan = _physical_plan(minhash_signatures(docs))
+    assert "partial_min" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_tumbling_single_shuffle(spark, sf_dir):
+    df = REGISTRY["q_stream_tumbling"].fn(spark, sf_dir)
+    rep = plan_report(df)
+    # one shuffle for the (window,key) agg, one for the output orderBy
+    assert rep["shuffles"] <= 2 and rep["python_stages"] == 0
+
+
+def test_similarity_topk_no_python(spark, sf_dir):
+    rep = plan_report(REGISTRY["q_similarity_topk"].fn(spark, sf_dir))
+    assert rep["python_stages"] == 0
+    assert rep["nested_loop_joins"] >= 1  # broadcast NL: query side broadcast
