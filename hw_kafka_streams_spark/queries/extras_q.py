@@ -1,0 +1,161 @@
+"""Coverage extras: predicate battery, grouping sets, approx distinct,
+map functions, and the pandas-UDF surface (censor + weighted mean).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hw_kafka_streams_spark.queries import register
+from hw_kafka_streams_spark.sources.catalog import load_table
+
+
+@register(
+    "q_predicates",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_orderpriority
+        FROM orders
+        WHERE o_orderstatus IN ('F', 'P')
+          AND o_orderpriority LIKE '%URGENT%'
+          AND o_totalprice BETWEEN 1000 AND 200000
+          AND o_orderdate IS NOT NULL
+          AND NOT (o_orderpriority = '1-URGENT')
+        ORDER BY o_orderkey
+    """,
+    doc="Predicate battery: IN / LIKE / BETWEEN / IS NULL / NOT — every "
+    "one sargable and pushed to the parquet scan where the format allows.",
+)
+def q_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.filter(
+            F.col("o_orderstatus").isin("F", "P")
+            & F.col("o_orderpriority").like("%URGENT%")
+            & F.col("o_totalprice").between(1000, 200000)
+            & F.col("o_orderdate").isNotNull()
+            & ~(F.col("o_orderpriority") == "1-URGENT")
+        )
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q_grouping_sets",
+    oracle="""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority
+    """,
+    doc="Explicit GROUPING SETS (beyond rollup/cube): one shuffle, "
+    "Spark expands sets via a single Expand node over the scan.",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority
+        """
+    )
+
+
+@register(
+    "q_approx_distinct",
+    oracle=None,  # HLL sketches differ across engines — tolerance-checked in tests
+    doc="approx_count_distinct (HyperLogLog++) next to the exact count; "
+    "at 100 TB the sketch is the only sane global-cardinality plan "
+    "(constant memory, partial-mergeable). Rows-only driver check; "
+    "tests assert <5% relative error.",
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+    )
+
+
+@register(
+    "q_map_funcs",
+    oracle="""
+        SELECT n_nationkey,
+               (map(['name', 'region'], [n_name, CAST(n_regionkey AS VARCHAR)])['name'])[1]
+                 AS name_from_map,
+               CAST(cardinality(map(['name', 'region'],
+                    [n_name, CAST(n_regionkey AS VARCHAR)])) AS INT) AS map_size,
+               list_sort(map_keys(map(['name', 'region'],
+                    [n_name, CAST(n_regionkey AS VARCHAR)]))) AS keys_sorted
+        FROM nation ORDER BY n_nationkey
+    """,
+    doc="Map-type battery: map_from_arrays / element_at / map_keys / size.",
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, "nation", sf_dir)
+    m = F.map_from_arrays(
+        F.array(F.lit("name"), F.lit("region")),
+        F.array(F.col("n_name"), F.col("n_regionkey").cast("string")),
+    )
+    return n.select(
+        "n_nationkey",
+        F.element_at(m, "name").alias("name_from_map"),
+        F.size(m).alias("map_size"),
+        F.array_sort(F.map_keys(m)).alias("keys_sorted"),
+    ).orderBy("n_nationkey")
+
+
+@register(
+    "q_censor_udf",
+    oracle="""
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   'training', '********', 'gi'),
+                   'model', '*****', 'gi'),
+                   'data', '****', 'gi') AS text_censored
+        FROM documents WHERE doc_id < 500 ORDER BY doc_id
+    """,
+    doc="Pandas-UDF censor path (unbounded-dictionary variant): Arrow-"
+    "batched scalar UDF, regex precompiled per executor, length-"
+    "preserving masks applied longest-word-first (same order as the "
+    "oracle's nested replaces).",
+)
+def q_censor_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.udfs import make_censor_udf
+
+    censor = make_censor_udf(["data", "model", "training"])
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 500)
+    return docs.select("doc_id", censor(F.col("text")).alias("text_censored")).orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "q_weighted_avg_udf",
+    oracle="""
+        SELECT l_returnflag,
+               round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+                 AS w_avg_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="GROUPED_AGG pandas UDF (weighted mean) vs the same aggregate in "
+    "SQL — the custom-UDAF surface, parity-checked against the oracle.",
+)
+def q_weighted_avg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.udfs import weighted_mean
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(weighted_mean("l_extendedprice", "l_quantity"), 4).alias("w_avg_price"))
+        .orderBy("l_returnflag")
+    )

@@ -1,0 +1,52 @@
+"""Extras battery: approx-distinct tolerance, pandas-UDF parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hw_kafka_streams_spark.queries import REGISTRY, _load_all
+
+_load_all()
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    [r] = REGISTRY["q_approx_distinct"].fn(spark, sf_dir).collect()
+    assert abs(r.approx_orders - r.exact_orders) / r.exact_orders < 0.05
+    assert abs(r.approx_parts - r.exact_parts) / r.exact_parts < 0.05
+
+
+def test_censor_udf_matches_builtin(spark):
+    """The pandas-UDF censor and the plan-time regexp fold must agree."""
+    from hw_kafka_streams_spark.operators.censor import censor_column
+    from hw_kafka_streams_spark.operators.udfs import make_censor_udf
+
+    words = ["Политика", "1C", "data"]
+    df = spark.createDataFrame(
+        [("политика data x",), ("1c и 1С",), (None,), ("DATA Data dAtA",)],
+        "text string",
+    )
+    out = df.select(
+        censor_column("text", words).alias("builtin"),
+        make_censor_udf(words)(F.col("text")).alias("udf"),
+    ).collect()
+    for r in out:
+        assert r.builtin == r.udf
+
+
+def test_weighted_mean_udf_matches_builtin(spark, sf_dir):
+    from hw_kafka_streams_spark.operators.udfs import weighted_mean, weighted_mean_builtin
+    from hw_kafka_streams_spark.sources.catalog import load_table
+
+    li = load_table(spark, "lineitem", sf_dir)
+    # grouped-agg pandas UDFs cannot mix with built-in aggs in one agg()
+    u = li.groupBy("l_returnflag").agg(
+        F.round(weighted_mean("l_extendedprice", "l_quantity"), 6).alias("u")
+    )
+    b = li.groupBy("l_returnflag").agg(
+        F.round(
+            weighted_mean_builtin(F.col("l_extendedprice"), F.col("l_quantity")), 6
+        ).alias("b")
+    )
+    got = u.join(b, "l_returnflag").collect()
+    for r in got:
+        assert abs(r.u - r.b) < 1e-4
