@@ -144,6 +144,84 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 13,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) partitioning.
+
+    Train: k-means (pyspark.ml, distributed) over the corpus → centroid
+    table. Index: assign every corpus vector to its nearest centroid —
+    at scale this is the partition/bucket layout you'd persist (cluster
+    the parquet by centroid id, so a probe reads only matching files).
+    Search: each query scores the (tiny, plan-literal) centroid set,
+    keeps the best ``n_probe``, and only scans those inverted lists —
+    an equi-join on centroid id, exact cosine re-rank after.
+
+    Corpus scanned fraction ≈ n_probe / n_centroids; recall grows with
+    n_probe — the standard IVF trade (Johnson et al., billion-scale
+    similarity search).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=10).fit(feat)
+    indexed = model.transform(feat).select(
+        "neighbor_id", "cvec", F.col("prediction").alias("cid")
+    )
+
+    centroids = [c.tolist() for c in model.clusterCenters()]
+
+    def _centroid_col(c: list[float]):
+        return F.array(*[F.lit(float(x)) for x in c])
+
+    # score all centroids per query (JVM expressions over plan literals),
+    # keep the n_probe nearest (by cosine), explode to (query, cid)
+    qv = F.col("qvec").cast("array<double>")
+    scored = F.array(
+        *[
+            F.struct(
+                (-cosine(qv, _centroid_col(c))).alias("negsim"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    probes = F.slice(F.array_sort(scored), 1, n_probe)
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        .select("query_id", "qvec", F.explode(probes).alias("p"))
+        .select("query_id", "qvec", F.col("p.cid").alias("cid"))
+    )
+
+    cand = (
+        indexed.join(F.broadcast(q), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

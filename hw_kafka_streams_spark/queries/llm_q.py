@@ -377,3 +377,17 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
     payloads = synthesize_png_payloads(docs)
     return decode_image_meta(payloads).orderBy("doc_id")
+
+
+@register(
+    "q_similarity_ivf_topk",
+    oracle=None,  # approximate by construction
+    doc="ANN top-5 via IVF: k-means centroids (pyspark.ml), corpus "
+    "bucketed by nearest centroid, queries probe the 4 nearest of 16 "
+    "lists, exact cosine re-rank. Rows-only check; recall vs brute "
+    "force asserted in unit tests.",
+)
+def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ivf_topk(queries, emb, k=5).orderBy("query_id", "rnk")

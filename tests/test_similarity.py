@@ -118,3 +118,21 @@ def test_topk_plan_broadcasts_queries(spark, sf_dir):
     )
     assert "Broadcast" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF with n_probe=4/16 must recover most true top-5 neighbors."""
+    from hw_kafka_streams_spark.operators.similarity import brute_force_topk, ivf_topk
+    from hw_kafka_streams_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.01")
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(queries, emb, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id) for r in ivf_topk(queries, emb, k=5).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
