@@ -1,0 +1,86 @@
+"""Format-agnostic file sources and sinks (parquet / csv / json / orc).
+
+The reference's only source is a Kafka topic (KafkaStreamApp.java:154);
+an engine replacing it needs the batch formats a lake actually holds.
+Everything funnels through ``spark.read`` options so Catalyst keeps
+predicate pushdown and column pruning where the format supports it
+(parquet/orc: full; csv/json: column pruning only — a documented reason
+to compact into parquet early in any 100 TB pipeline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+_FORMATS = {"parquet", "csv", "json", "orc"}
+
+
+def read_files(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Batch-read ``path`` as ``fmt``.
+
+    An explicit ``schema`` (DDL string) skips inference — mandatory at
+    scale: schema inference on csv/json is a full extra pass over the
+    data. csv defaults to header=true.
+    """
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; known: {sorted(_FORMATS)}")
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        reader = reader.option("header", options.pop("header", "true"))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def read_file_stream(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Streaming read of a directory (file source: new files per batch).
+
+    File sources REQUIRE an explicit schema in streaming mode; the
+    source tracks seen files in the checkpoint, giving exactly-once
+    per-file semantics — the batch/stream duality the reference's
+    topic-based model has, re-expressed over a lake path.
+    """
+    if schema is None:
+        raise ValueError("streaming file sources require an explicit schema")
+    reader = spark.readStream.format(fmt).schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", options.pop("header", "true"))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def write_files(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    **options: str,
+) -> None:
+    """Batch-write ``df``; ``partition_by`` produces the directory layout
+    that makes downstream partition pruning possible."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; known: {sorted(_FORMATS)}")
+    writer = df.write.format(fmt).mode(mode)
+    if fmt == "csv":
+        writer = writer.option("header", options.pop("header", "true"))
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
