@@ -42,6 +42,7 @@ HEADLINE = [
     "q_similarity_topk",
     "q_text_quality",
     "q_censor_documents",
+    "q_llm_prep_pipeline",
 ]
 
 

@@ -159,3 +159,34 @@ def q_weighted_avg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(weighted_mean("l_extendedprice", "l_quantity"), 4).alias("w_avg_price"))
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q_null_funcs",
+    oracle="""
+        SELECT s_suppkey,
+               coalesce(nullif(s_name, ''), 'EMPTY') AS name_or,
+               CASE WHEN s_acctbal < 0 THEN NULL
+                    ELSE round(s_acctbal, 2) END AS pos_bal,
+               coalesce(CASE WHEN s_acctbal < 0 THEN NULL
+                             ELSE round(s_acctbal, 2) END, 0.0) AS bal_or_zero,
+               (s_acctbal IS NULL) AS bal_is_null
+        FROM supplier ORDER BY s_suppkey
+    """,
+    doc="Null-handling battery: coalesce / nullif / conditional NULL / "
+    "IS NULL — null semantics parity with ANSI SQL.",
+)
+def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, "supplier", sf_dir)
+    pos_bal = F.when(F.col("s_acctbal") < 0, F.lit(None)).otherwise(
+        F.round(F.col("s_acctbal"), 2)
+    )
+    return s.select(
+        "s_suppkey",
+        F.coalesce(F.nullif(F.col("s_name"), F.lit("")), F.lit("EMPTY")).alias(
+            "name_or"
+        ),
+        pos_bal.alias("pos_bal"),
+        F.coalesce(pos_bal, F.lit(0.0)).alias("bal_or_zero"),
+        F.col("s_acctbal").isNull().alias("bal_is_null"),
+    ).orderBy("s_suppkey")

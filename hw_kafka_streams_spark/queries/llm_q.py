@@ -391,3 +391,58 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
     return S.ivf_topk(queries, emb, k=5).orderBy("query_id", "rnk")
+
+
+@register(
+    "q_llm_prep_pipeline",
+    oracle="""
+        WITH filtered AS (
+          SELECT doc_id, source, text,
+                 md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+                 len(regexp_extract_all(text, '\\S+')) AS n_toks
+          FROM documents
+          WHERE lang = 'en' AND n_chars BETWEEN 100 AND 20000
+        ), deduped AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM filtered
+          ) WHERE rn = 1
+        )
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+               round(avg(n_toks), 2) AS avg_tokens
+        FROM deduped GROUP BY source ORDER BY source
+    """,
+    doc="Flagship end-to-end training-data prep: language + length "
+    "filter (pushed to the scan) -> exact content dedup (fingerprint, "
+    "keep-first) -> per-source corpus stats. Composes text.fingerprint, "
+    "token_count, and windowed dedup into one declarative plan: filters "
+    "reach parquet, one shuffle for the dedup window, one for the agg.",
+)
+def q_llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hw_kafka_streams_spark.operators.text import fingerprint, token_count
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        (F.col("lang") == "en") & F.col("n_chars").between(100, 20000)
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        docs.select(
+            "doc_id", "source",
+            fingerprint(F.col("text")).alias("fp"),
+            token_count(F.col("text")).alias("n_toks"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        deduped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.round(F.avg("n_toks"), 2).alias("avg_tokens"),
+        )
+        .orderBy("source")
+    )
