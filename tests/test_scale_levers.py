@@ -1,0 +1,51 @@
+"""Scale levers: bucketed co-located joins (no exchange) and salted
+skew joins (correctness parity with the plain join)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hw_kafka_streams_spark.operators.skew import salted_join
+from hw_kafka_streams_spark.plans import physical_plan
+from hw_kafka_streams_spark.sources.bucketing import read_table, write_bucketed
+from hw_kafka_streams_spark.sources.catalog import load_table
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    write_bucketed(o, "orders_b", ["o_orderkey"], n_buckets=8)
+    write_bucketed(li, "lineitem_b", ["l_orderkey"], n_buckets=8)
+
+    ob, lb = read_table(spark, "orders_b"), read_table(spark, "lineitem_b")
+    joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey).filter(
+        F.col("o_totalprice") > 0
+    )
+    plan = physical_plan(joined)
+    assert "Exchange hashpartitioning" not in plan, plan
+    # sanity: same rowcount as the unbucketed join
+    n_plain = o.join(li, o.o_orderkey == li.l_orderkey).filter(
+        F.col("o_totalprice") > 0
+    ).count()
+    assert joined.count() == n_plain
+
+
+def test_bucketed_agg_is_shuffle_free(spark):
+    lb = read_table(spark, "lineitem_b")
+    agg = lb.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+    assert "Exchange hashpartitioning" not in physical_plan(agg)
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_salted_join_matches_plain(spark, sf_dir, how):
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity")
+    o = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = li.join(o, "l_orderkey", how)
+    salted = salted_join(li, o, "l_orderkey", salt_factor=4, how=how)
+    assert salted.count() == plain.count()
+    a = plain.groupBy("l_orderkey").count().orderBy("l_orderkey").collect()
+    b = salted.groupBy("l_orderkey").count().orderBy("l_orderkey").collect()
+    assert a == b
