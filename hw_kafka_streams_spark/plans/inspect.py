@@ -50,8 +50,14 @@ def read_schema(df: DataFrame) -> list[str]:
     return sorted(cols)
 
 
-def plan_report(df: DataFrame) -> dict:
-    """One-look scale review of a plan."""
+def plan_report(df: DataFrame, execute: bool = False) -> dict:
+    """One-look scale review of a plan.
+
+    ``execute=True`` collects first: AQE only materializes the final
+    plan (with whole-stage-codegen markers) at execution time.
+    """
+    if execute:
+        df.collect()
     plan = physical_plan(df)
     return {
         "shuffles": plan.count("Exchange hashpartitioning"),
