@@ -15,7 +15,7 @@ are expressed on scan columns so parquet pushdown applies.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hw_kafka_streams_spark.queries import register
@@ -584,4 +584,76 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("c_mktsegment", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
         .orderBy("c_mktsegment", F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+@register(
+    "q_min_per_group_subquery",
+    oracle="""
+        SELECT s.s_suppkey, s.s_name, n.n_name, round(s.s_acctbal, 2) AS s_acctbal
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE s.s_acctbal = (SELECT min(s2.s_acctbal) FROM supplier s2
+                             WHERE s2.s_nationkey = s.s_nationkey)
+        ORDER BY s.s_suppkey
+    """,
+    doc="TPC-H Q2 shape: correlated scalar subquery (min per group). "
+    "Authored as a ranked window instead of a re-scan self-join — one "
+    "shuffle on the group key, no second pass over supplier.",
+)
+def q_min_per_group_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    w = Window.partitionBy("s_nationkey")
+    return (
+        s.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "s_suppkey", "s_name", "n_name", F.round("s_acctbal", 2).alias("s_acctbal")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q_having_in_subquery",
+    oracle="""
+        SELECT c.c_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice,
+               CAST(sum(l.l_quantity) AS DOUBLE) AS total_qty
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+          SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 150)
+        GROUP BY c.c_custkey, o.o_orderkey, o.o_totalprice
+        ORDER BY o_totalprice DESC, o.o_orderkey
+        LIMIT 100
+    """,
+    doc="TPC-H Q18 shape: IN-subquery over a grouped HAVING — planned as "
+    "an agg + semi join on the fact key, then the 3-way join; the "
+    "orderBy+limit collapses to TakeOrdered.",
+)
+def q_having_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("tq"))
+        .filter(F.col("tq") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li.select("l_orderkey", "l_quantity"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_custkey", "o_orderkey", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
+        .select(
+            "c_custkey", "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"), "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
     )
