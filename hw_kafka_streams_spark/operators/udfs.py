@@ -67,6 +67,29 @@ def weighted_mean(v: pd.Series, w: pd.Series) -> float:  # GROUPED_AGG
     return float((v[m] * w[m]).sum() / den) if den else float("nan")
 
 
+def make_sentence_split_udtf():
+    """Python UDTF (Spark 4): one output row per sentence of the input.
+
+    Completes the UDF/UDAF/UDTF surface. UDTFs execute row-at-a-time
+    Python — fine for control-plane/table-generating jobs, NOT a hot
+    100-TB path (there, `explode(split(...))` expresses the same thing
+    JVM-side; see tests for the parity assertion).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence string, n_words int")
+    class SentenceSplit:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for raw in re.split(r"(?<=[.!?])\s+", text.strip()):
+                s = raw.strip()
+                if s:
+                    yield s, len(s.split())
+
+    return SentenceSplit
+
+
 def weighted_mean_builtin(v: Column, w: Column) -> Column:
     """The same aggregate as built-in expressions — partial-agg friendly;
     prefer this in production plans, keep the UDF for parity testing."""

@@ -50,3 +50,19 @@ def test_weighted_mean_udf_matches_builtin(spark, sf_dir):
     got = u.join(b, "l_returnflag").collect()
     for r in got:
         assert abs(r.u - r.b) < 1e-4
+
+
+def test_sentence_split_udtf(spark):
+    from hw_kafka_streams_spark.operators.udfs import make_sentence_split_udtf
+
+    SentenceSplit = make_sentence_split_udtf()
+    spark.udtf.register("sentence_split", SentenceSplit)
+    rows = spark.sql(
+        "SELECT s.* FROM (SELECT 'One two. Three! Four five six?' AS t), "
+        "LATERAL sentence_split(t) s"
+    ).collect()
+    assert [(r.sentence, r.n_words) for r in rows] == [
+        ("One two.", 2),
+        ("Three!", 1),
+        ("Four five six?", 3),
+    ]
