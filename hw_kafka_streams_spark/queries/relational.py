@@ -657,3 +657,28 @@ def q_having_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
     )
+
+
+@register(
+    "q_right_join",
+    oracle="""
+        SELECT n.n_nationkey, n.n_name, c.c_custkey
+        FROM customer c RIGHT JOIN nation n
+          ON c.c_nationkey = n.n_nationkey AND c.c_acctbal > 9000
+        ORDER BY n.n_nationkey, c.c_custkey NULLS FIRST
+    """,
+    doc="RIGHT OUTER join with an extra join-side predicate: nations kept "
+    "even when no rich customer matches (NULL c_custkey).",
+)
+def q_right_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    return (
+        c.join(
+            n,
+            (c.c_nationkey == n.n_nationkey) & (c.c_acctbal > 9000),
+            "right",
+        )
+        .select("n_nationkey", "n_name", "c_custkey")
+        .orderBy("n_nationkey", F.asc_nulls_first("c_custkey"))
+    )

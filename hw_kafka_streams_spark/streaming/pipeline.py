@@ -152,6 +152,20 @@ def run_reference_topology(
     )
 
 
+def peek(df: DataFrame, name: str, *metrics) -> DataFrame:
+    """O3 parity: the reference's ``.peek`` observes records pass-through
+    (KafkaStreamApp.java:155,168). Spark's zero-copy equivalent is
+    ``df.observe`` — named metrics computed inline with the query, no
+    second pass, readable from QueryProgress (streaming) or an
+    ObservationListener (batch). Defaults to a row count.
+    """
+    from pyspark.sql import functions as F
+
+    if not metrics:
+        metrics = (F.count(F.lit(1)).alias("n_rows"),)
+    return df.observe(name, *metrics)
+
+
 def run_file_topology(
     spark: SparkSession,
     messages_dir: str,

@@ -212,3 +212,67 @@ def test_stateful_running_counts(spark, tmpdir):
     finally:
         q.stop()
     assert got == {("u1", 3), ("u2", 2)}
+
+
+def test_peek_observe_metrics(spark, tmpdir):
+    """O3 peek parity: observed metrics surface in streaming progress."""
+    from hw_kafka_streams_spark.streaming.pipeline import peek
+
+    spark.createDataFrame(
+        GOLDEN_MESSAGES, "sender string, text string, receiver string"
+    ).coalesce(1).write.parquet(f"{tmpdir}/messages")
+    stream = spark.readStream.schema("sender string, text string, receiver string").parquet(
+        f"{tmpdir}/messages"
+    )
+    name = f"peek_{uuid.uuid4().hex[:8]}"
+    q = (
+        peek(stream, "msgs_in")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        observed = [
+            p.observedMetrics["msgs_in"].n_rows
+            for p in [q.lastProgress]
+            if p and "msgs_in" in (p.observedMetrics or {})
+        ]
+    finally:
+        q.stop()
+    assert sum(observed) == len(GOLDEN_MESSAGES)
+
+
+def test_foreach_batch_parquet_sink(spark, tmpdir):
+    """End-to-end exactly-once shape: stream -> transform -> parquet via
+    foreachBatch (idempotent file sink + checkpoint)."""
+    spark.createDataFrame(
+        GOLDEN_MESSAGES, "sender string, text string, receiver string"
+    ).coalesce(1).write.parquet(f"{tmpdir}/messages")
+    blocked = spark.createDataFrame(GOLDEN_BLOCKED, "key string, value string")
+    stream = spark.readStream.schema(
+        "sender string, text string, receiver string"
+    ).parquet(f"{tmpdir}/messages")
+    out = filtered_messages(stream, blocked, GOLDEN_WORDS)
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(f"{tmpdir}/out")
+
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        (r.sender, r.text, r.receiver)
+        for r in spark.read.parquet(f"{tmpdir}/out").collect()
+    }
+    assert rows == {
+        ("login4", "Java", "login1"),
+        ("login5", "******** React", "login1"),
+    }
