@@ -59,12 +59,110 @@ def make_censor_udf(words: list[str]):
     return censor
 
 
-@pandas_udf("double")
-def weighted_mean(v: pd.Series, w: pd.Series) -> float:  # GROUPED_AGG
-    """sum(v*w)/sum(w) with pandas NaN semantics (null rows excluded)."""
-    m = v.notna() & w.notna()
-    den = w[m].sum()
-    return float((v[m] * w[m]).sum() / den) if den else float("nan")
+_weighted_mean_udf = None
+
+
+def weighted_mean(v, w):  # GROUPED_AGG
+    """sum(v*w)/sum(w) with pandas NaN semantics (null rows excluded).
+
+    Built lazily: a module-level ``@pandas_udf`` would be evaluated at
+    import time on executors too (UDF closures import this module when
+    unpickled), where no SparkSession exists.
+    """
+    global _weighted_mean_udf
+    if _weighted_mean_udf is None:
+
+        @pandas_udf("double")
+        def _wm(v: pd.Series, w: pd.Series) -> float:
+            m = v.notna() & w.notna()
+            den = w[m].sum()
+            return float((v[m] * w[m]).sum() / den) if den else float("nan")
+
+        _weighted_mean_udf = _wm
+    return _weighted_mean_udf(v, w)
+
+
+class _AhoCorasick:
+    """Minimal Aho-Corasick automaton (lowercase matching) — linear scan
+    time in text length + matches, independent of dictionary size.
+    Pure-Python stdlib build (no external libs in this environment);
+    construction is O(total pattern chars)."""
+
+    def __init__(self, words: list[str]):
+        # trie as list of dicts; node 0 = root
+        self.next: list[dict[str, int]] = [{}]
+        self.fail: list[int] = [0]
+        self.out: list[list[int]] = [[]]  # word lengths ending here
+        for w in words:
+            lw = w.lower()
+            node = 0
+            for ch in lw:
+                if ch not in self.next[node]:
+                    self.next[node][ch] = len(self.next)
+                    self.next.append({})
+                    self.fail.append(0)
+                    self.out.append([])
+                node = self.next[node][ch]
+            self.out[node].append(len(lw))
+        # BFS failure links (root children keep fail=0)
+        from collections import deque
+
+        dq = deque(self.next[0].values())
+        while dq:
+            cur = dq.popleft()
+            for ch, nxt in self.next[cur].items():
+                dq.append(nxt)
+                f = self.fail[cur]
+                while f and ch not in self.next[f]:
+                    f = self.fail[f]
+                self.fail[nxt] = self.next[f].get(ch, 0)
+                self.out[nxt] = self.out[nxt] + self.out[self.fail[nxt]]
+
+    def mask(self, text: str) -> str:
+        """Replace every dictionary occurrence with '*' of equal length.
+        Case-insensitive via casefold of the probe character only — the
+        original text (and its length) is preserved outside matches."""
+        if not text:
+            return text
+        low = text.lower()
+        n = len(low)
+        masked = [False] * n
+        node = 0
+        for i, ch in enumerate(low):
+            while node and ch not in self.next[node]:
+                node = self.fail[node]
+            node = self.next[node].get(ch, 0)
+            for wlen in self.out[node]:
+                for j in range(i - wlen + 1, i + 1):
+                    masked[j] = True
+        if not any(masked):
+            return text
+        return "".join("*" if m else c for c, m in zip(text, masked))
+
+
+def make_aho_corasick_censor_udf(words: list[str]):
+    """Censor via Aho-Corasick — THE scale path for large dictionaries.
+
+    The regexp-fold censor is O(text × passes) and the combined
+    alternation regex degrades with dictionary size; the automaton
+    scans each text once regardless of |words| (Aho & Corasick '75 —
+    the reference's per-record store iteration, MessageFilterProcessor
+    .java:31-44, replaced by a single-pass matcher). Built once per
+    executor from the closure; applied per Arrow batch.
+
+    Semantic note vs censor_column: overlapping matches are BOTH
+    masked (regex replaces left-to-right non-overlapping). For
+    non-overlapping dictionaries the outputs are identical — asserted
+    in tests.
+    """
+    ac = _AhoCorasick([w for w in words if w])
+
+    @pandas_udf("string")
+    def censor(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            yield s.map(lambda t: ac.mask(t) if isinstance(t, str) else t)
+
+    return censor
 
 
 def make_sentence_split_udtf():
