@@ -133,11 +133,7 @@ def run_reference_topology(
             .start()
         )
 
-    def _process(batch_df: DataFrame, batch_id: int) -> None:
-        blocked = read_control_table(spark, bootstrap, TOPIC_BLOCKED)
-        words_df = read_control_table(spark, bootstrap, TOPIC_WORDS)
-        words = [r.key for r in words_df.filter(F.col("value") == "ban").collect()]
-        result = serde.encode_messages(filtered_messages(batch_df, blocked, words))
+    def _kafka_sink(result: DataFrame) -> None:
         (
             result.write.format("kafka")
             .option("kafka.bootstrap.servers", bootstrap)
@@ -145,11 +141,42 @@ def run_reference_topology(
             .save()
         )
 
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        process_batch_with_refresh(
+            batch_df,
+            blocked_provider=lambda: read_control_table(spark, bootstrap, TOPIC_BLOCKED),
+            words_provider=lambda: [
+                r.key
+                for r in read_control_table(spark, bootstrap, TOPIC_WORDS)
+                .filter(F.col("value") == "ban")
+                .collect()
+            ],
+            sink=lambda df: _kafka_sink(serde.encode_messages(df)),
+        )
+
     return (
         stream.writeStream.foreachBatch(_process)
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def process_batch_with_refresh(
+    batch_df: DataFrame,
+    blocked_provider: Callable[[], DataFrame],
+    words_provider: Callable[[], list[str]],
+    sink: Callable[[DataFrame], None],
+) -> None:
+    """One microbatch with GlobalKTable-style live dims.
+
+    The providers are called per batch — new blocks/words take effect on
+    the NEXT batch, which is exactly the reference's GlobalKTable
+    freshness model (the global store is updated asynchronously by its
+    own thread; the processor sees whatever is materialized when the
+    record arrives). Factored out of the Kafka job so the refresh
+    semantics are testable against file sources (tests/test_streaming).
+    """
+    sink(filtered_messages(batch_df, blocked_provider(), words_provider()))
 
 
 def peek(df: DataFrame, name: str, *metrics) -> DataFrame:

@@ -276,3 +276,29 @@ def test_foreach_batch_parquet_sink(spark, tmpdir):
         ("login4", "Java", "login1"),
         ("login5", "******** React", "login1"),
     }
+
+
+def test_dim_refresh_between_batches(spark, tmpdir):
+    """GlobalKTable live-update parity: a word banned between batches
+    censors batch 2 but not the already-emitted batch 1."""
+    from hw_kafka_streams_spark.streaming.pipeline import process_batch_with_refresh
+
+    blocked = spark.createDataFrame(GOLDEN_BLOCKED, "key string, value string")
+    state = {"words": ["Политика"]}
+    out: list[tuple] = []
+
+    def sink(df):
+        out.extend((r.sender, r.text) for r in df.collect())
+
+    batch1 = spark.createDataFrame(
+        [("login4", "Java", "login1")], "sender string, text string, receiver string"
+    )
+    process_batch_with_refresh(batch1, lambda: blocked, lambda: state["words"], sink)
+    assert out == [("login4", "Java")]
+
+    state["words"] = ["Политика", "Java"]  # ban Java between batches
+    batch2 = spark.createDataFrame(
+        [("login5", "Java rocks", "login1")], "sender string, text string, receiver string"
+    )
+    process_batch_with_refresh(batch2, lambda: blocked, lambda: state["words"], sink)
+    assert out == [("login4", "Java"), ("login5", "**** rocks")]
