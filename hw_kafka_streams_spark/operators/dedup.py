@@ -251,6 +251,75 @@ def minhash_lsh_pairs(
     return est
 
 
+def connected_components(
+    pairs: DataFrame,
+    id1_col: str = "id1",
+    id2_col: str = "id2",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Duplicate-cluster labeling: (id, component) with component =
+    min id reachable through the pair graph.
+
+    Iterative min-label propagation (the large-graph alternative to
+    driver-side union-find): each round every node takes the min label
+    in its neighborhood; converges in O(graph diameter) rounds — near-
+    dup clusters are short chains, so a handful. Each round is one
+    self-join + agg (shuffle on id); early-exits via a cheap changed-
+    count action. This is the standard map-reduce CC (Kiveris et al.
+    '14 simplification) and completes the dedup pipeline: candidate
+    pairs → clusters → keep one representative per cluster.
+    """
+    edges = (
+        pairs.select(F.col(id1_col).alias("src"), F.col(id2_col).alias("dst"))
+        .union(pairs.select(F.col(id2_col).alias("src"), F.col(id1_col).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select("src").distinct().select(
+        F.col("src").alias("id"), F.col("src").alias("comp")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # truncate lineage per round
+        if changed == 0:
+            break
+    return labels
+
+
+def keep_cluster_representatives(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop all but the min-id member of every duplicate cluster.
+
+    Rows never appearing in a pair survive untouched (left join, null
+    component ⇒ own cluster).
+    """
+    comp = connected_components(pairs)
+    return (
+        df.join(comp, df[id_col] == comp.id, "left")
+        .filter(F.col("comp").isNull() | (F.col(id_col) == F.col("comp")))
+        .drop("id", "comp")
+    )
+
+
 def simhash64(text: Column | str) -> Column:
     """64-bit SimHash over word tokens (unit weights).
 

@@ -124,3 +124,25 @@ def test_dedup_plans_have_no_cartesian(spark):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_connected_components_chain_and_islands(spark):
+    from hw_kafka_streams_spark.operators.dedup import (
+        connected_components,
+        keep_cluster_representatives,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 3)], "id1 long, id2 long"
+    )
+    comp = {(r.id, r.comp) for r in connected_components(pairs).collect()}
+    assert comp == {(1, 1), (2, 1), (3, 1), (9, 1), (5, 5), (6, 5)}
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in [1, 2, 3, 5, 6, 7, 9]], "doc_id long, text string"
+    )
+    kept = {
+        r.doc_id
+        for r in keep_cluster_representatives(docs, pairs).collect()
+    }
+    assert kept == {1, 5, 7}  # 7 untouched (no pairs), one rep per cluster
