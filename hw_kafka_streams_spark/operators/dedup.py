@@ -273,6 +273,11 @@ def connected_components(
         pairs.select(F.col(id1_col).alias("src"), F.col(id2_col).alias("dst"))
         .union(pairs.select(F.col(id2_col).alias("src"), F.col(id1_col).alias("dst")))
         .distinct()
+        # materialize once: every propagation round joins edges, and
+        # without this the whole upstream pair-generation plan (e.g. the
+        # Jaccard inverted-index join) re-executes per round — measured
+        # 222s -> 8s at sf0.1. At cluster scale: persist or write out.
+        .localCheckpoint(eager=True)
     )
     labels = edges.select("src").distinct().select(
         F.col("src").alias("id"), F.col("src").alias("comp")

@@ -111,7 +111,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(list_cosine_similarity(a.embedding::DOUBLE[],
                                             b.embedding::DOUBLE[]), 4) AS cos_sim
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.8
+        WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.35
         ORDER BY id1, id2
     """,
     doc="Embedding-cosine near-dup pairs (exact mode for the oracle; the "
@@ -119,7 +119,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
-    return S.embedding_near_dup_pairs(emb, threshold=0.8, exact=True).orderBy("id1", "id2")
+    return S.embedding_near_dup_pairs(emb, threshold=0.35, exact=True).orderBy("id1", "id2")
 
 
 # --------------------------------------------------------------------------
@@ -497,3 +497,17 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     pairs = D.jaccard_candidate_pairs(docs, threshold=0.05)
     return D.connected_components(pairs).orderBy("id")
+
+
+@register(
+    "q_dedup_embedding_lsh",
+    oracle=None,  # LSH-blocked = approximate by construction
+    doc="Embedding-cosine near-dup pairs via RHP-LSH blocking (bucket "
+    "equi-join, no cross join) — the scale path of q_dedup_embedding; "
+    "rows-only driver check, recall pinned by unit tests.",
+)
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return S.embedding_near_dup_pairs(emb, threshold=0.35, exact=False).orderBy(
+        "id1", "id2"
+    )

@@ -136,3 +136,21 @@ def test_ivf_recall_vs_brute_force(spark):
     }
     recall = len(truth & got) / len(truth)
     assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_banded_lsh_near_dup_recall(spark):
+    """Banded RHP blocking must recover most exact pairs at cos>=0.35."""
+    from hw_kafka_streams_spark.operators.similarity import embedding_near_dup_pairs
+    from hw_kafka_streams_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.01")
+    exact = {
+        (r.id1, r.id2)
+        for r in embedding_near_dup_pairs(emb, threshold=0.35, exact=True).collect()
+    }
+    lsh = {
+        (r.id1, r.id2)
+        for r in embedding_near_dup_pairs(emb, threshold=0.35, exact=False).collect()
+    }
+    assert lsh <= exact  # precision exact by construction
+    assert len(lsh & exact) / len(exact) >= 0.6, (len(lsh), len(exact))
