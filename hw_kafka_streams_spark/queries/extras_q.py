@@ -190,3 +190,31 @@ def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(pos_bal, F.lit(0.0)).alias("bal_or_zero"),
         F.col("s_acctbal").isNull().alias("bal_is_null"),
     ).orderBy("s_suppkey")
+
+
+@register(
+    "q_hash_split_stats",
+    oracle=None,  # xxhash64 has no DuckDB twin — fractions asserted in tests
+    doc="Deterministic content-stable train/eval/test split (xxhash64 "
+    "bucket ranges, no shuffle, stable across runs/cluster sizes) — "
+    "per-split doc counts and token totals. Rows-only driver check; "
+    "fraction tolerances + disjointness asserted in tests.",
+)
+def q_hash_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.sampling import hash_split
+    from hw_kafka_streams_spark.operators.text import token_count
+
+    docs = load_table(spark, "documents", sf_dir)
+    splits = hash_split(docs, "doc_id", {"train": 0.9, "eval": 0.05, "test": 0.05})
+    parts = [
+        df.agg(
+            F.lit(name).alias("split"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count("text")).cast("long").alias("n_tokens"),
+        )
+        for name, df in splits.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("split")

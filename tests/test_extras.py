@@ -119,3 +119,29 @@ def test_aho_corasick_udf_on_documents(spark, sf_dir):
         make_aho_corasick_censor_udf(words)(F.col("text")).alias("ac"),
     ).filter(F.col("rx") != F.col("ac"))
     assert diff.count() == 0
+
+
+def test_hash_split_disjoint_stable_fractions(spark, sf_dir):
+    from hw_kafka_streams_spark.operators.sampling import hash_split
+    from hw_kafka_streams_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    n = docs.count()
+    splits = hash_split(docs, "doc_id", {"train": 0.8, "eval": 0.1, "test": 0.1})
+    ids = {k: {r.doc_id for r in v.select("doc_id").collect()} for k, v in splits.items()}
+    assert sum(len(s) for s in ids.values()) == n  # disjoint & complete
+    assert not (ids["train"] & ids["eval"]) and not (ids["eval"] & ids["test"])
+    assert abs(len(ids["train"]) / n - 0.8) < 0.05
+    # stability: same split on re-run
+    again = hash_split(docs, "doc_id", {"train": 0.8, "eval": 0.1, "test": 0.1})
+    assert {r.doc_id for r in again["eval"].select("doc_id").collect()} == ids["eval"]
+
+
+def test_reservoir_per_key(spark, sf_dir):
+    from hw_kafka_streams_spark.operators.sampling import reservoir_per_key
+    from hw_kafka_streams_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    sampled = reservoir_per_key(docs, "lang", 3, order_hint="doc_id")
+    counts = {r.lang: r.n for r in sampled.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert all(v <= 3 for v in counts.values()) and counts
