@@ -12,6 +12,9 @@ tables joined on the same key daily).
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -29,6 +32,15 @@ def write_bucketed(
     time (≈ cluster cores for the hot path); sorting within buckets
     additionally removes the sort from future sort-merge joins.
     """
+    spark = df.sparkSession
+    if mode == "overwrite":
+        # saveAsTable(overwrite) still fails on a stale warehouse dir
+        # left by a previous session (location exists, catalog entry
+        # doesn't) — drop both explicitly for idempotence.
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        path = os.path.join(warehouse.removeprefix("file:"), table.lower())
+        shutil.rmtree(path, ignore_errors=True)
     writer = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
