@@ -241,12 +241,29 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    return docs.select(
+    # two-stage projection: each regex metric computed ONCE (quality is
+    # recombined from the unrounded intermediates, matching the oracle,
+    # instead of re-deriving every ratio inside quality_score — halves
+    # the regexp passes; CollapseProject keeps multi-referenced
+    # non-cheap expressions in their own project)
+    base = docs.select(
         "doc_id",
-        F.round(T.punct_ratio("text"), 4).alias("punct_ratio"),
-        F.round(T.stopword_ratio("text"), 4).alias("stopword_ratio"),
-        F.round(T.mean_word_length("text"), 4).alias("mean_word_len"),
-        F.round(T.quality_score("text"), 4).alias("quality"),
+        F.length("text").alias("_nc"),
+        T.punct_ratio("text").alias("_punct"),
+        T.stopword_ratio("text").alias("_sw"),
+        T.mean_word_length("text").alias("_mwl"),
+    )
+    len_score = F.least(F.col("_nc") / F.lit(500.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("_punct") * 4)
+    wl_score = F.when((F.col("_mwl") >= 2.0) & (F.col("_mwl") <= 12.0), 1.0).otherwise(0.3)
+    sw_score = F.when((F.col("_sw") >= 0.05) & (F.col("_sw") <= 0.6), 1.0).otherwise(0.5)
+    quality = len_score * 0.3 + punct_pen * 0.2 + wl_score * 0.25 + sw_score * 0.25
+    return base.select(
+        "doc_id",
+        F.round("_punct", 4).alias("punct_ratio"),
+        F.round("_sw", 4).alias("stopword_ratio"),
+        F.round("_mwl", 4).alias("mean_word_len"),
+        F.round(quality, 4).alias("quality"),
     ).orderBy("doc_id")
 
 
