@@ -528,3 +528,108 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_near_dup_pairs(emb, threshold=0.35, exact=False).orderBy(
         "id1", "id2"
     )
+
+
+@register(
+    "q_tfidf_top_terms",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_filter(
+                   string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '')) AS term
+          FROM documents WHERE doc_id < 200
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+        scored AS (
+          SELECT tf.doc_id, tf.term,
+                 round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+          FROM tf JOIN df USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tfidf, CAST(rnk AS INT) AS rnk FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+          FROM scored)
+        WHERE rnk <= 3 ORDER BY doc_id, rnk
+    """,
+    doc="Per-document top-3 tf-idf terms: tokenize -> tf (groupBy) -> df "
+    "(groupBy) -> smoothed idf join -> ranked window. The df table is "
+    "corpus-wide but tiny relative to postings; Spark broadcast-joins it "
+    "back. The canonical keyword-extraction / relevance plan.",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hw_kafka_streams_spark.operators.text import word_tokens
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
+    toks = docs.select(
+        "doc_id", F.explode(word_tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = toks.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", "rnk")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+@register(
+    "q_event_funnel",
+    oracle="""
+        WITH firsts AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                 min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                 min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+          FROM events GROUP BY user_id
+        )
+        SELECT count(*) AS n_users,
+               count(t_view) AS n_view,
+               count(CASE WHEN t_click > t_view THEN 1 END) AS n_view_click,
+               count(CASE WHEN t_click > t_view AND t_purchase > t_click
+                          THEN 1 END) AS n_full_funnel
+        FROM firsts
+    """,
+    doc="Conversion funnel (view -> click -> purchase, strictly ordered "
+    "first-touch): one conditional-min agg per stage, one shuffle on "
+    "user_id, then a single global roll-up — no self-joins.",
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+
+    def first_ts(ev: str):
+        return F.min(F.when(F.col("event_type") == ev, F.col("ts")))
+
+    firsts = e.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias("n_view_click"),
+        F.count(
+            F.when(
+                (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
