@@ -99,6 +99,76 @@ def decode_image_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
+DECODED_AUDIO_SCHEMA = (
+    "doc_id long, sample_rate int, n_channels int, bits int, n_bytes long"
+)
+
+
+def _parse_wav_header(data: bytes) -> tuple[int, int, int] | None:
+    # RIFF....WAVEfmt : channels@22(2LE), sample_rate@24(4LE), bits@34(2LE)
+    if (
+        len(data) >= 36
+        and data[:4] == b"RIFF"
+        and data[8:12] == b"WAVE"
+        and data[12:15] == b"fmt"
+    ):
+        (n_channels,) = struct.unpack("<H", data[22:24])
+        (sample_rate,) = struct.unpack("<I", data[24:28])
+        (bits,) = struct.unpack("<H", data[34:36])
+        return sample_rate, n_channels, bits
+    return None
+
+
+def decode_audio_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched audio decode stage: WAV header → (rate, channels, bits).
+
+    Same mapInPandas shape as :func:`decode_image_meta`; real RIFF/WAVE
+    header byte-math, non-WAV payloads hit the codec stub.
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, data in zip(pdf["doc_id"], pdf[payload_col]):
+                raw = bytes(data)
+                meta = _parse_wav_header(raw)
+                if meta is not None:
+                    out.append((doc_id, meta[0], meta[1], meta[2], len(raw)))
+                else:
+                    # STUB: compressed-audio decode needs ffmpeg/soundfile.
+                    raise NotImplementedError(
+                        "non-WAV audio decode requires codec libraries not "
+                        "present in this environment"
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "sample_rate", "n_channels", "bits", "n_bytes"],
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        decode_batches, schema=DECODED_AUDIO_SCHEMA
+    )
+
+
+def make_fake_wav(sample_rate: int, n_channels: int = 1, bits: int = 16) -> bytes:
+    """Deterministic minimal WAV header+filler for plumbing tests."""
+    fmt = struct.pack(
+        "<HHIIHH",
+        1,  # PCM
+        n_channels,
+        sample_rate,
+        sample_rate * n_channels * bits // 8,
+        n_channels * bits // 8,
+        bits,
+    )
+    body = b"\x00" * 8
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+
+
 def make_fake_png(width: int, height: int) -> bytes:
     """Deterministic minimal PNG header+filler for plumbing tests."""
     ihdr = struct.pack(">II", width, height) + b"\x08\x02\x00\x00\x00"

@@ -633,3 +633,51 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_full_funnel"),
     )
+
+
+@register(
+    "q_multimodal_audio",
+    oracle="""
+        SELECT doc_id,
+               CAST(8000 * (1 + doc_id % 5) AS INT) AS sample_rate,
+               CAST(1 + doc_id % 2 AS INT) AS n_channels,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 8
+                         WHEN doc_id % 3 = 1 THEN 16 ELSE 24 END AS INT) AS bits,
+               CAST(52 AS BIGINT) AS n_bytes
+        FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+    doc="Audio plumbing roundtrip: synthesize deterministic WAV headers "
+    "(mapInPandas), parse RIFF/WAVE byte-math back in the Arrow-batched "
+    "decode stage. Oracle recomputes the parameters arithmetically.",
+)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from hw_kafka_streams_spark.operators.multimodal import (
+        decode_audio_meta,
+        make_fake_wav,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        make_fake_wav(
+                            8000 * (1 + int(i) % 5),
+                            1 + int(i) % 2,
+                            [8, 16, 24][int(i) % 3],
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    payloads = docs.select("doc_id").mapInPandas(gen, schema="doc_id long, payload binary")
+    return decode_audio_meta(payloads).orderBy("doc_id")

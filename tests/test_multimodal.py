@@ -60,3 +60,31 @@ def test_decode_schema_stable(spark):
     assert [f.name for f in out.schema.fields] == [
         "doc_id", "width", "height", "format", "n_bytes",
     ]
+
+
+def test_wav_decode_roundtrip(spark):
+    from hw_kafka_streams_spark.operators.multimodal import (
+        attach_payload_metadata,
+        decode_audio_meta,
+        make_fake_wav,
+    )
+
+    rows = [(1, make_fake_wav(16000, 1, 16)), (2, make_fake_wav(44100, 2, 24))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    meta = {r.doc_id: r.mime for r in attach_payload_metadata(df).collect()}
+    assert meta == {1: "audio/wav", 2: "audio/wav"}
+    got = {
+        r.doc_id: (r.sample_rate, r.n_channels, r.bits)
+        for r in decode_audio_meta(df).collect()
+    }
+    assert got == {1: (16000, 1, 16), 2: (44100, 2, 24)}
+
+
+def test_non_wav_audio_hits_stub(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from hw_kafka_streams_spark.operators.multimodal import decode_audio_meta
+
+    df = spark.createDataFrame([(1, b"MP3garbage")], "doc_id long, payload binary")
+    with pytest.raises(Exception):
+        decode_audio_meta(df).collect()

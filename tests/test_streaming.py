@@ -302,3 +302,45 @@ def test_dim_refresh_between_batches(spark, tmpdir):
     )
     process_batch_with_refresh(batch2, lambda: blocked, lambda: state["words"], sink)
     assert out == [("login4", "Java"), ("login5", "**** rocks")]
+
+
+def test_checkpoint_resume_no_reprocessing(spark, tmpdir):
+    """Restarting from the checkpoint must process ONLY new files —
+    the file source's exactly-once bookkeeping."""
+    blocked = spark.createDataFrame(GOLDEN_BLOCKED, "key string, value string")
+    schema = "sender string, text string, receiver string"
+    spark.createDataFrame(
+        [("login4", "Java", "login1")], schema
+    ).coalesce(1).write.mode("append").parquet(f"{tmpdir}/in")
+
+    def start():
+        stream = spark.readStream.schema(schema).parquet(f"{tmpdir}/in")
+        out = filtered_messages(stream, blocked, GOLDEN_WORDS)
+        return (
+            out.writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(f"{tmpdir}/out")
+            )
+            .option("checkpointLocation", f"{tmpdir}/ckpt")
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert spark.read.parquet(f"{tmpdir}/out").count() == 1
+
+    # new file while the query is DOWN; restart resumes from checkpoint
+    spark.createDataFrame(
+        [("login5", "Политика React", "login1")], schema
+    ).coalesce(1).write.mode("append").parquet(f"{tmpdir}/in")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = [
+        (r.sender, r.text) for r in spark.read.parquet(f"{tmpdir}/out").collect()
+    ]
+    assert sorted(rows) == [("login4", "Java"), ("login5", "******** React")]
