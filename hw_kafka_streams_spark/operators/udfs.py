@@ -82,6 +82,16 @@ def weighted_mean(v, w):  # GROUPED_AGG
     return _weighted_mean_udf(v, w)
 
 
+def _length_safe_lower(text: str) -> str:
+    """Lowercase preserving length: rare expanding case folds
+    ('İ'.lower() is 2 chars) would shift mask offsets, so such
+    characters fold per-char (kept as-is when the fold expands)."""
+    low = text.lower()
+    if len(low) == len(text):
+        return low
+    return "".join(c.lower() if len(c.lower()) == 1 else c for c in text)
+
+
 class _AhoCorasick:
     """Minimal Aho-Corasick automaton (lowercase matching) — linear scan
     time in text length + matches, independent of dictionary size.
@@ -124,7 +134,7 @@ class _AhoCorasick:
         original text (and its length) is preserved outside matches."""
         if not text:
             return text
-        low = text.lower()
+        low = _length_safe_lower(text)
         n = len(low)
         masked = [False] * n
         node = 0
