@@ -154,3 +154,35 @@ def test_banded_lsh_near_dup_recall(spark):
     }
     assert lsh <= exact  # precision exact by construction
     assert len(lsh & exact) / len(exact) >= 0.6, (len(lsh), len(exact))
+
+
+def test_ivf_indexed_partition_pruning_and_recall(spark, tmpdir=None):
+    import shutil
+    import tempfile
+
+    from hw_kafka_streams_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+    from hw_kafka_streams_spark.plans import formatted_plan
+    from hw_kafka_streams_spark.sources.catalog import load_table
+
+    d = tempfile.mkdtemp(prefix="ivf_")
+    try:
+        emb = load_table(spark, "embeddings", "/root/testdata/sf0.01")
+        build_ivf_index(emb, d, n_centroids=16)
+        queries = emb.filter(F.col("vec_id") < 10)
+        res = ivf_topk_indexed(spark, d, queries, k=5, n_probe=4)
+
+        plan = formatted_plan(res)
+        assert "PartitionFilters" in plan and "cid" in plan.split("PartitionFilters")[1][:200]
+
+        truth = {
+            (r.query_id, r.neighbor_id)
+            for r in brute_force_topk(queries, emb, k=5).collect()
+        }
+        got = {(r.query_id, r.neighbor_id) for r in res.collect()}
+        assert len(truth & got) / len(truth) >= 0.5
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
