@@ -145,3 +145,15 @@ def test_reservoir_per_key(spark, sf_dir):
     sampled = reservoir_per_key(docs, "lang", 3, order_hint="doc_id")
     counts = {r.lang: r.n for r in sampled.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert all(v <= 3 for v in counts.values()) and counts
+
+
+def test_sql_entry_point(spark, sf_dir):
+    from hw_kafka_streams_spark.sql import run_sql
+
+    df = run_sql(
+        spark,
+        "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1",
+        sf_dir,
+    )
+    rows = df.collect()
+    assert len(rows) >= 2 and all(r.n > 0 for r in rows)
