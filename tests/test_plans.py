@@ -129,3 +129,13 @@ def test_similarity_topk_no_python(spark, sf_dir):
     rep = plan_report(REGISTRY["q_similarity_topk"].fn(spark, sf_dir))
     assert rep["python_stages"] == 0
     assert rep["nested_loop_joins"] >= 1  # broadcast NL: query side broadcast
+
+
+def test_aqe_coalesces_small_shuffle(spark, sf_dir):
+    """AQE must coalesce the 8 configured shuffle partitions down for a
+    tiny aggregate — the runtime re-plan lever the session enables."""
+    n = load_table(spark, "nation", sf_dir)
+    agg = n.groupBy("n_regionkey").count()
+    agg.collect()
+    plan = _physical_plan(agg)
+    assert "AQEShuffleRead" in plan and "coalesced" in plan
