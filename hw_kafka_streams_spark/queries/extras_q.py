@@ -218,3 +218,45 @@ def q_hash_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("split")
+
+
+@register(
+    "q_nested_struct",
+    oracle="""
+        WITH nested AS (
+          SELECT {'region': r_name, 'rk': r_regionkey} AS info,
+                 (SELECT list_sort(list(n.n_name)) FROM nation n
+                  WHERE n.n_regionkey = r.r_regionkey) AS nations
+          FROM region r
+        )
+        SELECT info.region AS region,
+               CAST(info.rk AS BIGINT) AS rk,
+               CAST(len(nations) AS INT) AS n_nations,
+               u.nation AS nation
+        FROM nested t, LATERAL (SELECT unnest(t.nations) AS nation) u
+        ORDER BY region, nation
+    """,
+    doc="Nested-type battery: struct creation + field access, "
+    "collect_list into an array column, explode back out — the "
+    "denormalize/renormalize roundtrip nested lake schemas need.",
+)
+def q_nested_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, "region", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    nested = (
+        r.join(n, r.r_regionkey == n.n_regionkey)
+        .groupBy("r_regionkey", "r_name")
+        .agg(F.array_sort(F.collect_list("n_name")).alias("nations"))
+        .select(
+            F.struct(
+                F.col("r_name").alias("region"), F.col("r_regionkey").alias("rk")
+            ).alias("info"),
+            "nations",
+        )
+    )
+    return nested.select(
+        F.col("info.region").alias("region"),
+        F.col("info.rk").alias("rk"),
+        F.size("nations").alias("n_nations"),
+        F.explode("nations").alias("nation"),
+    ).orderBy("region", "nation")
