@@ -1,0 +1,105 @@
+"""Time-series operators over the events stream table: exact
+percentiles, resampling to a regular grid with gap fill (LOCF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hw_kafka_streams_spark.queries import register
+from hw_kafka_streams_spark.sources.catalog import load_table
+
+
+@register(
+    "q_percentiles",
+    oracle="""
+        SELECT event_type,
+               round(quantile_cont("value", 0.25), 4) AS p25,
+               round(quantile_cont("value", 0.50), 4) AS p50,
+               round(quantile_cont("value", 0.90), 4) AS p90,
+               round(quantile_cont("value", 0.99), 4) AS p99
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Exact interpolated percentiles per group (ordered-set "
+    "aggregate). At 100 TB prefer approx_percentile (t-digest sketch, "
+    "partial-mergeable) — exact percentile needs the full sorted group.",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    return (
+        e.groupBy("event_type")
+        .agg(
+            *[
+                F.round(F.percentile("value", p), 4).alias(name)
+                for p, name in [(0.25, "p25"), (0.50, "p50"), (0.90, "p90"), (0.99, "p99")]
+            ]
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_resample_locf",
+    oracle="""
+        WITH bounds AS (
+          SELECT user_id,
+                 time_bucket(INTERVAL '1 hour', min(ts)) AS t0,
+                 time_bucket(INTERVAL '1 hour', max(ts)) AS t1
+          FROM events WHERE user_id <= 20 GROUP BY user_id
+        ),
+        spine AS (
+          SELECT b.user_id, u.bucket
+          FROM bounds b,
+               LATERAL (SELECT unnest(generate_series(b.t0, b.t1,
+                                      INTERVAL '1 hour')) AS bucket) u
+        ),
+        observed AS (
+          SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket,
+                 arg_max("value", ts) AS v_last
+          FROM events WHERE user_id <= 20 GROUP BY 1, 2
+        )
+        SELECT s.user_id,
+               CAST(floor(epoch(s.bucket)) AS BIGINT) AS bucket_s,
+               round(last_value(o.v_last IGNORE NULLS) OVER (
+                 PARTITION BY s.user_id ORDER BY s.bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS v_locf
+        FROM spine s LEFT JOIN observed o
+          ON o.user_id = s.user_id AND o.bucket = s.bucket
+        ORDER BY s.user_id, bucket_s
+    """,
+    doc="Resample to a 1-hour grid + gap fill: per-key time spine "
+    "(sequence/explode — no driver loop), last observation per bucket "
+    "(max_by), LOCF via last(ignorenulls) over an ordered frame. The "
+    "spine explode and window share the user_id partitioning.",
+)
+def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir).filter(F.col("user_id") <= 20)
+    hour = 3600
+    bucket = (F.col("ts").cast("long") / hour).cast("long") * hour
+    bounds = e.groupBy("user_id").agg(
+        F.min(bucket).alias("t0"), F.max(bucket).alias("t1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("t0", "t1", F.lit(hour))).alias("bucket_s"),
+    )
+    observed = (
+        e.select("user_id", bucket.alias("bucket_s"), "ts", "value")
+        .groupBy("user_id", "bucket_s")
+        .agg(F.max_by("value", "ts").alias("v_last"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(observed, ["user_id", "bucket_s"], "left")
+        .select(
+            "user_id",
+            "bucket_s",
+            F.round(F.last("v_last", ignorenulls=True).over(w), 4).alias("v_locf"),
+        )
+        .orderBy("user_id", "bucket_s")
+    )
