@@ -108,6 +108,7 @@ def jaccard_candidate_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.2,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
@@ -115,8 +116,26 @@ def jaccard_candidate_pairs(
     (id1 < id2) → count shared shingles per pair → Jaccard from set
     sizes. The only shuffles are on the shingle key and the pair key;
     no cross join anywhere, so it scales with total postings, not n².
+
+    ``max_df`` is the posting-list skew guard for large corpora: a
+    shingle occurring in d documents contributes O(d²) join rows, so a
+    boilerplate phrase shared by 1M docs is catastrophic. Dropping
+    shingles with document frequency > max_df bounds the worst list at
+    O(max_df²); ubiquitous shingles carry ~no similarity signal anyway
+    (the same move as stop-word removal in tf-idf). Slightly lowers
+    measured Jaccard for affected pairs — sizes are computed AFTER the
+    cut so the metric stays a true Jaccard over the kept shingle sets.
+    Default None preserves exact semantics (and the DuckDB oracle).
     """
     postings = shingle_postings(df, text_col, id_col, n, distinct=True)
+    if max_df is not None:
+        rare = (
+            postings.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        postings = postings.join(rare, "shingle")
     sizes = postings.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     p2 = postings.select(F.col("id").alias("id2"), F.col("shingle").alias("shingle2"))
     inter = (

@@ -146,3 +146,30 @@ def test_connected_components_chain_and_islands(spark):
         for r in keep_cluster_representatives(docs, pairs).collect()
     }
     assert kept == {1, 5, 7}  # 7 untouched (no pairs), one rep per cluster
+
+
+def test_jaccard_max_df_drops_hot_shingles(spark):
+    from hw_kafka_streams_spark.operators.dedup import jaccard_candidate_pairs
+
+    # 'the common boilerplate' shingle appears in ALL docs; the unique
+    # tails only pair up docs 1 and 2
+    docs = spark.createDataFrame(
+        [
+            (1, "the common boilerplate alpha beta gamma"),
+            (2, "the common boilerplate alpha beta gamma"),
+            (3, "the common boilerplate zeta eta theta"),
+            (4, "the common boilerplate iota kappa lambda"),
+        ],
+        "doc_id long, text string",
+    )
+    full = {
+        (r.id1, r.id2): r.jaccard
+        for r in jaccard_candidate_pairs(docs, threshold=0.01).collect()
+    }
+    assert (1, 2) in full and len(full) == 6  # all pairs share boilerplate
+    capped = {
+        (r.id1, r.id2): r.jaccard
+        for r in jaccard_candidate_pairs(docs, threshold=0.01, max_df=2).collect()
+    }
+    # hot shingles dropped: only the true near-dup pair survives, at 1.0
+    assert set(capped) == {(1, 2)} and capped[(1, 2)] == 1.0
