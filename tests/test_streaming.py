@@ -344,3 +344,41 @@ def test_checkpoint_resume_no_reprocessing(spark, tmpdir):
         (r.sender, r.text) for r in spark.read.parquet(f"{tmpdir}/out").collect()
     ]
     assert sorted(rows) == [("login4", "Java"), ("login5", "******** React")]
+
+
+def test_append_mode_watermark_finalization(spark, tmpdir):
+    """Append-mode windowed aggs emit a window only after the watermark
+    passes its end — late-data semantics, batch by batch."""
+    schema = "user_id string, ts timestamp"
+
+    def write_batch(rows, part):
+        spark.createDataFrame(rows, "user_id string, ts_s string").select(
+            "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+        ).coalesce(1).write.mode("append").parquet(f"{tmpdir}/in")
+
+    write_batch([("u1", "2026-01-01 00:01:00"), ("u1", "2026-01-01 00:02:00")], 1)
+    stream = spark.readStream.schema(schema).parquet(f"{tmpdir}/in")
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        windows.tumbling_counts(stream, window="5 minutes", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # watermark (max_ts - 10min) hasn't passed the window end yet
+        assert spark.sql(f"select * from {name}").count() == 0
+
+        # events an hour later push the watermark past the first window
+        write_batch([("u2", "2026-01-01 01:00:00")], 2)
+        q.processAllAvailable()
+        q.processAllAvailable()  # one more cycle: emit happens after commit
+        rows = {
+            (r.user_id, str(r.win_start), r.n_events)
+            for r in spark.sql(f"select * from {name}").collect()
+        }
+    finally:
+        q.stop()
+    assert rows == {("u1", "2026-01-01 00:00:00", 2)}
