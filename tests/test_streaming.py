@@ -382,3 +382,48 @@ def test_append_mode_watermark_finalization(spark, tmpdir):
     finally:
         q.stop()
     assert rows == {("u1", "2026-01-01 00:00:00", 2)}
+
+
+def test_streaming_prep_cross_batch_dedup(spark, tmpdir):
+    """The prep pipeline drops a duplicate document that arrives in a
+    LATER batch (dedup state spans microbatches)."""
+    from hw_kafka_streams_spark.streaming.prep import streaming_prep
+
+    schema = "doc_id long, text string, lang string, n_chars long, source string"
+    doc = "the quick brown fox jumps over the lazy dog " * 5  # ~220 chars
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            f"{tmpdir}/docs"
+        )
+
+    write([(1, doc, "en", len(doc), "web"), (2, "short", "en", 5, "web")])
+    stream = spark.readStream.schema(schema).parquet(f"{tmpdir}/docs")
+    name = f"prep_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_prep(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: same content under a new doc_id + one genuinely new doc
+        write(
+            [
+                (3, doc, "en", len(doc), "web"),            # cross-batch dup
+                (4, doc + " unique tail", "en", len(doc) + 12, "web"),
+            ]
+        )
+        q.processAllAvailable()
+        [r] = (
+            spark.sql(
+                f"select n_docs, n_tokens from {name} "
+                "order by n_docs desc limit 1"
+            ).collect()
+        )
+    finally:
+        q.stop()
+    # doc_id 2 fails the length filter; 3 is deduped; 1 and 4 survive
+    assert r.n_docs == 2
