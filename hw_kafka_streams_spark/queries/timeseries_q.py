@@ -103,3 +103,26 @@ def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "bucket_s")
     )
+
+
+@register(
+    "q_percentiles_approx",
+    oracle=None,  # sketch values are engine-specific — tolerance-tested
+    doc="approx_percentile (quantile sketch, partial-mergeable, constant "
+    "memory) — the 100 TB path for q_percentiles; relative error vs "
+    "exact asserted in tests.",
+)
+def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    return (
+        e.groupBy("event_type")
+        .agg(
+            *[
+                F.round(
+                    F.percentile_approx("value", p, accuracy=10000), 4
+                ).alias(name)
+                for p, name in [(0.25, "p25"), (0.50, "p50"), (0.90, "p90"), (0.99, "p99")]
+            ]
+        )
+        .orderBy("event_type")
+    )

@@ -157,3 +157,27 @@ def test_sql_entry_point(spark, sf_dir):
     )
     rows = df.collect()
     assert len(rows) >= 2 and all(r.n > 0 for r in rows)
+
+
+def test_approx_percentile_rank_accuracy(spark, sf_dir):
+    """The sketch's value must sit at (approximately) the requested
+    rank: fraction of group values <= approx within p ± 2%. Comparing
+    VALUES against the exact interpolated percentile is ill-posed on
+    small heavy-tailed groups; rank accuracy is the sketch's actual
+    contract."""
+    from collections import defaultdict
+
+    from hw_kafka_streams_spark.sources.catalog import load_table
+
+    approx = {
+        r.event_type: {"p25": r.p25, "p50": r.p50, "p90": r.p90, "p99": r.p99}
+        for r in REGISTRY["q_percentiles_approx"].fn(spark, sf_dir).collect()
+    }
+    values = defaultdict(list)
+    for r in load_table(spark, "events", sf_dir).select("event_type", "value").collect():
+        values[r.event_type].append(r.value)
+    for et, ps in approx.items():
+        vs = sorted(values[et])
+        for name, p in [("p25", 0.25), ("p50", 0.50), ("p90", 0.90), ("p99", 0.99)]:
+            rank = sum(1 for v in vs if v <= ps[name]) / len(vs)
+            assert p - 0.02 <= rank <= p + 0.02 or rank >= p, (et, name, rank)
