@@ -83,3 +83,48 @@ def test_stream_stream_interval_join(spark, tmpdir):
     finally:
         q.stop()
     assert [r.user_id for r in rows] == [1]
+
+
+def test_custom_datasource_batch(spark):
+    from hw_kafka_streams_spark.sources.message_source import MessageGenDataSource
+
+    spark.dataSource.register(MessageGenDataSource)
+    df = spark.read.format("message_gen").option("n", 100).load()
+    assert df.count() == 100
+    assert df.schema.simpleString() == (
+        "struct<sender:string,text:string,receiver:string,seq:bigint>"
+    )
+    # deterministic: same options → identical content
+    again = spark.read.format("message_gen").option("n", 100).load()
+    assert df.exceptAll(again).count() == 0
+    # partition-parallel, not a single-task read
+    assert df.rdd.getNumPartitions() >= 4
+
+
+def test_custom_datasource_stream_feeds_topology(spark):
+    """The generated stream runs through the reference topology."""
+    from hw_kafka_streams_spark.sources.message_source import MessageGenDataSource
+    from hw_kafka_streams_spark.streaming.pipeline import filtered_messages
+
+    spark.dataSource.register(MessageGenDataSource)
+    stream = spark.readStream.format("message_gen").option("rowsPerBatch", 20).load()
+    blocked = spark.createDataFrame(
+        [("login2:login1", "blocked")], "key string, value string"
+    )
+    out = filtered_messages(
+        stream.drop("seq"), blocked, ["Политика"]
+    )
+    name = f"gen_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name).outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(f"select * from {name}").collect()
+    finally:
+        q.stop()
+    assert rows  # something flowed through
+    assert all("Политика" not in r.text for r in rows)  # censored
+    assert all(
+        not (r.receiver == "login2" and r.sender == "login1") for r in rows
+    )  # blocked pair dropped
