@@ -43,6 +43,10 @@ HEADLINE = [
     "q_text_quality",
     "q_censor_documents",
     "q_llm_prep_pipeline",
+    "q_stream_tumbling",
+    "q_event_funnel",
+    "q_percentiles",
+    "q_tfidf_top_terms",
 ]
 
 
