@@ -233,3 +233,34 @@ def q_window_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("nation_rev", 2).alias("nation_rev"),
         F.round(F.col("nation_rev") / F.sum("nation_rev").over(w), 6).alias("rev_share"),
     ).orderBy("n_name")
+
+
+@register(
+    "q_window_distribution",
+    oracle="""
+        SELECT s_suppkey,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume,
+               round(first_value(s_acctbal) OVER w, 2) AS min_bal,
+               round(nth_value(s_acctbal, 2) OVER w, 2) AS second_bal
+        FROM supplier
+        WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY s_suppkey
+    """,
+    doc="Distribution window battery: percent_rank / cume_dist / "
+    "first_value / nth_value over an unbounded frame.",
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, "supplier", sf_dir)
+    # rank functions need the default growing frame; value functions get
+    # the full-partition frame — same partitioning, so still one shuffle
+    w_rank = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    w_full = w_rank.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return s.select(
+        "s_suppkey",
+        F.round(F.percent_rank().over(w_rank), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w_rank), 6).alias("cume"),
+        F.round(F.first("s_acctbal").over(w_full), 2).alias("min_bal"),
+        F.round(F.nth_value("s_acctbal", 2).over(w_full), 2).alias("second_bal"),
+    ).orderBy("s_suppkey")
