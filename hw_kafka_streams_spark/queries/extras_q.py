@@ -260,3 +260,34 @@ def q_nested_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("nations").alias("n_nations"),
         F.explode("nations").alias("nation"),
     ).orderBy("region", "nation")
+
+
+@register(
+    "q_variant_json",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+               CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k
+        FROM events WHERE user_id <= 200
+        GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Semi-structured VARIANT type (Spark 4): parse_json once into a "
+    "binary variant column, typed variant_get extraction — the "
+    "schema-on-read path that beats per-access JSON string re-parsing "
+    "when several fields are read.",
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir).filter(F.col("user_id") <= 200)
+    parsed = e.select(
+        "event_type", F.variant_get(F.parse_json("props"), "$.k", "int").alias("k")
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -427,3 +427,41 @@ def test_streaming_prep_cross_batch_dedup(spark, tmpdir):
         q.stop()
     # doc_id 2 fails the length filter; 3 is deduped; 1 and 4 survive
     assert r.n_docs == 2
+
+
+def test_streaming_session_window_finalization(spark, tmpdir):
+    """Session windows close (and emit, append mode) once the watermark
+    passes session end + gap."""
+    schema = "user_id string, ts timestamp"
+
+    def write(rows):
+        spark.createDataFrame(rows, "user_id string, ts_s string").select(
+            "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+        ).coalesce(1).write.mode("append").parquet(f"{tmpdir}/in")
+
+    write([("u1", "2026-01-01 00:01:00"), ("u1", "2026-01-01 00:05:00")])
+    stream = spark.readStream.schema(schema).parquet(f"{tmpdir}/in")
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        windows.session_windows(stream, gap="10 minutes", watermark="5 minutes")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql(f"select * from {name}").count() == 0  # session open
+
+        write([("u2", "2026-01-01 02:00:00")])  # advances watermark 2h
+        q.processAllAvailable()
+        q.processAllAvailable()
+        rows = {
+            (r.user_id, r.n_events)
+            for r in spark.sql(f"select * from {name}").collect()
+        }
+    finally:
+        q.stop()
+    # u1's two events merged into ONE session (within gap), now closed;
+    # u2's session still open
+    assert rows == {("u1", 2)}
