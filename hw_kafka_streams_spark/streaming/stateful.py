@@ -58,3 +58,46 @@ def running_counts(df: DataFrame, key_col: str = "user_id") -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def _make_ttl_count_fn(ttl_ms: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # horizon passed with no arrivals: emit a tombstone row and
+            # drop the state — the unbounded-key safety valve
+            (n,) = state.get
+            state.remove()
+            yield pd.DataFrame({"key": [key[0]], "n_total": [n], "expired": [True]})
+            return
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame({"key": [key[0]], "n_total": [n], "expired": [False]})
+
+    return fn
+
+
+def running_counts_with_ttl(
+    df: DataFrame, key_col: str = "user_id", ttl_minutes: int = 60
+) -> DataFrame:
+    """Per-key running counts whose state EXPIRES after ``ttl_minutes``
+    without arrivals (processing-time timeout → final row flagged
+    ``expired`` + state removed).
+
+    The unbounded-key-space guard the plain running count lacks: with
+    billions of transient keys (session ids, request ids), NoTimeout
+    state grows forever; a TTL bounds it to keys active within the
+    horizon — the Spark analog of a Kafka Streams punctuator evicting
+    a KeyValueStore.
+    """
+    return df.groupBy(key_col).applyInPandasWithState(
+        _make_ttl_count_fn(ttl_minutes * 60 * 1000),
+        outputStructType="key string, n_total bigint, expired boolean",
+        stateStructType=RUNNING_COUNT_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
