@@ -46,6 +46,9 @@ def get_spark(
         # DuckDB's ns→µs cast, so oracle comparisons line up).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # the engine ships pushdown-capable Python data sources
+        # (sources/message_source.py); off by default in Spark 4.1
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
     )

@@ -46,6 +46,26 @@ class MessageGenBatchReader(DataSourceReader):
     def __init__(self, options):
         self.n = int(options.get("n", 100))
         self.n_parts = int(options.get("numPartitions", 4))
+        self._sender_eq: str | None = None
+
+    def pushFilters(self, filters):
+        """Accept `sender = '...'` pushdown (Spark 4.1 DataSource API):
+        the generator then skips non-matching sequence numbers at the
+        source — rows never cross the Python→JVM boundary. Everything
+        else is returned for Spark to evaluate post-scan."""
+        from pyspark.sql.datasource import EqualTo
+
+        remaining = []
+        for f in filters:
+            if (
+                isinstance(f, EqualTo)
+                and f.attribute == ("sender",)
+                and self._sender_eq is None
+            ):
+                self._sender_eq = f.value
+            else:
+                remaining.append(f)
+        return remaining
 
     def partitions(self):
         step = max(1, self.n // self.n_parts)
@@ -56,7 +76,10 @@ class MessageGenBatchReader(DataSourceReader):
 
     def read(self, partition: _RangePartition) -> Iterator[tuple]:
         for i in range(partition.start, partition.end):
-            yield _row(i)
+            row = _row(i)
+            if self._sender_eq is not None and row[0] != self._sender_eq:
+                continue
+            yield row
 
 
 class MessageGenStreamReader(DataSourceStreamReader):

@@ -139,3 +139,18 @@ def test_aqe_coalesces_small_shuffle(spark, sf_dir):
     agg.collect()
     plan = _physical_plan(agg)
     assert "AQEShuffleRead" in plan and "coalesced" in plan
+
+
+def test_join_strategy_follows_broadcast_threshold(spark, sf_dir):
+    """Disabling auto-broadcast must flip the dim join to shuffle-based
+    (sort-merge/shuffled-hash) — join strategy is config-controllable."""
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _physical_plan(c.join(n, c.c_nationkey == n.n_nationkey))
+        assert "BroadcastHashJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

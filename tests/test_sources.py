@@ -128,3 +128,18 @@ def test_custom_datasource_stream_feeds_topology(spark):
     assert all(
         not (r.receiver == "login2" and r.sender == "login1") for r in rows
     )  # blocked pair dropped
+
+
+def test_custom_datasource_filter_pushdown(spark):
+    from hw_kafka_streams_spark.sources.message_source import MessageGenDataSource
+
+    spark.dataSource.register(MessageGenDataSource)
+    df = (
+        spark.read.format("message_gen")
+        .option("n", 700)
+        .load()
+        .filter(F.col("sender") == "login3")
+    )
+    rows = df.collect()
+    assert rows and all(r.sender == "login3" for r in rows)
+    assert len(rows) == 100  # 700 seqs, 7 senders round-robin
