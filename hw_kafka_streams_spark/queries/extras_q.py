@@ -291,3 +291,40 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_custom_source",
+    oracle="""
+        WITH words AS (
+          SELECT ['Java','Spring','React','Политика','Kafka','Spark','1C','SQL'] AS w
+        ),
+        gen AS (
+          SELECT 'login' || CAST(i % 7 + 1 AS VARCHAR) AS sender,
+                 w[CAST(i % 8 AS INT) + 1] || ' ' ||
+                 w[CAST((i * 5 + 2) % 8 AS INT) + 1] AS text,
+                 'login' || CAST((i * 3 + 1) % 7 + 1 AS VARCHAR) AS receiver
+          FROM range(0, 1000) t(i), words
+        )
+        SELECT sender, count(*) AS n, count(DISTINCT text) AS n_texts,
+               count(DISTINCT receiver) AS n_receivers
+        FROM gen GROUP BY sender ORDER BY sender
+    """,
+    doc="Custom Python DataSource (message_gen) read through the normal "
+    "scan path and aggregated; the oracle reconstructs the deterministic "
+    "generator arithmetically over range(1000). sf_dir-independent.",
+)
+def q_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.sources.message_source import MessageGenDataSource
+
+    spark.dataSource.register(MessageGenDataSource)
+    df = spark.read.format("message_gen").option("n", 1000).load()
+    return (
+        df.groupBy("sender")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("text").alias("n_texts"),
+            F.countDistinct("receiver").alias("n_receivers"),
+        )
+        .orderBy("sender")
+    )
