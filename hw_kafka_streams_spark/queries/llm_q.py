@@ -681,3 +681,63 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     payloads = docs.select("doc_id").mapInPandas(gen, schema="doc_id long, payload binary")
     return decode_audio_meta(payloads).orderBy("doc_id")
+
+
+@register(
+    "q_dedup_keep_reps",
+    oracle="""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id,
+                 list_distinct([
+                   array_to_string(toks[i:i+2], ' ')
+                   FOR i IN range(1, len(toks) - 1)
+                 ]) AS shingles
+          FROM (SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\\s+'),
+                                   t -> t <> '') AS toks
+                FROM documents)
+          WHERE len(toks) >= 3
+        ),
+        postings AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+        inter AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+          FROM postings a JOIN postings b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT id1, id2 FROM inter
+            JOIN sizes s1 ON s1.doc_id = id1
+            JOIN sizes s2 ON s2.doc_id = id2
+          WHERE n_common / (s1.sz + s2.sz - n_common) >= 0.05
+        ),
+        edges AS (
+          SELECT id1 AS src, id2 AS dst FROM pairs
+          UNION SELECT id2, id1 FROM pairs
+        ),
+        walk(id, comp) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, w.comp FROM edges e JOIN walk w ON w.id = e.dst
+        ),
+        labels AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id)
+        SELECT d.source,
+               count(*) AS n_docs_kept
+        FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
+        WHERE l.id IS NULL OR d.doc_id = l.comp
+        GROUP BY d.source ORDER BY d.source
+    """,
+    doc="End of the near-dup pipeline: Jaccard pairs -> connected "
+    "components -> drop all but the min-id member per cluster -> "
+    "surviving docs per source. Full SQL oracle via recursive CTE.",
+)
+def q_dedup_keep_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.jaccard_candidate_pairs(docs, threshold=0.05)
+    kept = D.keep_cluster_representatives(docs, pairs)
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs_kept"))
+        .orderBy("source")
+    )
