@@ -106,3 +106,12 @@ def test_non_ban_words_ignored(spark):
     out = filter_pipeline(messages, blocked, words)
     rows = {(r.sender, r.text) for r in out.collect()}
     assert rows == {("login4", "Java"), ("login5", "******** React")}
+
+
+def test_app_main_golden(spark, capsys):
+    """The runnable entry reproduces the reference's golden run."""
+    from hw_kafka_streams_spark.__main__ import main
+
+    assert main([]) == 0
+    out = capsys.readouterr().out
+    assert "golden check: PASS" in out and "******** React" in out
