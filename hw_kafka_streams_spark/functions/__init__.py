@@ -18,6 +18,7 @@ from hw_kafka_streams_spark.operators.censor import (
     censor_column_many_words,
 )
 from hw_kafka_streams_spark.operators.dedup import word_shingles
+from hw_kafka_streams_spark.operators.sampling import hash_bucket
 from hw_kafka_streams_spark.operators.similarity import cosine, dot, l2_norm
 from hw_kafka_streams_spark.operators.text import (
     bpe_ish_token_count,
@@ -38,6 +39,7 @@ __all__ = [
     "cosine",
     "dot",
     "fingerprint",
+    "hash_bucket",
     "l2_norm",
     "lang_id_charset",
     "mean_word_length",
