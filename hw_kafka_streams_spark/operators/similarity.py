@@ -7,16 +7,67 @@ vector, bucket equi-join prunes the candidate set, exact cosine only on
 candidates. Embedding-cosine near-dup reuses the same kernel corpus ×
 corpus with a blocking key.
 
-All vector math is ``zip_with``/``aggregate`` column expressions
-(float64 accumulation) — no UDF, codegen-friendly.
+Vector kernels are Arrow-batched pandas UDFs (numpy matmul per batch,
+float64 accumulation): Spark's array HigherOrderFunction expressions
+(``aggregate``/``zip_with``) are CodegenFallback — interpreted per
+element — which made the cosine kernel the hot spot at scale. A numpy
+batch kernel does the same math 10-100× faster per Arrow batch. The
+expression forms are kept below (``dot``/``l2_norm``/``cosine``) for
+plan-literal uses (tiny centroid/plane sets) and tests.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _stack(s: pd.Series) -> np.ndarray:
+    """Arrow list column batch -> (n, dim) float64 matrix."""
+    return np.array(s.tolist(), dtype=np.float64)
+
+
+def cosine_arrow(a: Column, b: Column) -> Column:
+    """Batched exact cosine of two array columns (Arrow pandas UDF).
+
+    Built lazily per call: module-level ``@pandas_udf`` breaks
+    executor-side module import (round-1 lesson).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(pa: pd.Series, pb: pd.Series) -> pd.Series:
+        if len(pa) == 0:
+            return pd.Series([], dtype="float64")
+        A, B = _stack(pa), _stack(pb)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(
+            np.einsum("ij,ij->i", B, B)
+        )
+        return pd.Series(num / den)
+
+    return _cos(a, b)
+
+
+def rhp_signature_arrow(vec: Column, planes: list[list[float]]) -> Column:
+    """Batched random-hyperplane signature: one (batch × planes) matmul
+    per Arrow batch instead of n_planes interpreted HOF folds per row."""
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes, dtype=np.float64)  # (n_planes, dim)
+    weights = (np.int64(1) << np.arange(P.shape[0], dtype=np.int64))
+
+    @pandas_udf("long")
+    def _sig(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        bits = (_stack(v) @ P.T) > 0
+        return pd.Series(bits.astype(np.int64) @ weights)
+
+    return _sig(vec)
 
 
 def dot(a: Column, b: Column) -> Column:

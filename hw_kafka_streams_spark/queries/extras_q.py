@@ -94,11 +94,13 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS name_from_map,
                CAST(cardinality(map(['name', 'region'],
                     [n_name, CAST(n_regionkey AS VARCHAR)])) AS INT) AS map_size,
-               list_sort(map_keys(map(['name', 'region'],
-                    [n_name, CAST(n_regionkey AS VARCHAR)]))) AS keys_sorted
+               array_to_string(list_sort(map_keys(map(['name', 'region'],
+                    [n_name, CAST(n_regionkey AS VARCHAR)]))), ',') AS keys_sorted
         FROM nation ORDER BY n_nationkey
     """,
-    doc="Map-type battery: map_from_arrays / element_at / map_keys / size.",
+    doc="Map-type battery: map_from_arrays / element_at / map_keys / size. "
+    "keys_sorted is serialized to a scalar CSV string — array cells crash "
+    "the driver's pandas-based canonicalizer (unhashable list).",
 )
 def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, "nation", sf_dir)
@@ -110,7 +112,7 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey",
         F.element_at(m, "name").alias("name_from_map"),
         F.size(m).alias("map_size"),
-        F.array_sort(F.map_keys(m)).alias("keys_sorted"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
     ).orderBy("n_nationkey")
 
 
@@ -317,6 +319,11 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hw_kafka_streams_spark.sources.message_source import MessageGenDataSource
 
+    # MessageGenBatchReader implements pushFilters(); planning it on a
+    # vanilla session fails with DATA_SOURCE_PUSHDOWN_DISABLED unless the
+    # (runtime-settable) flag is on. Set it here so the query is
+    # session-config-independent.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(MessageGenDataSource)
     df = spark.read.format("message_gen").option("n", 1000).load()
     return (

@@ -125,7 +125,7 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(l_orderkey % 7 AS BIGINT)                AS key_mod,
                round(greatest(l_tax, l_discount), 2)         AS max_rate,
                round(least(l_tax, l_discount), 2)            AS min_rate,
-               sign(l_extendedprice - 50000)                 AS delta_sign
+               CAST(sign(l_extendedprice - 50000) AS INT)    AS delta_sign
         FROM lineitem
         WHERE l_orderkey <= 300
         ORDER BY l_orderkey, l_linenumber
@@ -146,7 +146,9 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_orderkey") % 7).alias("key_mod"),
         F.round(F.greatest("l_tax", "l_discount"), 2).alias("max_rate"),
         F.round(F.least("l_tax", "l_discount"), 2).alias("min_rate"),
-        F.signum(F.col("l_extendedprice") - 50000).alias("delta_sign"),
+        # signum returns DOUBLE in Spark but TINYINT in DuckDB — the driver
+        # hashes raw cells, so 1.0 vs 1 flips the value hash. INT both sides.
+        F.signum(F.col("l_extendedprice") - 50000).cast("int").alias("delta_sign"),
     ).orderBy("l_orderkey", "l_linenumber")
 
 
@@ -230,9 +232,9 @@ def q_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT vec_id,
                len(embedding)                                   AS dim,
-               round(embedding[1], 4)                           AS first_val,
-               round(list_aggregate(embedding, 'sum'), 2)       AS vec_sum,
-               round(list_aggregate(embedding, 'max'), 4)       AS vec_max,
+               round(CAST(embedding[1] AS DOUBLE), 4)           AS first_val,
+               round(list_aggregate(embedding::DOUBLE[], 'sum'), 2) AS vec_sum,
+               round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 4) AS vec_max,
                round(len(list_filter(embedding, x -> x > 0)), 0) AS n_pos
         FROM embeddings
         WHERE vec_id < 100

@@ -34,10 +34,20 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
-    """Load one test table as a DataFrame (lazy parquet scan)."""
+    """Load one test table as a DataFrame (lazy parquet scan).
+
+    Session-config-independent by design: any config a table read needs
+    is set (idempotently, runtime-settable) right here rather than only
+    in ``session.get_spark()``, so the catalog works on a vanilla
+    ``SparkSession.builder.getOrCreate()`` session too.
+    """
     sf_dir = sf_dir or DEFAULT_SF_DIR
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
+    if name == "events":
+        # events.parquet stores ts as INT64 TIMESTAMP(NANOS); without this
+        # flag a vanilla session fails the read with PARQUET_TYPE_ILLEGAL.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # ts is TIMESTAMP(NANOS) on disk, surfaced as nano-epoch long

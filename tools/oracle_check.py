@@ -1,11 +1,22 @@
 """Driver-mimic: run every registered query in Spark AND its DuckDB
 oracle on the same parquet, compare row-count + schema + sorted values.
 
-Usage: python tools/oracle_check.py [sf_dir] [query ...]
+Usage: python tools/oracle_check.py [--vanilla] [--lenient] [sf_dir] [query ...]
 
 Replicates the driver's t2 gate locally (order-insensitive,
-column-name-sorted, string-normalized compare) so oracle mismatches
-are caught before a round ends. Importable from tests.
+column-name-sorted compare) so oracle mismatches are caught before a
+round ends. Importable from tests.
+
+Round-1 lessons baked in (CORRECTNESS_r01):
+- ``--vanilla`` runs on a plain ``SparkSession.builder.getOrCreate()``
+  with none of ``session.get_spark()``'s configs — the driver does the
+  same, and round 1's 5 hard errors were all configs-only-in-get_spark.
+- The default compare is now BIT-EXACT on floats (``repr``, full
+  precision) because the driver hashes raw cells; the old 6-dp
+  normalization masked a real driver hash-mismatch (q_math_funcs:
+  Spark DOUBLE 1.0 vs DuckDB TINYINT 1). ``--lenient`` restores 6-dp.
+- List/tuple cells are an ERROR: the driver's pandas canonicalizer
+  crashes on them (unhashable type) — queries must emit scalars only.
 """
 
 from __future__ import annotations
@@ -29,17 +40,31 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+LENIENT = False
+
+
+class ListCellError(Exception):
+    """A result cell is a list/tuple — the driver's canonicalizer crashes."""
+
+
 def _norm_cell(v):
     if v is None:
         return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6f}".rstrip("0").rstrip(".")
-    if isinstance(v, bool):
-        return str(int(v))
+        if LENIENT:
+            return f"{v:.6f}".rstrip("0").rstrip(".")
+        return repr(v)  # full precision: the driver hashes raw cells
     if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+        if LENIENT:
+            return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+        raise ListCellError(
+            "list-typed cell would crash the driver canonicalizer; "
+            "serialize arrays/maps to strings in the query"
+        )
     return str(v)
 
 
@@ -63,22 +88,53 @@ def compare_query(spark, con, fn, oracle: str, sf_dir: str) -> list[str]:
     if len(srows) != len(drows):
         msgs.append(f"rowcount: spark={len(srows)} duckdb={len(drows)}")
     if not msgs:
-        sn = _norm_rows(scols, srows)
-        dn = _norm_rows(dcols, drows)
-        if sn != dn:
-            diff = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
-            msgs.append(f"values differ, first diffs: {diff}")
+        try:
+            sn = _norm_rows(scols, srows)
+            dn = _norm_rows(dcols, drows)
+        except ListCellError as exc:
+            msgs.append(str(exc))
+        else:
+            if sn != dn:
+                diff = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
+                msgs.append(f"values differ, first diffs: {diff}")
     return msgs
 
 
+def vanilla_spark():
+    """A driver-like session: NO get_spark() configs beyond local master."""
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master("local[8]")
+        .appName("oracle_check_vanilla")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    global LENIENT
+    argv = [a for a in sys.argv[1:]]
+    vanilla = "--vanilla" in argv
+    if vanilla:
+        argv.remove("--vanilla")
+    if "--lenient" in argv:
+        LENIENT = True
+        argv.remove("--lenient")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+
+    import time
 
     import __spark_entry__ as e
-    from hw_kafka_streams_spark.session import get_spark
 
-    spark = get_spark("oracle_check")
+    if vanilla:
+        spark = vanilla_spark()
+    else:
+        from hw_kafka_streams_spark.session import get_spark
+
+        spark = get_spark("oracle_check")
     con = duckdb_con(sf_dir)
 
     qs = e.queries()
@@ -87,14 +143,20 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        if name not in oracles:
-            n = fn(spark, sf_dir).count()
-            print(f"  {name:40s} rows-only ({n} rows)")
-            continue
-        msgs = compare_query(spark, con, fn, oracles[name], sf_dir)
-        print(f"  {name:40s} {'OK' if not msgs else 'MISMATCH'}")
+        t0 = time.monotonic()
+        try:
+            if name not in oracles:
+                n = fn(spark, sf_dir).count()
+                dt = time.monotonic() - t0
+                print(f"  {name:40s} rows-only ({n} rows)  [{dt:5.1f}s]")
+                continue
+            msgs = compare_query(spark, con, fn, oracles[name], sf_dir)
+        except Exception as exc:  # driver records these as err rows
+            msgs = [f"ERROR: {type(exc).__name__}: {exc}"]
+        dt = time.monotonic() - t0
+        print(f"  {name:40s} {'OK' if not msgs else 'MISMATCH'}  [{dt:5.1f}s]")
         for m in msgs:
-            print(f"      {m}")
+            print(f"      {str(m)[:500]}")
         if msgs:
             failures.append(name)
 
