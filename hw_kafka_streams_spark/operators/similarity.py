@@ -70,6 +70,34 @@ def rhp_signature_arrow(vec: Column, planes: list[list[float]]) -> Column:
     return _sig(vec)
 
 
+def rhp_band_buckets_arrow(
+    vec: Column, planes: list[list[float]], n_bands: int, planes_per_band: int
+) -> Column:
+    """All banded RHP buckets in ONE (batch × planes) matmul.
+
+    Returns array<long> of length ``n_bands`` — bucket i is the packed
+    ``planes_per_band``-bit signature of band i, identical packing to
+    :func:`rhp_signature` over ``planes[i*r:(i+1)*r]``. One Arrow UDF
+    eval replaces ``n_bands × planes_per_band`` interpreted HOF folds
+    per row.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes, dtype=np.float64)  # (n_bands*r, dim)
+    assert P.shape[0] == n_bands * planes_per_band
+    weights = 1 << np.arange(planes_per_band, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def _bands(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        bits = (_stack(v) @ P.T) > 0  # (n, n_bands*r)
+        buckets = bits.reshape(len(v), n_bands, planes_per_band).astype(np.int64) @ weights
+        return pd.Series(list(buckets))
+
+    return _bands(vec)
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
@@ -98,11 +126,11 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
-    Plan shape: broadcast(queries) × corpus → cosine → per-query ranked
-    window. At 100 TB the corpus is partition-parallel and the query
-    side stays broadcast; the window's partition key is query_id so the
-    top-k shuffle moves only (n_queries × k × partitions) rows after
-    AQE's partial top-k.
+    Plan shape: broadcast(queries) × corpus → Arrow-batched numpy cosine
+    → per-query ranked window. At 100 TB the corpus is
+    partition-parallel and the query side stays broadcast; the window's
+    partition key is query_id so the top-k shuffle moves only
+    (n_queries × k × partitions) rows after AQE's partial top-k.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
@@ -114,7 +142,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("cos_sim"),
+            F.round(cosine_arrow(F.col("qvec"), F.col("cvec")), 4).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -157,15 +185,16 @@ def lsh_topk(
     """Approximate top-k: candidates share the LSH bucket (or differ in
     exactly one bit — multi-probe), exact cosine only on candidates.
 
-    With 8 planes the corpus splits into ≤256 buckets; multi-probe(1)
-    widens recall. Candidate count per query ≈ corpus/256 × 9 ≫ pruned
-    vs. brute force at scale.
+    With the default 6 planes the corpus splits into ≤64 buckets;
+    multi-probe(1) probes 7 of them per query. Candidate count per
+    query ≈ corpus/64 × 7 — pruned ~9× vs. brute force, and the
+    pruning factor grows with n_planes at scale.
     """
     planes = _hyperplanes(n_planes, dim)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        rhp_signature(F.col(vec_col), planes).alias("qsig"),
+        rhp_signature_arrow(F.col(vec_col), planes).alias("qsig"),
     )
     # multi-probe: query probes its own bucket and each 1-bit flip
     probes = F.array(
@@ -176,7 +205,7 @@ def lsh_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
-        rhp_signature(F.col(vec_col), planes).alias("bucket"),
+        rhp_signature_arrow(F.col(vec_col), planes).alias("bucket"),
     )
     cand = (
         c.join(F.broadcast(q_probed), "bucket")
@@ -184,7 +213,7 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("cos_sim"),
+            F.round(cosine_arrow(F.col("qvec"), F.col("cvec")), 4).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -262,7 +291,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("cos_sim"),
+            F.round(cosine_arrow(F.col("qvec"), F.col("cvec")), 4).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -354,7 +383,7 @@ def ivf_topk_indexed(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("cos_sim"),
+            F.round(cosine_arrow(F.col("qvec"), F.col("cvec")), 4).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -393,21 +422,13 @@ def embedding_near_dup_pairs(
         planes = _hyperplanes(n_bands * planes_per_band, dim)
 
         def banded(side: DataFrame, vcol: str) -> DataFrame:
-            bands = F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        rhp_signature(
-                            F.col(vcol),
-                            planes[i * planes_per_band : (i + 1) * planes_per_band],
-                        ).alias("bucket"),
-                    )
-                    for i in range(n_bands)
-                ]
+            # all band buckets from one Arrow matmul, posexplode to rows
+            buckets = rhp_band_buckets_arrow(
+                F.col(vcol), planes, n_bands, planes_per_band
             )
-            return side.select("*", F.explode(bands).alias("bb")).select(
-                "*", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-            ).drop("bb")
+            return side.select(
+                "*", F.posexplode(buckets).alias("band", "bucket")
+            )
 
         pairs = (
             banded(a, "v1")
@@ -420,7 +441,9 @@ def embedding_near_dup_pairs(
         )
     return (
         pairs.select(
-            "id1", "id2", F.round(cosine(F.col("v1"), F.col("v2")), 4).alias("cos_sim")
+            "id1",
+            "id2",
+            F.round(cosine_arrow(F.col("v1"), F.col("v2")), 4).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

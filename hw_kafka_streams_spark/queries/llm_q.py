@@ -553,9 +553,10 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE rnk <= 3 ORDER BY doc_id, rnk
     """,
     doc="Per-document top-3 tf-idf terms: tokenize -> tf (groupBy) -> df "
-    "(groupBy) -> smoothed idf join -> ranked window. The df table is "
-    "corpus-wide but tiny relative to postings; Spark broadcast-joins it "
-    "back. The canonical keyword-extraction / relevance plan.",
+    "(groupBy) -> smoothed idf join -> ranked window. The df (document-"
+    "frequency) table grows with the corpus vocabulary, so it is NOT "
+    "force-broadcast — AQE picks broadcast while it fits and falls back "
+    "to a shuffle join at scale. The 1-row n_docs table stays broadcast.",
 )
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -570,7 +571,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_t = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = toks.select(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df_t), "term")
+        tf.join(df_t, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
