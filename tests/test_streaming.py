@@ -304,6 +304,60 @@ def test_dim_refresh_between_batches(spark, tmpdir):
     assert out == [("login4", "Java"), ("login5", "**** rocks")]
 
 
+def test_dim_refresh_midstream_live_query(spark, tmpdir):
+    """GlobalKTable freshness through a RUNNING StreamingQuery
+    (KafkaStreamApp.java:140-152): a blocked pair AND a forbidden word
+    added while the query is live take effect on the next microbatch,
+    without a restart. Dims flow through process_batch_with_refresh's
+    providers, re-evaluated per batch inside foreachBatch."""
+    from hw_kafka_streams_spark.streaming.pipeline import process_batch_with_refresh
+
+    schema = "sender string, text string, receiver string"
+    dims = {
+        "blocked": [("login1:login2", "blocked")],
+        "words": ["Политика"],
+    }
+    out: list[tuple] = []
+
+    def _process(batch_df, batch_id):
+        process_batch_with_refresh(
+            batch_df,
+            blocked_provider=lambda: spark.createDataFrame(
+                dims["blocked"], "key string, value string"
+            ),
+            words_provider=lambda: dims["words"],
+            sink=lambda df: out.extend((r.sender, r.text) for r in df.collect()),
+        )
+
+    spark.createDataFrame(
+        [("login4", "Java", "login1"), ("login2", "Spring", "login1")], schema
+    ).coalesce(1).write.mode("append").parquet(f"{tmpdir}/in")
+
+    stream = spark.readStream.schema(schema).parquet(f"{tmpdir}/in")
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 1: login2 blocked, Java survives uncensored
+        assert sorted(out) == [("login4", "Java")]
+
+        # mid-stream: block login4 and ban Java — no restart
+        dims["blocked"] = dims["blocked"] + [("login1:login4", "blocked")]
+        dims["words"] = dims["words"] + ["Java"]
+        spark.createDataFrame(
+            [("login4", "Java again", "login1"), ("login5", "Java rocks", "login1")],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(f"{tmpdir}/in")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # batch 2: the new block drops login4; the new word censors login5
+    assert sorted(out) == [("login4", "Java"), ("login5", "**** rocks")]
+
+
 def test_checkpoint_resume_no_reprocessing(spark, tmpdir):
     """Restarting from the checkpoint must process ONLY new files —
     the file source's exactly-once bookkeeping."""
