@@ -32,8 +32,24 @@ from hw_kafka_streams_spark.operators.text import fingerprint, word_tokens
 _MERSENNE_P = (1 << 31) - 1  # 2^31 - 1, prime
 _rng = random.Random(7)
 MINHASH_K = 64
-_MINHASH_A = [_rng.randrange(1, _MERSENNE_P) for _ in range(MINHASH_K)]
-_MINHASH_B = [_rng.randrange(0, _MERSENNE_P) for _ in range(MINHASH_K)]
+MINHASH_A = [_rng.randrange(1, _MERSENNE_P) for _ in range(MINHASH_K)]
+MINHASH_B = [_rng.randrange(0, _MERSENNE_P) for _ in range(MINHASH_K)]
+_MINHASH_A = MINHASH_A  # back-compat aliases
+_MINHASH_B = MINHASH_B
+MERSENNE_P = _MERSENNE_P
+
+
+def md5h(col: Column) -> Column:
+    """Deterministic 60-bit positive hash with an exact DuckDB twin.
+
+    ``conv(substring(md5(x),1,15),16,10)::long`` here equals
+    ``('0x' || substring(md5(x),1,15))::BIGINT`` in DuckDB — verified
+    bit-for-bit. Used by the ``hash_mode='md5'`` variants of the
+    signature pipelines so their registry queries can be value-hash
+    oracled; the scale default stays xxhash64 (native, ~5× faster),
+    whose seed/algorithm DuckDB cannot reproduce.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -73,6 +89,7 @@ def shingle_postings(
     id_col: str = "doc_id",
     n: int = 3,
     distinct: bool = False,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """(id, shingle) postings via explode + window ``lead`` — the
     scale-path shingle generator.
@@ -93,19 +110,30 @@ def shingle_postings(
     joins, distinct, signature minima) only needs equality. Collision
     odds at 64 bits are ~m²/2⁶⁵ — negligible below ~10⁹ distinct
     shingles per comparison domain.
+
+    ``hash_mode='md5'`` keeps the same shape (tokens hashed once with
+    :func:`md5h` BEFORE the window, longs through the shuffle) but uses
+    the DuckDB-reproducible hash at both levels — shingle hash =
+    md5h of the '|'-joined token hashes — so the downstream pipeline
+    can be value-hash oracled. xxhash64 remains the 100-TB default.
     """
     from pyspark.sql import Window
 
+    token_hash = md5h(F.col("tok")) if hash_mode == "md5" else F.xxhash64("tok")
     toks = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(word_tokens(F.col(text_col))).alias("pos", "tok"),
-    ).select("id", "pos", F.xxhash64("tok").alias("th"))
+    ).select("id", "pos", token_hash.alias("th"))
     w = Window.partitionBy("id").orderBy("pos")
     parts = [F.col("th")] + [F.lead("th", i).over(w) for i in range(1, n)]
+    hcols = [F.col(f"h{i}") for i in range(n)]
+    shingle = (
+        md5h(F.concat_ws("|", *hcols)) if hash_mode == "md5" else F.xxhash64(*hcols)
+    )
     out = (
         toks.select("id", *[p.alias(f"h{i}") for i, p in enumerate(parts)])
         .filter(F.col(f"h{n-1}").isNotNull())
-        .select("id", F.xxhash64(*[F.col(f"h{i}") for i in range(n)]).alias("shingle"))
+        .select("id", shingle.alias("shingle"))
     )
     return out.dropDuplicates(["id", "shingle"]) if distinct else out
 
@@ -168,7 +196,11 @@ def jaccard_candidate_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Per-document k-minima MinHash signatures: (id, sig: array<long>).
 
@@ -182,7 +214,7 @@ def minhash_signatures(
     defeats codegen and re-hashes shingles k times — measured 10×
     slower.) Docs with no shingles (fewer than n words) get no row.
     """
-    postings = shingle_postings(df, text_col, id_col, n).select(
+    postings = shingle_postings(df, text_col, id_col, n, hash_mode=hash_mode).select(
         "id", F.pmod(F.col("shingle"), F.lit(_MERSENNE_P)).alias("h")
     )
     mins = [
@@ -204,6 +236,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     verify_threshold: float | None = 0.2,
     max_bucket: int = 1000,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs: signature → bands → bucket group.
 
@@ -214,18 +247,19 @@ def minhash_lsh_pairs(
     buckets larger than ``max_bucket`` are dropped (skew guard).
     """
     rows_per_band = MINHASH_K // bands
-    sig = minhash_signatures(df, text_col, id_col, n)
+    sig = minhash_signatures(df, text_col, id_col, n, hash_mode=hash_mode)
+
+    def _bucket_hash(b: int) -> Column:
+        vals = [F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+        if hash_mode == "md5":
+            return md5h(F.concat_ws("|", *vals))
+        return F.xxhash64(*vals)
 
     # One bucket hash per band, banded by array position — an explode to
     # `bands` rows per doc, each (band, bucket-hash) with the sig carried.
     band_structs = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-                ).alias("bucket"),
-            )
+            F.struct(F.lit(b).alias("band"), _bucket_hash(b).alias("bucket"))
             for b in range(bands)
         ]
     )
@@ -381,7 +415,10 @@ def simhash64(text: Column | str) -> Column:
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Per-document 64-bit SimHash signatures: (id, sig: long).
 
@@ -390,10 +427,15 @@ def simhash_signatures(
     aggregates (one per bit), then assemble the signature from the 64
     sums post-aggregation. Partial aggregation keeps the shuffle at
     one 64-long row per doc per partition; token-less docs get no row.
+
+    ``hash_mode='md5'`` uses the DuckDB-twin :func:`md5h` token hash
+    (60-bit, so bits 60-63 of the signature are then constant-zero —
+    harmless: both sides compute the identical signature).
     """
+    token_hash = md5h(F.col("t")) if hash_mode == "md5" else F.xxhash64("t")
     postings = (
         df.select(F.col(id_col).alias("id"), F.explode(word_tokens(F.col(text_col))).alias("t"))
-        .select("id", F.xxhash64("t").alias("h"))
+        .select("id", token_hash.alias("h"))
     )
     sums = [
         F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{i}")
@@ -416,6 +458,7 @@ def simhash_candidate_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance ≤ max_hamming.
 
@@ -423,7 +466,7 @@ def simhash_candidate_pairs(
     quarters; any pair within Hamming ≤ 3 agrees exactly on ≥1 quarter
     → equi-join per quarter, then exact Hamming verify via bit_count.
     """
-    sig = simhash_signatures(df, text_col, id_col)
+    sig = simhash_signatures(df, text_col, id_col, hash_mode=hash_mode)
     quarters = sig.select(
         "id",
         "sig",

@@ -15,9 +15,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def hash_bucket(key: Column | str, denom: int = 10_000, seed: int = 42) -> Column:
-    """Stable bucket in [0, denom) from a key column."""
+def hash_bucket(
+    key: Column | str, denom: int = 10_000, seed: int = 42, hash_mode: str = "xxhash64"
+) -> Column:
+    """Stable bucket in [0, denom) from a key column.
+
+    ``hash_mode='md5'`` buckets on the DuckDB-reproducible
+    :func:`~hw_kafka_streams_spark.operators.dedup.md5h` of
+    ``key:seed`` so split stats can be value-hash oracled; xxhash64
+    stays the scale default (native, no string round-trip).
+    """
     col = F.col(key) if isinstance(key, str) else key
+    if hash_mode == "md5":
+        from hw_kafka_streams_spark.operators.dedup import md5h
+
+        return F.pmod(md5h(F.concat(col.cast("string"), F.lit(f":{seed}"))), F.lit(denom))
     return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(denom))
 
 
@@ -26,6 +38,7 @@ def hash_split(
     key: str,
     fractions: dict[str, float],
     seed: int = 42,
+    hash_mode: str = "xxhash64",
 ) -> dict[str, DataFrame]:
     """Split ``df`` into named parts by hashing ``key``.
 
@@ -38,7 +51,7 @@ def hash_split(
     if total > 1.0 + 1e-9:
         raise ValueError(f"fractions sum to {total} > 1")
     denom = 10_000
-    bucket = hash_bucket(key, denom, seed)
+    bucket = hash_bucket(key, denom, seed, hash_mode)
     out: dict[str, DataFrame] = {}
     lo = 0
     for name, frac in fractions.items():

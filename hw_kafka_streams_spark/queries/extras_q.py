@@ -196,18 +196,36 @@ def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_hash_split_stats",
-    oracle=None,  # xxhash64 has no DuckDB twin — fractions asserted in tests
-    doc="Deterministic content-stable train/eval/test split (xxhash64 "
+    oracle="""
+        WITH b AS (
+          SELECT text,
+                 ('0x' || substring(md5(doc_id::VARCHAR || ':42'),1,15))::BIGINT
+                   % 10000 AS bucket
+          FROM documents
+        )
+        SELECT split, count(*) AS n_docs,
+               CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS n_tokens
+        FROM (SELECT CASE WHEN bucket < 9000 THEN 'train'
+                          WHEN bucket < 9500 THEN 'eval'
+                          ELSE 'test' END AS split, text
+              FROM b)
+        GROUP BY split ORDER BY split
+    """,
+    doc="Deterministic content-stable train/eval/test split (stable hash "
     "bucket ranges, no shuffle, stable across runs/cluster sizes) — "
-    "per-split doc counts and token totals. Rows-only driver check; "
-    "fraction tolerances + disjointness asserted in tests.",
+    "per-split doc counts and token totals. hash_mode='md5' gives the "
+    "bucketing an exact DuckDB twin (value-hash oracled); the operator's "
+    "scale default stays xxhash64. Fraction tolerances + disjointness "
+    "asserted in tests.",
 )
 def q_hash_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hw_kafka_streams_spark.operators.sampling import hash_split
     from hw_kafka_streams_spark.operators.text import token_count
 
     docs = load_table(spark, "documents", sf_dir)
-    splits = hash_split(docs, "doc_id", {"train": 0.9, "eval": 0.05, "test": 0.05})
+    splits = hash_split(
+        docs, "doc_id", {"train": 0.9, "eval": 0.05, "test": 0.05}, hash_mode="md5"
+    )
     parts = [
         df.agg(
             F.lit(name).alias("split"),

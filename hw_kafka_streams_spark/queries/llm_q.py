@@ -81,27 +81,134 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_candidate_pairs(docs, threshold=0.05).orderBy("id1", "id2")
 
 
+# DuckDB twin of operators.dedup.md5h — verified bit-identical.
+def _d_md5h(x: str) -> str:
+    return f"('0x' || substring(md5({x}),1,15))::BIGINT"
+
+
+def _minhash_oracle() -> str:
+    """Exact DuckDB reconstruction of the md5-mode MinHash+LSH pipeline.
+
+    Same affine-permutation constants (dedup.MINHASH_A/B baked in as
+    literals), same 3-gram shingles, same 16-band bucketing, same
+    signature-estimated Jaccard — so the driver can value-hash this
+    formerly rows-only query.
+    """
+    from hw_kafka_streams_spark.operators.dedup import (
+        MERSENNE_P,
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_K,
+    )
+
+    p = MERSENNE_P
+    mins = ",\n                 ".join(
+        f"min(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {p}) AS m{i}"
+        for i in range(MINHASH_K)
+    )
+    buckets = ",\n                 ".join(
+        _d_md5h(f"concat_ws('|', m{4*b}, m{4*b+1}, m{4*b+2}, m{4*b+3})") + f" AS k{b}"
+        for b in range(16)
+    )
+    share_band = " OR ".join(f"a.k{b} = b.k{b}" for b in range(16))
+    agree = " + ".join(f"(a.m{i} = b.m{i})::INT" for i in range(MINHASH_K))
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 [{_d_md5h('t')}
+                  FOR t IN list_filter(string_split_regex(trim(text), '\\s+'),
+                                       t -> t <> '')] AS ths
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id, {_d_md5h('s')} % {p} AS h
+          FROM (SELECT doc_id,
+                       unnest([array_to_string(ths[i:i+2], '|')
+                               FOR i IN range(1, len(ths) - 1)]) AS s
+                FROM toks WHERE len(ths) >= 3)
+        ),
+        sig AS (
+          SELECT doc_id,
+                 {mins}
+          FROM sh GROUP BY doc_id
+        ),
+        bk AS (
+          SELECT *,
+                 {buckets}
+          FROM sig
+        )
+        SELECT id1, id2, est_jaccard FROM (
+          SELECT a.doc_id AS id1, b.doc_id AS id2,
+                 round(({agree}) / 64.0, 4) AS est_jaccard
+          FROM bk a JOIN bk b
+            ON a.doc_id < b.doc_id AND ({share_band})
+        ) WHERE est_jaccard >= 0.2
+        ORDER BY id1, id2
+    """
+
+
 @register(
     "q_dedup_minhash_lsh",
-    oracle=None,  # xxhash64-based signatures have no DuckDB twin
+    oracle=_minhash_oracle(),
     doc="MinHash(64)+LSH(16 bands) near-dup candidate pairs with "
-    "signature-estimated Jaccard. Rows-only driver check; semantics "
-    "pinned by unit tests on constructed duplicates.",
+    "signature-estimated Jaccard. hash_mode='md5' gives the signatures "
+    "an exact DuckDB twin (value-hash oracled); the operator's scale "
+    "default stays xxhash64.",
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    return D.minhash_lsh_pairs(docs, verify_threshold=0.2).orderBy("id1", "id2")
+    return D.minhash_lsh_pairs(docs, verify_threshold=0.2, hash_mode="md5").orderBy(
+        "id1", "id2"
+    )
+
+
+def _simhash_oracle() -> str:
+    """Exact DuckDB reconstruction of the md5-mode SimHash pipeline:
+    per-bit token-hash sums → 64-bit signature → pigeonhole quarter
+    join → bit_count Hamming verify."""
+    sums = ",\n                 ".join(
+        f"sum(((h >> {i}) & 1) * 2 - 1) AS b{i}" for i in range(64)
+    )
+    sig_bits = " | ".join(
+        f"(CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0 END)" for i in range(60)
+    )  # md5h is 60-bit: bits 60-63 have sum -n_tokens <= 0, never set
+    share_q = " OR ".join(
+        f"((a.sig >> {q*16}) & 65535) = ((b.sig >> {q*16}) & 65535)" for q in range(4)
+    )
+    return f"""
+        WITH h AS (
+          SELECT doc_id, {_d_md5h('t')} AS h
+          FROM (SELECT doc_id,
+                       unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                          t -> t <> '')) AS t
+                FROM documents)
+        ),
+        sums AS (
+          SELECT doc_id,
+                 {sums}
+          FROM h GROUP BY doc_id
+        ),
+        sig AS (SELECT doc_id, {sig_bits} AS sig FROM sums)
+        SELECT id1, id2, hamming FROM (
+          SELECT a.doc_id AS id1, b.doc_id AS id2,
+                 CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+          FROM sig a JOIN sig b
+            ON a.doc_id < b.doc_id AND ({share_q})
+        ) WHERE hamming <= 3
+        ORDER BY id1, id2
+    """
 
 
 @register(
     "q_dedup_simhash",
-    oracle=None,
+    oracle=_simhash_oracle(),
     doc="SimHash64 near-dup pairs (Hamming ≤ 3) via pigeonhole quarter-band "
-    "join + bit_count verify. Rows-only driver check.",
+    "join + bit_count verify. hash_mode='md5' token hashing gives the "
+    "signatures an exact DuckDB twin (value-hash oracled).",
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    return D.simhash_candidate_pairs(docs).orderBy("id1", "id2")
+    return D.simhash_candidate_pairs(docs, hash_mode="md5").orderBy("id1", "id2")
 
 
 @register(
@@ -153,12 +260,51 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(queries, emb, k=5).orderBy("query_id", "rnk")
 
 
+def _lsh_topk_oracle(n_planes: int = 6) -> str:
+    """Exact DuckDB reconstruction of the RHP-LSH ANN search: same
+    seeded hyperplanes as literals, same packed bucket, same multi-probe
+    set (own bucket + every 1-bit flip ⇔ xor of signatures ∈ {0, 1<<j}),
+    same exact-cosine re-rank — deterministic, so value-hash checkable.
+    """
+    from hw_kafka_streams_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(n_planes, 64)
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(x) for x in planes[j])}]) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(n_planes)
+    )
+    probe_set = ", ".join(["0"] + [str(1 << j) for j in range(n_planes)])
+    return f"""
+        WITH sig AS (
+          SELECT vec_id, embedding, ({bits}) AS sig FROM embeddings
+        ),
+        cand AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                              c.embedding::DOUBLE[]), 4) AS cos_sim
+          FROM sig q JOIN sig c
+            ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+           AND xor(q.sig, c.sig) IN ({probe_set})
+        )
+        SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rnk
+          FROM cand
+        ) WHERE rnk <= 5
+        ORDER BY query_id, rnk
+    """
+
+
 @register(
     "q_similarity_lsh_topk",
-    oracle=None,  # approximate by construction
-    doc="ANN top-5 via random-hyperplane LSH (8 planes, multi-probe 1): "
-    "bucket equi-join prunes candidates, exact cosine re-rank. "
-    "Rows-only check; recall vs brute force asserted in unit tests.",
+    oracle=_lsh_topk_oracle(),
+    doc="ANN top-5 via random-hyperplane LSH (6 planes, multi-probe 1): "
+    "bucket equi-join prunes candidates, exact cosine re-rank. The "
+    "seeded planes are deterministic, so the DuckDB oracle reconstructs "
+    "the identical probe set from plane literals (value-hash checked); "
+    "recall vs brute force additionally asserted in unit tests.",
 )
 def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
@@ -516,12 +662,53 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(pairs).orderBy("id")
 
 
+def _embedding_lsh_oracle(n_bands: int = 8, planes_per_band: int = 3) -> str:
+    """Exact DuckDB reconstruction of the banded-RHP blocking: the
+    deterministic hyperplanes (same seed as the operator) are baked into
+    the SQL as literals; a pair is kept iff it agrees on ALL bits of ANY
+    band AND exact cosine ≥ threshold — identical to the Spark plan, so
+    the 'approximate' query is still deterministic and value-hash
+    oracle-able.
+    """
+    from hw_kafka_streams_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(n_bands * planes_per_band, 64)
+
+    def plane_lit(p: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in p) + "]"
+
+    def bucket(side: str, b: int) -> str:
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product({side}.embedding::DOUBLE[], "
+            f"{plane_lit(planes[b * planes_per_band + j])}) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(planes_per_band)
+        )
+        return f"({bits})"
+
+    share_band = " OR ".join(
+        f"{bucket('a', b)} = {bucket('b', b)}" for b in range(n_bands)
+    )
+    return f"""
+        SELECT id1, id2, cos_sim FROM (
+          SELECT a.vec_id AS id1, b.vec_id AS id2,
+                 round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                              b.embedding::DOUBLE[]), 4) AS cos_sim
+          FROM embeddings a JOIN embeddings b
+            ON a.vec_id < b.vec_id AND ({share_band})
+        ) WHERE cos_sim >= 0.35
+        ORDER BY id1, id2
+    """
+
+
 @register(
     "q_dedup_embedding_lsh",
-    oracle=None,  # LSH-blocked = approximate by construction
-    doc="Embedding-cosine near-dup pairs via RHP-LSH blocking (bucket "
-    "equi-join, no cross join) — the scale path of q_dedup_embedding; "
-    "rows-only driver check, recall pinned by unit tests.",
+    oracle=_embedding_lsh_oracle(),
+    doc="Embedding-cosine near-dup pairs via banded RHP-LSH blocking "
+    "(bucket equi-join, no cross join) — the scale path of "
+    "q_dedup_embedding. The seeded hyperplanes are deterministic, so "
+    "the DuckDB oracle reconstructs the exact same blocking from plane "
+    "literals (value-hash checked).",
 )
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
