@@ -33,6 +33,9 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_supplier_volume",
     "q6_revenue_delta",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q19_disjunctive",
     "q_topk_per_group",
     "q_window_running",
     "q_sessionize",
