@@ -61,6 +61,7 @@ def _load_all() -> None:
         llm_q,
         relational,
         streaming_q,
+        subqueries_q,
         timeseries_q,
         windows_q,
     )
