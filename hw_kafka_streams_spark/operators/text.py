@@ -111,6 +111,33 @@ def lang_id_charset(text: Column | str) -> Column:
     )
 
 
+# PII redaction patterns, applied in this order. Patterns stay inside
+# the RE2 subset (no lookaround/backrefs) so the DuckDB oracle runs the
+# exact same expressions; Java's regex engine agrees on these shapes.
+# Order matters: emails first (they contain dots/digits), then IPs,
+# then SSN-shaped IDs (3-2-4 digits), then +international phones —
+# each later pattern cannot match inside an earlier placeholder.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}(\.\d{1,3}){3}\b", "<IP>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<ID>"),
+    (r"\+\d[\d -]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Mask emails / IPv4s / SSN-shaped IDs / international phone
+    numbers with typed placeholders — the standard pre-training
+    redaction pass. A fold of JVM ``regexp_replace`` calls (same shape
+    as the censor fold, operators/censor.py): narrow map over the
+    scan, no shuffle, whole-stage codegen keeps it pipelined at 100 TB.
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    for pattern, repl in PII_PATTERNS:
+        col = F.regexp_replace(col, pattern, repl)
+    return col
+
+
 def fingerprint(text: Column | str) -> Column:
     """Normalized-content fingerprint: md5 of lowercased,
     whitespace-collapsed text. Stable across engines (md5 is md5);
@@ -118,3 +145,48 @@ def fingerprint(text: Column | str) -> Column:
     """
     col = F.col(text) if isinstance(text, str) else text
     return F.md5(F.encode(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))), "UTF-8"))
+
+
+def repetition_metrics(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document repetition signals (Gopher-rules style):
+
+    - ``n_tokens``        — whitespace token count
+    - ``top_token_ratio`` — most frequent token's share of all tokens
+    - ``dup_bigram_ratio``— 1 − distinct-bigram / total-bigram count
+
+    Both signals need within-document grouping, so the scalable shape
+    is explode + aggregate (the shingle-postings pattern from
+    operators/dedup.py), NOT per-row array HOFs: ``aggregate``/
+    ``transform`` lambdas are interpreted (CodegenFallback) and an
+    array-side distinct is O(len²) per row. Tokens/bigrams are hashed
+    to fixed-width longs before the shuffle; both aggregations and the
+    final join share the id-hash partitioning, so Spark inserts one
+    exchange for the explode and reuses it.
+    """
+    from hw_kafka_streams_spark.operators.dedup import shingle_postings
+
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(word_tokens(F.col(text_col))).alias("tok")
+    ).select("id", F.xxhash64("tok").alias("th"))
+    tok_stats = (
+        toks.groupBy("id", "th")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            (F.max("c") / F.sum("c")).alias("top_token_ratio"),
+        )
+    )
+    bi = shingle_postings(df, text_col, id_col, n=2).groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_bi"),
+        F.count_distinct(F.col("shingle")).alias("n_bi_d"),
+    )
+    dup = F.when(
+        F.col("n_bi") > 0, 1.0 - F.col("n_bi_d") / F.col("n_bi")
+    ).otherwise(0.0)
+    return tok_stats.join(bi, "id", "left").select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        "top_token_ratio",
+        F.coalesce(dup, F.lit(0.0)).alias("dup_bigram_ratio"),
+    )

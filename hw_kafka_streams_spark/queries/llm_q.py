@@ -466,6 +466,93 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_pii_redact",
+    oracle=r"""
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                   'Contact user' || doc_id || '@example.com or 10.0.' ||
+                   (doc_id % 256) || '.7 call +1 555-010-' ||
+                   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                   ' ssn 123-45-6789. ' || text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
+                   '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g'),
+                   '\+\d[\d -]{7,}\d', '<PHONE>', 'g') AS text_redacted
+        FROM documents
+        WHERE doc_id < 200
+        ORDER BY doc_id
+    """,
+    doc="PII redaction pass (emails / IPv4 / SSN-shaped IDs / intl "
+    "phones -> typed placeholders). The corpus is synthetic word-bags, "
+    "so deterministic PII is prepended from doc_id before redacting — "
+    "the oracle replays the same construction and the same RE2-subset "
+    "regexes, so the match verifies the actual redaction semantics.",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
+    with_pii = F.concat(
+        F.lit("Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 call +1 555-010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ssn 123-45-6789. "),
+        F.col("text"),
+    )
+    return docs.select(
+        "doc_id", T.redact_pii(with_pii).alias("text_redacted")
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_text_repetition",
+    oracle=r"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+          FROM documents WHERE doc_id < 200
+        ),
+        cnt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+        tt AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                 round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_token_ratio
+          FROM cnt GROUP BY doc_id
+        ),
+        bi AS (
+          SELECT doc_id,
+                 CASE WHEN len(bl) = 0 THEN 0.0
+                      ELSE round(1.0 - CAST(len(list_distinct(bl)) AS DOUBLE)
+                                 / len(bl), 4) END AS dup_bigram_ratio
+          FROM (SELECT doc_id,
+                       list_transform(list_zip(l[1:len(l)-1], l[2:len(l)]),
+                                      p -> p[1] || ' ' || p[2]) AS bl
+                FROM (SELECT doc_id,
+                             string_split_regex(trim(text), '\s+') AS l
+                      FROM documents WHERE doc_id < 200))
+        )
+        SELECT t.doc_id, t.n_tokens, t.top_token_ratio, b.dup_bigram_ratio
+        FROM tt t JOIN bi b USING (doc_id)
+        ORDER BY doc_id
+    """,
+    doc="Per-document repetition signals (Gopher-rules style): token "
+    "count, top-token share, duplicate-bigram ratio. Spark side uses "
+    "the explode+aggregate shape (operators/text.py "
+    "repetition_metrics) — hashed tokens through one id-partitioned "
+    "shuffle, no per-row array HOFs; the oracle recomputes both "
+    "ratios with DuckDB list functions on the raw strings.",
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
+    m = T.repetition_metrics(docs)
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        F.round("top_token_ratio", 4).alias("top_token_ratio"),
+        F.round("dup_bigram_ratio", 4).alias("dup_bigram_ratio"),
+    ).orderBy("doc_id")
+
+
+@register(
     "q_doc_word_freq",
     oracle="""
         SELECT word, count(*) AS freq, count(DISTINCT doc_id) AS doc_freq
