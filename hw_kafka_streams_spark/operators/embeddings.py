@@ -1,0 +1,95 @@
+"""Embedding-column maintenance ops for training-data pipelines:
+L2 normalization and int8 quantization (the standard storage/ANN
+compression step), with per-vector quality stats.
+
+Kernels are Arrow-batched pandas UDFs (one numpy pass per batch) for
+the same reason as operators/similarity.py: Spark's array HOF
+expressions are CodegenFallback (interpreted per element), while a
+batch matmul/abs/round does the same math 10-100× faster. Narrow map
+over the scan — no shuffle; at 100 TB this pipelines with the
+parquet read.
+
+Quantization contract (mirrored exactly by the DuckDB oracle in
+queries/llm_q.py): scale = 127 / max(|x|); q_i = floor(x_i * scale
++ 0.5) — floor(x+0.5) instead of round() because numpy rounds
+half-to-even while SQL engines round half-away-from-zero; floor(x+0.5)
+is identical everywhere. Zero vectors quantize to zeros (mse 0).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column
+
+
+def _stack(s: pd.Series) -> np.ndarray:
+    return np.array(s.tolist(), dtype=np.float64)
+
+
+def l2_normalize_arrow(vec: Column) -> Column:
+    """Unit-L2 vectors (array<double>); zero vectors pass through."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def _norm(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        A = _stack(v)
+        n = np.sqrt(np.einsum("ij,ij->i", A, A))
+        n[n == 0] = 1.0
+        return pd.Series(list(A / n[:, None]))
+
+    return _norm(vec)
+
+
+def quantize_stats_arrow(vec: Column) -> Column:
+    """Per-vector int8-quantization stats as a struct column:
+
+    - ``norm``    — L2 norm of the input
+    - ``max_abs`` — quantization range (127 / scale)
+    - ``mse_ppm`` — mean squared reconstruction error × 1e6
+
+    One batched numpy pass: quantize, dequantize, compare. The full
+    int8 arrays stay inside the kernel — callers that want the
+    quantized vectors use :func:`quantize_int8_arrow`.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("norm double, max_abs double, mse_ppm double")
+    def _stats(v: pd.Series) -> pd.DataFrame:
+        if len(v) == 0:
+            return pd.DataFrame({"norm": [], "max_abs": [], "mse_ppm": []})
+        A = _stack(v)
+        norm = np.sqrt(np.einsum("ij,ij->i", A, A))
+        max_abs = np.abs(A).max(axis=1)
+        safe = np.where(max_abs == 0, 1.0, max_abs)
+        scale = 127.0 / safe
+        Q = np.floor(A * scale[:, None] + 0.5)
+        DQ = Q / scale[:, None]
+        mse = ((A - DQ) ** 2).mean(axis=1)
+        mse[max_abs == 0] = 0.0
+        return pd.DataFrame(
+            {"norm": norm, "max_abs": max_abs, "mse_ppm": mse * 1e6}
+        )
+
+    return _stats(vec)
+
+
+def quantize_int8_arrow(vec: Column) -> Column:
+    """int8-quantized vectors (array<tinyint>), same contract as
+    :func:`quantize_stats_arrow`."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<tinyint>")
+    def _q(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        A = _stack(v)
+        max_abs = np.abs(A).max(axis=1)
+        safe = np.where(max_abs == 0, 1.0, max_abs)
+        Q = np.floor(A * (127.0 / safe)[:, None] + 0.5).astype(np.int8)
+        return pd.Series(list(Q))
+
+    return _q(vec)

@@ -466,6 +466,43 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_embedding_quantize",
+    oracle="""
+        SELECT vec_id,
+               round(sqrt(list_dot_product(e, e)), 4) AS norm,
+               round(mx, 4) AS max_abs,
+               round(CASE WHEN mx = 0 THEN 0.0
+                          ELSE list_sum(list_transform(e,
+                               x -> pow(x - floor(x * 127 / mx + 0.5) * mx / 127, 2)
+                               )) / len(e) END * 1e6, 4) AS mse_ppm
+        FROM (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS mx
+              FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings))
+        ORDER BY vec_id
+    """,
+    doc="int8 embedding quantization stats (norm / range / reconstruction "
+    "MSE). Arrow-batched numpy kernel (operators/embeddings.py); the "
+    "quantizer uses floor(x+0.5) so numpy and the DuckDB oracle agree "
+    "bit-for-bit on rounding (np.round is half-to-even, SQL round is "
+    "half-away-from-zero).",
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.embeddings import quantize_stats_arrow
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    s = quantize_stats_arrow(F.col("embedding"))
+    return (
+        emb.select("vec_id", s.alias("s"))
+        .select(
+            "vec_id",
+            F.round("s.norm", 4).alias("norm"),
+            F.round("s.max_abs", 4).alias("max_abs"),
+            F.round("s.mse_ppm", 4).alias("mse_ppm"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
     "q_pii_redact",
     oracle=r"""
         SELECT doc_id,
