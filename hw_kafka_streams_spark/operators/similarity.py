@@ -302,6 +302,123 @@ def ivf_topk(
     )
 
 
+def nearest_centroid_arrow(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid id by squared L2 (ties → smaller cid, numpy
+    argmin). One batched (n × k × d) distance computation per Arrow
+    batch — the assignment kernel for Lloyd iterations and IVF
+    indexing."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+
+    @pandas_udf("int")
+    def _nearest(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        A = _stack(v)  # (n, dim)
+        d = ((A[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)  # (n, k)
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    return _nearest(vec)
+
+
+def lloyd_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    iters: int = 2,
+) -> list[list[float]]:
+    """Deterministic Lloyd k-means, built to have an exact SQL twin:
+
+    - init: the ``n_centroids`` corpus vectors with the smallest ids
+      (no RNG — reproducible by ``ORDER BY id LIMIT k``);
+    - ``iters`` unrolled assign→mean rounds; assignment by squared L2
+      with ties to the smaller cid; per-dimension means ROUNDED to 6
+      decimals so float summation order (Spark partial aggs vs a
+      sequential SQL engine) cannot flip a boundary assignment in the
+      next round;
+    - empty clusters keep their previous centroid.
+
+    Each round is one distributed assignment pass (Arrow argmin
+    kernel) + one (cid, dim) mean aggregation; only the k×dim centroid
+    table is collected per round (same driver-side-literal pattern as
+    the pyspark.ml path). pyspark.ml KMeans (k-means|| init) remains
+    the production trainer — this variant exists so the full IVF
+    pipeline can be value-hash verified against DuckDB.
+    """
+    e = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cents = [r.v for r in e.orderBy("id").limit(n_centroids).collect()]
+    for _ in range(iters):
+        assigned = e.select(nearest_centroid_arrow(F.col("v"), cents).alias("cid"), "v")
+        rows = (
+            assigned.select("cid", F.posexplode("v").alias("d", "val"))
+            .groupBy("cid", "d")
+            .agg(F.round(F.avg("val"), 6).alias("c"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "c"))).alias("dc"))
+            .collect()
+        )
+        new = {r.cid: [x.c for x in r.dc] for r in rows}
+        cents = [new.get(i, cents[i]) for i in range(n_centroids)]
+    return cents
+
+
+def ivf_topk_det(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF top-k with the deterministic Lloyd trainer — same index/
+    probe/re-rank plan as :func:`ivf_topk`, but every stage (training
+    included) is reproducible in ANSI SQL, so the whole pipeline is
+    value-hash oracle-checkable."""
+    cents = lloyd_centroids(corpus, id_col, vec_col, n_centroids, iters)
+    indexed = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        nearest_centroid_arrow(F.col(vec_col).cast("array<double>"), cents).alias("cid"),
+    )
+    qv = F.col("qvec").cast("array<double>")
+    scored = F.array(
+        *[
+            F.struct(
+                (-cosine(qv, F.array(*[F.lit(float(x)) for x in c]))).alias("negsim"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    probes = F.slice(F.array_sort(scored), 1, n_probe)
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        .select("query_id", "qvec", F.explode(probes).alias("p"))
+        .select("query_id", "qvec", F.col("p.cid").alias("cid"))
+    )
+    cand = (
+        indexed.join(F.broadcast(q), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_arrow(F.col("qvec"), F.col("cvec")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
 def build_ivf_index(
     corpus: DataFrame,
     path: str,

@@ -465,6 +465,86 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _ivf_det_oracle(n_centroids: int = 8, n_probe: int = 2, k: int = 5, iters: int = 2) -> str:
+    """Exact DuckDB twin of the deterministic-Lloyd IVF pipeline
+    (operators/similarity.py ivf_topk_det): same lowest-id init, the
+    same unrolled assign→6dp-rounded-mean rounds (empty clusters keep
+    their previous centroid), the same final index assignment, probe
+    selection, and exact-cosine re-rank."""
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+             FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {n_centroids}))""",
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""a{i} AS (SELECT vec_id, v,
+               (SELECT cid FROM {prev} ORDER BY list_distance(e{i}.v, {prev}.c), cid
+                LIMIT 1) AS cid
+             FROM e e{i})"""
+        )
+        parts.append(
+            f"""m{i} AS (SELECT cid, idx, round(avg(val), 6) AS cval
+             FROM (SELECT cid, unnest(v) AS val, generate_subscripts(v, 1) AS idx
+                   FROM a{i})
+             GROUP BY cid, idx)"""
+        )
+        parts.append(
+            f"""c{i} AS (SELECT {prev}.cid, coalesce(mm.c, {prev}.c) AS c
+             FROM {prev} LEFT JOIN
+                  (SELECT cid, list(cval ORDER BY idx) AS c FROM m{i} GROUP BY cid) mm
+             USING (cid))"""
+        )
+        prev = f"c{i}"
+    parts.append(
+        f"""idx AS (SELECT vec_id, v,
+           (SELECT cid FROM {prev} ORDER BY list_distance(ee.v, {prev}.c), cid
+            LIMIT 1) AS cid
+         FROM e ee)"""
+    )
+    parts.append(
+        f"""probes AS (SELECT q.vec_id AS query_id, q.v AS qv, p.cid
+         FROM e q, LATERAL (SELECT cid FROM {prev}
+                            ORDER BY list_cosine_similarity(q.v, {prev}.c) DESC, cid
+                            LIMIT {n_probe}) p
+         WHERE q.vec_id < 10)"""
+    )
+    parts.append(
+        """cand AS (SELECT query_id, i.vec_id AS neighbor_id,
+                round(list_cosine_similarity(qv, i.v), 4) AS cos_sim
+         FROM probes JOIN idx i USING (cid)
+         WHERE i.vec_id <> probes.query_id)"""
+    )
+    ctes = ",\n        ".join(parts)
+    return f"""
+        {ctes}
+        SELECT query_id, neighbor_id, cos_sim, rnk
+        FROM (SELECT *, CAST(row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rnk
+              FROM cand)
+        WHERE rnk <= {k}
+        ORDER BY query_id, rnk
+    """
+
+
+@register(
+    "q_similarity_ivf_det",
+    oracle=_ivf_det_oracle(),
+    doc="IVF ANN search with a deterministic Lloyd trainer — the whole "
+    "pipeline (train → index → probe → exact-cosine re-rank) has an "
+    "exact DuckDB twin, so even the iterative-training path is "
+    "value-hash oracled. q_similarity_ivf_topk keeps the pyspark.ml "
+    "k-means|| trainer as the production path (rows-only: seeded "
+    "distributed init isn't SQL-reproducible).",
+)
+def q_similarity_ivf_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ivf_topk_det(queries, emb, k=5).orderBy("query_id", "rnk")
+
+
 @register(
     "q_embedding_quantize",
     oracle="""
