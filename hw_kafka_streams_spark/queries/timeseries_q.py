@@ -126,3 +126,65 @@ def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_retention_cohort",
+    oracle="""
+        WITH ue AS (
+          SELECT user_id, date_trunc('week', ts) AS wk
+          FROM events GROUP BY 1, 2
+        ),
+        c AS (SELECT user_id, min(wk) AS cohort_wk FROM ue GROUP BY 1)
+        SELECT CAST(floor(epoch(cohort_wk)) AS BIGINT) AS cohort_s,
+               CAST(date_diff('day', cohort_wk, wk) / 7 AS INT) AS week_offset,
+               count(*) AS n_users
+        FROM ue JOIN c USING (user_id)
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    doc="Retention cohort matrix: users bucketed by first-activity week, "
+    "counted per week offset. Two aggregations + one join, all keyed on "
+    "user_id — the per-user shuffle is reused by the join (AQE sees the "
+    "partitioning); the final (cohort, offset) agg is tiny.",
+)
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    ue = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    cohort = ue.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        ue.join(cohort, "user_id")
+        .groupBy(
+            F.unix_timestamp("cohort_wk").alias("cohort_s"),
+            (F.datediff("wk", "cohort_wk") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_s", "week_offset")
+    )
+
+
+@register(
+    "q_hll_partial_union",
+    oracle=None,  # sketch bytes are engine-specific; tolerance-tested
+    doc="Mergeable distinct-count sketches (Spark 4 DataSketches HLL): "
+    "per-event-type sketches + a grand total via hll_union_agg over the "
+    "partial sketches — the re-aggregatable rollup pattern that lets "
+    "100 TB daily partial sketches fold into monthly/era totals without "
+    "re-scanning raw data. Estimates vs exact asserted within 2% in "
+    "tests/test_extras.py.",
+)
+def q_hll_partial_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    detail = per_type.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("n_distinct_users")
+    )
+    total = per_type.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("__all__").alias("event_type"),
+        F.hll_sketch_estimate("sk").alias("n_distinct_users"),
+    )
+    return detail.unionByName(total).orderBy("event_type")

@@ -181,3 +181,19 @@ def test_approx_percentile_rank_accuracy(spark, sf_dir):
         for name, p in [("p25", 0.25), ("p50", 0.50), ("p90", 0.90), ("p99", 0.99)]:
             rank = sum(1 for v in vs if v <= ps[name]) / len(vs)
             assert p - 0.02 <= rank <= p + 0.02 or rank >= p, (et, name, rank)
+
+
+def test_hll_partial_union_within_tolerance(spark, sf_dir):
+    from hw_kafka_streams_spark.queries import REGISTRY
+    from hw_kafka_streams_spark.sources.catalog import load_table
+
+    _load_all()
+    rows = {
+        r["event_type"]: r["n_distinct_users"]
+        for r in REGISTRY["q_hll_partial_union"].fn(spark, sf_dir).collect()
+    }
+    e = load_table(spark, "events", sf_dir)
+    exact_all = e.select("user_id").distinct().count()
+    assert abs(rows["__all__"] - exact_all) / max(exact_all, 1) < 0.02
+    for r in e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect():
+        assert abs(rows[r["event_type"]] - r["n"]) / max(r["n"], 1) < 0.02
