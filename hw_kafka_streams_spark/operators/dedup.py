@@ -245,6 +245,15 @@ def minhash_lsh_pairs(
     optionally verified with the exact signature-estimated Jaccard
     (fraction of agreeing minima). Sub-quadratic end to end; hot
     buckets larger than ``max_bucket`` are dropped (skew guard).
+
+    Shuffle-shape note: signatures are CARRIED through the band
+    shuffle (bands × k longs per doc) so the estimate needs no second
+    join. The alternative — shuffle (band, bucket, id) only and join
+    signatures back onto the deduped pair set — moves ~30× fewer
+    bytes per doc but adds two joins; measured at sf0.1 it is ~30%
+    slower (1.8 s vs 2.3 s), so carry wins below ~10⁸ docs. At
+    crawl scale (10⁹+ docs, where bands×k×8 B/doc of shuffle
+    dominates) flip to the join-back shape.
     """
     rows_per_band = MINHASH_K // bands
     sig = minhash_signatures(df, text_col, id_col, n, hash_mode=hash_mode)

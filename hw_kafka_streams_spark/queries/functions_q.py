@@ -228,6 +228,48 @@ def q_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_json_corrupt_handling",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(CASE WHEN NOT json_valid(s) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_corrupt,
+               round(avg(CASE WHEN json_valid(s)
+                              THEN CAST(json_extract_string(s, '$.k') AS INT)
+                         END), 4) AS avg_k
+        FROM (SELECT event_type,
+                     CASE WHEN event_id % 7 = 0 THEN '{oops' || props
+                          ELSE props END AS s
+              FROM events)
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc="Malformed-record tolerance (PERMISSIVE semantics): a "
+    "deterministic 1-in-7 subset of props is corrupted, from_json "
+    "yields NULL for those rows instead of failing the job, and the "
+    "aggregate counts corrupt vs parsed per group — the posture a "
+    "100 TB crawl ingest needs (bad records quarantined, not fatal). "
+    "The oracle reproduces the corruption and gates on json_valid.",
+)
+def q_json_corrupt_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    s = F.when(F.col("event_id") % 7 == 0, F.concat(F.lit("{oops"), F.col("props"))).otherwise(
+        F.col("props")
+    )
+    k = F.from_json(s, "k INT").getField("k")
+    return (
+        e.select("event_type", s.alias("s"), k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("k").isNull().cast("int")).cast("bigint").alias("n_corrupt"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "q_array_funcs",
     oracle="""
         SELECT vec_id,
