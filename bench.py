@@ -94,17 +94,95 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_steady",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_of(sf_dir),
-            }
-        )
+    out = {
+        "metric": "headline_queries_total_wall_steady",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(sf_dir),
+    }
+    try:
+        out["stream"] = _stream_bench(spark)
+    except Exception as exc:  # never let the stream probe break the contract
+        out["stream"] = {"error": str(exc)[:200]}
+    print(json.dumps(out))
+
+
+def _stream_bench(spark, seconds: float = 5.0) -> dict:
+    """Streaming throughput through the reference censor/block topology.
+
+    Rate source at effectively-unbounded rowsPerSecond (so the engine,
+    not the source, is the limiter) → decode-shape projection →
+    broadcast LEFT ANTI block join → censor fold → foreachBatch count
+    sink (forces full execution without driver collect). Reported rps
+    is processed rows / wall — the single-node micro-batch capacity of
+    the reference's end-to-end dataflow (its own baseline is 4 msgs in
+    ≤1 s, BASELINE.md).
+    """
+    import tempfile
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from hw_kafka_streams_spark.streaming.pipeline import filtered_messages
+
+    words = ["data", "model", "training", "spark", "fast"]
+    blocked = spark.createDataFrame(
+        [(f"u{i}:u{i + 1}", "block") for i in range(0, 50, 2)],
+        "key string, value string",
     )
+    rate = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 2_000_000)
+        .option("numPartitions", 16)
+        .load()
+    )
+    msgs = rate.select(
+        F.concat(F.lit("u"), (F.col("value") % 100).cast("string")).alias("sender"),
+        F.concat(
+            F.lit("msg about data and model training run "),
+            F.col("value").cast("string"),
+        ).alias("text"),
+        F.concat(F.lit("u"), ((F.col("value") + 1) % 100).cast("string")).alias(
+            "receiver"
+        ),
+    )
+    out = filtered_messages(msgs, blocked, words)
+    best = None
+    # Two full query runs, best-of: run 1 pays stream-side codegen and
+    # foreachBatch plumbing warmup (measured ~4x slower), steady state
+    # is the honest capacity number.
+    for _ in range(2):
+        state = {"rows": 0, "batches": 0}
+
+        def _sink(batch_df, _batch_id):
+            state["rows"] += batch_df.count()
+            state["batches"] += 1
+
+        q = (
+            out.writeStream.foreachBatch(_sink)
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="bench_stream_ckpt_")
+            )
+            .start()
+        )
+        # Fixed-size microbatches (rate-micro-batch): run `target`
+        # batches, timing from query start so planning amortizes in.
+        target, deadline = 3, _t.perf_counter() + 60
+        t0 = _t.perf_counter()
+        while state["batches"] < target and _t.perf_counter() < deadline:
+            _t.sleep(0.1)
+        wall = _t.perf_counter() - t0
+        q.stop()
+        q.awaitTermination(30)
+        run = {
+            "rows": state["rows"],
+            "wall_s": round(wall, 2),
+            "rows_per_sec": int(state["rows"] / wall) if wall > 0 else 0,
+        }
+        if best is None or run["rows_per_sec"] > best["rows_per_sec"]:
+            best = run
+    return best
 
 
 if __name__ == "__main__":
