@@ -28,6 +28,28 @@ def _stack(s: pd.Series) -> np.ndarray:
     return np.array(s.tolist(), dtype=np.float64)
 
 
+def quantize_np(A: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Pure-numpy quantization kernel shared by the UDFs (and
+    property-tested Spark-free in tests/test_properties.py).
+
+    Returns (Q int8, norm, max_abs, mse) for a (n, dim) float64 batch.
+    """
+    norm = np.sqrt(np.einsum("ij,ij->i", A, A))
+    max_abs = np.abs(A).max(axis=1)
+    # Vectors with subnormal-or-zero range quantize to zeros: 127/x
+    # overflows to inf below ~1e-306 (found by hypothesis), and such a
+    # vector carries no signal anyway.
+    degenerate = max_abs < 1e-300
+    safe = np.where(degenerate, 1.0, max_abs)
+    scale = 127.0 / safe
+    Q = np.floor(A * scale[:, None] + 0.5)
+    Q[degenerate] = 0.0
+    DQ = Q / scale[:, None]
+    mse = ((A - DQ) ** 2).mean(axis=1)
+    mse[degenerate] = 0.0
+    return Q.astype(np.int8), norm, max_abs, mse
+
+
 def l2_normalize_arrow(vec: Column) -> Column:
     """Unit-L2 vectors (array<double>); zero vectors pass through."""
     from pyspark.sql.functions import pandas_udf
@@ -61,15 +83,7 @@ def quantize_stats_arrow(vec: Column) -> Column:
     def _stats(v: pd.Series) -> pd.DataFrame:
         if len(v) == 0:
             return pd.DataFrame({"norm": [], "max_abs": [], "mse_ppm": []})
-        A = _stack(v)
-        norm = np.sqrt(np.einsum("ij,ij->i", A, A))
-        max_abs = np.abs(A).max(axis=1)
-        safe = np.where(max_abs == 0, 1.0, max_abs)
-        scale = 127.0 / safe
-        Q = np.floor(A * scale[:, None] + 0.5)
-        DQ = Q / scale[:, None]
-        mse = ((A - DQ) ** 2).mean(axis=1)
-        mse[max_abs == 0] = 0.0
+        _, norm, max_abs, mse = quantize_np(_stack(v))
         return pd.DataFrame(
             {"norm": norm, "max_abs": max_abs, "mse_ppm": mse * 1e6}
         )
@@ -86,10 +100,7 @@ def quantize_int8_arrow(vec: Column) -> Column:
     def _q(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype="object")
-        A = _stack(v)
-        max_abs = np.abs(A).max(axis=1)
-        safe = np.where(max_abs == 0, 1.0, max_abs)
-        Q = np.floor(A * (127.0 / safe)[:, None] + 0.5).astype(np.int8)
+        Q, _, _, _ = quantize_np(_stack(v))
         return pd.Series(list(Q))
 
     return _q(vec)

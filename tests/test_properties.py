@@ -78,3 +78,46 @@ def test_mask_agrees_with_regex_reference(t, words):
             start = i + 1  # overlapping occurrences too
     expect = "".join("*" if m else c for c, m in zip(t, masked_ref))
     assert ac.mask(t) == expect, (t, words)
+
+
+# --- embedding quantization kernel (pure numpy, Spark-free) -----------------
+
+import numpy as np
+
+from hw_kafka_streams_spark.operators.embeddings import quantize_np
+
+finite = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+vec = st.lists(finite, min_size=1, max_size=32)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(vec.map(lambda v: v), min_size=1, max_size=8).filter(
+    lambda vs: len({len(v) for v in vs}) == 1
+))
+def test_quantize_bounds_and_error(vs):
+    A = np.array(vs, dtype=np.float64)
+    Q, norm, max_abs, mse = quantize_np(A)
+    assert Q.dtype == np.int8
+    assert np.all(np.abs(Q.astype(np.int64)) <= 127)
+    # per-element reconstruction error is at most half a quant step
+    step = np.where(max_abs < 1e-300, 0.0, max_abs / 127.0)
+    assert np.all(mse <= (0.5 * step) ** 2 + 1e-18)
+    # zero/degenerate vectors quantize to exact zeros
+    assert np.all(Q[max_abs < 1e-300] == 0)
+
+
+@settings(max_examples=200, deadline=None)
+@given(vec)
+def test_quantize_roundtrip_idempotent(v):
+    # Quantizing the dequantized vector reproduces the same codes:
+    # dequantization preserves max_abs (the extreme element hits ±127
+    # exactly), so the grid is identical on the second pass and every
+    # grid point maps to itself.
+    A = np.array([v], dtype=np.float64)
+    Q, _, max_abs, _ = quantize_np(A)
+    safe = np.where(max_abs == 0, 1.0, max_abs)
+    DQ = Q.astype(np.float64) * (safe / 127.0)[:, None]
+    Q2, _, _, _ = quantize_np(DQ)
+    assert np.array_equal(Q, Q2)
