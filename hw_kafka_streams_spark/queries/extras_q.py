@@ -353,3 +353,31 @@ def q_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sender")
     )
+
+
+@register(
+    "q_provenance",
+    oracle="""
+        SELECT 'lineitem.parquet' AS file_name, count(*) AS n_rows FROM lineitem
+        UNION ALL
+        SELECT 'orders.parquet' AS file_name, count(*) AS n_rows FROM orders
+        ORDER BY file_name
+    """,
+    doc="Source-file provenance: per-input-file row accounting via "
+    "input_file_name() — the lineage column a crawl pipeline tags onto "
+    "every record so bad shards can be traced and re-pulled. Costless "
+    "at scan time (no shuffle added beyond the count). The tables are "
+    "single parquet files, so the oracle pins the expected basenames "
+    "as constants against plain view counts.",
+)
+def q_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    fname = F.regexp_extract(F.input_file_name(), r"[^/]+$", 0).alias("file_name")
+    return (
+        li.select(fname)
+        .unionAll(o.select(fname))
+        .groupBy("file_name")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("file_name")
+    )

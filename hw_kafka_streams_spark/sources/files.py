@@ -84,3 +84,38 @@ def write_files(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+) -> None:
+    """MERGE-style upsert into a parquet target: rows whose key appears
+    in ``updates`` are replaced, new keys are appended.
+
+    No table format ships in this container, so the engine-native plan
+    is LEFT ANTI(target, update-keys) ⊎ updates → rewrite — the same
+    logical MERGE a lakehouse runs, minus file-level pruning. The write
+    goes to a staging dir first and swaps in atomically (rename), so a
+    failed job never truncates the target; this is also the
+    ``foreachBatch`` building block for idempotent streaming upserts
+    (re-running a batch re-applies the same keys — convergent).
+
+    At 100 TB: use Delta/Iceberg MERGE (txn log + file skipping keeps
+    the rewrite proportional to touched files, not the table); the
+    declarative shape here translates 1:1.
+    """
+    import os
+    import shutil
+
+    tgt = spark.read.parquet(path)
+    keep = tgt.join(updates.select(*keys).distinct(), keys, "left_anti")
+    out = keep.unionByName(updates)
+    staging = path.rstrip("/") + ".__staging__"
+    out.write.mode("overwrite").parquet(staging)
+    old = path.rstrip("/") + ".__old__"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)

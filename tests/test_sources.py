@@ -143,3 +143,32 @@ def test_custom_datasource_filter_pushdown(spark):
     rows = df.collect()
     assert rows and all(r.sender == "login3" for r in rows)
     assert len(rows) == 100  # 700 seqs, 7 senders round-robin
+
+
+def test_merge_upsert_replaces_and_appends(spark, tmp_path):
+    from hw_kafka_streams_spark.sources.files import merge_upsert
+
+    path = str(tmp_path / "target")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    ).write.parquet(path)
+    updates = spark.createDataFrame([(2, "B"), (4, "d")], "k int, v string")
+    merge_upsert(spark, path, updates, ["k"])
+    got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
+    # idempotent: re-applying the same updates converges to the same state
+    merge_upsert(spark, path, updates, ["k"])
+    got2 = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert got2 == got
+
+
+def test_schema_evolution_merge_schema(spark, tmp_path):
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "k int, v string").write.parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "k int, v string, score double"
+    ).write.mode("append").parquet(path)
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(df.columns) == {"k", "v", "score"}
+    rows = {r.k: (r.v, r.score) for r in df.collect()}
+    assert rows[1] == ("a", None) and rows[2] == ("b", 9.5)
