@@ -912,3 +912,83 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+
+
+@register(
+    "q9_profit_by_nation_year",
+    oracle="""
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INT) AS o_year,
+               round(sum(l_extendedprice * (1 - l_discount)
+                         - 0.5 * p_retailprice * l_quantity), 2) AS profit_proxy
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        WHERE p_name LIKE '%5%'
+        GROUP BY 1, 2
+        ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H Q9 shape: profit by supplier nation and order year over a "
+    "5-way join (no partsupp table — supply cost proxied from "
+    "p_retailprice). Dims broadcast; facts shuffle on orderkey; the "
+    "LIKE filter prunes part before the join.",
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_name").like("%5%"))
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.5 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("profit_proxy"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "q12_priority_by_linestatus",
+    oracle="""
+        SELECT l_linestatus,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+    """,
+    doc="TPC-H Q12 shape: priority-class line counts per linestatus "
+    "(ship-mode column absent — linestatus is the grouping analog). "
+    "Conditional aggregation over the orders⋈lineitem fact join.",
+)
+def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    o = load_table(spark, "orders", sf_dir)
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(is_high.cast("int")).alias("high_line_count"),
+            F.sum((~is_high).cast("int")).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )

@@ -119,3 +119,29 @@ def merge_upsert(
     os.rename(path, old)
     os.rename(staging, path)
     shutil.rmtree(old)
+
+
+def delete_rows(
+    spark: SparkSession,
+    path: str,
+    keys_df: DataFrame,
+    keys: list[str],
+) -> None:
+    """GDPR-style hard delete from a parquet target: every row whose
+    key appears in ``keys_df`` is removed (anti-join rewrite, staged
+    atomic swap like :func:`merge_upsert`). Idempotent — re-running
+    with the same key set is a no-op. At 100 TB a table format's
+    DELETE does the same rewrite with file pruning; the anti-join
+    shape is identical.
+    """
+    import os
+    import shutil
+
+    tgt = spark.read.parquet(path)
+    keep = tgt.join(keys_df.select(*keys).distinct(), keys, "left_anti")
+    staging = path.rstrip("/") + ".__staging__"
+    keep.write.mode("overwrite").parquet(staging)
+    old = path.rstrip("/") + ".__old__"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)

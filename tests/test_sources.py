@@ -172,3 +172,18 @@ def test_schema_evolution_merge_schema(spark, tmp_path):
     assert set(df.columns) == {"k", "v", "score"}
     rows = {r.k: (r.v, r.score) for r in df.collect()}
     assert rows[1] == ("a", None) and rows[2] == ("b", 9.5)
+
+
+def test_delete_rows_removes_keys_idempotently(spark, tmp_path):
+    from hw_kafka_streams_spark.sources.files import delete_rows
+
+    path = str(tmp_path / "target_del")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    ).write.parquet(path)
+    doomed = spark.createDataFrame([(2,), (9,)], "k int")
+    delete_rows(spark, path, doomed, ["k"])
+    got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"), (3, "c")}
+    delete_rows(spark, path, doomed, ["k"])
+    assert {(r.k, r.v) for r in spark.read.parquet(path).collect()} == got
