@@ -188,3 +188,52 @@ def q_hll_partial_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("sk").alias("n_distinct_users"),
     )
     return detail.unionByName(total).orderBy("event_type")
+
+
+@register(
+    "q_scd2_intervals",
+    oracle="""
+        WITH e AS (SELECT user_id, event_id, ts, event_type
+                   FROM events WHERE user_id <= 30),
+        m AS (SELECT *, CASE WHEN lag(event_type) OVER
+                                  (PARTITION BY user_id ORDER BY ts, event_id)
+                                  IS DISTINCT FROM event_type
+                             THEN 1 ELSE 0 END AS chg
+              FROM e),
+        s AS (SELECT *, sum(chg) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS seg
+              FROM m)
+        SELECT user_id, CAST(seg AS INT) AS seg, event_type,
+               CAST(floor(epoch(min(ts))) AS BIGINT) AS valid_from_s,
+               CAST(floor(epoch(max(ts))) AS BIGINT) AS valid_to_s,
+               count(*) AS n_events
+        FROM s
+        GROUP BY user_id, seg, event_type
+        ORDER BY user_id, seg
+    """,
+    doc="SCD2-style validity intervals: per user, consecutive runs of "
+    "the same event_type become (valid_from, valid_to) rows — change "
+    "points via lag, run ids via a running sum, then one aggregation. "
+    "The standard build for temporal/slowly-changing dimensions; all "
+    "windows share the (user_id | ts, event_id) sort so Spark sorts "
+    "each partition once.",
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir).filter(F.col("user_id") <= 30)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type"))
+    ).cast("int")
+    seg = F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        e.select("user_id", "event_id", "ts", "event_type", seg.alias("seg"))
+        .groupBy("user_id", F.col("seg").cast("int").alias("seg"), "event_type")
+        .agg(
+            F.unix_timestamp(F.min("ts")).alias("valid_from_s"),
+            F.unix_timestamp(F.max("ts")).alias("valid_to_s"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "seg")
+    )
