@@ -339,9 +339,11 @@ def q_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # MessageGenBatchReader implements pushFilters(); planning it on a
     # vanilla session fails with DATA_SOURCE_PUSHDOWN_DISABLED unless the
-    # (runtime-settable) flag is on. Set it here so the query is
-    # session-config-independent.
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    # (runtime-settable) flag is on. Guarded set (conf.set invalidates
+    # cached plan state) so the query is session-config-independent.
+    key = "spark.sql.python.filterPushdown.enabled"
+    if spark.conf.get(key, "false") != "true":
+        spark.conf.set(key, "true")
     spark.dataSource.register(MessageGenDataSource)
     df = spark.read.format("message_gen").option("n", 1000).load()
     return (

@@ -47,7 +47,11 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     if name == "events":
         # events.parquet stores ts as INT64 TIMESTAMP(NANOS); without this
         # flag a vanilla session fails the read with PARQUET_TYPE_ILLEGAL.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Guarded set: conf.set invalidates cached plan state, so only
+        # touch it when the session actually lacks the flag.
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        if spark.conf.get(key, "false") != "true":
+            spark.conf.set(key, "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # ts is TIMESTAMP(NANOS) on disk, surfaced as nano-epoch long
