@@ -1,0 +1,68 @@
+"""Iterative graph computation on DataFrames: weighted PageRank.
+
+Complements the connected-components labeling in operators/dedup.py
+(the other iterative graph op): PR is the canonical "loop of join +
+aggregate" workload. Each iteration is one shuffle-join of ranks onto
+edges plus one groupBy(dst) sum — both partition on the same node key,
+so Spark reuses the exchange layout across iterations. For a fixed
+small iteration count nothing is checkpointed; long chains should
+``localCheckpoint`` every few rounds (see dedup.label_clusters for the
+measured reasoning).
+
+Determinism contract (mirrored by the DuckDB oracle in
+queries/extras_q.py): ranks are rounded to 6 decimals after every
+iteration, so float summation order — Spark partial aggregation vs a
+sequential engine — cannot drift a boundary; the oracle unrolls the
+same number of iterations as plain CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Weighted PageRank over an edge list; returns (node, rank).
+
+    Nodes are the union of src/dst endpoints. rank_{t+1}(v) =
+    (1-d)/N + d * Σ_{u→v} rank_t(u) · w(u,v) / outw(u). Dangling
+    nodes (no out-edges) contribute nothing — acceptable for the
+    symmetric co-occurrence graphs this engine builds, where every
+    node has out-degree ≥ 1.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    n = nodes.count()  # one small job; N is a plan literal afterwards
+    outw = edges.groupBy(src).agg(F.sum(weight).alias("outw"))
+    norm_edges = edges.join(outw, src).select(
+        F.col(src).alias("e_src"),
+        F.col(dst).alias("e_dst"),
+        (F.col(weight) / F.col("outw")).alias("share"),
+    )
+    ranks = nodes.select("node", F.round(F.lit(1.0 / n), 6).alias("rank"))
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        contrib = (
+            norm_edges.join(ranks, norm_edges.e_src == ranks.node)
+            .groupBy(F.col("e_dst").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("share")).alias("inflow"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            F.round(
+                F.lit(base) + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0)),
+                6,
+            ).alias("rank"),
+        )
+    return ranks

@@ -383,3 +383,78 @@ def q_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .orderBy("file_name")
     )
+
+
+def _pagerank_oracle(damping: float = 0.85, iters: int = 3) -> str:
+    """Unrolled-CTE twin of operators/graph.pagerank over the supplier
+    co-occurrence graph: identical init, per-iteration 6dp rounding,
+    and dangling-free symmetric edges, so the ranks match bit-for-bit
+    after rounding."""
+    ctes = [
+        "WITH lp AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)",
+        """e AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst,
+                CAST(count(*) AS DOUBLE) AS w
+         FROM lp a JOIN lp b
+           ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+         GROUP BY 1, 2)""",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "outw AS (SELECT src, sum(w) AS ow FROM e GROUP BY 1)",
+        """ne AS (SELECT e.src, e.dst, e.w / o.ow AS share
+         FROM e JOIN outw o ON e.src = o.src)""",
+        "r0 AS (SELECT node, round(1.0 / nn.n, 6) AS rank FROM nodes, nn)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""r{i} AS (SELECT nodes.node,
+               round((1 - {damping}) / nn.n + {damping} * coalesce(c.inflow, 0.0), 6)
+                 AS rank
+         FROM nodes CROSS JOIN nn
+         LEFT JOIN (SELECT ne.dst AS node, sum(r{i - 1}.rank * ne.share) AS inflow
+                    FROM ne JOIN r{i - 1} ON ne.src = r{i - 1}.node
+                    GROUP BY 1) c
+           ON c.node = nodes.node)"""
+        )
+    body = ",\n        ".join(ctes)
+    return f"""
+        {body}
+        SELECT node AS s_suppkey, round(rank, 4) AS rank
+        FROM r{iters}
+        ORDER BY rank DESC, s_suppkey
+    """
+
+
+@register(
+    "q_pagerank_suppliers",
+    oracle=_pagerank_oracle(),
+    doc="Weighted PageRank (3 iterations, d=0.85) over the supplier "
+    "co-occurrence graph (edge = two suppliers sharing an order, "
+    "weight = shared-order count). The iterative join+aggregate loop "
+    "runs on DataFrames (operators/graph.py) with per-iteration 6dp "
+    "rank rounding so the unrolled-CTE oracle matches exactly — the "
+    "second iterative algorithm with a full SQL twin (alongside the "
+    "Lloyd-IVF trainer and the recursive-CTE-oracled components).",
+)
+def q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.graph import pagerank
+
+    lp = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = lp.select(
+        F.col("l_orderkey").alias("o1"), F.col("l_suppkey").alias("src")
+    )
+    b = lp.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("dst")
+    )
+    edges = (
+        a.join(b, (F.col("o1") == F.col("o2")) & (F.col("src") != F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    pr = pagerank(edges, damping=0.85, iters=3)
+    return pr.select(
+        F.col("node").alias("s_suppkey"), F.round("rank", 4).alias("rank")
+    ).orderBy(F.desc("rank"), "s_suppkey")

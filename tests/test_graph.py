@@ -1,0 +1,31 @@
+"""Unit tests for the PageRank operator."""
+
+from __future__ import annotations
+
+from hw_kafka_streams_spark.operators.graph import pagerank
+
+
+def test_pagerank_mass_conserved_on_symmetric_graph(spark):
+    # triangle (symmetric, dangling-free): mass stays ~1, symmetry
+    # means the uniform distribution is stationary.
+    edges = spark.createDataFrame(
+        [(a, b, 1.0) for a in (1, 2, 3) for b in (1, 2, 3) if a != b],
+        "src int, dst int, w double",
+    )
+    ranks = {r.node: r.rank for r in pagerank(edges, iters=5).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-4
+    for v in ranks.values():
+        assert abs(v - 1 / 3) < 1e-4
+
+
+def test_pagerank_favors_high_indegree(spark):
+    # star: everyone points at hub 0 (and hub points back so nothing
+    # dangles); the hub must outrank the leaves.
+    leaves = [1, 2, 3, 4]
+    edges = spark.createDataFrame(
+        [(leaf, 0, 1.0) for leaf in leaves] + [(0, leaf, 1.0) for leaf in leaves],
+        "src int, dst int, w double",
+    )
+    ranks = {r.node: r.rank for r in pagerank(edges, iters=5).collect()}
+    assert all(ranks[0] > ranks[leaf] for leaf in leaves)
+    assert abs(sum(ranks.values()) - 1.0) < 1e-4
