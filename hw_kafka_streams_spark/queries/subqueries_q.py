@@ -436,3 +436,121 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+# --------------------------------------------------------------------------
+# Q11 shape: group share vs a global scalar aggregate
+# --------------------------------------------------------------------------
+
+@register(
+    "q11_important_parts",
+    oracle="""
+        WITH nat AS (
+            SELECT l_partkey, l_extendedprice * (1 - l_discount) AS val
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name IN ('NATION_3', 'NATION_7')
+        )
+        SELECT l_partkey AS partkey, round(sum(val), 2) AS part_value
+        FROM nat
+        GROUP BY l_partkey
+        HAVING sum(val) > (SELECT sum(val) * 0.002 FROM nat)
+        ORDER BY part_value DESC, partkey
+    """,
+    doc="TPC-H Q11 shape (KafkaStreamApp.java has no aggregation surface; "
+    "this is north-star relational coverage): per-part value share vs a "
+    "global scalar subquery threshold. Decorrelated: the 1-row global "
+    "sum is broadcast cross-joined — no per-group re-scan. Both "
+    "aggregates shuffle once on l_partkey / reduce to 1 row; at 100 TB "
+    "AQE reuses the filtered-scan exchange for the two branches.",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir).filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    nat = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "l_partkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val"),
+        )
+    )
+    per_part = nat.groupBy("l_partkey").agg(F.sum("val").alias("_pv"))
+    total = nat.agg((F.sum("val") * F.lit(0.002)).alias("_threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("_pv") > F.col("_threshold"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round("_pv", 2).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20 shape: nested IN subqueries (suppliers shipping an outsized share)
+# --------------------------------------------------------------------------
+
+@register(
+    "q20_excess_suppliers",
+    oracle="""
+        SELECT s_name, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name LIKE 'NATION_1%'
+          AND s_suppkey IN (
+            SELECT ps.l_suppkey
+            FROM (SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+                  FROM lineitem
+                  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+                  GROUP BY l_partkey, l_suppkey) ps
+            JOIN (SELECT l_partkey, sum(l_quantity) AS part_qty
+                  FROM lineitem
+                  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+                  GROUP BY l_partkey) pt USING (l_partkey)
+            WHERE ps.supp_qty > 0.3 * pt.part_qty
+              AND ps.l_partkey IN (SELECT p_partkey FROM part
+                                   WHERE p_name LIKE '%3%')
+          )
+        ORDER BY s_name
+    """,
+    doc="TPC-H Q20 shape: nested IN subqueries — suppliers who shipped "
+    ">30% of a filtered part's 1996 volume. Decorrelated: both "
+    "quantity aggregates group the SAME filtered scan on l_partkey "
+    "(+l_suppkey), so the finer agg's shuffle is reused by the join; "
+    "the part filter is a broadcast SEMI join; the final supplier "
+    "membership is a SEMI join on s_suppkey. Quantities are integral "
+    "doubles — the 0.3× threshold compare is drift-free.",
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li_96 = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_name").like("%3%"))
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir).filter(F.col("n_name").like("NATION_1%"))
+    per_ps = li_96.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("supp_qty")
+    )
+    per_part = li_96.groupBy("l_partkey").agg(F.sum("l_quantity").alias("part_qty"))
+    excess = (
+        per_ps.join(per_part, "l_partkey")
+        .filter(F.col("supp_qty") > 0.3 * F.col("part_qty"))
+        .join(
+            F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+        )
+        .select("l_suppkey")
+    )
+    return (
+        s.join(excess, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
