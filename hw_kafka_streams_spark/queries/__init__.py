@@ -56,6 +56,7 @@ def _load_all() -> None:
     if _LOADED:
         return
     from hw_kafka_streams_spark.queries import (  # noqa: F401
+        corpus_q,
         extras_q,
         functions_q,
         llm_q,

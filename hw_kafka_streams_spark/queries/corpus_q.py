@@ -1,0 +1,177 @@
+"""Corpus-preparation battery: chunking, decontamination, length
+histogram, heavy hitters — over the ``documents`` table.
+
+North-star LLM-pipeline extensions (the reference's only text operator
+is the censor transform, MessageFilterProcessor.java:22-47); every
+query here has an exact DuckDB oracle so the driver value-hash-checks
+it at sf0.01.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hw_kafka_streams_spark.operators import chunking as C
+from hw_kafka_streams_spark.operators.sampling import hash_bucket
+from hw_kafka_streams_spark.operators.text import word_tokens
+from hw_kafka_streams_spark.queries import register
+from hw_kafka_streams_spark.sources.catalog import load_table
+
+
+@register(
+    "q_doc_chunks",
+    oracle="""
+        SELECT doc_id,
+               CAST(s // 90 AS INT) AS chunk_idx,
+               s AS chunk_start,
+               CAST(length(substr(text, CAST(s AS INT) + 1, 120)) AS BIGINT)
+                   AS chunk_len,
+               md5(substr(text, CAST(s AS INT) + 1, 120)) AS chunk_md5
+        FROM (SELECT doc_id, text,
+                     unnest(generate_series(0, greatest(length(text) - 1, 0),
+                                            90)) AS s
+              FROM documents)
+        WHERE length(substr(text, CAST(s AS INT) + 1, 120)) >= 30
+        ORDER BY doc_id, chunk_idx
+    """,
+    doc="Overlapping character-window chunking (size 120 / stride 90 / "
+    "min tail 30) — the pre-tokenization split of an LLM pipeline. "
+    "sequence→posexplode→substring is a fully narrow, codegen'd "
+    "pipeline: zero shuffles, scales linearly with input bytes "
+    "(operators/chunking.chunk_documents).",
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    chunks = C.chunk_documents(docs, size=120, stride=90, min_len=30)
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_start",
+        F.length("chunk").cast("long").alias("chunk_len"),
+        F.md5(F.col("chunk").cast("binary")).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "q_contamination",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, lower(text) AS lt,
+                   CAST(('0x' || substring(md5(doc_id::VARCHAR || ':7'), 1, 15))
+                        AS BIGINT) % 10 AS bucket
+            FROM documents WHERE length(text) >= 20
+        ),
+        grams AS (
+            SELECT doc_id, bucket,
+                   substr(lt, CAST(s AS INT) + 1, 20) AS gram
+            FROM (SELECT doc_id, bucket, lt,
+                         unnest(generate_series(0, length(lt) - 20, 10)) AS s
+                  FROM base)
+        ),
+        train AS (SELECT DISTINCT gram FROM grams WHERE bucket < 8),
+        test AS (SELECT DISTINCT doc_id, gram FROM grams WHERE bucket >= 8),
+        hits AS (SELECT doc_id, count(*) AS n_hit_grams
+                 FROM test JOIN train USING (gram) GROUP BY doc_id)
+        SELECT b.doc_id,
+               coalesce(h.n_hit_grams, 0) AS n_hit_grams,
+               CAST(coalesce(h.n_hit_grams, 0) > 0 AS INT) AS contaminated
+        FROM (SELECT DISTINCT doc_id FROM base WHERE bucket >= 8) b
+        LEFT JOIN hits h USING (doc_id)
+        ORDER BY b.doc_id
+    """,
+    doc="Eval-set decontamination: strided character 20-grams, md5-"
+    "bucketed 80/20 train/eval split (DuckDB-twin hash), distinct "
+    "train grams inner-joined to eval grams, hit count per eval doc. "
+    "One shuffle on the gram; operators/chunking."
+    "char_ngram_contamination adds a max_train_df skew guard for the "
+    "crawl-scale path (disabled here so the SQL twin is exact).",
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    bucket = hash_bucket("doc_id", denom=10, seed=7, hash_mode="md5")
+    docs_b = docs.withColumn("_bucket", bucket)
+    train = docs_b.filter(F.col("_bucket") < 8)
+    test = docs_b.filter(F.col("_bucket") >= 8)
+    out = C.char_ngram_contamination(train, test, n=20, stride=10)
+    return out.orderBy("doc_id")
+
+
+@register(
+    "q_doc_length_hist",
+    oracle="""
+        SELECT CASE WHEN n_chars < 0 THEN 0
+                    WHEN n_chars >= 4000 THEN 9
+                    ELSE CAST(floor(n_chars / 500.0) AS INT) + 1 END AS bucket,
+               count(*) AS n_docs,
+               min(n_chars) AS min_chars,
+               max(n_chars) AS max_chars,
+               round(CAST(sum(n_chars) AS DOUBLE) / count(*), 2) AS avg_chars
+        FROM documents
+        GROUP BY 1 ORDER BY bucket
+    """,
+    doc="Document-length histogram via width_bucket(n_chars, 0, 4000, 8) "
+    "— corpus shape profiling before filtering. The oracle recomputes "
+    "the bucket arithmetically (DuckDB lacks width_bucket); avg is an "
+    "exact integer-sum division so no float summation-order drift.",
+)
+def q_doc_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    b = F.width_bucket(F.col("n_chars"), F.lit(0), F.lit(4000), F.lit(8))
+    return (
+        docs.groupBy(b.cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count(F.lit(1)), 2
+            ).alias("avg_chars"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "q_heavy_hitters",
+    oracle="""
+        WITH toks AS (
+            SELECT unnest(list_filter(
+                       string_split_regex(trim(lower(text)), '\\s+'),
+                       t -> t <> '')) AS token
+            FROM documents
+        ),
+        tot AS (SELECT count(*) AS n_total FROM toks)
+        SELECT token,
+               count(*) AS cnt,
+               round(count(*) / (SELECT n_total FROM tot), 6) AS share
+        FROM toks
+        GROUP BY token
+        HAVING count(*) >= 0.001 * (SELECT n_total FROM tot)
+        ORDER BY cnt DESC, token
+    """,
+    doc="Heavy hitters: tokens above a 0.1% frequency threshold. Exact "
+    "two-phase hash aggregation (map-side partial combine collapses "
+    "the token stream before the single shuffle); the scalar total is "
+    "a broadcast 1-row aggregate. At stream scale the same contract "
+    "is served by a Misra-Gries sketch in applyInPandasWithState; the "
+    "exact batch form IS the 100 TB shape for bounded vocabularies.",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        F.explode(word_tokens(F.lower(F.col("text")))).alias("token")
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("_n_total"))
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(F.broadcast(total))
+        .filter(F.col("cnt") >= 0.001 * F.col("_n_total"))
+        .select(
+            "token",
+            "cnt",
+            F.round(F.col("cnt") / F.col("_n_total"), 6).alias("share"),
+        )
+        .orderBy(F.desc("cnt"), "token")
+    )
