@@ -510,3 +510,53 @@ def simhash_candidate_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id1", "id2", "hamming")
     )
+
+
+def fuzzy_name_pairs(
+    df: DataFrame,
+    name_col: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Near-duplicate string pairs by blocked Levenshtein distance.
+
+    Blocking: candidate pairs only form within the same last-word block
+    (regexp-extracted), so the self-join is block-local instead of
+    all-pairs — the same sub-quadratic shape as the shingle/banding
+    dedups above, for short strings where edit distance is the right
+    metric (product names, entity labels). Within a block the join is a
+    codegen'd JVM ``levenshtein`` — no Python. At 100 TB add a length
+    band (``abs(len(a)-len(b)) <= max_dist``) to the join condition —
+    included here — and widen blocking keys before block sizes grow
+    past ~10^4.
+
+    Returns distinct (name_a, name_b, dist) with name_a < name_b.
+    """
+    names = (
+        df.select(F.col(name_col).alias("name"))
+        .distinct()
+        .withColumn("_blk", F.regexp_extract("name", r"[^ ]+$", 0))
+        .withColumn("_len", F.length("name"))
+    )
+    a = names.select(
+        F.col("name").alias("name_a"),
+        F.col("_blk").alias("blk_a"),
+        F.col("_len").alias("len_a"),
+    )
+    b = names.select(
+        F.col("name").alias("name_b"),
+        F.col("_blk").alias("blk_b"),
+        F.col("_len").alias("len_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("blk_a") == F.col("blk_b"))
+            & (F.col("name_a") < F.col("name_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= max_dist),
+        )
+        .withColumn(
+            "dist", F.levenshtein("name_a", "name_b").cast("int")
+        )
+        .filter(F.col("dist") <= max_dist)
+        .select("name_a", "name_b", "dist")
+    )

@@ -175,3 +175,32 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cnt"), "token")
     )
+
+
+@register(
+    "q_fuzzy_pairs",
+    oracle="""
+        WITH names AS (
+            SELECT DISTINCT p_name AS name,
+                   regexp_extract(p_name, '[^ ]+$') AS blk,
+                   length(p_name) AS len
+            FROM part
+        )
+        SELECT a.name AS name_a, b.name AS name_b,
+               CAST(levenshtein(a.name, b.name) AS INT) AS dist
+        FROM names a JOIN names b
+          ON a.blk = b.blk AND a.name < b.name
+         AND abs(a.len - b.len) <= 2
+        WHERE levenshtein(a.name, b.name) <= 2
+        ORDER BY name_a, name_b
+    """,
+    doc="Blocked fuzzy matching: distinct part names, blocked on the "
+    "last word, Levenshtein <= 2 within a block (+ length band) — "
+    "entity-resolution-style near-dup pairs without an all-pairs "
+    "cross join (operators/dedup.fuzzy_name_pairs).",
+)
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.dedup import fuzzy_name_pairs
+
+    p = load_table(spark, "part", sf_dir)
+    return fuzzy_name_pairs(p, "p_name", max_dist=2).orderBy("name_a", "name_b")

@@ -458,3 +458,110 @@ def q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         F.col("node").alias("s_suppkey"), F.round("rank", 4).alias("rank")
     ).orderBy(F.desc("rank"), "s_suppkey")
+
+
+@register(
+    "q_profile_columns",
+    oracle="""
+        SELECT col_name, n_nulls, n_distinct, min_val, max_val FROM (
+          SELECT 'o_orderkey' AS col_name,
+                 count(*) - count(o_orderkey) AS n_nulls,
+                 count(DISTINCT o_orderkey) AS n_distinct,
+                 CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+                 CAST(max(o_orderkey) AS VARCHAR) AS max_val
+          FROM orders
+          UNION ALL
+          SELECT 'o_custkey', count(*) - count(o_custkey),
+                 count(DISTINCT o_custkey),
+                 CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+          FROM orders
+          UNION ALL
+          SELECT 'o_totalprice', count(*) - count(o_totalprice),
+                 count(DISTINCT o_totalprice),
+                 CAST(CAST(round(min(o_totalprice), 2) AS DECIMAL(18,2)) AS VARCHAR),
+                 CAST(CAST(round(max(o_totalprice), 2) AS DECIMAL(18,2)) AS VARCHAR)
+          FROM orders
+          UNION ALL
+          SELECT 'o_orderdate', count(*) - count(o_orderdate),
+                 count(DISTINCT o_orderdate),
+                 strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+                 strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')
+          FROM orders
+          UNION ALL
+          SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+                 count(DISTINCT o_orderstatus),
+                 min(o_orderstatus), max(o_orderstatus)
+          FROM orders
+          UNION ALL
+          SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+                 count(DISTINCT o_orderpriority),
+                 min(o_orderpriority), max(o_orderpriority)
+          FROM orders
+        ) ORDER BY col_name
+    """,
+    doc="Column profiling (ANALYZE-style data-quality pass): per-column "
+    "null count, exact distinct count, min/max — one scan, one "
+    "multi-distinct aggregate, unpivoted to rows via stack(). Numeric "
+    "min/max are DECIMAL-stringified and timestamps strftime'd so the "
+    "string forms are engine-identical. At 100 TB swap the exact "
+    "distincts for approx_count_distinct to avoid the expand blow-up "
+    "(the multi-DISTINCT plan multiplies the scan by #columns).",
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    n = F.count(F.lit(1))
+
+    def _nulls(c):
+        return (n - F.count(c)).alias(f"nn_{c}")
+
+    agg = o.agg(
+        _nulls("o_orderkey"),
+        F.countDistinct("o_orderkey").alias("nd_o_orderkey"),
+        F.min("o_orderkey").cast("string").alias("mn_o_orderkey"),
+        F.max("o_orderkey").cast("string").alias("mx_o_orderkey"),
+        _nulls("o_custkey"),
+        F.countDistinct("o_custkey").alias("nd_o_custkey"),
+        F.min("o_custkey").cast("string").alias("mn_o_custkey"),
+        F.max("o_custkey").cast("string").alias("mx_o_custkey"),
+        _nulls("o_totalprice"),
+        F.countDistinct("o_totalprice").alias("nd_o_totalprice"),
+        F.round(F.min("o_totalprice"), 2)
+        .cast("decimal(18,2)")
+        .cast("string")
+        .alias("mn_o_totalprice"),
+        F.round(F.max("o_totalprice"), 2)
+        .cast("decimal(18,2)")
+        .cast("string")
+        .alias("mx_o_totalprice"),
+        _nulls("o_orderdate"),
+        F.countDistinct("o_orderdate").alias("nd_o_orderdate"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias(
+            "mn_o_orderdate"
+        ),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias(
+            "mx_o_orderdate"
+        ),
+        _nulls("o_orderstatus"),
+        F.countDistinct("o_orderstatus").alias("nd_o_orderstatus"),
+        F.min("o_orderstatus").alias("mn_o_orderstatus"),
+        F.max("o_orderstatus").alias("mx_o_orderstatus"),
+        _nulls("o_orderpriority"),
+        F.countDistinct("o_orderpriority").alias("nd_o_orderpriority"),
+        F.min("o_orderpriority").alias("mn_o_orderpriority"),
+        F.max("o_orderpriority").alias("mx_o_orderpriority"),
+    )
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderstatus",
+        "o_orderpriority",
+    ]
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in cols
+    )
+    return agg.selectExpr(
+        f"stack({len(cols)}, {stack_args}) "
+        "AS (col_name, n_nulls, n_distinct, min_val, max_val)"
+    ).orderBy("col_name")

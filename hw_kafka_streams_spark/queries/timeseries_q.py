@@ -237,3 +237,43 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "seg")
     )
+
+
+@register(
+    "q_rolling_zscore",
+    oracle="""
+        SELECT user_id, event_id,
+               round(z, 3) AS zscore
+        FROM (
+          SELECT user_id, event_id,
+                 ("value" - avg("value") OVER w) / nullif(stddev_samp("value") OVER w, 0) AS z
+          FROM events WHERE user_id <= 50
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        )
+        WHERE abs(z) > 2.5
+        ORDER BY user_id, event_id
+    """,
+    doc="Rolling z-score anomaly detection: per-user 7-row sliding "
+    "mean/stddev window, flag |z| > 2.5. One shuffle on user_id; the "
+    "deterministic (ts, event_id) ordering makes the sliding frame "
+    "reproducible across engines. At 100 TB this is the metric-stream "
+    "outlier pass: partition count follows the key space, frames never "
+    "leave the partition.",
+)
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir).filter(F.col("user_id") <= 50)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    z = (F.col("value") - F.avg("value").over(w)) / F.nullif(
+        F.stddev_samp("value").over(w), F.lit(0)
+    )
+    return (
+        e.select("user_id", "event_id", z.alias("_z"))
+        .filter(F.abs("_z") > 2.5)
+        .select("user_id", "event_id", F.round("_z", 3).alias("zscore"))
+        .orderBy("user_id", "event_id")
+    )

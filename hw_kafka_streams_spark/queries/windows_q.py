@@ -264,3 +264,40 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.first("s_acctbal").over(w_full), 2).alias("min_bal"),
         F.round(F.nth_value("s_acctbal", 2).over(w_full), 2).alias("second_bal"),
     ).orderBy("s_suppkey")
+
+
+@register(
+    "q_mode_per_group",
+    oracle="""
+        SELECT c_nationkey, c_mktsegment AS mode_segment, seg_count
+        FROM (
+          SELECT c_nationkey, c_mktsegment, count(*) AS seg_count,
+                 row_number() OVER (PARTITION BY c_nationkey
+                                    ORDER BY count(*) DESC, c_mktsegment) AS rn
+          FROM customer GROUP BY c_nationkey, c_mktsegment
+        )
+        WHERE rn = 1 ORDER BY c_nationkey
+    """,
+    doc="Mode (most frequent value) per group: count-then-rank argmax "
+    "pattern with a deterministic tie-break. The window partitions on "
+    "the same key the aggregation grouped by, so the rank reuses the "
+    "aggregation's shuffle (one exchange total).",
+)
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    cnt = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("seg_count")
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("seg_count"), "c_mktsegment"
+    )
+    return (
+        cnt.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "c_nationkey",
+            F.col("c_mktsegment").alias("mode_segment"),
+            "seg_count",
+        )
+        .orderBy("c_nationkey")
+    )
