@@ -565,3 +565,51 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(cols)}, {stack_args}) "
         "AS (col_name, n_nulls, n_distinct, min_val, max_val)"
     ).orderBy("col_name")
+
+
+@register(
+    "q_zorder_key",
+    oracle="""
+        WITH pts AS (SELECT l_partkey & 1023 AS x, l_suppkey & 1023 AS y
+                     FROM lineitem),
+        s1 AS (SELECT (x | (x << 16)) & 281470681808895 AS x,
+                      (y | (y << 16)) & 281470681808895 AS y FROM pts),
+        s2 AS (SELECT (x | (x << 8)) & 71777214294589695 AS x,
+                      (y | (y << 8)) & 71777214294589695 AS y FROM s1),
+        s3 AS (SELECT (x | (x << 4)) & 1085102592571150095 AS x,
+                      (y | (y << 4)) & 1085102592571150095 AS y FROM s2),
+        s4 AS (SELECT (x | (x << 2)) & 3689348814741910323 AS x,
+                      (y | (y << 2)) & 3689348814741910323 AS y FROM s3),
+        s5 AS (SELECT (x | (x << 1)) & 6148914691236517205 AS x,
+                      (y | (y << 1)) & 6148914691236517205 AS y FROM s4),
+        zv AS (SELECT x | (y << 1) AS z FROM s5)
+        SELECT z >> 14 AS z_bucket, count(*) AS n_rows,
+               min(z) AS z_min, max(z) AS z_max
+        FROM zv GROUP BY 1 ORDER BY z_bucket
+    """,
+    doc="Z-order (Morton) clustering key for 2-D data skipping "
+    "(operators/layout.z_value): bit-interleave of two 10-bit key "
+    "projections, bucketed to show the space-filling-curve "
+    "distribution. Pure codegen'd bit arithmetic — the oracle replays "
+    "the identical magic-number spread in SQL. The write-side layout "
+    "pass (zorder_repartition: range-partition + sort on z) is what a "
+    "lakehouse ZORDER BY does before a 100 TB parquet write.",
+)
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.layout import z_value
+
+    li = load_table(spark, "lineitem", sf_dir)
+    z = z_value(
+        F.col("l_partkey").bitwiseAND(F.lit(1023)),
+        F.col("l_suppkey").bitwiseAND(F.lit(1023)),
+    )
+    return (
+        li.select(z.alias("_z"))
+        .groupBy(F.shiftright("_z", 14).alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("_z").alias("z_min"),
+            F.max("_z").alias("z_max"),
+        )
+        .orderBy("z_bucket")
+    )
