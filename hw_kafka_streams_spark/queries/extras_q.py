@@ -568,6 +568,125 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_regression_stats",
+    oracle="""
+        WITH s AS (
+            SELECT l_returnflag,
+                   count(*) AS n,
+                   sum(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+                   sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS sy,
+                   sum(CAST(l_quantity AS DECIMAL(12,2))
+                       * CAST(l_extendedprice AS DECIMAL(14,2))) AS sxy,
+                   sum(CAST(l_quantity AS DECIMAL(12,2))
+                       * CAST(l_quantity AS DECIMAL(12,2))) AS sx2,
+                   sum(CAST(l_extendedprice AS DECIMAL(14,2))
+                       * CAST(l_extendedprice AS DECIMAL(14,2))) AS sy2
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (n * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                     6) AS slope,
+               round((CAST(sy AS DOUBLE)
+                      - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (n * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                        * CAST(sx AS DOUBLE)) / n, 6) AS intercept,
+               round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / sqrt((n * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (n * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                     6) AS corr_xy
+        FROM s ORDER BY l_returnflag
+    """,
+    doc="Per-group OLS regression (extendedprice ~ quantity) computed "
+    "drift-free: the five moment sums accumulate as exact DECIMALs (no "
+    "float summation-order dependence across partitions/engines), and "
+    "only the final closed-form slope/intercept/corr — a handful of "
+    "per-group scalar IEEE ops — runs in double. This is the 100 TB "
+    "pattern for ANY algebraic statistic: exact distributive partial "
+    "aggregates, tiny float epilogue. One shuffle on the group key.",
+)
+def q_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(14,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sx2"),
+        F.sum(y * y).alias("sy2"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sx2 = F.col("sx2").cast("double")
+    sy2 = F.col("sy2").cast("double")
+    cov_n = n * sxy - sx * sy
+    var_x_n = n * sx2 - sx * sx
+    var_y_n = n * sy2 - sy * sy
+    slope = cov_n / var_x_n
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(cov_n / F.sqrt(var_x_n * var_y_n), 6).alias("corr_xy"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "q_skew_profile",
+    oracle="""
+        WITH per_key AS (
+            SELECT event_type, user_id, count(*) AS cnt
+            FROM events GROUP BY event_type, user_id
+        )
+        SELECT event_type,
+               sum(cnt) AS n_rows,
+               count(*) AS n_keys,
+               max(cnt) AS max_cnt,
+               round(CAST(max(cnt) AS DOUBLE) * count(*) / sum(cnt), 6)
+                   AS skew_factor,
+               round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top1_share
+        FROM per_key GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Partition-skew diagnosis: per-key cardinality profile of the "
+    "shuffle key a join/agg would hash on (max/avg count ratio, top-key "
+    "share). This is the pre-flight check that decides whether a 100 TB "
+    "join needs salting (operators/skew.py) or AQE skew splitting — run "
+    "it on a sample before committing the plan. Two exact integer "
+    "aggregations (key, then group); the only float math is two scalar "
+    "divisions of exact counts, so the oracle matches bit-for-bit.",
+)
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    per_key = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        per_key.groupBy("event_type")
+        .agg(
+            F.sum("cnt").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("cnt").alias("max_cnt"),
+        )
+        .select(
+            "event_type",
+            "n_rows",
+            "n_keys",
+            "max_cnt",
+            F.round(
+                F.col("max_cnt").cast("double") * F.col("n_keys") / F.col("n_rows"), 6
+            ).alias("skew_factor"),
+            F.round(F.col("max_cnt").cast("double") / F.col("n_rows"), 6).alias(
+                "top1_share"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "q_zorder_key",
     oracle="""
         WITH pts AS (SELECT l_partkey & 1023 AS x, l_suppkey & 1023 AS y
