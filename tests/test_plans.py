@@ -158,3 +158,42 @@ def test_join_strategy_follows_broadcast_threshold(spark, sf_dir):
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Runtime bloom-filter join pruning: a selective dim-side filter is
+    turned into a bloom filter evaluated on the fact-side SCAN, so at
+    100 TB most fact rows die before the shuffle instead of after it.
+    Thresholds are sized for production (10 MB / 10 GB defaults); on toy
+    data we force the application-side threshold down and disable
+    broadcast (a broadcast join already prunes during the build probe).
+    Session isolation via newSession() — shared context, private conf."""
+    s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    o = load_table(s, "orders", sf_dir).filter(F.col("o_orderpriority") == "1-URGENT")
+    li = load_table(s, "lineitem", sf_dir)
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    opt = j._jdf.queryExecution().optimizedPlan().toString().lower()
+    assert "bloomfilter" in opt.replace(" ", "")
+    # and the result still matches the un-filtered plan
+    plain = (
+        load_table(spark, "lineitem", sf_dir)
+        .join(
+            load_table(spark, "orders", sf_dir).filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert j.collect() == plain.collect()
