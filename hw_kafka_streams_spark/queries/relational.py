@@ -992,3 +992,45 @@ def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+@register(
+    "q_skew_salted_join",
+    oracle="""
+        SELECT o_orderpriority,
+               count(*) AS n_lines,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS VARCHAR)
+                   AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Salted skew join through the correctness gate: the fact side "
+    "gets a deterministic per-row salt, the dim side is exploded "
+    "x salt_factor, the join keys on (key, salt) so a hot key spreads "
+    "over salt_factor reducers instead of one (operators/skew.py — the "
+    "explicit fallback when AQE skew-split can't help, e.g. replicated "
+    "hash joins). The oracle is the PLAIN join: salting must be "
+    "result-invariant, and the value-hash check proves it. Revenue "
+    "sums as exact DECIMAL so reducer order can't drift the hash.",
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.skew import salted_join
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderpriority")
+    joined = salted_join(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), o, on="o_orderkey",
+        salt_factor=4,
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(14,2)"))
+            .cast("string")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
