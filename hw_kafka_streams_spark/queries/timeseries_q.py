@@ -277,3 +277,78 @@ def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", F.round("_z", 3).alias("zscore"))
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "q_kll_quantiles",
+    oracle=None,  # sketch internals are engine-specific; tolerance-tested
+    doc="Mergeable quantile sketches (Spark 4 DataSketches KLL): one "
+    "KLL-double sketch per event_type, merged with kll_merge_agg into a "
+    "global sketch, quantiles read from partials AND from the merged "
+    "total. The re-aggregatable percentile pattern: at 100 TB, daily "
+    "partial sketches fold into monthly p50/p95/p99 without re-scanning "
+    "raw data — exact percentiles can't do that (they need the full "
+    "sort each time). Rank error vs exact percentiles asserted <2% in "
+    "tests/test_extras.py.",
+)
+def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    per_type = e.groupBy("event_type").agg(
+        F.kll_sketch_agg_double("value", F.lit(200)).alias("sk")
+    )
+
+    def q(col, p):
+        return F.round(F.kll_sketch_get_quantile_double(col, F.lit(p)), 6)
+
+    detail = per_type.select(
+        "event_type",
+        q(F.col("sk"), 0.5).alias("p50"),
+        q(F.col("sk"), 0.95).alias("p95"),
+        q(F.col("sk"), 0.99).alias("p99"),
+    )
+    total = per_type.agg(F.kll_merge_agg_double("sk").alias("sk")).select(
+        F.lit("__all__").alias("event_type"),
+        q(F.col("sk"), 0.5).alias("p50"),
+        q(F.col("sk"), 0.95).alias("p95"),
+        q(F.col("sk"), 0.99).alias("p99"),
+    )
+    return detail.unionByName(total).orderBy("event_type")
+
+
+@register(
+    "q_theta_overlap",
+    oracle=None,  # sketch internals are engine-specific; tolerance-tested
+    doc="Set-expression sketches (Spark 4 DataSketches Theta): per-type "
+    "active-user-day sketches, then |view ∩ purchase| / |view ∪ "
+    "purchase| / |view \\ purchase| WITHOUT materializing either set — "
+    "the audience-"
+    "overlap / funnel-leak estimator. Unlike HLL, theta sketches close "
+    "under intersection and difference, so segment algebra runs on "
+    "kilobyte summaries of 100 TB of events. Estimates vs exact "
+    "asserted within 2% in tests/test_extras.py.",
+)
+def q_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    sk = (
+        e.filter(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "event_type",
+            F.concat_ws("|", F.col("user_id"), F.to_date("ts")).alias("user_day"),
+        )
+        .groupBy("event_type")
+        .agg(F.theta_sketch_agg("user_day").alias("sk"))
+    )
+    v = sk.filter(F.col("event_type") == "view").select(F.col("sk").alias("v"))
+    p = sk.filter(F.col("event_type") == "purchase").select(F.col("sk").alias("p"))
+    both = v.crossJoin(p)
+    return both.select(
+        F.theta_sketch_estimate(F.theta_intersection("v", "p"))
+        .cast("long")
+        .alias("n_view_and_purchase"),
+        F.theta_sketch_estimate(F.theta_union("v", "p"))
+        .cast("long")
+        .alias("n_view_or_purchase"),
+        F.theta_sketch_estimate(F.theta_difference("v", "p"))
+        .cast("long")
+        .alias("n_view_only"),
+    )

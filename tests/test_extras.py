@@ -197,3 +197,48 @@ def test_hll_partial_union_within_tolerance(spark, sf_dir):
     assert abs(rows["__all__"] - exact_all) / max(exact_all, 1) < 0.02
     for r in e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect():
         assert abs(rows[r["event_type"]] - r["n"]) / max(r["n"], 1) < 0.02
+
+
+def test_kll_quantiles_within_rank_tolerance(spark, sf_dir):
+    """KLL(k=200) guarantees ~1.3% rank error; assert each sketch
+    quantile's true rank is within 2% of the target rank."""
+    from hw_kafka_streams_spark.queries import REGISTRY
+    from hw_kafka_streams_spark.sources.catalog import load_table
+
+    _load_all()
+    rows = {
+        r["event_type"]: r
+        for r in REGISTRY["q_kll_quantiles"].fn(spark, sf_dir).collect()
+    }
+    e = load_table(spark, "events", sf_dir)
+    vals = sorted(r["value"] for r in e.select("value").collect())
+    n = len(vals)
+    import bisect
+
+    for p, col in [(0.5, "p50"), (0.95, "p95"), (0.99, "p99")]:
+        est = rows["__all__"][col]
+        true_rank = bisect.bisect_right(vals, est) / n
+        assert abs(true_rank - p) < 0.02, (col, est, true_rank)
+
+
+def test_theta_overlap_within_tolerance(spark, sf_dir):
+    """Theta intersection/union/difference estimates vs exact set
+    algebra on (user_id, day) keys."""
+    from hw_kafka_streams_spark.queries import REGISTRY
+    from hw_kafka_streams_spark.sources.catalog import load_table
+
+    _load_all()
+    est = REGISTRY["q_theta_overlap"].fn(spark, sf_dir).first()
+    e = load_table(spark, "events", sf_dir)
+    days = e.filter(F.col("event_type").isin("view", "purchase")).select(
+        "event_type",
+        F.concat_ws("|", F.col("user_id"), F.to_date("ts")).alias("ud"),
+    )
+    v = {r["ud"] for r in days.filter(F.col("event_type") == "view").collect()}
+    p = {r["ud"] for r in days.filter(F.col("event_type") == "purchase").collect()}
+    for got, exact in [
+        (est["n_view_and_purchase"], len(v & p)),
+        (est["n_view_or_purchase"], len(v | p)),
+        (est["n_view_only"], len(v - p)),
+    ]:
+        assert abs(got - exact) / max(exact, 1) < 0.02, (got, exact)
