@@ -137,3 +137,52 @@ def q_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("event_id").alias("last_event_id"),
     ).orderBy("key")
+
+
+@register(
+    "q_cdc_apply",
+    oracle="""
+        WITH latest AS (
+            SELECT user_id AS key,
+                   arg_max(event_type, event_id) AS last_op,
+                   arg_max(value, event_id) AS value,
+                   max(event_id) AS last_event_id
+            FROM events WHERE user_id <= 200
+            GROUP BY user_id
+        )
+        SELECT key, last_op,
+               CAST(round(value, 6) AS VARCHAR) AS value,
+               last_event_id
+        FROM latest WHERE last_op <> 'error'
+        ORDER BY key
+    """,
+    doc="CDC changelog apply with tombstones: latest record per key "
+    "wins (arg_max on the monotone changelog offset), and a key whose "
+    "latest op is a tombstone ('error' here) is DELETED from the "
+    "materialized state — Kafka compacted-topic / GlobalKTable "
+    "null-value semantics (KafkaStreamApp.java:140-152 keeps global "
+    "stores current the same way). One shuffle on the key, no window "
+    "sort; the tombstone filter runs AFTER the argmax so a delete "
+    "followed by re-insert correctly resurrects the key.",
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("user_id") <= 200)
+        .select(F.col("user_id").alias("key"), "event_type", "value", "event_id")
+    )
+    latest = e.groupBy("key").agg(
+        F.max_by("event_type", "event_id").alias("last_op"),
+        F.max_by("value", "event_id").alias("value"),
+        F.max("event_id").alias("last_event_id"),
+    )
+    return (
+        latest.filter(F.col("last_op") != "error")
+        .select(
+            "key",
+            "last_op",
+            F.round("value", 6).cast("string").alias("value"),
+            "last_event_id",
+        )
+        .orderBy("key")
+    )
