@@ -101,3 +101,80 @@ def running_counts_with_ttl(
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+MG_OUTPUT_SCHEMA = "shard int, token string, est_count bigint, shard_rows bigint"
+MG_STATE_SCHEMA = "tokens array<string>, counts array<bigint>, n_rows bigint"
+
+
+def _make_mg_fn(k: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            tokens, counts, n_rows = state.get
+            summary = dict(zip(tokens, counts))
+        else:
+            summary, n_rows = {}, 0
+        for pdf in pdfs:
+            # batch pre-aggregate (vectorized), then fold into the summary
+            for tok, cnt in pdf["token"].value_counts().items():
+                n_rows += int(cnt)
+                if tok in summary:
+                    summary[tok] += int(cnt)
+                elif len(summary) < k:
+                    summary[tok] = int(cnt)
+                else:
+                    # Misra-Gries decrement: charge min(cnt, current min)
+                    # to every counter; survivors keep the remainder
+                    dec = min(int(cnt), min(summary.values()))
+                    summary = {
+                        t: c - dec for t, c in summary.items() if c - dec > 0
+                    }
+                    if int(cnt) - dec > 0 and len(summary) < k:
+                        summary[tok] = int(cnt) - dec
+        state.update((list(summary), [summary[t] for t in summary], n_rows))
+        out = pd.DataFrame(
+            {
+                "shard": key[0],
+                "token": list(summary),
+                "est_count": [summary[t] for t in summary],
+                "shard_rows": n_rows,
+            }
+        )
+        yield out
+
+    return fn
+
+
+def streaming_heavy_hitters(
+    df: DataFrame, token_col: str = "token", k: int = 16, n_shards: int = 8
+) -> DataFrame:
+    """Streaming heavy hitters via sharded Misra-Gries summaries.
+
+    Tokens hash-route to ``n_shards`` state shards; each shard keeps at
+    most ``k`` counters (bounded state REGARDLESS of vocabulary size —
+    the property the exact batch aggregation in q_heavy_hitters lacks
+    on an unbounded stream). Any token with true shard frequency
+    > shard_rows/k is guaranteed present, with
+    est_count ∈ [true - shard_rows/k, true]. Because routing is
+    hash-deterministic, a token lives in exactly ONE shard, so the
+    per-shard guarantee IS the global guarantee with threshold
+    shard_rows/k per shard. Each microbatch is pandas-pre-aggregated
+    (value_counts) before the O(distinct) summary fold.
+    """
+    import pyspark.sql.functions as F
+
+    routed = df.select(
+        F.pmod(F.xxhash64(F.col(token_col)), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
+        F.col(token_col).cast("string").alias("token"),
+    )
+    return routed.groupBy("shard").applyInPandasWithState(
+        _make_mg_fn(k),
+        outputStructType=MG_OUTPUT_SCHEMA,
+        stateStructType=MG_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

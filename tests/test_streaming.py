@@ -562,3 +562,53 @@ def test_stateful_ttl_count_fn_unit():
     [out] = list(fn(("u1",), iter([]), st))
     assert out.expired.tolist() == [True] and out.n_total.tolist() == [3]
     assert not st.exists  # state evicted
+
+
+def test_streaming_heavy_hitters_misra_gries(spark, tmpdir):
+    """Sharded MG summary: the one true heavy token (45% of the stream)
+    must survive with est_count within shard_rows/k of truth, across
+    multiple microbatches, with bounded per-shard state."""
+    import pandas as pd
+
+    from hw_kafka_streams_spark.streaming.stateful import streaming_heavy_hitters
+
+    rows = []
+    # 2 batches x 400 rows: 'hot' = 45%, a long tail of 60 cold tokens
+    for b in range(2):
+        for i in range(400):
+            tok = "hot" if i % 20 < 9 else f"cold_{(b * 400 + i) % 60}"
+            rows.append((b, tok))
+    pdf = pd.DataFrame(rows, columns=["b", "token"])
+    for b in (0, 1):
+        spark.createDataFrame(pdf[pdf.b == b][["token"]]).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{tmpdir}/toks")
+    stream = spark.readStream.schema("token string").parquet(f"{tmpdir}/toks")
+    name = f"mg_{uuid.uuid4().hex[:8]}"
+    k = 16
+    q = (
+        streaming_heavy_hitters(stream, token_col="token", k=k, n_shards=4)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        final = spark.sql(
+            f"""select token, max_by(est_count, shard_rows) est,
+                       max(shard_rows) shard_rows
+                from {name} group by token"""
+        ).collect()
+    finally:
+        q.stop()
+    by_tok = {r.token: r for r in final}
+    assert "hot" in by_tok
+    true_hot = 2 * 400 * 9 // 20
+    r = by_tok["hot"]
+    assert true_hot - r.shard_rows / k <= r.est <= true_hot, (r.est, true_hot)
+    # bounded state: never more than k tokens per shard in any emission
+    per_shard = spark.sql(
+        f"select shard, count(distinct token) n from {name} group by shard"
+    ).collect()
+    assert all(row.n <= k + 1 for row in per_shard)
