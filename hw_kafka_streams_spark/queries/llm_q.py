@@ -1133,3 +1133,102 @@ def q_dedup_keep_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs_kept"))
         .orderBy("source")
     )
+
+
+@register(
+    "q_bm25_search",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_filter(
+                   string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '')) AS term
+          FROM documents
+        ),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        stats AS (SELECT count(*) AS n_docs,
+                         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        qt AS (SELECT doc_id, term, count(*) AS tf FROM toks
+               WHERE term IN ('spark', 'join', 'hash') GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM qt GROUP BY 1),
+        contrib AS (
+          SELECT qt.doc_id,
+                 CAST(round(
+                   ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * qt.tf * 2.2
+                   / (qt.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)),
+                   6) AS DECIMAL(12,6)) AS s
+          FROM qt JOIN dfreq USING (term) JOIN dl USING (doc_id)
+          CROSS JOIN stats
+        )
+        SELECT doc_id, count(*) AS n_terms_hit,
+               CAST(round(CAST(sum(s) AS DOUBLE), 6) AS VARCHAR) AS bm25
+        FROM contrib GROUP BY doc_id
+        ORDER BY sum(s) DESC, doc_id LIMIT 10
+    """,
+    doc="BM25 ranked retrieval (k1=1.2, b=0.75) for the query "
+    "{spark, join, hash}: the lexical-search baseline every RAG/eval "
+    "pipeline needs next to the embedding ANN path. tf and df come from "
+    "exact integer aggregations; each (doc, term) contribution is a "
+    "scalar IEEE expression rounded to DECIMAL(12,6), and the per-doc "
+    "score sums in exact DECIMAL so reducer order can't drift the hash. "
+    "Shuffles: tokenize→tf on (doc,term), dl on doc, df on term (3 "
+    "tiny), then broadcast joins — at 100 TB the posting lists shard on "
+    "term and the doc-length table on doc_id, the classic sharded-"
+    "index shape. Top-10 via TakeOrderedAndProject.",
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.text import word_tokens
+
+    terms = ["spark", "join", "hash"]
+    k1, b = 1.2, 0.75
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(word_tokens(F.lower(F.col("text")))).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qt = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = qt.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    contrib = (
+        qt.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    1
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * F.col("tf")
+                * (k1 + 1)
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                ),
+                6,
+            )
+            .cast("decimal(12,6)")
+            .alias("s"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.sum("s").alias("s_sum"),
+        )
+        .orderBy(F.desc("s_sum"), F.asc("doc_id"))
+        .limit(10)
+        .select(
+            "doc_id",
+            "n_terms_hit",
+            F.round(F.col("s_sum").cast("double"), 6).cast("string").alias("bm25"),
+        )
+    )
