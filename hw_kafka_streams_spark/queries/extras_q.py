@@ -732,3 +732,45 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("z_bucket")
     )
+
+
+@register(
+    "q_udtf_sentences",
+    oracle="""
+        WITH sent AS (
+            SELECT p_partkey, unnest([p_name || '.', p_brand || '!',
+                                      p_type || '?']) AS sentence
+            FROM part WHERE p_partkey <= 200
+        )
+        SELECT p_partkey, sentence,
+               CAST(len(list_filter(string_split_regex(sentence, '\\s+'),
+                        t -> t <> '')) AS INT) AS n_words
+        FROM sent WHERE trim(sentence) <> ''
+        ORDER BY p_partkey, sentence
+    """,
+    doc="Python UDTF through the driver gate (completes the "
+    "UDF/UDAF/UDTF row in SURVEY §2.2): LATERAL sentence-split over a "
+    "constructed punctuated column, one output row per sentence. "
+    "UDTFs are row-at-a-time Python — control-plane tool, not a "
+    "100 TB hot path (explode(split()) is the JVM twin; parity "
+    "asserted in tests/test_extras.py) — but the engine must OFFER "
+    "the surface, and this proves its results exactly match a "
+    "relational oracle.",
+)
+def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.udfs import make_sentence_split_udtf
+
+    spark.udtf.register("sentence_split", make_sentence_split_udtf())
+    part = load_table(spark, "part", sf_dir)
+    part.filter(F.col("p_partkey") <= 200).select(
+        "p_partkey",
+        F.concat_ws(
+            "", F.col("p_name"), F.lit(". "), F.col("p_brand"), F.lit("! "),
+            F.col("p_type"), F.lit("?"),
+        ).alias("text"),
+    ).createOrReplaceTempView("udtf_src")
+    return spark.sql(
+        """SELECT p_partkey, s.sentence, s.n_words
+           FROM udtf_src, LATERAL sentence_split(text) s
+           ORDER BY p_partkey, sentence"""
+    )
