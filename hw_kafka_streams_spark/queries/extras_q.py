@@ -774,3 +774,79 @@ def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM udtf_src, LATERAL sentence_split(text) s
            ORDER BY p_partkey, sentence"""
     )
+
+
+@register(
+    "q_table_diff",
+    oracle="""
+        WITH b AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                   FROM orders WHERE o_orderkey % 10 <> 3),
+        c AS (SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 10 = 7 THEN 'X'
+                          ELSE o_orderstatus END AS o_orderstatus,
+                     o_totalprice
+              FROM orders WHERE o_orderkey % 10 <> 5),
+        j AS (SELECT coalesce(b.o_orderkey, c.o_orderkey) AS key,
+                     b.o_orderkey IS NULL AS only_new,
+                     c.o_orderkey IS NULL AS only_old,
+                     (b.o_orderkey IS NOT NULL AND c.o_orderkey IS NOT NULL
+                      AND (b.o_orderstatus <> c.o_orderstatus
+                           OR b.o_totalprice <> c.o_totalprice)) AS changed
+              FROM b FULL OUTER JOIN c USING (o_orderkey))
+        SELECT sum(CASE WHEN only_new THEN 1 ELSE 0 END) AS n_added,
+               sum(CASE WHEN only_old THEN 1 ELSE 0 END) AS n_removed,
+               sum(CASE WHEN changed THEN 1 ELSE 0 END) AS n_changed,
+               sum(CASE WHEN NOT (only_new OR only_old OR changed)
+                        THEN 1 ELSE 0 END) AS n_unchanged
+        FROM j
+    """,
+    doc="Snapshot reconciliation (table diff): two derived snapshots of "
+    "orders (rows dropped on each side + a deterministic status "
+    "mutation) full-outer-joined on the key, classifying every row as "
+    "added / removed / changed / unchanged — the audit pass after any "
+    "backfill, migration, or CDC replay. One shuffle on the key "
+    "(both sides co-partition, AQE merges the exchanges); the change "
+    "test compares columns directly so no hashing is needed. At 100 TB "
+    "add a row-hash column to compare wide rows cheaply.",
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = o.filter(F.col("o_orderkey") % 10 != 3)
+    cur = o.filter(F.col("o_orderkey") % 10 != 5).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 10 == 7, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    b = base.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("b_status"),
+        F.col("o_totalprice").alias("b_price"),
+    )
+    c = cur.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("c_status"),
+        F.col("o_totalprice").alias("c_price"),
+    )
+    j = b.join(c, "key", "full_outer").select(
+        F.col("b_status").isNull().alias("only_new"),
+        F.col("c_status").isNull().alias("only_old"),
+        (
+            F.col("b_status").isNotNull()
+            & F.col("c_status").isNotNull()
+            & (
+                (F.col("b_status") != F.col("c_status"))
+                | (F.col("b_price") != F.col("c_price"))
+            )
+        ).alias("changed"),
+    )
+    return j.agg(
+        F.sum(F.col("only_new").cast("int")).alias("n_added"),
+        F.sum(F.col("only_old").cast("int")).alias("n_removed"),
+        F.sum(F.col("changed").cast("int")).alias("n_changed"),
+        F.sum(
+            (~(F.col("only_new") | F.col("only_old") | F.col("changed"))).cast("int")
+        ).alias("n_unchanged"),
+    )
