@@ -1,0 +1,53 @@
+"""Incremental aggregate maintenance (continuous-aggregate / hypertable
+rollup pattern).
+
+The reference's state stores update incrementally per record
+(KafkaStreamApp.java's GlobalKTables); the batch analog at 100 TB is a
+materialized aggregate that folds in each new partition of data WITHOUT
+rescanning history. That only works for aggregates with a mergeable
+partial state — count/sum/min/max (algebraic) here; the sketch family
+(hll_union_agg, kll_merge_agg, theta_union_agg — see
+queries/timeseries_q.py) extends the same contract to distinct counts,
+quantiles, and set algebra.
+
+Contract: ``rollup_state(delta) ⊕ base_state == rollup_state(base ∪
+delta)`` where ⊕ is ``merge_rollups``. The registry query proves it
+against a full-recompute oracle. Sums accumulate as DECIMAL so the
+merge is bit-exact regardless of partition order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STATE_COLS = ("n_rows", "sum_v", "min_v", "max_v")
+
+
+def rollup_state(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """Aggregate ``df`` to the mergeable per-key state."""
+    v = F.col(value_col).cast("decimal(18,6)")
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(v).alias("sum_v"),
+        F.min(v).alias("min_v"),
+        F.max(v).alias("max_v"),
+    )
+
+
+def merge_rollups(base: DataFrame, delta: DataFrame, keys: list[str]) -> DataFrame:
+    """Fold a delta state into a base state: one union + one re-aggregate
+    on the SAME key partitioning (a key absent from one side passes
+    through; a key in both merges). Cost is O(|base_keys| + |delta|),
+    independent of how many raw rows ever built ``base`` — that
+    history-independence is the entire point.
+    """
+    both = base.select(*keys, *STATE_COLS).unionByName(
+        delta.select(*keys, *STATE_COLS)
+    )
+    return both.groupBy(*keys).agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("sum_v").alias("sum_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    )

@@ -352,3 +352,54 @@ def q_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_view_only"),
     )
+
+
+@register(
+    "q_incremental_rollup",
+    oracle="""
+        SELECT event_type,
+               CAST(ts AS DATE) AS day,
+               count(*) AS n_rows,
+               CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS VARCHAR)
+                   AS sum_v,
+               CAST(min(CAST(round(value, 6) AS DECIMAL(18,6))) AS VARCHAR)
+                   AS min_v,
+               CAST(max(CAST(round(value, 6) AS DECIMAL(18,6))) AS VARCHAR)
+                   AS max_v
+        FROM events
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Incremental aggregate maintenance (continuous-aggregate / "
+    "hypertable rollup): history is split at a date boundary, the old "
+    "half becomes a materialized per-(type, day) state, and the new "
+    "half folds in via operators/rollup.merge_rollups — union of two "
+    "state tables + one re-aggregate, NEVER rescanning raw history. "
+    "The oracle is the full recompute over all events, so the value-"
+    "hash match proves merge(state(old), state(new)) == state(all) "
+    "bit-for-bit (DECIMAL-accumulated sums make ⊕ order-insensitive). "
+    "This is how 100 TB of daily partials maintain monthly rollups.",
+)
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators import rollup as R
+
+    e = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.round("value", 6).alias("value"),
+    )
+    cut = "2024-03-01"
+    base = R.rollup_state(
+        e.filter(F.col("day") < F.lit(cut)), ["event_type", "day"], "value"
+    )
+    delta = R.rollup_state(
+        e.filter(F.col("day") >= F.lit(cut)), ["event_type", "day"], "value"
+    )
+    merged = R.merge_rollups(base, delta, ["event_type", "day"])
+    return merged.select(
+        "event_type",
+        "day",
+        "n_rows",
+        F.col("sum_v").cast("string").alias("sum_v"),
+        F.col("min_v").cast("string").alias("min_v"),
+        F.col("max_v").cast("string").alias("max_v"),
+    ).orderBy("event_type", "day")
