@@ -53,6 +53,8 @@ HEADLINE = [
     "q_event_funnel",
     "q_percentiles",
     "q_tfidf_top_terms",
+    "q_bm25_search",
+    "q_incremental_rollup",
 ]
 
 

@@ -97,3 +97,26 @@ def test_zorder_preserves_rows(spark):
     assert out.groupBy().agg(F.sum("x"), F.sum("y")).first() == df.groupBy().agg(
         F.sum("x"), F.sum("y")
     ).first()
+
+
+def test_compact_files_binpacks_and_preserves_data(spark, tmp_path):
+    src = str(tmp_path / "frag")
+    # fragment: 40 tiny files
+    spark.range(20_000).select(
+        F.col("id"), (F.col("id") % 97).alias("k")
+    ).repartition(40).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 40
+    before = spark.read.parquet(src).groupBy().agg(
+        F.count(F.lit(1)), F.sum("id"), F.sum("k")
+    ).first()
+
+    from hw_kafka_streams_spark.operators.layout import compact_files
+
+    n_out = compact_files(spark, src, target_mb=128, sort_within="k")
+    assert n_out <= 2  # ~200 KB of data packs into one target_mb bin
+    after = spark.read.parquet(src).groupBy().agg(
+        F.count(F.lit(1)), F.sum("id"), F.sum("k")
+    ).first()
+    assert before == after
