@@ -66,3 +66,29 @@ def pagerank(
             ).alias("rank"),
         )
     return ranks
+
+
+def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Per-node triangle membership counts over an UNDIRECTED edge list
+    (rows must satisfy a < b, deduplicated).
+
+    Enumerates each triangle exactly once as a < b < c via two hash
+    joins on the ordered edge list — the standard distributed scheme.
+    Both joins key on a node column, so the edge list's hash
+    partitioning is reused; no node ever sees more than its
+    neighborhood squared (degree-ordered enumeration bounds the skew a
+    hub node causes: its triangles enumerate from its LOWER-id
+    endpoints). Returns (node, n_triangles).
+    """
+    e1 = edges.select(F.col(a).alias("x"), F.col(b).alias("y"))
+    e2 = edges.select(F.col(a).alias("y"), F.col(b).alias("z"))
+    e3 = edges.select(F.col(a).alias("x"), F.col(b).alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])  # x < y < z by construction
+    per_node = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return per_node

@@ -850,3 +850,118 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             (~(F.col("only_new") | F.col("only_old") | F.col("changed"))).cast("int")
         ).alias("n_unchanged"),
     )
+
+
+@register(
+    "q_triangle_suppliers",
+    oracle="""
+        WITH lp AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        e AS (SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+              FROM lp x JOIN lp y ON x.l_orderkey = y.l_orderkey
+                         AND x.l_suppkey < y.l_suppkey),
+        tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e e1 JOIN e e2 ON e1.b = e2.a
+                          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        pn AS (SELECT x AS node FROM tri UNION ALL
+               SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        SELECT node AS s_suppkey, count(*) AS n_triangles
+        FROM pn GROUP BY node
+        ORDER BY n_triangles DESC, s_suppkey LIMIT 25
+    """,
+    doc="Triangle counting (operators/graph.triangle_counts) over the "
+    "supplier co-occurrence graph — completes the graph battery next "
+    "to PageRank and connected components. Each triangle enumerates "
+    "once as a<b<c via two hash joins over the ordered edge list; "
+    "the joins key on node columns so the edge partitioning is "
+    "reused, and exact integer counts make the oracle bit-exact. "
+    "Top-25 via TakeOrderedAndProject.",
+)
+def q_triangle_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.graph import triangle_counts
+
+    lp = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    x = lp.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("a"))
+    y = lp.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("b"))
+    edges = (
+        x.join(y, "o")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return (
+        triangle_counts(edges)
+        .select(F.col("node").alias("s_suppkey"), "n_triangles")
+        .orderBy(F.desc("n_triangles"), "s_suppkey")
+        .limit(25)
+    )
+
+
+@register(
+    "q_grouped_map_gaps",
+    oracle="""
+        WITH e AS (SELECT user_id,
+                          CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                          event_id
+                   FROM events WHERE user_id <= 100),
+        g AS (SELECT user_id,
+                     ts_s - lag(ts_s) OVER (PARTITION BY user_id
+                                            ORDER BY ts_s, event_id) AS gap
+              FROM e)
+        SELECT user_id, count(*) + 1 AS n_events,
+               max(gap) AS max_gap_s,
+               quantile_cont(gap, 0.5) AS med_gap_s
+        FROM g WHERE gap IS NOT NULL
+        GROUP BY user_id HAVING count(*) >= 1
+        ORDER BY user_id
+    """,
+    doc="Grouped-map applyInPandas through the driver gate (the custom "
+    "per-group Python surface, complementing scalar/GROUPED_AGG/UDTF): "
+    "per-user inter-event gap statistics computed in a pandas kernel "
+    "over Arrow batches. All inputs are pre-cast to epoch-second "
+    "longs, so the kernel does exact integer math in a deterministic "
+    "(ts, event_id) sort order; the median of ints is exactly "
+    "representable, so the pandas result matches quantile_cont bit-"
+    "for-bit. One shuffle on user_id. (The same statistics ARE "
+    "SQL-expressible — q_scd2/q_rolling_zscore take that path; this "
+    "query exists to prove the escape hatch agrees with SQL when you "
+    "need it for genuinely non-SQL per-group logic.)",
+)
+def q_grouped_map_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    e = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("user_id") <= 100)
+        .select(
+            "user_id", F.col("ts").cast("long").alias("ts_s"), "event_id"
+        )
+    )
+
+    def gaps(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_s", "event_id"])
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                columns=["user_id", "n_events", "max_gap_s", "med_gap_s"]
+            )
+        d = pdf["ts_s"].diff().dropna().astype("int64")
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "max_gap_s": [int(d.max())],
+                "med_gap_s": [float(d.median())],
+            }
+        )
+
+    return (
+        e.groupBy("user_id")
+        .applyInPandas(
+            gaps,
+            schema="user_id long, n_events long, max_gap_s long, med_gap_s double",
+        )
+        .orderBy("user_id")
+    )
