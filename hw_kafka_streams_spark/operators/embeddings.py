@@ -104,3 +104,77 @@ def quantize_int8_arrow(vec: Column) -> Column:
         return pd.Series(list(Q))
 
     return _q(vec)
+
+
+def covariance_partials(df, vec_col: str = "embedding", dim: int = 64):
+    """Per-partition covariance-moment partials for PCA: (n, Σx, Σxxᵀ).
+
+    The moments are DISTRIBUTIVE — each partition emits one
+    (n, sum_x[d], sum_xx[d*d]) row via mapInPandas, and partials merge
+    by plain addition. At 100 TB the collected driver payload is
+    #partitions × (d²+d+1) doubles (a few MB for d=64 and 10⁴ tasks),
+    independent of row count — the same partial-aggregate contract as
+    the sketch family. Returns a DataFrame of partial rows.
+    """
+    import pyspark.sql.functions as F  # noqa: F401 (schema strings only)
+
+    def _partials(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            A = _stack(pdf[vec_col])
+            yield pd.DataFrame(
+                {
+                    "n": [len(A)],
+                    "sum_x": [A.sum(axis=0).tolist()],
+                    "sum_xx": [(A.T @ A).ravel().tolist()],
+                }
+            )
+
+    return df.select(vec_col).mapInPandas(
+        _partials, schema="n long, sum_x array<double>, sum_xx array<double>"
+    )
+
+
+def pca_fit(df, vec_col: str = "embedding", dim: int = 64, k: int = 8):
+    """Fit PCA from merged covariance partials; returns
+    (components[k][d], explained_var[k], total_var, mean[d]).
+
+    The only driver-side math is the d×d eigendecomposition — O(d³)
+    on kilobytes, correctly NOT distributed; everything row-scaled
+    runs in the cluster. Signs are canonicalized (largest-|coeff|
+    entry positive) so results are deterministic across BLAS builds.
+    """
+    parts = covariance_partials(df, vec_col, dim).collect()
+    n = sum(r["n"] for r in parts)
+    sum_x = np.zeros(dim)
+    sum_xx = np.zeros((dim, dim))
+    for r in parts:
+        sum_x += np.array(r["sum_x"])
+        sum_xx += np.array(r["sum_xx"]).reshape(dim, dim)
+    mean = sum_x / n
+    cov = sum_xx / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T
+    # canonical sign: make each component's largest-|coeff| positive
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i][j] < 0:
+            comps[i] = -comps[i]
+    return comps, vals[order], float(vals.sum()), mean
+
+
+def pca_project_arrow(vec: Column, comps: np.ndarray, mean: np.ndarray) -> Column:
+    """Project embeddings onto fitted components (Arrow numpy batches)."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(comps, dtype=np.float64)
+    m = np.asarray(mean, dtype=np.float64)
+
+    @pandas_udf("array<double>")
+    def _proj(v: pd.Series) -> pd.Series:
+        A = _stack(v) - m
+        return pd.Series(list((A @ C.T)))
+
+    return _proj(vec)

@@ -1232,3 +1232,35 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("s_sum").cast("double"), 6).cast("string").alias("bm25"),
         )
     )
+
+
+@register(
+    "q_embedding_pca",
+    oracle=None,  # eigendecomposition has no SQL twin; numpy parity + variance
+    # identities asserted in tests/test_embeddings.py
+    doc="PCA over the embedding column via DISTRIBUTIVE covariance "
+    "partials (mapInPandas emits one (n, Σx, Σxxᵀ) row per partition; "
+    "partials merge by addition — same contract as the sketch family, "
+    "driver payload independent of row count) + a d×d driver "
+    "eigendecomposition (O(d³) on kilobytes — correctly NOT "
+    "distributed). Signs canonicalized for determinism. Reports "
+    "per-component explained variance and cumulative ratio — the "
+    "dimensionality check before ANN index sizing or int8 compression.",
+)
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.embeddings import pca_fit
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    dim = len(emb.select("embedding").first()[0])
+    _, ev, total_var, _ = pca_fit(emb, dim=dim, k=8)
+    cum = 0.0
+    rows = []
+    for i, v in enumerate(ev):
+        cum += float(v)
+        rows.append(
+            (i, round(float(v), 4), round(float(v) / total_var, 4),
+             round(cum / total_var, 4))
+        )
+    return spark.createDataFrame(
+        rows, "component int, variance double, ratio double, cum_ratio double"
+    )
