@@ -197,3 +197,36 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     assert j.collect() == plain.collect()
+
+
+def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
+    """AQE skew-join split: the first line of defense for skewed keys
+    (operators/skew.salted_join is the explicit fallback). One hot key
+    holding 2/3 of the fact side must be split at runtime —
+    SortMergeJoin(skew=true) + AQEShuffleRead skewed in the final
+    adaptive plan. Thresholds are production-sized (256MB advisory);
+    here they scale down with the toy data, exactly as a 100 TB
+    deployment would tune them."""
+    s = spark.newSession()
+    c = s.conf
+    c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    c.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    c.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    c.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    c.set("spark.sql.shuffle.partitions", "8")
+    big = s.range(300_000).select(
+        F.when(F.col("id") < 200_000, 0).otherwise(F.col("id") % 1000).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = s.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+    j = big.join(small, "k").groupBy().agg(F.count(F.lit(1)).alias("n"))
+    # collect() (not first(): that plans a separate limit query) so THIS
+    # DataFrame's adaptive plan finalizes
+    assert j.collect()[0]["n"] == 300_000  # result parity despite the split
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in plan
+    assert "AQEShuffleRead skewed" in plan
