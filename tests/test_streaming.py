@@ -612,3 +612,61 @@ def test_streaming_heavy_hitters_misra_gries(spark, tmpdir):
         f"select shard, count(distinct token) n from {name} group by shard"
     ).collect()
     assert all(row.n <= k + 1 for row in per_shard)
+
+
+def test_stream_stream_left_outer_null_emission(spark, tmpdir):
+    """LEFT OUTER stream-stream join: an unmatched left row must emit
+    with NULL right columns once the watermark passes its join window —
+    the state-eviction semantics that make outer stream joins bounded."""
+    from datetime import datetime
+
+    from hw_kafka_streams_spark.streaming.windows import stream_stream_interval_join
+
+    ldir, rdir = f"{tmpdir}/left", f"{tmpdir}/right"
+    lschema = "user_id string, ts timestamp"
+    rschema = "user_id string, ts_r timestamp"
+    spark.createDataFrame(
+        [("u1", datetime(2024, 1, 1, 10, 0, 0)), ("u2", datetime(2024, 1, 1, 10, 0, 0))],
+        lschema,
+    ).coalesce(1).write.parquet(ldir)
+    spark.createDataFrame(
+        [("u1", datetime(2024, 1, 1, 10, 1, 0))], rschema
+    ).coalesce(1).write.parquet(rdir)
+
+    left = spark.readStream.schema(lschema).parquet(ldir)
+    right = spark.readStream.schema(rschema).parquet(rdir)
+    joined = stream_stream_interval_join(
+        left, right, watermark="2 minutes", interval_s=300, how="left_outer"
+    ).select("l.user_id", "l.ts", "r.ts_r")
+    name = f"ssoj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # u1 matches inside the interval; u2 is still pending (watermark
+        # hasn't passed its window)
+        got = {(r.user_id, r.ts_r is None) for r in spark.sql(f"select * from {name}").collect()}
+        assert ("u1", False) in got
+        assert not any(u == "u2" for u, _ in got)
+        # advance event time far past u2's window on BOTH streams
+        late = datetime(2024, 1, 1, 11, 0, 0)
+        spark.createDataFrame([("u9", late)], lschema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ldir)
+        spark.createDataFrame([("u9", late)], rschema).coalesce(1).write.mode(
+            "append"
+        ).parquet(rdir)
+        q.processAllAvailable()
+        # one more microbatch so the advanced watermark evicts + emits
+        spark.createDataFrame(
+            [("u9b", datetime(2024, 1, 1, 11, 1, 0))], lschema
+        ).coalesce(1).write.mode("append").parquet(ldir)
+        q.processAllAvailable()
+        got = {(r.user_id, r.ts_r is None) for r in spark.sql(f"select * from {name}").collect()}
+        assert ("u2", True) in got, got  # null-emitted after watermark passed
+    finally:
+        q.stop()
