@@ -70,19 +70,38 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_approx_distinct",
-    oracle=None,  # HLL sketches differ across engines — tolerance-checked in tests
-    doc="approx_count_distinct (HyperLogLog++) next to the exact count; "
-    "at 100 TB the sketch is the only sane global-cardinality plan "
-    "(constant memory, partial-mergeable). Rows-only driver check; "
-    "tests assert <5% relative error.",
+    oracle="""
+        SELECT count(DISTINCT l_orderkey) AS exact_orders,
+               true AS orders_within_5pct,
+               count(DISTINCT l_partkey) AS exact_parts,
+               true AS parts_within_5pct
+        FROM lineitem
+    """,
+    doc="approx_count_distinct (HyperLogLog++) validated against the "
+    "exact count; at 100 TB the sketch is the only sane "
+    "global-cardinality plan (constant memory, partial-mergeable). "
+    "The sketch value itself is engine-specific, so the oracled output "
+    "is the exact count plus a <5%-relative-error boolean: the HLL "
+    "estimate stays in the gate without demanding bit parity.",
 )
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
-    return li.agg(
-        F.countDistinct("l_orderkey").alias("exact_orders"),
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+    within = lambda approx, exact: (  # noqa: E731
+        F.abs(F.col(approx) - F.col(exact)) <= 0.05 * F.col(exact)
+    )
+    return (
+        li.agg(
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        )
+        .select(
+            "exact_orders",
+            within("approx_orders", "exact_orders").alias("orders_within_5pct"),
+            "exact_parts",
+            within("approx_parts", "exact_parts").alias("parts_within_5pct"),
+        )
     )
 
 
@@ -644,7 +663,7 @@ def q_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events GROUP BY event_type, user_id
         )
         SELECT event_type,
-               sum(cnt) AS n_rows,
+               CAST(sum(cnt) AS BIGINT) AS n_rows,
                count(*) AS n_keys,
                max(cnt) AS max_cnt,
                round(CAST(max(cnt) AS DOUBLE) * count(*) / sum(cnt), 6)
@@ -793,11 +812,14 @@ def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
                       AND (b.o_orderstatus <> c.o_orderstatus
                            OR b.o_totalprice <> c.o_totalprice)) AS changed
               FROM b FULL OUTER JOIN c USING (o_orderkey))
-        SELECT sum(CASE WHEN only_new THEN 1 ELSE 0 END) AS n_added,
-               sum(CASE WHEN only_old THEN 1 ELSE 0 END) AS n_removed,
-               sum(CASE WHEN changed THEN 1 ELSE 0 END) AS n_changed,
-               sum(CASE WHEN NOT (only_new OR only_old OR changed)
-                        THEN 1 ELSE 0 END) AS n_unchanged
+        SELECT CAST(sum(CASE WHEN only_new THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_added,
+               CAST(sum(CASE WHEN only_old THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_removed,
+               CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_changed,
+               CAST(sum(CASE WHEN NOT (only_new OR only_old OR changed)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
         FROM j
     """,
     doc="Snapshot reconciliation (table diff): two derived snapshots of "

@@ -45,8 +45,9 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
     if name == "events":
-        # events.parquet stores ts as INT64 TIMESTAMP(NANOS); without this
-        # flag a vanilla session fails the read with PARQUET_TYPE_ILLEGAL.
+        # Older driver-generated events.parquet stored ts as INT64
+        # TIMESTAMP(NANOS); without this flag a vanilla session fails that
+        # read with PARQUET_TYPE_ILLEGAL. Harmless for µs-encoded data.
         # Guarded set: conf.set invalidates cached plan state, so only
         # touch it when the session actually lacks the flag.
         key = "spark.sql.legacy.parquet.nanosAsLong"
@@ -54,14 +55,36 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
             spark.conf.set(key, "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts is TIMESTAMP(NANOS) on disk, surfaced as nano-epoch long
-        # (spark.sql.legacy.parquet.nanosAsLong). Convert to Spark's µs
-        # timestamp by integer floor-division — same truncation DuckDB
-        # applies when casting ns → µs, keeping oracles comparable.
-        from pyspark.sql import functions as F
-
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = _canonicalize_events_ts(df)
     return df
+
+
+def _canonicalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to Spark's TIMESTAMP regardless of encoding.
+
+    The driver owns the testdata and has already changed the on-disk
+    encoding between rounds (r1: INT64 TIMESTAMP(NANOS); r2+:
+    ``timestamp[us]``). The contract here is therefore on the *surfaced*
+    Spark type, never the file format:
+
+    - ``LongType``  -> nano-epoch long from the nanosAsLong legacy read;
+      floor-divide to µs (same truncation DuckDB applies for ns -> µs).
+    - ``TimestampNTZType`` -> µs parquet timestamp without UTC adjustment;
+      reinterpret the wall-clock instant as UTC (session tz is UTC, so
+      a plain cast matches DuckDB's ``epoch()`` on its TIMESTAMP type).
+    - ``TimestampType`` -> already canonical, pass through.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+    dtype = df.schema["ts"].dataType
+    if isinstance(dtype, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dtype, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast(TimestampType()))
+    if isinstance(dtype, TimestampType):
+        return df
+    raise TypeError(f"events.ts surfaced as unsupported type {dtype}")
 
 
 def load_tables(

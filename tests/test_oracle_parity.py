@@ -37,3 +37,18 @@ def test_rows_only_queries_return_rows(spark, sf_dir):
     for name, q in REGISTRY.items():
         if q.oracle is None:
             assert q.fn(spark, sf_dir).count() >= 0, name
+
+
+def test_oracle_output_types_hashable(con):
+    """No oracle may emit HUGEINT or nested output columns.
+
+    DuckDB HUGEINT reaches pandas as float64, flipping the driver's raw
+    cell hash against Spark's int (the q_table_diff failure,
+    CORRECTNESS_r02); nested cells crash the canonicalizer. Lazily binds
+    all oracles — cheap, runs on every CI pass.
+    """
+    from oracle_check import lint_oracle_types
+
+    oracles = {n: q.oracle for n, q in REGISTRY.items() if q.oracle is not None}
+    bad = lint_oracle_types(con, oracles)
+    assert not bad, f"oracles with unhashable output types: {bad}"

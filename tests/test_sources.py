@@ -187,3 +187,77 @@ def test_delete_rows_removes_keys_idempotently(spark, tmp_path):
     assert got == {(1, "a"), (3, "c")}
     delete_rows(spark, path, doomed, ["k"])
     assert {(r.k, r.v) for r in spark.read.parquet(path).collect()} == got
+
+
+# ---------------------------------------------------------------------------
+# Data-drift canary: the driver owns /root/testdata and has re-encoded
+# events.ts once already (r1: INT64 TIMESTAMP(NANOS) -> r2: timestamp[us]).
+# load_table's contract is on the SURFACED Spark type, never the file
+# format — these tests make the next re-encoding fail loudly in one place
+# instead of in six scattered queries (CORRECTNESS_r02 postmortem).
+# ---------------------------------------------------------------------------
+
+
+def test_all_tables_surface_canonical_types(spark):
+    """events.ts must surface as TIMESTAMP (all downstream windowing /
+    watermark / unix_timestamp code assumes it); every other temporal
+    column must surface as a timestamp type — never raw long — so a
+    re-encoded parquet fails here, not in six scattered queries.
+    (Other tables' NTZ surfacing is the tested status quo: session tz is
+    UTC so NTZ and TIMESTAMP are value-identical in the oracle compare.)
+    """
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    from hw_kafka_streams_spark.sources.catalog import TABLES, load_table
+
+    temporal = {"events": ["ts"], "orders": ["o_orderdate"], "lineitem": ["l_shipdate"]}
+    for name in TABLES:
+        df = load_table(spark, name, "/root/testdata/sf0.001")
+        for col in temporal.get(name, []):
+            dtype = df.schema[col].dataType
+            assert isinstance(dtype, (TimestampType, TimestampNTZType)), (
+                f"{name}.{col} surfaced as {dtype} — data drift, fix load_table"
+            )
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    assert isinstance(ev.schema["ts"].dataType, TimestampType)
+
+
+@pytest.mark.parametrize("encoding", ["ns", "us", "us_utc"])
+def test_events_ts_canonical_across_encodings(spark, tmp_path, encoding):
+    """Synthesize every historical + plausible on-disk encoding of events.ts
+    and assert load_table canonicalizes all of them to the same instants."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hw_kafka_streams_spark.sources.catalog import load_table
+
+    instants = [
+        dt.datetime(2024, 1, 1, 0, 0, 0),
+        dt.datetime(2024, 6, 15, 12, 34, 56, 789000),
+    ]
+    unit = {"ns": "ns", "us": "us", "us_utc": "us"}[encoding]
+    tz = "UTC" if encoding == "us_utc" else None
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2], type=pa.int64()),
+            "ts": pa.array(instants, type=pa.timestamp(unit, tz=tz)),
+            "user_id": pa.array([10, 20], type=pa.int64()),
+            "event_type": pa.array(["a", "b"]),
+            "value": pa.array([1.0, 2.0]),
+            "props": pa.array(['{"k":1}', '{"k":2}']),
+        }
+    )
+    sf_dir = str(tmp_path / encoding)
+    import os
+
+    os.makedirs(f"{sf_dir}", exist_ok=True)
+    pq.write_table(table, f"{sf_dir}/events.parquet")
+
+    df = load_table(spark, "events", sf_dir)
+    from pyspark.sql.types import TimestampType
+
+    assert isinstance(df.schema["ts"].dataType, TimestampType)
+    got = sorted(r["ts"] for r in df.select("ts").collect())
+    assert got == instants, f"{encoding}: {got} != {instants}"

@@ -74,6 +74,35 @@ def _norm_rows(cols, rows):
     return out
 
 
+# DuckDB result types that poison the driver's hash compare.
+# HUGEINT (the type of sum() over INTEGER/CASE...) reaches pandas as
+# float64, so Spark's `1500` hashes against `1500.0` -> mismatch even on a
+# correct answer (q_table_diff, CORRECTNESS_r02). Nested types crash the
+# driver's pandas canonicalizer outright (unhashable list).
+_BAD_TYPE_MARKERS = ("HUGEINT", "[]", "STRUCT", "MAP(", "LIST", "UNION")
+
+
+def lint_oracle_types(con, oracles: dict[str, str]) -> dict[str, list[str]]:
+    """Bind every oracle (lazily — no execution) and flag output columns
+    whose DuckDB type the driver harness can't hash faithfully.
+
+    Returns {query_name: ["col: TYPE", ...]} for offenders only. This is
+    the permanent kill for the HUGEINT-vs-BIGINT hash-mismatch class:
+    every new oracle gets type-checked in CI before the driver ever sees it.
+    """
+    bad: dict[str, list[str]] = {}
+    for name, sql in oracles.items():
+        rel = con.sql(sql)  # lazy bind: types come from the plan, not a run
+        offenders = [
+            f"{c}: {t}"
+            for c, t in zip(rel.columns, map(str, rel.types))
+            if any(m in str(t).upper() for m in _BAD_TYPE_MARKERS)
+        ]
+        if offenders:
+            bad[name] = offenders
+    return bad
+
+
 def compare_query(spark, con, fn, oracle: str, sf_dir: str) -> list[str]:
     """Run one query both ways; return a list of mismatch messages."""
     sdf = fn(spark, sf_dir)
