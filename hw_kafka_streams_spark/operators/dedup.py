@@ -201,6 +201,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n: int = 3,
     hash_mode: str = "xxhash64",
+    impl: str | None = None,
 ) -> DataFrame:
     """Per-document k-minima MinHash signatures: (id, sig: array<long>).
 
@@ -214,6 +215,13 @@ def minhash_signatures(
     defeats codegen and re-hashes shingles k times — measured 10×
     slower.) Docs with no shingles (fewer than n words) get no row.
     """
+    if hash_mode == "md5" and impl != "jvm":
+        # The md5 (DuckDB-twin) hash is ~3x slower than xxhash64 as JVM
+        # expressions; the Arrow kernel computes the identical signature
+        # per document batch with ZERO shuffles (see below), which at
+        # sf0.1 cuts the oracled pipeline roughly in half. impl='jvm'
+        # forces the expression shape (parity tests).
+        return minhash_signatures_arrow(df, text_col, id_col, n)
     postings = shingle_postings(df, text_col, id_col, n, hash_mode=hash_mode).select(
         "id", F.pmod(F.col("shingle"), F.lit(_MERSENNE_P)).alias("h")
     )
@@ -226,6 +234,94 @@ def minhash_signatures(
     return postings.groupBy("id").agg(*mins).select(
         "id", F.array(*[F.col(f"m{i}") for i in range(MINHASH_K)]).alias("sig")
     )
+
+
+def minhash_signatures_arrow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """md5-mode MinHash signatures as one Arrow ``mapInPandas`` pass.
+
+    Bit-identical to the JVM ``hash_mode='md5'`` shape (asserted in
+    tests): token hash = md5h(token), shingle hash = md5h of the
+    '|'-joined decimal token hashes, signature[i] = min((a_i*h+b_i) mod
+    p) over shingles — the exact pipeline the DuckDB oracle
+    reconstructs.
+
+    Scale rationale: a document's text lives in ONE row, so the
+    signature is a per-row computation — the explode+window+groupBy
+    shape pays a per-doc sort shuffle plus a 64-min agg shuffle for
+    something embarrassingly parallel. This kernel does it shuffle-free:
+    tokenize + hash in C-speed Python (md5 via hashlib, per-batch token
+    memo), then one numpy (64 x m) broadcast for the affine minima.
+    Memory is bounded by the Arrow batch size. Docs with < n tokens (or
+    NULL text) emit no row, matching the JVM/oracle semantics.
+    xxhash64 mode keeps the JVM expression shape (no Python xxhash here,
+    and codegen hashing is already cheap at that strength).
+    """
+    import hashlib
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    a_const = np.asarray(MINHASH_A, dtype=np.uint64)[:, None]
+    b_const = np.asarray(MINHASH_B, dtype=np.uint64)[:, None]
+    p_const = np.uint64(_MERSENNE_P)
+    # Java \s is ASCII-only; re.ASCII keeps Python's split identical.
+    ws = _re.compile(r"\s+", _re.ASCII)
+
+    out_schema = StructType(
+        [
+            StructField("id", df.schema[id_col].dataType),
+            StructField("sig", ArrayType(LongType())),
+        ]
+    )
+
+    def _gen(batches):
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids: list = []
+            sigs: list = []
+            memo: dict[str, str] = {}  # token -> str(md5h) within a batch
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                toks = [t for t in ws.split(text.strip()) if t]
+                if len(toks) < n:
+                    continue
+                ths = []
+                for t in toks:
+                    s = memo.get(t)
+                    if s is None:
+                        s = str(int(md5(t.encode()).hexdigest()[:15], 16))
+                        memo[t] = s
+                    ths.append(s)
+                hs = np.fromiter(
+                    (
+                        int(md5("|".join(ths[i : i + n]).encode()).hexdigest()[:15], 16)
+                        for i in range(len(ths) - n + 1)
+                    ),
+                    dtype=np.uint64,
+                )
+                v = hs % p_const
+                sig = ((a_const * v + b_const) % p_const).min(axis=1)
+                ids.append(did)
+                sigs.append(sig.astype(np.int64).tolist())
+            yield pd.DataFrame({"id": ids, "sig": sigs})
+
+    narrow = df.select(F.col(id_col), F.col(text_col))
+    # A small corpus can arrive as a single file split; the kernel is
+    # CPU-bound per doc, so spread it across the cluster's cores first.
+    # On a real multi-TB input the scan already yields >= core-count
+    # splits and this is a no-op (no shuffle inserted).
+    ncores = narrow.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < ncores:
+        narrow = narrow.repartition(ncores)
+    return narrow.mapInPandas(_gen, out_schema)
 
 
 def minhash_lsh_pairs(

@@ -173,3 +173,17 @@ def test_jaccard_max_df_drops_hot_shingles(spark):
     }
     # hot shingles dropped: only the true near-dup pair survives, at 1.0
     assert set(capped) == {(1, 2)} and capped[(1, 2)] == 1.0
+
+
+def test_minhash_arrow_kernel_matches_jvm_md5(spark):
+    """The Arrow mapInPandas signature kernel must be bit-identical to the
+    JVM md5 expression shape (same tokens, same md5h, same affine minima)
+    — it is what the DuckDB oracle reconstructs."""
+    from hw_kafka_streams_spark.operators.dedup import minhash_signatures
+    from hw_kafka_streams_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    jvm = {r.id: r.sig for r in minhash_signatures(docs, hash_mode="md5", impl="jvm").collect()}
+    arw = {r.id: r.sig for r in minhash_signatures(docs, hash_mode="md5").collect()}
+    assert set(jvm) == set(arw)
+    assert all(jvm[k] == arw[k] for k in jvm)
