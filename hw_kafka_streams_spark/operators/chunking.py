@@ -134,3 +134,69 @@ def char_ngram_contamination(
         F.coalesce("n_hit_grams", F.lit(0)).alias("n_hit_grams"),
         (F.coalesce("n_hit_grams", F.lit(0)) > 0).cast("int").alias("contaminated"),
     )
+
+
+def sequence_pack_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    capacity: int = 512,
+    block: int = 256,
+) -> DataFrame:
+    """Pretraining sequence packing: concatenate all documents in id
+    order into one token stream and cut it into fixed ``capacity``-token
+    context windows; report, per document, which windows it lands in.
+
+    Returns ``(doc_id, n_tokens, first_window, last_window, n_windows,
+    spans_boundary)``. Empty documents are dropped (they occupy no
+    window), matching what a real packer does.
+
+    Scale shape — the block-prefix-sum pattern: a naive global running
+    sum is a single-partition window (the classic scale killer), so
+    instead documents are range-blocked by ``id div block``; token
+    sums aggregate per block [1 small shuffle], the block offsets are a
+    window over the tiny block table (rows = n_docs/block — driver-
+    bounded the same way the PCA partials are), and each document's
+    global start offset is its within-block running sum plus its
+    block's offset [windows partitioned by block — parallel]. Token
+    counts come from one regexp pass over the scan (no explode).
+    """
+    from pyspark.sql import Window
+
+    from hw_kafka_streams_spark.operators.text import token_count
+
+    dl = (
+        df.select(
+            F.col(id_col).alias("id"),
+            token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn("blk", F.expr(f"id div {block}"))
+    )
+    bsums = dl.groupBy("blk").agg(F.sum("n_tokens").alias("bsum"))
+    w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    boff = bsums.select(
+        "blk", F.coalesce(F.sum("bsum").over(w_blk), F.lit(0)).alias("blk_off")
+    )
+    w_doc = (
+        Window.partitionBy("blk")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = (
+        dl.join(F.broadcast(boff), "blk")
+        .withColumn(
+            "start",
+            F.col("blk_off") + F.coalesce(F.sum("n_tokens").over(w_doc), F.lit(0)),
+        )
+        .withColumn("first_window", F.expr(f"start div {capacity}"))
+        .withColumn("last_window", F.expr(f"(start + n_tokens - 1) div {capacity}"))
+    )
+    return packed.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        "first_window",
+        "last_window",
+        (F.col("last_window") - F.col("first_window") + 1).alias("n_windows"),
+        (F.col("last_window") != F.col("first_window")).alias("spans_boundary"),
+    )

@@ -190,3 +190,122 @@ def repetition_metrics(df, text_col: str = "text", id_col: str = "doc_id"):
         "top_token_ratio",
         F.coalesce(dup, F.lit(0.0)).alias("dup_bigram_ratio"),
     )
+
+
+def boilerplate_prune(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 5,
+    max_df: int = 2,
+) -> DataFrame:
+    """Corpus-level boilerplate removal (the CCNet/RefinedWeb passage-
+    dedup idea re-expressed relationally): split every document into
+    fixed ``width``-token passages, drop any passage whose document
+    frequency exceeds ``max_df`` (navigation chrome, license headers,
+    cookie banners — text shared verbatim across many documents), and
+    reassemble what is left.
+
+    Returns one row per input document:
+    ``(doc_id, n_chunks, n_kept, kept_fp)`` where ``kept_fp`` is the
+    md5 of the rebuilt text ('' when everything was pruned).
+
+    Scale shape: tokenize → passage agg on (id, chunk-idx) [1 shuffle],
+    passage document-frequency on passage text [1 shuffle], hot-list
+    LEFT ANTI join (hot passages are by construction few — df is
+    capped from below by max_df — so the list broadcasts), rebuild agg
+    on id [reuses the id-hash partitioning]. No step is quadratic and
+    the hot-passage side is bounded, so a 1000-executor run shuffles
+    ~tokens once and ~passages twice.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(word_tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    chunks = toks.groupBy(
+        "id", F.expr(f"pos div {width}").alias("cidx")
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("ctext")
+    )
+    hot = (
+        chunks.groupBy("ctext")
+        .agg(F.count_distinct("id").alias("cdf"))
+        .filter(F.col("cdf") > max_df)
+        .select("ctext")
+    )
+    kept = chunks.join(F.broadcast(hot), "ctext", "left_anti")
+    totals = chunks.groupBy("id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    rebuilt = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("cidx", "ctext"))),
+                    lambda x: x["ctext"],
+                ),
+                " ",
+            )
+        ).alias("kept_fp"),
+    )
+    return totals.join(rebuilt, "id", "left").select(
+        F.col("id").alias(id_col),
+        "n_chunks",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("kept_fp"), F.md5(F.lit(""))).alias("kept_fp"),
+    )
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document unigram language-model quality score: the mean
+    natural-log probability of the document's tokens under the corpus's
+    own unigram distribution — the cheap stand-in for perplexity
+    filtering (KenLM-style) in quality-scoring pipelines. Low scores
+    mean rare-token-heavy (gibberish, boilerplate codes); high scores
+    mean common-token text.
+
+    Determinism recipe (the BM25 one): tf and the vocabulary counts are
+    exact integer aggregations; each (doc, term) contribution
+    ``tf * ln(cnt/N)`` is a scalar IEEE expression rounded to
+    DECIMAL(18,6); the per-doc sum runs in exact DECIMAL so reducer
+    order cannot drift the value; only the final mean is a double.
+
+    Scale: one shuffle to (doc, term) tf, one to the term vocabulary;
+    the vocabulary joins back by term (shard at crawl scale — here
+    Spark/AQE picks broadcast); final agg reuses the doc partitioning.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    n_total = vocab.agg(F.sum("cnt").alias("n_total"))  # 1-row broadcast
+    contrib = (
+        tf.join(vocab, "term")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "id",
+            "tf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("cnt").cast("double") / F.col("n_total")),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("s"),
+        )
+    )
+    return contrib.groupBy("id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.round(F.sum("s").cast("double") / F.sum("tf"), 6).alias("avg_ln_p"),
+    ).select(F.col("id").alias(id_col), "n_tokens", "avg_ln_p")

@@ -1264,3 +1264,126 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "component int, variance double, ratio double, cum_ratio double"
     )
+
+
+@register(
+    "q_boilerplate_prune",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id, t.tok, t.pos - 1 AS pos
+          FROM (SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x <> '') AS l
+                FROM documents),
+               LATERAL (SELECT unnest(l) AS tok,
+                               generate_subscripts(l, 1) AS pos) t
+        ),
+        chunks AS (
+          SELECT doc_id, pos // 5 AS cidx,
+                 string_agg(tok, ' ' ORDER BY pos) AS ctext
+          FROM toks GROUP BY 1, 2
+        ),
+        hot AS (
+          SELECT ctext FROM chunks
+          GROUP BY ctext HAVING count(DISTINCT doc_id) > 2
+        ),
+        kept AS (SELECT * FROM chunks ANTI JOIN hot USING (ctext)),
+        totals AS (SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY 1),
+        reb AS (
+          SELECT doc_id, count(*) AS n_kept,
+                 md5(string_agg(ctext, ' ' ORDER BY cidx)) AS kept_fp
+          FROM kept GROUP BY 1
+        )
+        SELECT t.doc_id, t.n_chunks,
+               coalesce(r.n_kept, 0) AS n_kept,
+               coalesce(r.kept_fp, md5('')) AS kept_fp
+        FROM totals t LEFT JOIN reb r USING (doc_id)
+        ORDER BY t.doc_id
+    """,
+    doc="Corpus-level boilerplate removal (CCNet/RefinedWeb passage "
+    "dedup): 5-token passages with document frequency > 2 are pruned "
+    "from every document; output is per-doc passage counts plus the md5 "
+    "of the rebuilt text. Hot-passage list is bounded below by the df "
+    "threshold, so it broadcasts; everything else is two hash shuffles.",
+)
+def q_boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return T.boilerplate_prune(docs, width=5, max_df=2).orderBy("doc_id")
+
+
+@register(
+    "q_unigram_lm_score",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_filter(
+                   string_split_regex(trim(lower(text)), '\\s+'),
+                   t -> t <> '')) AS term
+          FROM documents
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        vocab AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt
+                  FROM tf GROUP BY 1),
+        n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM vocab),
+        contrib AS (
+          SELECT tf.doc_id, tf.tf,
+                 CAST(round(tf.tf * ln(CAST(v.cnt AS DOUBLE) / n.n_total), 6)
+                      AS DECIMAL(18,6)) AS s
+          FROM tf JOIN vocab v USING (term) CROSS JOIN n
+        )
+        SELECT doc_id,
+               CAST(sum(tf) AS BIGINT) AS n_tokens,
+               round(CAST(sum(s) AS DOUBLE) / CAST(sum(tf) AS BIGINT), 6)
+                   AS avg_ln_p
+        FROM contrib GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    doc="Unigram-LM quality score (the cheap perplexity-filter stand-in): "
+    "mean ln token probability under the corpus's own unigram "
+    "distribution. Exact-integer tf/vocab, per-(doc,term) contribution "
+    "rounded to DECIMAL and decimal-summed (the BM25 determinism "
+    "recipe), so the driver hash is stable across reducer orders.",
+)
+def q_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return T.unigram_logprob_scores(docs).orderBy("doc_id")
+
+
+@register(
+    "q_sequence_pack",
+    oracle="""
+        WITH dl AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(text, '\\S+')) AS n_tokens
+          FROM documents
+        ),
+        d AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+              FROM dl WHERE n_tokens > 0),
+        p AS (
+          SELECT doc_id, n_tokens,
+                 coalesce(CAST(sum(n_tokens) OVER (
+                     ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS BIGINT), 0) AS start
+          FROM d
+        )
+        SELECT doc_id, n_tokens,
+               start // 512 AS first_window,
+               (start + n_tokens - 1) // 512 AS last_window,
+               ((start + n_tokens - 1) // 512) - (start // 512) + 1
+                   AS n_windows,
+               (start // 512) <> ((start + n_tokens - 1) // 512)
+                   AS spans_boundary
+        FROM p ORDER BY doc_id
+    """,
+    doc="Pretraining sequence packing: documents concatenated in id "
+    "order and cut into 512-token context windows; per-doc window span "
+    "stats. The Spark plan uses the block-prefix-sum shape (range "
+    "blocks -> tiny block-offset window -> parallel per-block running "
+    "sums) instead of the single-partition global window the naive SQL "
+    "uses — same integers, scalable plan. All-integer, exact oracle.",
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.chunking import sequence_pack_stats
+
+    docs = load_table(spark, "documents", sf_dir)
+    return sequence_pack_stats(docs, capacity=512, block=256).orderBy("doc_id")

@@ -81,3 +81,28 @@ def test_contamination_short_eval_docs_excluded(spark):
     train = _docs(spark, [(1, "long enough training document text")])
     test = _docs(spark, [(10, "short")])  # < n chars: no gram basis
     assert char_ngram_contamination(train, test, n=20, stride=10).count() == 0
+
+
+def test_sequence_pack_matches_naive_cumsum(spark):
+    """Block-prefix-sum shape must equal the naive global running sum,
+    including across block boundaries (block=2 forces many blocks)."""
+    from hw_kafka_streams_spark.operators.chunking import sequence_pack_stats
+
+    texts = ["w " * n for n in [3, 5, 0, 7, 2, 9, 1, 4]]  # doc 2 empty
+    df = spark.createDataFrame(
+        list(enumerate(t.strip() for t in texts)), "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in sequence_pack_stats(df, capacity=4, block=2).collect()
+    }
+    assert 2 not in out  # empty doc dropped
+    start = 0
+    for did, n in [(0, 3), (1, 5), (3, 7), (4, 2), (5, 9), (6, 1), (7, 4)]:
+        r = out[did]
+        assert r.n_tokens == n
+        assert r.first_window == start // 4
+        assert r.last_window == (start + n - 1) // 4
+        assert r.n_windows == r.last_window - r.first_window + 1
+        assert r.spans_boundary == (r.first_window != r.last_window)
+        start += n

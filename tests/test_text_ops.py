@@ -78,3 +78,45 @@ def test_repetition_metrics_plan_single_exchange_chain(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" in plan  # distributed agg, not a collect
     assert out.count() == 50
+
+
+def test_boilerplate_prune_drops_hot_passages(spark):
+    from hw_kafka_streams_spark.operators.text import boilerplate_prune
+
+    hot = "one two three four five"  # same 5-token passage in 4 docs
+    rows = [
+        (1, hot + " alpha beta gamma delta eps"),
+        (2, hot + " zeta eta theta iota kappa"),
+        (3, hot + " lam mu nu xi omicron"),
+        (4, hot),  # fully boilerplate
+        (5, "pi rho sigma tau ups"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in boilerplate_prune(df, width=5, max_df=2).collect()}
+    assert out[1].n_chunks == 2 and out[1].n_kept == 1
+    assert out[4].n_chunks == 1 and out[4].n_kept == 0
+    import hashlib
+
+    assert out[4].kept_fp == hashlib.md5(b"").hexdigest()
+    assert out[5].n_kept == 1  # unique passage untouched
+    assert out[1].kept_fp == hashlib.md5(b"alpha beta gamma delta eps").hexdigest()
+
+
+def test_unigram_logprob_scores_match_hand_computation(spark):
+    import math
+
+    from hw_kafka_streams_spark.operators.text import unigram_logprob_scores
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    # corpus: a:2 b:2 c:1, N=5
+    out = {r.doc_id: r for r in unigram_logprob_scores(df).collect()}
+    exp1 = round(
+        (round(2 * math.log(2 / 5), 6) + round(1 * math.log(2 / 5), 6)) / 3, 6
+    )
+    exp2 = round(
+        (round(1 * math.log(2 / 5), 6) + round(1 * math.log(1 / 5), 6)) / 2, 6
+    )
+    assert out[1].n_tokens == 3 and abs(out[1].avg_ln_p - exp1) < 1e-9
+    assert out[2].n_tokens == 2 and abs(out[2].avg_ln_p - exp2) < 1e-9
