@@ -179,6 +179,56 @@ def process_batch_with_refresh(
     sink(filtered_messages(batch_df, blocked_provider(), words_provider()))
 
 
+def read_control_dir(spark: SparkSession, path: str) -> DataFrame:
+    """File-backed control-table snapshot: the broker-free analog of
+    :func:`read_control_table`. A parquet directory of (key, value,
+    offset) changelog records compacts to latest-per-key with tombstone
+    handling — identical semantics, different transport — so the
+    GlobalKTable refresh path is exercisable end-to-end without Kafka.
+    """
+    kv = spark.read.schema("key string, value string, offset long").parquet(path)
+    return serde.compact_changelog(kv).select("key", "value")
+
+
+def run_file_topology_with_refresh(
+    spark: SparkSession,
+    messages_dir: str,
+    blocked_dir: str,
+    words_dir: str,
+    checkpoint_dir: str,
+    sink: Callable[[DataFrame], None],
+):
+    """Broker-free twin of ``run_reference_topology(refresh_dims_each_
+    batch=True)``: the SAME per-batch snapshot machinery (changelog
+    compaction through :func:`process_batch_with_refresh`), with parquet
+    directories standing in for the control topics. A blocked user or
+    banned word appended to the control dir while the query runs takes
+    effect on the next microbatch — the reference's GlobalKTable
+    liveness model (KafkaStreamApp.java:140-152), provable in tests.
+    """
+    schema = "sender string, text string, receiver string"
+    stream = spark.readStream.schema(schema).parquet(messages_dir)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        process_batch_with_refresh(
+            batch_df,
+            blocked_provider=lambda: read_control_dir(spark, blocked_dir),
+            words_provider=lambda: [
+                r.key
+                for r in read_control_dir(spark, words_dir)
+                .filter(F.col("value") == "ban")
+                .collect()
+            ],
+            sink=sink,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def peek(df: DataFrame, name: str, *metrics) -> DataFrame:
     """O3 parity: the reference's ``.peek`` observes records pass-through
     (KafkaStreamApp.java:155,168). Spark's zero-copy equivalent is
@@ -217,8 +267,10 @@ def run_file_topology(
 __all__ = [
     "filtered_messages",
     "filter_pipeline",
+    "read_control_dir",
     "read_control_table",
     "read_kafka_stream",
     "run_file_topology",
+    "run_file_topology_with_refresh",
     "run_reference_topology",
 ]

