@@ -55,6 +55,9 @@ HEADLINE = [
     "q_tfidf_top_terms",
     "q_bm25_search",
     "q_incremental_rollup",
+    "q_boilerplate_prune",
+    "q_unigram_lm_score",
+    "q_sequence_pack",
 ]
 
 

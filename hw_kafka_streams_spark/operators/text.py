@@ -309,3 +309,52 @@ def unigram_logprob_scores(
         F.sum("tf").alias("n_tokens"),
         F.round(F.sum("s").cast("double") / F.sum("tf"), 6).alias("avg_ln_p"),
     ).select(F.col("id").alias(id_col), "n_tokens", "avg_ln_p")
+
+
+def token_distribution_drift(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group token-distribution drift vs the whole corpus:
+    KL(group ‖ corpus) = Σ_t p_g(t)·ln(p_g(t)/p_c(t)) — the
+    distribution-shift check run between crawl snapshots or
+    train/validation splits before a data mix changes silently.
+
+    Determinism: tf and totals are exact integers; each (group, term)
+    contribution is one scalar IEEE expression rounded to
+    DECIMAL(18,9) and decimal-summed (reducer-order-proof). KL ≥ 0 up
+    to the 1e-9 rounding granularity. Scale: shuffles on (group, term)
+    and term only; the vocabulary joins back by term (broadcast here,
+    sharded at crawl scale); groups re-aggregate on the group key.
+    """
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(word_tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("tf"))
+    gsum = tf.groupBy("grp").agg(F.sum("tf").alias("n_grp"))
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    n_total = vocab.agg(F.sum("cnt").alias("n_total"))
+    pg = F.col("tf").cast("double") / F.col("n_grp")
+    pc = F.col("cnt").cast("double") / F.col("n_total")
+    contrib = (
+        tf.join(F.broadcast(gsum), "grp")
+        .join(vocab, "term")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "grp",
+            F.round(pg * F.log(pg / pc), 9).cast("decimal(18,9)").alias("s"),
+        )
+    )
+    return (
+        contrib.groupBy("grp")
+        .agg(F.round(F.sum("s").cast("double"), 6).alias("kl_vs_corpus"))
+        .join(gsum.select("grp", "n_grp"), "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n_grp").alias("n_tokens"),
+            "kl_vs_corpus",
+        )
+    )

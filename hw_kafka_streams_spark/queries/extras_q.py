@@ -987,3 +987,44 @@ def q_grouped_map_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q_auc_rank",
+    oracle="""
+        WITH per_score AS (
+          SELECT o_totalprice AS score,
+                 CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                               THEN 1 ELSE 0 END) AS BIGINT) AS np,
+                 CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                               THEN 0 ELSE 1 END) AS BIGINT) AS nn
+          FROM orders GROUP BY 1
+        ),
+        cum AS (
+          SELECT np, nn,
+                 coalesce(CAST(sum(nn) OVER (
+                     ORDER BY score
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS BIGINT), 0) AS cum_neg_below
+          FROM per_score
+        )
+        SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+               CAST(sum(nn) AS BIGINT) AS n_neg,
+               round(CAST(sum(np * (2 * cum_neg_below + nn)) AS DOUBLE)
+                     / (2.0 * CAST(sum(np) AS BIGINT)
+                            * CAST(sum(nn) AS BIGINT)), 6) AS auc
+        FROM cum
+    """,
+    doc="Exact tie-corrected ROC-AUC (Mann-Whitney U) of o_totalprice "
+    "predicting urgent/high priority: the distributed model-eval "
+    "statistic. Integer arithmetic until one final division; the Spark "
+    "plan uses the block-prefix-sum shape (floor(score) range blocks) "
+    "instead of the naive SQL's single-partition global window.",
+)
+def q_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.stats import rank_auc
+
+    o = load_table(spark, "orders", sf_dir).withColumn(
+        "is_high", F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    return rank_auc(o, label_col="is_high", score_col="o_totalprice")

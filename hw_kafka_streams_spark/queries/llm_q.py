@@ -1387,3 +1387,44 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return sequence_pack_stats(docs, capacity=512, block=256).orderBy("doc_id")
+
+
+@register(
+    "q_token_drift",
+    oracle="""
+        WITH toks AS (
+          SELECT source, unnest(list_filter(
+                   string_split_regex(trim(lower(text)), '\\s+'),
+                   t -> t <> '')) AS term
+          FROM documents
+        ),
+        tf AS (SELECT source, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        gsum AS (SELECT source, CAST(sum(tf) AS BIGINT) AS n_grp
+                 FROM tf GROUP BY 1),
+        vocab AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt
+                  FROM tf GROUP BY 1),
+        n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM vocab),
+        contrib AS (
+          SELECT tf.source,
+                 CAST(round(
+                   (CAST(tf.tf AS DOUBLE) / g.n_grp)
+                   * ln((CAST(tf.tf AS DOUBLE) / g.n_grp)
+                        / (CAST(v.cnt AS DOUBLE) / n.n_total)), 9)
+                   AS DECIMAL(18,9)) AS s
+          FROM tf JOIN gsum g USING (source) JOIN vocab v USING (term)
+          CROSS JOIN n
+        )
+        SELECT c.source, g.n_grp AS n_tokens,
+               round(CAST(sum(c.s) AS DOUBLE), 6) AS kl_vs_corpus
+        FROM contrib c JOIN gsum g USING (source)
+        GROUP BY 1, 2 ORDER BY c.source
+    """,
+    doc="Token-distribution drift per source vs the whole corpus "
+    "(KL divergence): the silent-data-mix-shift check between crawl "
+    "snapshots or train/val splits. Exact-integer tf/vocab; per-term "
+    "contributions rounded to DECIMAL(18,9) and decimal-summed "
+    "(the BM25 determinism recipe).",
+)
+def q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return T.token_distribution_drift(docs).orderBy("source")

@@ -1,0 +1,60 @@
+"""Rank-statistics operators: exact AUC and distribution drift."""
+
+from __future__ import annotations
+
+import math
+
+
+def test_rank_auc_hand_computed_with_ties(spark):
+    from hw_kafka_streams_spark.operators.stats import rank_auc
+
+    # scores: pos {3, 2, 2}, neg {1, 2, 0}
+    rows = [(3.0, True), (2.0, True), (2.0, True), (1.0, False), (2.0, False), (0.0, False)]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    r = rank_auc(df, "label", "score").collect()[0]
+    # pairs: (3 vs 1,2,0)=3 wins; (2 vs 1)=1, (2 vs 0)=1, (2 vs 2)=0.5 each pos '2'
+    # total = 3 + (1+1+0.5)*2 = 8 of 9 -> 8/9
+    assert r.n_pos == 3 and r.n_neg == 3
+    assert abs(r.auc - round(8 / 9, 6)) < 1e-9
+
+
+def test_rank_auc_perfect_and_random(spark):
+    from hw_kafka_streams_spark.operators.stats import rank_auc
+
+    perfect = spark.createDataFrame(
+        [(float(i), i >= 50) for i in range(100)], "score double, label boolean"
+    )
+    assert rank_auc(perfect, "label", "score").collect()[0].auc == 1.0
+    constant = spark.createDataFrame(
+        [(1.0, i % 2 == 0) for i in range(100)], "score double, label boolean"
+    )
+    assert rank_auc(constant, "label", "score").collect()[0].auc == 0.5
+
+
+def test_token_drift_zero_for_identical_distributions(spark):
+    from hw_kafka_streams_spark.operators.text import token_distribution_drift
+
+    # both sources have the exact same token distribution -> KL == 0
+    rows = [(1, "a", "a a b c"), (2, "b", "a a b c")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.source: r for r in token_distribution_drift(df).collect()}
+    assert out["a"].kl_vs_corpus == 0.0 and out["b"].kl_vs_corpus == 0.0
+    assert out["a"].n_tokens == 4
+
+
+def test_token_drift_positive_and_hand_computed(spark):
+    from hw_kafka_streams_spark.operators.text import token_distribution_drift
+
+    rows = [(1, "a", "x x y"), (2, "b", "y y y")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.source: r for r in token_distribution_drift(df).collect()}
+    # corpus: x:2 y:4, N=6. source a: x:2 y:1 (n=3); p_a(x)=2/3 vs 1/3, p_a(y)=1/3 vs 2/3
+    exp_a = round(
+        round((2 / 3) * math.log((2 / 3) / (2 / 6)), 9)
+        + round((1 / 3) * math.log((1 / 3) / (4 / 6)), 9),
+        6,
+    )
+    exp_b = round(round(1.0 * math.log(1.0 / (4 / 6)), 9), 6)
+    assert abs(out["a"].kl_vs_corpus - exp_a) < 1e-9
+    assert abs(out["b"].kl_vs_corpus - exp_b) < 1e-9
+    assert out["a"].kl_vs_corpus > 0 and out["b"].kl_vs_corpus > 0
