@@ -10,9 +10,11 @@ _load_all()
 
 
 def test_approx_distinct_within_tolerance(spark, sf_dir):
+    # q_approx_distinct now emits the tolerance check itself (exact count
+    # + within-5% boolean) so the driver can value-hash it.
     [r] = REGISTRY["q_approx_distinct"].fn(spark, sf_dir).collect()
-    assert abs(r.approx_orders - r.exact_orders) / r.exact_orders < 0.05
-    assert abs(r.approx_parts - r.exact_parts) / r.exact_parts < 0.05
+    assert r.exact_orders > 0 and r.exact_parts > 0
+    assert r.orders_within_5pct and r.parts_within_5pct
 
 
 def test_censor_udf_matches_builtin(spark):
