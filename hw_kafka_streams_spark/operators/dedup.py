@@ -324,6 +324,54 @@ def minhash_signatures_arrow(
     return narrow.mapInPandas(_gen, out_schema)
 
 
+def minhash_band_buckets(
+    sig: DataFrame,
+    bands: int = 16,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Band a signature table (id, sig) into LSH buckets: one row per
+    (id, band) with the band's bucket hash, signature carried.
+
+    Factored out of :func:`minhash_lsh_pairs` so incremental consumers
+    (the streaming near-dup index, cross-corpus joins) can band new
+    documents identically to the stored index.
+    """
+    rows_per_band = MINHASH_K // bands
+
+    def _bucket_hash(b: int) -> Column:
+        vals = [F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+        if hash_mode == "md5":
+            return md5h(F.concat_ws("|", *vals))
+        return F.xxhash64(*vals)
+
+    # One bucket hash per band, banded by array position — an explode to
+    # `bands` rows per doc, each (band, bucket-hash) with the sig carried.
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), _bucket_hash(b).alias("bucket"))
+            for b in range(bands)
+        ]
+    )
+    return sig.select("id", "sig", F.explode(band_structs).alias("bb")).select(
+        "id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def signature_est_jaccard(sig1: Column, sig2: Column) -> Column:
+    """Fraction of agreeing minima between two k-length signatures —
+    the unbiased MinHash estimate of Jaccard similarity."""
+    return F.round(
+        F.size(
+            F.filter(
+                F.zip_with(sig1, sig2, lambda a, b: (a == b).cast("int")),
+                lambda x: x == 1,
+            )
+        )
+        / F.lit(float(MINHASH_K)),
+        4,
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -351,26 +399,8 @@ def minhash_lsh_pairs(
     crawl scale (10⁹+ docs, where bands×k×8 B/doc of shuffle
     dominates) flip to the join-back shape.
     """
-    rows_per_band = MINHASH_K // bands
     sig = minhash_signatures(df, text_col, id_col, n, hash_mode=hash_mode)
-
-    def _bucket_hash(b: int) -> Column:
-        vals = [F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-        if hash_mode == "md5":
-            return md5h(F.concat_ws("|", *vals))
-        return F.xxhash64(*vals)
-
-    # One bucket hash per band, banded by array position — an explode to
-    # `bands` rows per doc, each (band, bucket-hash) with the sig carried.
-    band_structs = F.array(
-        *[
-            F.struct(F.lit(b).alias("band"), _bucket_hash(b).alias("bucket"))
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select("id", "sig", F.explode(band_structs).alias("bb")).select(
-        "id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    banded = minhash_band_buckets(sig, bands=bands, hash_mode=hash_mode)
 
     # Candidate pairs = all pairs inside one (band, bucket) group.
     # groupBy + in-bucket expansion computes the signature pipeline ONCE
@@ -400,17 +430,7 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id1", "id2"])
     )
     est = cand.withColumn(
-        "est_jaccard",
-        F.round(
-            F.size(
-                F.filter(
-                    F.zip_with(F.col("sig"), F.col("sig2"), lambda a, b: (a == b).cast("int")),
-                    lambda x: x == 1,
-                )
-            )
-            / F.lit(float(MINHASH_K)),
-            4,
-        ),
+        "est_jaccard", signature_est_jaccard(F.col("sig"), F.col("sig2"))
     ).select("id1", "id2", "est_jaccard")
     if verify_threshold is not None:
         est = est.filter(F.col("est_jaccard") >= verify_threshold)

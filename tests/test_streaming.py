@@ -723,3 +723,53 @@ def test_globalktable_snapshot_refresh_through_topology(spark, tmpdir):
         q.stop()
     # batch 2: login4 now blocked (absent); login2 un-blocked by tombstone
     assert sorted(out) == [("login2", "back again"), ("login4", "******** now")]
+
+
+def test_streaming_neardup_index_across_batches(spark, tmpdir):
+    """Incremental MinHash-LSH dedup: batch 2 must detect near-dups of
+    batch-1 docs via the persisted band index (not Spark state), label
+    intra-batch dups, and append only survivors to the index."""
+    from hw_kafka_streams_spark.streaming.neardup import run_streaming_neardup
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    uniq = "one two three four five six seven eight nine ten"
+    schema = "doc_id long, text string"
+    labels: dict[int, tuple] = {}
+
+    def sink(df, batch_id):
+        for r in df.collect():
+            labels[r.doc_id] = (r.is_dup, r.dup_of)
+
+    spark.createDataFrame(
+        [(1, base), (2, uniq)], schema
+    ).coalesce(1).write.mode("append").parquet(f"{tmpdir}/in")
+
+    stream = spark.readStream.schema(schema).parquet(f"{tmpdir}/in")
+    q = run_streaming_neardup(
+        spark, stream, f"{tmpdir}/index", f"{tmpdir}/ckpt", sink, threshold=0.5
+    )
+    try:
+        q.processAllAvailable()
+        assert labels[1] == (False, None) and labels[2] == (False, None)
+
+        # batch 2: 3 = near-dup of 1 (one token changed), 4 unique,
+        # 5 = exact intra-batch dup of 4
+        near = base.replace("omicron", "OMEGA")
+        fresh = "red orange yellow green blue indigo violet umber cyan teal"
+        spark.createDataFrame(
+            [(3, near), (4, fresh), (5, fresh)], schema
+        ).coalesce(1).write.mode("append").parquet(f"{tmpdir}/in")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert labels[3] == (True, 1)  # caught via the persisted index
+    assert labels[4] == (False, None)
+    assert labels[5] == (True, 4)  # intra-batch rep
+    # index holds only survivors: docs 1, 2, 4 (16 band rows each)
+    ix = spark.read.parquet(f"{tmpdir}/index")
+    assert sorted(r.id for r in ix.select("id").distinct().collect()) == [1, 2, 4]
+    assert ix.count() == 3 * 16
