@@ -237,27 +237,29 @@ def boilerplate_prune(
         chunks.groupBy("ctext")
         .agg(F.count_distinct("id").alias("cdf"))
         .filter(F.col("cdf") > max_df)
-        .select("ctext")
+        .select("ctext", F.lit(True).alias("is_hot"))
     )
-    kept = chunks.join(F.broadcast(hot), "ctext", "left_anti")
-    totals = chunks.groupBy("id").agg(F.count(F.lit(1)).alias("n_chunks"))
-    rebuilt = kept.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
+    # Flag-then-single-agg (not anti-join + separate totals agg): marking
+    # hot passages with a broadcast left join lets ONE per-doc
+    # aggregation produce total count, kept count, and the rebuilt
+    # fingerprint together — the chunk pipeline is consumed twice (hot
+    # list + final agg; identical exchange, so Spark reuses it) instead
+    # of three times, and no totals-vs-rebuilt join is needed.
+    flagged = chunks.join(F.broadcast(hot), "ctext", "left").select(
+        "id", "cidx", "ctext", F.coalesce(F.col("is_hot"), F.lit(False)).alias("is_hot")
+    )
+    kept_structs = F.filter(
+        F.array_sort(F.collect_list(F.struct("cidx", "ctext", "is_hot"))),
+        lambda x: ~x["is_hot"],
+    )
+    return flagged.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum((~F.col("is_hot")).cast("long")).alias("n_kept"),
         F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("cidx", "ctext"))),
-                    lambda x: x["ctext"],
-                ),
-                " ",
-            )
+            F.array_join(F.transform(kept_structs, lambda x: x["ctext"]), " ")
         ).alias("kept_fp"),
-    )
-    return totals.join(rebuilt, "id", "left").select(
-        F.col("id").alias(id_col),
-        "n_chunks",
-        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
-        F.coalesce(F.col("kept_fp"), F.md5(F.lit(""))).alias("kept_fp"),
+    ).select(
+        F.col("id").alias(id_col), "n_chunks", "n_kept", "kept_fp"
     )
 
 
