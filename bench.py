@@ -78,6 +78,7 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         best = float("inf")
         # Two runs per query, best-of; a third run if still slow. Run 1
@@ -86,16 +87,24 @@ def main() -> None:
         # nothing — steady state is the honest throughput number. The
         # conditional third run guards against host-level hiccups (GC
         # pause, page-cache miss) landing on both timed runs at once.
-        for run in range(3):
-            if run == 2 and best < 1.5:
-                break
-            t0 = time.perf_counter()
-            df = qmap[name](spark, sf_dir)
-            # Force full execution; aggregate results are small, so
-            # collect is bounded. count() alone could let Spark prune work.
-            rows = df.collect()
-            best = min(best, time.perf_counter() - t0)
-            del rows
+        try:
+            for run in range(3):
+                if run == 2 and best < 1.5:
+                    break
+                t0 = time.perf_counter()
+                df = qmap[name](spark, sf_dir)
+                # Force full execution; aggregate results are small, so
+                # collect is bounded. count() alone could let Spark prune
+                # work.
+                rows = df.collect()
+                best = min(best, time.perf_counter() - t0)
+                del rows
+        except Exception as exc:
+            # One broken query must never zero out the whole artifact
+            # (round 2 lost every number to a single load regression).
+            # Record the error, keep timing the rest.
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            continue
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
@@ -106,6 +115,8 @@ def main() -> None:
         "queries": timings,
         "sf": _sf_of(sf_dir),
     }
+    if errors:
+        out["errors"] = errors
     try:
         out["stream"] = _stream_bench(spark)
     except Exception as exc:  # never let the stream probe break the contract
