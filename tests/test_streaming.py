@@ -773,3 +773,94 @@ def test_streaming_neardup_index_across_batches(spark, tmpdir):
     ix = spark.read.parquet(f"{tmpdir}/index")
     assert sorted(r.id for r in ix.select("id").distinct().collect()) == [1, 2, 4]
     assert ix.count() == 3 * 16
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs google.protobuf (absent in this "
+    "container; the state-server protocol is protobuf-encoded). The operator "
+    "is still exercised for plan construction in "
+    "test_sessions_with_timeout_plan_builds.",
+)
+def test_sessions_with_timeout_timer_emits_closed_session(spark, tmpdir):
+    """transformWithStateInPandas: the inactivity TIMER must emit the
+    closed session without any later event touching the key."""
+    import time as _time
+
+    from hw_kafka_streams_spark.streaming.stateful import sessions_with_timeout
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    schema = "user_id long, value double"
+    out: list = []
+    try:
+        spark.createDataFrame(
+            [(1, 10.0), (1, 5.0), (2, 1.0)], schema
+        ).coalesce(1).write.mode("append").parquet(f"{tmpdir}/in")
+        stream = spark.readStream.schema(schema).parquet(f"{tmpdir}/in")
+        q = (
+            sessions_with_timeout(stream, gap_ms=1_500)
+            .writeStream.foreachBatch(
+                lambda df, bid: out.extend(df.collect())
+            )
+            .option("checkpointLocation", f"{tmpdir}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            assert out == []  # sessions still open
+            _time.sleep(2.5)  # let both keys' timers expire
+            # a batch from an unrelated key drives the clock; expired
+            # timers fire even though users 1/2 get no new events
+            spark.createDataFrame([(99, 0.5)], schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(f"{tmpdir}/in")
+            q.processAllAvailable()
+            deadline = _time.time() + 20
+            while len(out) < 2 and _time.time() < deadline:
+                _time.sleep(1.0)
+                spark.createDataFrame([(99, 0.5)], schema).coalesce(1).write.mode(
+                    "append"
+                ).parquet(f"{tmpdir}/in")
+                q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    got = {r.user_id: r for r in out if r.user_id in (1, 2)}
+    assert got[1].n_events == 2 and abs(got[1].total - 15.0) < 1e-9
+    assert got[2].n_events == 1 and abs(got[2].total - 1.0) < 1e-9
+
+
+def test_sessions_with_timeout_plan_builds(spark, tmpdir):
+    """Environment-independent part of the transformWithStateInPandas
+    surface: the streaming plan must construct and analyze (operator
+    wiring, output schema, time mode) even where the protobuf dependency
+    blocks execution."""
+    from hw_kafka_streams_spark.streaming.stateful import sessions_with_timeout
+
+    schema = "user_id long, value double"
+    spark.createDataFrame([(1, 1.0)], schema).coalesce(1).write.parquet(
+        f"{tmpdir}/in"
+    )
+    stream = spark.readStream.schema(schema).parquet(f"{tmpdir}/in")
+    out = sessions_with_timeout(stream, gap_ms=1_000)
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == [
+        "user_id", "n_events", "total", "duration_ms",
+    ]
