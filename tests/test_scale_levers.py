@@ -49,3 +49,28 @@ def test_salted_join_matches_plain(spark, sf_dir, how):
     a = plain.groupBy("l_orderkey").count().orderBy("l_orderkey").collect()
     b = salted.groupBy("l_orderkey").count().orderBy("l_orderkey").collect()
     assert a == b
+
+
+def test_dynamic_partition_pruning_reaches_fact_scan(spark, tmp_path, sf_dir):
+    """At 100 TB the fact table is partition-laid-out on a dim-joinable
+    key; a selective dim filter must prune fact PARTITIONS at runtime
+    (DPP), not scan-then-filter. Assert the dynamic pruning subquery is
+    injected into the partitioned scan and the result matches the
+    unpruned join."""
+    fact_dir = str(tmp_path / "orders_parts")
+    orders = load_table(spark, "orders", sf_dir)
+    orders.write.partitionBy("o_orderstatus").parquet(fact_dir)
+
+    dim = spark.createDataFrame(
+        [("F", "keep"), ("O", "drop"), ("P", "drop")], "st string, label string"
+    )
+    fact = spark.read.parquet(fact_dir)
+    joined = fact.join(dim, fact.o_orderstatus == dim.st).where(
+        dim.label == "keep"
+    )
+    plan = physical_plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+    got = joined.agg(F.count(F.lit(1)).alias("n")).collect()[0].n
+    exp = orders.filter(F.col("o_orderstatus") == "F").count()
+    assert got == exp
