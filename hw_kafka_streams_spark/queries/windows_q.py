@@ -301,3 +301,77 @@ def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "q_window_range_frame",
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(count(*) OVER w AS BIGINT) AS n_last_10m,
+               round(CAST(sum(CAST(round(value, 4) AS DECIMAL(14,4))) OVER w
+                          AS DOUBLE), 4) AS sum_last_10m
+        FROM events
+        WHERE user_id <= 100
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, event_id
+    """,
+    doc="Time-interval RANGE window frame: per user, rolling count/sum "
+    "over the trailing 10 minutes of events — the sliding-metric shape "
+    "(rate limiting, rolling spend). RANGE frames differ from ROWS: "
+    "same-timestamp rows enter the frame together, so the frame is a "
+    "deterministic SET and the DECIMAL-cast sum is order-proof. One "
+    "shuffle on user_id; frames evaluate in one pass per partition.",
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") <= 100)
+    # Exact integer microseconds on both sides (unix_micros <-> DuckDB
+    # epoch_us): events carry sub-second precision, so second-floored
+    # epochs would put boundary rows in different frames per engine.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-600_000_000, Window.currentRow)
+    )
+    dec = F.round(F.col("value"), 4).cast("decimal(14,4)")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_10m"),
+        F.round(F.sum(dec).over(w).cast("double"), 4).alias("sum_last_10m"),
+    ).orderBy("user_id", "event_id")
+
+
+@register(
+    "q_window_first_last",
+    oracle="""
+        SELECT s_suppkey,
+               first_value(s_name) OVER w AS richest,
+               last_value(s_name)  OVER w AS poorest,
+               nth_value(s_name, 2) OVER w AS runner_up
+        FROM supplier
+        WINDOW w AS (PARTITION BY s_nationkey
+                     ORDER BY s_acctbal DESC, s_suppkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
+        ORDER BY s_suppkey
+    """,
+    doc="Value-navigation window battery: first_value / last_value / "
+    "nth_value over the full partition frame (deterministic tie-broken "
+    "order). last_value needs the explicit UNBOUNDED FOLLOWING frame — "
+    "the default frame ends at CURRENT ROW, the classic silent-wrong-"
+    "answer; pinned here in both engines.",
+)
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, "supplier", sf_dir)
+    w = (
+        Window.partitionBy("s_nationkey")
+        .orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return s.select(
+        "s_suppkey",
+        F.first("s_name").over(w).alias("richest"),
+        F.last("s_name").over(w).alias("poorest"),
+        F.nth_value("s_name", 2).over(w).alias("runner_up"),
+    ).orderBy("s_suppkey")
