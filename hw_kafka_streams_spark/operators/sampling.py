@@ -85,3 +85,60 @@ def reservoir_per_key(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis A-Res): each row draws a pseudo-uniform
+    u ∈ (0,1) from the md5 of its id and keeps key = ln(u)/w; the k
+    LARGEST keys are the sample, giving inclusion probability
+    proportional to weight — the standard one-pass distributed weighted
+    reservoir, here with the randomness derived from content so reruns
+    and shard additions cannot move the sample (same property as
+    hash_split; ``rand()`` would resample every run).
+
+    Global (``group_col=None``): top-k by key → TakeOrderedAndProject,
+    no full sort. Per-group: row_number over (group, key desc).
+    Non-positive weights are excluded. Output: (group?, rank, id,
+    weight) — fully reproducible in DuckDB, so oracle-able.
+    """
+    from pyspark.sql import Window
+
+    from hw_kafka_streams_spark.operators.dedup import md5h
+
+    # u in (0,1): md5h is 60-bit uniform; +1 dodges u=0 (ln(0) = -inf
+    # would still order correctly, but keep the math clean).
+    u = (md5h(F.col(id_col).cast("string")) + 1) / F.lit(float(1 << 60))
+    base = (
+        df.filter(F.col(weight_col) > 0)
+        .select(
+            *( [F.col(group_col)] if group_col else [] ),
+            F.col(id_col),
+            F.col(weight_col),
+            (F.log(u) / F.col(weight_col)).alias("_key"),
+        )
+    )
+    if group_col is None:
+        return (
+            base.orderBy(F.desc("_key"), F.asc(id_col))
+            .limit(k)
+            .select(
+                F.row_number()
+                .over(Window.orderBy(F.desc("_key"), F.asc(id_col)))
+                .alias("rank"),
+                id_col,
+                weight_col,
+            )
+        )
+    w = Window.partitionBy(group_col).orderBy(F.desc("_key"), F.asc(id_col))
+    return (
+        base.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(group_col, "rank", id_col, weight_col)
+    )

@@ -1428,3 +1428,38 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return T.token_distribution_drift(docs).orderBy("source")
+
+
+@register(
+    "q_weighted_sample",
+    oracle=f"""
+        WITH keyed AS (
+          SELECT source, doc_id, n_chars,
+                 ln(({_d_md5h("CAST(doc_id AS VARCHAR)")} + 1)
+                    / 1152921504606846976.0) / n_chars AS k
+          FROM documents WHERE n_chars > 0
+        ),
+        ranked AS (
+          SELECT source, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY k DESC, doc_id) AS rank
+          FROM keyed
+        )
+        SELECT source, CAST(rank AS INT) AS rank, doc_id, n_chars
+        FROM ranked WHERE rank <= 5
+        ORDER BY source, rank
+    """,
+    doc="Deterministic weighted sampling without replacement "
+    "(Efraimidis-Spirakis A-Res), 5 docs per source weighted by length: "
+    "pseudo-uniforms derive from the md5 of the id, so the sample is "
+    "content-stable across reruns and shard additions (the hash_split "
+    "property, extended to weighted draws). Inclusion probability is "
+    "proportional to weight; one shuffle on the group key.",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    return weighted_sample(
+        docs, weight_col="n_chars", k=5, id_col="doc_id", group_col="source"
+    ).orderBy("source", "rank")

@@ -121,3 +121,24 @@ def test_quantize_roundtrip_idempotent(v):
     DQ = Q.astype(np.float64) * (safe / 127.0)[:, None]
     Q2, _, _, _ = quantize_np(DQ)
     assert np.array_equal(Q, Q2)
+
+
+def test_weighted_sample_deterministic_and_weight_sensitive(spark):
+    from hw_kafka_streams_spark.operators.sampling import weighted_sample
+
+    rows = [(i, "g", 1.0) for i in range(100)] + [(999, "g", 1e9)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, w double")
+    s1 = weighted_sample(df, "w", 10, group_col="src").collect()
+    s2 = weighted_sample(df, "w", 10, group_col="src").collect()
+    assert [tuple(r) for r in s1] == [tuple(r) for r in s2]  # content-stable
+    assert len(s1) == 10
+    # key = ln(u)/w -> the ~infinite-weight row's key approaches 0 from
+    # below, beating every weight-1 row's key with near certainty.
+    assert s1[0].doc_id == 999 and s1[0].rank == 1
+    # zero/negative weights excluded
+    df2 = spark.createDataFrame(
+        [(1, "g", 0.0), (2, "g", -3.0), (3, "g", 5.0)],
+        "doc_id long, src string, w double",
+    )
+    kept = weighted_sample(df2, "w", 10, group_col="src").collect()
+    assert [r.doc_id for r in kept] == [3]
