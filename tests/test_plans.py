@@ -230,3 +230,35 @@ def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "skew=true" in plan
     assert "AQEShuffleRead skewed" in plan
+
+
+def test_headline_plans_no_smj_no_unexpected_nlj(spark, sf_dir):
+    """Plan-quality ratchet over the ENTIRE bench headline set: no
+    sort-merge joins (every join in the set has a broadcastable side or
+    an AQE-convertible shuffle hash), and nested-loop/cartesian joins
+    only where they are the intentional 1-row-aggregate broadcast
+    pattern. A regression that flips a join strategy fails here, not in
+    a slower bench three rounds later."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo")
+    from bench import HEADLINE
+
+    # Queries whose plan legitimately contains a broadcast NLJ: joining
+    # a 1-row aggregate (corpus totals, query stats) to every row.
+    allowed_nlj = {
+        "q_similarity_topk",
+        "q_tfidf_top_terms",
+        "q_bm25_search",
+        "q_unigram_lm_score",
+    }
+    offenders: dict[str, str] = {}
+    for name in HEADLINE:
+        plan = _physical_plan(REGISTRY[name].fn(spark, sf_dir))
+        if "SortMergeJoin" in plan:
+            offenders[name] = "SortMergeJoin"
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        if "BroadcastNestedLoopJoin" in plan and name not in allowed_nlj:
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, offenders
