@@ -544,6 +544,7 @@ def simhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_mode: str = "xxhash64",
+    impl: str | None = None,
 ) -> DataFrame:
     """Per-document 64-bit SimHash signatures: (id, sig: long).
 
@@ -557,6 +558,12 @@ def simhash_signatures(
     (60-bit, so bits 60-63 of the signature are then constant-zero —
     harmless: both sides compute the identical signature).
     """
+    if hash_mode == "md5" and impl != "jvm":
+        # Same reasoning as minhash_signatures_arrow: the signature is a
+        # per-row computation and the md5 twin hash is expensive as JVM
+        # expressions — one shuffle-free Arrow pass, bit-identical
+        # (parity-tested).
+        return simhash_signatures_arrow(df, text_col, id_col)
     token_hash = md5h(F.col("t")) if hash_mode == "md5" else F.xxhash64("t")
     postings = (
         df.select(F.col(id_col).alias("id"), F.explode(word_tokens(F.col(text_col))).alias("t"))
@@ -576,6 +583,72 @@ def simhash_signatures(
             )
         )
     return agg.select("id", sig.alias("sig"))
+
+
+def simhash_signatures_arrow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """md5-mode SimHash signatures as one Arrow ``mapInPandas`` pass —
+    bit-identical to the JVM md5 shape (tokens hashed with md5h, 64
+    per-bit ±1 sums, bit set iff sum > 0; md5h is 60-bit so bits 60-63
+    are constant-zero on both paths). Shuffle-free for the same reason
+    as :func:`minhash_signatures_arrow`: the document is one row.
+    """
+    import hashlib
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ws = _re.compile(r"\s+", _re.ASCII)
+    shifts = np.arange(64, dtype=np.uint64)
+
+    out_schema = StructType(
+        [
+            StructField("id", df.schema[id_col].dataType),
+            StructField("sig", LongType()),
+        ]
+    )
+
+    def _gen(batches):
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids: list = []
+            sigs: list = []
+            memo: dict[str, int] = {}
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                toks = [t for t in ws.split(text.strip()) if t]
+                if not toks:
+                    continue
+                hs = np.empty(len(toks), dtype=np.uint64)
+                for j, t in enumerate(toks):
+                    v = memo.get(t)
+                    if v is None:
+                        v = int(md5(t.encode()).hexdigest()[:15], 16)
+                        memo[t] = v
+                    hs[j] = v
+                # (m, 64) bit matrix -> per-bit sum of (2*bit - 1)
+                bits = (hs[:, None] >> shifts) & np.uint64(1)
+                bitsums = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
+                sig = int(
+                    np.bitwise_or.reduce(
+                        np.where(bitsums > 0, np.uint64(1) << shifts, np.uint64(0))
+                    )
+                )
+                ids.append(did)
+                sigs.append(sig)
+            yield pd.DataFrame({"id": ids, "sig": sigs})
+
+    narrow = df.select(F.col(id_col), F.col(text_col))
+    ncores = narrow.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < ncores:
+        narrow = narrow.repartition(ncores)
+    return narrow.mapInPandas(_gen, out_schema)
 
 
 def simhash_candidate_pairs(

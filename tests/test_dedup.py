@@ -187,3 +187,13 @@ def test_minhash_arrow_kernel_matches_jvm_md5(spark):
     arw = {r.id: r.sig for r in minhash_signatures(docs, hash_mode="md5").collect()}
     assert set(jvm) == set(arw)
     assert all(jvm[k] == arw[k] for k in jvm)
+
+
+def test_simhash_arrow_kernel_matches_jvm_md5(spark):
+    from hw_kafka_streams_spark.operators.dedup import simhash_signatures
+    from hw_kafka_streams_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    jvm = {r.id: r.sig for r in simhash_signatures(docs, hash_mode="md5", impl="jvm").collect()}
+    arw = {r.id: r.sig for r in simhash_signatures(docs, hash_mode="md5").collect()}
+    assert jvm == arw
