@@ -1,0 +1,90 @@
+"""Declarative data-quality expectations (the Deequ/Great-Expectations
+idea, Spark-first): a rule set compiles to ONE aggregation pass over the
+scan — never a scan per rule — and unpivots to a per-rule verdict table.
+
+The reference (svolga/hw-kafka-streams) has no data-quality surface;
+this is the admission gate every 100 TB ingest runs before data is
+allowed downstream. All metrics are algebraic (count/sum/min/max/
+distinct), so the same partial-aggregation contract that scales the
+TPC-H battery scales this: one shuffle of one metrics row per
+partition, regardless of rule count.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """One rule: ``name``, a metric column (aggregate expression), and
+    an inclusive [lo, hi] band the metric must land in (None = open)."""
+
+    name: str
+    metric: Column
+    lo: float | None = None
+    hi: float | None = None
+
+
+def null_rate(col: str) -> Column:
+    return F.round(
+        F.sum(F.col(col).isNull().cast("long")) / F.count(F.lit(1)), 6
+    )
+
+
+def distinct_ratio(col: str) -> Column:
+    return F.round(F.count_distinct(F.col(col)) / F.count(F.lit(1)), 6)
+
+
+def violation_count(cond: Column) -> Column:
+    """Count of rows violating ``cond`` (cond = the EXPECTED predicate)."""
+    return F.sum((~cond).cast("long")).cast("double")
+
+
+def check_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:
+    """Evaluate all rules in one aggregation; return
+    ``(rule, value, lo, hi, passed)`` — one row per rule.
+
+    The metrics all aggregate in the same pass (one job, one shuffle of
+    a single combined row); the unpivot to rule rows is a driver-side
+    stack over a 1-row result, so rule-set size never multiplies scan
+    cost.
+    """
+    agg = df.agg(*[r.metric.cast("double").alias(r.name) for r in rules])
+    stacked = agg.select(
+        F.expr(
+            "stack({n}, {args}) as (rule, value)".format(
+                n=len(rules),
+                args=", ".join(f"'{r.name}', {r.name}" for r in rules),
+            )
+        )
+    )
+    bounds = F.create_map(
+        *[
+            x
+            for r in rules
+            for x in (
+                F.lit(r.name),
+                F.struct(
+                    # Finite sentinels, not +/-inf: infinities round-trip
+                    # differently through some client layers and add no
+                    # expressiveness for data-quality bands.
+                    F.lit(float(r.lo) if r.lo is not None else -1e18).alias("lo"),
+                    F.lit(float(r.hi) if r.hi is not None else 1e18).alias("hi"),
+                ),
+            )
+        ]
+    )
+    return stacked.select(
+        "rule",
+        F.round(F.col("value"), 6).alias("value"),
+        F.round(bounds[F.col("rule")]["lo"], 6).alias("lo"),
+        F.round(bounds[F.col("rule")]["hi"], 6).alias("hi"),
+        (
+            (F.col("value") >= bounds[F.col("rule")]["lo"])
+            & (F.col("value") <= bounds[F.col("rule")]["hi"])
+        ).alias("passed"),
+    )

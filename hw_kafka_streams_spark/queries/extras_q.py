@@ -1028,3 +1028,65 @@ def q_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_high", F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     )
     return rank_auc(o, label_col="is_high", score_col="o_totalprice")
+
+
+@register(
+    "q_dq_checks",
+    oracle="""
+        WITH m AS (
+          SELECT round(CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                            AS BIGINT) * 1.0 / count(*), 6) AS orderdate_null_rate,
+                 round(count(DISTINCT o_orderkey) * 1.0 / count(*), 6)
+                     AS orderkey_unique_ratio,
+                 CAST(min(o_totalprice) AS DOUBLE) AS min_totalprice,
+                 CAST(CAST(sum(CASE WHEN o_orderstatus IN ('F','O','P')
+                                    THEN 0 ELSE 1 END) AS BIGINT) AS DOUBLE)
+                     AS status_domain_violations
+          FROM orders
+        )
+        SELECT rule, round(value, 6) AS value,
+               round(lo, 6) AS lo, round(hi, 6) AS hi,
+               value BETWEEN lo AND hi AS passed
+        FROM (
+          SELECT 'orderdate_null_rate' AS rule, orderdate_null_rate AS value,
+                 0.0 AS lo, 0.0 AS hi FROM m
+          UNION ALL
+          SELECT 'orderkey_unique_ratio', orderkey_unique_ratio, 1.0, 1.0 FROM m
+          UNION ALL
+          SELECT 'min_totalprice', min_totalprice, 0.0, 1e18 FROM m
+          UNION ALL
+          SELECT 'status_domain_violations', status_domain_violations,
+                 -1e18, 0.0 FROM m
+        )
+        ORDER BY rule
+    """,
+    doc="Declarative data-quality gate (Deequ-style): null-rate, "
+    "uniqueness ratio, value bounds, and domain-violation count over "
+    "orders, ALL evaluated in one aggregation pass (one scan, one "
+    "1-row shuffle) then unpivoted to per-rule verdicts — rule-set "
+    "size never multiplies scan cost, the property that matters at "
+    "ingest scale.",
+)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.quality import (
+        Expectation,
+        check_expectations,
+        distinct_ratio,
+        null_rate,
+        violation_count,
+    )
+
+    o = load_table(spark, "orders", sf_dir)
+    rules = [
+        Expectation("orderdate_null_rate", null_rate("o_orderdate"), 0.0, 0.0),
+        Expectation(
+            "orderkey_unique_ratio", distinct_ratio("o_orderkey"), 1.0, 1.0
+        ),
+        Expectation("min_totalprice", F.min("o_totalprice"), lo=0.0),
+        Expectation(
+            "status_domain_violations",
+            violation_count(F.col("o_orderstatus").isin("F", "O", "P")),
+            hi=0.0,
+        ),
+    ]
+    return check_expectations(o, rules).orderBy("rule")

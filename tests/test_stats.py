@@ -58,3 +58,31 @@ def test_token_drift_positive_and_hand_computed(spark):
     assert abs(out["a"].kl_vs_corpus - exp_a) < 1e-9
     assert abs(out["b"].kl_vs_corpus - exp_b) < 1e-9
     assert out["a"].kl_vs_corpus > 0 and out["b"].kl_vs_corpus > 0
+
+
+def test_check_expectations_single_pass_and_verdicts(spark):
+    from pyspark.sql import functions as F
+
+    from hw_kafka_streams_spark.operators.quality import (
+        Expectation,
+        check_expectations,
+        distinct_ratio,
+        null_rate,
+        violation_count,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", -1.0), (3, None, 2.0), (3, "b", 0.0)],
+        "k long, s string, v double",
+    )
+    rules = [
+        Expectation("s_null_rate", null_rate("s"), 0.0, 0.0),  # fails: 0.25
+        Expectation("k_unique", distinct_ratio("k"), 1.0, 1.0),  # fails: 0.75
+        Expectation("v_nonneg", violation_count(F.col("v") >= 0), hi=0.0),  # fails: 1
+        Expectation("min_v", F.min("v"), lo=-5.0),  # passes
+    ]
+    out = {r.rule: r for r in check_expectations(df, rules).collect()}
+    assert not out["s_null_rate"].passed and abs(out["s_null_rate"].value - 0.25) < 1e-9
+    assert not out["k_unique"].passed and abs(out["k_unique"].value - 0.75) < 1e-9
+    assert not out["v_nonneg"].passed and out["v_nonneg"].value == 1.0
+    assert out["min_v"].passed and out["min_v"].value == -1.0
