@@ -51,3 +51,54 @@ def merge_rollups(base: DataFrame, delta: DataFrame, keys: list[str]) -> DataFra
         F.min("min_v").alias("min_v"),
         F.max("max_v").alias("max_v"),
     )
+
+
+def rollup_state_from_changelog(
+    changelog: DataFrame,
+    keys: list[str],
+    value_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Signed (retractable) rollup state from a CDC changelog: inserts
+    ('I') contribute +1/+v, deletes ('D') contribute -1/-v. count and
+    sum stay exact under retraction; min/max are NOT retractable (a
+    deleted extremum can't be repaired without history), so this state
+    carries only the invertible aggregates — the standard split between
+    retractable and non-retractable aggregates in incremental view
+    maintenance.
+    """
+    is_del = F.col(op_col) == "D"
+    v = F.col(value_col).cast("decimal(18,6)")
+    # Negate-by-branch, not multiply: keeps the addend at decimal(18,6)
+    # (a sign*value product would widen the scale and change the string
+    # form of the final sum vs a plain-aggregate oracle).
+    return changelog.groupBy(*keys).agg(
+        F.sum(F.when(is_del, F.lit(-1)).otherwise(F.lit(1))).alias("n_rows"),
+        F.sum(F.when(is_del, -v).otherwise(v)).alias("sum_v"),
+    )
+
+
+def apply_changelog_to_rollup(
+    base: DataFrame,
+    changelog_delta: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Fold a signed changelog delta into a (count, sum) rollup WITHOUT
+    rescanning history: union + re-aggregate on the key partitioning,
+    then drop keys whose live row count reached zero (the materialized-
+    view retraction contract: deleting a group's last row removes the
+    group, exactly as a full recompute would).
+
+    Contract (oracle-proven in the registry):
+    ``apply(state(old_rows), changelog(delta)) == state(live rows)``
+    where live = old ∪ inserts − deletes.
+    """
+    cols = ("n_rows", "sum_v")
+    both = base.select(*keys, *cols).unionByName(
+        changelog_delta.select(*keys, *cols)
+    )
+    return (
+        both.groupBy(*keys)
+        .agg(F.sum("n_rows").alias("n_rows"), F.sum("sum_v").alias("sum_v"))
+        .filter(F.col("n_rows") > 0)
+    )

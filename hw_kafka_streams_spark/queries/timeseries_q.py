@@ -403,3 +403,49 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_v").cast("string").alias("min_v"),
         F.col("max_v").cast("string").alias("max_v"),
     ).orderBy("event_type", "day")
+
+
+@register(
+    "q_rollup_retraction",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n_rows,
+               CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS VARCHAR)
+                   AS sum_v
+        FROM events
+        WHERE (event_id <= 7000 AND event_id % 7 <> 0) OR event_id > 7000
+        GROUP BY 1 ORDER BY 1
+    """,
+    doc="Retractable incremental view maintenance: a (count, sum) rollup "
+    "built from old rows absorbs a CDC changelog of inserts AND deletes "
+    "(signed contributions; groups whose live count hits zero drop) "
+    "without rescanning history. The oracle recomputes directly over "
+    "the live rows, so the hash match proves "
+    "apply(state(old), changelog) == state(live) exactly — the "
+    "materialized-view-with-retractions contract. min/max are "
+    "deliberately absent: they are not invertible under deletes.",
+)
+def q_rollup_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators import rollup as R
+
+    e = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", F.round("value", 6).alias("value")
+    )
+    old = e.filter(F.col("event_id") <= 7000)
+    inserts = e.filter(F.col("event_id") > 7000).withColumn("op", F.lit("I"))
+    deletes = old.filter(F.col("event_id") % 7 == 0).withColumn("op", F.lit("D"))
+    base = R.rollup_state_from_changelog(
+        old.withColumn("op", F.lit("I")), ["event_type"], "value"
+    )
+    delta = R.rollup_state_from_changelog(
+        inserts.unionByName(deletes), ["event_type"], "value"
+    )
+    return (
+        R.apply_changelog_to_rollup(base, delta, ["event_type"])
+        .select(
+            "event_type",
+            "n_rows",
+            F.col("sum_v").cast("string").alias("sum_v"),
+        )
+        .orderBy("event_type")
+    )

@@ -86,3 +86,29 @@ def test_check_expectations_single_pass_and_verdicts(spark):
     assert not out["k_unique"].passed and abs(out["k_unique"].value - 0.75) < 1e-9
     assert not out["v_nonneg"].passed and out["v_nonneg"].value == 1.0
     assert out["min_v"].passed and out["min_v"].value == -1.0
+
+
+def test_rollup_retraction_drops_emptied_groups(spark):
+    from pyspark.sql import functions as F
+
+    from hw_kafka_streams_spark.operators.rollup import (
+        apply_changelog_to_rollup,
+        rollup_state_from_changelog,
+    )
+
+    old = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 5.0)], "k string, value double"
+    ).withColumn("op", F.lit("I"))
+    base = rollup_state_from_changelog(old, ["k"], "value")
+    # delete BOTH of group a's rows, insert one c row
+    delta_rows = spark.createDataFrame(
+        [("a", 1.0, "D"), ("a", 2.0, "D"), ("c", 7.0, "I")],
+        "k string, value double, op string",
+    )
+    delta = rollup_state_from_changelog(delta_rows, ["k"], "value")
+    out = {
+        r.k: (r.n_rows, float(r.sum_v))
+        for r in apply_changelog_to_rollup(base, delta, ["k"]).collect()
+    }
+    assert "a" not in out  # emptied group removed, like a full recompute
+    assert out["b"] == (1, 5.0) and out["c"] == (1, 7.0)
