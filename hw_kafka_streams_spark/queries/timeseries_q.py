@@ -449,3 +449,85 @@ def q_rollup_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_TS_PATTERN = [-1.091089, -0.654654, 0.218218, 1.527525,
+               1.527525, 0.218218, -0.654654, -1.091089]  # z-normalized peak
+
+
+def _ts_pattern_oracle() -> str:
+    L = len(_TS_PATTERN)
+    leads = ",\n                 ".join(
+        f"lead(value, {j}) OVER w AS v{j}" for j in range(L)
+    )
+    dot = " + ".join(f"v{j} * ({_TS_PATTERN[j]})" for j in range(L))
+    s = " + ".join(f"v{j}" for j in range(L))
+    s2 = " + ".join(f"v{j} * v{j}" for j in range(L))
+    return f"""
+        WITH leads AS (
+          SELECT user_id, event_id,
+                 {leads}
+          FROM events WHERE user_id <= 100
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        scored AS (
+          SELECT user_id, event_id,
+                 ({dot}) AS dot,
+                 ({s}) / {L}.0 AS mean_w,
+                 ({s2}) / {L}.0 AS meansq_w
+          FROM leads WHERE v{L-1} IS NOT NULL
+        )
+        SELECT user_id, event_id,
+               round(dot / ({L} * sqrt(meansq_w - mean_w * mean_w)), 6)
+                   AS corr
+        FROM scored
+        WHERE meansq_w - mean_w * mean_w > 1e-12
+        ORDER BY corr DESC, user_id, event_id
+        LIMIT 20
+    """
+
+
+@register(
+    "q_ts_pattern_match",
+    oracle=_ts_pattern_oracle(),
+    doc="Distributed time-series pattern search (the streaming "
+    "similarity-search shape from EDBT'19 'Time Series Similarity "
+    "Search for Streaming Data', re-expressed relationally): top-20 "
+    "length-8 windows per-user value series most correlated with a "
+    "z-normalized query pattern. The normalized cross-correlation "
+    "closes over rolling sums expressed as lead() columns — pure JVM "
+    "codegen, one shuffle on user_id, TakeOrderedAndProject for the "
+    "top-k; at 100 TB the pattern bank broadcasts and each series "
+    "partition scores independently (the MASS idea minus FFT, exact).",
+)
+def q_ts_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    L = len(_TS_PATTERN)
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") <= 100)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    leads = [F.lead("value", j).over(w).alias(f"v{j}") for j in range(L)]
+    base = ev.select("user_id", "event_id", *leads).filter(
+        F.col(f"v{L-1}").isNotNull()
+    )
+    dot = sum(F.col(f"v{j}") * F.lit(_TS_PATTERN[j]) for j in range(L))
+    s = sum(F.col(f"v{j}") for j in range(L))
+    s2 = sum(F.col(f"v{j}") * F.col(f"v{j}") for j in range(L))
+    mean_w = s / float(L)
+    var_w = s2 / float(L) - mean_w * mean_w
+    return (
+        base.select(
+            "user_id",
+            "event_id",
+            dot.alias("dot"),
+            var_w.alias("var_w"),
+        )
+        .filter(F.col("var_w") > 1e-12)
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.col("dot") / (L * F.sqrt(F.col("var_w"))), 6).alias("corr"),
+        )
+        .orderBy(F.desc("corr"), "user_id", "event_id")
+        .limit(20)
+    )
