@@ -531,3 +531,85 @@ def q_ts_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("corr"), "user_id", "event_id")
         .limit(20)
     )
+
+
+@register(
+    "q_concurrent_sessions",
+    oracle="""
+        WITH gaps AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN date_diff('second',
+                        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                        ts) > 1800
+                      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events WHERE user_id <= 30
+        ),
+        sess AS (
+          SELECT user_id,
+                 sum(new_session) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_id,
+                 ts
+          FROM gaps
+        ),
+        iv AS (
+          SELECT user_id, session_id,
+                 CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
+                 CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s
+          FROM sess GROUP BY 1, 2
+        )
+        SELECT a.user_id AS user1, b.user_id AS user2,
+               count(*) AS n_overlaps
+        FROM iv a JOIN iv b
+          ON a.user_id < b.user_id
+         AND a.start_s <= b.end_s AND b.start_s <= a.end_s
+        GROUP BY 1, 2
+        ORDER BY n_overlaps DESC, user1, user2
+        LIMIT 30
+    """,
+    doc="Concurrent-session analysis: which user pairs have overlapping "
+    "sessions, and how many session pairs overlap. The overlap test is "
+    "a theta join the planner can only nested-loop; the Spark plan "
+    "converts it to an EQUI-join by bucket blocking (intervals explode "
+    "to touched 1-hour buckets, hash join on bucket, exact verify, "
+    "pair dedup — operators/intervals.py), the same blocking move LSH "
+    "makes for similarity. Oracle runs the naive theta join directly; "
+    "identical results, scalable plan.",
+)
+def q_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hw_kafka_streams_spark.operators.intervals import interval_overlap_join
+
+    e = load_table(spark, "events", sf_dir).filter(F.col("user_id") <= 30)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = (
+        prev_ts.isNull()
+        | (F.col("ts").cast("long") - prev_ts.cast("long") > 1800)
+    ).cast("long")
+    sess = e.select("user_id", "ts", "event_id").withColumn(
+        "session_id",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    iv = sess.groupBy("user_id", "session_id").agg(
+        F.min(F.col("ts").cast("long")).alias("start_s"),
+        F.max(F.col("ts").cast("long")).alias("end_s"),
+    ).select(
+        (F.col("user_id") * 1_000_000 + F.col("session_id")).alias("id"),
+        "start_s",
+        "end_s",
+    )
+    pairs = interval_overlap_join(iv, iv, width_s=3600).filter(
+        F.expr("id1 div 1000000") < F.expr("id2 div 1000000")
+    )
+    return (
+        pairs.groupBy(
+            F.expr("id1 div 1000000").alias("user1"),
+            F.expr("id2 div 1000000").alias("user2"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_overlaps"))
+        .orderBy(F.desc("n_overlaps"), "user1", "user2")
+        .limit(30)
+    )

@@ -112,3 +112,34 @@ def test_rollup_retraction_drops_emptied_groups(spark):
     }
     assert "a" not in out  # emptied group removed, like a full recompute
     assert out["b"] == (1, 5.0) and out["c"] == (1, 7.0)
+
+
+def test_interval_overlap_join_matches_naive_and_is_equijoin(spark):
+    from hw_kafka_streams_spark.operators.intervals import interval_overlap_join
+
+    rows = [
+        (1, 0, 100),       # overlaps 2 (multi-bucket), touches 3 at boundary
+        (2, 50, 7300),     # spans 3 buckets at width 3600
+        (3, 100, 150),
+        (4, 10_000, 10_500),  # overlaps nobody
+    ]
+    df = spark.createDataFrame(rows, "id long, start_s long, end_s long")
+    got = {
+        (r.id1, r.id2)
+        for r in interval_overlap_join(df, df, width_s=3600).collect()
+        if r.id1 < r.id2
+    }
+    naive = {
+        (a[0], b[0])
+        for a in rows
+        for b in rows
+        if a[0] < b[0] and a[1] <= b[2] and b[1] <= a[2]
+    }
+    assert got == naive == {(1, 2), (1, 3), (2, 3)}
+
+    plan = (
+        interval_overlap_join(df, df, width_s=3600)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan  # blocking made it equi
+    assert "CartesianProduct" not in plan
