@@ -613,3 +613,76 @@ def q_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_overlaps"), "user1", "user2")
         .limit(30)
     )
+
+
+@register(
+    "q_mad_outliers",
+    oracle="""
+        WITH med AS (
+          SELECT event_type, quantile_cont(value, 0.5) AS med
+          FROM events GROUP BY 1
+        ),
+        dev AS (
+          SELECT e.event_type,
+                 quantile_cont(abs(e.value - m.med), 0.5) AS mad
+          FROM events e JOIN med m USING (event_type)
+          GROUP BY 1
+        )
+        SELECT e.event_type,
+               count(*) AS n_rows,
+               round(m.med, 6) AS med,
+               round(d.mad, 6) AS mad,
+               CAST(sum(CASE WHEN abs(e.value - m.med) > 3 * 1.4826 * d.mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM events e JOIN med m USING (event_type) JOIN dev d USING (event_type)
+        GROUP BY 1, 3, 4
+        ORDER BY 1
+    """,
+    doc="Robust outlier detection per group: median + MAD (the "
+    "breakdown-resistant alternative to mean/stddev — one wild sensor "
+    "can't move the fence), flagging |v - med| > 3·1.4826·MAD. Three "
+    "aggregations reusing one event_type partitioning, medians via "
+    "Spark's exact percentile (interpolation matches DuckDB's "
+    "quantile_cont bit-for-bit — already proven by q_percentiles).",
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias(
+                "mad"
+            )
+        )
+    )
+    # Flag on the UNROUNDED med/mad (matching the oracle's fence), then
+    # round only the reported columns — rounding before the comparison
+    # could flip boundary points.
+    flagged = (
+        e.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(dev), "event_type")
+        .withColumn(
+            "is_outlier",
+            (
+                F.abs(F.col("value") - F.col("med"))
+                > 3 * 1.4826 * F.col("mad")
+            ).cast("long"),
+        )
+    )
+    return (
+        flagged.groupBy(
+            "event_type",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("is_outlier").alias("n_outliers"),
+        )
+        .select("event_type", "n_rows", "med", "mad", "n_outliers")
+        .orderBy("event_type")
+    )
