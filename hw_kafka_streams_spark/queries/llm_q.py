@@ -1463,3 +1463,95 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(
         docs, weight_col="n_chars", k=5, id_col="doc_id", group_col="source"
     ).orderBy("source", "rank")
+
+
+@register(
+    "q_embedding_centroids",
+    oracle="""
+        WITH dims AS (
+          SELECT label, vec_id,
+                 generate_subscripts(embedding, 1) AS dim,
+                 CAST(unnest(embedding) AS DOUBLE) AS x
+          FROM embeddings
+        ),
+        cent AS (
+          SELECT label, dim,
+                 CAST(sum(CAST(round(x, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(*) AS c
+          FROM dims GROUP BY 1, 2
+        ),
+        per_vec AS (
+          SELECT d.vec_id, d.label,
+                 CAST(sum(CAST(round(d.x * c.c, 9) AS DECIMAL(20,9)))
+                      AS DOUBLE) AS dot,
+                 CAST(sum(CAST(round(d.x * d.x, 9) AS DECIMAL(20,9)))
+                      AS DOUBLE) AS nx,
+                 CAST(sum(CAST(round(c.c * c.c, 9) AS DECIMAL(20,9)))
+                      AS DOUBLE) AS nc
+          FROM dims d JOIN cent c USING (label, dim)
+          GROUP BY 1, 2
+        ),
+        norms AS (
+          SELECT label,
+                 round(sqrt(CAST(sum(CAST(round(c * c, 9) AS DECIMAL(20,9)))
+                                 AS DOUBLE)), 6) AS centroid_l2
+          FROM cent GROUP BY 1
+        )
+        SELECT p.label,
+               count(*) AS n_vecs,
+               round(CAST(sum(CAST(round(p.dot / (sqrt(p.nx) * sqrt(p.nc)), 6)
+                                   AS DECIMAL(10,6))) AS DOUBLE) / count(*), 6)
+                   AS cohesion,
+               n.centroid_l2
+        FROM per_vec p JOIN norms n USING (label)
+        GROUP BY 1, 4 ORDER BY 1
+    """,
+    doc="Per-class embedding centroids and cohesion (mean cosine of "
+    "members to their centroid) — the cluster-quality / label-noise "
+    "diagnostic run before training on labeled embeddings. Every "
+    "floating sum travels as rounded DECIMAL (per-dim centroid sums, "
+    "per-vector dot/norm sums, per-label cosine sums) so reducer order "
+    "cannot drift the hash; only scalar division/sqrt stay IEEE. "
+    "Shuffles: (label, dim) centroid agg, per-vec agg on the exploded "
+    "dims, final label agg — the centroid table (labels x dims) "
+    "broadcasts back.",
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    dims = emb.select(
+        "label", "vec_id", F.posexplode("embedding").alias("dim", "xf")
+    ).select("label", "vec_id", "dim", F.col("xf").cast("double").alias("x"))
+    dec6 = lambda c: F.round(c, 6).cast("decimal(18,6)")  # noqa: E731
+    dec9 = lambda c: F.round(c, 9).cast("decimal(20,9)")  # noqa: E731
+    cent = dims.groupBy("label", "dim").agg(
+        (F.sum(dec6(F.col("x"))).cast("double") / F.count(F.lit(1))).alias("c")
+    )
+    per_vec = (
+        dims.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(dec9(F.col("x") * F.col("c"))).cast("double").alias("dot"),
+            F.sum(dec9(F.col("x") * F.col("x"))).cast("double").alias("nx"),
+            F.sum(dec9(F.col("c") * F.col("c"))).cast("double").alias("nc"),
+        )
+    )
+    norms = cent.groupBy("label").agg(
+        F.round(
+            F.sqrt(F.sum(dec9(F.col("c") * F.col("c"))).cast("double")), 6
+        ).alias("centroid_l2")
+    )
+    cos = F.col("dot") / (F.sqrt(F.col("nx")) * F.sqrt(F.col("nc")))
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                F.sum(F.round(cos, 6).cast("decimal(10,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("cohesion"),
+        )
+        .join(F.broadcast(norms), "label")
+        .select("label", "n_vecs", "cohesion", "centroid_l2")
+        .orderBy("label")
+    )
