@@ -1034,3 +1034,55 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q_null_safe_join",
+    oracle="""
+        WITH a AS (
+          SELECT CASE WHEN value < 0.1 THEN NULL ELSE event_type END AS k,
+                 count(*) AS n_a
+          FROM events GROUP BY 1
+        ),
+        b AS (
+          SELECT CASE WHEN value > 0.9 THEN NULL ELSE event_type END AS k,
+                 count(*) AS n_b
+          FROM events GROUP BY 1
+        )
+        SELECT coalesce(a.k, '<NULL>') AS k, a.n_a, b.n_b
+        FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        ORDER BY k
+    """,
+    doc="Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys "
+    "match each other instead of vanishing — the semantics corner that "
+    "silently drops rows when a changelog or sessionless key is NULL "
+    "under plain equality. Still hash-joinable (the null bucket is one "
+    "key), unlike an OR-based null workaround which degrades the plan.",
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    a = (
+        e.select(
+            F.when(F.col("value") < 0.1, F.lit(None))
+            .otherwise(F.col("event_type"))
+            .alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    b = (
+        e.select(
+            F.when(F.col("value") > 0.9, F.lit(None))
+            .otherwise(F.col("event_type"))
+            .alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    return (
+        a.join(b, a["k"].eqNullSafe(b["k"]))
+        .select(
+            F.coalesce(a["k"], F.lit("<NULL>")).alias("k"), "n_a", "n_b"
+        )
+        .orderBy("k")
+    )
