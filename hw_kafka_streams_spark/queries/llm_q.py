@@ -86,13 +86,15 @@ def _d_md5h(x: str) -> str:
     return f"('0x' || substring(md5({x}),1,15))::BIGINT"
 
 
-def _minhash_oracle() -> str:
+def _minhash_cte(final_select: str) -> str:
     """Exact DuckDB reconstruction of the md5-mode MinHash+LSH pipeline.
 
     Same affine-permutation constants (dedup.MINHASH_A/B baked in as
     literals), same 3-gram shingles, same 16-band bucketing, same
     signature-estimated Jaccard — so the driver can value-hash this
-    formerly rows-only query.
+    formerly rows-only query. ``final_select`` (with ``{agree}`` /
+    ``{share_band}`` placeholders) lets variants (all-pairs dedup,
+    train-vs-eval decontamination) share the signature CTEs.
     """
     from hw_kafka_streams_spark.operators.dedup import (
         MERSENNE_P,
@@ -112,6 +114,7 @@ def _minhash_oracle() -> str:
     )
     share_band = " OR ".join(f"a.k{b} = b.k{b}" for b in range(16))
     agree = " + ".join(f"(a.m{i} = b.m{i})::INT" for i in range(MINHASH_K))
+    final_select = final_select.format(agree=agree, share_band=share_band)
     return f"""
         WITH toks AS (
           SELECT doc_id,
@@ -137,14 +140,21 @@ def _minhash_oracle() -> str:
                  {buckets}
           FROM sig
         )
+        {final_select}
+    """
+
+
+def _minhash_oracle(
+    final_select: str = """
         SELECT id1, id2, est_jaccard FROM (
           SELECT a.doc_id AS id1, b.doc_id AS id2,
                  round(({agree}) / 64.0, 4) AS est_jaccard
           FROM bk a JOIN bk b
             ON a.doc_id < b.doc_id AND ({share_band})
         ) WHERE est_jaccard >= 0.2
-        ORDER BY id1, id2
-    """
+        ORDER BY id1, id2""",
+) -> str:
+    return _minhash_cte(final_select)
 
 
 @register(
@@ -1554,4 +1564,58 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(norms), "label")
         .select("label", "n_vecs", "cohesion", "centroid_l2")
         .orderBy("label")
+    )
+
+
+@register(
+    "q_neardup_decontam",
+    oracle=_minhash_cte(
+        """
+        SELECT eval_id, n_train_matches, first_match, best_est FROM (
+          SELECT b.doc_id AS eval_id,
+                 count(DISTINCT a.doc_id) AS n_train_matches,
+                 min(a.doc_id) AS first_match,
+                 max(round(({agree}) / 64.0, 4)) AS best_est
+          FROM bk a JOIN bk b
+            ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1 AND ({share_band})
+          WHERE round(({agree}) / 64.0, 4) >= 0.2
+          GROUP BY 1
+        ) ORDER BY eval_id"""
+    ),
+    doc="NEAR-duplicate decontamination: eval docs (odd ids) screened "
+    "against the train split (even ids) through the banded MinHash "
+    "index — catches paraphrase-level leakage the exact n-gram "
+    "decontamination (q_contamination) misses. Train and eval band "
+    "independently and meet ONLY in the (band, bucket) equi-join, so "
+    "at 100 TB the probe cost scales with the eval split, not the "
+    "corpus. Shares every signature constant with q_dedup_minhash_lsh "
+    "(one oracle CTE, two final selects).",
+)
+def q_neardup_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    evald = docs.filter(F.col("doc_id") % 2 == 1)
+    bt = D.minhash_band_buckets(
+        D.minhash_signatures(train, hash_mode="md5"), hash_mode="md5"
+    )
+    be = D.minhash_band_buckets(
+        D.minhash_signatures(evald, hash_mode="md5"), hash_mode="md5"
+    )
+    est = D.signature_est_jaccard(F.col("t.sig"), F.col("e.sig"))
+    return (
+        bt.alias("t")
+        .join(
+            be.alias("e"),
+            (F.col("t.band") == F.col("e.band"))
+            & (F.col("t.bucket") == F.col("e.bucket")),
+        )
+        .withColumn("est", est)
+        .filter(F.col("est") >= 0.2)
+        .groupBy(F.col("e.id").alias("eval_id"))
+        .agg(
+            F.count_distinct(F.col("t.id")).alias("n_train_matches"),
+            F.min(F.col("t.id")).alias("first_match"),
+            F.max("est").alias("best_est"),
+        )
+        .orderBy("eval_id")
     )
