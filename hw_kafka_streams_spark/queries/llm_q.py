@@ -1619,3 +1619,85 @@ def q_neardup_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("eval_id")
     )
+
+
+@register(
+    "q_tokenizer_fertility",
+    oracle="""
+        WITH t AS (
+          SELECT lang,
+                 len(regexp_extract_all(text, '\\S+')) AS n_ws,
+                 len(regexp_extract_all(text,
+                     '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe
+          FROM documents
+        )
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
+               CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+               round(CAST(sum(n_bpe) AS BIGINT) * 1.0
+                     / CAST(sum(n_ws) AS BIGINT), 6) AS fertility
+        FROM t GROUP BY lang ORDER BY lang
+    """,
+    doc="Tokenizer fertility per language: BPE-ish pretokens per "
+    "whitespace token — the budgeting metric that decides how many "
+    "real tokens a corpus costs per 'word' (scripts without spaces or "
+    "with heavy punctuation inflate it). Two regexp counts per row, "
+    "zero-shuffle map side, one tiny group agg; exact integers until "
+    "the final ratio.",
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select(
+        "lang",
+        T.token_count(F.col("text")).cast("long").alias("n_ws"),
+        T.bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe"),
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_ws").alias("ws_tokens"),
+            F.sum("n_bpe").alias("bpe_tokens"),
+            F.round(F.sum("n_bpe") / F.sum("n_ws"), 6).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q_lang_confusion",
+    oracle="""
+        WITH c AS (
+          SELECT lang,
+                 len(regexp_extract_all(text, '[一-鿿]')) AS n_han,
+                 len(regexp_extract_all(text, '[Ѐ-ӿ]'))  AS n_cyr,
+                 len(regexp_extract_all(text, '[؀-ۿ]'))  AS n_ara,
+                 len(regexp_extract_all(text, '[A-Za-z]')) AS n_lat
+          FROM documents
+        ),
+        d AS (
+          SELECT lang,
+                 CASE WHEN greatest(n_han, n_cyr, n_ara, n_lat) = 0 THEN 'unknown'
+                      WHEN greatest(n_han, n_cyr, n_ara, n_lat) = n_han THEN 'han'
+                      WHEN greatest(n_han, n_cyr, n_ara, n_lat) = n_cyr THEN 'cyrillic'
+                      WHEN greatest(n_han, n_cyr, n_ara, n_lat) = n_ara THEN 'arabic'
+                      ELSE 'latin' END AS script
+          FROM c
+        )
+        SELECT lang, script, count(*) AS n
+        FROM d GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Language-metadata vs detected-script confusion matrix: the "
+    "audit that catches mislabeled language columns before a filter "
+    "drops the wrong documents. Detection is the same charset "
+    "heuristic as q_text_lang_id; one narrow map + one small agg.",
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select("lang", T.lang_id_charset("text").alias("script"))
+        .groupBy("lang", "script")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "script")
+    )
