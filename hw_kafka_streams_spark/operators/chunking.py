@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hw_kafka_streams_spark.operators.winutil import tiny_table_partition
+
 
 def chunk_starts(text: Column, stride: int) -> Column:
     """0-based chunk start offsets: 0, stride, 2*stride … < length."""
@@ -174,7 +176,10 @@ def sequence_pack_stats(
         .withColumn("blk", F.expr(f"id div {block}"))
     )
     bsums = dl.groupBy("blk").agg(F.sum("n_tokens").alias("bsum"))
-    w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    # tiny block table: intentionally single-partition (see winutil)
+    w_blk = Window.partitionBy(tiny_table_partition("blk")).orderBy(
+        "blk"
+    ).rowsBetween(Window.unboundedPreceding, -1)
     boff = bsums.select(
         "blk", F.coalesce(F.sum("bsum").over(w_blk), F.lit(0)).alias("blk_off")
     )

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hw_kafka_streams_spark.operators.winutil import tiny_table_partition
+
 
 def hash_bucket(
     key: Column | str, denom: int = 10_000, seed: int = 42, hash_mode: str = "xxhash64"
@@ -128,9 +130,15 @@ def weighted_sample(
         return (
             base.orderBy(F.desc("_key"), F.asc(id_col))
             .limit(k)
+            # post-limit(k) input — intentionally single-partition
+            # rank window (see winutil)
             .select(
                 F.row_number()
-                .over(Window.orderBy(F.desc("_key"), F.asc(id_col)))
+                .over(
+                    Window.partitionBy(tiny_table_partition(id_col)).orderBy(
+                        F.desc("_key"), F.asc(id_col)
+                    )
+                )
                 .alias("rank"),
                 id_col,
                 weight_col,

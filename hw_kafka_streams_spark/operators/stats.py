@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hw_kafka_streams_spark.operators.winutil import tiny_table_partition
+
 
 def rank_auc(
     df: DataFrame,
@@ -59,7 +61,10 @@ def rank_auc(
         .withColumn("blk", block_col)
     )
     bsums = per_score.groupBy("blk").agg(F.sum("nn").alias("bn"))
-    w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    # tiny block table: intentionally single-partition (see winutil)
+    w_blk = Window.partitionBy(tiny_table_partition("blk")).orderBy(
+        "blk"
+    ).rowsBetween(Window.unboundedPreceding, -1)
     boff = bsums.select(
         "blk", F.coalesce(F.sum("bn").over(w_blk), F.lit(0)).alias("blk_off")
     )

@@ -3,6 +3,7 @@
 from hw_kafka_streams_spark.plans.inspect import (
     count_shuffles,
     formatted_plan,
+    global_window_count,
     physical_plan,
     plan_report,
     pushed_filters,
@@ -12,6 +13,7 @@ from hw_kafka_streams_spark.plans.inspect import (
 __all__ = [
     "count_shuffles",
     "formatted_plan",
+    "global_window_count",
     "physical_plan",
     "plan_report",
     "pushed_filters",

@@ -50,6 +50,48 @@ def read_schema(df: DataFrame) -> list[str]:
     return sorted(cols)
 
 
+def _walk_jvm_plan(node):
+    """Depth-first over a JVM SparkPlan, descending into AQE wrappers
+    and materialized query stages (py4j objects throughout)."""
+    yield node
+    name = node.getClass().getSimpleName()
+    if name == "AdaptiveSparkPlanExec":
+        yield from _walk_jvm_plan(node.executedPlan())
+        return
+    if "QueryStageExec" in name:
+        try:
+            yield from _walk_jvm_plan(node.plan())
+            return
+        except Exception:
+            pass
+    ch = node.children()
+    for i in range(ch.length()):
+        yield from _walk_jvm_plan(ch.apply(i))
+
+
+def global_window_count(df: DataFrame, execute: bool = True) -> int:
+    """Number of WindowExec nodes with an EMPTY partition spec — the
+    single-partition scale killer ("WindowExec: No Partition Defined").
+    The repo's invariant is 0 in every query: intentionally
+    single-partition windows over driver-bounded block tables use
+    ``operators.winutil.tiny_table_partition`` so the empty-spec path
+    stays a tripwire for accidents.  ``execute=True`` collects first so
+    AQE's final plan (the one that actually runs) is inspected.
+    """
+    if execute:
+        df.collect()
+    plan = df._jdf.queryExecution().executedPlan()
+    n = 0
+    for node in _walk_jvm_plan(plan):
+        if node.getClass().getSimpleName() in ("WindowExec", "WindowGroupLimitExec"):
+            try:
+                if node.partitionSpec().isEmpty():
+                    n += 1
+            except Exception:
+                pass
+    return n
+
+
 def plan_report(df: DataFrame, execute: bool = False) -> dict:
     """One-look scale review of a plan.
 

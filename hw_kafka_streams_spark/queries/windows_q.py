@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hw_kafka_streams_spark.operators.winutil import tiny_table_partition
 from hw_kafka_streams_spark.queries import register
 from hw_kafka_streams_spark.sources.catalog import load_table
 
@@ -30,8 +31,57 @@ from hw_kafka_streams_spark.sources.catalog import load_table
 def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, "supplier", sf_dir)
     w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
-    wg = Window.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
-    return s.select(
+
+    # The quartile is SQL ntile(4) over the GLOBAL ordering
+    # (s_acctbal DESC, s_suppkey) — but a global window would move the
+    # whole table into one partition.  Instead: block-prefix-sum (the
+    # rank_auc / sequence_pack pattern).  Blocks = floor(s_acctbal)
+    # (monotone with the sort key, so blocks ordered DESC nest the
+    # global order); per-block row counts form a tiny table whose
+    # running sum is the only "global" window (rows = #distinct
+    # integer balances, driver-bounded); the global rank of a row is
+    # its block offset + its rank within the block [windows
+    # partitioned by block — parallel].  ntile(k) then has a closed
+    # form in (rank, N): the first N%k buckets take ceil(N/k) rows.
+    # NULL balances (never in TPC-H, but don't rely on it) get a
+    # sentinel block below all real floors, matching DESC NULLS LAST
+    sb = s.withColumn(
+        "blk", F.coalesce(F.floor("s_acctbal"), F.lit(-(1 << 62)))
+    )
+    w_in_blk = Window.partitionBy("blk").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey")
+    )
+    bcounts = sb.groupBy("blk").agg(F.count(F.lit(1)).alias("bc"))
+    # tiny block table: intentionally single-partition (see winutil)
+    w_blk = (
+        Window.partitionBy(tiny_table_partition("blk"))
+        .orderBy(F.desc("blk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boff = bcounts.select(
+        "blk", F.coalesce(F.sum("bc").over(w_blk), F.lit(0)).alias("blk_off")
+    )
+    total = bcounts.agg(F.sum("bc").alias("n_total"))
+
+    grn = F.col("blk_off") + F.row_number().over(w_in_blk)
+    ranked = (
+        sb.join(F.broadcast(boff), "blk")
+        .withColumn("grn", grn)
+        .crossJoin(F.broadcast(total))
+    )
+    # ntile(4): q = N div 4 rows per bucket, first r = N mod 4 buckets
+    # take one extra row.  greatest(q,1) guards the (never-taken at
+    # N>=4) divide; all ranks <= r*(q+1) fall in the "big" buckets.
+    qsz = F.floor(F.col("n_total") / 4)
+    rem = F.col("n_total") % 4
+    cut = rem * (qsz + 1)
+    quartile = F.when(
+        F.col("grn") <= cut, F.floor((F.col("grn") - 1) / (qsz + 1)) + 1
+    ).otherwise(
+        rem + F.floor((F.col("grn") - cut - 1) / F.greatest(qsz, F.lit(1))) + 1
+    )
+
+    return ranked.select(
         "s_suppkey",
         "s_name",
         "s_nationkey",
@@ -39,7 +89,7 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rn"),
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(wg).alias("quartile"),
+        quartile.cast("int").alias("quartile"),
     ).orderBy("s_suppkey")
 
 
@@ -227,7 +277,9 @@ def q_window_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum("o_totalprice").alias("nation_rev"))
     )
-    w = Window.partitionBy()
+    # 25-row aggregate (one per nation): intentionally single-partition
+    # (see winutil)
+    w = Window.partitionBy(tiny_table_partition("n_name"))
     return per_nation.select(
         "n_name",
         F.round("nation_rev", 2).alias("nation_rev"),

@@ -262,3 +262,26 @@ def test_headline_plans_no_smj_no_unexpected_nlj(spark, sf_dir):
         if "BroadcastNestedLoopJoin" in plan and name not in allowed_nlj:
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, offenders
+
+
+def test_no_global_windows_in_window_queries(spark, sf_dir):
+    """Zero WindowExec nodes with an empty partition spec — the
+    single-partition scale killer.  Intentionally single-partition
+    windows over driver-bounded block tables must use
+    winutil.tiny_table_partition, keeping the empty-spec path a
+    tripwire for accidents (VERDICT r3 item #1)."""
+    from hw_kafka_streams_spark.plans import global_window_count
+
+    for name in [
+        "q_window_rank",
+        "q_window_share",
+        "q_window_running",
+        "q_window_distribution",
+        "q_weighted_sample",
+        "q_auc_rank",
+        "q_sequence_pack",
+        "q_mad_outliers",
+    ]:
+        df = REGISTRY[name].fn(spark, sf_dir)
+        n = global_window_count(df, execute=True)
+        assert n == 0, f"{name}: {n} global window(s) in executed plan"
