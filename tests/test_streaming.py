@@ -864,3 +864,113 @@ def test_sessions_with_timeout_plan_builds(spark, tmpdir):
     assert [f.name for f in out.schema.fields] == [
         "user_id", "n_events", "total", "duration_ms",
     ]
+
+
+def test_neardup_replay_is_stable_and_idempotent(spark, tmpdir):
+    """foreachBatch at-least-once: redelivering a batch must (a) produce
+    identical labels — the probe's `ix.id != new.id` guard keeps docs
+    from matching the rows their first delivery appended — and (b) not
+    duplicate index rows (per-batch commit marker skips the re-append)."""
+    from hw_kafka_streams_spark.streaming.neardup import neardup_batch_step
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    near = base.replace("omicron", "OMEGA")
+    batch = spark.createDataFrame(
+        [(1, base), (2, near)], "doc_id long, text string"
+    )
+    ix_dir = f"{tmpdir}/index"
+
+    first = {
+        r.doc_id: (r.is_dup, r.dup_of)
+        for r in neardup_batch_step(spark, batch, ix_dir, batch_id=7).collect()
+    }
+    assert first == {1: (False, None), 2: (True, 1)}
+    n_rows = spark.read.parquet(ix_dir).count()
+
+    # replay the same batch id (crash before checkpoint commit)
+    replay = {
+        r.doc_id: (r.is_dup, r.dup_of)
+        for r in neardup_batch_step(spark, batch, ix_dir, batch_id=7).collect()
+    }
+    assert replay == first
+    assert spark.read.parquet(ix_dir).count() == n_rows  # no re-append
+
+
+def test_neardup_short_docs_still_labeled(spark, tmpdir):
+    """Docs too short to signature (< n tokens, NULL text) must come
+    back labeled (is_dup=false) instead of silently vanishing."""
+    from hw_kafka_streams_spark.streaming.neardup import neardup_batch_step
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    batch = spark.createDataFrame(
+        [(1, base), (2, "hi"), (3, None)], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: (r.is_dup, r.dup_of)
+        for r in neardup_batch_step(spark, batch, f"{tmpdir}/index").collect()
+    }
+    assert out == {1: (False, None), 2: (False, None), 3: (False, None)}
+    # unsignatured docs are not indexed
+    ids = {r.id for r in spark.read.parquet(f"{tmpdir}/index").select("id").collect()}
+    assert ids == {1}
+
+
+def test_neardup_index_compaction_preserves_labels(spark, tmpdir):
+    """compact_neardup_index: file count collapses to ~1/band, replay
+    duplicates are dropped, and a post-compaction probe labels exactly
+    as before."""
+    import glob
+
+    from hw_kafka_streams_spark.streaming.neardup import (
+        compact_neardup_index,
+        neardup_batch_step,
+    )
+
+    words = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    ).split()
+    ix_dir = f"{tmpdir}/index"
+    # several appends -> several files per band partition
+    for b in range(3):
+        doc = " ".join(words[:10] + [f"uniq{b}a", f"uniq{b}b"] + words[10:])
+        batch = spark.createDataFrame(
+            [(100 + b, doc)], "doc_id long, text string"
+        )
+        neardup_batch_step(spark, batch, ix_dir, batch_id=b, threshold=0.9)
+    before = spark.read.parquet(ix_dir)
+    rows_before = {(r.id, r.band, r.bucket) for r in before.collect()}
+    files_before = len(glob.glob(f"{ix_dir}/band=*/part-*.parquet"))
+
+    # crash-window artifact: duplicate one batch's rows by hand
+    dup = before.filter(F.col("id") == 100)
+    dup.write.mode("append").partitionBy("band").parquet(ix_dir)
+    assert spark.read.parquet(ix_dir).count() == len(rows_before) + dup.count()
+
+    compact_neardup_index(spark, ix_dir)
+    after = spark.read.parquet(ix_dir)
+    assert {(r.id, r.band, r.bucket) for r in after.collect()} == rows_before
+    files_after = len(glob.glob(f"{ix_dir}/band=*/part-*.parquet"))
+    assert files_after < files_before
+    n_bands = after.select("band").distinct().count()
+    assert files_after <= n_bands
+
+    # post-compaction probe: near-dup of doc 100 still caught
+    near = " ".join(words[:10] + ["uniq0a", "CHANGED"] + words[10:])
+    out = {
+        r.doc_id: (r.is_dup, r.dup_of)
+        for r in neardup_batch_step(
+            spark,
+            spark.createDataFrame([(900, near)], "doc_id long, text string"),
+            ix_dir,
+            batch_id=99,
+            threshold=0.5,
+        ).collect()
+    }
+    assert out == {900: (True, 100)}
