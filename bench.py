@@ -102,10 +102,12 @@ def main() -> None:
         except Exception as exc:
             # One broken query must never zero out the whole artifact
             # (round 2 lost every number to a single load regression).
-            # Record the error, keep timing the rest.
+            # Record the error, keep timing the rest — and keep a valid
+            # run-1 best-of if a LATER run was the one that failed
+            # (transient host hiccup), so coverage isn't understated.
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-            continue
-        timings[name] = round(best, 3)
+        if best != float("inf"):
+            timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     out = {

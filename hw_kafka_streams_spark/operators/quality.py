@@ -12,10 +12,16 @@ partition, regardless of rule count.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# Rule names are interpolated into a stack(...) SQL expression; restrict
+# them to plain identifiers so a quote/comma/backtick can't break (or
+# reshape) the generated SQL. Raised at build time, not mid-job.
+_SAFE_RULE_NAME = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
 @dataclass(frozen=True)
@@ -52,7 +58,20 @@ def check_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:
     a single combined row); the unpivot to rule rows is a driver-side
     stack over a 1-row result, so rule-set size never multiplies scan
     cost.
+
+    Rule names must be plain identifiers (``[A-Za-z_][A-Za-z0-9_]*``)
+    — they are spliced into the stack() SQL string; anything else
+    raises ``ValueError`` before a job starts.
     """
+    for r in rules:
+        if not _SAFE_RULE_NAME.match(r.name):
+            raise ValueError(
+                f"expectation name {r.name!r} is not a safe identifier "
+                "([A-Za-z_][A-Za-z0-9_]*): it would be interpolated into "
+                "SQL"
+            )
+    if len({r.name for r in rules}) != len(rules):
+        raise ValueError("duplicate expectation names")
     agg = df.agg(*[r.metric.cast("double").alias(r.name) for r in rules])
     stacked = agg.select(
         F.expr(

@@ -143,3 +143,28 @@ def test_interval_overlap_join_matches_naive_and_is_equijoin(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan  # blocking made it equi
     assert "CartesianProduct" not in plan
+
+
+def test_check_expectations_rejects_unsafe_rule_names(spark):
+    """Rule names are spliced into stack() SQL — quotes/commas/backticks
+    must raise at build time, not break the expression at runtime."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hw_kafka_streams_spark.operators.quality import (
+        Expectation,
+        check_expectations,
+    )
+
+    df = spark.range(5)
+    for bad in ["a'b", "a,b", "a`b", "a b", "1abc", ""]:
+        with pytest.raises(ValueError, match="safe identifier"):
+            check_expectations(df, [Expectation(bad, F.count(F.lit(1)))])
+    with pytest.raises(ValueError, match="duplicate"):
+        check_expectations(
+            df,
+            [
+                Expectation("n", F.count(F.lit(1))),
+                Expectation("n", F.count(F.lit(1))),
+            ],
+        )
