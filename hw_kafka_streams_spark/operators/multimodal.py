@@ -66,13 +66,48 @@ def _parse_png_dims(data: bytes) -> tuple[int, int] | None:
     return None
 
 
+# SOF markers carrying frame dimensions: C0-C3, C5-C7, C9-CB, CD-CF
+# (C4=DHT, C8=JPG extension, CC=DAC are NOT frame headers)
+_JPEG_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def _parse_jpeg_dims(data: bytes) -> tuple[int, int] | None:
+    """JPEG frame dimensions by walking the marker segments to SOFn —
+    pure byte-math, no codec: each segment is FF <marker> <len:2BE>,
+    and the SOF payload is precision(1) height(2BE) width(2BE)."""
+    if len(data) < 4 or data[:3] != b"\xff\xd8\xff":
+        return None
+    i = 2
+    n = len(data)
+    while i + 4 <= n:
+        if data[i] != 0xFF:
+            return None  # lost marker sync — corrupt header
+        marker = data[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2  # standalone markers: no length field
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            return None
+        (seg_len,) = struct.unpack(">H", data[i + 2 : i + 4])
+        if marker in _JPEG_SOF_MARKERS:
+            if i + 9 > n:
+                return None
+            h, w = struct.unpack(">HH", data[i + 5 : i + 9])
+            return w, h
+        i += 2 + seg_len
+    return None
+
+
 def decode_image_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Arrow-batched decode stage: binary → (width, height, format).
 
-    Real header parsing for PNG; everything else hits the stub. The
-    mapInPandas shape (iterator of batches in/out) is exactly what a
-    real pillow/ffmpeg decode stage would use — swap the inner function
-    when codecs are available.
+    Real header parsing for PNG (IHDR) and JPEG (SOFn marker scan);
+    everything else hits the stub. The mapInPandas shape (iterator of
+    batches in/out) is exactly what a real pillow/ffmpeg decode stage
+    would use — swap the inner function when codecs are available.
     """
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -83,12 +118,17 @@ def decode_image_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                 dims = _parse_png_dims(raw)
                 if dims is not None:
                     out.append((doc_id, dims[0], dims[1], "png", len(raw)))
+                    continue
+                dims = _parse_jpeg_dims(raw)
+                if dims is not None:
+                    out.append((doc_id, dims[0], dims[1], "jpeg", len(raw)))
                 else:
-                    # STUB: no image/audio codecs in this container.
-                    # A real deployment decodes here (pillow / ffmpeg).
+                    # STUB: no image codecs in this container — formats
+                    # beyond PNG/JPEG headers (webp/tiff pixel decode…)
+                    # need pillow; a real deployment decodes here.
                     raise NotImplementedError(
-                        "non-PNG decode requires codec libraries not present "
-                        "in this environment"
+                        "non-PNG/JPEG decode requires codec libraries not "
+                        "present in this environment"
                     )
             yield pd.DataFrame(
                 out, columns=["doc_id", "width", "height", "format", "n_bytes"]
@@ -176,6 +216,21 @@ def make_fake_png(width: int, height: int) -> bytes:
     return b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR" + ihdr + body
 
 
+def make_fake_jpeg(width: int, height: int) -> bytes:
+    """Deterministic minimal JPEG (SOI + APP0/JFIF + SOF0 + filler) for
+    plumbing tests — enough marker structure for the SOFn scan."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00\x48\x00\x48\x00\x00"
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"  # precision
+        + struct.pack(">HH", height, width)
+        + b"\x01\x01\x11\x00"  # 1 component
+    )
+    body = hashlib.sha256(f"jpeg{width}x{height}".encode()).digest()
+    return b"\xff\xd8" + app0 + sof0 + body
+
+
 def synthesize_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic fake-PNG payload per row (test/bench stand-in for a
     real binary column, which the driver tables don't carry).
@@ -194,6 +249,29 @@ def synthesize_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     "doc_id": ids,
                     "payload": [
                         make_fake_png(int(i) % 640 + 16, int(i) % 480 + 16) for i in ids
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(gen, schema="doc_id long, payload binary")
+
+
+def synthesize_image_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Mixed-format twin of :func:`synthesize_png_payloads`: even ids
+    get PNG, odd ids JPEG — same ``id %`` dimension arithmetic, so an
+    SQL oracle can still verify the decode roundtrip per format."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        make_fake_png(int(i) % 640 + 16, int(i) % 480 + 16)
+                        if int(i) % 2 == 0
+                        else make_fake_jpeg(int(i) % 640 + 16, int(i) % 480 + 16)
+                        for i in ids
                     ],
                 }
             )

@@ -736,23 +736,26 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                CAST(doc_id % 640 + 16 AS INT) AS width,
                CAST(doc_id % 480 + 16 AS INT) AS height,
-               'png' AS format,
-               CAST(61 AS BIGINT) AS n_bytes
+               CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 61 ELSE 65 END AS BIGINT)
+                   AS n_bytes
         FROM documents WHERE doc_id < 200 ORDER BY doc_id
     """,
     doc="Binary → decoded image metadata roundtrip: synthesize "
-    "deterministic PNG payloads (mapInPandas), parse headers back in an "
-    "Arrow-batched decode stage (operators/multimodal.decode_image_meta). "
-    "The oracle recomputes the dims arithmetically.",
+    "deterministic mixed PNG/JPEG payloads (mapInPandas; even ids PNG, "
+    "odd JPEG), parse headers back in an Arrow-batched decode stage "
+    "(operators/multimodal.decode_image_meta — PNG IHDR + JPEG SOFn "
+    "marker scan, pure byte-math). The oracle recomputes dims "
+    "arithmetically per format.",
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hw_kafka_streams_spark.operators.multimodal import (
         decode_image_meta,
-        synthesize_png_payloads,
+        synthesize_image_payloads,
     )
 
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
-    payloads = synthesize_png_payloads(docs)
+    payloads = synthesize_image_payloads(docs)
     return decode_image_meta(payloads).orderBy("doc_id")
 
 

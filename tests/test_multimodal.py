@@ -88,3 +88,39 @@ def test_non_wav_audio_hits_stub(spark):
     df = spark.createDataFrame([(1, b"MP3garbage")], "doc_id long, payload binary")
     with pytest.raises(Exception):
         decode_audio_meta(df).collect()
+
+
+def test_jpeg_sof_marker_scan_roundtrip():
+    """Pure-python JPEG dims: SOFn marker walk, fill bytes and restart
+    markers tolerated, corrupt/truncated/EOI-first inputs -> None."""
+    from hw_kafka_streams_spark.operators.multimodal import (
+        _parse_jpeg_dims,
+        make_fake_jpeg,
+    )
+
+    assert _parse_jpeg_dims(make_fake_jpeg(123, 456)) == (123, 456)
+    assert _parse_jpeg_dims(make_fake_jpeg(16, 16)) == (16, 16)
+    j = make_fake_jpeg(99, 77)
+    # fill bytes + a restart marker before the segments still parse
+    assert _parse_jpeg_dims(b"\xff\xd8\xff\xff\xff\xd0" + j[2:]) == (99, 77)
+    assert _parse_jpeg_dims(j[:5]) is None  # truncated
+    assert _parse_jpeg_dims(b"\xff\xd8\xff\xd9") is None  # EOI before SOF
+    assert _parse_jpeg_dims(b"junkjunk") is None
+    assert _parse_jpeg_dims(b"") is None
+
+
+def test_decode_image_meta_mixed_formats(spark):
+    """Arrow decode stage handles PNG and JPEG payloads in one batch."""
+    from hw_kafka_streams_spark.operators.multimodal import (
+        decode_image_meta,
+        synthesize_image_payloads,
+    )
+
+    ids = spark.range(0, 8).withColumnRenamed("id", "doc_id")
+    out = {
+        r.doc_id: (r.width, r.height, r.format)
+        for r in decode_image_meta(synthesize_image_payloads(ids)).collect()
+    }
+    for i in range(8):
+        fmt = "png" if i % 2 == 0 else "jpeg"
+        assert out[i] == (i % 640 + 16, i % 480 + 16, fmt)
