@@ -1,0 +1,163 @@
+"""Data-mixture balancing for training-corpus assembly.
+
+A training run specifies a TARGET mixture over domains/languages
+("30% en, 25% zh, ...") and a total token budget; the corpus has
+whatever it has. The planner turns (weights, budget, per-group
+availability) into a per-group Bernoulli KEEP RATE — capped at 1.0
+when a group is undersupplied — and the sampler applies that rate
+deterministically (content-stable md5/xxhash64 draw per document, the
+same never-`rand()` contract as :mod:`.sampling`), so reruns and shard
+additions cannot move a document in or out of the mix.
+
+Scale design: availability is ONE tiny aggregation (one row per
+group); the corpus-wide total is a broadcast 1-row aggregate (scalar-
+subquery pattern); the plan (groups × 5 columns) broadcasts back onto
+the corpus, making the sampling pass a narrow filter — zero extra
+shuffles at 100 TB beyond the group-count agg. All plan arithmetic is
+integer-or-IEEE-deterministic (floored integer token targets, one
+double division), so the DuckDB oracle reproduces rates bit-for-bit.
+
+The reference (svolga/hw-kafka-streams) has no sampling surface; this
+is north-star LLM-pipeline coverage (brief: "operations a large-scale
+training-data pipeline would need").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_DENOM = 1_000_000  # rate resolution: 1e-6
+
+
+def mixture_plan(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    tokens: Column,
+    budget_tokens: int | None = None,
+    budget_fraction: float | None = None,
+) -> DataFrame:
+    """Per-group sampling plan for a target token mixture.
+
+    ``weights`` is the desired mixture (normalized internally); the
+    budget is either an absolute token count or a fraction of the
+    corpus's total tokens (scale-invariant — the form a per-shard read
+    of a 100 TB corpus wants). Groups absent from ``weights`` get rate
+    0 (dropped from the mix).
+
+    Returns one row per weighted group:
+    ``(group, n_docs, avail_tokens, target_tokens, rate)`` where
+    ``rate = least(1.0, target_tokens / avail_tokens)`` — i.e. an
+    undersupplied group keeps everything (the plan can't mint tokens;
+    the caller sees the shortfall as ``target_tokens > avail_tokens``).
+    """
+    if (budget_tokens is None) == (budget_fraction is None):
+        raise ValueError("exactly one of budget_tokens / budget_fraction")
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum to > 0")
+
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tokens).cast("long").alias("avail_tokens"),
+    )
+    # Corpus-wide budget: broadcast 1-row aggregate (scalar-subquery
+    # decorrelation), never a driver collect.
+    if budget_fraction is not None:
+        total = per.agg(F.sum("avail_tokens").alias("_total"))
+        per = per.crossJoin(F.broadcast(total))
+        budget = F.floor(F.lit(float(budget_fraction)) * F.col("_total")).cast(
+            "double"
+        )
+    else:
+        budget = F.lit(float(budget_tokens))
+
+    wmap = F.create_map(
+        *[x for g, w in weights.items() for x in (F.lit(g), F.lit(float(w) / wsum))]
+    )
+    target = F.floor(wmap[F.col(group_col)] * budget).cast("long")
+    plan = (
+        per.withColumn("target_tokens", target)
+        .filter(F.col("target_tokens").isNotNull())
+        .select(
+            group_col,
+            "n_docs",
+            "avail_tokens",
+            "target_tokens",
+            F.least(
+                F.lit(1.0), F.col("target_tokens") / F.col("avail_tokens")
+            ).alias("rate"),
+        )
+    )
+    return plan
+
+
+def apply_mixture(
+    df: DataFrame,
+    plan: DataFrame,
+    group_col: str,
+    id_col: str,
+    seed: int = 42,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Sample ``df`` down to the plan's per-group rates.
+
+    Deterministic Bernoulli: a document is kept iff its stable hash
+    bucket (in [0, 1e6)) falls below ``floor(rate * 1e6)`` — the same
+    content-stable draw as :func:`.sampling.hash_bucket`, so the
+    sample is reproducible across runs, engines (md5 mode), and
+    cluster sizes. The plan is broadcast (one row per group); the
+    sampling pass is a narrow filter over the scan.
+    """
+    from hw_kafka_streams_spark.operators.sampling import hash_bucket
+
+    thresholds = F.broadcast(
+        plan.select(
+            group_col,
+            F.floor(F.col("rate") * _DENOM).cast("long").alias("_thr"),
+        )
+    )
+    bucket = hash_bucket(id_col, _DENOM, seed, hash_mode)
+    return (
+        df.join(thresholds, group_col, "inner")
+        .filter(bucket < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
+def mixture_report(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    tokens: Column,
+    id_col: str,
+    budget_fraction: float,
+    seed: int = 42,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Plan + sampled outcome in one table (the audit a mixture job
+    emits): ``(group, n_docs, avail_tokens, target_tokens, rate,
+    n_docs_sampled, tokens_sampled)``. Left join keeps groups whose
+    rate rounded to zero (0 sampled)."""
+    plan = mixture_plan(
+        df, group_col, weights, tokens, budget_fraction=budget_fraction
+    )
+    sampled = apply_mixture(df, plan, group_col, id_col, seed, hash_mode)
+    stats = sampled.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs_sampled"),
+        F.sum(tokens).cast("long").alias("tokens_sampled"),
+    )
+    return (
+        plan.join(stats, group_col, "left")
+        .select(
+            group_col,
+            "n_docs",
+            "avail_tokens",
+            "target_tokens",
+            F.round("rate", 6).alias("rate"),
+            F.coalesce("n_docs_sampled", F.lit(0)).alias("n_docs_sampled"),
+            F.coalesce("tokens_sampled", F.lit(0)).alias("tokens_sampled"),
+        )
+        .orderBy(group_col)
+    )

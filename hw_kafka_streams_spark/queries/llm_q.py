@@ -1783,3 +1783,75 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang", "script")
     )
+
+
+# Target mixture for q_data_mixture: dyadic weights (exactly
+# representable doubles summing to exactly 1.0), so the oracle's SQL
+# literals equal the Spark plan's normalized weights bit-for-bit.
+_MIX_WEIGHTS = {"en": 0.25, "zh": 0.25, "de": 0.25, "fr": 0.125, "es": 0.125}
+
+
+@register(
+    "q_data_mixture",
+    oracle="""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 len(regexp_extract_all(text, '\\S+')) AS toks
+          FROM documents
+        ),
+        g AS (
+          SELECT lang, count(*) AS n_docs,
+                 CAST(sum(toks) AS BIGINT) AS avail_tokens
+          FROM t GROUP BY lang
+        ),
+        w(lang, wt) AS (VALUES ('en', 0.25), ('zh', 0.25), ('de', 0.25),
+                               ('fr', 0.125), ('es', 0.125)),
+        plan AS (
+          SELECT g.lang, n_docs, avail_tokens,
+                 CAST(floor(wt * floor(0.5 * (SELECT sum(avail_tokens) FROM g)))
+                      AS BIGINT) AS target_tokens
+          FROM g JOIN w ON g.lang = w.lang
+        ),
+        r AS (
+          SELECT *, least(1.0, target_tokens / CAST(avail_tokens AS DOUBLE))
+                     AS rate
+          FROM plan
+        ),
+        s AS (
+          SELECT t.lang, count(*) AS n_docs_sampled,
+                 CAST(sum(toks) AS BIGINT) AS tokens_sampled
+          FROM t JOIN r ON t.lang = r.lang
+          WHERE ('0x' || substring(md5(doc_id::VARCHAR || ':42'),1,15))::BIGINT
+                  % 1000000 < CAST(floor(rate * 1000000) AS BIGINT)
+          GROUP BY t.lang
+        )
+        SELECT r.lang, n_docs, avail_tokens, target_tokens,
+               round(rate, 6) AS rate,
+               coalesce(n_docs_sampled, 0) AS n_docs_sampled,
+               coalesce(tokens_sampled, 0) AS tokens_sampled
+        FROM r LEFT JOIN s ON r.lang = s.lang
+        ORDER BY r.lang
+    """,
+    doc="Data-mixture balancing (training-corpus assembly): a target "
+    "language mixture + a token budget (50% of the corpus, scale-"
+    "invariant) become per-language Bernoulli keep rates, capped at "
+    "1.0 for undersupplied languages; sampling is a deterministic "
+    "content-stable md5 draw (DuckDB twin), so the sampled doc/token "
+    "counts are value-hash oracled. Plan arithmetic is floored-integer "
+    "targets + one IEEE division. Shuffles: one tiny group agg; the "
+    "plan broadcasts back so the sampling pass is a narrow filter "
+    "(operators/mixture.py).",
+)
+def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.mixture import mixture_report
+
+    docs = load_table(spark, "documents", sf_dir)
+    return mixture_report(
+        docs,
+        "lang",
+        _MIX_WEIGHTS,
+        T.token_count("text"),
+        id_col="doc_id",
+        budget_fraction=0.5,
+        hash_mode="md5",
+    )

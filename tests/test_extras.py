@@ -246,3 +246,67 @@ def test_theta_overlap_within_tolerance(spark, sf_dir):
     assert est["n_view_or_purchase"] == len(v | p)
     assert est["n_view_only"] == len(v - p)
     assert est["and_within_2pct"] and est["or_within_2pct"] and est["only_within_2pct"]
+
+
+def test_mixture_plan_rates_and_caps(spark):
+    """Undersupplied groups cap at rate 1.0; oversupplied groups get
+    target/avail; unweighted groups drop from the plan."""
+    from hw_kafka_streams_spark.operators.mixture import mixture_plan
+
+    rows = [(i, "big", 100) for i in range(50)] + [
+        (100 + i, "small", 100) for i in range(2)
+    ] + [(200, "unweighted", 100)]
+    df = spark.createDataFrame(rows, "id long, grp string, toks long")
+    plan = mixture_plan(
+        df, "grp", {"big": 0.5, "small": 0.5}, F.col("toks"),
+        budget_tokens=1000,
+    )
+    p = {r.grp: r for r in plan.collect()}
+    assert set(p) == {"big", "small"}
+    # big: target 500 of 5000 avail -> rate 0.1; small: target 500 of
+    # 200 avail -> capped at 1.0 (shortfall visible via target > avail)
+    assert p["big"].target_tokens == 500 and abs(p["big"].rate - 0.1) < 1e-12
+    assert p["small"].rate == 1.0 and p["small"].target_tokens > p["small"].avail_tokens
+
+
+def test_mixture_apply_deterministic_subset(spark):
+    from hw_kafka_streams_spark.operators.mixture import apply_mixture, mixture_plan
+
+    rows = [(i, "a" if i % 2 else "b", 10) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, grp string, toks long")
+    plan = mixture_plan(
+        df, "grp", {"a": 0.75, "b": 0.25}, F.col("toks"), budget_fraction=0.5
+    )
+    s1 = apply_mixture(df, plan, "grp", "id")
+    s2 = apply_mixture(df, plan, "grp", "id")
+    ids1 = {r.id for r in s1.select("id").collect()}
+    assert ids1 == {r.id for r in s2.select("id").collect()}  # content-stable
+    assert ids1 <= {r.id for r in df.select("id").collect()}
+    # realized rate tracks the planned rate (Bernoulli, 200 draws/group)
+    rates = {r.grp: r.rate for r in plan.collect()}
+    from collections import Counter
+    got = Counter(("a" if i % 2 else "b") for i in ids1)
+    for g in ("a", "b"):
+        assert abs(got[g] / 200 - min(1.0, rates[g])) < 0.12
+
+
+def test_mixture_report_on_documents(spark, sf_dir):
+    """Report covers every weighted lang; sampled counts never exceed
+    availability; rate==1 groups keep everything."""
+    from hw_kafka_streams_spark.operators.mixture import mixture_report
+    from hw_kafka_streams_spark.operators.text import token_count
+    from hw_kafka_streams_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    rep = mixture_report(
+        docs, "lang",
+        {"en": 0.25, "zh": 0.25, "de": 0.25, "fr": 0.125, "es": 0.125},
+        token_count("text"), id_col="doc_id", budget_fraction=0.5,
+        hash_mode="md5",
+    ).collect()
+    assert {r.lang for r in rep} == {"en", "zh", "de", "fr", "es"}
+    for r in rep:
+        assert r.n_docs_sampled <= r.n_docs
+        assert r.tokens_sampled <= r.avail_tokens
+        if r.rate == 1.0:
+            assert r.n_docs_sampled == r.n_docs
