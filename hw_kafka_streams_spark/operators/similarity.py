@@ -511,6 +511,71 @@ def ivf_topk_indexed(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    iters: int = 2,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (cluster-then-prune).
+
+    The published recipe (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+    k-means the embedding space, then look for near-duplicate pairs
+    ONLY within each cluster — the clustering is the blocking step that
+    turns an O(n²) all-pairs cosine scan into per-cluster work, the
+    same move LSH banding makes for MinHash. Here the trainer is the
+    deterministic Lloyd twin (:func:`lloyd_centroids`), so the whole
+    pipeline — train → assign → within-cluster pairs → keep-min-id —
+    is reproducible in ANSI SQL and value-hash oracle-able.
+
+    A vector is a duplicate iff some same-cluster vector with a
+    SMALLER id has cosine ≥ ``threshold`` (4-dp rounded on both
+    engines); ``dup_of`` is the smallest such id, giving a
+    deterministic keep-one-representative labeling without a
+    transitive closure.
+
+    Scale: the pair join is an equi-join on cid — candidate cost is
+    sum of squared cluster sizes, bounded by choosing n_centroids ~
+    n/expected_cluster_size (SemDeDup runs 50k clusters at 100 TB);
+    assignment is one Arrow argmin pass, centroids broadcast as plan
+    literals. No global shuffle beyond the cid hash partition.
+    """
+    cents = lloyd_centroids(corpus, id_col, vec_col, n_centroids, iters)
+    idx = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        nearest_centroid_arrow(F.col(vec_col).cast("array<double>"), cents).alias(
+            "cid"
+        ),
+    )
+    a = idx.select(F.col("id").alias("a_id"), F.col("v").alias("a_v"), "cid")
+    b = idx.select(F.col("id").alias("b_id"), F.col("v").alias("b_v"), "cid")
+    dup = (
+        a.join(b, "cid")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "b_id",
+            "a_id",
+            F.round(cosine_arrow(F.col("a_v"), F.col("b_v")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .groupBy("b_id")
+        .agg(F.min("a_id").alias("dup_of"))
+    )
+    return (
+        idx.join(dup, idx.id == dup.b_id, "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cid",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+        )
+        .orderBy(id_col)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -475,12 +475,13 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _ivf_det_oracle(n_centroids: int = 8, n_probe: int = 2, k: int = 5, iters: int = 2) -> str:
-    """Exact DuckDB twin of the deterministic-Lloyd IVF pipeline
-    (operators/similarity.py ivf_topk_det): same lowest-id init, the
-    same unrolled assign→6dp-rounded-mean rounds (empty clusters keep
-    their previous centroid), the same final index assignment, probe
-    selection, and exact-cosine re-rank."""
+def _lloyd_idx_parts(n_centroids: int = 8, iters: int = 2) -> list[str]:
+    """Shared DuckDB CTE prefix reproducing the deterministic-Lloyd
+    trainer + final cluster assignment (operators/similarity.py
+    lloyd_centroids + nearest_centroid_arrow): lowest-id init, unrolled
+    assign→6dp-rounded-mean rounds (empty clusters keep their previous
+    centroid), ties to the smaller cid. Ends with the ``idx`` CTE
+    (vec_id, v, cid). Used by the IVF and SemDeDup oracles."""
     parts = [
         "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
         f"""c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
@@ -513,6 +514,15 @@ def _ivf_det_oracle(n_centroids: int = 8, n_probe: int = 2, k: int = 5, iters: i
             LIMIT 1) AS cid
          FROM e ee)"""
     )
+    return parts
+
+
+def _ivf_det_oracle(n_centroids: int = 8, n_probe: int = 2, k: int = 5, iters: int = 2) -> str:
+    """Exact DuckDB twin of the deterministic-Lloyd IVF pipeline
+    (operators/similarity.py ivf_topk_det): the shared trainer prefix
+    plus probe selection and exact-cosine re-rank."""
+    parts = _lloyd_idx_parts(n_centroids, iters)
+    prev = f"c{iters}"
     parts.append(
         f"""probes AS (SELECT q.vec_id AS query_id, q.v AS qv, p.cid
          FROM e q, LATERAL (SELECT cid FROM {prev}
@@ -537,6 +547,46 @@ def _ivf_det_oracle(n_centroids: int = 8, n_probe: int = 2, k: int = 5, iters: i
         WHERE rnk <= {k}
         ORDER BY query_id, rnk
     """
+
+
+def _semantic_dedup_oracle(n_centroids: int = 8, iters: int = 2, tau: float = 0.3) -> str:
+    """DuckDB twin of operators/similarity.py semantic_dedup: shared
+    Lloyd trainer prefix, then within-cluster near-dup labeling
+    (smallest smaller-id neighbor with 4-dp-rounded cosine ≥ tau)."""
+    parts = _lloyd_idx_parts(n_centroids, iters)
+    parts.append(
+        f"""p AS (SELECT b.vec_id AS vid, min(a.vec_id) AS dup_of
+         FROM idx a JOIN idx b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {tau}
+         GROUP BY b.vec_id)"""
+    )
+    ctes = ",\n        ".join(parts)
+    return f"""
+        {ctes}
+        SELECT i.vec_id, CAST(i.cid AS INT) AS cid,
+               (p.dup_of IS NOT NULL) AS is_dup, p.dup_of
+        FROM idx i LEFT JOIN p ON i.vec_id = p.vid
+        ORDER BY i.vec_id
+    """
+
+
+@register(
+    "q_semantic_dedup",
+    oracle=_semantic_dedup_oracle(),
+    doc="SemDeDup-style semantic deduplication (arXiv:2303.09540): "
+    "deterministic-Lloyd k-means clusters the embedding space, then "
+    "near-duplicate labeling runs WITHIN clusters only — clustering is "
+    "the blocking step that replaces the O(n²) all-pairs cosine scan, "
+    "the same move LSH banding makes for MinHash. keep-min-id "
+    "representative per duplicate, no transitive closure. The whole "
+    "pipeline (training included) has an exact DuckDB twin, so labels "
+    "are value-hash oracled. Pair cost = sum of squared cluster sizes, "
+    "bounded by n_centroids; assignment is one Arrow argmin pass with "
+    "broadcast centroid literals (operators/similarity.py).",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return S.semantic_dedup(emb, n_centroids=8, iters=2, threshold=0.3)
 
 
 @register(

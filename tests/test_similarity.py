@@ -186,3 +186,35 @@ def test_ivf_indexed_partition_pruning_and_recall(spark, tmpdir=None):
         assert len(truth & got) / len(truth) >= 0.5
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_semantic_dedup_labels_fixture(spark):
+    """Two tight groups far apart + a singleton: within-group members
+    label as dups of the min id; cross-group never pairs (different
+    clusters); singleton stays kept."""
+    from hw_kafka_streams_spark.operators.similarity import semantic_dedup
+
+    def jitter(base, eps, dim=8):
+        v = [0.0] * dim
+        v[base] = 1.0
+        v[(base + 1) % dim] = eps
+        return v
+
+    # lowest-id init: ids 0/1/2 are one member per group, so the three
+    # Lloyd seeds land one per group
+    rows = (
+        [(0, jitter(0, 0.0)), (10, jitter(0, 0.01)), (11, jitter(0, 0.02))]
+        + [(1, jitter(4, 0.0)), (20, jitter(4, 0.01)), (21, jitter(4, 0.02))]
+        + [(2, jitter(6, 0.5))]                              # singleton
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in semantic_dedup(
+        df, n_centroids=3, iters=2, threshold=0.9).collect()}
+    assert len(out) == 7
+    assert not out[0].is_dup and out[10].dup_of == 0 and out[11].dup_of == 0
+    assert not out[1].is_dup and out[20].dup_of == 1 and out[21].dup_of == 1
+    assert not out[2].is_dup and out[2].dup_of is None
+    # cluster-blocking: dups always share their representative's cluster
+    for r in out.values():
+        if r.is_dup:
+            assert out[r.dup_of].cid == r.cid
