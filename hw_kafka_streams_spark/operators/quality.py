@@ -50,6 +50,63 @@ def violation_count(cond: Column) -> Column:
     return F.sum((~cond).cast("long")).cast("double")
 
 
+def filter_funnel(df: DataFrame, stages: list[tuple[str, Column]]) -> DataFrame:
+    """Sequential filter-pipeline audit: how many rows survive each
+    stage, where a row reaches stage k only if it passed stages 1..k-1
+    (the semantics of a real quality-filter chain).
+
+    ONE aggregation pass regardless of stage count: each stage's
+    survivor count is ``sum(stage₁ ∧ … ∧ stageₖ)`` — the cumulative
+    conjunctions all evaluate over the same scan, partial-aggregate
+    map-side, and shuffle as a single row (the
+    :func:`check_expectations` contract; a naive per-stage
+    ``df.filter(...).count()`` loop would scan the corpus once per
+    stage). The 1-row result unpivots driver-side via ``inline``.
+
+    Returns ``(stage_idx, stage, n_in, n_pass, n_dropped, drop_rate)``
+    ordered by stage — the audit table a data-prep run publishes so a
+    threshold change's blast radius is visible before a 100 TB re-run.
+    """
+    if not stages:
+        raise ValueError("at least one stage")
+    names = [n for n, _ in stages]
+    if len(set(names)) != len(names):
+        raise ValueError("duplicate stage names")
+    for n in names:
+        if not _SAFE_RULE_NAME.match(n):
+            raise ValueError(f"stage name {n!r} is not a safe identifier")
+    cum = None
+    aggs = [F.count(F.lit(1)).alias("_total")]
+    for name, cond in stages:
+        cum = cond if cum is None else (cum & cond)
+        aggs.append(F.sum(cum.cast("long")).alias(name))
+    agg = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                F.col("_total" if i == 0 else names[i - 1]).alias("n_in"),
+                F.col(name).alias("n_pass"),
+            )
+            for i, name in enumerate(names)
+        ]
+    )
+    return agg.select(F.inline(entries)).select(
+        "stage_idx",
+        "stage",
+        "n_in",
+        "n_pass",
+        (F.col("n_in") - F.col("n_pass")).alias("n_dropped"),
+        F.round(
+            F.when(
+                F.col("n_in") > 0, (F.col("n_in") - F.col("n_pass")) / F.col("n_in")
+            ).otherwise(0.0),
+            6,
+        ).alias("drop_rate"),
+    )
+
+
 def check_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:
     """Evaluate all rules in one aggregation; return
     ``(rule, value, lo, hi, passed)`` — one row per rule.

@@ -1090,3 +1090,68 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     return check_expectations(o, rules).orderBy("rule")
+
+
+@register(
+    "q_filter_funnel",
+    oracle="""
+        WITH t AS (
+          SELECT length(text) AS n_chars,
+                 len(regexp_extract_all(text, '\\S+')) AS toks,
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x <> '') AS tk
+          FROM documents
+        ), c AS (
+          SELECT n_chars >= 150 AS p1,
+                 n_chars <= 450 AS p2,
+                 toks >= 45 AS p3,
+                 CASE WHEN len(tk) > 0
+                      THEN len(list_filter(tk, x -> list_contains(
+                             ['the','a','an','and','or','of','to','in','is','it',
+                              'that','for','on','with','as','was','at','by','be'],
+                             lower(x)))) / len(tk)
+                      ELSE 0 END >= 0.05 AS p4
+          FROM t
+        ), a AS (
+          SELECT count(*) AS total,
+                 CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+                 CAST(sum(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+                 CAST(sum(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+                 CAST(sum(CASE WHEN p1 AND p2 AND p3 AND p4 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS s4
+          FROM c
+        )
+        SELECT stage_idx, stage, n_in, n_pass,
+               n_in - n_pass AS n_dropped,
+               round(CASE WHEN n_in > 0
+                          THEN (n_in - n_pass) * 1.0 / n_in ELSE 0 END, 6)
+                   AS drop_rate
+        FROM (
+          SELECT 1 AS stage_idx, 'min_chars' AS stage, total AS n_in, s1 AS n_pass FROM a
+          UNION ALL SELECT 2, 'max_chars', s1, s2 FROM a
+          UNION ALL SELECT 3, 'min_tokens', s2, s3 FROM a
+          UNION ALL SELECT 4, 'stopword_floor', s3, s4 FROM a
+        )
+        ORDER BY stage_idx
+    """,
+    doc="Quality-filter FUNNEL audit over documents: four chained "
+    "filters (length floor/ceiling, token floor, stopword-ratio floor "
+    "— Gopher-rules-style), with per-stage survivors/dropped/drop-rate "
+    "where stage k only sees stage k-1's survivors. All cumulative "
+    "conjunctions evaluate in ONE aggregation pass (one scan, one "
+    "1-row shuffle, inline unpivot) — stage count never multiplies "
+    "scan cost, so the audit is free to run before every 100 TB "
+    "re-filter (operators/quality.py filter_funnel).",
+)
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.quality import filter_funnel
+    from hw_kafka_streams_spark.operators.text import stopword_ratio, token_count
+
+    docs = load_table(spark, "documents", sf_dir)
+    stages = [
+        ("min_chars", F.length("text") >= 150),
+        ("max_chars", F.length("text") <= 450),
+        ("min_tokens", token_count("text") >= 45),
+        ("stopword_floor", stopword_ratio("text") >= 0.05),
+    ]
+    return filter_funnel(docs, stages).orderBy("stage_idx")

@@ -168,3 +168,44 @@ def test_check_expectations_rejects_unsafe_rule_names(spark):
                 Expectation("n", F.count(F.lit(1))),
             ],
         )
+
+
+def test_filter_funnel_sequential_semantics(spark):
+    """Stage k sees only stage k-1 survivors; counts are monotone
+    non-increasing; the whole funnel is one aggregation job."""
+    from pyspark.sql import functions as F
+
+    from hw_kafka_streams_spark.operators.quality import filter_funnel
+
+    rows = [(i, i) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    out = filter_funnel(
+        df,
+        [
+            ("ge10", F.col("v") >= 10),       # 90 survive
+            ("lt80", F.col("v") < 80),        # 70 survive
+            ("even", F.col("v") % 2 == 0),    # 35 survive
+        ],
+    ).orderBy("stage_idx").collect()
+    assert [(r.stage, r.n_in, r.n_pass, r.n_dropped) for r in out] == [
+        ("ge10", 100, 90, 10),
+        ("lt80", 90, 70, 20),
+        ("even", 70, 35, 35),
+    ]
+    assert abs(out[2].drop_rate - 0.5) < 1e-9
+
+
+def test_filter_funnel_validates_names(spark):
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from hw_kafka_streams_spark.operators.quality import filter_funnel
+
+    df = spark.range(5)
+    with _pytest.raises(ValueError):
+        filter_funnel(df, [("bad name'", F.col("id") > 0)])
+    with _pytest.raises(ValueError):
+        filter_funnel(df, [("a", F.col("id") > 0), ("a", F.col("id") > 1)])
+    with _pytest.raises(ValueError):
+        filter_funnel(df, [])
