@@ -1835,6 +1835,50 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_feature_hashing",
+    oracle="""
+        WITH tk AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                    x -> x <> '')) AS tok
+          FROM documents
+        ), b AS (
+          SELECT doc_id,
+                 ('0x' || substring(md5(tok),1,15))::BIGINT % 1024 AS bucket,
+                 CASE WHEN ('0x' || substring(md5('s|' || tok),1,15))::BIGINT % 2 = 0
+                      THEN 1 ELSE -1 END AS sign
+          FROM tk
+        ), s AS (
+          SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS weight
+          FROM b GROUP BY doc_id, bucket
+          HAVING sum(sign) <> 0
+        )
+        SELECT doc_id, count(*) AS nnz,
+               CAST(sum(abs(weight)) AS BIGINT) AS l1,
+               round(sqrt(sum(weight * weight)), 4) AS l2,
+               first(bucket ORDER BY abs(weight) DESC, bucket) AS top_bucket,
+               first(weight ORDER BY abs(weight) DESC, bucket) AS top_weight
+        FROM s GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    doc="Feature hashing (the vocabulary-free 'hashing trick', "
+    "Weinberger et al. 2009): tokens hash to one of 1024 buckets with "
+    "a ±1 sign hash; per-doc signed counts form the feature vector, "
+    "summarized here as nnz / L1 / L2 / dominant bucket. No vocabulary "
+    "build, no global state — the featurizer is a narrow map + two "
+    "doc-keyed aggregations (partial-combined, never a global "
+    "shuffle). md5 hash mode gives the whole thing a DuckDB twin; "
+    "exact-integer arithmetic until the output-edge sqrt "
+    "(operators/features.py).",
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.features import hashed_features_stats
+
+    docs = load_table(spark, "documents", sf_dir)
+    return hashed_features_stats(docs, dim=1024, hash_mode="md5").orderBy("doc_id")
+
+
 # Target mixture for q_data_mixture: dyadic weights (exactly
 # representable doubles summing to exactly 1.0), so the oracle's SQL
 # literals equal the Spark plan's normalized weights bit-for-bit.

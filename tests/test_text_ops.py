@@ -120,3 +120,55 @@ def test_unigram_logprob_scores_match_hand_computation(spark):
     )
     assert out[1].n_tokens == 3 and abs(out[1].avg_ln_p - exp1) < 1e-9
     assert out[2].n_tokens == 2 and abs(out[2].avg_ln_p - exp2) < 1e-9
+
+
+def test_hashed_features_sparse_and_stats(spark):
+    """Hand-checkable fixture: signed counts aggregate per bucket, zero
+    weights drop, stats recompute from the sparse form."""
+    from pyspark.sql import functions as F
+
+    from hw_kafka_streams_spark.operators.features import (
+        hashed_features_sparse,
+        hashed_features_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "aa bb aa aa"), (2, "cc"), (3, "")],
+        "doc_id long, text string",
+    )
+    sparse = hashed_features_sparse(df, dim=64).collect()
+    by_doc = {}
+    for r in sparse:
+        by_doc.setdefault(r.doc_id, {})[r.bucket] = r.weight
+    # doc 1: 'aa' x3 and 'bb' x1, each bucket's |weight| is the token
+    # count unless the two tokens collide (64 buckets -> usually not)
+    assert sum(abs(w) for w in by_doc[1].values()) in (2, 4)  # collision-or-not
+    assert set(abs(w) for w in by_doc[2].values()) == {1}
+    assert 3 not in by_doc  # empty text -> no rows
+    stats = {r.doc_id: r for r in hashed_features_stats(df, dim=64).collect()}
+    for d, buckets in by_doc.items():
+        s = stats[d]
+        assert s.nnz == len(buckets)
+        assert s.l1 == sum(abs(w) for w in buckets.values())
+        top = sorted(buckets.items(), key=lambda kv: (-abs(kv[1]), kv[0]))[0]
+        assert (s.top_bucket, s.top_weight) == top
+
+
+def test_hashed_features_md5_mode_matches_xxhash_shape(spark, sf_dir):
+    """Both hash modes produce the same per-doc token mass (l1 equals
+    the doc's token count when no bucket nets to zero)."""
+    from pyspark.sql import functions as F
+
+    from hw_kafka_streams_spark.operators.features import hashed_features_stats
+    from hw_kafka_streams_spark.operators.text import token_count
+    from hw_kafka_streams_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir).limit(50)
+    toks = {r.doc_id: r.n for r in docs.select("doc_id", token_count("text").alias("n")).collect()}
+    for mode in ("xxhash64", "md5"):
+        stats = {r.doc_id: r for r in hashed_features_stats(docs, dim=4096, hash_mode=mode).collect()}
+        for d, n in toks.items():
+            if n:
+                # l1 <= tokens (sign cancellation inside a bucket), and
+                # at dim=4096 collisions are rare so usually equal
+                assert stats[d].l1 <= n and stats[d].nnz <= n
