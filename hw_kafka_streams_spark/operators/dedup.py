@@ -749,3 +749,60 @@ def fuzzy_name_pairs(
         .filter(F.col("dist") <= max_dist)
         .select("name_a", "name_b", "dist")
     )
+
+
+def source_ngram_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    n: int = 3,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Cross-source n-gram overlap matrix: for every unordered source
+    pair, the number of distinct token n-grams they share and the
+    set Jaccard — the corpus-provenance audit that surfaces mirrored /
+    re-crawled / syndicated content BETWEEN sources before per-doc
+    dedup runs (a source pair with high Jaccard is a candidate for
+    dropping one side wholesale).
+
+    Plan: per-doc shingles (one window pass, :func:`shingle_postings`)
+    → attach the source (id-partitioned join, reuses the window's
+    partitioning) → (source, shingle) DISTINCT — the one big shuffle,
+    partial-combined — → inverted-index self-join on shingle. A
+    shingle appearing in g sources yields ≤ g²/2 pair rows, and g is
+    bounded by the source count, so candidate generation can't blow up
+    the way an all-pairs doc join would. Source set sizes broadcast.
+
+    Shared-shingle COUNTS are hash-invariant (any injective shingle
+    hash gives the same counts), so the DuckDB oracle can rebuild the
+    matrix from plain-text n-grams; md5 mode keeps the 60-bit
+    collision odds identical to the oracled Jaccard pipeline.
+    """
+    postings = shingle_postings(df, text_col, id_col, n, distinct=False, hash_mode=hash_mode)
+    src = df.select(F.col(id_col).alias("id"), F.col(group_col).alias("grp"))
+    gs = postings.join(src, "id").select("grp", "shingle").distinct()
+    sizes = gs.groupBy("grp").agg(F.count(F.lit(1)).alias("sz"))
+    a = gs.select(F.col("grp").alias("s1"), "shingle")
+    b = gs.select(F.col("grp").alias("s2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    z1 = F.broadcast(sizes.select(F.col("grp").alias("s1"), F.col("sz").alias("sz1")))
+    z2 = F.broadcast(sizes.select(F.col("grp").alias("s2"), F.col("sz").alias("sz2")))
+    return (
+        inter.join(z1, "s1")
+        .join(z2, "s2")
+        .select(
+            "s1",
+            "s2",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / (F.col("sz1") + F.col("sz2") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -81,6 +81,47 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_candidate_pairs(docs, threshold=0.05).orderBy("id1", "id2")
 
 
+@register(
+    "q_source_overlap",
+    oracle="""
+        WITH sh AS (
+          SELECT DISTINCT source,
+                 array_to_string(toks[i:i+2], ' ') AS shingle
+          FROM (SELECT source,
+                       list_filter(string_split_regex(trim(text), '\\s+'),
+                                   t -> t <> '') AS toks
+                FROM documents),
+               LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i)
+          WHERE len(toks) >= 3
+        ),
+        sizes AS (SELECT source, count(*) AS sz FROM sh GROUP BY source),
+        inter AS (
+          SELECT a.source AS s1, b.source AS s2, count(*) AS n_shared
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.source < b.source
+          GROUP BY 1, 2
+        )
+        SELECT s1, s2, n_shared,
+               round(n_shared / (z1.sz + z2.sz - n_shared), 6) AS jaccard
+        FROM inter
+          JOIN sizes z1 ON z1.source = s1
+          JOIN sizes z2 ON z2.source = s2
+        ORDER BY s1, s2
+    """,
+    doc="Cross-source 3-gram overlap matrix: distinct shared n-grams + "
+    "set Jaccard per source pair — the provenance audit that surfaces "
+    "mirrored/syndicated content between sources before per-doc dedup. "
+    "Inverted-index self-join on shingle (pairs per shingle bounded by "
+    "source-count², never doc-pairs); the (source, shingle) distinct "
+    "is the one big partial-combined shuffle; set sizes broadcast. "
+    "Shared counts are hash-invariant, so the oracle rebuilds them "
+    "from plain-text n-grams (operators/dedup.py source_ngram_overlap).",
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return D.source_ngram_overlap(docs, hash_mode="md5").orderBy("s1", "s2")
+
+
 # DuckDB twin of operators.dedup.md5h — verified bit-identical.
 def _d_md5h(x: str) -> str:
     return f"('0x' || substring(md5({x}),1,15))::BIGINT"

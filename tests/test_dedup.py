@@ -197,3 +197,28 @@ def test_simhash_arrow_kernel_matches_jvm_md5(spark):
     jvm = {r.id: r.sig for r in simhash_signatures(docs, hash_mode="md5", impl="jvm").collect()}
     arw = {r.id: r.sig for r in simhash_signatures(docs, hash_mode="md5").collect()}
     assert jvm == arw
+
+
+def test_source_ngram_overlap_hand_computed(spark):
+    """Two sources sharing one 3-gram, a third sharing none."""
+    from pyspark.sql import functions as F
+
+    from hw_kafka_streams_spark.operators.dedup import source_ngram_overlap
+
+    rows = [
+        (1, "the quick brown fox", "A"),
+        (2, "a quick brown fox runs", "B"),   # shares 'quick brown fox'
+        (3, "zz yy xx ww", "C"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r.s1, r.s2): r for r in source_ngram_overlap(df).collect()}
+    # A: {'the quick brown','quick brown fox'}; B: {'a quick brown',
+    # 'quick brown fox','brown fox runs'}; C disjoint
+    assert set(out) == {("A", "B")}
+    r = out[("A", "B")]
+    assert r.n_shared == 1
+    assert abs(r.jaccard - 1 / 4) < 1e-9  # 1 shared of (2+3-1)
+    # md5 mode produces the same matrix (hash-invariance)
+    out2 = {(r.s1, r.s2): (r.n_shared, r.jaccard)
+            for r in source_ngram_overlap(df, hash_mode="md5").collect()}
+    assert out2 == {k: (v.n_shared, v.jaccard) for k, v in out.items()}
