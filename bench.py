@@ -58,6 +58,12 @@ HEADLINE = [
     "q_boilerplate_prune",
     "q_unigram_lm_score",
     "q_sequence_pack",
+    "q_data_mixture",
+    "q_semantic_dedup",
+    "q_filter_funnel",
+    "q_feature_hashing",
+    "q_source_overlap",
+    "q_token_shards",
 ]
 
 

@@ -107,3 +107,85 @@ def compact_files(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return len(glob.glob(os.path.join(path, "part-*.parquet")))
+
+
+def balanced_token_shards(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    block: int = 1024,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Assign documents to ``n_shards`` training shards with (a) a
+    deterministic content-stable SHUFFLED order and (b) near-equal
+    token mass per shard — the write-side planner for pretraining
+    shards, where equal shard token counts keep data-parallel readers
+    in step and the hash order de-clusters any source/time locality in
+    the input.
+
+    Order = stable hash of the id (never ``rand()`` — reruns and shard
+    additions must not reshuffle); each doc's global token offset in
+    that order comes from the block-prefix-sum pattern (range-block the
+    hash space [1 tiny shuffle], window over the tiny block table,
+    within-block windows run parallel per block — the same shape as
+    sequence packing; no single-partition global window). Shard =
+    ``offset div ceil(total/n_shards)`` — contiguous token ranges, so
+    shard sizes differ by at most one document's tokens.
+
+    Returns ``(id, n_tokens, shard)``. All integer arithmetic —
+    reproducible in ANSI SQL for the md5 hash mode.
+    """
+    from pyspark.sql import Window
+
+    from hw_kafka_streams_spark.operators.text import token_count
+    from hw_kafka_streams_spark.operators.winutil import tiny_table_partition
+
+    if hash_mode == "md5":
+        from hw_kafka_streams_spark.operators.dedup import md5h
+
+        hkey = md5h(F.concat(F.col(id_col).cast("string"), F.lit(":shard")))
+    else:
+        hkey = F.abs(F.xxhash64(F.col(id_col), F.lit(77)))
+    # hash keys are uniform in [0, 2^60) (md5h) / [0, 2^63) — range-block
+    # the key space so block populations are balanced
+    width = (1 << 60) // block if hash_mode == "md5" else (1 << 63) // block
+    dl = (
+        df.select(
+            F.col(id_col).alias("id"),
+            token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+            hkey.alias("hkey"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn("blk", F.expr(f"hkey div {width}"))
+    )
+    bsums = dl.groupBy("blk").agg(F.sum("n_tokens").alias("bsum"))
+    w_blk = (
+        Window.partitionBy(tiny_table_partition("blk"))
+        .orderBy("blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boff = bsums.select(
+        "blk",
+        F.coalesce(F.sum("bsum").over(w_blk), F.lit(0)).alias("blk_off"),
+    )
+    total = bsums.agg(F.sum("bsum").alias("_total"))
+    w_doc = (
+        Window.partitionBy("blk")
+        .orderBy("hkey", "id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        dl.join(F.broadcast(boff), "blk")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "start",
+            F.col("blk_off") + F.coalesce(F.sum("n_tokens").over(w_doc), F.lit(0)),
+        )
+        .withColumn("_w", F.expr(f"(_total + {n_shards} - 1) div {n_shards}"))
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.expr("start div _w").cast("int").alias("shard"),
+        )
+    )

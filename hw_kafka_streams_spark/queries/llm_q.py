@@ -1920,6 +1920,55 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_features_stats(docs, dim=1024, hash_mode="md5").orderBy("doc_id")
 
 
+@register(
+    "q_token_shards",
+    oracle="""
+        WITH t AS (
+          SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS toks,
+                 ('0x' || substring(md5(doc_id::VARCHAR || ':shard'),1,15))::BIGINT
+                   AS hkey
+          FROM documents
+        ),
+        f AS (SELECT * FROM t WHERE toks > 0),
+        o AS (
+          SELECT doc_id, toks,
+                 coalesce(sum(toks) OVER (ORDER BY hkey, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+          FROM f
+        ),
+        tot AS (SELECT sum(toks) AS total FROM f)
+        SELECT CAST(strt // ((total + 7) // 8) AS INT) AS shard,
+               count(*) AS n_docs,
+               CAST(sum(toks) AS BIGINT) AS shard_tokens
+        FROM o, tot
+        GROUP BY 1 ORDER BY 1
+    """,
+    doc="Balanced training-shard planner: documents land in 8 shards in "
+    "a deterministic hash-shuffled order with near-equal token mass "
+    "per shard (contiguous token ranges over the global offset, so "
+    "shards differ by at most one document) — the write-side pass that "
+    "keeps data-parallel pretraining readers in step. Global offsets "
+    "use the block-prefix-sum pattern (range-blocked hash space, tiny "
+    "block-offset window, parallel within-block windows — no single-"
+    "partition global window); md5 hash order gives the whole "
+    "assignment a DuckDB twin (operators/layout.py "
+    "balanced_token_shards).",
+)
+def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.layout import balanced_token_shards
+
+    docs = load_table(spark, "documents", sf_dir)
+    shards = balanced_token_shards(docs, n_shards=8, hash_mode="md5")
+    return (
+        shards.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("shard_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
 # Target mixture for q_data_mixture: dyadic weights (exactly
 # representable doubles summing to exactly 1.0), so the oracle's SQL
 # literals equal the Spark plan's normalized weights bit-for-bit.

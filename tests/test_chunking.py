@@ -106,3 +106,30 @@ def test_sequence_pack_matches_naive_cumsum(spark):
         assert r.n_windows == r.last_window - r.first_window + 1
         assert r.spans_boundary == (r.first_window != r.last_window)
         start += n
+
+
+def test_balanced_token_shards_balance_and_stability(spark, sf_dir):
+    """Every doc gets exactly one shard; shard token masses are
+    contiguous ranges (differ by at most one doc's tokens); the
+    assignment is block-size independent and stable across runs."""
+    from pyspark.sql import functions as F
+
+    from hw_kafka_streams_spark.operators.layout import balanced_token_shards
+    from hw_kafka_streams_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    n = docs.filter(F.length(F.trim("text")) > 0).count()
+    out = balanced_token_shards(docs, n_shards=4).collect()
+    assert len(out) == n
+    assert {r.shard for r in out} <= set(range(4))
+    sums = {}
+    maxdoc = 0
+    for r in out:
+        sums[r.shard] = sums.get(r.shard, 0) + r.n_tokens
+        maxdoc = max(maxdoc, r.n_tokens)
+    assert max(sums.values()) - min(sums.values()) <= 2 * maxdoc
+    # block-size independence: the global offsets (hence shards) match
+    a = {r.doc_id: r.shard for r in out}
+    b = {r.doc_id: r.shard
+         for r in balanced_token_shards(docs, n_shards=4, block=7).collect()}
+    assert a == b
