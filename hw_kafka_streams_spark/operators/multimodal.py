@@ -47,6 +47,8 @@ def attach_payload_metadata(
         F.when(F.hex(F.substring(payload, 1, 4)) == "89504E47", "image/png")
         .when(F.hex(F.substring(payload, 1, 3)) == "FFD8FF", "image/jpeg")
         .when(F.hex(F.substring(payload, 1, 4)) == "52494646", "audio/wav")
+        .when(F.hex(F.substring(payload, 1, 4)) == "47494638", "image/gif")
+        .when(F.hex(F.substring(payload, 1, 2)) == "424D", "image/bmp")
         .otherwise("application/octet-stream")
     )
     return df.select(
@@ -101,13 +103,40 @@ def _parse_jpeg_dims(data: bytes) -> tuple[int, int] | None:
     return None
 
 
+def _parse_gif_dims(data: bytes) -> tuple[int, int] | None:
+    # GIF87a/GIF89a signature, then logical-screen width/height (2 LE each)
+    if len(data) >= 10 and data[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", data[6:10])
+        return w, h
+    return None
+
+
+def _parse_bmp_dims(data: bytes) -> tuple[int, int] | None:
+    # BM file header (14 bytes), then BITMAPINFOHEADER: size(4),
+    # width @18 (4 LE signed), height @22 (4 LE signed; negative =
+    # top-down row order, magnitude is the pixel height)
+    if len(data) >= 26 and data[:2] == b"BM":
+        w, h = struct.unpack("<ii", data[18:26])
+        return abs(w), abs(h)
+    return None
+
+
+_IMAGE_PARSERS = (
+    ("png", _parse_png_dims),
+    ("jpeg", _parse_jpeg_dims),
+    ("gif", _parse_gif_dims),
+    ("bmp", _parse_bmp_dims),
+)
+
+
 def decode_image_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Arrow-batched decode stage: binary → (width, height, format).
 
-    Real header parsing for PNG (IHDR) and JPEG (SOFn marker scan);
-    everything else hits the stub. The mapInPandas shape (iterator of
-    batches in/out) is exactly what a real pillow/ffmpeg decode stage
-    would use — swap the inner function when codecs are available.
+    Real header parsing for PNG (IHDR), JPEG (SOFn marker scan), GIF
+    (logical screen descriptor) and BMP (BITMAPINFOHEADER); everything
+    else hits the stub. The mapInPandas shape (iterator of batches
+    in/out) is exactly what a real pillow/ffmpeg decode stage would
+    use — swap the inner function when codecs are available.
     """
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -115,20 +144,18 @@ def decode_image_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             out = []
             for doc_id, data in zip(pdf["doc_id"], pdf[payload_col]):
                 raw = bytes(data)
-                dims = _parse_png_dims(raw)
-                if dims is not None:
-                    out.append((doc_id, dims[0], dims[1], "png", len(raw)))
-                    continue
-                dims = _parse_jpeg_dims(raw)
-                if dims is not None:
-                    out.append((doc_id, dims[0], dims[1], "jpeg", len(raw)))
+                for fmt, parser in _IMAGE_PARSERS:
+                    dims = parser(raw)
+                    if dims is not None:
+                        out.append((doc_id, dims[0], dims[1], fmt, len(raw)))
+                        break
                 else:
                     # STUB: no image codecs in this container — formats
-                    # beyond PNG/JPEG headers (webp/tiff pixel decode…)
-                    # need pillow; a real deployment decodes here.
+                    # beyond these four header layouts (webp/tiff pixel
+                    # decode…) need pillow; a real deployment decodes here.
                     raise NotImplementedError(
-                        "non-PNG/JPEG decode requires codec libraries not "
-                        "present in this environment"
+                        "non-PNG/JPEG/GIF/BMP decode requires codec "
+                        "libraries not present in this environment"
                     )
             yield pd.DataFrame(
                 out, columns=["doc_id", "width", "height", "format", "n_bytes"]
@@ -256,10 +283,32 @@ def synthesize_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(F.col(id_col)).mapInPandas(gen, schema="doc_id long, payload binary")
 
 
+def make_fake_gif(width: int, height: int) -> bytes:
+    """Deterministic minimal GIF (signature + logical screen descriptor
+    + filler) for plumbing tests."""
+    body = hashlib.sha256(f"gif{width}x{height}".encode()).digest()
+    return (
+        b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00" + body
+    )
+
+
+def make_fake_bmp(width: int, height: int) -> bytes:
+    """Deterministic minimal BMP (BM header + BITMAPINFOHEADER +
+    filler) for plumbing tests."""
+    filler = hashlib.sha256(f"bmp{width}x{height}".encode()).digest()[:8]
+    size = 14 + 40 + len(filler)
+    file_hdr = b"BM" + struct.pack("<IHHI", size, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, 0, 2835, 2835, 0, 0)
+    return file_hdr + dib + filler
+
+
+_FAKE_IMAGE_MAKERS = (make_fake_png, make_fake_jpeg, make_fake_gif, make_fake_bmp)
+
+
 def synthesize_image_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Mixed-format twin of :func:`synthesize_png_payloads`: even ids
-    get PNG, odd ids JPEG — same ``id %`` dimension arithmetic, so an
-    SQL oracle can still verify the decode roundtrip per format."""
+    """Mixed-format twin of :func:`synthesize_png_payloads`: ``id % 4``
+    cycles PNG / JPEG / GIF / BMP — same ``id %`` dimension arithmetic,
+    so an SQL oracle can still verify the decode roundtrip per format."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -268,9 +317,9 @@ def synthesize_image_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFram
                 {
                     "doc_id": ids,
                     "payload": [
-                        make_fake_png(int(i) % 640 + 16, int(i) % 480 + 16)
-                        if int(i) % 2 == 0
-                        else make_fake_jpeg(int(i) % 640 + 16, int(i) % 480 + 16)
+                        _FAKE_IMAGE_MAKERS[int(i) % 4](
+                            int(i) % 640 + 16, int(i) % 480 + 16
+                        )
                         for i in ids
                     ],
                 }

@@ -110,7 +110,7 @@ def test_jpeg_sof_marker_scan_roundtrip():
 
 
 def test_decode_image_meta_mixed_formats(spark):
-    """Arrow decode stage handles PNG and JPEG payloads in one batch."""
+    """Arrow decode stage handles PNG/JPEG/GIF/BMP payloads in one batch."""
     from hw_kafka_streams_spark.operators.multimodal import (
         decode_image_meta,
         synthesize_image_payloads,
@@ -122,5 +122,46 @@ def test_decode_image_meta_mixed_formats(spark):
         for r in decode_image_meta(synthesize_image_payloads(ids)).collect()
     }
     for i in range(8):
-        fmt = "png" if i % 2 == 0 else "jpeg"
+        fmt = ("png", "jpeg", "gif", "bmp")[i % 4]
         assert out[i] == (i % 640 + 16, i % 480 + 16, fmt)
+
+
+def test_gif_bmp_header_parsers():
+    """Pure-python GIF/BMP dims; top-down (negative-height) BMP
+    normalizes; garbage -> None."""
+    from hw_kafka_streams_spark.operators.multimodal import (
+        _parse_bmp_dims,
+        _parse_gif_dims,
+        make_fake_bmp,
+        make_fake_gif,
+    )
+
+    assert _parse_gif_dims(make_fake_gif(320, 200)) == (320, 200)
+    assert _parse_gif_dims(b"GIF87a" + make_fake_gif(17, 9)[6:]) == (17, 9)
+    assert _parse_gif_dims(b"GIF89a\x01") is None  # truncated
+    assert _parse_gif_dims(b"NOTGIF\x00\x00\x00\x00") is None
+
+    assert _parse_bmp_dims(make_fake_bmp(640, 480)) == (640, 480)
+    import struct as _s
+
+    b = make_fake_bmp(31, 13)
+    topdown = b[:22] + _s.pack("<i", -13) + b[26:]
+    assert _parse_bmp_dims(topdown) == (31, 13)
+    assert _parse_bmp_dims(b[:20]) is None
+    assert _parse_bmp_dims(b"XX" + b[2:]) is None
+
+
+def test_fake_payload_lengths_pin_oracle_constants():
+    """q_multimodal_decode's oracle hardcodes per-format byte lengths;
+    pin the builders to them."""
+    from hw_kafka_streams_spark.operators.multimodal import (
+        make_fake_bmp,
+        make_fake_gif,
+        make_fake_jpeg,
+        make_fake_png,
+    )
+
+    assert len(make_fake_png(16, 16)) == 61
+    assert len(make_fake_jpeg(16, 16)) == 65
+    assert len(make_fake_gif(16, 16)) == 45
+    assert len(make_fake_bmp(16, 16)) == 62
