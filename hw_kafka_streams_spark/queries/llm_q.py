@@ -213,6 +213,81 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CASCADE_FINAL = """
+        , fps AS (
+          SELECT doc_id,
+                 md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+          FROM documents
+        ),
+        keep AS (
+          SELECT doc_id,
+                 (doc_id = min(doc_id) OVER (PARTITION BY fp)) AS kept
+          FROM fps
+        ),
+        nd AS (
+          SELECT DISTINCT b.doc_id AS vid
+          FROM bk a JOIN bk b
+            ON a.doc_id < b.doc_id AND ({share_band})
+          JOIN keep ka ON ka.doc_id = a.doc_id AND ka.kept
+          JOIN keep kb ON kb.doc_id = b.doc_id AND kb.kept
+          WHERE round(({agree}) / 64.0, 4) >= 0.2
+        )
+        SELECT (SELECT count(*) FROM documents) AS n_docs,
+               (SELECT count(*) FROM keep WHERE NOT kept) AS n_exact_dups,
+               (SELECT count(*) FROM nd) AS n_near_dups,
+               (SELECT count(*) FROM documents)
+                 - (SELECT count(*) FROM keep WHERE NOT kept)
+                 - (SELECT count(*) FROM nd) AS n_survivors
+    """
+
+
+@register(
+    "q_dedup_cascade",
+    oracle=_minhash_cte(_CASCADE_FINAL),
+    doc="Dedup CASCADE audit (the FineWeb/DataComp recipe): cheap exact "
+    "fingerprint dedup first, then MinHash+LSH near-dup detection over "
+    "the exact-survivors only — each stage shrinks the next, more "
+    "expensive stage's input, and the report shows the incremental "
+    "catch of each stage (exact dups / additional near dups / final "
+    "survivors). Signatures are doc-local, so running MinHash on the "
+    "survivor subset equals restricting full-corpus pairs to survivor "
+    "pairs — which is exactly how the DuckDB twin verifies it. Spark "
+    "plan: one fp shuffle + the banded LSH pipeline on the reduced "
+    "set; md5 mode keeps it value-hash oracled.",
+)
+def q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    fp = T.fingerprint("text")
+    with_fp = docs.select("doc_id", "text", fp.alias("fp"))
+    keeps = with_fp.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    survivors = with_fp.join(keeps, "fp").filter(
+        F.col("doc_id") == F.col("keep_id")
+    )
+    pairs = D.minhash_lsh_pairs(
+        survivors, verify_threshold=0.2, hash_mode="md5"
+    )
+    near = pairs.select(F.col("id2").alias("doc_id")).distinct()
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_exact = (
+        with_fp.join(keeps, "fp")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .agg(F.count(F.lit(1)).alias("n_exact_dups"))
+    )
+    n_near = near.agg(F.count(F.lit(1)).alias("n_near_dups"))
+    return (
+        n_docs.crossJoin(F.broadcast(n_exact))
+        .crossJoin(F.broadcast(n_near))
+        .select(
+            "n_docs",
+            "n_exact_dups",
+            "n_near_dups",
+            (
+                F.col("n_docs") - F.col("n_exact_dups") - F.col("n_near_dups")
+            ).alias("n_survivors"),
+        )
+    )
+
+
 def _simhash_oracle() -> str:
     """Exact DuckDB reconstruction of the md5-mode SimHash pipeline:
     per-bit token-hash sums → 64-bit signature → pigeonhole quarter

@@ -222,3 +222,32 @@ def test_source_ngram_overlap_hand_computed(spark):
     out2 = {(r.s1, r.s2): (r.n_shared, r.jaccard)
             for r in source_ngram_overlap(df, hash_mode="md5").collect()}
     assert out2 == {k: (v.n_shared, v.jaccard) for k, v in out.items()}
+
+
+def test_dedup_cascade_accounting(spark):
+    """Exact copies are caught by stage 1, near-dups (word swap) by
+    stage 2, and the counts reconcile."""
+    from hw_kafka_streams_spark.queries import REGISTRY, _load_all
+
+    _load_all()
+    import tempfile
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the band plays on ") * 3
+    rows = [
+        (0, base, "en", "s0", len(base)),
+        (1, base, "en", "s0", len(base)),            # exact dup of 0
+        (2, base.replace("lazy", "sleepy"), "en", "s1", len(base)),  # near dup
+        (3, "completely different text about spark shuffles and joins "
+            "partitioned aggregation broadcast exchange codegen " * 3,
+         "en", "s1", 100),
+    ]
+    d = tempfile.mkdtemp(prefix="cascade_")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(d + "/documents.parquet")
+    r = REGISTRY["q_dedup_cascade"].fn(spark, d).collect()[0]
+    assert r.n_docs == 4
+    assert r.n_exact_dups == 1        # doc 1
+    assert r.n_near_dups == 1         # doc 2 (vs surviving doc 0)
+    assert r.n_survivors == 2
