@@ -781,7 +781,12 @@ def source_ngram_overlap(
     """
     postings = shingle_postings(df, text_col, id_col, n, distinct=False, hash_mode=hash_mode)
     src = df.select(F.col(id_col).alias("id"), F.col(group_col).alias("grp"))
-    gs = postings.join(src, "id").select("grp", "shingle").distinct()
+    # persist: three consumers (sizes + both self-join sides) would
+    # otherwise each recompute the whole shingle pipeline — measured 14
+    # exchanges with 0 reuse; at crawl scale that is 3 full scans
+    gs = (
+        postings.join(src, "id").select("grp", "shingle").distinct().persist()
+    )
     sizes = gs.groupBy("grp").agg(F.count(F.lit(1)).alias("sz"))
     a = gs.select(F.col("grp").alias("s1"), "shingle")
     b = gs.select(F.col("grp").alias("s2"), "shingle")

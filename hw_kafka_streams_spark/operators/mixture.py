@@ -148,8 +148,11 @@ def mixture_report(
         F.count(F.lit(1)).alias("n_docs_sampled"),
         F.sum(tokens).cast("long").alias("tokens_sampled"),
     )
+    # both sides are per-group aggregates (rows bounded by the weights
+    # dict); without the hint Spark picks a sort-merge join on unknown
+    # stats sizing
     return (
-        plan.join(stats, group_col, "left")
+        plan.join(F.broadcast(stats), group_col, "left")
         .select(
             group_col,
             "n_docs",
