@@ -288,6 +288,85 @@ def q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_EVAL_FINAL = """
+        , cand AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2
+          FROM bk a JOIN bk b
+            ON a.doc_id < b.doc_id AND ({share_band})
+          WHERE round(({agree}) / 64.0, 4) >= 0.05
+        ),
+        tsh AS (
+          SELECT doc_id,
+                 list_distinct([
+                   array_to_string(toks2[i:i+2], ' ')
+                   FOR i IN range(1, len(toks2) - 1)
+                 ]) AS shingles
+          FROM (SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\\s+'),
+                                   t -> t <> '') AS toks2
+                FROM documents)
+          WHERE len(toks2) >= 3
+        ),
+        tpost AS (SELECT doc_id, unnest(shingles) AS shingle FROM tsh),
+        tsizes AS (SELECT doc_id, len(shingles) AS sz FROM tsh),
+        truth AS (
+          SELECT id1, id2 FROM (
+            SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+            FROM tpost a JOIN tpost b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+          ) i JOIN tsizes z1 ON z1.doc_id = id1
+              JOIN tsizes z2 ON z2.doc_id = id2
+          WHERE n_common / (z1.sz + z2.sz - n_common) >= 0.05
+        ),
+        hit AS (SELECT count(*) AS n_hit
+                FROM truth JOIN cand USING (id1, id2))
+        SELECT (SELECT count(*) FROM truth) AS n_truth,
+               (SELECT count(*) FROM cand) AS n_cand,
+               n_hit,
+               round(n_hit * 1.0 / (SELECT count(*) FROM truth), 4) AS recall,
+               round(n_hit * 1.0 / (SELECT count(*) FROM cand), 4) AS precision
+        FROM hit
+    """
+
+
+@register(
+    "q_lsh_eval",
+    oracle=_minhash_cte(_LSH_EVAL_FINAL),
+    doc="Blocking-quality evaluation: MinHash+LSH candidate pairs "
+    "(est_jaccard >= 0.05) scored against the exact 3-gram Jaccard "
+    "ground truth (inverted-index pipeline) — recall tells you what "
+    "the banded blocking misses, precision what the signature estimate "
+    "over-admits, BEFORE committing a 100 TB dedup run to those "
+    "parameters. Both pipelines already have DuckDB twins, so the "
+    "metric row itself is value-hash oracled. Truth is the inverted-"
+    "index join (never all-pairs); the metric join is on the tiny pair "
+    "sets.",
+)
+def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    truth = D.jaccard_candidate_pairs(docs, threshold=0.05).select("id1", "id2")
+    cand = D.minhash_lsh_pairs(docs, verify_threshold=0.05, hash_mode="md5").select(
+        "id1", "id2"
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    n_hit = truth.join(cand, ["id1", "id2"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        n_hit.crossJoin(F.broadcast(n_truth))
+        .crossJoin(F.broadcast(n_cand))
+        .select(
+            "n_truth",
+            "n_cand",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_truth"), 4).alias("recall"),
+            F.round(F.col("n_hit") / F.col("n_cand"), 4).alias("precision"),
+        )
+    )
+
+
 def _simhash_oracle() -> str:
     """Exact DuckDB reconstruction of the md5-mode SimHash pipeline:
     per-bit token-hash sums → 64-bit signature → pigeonhole quarter

@@ -251,3 +251,16 @@ def test_dedup_cascade_accounting(spark):
     assert r.n_exact_dups == 1        # doc 1
     assert r.n_near_dups == 1         # doc 2 (vs surviving doc 0)
     assert r.n_survivors == 2
+
+
+def test_lsh_eval_metric_consistency(spark, sf_dir):
+    """Hits bound both sets; metrics are the implied ratios; every hit
+    is a genuine truth pair (precision accounting is self-consistent)."""
+    from hw_kafka_streams_spark.queries import REGISTRY, _load_all
+
+    _load_all()
+    r = REGISTRY["q_lsh_eval"].fn(spark, sf_dir).collect()[0]
+    assert r.n_hit <= min(r.n_truth, r.n_cand)
+    assert abs(r.recall - round(r.n_hit / r.n_truth, 4)) < 1e-9
+    assert abs(r.precision - round(r.n_hit / r.n_cand, 4)) < 1e-9
+    assert 0 < r.recall <= 1.0 and 0 < r.precision <= 1.0
