@@ -511,6 +511,116 @@ def ivf_topk_indexed(
     )
 
 
+def quantize_vec_arrow(vec: Column) -> Column:
+    """Per-vector symmetric int8 quantization: struct(ma, q) where
+    ``ma`` is the max-abs scale and ``q_i = floor(x_i·127/ma + 0.5)``
+    (the same half-up rounding as quantize_stats_arrow, which DuckDB's
+    ``round``-free floor form reproduces bit-for-bit). One numpy pass
+    per Arrow batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<ma: double, q: array<int>>")
+    def _q(v: pd.Series) -> pd.DataFrame:
+        if len(v) == 0:
+            return pd.DataFrame({"ma": [], "q": []})
+        A = _stack(v).astype(np.float64)  # float64: DuckDB-twin arithmetic
+        ma = np.abs(A).max(axis=1)
+        safe = np.where(ma == 0, 1.0, ma)
+        Q = np.floor(A * 127.0 / safe[:, None] + 0.5).astype("int32")
+        Q[ma == 0] = 0
+        return pd.DataFrame({"ma": ma, "q": list(Q)})
+
+    return _q(vec)
+
+
+def int_dot_arrow(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two int arrays (one numpy batch
+    matmul-free einsum per Arrow batch); sums of |q|≤127 products stay
+    far inside int64."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _d(pa: pd.Series, pb: pd.Series) -> pd.Series:
+        if len(pa) == 0:
+            return pd.Series([], dtype="int64")
+        A = np.vstack(pa.to_numpy()).astype("int64")
+        B = np.vstack(pb.to_numpy()).astype("int64")
+        return pd.Series(np.einsum("ij,ij->i", A, B))
+
+    return _d(a, b)
+
+
+def quantized_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    shortlist: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage retrieval: int8 coarse scoring → fp32 exact re-rank.
+
+    The standard memory-bandwidth play for brute-force search at scale:
+    the corpus streams through the coarse stage as int8 (4× smaller
+    than fp32, exact integer dot products), a per-query ``shortlist``
+    survives, and only the shortlist pays the fp32 cosine. Recall loss
+    is bounded by how often the true top-k falls outside the int8
+    shortlist (quantization error ≤ 0.5/127 per component).
+
+    Every stage is deterministic — half-up quantization, exact integer
+    dots, scale products compared left-associated, id tie-breaks — so
+    the whole cascade (shortlist selection included) has an exact
+    DuckDB twin. Plan: corpus-parallel coarse scan with broadcast
+    queries; both rank windows partition by query_id (WindowGroupLimit
+    keeps the shuffles to the per-query survivor sets).
+    """
+    qq = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        quantize_vec_arrow(F.col(vec_col)).alias("qz"),
+    )
+    cc = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        quantize_vec_arrow(F.col(vec_col)).alias("cz"),
+    )
+    # coarse ≈ dot: idot · ma_q · ma_c (the /127² constant can't change
+    # the per-query order, so it is dropped); left-associated to match
+    # the oracle bit-for-bit
+    coarse = (
+        cc.crossJoin(F.broadcast(qq))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "qvec",
+            "cvec",
+            (
+                int_dot_arrow(F.col("qz.q"), F.col("cz.q")).cast("double")
+                * F.col("qz.ma")
+                * F.col("cz.ma")
+            ).alias("coarse"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("coarse"), F.asc("neighbor_id")
+    )
+    short = coarse.withColumn("crnk", F.row_number().over(w1)).filter(
+        F.col("crnk") <= shortlist
+    )
+    rer = short.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_arrow(F.col("qvec"), F.col("cvec")), 4).alias("cos_sim"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        rer.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -766,6 +766,66 @@ def _semantic_dedup_oracle(n_centroids: int = 8, iters: int = 2, tau: float = 0.
 
 
 @register(
+    "q_quantized_topk",
+    oracle="""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        z AS (
+          SELECT vec_id, v, mx,
+                 CASE WHEN mx = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                      ELSE list_transform(v,
+                             x -> CAST(floor(x * 127 / mx + 0.5) AS BIGINT))
+                 END AS q
+          FROM (SELECT vec_id, v,
+                       list_max(list_transform(v, x -> abs(x))) AS mx
+                FROM e)
+        ),
+        coarse AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 q.v AS qv, c.v AS cv,
+                 (CAST(list_dot_product(q.q, c.q) AS DOUBLE) * q.mx) * c.mx
+                     AS coarse
+          FROM z q JOIN z c
+            ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+        ),
+        short AS (
+          SELECT query_id, neighbor_id, qv, cv
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY coarse DESC, neighbor_id)
+                  AS crnk
+                FROM coarse)
+          WHERE crnk <= 20
+        ),
+        rer AS (
+          SELECT query_id, neighbor_id,
+                 round(list_cosine_similarity(qv, cv), 4) AS cos_sim
+          FROM short
+        )
+        SELECT query_id, neighbor_id, cos_sim, rnk
+        FROM (SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)
+                AS INT) AS rnk
+              FROM rer)
+        WHERE rnk <= 5
+        ORDER BY query_id, rnk
+    """,
+    doc="Two-stage retrieval: int8 coarse scoring then fp32 exact "
+    "re-rank — the memory-bandwidth play for brute-force ANN at scale "
+    "(the corpus streams through the coarse stage 4× smaller, exact "
+    "integer dot products; only a 20-candidate shortlist pays fp32). "
+    "Half-up quantization, integer dots, and left-associated scale "
+    "products make even the shortlist SELECTION deterministic, so the "
+    "whole cascade is value-hash oracled (operators/similarity.py "
+    "quantized_topk).",
+)
+def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.quantized_topk(queries, emb, k=5, shortlist=20).orderBy(
+        "query_id", "rnk"
+    )
+
+
+@register(
     "q_semantic_dedup",
     oracle=_semantic_dedup_oracle(),
     doc="SemDeDup-style semantic deduplication (arXiv:2303.09540): "

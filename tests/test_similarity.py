@@ -218,3 +218,44 @@ def test_semantic_dedup_labels_fixture(spark):
     for r in out.values():
         if r.is_dup:
             assert out[r.dup_of].cid == r.cid
+
+
+def test_quantized_topk_recall_vs_brute_force(spark):
+    """int8 coarse + fp32 re-rank recovers nearly all true top-5
+    neighbors at shortlist=20 (quantization error <= 0.5/127/component)."""
+    from pyspark.sql import functions as F
+
+    from hw_kafka_streams_spark.operators.similarity import (
+        brute_force_topk,
+        quantized_topk,
+    )
+    from hw_kafka_streams_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.01")
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(queries, emb, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in quantized_topk(queries, emb, k=5, shortlist=20).collect()
+    }
+    assert len(truth & got) / len(truth) >= 0.9
+
+
+def test_quantize_vec_arrow_roundtrip(spark):
+    """Quantized values bounded by ±127; scale is max-abs; zero vector
+    stays all-zero with ma=0."""
+    from pyspark.sql import functions as F
+
+    from hw_kafka_streams_spark.operators.similarity import quantize_vec_arrow
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r.z for r in df.select(
+        "vec_id", quantize_vec_arrow(F.col("embedding")).alias("z")).collect()}
+    assert out[1].ma == 1.0 and out[1].q == [64, -127, 32]
+    assert out[2].ma == 0.0 and out[2].q == [0, 0, 0]
