@@ -17,9 +17,16 @@ from hw_kafka_streams_spark.operators.censor import (
     censor_column,
     censor_column_many_words,
 )
-from hw_kafka_streams_spark.operators.dedup import word_shingles
+from hw_kafka_streams_spark.operators.dedup import md5h, word_shingles
 from hw_kafka_streams_spark.operators.sampling import hash_bucket
-from hw_kafka_streams_spark.operators.similarity import cosine, dot, l2_norm
+from hw_kafka_streams_spark.operators.similarity import (
+    cosine,
+    cosine_arrow,
+    dot,
+    int_dot_arrow,
+    l2_norm,
+    quantize_vec_arrow,
+)
 from hw_kafka_streams_spark.operators.text import (
     bpe_ish_token_count,
     fingerprint,
@@ -37,14 +44,18 @@ __all__ = [
     "censor_column",
     "censor_column_many_words",
     "cosine",
+    "cosine_arrow",
     "dot",
+    "int_dot_arrow",
     "fingerprint",
     "hash_bucket",
     "l2_norm",
     "lang_id_charset",
+    "md5h",
     "mean_word_length",
     "punct_ratio",
     "quality_score",
+    "quantize_vec_arrow",
     "stopword_ratio",
     "token_count",
     "word_shingles",

@@ -791,7 +791,10 @@ def source_ngram_overlap(
     a = gs.select(F.col("grp").alias("s1"), "shingle")
     b = gs.select(F.col("grp").alias("s2"), "shingle")
     inter = (
-        a.join(b, "shingle")
+        # shuffle-hash, not sort-merge: rows per shingle are bounded by
+        # the group count, so the per-partition build side stays small
+        # at any corpus size and no sort is needed
+        a.join(b.hint("shuffle_hash"), "shingle")
         .filter(F.col("s1") < F.col("s2"))
         .groupBy("s1", "s2")
         .agg(F.count(F.lit(1)).alias("n_shared"))

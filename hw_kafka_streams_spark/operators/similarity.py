@@ -675,7 +675,9 @@ def semantic_dedup(
         .agg(F.min("a_id").alias("dup_of"))
     )
     return (
-        idx.join(dup, idx.id == dup.b_id, "left")
+        # shuffle-hash, not sort-merge: equi-join on the id needs no
+        # sort order, and the dup side is the smaller (dups-only) set
+        idx.join(dup.hint("shuffle_hash"), idx.id == dup.b_id, "left")
         .select(
             F.col("id").alias(id_col),
             "cid",

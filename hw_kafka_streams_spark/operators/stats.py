@@ -88,3 +88,46 @@ def rank_auc(
             F.col("sum2") / (2.0 * F.col("n_pos") * F.col("n_neg")), 6
         ).alias("auc"),
     )
+
+
+def quantile_buckets(
+    df: DataFrame,
+    value_col: Column | str,
+    group_col: str,
+    n_buckets: int = 10,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Per-group quantile bucketing via BROADCAST THRESHOLDS — the
+    scale-safe calibration pass (e.g. normalize a quality score across
+    languages so a filter keeps each group's top X%, not the globally
+    loudest group).
+
+    The tempting plan — ``ntile(n) OVER (PARTITION BY group)`` — puts
+    an entire group in ONE task, and low-cardinality groups (languages,
+    sources) make that a single-partition sort at 100 TB. Instead: one
+    exact-percentile aggregation per group (tiny result: groups ×
+    (n-1) thresholds), broadcast it back, and assign
+    ``bucket = 1 + #thresholds strictly below value`` in a narrow map.
+    Exact-percentile interpolation matches DuckDB ``quantile_cont``
+    bit-for-bit (proven by q_percentiles), so the assignment is
+    oracle-able. Values equal to a threshold land in the LOWER bucket
+    (strict comparison), the same convention as SQL ``CUME_DIST``-style
+    right-closed buckets.
+    """
+    vc = F.col(value_col) if isinstance(value_col, str) else value_col
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    with_v = df.withColumn("_v", vc)
+    thresholds = with_v.groupBy(group_col).agg(
+        F.percentile("_v", F.array(*[F.lit(p) for p in probs])).alias("_ts")
+    )
+    bucket = F.lit(1) + F.aggregate(
+        F.col("_ts"),
+        F.lit(0),
+        lambda acc, t: acc + F.when(F.col("_v") > t, 1).otherwise(0),
+    )
+    return (
+        with_v.join(F.broadcast(thresholds), group_col)
+        .withColumn(out_col, bucket)
+        .drop("_ts")
+        .withColumnRenamed("_v", f"{out_col}_value")
+    )

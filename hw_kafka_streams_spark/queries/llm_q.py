@@ -766,6 +766,131 @@ def _semantic_dedup_oracle(n_centroids: int = 8, iters: int = 2, tau: float = 0.
 
 
 @register(
+    "q_crosslingual_dups",
+    oracle="""
+        WITH p AS (
+          SELECT a.vec_id AS id1, b.vec_id AS id2,
+                 round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                              b.embedding::DOUBLE[]), 4) AS cs
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                             b.embedding::DOUBLE[]), 4) >= 0.35
+        ),
+        lp AS (
+          SELECT least(d1.lang, d2.lang) AS lang1,
+                 greatest(d1.lang, d2.lang) AS lang2, cs
+          FROM p JOIN documents d1 ON d1.doc_id = p.id1
+                 JOIN documents d2 ON d2.doc_id = p.id2
+          WHERE d1.lang <> d2.lang
+        )
+        SELECT lang1, lang2, count(*) AS n_pairs,
+               round(CAST(sum(CAST(cs AS DECIMAL(12,4))) AS DOUBLE)
+                     / count(*), 4) AS avg_cos
+        FROM lp GROUP BY lang1, lang2
+        ORDER BY lang1, lang2
+    """,
+    doc="Cross-lingual near-duplicate audit: embedding near-dup pairs "
+    "whose documents carry DIFFERENT language labels — the translated/"
+    "machine-copied content that text-level dedup (n-grams, MinHash) "
+    "is blind to and only the embedding space catches. Pair language "
+    "matrix with DECIMAL-summed mean cosine (reducer-order-proof). "
+    "Embedding ids share the documents id space, so the lang lookup is "
+    "an id equi-join; pair generation reuses the near-dup kernel "
+    "(banded RHP blocking on the scale path, exact here for the "
+    "oracle).",
+)
+def q_crosslingual_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    pairs = S.embedding_near_dup_pairs(emb, threshold=0.35, exact=True)
+    d1 = docs.select(F.col("doc_id").alias("id1"), F.col("lang").alias("_l1"))
+    d2 = docs.select(F.col("doc_id").alias("id2"), F.col("lang").alias("_l2"))
+    return (
+        pairs.join(d1, "id1")
+        .join(d2, "id2")
+        .filter(F.col("_l1") != F.col("_l2"))
+        .select(
+            F.least("_l1", "_l2").alias("lang1"),
+            F.greatest("_l1", "_l2").alias("lang2"),
+            "cos_sim",
+        )
+        .groupBy("lang1", "lang2")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum(F.col("cos_sim").cast("decimal(12,4)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_cos"),
+        )
+        .orderBy("lang1", "lang2")
+    )
+
+
+@register(
+    "q_quality_deciles",
+    oracle="""
+        WITH t AS (
+          SELECT doc_id, lang, text,
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x <> '') AS toks,
+                 length(text) AS n_chars
+          FROM documents
+        ), m AS (
+          SELECT doc_id, lang,
+                 least(n_chars / 500.0, 1.0) * 0.3
+                 + greatest(0.0, 1.0 -
+                     (CASE WHEN n_chars > 0
+                           THEN len(regexp_extract_all(text, '[^\\w\\s]')) / n_chars
+                           ELSE 0 END) * 4) * 0.2
+                 + (CASE WHEN (CASE WHEN len(toks) > 0
+                               THEN list_aggregate(list_transform(toks,
+                                      x -> length(x)::DOUBLE), 'sum') / len(toks)
+                               ELSE 0 END) BETWEEN 2.0 AND 12.0
+                         THEN 1.0 ELSE 0.3 END) * 0.25
+                 + (CASE WHEN (CASE WHEN len(toks) > 0
+                               THEN len(list_filter(toks, x -> list_contains(
+                                      ['the','a','an','and','or','of','to','in',
+                                       'is','it','that','for','on','with','as',
+                                       'was','at','by','be'], lower(x)))) / len(toks)
+                               ELSE 0 END) BETWEEN 0.05 AND 0.6
+                         THEN 1.0 ELSE 0.5 END) * 0.25 AS q
+          FROM t
+        ), th AS (
+          SELECT lang,
+                 quantile_cont(q, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS ts
+          FROM m GROUP BY lang
+        )
+        SELECT m.doc_id, m.lang, round(q, 4) AS quality,
+               CAST(1 + len(list_filter(ts, x -> q > x)) AS INT) AS decile
+        FROM m JOIN th ON m.lang = th.lang
+        ORDER BY m.doc_id
+    """,
+    doc="Per-language quality-score DECILES via broadcast thresholds — "
+    "score calibration so a filter keeps each language's top X% "
+    "instead of the globally loudest language. The tempting "
+    "ntile-over-partition(lang) window puts a whole language in one "
+    "task (the single-partition killer at 100 TB with 5 langs); "
+    "instead one exact-percentile agg per group (groups × 9 "
+    "thresholds) broadcasts back and assignment is a narrow map. "
+    "Percentile interpolation matches quantile_cont bit-for-bit "
+    "(operators/stats.py quantile_buckets).",
+)
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.stats import quantile_buckets
+
+    docs = load_table(spark, "documents", sf_dir)
+    scored = docs.select("doc_id", "lang", T.quality_score("text").alias("_q"))
+    out = quantile_buckets(scored, "_q", "lang", n_buckets=10, out_col="decile")
+    return out.select(
+        "doc_id",
+        "lang",
+        F.round("decile_value", 4).alias("quality"),
+        F.col("decile").cast("int").alias("decile"),
+    ).orderBy("doc_id")
+
+
+@register(
     "q_quantized_topk",
     oracle="""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -251,6 +251,9 @@ def test_headline_plans_no_smj_no_unexpected_nlj(spark, sf_dir):
         "q_tfidf_top_terms",
         "q_bm25_search",
         "q_unigram_lm_score",
+        # 1-row corpus-total broadcasts (budget / shard-width scalars)
+        "q_data_mixture",
+        "q_token_shards",
     }
     offenders: dict[str, str] = {}
     for name in HEADLINE:

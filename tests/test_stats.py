@@ -209,3 +209,43 @@ def test_filter_funnel_validates_names(spark):
         filter_funnel(df, [("a", F.col("id") > 0), ("a", F.col("id") > 1)])
     with _pytest.raises(ValueError):
         filter_funnel(df, [])
+
+
+def test_quantile_buckets_small_group(spark):
+    """10 values -> decile thresholds hit data points exactly; each
+    bucket gets one value; threshold-equal values take the lower
+    bucket (strict comparison)."""
+    from pyspark.sql import functions as F
+
+    from hw_kafka_streams_spark.operators.stats import quantile_buckets
+
+    rows = [(i, "g", float(i)) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    out = quantile_buckets(df, "v", "grp", n_buckets=10)
+    got = {r.id: r.bucket for r in out.collect()}
+    # thresholds at p=.1..9 over 1..10 are 1.9, 2.8, ..., 9.1: value k
+    # exceeds (k-1) of them
+    assert got == {i: i for i in range(1, 11)}
+
+
+def test_quantile_buckets_per_group_calibration(spark, sf_dir):
+    """Each language's decile distribution is near-uniform regardless
+    of its absolute score level — the calibration property."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from hw_kafka_streams_spark.operators.stats import quantile_buckets
+    from hw_kafka_streams_spark.operators.text import quality_score
+    from hw_kafka_streams_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    scored = docs.select("doc_id", "lang", quality_score("text").alias("q"))
+    out = quantile_buckets(scored, "q", "lang", n_buckets=4).collect()
+    per_lang = {}
+    for r in out:
+        per_lang.setdefault(r.lang, Counter())[r.bucket] += 1
+    for lang, c in per_lang.items():
+        n = sum(c.values())
+        for b in (1, 2, 3, 4):
+            assert c[b] >= n // 4 - 2, (lang, dict(c))
