@@ -814,3 +814,84 @@ def source_ngram_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Exact Jaccard-threshold self-join via PREFIX FILTERING (the
+    AllPairs/PPJoin family, Bayardo et al. 2007) — the completeness-
+    preserving alternative to LSH: if Jaccard(A, B) ≥ τ, the two sets
+    must share an element within each one's first
+    ``|S| - ceil(τ·|S|) + 1`` elements under ANY global order; ordering
+    rarest-first makes those prefix elements the most selective join
+    keys. Unlike ``max_df`` trimming (which changes the measured
+    Jaccard) or MinHash banding (which loses recall), pruning here is
+    LOSSLESS — every qualifying pair survives, which is also why the
+    oracle is simply "all pairs with Jaccard ≥ τ".
+
+    Plan: shingle df counts [1 shuffle] → per-doc rarest-first prefix
+    (windows partitioned by doc — parallel) → candidate equi-join on
+    prefix shingles only → exact verify restricted to candidates. At
+    τ=0.9 the prefix is ~10% of each set, cutting the inverted-index
+    join's candidate volume by ~100× on the frequent shingles that
+    dominate it. High τ is the operator's regime; low τ degrades
+    gracefully toward the plain inverted index.
+    """
+    import math as _math
+
+    from pyspark.sql import Window
+
+    postings = shingle_postings(df, text_col, id_col, n, distinct=True, hash_mode=hash_mode)
+    sdf = postings.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+    ordered = postings.join(sdf, "shingle")
+    w = Window.partitionBy("id").orderBy("sdf", "shingle")
+    wc = Window.partitionBy("id")
+    pre = (
+        ordered.select(
+            "id",
+            "shingle",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("sz"),
+        )
+        .filter(F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        .select("id", "shingle")
+    )
+    cand = (
+        pre.select(F.col("id").alias("id1"), "shingle")
+        .join(pre.select(F.col("id").alias("id2"), "shingle"), "shingle")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    p1 = postings.select(F.col("id").alias("id1"), "shingle")
+    p2 = postings.select(
+        F.col("id").alias("_vid2"), F.col("shingle").alias("sh2")
+    )
+    common = (
+        cand.join(p1, "id1")
+        .join(
+            p2,
+            (F.col("id2") == F.col("_vid2")) & (F.col("shingle") == F.col("sh2")),
+        )
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = postings.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    s1 = sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("id").alias("id2"), F.col("sz").alias("sz2"))
+    return (
+        common.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("sz1") + F.col("sz2") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", F.round("jaccard", 4).alias("jaccard"))
+    )

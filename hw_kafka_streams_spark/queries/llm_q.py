@@ -82,6 +82,52 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_prefix_filter_dups",
+    oracle="""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct([
+                   array_to_string(toks[i:i+2], ' ')
+                   FOR i IN range(1, len(toks) - 1)
+                 ]) AS shingles
+          FROM (SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\\s+'),
+                                   t -> t <> '') AS toks
+                FROM documents)
+          WHERE len(toks) >= 3
+        ),
+        postings AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+        inter AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+          FROM postings a JOIN postings b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id1, id2,
+               round(n_common / (s1.sz + s2.sz - n_common), 4) AS jaccard
+        FROM inter
+          JOIN sizes s1 ON s1.doc_id = id1
+          JOIN sizes s2 ON s2.doc_id = id2
+        WHERE n_common / (s1.sz + s2.sz - n_common) >= 0.5
+        ORDER BY id1, id2
+    """,
+    doc="Exact Jaccard>=0.5 pairs via PREFIX FILTERING (AllPairs/PPJoin, "
+    "Bayardo et al. 2007): only each set's rarest-first prefix "
+    "(|S| - ceil(tau*|S|) + 1 shingles) joins, yet NO qualifying pair "
+    "can be lost — the completeness-preserving blocking, vs max_df "
+    "(changes the metric) or MinHash banding (loses recall). That "
+    "guarantee IS the oracle: the naive all-qualifying-pairs SQL must "
+    "produce the identical set. Candidate volume shrinks toward "
+    "~(1-tau)² of the inverted-index join's at high tau "
+    "(operators/dedup.py prefix_filter_jaccard_pairs).",
+)
+def q_prefix_filter_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return D.prefix_filter_jaccard_pairs(docs, threshold=0.5).orderBy("id1", "id2")
+
+
+@register(
     "q_source_overlap",
     oracle="""
         WITH sh AS (

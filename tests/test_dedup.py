@@ -264,3 +264,55 @@ def test_lsh_eval_metric_consistency(spark, sf_dir):
     assert abs(r.recall - round(r.n_hit / r.n_truth, 4)) < 1e-9
     assert abs(r.precision - round(r.n_hit / r.n_cand, 4)) < 1e-9
     assert 0 < r.recall <= 1.0 and 0 < r.precision <= 1.0
+
+
+def test_prefix_filter_matches_inverted_index_and_prunes(spark, sf_dir):
+    """Completeness: prefix-filtered output equals the full inverted-
+    index join at the same threshold. Efficiency: the prefix candidate
+    set is strictly smaller than all-sharing-pairs."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hw_kafka_streams_spark.operators.dedup import (
+        jaccard_candidate_pairs,
+        prefix_filter_jaccard_pairs,
+        shingle_postings,
+    )
+    from hw_kafka_streams_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    full = {
+        (r.id1, r.id2, r.jaccard)
+        for r in jaccard_candidate_pairs(docs, threshold=0.5).collect()
+    }
+    pref = {
+        (r.id1, r.id2, r.jaccard)
+        for r in prefix_filter_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pref == full and full  # identical result set, non-empty
+
+    # candidate-volume reduction: count pairs sharing >=1 prefix
+    # shingle vs pairs sharing >=1 shingle at all
+    postings = shingle_postings(docs, distinct=True)
+    sdf = postings.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+    ordered = postings.join(sdf, "shingle")
+    w = Window.partitionBy("id").orderBy("sdf", "shingle")
+    wc = Window.partitionBy("id")
+    pre = (
+        ordered.select(
+            "id", "shingle",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("sz"),
+        )
+        .filter(F.col("rn") <= F.col("sz") - F.ceil(F.lit(0.5) * F.col("sz")) + 1)
+        .select("id", "shingle")
+    )
+
+    def n_pairs(p):
+        b = p.select(F.col("id").alias("id2"), "shingle")
+        return (
+            p.join(b, "shingle").filter(F.col("id") < F.col("id2"))
+            .select("id", "id2").distinct().count()
+        )
+
+    assert n_pairs(pre) < n_pairs(postings)
