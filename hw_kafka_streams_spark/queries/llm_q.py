@@ -2363,6 +2363,65 @@ _MIX_WEIGHTS = {"en": 0.25, "zh": 0.25, "de": 0.25, "fr": 0.125, "es": 0.125}
 
 
 @register(
+    "q_vocab_coverage",
+    oracle="""
+        WITH tk AS (
+          SELECT doc_id, unnest(list_filter(
+                   string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS tok
+          FROM documents
+        ),
+        vocab AS (
+          SELECT tok FROM (
+            SELECT tok, count(*) AS n FROM tk GROUP BY tok
+            ORDER BY n DESC, tok LIMIT 100)
+        ),
+        d AS (
+          SELECT doc_id, count(*) AS n_tokens,
+                 CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_oov
+          FROM tk LEFT JOIN vocab v USING (tok)
+          GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, n_oov,
+               round(n_oov * 1.0 / n_tokens, 4) AS oov_rate
+        FROM d ORDER BY doc_id
+    """,
+    doc="Vocabulary-coverage / OOV audit: the corpus's top-100 tokens "
+    "(count desc, token asc — deterministic) form the vocab; each "
+    "document reports how many of its token occurrences fall outside "
+    "it — the tokenizer-budget signal that flags documents a fixed "
+    "vocab would shred into rare pieces. Vocab selection is one "
+    "two-phase agg + TakeOrderedAndProject; the tiny vocab broadcasts "
+    "back, so the scoring pass is one explode + doc-keyed agg.",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tk = docs.select("doc_id", F.explode(T.word_tokens("text")).alias("tok"))
+    vocab = (
+        tk.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(100)
+        .select("tok", F.lit(True).alias("_in_vocab"))
+    )
+    return (
+        tk.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("_in_vocab").isNull().cast("long")).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 4).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "q_data_mixture",
     oracle="""
         WITH t AS (

@@ -274,3 +274,29 @@ __all__ = [
     "run_file_topology_with_refresh",
     "run_reference_topology",
 ]
+
+
+def observed_funnel(df: DataFrame, stages: list) -> DataFrame:
+    """Streaming twin of :func:`~hw_kafka_streams_spark.operators.
+    quality.filter_funnel`: attach the funnel's cumulative-survivor
+    counters as ``observe`` metrics and RETURN THE FILTERED STREAM —
+    the audit rides along with the query at zero extra passes (metrics
+    are computed inline per micro-batch and surface in
+    ``StreamingQueryProgress.observedMetrics['funnel']``; batch
+    callers read them via an Observation).
+
+    ``stages`` is the same ``[(name, Column), ...]`` contract; the
+    returned DataFrame keeps only rows passing ALL stages, so the
+    operator is simultaneously the filter and its own monitoring.
+    """
+    from pyspark.sql import functions as F
+
+    if not stages:
+        raise ValueError("at least one stage")
+    cum = None
+    metrics = [F.count(F.lit(1)).alias("n_in")]
+    for name, cond in stages:
+        cum = cond if cum is None else (cum & cond)
+        metrics.append(F.sum(cum.cast("long")).alias(f"pass_{name}"))
+    observed = df.observe("funnel", *metrics)
+    return observed.filter(cum)

@@ -974,3 +974,47 @@ def test_neardup_index_compaction_preserves_labels(spark, tmpdir):
         ).collect()
     }
     assert out == {900: (True, 100)}
+
+
+def test_observed_funnel_streaming_metrics(spark, tmp_path):
+    """The funnel's per-stage survivor counts surface in
+    StreamingQueryProgress.observedMetrics while the stream itself
+    carries only full-pass rows."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from hw_kafka_streams_spark.streaming.pipeline import observed_funnel
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "id long, v double"
+    ).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("id long, v double").parquet(src)
+    out = observed_funnel(
+        stream,
+        [("ge10", F.col("v") >= 10), ("even", F.col("id") % 2 == 0)],
+    )
+    state = {"rows": 0}
+
+    def _sink(batch_df, _bid):
+        state["rows"] += batch_df.count()
+
+    q = (
+        out.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert state["rows"] == 45  # ids 10..98 even
+    metrics = None
+    for p in q.recentProgress:
+        om = p.observedMetrics if hasattr(p, "observedMetrics") else p["observedMetrics"]
+        if om and "funnel" in om:
+            m = om["funnel"]
+            if m["n_in"]:
+                metrics = m
+    assert metrics is not None
+    assert metrics["n_in"] == 100
+    assert metrics["pass_ge10"] == 90 and metrics["pass_even"] == 45
