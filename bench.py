@@ -64,6 +64,10 @@ HEADLINE = [
     "q_feature_hashing",
     "q_source_overlap",
     "q_token_shards",
+    "q_dedup_cascade",
+    "q_quantized_topk",
+    "q_prefix_filter_dups",
+    "q_quality_deciles",
 ]
 
 

@@ -254,6 +254,10 @@ def test_headline_plans_no_smj_no_unexpected_nlj(spark, sf_dir):
         # 1-row corpus-total broadcasts (budget / shard-width scalars)
         "q_data_mixture",
         "q_token_shards",
+        # 1-row stage-count crosses (cascade report) and the
+        # broadcast-query coarse scan (brute-force int8 stage)
+        "q_dedup_cascade",
+        "q_quantized_topk",
     }
     offenders: dict[str, str] = {}
     for name in HEADLINE:
