@@ -653,23 +653,49 @@ def semantic_dedup(
     literals. No global shuffle beyond the cid hash partition.
     """
     cents = lloyd_centroids(corpus, id_col, vec_col, n_centroids, iters)
+    # persist: three consumers (both pair-join sides + the final label
+    # join) would otherwise each re-run the Arrow argmin assignment
+    # over the full corpus
     idx = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         nearest_centroid_arrow(F.col(vec_col).cast("array<double>"), cents).alias(
             "cid"
         ),
-    )
-    a = idx.select(F.col("id").alias("a_id"), F.col("v").alias("a_v"), "cid")
-    b = idx.select(F.col("id").alias("b_id"), F.col("v").alias("b_v"), "cid")
-    dup = (
-        a.join(b, "cid")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select(
-            "b_id",
-            "a_id",
-            F.round(cosine_arrow(F.col("a_v"), F.col("b_v")), 4).alias("cos_sim"),
+    ).persist()
+    # per-cluster grouped map: candidate pairs materialize only inside
+    # the Python worker (never as Spark rows carrying both vectors —
+    # the a⋈b equi-join shape shuffled ~0.8 GB of duplicated vectors at
+    # sf0.1). The per-pair cosine uses the SAME einsum dot/(‖a‖·‖b‖)
+    # path as cosine_arrow, so the DuckDB-parity numerics are
+    # unchanged; a guard band below the threshold is applied in-kernel
+    # and the exact 4-dp-rounded compare stays JVM-side.
+    guard = threshold - 1e-4
+
+    def _cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        A = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids)
+        A, ids = A[order], ids[order]
+        iu, ju = np.triu_indices(len(ids), k=1)
+        if len(iu) == 0:
+            return pd.DataFrame({"a_id": [], "b_id": [], "cos_sim": []})
+        X, Y = A[iu], A[ju]
+        dots = np.einsum("ij,ij->i", X, Y)
+        cos = dots / (
+            np.sqrt(np.einsum("ij,ij->i", X, X))
+            * np.sqrt(np.einsum("ij,ij->i", Y, Y))
         )
+        m = cos >= guard
+        return pd.DataFrame(
+            {"a_id": ids[iu[m]], "b_id": ids[ju[m]], "cos_sim": cos[m]}
+        )
+
+    pairs = idx.select("cid", "id", "v").groupBy("cid").applyInPandas(
+        _cluster_pairs, "a_id long, b_id long, cos_sim double"
+    )
+    dup = (
+        pairs.select("b_id", "a_id", F.round("cos_sim", 4).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
         .groupBy("b_id")
         .agg(F.min("a_id").alias("dup_of"))
