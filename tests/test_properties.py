@@ -142,3 +142,80 @@ def test_weighted_sample_deterministic_and_weight_sensitive(spark):
     )
     kept = weighted_sample(df2, "w", 10, group_col="src").collect()
     assert [r.doc_id for r in kept] == [3]
+
+
+# --- multimodal header parsers: roundtrip + never-crash ---------------
+
+dims = st.integers(min_value=1, max_value=65535)
+raw_bytes = st.binary(max_size=64)
+
+
+@settings(max_examples=300, deadline=None)
+@given(dims, dims)
+def test_image_header_roundtrips(w, h):
+    from hw_kafka_streams_spark.operators.multimodal import (
+        _parse_bmp_dims,
+        _parse_gif_dims,
+        _parse_jpeg_dims,
+        _parse_png_dims,
+        make_fake_bmp,
+        make_fake_gif,
+        make_fake_jpeg,
+        make_fake_png,
+    )
+
+    assert _parse_png_dims(make_fake_png(w, h)) == (w, h)
+    assert _parse_gif_dims(make_fake_gif(w, h)) == (w, h)
+    assert _parse_bmp_dims(make_fake_bmp(w, h)) == (w, h)
+    if w <= 65535 and h <= 65535:
+        assert _parse_jpeg_dims(make_fake_jpeg(w, h)) == (w, h)
+
+
+@settings(max_examples=500, deadline=None)
+@given(raw_bytes)
+def test_image_header_parsers_never_crash(data):
+    from hw_kafka_streams_spark.operators.multimodal import (
+        _parse_bmp_dims,
+        _parse_gif_dims,
+        _parse_jpeg_dims,
+        _parse_png_dims,
+    )
+
+    for p in (_parse_png_dims, _parse_jpeg_dims, _parse_gif_dims, _parse_bmp_dims):
+        out = p(data)
+        assert out is None or (len(out) == 2 and all(isinstance(x, int) for x in out))
+
+
+# --- prefix filtering: the completeness theorem the Spark plan relies on
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.sets(st.integers(min_value=0, max_value=30), min_size=1, max_size=12),
+        min_size=2,
+        max_size=8,
+    ),
+    st.floats(min_value=0.1, max_value=0.95),
+)
+def test_prefix_filtering_is_complete(sets, tau):
+    """Model check of the AllPairs/PPJoin prefix bound used by
+    operators/dedup.prefix_filter_jaccard_pairs: any pair with
+    Jaccard >= tau shares an element within both rarest-first
+    prefixes of length |S| - ceil(tau*|S|) + 1."""
+    import math
+    from collections import Counter
+
+    df = Counter(x for s in sets for x in s)
+
+    def prefix(s):
+        ordered = sorted(s, key=lambda x: (df[x], x))
+        p = len(s) - math.ceil(tau * len(s)) + 1
+        return set(ordered[:p])
+
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            a, b = sets[i], sets[j]
+            jac = len(a & b) / len(a | b)
+            if jac >= tau:
+                assert prefix(a) & prefix(b), (a, b, tau)
