@@ -812,68 +812,6 @@ def _semantic_dedup_oracle(n_centroids: int = 8, iters: int = 2, tau: float = 0.
 
 
 @register(
-    "q_crosslingual_dups",
-    oracle="""
-        WITH p AS (
-          SELECT a.vec_id AS id1, b.vec_id AS id2,
-                 round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                              b.embedding::DOUBLE[]), 4) AS cs
-          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-          WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                             b.embedding::DOUBLE[]), 4) >= 0.35
-        ),
-        lp AS (
-          SELECT least(d1.lang, d2.lang) AS lang1,
-                 greatest(d1.lang, d2.lang) AS lang2, cs
-          FROM p JOIN documents d1 ON d1.doc_id = p.id1
-                 JOIN documents d2 ON d2.doc_id = p.id2
-          WHERE d1.lang <> d2.lang
-        )
-        SELECT lang1, lang2, count(*) AS n_pairs,
-               round(CAST(sum(CAST(cs AS DECIMAL(12,4))) AS DOUBLE)
-                     / count(*), 4) AS avg_cos
-        FROM lp GROUP BY lang1, lang2
-        ORDER BY lang1, lang2
-    """,
-    doc="Cross-lingual near-duplicate audit: embedding near-dup pairs "
-    "whose documents carry DIFFERENT language labels — the translated/"
-    "machine-copied content that text-level dedup (n-grams, MinHash) "
-    "is blind to and only the embedding space catches. Pair language "
-    "matrix with DECIMAL-summed mean cosine (reducer-order-proof). "
-    "Embedding ids share the documents id space, so the lang lookup is "
-    "an id equi-join; pair generation reuses the near-dup kernel "
-    "(banded RHP blocking on the scale path, exact here for the "
-    "oracle).",
-)
-def q_crosslingual_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, "embeddings", sf_dir)
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
-    pairs = S.embedding_near_dup_pairs(emb, threshold=0.35, exact=True)
-    d1 = docs.select(F.col("doc_id").alias("id1"), F.col("lang").alias("_l1"))
-    d2 = docs.select(F.col("doc_id").alias("id2"), F.col("lang").alias("_l2"))
-    return (
-        pairs.join(d1, "id1")
-        .join(d2, "id2")
-        .filter(F.col("_l1") != F.col("_l2"))
-        .select(
-            F.least("_l1", "_l2").alias("lang1"),
-            F.greatest("_l1", "_l2").alias("lang2"),
-            "cos_sim",
-        )
-        .groupBy("lang1", "lang2")
-        .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.round(
-                F.sum(F.col("cos_sim").cast("decimal(12,4)")).cast("double")
-                / F.count(F.lit(1)),
-                4,
-            ).alias("avg_cos"),
-        )
-        .orderBy("lang1", "lang2")
-    )
-
-
-@register(
     "q_quality_deciles",
     oracle="""
         WITH t AS (
@@ -1388,7 +1326,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(pairs).orderBy("id")
 
 
-def _embedding_lsh_oracle(n_bands: int = 8, planes_per_band: int = 3) -> str:
+def _embedding_lsh_oracle(
+    n_bands: int = 8, planes_per_band: int = 3, final: str | None = None
+) -> str:
     """Exact DuckDB reconstruction of the banded-RHP blocking: the
     deterministic hyperplanes (same seed as the operator) are baked into
     the SQL as literals; a pair is kept iff it agrees on ALL bits of ANY
@@ -1415,16 +1355,17 @@ def _embedding_lsh_oracle(n_bands: int = 8, planes_per_band: int = 3) -> str:
     share_band = " OR ".join(
         f"{bucket('a', b)} = {bucket('b', b)}" for b in range(n_bands)
     )
-    return f"""
+    pairs = f"""(
         SELECT id1, id2, cos_sim FROM (
           SELECT a.vec_id AS id1, b.vec_id AS id2,
                  round(list_cosine_similarity(a.embedding::DOUBLE[],
                                               b.embedding::DOUBLE[]), 4) AS cos_sim
           FROM embeddings a JOIN embeddings b
             ON a.vec_id < b.vec_id AND ({share_band})
-        ) WHERE cos_sim >= 0.35
-        ORDER BY id1, id2
-    """
+        ) WHERE cos_sim >= 0.35)"""
+    if final is None:
+        return f"SELECT * FROM {pairs} ORDER BY id1, id2"
+    return final.format(pairs=pairs)
 
 
 @register(
@@ -1440,6 +1381,63 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     return S.embedding_near_dup_pairs(emb, threshold=0.35, exact=False).orderBy(
         "id1", "id2"
+    )
+
+
+@register(
+    "q_crosslingual_dups",
+    oracle=_embedding_lsh_oracle(
+        final="""
+        WITH lp AS (
+          SELECT least(d1.lang, d2.lang) AS lang1,
+                 greatest(d1.lang, d2.lang) AS lang2, cos_sim AS cs
+          FROM {pairs} p
+               JOIN documents d1 ON d1.doc_id = p.id1
+               JOIN documents d2 ON d2.doc_id = p.id2
+          WHERE d1.lang <> d2.lang
+        )
+        SELECT lang1, lang2, count(*) AS n_pairs,
+               round(CAST(sum(CAST(cs AS DECIMAL(12,4))) AS DOUBLE)
+                     / count(*), 4) AS avg_cos
+        FROM lp GROUP BY lang1, lang2
+        ORDER BY lang1, lang2
+    """
+    ),
+    doc="Cross-lingual near-duplicate audit: embedding near-dup pairs "
+    "whose documents carry DIFFERENT language labels — the translated/"
+    "machine-copied content that text-level dedup (n-grams, MinHash) "
+    "is blind to and only the embedding space catches. Pair language "
+    "matrix with DECIMAL-summed mean cosine (reducer-order-proof). "
+    "Pair generation is the banded RHP-LSH blocking (bucket equi-join, "
+    "no cross join — the scale path; deterministic planes let the "
+    "oracle reconstruct the blocking exactly); embedding ids share the "
+    "documents id space, so the lang lookup is an id equi-join.",
+)
+def q_crosslingual_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    pairs = S.embedding_near_dup_pairs(emb, threshold=0.35, exact=False)
+    d1 = docs.select(F.col("doc_id").alias("id1"), F.col("lang").alias("_l1"))
+    d2 = docs.select(F.col("doc_id").alias("id2"), F.col("lang").alias("_l2"))
+    return (
+        pairs.join(d1, "id1")
+        .join(d2, "id2")
+        .filter(F.col("_l1") != F.col("_l2"))
+        .select(
+            F.least("_l1", "_l2").alias("lang1"),
+            F.greatest("_l1", "_l2").alias("lang2"),
+            "cos_sim",
+        )
+        .groupBy("lang1", "lang2")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum(F.col("cos_sim").cast("decimal(12,4)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_cos"),
+        )
+        .orderBy("lang1", "lang2")
     )
 
 
