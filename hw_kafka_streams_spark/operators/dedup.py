@@ -895,3 +895,53 @@ def prefix_filter_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", F.round("jaccard", 4).alias("jaccard"))
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT pairs: c(A→B) = |A∩B| / |A| — how
+    much of document A's shingle set lives inside B. Catches the
+    excerpt/quote/expanded-rewrite relationships that symmetric Jaccard
+    structurally misses: a 50-shingle doc fully contained in a
+    5000-shingle doc has J ≈ 0.01 but c = 1.0. This is the signal
+    corpus pipelines use to drop pages that are mostly quotes of
+    another page.
+
+    Same inverted-index plan as :func:`jaccard_candidate_pairs` (one
+    shuffle on shingle, one on the pair key, ``max_df`` skew guard);
+    one extra row per direction when both directions qualify
+    (``small_id``/``big_id`` = contained/containing).
+    """
+    postings = shingle_postings(df, text_col, id_col, n, distinct=True)
+    if max_df is not None:
+        rare = (
+            postings.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        postings = postings.join(rare, "shingle")
+    sizes = postings.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    p2 = postings.select(F.col("id").alias("idb"), F.col("shingle").alias("shb"))
+    inter = (
+        postings.join(
+            p2, (postings.shingle == p2.shb) & (postings.id != p2.idb)
+        )
+        .groupBy(F.col("id").alias("small_id"), F.col("idb").alias("big_id"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("small_id"), F.col("sz").alias("sz_small"))
+    return (
+        inter.join(sa, "small_id")
+        .withColumn("containment", F.col("n_common") / F.col("sz_small"))
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "small_id", "big_id", F.round("containment", 4).alias("containment")
+        )
+    )

@@ -82,6 +82,48 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_containment_pairs",
+    oracle="""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct([
+                   array_to_string(toks[i:i+2], ' ')
+                   FOR i IN range(1, len(toks) - 1)
+                 ]) AS shingles
+          FROM (SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\\s+'),
+                                   t -> t <> '') AS toks
+                FROM documents)
+          WHERE len(toks) >= 3
+        ),
+        postings AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+        inter AS (
+          SELECT a.doc_id AS small_id, b.doc_id AS big_id, count(*) AS n_common
+          FROM postings a JOIN postings b
+            ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT small_id, big_id,
+               round(n_common / s.sz, 4) AS containment
+        FROM inter JOIN sizes s ON s.doc_id = small_id
+        WHERE n_common / s.sz >= 0.5
+        ORDER BY small_id, big_id
+    """,
+    doc="Asymmetric n-gram CONTAINMENT pairs: |A∩B|/|A| — how much of "
+    "one document's shingle set lives inside another's. Catches the "
+    "excerpt/quote/expanded-rewrite relationships symmetric Jaccard "
+    "structurally misses (a short doc fully inside a long one has "
+    "J≈0.01 but c=1.0) — the signal used to drop pages that mostly "
+    "quote another page. Same inverted-index plan and max_df skew "
+    "guard as the Jaccard join (operators/dedup.py containment_pairs).",
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return D.containment_pairs(docs, threshold=0.5).orderBy("small_id", "big_id")
+
+
+@register(
     "q_prefix_filter_dups",
     oracle="""
         WITH sh AS (

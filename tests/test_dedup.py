@@ -316,3 +316,24 @@ def test_prefix_filter_matches_inverted_index_and_prunes(spark, sf_dir):
         )
 
     assert n_pairs(pre) < n_pairs(postings)
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    """A short doc fully contained in a long one: containment = 1.0
+    while Jaccard is far below any dedup threshold."""
+    from hw_kafka_streams_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_candidate_pairs,
+    )
+
+    long_text = " ".join(f"w{i}" for i in range(200))
+    short_text = " ".join(f"w{i}" for i in range(40, 50))  # a 10-token excerpt
+    df = spark.createDataFrame(
+        [(1, long_text), (2, short_text), (3, "zz yy xx ww vv")],
+        "doc_id long, text string",
+    )
+    cont = {(r.small_id, r.big_id): r.containment
+            for r in containment_pairs(df, threshold=0.8).collect()}
+    assert cont == {(2, 1): 1.0}  # excerpt contained; never the reverse
+    jac = jaccard_candidate_pairs(df, threshold=0.2).collect()
+    assert not [r for r in jac if {r.id1, r.id2} == {1, 2}]  # J ≈ 0.04
