@@ -843,11 +843,13 @@ def prefix_filter_jaccard_pairs(
     dominate it. High τ is the operator's regime; low τ degrades
     gracefully toward the plain inverted index.
     """
-    import math as _math
-
     from pyspark.sql import Window
 
-    postings = shingle_postings(df, text_col, id_col, n, distinct=True, hash_mode=hash_mode)
+    # persist: five consumers (df counts, prefix build, both verify
+    # sides, set sizes) would otherwise each re-run the shingle window
+    postings = shingle_postings(
+        df, text_col, id_col, n, distinct=True, hash_mode=hash_mode
+    ).persist()
     sdf = postings.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
     ordered = postings.join(sdf, "shingle")
     w = Window.partitionBy("id").orderBy("sdf", "shingle")

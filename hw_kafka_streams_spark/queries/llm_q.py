@@ -151,10 +151,10 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM inter
           JOIN sizes s1 ON s1.doc_id = id1
           JOIN sizes s2 ON s2.doc_id = id2
-        WHERE n_common / (s1.sz + s2.sz - n_common) >= 0.5
+        WHERE n_common / (s1.sz + s2.sz - n_common) >= 0.8
         ORDER BY id1, id2
     """,
-    doc="Exact Jaccard>=0.5 pairs via PREFIX FILTERING (AllPairs/PPJoin, "
+    doc="Exact Jaccard>=0.8 pairs via PREFIX FILTERING (AllPairs/PPJoin, "
     "Bayardo et al. 2007): only each set's rarest-first prefix "
     "(|S| - ceil(tau*|S|) + 1 shingles) joins, yet NO qualifying pair "
     "can be lost — the completeness-preserving blocking, vs max_df "
@@ -166,7 +166,7 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_prefix_filter_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    return D.prefix_filter_jaccard_pairs(docs, threshold=0.5).orderBy("id1", "id2")
+    return D.prefix_filter_jaccard_pairs(docs, threshold=0.8).orderBy("id1", "id2")
 
 
 @register(
