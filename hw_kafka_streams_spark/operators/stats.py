@@ -116,7 +116,10 @@ def quantile_buckets(
     """
     vc = F.col(value_col) if isinstance(value_col, str) else value_col
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    with_v = df.withColumn("_v", vc)
+    # persist the scored projection: the thresholds agg and the final
+    # assignment would otherwise each recompute the (possibly
+    # regexp-heavy) value expression over the full corpus
+    with_v = df.withColumn("_v", vc).persist()
     thresholds = with_v.groupBy(group_col).agg(
         F.percentile("_v", F.array(*[F.lit(p) for p in probs])).alias("_ts")
     )
