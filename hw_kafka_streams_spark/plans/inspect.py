@@ -92,16 +92,48 @@ def global_window_count(df: DataFrame, execute: bool = True) -> int:
     return n
 
 
+def _collapse_cached_repeats(plan: str) -> str:
+    """Keep only the FIRST InMemoryRelation subtree; drop the repeats.
+
+    `toString` prints the full cached physical plan under EVERY
+    InMemoryTableScan consumer, so a persisted subtree with k consumers
+    inflates node counts ~k× even though it executes once. Counting on
+    the collapsed string reflects the work that actually runs.
+    """
+    out: list[str] = []
+    seen_first = False
+    skip_indent: int | None = None
+    for line in plan.splitlines():
+        # tree depth = length of the drawing prefix (spaces + ':' bars)
+        indent = re.match(r"[\s:]*", line).end()
+        if skip_indent is not None:
+            if indent > skip_indent:
+                continue
+            skip_indent = None
+        if "InMemoryRelation" in line:
+            if seen_first:
+                skip_indent = indent
+                continue
+            seen_first = True
+        out.append(line)
+    return "\n".join(out)
+
+
 def plan_report(df: DataFrame, execute: bool = False) -> dict:
     """One-look scale review of a plan.
 
     ``execute=True`` collects first: AQE only materializes the final
     plan (with whole-stage-codegen markers) at execution time.
+    Cached-subtree repetitions are collapsed before counting (see
+    :func:`_collapse_cached_repeats`); ``cache_reuses`` reports how
+    many InMemoryTableScan consumers shared a persisted subtree.
     """
     if execute:
         df.collect()
-    plan = physical_plan(df)
+    raw = physical_plan(df)
+    plan = _collapse_cached_repeats(raw)
     return {
+        "cache_reuses": max(0, raw.count("InMemoryTableScan") - 1),
         "shuffles": plan.count("Exchange hashpartitioning"),
         "broadcasts": plan.count("BroadcastHashJoin"),
         "sort_merge_joins": plan.count("SortMergeJoin"),
