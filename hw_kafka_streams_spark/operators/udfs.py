@@ -202,3 +202,26 @@ def weighted_mean_builtin(v: Column, w: Column) -> Column:
     """The same aggregate as built-in expressions — partial-agg friendly;
     prefer this in production plans, keep the UDF for parity testing."""
     return F.sum(v * w) / F.sum(w)
+
+
+def make_nfc_normalizer_udf():
+    """Arrow-batched Unicode NFC normalizer.
+
+    Spark has no built-in Unicode normalization, so this is one of the
+    few legitimately-Python text ops — vectorized through Arrow, a pure
+    per-row map (zero shuffle). NFC is the canonical-composition pass
+    every text pipeline runs before hashing/dedup: visually identical
+    strings with decomposed combining marks ('e' + U+0301 vs 'é')
+    otherwise fingerprint differently and defeat exact dedup. DuckDB's
+    ``nfc_normalize`` is the oracle twin (verified equal to
+    ``unicodedata.normalize('NFC', ...)``).
+    """
+    import unicodedata
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    return _nfc

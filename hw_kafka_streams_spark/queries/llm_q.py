@@ -2403,6 +2403,56 @@ _MIX_WEIGHTS = {"en": 0.25, "zh": 0.25, "de": 0.25, "fr": 0.125, "es": 0.125}
 
 
 @register(
+    "q_unicode_normalize",
+    oracle="""
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0
+                      THEN text || ' cafe' || chr(769) || ' nai' || chr(776) || 've'
+                      ELSE text END AS raw
+          FROM documents
+        )
+        SELECT doc_id,
+               (nfc_normalize(raw) <> raw) AS changed,
+               CAST(length(raw) AS INT) AS len_before,
+               CAST(length(nfc_normalize(raw)) AS INT) AS len_after,
+               md5(nfc_normalize(raw)) AS nfc_md5
+        FROM t ORDER BY doc_id
+    """,
+    doc="Unicode NFC normalization (mojibake/decomposed-mark repair): "
+    "visually identical strings with combining marks ('e'+U+0301 vs "
+    "'é') fingerprint differently and defeat exact dedup unless "
+    "canonical composition runs first. Every 5th doc gets a synthetic "
+    "decomposed suffix (the corpus is clean — same move as the "
+    "corrupt-JSON query); the Arrow-batched pandas normalizer "
+    "(operators/udfs.py make_nfc_normalizer_udf — Spark has no "
+    "built-in Unicode normalize) must agree with DuckDB's "
+    "nfc_normalize on the changed flag, codepoint lengths and the md5 "
+    "of the composed text. Pure narrow map, zero shuffle.",
+)
+def q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.udfs import make_nfc_normalizer_udf
+
+    docs = load_table(spark, "documents", sf_dir)
+    raw = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.col("text"), F.lit(" cafe\u0301 nai\u0308ve")),
+    ).otherwise(F.col("text"))
+    nfc = make_nfc_normalizer_udf()(F.col("raw"))
+    return (
+        docs.select("doc_id", raw.alias("raw"))
+        .select(
+            "doc_id",
+            (nfc != F.col("raw")).alias("changed"),
+            F.length("raw").alias("len_before"),
+            F.length(nfc).alias("len_after"),
+            F.md5(F.encode(nfc, "UTF-8")).alias("nfc_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "q_vocab_coverage",
     oracle="""
         WITH tk AS (

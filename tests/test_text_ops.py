@@ -172,3 +172,18 @@ def test_hashed_features_md5_mode_matches_xxhash_shape(spark, sf_dir):
                 # l1 <= tokens (sign cancellation inside a bucket), and
                 # at dim=4096 collisions are rare so usually equal
                 assert stats[d].l1 <= n and stats[d].nnz <= n
+
+
+def test_nfc_normalizer_composes_marks(spark):
+    from pyspark.sql import functions as F
+
+    from hw_kafka_streams_spark.operators.udfs import make_nfc_normalizer_udf
+
+    df = spark.createDataFrame(
+        [(1, "caf\u00e9"), (2, "cafe\u0301"), (3, None), (4, "plain")],
+        "id long, t string",
+    )
+    nfc = make_nfc_normalizer_udf()
+    out = {r.id: r.n for r in df.select("id", nfc(F.col("t")).alias("n")).collect()}
+    assert out[1] == out[2] == "caf\u00e9"  # decomposed composes
+    assert out[3] is None and out[4] == "plain"
