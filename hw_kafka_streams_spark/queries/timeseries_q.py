@@ -292,6 +292,93 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_point_in_time_join",
+    oracle="""
+        WITH src AS (SELECT user_id, event_id, ts, event_type
+                     FROM events WHERE user_id <= 30),
+        chg AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                      THEN 1 ELSE 0 END AS is_chg
+          FROM src WHERE event_type <> 'error'
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        dim AS (
+          SELECT user_id, event_type AS state, ts AS valid_from,
+                 lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS valid_to
+          FROM chg WHERE is_chg = 1
+        ),
+        probes AS (SELECT user_id, event_id, ts FROM src
+                   WHERE event_type = 'error')
+        SELECT p.event_id, p.user_id,
+               CAST(floor(epoch(p.ts)) AS BIGINT) AS ts_s,
+               d.state
+        FROM probes p LEFT JOIN dim d
+          ON d.user_id = p.user_id
+         AND p.ts >= d.valid_from
+         AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+        ORDER BY p.event_id
+    """,
+    doc="Point-in-time (PIT) dimension join — the feature-store "
+    "correctness primitive: each probe (error event) is enriched with "
+    "the dimension state VALID AT ITS TIMESTAMP, never a later one "
+    "(temporal leakage). The dim is an SCD2 validity-interval table "
+    "built from the non-error changelog (change points via lag, "
+    "half-open [valid_from, valid_to) via lead); the lookup is an "
+    "equi-join on the entity key with the interval test as a residual "
+    "— per-key validity chains are short, so the residual scan is "
+    "bounded and no theta/nested-loop join appears. Differs from "
+    "q_asof_join (latest FACT at-or-before) in joining a maintained "
+    "interval DIMENSION — the SCD2 form warehouses and feature stores "
+    "keep. Probes before the first state stay NULL (LEFT join).",
+)
+def q_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("user_id") <= 30)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nonerr = src.filter(F.col("event_type") != "error")
+    chg = nonerr.withColumn(
+        "is_chg",
+        (
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type"))
+        ).cast("int"),
+    )
+    dim = (
+        chg.filter(F.col("is_chg") == 1)
+        .select(
+            F.col("user_id").alias("d_user"),
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ).alias("valid_to"),
+        )
+    )
+    probes = src.filter(F.col("event_type") == "error")
+    return (
+        probes.join(
+            dim,
+            (F.col("user_id") == F.col("d_user"))
+            & (F.col("ts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+            "left",
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_timestamp("ts").alias("ts_s"),
+            "state",
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
     "q_rolling_zscore",
     oracle="""
         SELECT user_id, event_id,

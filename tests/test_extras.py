@@ -310,3 +310,44 @@ def test_mixture_report_on_documents(spark, sf_dir):
         assert r.tokens_sampled <= r.avail_tokens
         if r.rate == 1.0:
             assert r.n_docs_sampled == r.n_docs
+
+
+def test_point_in_time_join_no_temporal_leakage(spark, sf_dir):
+    """Each probe's joined state started at-or-before the probe ts and
+    (when bounded) ends after it; probes before any state stay NULL;
+    exactly one row per probe (intervals are disjoint)."""
+    from hw_kafka_streams_spark.queries import REGISTRY, _load_all
+
+    _load_all()
+    out = REGISTRY["q_point_in_time_join"].fn(spark, sf_dir).collect()
+    probes = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter("user_id <= 30 and event_type = 'error'")
+        .count()
+    )
+    assert len(out) == probes  # one state (or NULL) per probe, never a fanout
+    assert any(r.state is not None for r in out)
+    # leakage check by reconstruction: state must equal the last
+    # non-error event type at-or-before the probe
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter("user_id <= 30")
+        .select("user_id", "event_id", "ts", "event_type")
+        .collect()
+    )
+    by_user = {}
+    for r in sorted(rows, key=lambda r: (r.ts, r.event_id)):
+        by_user.setdefault(r.user_id, []).append(r)
+    import bisect
+
+    for o in out[:200]:
+        evs = by_user[o.user_id]
+        state = None
+        for r in evs:
+            if r.event_type == "error":
+                continue
+            if int(r.ts.timestamp()) <= o.ts_s:
+                state = r.event_type
+            else:
+                break
+        assert o.state == state, (o, state)
