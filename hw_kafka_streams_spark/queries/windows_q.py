@@ -163,6 +163,81 @@ def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_session_funnel",
+    oracle="""
+        WITH gaps AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN date_diff('second',
+                        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                        ts) > 1800
+                      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events WHERE user_id <= 50
+        ), sess AS (
+          SELECT user_id, ts, event_id, event_type,
+                 sum(new_session) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM gaps
+        ), per AS (
+          SELECT user_id, session_id,
+                 min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                 min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                 min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+          FROM sess GROUP BY user_id, session_id
+        )
+        SELECT count(*) AS n_sessions,
+               CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_view,
+               CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+               CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                              AND t_purchase > t_click
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+        FROM per
+    """,
+    doc="SESSION-scoped conversion funnel: view → click → purchase "
+    "strictly ordered WITHIN one 30-min session — attribution the "
+    "user-lifetime funnel (q_event_funnel) can't express (a purchase "
+    "in a later session no longer converts the earlier view). "
+    "Sessionize (lag gap → running-sum id) feeds one conditional-min "
+    "agg per stage and a single global roll-up; the user_id shuffle is "
+    "reused by the window and the session agg — no self-joins, no "
+    "extra exchanges over plain sessionization.",
+)
+def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir).filter(F.col("user_id") <= 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = (
+        prev_ts.isNull()
+        | (F.col("ts").cast("long") - prev_ts.cast("long") > 1800)
+    ).cast("long")
+    sess = e.select("user_id", "ts", "event_id", "event_type").withColumn(
+        "session_id",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+    def stage_min(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    per = sess.groupBy("user_id", "session_id").agg(
+        stage_min("view").alias("t_view"),
+        stage_min("click").alias("t_click"),
+        stage_min("purchase").alias("t_purchase"),
+    )
+    saw_view = F.col("t_view").isNotNull()
+    clicked = saw_view & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return per.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(saw_view.cast("long")).alias("n_view"),
+        F.sum(clicked.cast("long")).alias("n_view_click"),
+        F.sum(purchased.cast("long")).alias("n_full_funnel"),
+    )
+
+
+@register(
     "q_sessionize",
     oracle="""
         WITH gaps AS (

@@ -351,3 +351,12 @@ def test_point_in_time_join_no_temporal_leakage(spark, sf_dir):
             else:
                 break
         assert o.state == state, (o, state)
+
+
+def test_session_funnel_monotone_and_bounded(spark, sf_dir):
+    from hw_kafka_streams_spark.queries import REGISTRY, _load_all
+
+    _load_all()
+    r = REGISTRY["q_session_funnel"].fn(spark, sf_dir).collect()[0]
+    assert r.n_sessions >= r.n_view >= r.n_view_click >= r.n_full_funnel >= 0
+    assert r.n_view > 0  # data actually exercises the funnel
