@@ -1,0 +1,116 @@
+"""Data Selection with Importance Resampling (DSIR) weights.
+
+The public DSIR recipe (Xie et al. 2023, "Data Selection for Language
+Models via Importance Resampling"): score every raw document by the
+log-likelihood ratio of a hashed-n-gram bag-of-features model fit on a
+small TARGET corpus vs the RAW corpus, then sample raw docs
+proportionally to the importance weight. It is the standard way to
+skew a 100 TB crawl toward a high-quality target domain without
+training a classifier.
+
+Why it scales: the "model" is two count vectors of fixed dimension
+`dim` (hashed features — no vocabulary build, no global dictionary),
+so fitting is ONE aggregation keyed by bucket (≤ `dim` rows out,
+partial-combined map-side), and scoring is one (doc, bucket) tf
+aggregation plus a broadcast join against the `dim`-row log-ratio
+table. Nothing in the plan grows with corpus size except the
+embarrassingly-parallel token explode.
+
+Determinism recipe (the unigram-LM one, operators/text.py): all counts
+are exact integers; each bucket's log ratio
+``ln(((c_t+1)/(N_t+dim)) / ((c_r+1)/(N_r+dim)))`` (add-one smoothing)
+is a single scalar IEEE expression rounded to DECIMAL(18,6); per-doc
+weights are exact-decimal sums of tf × ratio, so reducer order cannot
+drift the value — the registry query is full value-hash oracled.
+
+Features are unigrams + adjacent-word bigrams, built with array
+`slice`/`zip_with` on the token array — no shuffle, no window — then
+hashed to `dim` buckets (``hash_mode='md5'`` = the DuckDB-twin
+:func:`~hw_kafka_streams_spark.operators.dedup.md5h`; xxhash64 is the
+scale default).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hw_kafka_streams_spark.operators.text import word_tokens
+
+
+def unigram_bigram_features(text: Column | str) -> Column:
+    """Array of unigram + adjacent-bigram features of a text column —
+    pure array expressions (slice + zip_with), zero shuffle."""
+    toks = word_tokens(text)
+    n = F.size(toks)
+    pair_len = F.greatest(n - F.lit(1), F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, F.lit(1), pair_len),
+        F.slice(toks, F.lit(2), pair_len),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return F.concat(toks, bigrams)
+
+
+def _bucket(feat: Column, dim: int, hash_mode: str) -> Column:
+    if hash_mode == "md5":
+        from hw_kafka_streams_spark.operators.dedup import md5h
+
+        return F.pmod(md5h(feat), F.lit(dim))
+    return F.pmod(F.abs(F.xxhash64(feat)), F.lit(dim))
+
+
+def dsir_logweights(
+    df: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 4096,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Per-document DSIR importance log-weight.
+
+    ``is_target`` marks the rows that define the target distribution
+    (e.g. ``F.col("lang") == "en"`` or a curated-source predicate);
+    every row (target included) is scored.
+
+    Returns ``(id_col, is_target, n_feats, dsir_logweight)`` where
+    ``dsir_logweight = Σ_buckets tf_b · ln(p_target(b)/p_raw(b))``
+    under add-one smoothing. Higher = more target-like.
+
+    Plan: explode features once; bucket counts (≤ dim rows) and the
+    1-row totals broadcast back; per-doc tf aggregation carries the
+    doc key so it partial-aggregates map-side; one broadcast join; one
+    final doc-keyed decimal sum.
+    """
+    feats = (
+        df.select(
+            F.col(id_col).alias("id"),
+            is_target.alias("is_target"),
+            F.explode(unigram_bigram_features(F.col(text_col))).alias("f"),
+        )
+        .select("id", "is_target", _bucket(F.col("f"), dim, hash_mode).alias("b"))
+    )
+    bc = feats.groupBy("b").agg(
+        F.sum(F.col("is_target").cast("long")).alias("ct"),
+        F.sum((~F.col("is_target")).cast("long")).alias("cr"),
+    )
+    tot = bc.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
+    p_t = (F.col("ct") + 1).cast("double") / (F.col("nt") + F.lit(dim))
+    p_r = (F.col("cr") + 1).cast("double") / (F.col("nr") + F.lit(dim))
+    lr = (
+        bc.crossJoin(F.broadcast(tot))
+        .select("b", F.round(F.log(p_t / p_r), 6).cast("decimal(18,6)").alias("lr"))
+    )
+    tf = feats.groupBy("id", "is_target", "b").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tf.join(F.broadcast(lr), "b")
+        .groupBy("id", "is_target")
+        .agg(
+            F.sum("tf").alias("n_feats"),
+            F.round(F.sum(F.col("tf") * F.col("lr")).cast("double"), 6).alias(
+                "dsir_logweight"
+            ),
+        )
+        .select(F.col("id").alias(id_col), "is_target", "n_feats", "dsir_logweight")
+    )

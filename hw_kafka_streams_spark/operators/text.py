@@ -360,3 +360,181 @@ def token_distribution_drift(
             "kl_vs_corpus",
         )
     )
+
+
+def _adjacent_pairs(toks: Column) -> Column:
+    """Array of adjacent-token pair structs (w1, w2) — pure array
+    slice/zip_with, zero shuffle; empty for texts with < 2 tokens."""
+    n = F.size(toks)
+    pair_len = F.greatest(n - F.lit(1), F.lit(0))
+    return F.zip_with(
+        F.slice(toks, F.lit(1), pair_len),
+        F.slice(toks, F.lit(2), pair_len),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+
+
+def bigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document bigram language-model score: mean natural-log
+    probability of each adjacent token pair under the corpus's own
+    add-one-smoothed bigram model — one notch up from
+    :func:`unigram_logprob_scores` toward KenLM-style perplexity
+    filtering (context-aware: "the the" scores low even though both
+    unigrams are common). Docs with < 2 tokens have no bigrams and are
+    excluded (stated contract).
+
+    Model: p(w2|w1) = (c2(w1,w2)+1) / (ctx(w1)+V), with c2 the corpus
+    bigram count, ctx(w1)=Σ_w c2(w1,w) the context total, and V the
+    corpus unigram vocabulary size.
+
+    Determinism recipe (the unigram-LM one): every count is an exact
+    integer aggregation; each (doc, bigram) contribution
+    ``tf · ln(p)`` is one scalar IEEE expression rounded to
+    DECIMAL(18,6) and decimal-summed, so reducer order cannot drift
+    the value. Scale: bigrams come from array slice/zip_with (no
+    window, no per-doc shuffle); shuffles are keyed (doc,bigram),
+    (bigram), (w1) — all partial-aggregated map-side; the model tables
+    join back by bigram (broadcast here, shard at crawl scale).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        word_tokens(F.lower(F.col(text_col))).alias("toks"),
+    )
+    bg = base.select(
+        "id", F.explode(_adjacent_pairs(F.col("toks"))).alias("p")
+    ).select("id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    tfb = bg.groupBy("id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    c2 = tfb.groupBy("w1", "w2").agg(F.sum("tf").alias("c2"))
+    ctx = c2.groupBy("w1").agg(F.sum("c2").alias("ctx"))
+    vocab = (
+        base.select(F.explode("toks").alias("t"))
+        .agg(F.countDistinct("t").alias("v"))
+    )
+    p = (F.col("c2") + 1).cast("double") / (F.col("ctx") + F.col("v"))
+    contrib = (
+        tfb.join(c2, ["w1", "w2"])
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "id",
+            "tf",
+            (F.col("tf") * F.round(F.log(p), 6).cast("decimal(18,6)")).alias("s"),
+        )
+    )
+    return (
+        contrib.groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.round(F.sum("s").cast("double") / F.sum("tf"), 6).alias("avg_ln_p"),
+        )
+        .select(F.col("id").alias(id_col), "n_bigrams", "avg_ln_p")
+    )
+
+
+def char_entropy_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document character-level Shannon entropy (nats) — the cheap
+    gibberish/repetition signal used alongside length and punctuation
+    ratios in quality filtering: natural text sits near ~3 nats,
+    base64 blobs higher, "aaaa..." runs near zero.
+
+    H = −Σ_c p_c·ln(p_c) over the doc's character distribution; each
+    term is rounded to DECIMAL(18,9) and decimal-summed
+    (reducer-order-proof). One shuffle keyed (doc, char) — map-side
+    combined, per-doc cardinality ≤ alphabet size — then a doc-keyed
+    final agg.
+    """
+    chars = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.filter(F.split(F.col(text_col), ""), lambda c: c != "")).alias(
+            "ch"
+        ),
+    )
+    cc = chars.groupBy("id", "ch").agg(F.count(F.lit(1)).alias("cnt"))
+    n = cc.groupBy("id").agg(
+        F.sum("cnt").alias("n_chars_counted"),
+        F.count(F.lit(1)).alias("distinct_chars"),
+    )
+    p = F.col("cnt").cast("double") / F.col("n_chars_counted")
+    return (
+        cc.join(n, "id")
+        .select(
+            "id",
+            "n_chars_counted",
+            "distinct_chars",
+            F.round(-p * F.log(p), 9).cast("decimal(18,9)").alias("t"),
+        )
+        .groupBy("id", "n_chars_counted", "distinct_chars")
+        .agg(F.round(F.sum("t").cast("double"), 6).alias("entropy_nats"))
+        .select(
+            F.col("id").alias(id_col),
+            "n_chars_counted",
+            "distinct_chars",
+            "entropy_nats",
+        )
+    )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    topk: int = 20,
+) -> DataFrame:
+    """Top-k adjacent-word collocations by pointwise mutual information:
+    PMI(a,b) = ln( p(a,b) / (p(a)·p(b)) ) with p(a,b)=c2/N2 over
+    bigrams and p(a)=c1/N1 over unigrams — the classic corpus-mining
+    pass for multiword expressions ("new york"), and a vocabulary
+    source for tokenizer merge auditing.
+
+    Determinism: counts exact; PMI is one scalar IEEE expression
+    rounded to 6 dp BEFORE ordering, so both engines sort identical
+    values; ties break on (w1, w2). ``min_count`` kills the noisy
+    hapax tail (and bounds the candidate table). Scale: two tiny
+    vocab-sized aggregates + two joins on single words (broadcast
+    here, sharded at crawl scale); top-k is TakeOrdered, no global
+    sort materialization.
+    """
+    base = df.select(word_tokens(F.lower(F.col(text_col))).alias("toks"))
+    uni = (
+        base.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    n1 = uni.agg(F.sum("c1").alias("n1"))
+    c2 = (
+        base.select(F.explode(_adjacent_pairs(F.col("toks"))).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .filter(F.col("c2") >= min_count)
+    )
+    n2 = (
+        base.select(
+            F.greatest(F.size("toks") - F.lit(1), F.lit(0)).alias("nb")
+        ).agg(F.sum("nb").alias("n2"))
+    )
+    pab = F.col("c2").cast("double") / F.col("n2")
+    pa = F.col("a.c1").cast("double") / F.col("n1")
+    pb = F.col("b.c1").cast("double") / F.col("n1")
+    return (
+        c2.join(F.broadcast(uni.alias("a")), F.col("w1") == F.col("a.w"))
+        .join(F.broadcast(uni.alias("b")), F.col("w2") == F.col("b.w"))
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "w1",
+            "w2",
+            F.col("c2").alias("pair_count"),
+            F.round(F.log(pab / (pa * pb)), 6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(topk)
+    )

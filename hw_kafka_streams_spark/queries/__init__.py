@@ -60,6 +60,7 @@ def _load_all() -> None:
         extras_q,
         functions_q,
         llm_q,
+        mining_q,
         relational,
         streaming_q,
         subqueries_q,

@@ -1,0 +1,222 @@
+"""Round-5 corpus-mining / data-selection queries: bloom-accelerated
+incremental dedup, DSIR importance weighting, bigram-LM scoring,
+character entropy, PMI collocations, product-quantization ANN.
+
+Oracle policy unchanged: exact-arithmetic kernels get full DuckDB
+value oracles (md5-twin hashing, DECIMAL-summed float contributions);
+approximate-by-construction kernels (PQ) get invariant-contract
+oracles (data anchors + recall-vs-brute-force booleans), with the
+exact semantics pinned by unit tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hw_kafka_streams_spark.operators import text as T
+from hw_kafka_streams_spark.queries import register
+from hw_kafka_streams_spark.sources.catalog import load_table
+
+_FP = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
+
+
+@register(
+    "q_bloom_prune_dedup",
+    oracle=f"""
+        WITH f AS (
+          SELECT doc_id, {_FP} AS fp FROM documents
+        )
+        SELECT c.doc_id, c.fp
+        FROM f c
+        WHERE c.doc_id % 3 <> 0
+          AND NOT EXISTS (
+            SELECT 1 FROM f r WHERE r.doc_id % 3 = 0 AND r.fp = c.fp
+          )
+        ORDER BY c.doc_id
+    """,
+    doc="Incremental-corpus dedup via bloom-accelerated exact anti "
+    "join (operators/bloom.py): historical fingerprints (doc_id%3=0) "
+    "build a bit_or-aggregated bitmap; the increment probes it with a "
+    "zero-shuffle getbit literal-array map; bloom misses pass through "
+    "exactly (no false negatives), bloom hits are re-verified by a "
+    "real LEFT ANTI join. Result is provably identical to the plain "
+    "anti join — the NOT EXISTS oracle value-hashes the whole path.",
+)
+def q_bloom_prune_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.bloom import bloom_anti_join
+    from hw_kafka_streams_spark.operators.text import fingerprint
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", fingerprint("text").alias("fp")
+    )
+    ref = docs.filter(F.col("doc_id") % 3 == 0)
+    cand = docs.filter(F.col("doc_id") % 3 != 0)
+    return bloom_anti_join(cand, ref, "fp").orderBy("doc_id")
+
+
+@register(
+    "q_dsir_weights",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id, lang = 'en' AS is_target,
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             t -> t <> '') AS t
+          FROM documents
+        ), fb AS (
+          SELECT doc_id, is_target,
+                 ('0x' || substring(md5(f), 1, 15))::BIGINT % 4096 AS b
+          FROM (
+            SELECT doc_id, is_target,
+                   unnest(list_concat(
+                     t, [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]
+                   )) AS f
+            FROM toks
+          )
+        ), bc AS (
+          SELECT b, sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+                    sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS cr
+          FROM fb GROUP BY b
+        ), tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+                          CAST(sum(cr) AS BIGINT) AS nr FROM bc),
+        lr AS (
+          SELECT b, CAST(round(ln(((ct + 1.0) / (nt + 4096))
+                               / ((cr + 1.0) / (nr + 4096))), 6)
+                         AS DECIMAL(18,6)) AS lr
+          FROM bc, tot
+        ), tf AS (
+          SELECT doc_id, is_target, b, count(*) AS tf
+          FROM fb GROUP BY 1, 2, 3
+        )
+        SELECT tf.doc_id, tf.is_target,
+               CAST(sum(tf.tf) AS BIGINT) AS n_feats,
+               round(CAST(sum(tf.tf * lr.lr) AS DOUBLE), 6) AS dsir_logweight
+        FROM tf JOIN lr USING (b)
+        GROUP BY 1, 2 ORDER BY 1
+    """,
+    doc="DSIR importance resampling weights (Xie et al. 2023, "
+    "operators/importance.py): hashed unigram+bigram features (md5 "
+    "DuckDB-twin buckets, dim=4096), target = lang='en', add-one "
+    "smoothed log-likelihood ratios DECIMAL-summed per doc. Fixed-dim "
+    "model => fit is one <=dim-row aggregation at any corpus size.",
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.importance import dsir_logweights
+
+    docs = load_table(spark, "documents", sf_dir)
+    return dsir_logweights(
+        docs, F.col("lang") == "en", dim=4096, hash_mode="md5"
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_bigram_lm_score",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             t -> t <> '') AS t
+          FROM documents
+        ), bg AS (
+          SELECT doc_id,
+                 unnest([struct_pack(w1 := t[i], w2 := t[i+1])
+                         FOR i IN range(1, len(t))], recursive := true)
+          FROM toks
+        ), tfb AS (
+          SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY 1, 2, 3
+        ), c2 AS (
+          SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c2 FROM tfb GROUP BY 1, 2
+        ), ctx AS (
+          SELECT w1, CAST(sum(c2) AS BIGINT) AS ctx FROM c2 GROUP BY 1
+        ), vocab AS (
+          SELECT count(DISTINCT tok) AS v
+          FROM (SELECT unnest(t) AS tok FROM toks)
+        ), contrib AS (
+          SELECT tfb.doc_id, tfb.tf,
+                 tfb.tf * CAST(round(ln((c2.c2 + 1.0) / (ctx.ctx + vocab.v)),
+                                     6) AS DECIMAL(18,6)) AS s
+          FROM tfb JOIN c2 USING (w1, w2) JOIN ctx USING (w1), vocab
+        )
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+               round(CAST(sum(s) AS DOUBLE) / sum(tf), 6) AS avg_ln_p
+        FROM contrib GROUP BY 1 ORDER BY 1
+    """,
+    doc="Per-doc bigram-LM quality score (operators/text.py "
+    "bigram_logprob_scores): add-one smoothed p(w2|w1) from the "
+    "corpus's own counts; context-aware perplexity stand-in. Bigrams "
+    "from array slice/zip_with (no window); all counts exact ints; "
+    "ln contributions DECIMAL(18,6)-summed (reducer-order-proof).",
+)
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return T.bigram_logprob_scores(docs).orderBy("doc_id")
+
+
+@register(
+    "q_char_entropy",
+    oracle="""
+        WITH cc AS (
+          SELECT doc_id, ch, count(*) AS cnt
+          FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+                FROM documents)
+          WHERE ch <> ''
+          GROUP BY 1, 2
+        ), n AS (
+          SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars_counted,
+                 count(*) AS distinct_chars
+          FROM cc GROUP BY 1
+        )
+        SELECT cc.doc_id, n.n_chars_counted, n.distinct_chars,
+               round(CAST(sum(CAST(round(-(cnt / n.n_chars_counted)
+                                         * ln(cnt / n.n_chars_counted), 9)
+                                   AS DECIMAL(18,9))) AS DOUBLE), 6)
+                   AS entropy_nats
+        FROM cc JOIN n USING (doc_id)
+        GROUP BY 1, 2, 3 ORDER BY 1
+    """,
+    doc="Per-doc character Shannon entropy in nats (operators/text.py "
+    "char_entropy_scores) — the cheap gibberish/repetition signal: "
+    "low = run-length garbage, high = base64-ish noise. One "
+    "(doc,char)-keyed shuffle, DECIMAL(18,9)-summed terms.",
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return T.char_entropy_scores(docs).orderBy("doc_id")
+
+
+@register(
+    "q_pmi_collocations",
+    oracle="""
+        WITH toks AS (
+          SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ), uni AS (
+          SELECT tok AS w, CAST(count(*) AS BIGINT) AS c1
+          FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1
+        ), n1 AS (SELECT CAST(sum(c1) AS BIGINT) AS n1 FROM uni),
+        bg AS (
+          SELECT unnest([struct_pack(w1 := t[i], w2 := t[i+1])
+                         FOR i IN range(1, len(t))], recursive := true)
+          FROM toks
+        ), c2 AS (
+          SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+          FROM bg GROUP BY 1, 2 HAVING count(*) >= 5
+        ), n2 AS (
+          SELECT CAST(sum(greatest(len(t) - 1, 0)) AS BIGINT) AS n2 FROM toks
+        )
+        SELECT c2.w1, c2.w2, c2.c2 AS pair_count,
+               round(ln((c2.c2 / n2.n2)
+                        / ((a.c1 / n1.n1) * (b.c1 / n1.n1))), 6) AS pmi
+        FROM c2 JOIN uni a ON c2.w1 = a.w JOIN uni b ON c2.w2 = b.w, n1, n2
+        ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """,
+    doc="Top-20 adjacent-word collocations by PMI (operators/text.py "
+    "pmi_collocations) — multiword-expression mining / tokenizer merge "
+    "audit. PMI rounded to 6dp BEFORE ordering so both engines rank "
+    "identically; ties break on (w1, w2); min_count=5 bounds the "
+    "candidate table.",
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return T.pmi_collocations(docs, min_count=5, topk=20)

@@ -1,0 +1,166 @@
+"""Unit tests for round-5 mining operators: bloom anti-join, DSIR
+importance weights, bigram LM scoring, char entropy, PMI collocations.
+
+Corpus-level parity is covered by the oracle registry
+(q_bloom_prune_dedup, q_dsir_weights, q_bigram_lm_score,
+q_char_entropy, q_pmi_collocations); these pin the operator semantics
+on constructed fixtures.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from hw_kafka_streams_spark.operators.bloom import (
+    bloom_anti_join,
+    bloom_bitmap,
+    might_contain,
+)
+from hw_kafka_streams_spark.operators.importance import dsir_logweights
+from hw_kafka_streams_spark.operators.text import (
+    bigram_logprob_scores,
+    char_entropy_scores,
+    pmi_collocations,
+)
+
+# ------------------------------------------------------------------ bloom
+
+
+def _kv(spark, keys):
+    return spark.createDataFrame([(k,) for k in keys], "fp string")
+
+
+def test_bloom_anti_join_equals_plain_anti_join(spark):
+    ref = _kv(spark, [f"k{i}" for i in range(100)])
+    cand = _kv(spark, [f"k{i}" for i in range(50, 150)])  # 50 dups, 50 new
+    got = sorted(r["fp"] for r in bloom_anti_join(cand, ref, "fp").collect())
+    want = sorted(
+        r["fp"] for r in cand.join(ref, "fp", "left_anti").collect()
+    )
+    assert got == want
+    assert got == sorted(f"k{i}" for i in range(100, 150))
+
+
+def test_bloom_no_false_negatives_and_low_fpr(spark):
+    members = [f"m{i}" for i in range(200)]
+    bitmap = bloom_bitmap(_kv(spark, members), "fp")
+    probe = _kv(spark, members + [f"x{i}" for i in range(1000)])
+    rows = probe.select(
+        "fp", might_contain(F.col("fp"), bitmap).alias("hit")
+    ).collect()
+    hits = {r["fp"]: r["hit"] for r in rows}
+    # No false negatives: every member must hit.
+    assert all(hits[m] for m in members)
+    # FPR: 131072 bits / 200 keys, k=3 => fpp ~ (600/131072)^3 ~ 1e-7.
+    false_pos = sum(1 for i in range(1000) if hits[f"x{i}"])
+    assert false_pos <= 10
+
+
+def test_bloom_bitmap_is_bounded_by_num_bits(spark):
+    bitmap = bloom_bitmap(_kv(spark, ["a", "b"]), "fp", num_bits=1024, k=3)
+    assert len(bitmap) == 1024 // 64
+
+
+def test_bloom_null_key_candidate_survives(spark):
+    ref = _kv(spark, ["a", "b"])
+    cand = spark.createDataFrame([("a",), (None,), ("z",)], "fp string")
+    got = sorted(
+        (r["fp"] or "~null~")
+        for r in bloom_anti_join(cand, ref, "fp").collect()
+    )
+    # NULL never equi-joins, so the plain anti join keeps it; ours must too.
+    assert got == ["z", "~null~"]
+
+
+# ------------------------------------------------------------------ DSIR
+
+
+def test_dsir_separates_target_like_from_raw_like(spark):
+    rows = [(i, "good text quality signal", "en") for i in range(10)]
+    rows += [(100 + i, "spam junk noise garbage", "de") for i in range(10)]
+    rows += [(200, "good text quality signal", "de")]  # target-LIKE raw doc
+    rows += [(201, "spam junk noise garbage", "en")]  # raw-LIKE target doc
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r["doc_id"]: r
+        for r in dsir_logweights(df, F.col("lang") == "en").collect()
+    }
+    # Target-like content scores high regardless of its own label.
+    assert out[200]["dsir_logweight"] > out[100 + 3]["dsir_logweight"]
+    assert out[0]["dsir_logweight"] > out[201]["dsir_logweight"]
+    assert out[0]["is_target"] and not out[200]["is_target"]
+    # unigrams(4) + bigrams(3)
+    assert out[0]["n_feats"] == 7
+
+
+def test_dsir_md5_and_xxhash_modes_agree_on_ordering(spark):
+    rows = [(i, "alpha beta gamma", "en") for i in range(5)]
+    rows += [(10 + i, "delta epsilon zeta", "fr") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    for mode in ("md5", "xxhash64"):
+        out = {
+            r["doc_id"]: r["dsir_logweight"]
+            for r in dsir_logweights(
+                df, F.col("lang") == "en", hash_mode=mode
+            ).collect()
+        }
+        assert out[0] > out[10], mode
+
+
+# ------------------------------------------------------------- bigram LM
+
+
+def test_bigram_lm_prefers_frequent_transitions(spark):
+    rows = [(i, "x y") for i in range(20)] + [(99, "y x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_logprob_scores(df).collect()}
+    assert out[0]["avg_ln_p"] > out[99]["avg_ln_p"]
+    assert out[0]["n_bigrams"] == 1
+
+
+def test_bigram_lm_excludes_short_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "only"), (2, "two words")], "doc_id long, text string"
+    )
+    out = bigram_logprob_scores(df).collect()
+    assert [r["doc_id"] for r in out] == [2]
+
+
+# ----------------------------------------------------------- char entropy
+
+
+def test_char_entropy_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in char_entropy_scores(df).collect()}
+    assert out[1]["entropy_nats"] == 0.0
+    assert abs(out[2]["entropy_nats"] - math.log(2)) < 1e-5
+    assert abs(out[3]["entropy_nats"] - math.log(4)) < 1e-5
+    assert out[3]["distinct_chars"] == 4
+    assert out[3]["n_chars_counted"] == 4
+
+
+# ------------------------------------------------------------------- PMI
+
+
+def test_pmi_top_collocation_is_the_bound_pair(spark):
+    # 'new york' always together; 'the'+others frequent but independent.
+    rows = [(i, "the new york city the end") for i in range(10)]
+    rows += [(100 + i, "the old end the start city") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pmi_collocations(df, min_count=5, topk=5).collect()
+    assert (out[0]["w1"], out[0]["w2"]) == ("new", "york")
+    assert out[0]["pair_count"] == 10
+    assert out[0]["pmi"] > 0
+
+
+def test_pmi_min_count_prunes_rare_pairs(spark):
+    rows = [(1, "rare pair"), (2, "a b"), (3, "a b"), (4, "a b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pmi_collocations(df, min_count=3, topk=10).collect()
+    pairs = {(r["w1"], r["w2"]) for r in out}
+    assert ("rare", "pair") not in pairs
+    assert ("a", "b") in pairs
