@@ -902,3 +902,83 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n_rows", "med", "mad", "n_outliers")
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_ewma_halflife",
+    oracle="""
+        WITH e AS (
+          SELECT user_id, event_id, ts, value,
+                 lag(value, 0) OVER w AS l0,
+                 lag(value, 1) OVER w AS l1,
+                 lag(value, 2) OVER w AS l2,
+                 lag(value, 3) OVER w AS l3,
+                 lag(value, 4) OVER w AS l4,
+                 lag(value, 5) OVER w AS l5,
+                 lag(value, 6) OVER w AS l6,
+                 lag(value, 7) OVER w AS l7
+          FROM events
+          WHERE user_id < 40
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        )
+        SELECT user_id, event_id, ts, value,
+               round(CAST((
+                 coalesce(CAST(round(l0 * 1.0,       10) AS DECIMAL(28,10)), 0)
+               + coalesce(CAST(round(l1 * 0.5,       10) AS DECIMAL(28,10)), 0)
+               + coalesce(CAST(round(l2 * 0.25,      10) AS DECIMAL(28,10)), 0)
+               + coalesce(CAST(round(l3 * 0.125,     10) AS DECIMAL(28,10)), 0)
+               + coalesce(CAST(round(l4 * 0.0625,    10) AS DECIMAL(28,10)), 0)
+               + coalesce(CAST(round(l5 * 0.03125,   10) AS DECIMAL(28,10)), 0)
+               + coalesce(CAST(round(l6 * 0.015625,  10) AS DECIMAL(28,10)), 0)
+               + coalesce(CAST(round(l7 * 0.0078125, 10) AS DECIMAL(28,10)), 0)
+               ) AS DOUBLE)
+               / (  CASE WHEN l0 IS NULL THEN 0 ELSE 1.0       END
+                  + CASE WHEN l1 IS NULL THEN 0 ELSE 0.5       END
+                  + CASE WHEN l2 IS NULL THEN 0 ELSE 0.25      END
+                  + CASE WHEN l3 IS NULL THEN 0 ELSE 0.125     END
+                  + CASE WHEN l4 IS NULL THEN 0 ELSE 0.0625    END
+                  + CASE WHEN l5 IS NULL THEN 0 ELSE 0.03125   END
+                  + CASE WHEN l6 IS NULL THEN 0 ELSE 0.015625  END
+                  + CASE WHEN l7 IS NULL THEN 0 ELSE 0.0078125 END),
+               6) AS ewma
+        FROM e ORDER BY user_id, ts
+    """,
+    doc="Exponentially-weighted trailing mean (half-life = 1 step, "
+    "depth 8) per user over the events stream — the monitoring/"
+    "feature-engineering smoother. The truncated-depth form replaces "
+    "the sequential EWMA recurrence with 8 window lags, so it stays a "
+    "single partitioned-window pass (no iterative state, no driver "
+    "loop). Weights are powers of 1/2 (exact in binary), each term "
+    "one scalar IEEE product rounded to DECIMAL(28,10) and "
+    "decimal-summed — reducer/frame order cannot drift the value, so "
+    "the query is full value-hash oracled. At 100 TB the window is "
+    "keyed by user_id: one shuffle, no global ordering.",
+)
+def q_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 40)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    terms = []
+    weights = []
+    for j in range(8):
+        lj = F.lag("value", j).over(w) if j else F.col("value")
+        wj = F.lit(0.5**j)
+        terms.append(
+            F.coalesce(
+                F.round(lj * wj, 10).cast("decimal(28,10)"),
+                F.lit(0).cast("decimal(28,10)"),
+            )
+        )
+        weights.append(F.when(lj.isNull(), F.lit(0.0)).otherwise(wj))
+    num = terms[0]
+    for t in terms[1:]:
+        num = num + t
+    den = weights[0]
+    for x in weights[1:]:
+        den = den + x
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.round(num.cast("double") / den, 6).alias("ewma"),
+    ).orderBy("user_id", "ts")
