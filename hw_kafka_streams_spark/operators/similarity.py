@@ -767,3 +767,207 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# ------------------------------------------------------------------ PQ
+# Product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search"): split each (L2-normalized) vector into m
+# subspaces, vector-quantize each subspace against its own ks-entry
+# codebook, and represent the vector by m small codes. At 100 TB this
+# is THE memory-bandwidth lever for embedding search: a 64-dim fp32
+# vector (256 B) becomes m=8 bytes — 32× less data streamed per scan —
+# and the coarse ADC (asymmetric distance computation) pass scores
+# codes against the query with a gather + einsum per Arrow batch.
+# Recall loss is bounded by re-ranking a shortlist with exact fp32
+# cosine, same cascade shape as quantized_topk. Compose with IVF
+# (ivf_topk) for the classic IVF-PQ layout: partition-pruned lists,
+# PQ-compressed residuals.
+
+
+def _normalize_rows(A: "np.ndarray") -> "np.ndarray":
+    n = np.sqrt((A * A).sum(axis=1, keepdims=True))
+    return A / np.where(n == 0, 1.0, n)
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ks: int = 16,
+    iters: int = 3,
+) -> list[list[list[float]]]:
+    """Train m per-subspace codebooks (each ks × dim/m) with the same
+    deterministic-Lloyd recipe as :func:`lloyd_centroids`: init from
+    the ks smallest-id vectors, squared-L2 assignment with ties to the
+    smaller code, per-dimension means rounded to 6 dp, empty clusters
+    keep their centroid. Vectors are L2-normalized first (ADC dot ≈
+    cosine downstream).
+
+    All m subspaces train in ONE distributed pass per iteration: a
+    mapInPandas kernel emits (sub, code, count, partial-sum) partials
+    per Arrow batch — m×ks×(dim/m) numbers per batch regardless of
+    row count — and a (sub, code, dim)-keyed aggregation reduces them.
+    Only the m×ks×(dim/m) codebook table ever reaches the driver. At
+    crawl scale you train on a sampled slice (codebooks need ~100k
+    rows, not the corpus) and encode everything.
+    """
+    e = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    init = [r.v for r in e.orderBy("id").limit(ks).collect()]
+    dim = len(init[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sd = dim // m
+    A0 = _normalize_rows(np.asarray(init, dtype=np.float64))
+    # C[s] : (ks, sd)
+    C = [A0[:, s * sd : (s + 1) * sd].copy() for s in range(m)]
+
+    schema = "sub int, code int, cnt long, sums array<double>"
+    for _ in range(iters):
+        Cnow = [c.copy() for c in C]
+
+        def _partials(it):
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                A = _normalize_rows(
+                    np.array(pdf["v"].tolist(), dtype=np.float64)
+                )
+                out = {"sub": [], "code": [], "cnt": [], "sums": []}
+                for s in range(m):
+                    sub = A[:, s * sd : (s + 1) * sd]
+                    d2 = ((sub[:, None, :] - Cnow[s][None, :, :]) ** 2).sum(2)
+                    cid = d2.argmin(axis=1)
+                    for c in np.unique(cid):
+                        sel = sub[cid == c]
+                        out["sub"].append(s)
+                        out["code"].append(int(c))
+                        out["cnt"].append(int(sel.shape[0]))
+                        out["sums"].append(sel.sum(axis=0).tolist())
+                yield pd.DataFrame(out)
+
+        rows = (
+            e.select("v")
+            .mapInPandas(_partials, schema)
+            .select("sub", "code", "cnt", F.posexplode("sums").alias("d", "x"))
+            .groupBy("sub", "code", "d")
+            .agg(F.sum("cnt").alias("n"), F.sum("x").alias("sx"))
+            .collect()
+        )
+        agg: dict[tuple[int, int], dict[int, tuple[float, int]]] = {}
+        for r in rows:
+            agg.setdefault((r["sub"], r["code"]), {})[r["d"]] = (r["sx"], r["n"])
+        # posexplode duplicates cnt across dims, so the per-(sub,code,d)
+        # re-sum yields the same total count n for every d of a cluster.
+        for (s, c), dims in agg.items():
+            for d, (sx, n) in dims.items():
+                C[s][c, d] = round(sx / n, 6)
+    return [c.tolist() for c in C]
+
+
+def pq_encode_arrow(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """Encode an (auto-L2-normalized) vector into its m PQ codes —
+    one gather-free batched assignment per subspace per Arrow batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = [np.asarray(c, dtype=np.float64) for c in codebooks]
+    m = len(C)
+    sd = C[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def _enc(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        A = _normalize_rows(np.array(v.tolist(), dtype=np.float64))
+        codes = np.empty((A.shape[0], m), dtype="int32")
+        for s in range(m):
+            sub = A[:, s * sd : (s + 1) * sd]
+            d2 = ((sub[:, None, :] - C[s][None, :, :]) ** 2).sum(2)
+            codes[:, s] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return _enc(vec)
+
+
+def pq_adc_score_arrow(
+    codes: Column, qvec: Column, codebooks: list[list[list[float]]]
+) -> Column:
+    """ADC score ≈ cosine(query, vector): gather each row's m centroid
+    segments by code and einsum against the (normalized) query — one
+    numpy pass per Arrow batch, no per-query distance-table plumbing."""
+    from pyspark.sql.functions import pandas_udf
+
+    Call = np.stack([np.asarray(c, dtype=np.float64) for c in codebooks])
+    m = Call.shape[0]
+    sd = Call.shape[2]
+
+    @pandas_udf("double")
+    def _adc(pc: pd.Series, pq: pd.Series) -> pd.Series:
+        if len(pc) == 0:
+            return pd.Series([], dtype="float64")
+        codes_mat = np.vstack(pc.to_numpy()).astype("int64")  # (n, m)
+        Q = _normalize_rows(np.array(pq.tolist(), dtype=np.float64))
+        Qs = Q.reshape(Q.shape[0], m, sd)  # (n, m, sd)
+        G = Call[np.arange(m)[None, :], codes_mat, :]  # (n, m, sd)
+        return pd.Series(np.einsum("nmd,nmd->n", Qs, G))
+
+    return _adc(codes, qvec)
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    m: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """PQ-ADC coarse scan → exact fp32 cosine re-rank, top-k per query.
+
+    Plan: corpus encodes once (narrow Arrow map — persist the codes
+    table in production and this stage disappears from the query
+    path); broadcast queries cross the codes with the ADC kernel (the
+    scan streams m bytes/vector instead of 4·dim); a per-query window
+    keeps ``shortlist`` survivors (WindowGroupLimit pushes the top-k
+    into the shuffle); only survivors touch the fp32 vectors again.
+    """
+    cb = codebooks or pq_codebooks(corpus, id_col, vec_col, m, ks)
+    enc = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        pq_encode_arrow(F.col(vec_col), cb).alias("codes"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    coarse = (
+        enc.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "qvec",
+            "cvec",
+            pq_adc_score_arrow(F.col("codes"), F.col("qvec"), cb).alias("adc"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    short = coarse.withColumn("crnk", F.row_number().over(w1)).filter(
+        F.col("crnk") <= shortlist
+    )
+    rer = short.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_arrow(F.col("qvec"), F.col("cvec")), 4).alias("cos_sim"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        rer.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )

@@ -164,3 +164,54 @@ def test_pmi_min_count_prunes_rare_pairs(spark):
     pairs = {(r["w1"], r["w2"]) for r in out}
     assert ("rare", "pair") not in pairs
     assert ("a", "b") in pairs
+
+
+# -------------------------------------------------------------------- PQ
+
+
+def test_pq_encode_deterministic_and_in_range(spark, sf_dir):
+    from hw_kafka_streams_spark.operators import similarity as S
+    from hw_kafka_streams_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cb = S.pq_codebooks(emb, m=8, ks=16, iters=2)
+    assert len(cb) == 8 and len(cb[0]) == 16 and len(cb[0][0]) == 8
+    codes1 = {
+        r["vec_id"]: r["c"]
+        for r in emb.select(
+            "vec_id", S.pq_encode_arrow(F.col("embedding"), cb).alias("c")
+        ).collect()
+    }
+    codes2 = {
+        r["vec_id"]: r["c"]
+        for r in emb.select(
+            "vec_id", S.pq_encode_arrow(F.col("embedding"), cb).alias("c")
+        ).collect()
+    }
+    assert codes1 == codes2
+    assert all(
+        len(c) == 8 and all(0 <= x < 16 for x in c) for c in codes1.values()
+    )
+
+
+def test_pq_topk_shape_and_recall(spark, sf_dir):
+    from hw_kafka_streams_spark.operators import similarity as S
+    from hw_kafka_streams_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = emb.filter(F.col("vec_id") < 5)
+    pq = S.pq_topk(qs, emb, k=5, shortlist=50)
+    rows = pq.collect()
+    # exactly k per query, ranks 1..k, no self matches
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+        assert r["neighbor_id"] != r["query_id"]
+    assert all(sorted(x["rnk"] for x in v) == [1, 2, 3, 4, 5] for v in by_q.values())
+    bf = S.brute_force_topk(qs, emb, k=5).select("query_id", "neighbor_id")
+    hits = (
+        pq.select("query_id", "neighbor_id")
+        .join(bf, ["query_id", "neighbor_id"])
+        .count()
+    )
+    assert hits >= 0.5 * bf.count()
