@@ -164,3 +164,54 @@ def mixture_report(
         )
         .orderBy(group_col)
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    group_col: str = "source",
+    tokens: Column | None = None,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled sampling weights per group — the multilingual
+    /multi-domain rebalancing rule (T5/mT5, XLM-R): sampling
+    probability q_g ∝ p_g^α with α<1 flattens the natural distribution
+    p_g (token share), up-weighting tail languages/domains without the
+    hard targets of :func:`mixture_plan`.
+
+    Returns one row per group: ``(group, n_docs, n_tokens, p_raw,
+    w_temp)`` with ``w_temp = p^α / Σ p^α``.
+
+    Determinism: counts exact; p is one IEEE division; for the default
+    α=0.5 the power is ``sqrt`` — correctly rounded by IEEE 754 in
+    every engine, unlike ``pow`` — rounded to DECIMAL(18,9) and
+    decimal-summed for the normalizer. Scale: one group-count
+    aggregation + a 1-row broadcast total; output is |groups| rows.
+    """
+    toks = tokens if tokens is not None else F.lit(1)
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).cast("long").alias("n_tokens"),
+    )
+    tot = g.agg(F.sum("n_tokens").alias("n_total"))
+    p = F.col("n_tokens").cast("double") / F.col("n_total")
+    powp = F.sqrt(p) if alpha == 0.5 else F.pow(p, F.lit(alpha))
+    scored = g.crossJoin(F.broadcast(tot)).select(
+        "grp",
+        "n_docs",
+        "n_tokens",
+        F.round(p, 6).alias("p_raw"),
+        F.round(powp, 9).cast("decimal(18,9)").alias("s"),
+    )
+    norm = scored.agg(F.sum("s").alias("z"))
+    return (
+        scored.crossJoin(F.broadcast(norm))
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            "n_tokens",
+            "p_raw",
+            F.round(
+                F.col("s").cast("double") / F.col("z").cast("double"), 6
+            ).alias("w_temp"),
+        )
+    )

@@ -971,3 +971,89 @@ def pq_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the production ANN layout — a coarse IVF index prunes
+    WHICH vectors are scored (queries probe ``n_probe`` of
+    ``n_centroids`` inverted lists → ~n_probe/n_centroids of the
+    corpus read), and PQ codes shrink WHAT is streamed for each
+    candidate (m bytes instead of 4·dim); survivors of the ADC
+    shortlist pay exact fp32 cosine. Both trainers are the
+    deterministic-Lloyd recipe. This composition is what a 100 TB
+    embedding store actually deploys: with the corpus partitioned by
+    cid on disk (build_ivf_index), the probe is partition pruning at
+    the parquet scan and the scan itself is 32× lighter.
+
+    This variant quantizes raw (normalized) vectors, not
+    list-residuals; residual encoding is the classic refinement
+    (Jégou et al. §IV) and drops in by re-centering before
+    pq_codebooks/pq_encode_arrow — the plan shape is identical.
+    """
+    cents = lloyd_centroids(corpus, id_col, vec_col, n_centroids, iters=2)
+    cb = pq_codebooks(corpus, id_col, vec_col, m, ks)
+    indexed = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        nearest_centroid_arrow(F.col(vec_col).cast("array<double>"), cents).alias(
+            "cid"
+        ),
+        pq_encode_arrow(F.col(vec_col), cb).alias("codes"),
+    )
+    qv = F.col("qvec").cast("array<double>")
+    scored_cents = F.array(
+        *[
+            F.struct(
+                (-cosine(qv, F.array(*[F.lit(float(x)) for x in c]))).alias(
+                    "negsim"
+                ),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    probes = F.slice(F.array_sort(scored_cents), 1, n_probe)
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        .select("query_id", "qvec", F.explode(probes).alias("p"))
+        .select("query_id", "qvec", F.col("p.cid").alias("cid"))
+    )
+    cand = (
+        indexed.join(F.broadcast(q), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "qvec",
+            "cvec",
+            pq_adc_score_arrow(F.col("codes"), F.col("qvec"), cb).alias("adc"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    short = cand.withColumn("crnk", F.row_number().over(w1)).filter(
+        F.col("crnk") <= shortlist
+    )
+    rer = short.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_arrow(F.col("qvec"), F.col("cvec")), 4).alias("cos_sim"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        rer.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )

@@ -272,3 +272,166 @@ def q_similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hits") >= 0.5 * F.col("n_truth")).alias("recall_ge_50pct"),
         )
     )
+
+
+@register(
+    "q_naive_bayes_langid",
+    oracle="""
+        WITH tr AS (
+          SELECT doc_id, lang, lower(text) AS text FROM documents
+          WHERE doc_id % 2 = 0
+        ), te AS (
+          SELECT doc_id, lang, lower(text) AS text FROM documents
+          WHERE doc_id % 2 <> 0
+        ), trt AS (
+          SELECT lang AS c,
+                 unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                    x -> x <> '')) AS t
+          FROM tr
+        ), ctc AS (
+          SELECT c, t, count(*) AS cnt FROM trt GROUP BY 1, 2
+        ), nc AS (
+          SELECT c, CAST(sum(cnt) AS BIGINT) AS n_c FROM ctc GROUP BY 1
+        ), vocab AS (SELECT count(DISTINCT t) AS v FROM ctc),
+        priors AS (
+          SELECT lang AS c,
+                 CAST(round(ln(CAST(count(*) AS DOUBLE)
+                               / (SELECT count(*) FROM tr)), 6)
+                      AS DECIMAL(18,6)) AS ln_prior
+          FROM tr GROUP BY 1
+        ), model AS (
+          SELECT t, ctc.c,
+                 CAST(round(ln((cnt + 1.0) / (n_c + v)), 6)
+                      AS DECIMAL(18,6)) AS ln_lik
+          FROM ctc JOIN nc USING (c), vocab
+        ), dflt AS (
+          SELECT c, CAST(round(ln(1.0 / (n_c + v)), 6)
+                         AS DECIMAL(18,6)) AS ln_default
+          FROM nc, vocab
+        ), tet AS (
+          SELECT doc_id AS id, lang AS actual,
+                 unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                    x -> x <> '')) AS t
+          FROM te
+        ), ttf AS (
+          SELECT id, actual, t, count(*) AS tf FROM tet GROUP BY 1, 2, 3
+        ), sc AS (
+          SELECT id, actual, d.c,
+                 sum(tf * coalesce(m.ln_lik, d.ln_default)) AS s
+          FROM ttf CROSS JOIN dflt d
+            LEFT JOIN model m ON m.t = ttf.t AND m.c = d.c
+          GROUP BY 1, 2, 3
+        ), fin AS (
+          SELECT id, actual, sc.c, 
+                 row_number() OVER (
+                   PARTITION BY id
+                   ORDER BY s + p.ln_prior DESC, sc.c
+                 ) AS rn
+          FROM sc JOIN priors p ON p.c = sc.c
+        )
+        SELECT id AS doc_id, actual, c AS predicted, c = actual AS is_correct
+        FROM fin WHERE rn = 1 ORDER BY doc_id
+    """,
+    doc="Multinomial Naive Bayes language ID, train AND predict as "
+    "count arithmetic (operators/classify.py): fit on even doc_ids, "
+    "classify odd ones. Add-one smoothed log-likelihoods and priors "
+    "rounded to DECIMAL(18,6) and decimal-summed, so the per-doc "
+    "argmax (ties -> smaller class) is bit-stable and the whole "
+    "train->predict pipeline is value-hash oracled. The fastText-"
+    "shaped classifier-scoring plan: token explode, broadcast "
+    "vocab-x-class model table, doc-partitioned argmax window.",
+)
+def q_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.classify import naive_bayes_predict
+
+    docs = load_table(spark, "documents", sf_dir)
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 != 0)
+    return naive_bayes_predict(train, test).orderBy("doc_id")
+
+
+@register(
+    "q_mixture_temperature",
+    oracle="""
+        WITH g AS (
+          SELECT source AS grp, count(*) AS n_docs,
+                 CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+                     AS n_tokens
+          FROM documents GROUP BY 1
+        ), tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS n_total FROM g),
+        sc AS (
+          SELECT grp, n_docs, n_tokens,
+                 round(CAST(n_tokens AS DOUBLE) / n_total, 6) AS p_raw,
+                 CAST(round(sqrt(CAST(n_tokens AS DOUBLE) / n_total), 9)
+                      AS DECIMAL(18,9)) AS s
+          FROM g, tot
+        ), z AS (SELECT sum(s) AS z FROM sc)
+        SELECT grp AS source, n_docs, n_tokens, p_raw,
+               round(CAST(s AS DOUBLE) / CAST(z AS DOUBLE), 6) AS w_temp
+        FROM sc, z ORDER BY source
+    """,
+    doc="Temperature-scaled mixture weights, alpha=0.5 (T5/XLM-R "
+    "multilingual rebalancing; operators/mixture.py "
+    "temperature_weights): q_g proportional to sqrt(token share), "
+    "flattening the natural distribution toward tail "
+    "sources. sqrt is IEEE-correctly-rounded (unlike pow), so the "
+    "whole weight table is value-hash oracled; normalizer is a "
+    "DECIMAL(18,9) sum.",
+)
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.mixture import temperature_weights
+    from hw_kafka_streams_spark.operators.text import token_count
+
+    docs = load_table(spark, "documents", sf_dir)
+    return temperature_weights(
+        docs, "source", token_count("text"), alpha=0.5
+    ).orderBy("source")
+
+
+@register(
+    "q_similarity_ivfpq_topk",
+    oracle="""
+        SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 10)
+                   AS n_queries,
+               (SELECT count(*) FROM embeddings) AS n_corpus,
+               CAST(5 AS INT) AS k,
+               CAST(0.25 AS DOUBLE) AS scan_fraction,
+               CAST(32.0 AS DOUBLE) AS compression_x,
+               true AS recall_ge_40pct
+    """,
+    doc="ANN top-5 via IVF-PQ, the production composition "
+    "(operators/similarity.py ivfpq_topk): a 16-list IVF prunes WHICH "
+    "vectors are scored (4 probes => 25% scan fraction), PQ codes "
+    "shrink WHAT each candidate streams (8 bytes vs 256), exact "
+    "cosine re-ranks the shortlist. Both trainers deterministic-"
+    "Lloyd. Invariant-contract oracle: anchors + recall >= 0.4 "
+    "boolean (beats the 25% random-scan bar; measured 0.76 at "
+    "sf0.01).",
+)
+def q_similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators import similarity as S
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    iv = S.ivfpq_topk(queries, emb, k=5).select("query_id", "neighbor_id")
+    bf = S.brute_force_topk(queries, emb, k=5).select("query_id", "neighbor_id")
+    hits = iv.join(bf, ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    denom = bf.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_truth"),
+    )
+    n_corpus = emb.agg(F.count(F.lit(1)).alias("n_corpus"))
+    return (
+        denom.crossJoin(F.broadcast(hits))
+        .crossJoin(F.broadcast(n_corpus))
+        .select(
+            "n_queries",
+            "n_corpus",
+            F.lit(5).cast("int").alias("k"),
+            F.lit(0.25).alias("scan_fraction"),
+            F.lit(32.0).alias("compression_x"),
+            (F.col("n_hits") >= 0.4 * F.col("n_truth")).alias("recall_ge_40pct"),
+        )
+    )
