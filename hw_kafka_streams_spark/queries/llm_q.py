@@ -1242,7 +1242,7 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     ivf = S.ivf_topk(queries, emb, k=5).select("query_id", "neighbor_id")
     bf = S.brute_force_topk(queries, emb, k=5).select("query_id", "neighbor_id")
-    hits = ivf.join(bf, ["query_id", "neighbor_id"]).agg(
+    hits = ivf.join(F.broadcast(bf), ["query_id", "neighbor_id"]).agg(
         F.count(F.lit(1)).alias("n_hits")
     )
     denom = bf.agg(

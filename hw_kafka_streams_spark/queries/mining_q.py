@@ -253,7 +253,7 @@ def q_similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id"
     )
     bf = S.brute_force_topk(queries, emb, k=5).select("query_id", "neighbor_id")
-    hits = pq.join(bf, ["query_id", "neighbor_id"]).agg(
+    hits = pq.join(F.broadcast(bf), ["query_id", "neighbor_id"]).agg(
         F.count(F.lit(1)).alias("n_hits")
     )
     denom = bf.agg(
@@ -415,7 +415,7 @@ def q_similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     iv = S.ivfpq_topk(queries, emb, k=5).select("query_id", "neighbor_id")
     bf = S.brute_force_topk(queries, emb, k=5).select("query_id", "neighbor_id")
-    hits = iv.join(bf, ["query_id", "neighbor_id"]).agg(
+    hits = iv.join(F.broadcast(bf), ["query_id", "neighbor_id"]).agg(
         F.count(F.lit(1)).alias("n_hits")
     )
     denom = bf.agg(
