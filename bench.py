@@ -68,6 +68,11 @@ HEADLINE = [
     "q_quantized_topk",
     "q_prefix_filter_dups",
     "q_quality_deciles",
+    "q_dsir_weights",
+    "q_bigram_lm_score",
+    "q_naive_bayes_langid",
+    "q_bloom_prune_dedup",
+    "q_similarity_pq_topk",
 ]
 
 

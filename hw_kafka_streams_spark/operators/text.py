@@ -9,6 +9,8 @@ run as a narrow map over the documents scan — no shuffle — so at
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -538,3 +540,34 @@ def pmi_collocations(
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(topk)
     )
+
+
+def compression_ratio_arrow(text: Column | str) -> Column:
+    """Per-document DEFLATE compression ratio (compressed/raw bytes,
+    zlib level 6) — the classic "too compressible = boilerplate/spam,
+    incompressible = binary noise" quality signal (used alongside the
+    Gopher-style rules). NULL for NULL/empty text.
+
+    Arrow-batched pandas UDF (zlib is C-speed per doc; no JVM
+    equivalent exists). DEFLATE output depends on the zlib build, so
+    this column is pinned by invariant contracts (bounds + class
+    separation), not value equality — the honest oracle class for
+    codec-dependent kernels. Zero shuffle: a narrow map over the scan.
+    """
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    col = F.col(text) if isinstance(text, str) else text
+
+    @pandas_udf("double")
+    def _ratio(s: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None or len(t) == 0:
+                return None
+            raw = t.encode("utf-8")
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return s.map(one)
+
+    return _ratio(col)

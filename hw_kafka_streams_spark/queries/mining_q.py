@@ -435,3 +435,48 @@ def q_similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hits") >= 0.4 * F.col("n_truth")).alias("recall_ge_40pct"),
         )
     )
+
+
+@register(
+    "q_compression_quality",
+    oracle="""
+        SELECT (SELECT count(*) FROM documents) AS n_docs,
+               (SELECT count(*) FROM documents WHERE doc_id % 7 = 0)
+                   AS n_repetitive,
+               true AS ratios_in_bounds,
+               true AS repetitive_compresses_more
+    """,
+    doc="DEFLATE compression-ratio quality signal (operators/text.py "
+    "compression_ratio_arrow): every 7th doc is replaced by a "
+    "degenerate repeated-token text (the corpus is clean — same "
+    "synthetic-probe move as the corrupt-JSON and NFC queries); the "
+    "zlib ratio must separate the classes. Codec output is "
+    "zlib-build-dependent, so the oracle is the invariant contract: "
+    "row-count anchors + bounds (0 < ratio <= 1.1) + strict "
+    "class-mean separation boolean. Zero-shuffle narrow map; "
+    "per-class means are one aggregation.",
+)
+def q_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.repeat(F.lit("spam "), 200)
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        (F.col("doc_id") % 7 == 0).alias("is_rep"),
+    )
+    scored = docs.select(
+        "doc_id", "is_rep", T.compression_ratio_arrow("text").alias("ratio")
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("is_rep").cast("long")).alias("n_repetitive"),
+        (
+            (F.min("ratio") > 0.0) & (F.max("ratio") <= 1.1)
+        ).alias("ratios_in_bounds"),
+        (
+            F.avg(F.when(F.col("is_rep"), F.col("ratio")))
+            < F.avg(F.when(~F.col("is_rep"), F.col("ratio")))
+        ).alias("repetitive_compresses_more"),
+    )

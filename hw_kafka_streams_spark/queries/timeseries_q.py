@@ -982,3 +982,89 @@ def q_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.round(num.cast("double") / den, 6).alias("ewma"),
     ).orderBy("user_id", "ts")
+
+
+@register(
+    "q_seasonal_residuals",
+    oracle="""
+        WITH e AS (
+          SELECT event_type, extract(hour FROM ts) AS hr,
+                 CAST(round(value, 6) AS DECIMAL(18,6)) AS v,
+                 CAST(round(value * value, 6) AS DECIMAL(28,6)) AS vv,
+                 value
+          FROM events
+        ), g AS (
+          SELECT event_type, hr, count(*) AS n,
+                 sum(v) AS sx, sum(vv) AS sxx
+          FROM e GROUP BY 1, 2
+        ), s AS (
+          SELECT event_type, hr, n,
+                 CAST(sx AS DOUBLE) / n AS mu,
+                 sqrt(greatest(CAST(sxx AS DOUBLE) / n
+                               - (CAST(sx AS DOUBLE) / n)
+                                 * (CAST(sx AS DOUBLE) / n), 0)) AS sigma
+          FROM g
+        )
+        SELECT s.event_type, CAST(s.hr AS INT) AS hr,
+               CAST(s.n AS BIGINT) AS n,
+               round(s.mu, 6) AS baseline_mean,
+               CAST(sum(CASE WHEN abs(e.value - s.mu) > 2 * s.sigma
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM e JOIN s ON e.event_type = s.event_type AND e.hr = s.hr
+        GROUP BY 1, 2, 3, 4 ORDER BY 1, 2
+    """,
+    doc="Seasonal-baseline anomaly counts: per (event_type, "
+    "hour-of-day) mean/sigma baseline, rows flagged when "
+    "|value - mean| > 2 sigma — the hour-profile monitor that "
+    "catches what a trailing window (q_rolling_zscore) and a global "
+    "MAD gate (q_mad_outliers) both miss: values normal globally but "
+    "anomalous FOR THAT HOUR. Moments come from per-term-rounded "
+    "DECIMAL sums (reducer-order-proof), so mean/sigma and every "
+    "flag comparison are bit-identical across engines. Scale: two "
+    "(type, hour)-keyed aggregations — key cardinality is tiny and "
+    "fixed, the baseline broadcasts back onto the stream.",
+)
+def q_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.hour("ts").alias("hr"),
+        F.round("value", 6).cast("decimal(18,6)").alias("v"),
+        F.round(F.col("value") * F.col("value"), 6)
+        .cast("decimal(28,6)")
+        .alias("vv"),
+        "value",
+    )
+    g = ev.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sx"),
+        F.sum("vv").alias("sxx"),
+    )
+    mu = F.col("sx").cast("double") / F.col("n")
+    s = g.select(
+        "event_type",
+        "hr",
+        "n",
+        mu.alias("mu"),
+        F.sqrt(
+            F.greatest(
+                F.col("sxx").cast("double") / F.col("n") - mu * mu, F.lit(0.0)
+            )
+        ).alias("sigma"),
+    )
+    return (
+        ev.join(F.broadcast(s), ["event_type", "hr"])
+        .groupBy(
+            "event_type",
+            F.col("hr").cast("int").alias("hr"),
+            "n",
+            F.round("mu", 6).alias("baseline_mean"),
+        )
+        .agg(
+            F.sum(
+                (F.abs(F.col("value") - F.col("mu")) > 2 * F.col("sigma")).cast(
+                    "long"
+                )
+            ).alias("n_outliers")
+        )
+        .orderBy("event_type", "hr")
+    )

@@ -276,3 +276,29 @@ def test_ivfpq_topk_recall_and_shape(spark, sf_dir):
         .count()
     )
     assert hits >= 0.4 * bf.count()
+
+
+# ------------------------------------------------------ compression ratio
+
+
+def test_compression_ratio_separates_repetitive_text(spark):
+    from hw_kafka_streams_spark.operators.text import compression_ratio_arrow
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam " * 200),
+            (2, "the quick brown fox jumps over the lazy dog near a river"),
+            (3, None),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["ratio"]
+        for r in df.select(
+            "doc_id", compression_ratio_arrow("text").alias("ratio")
+        ).collect()
+    }
+    assert out[1] is not None and out[2] is not None
+    assert 0 < out[1] < out[2] <= 1.1
+    assert out[3] is None and out[4] is None
