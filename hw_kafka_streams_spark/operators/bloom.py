@@ -141,3 +141,32 @@ def bloom_anti_join(
     ref_keys = reference.select(key_col).distinct()
     survivors = maybe.join(ref_keys, on=key_col, how="left_anti")
     return definitely_new.unionByName(survivors)
+
+
+def save_bitmap(spark, bitmap: list[int], path: str) -> None:
+    """Persist a bloom bitmap as a (word, bits) parquet table — the
+    cross-job artifact: build once over the historical corpus, probe
+    from every future increment job without rescanning history."""
+    rows = [(i, w) for i, w in enumerate(bitmap) if w != 0]
+    spark.createDataFrame(rows or [(0, 0)], "word int, bits long").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_bitmap(spark, path: str, num_bits: int = 1 << 17) -> list[int]:
+    """Load a persisted bloom bitmap back into its dense-list form."""
+    bitmap = [0] * (num_bits // 64)
+    for row in spark.read.parquet(path).collect():
+        bitmap[row["word"]] |= row["bits"]
+    return bitmap
+
+
+def merge_bitmaps(a: list[int], b: list[int]) -> list[int]:
+    """Union two bloom filters built with the SAME (num_bits, k):
+    elementwise OR. Exactly equals the bitmap built over the union of
+    the two key sets (positions depend only on the key), which is what
+    makes daily-increment blooms fold into the historical one without
+    ever rescanning history."""
+    if len(a) != len(b):
+        raise ValueError("bitmaps differ in num_bits")
+    return [x | y for x, y in zip(a, b)]
