@@ -8,12 +8,15 @@ Design for 100 TB of images/audio/video interleaved with text:
   work: batches stream through executors, schema is fixed up front,
   and the scan stays columnar until the Python boundary.
 
-The container has no image/audio codecs, so the actual decode is
-STUBBED: ``decode_image_meta`` parses real PNG/JPEG headers (pure
-byte-math, deterministic) and anything else raises
-``NotImplementedError`` at the clearly-marked point below. The Spark
-plumbing — schemas, batch iteration, partitioning — is real and tested
-with synthetic payloads.
+The container has no image/audio codecs, so COMPRESSED-format decode
+is STUBBED (``NotImplementedError`` at clearly-marked points). But
+codec-free formats get REAL processing: PNG/JPEG/GIF/BMP header
+parsing, uncompressed-BMP pixel decode + nearest-neighbor resize +
+channel-mean feature extraction, YUV4MPEG2 (y4m) raw-video frame
+sampling with per-frame luma features, and 16-bit PCM WAV sample
+decode + RMS — all pure byte/numpy math in Arrow-batched stages. The
+Spark plumbing — schemas, batch iteration, row-expanding frame
+fan-out — is identical to what ffmpeg/PIL-backed stages would use.
 """
 
 from __future__ import annotations
@@ -340,3 +343,245 @@ def frame_sample_stub(df: DataFrame, every_n: int = 30) -> DataFrame:
         yield  # pragma: no cover
 
     return df.mapInPandas(sample, schema="doc_id long, frame_idx int, payload binary")
+
+
+# ------------------------------------------------------------- real pixels
+# Everything below operates on REAL pixel/sample/frame bytes — no codec
+# needed: uncompressed 24-bit BMP, YUV4MPEG2 (y4m) raw video, and PCM
+# WAV are pure byte-math formats. This upgrades the multimodal surface
+# from "header metadata only" to actual decode → transform →
+# feature-extract stages; only COMPRESSED formats (JPEG pixels, MP3,
+# H.264) remain behind the NotImplementedError stubs above.
+
+
+def make_real_bmp(
+    width: int, height: int, fill: tuple[int, int, int] = (0, 0, 0)
+) -> bytes:
+    """A complete, valid, uncompressed 24-bit BMP with every pixel set
+    to ``fill`` (B, G, R) — real rows, real 4-byte row padding."""
+    row = bytes(fill) * width
+    pad = b"\x00" * ((4 - (len(row) % 4)) % 4)
+    pixels = (row + pad) * height
+    size = 14 + 40 + len(pixels)
+    file_hdr = b"BM" + struct.pack("<IHHI", size, 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, 0, 2835, 2835, 0, 0
+    )
+    return file_hdr + dib + pixels
+
+
+def _bmp_pixels(data: bytes):
+    """Parse an uncompressed 24-bit BMP into an (h, w, 3) numpy array
+    (bottom-up row order preserved as stored; callers that only do
+    per-pixel math don't care)."""
+    import numpy as np
+
+    if data[:2] != b"BM":
+        return None
+    (offset,) = struct.unpack("<I", data[10:14])
+    w, h = struct.unpack("<ii", data[18:26])
+    (bpp,) = struct.unpack("<H", data[28:30])
+    if bpp != 24 or h <= 0 or w <= 0:
+        return None
+    stride = (w * 3 + 3) // 4 * 4
+    arr = np.frombuffer(data, dtype=np.uint8, count=h * stride, offset=offset)
+    return arr.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+
+
+def resize_bmp_nearest(
+    df: DataFrame, out_w: int, out_h: int, payload_col: str = "payload"
+) -> DataFrame:
+    """REAL image resize (nearest neighbor) over uncompressed 24-bit
+    BMP payloads — an Arrow-batched mapInPandas stage doing actual
+    pixel gathers in numpy and re-packing valid BMPs. The shape every
+    vision-data pipeline needs (thumbnail / model-input normalization);
+    at 100 TB it is an embarrassingly parallel narrow map, the same
+    plan as the header decoders. Non-BMP payloads raise at the stub
+    (compressed decode needs codecs this container lacks).
+    """
+    import numpy as np
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, data in zip(pdf["doc_id"], pdf[payload_col]):
+                px = _bmp_pixels(bytes(data))
+                if px is None:
+                    raise NotImplementedError(
+                        "non-BMP resize requires codec libraries not "
+                        "present in this environment"
+                    )
+                h, w, _ = px.shape
+                yi = (np.arange(out_h) * h) // out_h
+                xi = (np.arange(out_w) * w) // out_w
+                resized = px[yi][:, xi]
+                row_pad = b"\x00" * ((4 - (out_w * 3 % 4)) % 4)
+                body = b"".join(
+                    resized[r].tobytes() + row_pad for r in range(out_h)
+                )
+                size = 54 + len(body)
+                hdr = (
+                    b"BM"
+                    + struct.pack("<IHHI", size, 0, 0, 54)
+                    + struct.pack(
+                        "<IiiHHIIiiII",
+                        40, out_w, out_h, 1, 24, 0, 0, 2835, 2835, 0, 0,
+                    )
+                )
+                out.append((doc_id, hdr + body))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        work, schema="doc_id long, payload binary"
+    )
+
+
+def bmp_channel_means(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Per-image exact integer channel sums/means over real BMP pixels
+    (numpy reductions per Arrow batch) — the feature-extract stage."""
+    import numpy as np
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, data in zip(pdf["doc_id"], pdf[payload_col]):
+                px = _bmp_pixels(bytes(data))
+                if px is None:
+                    raise NotImplementedError("non-BMP payload")
+                h, w, _ = px.shape
+                s = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                n = h * w
+                out.append(
+                    (doc_id, w, h, int(s[0] // n), int(s[1] // n), int(s[2] // n))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "width", "height", "mean_b", "mean_g", "mean_r"],
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        work,
+        schema="doc_id long, width int, height int, "
+        "mean_b int, mean_g int, mean_r int",
+    )
+
+
+def make_fake_y4m(
+    width: int, height: int, n_frames: int, luma_of_frame
+) -> bytes:
+    """A complete, valid YUV4MPEG2 (y4m) raw-video file: plain-text
+    stream header, per-frame FRAME markers, real 4:2:0 planes. Frame
+    i's Y plane is filled with ``luma_of_frame(i)``; U/V are neutral
+    128. y4m is the standard codec-free interchange format (mjpegtools/
+    ffmpeg), so this is REAL video container plumbing, not a mock."""
+    hdr = f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C420\n".encode()
+    frames = []
+    for i in range(n_frames):
+        y = bytes([luma_of_frame(i)]) * (width * height)
+        uv = b"\x80" * ((width // 2) * (height // 2))
+        frames.append(b"FRAME\n" + y + uv + uv)
+    return hdr + b"".join(frames)
+
+
+def sample_video_frames(
+    df: DataFrame, every_n: int = 2, payload_col: str = "payload"
+) -> DataFrame:
+    """REAL video frame sampling over y4m payloads: parse the stream
+    header, walk the FRAME records, keep every ``every_n``-th frame,
+    and emit per-frame features (exact integer mean luma). One input
+    row fans out to its sampled frames — the mapInPandas row-expanding
+    shape that a ffmpeg-backed sampler would use identically;
+    compressed containers still raise at the stub
+    (:func:`frame_sample_stub`).
+    """
+    import numpy as np
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, data in zip(pdf["doc_id"], pdf[payload_col]):
+                raw = bytes(data)
+                if not raw.startswith(b"YUV4MPEG2"):
+                    raise NotImplementedError(
+                        "compressed video requires ffmpeg; only y4m is "
+                        "decodable in this environment"
+                    )
+                nl = raw.index(b"\n")
+                fields = dict(
+                    (p[0:1].decode(), p[1:].decode())
+                    for p in raw[10:nl].split(b" ")
+                    if p
+                )
+                w, h = int(fields["W"]), int(fields["H"])
+                fsize = w * h + 2 * ((w // 2) * (h // 2))
+                pos, idx = nl + 1, 0
+                while pos + 6 + fsize <= len(raw):
+                    assert raw[pos : pos + 6] == b"FRAME\n"
+                    if idx % every_n == 0:
+                        y = np.frombuffer(
+                            raw, dtype=np.uint8, count=w * h, offset=pos + 6
+                        )
+                        rows.append(
+                            (doc_id, idx, w, h, int(y.astype(np.int64).mean()))
+                        )
+                    pos += 6 + fsize
+                    idx += 1
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "width", "height", "mean_luma"],
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        work,
+        schema="doc_id long, frame_idx int, width int, height int, mean_luma int",
+    )
+
+
+def make_fake_wav_pcm(
+    sample_rate: int, amplitude: int, n_samples: int
+) -> bytes:
+    """A complete 16-bit mono PCM WAV whose data is a ±amplitude square
+    wave — real samples (RMS is exactly ``amplitude``)."""
+    samples = struct.pack(
+        f"<{n_samples}h",
+        *[amplitude if i % 2 == 0 else -amplitude for i in range(n_samples)],
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(samples)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(samples)) + samples
+    )
+
+
+def audio_rms(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL audio feature extraction: decode 16-bit PCM WAV samples
+    (numpy) and emit per-clip (n_samples, rms) — the
+    loudness/silence-detection stage of an audio-data pipeline, as an
+    Arrow-batched narrow map. Compressed audio raises at the stub."""
+    import math
+
+    import numpy as np
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, data in zip(pdf["doc_id"], pdf[payload_col]):
+                raw = bytes(data)
+                meta = _parse_wav_header(raw)
+                if meta is None or meta[2] != 16:
+                    raise NotImplementedError(
+                        "compressed/non-16-bit audio requires codec libraries"
+                    )
+                di = raw.index(b"data")
+                (dlen,) = struct.unpack("<I", raw[di + 4 : di + 8])
+                x = np.frombuffer(
+                    raw, dtype="<i2", count=dlen // 2, offset=di + 8
+                ).astype(np.int64)
+                ms = (x * x).sum() / len(x) if len(x) else 0.0
+                out.append((doc_id, len(x), math.sqrt(ms)))
+            yield pd.DataFrame(out, columns=["doc_id", "n_samples", "rms"])
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        work, schema="doc_id long, n_samples long, rms double"
+    )

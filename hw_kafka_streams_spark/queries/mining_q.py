@@ -480,3 +480,132 @@ def q_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             < F.avg(F.when(~F.col("is_rep"), F.col("ratio")))
         ).alias("repetitive_compresses_more"),
     )
+
+
+def _synth_payloads(docs: DataFrame, maker) -> DataFrame:
+    """Arrow-batched payload synthesis per doc_id (the stand-in for a
+    real binary-bearing scan; same mapInPandas shape)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": [maker(int(i)) for i in ids]}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+
+
+@register(
+    "q_multimodal_resize",
+    oracle="""
+        SELECT doc_id,
+               CAST(16 AS INT) AS width, CAST(12 AS INT) AS height,
+               CAST(doc_id % 256 AS INT) AS mean_b,
+               CAST((doc_id * 7) % 256 AS INT) AS mean_g,
+               CAST((doc_id * 13) % 256 AS INT) AS mean_r
+        FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+    doc="REAL image resize roundtrip (operators/multimodal.py "
+    "resize_bmp_nearest + bmp_channel_means): synthesize complete "
+    "uncompressed 24-bit BMPs (real pixel rows, 4-byte padding, "
+    "uniform doc_id-derived fill), nearest-neighbor resize to 16x12 "
+    "with actual numpy pixel gathers, re-pack valid BMPs, then "
+    "feature-extract exact integer channel means. Uniform fill is "
+    "invariant under nearest-neighbor, so the oracle recomputes every "
+    "output arithmetically. Two chained Arrow narrow maps, zero "
+    "shuffle.",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.multimodal import (
+        bmp_channel_means,
+        make_real_bmp,
+        resize_bmp_nearest,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
+    payloads = _synth_payloads(
+        docs,
+        lambda i: make_real_bmp(
+            8 + i % 24, 8 + i % 16, (i % 256, (i * 7) % 256, (i * 13) % 256)
+        ),
+    )
+    return bmp_channel_means(resize_bmp_nearest(payloads, 16, 12)).orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "q_multimodal_video",
+    oracle="""
+        SELECT doc_id,
+               CAST(fi AS INT) AS frame_idx,
+               CAST(8 * (1 + doc_id % 3) AS INT) AS width,
+               CAST(8 AS INT) AS height,
+               CAST((doc_id + 7 * fi) % 256 AS INT) AS mean_luma
+        FROM (
+          SELECT doc_id, unnest(range(0, 5 + CAST(doc_id % 6 AS INT), 2)) AS fi
+          FROM documents WHERE doc_id < 100
+        )
+        ORDER BY doc_id, frame_idx
+    """,
+    doc="REAL video frame sampling (operators/multimodal.py "
+    "sample_video_frames): synthesize complete YUV4MPEG2 (y4m) "
+    "raw-video files — plain-text stream header, FRAME markers, real "
+    "4:2:0 planes (codec-free public interchange format) — walk the "
+    "frames, keep every 2nd, and compute exact integer mean luma per "
+    "sampled frame. One row fans out to its sampled frames, the exact "
+    "mapInPandas shape an ffmpeg-backed sampler uses; only COMPRESSED "
+    "containers remain stubbed. Oracle recomputes frames and luma "
+    "arithmetically.",
+)
+def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.multimodal import (
+        make_fake_y4m,
+        sample_video_frames,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 100)
+    payloads = _synth_payloads(
+        docs,
+        lambda i: make_fake_y4m(
+            8 * (1 + i % 3), 8, 5 + i % 6, lambda fr, i=i: (i + 7 * fr) % 256
+        ),
+    )
+    return sample_video_frames(payloads, every_n=2).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+@register(
+    "q_multimodal_audio_rms",
+    oracle="""
+        SELECT doc_id,
+               CAST(256 AS BIGINT) AS n_samples,
+               CAST(1000 + (doc_id % 7) * 100 AS DOUBLE) AS rms
+        FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+    doc="REAL audio feature extraction (operators/multimodal.py "
+    "audio_rms): synthesize complete 16-bit PCM WAVs whose data is a "
+    "+/-A square wave (real samples), decode them with numpy, compute "
+    "RMS loudness — exactly A for a square wave, so the oracle "
+    "recomputes it arithmetically (sqrt of the exact integer mean "
+    "square is exact for perfect squares). Zero-shuffle Arrow narrow "
+    "map; compressed audio stays stubbed.",
+)
+def q_multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.multimodal import (
+        audio_rms,
+        make_fake_wav_pcm,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
+    payloads = _synth_payloads(
+        docs, lambda i: make_fake_wav_pcm(8000, 1000 + (i % 7) * 100, 256)
+    )
+    return audio_rms(payloads).orderBy("doc_id")

@@ -165,3 +165,62 @@ def test_fake_payload_lengths_pin_oracle_constants():
     assert len(make_fake_jpeg(16, 16)) == 65
     assert len(make_fake_gif(16, 16)) == 45
     assert len(make_fake_bmp(16, 16)) == 62
+
+
+def test_bmp_resize_real_pixels_known_values(spark):
+    from hw_kafka_streams_spark.operators.multimodal import (
+        _bmp_pixels,
+        bmp_channel_means,
+        make_real_bmp,
+        resize_bmp_nearest,
+    )
+
+    # 3x2 red image -> 6x4; every pixel must survive as (0,0,255) BGR.
+    src = make_real_bmp(3, 2, (0, 0, 255))
+    assert _bmp_pixels(src).shape == (2, 3, 3)
+    df = spark.createDataFrame([(1, bytearray(src))], "doc_id long, payload binary")
+    out = resize_bmp_nearest(df, 6, 4).collect()[0]
+    px = _bmp_pixels(bytes(out["payload"]))
+    assert px.shape == (4, 6, 3)
+    assert (px[:, :, 2] == 255).all() and (px[:, :, 0] == 0).all()
+    feats = bmp_channel_means(
+        resize_bmp_nearest(df, 6, 4)
+    ).collect()[0]
+    assert (feats["mean_b"], feats["mean_g"], feats["mean_r"]) == (0, 0, 255)
+
+
+def test_y4m_frame_sampling_every_n(spark):
+    from hw_kafka_streams_spark.operators.multimodal import (
+        make_fake_y4m,
+        sample_video_frames,
+    )
+
+    payload = make_fake_y4m(8, 8, 7, lambda i: 10 * i)
+    df = spark.createDataFrame(
+        [(5, bytearray(payload))], "doc_id long, payload binary"
+    )
+    rows = sorted(
+        (r["frame_idx"], r["mean_luma"])
+        for r in sample_video_frames(df, every_n=3).collect()
+    )
+    assert rows == [(0, 0), (3, 30), (6, 60)]
+    all_rows = sample_video_frames(df, every_n=1).collect()
+    assert len(all_rows) == 7
+    assert all(r["width"] == 8 and r["height"] == 8 for r in all_rows)
+
+
+def test_audio_rms_square_and_mixed_wave(spark):
+    import math
+
+    from hw_kafka_streams_spark.operators.multimodal import (
+        audio_rms,
+        make_fake_wav_pcm,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(make_fake_wav_pcm(8000, 500, 64)))],
+        "doc_id long, payload binary",
+    )
+    r = audio_rms(df).collect()[0]
+    assert r["n_samples"] == 64
+    assert math.isclose(r["rms"], 500.0)
