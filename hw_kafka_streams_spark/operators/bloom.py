@@ -105,7 +105,9 @@ def might_contain(
     codegen, no join, no exchange. NULL keys probe to false (a NULL
     key never equi-joins, so "not in set" keeps anti-join semantics).
     """
-    arr = F.lit(bitmap)
+    # cast: an all-small-word bitmap (e.g. freshly created) would
+    # otherwise infer array<int>, and getbit rejects bit positions >= 32
+    arr = F.lit(bitmap).cast("array<long>")
     hits = []
     for pos in _positions(key, num_bits, k):
         word = F.shiftright(pos, 6).cast("int")

@@ -1018,3 +1018,73 @@ def test_observed_funnel_streaming_metrics(spark, tmp_path):
     assert metrics is not None
     assert metrics["n_in"] == 100
     assert metrics["pass_ge10"] == 90 and metrics["pass_even"] == 45
+
+
+def test_streaming_bloom_dedup_unbounded_horizon(spark, tmpdir):
+    """Cross-batch exact dedup with O(num_bits) state: batch-2 repeats
+    of batch-1 content are dropped via the persisted bitmap, new docs
+    pass, intra-batch dups keep the min id."""
+    from hw_kafka_streams_spark.streaming.bloomdedup import (
+        run_streaming_bloom_dedup,
+    )
+
+    schema = "doc_id long, text string"
+    emitted: list[tuple] = []
+
+    def sink(df, batch_id):
+        for r in df.collect():
+            emitted.append((r.doc_id, r.text))
+
+    spark.createDataFrame(
+        [(1, "first doc"), (2, "second doc"), (3, "second doc")], schema
+    ).coalesce(1).write.mode("append").parquet(f"{tmpdir}/in")
+    stream = spark.readStream.schema(schema).parquet(f"{tmpdir}/in")
+    q = run_streaming_bloom_dedup(
+        spark, stream, f"{tmpdir}/bloom", f"{tmpdir}/ckpt", sink
+    )
+    try:
+        q.processAllAvailable()
+        # intra-batch dup (3) dropped, min id (2) kept
+        assert sorted(emitted) == [(1, "first doc"), (2, "second doc")]
+
+        spark.createDataFrame(
+            [(10, "first doc"), (11, "  FIRST   doc "), (12, "brand new")],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(f"{tmpdir}/in")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # 10 = exact dup of 1; 11 = dup after normalization (case+whitespace)
+    assert sorted(emitted) == [
+        (1, "first doc"),
+        (2, "second doc"),
+        (12, "brand new"),
+    ]
+
+
+def test_streaming_bloom_dedup_replay_is_stable(spark, tmpdir):
+    """A replayed batch (at-least-once, crash between sink and fold)
+    re-evaluates against the pre-batch bitmap and emits the same rows;
+    folding twice is a no-op."""
+    from hw_kafka_streams_spark.operators.bloom import load_bitmap
+    from hw_kafka_streams_spark.streaming.bloomdedup import (
+        bloom_dedup_batch_step,
+        fold_batch_into_bloom,
+    )
+
+    bloom_dir = f"{tmpdir}/bloom"
+    batch = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    kept1 = bloom_dedup_batch_step(spark, batch, bloom_dir)
+    rows1 = sorted(r.doc_id for r in kept1.collect())
+    fold_batch_into_bloom(spark, kept1, bloom_dir)
+    bm1 = load_bitmap(spark, bloom_dir)
+
+    # replay the same batch: before the fold the step must drop all
+    # (already folded); fold again: bitmap unchanged
+    kept2 = bloom_dedup_batch_step(spark, batch, bloom_dir)
+    assert kept2.count() == 0
+    fold_batch_into_bloom(spark, kept2, bloom_dir)
+    assert load_bitmap(spark, bloom_dir) == bm1
+    assert rows1 == [1, 2]
