@@ -452,7 +452,8 @@ def q_similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "synthetic-probe move as the corrupt-JSON and NFC queries); the "
     "zlib ratio must separate the classes. Codec output is "
     "zlib-build-dependent, so the oracle is the invariant contract: "
-    "row-count anchors + bounds (0 < ratio <= 1.1) + strict "
+    "row-count anchors + bounds (0 < ratio <= 1.5; DEFLATE overhead "
+    "on the shortest ~47-char docs caps near 1.25) + strict "
     "class-mean separation boolean. Zero-shuffle narrow map; "
     "per-class means are one aggregation.",
 )
@@ -473,7 +474,7 @@ def q_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("is_rep").cast("long")).alias("n_repetitive"),
         (
-            (F.min("ratio") > 0.0) & (F.max("ratio") <= 1.1)
+            (F.min("ratio") > 0.0) & (F.max("ratio") <= 1.5)
         ).alias("ratios_in_bounds"),
         (
             F.avg(F.when(F.col("is_rep"), F.col("ratio")))

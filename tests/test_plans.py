@@ -258,6 +258,13 @@ def test_headline_plans_no_smj_no_unexpected_nlj(spark, sf_dir):
         # broadcast-query coarse scan (brute-force int8 stage)
         "q_dedup_cascade",
         "q_quantized_topk",
+        # round-5: 1-row total/vocab broadcasts (DSIR ratio table,
+        # bigram-LM vocabulary), the tiny per-class model cross (NB),
+        # and the broadcast-query PQ-ADC coarse scan
+        "q_dsir_weights",
+        "q_bigram_lm_score",
+        "q_naive_bayes_langid",
+        "q_similarity_pq_topk",
     }
     offenders: dict[str, str] = {}
     for name in HEADLINE:
