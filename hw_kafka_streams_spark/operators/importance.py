@@ -91,9 +91,13 @@ def dsir_logweights(
         )
         .select("id", "is_target", _bucket(F.col("f"), dim, hash_mode).alias("b"))
     )
-    bc = feats.groupBy("b").agg(
-        F.sum(F.col("is_target").cast("long")).alias("ct"),
-        F.sum((~F.col("is_target")).cast("long")).alias("cr"),
+    tf = feats.groupBy("id", "is_target", "b").agg(F.count(F.lit(1)).alias("tf"))
+    # model counts derive from tf, not from a second pass over the
+    # explode: the (doc, bucket) table is orders of magnitude smaller
+    # than the raw feature stream, and the explode runs exactly once.
+    bc = tf.groupBy("b").agg(
+        F.sum(F.when(F.col("is_target"), F.col("tf")).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("is_target"), F.col("tf")).otherwise(0)).alias("cr"),
     )
     tot = bc.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
     p_t = (F.col("ct") + 1).cast("double") / (F.col("nt") + F.lit(dim))
@@ -102,7 +106,6 @@ def dsir_logweights(
         bc.crossJoin(F.broadcast(tot))
         .select("b", F.round(F.log(p_t / p_r), 6).cast("decimal(18,6)").alias("lr"))
     )
-    tf = feats.groupBy("id", "is_target", "b").agg(F.count(F.lit(1)).alias("tf"))
     return (
         tf.join(F.broadcast(lr), "b")
         .groupBy("id", "is_target")
