@@ -610,3 +610,65 @@ def q_multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, lambda i: make_fake_wav_pcm(8000, 1000 + (i % 7) * 100, 256)
     )
     return audio_rms(payloads).orderBy("doc_id")
+
+
+@register(
+    "q_bpe_pair_stats",
+    oracle="""
+        WITH vocab AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS freq
+          FROM (
+            SELECT unnest(list_filter(
+                     string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x <> '')) AS w
+            FROM documents
+          ) GROUP BY 1
+        ), syms AS (
+          SELECT w, freq,
+                 list_concat(string_split(w, ''), ['</w>']) AS s
+          FROM vocab
+        ), pairs AS (
+          SELECT freq,
+                 unnest([struct_pack(a := s[i], b := s[i+1])
+                         FOR i IN range(1, len(s))], recursive := true)
+          FROM syms
+        )
+        SELECT a, b, CAST(sum(freq) AS BIGINT) AS pair_count
+        FROM pairs GROUP BY 1, 2
+        ORDER BY pair_count DESC, a, b LIMIT 20
+    """,
+    doc="BPE merge-candidate statistics (Sennrich et al. 2016, the "
+    "first iteration of byte-pair-encoding training at corpus scale): "
+    "word-level vocabulary with frequencies (the standard BPE "
+    "compaction - pair counts weight by word freq instead of "
+    "re-scanning the corpus), character symbol sequences with the "
+    "</w> end marker, top-20 adjacent symbol pairs by weighted count. "
+    "All exact integers; ties break on the pair. Each further merge "
+    "iteration re-applies the winning merge to the vocab table and "
+    "repeats this same one-aggregation plan.",
+)
+def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.text import _adjacent_pairs, word_tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    vocab = (
+        docs.select(F.explode(word_tokens(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    syms = vocab.select(
+        "freq",
+        F.concat(
+            F.filter(F.split("w", ""), lambda c: c != ""),
+            F.array(F.lit("</w>")),
+        ).alias("s"),
+    )
+    pairs = syms.select(
+        "freq", F.explode(_adjacent_pairs(F.col("s"))).alias("p")
+    ).select("freq", F.col("p.w1").alias("a"), F.col("p.w2").alias("b"))
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "a", "b")
+        .limit(20)
+    )

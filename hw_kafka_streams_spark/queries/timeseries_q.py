@@ -1068,3 +1068,40 @@ def q_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hr")
     )
+
+
+@register(
+    "q_gap_detect",
+    oracle="""
+        WITH g AS (
+          SELECT user_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+          FROM events
+        )
+        SELECT user_id, prev_ts AS gap_start, ts AS gap_end,
+               epoch_us(ts) - epoch_us(prev_ts) AS gap_us
+        FROM g
+        WHERE prev_ts IS NOT NULL
+          AND epoch_us(ts) - epoch_us(prev_ts) > 172800000000
+        ORDER BY user_id, gap_end
+    """,
+    doc="Telemetry gap detection: per-user inter-event gaps longer "
+    "than 2 days — the SLA/outage audit that LOCF resampling "
+    "(q_resample_locf) silently papers over. Exact microsecond "
+    "arithmetic (unix_micros both sides), one user-keyed window pass, "
+    "output bounded by the gap rate (~1% of rows at the 2-day "
+    "threshold).",
+)
+def q_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev = F.lag("ts").over(w)
+    g = ev.select(
+        "user_id",
+        prev.alias("gap_start"),
+        F.col("ts").alias("gap_end"),
+        (F.unix_micros("ts") - F.unix_micros(prev)).alias("gap_us"),
+    )
+    return g.filter(
+        F.col("gap_start").isNotNull() & (F.col("gap_us") > 172_800_000_000)
+    ).orderBy("user_id", "gap_end")
