@@ -259,3 +259,32 @@ def test_quantize_vec_arrow_roundtrip(spark):
         "vec_id", quantize_vec_arrow(F.col("embedding")).alias("z")).collect()}
     assert out[1].ma == 1.0 and out[1].q == [64, -127, 32]
     assert out[2].ma == 0.0 and out[2].q == [0, 0, 0]
+
+
+def test_ivfpq_persisted_index_prunes_and_recalls(spark, sf_dir, tmp_path):
+    from hw_kafka_streams_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivfpq_index,
+        ivfpq_topk_indexed,
+    )
+    from hw_kafka_streams_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    d = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, d, n_centroids=16)
+    # index artifact stores only (neighbor_id, codes) + cid partitions
+    lists = spark.read.parquet(f"{d}/lists")
+    assert set(lists.columns) == {"neighbor_id", "codes", "cid"}
+    queries = emb.filter(F.col("vec_id") < 5)
+    res = ivfpq_topk_indexed(spark, d, queries, emb, k=5, n_probe=4)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan  # probes prune unread lists
+    rows = res.collect()
+    assert all(r["neighbor_id"] != r["query_id"] for r in rows)
+    bf = brute_force_topk(queries, emb, k=5).select("query_id", "neighbor_id")
+    hits = (
+        res.select("query_id", "neighbor_id")
+        .join(bf, ["query_id", "neighbor_id"])
+        .count()
+    )
+    assert hits >= 0.4 * bf.count()
