@@ -672,3 +672,65 @@ def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_count"), "a", "b")
         .limit(20)
     )
+
+
+@register(
+    "q_ngram_novelty",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id,
+                 [('0x' || substring(md5(t),1,15))::BIGINT
+                  FOR t IN list_filter(string_split_regex(trim(text), '\\s+'),
+                                       t -> t <> '')] AS ths
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id,
+                 ('0x' || substring(md5(s),1,15))::BIGINT AS g
+          FROM (SELECT doc_id,
+                       unnest([array_to_string(ths[i:i+4], '|')
+                               FOR i IN range(1, len(ths) - 3)]) AS s
+                FROM toks WHERE len(ths) >= 5)
+        ), dfq AS (
+          SELECT g, count(*) AS df FROM sh GROUP BY 1
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum((df >= 2)::INT) AS BIGINT) AS n_shared,
+               round(1.0 - CAST(sum((df >= 2)::INT) AS DOUBLE) / count(*), 6)
+                   AS novelty
+        FROM sh JOIN dfq USING (g)
+        GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Per-document 5-gram novelty: the fraction of a doc's distinct "
+    "token 5-grams that appear in NO other document — the "
+    "memorization-risk / template-detection audit (low novelty = "
+    "boilerplate or near-copy even when exact/MinHash dedup kept the "
+    "doc). Reuses the md5h shingle twin (operators/dedup.py "
+    "shingle_postings): one (doc, shingle)-keyed distinct, one "
+    "shingle-keyed df count joined back by shingle — never doc-pairs, "
+    "so cost is linear in corpus shingles at 100 TB.",
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.dedup import shingle_postings
+
+    docs = load_table(spark, "documents", sf_dir)
+    sh = shingle_postings(docs, n=5, hash_mode="md5", distinct=True)
+    dfq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(dfq, "shingle")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("df") >= 2).cast("long")).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_shared",
+            F.round(
+                F.lit(1.0) - F.col("n_shared").cast("double") / F.col("n_grams"),
+                6,
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
