@@ -1738,60 +1738,17 @@ def q_dedup_keep_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     "index shape. Top-10 via TakeOrderedAndProject.",
 )
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hw_kafka_streams_spark.operators.text import word_tokens
+    from hw_kafka_streams_spark.operators.retrieval import bm25_scores
 
-    terms = ["spark", "join", "hash"]
-    k1, b = 1.2, 0.75
     docs = load_table(spark, "documents", sf_dir)
-    toks = docs.select(
-        "doc_id", F.explode(word_tokens(F.lower(F.col("text")))).alias("term")
-    )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-    )
-    qt = (
-        toks.filter(F.col("term").isin(terms))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfreq = qt.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    contrib = (
-        qt.join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
-            F.round(
-                F.log(
-                    1
-                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-                )
-                * F.col("tf")
-                * (k1 + 1)
-                / (
-                    F.col("tf")
-                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
-                ),
-                6,
-            )
-            .cast("decimal(12,6)")
-            .alias("s"),
-        )
-    )
+    scores = bm25_scores(docs, ["spark", "join", "hash"], k1=1.2, b=0.75)
     return (
-        contrib.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_terms_hit"),
-            F.sum("s").alias("s_sum"),
-        )
-        .orderBy(F.desc("s_sum"), F.asc("doc_id"))
+        scores.orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(10)
         .select(
             "doc_id",
             "n_terms_hit",
-            F.round(F.col("s_sum").cast("double"), 6).cast("string").alias("bm25"),
+            F.round(F.col("bm25").cast("double"), 6).cast("string").alias("bm25"),
         )
     )
 

@@ -734,3 +734,95 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_hybrid_rank_fusion",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_filter(
+                   string_split_regex(trim(lower(text)), '\\s+'),
+                   t -> t <> '')) AS term
+          FROM documents
+        ),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        stats AS (SELECT count(*) AS n_docs,
+                         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        qt AS (SELECT doc_id, term, count(*) AS tf FROM toks
+               WHERE term IN ('spark', 'join', 'hash') GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM qt GROUP BY 1),
+        contrib AS (
+          SELECT qt.doc_id,
+                 CAST(round(
+                   ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * qt.tf * 2.2
+                   / (qt.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)),
+                   6) AS DECIMAL(12,6)) AS s
+          FROM qt JOIN dfreq USING (term) JOIN dl USING (doc_id)
+          CROSS JOIN stats
+        ),
+        bm AS (SELECT doc_id, sum(s) AS bm25 FROM contrib GROUP BY 1),
+        lex AS (
+          SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                              AS INT) AS lex_rnk
+          FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT 100)
+        ),
+        vec AS (
+          SELECT vec_id AS doc_id,
+                 CAST(row_number() OVER (ORDER BY cs DESC, vec_id)
+                      AS INT) AS vec_rnk
+          FROM (SELECT c.vec_id,
+                       round(list_cosine_similarity(c.embedding::DOUBLE[],
+                                                    q.embedding::DOUBLE[]), 4)
+                           AS cs
+                FROM embeddings c,
+                     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+                WHERE c.vec_id <> 0
+                ORDER BY cs DESC, c.vec_id LIMIT 100)
+        )
+        SELECT doc_id, lex_rnk, vec_rnk,
+               round(coalesce(1.0 / (60 + lex_rnk), 0)
+                     + coalesce(1.0 / (60 + vec_rnk), 0), 6) AS rrf
+        FROM lex FULL OUTER JOIN vec USING (doc_id)
+        ORDER BY rrf DESC, doc_id LIMIT 15
+    """,
+    doc="Hybrid retrieval via reciprocal-rank fusion (Cormack et al. "
+    "2009; operators/retrieval.py): the BM25 lexical branch (query "
+    "{spark, join, hash}) and the exact-cosine vector branch (query = "
+    "embedding 0) each take top-100 via TakeOrderedAndProject (no "
+    "global window), get bounded post-limit ranks, and fuse with "
+    "score = sum of 1/(60+rank) over a full outer join — the "
+    "calibration-free rank merge every RAG stack runs. Both branch "
+    "orderings are exact (DECIMAL bm25, 4-dp cosine, id tiebreaks), "
+    "so the fused top-15 is value-hash oracled end to end.",
+)
+def q_hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators import similarity as S
+    from hw_kafka_streams_spark.operators.retrieval import (
+        bm25_scores,
+        rank_top,
+        rrf_fuse,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    lex = rank_top(
+        bm25_scores(docs, ["spark", "join", "hash"]),
+        [F.desc("bm25"), F.asc("doc_id")],
+        100,
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                S.cosine_arrow(F.col("embedding"), F.col("qvec")), 4
+            ).alias("cs"),
+        )
+    )
+    vec = rank_top(scored, [F.desc("cs"), F.asc("doc_id")], 100)
+    return rrf_fuse(lex, vec, rrf_k=60, topk=15)
