@@ -947,3 +947,50 @@ def containment_pairs(
             "small_id", "big_id", F.round("containment", 4).alias("containment")
         )
     )
+
+
+def char_span_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 20,
+    stride: int = 10,
+    max_df: int | None = 50,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Substring-level (exact-span) duplicate pairs — which documents
+    share verbatim character ``n``-gram spans, the corpus-internal twin
+    of eval decontamination (chunking.char_ngram_contamination) and the
+    cheap approximation of suffix-array substring dedup.
+
+    Returns (doc_a, doc_b, n_shared_spans): doc_a < doc_b, counting
+    DISTINCT shared grams, pairs with at least ``min_shared``.
+
+    Scale: the pair generator is an inverted-index self-join on the
+    gram — never all-pairs — and ``max_df`` drops grams appearing in
+    more than that many docs BEFORE the self-join, which is what keeps
+    a boilerplate gram (df=10⁶ docs → 10¹² pairs) from detonating the
+    shuffle. Unlike the MinHash path this is exact on what it keeps,
+    so the df cap is part of the operator's declared contract (and of
+    the SQL oracle), not a hidden approximation.
+    """
+    from hw_kafka_streams_spark.operators.chunking import char_ngrams
+
+    g = char_ngrams(df, text_col, id_col, n, stride).distinct()
+    if max_df is not None:
+        keep = (
+            g.groupBy("gram")
+            .agg(F.countDistinct(id_col).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("gram")
+        )
+        g = g.join(keep, "gram")
+    a = g.select(F.col(id_col).alias("doc_a"), "gram")
+    b = g.select(F.col(id_col).alias("doc_b"), "gram")
+    return (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_spans"))
+        .filter(F.col("n_shared_spans") >= min_shared)
+    )

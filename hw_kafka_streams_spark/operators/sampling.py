@@ -150,3 +150,34 @@ def weighted_sample(
         .filter(F.col("rank") <= k)
         .select(group_col, "rank", id_col, weight_col)
     )
+
+
+def split_leakage_audit(
+    df: DataFrame,
+    split_col: str,
+    group_col: str,
+) -> DataFrame:
+    """One-row audit of a train/test split against a grouping that must
+    not straddle it (source/domain/author): group-level leakage is the
+    classic eval inflation bug — near-identical docs from one domain on
+    both sides of the split.
+
+    ``split_col`` is a 0/1 int (1 = train). Returns
+    (n_train, n_test, n_leaky_groups, n_leaked_test_docs) where a leaky
+    group has docs on both sides and the leaked-doc count is its test
+    side. Two aggregations, both keyed small: per-group counts (groups,
+    not docs), then a single global roll-up.
+    """
+    per_grp = df.groupBy(group_col).agg(
+        F.sum(F.col(split_col)).alias("_tr"),
+        F.sum(F.lit(1) - F.col(split_col)).alias("_te"),
+    )
+    leaky = (F.col("_tr") > 0) & (F.col("_te") > 0)
+    return per_grp.agg(
+        F.sum("_tr").alias("n_train"),
+        F.sum("_te").alias("n_test"),
+        F.sum(leaky.cast("int")).alias("n_leaky_groups"),
+        F.sum(F.when(leaky, F.col("_te")).otherwise(F.lit(0))).alias(
+            "n_leaked_test_docs"
+        ),
+    )

@@ -1195,3 +1195,53 @@ def ivfpq_topk_indexed(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )
+
+
+def knn_classify(
+    unlabeled: DataFrame,
+    labeled: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """kNN label prediction for a bounded batch of unlabeled vectors —
+    the auto-labeling / curation-classifier pass (label a crawl slice
+    by its nearest labeled exemplars instead of training a model).
+
+    Majority vote over the k cosine-nearest labeled vectors; ties break
+    by nearest supporting neighbor (min rank), then smallest label —
+    integers all the way, so the vote is engine-reproducible.
+
+    Plan shape: the scoring reuses :func:`brute_force_topk` (broadcast
+    queries × partition-parallel corpus, Arrow cosine kernel); the vote
+    is a (query, label) count — at most ``queries × k`` rows — and two
+    driver-bounded windows. Corpus size only enters through the scan.
+    """
+    hits = brute_force_topk(unlabeled, labeled, k=k, id_col=id_col, vec_col=vec_col)
+    cand = labeled.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("pred_label")
+    )
+    votes = (
+        hits.join(cand, "neighbor_id")
+        .groupBy("query_id", "pred_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"), F.min("rnk").alias("_best_rnk"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("_best_rnk"), F.asc("pred_label")
+    )
+    pred = (
+        votes.withColumn("_vr", F.row_number().over(w))
+        .filter(F.col("_vr") == 1)
+        .select("query_id", "pred_label", "n_votes")
+    )
+    truth = unlabeled.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("true_label")
+    )
+    return pred.join(truth, "query_id").select(
+        F.col("query_id").alias(id_col),
+        "pred_label",
+        "n_votes",
+        "true_label",
+        (F.col("pred_label") == F.col("true_label")).cast("int").alias("correct"),
+    )

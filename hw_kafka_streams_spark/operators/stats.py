@@ -134,3 +134,54 @@ def quantile_buckets(
         .drop("_ts")
         .withColumnRenamed("_v", f"{out_col}_value")
     )
+
+
+def ols_fit(
+    df: DataFrame,
+    x: Column | str,
+    y: Column | str,
+    prefix: str = "",
+) -> DataFrame:
+    """One-row OLS fit of ``y ~ x``: (n, slope, intercept, r2).
+
+    Determinism recipe (the q_regression_stats one, packaged): x and y
+    are rounded to DECIMAL(18,6) per row, so the five moment sums
+    (Σx, Σy, Σxy, Σx², Σy²) accumulate as EXACT decimals — reducer
+    order cannot drift them — and only the closed-form epilogue (a
+    handful of scalar IEEE ops on the one aggregated row) runs in
+    double. This is the 100 TB shape for any algebraic statistic:
+    distributive integer/decimal partials, tiny float finish.
+
+    ``prefix`` namespaces the output columns (``{prefix}slope`` ...)
+    so two fits can be cross-joined into one report row.
+    """
+    xc = (F.col(x) if isinstance(x, str) else x).cast("double")
+    yc = (F.col(y) if isinstance(y, str) else y).cast("double")
+    xd = F.round(xc, 6).cast("decimal(18,6)")
+    yd = F.round(yc, 6).cast("decimal(18,6)")
+    m = df.select(
+        xd.alias("_x"), yd.alias("_y")
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sx2"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_sy2"),
+    )
+    n = F.col("_n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sx2 = F.col("_sx2").cast("double")
+    sy2 = F.col("_sy2").cast("double")
+    cov_n = n * sxy - sx * sy  # n² · cov(x, y)
+    var_x = n * sx2 - sx * sx  # n² · var(x)
+    var_y = n * sy2 - sy * sy
+    slope = cov_n / var_x
+    return m.select(
+        F.col("_n").alias(f"{prefix}n"),
+        slope.alias(f"{prefix}slope"),
+        ((sy - slope * sx) / n).alias(f"{prefix}intercept"),
+        ((cov_n * cov_n) / (var_x * var_y)).alias(f"{prefix}r2"),
+    )

@@ -571,3 +571,61 @@ def compression_ratio_arrow(text: Column | str) -> Column:
         return s.map(one)
 
     return _ratio(col)
+
+
+def ctfidf_terms(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+) -> DataFrame:
+    """Class-based TF-IDF (the BERTopic c-TF-IDF): the terms that
+    characterize each GROUP of documents (source/domain/cluster), not
+    each document — the standard readout for "what is this domain
+    about?" when curating a mixture.
+
+        score(t, c) = tf(t, c) / w(c) · ln(1 + A / f(t))
+
+    tf = term count in class, w = tokens in class, f = corpus term
+    count, A = mean tokens per class. Every input to the formula is an
+    exact integer aggregate; the score is one scalar IEEE expression
+    (oracle-reproducible, round 6).
+
+    Scale: one (class, term) shuffle shared by all three count tables;
+    the corpus term table joins back by term (AQE broadcast while it
+    fits); the ranking window partitions by class over the aggregated
+    (class, term) table — vocabulary-sized, never corpus-sized.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(word_tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("tf"))
+    w_c = tf.groupBy("grp").agg(F.sum("tf").alias("w"))
+    f_t = tf.groupBy("term").agg(F.sum("tf").alias("f"))
+    totals = w_c.agg(
+        F.sum("w").alias("n_total"), F.count(F.lit(1)).alias("n_classes")
+    )  # 1 row
+    score = F.round(
+        (F.col("tf").cast("double") / F.col("w"))
+        * F.log(
+            F.lit(1.0)
+            + (F.col("n_total").cast("double") / F.col("n_classes")) / F.col("f")
+        ),
+        6,
+    )
+    scored = (
+        tf.join(F.broadcast(w_c), "grp")
+        .join(f_t, "term")
+        .crossJoin(F.broadcast(totals))
+        .select("grp", "term", score.alias("ctfidf"))
+    )
+    rw = Window.partitionBy("grp").orderBy(F.desc("ctfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(rw))
+        .filter(F.col("rnk") <= top_k)
+        .select(F.col("grp").alias(group_col), "term", "ctfidf", "rnk")
+    )

@@ -57,6 +57,7 @@ def _load_all() -> None:
         return
     from hw_kafka_streams_spark.queries import (  # noqa: F401
         corpus_q,
+        curation_q,
         extras_q,
         functions_q,
         llm_q,

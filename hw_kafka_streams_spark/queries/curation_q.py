@@ -1,0 +1,331 @@
+"""Corpus-curation battery round 6: span-level dedup, group-aware
+split audit, class TF-IDF, kNN auto-labeling, Zipf/Heaps law fits.
+
+North-star LLM-pipeline extensions (the reference — svolga/
+hw-kafka-streams, MessageFilterProcessor.java:22-47 — has no curation
+surface); every query carries an exact DuckDB oracle so the driver
+value-hash-checks it at sf0.01.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hw_kafka_streams_spark.operators import similarity as S
+from hw_kafka_streams_spark.operators.dedup import char_span_pairs
+from hw_kafka_streams_spark.operators.sampling import hash_bucket, split_leakage_audit
+from hw_kafka_streams_spark.operators.stats import ols_fit
+from hw_kafka_streams_spark.operators.text import ctfidf_terms, word_tokens
+from hw_kafka_streams_spark.operators.winutil import tiny_table_partition
+from hw_kafka_streams_spark.queries import register
+from hw_kafka_streams_spark.sources.catalog import load_table
+
+# DuckDB twin of sampling.hash_bucket(key, denom, seed, hash_mode='md5')
+# (first 15 md5 hex chars as a bigint, mod denom — non-negative, so
+# pmod == %).
+_BUCKET = (
+    "CAST(('0x' || substring(md5({key} || ':{seed}'), 1, 15)) AS BIGINT) % {denom}"
+)
+
+
+@register(
+    "q_span_dedup",
+    oracle="""
+        WITH grams AS (
+            SELECT DISTINCT doc_id,
+                   substr(lt, CAST(s AS INT) + 1, 20) AS gram
+            FROM (SELECT doc_id, lower(text) AS lt,
+                         unnest(generate_series(0, length(text) - 20, 10)) AS s
+                  FROM documents WHERE length(text) >= 20)
+        ),
+        keep AS (
+            SELECT gram FROM (
+                SELECT gram, count(DISTINCT doc_id) AS df FROM grams GROUP BY 1
+            ) WHERE df <= 50
+        ),
+        g AS (SELECT doc_id, gram FROM grams JOIN keep USING (gram))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS n_shared_spans
+        FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 2
+        ORDER BY doc_a, doc_b
+    """,
+    doc="Substring-level duplicate pairs: docs sharing >= 2 distinct "
+    "verbatim 20-char spans (stride 10) — the corpus-internal twin of "
+    "eval decontamination and the cheap stand-in for suffix-array "
+    "substring dedup. Inverted-index self-join, never all-pairs; the "
+    "df <= 50 gram cap is part of the contract (and the oracle), the "
+    "guard that keeps one boilerplate span from quadratic pair blowup "
+    "(operators/dedup.char_span_pairs).",
+)
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return char_span_pairs(
+        docs, n=20, stride=10, max_df=50, min_shared=2
+    ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "q_split_leakage",
+    oracle=f"""
+        WITH flags AS (
+            SELECT source,
+                   CAST({_BUCKET.format(key="doc_id::VARCHAR", seed=42, denom=10)} < 8
+                        AS INT) AS by_doc,
+                   CAST({_BUCKET.format(key="source", seed=42, denom=10)} < 8
+                        AS INT) AS by_source
+            FROM documents
+        ),
+        audits AS (
+            SELECT 'by_doc' AS method, _tr, _te FROM (
+                SELECT source, sum(by_doc) AS _tr, sum(1 - by_doc) AS _te
+                FROM flags GROUP BY source)
+            UNION ALL
+            SELECT 'by_source', _tr, _te FROM (
+                SELECT source, sum(by_source) AS _tr, sum(1 - by_source) AS _te
+                FROM flags GROUP BY source)
+        )
+        SELECT method,
+               CAST(sum(_tr) AS BIGINT) AS n_train,
+               CAST(sum(_te) AS BIGINT) AS n_test,
+               CAST(sum(CASE WHEN _tr > 0 AND _te > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_leaky_groups,
+               CAST(sum(CASE WHEN _tr > 0 AND _te > 0 THEN _te ELSE 0 END)
+                    AS BIGINT) AS n_leaked_test_docs
+        FROM audits GROUP BY method ORDER BY method
+    """,
+    doc="Group-aware split audit: an 80/20 hash split BY DOC leaks "
+    "sources across train/test (near-identical domain docs on both "
+    "sides inflate eval) — counted per method; the BY SOURCE split is "
+    "leakage-free by construction and the audit proves it with zeros. "
+    "Per-group counts then one global roll-up; both aggregations are "
+    "group-keyed, never doc-keyed twice "
+    "(operators/sampling.split_leakage_audit).",
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    out = []
+    for method, key in (("by_doc", "doc_id"), ("by_source", "source")):
+        flagged = docs.withColumn(
+            "_split",
+            (hash_bucket(key, denom=10, seed=42, hash_mode="md5") < 8).cast("int"),
+        )
+        out.append(
+            split_leakage_audit(flagged, "_split", "source").select(
+                F.lit(method).alias("method"),
+                "n_train",
+                "n_test",
+                "n_leaky_groups",
+                "n_leaked_test_docs",
+            )
+        )
+    return out[0].unionAll(out[1]).orderBy("method")
+
+
+@register(
+    "q_ctfidf_source_terms",
+    oracle="""
+        WITH toks AS (
+            SELECT source, unnest(list_filter(
+                     string_split_regex(trim(lower(text)), '\\s+'),
+                     t -> t <> '')) AS term
+            FROM documents
+        ),
+        tf AS (SELECT source, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        w_c AS (SELECT source, sum(tf) AS w FROM tf GROUP BY 1),
+        f_t AS (SELECT term, sum(tf) AS f FROM tf GROUP BY 1),
+        totals AS (SELECT sum(w) AS n_total, count(*) AS n_classes FROM w_c),
+        scored AS (
+            SELECT tf.source, tf.term,
+                   round((CAST(tf.tf AS DOUBLE) / w_c.w)
+                         * ln(1.0 + (CAST(t.n_total AS DOUBLE) / t.n_classes)
+                                    / f_t.f), 6) AS ctfidf
+            FROM tf JOIN w_c USING (source) JOIN f_t USING (term)
+            CROSS JOIN totals t
+        )
+        SELECT source, term, ctfidf, CAST(rnk AS INT) AS rnk FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY source ORDER BY ctfidf DESC, term) AS rnk
+            FROM scored)
+        WHERE rnk <= 3 ORDER BY source, rnk
+    """,
+    doc="Class-based TF-IDF (BERTopic c-TF-IDF): top-3 characteristic "
+    "terms PER SOURCE — the 'what is this domain about?' readout for "
+    "mixture curation. All formula inputs are exact integer aggregates "
+    "sharing one (class, term) shuffle; the rank window partitions by "
+    "class over the vocabulary-sized tf table, never the corpus "
+    "(operators/text.ctfidf_terms).",
+)
+def q_ctfidf_source_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return ctfidf_terms(docs, group_col="source", top_k=3).orderBy("source", "rnk")
+
+
+@register(
+    "q_knn_classify",
+    oracle="""
+        WITH q AS (SELECT vec_id, embedding, label FROM embeddings
+                   WHERE vec_id % 5 = 0),
+        c AS (SELECT vec_id, embedding, label FROM embeddings
+              WHERE vec_id % 5 <> 0),
+        topk AS (
+            SELECT * FROM (
+                SELECT q.vec_id AS query_id, c.label AS pred_label,
+                       CAST(row_number() OVER (
+                         PARTITION BY q.vec_id
+                         ORDER BY round(list_cosine_similarity(
+                                    q.embedding::DOUBLE[],
+                                    c.embedding::DOUBLE[]), 4) DESC,
+                                  c.vec_id) AS INT) AS rnk
+                FROM q JOIN c ON true)
+            WHERE rnk <= 5
+        ),
+        votes AS (SELECT query_id, pred_label, count(*) AS n_votes,
+                         min(rnk) AS best_rnk
+                  FROM topk GROUP BY 1, 2),
+        pred AS (SELECT * FROM (
+                     SELECT *, row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY n_votes DESC, best_rnk, pred_label) AS vr
+                     FROM votes)
+                 WHERE vr = 1)
+        SELECT q.vec_id, p.pred_label, p.n_votes, q.label AS true_label,
+               CAST(p.pred_label = q.label AS INT) AS correct
+        FROM pred p JOIN q ON p.query_id = q.vec_id
+        ORDER BY q.vec_id
+    """,
+    doc="kNN auto-labeling: predict the label of a held-out 20% of "
+    "vectors by majority vote over their 5 cosine-nearest labeled "
+    "neighbors — the label-a-crawl-slice-by-exemplars curation pass. "
+    "Scoring reuses the broadcast-queries Arrow cosine kernel "
+    "(brute_force_topk); the vote is integer-deterministic (count, "
+    "then nearest supporting neighbor, then smallest label) "
+    "(operators/similarity.knn_classify).",
+)
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    unl = emb.filter(F.col("vec_id") % 5 == 0)
+    lab = emb.filter(F.col("vec_id") % 5 != 0)
+    return S.knn_classify(unl, lab, k=5).orderBy("vec_id")
+
+
+@register(
+    "q_zipf_heaps",
+    oracle="""
+        WITH toks AS (
+            SELECT source, unnest(list_filter(
+                     string_split_regex(trim(lower(text)), '\\s+'),
+                     t -> t <> '')) AS term
+            FROM documents
+        ),
+        freq AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+        top AS (SELECT * FROM (
+                    SELECT term, cnt, row_number() OVER (
+                        ORDER BY cnt DESC, term) AS rnk
+                    FROM freq)
+                WHERE rnk <= 100),
+        zm AS (
+            SELECT count(*) AS n, sum(xd) AS sx, sum(yd) AS sy,
+                   sum(xd * yd) AS sxy, sum(xd * xd) AS sx2,
+                   sum(yd * yd) AS sy2
+            FROM (SELECT CAST(round(ln(CAST(rnk AS DOUBLE)), 6)
+                              AS DECIMAL(18,6)) AS xd,
+                         CAST(round(ln(CAST(cnt AS DOUBLE)), 6)
+                              AS DECIMAL(18,6)) AS yd
+                  FROM top)
+        ),
+        srcpts AS (
+            SELECT source, count(*) AS n_tok, count(DISTINCT term) AS n_vocab
+            FROM toks GROUP BY 1
+        ),
+        hm AS (
+            SELECT count(*) AS n, sum(xd) AS sx, sum(yd) AS sy,
+                   sum(xd * yd) AS sxy, sum(xd * xd) AS sx2,
+                   sum(yd * yd) AS sy2
+            FROM (SELECT CAST(round(ln(CAST(n_tok AS DOUBLE)), 6)
+                              AS DECIMAL(18,6)) AS xd,
+                         CAST(round(ln(CAST(n_vocab AS DOUBLE)), 6)
+                              AS DECIMAL(18,6)) AS yd
+                  FROM srcpts)
+        )
+        SELECT CAST(zm.n AS INT) AS n_terms,
+               round((CAST(zm.n AS DOUBLE) * CAST(zm.sxy AS DOUBLE)
+                      - CAST(zm.sx AS DOUBLE) * CAST(zm.sy AS DOUBLE))
+                     / (CAST(zm.n AS DOUBLE) * CAST(zm.sx2 AS DOUBLE)
+                        - CAST(zm.sx AS DOUBLE) * CAST(zm.sx AS DOUBLE)),
+                     6) AS zipf_slope,
+               round(((CAST(zm.n AS DOUBLE) * CAST(zm.sxy AS DOUBLE)
+                       - CAST(zm.sx AS DOUBLE) * CAST(zm.sy AS DOUBLE))
+                      * (CAST(zm.n AS DOUBLE) * CAST(zm.sxy AS DOUBLE)
+                         - CAST(zm.sx AS DOUBLE) * CAST(zm.sy AS DOUBLE)))
+                     / ((CAST(zm.n AS DOUBLE) * CAST(zm.sx2 AS DOUBLE)
+                         - CAST(zm.sx AS DOUBLE) * CAST(zm.sx AS DOUBLE))
+                        * (CAST(zm.n AS DOUBLE) * CAST(zm.sy2 AS DOUBLE)
+                           - CAST(zm.sy AS DOUBLE) * CAST(zm.sy AS DOUBLE))),
+                     6) AS zipf_r2,
+               CAST(hm.n AS INT) AS n_groups,
+               round((CAST(hm.n AS DOUBLE) * CAST(hm.sxy AS DOUBLE)
+                      - CAST(hm.sx AS DOUBLE) * CAST(hm.sy AS DOUBLE))
+                     / (CAST(hm.n AS DOUBLE) * CAST(hm.sx2 AS DOUBLE)
+                        - CAST(hm.sx AS DOUBLE) * CAST(hm.sx AS DOUBLE)),
+                     6) AS heaps_beta,
+               round(exp((CAST(hm.sy AS DOUBLE)
+                          - ((CAST(hm.n AS DOUBLE) * CAST(hm.sxy AS DOUBLE)
+                              - CAST(hm.sx AS DOUBLE) * CAST(hm.sy AS DOUBLE))
+                             / (CAST(hm.n AS DOUBLE) * CAST(hm.sx2 AS DOUBLE)
+                                - CAST(hm.sx AS DOUBLE) * CAST(hm.sx AS DOUBLE)))
+                            * CAST(hm.sx AS DOUBLE)) / CAST(hm.n AS DOUBLE)),
+                     6) AS heaps_k
+        FROM zm CROSS JOIN hm
+    """,
+    doc="Corpus-law fits: Zipf slope/r² over the top-100 term "
+    "frequencies (ln freq ~ ln rank) and Heaps' law V = k·N^beta "
+    "across per-source (tokens, vocab) points — the two-number sanity "
+    "check that a corpus looks like natural language (template/spam "
+    "corpora bend both laws). Rank comes from TakeOrderedAndProject "
+    "top-100 (never a global window over the vocabulary); both fits "
+    "run on driver-bounded point sets through the DECIMAL-exact OLS "
+    "moments (operators/stats.ols_fit) so reducer order can't drift "
+    "the hash.",
+)
+def q_zipf_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "source", F.explode(word_tokens(F.lower(F.col("text")))).alias("term")
+    )
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    top = freq.orderBy(F.desc("cnt"), F.asc("term")).limit(100)
+    # rank over the post-limit 100-row table: driver-bounded by
+    # construction, so the single-partition window is intentional
+    from pyspark.sql import Window
+
+    rw = (
+        Window.partitionBy(tiny_table_partition("term"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+    )
+    ranked = top.withColumn("rnk", F.row_number().over(rw))
+    zipf = ols_fit(
+        ranked,
+        F.log(F.col("rnk").cast("double")),
+        F.log(F.col("cnt").cast("double")),
+        prefix="zipf_",
+    )
+    srcpts = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.countDistinct("term").alias("n_vocab"),
+    )
+    heaps = ols_fit(
+        srcpts,
+        F.log(F.col("n_tok").cast("double")),
+        F.log(F.col("n_vocab").cast("double")),
+        prefix="heaps_",
+    )
+    return zipf.crossJoin(heaps).select(
+        F.col("zipf_n").cast("int").alias("n_terms"),
+        F.round("zipf_slope", 6).alias("zipf_slope"),
+        F.round("zipf_r2", 6).alias("zipf_r2"),
+        F.col("heaps_n").cast("int").alias("n_groups"),
+        F.round("heaps_slope", 6).alias("heaps_beta"),
+        F.round(F.exp("heaps_intercept"), 6).alias("heaps_k"),
+    )
