@@ -185,3 +185,91 @@ def ols_fit(
         ((sy - slope * sx) / n).alias(f"{prefix}intercept"),
         ((cov_n * cov_n) / (var_x * var_y)).alias(f"{prefix}r2"),
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    value_col: Column | str,
+    group_col: str,
+    lower: float = 0.05,
+    upper: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorized + trimmed means — outlier-robust central
+    tendency for noisy numeric columns (model scores, prices, latencies)
+    where a handful of wild values drags the plain mean.
+
+    Winsorized: values clamped into [p_lower, p_upper] then averaged.
+    Trimmed: values OUTSIDE the band dropped then averaged. Returns
+    per group: n, the two thresholds, both means, and the clip counts.
+
+    Scale shape: one exact-percentile aggregation per group (tiny
+    result, broadcast back) then one clamped aggregation — the
+    quantile_buckets recipe, so no per-group sort and no ntile. The
+    means sum DECIMAL(18,6)-rounded values, so reducer order cannot
+    drift the hash; exact-percentile interpolation matches DuckDB
+    quantile_cont bit-for-bit (proven by q_percentiles).
+    """
+    vc = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+        "double"
+    )
+    with_v = df.select(F.col(group_col), vc.alias("_v"))
+    th = with_v.groupBy(group_col).agg(
+        F.percentile("_v", F.array(F.lit(lower), F.lit(upper))).alias("_ts")
+    ).select(
+        group_col,
+        F.col("_ts")[0].alias("_lo"),
+        F.col("_ts")[1].alias("_hi"),
+    )
+    j = with_v.join(F.broadcast(th), group_col)
+    clamped = F.least(F.greatest(F.col("_v"), F.col("_lo")), F.col("_hi"))
+    in_band = (F.col("_v") >= F.col("_lo")) & (F.col("_v") <= F.col("_hi"))
+    vd = F.round(F.col("_v"), 6).cast("decimal(18,6)")
+    cd = F.round(clamped, 6).cast("decimal(18,6)")
+    return j.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("_lo"), 6).alias("p_lo"),
+        F.round(F.min("_hi"), 6).alias("p_hi"),
+        F.round(F.sum(cd).cast("double") / F.count(F.lit(1)), 6).alias("win_mean"),
+        F.round(
+            F.sum(F.when(in_band, vd)).cast("double")
+            / F.sum(in_band.cast("int")),
+            6,
+        ).alias("trim_mean"),
+        F.sum((F.col("_v") < F.col("_lo")).cast("int")).alias("n_clipped_lo"),
+        F.sum((F.col("_v") > F.col("_hi")).cast("int")).alias("n_clipped_hi"),
+    )
+
+
+def group_entropy(
+    df: DataFrame,
+    group_col: str,
+    class_col: str,
+) -> DataFrame:
+    """Shannon entropy (nats) of the ``class_col`` distribution within
+    each group — e.g. the language mix per source: 0 = monolingual
+    domain, ln(k) = uniform over k classes. The one-number diversity
+    readout mixture curation uses to spot mislabeled or scraped-mixed
+    domains.
+
+    Per group: n, n_classes, majority_share, entropy. Counts are exact
+    integers; each class contributes one scalar
+    ``round(-(c/n)·ln(c/n), 6)`` summed in DECIMAL (reducer-order-
+    proof). Two group-keyed aggregations — (group, class) then group —
+    never a doc-keyed second pass.
+    """
+    cc = df.groupBy(group_col, class_col).agg(F.count(F.lit(1)).alias("_c"))
+    tot = cc.groupBy(group_col).agg(F.sum("_c").alias("_n"))
+    p = F.col("_c").cast("double") / F.col("_n")
+    term = F.round(-p * F.log(p), 6).cast("decimal(18,6)")
+    return (
+        cc.join(F.broadcast(tot), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.min("_n").alias("n"),
+            F.count(F.lit(1)).alias("n_classes"),
+            F.round(F.max("_c").cast("double") / F.min("_n"), 6).alias(
+                "majority_share"
+            ),
+            F.round(F.sum(term).cast("double"), 6).alias("entropy"),
+        )
+    )

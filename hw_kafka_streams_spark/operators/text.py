@@ -629,3 +629,105 @@ def ctfidf_terms(
         .filter(F.col("rnk") <= top_k)
         .select(F.col("grp").alias(group_col), "term", "ctfidf", "rnk")
     )
+
+
+def flesch_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Flesch reading-ease from cheap surface counts —
+    the readability leg of a quality-filter stack (very low scores
+    flag legalese/generated sludge, implausibly high ones flag
+    word-salad).
+
+        flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+
+    Syllables ≈ vowel-group runs ``[aeiouy]+`` (the classic heuristic);
+    sentences = terminator runs ``[.!?]+`` floored at 1; words = the
+    repo's whitespace tokenizer. All three are single-pass vectorized
+    regexp counts — a zero-shuffle narrow map, like quality_score.
+    """
+    t = F.col(text_col)
+    words = F.size(word_tokens(t))
+    syll = F.regexp_count(F.lower(t), F.lit("[aeiouy]+"))
+    sent = F.greatest(F.regexp_count(t, F.lit("[.!?]+")), F.lit(1))
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sent)
+        - F.lit(84.6) * (syll.cast("double") / words)
+    )
+    return df.select(
+        F.col(id_col),
+        words.alias("n_words"),
+        syll.alias("n_syllables"),
+        sent.alias("n_sentences"),
+        F.when(words > 0, F.round(flesch, 4)).alias("flesch"),
+    )
+
+
+def vocab_jaccard_pairs(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between GROUPS of documents
+    (sources/domains) — the similarity matrix mixture curation uses to
+    find redundant domains worth merging or down-weighting.
+
+    |A∩B| comes from an inverted-index self-join on the term (each
+    term with group-df d contributes d·(d−1)/2 pairs — pair space is
+    groups², never docs²); |A| and |B| are per-group vocabulary counts
+    broadcast back. With millions of groups (web domains) set
+    ``max_df`` to drop universal terms before the self-join — they
+    carry no similarity signal and dominate the pair count.
+    """
+    g = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(word_tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .distinct()
+    )
+    if max_df is not None:
+        keep = (
+            g.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("term")
+        )
+        g = g.join(keep, "term")
+    sizes = g.groupBy("grp").agg(F.count(F.lit(1)).alias("vocab"))
+    a = g.select(F.col("grp").alias("grp_a"), "term")
+    b = g.select(F.col("grp").alias("grp_b"), "term")
+    inter = (
+        a.join(b, "term")
+        .filter(F.col("grp_a") < F.col("grp_b"))
+        .groupBy("grp_a", "grp_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("grp").alias("grp_a"),
+                                     F.col("vocab").alias("vocab_a"))),
+            "grp_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("grp").alias("grp_b"),
+                                     F.col("vocab").alias("vocab_b"))),
+            "grp_b",
+        )
+        .select(
+            "grp_a",
+            "grp_b",
+            "n_common",
+            "vocab_a",
+            "vocab_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

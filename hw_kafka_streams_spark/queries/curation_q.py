@@ -329,3 +329,184 @@ def q_zipf_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("heaps_slope", 6).alias("heaps_beta"),
         F.round(F.exp("heaps_intercept"), 6).alias("heaps_k"),
     )
+
+
+@register(
+    "q_winsorized_stats",
+    oracle="""
+        WITH th AS (
+            SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.05) AS lo,
+                   quantile_cont(l_extendedprice, 0.95) AS hi
+            FROM lineitem GROUP BY 1
+        ),
+        j AS (
+            SELECT l.l_returnflag,
+                   CAST(l.l_extendedprice AS DOUBLE) AS v, th.lo, th.hi
+            FROM lineitem l JOIN th USING (l_returnflag)
+        )
+        SELECT l_returnflag,
+               count(*) AS n,
+               round(min(lo), 6) AS p_lo,
+               round(min(hi), 6) AS p_hi,
+               round(CAST(sum(CAST(round(least(greatest(v, lo), hi), 6)
+                                   AS DECIMAL(18,6))) AS DOUBLE) / count(*),
+                     6) AS win_mean,
+               round(CAST(sum(CASE WHEN v BETWEEN lo AND hi
+                                   THEN CAST(round(v, 6) AS DECIMAL(18,6))
+                              END) AS DOUBLE)
+                     / sum(CASE WHEN v BETWEEN lo AND hi THEN 1 ELSE 0 END),
+                     6) AS trim_mean,
+               CAST(sum(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_clipped_lo,
+               CAST(sum(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_clipped_hi
+        FROM j GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Outlier-robust means per group: winsorized (clamp into "
+    "[p05, p95]) and trimmed (drop outside the band). Thresholds are "
+    "one exact-percentile agg per group broadcast back — the "
+    "quantile_buckets recipe, no per-group sort, no ntile; the means "
+    "sum DECIMAL-rounded values so reducer order can't drift the hash "
+    "(operators/stats.winsorized_stats).",
+)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.stats import winsorized_stats
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return winsorized_stats(
+        li, "l_extendedprice", "l_returnflag", lower=0.05, upper=0.95
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "q_readability",
+    oracle="""
+        WITH m AS (
+            SELECT source,
+                   len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x <> '')) AS w,
+                   len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syll,
+                   greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sent
+            FROM documents
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               round(CAST(sum(CAST(round(206.835
+                                         - 1.015 * (CAST(w AS DOUBLE) / sent)
+                                         - 84.6 * (CAST(syll AS DOUBLE) / w), 4)
+                                   AS DECIMAL(18,6))) AS DOUBLE) / count(*),
+                     4) AS avg_flesch,
+               round(min(206.835 - 1.015 * (CAST(w AS DOUBLE) / sent)
+                         - 84.6 * (CAST(syll AS DOUBLE) / w)), 4) AS min_flesch,
+               round(max(206.835 - 1.015 * (CAST(w AS DOUBLE) / sent)
+                         - 84.6 * (CAST(syll AS DOUBLE) / w)), 4) AS max_flesch
+        FROM m WHERE w > 0 GROUP BY source ORDER BY source
+    """,
+    doc="Per-source Flesch reading-ease profile (syllables ~= vowel-"
+    "group runs, the classic heuristic): the readability leg of a "
+    "quality-filter stack. Per-doc scores are one zero-shuffle "
+    "vectorized-regexp map; the per-source roll-up DECIMAL-sums the "
+    "rounded scores (operators/text.flesch_scores).",
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.text import flesch_scores
+
+    docs = load_table(spark, "documents", sf_dir)
+    scored = flesch_scores(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    raw = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("n_words").cast("double") / F.col("n_sentences"))
+        - F.lit(84.6)
+        * (F.col("n_syllables").cast("double") / F.col("n_words"))
+    )
+    return (
+        scored.filter(F.col("n_words") > 0)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("flesch").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_flesch"),
+            F.round(F.min(raw), 4).alias("min_flesch"),
+            F.round(F.max(raw), 4).alias("max_flesch"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q_source_lang_entropy",
+    oracle="""
+        WITH cc AS (
+            SELECT source, lang, count(*) AS c
+            FROM documents GROUP BY 1, 2
+        ),
+        t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cc GROUP BY 1)
+        SELECT cc.source,
+               min(t.n) AS n,
+               count(*) AS n_classes,
+               round(CAST(max(cc.c) AS DOUBLE) / min(t.n), 6)
+                   AS majority_share,
+               round(CAST(sum(CAST(round(
+                          -(CAST(cc.c AS DOUBLE) / t.n)
+                          * ln(CAST(cc.c AS DOUBLE) / t.n), 6)
+                        AS DECIMAL(18,6))) AS DOUBLE), 6) AS entropy
+        FROM cc JOIN t USING (source)
+        GROUP BY cc.source ORDER BY cc.source
+    """,
+    doc="Language-mix entropy per source (nats): 0 = monolingual "
+    "domain, ln(5) = uniform over the corpus's five languages — the "
+    "diversity readout that flags scraped-mixed or mislabeled domains "
+    "before a mixture is weighted. Two group-keyed aggregations, "
+    "DECIMAL-summed ln terms (operators/stats.group_entropy).",
+)
+def q_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.stats import group_entropy
+
+    docs = load_table(spark, "documents", sf_dir)
+    return group_entropy(docs, "source", "lang").orderBy("source")
+
+
+@register(
+    "q_source_vocab_jaccard",
+    oracle="""
+        WITH g AS (
+            SELECT DISTINCT source, term FROM (
+                SELECT source, unnest(list_filter(
+                         string_split_regex(trim(lower(text)), '\\s+'),
+                         t -> t <> '')) AS term
+                FROM documents)
+        ),
+        sizes AS (SELECT source, count(*) AS vocab FROM g GROUP BY 1),
+        inter AS (
+            SELECT a.source AS grp_a, b.source AS grp_b, count(*) AS n_common
+            FROM g a JOIN g b ON a.term = b.term AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT grp_a, grp_b, n_common,
+               sa.vocab AS vocab_a, sb.vocab AS vocab_b,
+               round(CAST(n_common AS DOUBLE)
+                     / (sa.vocab + sb.vocab - n_common), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.source = inter.grp_a
+        JOIN sizes sb ON sb.source = inter.grp_b
+        ORDER BY grp_a, grp_b
+    """,
+    doc="Pairwise vocabulary Jaccard between sources — the domain-"
+    "similarity matrix for spotting redundant domains before weighting "
+    "a mixture. Inverted-index self-join on the term (pair space is "
+    "sources^2, never docs^2); per-source vocab sizes broadcast back; "
+    "max_df caps universal terms when groups number in the millions "
+    "(operators/text.vocab_jaccard_pairs).",
+)
+def q_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.text import vocab_jaccard_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    return vocab_jaccard_pairs(docs, group_col="source").orderBy("grp_a", "grp_b")

@@ -130,3 +130,73 @@ def test_ols_fit_matches_numpy_polyfit(spark):
     # inputs are DECIMAL(18,6)-rounded, so agreement to ~1e-5 is exact
     assert math.isclose(r.slope, float(slope), abs_tol=1e-5)
     assert math.isclose(r.intercept, float(intercept), abs_tol=1e-5)
+
+
+def test_winsorized_stats_hand_computed(spark):
+    from hw_kafka_streams_spark.operators.stats import winsorized_stats
+
+    # 1..10 with p25/p75: lo=3.25, hi=7.75 (quantile_cont interpolation)
+    rows = [("g", float(v)) for v in range(1, 11)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    r = winsorized_stats(df, "v", "grp", lower=0.25, upper=0.75).collect()[0]
+    assert r.n == 10
+    assert abs(r.p_lo - 3.25) < 1e-9 and abs(r.p_hi - 7.75) < 1e-9
+    # clamped: 3.25,3.25,3.25, 4..7, 7.75,7.75,7.75 -> mean 5.5
+    assert abs(r.win_mean - 5.5) < 1e-6
+    # in-band: 4,5,6,7 -> mean 5.5
+    assert abs(r.trim_mean - 5.5) < 1e-6
+    assert (r.n_clipped_lo, r.n_clipped_hi) == (3, 3)
+
+
+def test_group_entropy_uniform_and_point_mass(spark):
+    import math
+
+    from hw_kafka_streams_spark.operators.stats import group_entropy
+
+    rows = (
+        [("u", c) for c in ["a", "b", "c", "d"]]  # uniform over 4 -> ln 4
+        + [("m", "a")] * 5  # point mass -> 0
+    )
+    df = spark.createDataFrame(rows, "grp string, cls string")
+    out = {r.grp: r for r in group_entropy(df, "grp", "cls").collect()}
+    assert abs(out["u"].entropy - math.log(4)) < 1e-4
+    assert out["u"].majority_share == 0.25
+    assert out["m"].entropy == 0.0
+    assert out["m"].majority_share == 1.0
+    assert out["m"].n_classes == 1
+
+
+def test_flesch_scores_counts(spark):
+    from hw_kafka_streams_spark.operators.text import flesch_scores
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"), (2, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in flesch_scores(df).collect()}
+    assert out[1].n_words == 6
+    assert out[1].n_sentences == 2
+    # vowel-group runs: the/cat/sat/the/dog/ran -> 1 each = 6
+    assert out[1].n_syllables == 6
+    # words/sent = 3, syll/words = 1 -> 206.835 - 3.045 - 84.6
+    assert abs(out[1].flesch - (206.835 - 1.015 * 3 - 84.6)) < 1e-6
+    assert out[2].flesch is None  # zero words -> null, not a div-by-zero
+
+
+def test_vocab_jaccard_pairs_hand_computed(spark):
+    from hw_kafka_streams_spark.operators.text import vocab_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "red green blue"),
+            (2, "b", "red green yellow"),
+            (3, "c", "purple"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = vocab_jaccard_pairs(df, group_col="source").collect()
+    by_pair = {(r.grp_a, r.grp_b): r for r in out}
+    ab = by_pair[("a", "b")]
+    assert ab.n_common == 2 and ab.vocab_a == 3 and ab.vocab_b == 3
+    assert abs(ab.jaccard - 0.5) < 1e-9  # 2 / (3+3-2)
+    assert ("a", "c") not in by_pair  # no shared terms -> no row
