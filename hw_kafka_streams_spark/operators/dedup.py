@@ -843,27 +843,43 @@ def prefix_filter_jaccard_pairs(
     dominate it. High τ is the operator's regime; low τ degrades
     gracefully toward the plain inverted index.
     """
-    from pyspark.sql import Window
-
-    # persist: five consumers (df counts, prefix build, both verify
-    # sides, set sizes) would otherwise each re-run the shingle window
+    # persist: the doc-frequency agg and the rarity-ordered rebuild
+    # would otherwise each re-run the shingling
     postings = shingle_postings(
         df, text_col, id_col, n, distinct=True, hash_mode=hash_mode
     ).persist()
     sdf = postings.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
-    ordered = postings.join(sdf, "shingle")
-    w = Window.partitionBy("id").orderBy("sdf", "shingle")
-    wc = Window.partitionBy("id")
-    pre = (
-        ordered.select(
-            "id",
-            "shingle",
-            F.row_number().over(w).alias("rn"),
-            F.count(F.lit(1)).over(wc).alias("sz"),
+    # ONE id-keyed shuffle builds both the rarest-first prefix AND the
+    # verify-side shingle array: collect (sdf, shingle) structs per doc,
+    # sort in-array (sort_array on structs orders by sdf then shingle —
+    # the PPJoin global order), slice the prefix. This replaces the
+    # former row_number/count window pair + a second groupBy for arrays
+    # — two id-shuffles and a per-partition sort fewer.
+    by_doc = (
+        postings.join(sdf, "shingle")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("sdf", "shingle"))),
+                lambda s: s["shingle"],
+            ).alias("shs")
         )
-        .filter(F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
-        .select("id", "shingle")
+        .withColumn("sz", F.size("shs"))
+        .withColumn(
+            "prefix",
+            F.slice(
+                "shs",
+                F.lit(1),
+                (
+                    F.col("sz")
+                    - F.ceil(F.lit(threshold) * F.col("sz"))
+                    + 1
+                ).cast("int"),
+            ),
+        )
+        .persist()
     )
+    pre = by_doc.select("id", F.explode("prefix").alias("shingle"))
     cand = (
         pre.select(F.col("id").alias("id1"), "shingle")
         .join(pre.select(F.col("id").alias("id2"), "shingle"), "shingle")
@@ -871,25 +887,23 @@ def prefix_filter_jaccard_pairs(
         .select("id1", "id2")
         .distinct()
     )
-    p1 = postings.select(F.col("id").alias("id1"), "shingle")
-    p2 = postings.select(
-        F.col("id").alias("_vid2"), F.col("shingle").alias("sh2")
+    # verify via the per-doc shingle ARRAYS, not a postings re-join:
+    # joining cand back to postings would expand every pair by
+    # |shingles(id1)| rows before the intersect count; one array row
+    # per doc keeps the verify at one row per candidate pair — two
+    # id-keyed hash joins + a codegen'd array_intersect. Array width is
+    # bounded by doc length, so rows stay small at any corpus scale.
+    arrays = by_doc.select("id", "shs", "sz")
+    a1 = arrays.select(
+        F.col("id").alias("id1"), F.col("shs").alias("shs1"), F.col("sz").alias("sz1")
     )
-    common = (
-        cand.join(p1, "id1")
-        .join(
-            p2,
-            (F.col("id2") == F.col("_vid2")) & (F.col("shingle") == F.col("sh2")),
-        )
-        .groupBy("id1", "id2")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    a2 = arrays.select(
+        F.col("id").alias("id2"), F.col("shs").alias("shs2"), F.col("sz").alias("sz2")
     )
-    sizes = postings.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    s1 = sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1"))
-    s2 = sizes.select(F.col("id").alias("id2"), F.col("sz").alias("sz2"))
     return (
-        common.join(s1, "id1")
-        .join(s2, "id2")
+        cand.join(a1, "id1")
+        .join(a2, "id2")
+        .withColumn("n_common", F.size(F.array_intersect("shs1", "shs2")))
         .withColumn(
             "jaccard",
             F.col("n_common") / (F.col("sz1") + F.col("sz2") - F.col("n_common")),

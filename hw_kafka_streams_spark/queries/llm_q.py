@@ -347,31 +347,34 @@ def q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     fp = T.fingerprint("text")
     with_fp = docs.select("doc_id", "text", fp.alias("fp"))
-    keeps = with_fp.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
-    survivors = with_fp.join(keeps, "fp").filter(
-        F.col("doc_id") == F.col("keep_id")
+    # exact stage in ONE fp-keyed aggregation: the representative is
+    # min_by(text, doc_id) — identical to the former groupBy+join-back
+    # (min doc_id keeps its own text) at half the shuffles, and the
+    # exact-dup count falls out as n_docs - |survivors| instead of a
+    # second join over the corpus
+    survivors = (
+        with_fp.groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("text", "doc_id").alias("text"),
+        )
+        .persist()
     )
     pairs = D.minhash_lsh_pairs(
         survivors, verify_threshold=0.2, hash_mode="md5"
     )
     near = pairs.select(F.col("id2").alias("doc_id")).distinct()
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    n_exact = (
-        with_fp.join(keeps, "fp")
-        .filter(F.col("doc_id") != F.col("keep_id"))
-        .agg(F.count(F.lit(1)).alias("n_exact_dups"))
-    )
+    n_unique = survivors.agg(F.count(F.lit(1)).alias("n_unique"))
     n_near = near.agg(F.count(F.lit(1)).alias("n_near_dups"))
     return (
-        n_docs.crossJoin(F.broadcast(n_exact))
+        n_docs.crossJoin(F.broadcast(n_unique))
         .crossJoin(F.broadcast(n_near))
         .select(
             "n_docs",
-            "n_exact_dups",
+            (F.col("n_docs") - F.col("n_unique")).alias("n_exact_dups"),
             "n_near_dups",
-            (
-                F.col("n_docs") - F.col("n_exact_dups") - F.col("n_near_dups")
-            ).alias("n_survivors"),
+            (F.col("n_unique") - F.col("n_near_dups")).alias("n_survivors"),
         )
     )
 
