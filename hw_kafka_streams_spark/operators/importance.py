@@ -91,7 +91,15 @@ def dsir_logweights(
         )
         .select("id", "is_target", _bucket(F.col("f"), dim, hash_mode).alias("b"))
     )
-    tf = feats.groupBy("id", "is_target", "b").agg(F.count(F.lit(1)).alias("tf"))
+    # persist: the model counts AND the final scoring join both read
+    # tf; without it the feature explode + hash (the dominant cost)
+    # executes twice — AQE exchange reuse does not bridge the two
+    # branches because the second sits under a broadcast subtree
+    tf = (
+        feats.groupBy("id", "is_target", "b")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
     # model counts derive from tf, not from a second pass over the
     # explode: the (doc, bucket) table is orders of magnitude smaller
     # than the raw feature stream, and the explode runs exactly once.
