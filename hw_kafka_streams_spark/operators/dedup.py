@@ -1002,7 +1002,10 @@ def char_span_pairs(
     a = g.select(F.col(id_col).alias("doc_a"), "gram")
     b = g.select(F.col(id_col).alias("doc_b"), "gram")
     return (
-        a.join(b, "gram")
+        # shuffle-hash, not sort-merge: rows per gram are bounded by
+        # max_df, so the per-partition build side stays small at any
+        # corpus size and no sort is needed
+        a.join(b.hint("shuffle_hash"), "gram")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared_spans"))

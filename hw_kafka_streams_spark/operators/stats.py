@@ -273,3 +273,72 @@ def group_entropy(
             F.round(F.sum(term).cast("double"), 6).alias("entropy"),
         )
     )
+
+
+def assoc_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+) -> DataFrame:
+    """Pairwise association rules (support / confidence / lift) over
+    baskets — which items co-occur beyond chance (event types per user,
+    tags per document). The market-basket classic, kept at the pair
+    level where the counts stay exact and the join stays bounded.
+
+    Plan: distinct (basket, item) [one shuffle] → basket-keyed
+    self-join (rows per basket bounded by the item vocabulary, so the
+    pair blowup is items²-per-basket, never baskets²) → one pair-keyed
+    count; item totals and the 1-row basket count broadcast back. The
+    ratios are scalar epilogue arithmetic on exact integers.
+    """
+    items = df.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+    n_baskets = items.agg(F.countDistinct("basket").alias("n_baskets"))
+    singles = items.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    pairs = (
+        items.select("basket", F.col("item").alias("antecedent"))
+        .join(
+            items.select("basket", F.col("item").alias("consequent")), "basket"
+        )
+        .filter(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                singles.select(
+                    F.col("item").alias("antecedent"),
+                    F.col("n_item").alias("n_ant"),
+                )
+            ),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(
+                singles.select(
+                    F.col("item").alias("consequent"),
+                    F.col("n_item").alias("n_con"),
+                )
+            ),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            F.round(F.col("n_both").cast("double") / F.col("n_baskets"), 6).alias(
+                "support"
+            ),
+            F.round(F.col("n_both").cast("double") / F.col("n_ant"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                (F.col("n_both").cast("double") * F.col("n_baskets"))
+                / (F.col("n_ant").cast("double") * F.col("n_con")),
+                6,
+            ).alias("lift"),
+        )
+    )

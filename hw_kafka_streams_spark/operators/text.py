@@ -702,7 +702,9 @@ def vocab_jaccard_pairs(
     a = g.select(F.col("grp").alias("grp_a"), "term")
     b = g.select(F.col("grp").alias("grp_b"), "term")
     inter = (
-        a.join(b, "term")
+        # shuffle-hash: rows per term are bounded by the group count
+        # (and by max_df when set) — small build side, no sort
+        a.join(b.hint("shuffle_hash"), "term")
         .filter(F.col("grp_a") < F.col("grp_b"))
         .groupBy("grp_a", "grp_b")
         .agg(F.count(F.lit(1)).alias("n_common"))

@@ -166,7 +166,7 @@ def q_ctfidf_source_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_knn_classify",
     oracle="""
         WITH q AS (SELECT vec_id, embedding, label FROM embeddings
-                   WHERE vec_id % 5 = 0),
+                   WHERE vec_id % 5 = 0 AND vec_id < 500),
         c AS (SELECT vec_id, embedding, label FROM embeddings
               WHERE vec_id % 5 <> 0),
         topk AS (
@@ -205,7 +205,10 @@ def q_ctfidf_source_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
-    unl = emb.filter(F.col("vec_id") % 5 == 0)
+    # the query batch is BOUNDED (vec_id < 500 caps it at 100 vectors)
+    # — the operator's broadcast-batch regime; without the cap the
+    # batch grows with the corpus and the scan is O(n²/5)
+    unl = emb.filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") < 500))
     lab = emb.filter(F.col("vec_id") % 5 != 0)
     return S.knn_classify(unl, lab, k=5).orderBy("vec_id")
 

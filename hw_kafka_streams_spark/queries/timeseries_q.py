@@ -1105,3 +1105,104 @@ def q_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.filter(
         F.col("gap_start").isNotNull() & (F.col("gap_us") > 172_800_000_000)
     ).orderBy("user_id", "gap_end")
+
+
+@register(
+    "q_touch_attribution",
+    oracle="""
+        WITH ev AS (
+            SELECT user_id, ts, event_type, "value", event_id FROM events
+            WHERE event_type IN ('view', 'click', 'signup', 'purchase')
+        ),
+        a AS (
+            SELECT *,
+                   last_value(CASE WHEN event_type = 'purchase'
+                                   THEN struct_pack(p_id := event_id,
+                                                    p_value := "value")
+                              END IGNORE NULLS)
+                   OVER (PARTITION BY user_id
+                         ORDER BY ts DESC, event_id DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS p
+            FROM ev
+        ),
+        t AS (
+            SELECT user_id, ts, event_id, event_type,
+                   p.p_id AS p_id, p.p_value AS p_value
+            FROM a WHERE event_type <> 'purchase' AND p IS NOT NULL
+        ),
+        r AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY user_id, p_id
+                                      ORDER BY ts, event_id) AS rn,
+                   count(*) OVER (PARTITION BY user_id, p_id) AS n
+            FROM t
+        )
+        SELECT event_type,
+               count(*) AS n_touches,
+               CAST(count(DISTINCT p_id) AS BIGINT) AS n_conversions,
+               round(CAST(sum(CAST(round(p_value / n, 6)
+                                   AS DECIMAL(18,6))) AS DOUBLE), 4)
+                   AS linear_credit,
+               round(CAST(sum(CAST(round(p_value *
+                          (CASE WHEN n = 1 THEN 1.0
+                                WHEN rn = 1 THEN 0.4
+                                WHEN rn = n THEN 0.4
+                                ELSE 0.2 / (n - 2) END), 6)
+                                   AS DECIMAL(18,6))) AS DOUBLE), 4)
+                   AS position_credit
+        FROM r GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Multi-touch conversion attribution (linear + U-shaped 40/20/40 "
+    "in one pass): each purchase's value is split over the touches "
+    "before it. The touch->conversion assignment is ONE reverse-"
+    "chronological user window carrying the last-seen purchase — no "
+    "self-join, no as-of join; credits are DECIMAL-summed "
+    "(operators/attribution.touch_attribution).",
+)
+def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.attribution import touch_attribution
+
+    e = load_table(spark, "events", sf_dir)
+    return touch_attribution(e).orderBy("event_type")
+
+
+@register(
+    "q_assoc_rules",
+    oracle="""
+        WITH items AS (
+            SELECT DISTINCT user_id AS basket, event_type AS item FROM events
+        ),
+        nb AS (SELECT count(DISTINCT basket) AS n_baskets FROM items),
+        singles AS (SELECT item, count(*) AS n_item FROM items GROUP BY 1),
+        pairs AS (
+            SELECT a.item AS antecedent, b.item AS consequent,
+                   count(*) AS n_both
+            FROM items a JOIN items b
+              ON a.basket = b.basket AND a.item <> b.item
+            GROUP BY 1, 2
+        )
+        SELECT antecedent, consequent, n_both,
+               round(CAST(n_both AS DOUBLE) / nb.n_baskets, 6) AS support,
+               round(CAST(n_both AS DOUBLE) / sa.n_item, 6) AS confidence,
+               round((CAST(n_both AS DOUBLE) * nb.n_baskets)
+                     / (CAST(sa.n_item AS DOUBLE) * sc.n_item), 6) AS lift
+        FROM pairs
+        JOIN singles sa ON sa.item = pairs.antecedent
+        JOIN singles sc ON sc.item = pairs.consequent
+        CROSS JOIN nb
+        ORDER BY antecedent, consequent
+    """,
+    doc="Pairwise association rules over per-user event-type baskets: "
+    "support / confidence / lift from exact integer counts. Basket-"
+    "keyed self-join is bounded by the item vocabulary per basket "
+    "(items² per user, never users²); item totals and the 1-row basket "
+    "count broadcast back (operators/stats.assoc_rules).",
+)
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.stats import assoc_rules
+
+    e = load_table(spark, "events", sf_dir)
+    return assoc_rules(e, "user_id", "event_type").orderBy(
+        "antecedent", "consequent"
+    )

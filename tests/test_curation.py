@@ -200,3 +200,51 @@ def test_vocab_jaccard_pairs_hand_computed(spark):
     assert ab.n_common == 2 and ab.vocab_a == 3 and ab.vocab_b == 3
     assert abs(ab.jaccard - 0.5) < 1e-9  # 2 / (3+3-2)
     assert ("a", "c") not in by_pair  # no shared terms -> no row
+
+
+def test_touch_attribution_models_hand_computed(spark):
+    from hw_kafka_streams_spark.operators.attribution import touch_attribution
+
+    # user 1: view(t1), click(t2), view(t3), purchase(t4, $10) ->
+    #   3 touches: first view 4.0, middle click 2.0, last view 4.0
+    #   linear: 10/3 each
+    # user 1 after purchase: click(t5) -> earns nothing
+    # user 2: click(t1), purchase(t2, $6) -> single touch gets all 6
+    rows = [
+        (1, 1, 1, "view", 0.0),
+        (2, 1, 2, "click", 0.0),
+        (3, 1, 3, "view", 0.0),
+        (4, 1, 4, "purchase", 10.0),
+        (5, 1, 5, "click", 0.0),
+        (6, 2, 1, "click", 0.0),
+        (7, 2, 2, "purchase", 6.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string, value double"
+    )
+    out = {r.event_type: r for r in touch_attribution(df).collect()}
+    v, c = out["view"], out["click"]
+    assert v.n_touches == 2 and v.n_conversions == 1
+    assert abs(v.position_credit - 8.0) < 1e-6  # 4 + 4
+    assert abs(v.linear_credit - 2 * 10.0 / 3) < 1e-4
+    assert c.n_touches == 2 and c.n_conversions == 2
+    assert abs(c.position_credit - (2.0 + 6.0)) < 1e-6  # middle + solo
+    assert abs(c.linear_credit - (10.0 / 3 + 6.0)) < 1e-4
+
+
+def test_assoc_rules_hand_computed(spark):
+    from hw_kafka_streams_spark.operators.stats import assoc_rules
+
+    # 4 baskets: {a,b} {a,b} {a} {b,c}
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (4, "b"), (4, "c")]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = {(r.antecedent, r.consequent): r for r in
+           assoc_rules(df, "basket", "item").collect()}
+    ab = out[("a", "b")]
+    assert ab.n_both == 2
+    assert abs(ab.support - 0.5) < 1e-9        # 2/4
+    assert abs(ab.confidence - 2 / 3) < 1e-6   # 2/3 baskets with a
+    assert abs(ab.lift - (2 * 4) / (3 * 3)) < 1e-6
+    ba = out[("b", "a")]
+    assert abs(ba.confidence - 2 / 3) < 1e-6   # b in 3 baskets
+    assert ("c", "a") not in out               # never co-occur

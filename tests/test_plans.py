@@ -265,6 +265,12 @@ def test_headline_plans_no_smj_no_unexpected_nlj(spark, sf_dir):
         "q_bigram_lm_score",
         "q_naive_bayes_langid",
         "q_similarity_pq_topk",
+        # round-6: the broadcast-query brute-force cosine scan inside
+        # the kNN vote (queries × corpus is the intentional pattern;
+        # brute_force_topk broadcasts the bounded unlabeled batch) and
+        # the 1-row corpus-totals broadcast in the c-TF-IDF score
+        "q_knn_classify",
+        "q_ctfidf_source_terms",
     }
     offenders: dict[str, str] = {}
     for name in HEADLINE:
