@@ -342,3 +342,89 @@ def assoc_rules(
             ).alias("lift"),
         )
     )
+
+
+def exact_percentiles_histogram(
+    df: DataFrame,
+    value_col: Column | str,
+    group_col: str,
+    probs: list[float],
+) -> DataFrame:
+    """Exact interpolated per-group percentiles WITHOUT the
+    buffer-every-value aggregator — the 100 TB shape for exact
+    quantiles over bounded-domain values (prices, latencies, scores).
+
+    ``F.percentile`` holds every raw value in the aggregation buffer
+    (its partials merge by concatenation), so a billion-row group
+    needs a billion-slot buffer on one reducer. This computes the same
+    number from the per-(group, value) COUNT HISTOGRAM: the heavy
+    aggregation is a partial-combinable count keyed by (group, value)
+    — domain-bounded, not row-bounded — then one running-sum window
+    over the histogram and a closed-form interpolation:
+
+        idx = p·(n−1);  t = v[floor(idx)]
+                          + (idx − floor(idx))·(v[floor(idx)+1] − v[floor(idx)])
+
+    exactly ``quantile_cont`` / ``F.percentile`` semantics (parity
+    asserted in tests and by the q_percentiles_hist oracle). The
+    window sorts distinct values per group — the price domain, orders
+    of magnitude smaller than the data.
+
+    Returns one row per group: ``n`` plus ``p1..pk`` threshold columns
+    in ``probs`` order.
+    """
+    from pyspark.sql import Window
+
+    vc = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+        "double"
+    )
+    hist = df.select(F.col(group_col), vc.alias("_v")).groupBy(
+        group_col, "_v"
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.partitionBy(group_col).orderBy("_v")
+    cum = hist.withColumn("_end", F.sum("_c").over(w)).withColumn(
+        "_start", F.col("_end") - F.col("_c")
+    )
+    n = hist.groupBy(group_col).agg(F.sum("_c").alias("_n"))
+    jj = (
+        cum.join(F.broadcast(n), group_col)
+        .withColumn(
+            "_pi",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(i).alias("i"), F.lit(p).alias("p"))
+                        for i, p in enumerate(probs)
+                    ]
+                )
+            ),
+        )
+        .withColumn("_idx", F.col("_pi.p") * (F.col("_n") - 1))
+        .withColumn("_k", F.floor("_idx"))
+    )
+    covers_k = (F.col("_start") <= F.col("_k")) & (F.col("_k") < F.col("_end"))
+    covers_k1 = (F.col("_start") <= F.col("_k") + 1) & (
+        F.col("_k") + 1 < F.col("_end")
+    )
+    cands = jj.filter(covers_k | covers_k1)
+    th = (
+        cands.groupBy(group_col, F.col("_pi.i").alias("_i"))
+        .agg(
+            F.min("_n").alias("_n"),
+            F.min("_idx").alias("_idx"),
+            F.min("_k").alias("_k"),
+            F.max(F.when(covers_k, F.col("_v"))).alias("_vk"),
+            F.max(F.when(covers_k1, F.col("_v"))).alias("_vk1"),
+        )
+        .withColumn(
+            "_t",
+            F.col("_vk")
+            + (F.col("_idx") - F.col("_k"))
+            * (F.coalesce("_vk1", "_vk") - F.col("_vk")),
+        )
+    )
+    agg_cols = [F.min("_n").alias("n")] + [
+        F.max(F.when(F.col("_i") == i, F.col("_t"))).alias(f"p{i}")
+        for i in range(len(probs))
+    ]
+    return th.groupBy(group_col).agg(*agg_cols)

@@ -1206,3 +1206,42 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assoc_rules(e, "user_id", "event_type").orderBy(
         "antecedent", "consequent"
     )
+
+
+@register(
+    "q_percentiles_hist",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(quantile_cont("value", 0.25), 4) AS p25,
+               round(quantile_cont("value", 0.50), 4) AS p50,
+               round(quantile_cont("value", 0.90), 4) AS p90,
+               round(quantile_cont("value", 0.99), 4) AS p99
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Exact interpolated percentiles per group computed from the "
+    "per-(group, value) COUNT HISTOGRAM — the scale path q_percentiles' "
+    "doc string promises: F.percentile buffers every raw value in one "
+    "aggregator (row-bounded), this shape's heavy agg is a partial-"
+    "combinable count keyed by the DOMAIN (distinct values), then one "
+    "histogram window + closed-form interpolation. Same oracle as "
+    "q_percentiles, so the drop-in equality is machine-checked "
+    "(operators/stats.exact_percentiles_histogram).",
+)
+def q_percentiles_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.stats import (
+        exact_percentiles_histogram,
+    )
+
+    e = load_table(spark, "events", sf_dir)
+    out = exact_percentiles_histogram(
+        e, "value", "event_type", [0.25, 0.50, 0.90, 0.99]
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round("p0", 4).alias("p25"),
+        F.round("p1", 4).alias("p50"),
+        F.round("p2", 4).alias("p90"),
+        F.round("p3", 4).alias("p99"),
+    ).orderBy("event_type")

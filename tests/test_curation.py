@@ -248,3 +248,56 @@ def test_assoc_rules_hand_computed(spark):
     ba = out[("b", "a")]
     assert abs(ba.confidence - 2 / 3) < 1e-6   # b in 3 baskets
     assert ("c", "a") not in out               # never co-occur
+
+
+def test_exact_percentiles_histogram_matches_percentile(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from hw_kafka_streams_spark.operators.stats import (
+        exact_percentiles_histogram,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (g, round(rng.uniform(0, 100), 2))
+        for g in ("a", "b", "c")
+        for _ in range(rng.randrange(37, 211))
+    ]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    probs = [0.0, 0.25, 0.5, 0.9, 0.99, 1.0]
+    hist = {
+        r.grp: [r[f"p{i}"] for i in range(len(probs))]
+        for r in exact_percentiles_histogram(df, "v", "grp", probs).collect()
+    }
+    ref = {
+        r.grp: list(r.ts)
+        for r in df.groupBy("grp")
+        .agg(F.percentile("v", F.array(*[F.lit(p) for p in probs])).alias("ts"))
+        .collect()
+    }
+    assert hist.keys() == ref.keys()
+    for g in ref:
+        for a, b in zip(hist[g], ref[g]):
+            assert abs(a - b) < 1e-9, (g, hist[g], ref[g])
+
+
+def test_exact_percentiles_histogram_duplicate_heavy(spark):
+    from pyspark.sql import functions as F
+
+    from hw_kafka_streams_spark.operators.stats import (
+        exact_percentiles_histogram,
+    )
+
+    # heavy ties: the histogram path must land inside runs correctly
+    rows = [("g", float(v)) for v in [1, 1, 1, 1, 2, 2, 3, 9, 9, 9]]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    probs = [0.1, 0.5, 0.75]
+    out = exact_percentiles_histogram(df, "v", "grp", probs).collect()[0]
+    ref = df.groupBy("grp").agg(
+        F.percentile("v", F.array(*[F.lit(p) for p in probs])).alias("ts")
+    ).collect()[0].ts
+    got = [out.p0, out.p1, out.p2]
+    assert all(abs(a - b) < 1e-12 for a, b in zip(got, ref)), (got, ref)
+    assert out.n == 10
