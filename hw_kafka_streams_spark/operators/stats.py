@@ -213,13 +213,13 @@ def winsorized_stats(
         "double"
     )
     with_v = df.select(F.col(group_col), vc.alias("_v"))
-    th = with_v.groupBy(group_col).agg(
-        F.percentile("_v", F.array(F.lit(lower), F.lit(upper))).alias("_ts")
-    ).select(
-        group_col,
-        F.col("_ts")[0].alias("_lo"),
-        F.col("_ts")[1].alias("_hi"),
-    )
+    # thresholds via the count-histogram percentile (bit-exact with
+    # F.percentile / quantile_cont, proven in tests) — prices/scores
+    # have a bounded value domain, so the heavy agg stays a
+    # partial-combinable count instead of buffering every raw value
+    th = exact_percentiles_histogram(
+        with_v, "_v", group_col, [lower, upper]
+    ).select(group_col, F.col("p0").alias("_lo"), F.col("p1").alias("_hi"))
     j = with_v.join(F.broadcast(th), group_col)
     clamped = F.least(F.greatest(F.col("_v"), F.col("_lo")), F.col("_hi"))
     in_band = (F.col("_v") >= F.col("_lo")) & (F.col("_v") <= F.col("_hi"))
