@@ -1245,3 +1245,107 @@ def q_percentiles_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p2", 4).alias("p90"),
         F.round("p3", 4).alias("p99"),
     ).orderBy("event_type")
+
+
+@register(
+    "q_resample_interp",
+    oracle="""
+        WITH e AS (SELECT user_id, ts, "value" FROM events WHERE user_id <= 20),
+        bounds AS (
+          SELECT user_id,
+                 time_bucket(INTERVAL '1 hour', min(ts)) AS t0,
+                 time_bucket(INTERVAL '1 hour', max(ts)) AS t1
+          FROM e GROUP BY user_id
+        ),
+        spine AS (
+          SELECT b.user_id,
+                 CAST(floor(epoch(u.bucket)) AS BIGINT) AS bucket_s
+          FROM bounds b,
+               LATERAL (SELECT unnest(generate_series(b.t0, b.t1,
+                                      INTERVAL '1 hour')) AS bucket) u
+        ),
+        observed AS (
+          SELECT user_id,
+                 CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts)))
+                      AS BIGINT) AS bucket_s,
+                 arg_max("value", ts) AS v_last
+          FROM e GROUP BY 1, 2
+        ),
+        g AS (
+          SELECT s.user_id, s.bucket_s,
+                 last_value(CASE WHEN o.v_last IS NOT NULL THEN
+                     struct_pack(b := s.bucket_s, v := o.v_last) END
+                     IGNORE NULLS)
+                   OVER (PARTITION BY s.user_id ORDER BY s.bucket_s
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS prev,
+                 first_value(CASE WHEN o.v_last IS NOT NULL THEN
+                     struct_pack(b := s.bucket_s, v := o.v_last) END
+                     IGNORE NULLS)
+                   OVER (PARTITION BY s.user_id ORDER BY s.bucket_s
+                         ROWS BETWEEN CURRENT ROW
+                                  AND UNBOUNDED FOLLOWING) AS nxt
+          FROM spine s LEFT JOIN observed o
+            ON o.user_id = s.user_id AND o.bucket_s = s.bucket_s
+        )
+        SELECT user_id, bucket_s,
+               round(CASE
+                 WHEN prev IS NULL THEN nxt.v
+                 WHEN nxt IS NULL THEN prev.v
+                 WHEN nxt.b = prev.b THEN prev.v
+                 ELSE prev.v + (CAST(bucket_s - prev.b AS DOUBLE)
+                                / (nxt.b - prev.b)) * (nxt.v - prev.v)
+               END + 0.000001, 4) AS v_interp
+        FROM g ORDER BY user_id, bucket_s
+    """,
+    doc="Resample to a 1-hour grid + LINEAR interpolation between the "
+    "surrounding observed buckets (LOCF's smooth sibling; head/tail "
+    "clamp to the nearest observation). Two ignore-nulls windows over "
+    "the same user-partitioned spine — previous sample via a trailing "
+    "frame, next via a leading frame — then one scalar lerp; the spine "
+    "explode and both windows share the user_id partitioning.",
+)
+def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir).filter(F.col("user_id") <= 20)
+    hour = 3600
+    bucket = (F.col("ts").cast("long") / hour).cast("long") * hour
+    bounds = e.groupBy("user_id").agg(
+        F.min(bucket).alias("t0"), F.max(bucket).alias("t1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("t0", "t1", F.lit(hour))).alias("bucket_s"),
+    )
+    observed = (
+        e.select("user_id", bucket.alias("bucket_s"), "ts", "value")
+        .groupBy("user_id", "bucket_s")
+        .agg(F.max_by("value", "ts").alias("v_last"))
+    )
+    base = Window.partitionBy("user_id").orderBy("bucket_s")
+    w_prev = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_next = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    sample = F.when(
+        F.col("v_last").isNotNull(),
+        F.struct(F.col("bucket_s").alias("b"), F.col("v_last").alias("v")),
+    )
+    g = (
+        spine.join(observed, ["user_id", "bucket_s"], "left")
+        .withColumn("prev", F.last(sample, ignorenulls=True).over(w_prev))
+        .withColumn("nxt", F.first(sample, ignorenulls=True).over(w_next))
+    )
+    lerp = F.col("prev.v") + (
+        (F.col("bucket_s") - F.col("prev.b")).cast("double")
+        / (F.col("nxt.b") - F.col("prev.b"))
+    ) * (F.col("nxt.v") - F.col("prev.v"))
+    v = (
+        F.when(F.col("prev").isNull(), F.col("nxt.v"))
+        .when(F.col("nxt").isNull(), F.col("prev.v"))
+        .when(F.col("nxt.b") == F.col("prev.b"), F.col("prev.v"))
+        .otherwise(lerp)
+    )
+    # + 1e-6 before the round on BOTH sides: lerp at dyadic fracs can
+    # land exactly on a .00005 tie, where Spark rounds half-up and
+    # DuckDB half-even — the q_window_running nudge
+    return g.select(
+        "user_id", "bucket_s", F.round(v + F.lit(0.000001), 4).alias("v_interp")
+    ).orderBy("user_id", "bucket_s")
