@@ -73,6 +73,7 @@ HEADLINE = [
     "q_naive_bayes_langid",
     "q_bloom_prune_dedup",
     "q_similarity_pq_topk",
+    "q_tfidf_cosine_pairs",
     "q_span_dedup",
     "q_knn_classify",
     "q_winsorized_stats",

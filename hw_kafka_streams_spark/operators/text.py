@@ -733,3 +733,84 @@ def vocab_jaccard_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Sparse TF-IDF cosine similarity join — WEIGHTED near-duplicate /
+    related-document pairs, where Jaccard treats every shared term
+    equally but cosine lets rare terms dominate (the classic sparse-
+    vector similarity join underlying related-article and same-story
+    detection).
+
+        cos(a, b) = Σ_t w_at·w_bt / (‖a‖·‖b‖),  w = tf · ln((N+1)/(df+1))
+
+    Plan: one (doc, term) tf shuffle feeds the df table, the weights,
+    and the norms; the pair generator is the term inverted index
+    (products summed per pair — never all-pairs). ``max_df`` is the
+    posting-list skew guard; additionally idf ≈ 0 for ubiquitous terms,
+    so dropping them barely moves the measured cosine (unlike Jaccard,
+    where max_df changes the metric). Norms and dots accumulate as
+    DECIMAL of per-term-rounded products, so reducer order cannot
+    drift the hash.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if max_df is not None:
+        df_t = df_t.filter(F.col("df") <= max_df)
+    n_docs = tf.select(F.countDistinct("id").alias("n_docs"))
+    w = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ).alias("w"),
+        )
+        .persist()  # feeds the norms AND both self-join sides
+    )
+    norms = w.groupBy("id").agg(
+        F.sqrt(
+            F.sum(
+                F.round(F.col("w") * F.col("w"), 6).cast("decimal(18,6)")
+            ).cast("double")
+        ).alias("norm")
+    )
+    a = w.select(F.col("id").alias("id1"), "term", F.col("w").alias("w1"))
+    b = w.select(F.col("id").alias("id2"), "term", F.col("w").alias("w2"))
+    dots = (
+        # shuffle-hash: rows per term are df-bounded (and idf-weighted
+        # terms with huge df carry ~zero weight anyway)
+        a.join(b.hint("shuffle_hash"), "term")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(
+            F.sum(
+                F.round(F.col("w1") * F.col("w2"), 6).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    n1 = norms.select(F.col("id").alias("id1"), F.col("norm").alias("n1"))
+    n2 = norms.select(F.col("id").alias("id2"), F.col("norm").alias("n2"))
+    return (
+        dots.join(n1, "id1")
+        .join(n2, "id2")
+        .withColumn("cos_sim", F.col("dot") / (F.col("n1") * F.col("n2")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id1", "id2", F.round("cos_sim", 4).alias("cos_sim"))
+    )

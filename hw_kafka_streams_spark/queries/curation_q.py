@@ -513,3 +513,56 @@ def q_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return vocab_jaccard_pairs(docs, group_col="source").orderBy("grp_a", "grp_b")
+
+
+@register(
+    "q_tfidf_cosine_pairs",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id AS id, unnest(list_filter(
+                     string_split_regex(trim(lower(text)), '\\s+'),
+                     t -> t <> '')) AS term
+            FROM documents
+        ),
+        tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        nd AS (SELECT count(DISTINCT id) AS n_docs FROM tf),
+        w AS (
+            SELECT id, term,
+                   round(tf.tf * ln((nd.n_docs + 1.0) / (dft.df + 1.0)), 6)
+                       AS w
+            FROM tf JOIN dft USING (term) CROSS JOIN nd
+        ),
+        norms AS (
+            SELECT id,
+                   sqrt(CAST(sum(CAST(round(w * w, 6) AS DECIMAL(18,6)))
+                             AS DOUBLE)) AS norm
+            FROM w GROUP BY id
+        ),
+        dots AS (
+            SELECT a.id AS id1, b.id AS id2,
+                   CAST(sum(CAST(round(a.w * b.w, 6) AS DECIMAL(18,6)))
+                        AS DOUBLE) AS dot
+            FROM w a JOIN w b ON a.term = b.term AND a.id < b.id
+            GROUP BY 1, 2
+        )
+        SELECT id1, id2, round(dot / (n1.norm * n2.norm), 4) AS cos_sim
+        FROM dots
+        JOIN norms n1 ON n1.id = dots.id1
+        JOIN norms n2 ON n2.id = dots.id2
+        WHERE dot / (n1.norm * n2.norm) >= 0.3
+        ORDER BY id1, id2
+    """,
+    doc="Sparse TF-IDF cosine similarity join (related-document pairs): "
+    "rare shared terms dominate where Jaccard weights all terms "
+    "equally. One (doc, term) tf shuffle feeds df, weights, and norms; "
+    "pair generation is the term inverted index with DECIMAL-summed "
+    "weight products; idf suppresses exactly the high-df terms a "
+    "max_df guard would drop, so the skew cut barely moves the metric "
+    "(operators/text.tfidf_cosine_pairs).",
+)
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.text import tfidf_cosine_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    return tfidf_cosine_pairs(docs, threshold=0.3).orderBy("id1", "id2")

@@ -1349,3 +1349,40 @@ def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "user_id", "bucket_s", F.round(v + F.lit(0.000001), 4).alias("v_interp")
     ).orderBy("user_id", "bucket_s")
+
+
+@register(
+    "q_join_ivm",
+    oracle="""
+        SELECT o.o_orderkey, c.c_custkey, c.c_name,
+               round(o.o_totalprice, 2) AS o_totalprice
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderkey % 7 = 0 OR c.c_custkey % 10 = 0
+        ORDER BY o.o_orderkey, c.c_custkey
+    """,
+    doc="Incremental JOIN-view maintenance: with orders and customer "
+    "each split into history + delta, the view delta is computed by "
+    "the delta rule dV = dO><C + O><dC + dO><dC — history never "
+    "re-joins itself, and every branch has a small (broadcastable) "
+    "side. The oracle is the DEFINITION (rows of the full join "
+    "touching at least one delta row), so the decomposition's "
+    "correctness is value-hashed (operators/rollup.join_view_delta).",
+)
+def q_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.rollup import join_view_delta
+
+    o = load_table(spark, "orders", sf_dir).withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    c = load_table(spark, "customer", sf_dir)
+    o_delta = o.filter(F.col("o_orderkey") % 7 == 0)
+    o_old = o.filter(F.col("o_orderkey") % 7 != 0)
+    c_delta = c.filter(F.col("c_custkey") % 10 == 0)
+    c_old = c.filter(F.col("c_custkey") % 10 != 0)
+    dv = join_view_delta(o_old, o_delta, c_old, c_delta, ["c_custkey"])
+    return dv.select(
+        "o_orderkey",
+        "c_custkey",
+        "c_name",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    ).orderBy("o_orderkey", "c_custkey")

@@ -301,3 +301,36 @@ def test_exact_percentiles_histogram_duplicate_heavy(spark):
     got = [out.p0, out.p1, out.p2]
     assert all(abs(a - b) < 1e-12 for a, b in zip(got, ref)), (got, ref)
     assert out.n == 10
+
+
+def test_join_view_delta_equals_recompute_minus_old(spark):
+    from hw_kafka_streams_spark.operators.rollup import join_view_delta
+
+    a = spark.createDataFrame(
+        [(1, "a1"), (2, "a2"), (3, "a3"), (2, "a2b")], "k long, av string"
+    )
+    b = spark.createDataFrame([(1, "b1"), (2, "b2"), (4, "b4")], "k long, bv string")
+    a_old, a_delta = a.filter("k != 2"), a.filter("k = 2")
+    b_old, b_delta = b.filter("k != 1"), b.filter("k = 1")
+    dv = join_view_delta(a_old, a_delta, b_old, b_delta, ["k"]).collect()
+    full = {(r.k, r.av, r.bv) for r in a.join(b, "k").collect()}
+    old = {(r.k, r.av, r.bv) for r in a_old.join(b_old, "k").collect()}
+    assert {(r.k, r.av, r.bv) for r in dv} == full - old
+    assert len(dv) == len(full - old)  # no duplicate delta rows
+
+
+def test_tfidf_cosine_pairs_rare_terms_dominate(spark):
+    from hw_kafka_streams_spark.operators.text import tfidf_cosine_pairs
+
+    # docs 1-2 share only a RARE term; docs 1-3 share only the
+    # ubiquitous term -> weighted cosine ranks (1,2) far above (1,3)
+    rows = [
+        (1, "common zebra alpha"),
+        (2, "common zebra beta"),
+        (3, "common gamma delta"),
+        (4, "common epsilon eta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.id1, r.id2): r.cos_sim for r in
+           tfidf_cosine_pairs(df, threshold=0.0).collect()}
+    assert out[(1, 2)] > 2 * out[(1, 3)]

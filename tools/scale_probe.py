@@ -71,6 +71,7 @@ PROBES = [
     "q_ctfidf_source_terms",   # class tf-idf over (class, term) aggs
     "q_source_vocab_jaccard",  # per-group vocab inverted-index join
     "q_zipf_heaps",            # top-k rank fit + per-group OLS moments
+    "q_tfidf_cosine_pairs",    # sparse weighted-cosine inverted index
 ]
 
 
@@ -90,6 +91,11 @@ def main() -> None:
                 qmap[name](spark, sf_dir).collect()
                 best = min(best, time.perf_counter() - t0)
             results.setdefault(name, {})[sf] = best
+            # isolate probes: operators persist intermediates (by
+            # design — shared multi-consumer subtrees); left cached
+            # they pile up session-wide and GC pressure skews LATER
+            # probes' numbers, so each probe starts cache-clean
+            spark.catalog.clearCache()
 
     lines = [
         "# SCALING — measured wall-clock across 100× data (generated by "
