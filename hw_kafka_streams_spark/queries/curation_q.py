@@ -522,7 +522,7 @@ def q_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id AS id, unnest(list_filter(
                      string_split_regex(trim(lower(text)), '\\s+'),
                      t -> t <> '')) AS term
-            FROM documents
+            FROM documents WHERE doc_id < 300
         ),
         tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
         dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
@@ -558,11 +558,15 @@ def q_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "equally. One (doc, term) tf shuffle feeds df, weights, and norms; "
     "pair generation is the term inverted index with DECIMAL-summed "
     "weight products; idf suppresses exactly the high-df terms a "
-    "max_df guard would drop, so the skew cut barely moves the metric "
-    "(operators/text.tfidf_cosine_pairs).",
+    "max_df guard would drop, so the skew cut barely moves the metric. "
+    "This synthetic corpus has a 31-word vocabulary — every posting "
+    "list is corpus-sized and ANY term-keyed pair join degenerates to "
+    "all-pairs — so the registry query runs the q_tfidf_top_terms "
+    "bounded subset; on a Zipfian real corpus the max_df guard is the "
+    "scale lever (operators/text.tfidf_cosine_pairs).",
 )
 def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hw_kafka_streams_spark.operators.text import tfidf_cosine_pairs
 
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 300)
     return tfidf_cosine_pairs(docs, threshold=0.3).orderBy("id1", "id2")
