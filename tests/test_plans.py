@@ -271,6 +271,8 @@ def test_headline_plans_no_smj_no_unexpected_nlj(spark, sf_dir):
         # the 1-row corpus-totals broadcast in the c-TF-IDF score
         "q_knn_classify",
         "q_ctfidf_source_terms",
+        # 1-row n_docs broadcast inside the tf-idf weight expression
+        "q_tfidf_cosine_pairs",
     }
     offenders: dict[str, str] = {}
     for name in HEADLINE:
