@@ -814,3 +814,75 @@ def tfidf_cosine_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id1", "id2", F.round("cos_sim", 4).alias("cos_sim"))
     )
+
+
+def llr_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    topk: int = 20,
+) -> DataFrame:
+    """Top-k adjacent-word collocations by Dunning's log-likelihood
+    ratio — the robust sibling of PMI (which over-rewards rare pairs:
+    two hapaxes that co-occur once get a huge PMI; LLR's contingency
+    test instead asks how SURPRISING the co-occurrence is given both
+    margins, so it ranks well even at low counts).
+
+    2·ΔLL over the 2×2 bigram contingency table via the xlogx form:
+
+        LLR = 2·( S(k11)+S(k12)+S(k21)+S(k22)
+                  − S(r1) − S(T−r1) − S(c1) − S(T−c1) + S(T) )
+
+    with S(x)=x·ln x (S(0)=0), k11 = c(w1,w2), r1/c1 the bigram-table
+    margins, T total bigrams. Every input is an exact integer count;
+    LLR is ONE scalar IEEE expression per pair (no cross-row float
+    sums), rounded before ordering so both engines rank identically.
+    Scale: margins are vocab-sized aggregates off the shared bigram
+    table; top-k is TakeOrdered.
+    """
+    base = df.select(word_tokens(F.lower(F.col(text_col))).alias("toks"))
+    c2 = (
+        base.select(F.explode(_adjacent_pairs(F.col("toks"))).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("k11"))
+        .persist()  # margins + candidate filter share the bigram table
+    )
+    r = c2.groupBy("w1").agg(F.sum("k11").alias("r1"))
+    c = c2.groupBy("w2").agg(F.sum("k11").alias("cc1"))
+    t = c2.agg(F.sum("k11").alias("t"))
+
+    def s(x):
+        return F.when(x > 0, x.cast("double") * F.log(x.cast("double"))).otherwise(
+            F.lit(0.0)
+        )
+
+    k11 = F.col("k11")
+    k12 = F.col("r1") - k11
+    k21 = F.col("cc1") - k11
+    k22 = F.col("t") - F.col("r1") - F.col("cc1") + k11
+    llr = 2.0 * (
+        s(k11)
+        + s(k12)
+        + s(k21)
+        + s(k22)
+        - s(F.col("r1"))
+        - s(F.col("t") - F.col("r1"))
+        - s(F.col("cc1"))
+        - s(F.col("t") - F.col("cc1"))
+        + s(F.col("t"))
+    )
+    return (
+        c2.filter(F.col("k11") >= min_count)
+        .join(F.broadcast(r), "w1")
+        .join(F.broadcast(c), "w2")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "w1",
+            "w2",
+            F.col("k11").alias("pair_count"),
+            F.round(llr, 4).alias("llr"),
+        )
+        .orderBy(F.desc("llr"), "w1", "w2")
+        .limit(topk)
+    )

@@ -826,3 +826,121 @@ def q_hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vec = rank_top(scored, [F.desc("cs"), F.asc("doc_id")], 100)
     return rrf_fuse(lex, vec, rrf_k=60, topk=15)
+
+
+@register(
+    "q_collocations_llr",
+    oracle="""
+        WITH toks AS (
+          SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ), bg AS (
+          SELECT unnest([struct_pack(w1 := t[i], w2 := t[i+1])
+                         FOR i IN range(1, len(t))], recursive := true)
+          FROM toks
+        ), c2 AS (
+          SELECT w1, w2, CAST(count(*) AS BIGINT) AS k11
+          FROM bg GROUP BY 1, 2
+        ),
+        r AS (SELECT w1, CAST(sum(k11) AS BIGINT) AS r1 FROM c2 GROUP BY 1),
+        c AS (SELECT w2, CAST(sum(k11) AS BIGINT) AS cc1 FROM c2 GROUP BY 1),
+        tt AS (SELECT CAST(sum(k11) AS BIGINT) AS t FROM c2)
+        SELECT w1, w2, k11 AS pair_count,
+               round(2.0 * (
+                 (CASE WHEN k11 > 0 THEN CAST(k11 AS DOUBLE)*ln(CAST(k11 AS DOUBLE)) ELSE 0 END)
+               + (CASE WHEN r1 - k11 > 0 THEN CAST(r1 - k11 AS DOUBLE)*ln(CAST(r1 - k11 AS DOUBLE)) ELSE 0 END)
+               + (CASE WHEN cc1 - k11 > 0 THEN CAST(cc1 - k11 AS DOUBLE)*ln(CAST(cc1 - k11 AS DOUBLE)) ELSE 0 END)
+               + (CASE WHEN t - r1 - cc1 + k11 > 0 THEN CAST(t - r1 - cc1 + k11 AS DOUBLE)*ln(CAST(t - r1 - cc1 + k11 AS DOUBLE)) ELSE 0 END)
+               - (CASE WHEN r1 > 0 THEN CAST(r1 AS DOUBLE)*ln(CAST(r1 AS DOUBLE)) ELSE 0 END)
+               - (CASE WHEN t - r1 > 0 THEN CAST(t - r1 AS DOUBLE)*ln(CAST(t - r1 AS DOUBLE)) ELSE 0 END)
+               - (CASE WHEN cc1 > 0 THEN CAST(cc1 AS DOUBLE)*ln(CAST(cc1 AS DOUBLE)) ELSE 0 END)
+               - (CASE WHEN t - cc1 > 0 THEN CAST(t - cc1 AS DOUBLE)*ln(CAST(t - cc1 AS DOUBLE)) ELSE 0 END)
+               + (CASE WHEN t > 0 THEN CAST(t AS DOUBLE)*ln(CAST(t AS DOUBLE)) ELSE 0 END)
+               ), 4) AS llr
+        FROM c2 JOIN r USING (w1) JOIN c USING (w2) CROSS JOIN tt
+        WHERE k11 >= 5
+        ORDER BY llr DESC, w1, w2 LIMIT 20
+    """,
+    doc="Top-20 collocations by Dunning log-likelihood ratio — the "
+    "contingency-test sibling of PMI that doesn't over-reward rare "
+    "pairs. All inputs exact integer counts off ONE shared bigram "
+    "table (margins are vocab-sized aggs); LLR is one scalar xlogx "
+    "expression per pair rounded before ordering "
+    "(operators/text.llr_collocations).",
+)
+def q_collocations_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return T.llr_collocations(docs, min_count=5, topk=20)
+
+
+@register(
+    "q_vocab_concentration",
+    oracle="""
+        WITH toks AS (
+          SELECT unnest(list_filter(
+                   string_split_regex(trim(lower(text)), '\\s+'),
+                   x -> x <> '')) AS w
+          FROM documents
+        ),
+        freq AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS t,
+                       count(*) AS vocab FROM freq)
+        SELECT min(tot.t) AS n_tokens,
+               min(tot.vocab) AS vocab,
+               round(CAST(sum(CAST(round(
+                        -(CAST(c AS DOUBLE) / tot.t)
+                        * ln(CAST(c AS DOUBLE) / tot.t), 9)
+                      AS DECIMAL(20,9))) AS DOUBLE), 6) AS entropy,
+               round(CAST(sum(CAST(round(
+                        -(CAST(c AS DOUBLE) / tot.t)
+                        * ln(CAST(c AS DOUBLE) / tot.t), 9)
+                      AS DECIMAL(20,9))) AS DOUBLE)
+                     / ln(CAST(min(tot.vocab) AS DOUBLE)), 6) AS norm_entropy,
+               round(CAST(sum(CAST(round(
+                        (CAST(c AS DOUBLE) / tot.t)
+                        * (CAST(c AS DOUBLE) / tot.t), 12)
+                      AS DECIMAL(24,12))) AS DOUBLE), 8) AS hhi,
+               round(1.0 / CAST(sum(CAST(round(
+                        (CAST(c AS DOUBLE) / tot.t)
+                        * (CAST(c AS DOUBLE) / tot.t), 12)
+                      AS DECIMAL(24,12))) AS DOUBLE), 2) AS eff_vocab
+        FROM freq CROSS JOIN tot
+    """,
+    doc="Vocabulary concentration in one sort-free aggregation pass: "
+    "token Shannon entropy (+ normalized by ln(vocab)), Herfindahl "
+    "index, and effective vocabulary size 1/HHI — the concentration "
+    "readout (template/spam corpora collapse toward few tokens) "
+    "WITHOUT the vocab-wide rank sort a Gini coefficient would need. "
+    "Counts exact; entropy/HHI terms are per-term-rounded DECIMAL sums "
+    "(reducer-order-proof).",
+)
+def q_vocab_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        F.explode(T.word_tokens(F.lower(F.col("text")))).alias("w")
+    )
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(
+        F.sum("c").alias("t"), F.count(F.lit(1)).alias("vocab")
+    )
+    p = F.col("c").cast("double") / F.col("t")
+    ent_term = F.round(-p * F.log(p), 9).cast("decimal(20,9)")
+    hhi_term = F.round(p * p, 12).cast("decimal(24,12)")
+    return (
+        freq.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min("t").alias("n_tokens"),
+            F.min("vocab").alias("vocab"),
+            F.round(F.sum(ent_term).cast("double"), 6).alias("entropy"),
+            F.round(
+                F.sum(ent_term).cast("double")
+                / F.log(F.min("vocab").cast("double")),
+                6,
+            ).alias("norm_entropy"),
+            F.round(F.sum(hhi_term).cast("double"), 8).alias("hhi"),
+            F.round(F.lit(1.0) / F.sum(hhi_term).cast("double"), 2).alias(
+                "eff_vocab"
+            ),
+        )
+    )

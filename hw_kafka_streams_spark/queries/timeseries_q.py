@@ -1386,3 +1386,74 @@ def q_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_name",
         F.round("o_totalprice", 2).alias("o_totalprice"),
     ).orderBy("o_orderkey", "c_custkey")
+
+
+@register(
+    "q_time_to_convert",
+    oracle="""
+        WITH firsts AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'view'
+                          THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS t_view,
+                 min(CASE WHEN event_type = 'purchase'
+                          THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS t_buy
+          FROM events GROUP BY user_id
+        ),
+        conv AS (
+          SELECT round((t_buy - t_view) / 3600.0, 2) AS delta_h
+          FROM firsts WHERE t_view IS NOT NULL AND t_buy > t_view
+        ),
+        base AS (SELECT count(*) AS n_users FROM firsts
+                 WHERE t_view IS NOT NULL)
+        SELECT base.n_users,
+               count(*) AS n_converted,
+               round(CAST(count(*) AS DOUBLE) / base.n_users, 4) AS conv_rate,
+               round(quantile_cont(delta_h, 0.50), 2) AS p50_hours,
+               round(quantile_cont(delta_h, 0.90), 2) AS p90_hours
+        FROM conv CROSS JOIN base GROUP BY base.n_users
+    """,
+    doc="Funnel latency: hours from first view to first purchase, "
+    "median and p90 over converted users plus the conversion rate. "
+    "The percentile runs through the count-histogram shape "
+    "(exact_percentiles_histogram — deltas rounded to 0.01 h give a "
+    "bounded domain), so no per-user value buffering; one user-keyed "
+    "shuffle for the firsts, then domain-sized tables.",
+)
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.stats import (
+        exact_percentiles_histogram,
+    )
+
+    e = load_table(spark, "events", sf_dir)
+    ts_s = F.col("ts").cast("long")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", ts_s)).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", ts_s)).alias("t_buy"),
+    )
+    conv = (
+        firsts.filter(
+            F.col("t_view").isNotNull() & (F.col("t_buy") > F.col("t_view"))
+        )
+        .select(
+            F.lit("all").alias("grp"),
+            F.round((F.col("t_buy") - F.col("t_view")) / 3600.0, 2).alias(
+                "delta_h"
+            ),
+        )
+    )
+    qs = exact_percentiles_histogram(conv, "delta_h", "grp", [0.50, 0.90])
+    base = firsts.filter(F.col("t_view").isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    return (
+        qs.crossJoin(F.broadcast(base))
+        .select(
+            "n_users",
+            F.col("n").alias("n_converted"),
+            F.round(
+                F.col("n").cast("double") / F.col("n_users"), 4
+            ).alias("conv_rate"),
+            F.round("p0", 2).alias("p50_hours"),
+            F.round("p1", 2).alias("p90_hours"),
+        )
+    )

@@ -334,3 +334,19 @@ def test_tfidf_cosine_pairs_rare_terms_dominate(spark):
     out = {(r.id1, r.id2): r.cos_sim for r in
            tfidf_cosine_pairs(df, threshold=0.0).collect()}
     assert out[(1, 2)] > 2 * out[(1, 3)]
+
+
+def test_llr_collocations_rank_real_pairs_over_chance(spark):
+    from hw_kafka_streams_spark.operators.text import llr_collocations
+
+    # "new york" always adjacent (strong collocation); "the cat"
+    # co-occurs only as often as chance predicts from the margins
+    text = " ".join(["new york the cat sat and the dog ran and"] * 10)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = llr_collocations(df, min_count=2, topk=8).collect()
+    by_pair = {(r.w1, r.w2): r.llr for r in out}
+    # deterministic pairs score high and equal (same contingency table)
+    assert by_pair[("new", "york")] == by_pair[("cat", "sat")] > 0
+    # "the cat": margin of "the" is double (the cat / the dog), so the
+    # pair is LESS surprising than the always-adjacent collocations
+    assert by_pair[("the", "cat")] < by_pair[("new", "york")]
