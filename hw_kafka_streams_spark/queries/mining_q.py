@@ -944,3 +944,159 @@ def q_vocab_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_burstiness",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_filter(
+                   string_split_regex(trim(lower(text)), '\\s+'),
+                   x -> x <> '')) AS term
+          FROM documents
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS x FROM toks GROUP BY 1, 2),
+        nd AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+        st AS (
+          SELECT term, CAST(sum(x) AS BIGINT) AS c,
+                 count(*) AS df, CAST(sum(x * x) AS BIGINT) AS s2
+          FROM tf GROUP BY term HAVING count(*) >= 10
+        )
+        SELECT term, c, df,
+               round((CAST(s2 AS DOUBLE) / nd.n
+                      - (CAST(c AS DOUBLE) / nd.n) * (CAST(c AS DOUBLE) / nd.n))
+                     / (CAST(c AS DOUBLE) / nd.n), 4) AS vmr,
+               round(CAST(df AS DOUBLE)
+                     / (nd.n * (1.0 - exp(-(CAST(c AS DOUBLE) / nd.n)))), 4)
+                   AS poisson_df_ratio
+        FROM st CROSS JOIN nd
+        ORDER BY c DESC, term LIMIT 20
+    """,
+    doc="Term burstiness: variance-to-mean ratio of per-doc counts "
+    "(zeros included) and observed-vs-Poisson document frequency — "
+    "content words clump (VMR >> 1, df below Poisson), function words "
+    "spread evenly. The corpus-linguistics signal separating topical "
+    "keywords from glue, from exact integer (c, df, sum x^2) "
+    "aggregates plus a scalar epilogue; one (doc, term) shuffle.",
+)
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        F.col("doc_id"),
+        F.explode(T.word_tokens(F.lower(F.col("text")))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("x"))
+    nd = tf.agg(F.countDistinct("doc_id").alias("n"))
+    st = (
+        tf.groupBy("term")
+        .agg(
+            F.sum("x").alias("c"),
+            F.count(F.lit(1)).alias("df"),
+            F.sum(F.col("x") * F.col("x")).alias("s2"),
+        )
+        .filter(F.col("df") >= 10)
+    )
+    mean = F.col("c").cast("double") / F.col("n")
+    vmr = (F.col("s2").cast("double") / F.col("n") - mean * mean) / mean
+    ratio = F.col("df").cast("double") / (
+        F.col("n") * (F.lit(1.0) - F.exp(-mean))
+    )
+    return (
+        st.crossJoin(F.broadcast(nd))
+        .select(
+            "term",
+            "c",
+            "df",
+            F.round(vmr, 4).alias("vmr"),
+            F.round(ratio, 4).alias("poisson_df_ratio"),
+        )
+        .orderBy(F.desc("c"), "term")
+        .limit(20)
+    )
+
+
+@register(
+    "q_zonemap_audit",
+    oracle="""
+        WITH base AS (
+          SELECT l_orderkey, l_partkey & 1023 AS x0, l_suppkey & 1023 AS y0
+          FROM lineitem
+        ),
+        s1 AS (SELECT *, (x0 | (x0 << 16)) & 281470681808895 AS x,
+                         (y0 | (y0 << 16)) & 281470681808895 AS y FROM base),
+        s2 AS (SELECT * REPLACE ((x | (x << 8)) & 71777214294589695 AS x,
+                                 (y | (y << 8)) & 71777214294589695 AS y) FROM s1),
+        s3 AS (SELECT * REPLACE ((x | (x << 4)) & 1085102592571150095 AS x,
+                                 (y | (y << 4)) & 1085102592571150095 AS y) FROM s2),
+        s4 AS (SELECT * REPLACE ((x | (x << 2)) & 3689348814741910323 AS x,
+                                 (y | (y << 2)) & 3689348814741910323 AS y) FROM s3),
+        s5 AS (SELECT * REPLACE ((x | (x << 1)) & 6148914691236517205 AS x,
+                                 (y | (y << 1)) & 6148914691236517205 AS y) FROM s4),
+        zv AS (SELECT l_orderkey, x0, y0, x | (y << 1) AS z FROM s5),
+        chunks AS (
+          SELECT 'natural' AS layout, l_orderkey // 1024 AS chunk,
+                 min(x0) AS min_x, max(x0) AS max_x,
+                 min(y0) AS min_y, max(y0) AS max_y
+          FROM zv GROUP BY 1, 2
+          UNION ALL
+          SELECT 'zorder', z >> 14,
+                 min(x0), max(x0), min(y0), max(y0)
+          FROM zv GROUP BY 1, 2
+        )
+        SELECT layout, count(*) AS n_chunks,
+               round(CAST(sum(max_x - min_x) AS DOUBLE) / count(*) / 1023, 4)
+                   AS avg_zone_width_x,
+               round(CAST(sum(max_y - min_y) AS DOUBLE) / count(*) / 1023, 4)
+                   AS avg_zone_width_y
+        FROM chunks GROUP BY layout ORDER BY layout
+    """,
+    doc="Zone-map (data-skipping) effectiveness audit: per-chunk "
+    "min/max width of both key projections under the NATURAL layout "
+    "(orderkey chunks — partkey/suppkey zones span ~the full domain, "
+    "so a point predicate prunes nothing) vs the Z-ORDER layout "
+    "(Morton-prefix chunks — both widths collapse). This is the "
+    "measurement behind choosing ZORDER BY before a 100 TB parquet "
+    "write; chunk ids are pure arithmetic (orderkey div / z-prefix), "
+    "no global row numbering (operators/layout.z_value).",
+)
+def q_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.layout import z_value
+
+    li = load_table(spark, "lineitem", sf_dir)
+    x0 = F.col("l_partkey").bitwiseAND(F.lit(1023))
+    y0 = F.col("l_suppkey").bitwiseAND(F.lit(1023))
+    base = li.select(
+        F.col("l_orderkey"),
+        x0.alias("x0"),
+        y0.alias("y0"),
+        z_value(x0, y0).alias("z"),
+    )
+    out = []
+    for layout, chunk in (
+        ("natural", (F.col("l_orderkey") / 1024).cast("long")),
+        ("zorder", F.shiftright("z", 14)),
+    ):
+        chunks = base.groupBy(chunk.alias("chunk")).agg(
+            F.min("x0").alias("min_x"),
+            F.max("x0").alias("max_x"),
+            F.min("y0").alias("min_y"),
+            F.max("y0").alias("max_y"),
+        )
+        out.append(
+            chunks.agg(
+                F.count(F.lit(1)).alias("n_chunks"),
+                F.round(
+                    F.sum(F.col("max_x") - F.col("min_x")).cast("double")
+                    / F.count(F.lit(1))
+                    / 1023,
+                    4,
+                ).alias("avg_zone_width_x"),
+                F.round(
+                    F.sum(F.col("max_y") - F.col("min_y")).cast("double")
+                    / F.count(F.lit(1))
+                    / 1023,
+                    4,
+                ).alias("avg_zone_width_y"),
+            ).select(F.lit(layout).alias("layout"), "*")
+        )
+    return out[0].unionByName(out[1]).orderBy("layout")
