@@ -82,6 +82,7 @@ def touch_attribution(
     rn = F.row_number().over(wr)
     position = (
         F.when(n == 1, F.lit(1.0))
+        .when(n == 2, F.lit(0.5))
         .when(rn == 1, F.lit(0.4))
         .when(rn == n, F.lit(0.4))
         .otherwise(F.lit(0.2) / (n - 2))

@@ -1146,6 +1146,7 @@ def q_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS linear_credit,
                round(CAST(sum(CAST(round(p_value *
                           (CASE WHEN n = 1 THEN 1.0
+                                WHEN n = 2 THEN 0.5
                                 WHEN rn = 1 THEN 0.4
                                 WHEN rn = n THEN 0.4
                                 ELSE 0.2 / (n - 2) END), 6)

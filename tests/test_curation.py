@@ -350,3 +350,64 @@ def test_llr_collocations_rank_real_pairs_over_chance(spark):
     # "the cat": margin of "the" is double (the cat / the dog), so the
     # pair is LESS surprising than the always-adjacent collocations
     assert by_pair[("the", "cat")] < by_pair[("new", "york")]
+
+
+def test_touch_attribution_conserves_value_random(spark):
+    import random
+
+    from hw_kafka_streams_spark.operators.attribution import touch_attribution
+
+    rng = random.Random(23)
+    rows = []
+    eid = 0
+    for user in range(30):
+        for ts in range(1, rng.randrange(3, 25)):
+            eid += 1
+            et = rng.choice(["view", "click", "signup", "purchase", "error"])
+            rows.append((eid, user, ts, et, round(rng.uniform(1, 50), 2)))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string, value double"
+    )
+    out = touch_attribution(df).collect()
+    # conservation: both models distribute exactly the value of every
+    # purchase that has >= 1 preceding touch — no credit invented/lost
+    purchases = [r for r in rows if r[3] == "purchase"]
+    touch_types = {"view", "click", "signup"}
+    attributable = 0.0
+    for e, u, t, _, v in purchases:
+        touches = [
+            r for r in rows
+            if r[1] == u and r[3] in touch_types
+            and (r[2], r[0]) < (t, e)
+            and not any(
+                p for p in purchases
+                if p[1] == u and (r[2], r[0]) < (p[2], p[0]) < (t, e)
+            )
+        ]
+        if touches:
+            attributable += v
+    lin = sum(r.linear_credit for r in out)
+    pos = sum(r.position_credit for r in out)
+    assert abs(lin - attributable) < 1e-2, (lin, attributable)
+    assert abs(pos - attributable) < 1e-2, (pos, attributable)
+
+
+def test_assoc_rules_lift_symmetry_random(spark):
+    import random
+
+    from hw_kafka_streams_spark.operators.stats import assoc_rules
+
+    rng = random.Random(5)
+    rows = [
+        (b, item)
+        for b in range(40)
+        for item in rng.sample("abcdef", rng.randrange(1, 5))
+    ]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = {(r.antecedent, r.consequent): r for r in
+           assoc_rules(df, "basket", "item").collect()}
+    for (a, b), r in out.items():
+        mirror = out[(b, a)]
+        assert r.n_both == mirror.n_both
+        assert abs(r.support - mirror.support) < 1e-12
+        assert abs(r.lift - mirror.lift) < 1e-9  # lift is symmetric
