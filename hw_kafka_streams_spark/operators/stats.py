@@ -202,12 +202,14 @@ def winsorized_stats(
     Trimmed: values OUTSIDE the band dropped then averaged. Returns
     per group: n, the two thresholds, both means, and the clip counts.
 
-    Scale shape: one exact-percentile aggregation per group (tiny
-    result, broadcast back) then one clamped aggregation — the
-    quantile_buckets recipe, so no per-group sort and no ntile. The
-    means sum DECIMAL(18,6)-rounded values, so reducer order cannot
-    drift the hash; exact-percentile interpolation matches DuckDB
-    quantile_cont bit-for-bit (proven by q_percentiles).
+    Scale shape: thresholds come from the count-histogram percentile
+    (:func:`exact_percentiles_histogram` — the heavy agg is a
+    partial-combinable (group, value) count bounded by the value
+    domain, never a buffer of raw rows), broadcast back into one
+    clamped aggregation; no per-group sort, no ntile. The means sum
+    DECIMAL(18,6)-rounded values, so reducer order cannot drift the
+    hash; the interpolation matches DuckDB quantile_cont bit-for-bit
+    (proven by q_percentiles_hist and the parity tests).
     """
     vc = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
         "double"
