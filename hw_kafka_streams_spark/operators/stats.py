@@ -430,3 +430,147 @@ def exact_percentiles_histogram(
         for i in range(len(probs))
     ]
     return th.groupBy(group_col).agg(*agg_cols)
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: Column | str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic — the nonparametric
+    distribution-drift test (did the score/latency/price distribution
+    shift between two snapshots or segments?), complementing the KL
+    token drift which needs a categorical domain.
+
+        D = max_v |F_a(v) − F_b(v)|
+
+    computed EXACTLY and scale-safely: per-(value) conditional counts,
+    cumulatives via the block-prefix-sum pattern (per-block windows
+    parallel over floor(v) blocks; the only single-partition window is
+    over the driver-bounded block table), and the max taken over the
+    INTEGER numerator |cum_a·n_b − cum_b·n_a| — no float comparisons
+    anywhere until the final division. Returns one row:
+    (n_a, n_b, ks_d, ks_crit_05, reject_05) with the α=0.05 critical
+    value 1.358·√((n_a+n_b)/(n_a·n_b)).
+    """
+    from pyspark.sql import Window
+
+    from hw_kafka_streams_spark.operators.winutil import tiny_table_partition
+
+    vc = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+        "double"
+    )
+    gc = F.col(group_col)
+    base = df.filter(gc.isin([group_a, group_b])).select(
+        vc.alias("_v"), (gc == group_a).cast("int").alias("_is_a")
+    )
+    per_v = base.groupBy("_v").agg(
+        F.sum("_is_a").alias("_ca"),
+        F.sum(F.lit(1) - F.col("_is_a")).alias("_cb"),
+    ).withColumn("_blk", F.floor("_v"))
+    # running totals: parallel within-block cumulatives + one tiny
+    # block-offset table (the q_window_rank shape)
+    w_in = (
+        Window.partitionBy("_blk")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    blocks = per_v.groupBy("_blk").agg(
+        F.sum("_ca").alias("_ba"), F.sum("_cb").alias("_bb")
+    )
+    w_blk = (
+        Window.partitionBy(tiny_table_partition("_blk"))
+        .orderBy("_blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = blocks.select(
+        "_blk",
+        F.coalesce(F.sum("_ba").over(w_blk), F.lit(0)).alias("_offa"),
+        F.coalesce(F.sum("_bb").over(w_blk), F.lit(0)).alias("_offb"),
+    )
+    totals = blocks.agg(
+        F.sum("_ba").alias("n_a"), F.sum("_bb").alias("n_b")
+    )
+    cum = (
+        per_v.join(F.broadcast(offsets), "_blk")
+        .select(
+            (F.col("_offa") + F.sum("_ca").over(w_in)).alias("_cuma"),
+            (F.col("_offb") + F.sum("_cb").over(w_in)).alias("_cumb"),
+        )
+    )
+    num = cum.crossJoin(F.broadcast(totals)).agg(
+        F.max(
+            F.abs(
+                F.col("_cuma") * F.col("n_b") - F.col("_cumb") * F.col("n_a")
+            )
+        ).alias("_num"),
+        F.min("n_a").alias("n_a"),
+        F.min("n_b").alias("n_b"),
+    )
+    d = F.col("_num").cast("double") / (
+        F.col("n_a").cast("double") * F.col("n_b")
+    )
+    crit = F.lit(1.358) * F.sqrt(
+        (F.col("n_a") + F.col("n_b")).cast("double")
+        / (F.col("n_a").cast("double") * F.col("n_b"))
+    )
+    return num.select(
+        "n_a",
+        "n_b",
+        F.round(d, 6).alias("ks_d"),
+        F.round(crit, 6).alias("ks_crit_05"),
+        (d > crit).cast("int").alias("reject_05"),
+    )
+
+
+def chi2_independence(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Pearson chi-squared test of independence between two categorical
+    columns (is language independent of source?), plus Cramér's V
+    effect size — the categorical companion to :func:`ks_two_sample`.
+
+    One (row, col) count shuffle; margins are category-sized aggregates
+    broadcast back; each cell's (o−e)²/e term is one scalar expression
+    rounded to DECIMAL and summed exactly (reducer-order-proof).
+    """
+    cells = df.groupBy(
+        F.col(row_col).alias("_r"), F.col(col_col).alias("_c")
+    ).agg(F.count(F.lit(1)).alias("_o"))
+    rt = cells.groupBy("_r").agg(F.sum("_o").alias("_rt"))
+    ct = cells.groupBy("_c").agg(F.sum("_o").alias("_ct"))
+    tot = cells.agg(
+        F.sum("_o").alias("_t"),
+        F.countDistinct("_r").alias("_nr"),
+        F.countDistinct("_c").alias("_nc"),
+    )
+    e = F.col("_rt").cast("double") * F.col("_ct") / F.col("_t")
+    term = (
+        F.round((F.col("_o") - e) * (F.col("_o") - e) / e, 9)
+        .cast("decimal(20,9)")
+    )
+    joined = (
+        cells.join(F.broadcast(rt), "_r")
+        .join(F.broadcast(ct), "_c")
+        .crossJoin(F.broadcast(tot))
+    )
+    chi2 = F.sum(term).cast("double")
+    return joined.agg(
+        F.min("_t").alias("n"),
+        ((F.min("_nr") - 1) * (F.min("_nc") - 1)).alias("dof"),
+        F.round(chi2, 4).alias("chi2"),
+        F.round(
+            F.sqrt(
+                chi2
+                / (
+                    F.min("_t").cast("double")
+                    * F.least(F.min("_nr") - 1, F.min("_nc") - 1)
+                )
+            ),
+            4,
+        ).alias("cramers_v"),
+    )

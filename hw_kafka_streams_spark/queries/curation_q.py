@@ -570,3 +570,91 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 300)
     return tfidf_cosine_pairs(docs, threshold=0.3).orderBy("id1", "id2")
+
+
+@register(
+    "q_chi2_independence",
+    oracle="""
+        WITH cells AS (
+          SELECT lang AS r, source AS c, count(*) AS o
+          FROM documents GROUP BY 1, 2
+        ),
+        rt AS (SELECT r, CAST(sum(o) AS BIGINT) AS rtot FROM cells GROUP BY 1),
+        ct AS (SELECT c, CAST(sum(o) AS BIGINT) AS ctot FROM cells GROUP BY 1),
+        tot AS (SELECT CAST(sum(o) AS BIGINT) AS t,
+                       count(DISTINCT r) AS nr,
+                       count(DISTINCT c) AS nc FROM cells)
+        SELECT min(tot.t) AS n,
+               CAST((min(tot.nr) - 1) * (min(tot.nc) - 1) AS BIGINT) AS dof,
+               round(CAST(sum(CAST(round(
+                   (o - CAST(rtot AS DOUBLE) * ctot / tot.t)
+                   * (o - CAST(rtot AS DOUBLE) * ctot / tot.t)
+                   / (CAST(rtot AS DOUBLE) * ctot / tot.t), 9)
+                 AS DECIMAL(20,9))) AS DOUBLE), 4) AS chi2,
+               round(sqrt(CAST(sum(CAST(round(
+                   (o - CAST(rtot AS DOUBLE) * ctot / tot.t)
+                   * (o - CAST(rtot AS DOUBLE) * ctot / tot.t)
+                   / (CAST(rtot AS DOUBLE) * ctot / tot.t), 9)
+                 AS DECIMAL(20,9))) AS DOUBLE)
+                 / (CAST(min(tot.t) AS DOUBLE)
+                    * least(min(tot.nr) - 1, min(tot.nc) - 1))), 4)
+                   AS cramers_v
+        FROM cells JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN tot
+    """,
+    doc="Pearson chi-squared independence test: is language independent "
+    "of source? Plus Cramer's V effect size. One (lang, source) count "
+    "shuffle, category-sized margins broadcast, per-cell (o-e)^2/e "
+    "terms DECIMAL-summed (operators/stats.chi2_independence).",
+)
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.stats import chi2_independence
+
+    docs = load_table(spark, "documents", sf_dir)
+    return chi2_independence(docs, "lang", "source")
+
+
+@register(
+    "q_benford_audit",
+    oracle="""
+        WITH d AS (
+          SELECT CAST(substring(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+                                     AS VARCHAR), 1, 1) AS INT) AS digit
+          FROM lineitem WHERE l_extendedprice >= 1
+        ),
+        counts AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM counts)
+        SELECT digit, n,
+               round(CAST(n AS DOUBLE) / tot.t, 6) AS obs_freq,
+               round(log10(1.0 + 1.0 / digit), 6) AS benford_freq,
+               round((CAST(n AS DOUBLE) / tot.t)
+                     / log10(1.0 + 1.0 / digit) - 1.0, 4) AS rel_dev
+        FROM counts CROSS JOIN tot ORDER BY digit
+    """,
+    doc="Benford first-digit audit of prices: observed vs log10(1+1/d) "
+    "frequencies with relative deviation — the data-forensics check "
+    "for fabricated/clamped numeric columns (TPC-H prices are "
+    "range-generated, so they visibly BEND Benford — which is the "
+    "point of auditing). One digit-keyed count + a 9-row epilogue.",
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_extendedprice") >= 1
+    )
+    digit = F.substring(
+        F.floor("l_extendedprice").cast("long").cast("string"), 1, 1
+    ).cast("int")
+    counts = li.groupBy(digit.alias("digit")).agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("t"))
+    obs = F.col("n").cast("double") / F.col("t")
+    exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(obs, 6).alias("obs_freq"),
+            F.round(exp, 6).alias("benford_freq"),
+            F.round(obs / exp - 1.0, 4).alias("rel_dev"),
+        )
+        .orderBy("digit")
+    )

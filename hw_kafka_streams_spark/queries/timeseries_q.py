@@ -1458,3 +1458,54 @@ def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("p1", 2).alias("p90_hours"),
         )
     )
+
+
+@register(
+    "q_ks_test",
+    oracle="""
+        WITH base AS (
+          SELECT "value" AS v, CAST(event_type = 'view' AS INT) AS is_a
+          FROM events WHERE event_type IN ('view', 'click')
+        ),
+        per_v AS (
+          SELECT v, CAST(sum(is_a) AS BIGINT) AS ca,
+                 CAST(sum(1 - is_a) AS BIGINT) AS cb
+          FROM base GROUP BY v
+        ),
+        tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                       CAST(sum(cb) AS BIGINT) AS nb FROM per_v),
+        cum AS (
+          SELECT CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cuma,
+                 CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cumb
+          FROM per_v
+        ),
+        agg AS (
+          SELECT tot.na, tot.nb,
+                 CAST(max(abs(cuma * tot.nb - cumb * tot.na)) AS BIGINT)
+                     AS num
+          FROM cum CROSS JOIN tot GROUP BY tot.na, tot.nb
+        )
+        SELECT na AS n_a, nb AS n_b,
+               round(CAST(num AS DOUBLE) / (CAST(na AS DOUBLE) * nb), 6)
+                   AS ks_d,
+               round(1.358 * sqrt(CAST(na + nb AS DOUBLE)
+                                  / (CAST(na AS DOUBLE) * nb)), 6)
+                   AS ks_crit_05,
+               CAST(CAST(num AS DOUBLE) / (CAST(na AS DOUBLE) * nb)
+                    > 1.358 * sqrt(CAST(na + nb AS DOUBLE)
+                                   / (CAST(na AS DOUBLE) * nb)) AS INT)
+                   AS reject_05
+        FROM agg
+    """,
+    doc="Two-sample Kolmogorov-Smirnov drift test (view vs click value "
+    "distributions): D computed over the INTEGER numerator "
+    "|cum_a*n_b - cum_b*n_a| so no float enters before the final "
+    "division; cumulatives via the block-prefix-sum pattern — the only "
+    "single-partition window is over the driver-bounded floor(v) block "
+    "table (operators/stats.ks_two_sample).",
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.stats import ks_two_sample
+
+    e = load_table(spark, "events", sf_dir)
+    return ks_two_sample(e, "value", "event_type", "view", "click")

@@ -411,3 +411,48 @@ def test_assoc_rules_lift_symmetry_random(spark):
         assert r.n_both == mirror.n_both
         assert abs(r.support - mirror.support) < 1e-12
         assert abs(r.lift - mirror.lift) < 1e-9  # lift is symmetric
+
+
+def test_ks_two_sample_matches_naive_ecdf(spark):
+    import random
+
+    from hw_kafka_streams_spark.operators.stats import ks_two_sample
+
+    rng = random.Random(31)
+    a = [round(rng.gauss(10, 3), 2) for _ in range(157)]
+    b = [round(rng.gauss(11, 4), 2) for _ in range(203)]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    r = ks_two_sample(df, "v", "grp", "a", "b").collect()[0]
+    # naive ECDF max-gap over the merged value set
+    naive = max(
+        abs(
+            sum(1 for x in a if x <= v) / len(a)
+            - sum(1 for x in b if x <= v) / len(b)
+        )
+        for v in set(a + b)
+    )
+    assert (r.n_a, r.n_b) == (157, 203)
+    assert abs(r.ks_d - naive) < 1e-6, (r.ks_d, naive)
+
+
+def test_ks_identical_distribution_accepts(spark):
+    from hw_kafka_streams_spark.operators.stats import ks_two_sample
+
+    rows = [(g, float(v % 13)) for g in ("a", "b") for v in range(200)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    r = ks_two_sample(df, "v", "grp", "a", "b").collect()[0]
+    assert r.ks_d == 0.0 and r.reject_05 == 0
+
+
+def test_chi2_independence_hand_computed(spark):
+    from hw_kafka_streams_spark.operators.stats import chi2_independence
+
+    # perfectly independent 2x2: chi2 = 0, V = 0
+    rows = [("x", "p")] * 10 + [("x", "q")] * 20 + [("y", "p")] * 5 + [
+        ("y", "q")
+    ] * 10
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = chi2_independence(df, "r", "c").collect()[0]
+    assert out.n == 45 and out.dof == 1
+    assert abs(out.chi2) < 1e-9 and abs(out.cramers_v) < 1e-6
