@@ -1509,3 +1509,138 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, "events", sf_dir)
     return ks_two_sample(e, "value", "event_type", "view", "click")
+
+
+@register(
+    "q_acf",
+    oracle="""
+        WITH series AS (
+          SELECT event_type,
+                 CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+                 CAST(count(*) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2
+        ),
+        mu AS (
+          SELECT event_type, CAST(sum(x) AS BIGINT) AS sx,
+                 count(*) AS n
+          FROM series GROUP BY 1
+        ),
+        lagged AS (
+          SELECT s.event_type, s.x,
+                 lag(s.x, 1) OVER w AS x1,
+                 lag(s.x, 24) OVER w AS x24,
+                 mu.sx, mu.n
+          FROM series s JOIN mu USING (event_type)
+          WINDOW w AS (PARTITION BY s.event_type ORDER BY s.h)
+        )
+        SELECT event_type, min(n) AS n_hours,
+               round(CAST(sum(CAST(round(
+                   (x - CAST(sx AS DOUBLE) / n)
+                   * (x1 - CAST(sx AS DOUBLE) / n), 6) AS DECIMAL(18,6)))
+                 AS DOUBLE)
+                 / CAST(sum(CAST(round(
+                     (x - CAST(sx AS DOUBLE) / n)
+                     * (x - CAST(sx AS DOUBLE) / n), 6) AS DECIMAL(18,6)))
+                   AS DOUBLE), 4) AS acf_1,
+               round(CAST(sum(CAST(round(
+                   (x - CAST(sx AS DOUBLE) / n)
+                   * (x24 - CAST(sx AS DOUBLE) / n), 6) AS DECIMAL(18,6)))
+                 AS DOUBLE)
+                 / CAST(sum(CAST(round(
+                     (x - CAST(sx AS DOUBLE) / n)
+                     * (x - CAST(sx AS DOUBLE) / n), 6) AS DECIMAL(18,6)))
+                   AS DOUBLE), 4) AS acf_24
+        FROM lagged GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Autocorrelation of the hourly event-count series at lags 1 "
+    "and 24 (persistence and daily seasonality) per event type — the "
+    "diagnostic behind choosing seasonal baselines. The series is "
+    "hour-bucketed counts (domain-bounded by the time range, never "
+    "row-bounded); lags are one partitioned window pass; deviation "
+    "products are DECIMAL-summed so reducer order can't drift the "
+    "ratio. Lag terms with no partner (series head) drop from both "
+    "numerator sums, the standard sample-ACF convention.",
+)
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    series = e.groupBy(
+        "event_type",
+        (F.col("ts").cast("long") / 3600).cast("long").alias("h"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    mu = series.groupBy("event_type").agg(
+        F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = (
+        series.join(F.broadcast(mu), "event_type")
+        .withColumn("x1", F.lag("x", 1).over(w))
+        .withColumn("x24", F.lag("x", 24).over(w))
+    )
+    m = F.col("sx").cast("double") / F.col("n")
+    dev = F.col("x") - m
+
+    def dsum(expr):
+        return F.sum(F.round(expr, 6).cast("decimal(18,6)")).cast("double")
+
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.min("n").alias("n_hours"),
+            F.round(
+                dsum(dev * (F.col("x1") - m)) / dsum(dev * dev), 4
+            ).alias("acf_1"),
+            F.round(
+                dsum(dev * (F.col("x24") - m)) / dsum(dev * dev), 4
+            ).alias("acf_24"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_event_transitions",
+    oracle="""
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS nxt
+          FROM events
+        ),
+        trans AS (
+          SELECT event_type AS src, nxt AS dst, count(*) AS n
+          FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+        ),
+        outdeg AS (SELECT src, CAST(sum(n) AS BIGINT) AS tot
+                   FROM trans GROUP BY 1)
+        SELECT src, dst, n,
+               round(CAST(n AS DOUBLE) / tot, 4) AS p
+        FROM trans JOIN outdeg USING (src)
+        ORDER BY src, dst
+    """,
+    doc="First-order behavioral transition matrix: P(next event type | "
+    "current) per adjacent event pair within a user's timeline — the "
+    "Markov readout funnels summarize away (error loops, "
+    "view-to-purchase shortcuts). One user-partitioned lead() window "
+    "(the sessionize shape), one pair-keyed count, out-degree totals "
+    "broadcast back.",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.withColumn("nxt", F.lead("event_type").over(w)).filter(
+        F.col("nxt").isNotNull()
+    )
+    trans = seq.groupBy(
+        F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    outdeg = trans.groupBy("src").agg(F.sum("n").alias("tot"))
+    return (
+        trans.join(F.broadcast(outdeg), "src")
+        .select(
+            "src",
+            "dst",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("tot"), 4).alias("p"),
+        )
+        .orderBy("src", "dst")
+    )
