@@ -1,0 +1,56 @@
+"""Reducer-order determinism: the DECIMAL-sum recipe's actual promise.
+
+Every float-producing query in this repo claims its aggregations are
+"reducer-order-proof" — per-row scalar IEEE expressions rounded to
+DECIMAL, summed exactly, floats only in the epilogue. This suite tests
+the promise directly: run the same query under DIFFERENT shuffle
+partition counts (different partial-aggregate grouping and merge
+order) and assert bit-identical results. A query summing raw doubles
+across partitions would flicker here.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hw_kafka_streams_spark.queries import queries
+
+SF = "/root/testdata/sf0.001"
+
+# Queries whose outputs lean on the DECIMAL / integer-exact recipes —
+# one per family (LM scoring, OLS, drift, importance, robust stats,
+# rank stats, entropy, contingency, ECDF, ACF, attribution).
+DECIMAL_RECIPE_QUERIES = [
+    "q_unigram_lm_score",
+    "q_regression_stats",
+    "q_dsir_weights",
+    "q_zipf_heaps",
+    "q_winsorized_stats",
+    "q_auc_rank",
+    "q_source_lang_entropy",
+    "q_chi2_independence",
+    "q_ks_test",
+    "q_acf",
+    "q_touch_attribution",
+    "q_vocab_concentration",
+    "q_collocations_llr",
+]
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", DECIMAL_RECIPE_QUERIES)
+def test_identical_across_shuffle_partitionings(spark, name):
+    qmap = queries()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = _rows(qmap[name](spark, SF))
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = _rows(qmap[name](spark, SF))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b, f"{name} drifted across shuffle partitionings"
+    assert len(a) > 0, f"{name} returned no rows at {SF}"
