@@ -135,9 +135,13 @@ def bloom_anti_join(
     de-duplicated before the join so its build side is minimal.
     """
     bitmap = bloom_bitmap(reference, key_col, num_bits, k)
+    # persist: both output branches read the probed table; without it
+    # the candidate scan AND the literal-bitmap probe expression (a
+    # num_bits/64-element array getbit fold — the costly part to
+    # evaluate and codegen) execute once per branch
     probed = candidates.withColumn(
         "_bloom_hit", might_contain(F.col(key_col), bitmap, num_bits, k)
-    )
+    ).persist()
     definitely_new = probed.filter(~F.col("_bloom_hit")).drop("_bloom_hit")
     maybe = probed.filter(F.col("_bloom_hit")).drop("_bloom_hit")
     ref_keys = reference.select(key_col).distinct()
