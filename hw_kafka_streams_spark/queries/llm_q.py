@@ -1320,9 +1320,14 @@ def q_llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_dedup_clusters",
-    oracle="""
+def _cc_oracle(final: str) -> str:
+    """Shared recursive-CTE transitive closure over the Jaccard>=0.05
+    pair graph — the DuckDB twin of connected_components; ``final``
+    selects off the ``walk(id, comp)`` closure."""
+    return _CC_WALK + final
+
+
+_CC_WALK = """
         WITH RECURSIVE sh AS (
           SELECT doc_id,
                  list_distinct([
@@ -1358,8 +1363,14 @@ def q_llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
           UNION
           SELECT e.src, w.comp FROM edges e JOIN walk w ON w.id = e.dst
         )
-        SELECT id, min(comp) AS comp FROM walk GROUP BY id ORDER BY id
-    """,
+"""
+
+
+@register(
+    "q_dedup_clusters",
+    oracle=_cc_oracle(
+        "SELECT id, min(comp) AS comp FROM walk GROUP BY id ORDER BY id"
+    ),
     doc="Duplicate-CLUSTER labeling: Jaccard pairs -> connected components "
     "(iterative min-label propagation, O(diameter) rounds, one shuffle "
     "per round). Oracle = recursive-CTE transitive closure over the "
@@ -1369,6 +1380,38 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     pairs = D.jaccard_candidate_pairs(docs, threshold=0.05)
     return D.connected_components(pairs).orderBy("id")
+
+
+@register(
+    "q_dup_cluster_sizes",
+    oracle=_cc_oracle("""
+        SELECT sz AS cluster_size, count(*) AS n_clusters,
+               CAST(sum(sz) AS BIGINT) AS n_docs
+        FROM (SELECT comp, count(*) AS sz
+              FROM (SELECT id, min(comp) AS comp FROM walk GROUP BY id)
+              GROUP BY comp)
+        GROUP BY sz ORDER BY sz
+    """),
+    doc="Duplicate-cluster SIZE distribution: how big do near-dup "
+    "groups get (the long tail decides whether keep-one dedup saves "
+    "3% or 30% of the corpus, and a giant component is the classic "
+    "boilerplate-threshold smell). Two group-keyed counts on top of "
+    "the same min-label connected components; oracle shares the "
+    "recursive-CTE closure with q_dedup_clusters.",
+)
+def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.jaccard_candidate_pairs(docs, threshold=0.05)
+    comps = D.connected_components(pairs)
+    sizes = comps.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("cluster_size").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
 
 
 def _embedding_lsh_oracle(

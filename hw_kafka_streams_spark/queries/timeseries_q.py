@@ -1644,3 +1644,124 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src", "dst")
     )
+
+
+@register(
+    "q_cusum_changepoint",
+    oracle="""
+        WITH series AS (
+          SELECT event_type,
+                 CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+                 CAST(count(*) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2
+        ),
+        idx AS (
+          SELECT event_type, h, x,
+                 CAST(row_number() OVER w AS BIGINT) AS t,
+                 CAST(sum(x) OVER w AS BIGINT) AS cum
+          FROM series
+          WINDOW w AS (PARTITION BY event_type ORDER BY h)
+        ),
+        mom AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(x * x) AS BIGINT) AS s2
+          FROM series GROUP BY 1
+        ),
+        num AS (
+          SELECT i.event_type, i.h,
+                 abs(m.n * i.cum - i.t * m.sx) AS dev,
+                 m.n, m.sx, m.s2
+          FROM idx i JOIN mom m USING (event_type)
+        ),
+        mx AS (
+          SELECT event_type, CAST(max(dev) AS BIGINT) AS m,
+                 min(n) AS n, min(sx) AS sx, min(s2) AS s2
+          FROM num GROUP BY 1
+        )
+        SELECT mx.event_type,
+               mx.n AS n_hours,
+               (SELECT min(h) FROM num
+                WHERE num.event_type = mx.event_type AND num.dev = mx.m)
+                   AS changepoint_h,
+               round(CAST(mx.m AS DOUBLE)
+                     / (mx.n * sqrt(CAST(mx.s2 AS DOUBLE) / mx.n
+                                    - (CAST(mx.sx AS DOUBLE) / mx.n)
+                                      * (CAST(mx.sx AS DOUBLE) / mx.n))
+                          * sqrt(CAST(mx.n AS DOUBLE))), 4) AS cusum_stat,
+               CAST(CAST(mx.m AS DOUBLE)
+                    / (mx.n * sqrt(CAST(mx.s2 AS DOUBLE) / mx.n
+                                   - (CAST(mx.sx AS DOUBLE) / mx.n)
+                                     * (CAST(mx.sx AS DOUBLE) / mx.n))
+                         * sqrt(CAST(mx.n AS DOUBLE))) > 1.358 AS INT)
+                   AS shift_detected
+        FROM mx ORDER BY mx.event_type
+    """,
+    doc="CUSUM mean-shift detection over the hourly event-count series: "
+    "the maximum |cumulative deviation| is carried as the INTEGER "
+    "|n*cum - t*sx| (no float until the scalar epilogue), normalized "
+    "by sigma*sqrt(n) and compared to the Brownian-bridge 5% critical "
+    "value 1.358; ties on the argmax hour break to the earliest. Same "
+    "domain-bounded hour-series shape as q_acf — the per-type window "
+    "never sees raw rows.",
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    series = e.groupBy(
+        "event_type",
+        (F.col("ts").cast("long") / 3600).cast("long").alias("h"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    idx = series.select(
+        "event_type",
+        "h",
+        F.row_number().over(w).cast("long").alias("t"),
+        F.sum("x").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+    )
+    mom = series.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    num = idx.join(F.broadcast(mom), "event_type").select(
+        "event_type",
+        "h",
+        F.abs(F.col("n") * F.col("cum") - F.col("t") * F.col("sx")).alias(
+            "dev"
+        ),
+        "n",
+        "sx",
+        "s2",
+    ).persist()  # max pass + argmax pass share it
+    mx = num.groupBy("event_type").agg(
+        F.max("dev").alias("m"),
+        F.min("n").alias("n"),
+        F.min("sx").alias("sx"),
+        F.min("s2").alias("s2"),
+    )
+    arg = (
+        num.join(
+            F.broadcast(mx.select("event_type", "m")), "event_type"
+        )
+        .filter(F.col("dev") == F.col("m"))
+        .groupBy("event_type")
+        .agg(F.min("h").alias("changepoint_h"))
+    )
+    mean = F.col("sx").cast("double") / F.col("n")
+    sigma = F.sqrt(F.col("s2").cast("double") / F.col("n") - mean * mean)
+    stat = F.col("m").cast("double") / (
+        F.col("n") * sigma * F.sqrt(F.col("n").cast("double"))
+    )
+    return (
+        mx.join(F.broadcast(arg), "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_hours"),
+            "changepoint_h",
+            F.round(stat, 4).alias("cusum_stat"),
+            (stat > 1.358).cast("int").alias("shift_detected"),
+        )
+        .orderBy("event_type")
+    )
