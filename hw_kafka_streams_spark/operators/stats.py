@@ -574,3 +574,72 @@ def chi2_independence(
             4,
         ).alias("cramers_v"),
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: Column | str,
+    y_col: Column | str,
+) -> DataFrame:
+    """2-D skyline (Pareto front, maximize both): rows not dominated by
+    any other — the preference-query operator (best docs by quality AND
+    length, best configs by speed AND accuracy) relational engines ship
+    as SKYLINE and Spark lacks.
+
+    Dominance: r' dominates r iff x' ≥ x ∧ y' ≥ y with at least one
+    strict. Exact-duplicate points are mutually non-dominated (kept).
+
+    Scale shape — NOT the O(n²) self-join and NOT a global sort window:
+    reduce to one row per distinct x (the max-y; same-x lower-y rows
+    are dominated), then the strict-prefix running max of y over x
+    DESC via the block-prefix-sum pattern: per-block windows parallel,
+    the only single-partition window is over the driver-bounded
+    floor-block table. A row survives iff its y strictly beats every
+    better-x row's y. Input rows join back by x so (x, y)-tied
+    duplicates all surface.
+    """
+    from pyspark.sql import Window
+
+    from hw_kafka_streams_spark.operators.winutil import tiny_table_partition
+
+    xc = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("double")
+    yc = (F.col(y_col) if isinstance(y_col, str) else y_col).cast("double")
+    pts = df.withColumn("_x", xc).withColumn("_y", yc)
+    per_x = pts.groupBy("_x").agg(F.max("_y").alias("_my")).withColumn(
+        "_blk", F.floor("_x")
+    )
+    # strict-prefix (x' > x) running max of the per-x maxima: within-
+    # block prefix max over x DESC + the block table's own prefix max
+    blocks = per_x.groupBy("_blk").agg(F.max("_my").alias("_bm"))
+    w_blk = (
+        Window.partitionBy(tiny_table_partition("_blk"))
+        .orderBy(F.desc("_blk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boff = blocks.select(
+        "_blk", F.max("_bm").over(w_blk).alias("_prev_blk_max")
+    )
+    w_in = (
+        Window.partitionBy("_blk")
+        .orderBy(F.desc("_x"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        per_x.join(F.broadcast(boff), "_blk")
+        .withColumn(
+            "_mq_before",
+            F.greatest(
+                F.coalesce(F.max("_my").over(w_in), F.lit(float("-inf"))),
+                F.coalesce(F.col("_prev_blk_max"), F.lit(float("-inf"))),
+            ),
+        )
+        # survive iff the per-x max strictly beats every better-x y
+        .filter(F.col("_my") > F.col("_mq_before"))
+        .select("_x", "_my")
+    )
+    return (
+        pts.join(F.broadcast(frontier), "_x")
+        # keep only the max-y rows at that x (ties all kept)
+        .filter(F.col("_y") == F.col("_my"))
+        .drop("_x", "_y", "_my")
+    )

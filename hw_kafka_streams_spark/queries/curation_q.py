@@ -658,3 +658,138 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@register(
+    "q_skyline_parts",
+    oracle="""
+        SELECT p_partkey, p_size, round(p_retailprice, 2) AS p_retailprice
+        FROM part p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM part q
+          WHERE q.p_size >= p.p_size
+            AND q.p_retailprice >= p.p_retailprice
+            AND (q.p_size > p.p_size OR q.p_retailprice > p.p_retailprice)
+        )
+        ORDER BY p_partkey
+    """,
+    doc="2-D SKYLINE (Pareto front, maximize size AND price): the "
+    "preference-query operator relational engines ship natively and "
+    "Spark lacks. Computed WITHOUT the O(n^2) dominance self-join and "
+    "WITHOUT a global sort window: per-x maxima, then the strict-"
+    "prefix running max via block-prefix-sum (only the driver-bounded "
+    "block table sees a single-partition window). The oracle IS the "
+    "quadratic NOT EXISTS definition, so the linear-shuffle plan is "
+    "proven equivalent (operators/stats.skyline_2d).",
+)
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.stats import skyline_2d
+
+    p = load_table(spark, "part", sf_dir).select(
+        "p_partkey", "p_size", "p_retailprice"
+    )
+    return (
+        skyline_2d(p, "p_size", "p_retailprice")
+        .select(
+            "p_partkey",
+            "p_size",
+            F.round("p_retailprice", 2).alias("p_retailprice"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "q_jackknife_ci",
+    oracle="""
+        WITH per_src AS (
+          SELECT source, CAST(sum(n_chars) AS BIGINT) AS s,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM documents GROUP BY source
+        ),
+        tot AS (SELECT CAST(sum(s) AS BIGINT) AS st,
+                       CAST(sum(n) AS BIGINT) AS nt,
+                       count(*) AS g FROM per_src),
+        loo AS (
+          SELECT CAST(tot.st - s AS DOUBLE) / (tot.nt - n) AS m, tot.g
+          FROM per_src CROSS JOIN tot
+        ),
+        lbar AS (
+          SELECT CAST(sum(CAST(round(m, 9) AS DECIMAL(20,9))) AS DOUBLE)
+                 / min(g) AS lb, min(g) AS g
+          FROM loo
+        )
+        SELECT tot.nt AS n_docs,
+               CAST(tot.g AS BIGINT) AS n_groups,
+               round(CAST(tot.st AS DOUBLE) / tot.nt, 4) AS mean_chars,
+               round(sqrt((CAST(lbar.g - 1 AS DOUBLE) / lbar.g)
+                 * CAST((SELECT sum(CAST(round((m - lbar.lb) * (m - lbar.lb), 9)
+                                    AS DECIMAL(20,9))) FROM loo) AS DOUBLE)),
+                     6) AS jack_se,
+               round(CAST(tot.st AS DOUBLE) / tot.nt
+                     - 1.96 * sqrt((CAST(lbar.g - 1 AS DOUBLE) / lbar.g)
+                 * CAST((SELECT sum(CAST(round((m - lbar.lb) * (m - lbar.lb), 9)
+                                    AS DECIMAL(20,9))) FROM loo) AS DOUBLE)),
+                     4) AS ci_lo,
+               round(CAST(tot.st AS DOUBLE) / tot.nt
+                     + 1.96 * sqrt((CAST(lbar.g - 1 AS DOUBLE) / lbar.g)
+                 * CAST((SELECT sum(CAST(round((m - lbar.lb) * (m - lbar.lb), 9)
+                                    AS DECIMAL(20,9))) FROM loo) AS DOUBLE)),
+                     4) AS ci_hi
+        FROM tot CROSS JOIN lbar
+    """,
+    doc="Delete-one-GROUP jackknife CI for the corpus mean doc length: "
+    "clustered data (docs within a source correlate) makes the naive "
+    "i.i.d. standard error overconfident; the leave-one-source-out "
+    "estimate is the honest uncertainty. Heavy work = one per-source "
+    "integer aggregate; the 20 leave-one-out means and their DECIMAL-"
+    "summed squared deviations are a group-sized epilogue.",
+)
+def q_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    per_src = docs.groupBy("source").agg(
+        F.sum("n_chars").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    tot = per_src.agg(
+        F.sum("s").alias("st"),
+        F.sum("n").alias("nt"),
+        F.count(F.lit(1)).alias("g"),
+    )
+    loo = per_src.crossJoin(F.broadcast(tot)).select(
+        ((F.col("st") - F.col("s")).cast("double") / (F.col("nt") - F.col("n")))
+        .alias("m"),
+        "g",
+    ).persist()  # mean-of-loo and squared-deviation passes share it
+    lbar = loo.agg(
+        (
+            F.sum(F.round("m", 9).cast("decimal(20,9)")).cast("double")
+            / F.min("g")
+        ).alias("lb")
+    )
+    dev2 = (
+        loo.crossJoin(F.broadcast(lbar))
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("m") - F.col("lb")) * (F.col("m") - F.col("lb")), 9
+                ).cast("decimal(20,9)")
+            )
+            .cast("double")
+            .alias("ss")
+        )
+    )
+    mean = F.col("st").cast("double") / F.col("nt")
+    se = F.sqrt(
+        ((F.col("g") - 1).cast("double") / F.col("g")) * F.col("ss")
+    )
+    return (
+        tot.crossJoin(F.broadcast(dev2))
+        .select(
+            F.col("nt").alias("n_docs"),
+            F.col("g").cast("long").alias("n_groups"),
+            F.round(mean, 4).alias("mean_chars"),
+            F.round(se, 6).alias("jack_se"),
+            F.round(mean - 1.96 * se, 4).alias("ci_lo"),
+            F.round(mean + 1.96 * se, 4).alias("ci_hi"),
+        )
+    )

@@ -456,3 +456,29 @@ def test_chi2_independence_hand_computed(spark):
     out = chi2_independence(df, "r", "c").collect()[0]
     assert out.n == 45 and out.dof == 1
     assert abs(out.chi2) < 1e-9 and abs(out.cramers_v) < 1e-6
+
+
+def test_skyline_2d_matches_naive_dominance(spark):
+    import random
+
+    from hw_kafka_streams_spark.operators.stats import skyline_2d
+
+    rng = random.Random(41)
+    pts = [
+        (i, float(rng.randrange(0, 40)), float(rng.randrange(0, 40)))
+        for i in range(300)
+    ]
+    # force exact-duplicate points and same-x ties
+    pts += [(1000, 39.0, 39.0), (1001, 39.0, 39.0), (1002, 39.0, 1.0)]
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    got = {r.id for r in skyline_2d(df, "x", "y").collect()}
+
+    def dominated(p):
+        return any(
+            q[1] >= p[1] and q[2] >= p[2] and (q[1] > p[1] or q[2] > p[2])
+            for q in pts
+            if q[0] != p[0] and not (q[1] == p[1] and q[2] == p[2])
+        )
+
+    want = {p[0] for p in pts if not dominated(p)}
+    assert got == want
