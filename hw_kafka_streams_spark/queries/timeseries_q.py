@@ -1765,3 +1765,132 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_rfm_segments",
+    oracle="""
+        WITH rfm AS (
+          SELECT user_id,
+                 max(CAST(floor(epoch(ts)) AS BIGINT)) AS recency,
+                 CAST(count(*) AS BIGINT) AS frequency,
+                 sum(CAST("value" AS DECIMAL(18,2))) AS monetary
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        ),
+        th AS (
+          SELECT quantile_cont(CAST(recency AS DOUBLE), 1.0/3) AS r1,
+                 quantile_cont(CAST(recency AS DOUBLE), 2.0/3) AS r2,
+                 quantile_cont(CAST(frequency AS DOUBLE), 1.0/3) AS f1,
+                 quantile_cont(CAST(frequency AS DOUBLE), 2.0/3) AS f2,
+                 quantile_cont(CAST(monetary AS DOUBLE), 1.0/3) AS m1,
+                 quantile_cont(CAST(monetary AS DOUBLE), 2.0/3) AS m2
+          FROM rfm
+        ),
+        seg AS (
+          SELECT 'R' || (1 + CAST(CAST(recency AS DOUBLE) > th.r1 AS INT)
+                           + CAST(CAST(recency AS DOUBLE) > th.r2 AS INT))
+              || 'F' || (1 + CAST(CAST(frequency AS DOUBLE) > th.f1 AS INT)
+                           + CAST(CAST(frequency AS DOUBLE) > th.f2 AS INT))
+              || 'M' || (1 + CAST(CAST(monetary AS DOUBLE) > th.m1 AS INT)
+                           + CAST(CAST(monetary AS DOUBLE) > th.m2 AS INT))
+                 AS segment,
+                 monetary
+          FROM rfm CROSS JOIN th
+        )
+        SELECT segment, count(*) AS n_users,
+               round(CAST(sum(monetary) AS DOUBLE) / count(*) + 0.000001, 2)
+                   AS avg_monetary
+        FROM seg GROUP BY segment ORDER BY segment
+    """,
+    doc="RFM segmentation (recency / frequency / monetary terciles): "
+    "the classic behavioral-value grid, built the quantile_buckets way "
+    "— tercile thresholds are ONE exact-percentile aggregate broadcast "
+    "back, never an ntile window over users; monetary sums exact "
+    "DECIMAL(18,2) so the per-segment averages can't drift.",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    rfm = e.groupBy("user_id").agg(
+        F.max(F.col("ts").cast("long")).alias("recency"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("monetary"),
+    )
+    th = rfm.agg(
+        *[
+            F.percentile(F.col(c).cast("double"), F.lit(p)).alias(f"{c[0]}{i}")
+            for c in ("recency", "frequency", "monetary")
+            for i, p in ((1, 1.0 / 3), (2, 2.0 / 3))
+        ]
+    )
+
+    def score(c):
+        return (
+            F.lit(1)
+            + (F.col(c).cast("double") > F.col(f"{c[0]}1")).cast("int")
+            + (F.col(c).cast("double") > F.col(f"{c[0]}2")).cast("int")
+        )
+
+    seg = rfm.crossJoin(F.broadcast(th)).select(
+        F.concat(
+            F.lit("R"), score("recency").cast("string"),
+            F.lit("F"), score("frequency").cast("string"),
+            F.lit("M"), score("monetary").cast("string"),
+        ).alias("segment"),
+        "monetary",
+    )
+    return (
+        seg.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            # + 1e-6 before the round on BOTH sides: cent-exact sums
+            # over even counts land on .xx5 halves, where Spark's
+            # shortest-repr round-half-up and DuckDB's binary
+            # round-half-even disagree (the q_window_running nudge)
+            F.round(
+                F.sum("monetary").cast("double") / F.count(F.lit(1))
+                + F.lit(0.000001),
+                2,
+            ).alias("avg_monetary"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
+    "q_event_paths",
+    oracle="""
+        WITH seq AS (
+          SELECT event_type,
+                 lead(event_type, 1) OVER w AS e2,
+                 lead(event_type, 2) OVER w AS e3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT event_type || '>' || e2 || '>' || e3 AS path,
+               count(*) AS n
+        FROM seq WHERE e3 IS NOT NULL
+        GROUP BY 1 ORDER BY n DESC, path LIMIT 10
+    """,
+    doc="Top-10 three-step behavioral paths (the transition matrix's "
+    "sequence-level sibling): two lead() offsets in one user-"
+    "partitioned window pass, one path-keyed count, TakeOrdered "
+    "top-10 — no global sort.",
+)
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        e.withColumn("e2", F.lead("event_type", 1).over(w))
+        .withColumn("e3", F.lead("event_type", 2).over(w))
+        .filter(F.col("e3").isNotNull())
+    )
+    return (
+        seq.groupBy(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(10)
+    )
