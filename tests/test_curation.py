@@ -482,3 +482,67 @@ def test_skyline_2d_matches_naive_dominance(spark):
 
     want = {p[0] for p in pts if not dominated(p)}
     assert got == want
+
+
+def test_winsorized_matches_numpy_reference(spark):
+    import random
+
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.stats import winsorized_stats
+
+    rng = random.Random(53)
+    vals = [round(rng.uniform(0, 500), 2) for _ in range(400)]
+    df = spark.createDataFrame([("g", v) for v in vals], "grp string, v double")
+    r = winsorized_stats(df, "v", "grp", lower=0.1, upper=0.9).collect()[0]
+    a = np.array(vals)
+    lo, hi = np.quantile(a, 0.1), np.quantile(a, 0.9)
+    assert abs(r.p_lo - lo) < 1e-9 and abs(r.p_hi - hi) < 1e-9
+    assert abs(r.win_mean - np.clip(a, lo, hi).mean()) < 1e-5
+    assert abs(r.trim_mean - a[(a >= lo) & (a <= hi)].mean()) < 1e-5
+    assert r.n_clipped_lo == int((a < lo).sum())
+    assert r.n_clipped_hi == int((a > hi).sum())
+
+
+def test_registry_invariants_on_smoke_data(spark, sf_dir):
+    """Cross-cutting semantic invariants of registry queries, run on
+    the sf0.001 smoke tables — cheap checks the value-hash oracle
+    can't express (it only proves Spark == DuckDB, not that BOTH
+    implement the declared semantics)."""
+    from collections import defaultdict
+
+    from hw_kafka_streams_spark.queries import queries
+
+    qmap = queries()
+
+    # transition probabilities sum to 1 per source state
+    by_src = defaultdict(float)
+    for r in qmap["q_event_transitions"](spark, sf_dir).collect():
+        by_src[r.src] += r.p
+    assert by_src and all(abs(s - 1.0) < 0.01 for s in by_src.values()), by_src
+
+    # RFM: segment user counts conserve the distinct-purchaser count
+    from hw_kafka_streams_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    seg = qmap["q_rfm_segments"](spark, sf_dir).collect()
+    n_seg_users = sum(r.n_users for r in seg)
+    n_purchasers = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert n_seg_users == n_purchasers
+
+    # Benford: observed digit frequencies sum to 1
+    ben = qmap["q_benford_audit"](spark, sf_dir).collect()
+    assert abs(sum(r.obs_freq for r in ben) - 1.0) < 0.01
+
+    # cluster-size histogram: docs add up to the labeled-doc count
+    sizes = qmap["q_dup_cluster_sizes"](spark, sf_dir).collect()
+    n_docs_hist = sum(r.n_docs for r in sizes)
+    n_docs_labeled = qmap["q_dedup_clusters"](spark, sf_dir).count()
+    assert n_docs_hist == n_docs_labeled
+    assert all(r.cluster_size >= 2 for r in sizes)  # edge graph, no singletons
