@@ -537,6 +537,15 @@ def chi2_independence(
     One (row, col) count shuffle; margins are category-sized aggregates
     broadcast back; each cell's (o−e)²/e term is one scalar expression
     rounded to DECIMAL and summed exactly (reducer-order-proof).
+
+    The cell table is DENSIFIED before the sum: the margin tables
+    cross-join into the full nr × nc category grid and the observed
+    counts left-join onto it with o coalesced to 0, because an
+    unobserved (row, col) combination still contributes its full
+    expected count e to the statistic ((0−e)²/e = e); summing over
+    observed cells only understates chi² and Cramér's V on any sparse
+    contingency table. The grid is margin-sized (categories², never
+    rows), so the cross join stays a broadcast of two tiny aggregates.
     """
     cells = df.groupBy(
         F.col(row_col).alias("_r"), F.col(col_col).alias("_c")
@@ -553,9 +562,10 @@ def chi2_independence(
         F.round((F.col("_o") - e) * (F.col("_o") - e) / e, 9)
         .cast("decimal(20,9)")
     )
+    grid = rt.crossJoin(F.broadcast(ct))
     joined = (
-        cells.join(F.broadcast(rt), "_r")
-        .join(F.broadcast(ct), "_c")
+        grid.join(F.broadcast(cells), ["_r", "_c"], "left")
+        .withColumn("_o", F.coalesce(F.col("_o"), F.lit(0)))
         .crossJoin(F.broadcast(tot))
     )
     chi2 = F.sum(term).cast("double")

@@ -583,7 +583,12 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ct AS (SELECT c, CAST(sum(o) AS BIGINT) AS ctot FROM cells GROUP BY 1),
         tot AS (SELECT CAST(sum(o) AS BIGINT) AS t,
                        count(DISTINCT r) AS nr,
-                       count(DISTINCT c) AS nc FROM cells)
+                       count(DISTINCT c) AS nc FROM cells),
+        dense AS (
+          SELECT rt.r, ct.c, rt.rtot, ct.ctot, COALESCE(cells.o, 0) AS o
+          FROM rt CROSS JOIN ct
+          LEFT JOIN cells ON cells.r = rt.r AND cells.c = ct.c
+        )
         SELECT min(tot.t) AS n,
                CAST((min(tot.nr) - 1) * (min(tot.nc) - 1) AS BIGINT) AS dof,
                round(CAST(sum(CAST(round(
@@ -599,12 +604,14 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / (CAST(min(tot.t) AS DOUBLE)
                     * least(min(tot.nr) - 1, min(tot.nc) - 1))), 4)
                    AS cramers_v
-        FROM cells JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN tot
+        FROM dense CROSS JOIN tot
     """,
     doc="Pearson chi-squared independence test: is language independent "
     "of source? Plus Cramer's V effect size. One (lang, source) count "
     "shuffle, category-sized margins broadcast, per-cell (o-e)^2/e "
-    "terms DECIMAL-summed (operators/stats.chi2_independence).",
+    "terms DECIMAL-summed over the DENSIFIED nr x nc grid (zero-"
+    "observed cells still contribute e; omitting them understates the "
+    "statistic on sparse tables) (operators/stats.chi2_independence).",
 )
 def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hw_kafka_streams_spark.operators.stats import chi2_independence

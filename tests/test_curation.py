@@ -458,6 +458,29 @@ def test_chi2_independence_hand_computed(spark):
     assert abs(out.chi2) < 1e-9 and abs(out.cramers_v) < 1e-6
 
 
+def test_chi2_sparse_table_counts_zero_cells(spark):
+    """An unobserved (row, col) cell contributes its full expected
+    count e to chi² ((0−e)²/e = e); summing observed cells only
+    understates the statistic. 2×2 with an empty (y, q) cell:
+    o = [[10, 10], [10, 0]], margins rt = [20, 10], ct = [20, 10],
+    t = 30 → e = [[13.33, 6.67], [6.67, 3.33]] and
+    chi² = Σ(o−e)²/e = 0.833+1.667+1.667+3.333 = 7.5 (scipy-checked).
+    """
+    rows = [("x", "p")] * 10 + [("x", "q")] * 10 + [("y", "p")] * 10
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = chi2_independence_import()(df, "r", "c").collect()[0]
+    assert out.n == 30 and out.dof == 1
+    assert abs(out.chi2 - 7.5) < 1e-6
+    # V = sqrt(chi2 / (n * min(nr-1, nc-1))) = sqrt(7.5/30) = 0.5
+    assert abs(out.cramers_v - 0.5) < 1e-6
+
+
+def chi2_independence_import():
+    from hw_kafka_streams_spark.operators.stats import chi2_independence
+
+    return chi2_independence
+
+
 def test_skyline_2d_matches_naive_dominance(spark):
     import random
 
