@@ -1011,3 +1011,97 @@ def char_span_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared_spans"))
         .filter(F.col("n_shared_spans") >= min_shared)
     )
+
+
+def substring_dedup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 20,
+    max_df: int | None = 50,
+    min_len: int = 30,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Variable-length duplicate-substring pairs — the maximal verbatim
+    common substrings between document pairs, the distributed stand-in
+    for suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": memorization removal
+    needs the LONGEST duplicated span, not fixed-length span counts —
+    which is exactly what :func:`char_span_pairs` cannot give).
+
+    Returns ``(doc_a, doc_b, start_a, start_b, span_len)`` — doc_a <
+    doc_b, 1-based character offsets into the lower-cased text, one row
+    per MAXIMAL shared span with ``span_len >= min_len``. Exact for
+    spans of length ≥ ``n`` whose every ``n``-window survives the df
+    cap: a common substring of length L contributes L−n+1 consecutive
+    anchor hits on one alignment diagonal, and the diagonal run-merge
+    recovers L exactly.
+
+    Scale shape — suffix arrays don't distribute; this does, in three
+    bounded stages:
+
+    1. anchor grams at EVERY offset (stride 1) — one narrow explode,
+       rows = corpus chars, hashed to longs before the shuffle;
+    2. inverted-index self-join on the gram hash with the ``max_df``
+       boilerplate guard (same declared-contract lever as
+       char_span_pairs — a df-capped gram list keeps any posting list,
+       and therefore the join fan-out, bounded at any corpus size);
+    3. run-merge: matches group by (doc_a, doc_b, diagonal = pos_a −
+       pos_b); within a diagonal, consecutive positions are islands
+       found by the pos − row_number() trick — a window PARTITIONED by
+       pair+diagonal (never global), then one agg emits each maximal
+       island as (min pos, run length + n − 1).
+
+    ``hash_mode='md5'`` uses the DuckDB-twin :func:`md5h` so the full
+    pipeline is value-hash oracle-able; xxhash64 is the scale default.
+    """
+    from pyspark.sql import Window
+
+    lt = F.lower(F.col(text_col))
+    grams = df.filter(F.length(text_col) >= n).select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.sequence(F.lit(1), F.length(lt) - n + 1)).alias("_pos"),
+        lt.alias("_lt"),
+    ).select(
+        "_id",
+        "_pos",
+        (
+            md5h(F.substring(F.col("_lt"), F.col("_pos"), n))
+            if hash_mode == "md5"
+            else F.xxhash64(F.substring(F.col("_lt"), F.col("_pos"), n))
+        ).alias("_gh"),
+    )
+    if max_df is not None:
+        keep = (
+            grams.groupBy("_gh")
+            .agg(F.countDistinct("_id").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("_gh")
+        )
+        grams = grams.join(keep, "_gh")
+    a = grams.select(
+        F.col("_id").alias("doc_a"), F.col("_pos").alias("_pa"), "_gh"
+    )
+    b = grams.select(
+        F.col("_id").alias("doc_b"), F.col("_pos").alias("_pb"), "_gh"
+    )
+    hits = (
+        # shuffle-hash: per-gram rows bounded by max_df × positions —
+        # no sort needed, build side stays small
+        a.join(b.hint("shuffle_hash"), "_gh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "_pa", "_pb", (F.col("_pa") - F.col("_pb")).alias("_diag"))
+        .distinct()  # same gram at the same (pos_a, pos_b) via hash collision
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "_diag").orderBy("_pa")
+    islands = hits.withColumn("_grp", F.col("_pa") - F.row_number().over(w))
+    return (
+        islands.groupBy("doc_a", "doc_b", "_diag", "_grp")
+        .agg(
+            F.min("_pa").cast("long").alias("start_a"),
+            F.min("_pb").cast("long").alias("start_b"),
+            (F.max("_pa") - F.min("_pa") + n).cast("long").alias("span_len"),
+        )
+        .filter(F.col("span_len") >= min_len)
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_len")
+    )

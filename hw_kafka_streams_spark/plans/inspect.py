@@ -27,8 +27,76 @@ def formatted_plan(df: DataFrame) -> str:
 
 
 def count_shuffles(df: DataFrame) -> int:
-    """Number of exchange (shuffle/broadcast-build) boundaries."""
-    return physical_plan(df).count("Exchange hashpartitioning")
+    """Number of DISTINCT shuffle-exchange nodes in the physical plan.
+
+    Counted by walking the JVM plan tree and deduplicating on SparkPlan
+    node ids, NOT by counting `Exchange` substrings in the plan string:
+    `toString` prints a persisted subtree once per InMemoryTableScan
+    consumer and a reused exchange once per reference, so the textual
+    count reports work that executes once as if it ran k times (the
+    r4 report showed 78 for q_prefix_filter_dups; the physical count
+    is an order of magnitude lower). ReusedExchangeExec resolves to its
+    original exchange's id, so reuse never double-counts.
+    """
+    return exchange_counts(df)[0]
+
+
+def exchange_counts(df: DataFrame) -> tuple[int, int]:
+    """(distinct shuffle exchanges, distinct broadcast exchanges) by
+    JVM plan walk with node-id dedup — see :func:`count_shuffles`.
+
+    Descends through AQE wrappers, materialized query stages,
+    ReusedExchangeExec (to the original exchange's id), and into each
+    InMemoryRelation's cached plan (its shuffles run once, at
+    materialization; repeated consumers share node ids so the dedup is
+    automatic). Counts ALL shuffle exchanges — hash, range, and
+    single-partition — not just hash partitioning.
+    """
+    root = df._jdf.queryExecution().executedPlan()
+    shuffles: set[int] = set()
+    broadcasts: set[int] = set()
+    visited: set[int] = set()
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        try:
+            nid = node.id()
+        except Exception:
+            nid = id(node)
+        if nid in visited:
+            continue
+        visited.add(nid)
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            stack.append(node.executedPlan())
+            continue
+        if "QueryStageExec" in name:
+            try:
+                stack.append(node.plan())
+                continue
+            except Exception:
+                pass
+        if name == "ReusedExchangeExec":
+            # leaf node whose `child` IS the original exchange — chase
+            # it so the reuse maps onto the already-counted id
+            try:
+                stack.append(node.child())
+            except Exception:
+                pass
+            continue
+        if name == "InMemoryTableScanExec":
+            try:
+                stack.append(node.relation().cachedPlan())
+            except Exception:
+                pass
+        if name == "ShuffleExchangeExec":
+            shuffles.add(nid)
+        elif name == "BroadcastExchangeExec":
+            broadcasts.add(nid)
+        ch = node.children()
+        for i in range(ch.length()):
+            stack.append(ch.apply(i))
+    return len(shuffles), len(broadcasts)
 
 
 def pushed_filters(df: DataFrame) -> list[str]:
@@ -132,9 +200,10 @@ def plan_report(df: DataFrame, execute: bool = False) -> dict:
         df.collect()
     raw = physical_plan(df)
     plan = _collapse_cached_repeats(raw)
+    n_shuffles, _ = exchange_counts(df)
     return {
         "cache_reuses": max(0, raw.count("InMemoryTableScan") - 1),
-        "shuffles": plan.count("Exchange hashpartitioning"),
+        "shuffles": n_shuffles,
         "broadcasts": plan.count("BroadcastHashJoin"),
         "sort_merge_joins": plan.count("SortMergeJoin"),
         "nested_loop_joins": plan.count("NestedLoop"),

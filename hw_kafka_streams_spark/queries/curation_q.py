@@ -67,6 +67,60 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_substring_dedup",
+    oracle="""
+        WITH h AS (
+            SELECT doc_id,
+                   CAST(p AS BIGINT) AS p,
+                   ('0x' || substring(md5(substring(lt, CAST(p AS INT), 20)),
+                                      1, 15))::BIGINT AS gh
+            FROM (SELECT doc_id, lower(text) AS lt,
+                         unnest(generate_series(1, length(text) - 19)) AS p
+                  FROM documents WHERE length(text) >= 20)
+        ),
+        keep AS (SELECT gh FROM h GROUP BY gh
+                 HAVING count(DISTINCT doc_id) <= 50),
+        hk AS (SELECT h.doc_id, h.p, h.gh FROM h JOIN keep USING (gh)),
+        hits AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.p AS pa, b.p AS pb, a.p - b.p AS diag
+            FROM hk a JOIN hk b ON a.gh = b.gh AND a.doc_id < b.doc_id
+        ),
+        isl AS (
+            SELECT doc_a, doc_b, diag, pa, pb,
+                   pa - row_number() OVER (
+                       PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+            FROM hits
+        )
+        SELECT doc_a, doc_b,
+               CAST(min(pa) AS BIGINT) AS start_a,
+               CAST(min(pb) AS BIGINT) AS start_b,
+               CAST(max(pa) - min(pa) + 20 AS BIGINT) AS span_len
+        FROM isl GROUP BY doc_a, doc_b, diag, grp
+        HAVING max(pa) - min(pa) + 20 >= 30
+        ORDER BY doc_a, doc_b, start_a, start_b
+    """,
+    doc="Variable-length duplicate-substring dedup (Lee et al. 2022 "
+    "memorization-removal shape): the MAXIMAL verbatim common "
+    "substrings per document pair, found without a suffix array — "
+    "stride-1 anchor grams, df-capped inverted-index self-join, then "
+    "matches merged along alignment diagonals (pos_a - pos_b) with the "
+    "pos - row_number() islands trick in a pair+diagonal-partitioned "
+    "window (never global). Exact for spans >= 20 chars whose every "
+    "20-window survives the df <= 50 cap; a length-L duplicate yields "
+    "L-19 consecutive diagonal hits and the run-merge recovers L "
+    "exactly (operators/dedup.substring_dedup_spans).",
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.dedup import substring_dedup_spans
+
+    docs = load_table(spark, "documents", sf_dir)
+    return substring_dedup_spans(
+        docs, n=20, max_df=50, min_len=30, hash_mode="md5"
+    ).orderBy("doc_a", "doc_b", "start_a", "start_b")
+
+
+@register(
     "q_split_leakage",
     oracle=f"""
         WITH flags AS (

@@ -44,6 +44,49 @@ def test_char_span_pairs_max_df_drops_boilerplate(spark):
     assert {(r.doc_a, r.doc_b, r.n_shared_spans) for r in out} == {(1, 2, 1)}
 
 
+def test_substring_dedup_recovers_exact_span_length(spark):
+    """A length-L planted duplicate must come back as ONE maximal span
+    of exactly L chars at the right offsets — the variable-length
+    contract char_span_pairs can't give."""
+    from hw_kafka_streams_spark.operators.dedup import substring_dedup_spans
+
+    shared = "the quick brown fox jumps over the lazy dog again and again!"
+    assert len(shared) == 60
+    # boundary chars differ on each side so the maximal span is exactly
+    # `shared` (a shared boundary space would legitimately extend it)
+    rows = [
+        (1, "AAAAx" + shared + "yBBBBBBBBBBBBBBBBBBB"),
+        (2, "CCCCCCCCCCw" + shared + "zDDDDDDDDD"),
+        (3, "completely unrelated text with no repeats at all here ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = substring_dedup_spans(df, n=20, max_df=None, min_len=30).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    # 1-based offsets: doc 1 prefix "aaaax" = 5 chars, doc 2 prefix 11
+    assert (r.start_a, r.start_b) == (6, 12)
+    assert r.span_len == 60
+
+
+def test_substring_dedup_two_disjoint_spans_stay_separate(spark):
+    """Two separate duplicated regions in the same pair must surface as
+    two maximal spans (different diagonals/islands), not merge."""
+    from hw_kafka_streams_spark.operators.dedup import substring_dedup_spans
+
+    s1 = "first shared run of exactly forty chars!"
+    s2 = "second shared block also forty chars long"
+    assert len(s1) == 40 and len(s2) == 41
+    rows = [
+        (1, s1 + " xxxxxxxxxxxxxxxxxxxxxxxx " + s2),
+        (2, s2 + " yyyyyyyyyyyyyyyyyyyyyyyyyyyyyy " + s1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = substring_dedup_spans(df, n=20, max_df=None, min_len=30).collect()
+    spans = sorted((r.start_a, r.start_b, r.span_len) for r in out)
+    assert spans == [(1, 74, 40), (67, 1, 41)]
+
+
 def test_split_leakage_audit_counts(spark):
     from hw_kafka_streams_spark.operators.sampling import split_leakage_audit
 

@@ -66,6 +66,7 @@ PROBES = [
     "q_similarity_pq_topk",    # PQ train/encode/ADC + re-rank
     "q_similarity_ivfpq_topk",  # IVF probe pruning + PQ codes
     "q_span_dedup",            # gram inverted-index + array verify
+    "q_substring_dedup",       # stride-1 anchors + diagonal run-merge
     "q_knn_classify",          # broadcast-batch cosine + integer vote
     "q_winsorized_stats",      # broadcast-threshold robust means
     "q_ctfidf_source_terms",   # class tf-idf over (class, term) aggs
