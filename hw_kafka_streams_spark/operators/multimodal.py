@@ -10,8 +10,8 @@ Design for 100 TB of images/audio/video interleaved with text:
 
 The container has no image/audio codecs, so COMPRESSED-format decode
 is STUBBED (``NotImplementedError`` at clearly-marked points). But
-codec-free formats get REAL processing: PNG/JPEG/GIF/BMP header
-parsing, uncompressed-BMP pixel decode + nearest-neighbor resize +
+codec-free formats get REAL processing: PNG/JPEG/GIF/BMP/TIFF/WebP
+header parsing, uncompressed-BMP pixel decode + nearest-neighbor resize +
 channel-mean feature extraction, YUV4MPEG2 (y4m) raw-video frame
 sampling with per-frame luma features, and 16-bit PCM WAV sample
 decode + RMS — all pure byte/numpy math in Arrow-batched stages. The
@@ -124,11 +124,88 @@ def _parse_bmp_dims(data: bytes) -> tuple[int, int] | None:
     return None
 
 
+def _parse_tiff_dims(data: bytes) -> tuple[int, int] | None:
+    """TIFF dimensions by walking the first IFD — pure byte math.
+
+    Header: 'II'/'MM' byte order, magic 42, 4-byte offset to IFD 0.
+    IFD: 2-byte entry count, then 12-byte entries of tag(2) type(2)
+    count(4) value-or-offset(4); ImageWidth = tag 256, ImageLength =
+    tag 257, value inline for SHORT(3)/LONG(4) with count 1 (left-
+    justified in the 4 value bytes per the spec, so a SHORT reads as
+    the first 2 bytes in file byte order).
+    """
+    if len(data) < 8:
+        return None
+    if data[:4] == b"II*\x00":
+        e = "<"
+    elif data[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        return None
+    (ifd_off,) = struct.unpack(e + "I", data[4:8])
+    if len(data) < ifd_off + 2:
+        return None
+    (n_entries,) = struct.unpack(e + "H", data[ifd_off : ifd_off + 2])
+    width = height = None
+    for i in range(n_entries):
+        base = ifd_off + 2 + 12 * i
+        if len(data) < base + 12:
+            return None
+        tag, typ = struct.unpack(e + "HH", data[base : base + 4])
+        if tag not in (256, 257):
+            continue
+        if typ == 3:  # SHORT, inline
+            (val,) = struct.unpack(e + "H", data[base + 8 : base + 10])
+        elif typ == 4:  # LONG, inline
+            (val,) = struct.unpack(e + "I", data[base + 8 : base + 12])
+        else:
+            continue
+        if tag == 256:
+            width = val
+        else:
+            height = val
+    if width is not None and height is not None:
+        return width, height
+    return None
+
+
+def _parse_webp_dims(data: bytes) -> tuple[int, int] | None:
+    """WebP dimensions from the first chunk after the RIFF container —
+    covers all three variants, pure byte math:
+
+    - VP8X (extended): canvas width−1 / height−1 as 24-bit LE at
+      offsets 24 / 27;
+    - VP8L (lossless): signature byte 0x2F at 20, then 14-bit width−1
+      and height−1 packed little-endian in the next 4 bytes;
+    - 'VP8 ' (lossy): frame tag, sync code 9D 01 2A at 23, then 14-bit
+      width / height at 26 / 28 (2 LE bytes each, masked).
+    """
+    if len(data) < 30 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        return None
+    chunk = data[12:16]
+    if chunk == b"VP8X":
+        w = int.from_bytes(data[24:27], "little") + 1
+        h = int.from_bytes(data[27:30], "little") + 1
+        return w, h
+    if chunk == b"VP8L" and data[20] == 0x2F:
+        bits = int.from_bytes(data[21:25], "little")
+        w = (bits & 0x3FFF) + 1
+        h = ((bits >> 14) & 0x3FFF) + 1
+        return w, h
+    if chunk == b"VP8 " and data[23:26] == b"\x9d\x01\x2a":
+        w = struct.unpack("<H", data[26:28])[0] & 0x3FFF
+        h = struct.unpack("<H", data[28:30])[0] & 0x3FFF
+        return w, h
+    return None
+
+
 _IMAGE_PARSERS = (
     ("png", _parse_png_dims),
     ("jpeg", _parse_jpeg_dims),
     ("gif", _parse_gif_dims),
     ("bmp", _parse_bmp_dims),
+    ("tiff", _parse_tiff_dims),
+    ("webp", _parse_webp_dims),
 )
 
 
@@ -136,8 +213,9 @@ def decode_image_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Arrow-batched decode stage: binary → (width, height, format).
 
     Real header parsing for PNG (IHDR), JPEG (SOFn marker scan), GIF
-    (logical screen descriptor) and BMP (BITMAPINFOHEADER); everything
-    else hits the stub. The mapInPandas shape (iterator of batches
+    (logical screen descriptor), BMP (BITMAPINFOHEADER), TIFF (first-
+    IFD walk, either byte order) and WebP (VP8/VP8L/VP8X chunk
+    headers); everything else hits the stub. The mapInPandas shape (iterator of batches
     in/out) is exactly what a real pillow/ffmpeg decode stage would
     use — swap the inner function when codecs are available.
     """
@@ -154,11 +232,12 @@ def decode_image_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                         break
                 else:
                     # STUB: no image codecs in this container — formats
-                    # beyond these four header layouts (webp/tiff pixel
-                    # decode…) need pillow; a real deployment decodes here.
+                    # beyond these six header layouts (and any PIXEL
+                    # decode of compressed data) need pillow; a real
+                    # deployment decodes here.
                     raise NotImplementedError(
-                        "non-PNG/JPEG/GIF/BMP decode requires codec "
-                        "libraries not present in this environment"
+                        "non-PNG/JPEG/GIF/BMP/TIFF/WebP decode requires "
+                        "codec libraries not present in this environment"
                     )
             yield pd.DataFrame(
                 out, columns=["doc_id", "width", "height", "format", "n_bytes"]
@@ -305,13 +384,55 @@ def make_fake_bmp(width: int, height: int) -> bytes:
     return file_hdr + dib + filler
 
 
-_FAKE_IMAGE_MAKERS = (make_fake_png, make_fake_jpeg, make_fake_gif, make_fake_bmp)
+def make_fake_tiff(width: int, height: int) -> bytes:
+    """Deterministic minimal TIFF (little-endian header + one IFD with
+    ImageWidth/ImageLength LONG entries + filler) for plumbing tests."""
+    filler = hashlib.sha256(f"tiff{width}x{height}".encode()).digest()[:8]
+    ifd = (
+        struct.pack("<H", 2)
+        + struct.pack("<HHII", 256, 4, 1, width)
+        + struct.pack("<HHII", 257, 4, 1, height)
+        + struct.pack("<I", 0)  # next-IFD offset: none
+    )
+    return b"II*\x00" + struct.pack("<I", 8) + ifd + filler
+
+
+def make_fake_webp(width: int, height: int) -> bytes:
+    """Deterministic minimal lossy WebP (RIFF + 'VP8 ' chunk with the
+    9D 01 2A sync code) for plumbing tests."""
+    filler = hashlib.sha256(f"webp{width}x{height}".encode()).digest()[:8]
+    vp8 = (
+        b"\x00\x00\x00"  # frame tag
+        + b"\x9d\x01\x2a"
+        + struct.pack("<HH", width, height)
+        + filler
+    )
+    riff_size = 4 + 8 + len(vp8)  # 'WEBP' + chunk header + payload
+    return (
+        b"RIFF"
+        + struct.pack("<I", riff_size)
+        + b"WEBP"
+        + b"VP8 "
+        + struct.pack("<I", len(vp8))
+        + vp8
+    )
+
+
+_FAKE_IMAGE_MAKERS = (
+    make_fake_png,
+    make_fake_jpeg,
+    make_fake_gif,
+    make_fake_bmp,
+    make_fake_tiff,
+    make_fake_webp,
+)
 
 
 def synthesize_image_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Mixed-format twin of :func:`synthesize_png_payloads`: ``id % 4``
-    cycles PNG / JPEG / GIF / BMP — same ``id %`` dimension arithmetic,
-    so an SQL oracle can still verify the decode roundtrip per format."""
+    """Mixed-format twin of :func:`synthesize_png_payloads`: ``id % 6``
+    cycles PNG / JPEG / GIF / BMP / TIFF / WebP — same ``id %``
+    dimension arithmetic, so an SQL oracle can still verify the decode
+    roundtrip per format."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -320,7 +441,7 @@ def synthesize_image_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFram
                 {
                     "doc_id": ids,
                     "payload": [
-                        _FAKE_IMAGE_MAKERS[int(i) % 4](
+                        _FAKE_IMAGE_MAKERS[int(i) % 6](
                             int(i) % 640 + 16, int(i) % 480 + 16
                         )
                         for i in ids

@@ -1195,19 +1195,22 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                CAST(doc_id % 640 + 16 AS INT) AS width,
                CAST(doc_id % 480 + 16 AS INT) AS height,
-               CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-                    WHEN 2 THEN 'gif' ELSE 'bmp' END AS format,
-               CAST(CASE doc_id % 4 WHEN 0 THEN 61 WHEN 1 THEN 65
-                    WHEN 2 THEN 45 ELSE 62 END AS BIGINT) AS n_bytes
+               CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                    WHEN 2 THEN 'gif' WHEN 3 THEN 'bmp'
+                    WHEN 4 THEN 'tiff' ELSE 'webp' END AS format,
+               CAST(CASE doc_id % 6 WHEN 0 THEN 61 WHEN 1 THEN 65
+                    WHEN 2 THEN 45 WHEN 3 THEN 62
+                    WHEN 4 THEN 46 ELSE 38 END AS BIGINT) AS n_bytes
         FROM documents WHERE doc_id < 200 ORDER BY doc_id
     """,
     doc="Binary → decoded image metadata roundtrip: synthesize "
-    "deterministic mixed PNG/JPEG/GIF/BMP payloads (mapInPandas, id%4 "
-    "cycles the format), parse headers back in an Arrow-batched decode "
-    "stage (operators/multimodal.decode_image_meta — PNG IHDR, JPEG "
-    "SOFn marker scan, GIF logical-screen descriptor, BMP "
-    "BITMAPINFOHEADER; pure byte-math). The oracle recomputes dims "
-    "arithmetically per format.",
+    "deterministic mixed PNG/JPEG/GIF/BMP/TIFF/WebP payloads "
+    "(mapInPandas, id%6 cycles the format), parse headers back in an "
+    "Arrow-batched decode stage (operators/multimodal.decode_image_meta "
+    "— PNG IHDR, JPEG SOFn marker scan, GIF logical-screen descriptor, "
+    "BMP BITMAPINFOHEADER, TIFF IFD walk in either byte order, WebP "
+    "VP8/VP8L/VP8X chunk headers; pure byte-math). The oracle "
+    "recomputes dims arithmetically per format.",
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hw_kafka_streams_spark.operators.multimodal import (

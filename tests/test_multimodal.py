@@ -110,19 +110,20 @@ def test_jpeg_sof_marker_scan_roundtrip():
 
 
 def test_decode_image_meta_mixed_formats(spark):
-    """Arrow decode stage handles PNG/JPEG/GIF/BMP payloads in one batch."""
+    """Arrow decode stage handles PNG/JPEG/GIF/BMP/TIFF/WebP payloads
+    in one batch."""
     from hw_kafka_streams_spark.operators.multimodal import (
         decode_image_meta,
         synthesize_image_payloads,
     )
 
-    ids = spark.range(0, 8).withColumnRenamed("id", "doc_id")
+    ids = spark.range(0, 12).withColumnRenamed("id", "doc_id")
     out = {
         r.doc_id: (r.width, r.height, r.format)
         for r in decode_image_meta(synthesize_image_payloads(ids)).collect()
     }
-    for i in range(8):
-        fmt = ("png", "jpeg", "gif", "bmp")[i % 4]
+    for i in range(12):
+        fmt = ("png", "jpeg", "gif", "bmp", "tiff", "webp")[i % 6]
         assert out[i] == (i % 640 + 16, i % 480 + 16, fmt)
 
 
@@ -151,6 +152,57 @@ def test_gif_bmp_header_parsers():
     assert _parse_bmp_dims(b"XX" + b[2:]) is None
 
 
+def test_tiff_header_parser_both_byte_orders():
+    import struct as _s
+
+    from hw_kafka_streams_spark.operators.multimodal import (
+        _parse_tiff_dims,
+        make_fake_tiff,
+    )
+
+    assert _parse_tiff_dims(make_fake_tiff(800, 600)) == (800, 600)
+    # big-endian variant with SHORT-typed dims
+    ifd = (
+        _s.pack(">H", 2)
+        + _s.pack(">HHI", 256, 3, 1) + _s.pack(">H", 320) + b"\x00\x00"
+        + _s.pack(">HHI", 257, 3, 1) + _s.pack(">H", 240) + b"\x00\x00"
+        + _s.pack(">I", 0)
+    )
+    be = b"MM\x00*" + _s.pack(">I", 8) + ifd
+    assert _parse_tiff_dims(be) == (320, 240)
+    assert _parse_tiff_dims(be[:10]) is None  # truncated IFD
+    assert _parse_tiff_dims(b"II+\x00" + be[4:]) is None  # bad magic
+
+
+def test_webp_header_parser_all_three_variants():
+    import struct as _s
+
+    from hw_kafka_streams_spark.operators.multimodal import (
+        _parse_webp_dims,
+        make_fake_webp,
+    )
+
+    assert _parse_webp_dims(make_fake_webp(512, 384)) == (512, 384)
+    # VP8L: 0x2F signature, 14-bit (w-1)/(h-1) packed LE
+    bits = (100 - 1) | ((70 - 1) << 14)
+    vp8l = b"\x2f" + _s.pack("<I", bits) + b"\x00" * 8
+    lossless = (
+        b"RIFF" + _s.pack("<I", 12 + len(vp8l)) + b"WEBP"
+        + b"VP8L" + _s.pack("<I", len(vp8l)) + vp8l
+    )
+    assert _parse_webp_dims(lossless) == (100, 70)
+    # VP8X: 24-bit LE canvas minus-one at offsets 24/27
+    vp8x = b"\x00\x00\x00\x00" + (200 - 1).to_bytes(3, "little") + (
+        150 - 1
+    ).to_bytes(3, "little")
+    ext = (
+        b"RIFF" + _s.pack("<I", 12 + len(vp8x)) + b"WEBP"
+        + b"VP8X" + _s.pack("<I", len(vp8x)) + vp8x
+    )
+    assert _parse_webp_dims(ext) == (200, 150)
+    assert _parse_webp_dims(b"RIFF\x00\x00\x00\x00WAVE" + b"\x00" * 20) is None
+
+
 def test_fake_payload_lengths_pin_oracle_constants():
     """q_multimodal_decode's oracle hardcodes per-format byte lengths;
     pin the builders to them."""
@@ -161,10 +213,17 @@ def test_fake_payload_lengths_pin_oracle_constants():
         make_fake_png,
     )
 
+    from hw_kafka_streams_spark.operators.multimodal import (
+        make_fake_tiff,
+        make_fake_webp,
+    )
+
     assert len(make_fake_png(16, 16)) == 61
     assert len(make_fake_jpeg(16, 16)) == 65
     assert len(make_fake_gif(16, 16)) == 45
     assert len(make_fake_bmp(16, 16)) == 62
+    assert len(make_fake_tiff(16, 16)) == 46
+    assert len(make_fake_webp(16, 16)) == 38
 
 
 def test_bmp_resize_real_pixels_known_values(spark):
