@@ -23,6 +23,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from hw_kafka_streams_spark.queries import queries as _queries  # noqa: E402
+from hw_kafka_streams_spark.cache import release_managed_caches  # noqa: E402
 from hw_kafka_streams_spark.session import get_spark  # noqa: E402
 
 # Headline set: the queries a 100 TB deployment would live in — scan-heavy
@@ -128,6 +129,9 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
         if best != float("inf"):
             timings[name] = round(best, 3)
+        # drop per-query persisted intermediates so cached blocks never
+        # accumulate across the headline loop (cache.py lifecycle)
+        release_managed_caches()
 
     total = round(sum(timings.values()), 3)
     out = {

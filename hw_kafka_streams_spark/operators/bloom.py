@@ -41,6 +41,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from hw_kafka_streams_spark.cache import managed_persist
 
 # Hash seeds: arbitrary fixed odd constants; k probes use seeds
 # _SEED0.._SEED0+k-1 so build and probe always agree.
@@ -139,9 +140,11 @@ def bloom_anti_join(
     # the candidate scan AND the literal-bitmap probe expression (a
     # num_bits/64-element array getbit fold — the costly part to
     # evaluate and codegen) execute once per branch
-    probed = candidates.withColumn(
-        "_bloom_hit", might_contain(F.col(key_col), bitmap, num_bits, k)
-    ).persist()
+    probed = managed_persist(
+        candidates.withColumn(
+            "_bloom_hit", might_contain(F.col(key_col), bitmap, num_bits, k)
+        )
+    )
     definitely_new = probed.filter(~F.col("_bloom_hit")).drop("_bloom_hit")
     maybe = probed.filter(F.col("_bloom_hit")).drop("_bloom_hit")
     ref_keys = reference.select(key_col).distinct()

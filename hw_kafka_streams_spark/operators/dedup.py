@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from hw_kafka_streams_spark.operators.text import fingerprint, word_tokens
+from hw_kafka_streams_spark.cache import managed_persist
 
 # Deterministic MinHash permutation parameters (seeded once; the same
 # values on every run/executor so signatures are reproducible).
@@ -784,8 +785,8 @@ def source_ngram_overlap(
     # persist: three consumers (sizes + both self-join sides) would
     # otherwise each recompute the whole shingle pipeline — measured 14
     # exchanges with 0 reuse; at crawl scale that is 3 full scans
-    gs = (
-        postings.join(src, "id").select("grp", "shingle").distinct().persist()
+    gs = managed_persist(
+        postings.join(src, "id").select("grp", "shingle").distinct()
     )
     sizes = gs.groupBy("grp").agg(F.count(F.lit(1)).alias("sz"))
     a = gs.select(F.col("grp").alias("s1"), "shingle")
@@ -845,9 +846,9 @@ def prefix_filter_jaccard_pairs(
     """
     # persist: the doc-frequency agg and the rarity-ordered rebuild
     # would otherwise each re-run the shingling
-    postings = shingle_postings(
+    postings = managed_persist(shingle_postings(
         df, text_col, id_col, n, distinct=True, hash_mode=hash_mode
-    ).persist()
+    ))
     sdf = postings.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
     # ONE id-keyed shuffle builds both the rarest-first prefix AND the
     # verify-side shingle array: collect (sdf, shingle) structs per doc,

@@ -36,6 +36,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from hw_kafka_streams_spark.operators.text import word_tokens
+from hw_kafka_streams_spark.cache import managed_persist
 
 
 def unigram_bigram_features(text: Column | str) -> Column:
@@ -95,10 +96,9 @@ def dsir_logweights(
     # tf; without it the feature explode + hash (the dominant cost)
     # executes twice — AQE exchange reuse does not bridge the two
     # branches because the second sits under a broadcast subtree
-    tf = (
+    tf = managed_persist(
         feats.groupBy("id", "is_target", "b")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
     )
     # model counts derive from tf, not from a second pass over the
     # explode: the (doc, bucket) table is orders of magnitude smaller

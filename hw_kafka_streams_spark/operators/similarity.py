@@ -23,6 +23,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from hw_kafka_streams_spark.cache import managed_persist
 
 
 def _stack(s: pd.Series) -> np.ndarray:
@@ -656,13 +657,15 @@ def semantic_dedup(
     # persist: three consumers (both pair-join sides + the final label
     # join) would otherwise each re-run the Arrow argmin assignment
     # over the full corpus
-    idx = corpus.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        nearest_centroid_arrow(F.col(vec_col).cast("array<double>"), cents).alias(
-            "cid"
-        ),
-    ).persist()
+    idx = managed_persist(
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            nearest_centroid_arrow(
+                F.col(vec_col).cast("array<double>"), cents
+            ).alias("cid"),
+        )
+    )
     # per-cluster grouped map: candidate pairs materialize only inside
     # the Python worker (never as Spark rows carrying both vectors —
     # the a⋈b equi-join shape shuffled ~0.8 GB of duplicated vectors at
@@ -1213,6 +1216,11 @@ def knn_classify(
     by nearest supporting neighbor (min rank), then smallest label —
     integers all the way, so the vote is engine-reproducible.
 
+    If the ``unlabeled`` batch carries ``label_col`` (a held-out eval
+    slice), the output adds ``true_label`` / ``correct`` accuracy
+    columns; a genuinely unlabeled batch gets predictions only —
+    ``(id, pred_label, n_votes)``.
+
     Plan shape: the scoring reuses :func:`brute_force_topk` (broadcast
     queries × partition-parallel corpus, Arrow cosine kernel); the vote
     is a (query, label) count — at most ``queries × k`` rows — and two
@@ -1235,6 +1243,10 @@ def knn_classify(
         .filter(F.col("_vr") == 1)
         .select("query_id", "pred_label", "n_votes")
     )
+    if label_col not in unlabeled.columns:
+        return pred.select(
+            F.col("query_id").alias(id_col), "pred_label", "n_votes"
+        )
     truth = unlabeled.select(
         F.col(id_col).alias("query_id"), F.col(label_col).alias("true_label")
     )

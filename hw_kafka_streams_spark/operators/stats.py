@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from hw_kafka_streams_spark.operators.winutil import tiny_table_partition
+from hw_kafka_streams_spark.cache import managed_persist
 
 
 def rank_auc(
@@ -119,7 +120,7 @@ def quantile_buckets(
     # persist the scored projection: the thresholds agg and the final
     # assignment would otherwise each recompute the (possibly
     # regexp-heavy) value expression over the full corpus
-    with_v = df.withColumn("_v", vc).persist()
+    with_v = managed_persist(df.withColumn("_v", vc))
     thresholds = with_v.groupBy(group_col).agg(
         F.percentile("_v", F.array(*[F.lit(p) for p in probs])).alias("_ts")
     )
@@ -178,12 +179,18 @@ def ols_fit(
     cov_n = n * sxy - sx * sy  # n² · cov(x, y)
     var_x = n * sx2 - sx * sx  # n² · var(x)
     var_y = n * sy2 - sy * sy
-    slope = cov_n / var_x
+    # degenerate-input guard: constant x (or a single point) has no
+    # defined slope, constant y no defined r² — return explicit NULLs
+    # instead of letting the division produce NaN/±Inf that then
+    # propagates (e.g. heaps_k = exp(intercept) on a 1-source corpus)
+    slope = F.when(var_x != 0, cov_n / var_x)
     return m.select(
         F.col("_n").alias(f"{prefix}n"),
         slope.alias(f"{prefix}slope"),
         ((sy - slope * sx) / n).alias(f"{prefix}intercept"),
-        ((cov_n * cov_n) / (var_x * var_y)).alias(f"{prefix}r2"),
+        F.when(
+            (var_x != 0) & (var_y != 0), (cov_n * cov_n) / (var_x * var_y)
+        ).alias(f"{prefix}r2"),
     )
 
 
@@ -432,6 +439,41 @@ def exact_percentiles_histogram(
     return th.groupBy(group_col).agg(*agg_cols)
 
 
+_RANGE_BLOCKS = 1024
+
+
+def _with_range_block(
+    df: DataFrame, value_col: str, out_col: str, n_blocks: int = _RANGE_BLOCKS
+) -> DataFrame:
+    """Attach a block id derived from the observed min/max of
+    ``value_col``: floor((v − min) / ((max − min) / n_blocks)), capped
+    to ``n_blocks`` blocks (all-equal values collapse to block 0).
+
+    The block-prefix-sum pattern's block table must be BOUNDED; keying
+    on floor(v) bounds it only for small integer domains — timestamps
+    or large-magnitude doubles make the single-partition block window
+    scale with the integer span (and overflow the long cast at |v| ≥
+    2⁶³). Range-derived blocks are bounded by construction at any
+    domain. The 1-row min/max aggregate broadcasts back as the usual
+    tiny cross join.
+    """
+    rng = df.agg(
+        F.min(value_col).alias("_vmin"), F.max(value_col).alias("_vmax")
+    )
+    width = (F.col("_vmax") - F.col("_vmin")) / F.lit(float(n_blocks))
+    blk = F.when(F.col("_vmax") <= F.col("_vmin"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_blocks - 1),
+            F.floor((F.col(value_col) - F.col("_vmin")) / width),
+        )
+    )
+    return (
+        df.crossJoin(F.broadcast(rng))
+        .withColumn(out_col, blk.cast("long"))
+        .drop("_vmin", "_vmax")
+    )
+
+
 def ks_two_sample(
     df: DataFrame,
     value_col: Column | str,
@@ -448,12 +490,21 @@ def ks_two_sample(
 
     computed EXACTLY and scale-safely: per-(value) conditional counts,
     cumulatives via the block-prefix-sum pattern (per-block windows
-    parallel over floor(v) blocks; the only single-partition window is
-    over the driver-bounded block table), and the max taken over the
-    INTEGER numerator |cum_a·n_b − cum_b·n_a| — no float comparisons
-    anywhere until the final division. Returns one row:
-    (n_a, n_b, ks_d, ks_crit_05, reject_05) with the α=0.05 critical
-    value 1.358·√((n_a+n_b)/(n_a·n_b)).
+    parallel; the only single-partition window is over the bounded
+    block table), and the max taken over the INTEGER numerator
+    |cum_a·n_b − cum_b·n_a| — no float comparisons anywhere until the
+    final division. Returns one row: (n_a, n_b, ks_d, ks_crit_05,
+    reject_05) with the α=0.05 critical value
+    1.358·√((n_a+n_b)/(n_a·n_b)).
+
+    The block key derives from the OBSERVED value range — block =
+    floor((v − min) / ((max − min) / 1024)), capped to 1024 blocks —
+    not floor(v): a fixed width of 1 makes the block table scale with
+    the integer span of the domain (timestamps or large-magnitude
+    doubles would put millions of rows through the single-partition
+    block window, and |v| ≥ 2⁶³ overflows the floor-to-long). The
+    blocking only partitions the prefix-sum; cumulative counts are
+    exact integers either way, so the statistic is invariant to it.
     """
     from pyspark.sql import Window
 
@@ -469,7 +520,8 @@ def ks_two_sample(
     per_v = base.groupBy("_v").agg(
         F.sum("_is_a").alias("_ca"),
         F.sum(F.lit(1) - F.col("_is_a")).alias("_cb"),
-    ).withColumn("_blk", F.floor("_v"))
+    )
+    per_v = _with_range_block(per_v, "_v", "_blk")
     # running totals: parallel within-block cumulatives + one tiny
     # block-offset table (the q_window_rank shape)
     w_in = (
@@ -603,8 +655,8 @@ def skyline_2d(
     reduce to one row per distinct x (the max-y; same-x lower-y rows
     are dominated), then the strict-prefix running max of y over x
     DESC via the block-prefix-sum pattern: per-block windows parallel,
-    the only single-partition window is over the driver-bounded
-    floor-block table. A row survives iff its y strictly beats every
+    the only single-partition window is over the range-derived
+    bounded block table (see _with_range_block). A row survives iff its y strictly beats every
     better-x row's y. Input rows join back by x so (x, y)-tied
     duplicates all surface.
     """
@@ -615,8 +667,8 @@ def skyline_2d(
     xc = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("double")
     yc = (F.col(y_col) if isinstance(y_col, str) else y_col).cast("double")
     pts = df.withColumn("_x", xc).withColumn("_y", yc)
-    per_x = pts.groupBy("_x").agg(F.max("_y").alias("_my")).withColumn(
-        "_blk", F.floor("_x")
+    per_x = _with_range_block(
+        pts.groupBy("_x").agg(F.max("_y").alias("_my")), "_x", "_blk"
     )
     # strict-prefix (x' > x) running max of the per-x maxima: within-
     # block prefix max over x DESC + the block table's own prefix max

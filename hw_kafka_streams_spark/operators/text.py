@@ -13,6 +13,7 @@ import pandas as pd
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from hw_kafka_streams_spark.cache import managed_persist
 
 # Minimal multilingual stopword list for quality scoring / lang hints.
 STOPWORDS_EN = [
@@ -780,8 +781,8 @@ def tfidf_cosine_pairs(
                 6,
             ).alias("w"),
         )
-        .persist()  # feeds the norms AND both self-join sides
     )
+    w = managed_persist(w)  # feeds the norms AND both self-join sides
     norms = w.groupBy("id").agg(
         F.sqrt(
             F.sum(
@@ -846,8 +847,8 @@ def llr_collocations(
         .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("k11"))
-        .persist()  # margins + candidate filter share the bigram table
     )
+    c2 = managed_persist(c2)  # margins + candidate filter share the bigram table
     r = c2.groupBy("w1").agg(F.sum("k11").alias("r1"))
     c = c2.groupBy("w2").agg(F.sum("k11").alias("cc1"))
     t = c2.agg(F.sum("k11").alias("t"))

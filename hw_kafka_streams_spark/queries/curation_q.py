@@ -20,6 +20,7 @@ from hw_kafka_streams_spark.operators.text import ctfidf_terms, word_tokens
 from hw_kafka_streams_spark.operators.winutil import tiny_table_partition
 from hw_kafka_streams_spark.queries import register
 from hw_kafka_streams_spark.sources.catalog import load_table
+from hw_kafka_streams_spark.cache import managed_persist
 
 # DuckDB twin of sampling.hash_bucket(key, denom, seed, hash_mode='md5')
 # (first 15 md5 hex chars as a bigint, mod denom — non-negative, so
@@ -820,7 +821,8 @@ def q_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("st") - F.col("s")).cast("double") / (F.col("nt") - F.col("n")))
         .alias("m"),
         "g",
-    ).persist()  # mean-of-loo and squared-deviation passes share it
+    )
+    loo = managed_persist(loo)  # mean-of-loo and squared-deviation passes share it
     lbar = loo.agg(
         (
             F.sum(F.round("m", 9).cast("decimal(20,9)")).cast("double")

@@ -18,6 +18,7 @@ from hw_kafka_streams_spark.operators import similarity as S
 from hw_kafka_streams_spark.operators import text as T
 from hw_kafka_streams_spark.queries import register
 from hw_kafka_streams_spark.sources.catalog import load_table
+from hw_kafka_streams_spark.cache import managed_persist
 
 
 # --------------------------------------------------------------------------
@@ -352,13 +353,12 @@ def q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (min doc_id keeps its own text) at half the shuffles, and the
     # exact-dup count falls out as n_docs - |survivors| instead of a
     # second join over the corpus
-    survivors = (
+    survivors = managed_persist(
         with_fp.groupBy("fp")
         .agg(
             F.min("doc_id").alias("doc_id"),
             F.min_by("text", "doc_id").alias("text"),
         )
-        .persist()
     )
     pairs = D.minhash_lsh_pairs(
         survivors, verify_threshold=0.2, hash_mode="md5"

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from hw_kafka_streams_spark.queries import register
 from hw_kafka_streams_spark.sources.catalog import load_table
+from hw_kafka_streams_spark.cache import managed_persist
 
 
 @register(
@@ -1734,7 +1735,8 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "sx",
         "s2",
-    ).persist()  # max pass + argmax pass share it
+    )
+    num = managed_persist(num)  # max pass + argmax pass share it
     mx = num.groupBy("event_type").agg(
         F.max("dev").alias("m"),
         F.min("n").alias("n"),

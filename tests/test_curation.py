@@ -612,3 +612,44 @@ def test_registry_invariants_on_smoke_data(spark, sf_dir):
     n_docs_labeled = qmap["q_dedup_clusters"](spark, sf_dir).count()
     assert n_docs_hist == n_docs_labeled
     assert all(r.cluster_size >= 2 for r in sizes)  # edge graph, no singletons
+
+
+def test_ols_fit_degenerate_inputs_return_null(spark):
+    """Constant x (or one point) has no defined slope; constant y no
+    defined r2 — explicit NULLs, never NaN/Inf that poisons exp()."""
+    from hw_kafka_streams_spark.operators.stats import ols_fit
+
+    const_x = spark.createDataFrame(
+        [(2.0, 1.0), (2.0, 5.0), (2.0, 9.0)], "x double, y double"
+    )
+    r = ols_fit(const_x, "x", "y").collect()[0]
+    assert r.slope is None and r.intercept is None and r.r2 is None
+
+    one_point = spark.createDataFrame([(3.0, 4.0)], "x double, y double")
+    r = ols_fit(one_point, "x", "y").collect()[0]
+    assert r.slope is None and r.r2 is None
+
+    const_y = spark.createDataFrame(
+        [(1.0, 7.0), (2.0, 7.0), (3.0, 7.0)], "x double, y double"
+    )
+    r = ols_fit(const_y, "x", "y").collect()[0]
+    # slope is a well-defined 0 here; only r2 (0/0) is undefined
+    assert r.slope == 0.0 and r.r2 is None
+
+
+def test_knn_classify_truly_unlabeled_batch(spark):
+    """A batch WITHOUT a label column gets predictions only — no
+    missing-column crash, no true_label/correct columns."""
+    from hw_kafka_streams_spark.operators.similarity import knn_classify
+
+    labeled = spark.createDataFrame(
+        [(10, [1.0, 0.0], 0), (11, [0.9, 0.1], 0), (12, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    unl = spark.createDataFrame(
+        [(1, [1.0, 0.05])], "vec_id long, embedding array<double>"
+    )
+    out = knn_classify(unl, labeled, k=3)
+    assert out.columns == ["vec_id", "pred_label", "n_votes"]
+    r = out.collect()[0]
+    assert r.pred_label == 0 and r.n_votes == 2

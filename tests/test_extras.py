@@ -360,3 +360,32 @@ def test_session_funnel_monotone_and_bounded(spark, sf_dir):
     r = REGISTRY["q_session_funnel"].fn(spark, sf_dir).collect()[0]
     assert r.n_sessions >= r.n_view >= r.n_view_click >= r.n_full_funnel >= 0
     assert r.n_view > 0  # data actually exercises the funnel
+
+
+def test_managed_persist_lifecycle_releases_everything(spark):
+    """Library persists register in the cache.py lifecycle; one
+    release_managed_caches() call returns executor storage to zero —
+    the harness-loop contract that keeps long sessions leak-free."""
+    import pyspark.sql.functions as F
+
+    from hw_kafka_streams_spark.cache import (
+        managed_persist,
+        release_managed_caches,
+    )
+    from hw_kafka_streams_spark.operators.stats import quantile_buckets
+
+    release_managed_caches()  # drain anything earlier tests left
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    out = quantile_buckets(df, "v", "g", n_buckets=4)
+    assert out.count() == 100  # terminal action consumes the persist
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getRDDStorageInfo(), "operator persist should be live"
+    assert release_managed_caches() >= 1
+    assert not jsc.getRDDStorageInfo(), "release must empty the cache"
+    # double-release is a safe no-op; direct managed_persist registers
+    d2 = managed_persist(spark.range(10))
+    d2.count()
+    assert release_managed_caches() == 1

@@ -28,6 +28,8 @@ import duckdb
 
 sys.path.insert(0, "/root/repo")
 
+from hw_kafka_streams_spark.cache import release_managed_caches  # noqa: E402
+
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
@@ -161,7 +163,7 @@ def main() -> int:
     if vanilla:
         spark = vanilla_spark()
     else:
-        from hw_kafka_streams_spark.session import get_spark
+        from hw_kafka_streams_spark.session import get_spark  # noqa: E402
 
         spark = get_spark("oracle_check")
     con = duckdb_con(sf_dir)
@@ -183,6 +185,9 @@ def main() -> int:
         except Exception as exc:  # driver records these as err rows
             msgs = [f"ERROR: {type(exc).__name__}: {exc}"]
         dt = time.monotonic() - t0
+        # return per-query persisted intermediates (library operators
+        # register them; see hw_kafka_streams_spark/cache.py)
+        release_managed_caches()
         print(f"  {name:40s} {'OK' if not msgs else 'MISMATCH'}  [{dt:5.1f}s]")
         for m in msgs:
             print(f"      {str(m)[:500]}")

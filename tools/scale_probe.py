@@ -18,6 +18,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from hw_kafka_streams_spark.queries import queries  # noqa: E402
+from hw_kafka_streams_spark.cache import release_managed_caches  # noqa: E402
 from hw_kafka_streams_spark.session import get_spark  # noqa: E402
 
 SFS = ["0.001", "0.01", "0.1"]
@@ -96,6 +97,7 @@ def main() -> None:
             # design — shared multi-consumer subtrees); left cached
             # they pile up session-wide and GC pressure skews LATER
             # probes' numbers, so each probe starts cache-clean
+            release_managed_caches()  # drains the cache.py registry too
             spark.catalog.clearCache()
 
     lines = [
