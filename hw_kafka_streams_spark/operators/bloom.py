@@ -126,6 +126,7 @@ def bloom_anti_join(
     key_col: str = "fp",
     num_bits: int = 1 << 17,
     k: int = 3,
+    bitmap: list[int] | None = None,
 ) -> DataFrame:
     """Exact ``candidates LEFT ANTI JOIN reference ON key`` with the
     candidate side pre-pruned by a Bloom filter on the reference keys.
@@ -134,8 +135,14 @@ def bloom_anti_join(
     hits are re-checked by a real anti join), but the join's streamed
     side carries only bloom hits. Reference keys are projected and
     de-duplicated before the join so its build side is minimal.
+
+    Pass a pre-built ``bitmap`` (load_bitmap of a persisted one) to
+    skip the reference scan the build would cost — the incremental-
+    dedup path, where the bitmap is the cross-job artifact and the
+    reference table is only touched for maybe-hits.
     """
-    bitmap = bloom_bitmap(reference, key_col, num_bits, k)
+    if bitmap is None:
+        bitmap = bloom_bitmap(reference, key_col, num_bits, k)
     # persist: both output branches read the probed table; without it
     # the candidate scan AND the literal-bitmap probe expression (a
     # num_bits/64-element array getbit fold — the costly part to

@@ -1,0 +1,103 @@
+"""End-to-end cross-job incremental dedup: the bloom bitmap, the exact
+fingerprint table, and the MinHash-LSH near-dup index composing into
+one state directory that each day's increment probes and extends
+(operators/incremental.py)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+
+DAY1 = [
+    (1, "the quick brown fox jumps over the lazy dog in the morning sun"),
+    (2, "completely different content about distributed query engines"),
+    (3, "a third document with its own unique words and phrasing here"),
+]
+
+DAY2 = [
+    # exact copy of day-1 doc 1 (whitespace-normalized match)
+    (10, "the quick  brown fox jumps over the lazy dog in the morning sun"),
+    # near-dup of day-1 doc 2 (one word changed)
+    (11, "completely different content about distributed stream engines"),
+    # fresh
+    (12, "entirely novel text that matches nothing from the first day"),
+    # intra-day exact dup of doc 12
+    (13, "entirely novel text that matches nothing from the first day"),
+]
+
+DAY3 = [
+    # exact copy of a DAY-2 keeper — day-2 state must catch it
+    (20, "entirely novel text that matches nothing from the first day"),
+    (21, "yet another brand new document arriving on the third day ok"),
+]
+
+
+def _run_day(spark, rows, state, day_id):
+    from hw_kafka_streams_spark.operators.incremental import (
+        incremental_dedup_step,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = incremental_dedup_step(
+        spark, df, state, day_id=day_id, threshold=0.4, compact_every=3
+    )
+    return {r.doc_id: r for r in out.collect()}
+
+
+def test_two_day_incremental_dedup_e2e(spark, tmp_path):
+    state = str(tmp_path / "dedup_state")
+
+    d1 = _run_day(spark, DAY1, state, day_id=1)
+    assert all(r.is_new for r in d1.values()), "day 1 is all-new"
+    assert os.path.exists(os.path.join(state, "bloom.parquet"))
+    assert os.path.exists(os.path.join(state, "fingerprints.parquet"))
+    assert os.path.isdir(os.path.join(state, "neardup_index"))
+
+    d2 = _run_day(spark, DAY2, state, day_id=2)
+    # exact copy of day-1 content: caught by the bloom-pruned exact path
+    assert d2[10].exact_dup_of_history and not d2[10].is_new
+    # near-dup of day-1 content: caught by the persistent LSH index
+    assert d2[11].near_dup and not d2[11].is_new
+    assert d2[11].dup_of == 2
+    # fresh doc survives; its intra-day copy is deduped against it
+    assert d2[12].is_new
+    assert d2[13].exact_dup_of_batch and d2[13].dup_of == 12
+
+    # day 3: state now includes day-2 keepers; day_id=3 triggers the
+    # compaction pass (compact_every=3) BEFORE day 3's probe ran —
+    # i.e. day 3 reads post-compaction day-2 state and must still dedup
+    d3 = _run_day(spark, DAY3, state, day_id=3)
+    assert d3[20].exact_dup_of_history and not d3[20].is_new
+    assert d3[21].is_new
+
+    # compaction left single-digit file counts, not one file per append
+    n_fp_files = len(
+        glob.glob(os.path.join(state, "fingerprints.parquet", "part-*"))
+    )
+    assert 1 <= n_fp_files <= 4
+
+
+def test_incremental_replay_is_idempotent(spark, tmp_path):
+    """Redelivering the same day (same day_id) must not duplicate index
+    state or flip labels — the at-least-once compensation story."""
+    state = str(tmp_path / "dedup_state")
+    _run_day(spark, DAY1, state, day_id=1)
+    first = _run_day(spark, DAY2, state, day_id=2)
+    replay = _run_day(spark, DAY2, state, day_id=2)
+    # same labels on replay: the day-2 docs are in the fingerprint set
+    # now, but their own fingerprints/signatures must not make the
+    # replayed batch all-dup spuriously via the index (marker guard) —
+    # exact-vs-history WILL see them (append already happened), which
+    # is the honest at-least-once semantics: replays never re-emit.
+    assert not replay[10].is_new and not replay[11].is_new
+    assert first[12].is_new  # first delivery emitted it
+    index_rows = spark.read.parquet(
+        os.path.join(state, "neardup_index")
+    ).count()
+    # replay appended nothing to the index (batch_id marker)
+    _run_day(spark, DAY2, state, day_id=2)
+    assert (
+        spark.read.parquet(os.path.join(state, "neardup_index")).count()
+        == index_rows
+    )
