@@ -856,3 +856,49 @@ def q_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(mean + 1.96 * se, 4).alias("ci_hi"),
         )
     )
+
+
+@register(
+    "q_k_anonymity",
+    oracle="""
+        WITH classes AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS sz,
+                   CAST(count(DISTINCT CAST(floor(c_acctbal / 1000)
+                                            AS BIGINT)) AS BIGINT) AS l
+            FROM customer GROUP BY 1, 2
+        )
+        SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(min(sz) AS BIGINT) AS k_anonymity,
+               CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+                   AS n_rows_below_k,
+               round(CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS DOUBLE)
+                     / sum(sz), 6) AS pct_rows_below_k,
+               CAST(min(l) AS BIGINT) AS l_diversity,
+               CAST(sum((l < 2)::INT) AS BIGINT) AS n_classes_below_l
+        FROM classes
+    """,
+    doc="k-anonymity / l-diversity re-identification audit (Sweeney "
+    "2002; Machanavajjhala 2007): equivalence classes over the "
+    "(nation, market-segment) quasi-identifiers, sensitive attribute "
+    "= account-balance bucket. Reports the dataset's k (min class "
+    "size), the rows a k=5 suppression pass would drop, and the "
+    "homogeneity-attack l (min distinct sensitive values per class). "
+    "One quasi-keyed count + distinct-count off the same shuffle, one "
+    "class-sized roll-up — no windows, no joins "
+    "(operators/privacy.k_anonymity_audit).",
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.privacy import k_anonymity_audit
+
+    cust = load_table(spark, "customer", sf_dir).withColumn(
+        "acct_bucket", F.floor(F.col("c_acctbal") / 1000).cast("long")
+    )
+    return k_anonymity_audit(
+        cust,
+        ["c_nationkey", "c_mktsegment"],
+        sensitive_col="acct_bucket",
+        k=5,
+        l_threshold=2,
+    )

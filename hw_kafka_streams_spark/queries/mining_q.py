@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hw_kafka_streams_spark.operators import text as T
+from hw_kafka_streams_spark.operators.bpe import bpe_oracle_sql
 from hw_kafka_streams_spark.queries import register
 from hw_kafka_streams_spark.sources.catalog import load_table
 
@@ -672,6 +673,26 @@ def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_count"), "a", "b")
         .limit(20)
     )
+
+
+@register(
+    "q_bpe_train",
+    oracle=bpe_oracle_sql(8),
+    doc="BPE TRAINING, not just the candidate stats: 8 merge rounds, "
+    "each one (a,b)-keyed weighted pair count over the vocab table "
+    "(vocabulary-sized, never corpus-sized — the word-frequency "
+    "compaction), a deterministic winner (count DESC, then pair), and "
+    "a LITERAL space-delimited replace applying the merge ('a b'->"
+    "'ab' on space-wrapped symbol strings). Literal replace shares "
+    "leftmost-non-overlap semantics across engines, so the DuckDB "
+    "oracle unrolls the identical 8 iterations as CTEs and the merge "
+    "table value-hashes exactly (operators/bpe.bpe_train_merges).",
+)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.bpe import bpe_train_merges
+
+    docs = load_table(spark, "documents", sf_dir)
+    return bpe_train_merges(spark, docs, n_merges=8).orderBy("merge_rank")
 
 
 @register(

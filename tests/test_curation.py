@@ -653,3 +653,36 @@ def test_knn_classify_truly_unlabeled_batch(spark):
     assert out.columns == ["vec_id", "pred_label", "n_votes"]
     r = out.collect()[0]
     assert r.pred_label == 0 and r.n_votes == 2
+
+
+def test_k_anonymity_audit_hand_computed(spark):
+    from hw_kafka_streams_spark.operators.privacy import k_anonymity_audit
+
+    rows = [
+        # class (x, 1): 3 rows, sensitive values {a, b} -> l=2
+        ("x", 1, "a"), ("x", 1, "a"), ("x", 1, "b"),
+        # class (y, 1): 1 row (below k=2), homogeneous -> l=1
+        ("y", 1, "a"),
+        # class (y, 2): 2 rows, homogeneous -> l=1
+        ("y", 2, "c"), ("y", 2, "c"),
+    ]
+    df = spark.createDataFrame(rows, "q1 string, q2 int, s string")
+    r = k_anonymity_audit(df, ["q1", "q2"], "s", k=2, l_threshold=2).collect()[0]
+    assert (r.n_rows, r.n_classes) == (6, 3)
+    assert r.k_anonymity == 1
+    assert r.n_rows_below_k == 1  # the single (y,1) row
+    assert abs(r.pct_rows_below_k - 1 / 6) < 1e-6
+    assert r.l_diversity == 1
+    assert r.n_classes_below_l == 2
+
+
+def test_k_anonymity_audit_without_sensitive(spark):
+    from hw_kafka_streams_spark.operators.privacy import k_anonymity_audit
+
+    df = spark.createDataFrame(
+        [("x", 1), ("x", 1), ("y", 2)], "q1 string, q2 int"
+    )
+    out = k_anonymity_audit(df, ["q1", "q2"], k=2)
+    assert "l_diversity" not in out.columns
+    r = out.collect()[0]
+    assert r.k_anonymity == 1 and r.n_rows_below_k == 1

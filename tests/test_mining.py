@@ -323,3 +323,36 @@ def test_bloom_save_load_merge_roundtrip(spark, tmp_path):
     p = str(tmp_path / "bloom_idx")
     save_bitmap(spark, merged, p)
     assert load_bitmap(spark, p) == merged
+
+
+def test_bpe_train_merges_hand_computed(spark):
+    """Tiny corpus with a known dominant pair sequence: 'low' x5 and
+    'lower' x2 — classic Sennrich example shape."""
+    from hw_kafka_streams_spark.operators.bpe import bpe_train_merges
+
+    rows = [(1, "low low low low low lower lower")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bpe_train_merges(spark, df, n_merges=3).collect()
+    assert [r.merge_rank for r in out] == [1, 2, 3]
+    # iteration 1: pairs (l,o)=7, (o,w)=7, (w,</w>)=5, (w,e)=2, ... ->
+    # tie (l,o) vs (o,w) breaks on pair: (l,o) wins
+    assert (out[0].a, out[0].b, out[0].pair_count) == ("l", "o", 7)
+    # iteration 2: ('lo','w')=7 dominates
+    assert (out[1].a, out[1].b, out[1].pair_count) == ("lo", "w", 7)
+    # iteration 3: ('low','</w>')=5 beats ('low','e')=2
+    assert (out[2].a, out[2].b, out[2].pair_count) == ("low", "</w>", 5)
+
+
+def test_bpe_merge_is_literal_and_chain_safe(spark):
+    """Merging (a,a) over 'aaaa' uses leftmost non-overlapping literal
+    replace — one pass merges positions 1-2 and 3-4, not overlapping."""
+    from hw_kafka_streams_spark.operators.bpe import bpe_train_merges
+
+    df = spark.createDataFrame([(1, "aaaa aaaa")], "doc_id long, text string")
+    out = bpe_train_merges(spark, df, n_merges=2).collect()
+    # iter 1: (a,a) count = 3 per word x freq 2 = 6
+    assert (out[0].a, out[0].b, out[0].pair_count) == ("a", "a", 6)
+    # the chain-safe triple replace fully merges 'a a a a </w>' ->
+    # 'aa aa </w>' (a single literal pass would leave 'aa a a </w>');
+    # iter 2: (aa,aa)=2 ties (aa,</w>)=2, b-order '</w>' < 'aa' wins
+    assert (out[1].a, out[1].b, out[1].pair_count) == ("aa", "</w>", 2)
