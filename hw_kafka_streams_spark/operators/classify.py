@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from hw_kafka_streams_spark.operators.text import word_tokens
+from hw_kafka_streams_spark.cache import managed_persist
 
 
 def naive_bayes_predict(
@@ -58,13 +59,25 @@ def naive_bayes_predict(
         )
 
     train_toks = toks(train, F.col(label_col).alias("c"))
-    ctc = train_toks.groupBy("c", "t").agg(F.count(F.lit(1)).alias("cnt"))
+    # persist the (class, token) count table: nc, vocab, and the model
+    # all branch off it, and without the persist EACH branch re-runs
+    # the tokenize-explode scan of the train corpus (the dominant cost
+    # — 3 extra full passes at corpus scale; cache.py lifecycle)
+    ctc = managed_persist(
+        train_toks.groupBy("c", "t").agg(F.count(F.lit(1)).alias("cnt"))
+    )
     nc = ctc.groupBy("c").agg(F.sum("cnt").alias("n_c"))
     vocab = ctc.agg(F.countDistinct("t").alias("v"))
+    # per-class doc counts: n_all derives from the SAME tiny aggregate
+    # instead of a second count scan over train
+    cls_docs = managed_persist(
+        train.groupBy(F.col(label_col).alias("c")).agg(
+            F.count(F.lit(1)).alias("n_docs")
+        )
+    )
     priors = (
-        train.groupBy(F.col(label_col).alias("c"))
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .crossJoin(F.broadcast(train.agg(F.count(F.lit(1)).alias("n_all"))))
+        cls_docs
+        .crossJoin(F.broadcast(cls_docs.agg(F.sum("n_docs").alias("n_all"))))
         .select(
             "c",
             F.round(

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hw_kafka_streams_spark.cache import managed_persist
+
 _DENOM = 1_000_000  # rate resolution: 1e-6
 
 
@@ -58,9 +60,15 @@ def mixture_plan(
     if wsum <= 0:
         raise ValueError("weights must sum to > 0")
 
-    per = df.groupBy(group_col).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(tokens).cast("long").alias("avail_tokens"),
+    # persist the group-sized aggregate: the fraction-budget branch,
+    # the returned plan, and every report/apply consumer re-reads it,
+    # and each un-persisted branch would re-run the full corpus scan
+    # (cache.py lifecycle; rows = number of groups)
+    per = managed_persist(
+        df.groupBy(group_col).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(tokens).cast("long").alias("avail_tokens"),
+        )
     )
     # Corpus-wide budget: broadcast 1-row aggregate (scalar-subquery
     # decorrelation), never a driver collect.

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from hw_kafka_streams_spark.operators.text import word_tokens
+from hw_kafka_streams_spark.cache import managed_persist
 
 
 def bm25_scores(
@@ -41,12 +42,19 @@ def bm25_scores(
         F.col(id_col).alias("doc_id"),
         F.explode(word_tokens(F.lower(F.col(text_col)))).alias("term"),
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # persist the two aggregates every downstream branch re-reads:
+    # without them dl is recomputed for stats AND the contrib join, qt
+    # for dfreq AND contrib — four tokenize-explode corpus scans where
+    # two suffice (cache.py lifecycle; dl is one small row per doc, qt
+    # is docs-hitting-terms sized)
+    dl = managed_persist(
+        toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    )
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
-    qt = (
+    qt = managed_persist(
         toks.filter(F.col("term").isin(terms))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
