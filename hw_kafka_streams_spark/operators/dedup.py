@@ -1059,18 +1059,26 @@ def substring_dedup_spans(
     from pyspark.sql import Window
 
     lt = F.lower(F.col(text_col))
-    grams = df.filter(F.length(text_col) >= n).select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.sequence(F.lit(1), F.length(lt) - n + 1)).alias("_pos"),
-        lt.alias("_lt"),
-    ).select(
-        "_id",
-        "_pos",
-        (
-            md5h(F.substring(F.col("_lt"), F.col("_pos"), n))
-            if hash_mode == "md5"
-            else F.xxhash64(F.substring(F.col("_lt"), F.col("_pos"), n))
-        ).alias("_gh"),
+    # persist the anchor table: the df-cap branch, the keep join, and
+    # BOTH self-join sides re-read it, and each un-persisted branch
+    # re-runs the explode + per-position hash over every corpus char
+    # (the dominant cost — measured 4 recomputes; cache.py lifecycle)
+    grams = managed_persist(
+        df.filter(F.length(text_col) >= n).select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.sequence(F.lit(1), F.length(lt) - n + 1)).alias(
+                "_pos"
+            ),
+            lt.alias("_lt"),
+        ).select(
+            "_id",
+            "_pos",
+            (
+                md5h(F.substring(F.col("_lt"), F.col("_pos"), n))
+                if hash_mode == "md5"
+                else F.xxhash64(F.substring(F.col("_lt"), F.col("_pos"), n))
+            ).alias("_gh"),
+        )
     )
     if max_df is not None:
         keep = (
@@ -1079,7 +1087,7 @@ def substring_dedup_spans(
             .filter(F.col("_df") <= max_df)
             .select("_gh")
         )
-        grams = grams.join(keep, "_gh")
+        grams = managed_persist(grams.join(keep, "_gh"))
     a = grams.select(
         F.col("_id").alias("doc_a"), F.col("_pos").alias("_pa"), "_gh"
     )
