@@ -1022,6 +1022,7 @@ def substring_dedup_spans(
     max_df: int | None = 50,
     min_len: int = 30,
     hash_mode: str = "xxhash64",
+    include_self: bool = False,
 ) -> DataFrame:
     """Variable-length duplicate-substring pairs — the maximal verbatim
     common substrings between document pairs, the distributed stand-in
@@ -1037,6 +1038,12 @@ def substring_dedup_spans(
     cap: a common substring of length L contributes L−n+1 consecutive
     anchor hits on one alignment diagonal, and the diagonal run-merge
     recovers L exactly.
+
+    ``include_self=True`` additionally emits WITHIN-document repeats
+    (``doc_a == doc_b``, ``start_a < start_b``) — the other half of
+    Lee et al.'s removal target (boilerplate repeated inside one page);
+    the same diagonal machinery applies, restricted to pos_a < pos_b so
+    each repeat surfaces once, never the trivial self-diagonal 0.
 
     Scale shape — suffix arrays don't distribute; this does, in three
     bounded stages:
@@ -1094,11 +1101,19 @@ def substring_dedup_spans(
     b = grams.select(
         F.col("_id").alias("doc_b"), F.col("_pos").alias("_pb"), "_gh"
     )
+    pair_cond = (
+        (F.col("doc_a") < F.col("doc_b"))
+        | (
+            (F.col("doc_a") == F.col("doc_b")) & (F.col("_pa") < F.col("_pb"))
+        )
+        if include_self
+        else (F.col("doc_a") < F.col("doc_b"))
+    )
     hits = (
         # shuffle-hash: per-gram rows bounded by max_df × positions —
         # no sort needed, build side stays small
         a.join(b.hint("shuffle_hash"), "_gh")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(pair_cond)
         .select("doc_a", "doc_b", "_pa", "_pb", (F.col("_pa") - F.col("_pb")).alias("_diag"))
         .distinct()  # same gram at the same (pos_a, pos_b) via hash collision
     )

@@ -122,6 +122,86 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_substring_self_repeats",
+    oracle="""
+        WITH aug AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN
+                     text || ' == the same boilerplate sentence repeats here == filler '
+                          || 'words == the same boilerplate sentence repeats here =='
+                   ELSE text END AS text
+            FROM documents WHERE doc_id < 300
+        ),
+        h AS (
+            SELECT doc_id,
+                   CAST(p AS BIGINT) AS p,
+                   ('0x' || substring(md5(substring(lt, CAST(p AS INT), 20)),
+                                      1, 15))::BIGINT AS gh
+            FROM (SELECT doc_id, lower(text) AS lt,
+                         unnest(generate_series(1, length(text) - 19)) AS p
+                  FROM aug WHERE length(text) >= 20)
+        ),
+        keep AS (SELECT gh FROM h GROUP BY gh
+                 HAVING count(DISTINCT doc_id) <= 50),
+        hk AS (SELECT h.doc_id, h.p, h.gh FROM h JOIN keep USING (gh)),
+        hits AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.p AS pa, b.p AS pb, a.p - b.p AS diag
+            FROM hk a JOIN hk b ON a.gh = b.gh
+             AND (a.doc_id < b.doc_id
+                  OR (a.doc_id = b.doc_id AND a.p < b.p))
+        ),
+        isl AS (
+            SELECT doc_a, doc_b, diag, pa, pb,
+                   pa - row_number() OVER (
+                       PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+            FROM hits
+        )
+        SELECT doc_a, doc_b,
+               CAST(min(pa) AS BIGINT) AS start_a,
+               CAST(min(pb) AS BIGINT) AS start_b,
+               CAST(max(pa) - min(pa) + 20 AS BIGINT) AS span_len
+        FROM isl
+        WHERE doc_a = doc_b
+        GROUP BY doc_a, doc_b, diag, grp
+        HAVING max(pa) - min(pa) + 20 >= 30
+        ORDER BY doc_a, start_a, start_b
+    """,
+    doc="WITHIN-document repeat spans — the other half of Lee et al. "
+    "memorization removal (boilerplate repeated inside one page): the "
+    "same diagonal run-merge restricted to doc_a = doc_b, pos_a < "
+    "pos_b. The clean synthetic corpus has no long internal repeats, "
+    "so (q_unicode_normalize precedent) every doc_id % 7 == 0 document "
+    "gets a deterministic duplicated sentence appended and the oracle "
+    "replays the identical construction; the operator must recover "
+    "each planted repeat as one maximal span "
+    "(operators/dedup.substring_dedup_spans include_self=True).",
+)
+def q_substring_self_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.dedup import substring_dedup_spans
+
+    phrase = "== the same boilerplate sentence repeats here =="
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 300)
+    aug = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(f" {phrase} filler words {phrase}"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    out = substring_dedup_spans(
+        aug, n=20, max_df=50, min_len=30, hash_mode="md5", include_self=True
+    )
+    return (
+        out.filter(F.col("doc_a") == F.col("doc_b"))
+        .orderBy("doc_a", "start_a", "start_b")
+    )
+
+
+@register(
     "q_split_leakage",
     oracle=f"""
         WITH flags AS (

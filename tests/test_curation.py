@@ -686,3 +686,29 @@ def test_k_anonymity_audit_without_sensitive(spark):
     assert "l_diversity" not in out.columns
     r = out.collect()[0]
     assert r.k_anonymity == 1 and r.n_rows_below_k == 1
+
+
+def test_substring_self_repeats_within_one_doc(spark):
+    """include_self finds a sentence repeated inside ONE document as a
+    maximal (doc, doc) span with pos_a < pos_b."""
+    from hw_kafka_streams_spark.operators.dedup import substring_dedup_spans
+
+    rep = "this exact sentence appears twice in the page"
+    assert len(rep) == 45
+    rows = [
+        (1, rep + " middle filler words here " + rep),
+        (2, "no internal repetition in this other document at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = substring_dedup_spans(
+        df, n=20, max_df=None, min_len=30, include_self=True
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc_a, r.doc_b) == (1, 1)
+    assert (r.start_a, r.start_b) == (1, 72)  # 45 + len(' middle...') + 1
+    assert r.span_len == 45
+    # default excludes self-pairs entirely
+    assert (
+        substring_dedup_spans(df, n=20, max_df=None, min_len=30).count() == 0
+    )
