@@ -164,3 +164,103 @@ def check_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:
             & (F.col("value") <= bounds[F.col("rule")]["hi"])
         ).alias("passed"),
     )
+
+
+GOPHER_STOPWORDS = ["and", "be", "have", "of", "that", "the", "to", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The Gopher document-quality rule set (Rae et al. 2021, Table A1)
+    as per-document verdicts — the standard pre-training filter battery
+    C4/Gopher/Dolma-style pipelines run before anything expensive:
+
+    - r_word_count:   ``min_words ≤ words ≤ max_words``
+    - r_mean_wordlen: mean word length in [3, 10]
+    - r_symbol:       (# + ellipsis) to word ratio ≤ 0.1
+    - r_bullet:       < 90% of lines start with a bullet
+    - r_ellipsis:     < 30% of lines end with an ellipsis
+    - r_alpha:        ≥ 80% of words contain an alphabetic character
+    - r_stopwords:    ≥ 2 distinct common stop words present
+
+    Returns one row per document with the raw signals, each rule's
+    boolean, and ``passes_gopher`` (AND of all).
+
+    Scale shape: rules 1-5 are vectorized regexp/length arithmetic in
+    a narrow map over the scan; rules 6-7 need within-document token
+    grouping, so they come from ONE explode + id-keyed aggregation
+    (the repetition_metrics shape) joined back — two scans total, one
+    shuffle, no windows. Every expression stays in the RE2 regex
+    subset so the DuckDB oracle replays it exactly.
+    """
+    from hw_kafka_streams_spark.operators.text import word_tokens
+
+    txt = F.col(text_col)
+    n_lines = F.regexp_count(txt, F.lit(r"\n")) + 1
+    n_bullet = F.regexp_count(txt, F.lit(r"(?m)^[ \t]*[-*•]"))
+    n_ellip = F.regexp_count(txt, F.lit(r"(?m)(\.\.\.|…)$"))
+    n_symbol = F.regexp_count(txt, F.lit(r"#|\.\.\.|…"))
+
+    tok_stats = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_tokens(F.lower(txt))).alias("t"),
+        )
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("t")).alias("_chars"),
+            F.sum(F.regexp_like("t", F.lit("[a-z]")).cast("int")).alias(
+                "_alpha_words"
+            ),
+            F.countDistinct(
+                F.when(F.col("t").isin(GOPHER_STOPWORDS), F.col("t"))
+            ).alias("n_stop_distinct"),
+        )
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        n_lines.alias("n_lines"),
+        n_bullet.alias("_bul"),
+        n_ellip.alias("_ell"),
+        n_symbol.alias("_sym"),
+    )
+    j = base.join(tok_stats, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("n_words", F.lit(0)).alias("n_words"),
+        F.round(
+            F.col("_chars") / F.col("n_words"), 6
+        ).alias("mean_word_len"),
+        F.round(F.col("_sym") / F.col("n_words"), 6).alias("symbol_ratio"),
+        F.round(F.col("_bul") / F.col("n_lines"), 6).alias("bullet_line_frac"),
+        F.round(F.col("_ell") / F.col("n_lines"), 6).alias(
+            "ellipsis_line_frac"
+        ),
+        F.round(F.col("_alpha_words") / F.col("n_words"), 6).alias(
+            "alpha_word_frac"
+        ),
+        F.coalesce("n_stop_distinct", F.lit(0)).alias("n_stop_distinct"),
+    )
+    r = {
+        "r_word_count": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "r_mean_wordlen": (F.col("mean_word_len") >= 3)
+        & (F.col("mean_word_len") <= 10),
+        "r_symbol": F.col("symbol_ratio") <= 0.1,
+        "r_bullet": F.col("bullet_line_frac") < 0.9,
+        "r_ellipsis": F.col("ellipsis_line_frac") < 0.3,
+        "r_alpha": F.col("alpha_word_frac") >= 0.8,
+        "r_stopwords": F.col("n_stop_distinct") >= 2,
+    }
+    out = j
+    for name, cond in r.items():
+        out = out.withColumn(name, F.coalesce(cond, F.lit(False)))
+    passes = None
+    for name in r:
+        passes = F.col(name) if passes is None else (passes & F.col(name))
+    return out.withColumn("passes_gopher", passes)

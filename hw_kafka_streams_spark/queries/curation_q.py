@@ -982,3 +982,83 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         l_threshold=2,
     )
+
+
+@register(
+    "q_gopher_rules",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_filter(
+                     string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x <> '')) AS t
+            FROM documents
+        ),
+        ts AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(length(t)) AS BIGINT) AS chars,
+                   CAST(sum(regexp_matches(t, '[a-z]')::INT) AS BIGINT)
+                       AS alpha_words,
+                   CAST(count(DISTINCT CASE WHEN t IN
+                        ('and','be','have','of','that','the','to','with')
+                        THEN t END) AS BIGINT) AS n_stop_distinct
+            FROM toks GROUP BY 1
+        ),
+        base AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\\n')) + 1 AS n_lines,
+                   len(regexp_extract_all(text, '(?m)^[ \\t]*[-*•]')) AS bul,
+                   len(regexp_extract_all(text, '(?m)(\\.\\.\\.|…)$')) AS ell,
+                   len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS sym
+            FROM documents
+        ),
+        j AS (
+            SELECT base.doc_id,
+                   COALESCE(n_words, 0) AS n_words,
+                   round(CAST(chars AS DOUBLE) / n_words, 6) AS mean_word_len,
+                   round(CAST(sym AS DOUBLE) / n_words, 6) AS symbol_ratio,
+                   round(CAST(bul AS DOUBLE) / n_lines, 6)
+                       AS bullet_line_frac,
+                   round(CAST(ell AS DOUBLE) / n_lines, 6)
+                       AS ellipsis_line_frac,
+                   round(CAST(alpha_words AS DOUBLE) / n_words, 6)
+                       AS alpha_word_frac,
+                   COALESCE(n_stop_distinct, 0) AS n_stop_distinct
+            FROM base LEFT JOIN ts USING (doc_id)
+        )
+        SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+               bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+               n_stop_distinct,
+               COALESCE(n_words >= 50 AND n_words <= 100000, false)
+                   AS r_word_count,
+               COALESCE(mean_word_len >= 3 AND mean_word_len <= 10, false)
+                   AS r_mean_wordlen,
+               COALESCE(symbol_ratio <= 0.1, false) AS r_symbol,
+               COALESCE(bullet_line_frac < 0.9, false) AS r_bullet,
+               COALESCE(ellipsis_line_frac < 0.3, false) AS r_ellipsis,
+               COALESCE(alpha_word_frac >= 0.8, false) AS r_alpha,
+               COALESCE(n_stop_distinct >= 2, false) AS r_stopwords,
+               COALESCE(n_words >= 50 AND n_words <= 100000, false)
+               AND COALESCE(mean_word_len >= 3 AND mean_word_len <= 10, false)
+               AND COALESCE(symbol_ratio <= 0.1, false)
+               AND COALESCE(bullet_line_frac < 0.9, false)
+               AND COALESCE(ellipsis_line_frac < 0.3, false)
+               AND COALESCE(alpha_word_frac >= 0.8, false)
+               AND COALESCE(n_stop_distinct >= 2, false) AS passes_gopher
+        FROM j ORDER BY doc_id
+    """,
+    doc="The Gopher document-quality rule battery (Rae et al. 2021 "
+    "Table A1) as per-document verdicts: word-count bounds, mean word "
+    "length, symbol-to-word ratio, bullet-started and ellipsis-ended "
+    "line fractions, alphabetic-word fraction, distinct-stopword "
+    "floor, and the AND of all. Line rules are (?m) multiline regexp "
+    "counts in a narrow map; token rules come from one explode + "
+    "id-keyed aggregation joined back — all expressions in the RE2 "
+    "subset so the oracle replays them exactly "
+    "(operators/quality.gopher_rules).",
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.quality import gopher_rules
+
+    docs = load_table(spark, "documents", sf_dir)
+    return gopher_rules(docs).orderBy("doc_id")

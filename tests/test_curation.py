@@ -712,3 +712,28 @@ def test_substring_self_repeats_within_one_doc(spark):
     assert (
         substring_dedup_spans(df, n=20, max_df=None, min_len=30).count() == 0
     )
+
+
+def test_gopher_rules_hand_computed(spark):
+    from hw_kafka_streams_spark.operators.quality import gopher_rules
+
+    good = (
+        "the quick brown fox and the lazy dog have gone to town with "
+        "plenty of normal words that keep every single rule happy "
+        "because this sentence simply continues with more readable "
+        "text until the word count clears fifty tokens in total easily "
+        "done now yes and then a few more words for good measure to be "
+        "safely past the lower bound"
+    )
+    bullets = "- one\n- two\n- three"
+    symbols = "# " * 30 + "words " * 10
+    rows = [(1, good), (2, bullets), (3, symbols)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_rules(df).collect()}
+    assert out[1].passes_gopher
+    assert out[1].r_stopwords and out[1].r_alpha and out[1].r_word_count
+    # bullets doc: every line bullet-started -> r_bullet fails
+    assert out[2].bullet_line_frac == 1.0 and not out[2].r_bullet
+    assert not out[2].passes_gopher
+    # symbol-heavy doc: 30 '#' over 40 words -> ratio 0.75 > 0.1
+    assert out[3].symbol_ratio > 0.1 and not out[3].r_symbol
