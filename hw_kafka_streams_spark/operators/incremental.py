@@ -195,3 +195,39 @@ def incremental_dedup_step(
         compact_files(spark, fps_path)
         compact_neardup_index(spark, index_dir)
     return out
+
+
+def run_streaming_incremental_dedup(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    sink,
+    **step_kwargs,
+):
+    """Wire :func:`incremental_dedup_step` into a StreamingQuery via
+    foreachBatch — the "daily increment" becomes a micro-batch, the
+    state directory becomes streaming state that outlives the query.
+
+    ``sink(labeled_df, batch_id)`` receives each batch's labels.
+    Restart semantics follow the batch pipeline's: labeling is
+    at-least-once (a replayed batch re-labels identically against the
+    pre-append state only for the near-dup index, which is guarded by
+    its batch_id commit marker; the exact-fingerprint append is
+    at-least-once and idempotent for dedup DECISIONS — an already-
+    appended fingerprint just makes its own replay an exact-history
+    dup, so replays never re-emit is_new rows twice with different
+    content, the property that matters downstream).
+    """
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        labeled = incremental_dedup_step(
+            spark, batch_df, state_dir, day_id=int(batch_id), **step_kwargs
+        )
+        sink(labeled, batch_id)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -101,3 +101,63 @@ def test_incremental_replay_is_idempotent(spark, tmp_path):
         spark.read.parquet(os.path.join(state, "neardup_index")).count()
         == index_rows
     )
+
+
+def test_streaming_incremental_dedup_foreachbatch(spark, tmp_path):
+    """The incremental pipeline as a StreamingQuery: two micro-batches
+    through a file stream; batch-2 exact copies of batch-1 docs dedup
+    against the state directory."""
+    import json
+    import os
+    import time
+
+    from hw_kafka_streams_spark.operators.incremental import (
+        run_streaming_incremental_dedup,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    chk = str(tmp_path / "chk")
+    labels: dict[int, dict] = {}
+
+    def sink(df, bid):
+        labels.setdefault(bid, {}).update(
+            {r.doc_id: r for r in df.collect()}
+        )
+
+    with open(src / "b1.json", "w") as f:
+        for i, t in enumerate(
+            ["first streaming document with enough words to signature",
+             "second streaming document also has plenty of word content"]
+        ):
+            f.write(json.dumps({"doc_id": i + 1, "text": t}) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = run_streaming_incremental_dedup(
+        spark, stream, state, chk, sink, threshold=0.4, compact_every=0
+    )
+    try:
+        deadline = time.time() + 60
+        while not labels and time.time() < deadline:
+            time.sleep(0.5)
+        # drop batch 2 in AFTER batch 1 processed
+        with open(src / "b2.json", "w") as f:
+            f.write(json.dumps({"doc_id": 10,
+                "text": "first streaming document with enough words to signature"}) + "\n")
+            f.write(json.dumps({"doc_id": 11,
+                "text": "a wholly new third document streaming in fresh today"}) + "\n")
+        deadline = time.time() + 90
+        while len(labels) < 2 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert len(labels) >= 2, f"batches seen: {list(labels)}"
+    b2 = labels[max(labels)]
+    assert b2[10].exact_dup_of_history and not b2[10].is_new
+    assert b2[11].is_new
+    assert os.path.exists(os.path.join(state, "bloom.parquet"))
