@@ -348,8 +348,14 @@ def lloyd_centroids(
     the production trainer — this variant exists so the full IVF
     pipeline can be value-hash verified against DuckDB.
     """
-    e = corpus.select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    # persist the projected vectors: the init collect + every Lloyd
+    # round re-scans them (iters+1 corpus scans otherwise; cache.py
+    # lifecycle — the table is (id, vec) only)
+    e = managed_persist(
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
     )
     cents = [r.v for r in e.orderBy("id").limit(n_centroids).collect()]
     for _ in range(iters):
@@ -815,8 +821,13 @@ def pq_codebooks(
     crawl scale you train on a sampled slice (codebooks need ~100k
     rows, not the corpus) and encode everything.
     """
-    e = corpus.select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    # persist: the init collect + every training round re-scan this
+    # projection (iters+1 scans otherwise; cache.py lifecycle)
+    e = managed_persist(
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
     )
     init = [r.v for r in e.orderBy("id").limit(ks).collect()]
     dim = len(init[0])
