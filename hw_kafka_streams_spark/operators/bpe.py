@@ -161,3 +161,88 @@ def bpe_oracle_sql(n_merges: int = 8) -> str:
         + f"\n        SELECT CAST(merge_rank AS INT) AS merge_rank, a, b,"
         f" pair_count FROM ({selects}) ORDER BY merge_rank"
     )
+
+
+def bpe_apply_counts(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained merge table to a corpus and report the realized
+    segmentation per document: ``(id, n_words, n_bpe_tokens,
+    fertility)`` — the ENCODE side of BPE, and the number that actually
+    matters for a token budget (how many units does this tokenizer
+    spend per word on this corpus?).
+
+    Plan shape: explode words (same construction as training), build
+    each word's space-delimited symbol string, then apply the merges
+    IN RANK ORDER as one chain of literal replaces — for M merges
+    that is 3·M nested ``replace`` calls compiled into a single
+    whole-stage-codegen projection, so encoding is one narrow pass
+    over the corpus regardless of M. Symbol count = remaining
+    separators + 1. The same chain replays in the DuckDB oracle.
+    """
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_tokens(F.lower(F.col(text_col)))).alias("w"),
+    )
+    chars = F.filter(F.split("w", ""), lambda c: c != "")
+    sym = F.concat(
+        F.lit(" "),
+        F.concat_ws(" ", F.concat(chars, F.array(F.lit("</w>")))),
+        F.lit(" "),
+    )
+    for a, b in merges:
+        for _ in range(3):  # chain-safe, same as training
+            sym = F.replace(sym, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    n_sym = F.size(F.split(F.trim(sym), " "))
+    return (
+        words.select("id", n_sym.alias("_ns"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("_ns").cast("long").alias("n_bpe_tokens"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_words",
+            "n_bpe_tokens",
+            F.round(F.col("n_bpe_tokens") / F.col("n_words"), 6).alias(
+                "fertility"
+            ),
+        )
+    )
+
+
+def bpe_apply_oracle_sql(n_merges: int = 8) -> str:
+    """DuckDB twin of train-then-apply: reuses the training CTEs for
+    the merge table, then replays the same rank-ordered replace chain
+    over the exploded words. The chain is built with DuckDB's scalar
+    subqueries against each round's 1-row winner CTE."""
+    train = bpe_oracle_sql(n_merges)
+    # reuse the training CTE block (everything up to the final SELECT)
+    cte_block = train[: train.rindex("\n        SELECT CAST(merge_rank")]
+    expr = ("' ' || array_to_string(list_concat(string_split(w, ''), "
+            "['</w>']), ' ') || ' '")
+    for i in range(1, n_merges + 1):
+        pat = f"' ' || (SELECT a FROM w{i}) || ' ' || (SELECT b FROM w{i}) || ' '"
+        rep = f"' ' || (SELECT a FROM w{i}) || (SELECT b FROM w{i}) || ' '"
+        for _ in range(3):
+            expr = f"replace({expr}, {pat}, {rep})"
+    return f"""{cte_block},
+        wrds AS (
+          SELECT doc_id, unnest(list_filter(
+                   string_split_regex(trim(lower(text)), '\\s+'),
+                   x -> x <> '')) AS w
+          FROM documents
+        ),
+        seg AS (
+          SELECT doc_id, len(string_split(trim({expr}), ' ')) AS ns
+          FROM wrds
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(ns) AS BIGINT) AS n_bpe_tokens,
+               round(CAST(sum(ns) AS DOUBLE) / count(*), 6) AS fertility
+        FROM seg GROUP BY doc_id ORDER BY doc_id"""

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hw_kafka_streams_spark.operators import text as T
-from hw_kafka_streams_spark.operators.bpe import bpe_oracle_sql
+from hw_kafka_streams_spark.operators.bpe import bpe_apply_oracle_sql, bpe_oracle_sql
 from hw_kafka_streams_spark.queries import register
 from hw_kafka_streams_spark.sources.catalog import load_table
 
@@ -693,6 +693,32 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return bpe_train_merges(spark, docs, n_merges=8).orderBy("merge_rank")
+
+
+@register(
+    "q_bpe_encode",
+    oracle=bpe_apply_oracle_sql(8),
+    doc="BPE ENCODE with the trained merges: the 8 learned merges "
+    "apply to every word as one chain of literal replaces — 24 nested "
+    "replace calls compiled into a single whole-stage-codegen "
+    "projection, one narrow pass over the corpus regardless of merge "
+    "count — and the per-document report gives words, BPE tokens, and "
+    "realized fertility (the token-budget number). Train-then-apply "
+    "end to end against the DuckDB twin replaying the identical "
+    "iterations and chain (operators/bpe.bpe_apply_counts).",
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.bpe import (
+        bpe_apply_counts,
+        bpe_train_merges,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    merges = [
+        (r.a, r.b)
+        for r in bpe_train_merges(spark, docs, n_merges=8).collect()
+    ]
+    return bpe_apply_counts(docs, merges).orderBy("doc_id")
 
 
 @register(

@@ -375,16 +375,19 @@ def test_managed_persist_lifecycle_releases_everything(spark):
     from hw_kafka_streams_spark.operators.stats import quantile_buckets
 
     release_managed_caches()  # drain anything earlier tests left
+    jsc = spark.sparkContext._jsc.sc()
+    # other suite tests may leave untracked storage (localCheckpoint
+    # RDDs); assert on the DELTA this operator adds, not on emptiness
+    base = len(jsc.getRDDStorageInfo())
     df = spark.range(100).select(
         F.col("id"), (F.col("id") % 3).cast("string").alias("g"),
         (F.col("id") * 1.5).alias("v"),
     )
     out = quantile_buckets(df, "v", "g", n_buckets=4)
     assert out.count() == 100  # terminal action consumes the persist
-    jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getRDDStorageInfo(), "operator persist should be live"
+    assert len(jsc.getRDDStorageInfo()) > base, "operator persist live"
     assert release_managed_caches() >= 1
-    assert not jsc.getRDDStorageInfo(), "release must empty the cache"
+    assert len(jsc.getRDDStorageInfo()) <= base, "release must drop it"
     # double-release is a safe no-op; direct managed_persist registers
     d2 = managed_persist(spark.range(10))
     d2.count()

@@ -356,3 +356,25 @@ def test_bpe_merge_is_literal_and_chain_safe(spark):
     # 'aa aa </w>' (a single literal pass would leave 'aa a a </w>');
     # iter 2: (aa,aa)=2 ties (aa,</w>)=2, b-order '</w>' < 'aa' wins
     assert (out[1].a, out[1].b, out[1].pair_count) == ("aa", "</w>", 2)
+
+
+def test_bpe_apply_counts_fertility(spark):
+    """Encoding with the trained merges reduces token count vs raw
+    chars and reports fertility = bpe tokens per word."""
+    from hw_kafka_streams_spark.operators.bpe import (
+        bpe_apply_counts,
+        bpe_train_merges,
+    )
+
+    rows = [(1, "low low low low low lower lower")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = [
+        (r.a, r.b) for r in bpe_train_merges(spark, df, n_merges=3).collect()
+    ]
+    out = bpe_apply_counts(df, merges).collect()[0]
+    assert out.n_words == 7
+    # merges: (l,o) (lo,w) (low,</w>) ->
+    #   'low'   -> ['low</w>']            = 1 symbol x5
+    #   'lower' -> ['low','e','r','</w>'] = 4 symbols x2
+    assert out.n_bpe_tokens == 5 * 1 + 2 * 4
+    assert abs(out.fertility - 13 / 7) < 1e-6
