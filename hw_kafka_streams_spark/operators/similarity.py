@@ -1268,3 +1268,67 @@ def knn_classify(
         "true_label",
         (F.col("pred_label") == F.col("true_label")).cast("int").alias("correct"),
     )
+
+
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    ``k`` cosine-NEAREST corpus vectors with a DIFFERENT label — the
+    examples an embedding model most confuses, and the standard way a
+    retrieval/embedding training set is upgraded from random negatives
+    (which are trivially separable and teach nothing).
+
+    Same plan shape as :func:`brute_force_topk` — broadcast(anchors) ×
+    partition-parallel corpus, Arrow cosine kernel, per-anchor ranked
+    window — with the different-label restriction applied BEFORE the
+    rank so the window ranks only admissible negatives. At index scale
+    the coarse scan drops in for the cross join exactly as in
+    quantized/IVF retrieval; the filter + window are unchanged.
+
+    Returns ``(anchor_id, anchor_label, negative_id, negative_label,
+    cos_sim, rnk)``.
+    """
+    q = queries.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col(label_col).alias("anchor_label"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("negative_id"),
+        F.col(vec_col).alias("cvec"),
+        F.col(label_col).alias("negative_label"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("negative_label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "negative_id",
+            "negative_label",
+            F.round(cosine_arrow(F.col("qvec"), F.col("cvec")), 4).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos_sim"), F.asc("negative_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "negative_id",
+            "negative_label",
+            "cos_sim",
+            "rnk",
+        )
+    )

@@ -2581,3 +2581,40 @@ def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget_fraction=0.5,
         hash_mode="md5",
     )
+
+
+@register(
+    "q_hard_negatives",
+    oracle="""
+        SELECT anchor_id, anchor_label, negative_id, negative_label,
+               cos_sim, rnk
+        FROM (
+          SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
+                 c.vec_id AS negative_id, c.label AS negative_label,
+                 round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                              c.embedding::DOUBLE[]), 4)
+                     AS cos_sim,
+                 CAST(row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(
+                                q.embedding::DOUBLE[],
+                                c.embedding::DOUBLE[]), 4) DESC,
+                            c.vec_id) AS INT) AS rnk
+          FROM embeddings q JOIN embeddings c
+            ON q.vec_id < 20 AND c.label <> q.label
+        )
+        WHERE rnk <= 5
+        ORDER BY anchor_id, rnk
+    """,
+    doc="Hard-negative mining for contrastive training: per anchor "
+    "(20 query vectors), the 5 cosine-nearest corpus vectors with a "
+    "DIFFERENT label — the confusable examples that upgrade a "
+    "retrieval training set from random negatives. brute_force_topk's "
+    "broadcast-anchors plan with the different-label restriction "
+    "applied before the per-anchor rank window "
+    "(operators/similarity.hard_negatives).",
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    anchors = emb.filter(F.col("vec_id") < 20)
+    return S.hard_negatives(anchors, emb, k=5).orderBy("anchor_id", "rnk")

@@ -288,3 +288,22 @@ def test_ivfpq_persisted_index_prunes_and_recalls(spark, sf_dir, tmp_path):
         .count()
     )
     assert hits >= 0.4 * bf.count()
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from hw_kafka_streams_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.99, 0.1], 0),   # same label, nearest — must be excluded
+        (3, [0.9, 0.2], 1),    # different label, near — hard negative
+        (4, [0.0, 1.0], 1),    # different label, far — easy negative
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    anchors = df.filter("vec_id = 1")
+    out = hard_negatives(anchors, df, k=2).collect()
+    ids = [(r.negative_id, r.rnk) for r in sorted(out, key=lambda r: r.rnk)]
+    assert ids == [(3, 1), (4, 2)]
+    assert all(r.negative_label != r.anchor_label for r in out)
