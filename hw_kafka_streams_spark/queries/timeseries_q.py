@@ -1896,3 +1896,88 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "path")
         .limit(10)
     )
+
+
+@register(
+    "q_event_debounce",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(ts) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id) AS prev_ts
+            FROM events WHERE user_id <= 50
+        ),
+        marked AS (
+            SELECT user_id, event_type, ts, event_id,
+                   CASE WHEN prev_ts IS NULL
+                             OR epoch(ts) - epoch(prev_ts) > 300
+                        THEN 1 ELSE 0 END AS is_burst_start
+            FROM seq
+        ),
+        bursts AS (
+            SELECT user_id, event_type, ts, event_id,
+                   sum(is_burst_start) OVER (
+                     PARTITION BY user_id, event_type
+                     ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS burst_id
+            FROM marked
+        )
+        SELECT user_id, event_type,
+               CAST(burst_id AS BIGINT) AS burst_id,
+               min(ts) AS burst_start,
+               CAST(min_by(event_id,
+                           lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                           || '-' ||
+                           lpad(CAST(event_id AS VARCHAR), 20, '0'))
+                       AS BIGINT) AS kept_event_id,
+               CAST(count(*) AS BIGINT) AS n_in_burst,
+               CAST(count(*) - 1 AS BIGINT) AS n_suppressed
+        FROM bursts GROUP BY 1, 2, 3
+        ORDER BY user_id, event_type, burst_id
+    """,
+    doc="Telemetry debounce via gaps-and-islands: within (user, type), "
+    "events chained closer than 5 minutes form one burst; keep the "
+    "burst's first event, count the suppressed repeats — the retry/"
+    "double-click/flapping-sensor cleanup every event pipeline runs "
+    "before counting anything. One (user, type)-partitioned lag + "
+    "running-sum window pass, burst-keyed agg; deterministic "
+    "(ts, event_id) ordering. (True capacitor-debounce — gap measured "
+    "from the last KEPT event — is sequential by construction; the "
+    "islands form is what batch pipelines deploy.)",
+)
+def q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir).filter(F.col("user_id") <= 50)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    burst_start = (
+        prev_ts.isNull()
+        | (F.col("ts").cast("long") - prev_ts.cast("long") > 300)
+    ).cast("long")
+    bursts = e.select("user_id", "event_type", "ts", "event_id").withColumn(
+        "burst_id",
+        F.sum(burst_start).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        bursts.groupBy("user_id", "event_type", "burst_id")
+        .agg(
+            F.min("ts").alias("burst_start"),
+            # composite scalar key (zero-padded epoch-us + id): DuckDB's
+            # min_by takes scalar keys only, so both engines order by
+            # the same lexicographic string
+            F.min_by(
+                "event_id",
+                F.concat(
+                    F.lpad(
+                        F.unix_micros("ts").cast("string"), 20, "0"
+                    ),
+                    F.lit("-"),
+                    F.lpad(F.col("event_id").cast("string"), 20, "0"),
+                ),
+            )
+            .cast("long")
+            .alias("kept_event_id"),
+            F.count(F.lit(1)).alias("n_in_burst"),
+            (F.count(F.lit(1)) - 1).alias("n_suppressed"),
+        )
+        .orderBy("user_id", "event_type", "burst_id")
+    )

@@ -378,3 +378,43 @@ def test_bpe_apply_counts_fertility(spark):
     #   'lower' -> ['low','e','r','</w>'] = 4 symbols x2
     assert out.n_bpe_tokens == 5 * 1 + 2 * 4
     assert abs(out.fertility - 13 / 7) < 1e-6
+
+
+def test_event_debounce_islands(spark):
+    """Bursts split on >300s gaps; first event kept, repeats counted."""
+    import datetime as dt
+
+    from hw_kafka_streams_spark.queries.timeseries_q import q_event_debounce  # noqa: F401
+    from pyspark.sql import Window
+    import pyspark.sql.functions as F
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 10, "click"),
+        (2, t0 + dt.timedelta(seconds=100), 10, "click"),   # same burst
+        (3, t0 + dt.timedelta(seconds=250), 10, "click"),   # chained: gap 150
+        (4, t0 + dt.timedelta(seconds=900), 10, "click"),   # new burst
+        (5, t0 + dt.timedelta(seconds=50), 10, "view"),     # other type
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    burst_start = (
+        prev_ts.isNull()
+        | (F.col("ts").cast("long") - prev_ts.cast("long") > 300)
+    ).cast("long")
+    bursts = df.withColumn(
+        "burst_id",
+        F.sum(burst_start).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    agg = (
+        bursts.groupBy("user_id", "event_type", "burst_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("event_id").alias("kept"))
+        .collect()
+    )
+    got = {(r.event_type, r.burst_id): (r.n, r.kept) for r in agg}
+    assert got[("click", 1)] == (3, 1)   # events 1-3 chain into one burst
+    assert got[("click", 2)] == (1, 4)
+    assert got[("view", 1)] == (1, 5)
