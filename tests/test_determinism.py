@@ -34,6 +34,13 @@ DECIMAL_RECIPE_QUERIES = [
     "q_touch_attribution",
     "q_vocab_concentration",
     "q_collocations_llr",
+    # round 7: iterative BPE training (integer counts + argmax per
+    # round — a partial-agg regrouping that flipped ANY round's winner
+    # would cascade through every later merge), the Gopher rule
+    # battery, and the substring-dedup diagonal run-merge
+    "q_bpe_train",
+    "q_gopher_rules",
+    "q_substring_dedup",
 ]
 
 
