@@ -273,3 +273,78 @@ def sessions_with_timeout(
         outputMode="append",
         timeMode="processingTime",
     )
+
+
+RESERVOIR_OUTPUT_SCHEMA = (
+    "key string, sample_id bigint, h bigint, n_seen bigint"
+)
+RESERVOIR_STATE_SCHEMA = "hs array<bigint>, ids array<bigint>, n_seen bigint"
+
+
+def _make_reservoir_fn(k: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            hs, ids, n_seen = state.get
+            pool = list(zip(hs, ids))
+        else:
+            pool, n_seen = [], 0
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            pool.extend(zip(pdf["h"].astype(int), pdf["id"].astype(int)))
+            if len(pool) > k:
+                pool = sorted(pool)[:k]
+        pool = sorted(pool)[:k]
+        state.update(
+            ([h for h, _ in pool], [i for _, i in pool], int(n_seen))
+        )
+        yield pd.DataFrame(
+            {
+                "key": key[0],
+                "sample_id": [i for _, i in pool],
+                "h": [h for h, _ in pool],
+                "n_seen": int(n_seen),
+            }
+        )
+
+    return fn
+
+
+def streaming_reservoir_sample(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Per-key uniform k-sample over an UNBOUNDED stream via a bottom-k
+    hash sketch in applyInPandasWithState.
+
+    The reservoir is the k items with the smallest stable hash of their
+    id — bottom-k by a uniform hash IS a uniform k-subset without
+    replacement, and unlike algorithm-R it is (a) mergeable (merge =
+    union then re-take bottom-k, so micro-batch order cannot matter),
+    (b) content-stable (reruns/replays pick the SAME sample — no
+    ``rand()``), and (c) exactly equal to the batch
+    ``operators/sampling.reservoir_per_key`` run over everything the
+    stream has seen, which makes the streaming operator testable
+    against its batch twin. State is bounded at k (hash, id) pairs plus
+    one counter per key, independent of stream length.
+
+    Emits each key's current reservoir + items-seen count per batch
+    (update mode).
+    """
+    import pyspark.sql.functions as F
+
+    prepared = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(id_col).cast("long").alias("id"),
+        F.xxhash64(F.col(id_col).cast("long")).alias("h"),
+    )
+    return prepared.groupBy("key").applyInPandasWithState(
+        _make_reservoir_fn(k),
+        outputStructType=RESERVOIR_OUTPUT_SCHEMA,
+        stateStructType=RESERVOIR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

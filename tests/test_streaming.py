@@ -1088,3 +1088,84 @@ def test_streaming_bloom_dedup_replay_is_stable(spark, tmpdir):
     fold_batch_into_bloom(spark, kept2, bloom_dir)
     assert load_bitmap(spark, bloom_dir) == bm1
     assert rows1 == [1, 2]
+
+
+def test_streaming_reservoir_equals_batch_twin(spark, tmpdir):
+    """Bottom-k-by-hash reservoir over two micro-batches must equal the
+    batch reservoir_per_key over the union — the mergeable/replayable
+    sampling contract (state bounded at k pairs per key)."""
+    import json
+    import time
+
+    import pyspark.sql.functions as F
+
+    from hw_kafka_streams_spark.operators.sampling import reservoir_per_key
+    from hw_kafka_streams_spark.streaming.stateful import (
+        streaming_reservoir_sample,
+    )
+
+    import os
+
+    src = f"{tmpdir}/resv_in"
+    os.makedirs(src)
+    rows1 = [(i, "a" if i % 2 == 0 else "b") for i in range(40)]
+    rows2 = [(i, "a" if i % 2 == 0 else "b") for i in range(40, 80)]
+    with open(f"{src}/b1.json", "w") as f:
+        for i, g in rows1:
+            f.write(json.dumps({"item_id": i, "grp": g}) + "\n")
+
+    stream = (
+        spark.readStream.schema("item_id long, grp string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    out = streaming_reservoir_sample(stream, "grp", "item_id", k=5)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("resv")
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmpdir}/resv_chk")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("select * from resv").count() >= 10:
+                break
+            time.sleep(0.5)
+        with open(f"{src}/b2.json", "w") as f:
+            for i, g in rows2:
+                f.write(json.dumps({"item_id": i, "grp": g}) + "\n")
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            n = spark.sql(
+                "select max(n_seen) as m from resv"
+            ).collect()[0].m
+            if n == 40:  # 40 per key after both batches
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    # latest emission per key = the final reservoir
+    rows = spark.sql("select * from resv").collect()
+    latest = {}
+    for r in rows:
+        latest[r.key] = max(latest.get(r.key, 0), r.n_seen)
+    got = {
+        (r.key, r.sample_id)
+        for r in rows
+        if r.n_seen == latest[r.key]
+    }
+
+    batch = spark.createDataFrame(
+        rows1 + rows2, "item_id long, grp string"
+    )
+    expected = {
+        (r.grp, r.item_id)
+        for r in reservoir_per_key(
+            batch, "grp", 5, order_hint="item_id"
+        ).collect()
+    }
+    assert got == expected
+    assert len(got) == 10  # 5 per key
