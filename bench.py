@@ -79,6 +79,11 @@ HEADLINE = [
     "q_knn_classify",
     "q_winsorized_stats",
     "q_ctfidf_source_terms",
+    # round 7
+    "q_gopher_rules",
+    "q_k_anonymity",
+    "q_hard_negatives",
+    "q_event_debounce",
 ]
 
 
