@@ -705,3 +705,79 @@ def skyline_2d(
         .filter(F.col("_y") == F.col("_my"))
         .drop("_x", "_y", "_my")
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: Column | str,
+    group_col: str,
+    group_expected: str,
+    group_actual: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between two cohorts of a numeric
+    column — the model-monitoring drift stat ops teams actually page
+    on (rule of thumb: < 0.1 stable, 0.1-0.25 shifting, > 0.25 drifted)
+    — complementing KS (max ECDF gap, no binning) and the KL token
+    drift (categorical domains).
+
+        PSI = Σ_bins (p_actual − p_expected) · ln(p_actual / p_expected)
+
+    Bins are ``n_bins`` equal-width slices of the EXPECTED cohort's
+    observed [min, max] (the deployed convention: the baseline defines
+    the grid), actual values clamped into the edge bins; empty bins get
+    a 1-count add-one so the log stays finite (the standard PSI
+    smoothing). Per-bin terms are rounded to DECIMAL and summed exactly
+    (reducer-order-proof). Plan: one (cohort, bin) count shuffle off a
+    narrow binning map + a bin-sized epilogue; the baseline min/max is
+    a broadcast 1-row aggregate.
+
+    Returns one row: (n_expected, n_actual, psi, drift_flag).
+    """
+    vc = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+        "double"
+    )
+    gc = F.col(group_col)
+    base = df.filter(gc.isin([group_expected, group_actual])).select(
+        vc.alias("_v"), (gc == group_expected).cast("int").alias("_is_e")
+    )
+    rng = base.filter(F.col("_is_e") == 1).agg(
+        F.min("_v").alias("_lo"), F.max("_v").alias("_hi")
+    )
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
+    bin_id = F.when(F.col("_hi") <= F.col("_lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_bins - 1),
+            F.greatest(
+                F.lit(0), F.floor((F.col("_v") - F.col("_lo")) / width)
+            ),
+        )
+    ).cast("int")
+    counts = (
+        base.crossJoin(F.broadcast(rng))
+        .select(bin_id.alias("_b"), "_is_e")
+        .groupBy("_b")
+        .agg(
+            F.sum("_is_e").alias("_ce"),
+            F.sum(F.lit(1) - F.col("_is_e")).alias("_ca"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("_ce").alias("n_expected"), F.sum("_ca").alias("n_actual")
+    )
+    # add-one smoothing on EMPTY bins only (standard PSI practice)
+    ce = F.greatest(F.col("_ce"), F.lit(1)).cast("double")
+    ca = F.greatest(F.col("_ca"), F.lit(1)).cast("double")
+    pe = ce / F.col("n_expected")
+    pa = ca / F.col("n_actual")
+    term = F.round((pa - pe) * F.log(pa / pe), 9).cast("decimal(20,9)")
+    psi = F.sum(term).cast("double")
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .agg(
+            F.min("n_expected").alias("n_expected"),
+            F.min("n_actual").alias("n_actual"),
+            F.round(psi, 6).alias("psi"),
+            (F.round(psi, 6) > 0.25).cast("int").alias("drift_flag"),
+        )
+    )

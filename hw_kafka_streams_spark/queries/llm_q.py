@@ -2618,3 +2618,113 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     anchors = emb.filter(F.col("vec_id") < 20)
     return S.hard_negatives(anchors, emb, k=5).orderBy("anchor_id", "rnk")
+
+
+@register(
+    "q_dedup_keep_best",
+    oracle=_cc_oracle("""
+        , comp AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+        qm AS (
+          SELECT doc_id,
+                 round(least(length(text) / 500.0, 1.0) * 0.3
+                   + greatest(0.0, 1.0
+                       - (CASE WHEN length(text) > 0
+                          THEN len(regexp_extract_all(text, '[^\\w\\s]'))
+                               / length(text) ELSE 0 END) * 4) * 0.2
+                   + (CASE WHEN (CASE WHEN len(toks) > 0
+                        THEN list_aggregate(list_transform(toks,
+                               x -> length(x)::DOUBLE), 'sum') / len(toks)
+                        ELSE 0 END) BETWEEN 2.0 AND 12.0
+                      THEN 1.0 ELSE 0.3 END) * 0.25
+                   + (CASE WHEN (CASE WHEN len(toks) > 0
+                        THEN len(list_filter(toks, x -> list_contains(
+                          ['the','a','an','and','or','of','to','in','is',
+                           'it','that','for','on','with','as','was','at',
+                           'by','be'], lower(x)))) / len(toks)
+                        ELSE 0 END) BETWEEN 0.05 AND 0.6
+                      THEN 1.0 ELSE 0.5 END) * 0.25, 4) AS quality
+          FROM (SELECT doc_id, text,
+                       list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents)
+        ),
+        lab AS (
+          SELECT d.doc_id AS id,
+                 COALESCE(c.comp, d.doc_id) AS comp,
+                 qm.quality
+          FROM documents d
+          LEFT JOIN comp c ON c.id = d.doc_id
+          JOIN qm ON qm.doc_id = d.doc_id
+        ),
+        ranked AS (
+          SELECT comp, id, quality,
+                 row_number() OVER (PARTITION BY comp
+                                    ORDER BY quality DESC, id) AS rn,
+                 count(*) OVER (PARTITION BY comp) AS n_members
+          FROM lab
+        )
+        SELECT comp, CAST(id AS BIGINT) AS keep_id,
+               quality AS keep_quality,
+               CAST(n_members AS BIGINT) AS n_members
+        FROM ranked WHERE rn = 1 AND n_members >= 2
+        ORDER BY comp
+    """),
+    doc="Quality-aware dedup representative selection: near-dup "
+    "clusters (Jaccard pairs -> min-label connected components) keep "
+    "their HIGHEST-quality member (composite quality score, tie -> "
+    "smaller id) instead of the arbitrary min-id — the curation-grade "
+    "keep policy (FineWeb-style pipelines keep the best copy, not the "
+    "first crawled). Cluster-partitioned rank window (keyed, bounded "
+    "by cluster size), singleton clusters excluded from the report.",
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hw_kafka_streams_spark.operators import text as T
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.jaccard_candidate_pairs(docs, threshold=0.05)
+    comp = D.connected_components(pairs)
+    base = docs.select(
+        "doc_id",
+        F.length("text").alias("_nc"),
+        T.punct_ratio("text").alias("_punct"),
+        T.stopword_ratio("text").alias("_sw"),
+        T.mean_word_length("text").alias("_mwl"),
+    )
+    quality = F.round(
+        F.least(F.col("_nc") / 500.0, F.lit(1.0)) * 0.3
+        + F.greatest(F.lit(0.0), F.lit(1.0) - F.col("_punct") * 4) * 0.2
+        + F.when((F.col("_mwl") >= 2.0) & (F.col("_mwl") <= 12.0), 1.0)
+        .otherwise(0.3)
+        * 0.25
+        + F.when((F.col("_sw") >= 0.05) & (F.col("_sw") <= 0.6), 1.0)
+        .otherwise(0.5)
+        * 0.25,
+        4,
+    )
+    lab = (
+        base.select("doc_id", quality.alias("quality"))
+        .join(
+            comp.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+        )
+        .select(
+            F.col("doc_id").alias("id"),
+            F.coalesce("comp", "doc_id").alias("comp"),
+            "quality",
+        )
+    )
+    w = Window.partitionBy("comp").orderBy(F.desc("quality"), F.asc("id"))
+    wc = Window.partitionBy("comp")
+    return (
+        lab.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .filter((F.col("rn") == 1) & (F.col("n_members") >= 2))
+        .select(
+            "comp",
+            F.col("id").cast("long").alias("keep_id"),
+            F.col("quality").alias("keep_quality"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+        .orderBy("comp")
+    )

@@ -1981,3 +1981,66 @@ def q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type", "burst_id")
     )
+
+
+@register(
+    "q_psi_drift",
+    oracle="""
+        WITH base AS (
+            SELECT value AS v,
+                   CAST(event_type = 'view' AS INT) AS is_e
+            FROM events WHERE event_type IN ('view', 'click')
+        ),
+        rng AS (
+            SELECT min(v) AS lo, max(v) AS hi FROM base WHERE is_e = 1
+        ),
+        binned AS (
+            SELECT CASE WHEN rng.hi <= rng.lo THEN 0
+                        ELSE CAST(least(9, greatest(0,
+                               floor((v - rng.lo)
+                                     / ((rng.hi - rng.lo) / 10.0))))
+                             AS INT) END AS b,
+                   is_e
+            FROM base CROSS JOIN rng
+        ),
+        counts AS (
+            SELECT b, CAST(sum(is_e) AS BIGINT) AS ce,
+                   CAST(sum(1 - is_e) AS BIGINT) AS ca
+            FROM binned GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(sum(ce) AS BIGINT) AS ne,
+                   CAST(sum(ca) AS BIGINT) AS na
+            FROM counts
+        )
+        SELECT min(tot.ne) AS n_expected,
+               min(tot.na) AS n_actual,
+               round(CAST(sum(CAST(round(
+                   (CAST(greatest(ca, 1) AS DOUBLE) / tot.na
+                    - CAST(greatest(ce, 1) AS DOUBLE) / tot.ne)
+                   * ln((CAST(greatest(ca, 1) AS DOUBLE) / tot.na)
+                        / (CAST(greatest(ce, 1) AS DOUBLE) / tot.ne)), 9)
+                 AS DECIMAL(20,9))) AS DOUBLE), 6) AS psi,
+               CAST(round(CAST(sum(CAST(round(
+                   (CAST(greatest(ca, 1) AS DOUBLE) / tot.na
+                    - CAST(greatest(ce, 1) AS DOUBLE) / tot.ne)
+                   * ln((CAST(greatest(ca, 1) AS DOUBLE) / tot.na)
+                        / (CAST(greatest(ce, 1) AS DOUBLE) / tot.ne)), 9)
+                 AS DECIMAL(20,9))) AS DOUBLE), 6) > 0.25 AS INT)
+                   AS drift_flag
+        FROM counts CROSS JOIN tot
+    """,
+    doc="Population Stability Index between the view and click value "
+    "distributions: 10 equal-width bins over the EXPECTED (view) "
+    "cohort's range (the deployed convention — the baseline defines "
+    "the grid), actual values clamped to edge bins, add-one smoothing "
+    "on empty bins, DECIMAL-summed per-bin terms. The drift stat ops "
+    "teams page on (> 0.25 = drifted), complementing KS (no binning) "
+    "and KL token drift (categorical) "
+    "(operators/stats.psi_drift).",
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.stats import psi_drift
+
+    e = load_table(spark, "events", sf_dir)
+    return psi_drift(e, "value", "event_type", "view", "click", n_bins=10)

@@ -249,3 +249,24 @@ def test_quantile_buckets_per_group_calibration(spark, sf_dir):
         n = sum(c.values())
         for b in (1, 2, 3, 4):
             assert c[b] >= n // 4 - 2, (lang, dict(c))
+
+
+def test_psi_drift_identical_distributions_zero(spark):
+    from hw_kafka_streams_spark.operators.stats import psi_drift
+
+    rows = [(g, float(v % 10)) for g in ("a", "b") for v in range(200)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    r = psi_drift(df, "v", "grp", "a", "b").collect()[0]
+    assert r.psi == 0.0 and r.drift_flag == 0
+    assert r.n_expected == 200 and r.n_actual == 200
+
+
+def test_psi_drift_detects_shift(spark):
+    from hw_kafka_streams_spark.operators.stats import psi_drift
+
+    rows = [("a", float(v % 10)) for v in range(200)] + [
+        ("b", float(v % 10) + 6.0) for v in range(200)
+    ]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    r = psi_drift(df, "v", "grp", "a", "b").collect()[0]
+    assert r.psi > 0.25 and r.drift_flag == 1
