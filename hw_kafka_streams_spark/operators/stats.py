@@ -781,3 +781,59 @@ def psi_drift(
             (F.round(psi, 6) > 0.25).cast("int").alias("drift_flag"),
         )
     )
+
+
+def cohens_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two label
+    columns over the same rows (two annotators, a model vs its silver
+    labels, metadata vs content-derived labels):
+
+        κ = (p_o − p_e) / (1 − p_e)
+
+    with p_o the observed agreement rate and p_e the agreement expected
+    from the raters' marginal label distributions. The eval stat for
+    any labeling pipeline where raw accuracy flatters a skewed label
+    mix. Same plan family as :func:`chi2_independence`: one (a, b)
+    count shuffle, category-sized margins broadcast, DECIMAL-summed
+    expected-agreement terms, scalar epilogue.
+
+    Returns one row: (n, po, pe, kappa).
+    """
+    cells = df.groupBy(
+        F.col(col_a).alias("_a"), F.col(col_b).alias("_b")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    at = cells.groupBy("_a").agg(F.sum("_n").alias("_at"))
+    bt = cells.groupBy("_b").agg(F.sum("_n").alias("_bt"))
+    tot = cells.agg(
+        F.sum("_n").alias("n"),
+        F.sum(F.when(F.col("_a") == F.col("_b"), F.col("_n")).otherwise(0))
+        .alias("_agree"),
+    )
+    pe_terms = (
+        at.join(bt, F.col("_a") == F.col("_b"))
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("_at").cast("double")
+                    * F.col("_bt")
+                    / (F.col("n").cast("double") * F.col("n")),
+                    9,
+                ).cast("decimal(20,9)")
+            )
+            .cast("double")
+            .alias("pe")
+        )
+    )
+    po = F.col("_agree").cast("double") / F.col("n")
+    return (
+        tot.crossJoin(F.broadcast(pe_terms))
+        .select(
+            "n",
+            F.round(po, 6).alias("po"),
+            F.round(F.col("pe"), 6).alias("pe"),
+            F.round((po - F.col("pe")) / (1.0 - F.col("pe")), 6).alias(
+                "kappa"
+            ),
+        )
+    )

@@ -2728,3 +2728,82 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("comp")
     )
+
+
+# lang metadata -> expected script (the "first annotator")
+_LANG_SCRIPT = "CASE lang WHEN 'zh' THEN 'han' ELSE 'latin' END"
+
+
+@register(
+    "q_label_agreement_kappa",
+    oracle=f"""
+        WITH c AS (
+          SELECT {_LANG_SCRIPT} AS a,
+                 CASE WHEN greatest(
+                        len(regexp_extract_all(text, '[一-鿿]')),
+                        len(regexp_extract_all(text, '[Ѐ-ӿ]')),
+                        len(regexp_extract_all(text, '[؀-ۿ]')),
+                        len(regexp_extract_all(text, '[A-Za-z]'))) = 0
+                        THEN 'unknown'
+                      WHEN greatest(
+                        len(regexp_extract_all(text, '[一-鿿]')),
+                        len(regexp_extract_all(text, '[Ѐ-ӿ]')),
+                        len(regexp_extract_all(text, '[؀-ۿ]')),
+                        len(regexp_extract_all(text, '[A-Za-z]')))
+                        = len(regexp_extract_all(text, '[一-鿿]'))
+                        THEN 'han'
+                      WHEN greatest(
+                        len(regexp_extract_all(text, '[一-鿿]')),
+                        len(regexp_extract_all(text, '[Ѐ-ӿ]')),
+                        len(regexp_extract_all(text, '[؀-ۿ]')),
+                        len(regexp_extract_all(text, '[A-Za-z]')))
+                        = len(regexp_extract_all(text, '[Ѐ-ӿ]'))
+                        THEN 'cyrillic'
+                      WHEN greatest(
+                        len(regexp_extract_all(text, '[一-鿿]')),
+                        len(regexp_extract_all(text, '[Ѐ-ӿ]')),
+                        len(regexp_extract_all(text, '[؀-ۿ]')),
+                        len(regexp_extract_all(text, '[A-Za-z]')))
+                        = len(regexp_extract_all(text, '[؀-ۿ]'))
+                        THEN 'arabic'
+                      ELSE 'latin' END AS b
+          FROM documents
+        ),
+        cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n
+                  FROM c GROUP BY 1, 2),
+        at AS (SELECT a, CAST(sum(n) AS BIGINT) AS att FROM cells GROUP BY 1),
+        bt AS (SELECT b, CAST(sum(n) AS BIGINT) AS btt FROM cells GROUP BY 1),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                       CAST(sum(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT)
+                           AS agree
+                FROM cells),
+        pe AS (
+          SELECT CAST(sum(CAST(round(
+                   CAST(att AS DOUBLE) * btt
+                   / (CAST(tot.nn AS DOUBLE) * tot.nn), 9)
+                 AS DECIMAL(20,9))) AS DOUBLE) AS pe
+          FROM at JOIN bt ON at.a = bt.b CROSS JOIN tot
+        )
+        SELECT tot.nn AS n,
+               round(CAST(agree AS DOUBLE) / tot.nn, 6) AS po,
+               round(pe.pe, 6) AS pe,
+               round((CAST(agree AS DOUBLE) / tot.nn - pe.pe)
+                     / (1.0 - pe.pe), 6) AS kappa
+        FROM tot CROSS JOIN pe
+    """,
+    doc="Cohen's kappa between the language metadata's expected script "
+    "(zh->han, rest->latin on this corpus) and the content-detected "
+    "script — chance-corrected agreement, the honest version of the "
+    "q_lang_confusion audit when the label mix is skewed (raw "
+    "agreement flatters a latin-heavy corpus). One (a, b) count "
+    "shuffle + category margins, DECIMAL-summed expected-agreement "
+    "terms (operators/stats.cohens_kappa).",
+)
+def q_label_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.stats import cohens_kappa
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        F.expr(_LANG_SCRIPT).alias("expected_script"),
+        T.lang_id_charset("text").alias("detected_script"),
+    )
+    return cohens_kappa(docs, "expected_script", "detected_script")

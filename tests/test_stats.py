@@ -270,3 +270,29 @@ def test_psi_drift_detects_shift(spark):
     df = spark.createDataFrame(rows, "grp string, v double")
     r = psi_drift(df, "v", "grp", "a", "b").collect()[0]
     assert r.psi > 0.25 and r.drift_flag == 1
+
+
+def test_cohens_kappa_hand_computed(spark):
+    from hw_kafka_streams_spark.operators.stats import cohens_kappa
+
+    # classic 2x2: raters agree on 70/100; marginals A: 60/40, B: 50/50
+    # po=0.7, pe=0.6*0.5+0.4*0.5=0.5, kappa=(0.7-0.5)/0.5=0.4
+    rows = (
+        [("x", "x")] * 40 + [("x", "y")] * 20
+        + [("y", "x")] * 10 + [("y", "y")] * 30
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert r.n == 100
+    assert abs(r.po - 0.7) < 1e-9
+    assert abs(r.pe - 0.5) < 1e-9
+    assert abs(r.kappa - 0.4) < 1e-9
+
+
+def test_cohens_kappa_perfect_agreement(spark):
+    from hw_kafka_streams_spark.operators.stats import cohens_kappa
+
+    rows = [("p", "p")] * 5 + [("q", "q")] * 5
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert r.po == 1.0 and r.kappa == 1.0
