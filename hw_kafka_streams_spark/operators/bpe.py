@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hw_kafka_streams_spark.cache import managed_persist
 from hw_kafka_streams_spark.operators.text import _adjacent_pairs, word_tokens
 
 
@@ -79,7 +80,11 @@ def bpe_train_merges(
     ``(merge_rank, a, b, pair_count)`` — the artifact a tokenizer
     applies at encode time.
     """
-    syms = _initial_vocab(df, text_col)
+    # Persist the word-frequency vocab so the corpus-wide tokenize +
+    # groupBy runs ONCE (the docstring's scale claim): each of the
+    # n_merges per-iteration collect() actions would otherwise recompile
+    # the full lineage and rescan the corpus every round.
+    syms = managed_persist(_initial_vocab(df, text_col))
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         top = (
@@ -98,6 +103,10 @@ def bpe_train_merges(
                 merged, F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
             )
         syms = syms.select(merged.alias("sym"), "freq")
+        if rank % 4 == 0:
+            # truncate the growing replace-chain lineage every few
+            # rounds; the vocab-sized snapshot keeps plans short
+            syms = syms.localCheckpoint(eager=True)
     return spark.createDataFrame(
         merges, "merge_rank int, a string, b string, pair_count long"
     )

@@ -81,21 +81,40 @@ def incremental_dedup_step(
     exact_dup_of_batch, near_dup, dup_of, is_new)`` — ``is_new`` marks
     the docs a downstream writer should keep — and folds the kept docs
     into the state directory for the next increment.
+
+    Docs with a NULL fingerprint (NULL/empty text) or NULL id cannot
+    participate in dedup state; they pass through explicitly as
+    ``is_new`` with null ``dup_of`` (mirroring neardup_batch_step's
+    has_sig handling) instead of being silently dropped by the
+    null-unsafe state joins. The id column must be integral — a
+    lossy ``cast('long')`` on string ids would null them silently, so
+    non-integral id columns are rejected up front.
     """
     from hw_kafka_streams_spark.streaming.neardup import (
         compact_neardup_index,
         neardup_batch_step,
     )
 
+    id_type = batch.schema[id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"incremental_dedup_step needs an integral id column; got "
+            f"{id_col!r}: {id_type}. Hash or cast ids to BIGINT first "
+            "(e.g. xxhash64 for string ids)."
+        )
+
     os.makedirs(state_dir, exist_ok=True)
     bloom_path = os.path.join(state_dir, _BLOOM)
     fps_path = os.path.join(state_dir, _FPS)
     index_dir = os.path.join(state_dir, _INDEX)
 
-    fps = batch.select(
+    fps_all = batch.select(
         F.col(id_col).cast("long").alias("id"),
         fingerprint(F.col(text_col)).alias("fp"),
     )
+    # no-signature passthrough: null text/id rows are labeled, not lost
+    no_sig = fps_all.filter(F.col("fp").isNull() | F.col("id").isNull())
+    fps = fps_all.filter(F.col("fp").isNotNull() & F.col("id").isNotNull())
 
     # intra-increment exact dedup: keep-min representative per content
     intra_keep = fps.groupBy("fp").agg(F.min("id").alias("keep_id"))
@@ -159,7 +178,7 @@ def incremental_dedup_step(
         F.col("dup_of").alias("_near_dup_of"),
     )
 
-    out = (
+    labeled = (
         labeled_exact.join(nd, "id", "left")
         .select(
             F.col("id").alias(id_col),
@@ -175,19 +194,35 @@ def incremental_dedup_step(
         )
         .localCheckpoint(eager=True)  # label before state mutates below
     )
-
-    # fold the increment into the exact artifacts: append kept
-    # fingerprints, OR-merge the increment's bloom into history's
-    kept_fps = fps.join(
-        out.filter("is_new").select(F.col(id_col).alias("id")), "id"
+    out = labeled.unionByName(
+        no_sig.select(
+            F.col("id").alias(id_col),
+            F.lit(False).alias("exact_dup_of_history"),
+            F.lit(False).alias("exact_dup_of_batch"),
+            F.lit(False).alias("near_dup"),
+            F.lit(None).cast("long").alias("dup_of"),
+            F.lit(True).alias("is_new"),
+        )
     )
-    kept_fps.write.mode("append").parquet(fps_path)
+
+    # fold the increment into the exact artifacts: bitmap FIRST, then
+    # fingerprint append. A crash between the two writes may leave the
+    # bitmap a SUPERSET of the fingerprint table, which is always safe
+    # (bloom maybe-hits are re-verified against the parquet); the
+    # reverse order could leave a SUBSET, under which already-appended
+    # fingerprints probe as "definitely new", skip the exact re-verify,
+    # and get re-emitted on replay — violating both the replay contract
+    # and bloom_anti_join's coverage precondition.
+    kept_fps = fps.join(
+        labeled.filter("is_new").select(F.col(id_col).alias("id")), "id"
+    ).localCheckpoint(eager=True)  # one computation feeds both writes
     inc_bitmap = bloom_bitmap(kept_fps, "fp", num_bits, k)
     if os.path.exists(bloom_path):
         inc_bitmap = merge_bitmaps(
             inc_bitmap, load_bitmap(spark, bloom_path, num_bits)
         )
     save_bitmap(spark, inc_bitmap, bloom_path)
+    kept_fps.write.mode("append").parquet(fps_path)
 
     if day_id > 0 and compact_every > 0 and day_id % compact_every == 0:
         from hw_kafka_streams_spark.operators.layout import compact_files

@@ -1,11 +1,13 @@
 """LLM-training-data pipeline queries: dedup, similarity, text analysis.
 
-Oracle policy: everything whose kernel is deterministic arithmetic /
-standard hashing (jaccard via inverted index, cosine, md5 fingerprints,
-token stats, charset lang-id) gets a DuckDB oracle. Signature schemes
-built on xxhash64 (MinHash, SimHash, RHP-LSH) have no DuckDB twin —
-registered as rows-only checks; their semantics are pinned by unit
-tests against constructed fixtures instead (tests/test_dedup.py).
+Oracle policy: ALL registered queries carry a DuckDB oracle (224/224 as
+of round 5). Deterministic-arithmetic kernels (jaccard via inverted
+index, cosine, md5 fingerprints, token stats, charset lang-id) oracle
+directly. Signature schemes originally built on xxhash64 (MinHash,
+SimHash, RHP-LSH) run in md5-twin mode for the oracled queries — the
+hash kernel is re-expressed over md5 prefixes that DuckDB can reproduce
+bit-for-bit — while the xxhash64 production path keeps its semantics
+pinned by unit tests against constructed fixtures (tests/test_dedup.py).
 """
 
 from __future__ import annotations

@@ -161,3 +161,38 @@ def test_streaming_incremental_dedup_foreachbatch(spark, tmp_path):
     assert b2[10].exact_dup_of_history and not b2[10].is_new
     assert b2[11].is_new
     assert os.path.exists(os.path.join(state, "bloom.parquet"))
+
+
+def test_incremental_null_text_and_id_passthrough(spark, tmp_path):
+    """Docs with NULL text (→ NULL fingerprint) or NULL id must be
+    labeled is_new and returned — not silently dropped by the
+    null-unsafe state joins (round-5 advisor finding); and non-integral
+    id columns are rejected up front rather than nulled by cast."""
+    import pytest
+
+    from hw_kafka_streams_spark.operators.incremental import (
+        incremental_dedup_step,
+    )
+
+    state = str(tmp_path / "state")
+    rows = [
+        (1, "a real document with plenty of content words in it today"),
+        (2, None),
+        (None, "another real document that has a null id attached to it"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = incremental_dedup_step(spark, df, state, day_id=1)
+    got = {r.doc_id: r for r in out.collect()}
+    assert len(got) == 3, "every batch doc returned, incl. null text/id"
+    assert got[2].is_new and got[2].dup_of is None
+    assert got[None].is_new and got[None].dup_of is None
+    # the null-fp rows must NOT pollute persisted state
+    import os
+
+    fps = spark.read.parquet(os.path.join(state, "fingerprints.parquet"))
+    assert fps.filter("fp IS NULL OR id IS NULL").count() == 0
+    assert fps.count() == 1
+
+    sdf = spark.createDataFrame([("x1", "text")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="integral id column"):
+        incremental_dedup_step(spark, sdf, state, day_id=2)
