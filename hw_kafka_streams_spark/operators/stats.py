@@ -200,6 +200,7 @@ def winsorized_stats(
     group_col: str,
     lower: float = 0.05,
     upper: float = 0.95,
+    quantize_decimals: int | None = None,
 ) -> DataFrame:
     """Per-group winsorized + trimmed means — outlier-robust central
     tendency for noisy numeric columns (model scores, prices, latencies)
@@ -217,6 +218,13 @@ def winsorized_stats(
     DECIMAL(18,6)-rounded values, so reducer order cannot drift the
     hash; the interpolation matches DuckDB quantile_cont bit-for-bit
     (proven by q_percentiles_hist and the parity tests).
+
+    ``quantize_decimals`` caps the threshold histogram's value domain
+    for continuous columns (see :func:`exact_percentiles_histogram`):
+    thresholds come from the 10^-d floored grid (within one grid step
+    below the raw percentile — declare d to match the tolerance the
+    analysis bears); the means still clamp/trim the RAW values against
+    those grid thresholds.
     """
     vc = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
         "double"
@@ -227,7 +235,8 @@ def winsorized_stats(
     # have a bounded value domain, so the heavy agg stays a
     # partial-combinable count instead of buffering every raw value
     th = exact_percentiles_histogram(
-        with_v, "_v", group_col, [lower, upper]
+        with_v, "_v", group_col, [lower, upper],
+        quantize_decimals=quantize_decimals,
     ).select(group_col, F.col("p0").alias("_lo"), F.col("p1").alias("_hi"))
     j = with_v.join(F.broadcast(th), group_col)
     clamped = F.least(F.greatest(F.col("_v"), F.col("_lo")), F.col("_hi"))
@@ -358,6 +367,7 @@ def exact_percentiles_histogram(
     value_col: Column | str,
     group_col: str,
     probs: list[float],
+    quantize_decimals: int | None = None,
 ) -> DataFrame:
     """Exact interpolated per-group percentiles WITHOUT the
     buffer-every-value aggregator — the 100 TB shape for exact
@@ -379,6 +389,18 @@ def exact_percentiles_histogram(
     window sorts distinct values per group — the price domain, orders
     of magnitude smaller than the data.
 
+    ``quantize_decimals`` DECLARES the grid for truly continuous
+    columns (model scores, float latencies), where "bounded domain"
+    would otherwise degrade to one histogram row per distinct double:
+    values are floored onto a 10^-d grid (``floor(v·10^d)/10^d`` —
+    floor, not round, because floor of an exact binary double is
+    engine-identical while half-up vs half-even rounding is not), so
+    the heavy agg is capped at ``range·10^d`` rows per group NO MATTER
+    the row count. The returned thresholds are then the exact
+    quantile_cont of the QUANTIZED multiset — within one grid step
+    (10^-d) below the raw-value percentile. Oracles must quantize
+    identically (``quantile_cont(floor(v*10^d)/10^d, p)``).
+
     Returns one row per group: ``n`` plus ``p1..pk`` threshold columns
     in ``probs`` order.
     """
@@ -387,6 +409,9 @@ def exact_percentiles_histogram(
     vc = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
         "double"
     )
+    if quantize_decimals is not None:
+        s = float(10**quantize_decimals)
+        vc = F.floor(vc * F.lit(s)) / F.lit(s)
     hist = df.select(F.col(group_col), vc.alias("_v")).groupBy(
         group_col, "_v"
     ).agg(F.count(F.lit(1)).alias("_c"))

@@ -474,8 +474,10 @@ def q_zipf_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH th AS (
             SELECT l_returnflag,
-                   quantile_cont(l_extendedprice, 0.05) AS lo,
-                   quantile_cont(l_extendedprice, 0.95) AS hi
+                   quantile_cont(floor(CAST(l_extendedprice AS DOUBLE)), 0.05)
+                       AS lo,
+                   quantile_cont(floor(CAST(l_extendedprice AS DOUBLE)), 0.95)
+                       AS hi
             FROM lineitem GROUP BY 1
         ),
         j AS (
@@ -504,8 +506,11 @@ def q_zipf_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Outlier-robust means per group: winsorized (clamp into "
     "[p05, p95]) and trimmed (drop outside the band). Thresholds are "
     "one exact-percentile agg per group broadcast back — the "
-    "quantile_buckets recipe, no per-group sort, no ntile; the means "
-    "sum DECIMAL-rounded values so reducer order can't drift the hash "
+    "quantile_buckets recipe, no per-group sort, no ntile — computed "
+    "on the quantize_decimals=0 floored grid, so the histogram is "
+    "capped at the price RANGE (~105k rows/group) no matter the row "
+    "count; the means clamp raw values against the grid thresholds and "
+    "sum DECIMAL-rounded so reducer order can't drift the hash "
     "(operators/stats.winsorized_stats).",
 )
 def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -513,7 +518,8 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, "lineitem", sf_dir)
     return winsorized_stats(
-        li, "l_extendedprice", "l_returnflag", lower=0.05, upper=0.95
+        li, "l_extendedprice", "l_returnflag", lower=0.05, upper=0.95,
+        quantize_decimals=0,
     ).orderBy("l_returnflag")
 
 

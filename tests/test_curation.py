@@ -737,3 +737,73 @@ def test_gopher_rules_hand_computed(spark):
     assert not out[2].passes_gopher
     # symbol-heavy doc: 30 '#' over 40 words -> ratio 0.75 > 0.1
     assert out[3].symbol_ratio > 0.1 and not out[3].r_symbol
+
+
+def test_exact_percentiles_histogram_quantized_grid(spark):
+    """quantize_decimals floors values onto a 10^-d grid BEFORE the
+    histogram: (a) the result equals F.percentile over the floored
+    values exactly, (b) it sits within one grid step below the raw
+    percentile, (c) the histogram's value domain is capped by the
+    range x 10^d, not the distinct-double count."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from hw_kafka_streams_spark.operators.stats import (
+        exact_percentiles_histogram,
+    )
+
+    rng = random.Random(23)
+    # continuous column: every value a distinct double
+    rows = [("g", rng.uniform(0, 50)) for _ in range(400)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    probs = [0.05, 0.5, 0.95]
+    out = exact_percentiles_histogram(
+        df, "v", "grp", probs, quantize_decimals=1
+    ).collect()[0]
+    got = [out.p0, out.p1, out.p2]
+    ref_q = (
+        df.select("grp", (F.floor(F.col("v") * 10) / 10).alias("q"))
+        .groupBy("grp")
+        .agg(F.percentile("q", F.array(*[F.lit(p) for p in probs])).alias("ts"))
+        .collect()[0]
+        .ts
+    )
+    assert all(abs(a - b) < 1e-12 for a, b in zip(got, ref_q)), (got, ref_q)
+    ref_raw = (
+        df.groupBy("grp")
+        .agg(F.percentile("v", F.array(*[F.lit(p) for p in probs])).alias("ts"))
+        .collect()[0]
+        .ts
+    )
+    for a, b in zip(got, ref_raw):
+        assert b - 0.1 - 1e-9 <= a <= b + 1e-9, (a, b)
+    # domain cap: the quantized histogram has <= range*10 + 1 rows even
+    # though all 400 raw values are distinct
+    n_cells = (
+        df.select((F.floor(F.col("v") * 10) / 10).alias("q"))
+        .distinct()
+        .count()
+    )
+    assert n_cells <= 50 * 10 + 1
+
+
+def test_winsorized_stats_quantized_thresholds(spark):
+    """quantize_decimals=0: thresholds from the floored grid, means
+    still over raw values — hand-checked."""
+    from hw_kafka_streams_spark.operators.stats import winsorized_stats
+
+    vals = [1.4, 2.6, 3.1, 4.9, 100.7]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "grp string, v double"
+    )
+    r = winsorized_stats(
+        df, "v", "grp", lower=0.25, upper=0.75, quantize_decimals=0
+    ).collect()[0]
+    # floored values [1,2,3,4,100]: p25 = 2, p75 = 4
+    assert r.p_lo == 2.0 and r.p_hi == 4.0
+    # raw values clamped into [2, 4]: [2, 2.6, 3.1, 4, 4]
+    assert abs(r.win_mean - (2 + 2.6 + 3.1 + 4 + 4) / 5) < 1e-6
+    # raw values inside [2, 4]: [2.6, 3.1]
+    assert abs(r.trim_mean - (2.6 + 3.1) / 2) < 1e-6
+    assert r.n_clipped_lo == 1 and r.n_clipped_hi == 2
