@@ -1155,3 +1155,105 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("stopword_floor", stopword_ratio("text") >= 0.05),
     ]
     return filter_funnel(docs, stages).orderBy("stage_idx")
+
+
+@register(
+    "q_time_travel",
+    oracle="""
+        WITH v1 AS (
+            SELECT o_orderkey AS k, o_orderstatus AS s,
+                   CAST(o_totalprice AS DOUBLE) AS p
+            FROM orders WHERE o_orderkey % 10 = 0
+        ),
+        upd AS (
+            SELECT k, 'U' AS s, p FROM v1 WHERE k % 50 = 0
+            UNION ALL
+            SELECT k + 5 AS k, 'N' AS s, 100.0 AS p FROM v1 WHERE k % 50 = 0
+        ),
+        v2 AS (
+            SELECT * FROM v1 WHERE k NOT IN (SELECT k FROM upd)
+            UNION ALL SELECT * FROM upd
+        ),
+        v3 AS (SELECT * FROM v2 WHERE k % 100 <> 0),
+        a1 AS (SELECT CAST(1 AS INTEGER) AS version, s, count(*) AS n,
+                      round(CAST(sum(CAST(round(p, 2) AS DECIMAL(18,2)))
+                                 AS DOUBLE), 2) AS sum_price
+               FROM v1 GROUP BY s),
+        a2 AS (SELECT CAST(2 AS INTEGER) AS version, s, count(*) AS n,
+                      round(CAST(sum(CAST(round(p, 2) AS DECIMAL(18,2)))
+                                 AS DOUBLE), 2) AS sum_price
+               FROM v2 GROUP BY s),
+        a3 AS (SELECT CAST(3 AS INTEGER) AS version, s, count(*) AS n,
+                      round(CAST(sum(CAST(round(p, 2) AS DECIMAL(18,2)))
+                                 AS DOUBLE), 2) AS sum_price
+               FROM v3 GROUP BY s)
+        SELECT version, s AS o_orderstatus, n, sum_price
+        FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2
+              UNION ALL SELECT * FROM a3)
+        ORDER BY version, o_orderstatus
+    """,
+    doc="Time travel over the snapshot-versioned table layer "
+    "(sources/snapshots.py): build v1 from an orders subset, MERGE-"
+    "upsert (replace + insert) to v2, DELETE to v3 — then read all "
+    "three pinned versions back through their manifests and aggregate "
+    "each. The oracle replays the same three versions as logical CTEs "
+    "over the orders view, so the manifest-pinned reads are value-hash "
+    "verified end to end. Commits are O_EXCL-manifest atomic; prior "
+    "versions stay readable until vacuum.",
+)
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from hw_kafka_streams_spark.sources import snapshots as S
+
+    o = load_table(spark, "orders", sf_dir)
+    v1df = o.filter((F.col("o_orderkey") % 10) == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("s"),
+        F.col("o_totalprice").cast("double").alias("p"),
+    )
+    tbl = tempfile.mkdtemp(prefix="q_time_travel_") + "/tbl"
+    S.create_table(spark, tbl, v1df)
+    upd_src = S.read_snapshot(spark, tbl, 1).filter((F.col("k") % 50) == 0)
+    updates = upd_src.select("k", F.lit("U").alias("s"), "p").unionByName(
+        upd_src.select(
+            (F.col("k") + 5).alias("k"),
+            F.lit("N").alias("s"),
+            F.lit(100.0).alias("p"),
+        )
+    )
+    S.merge_upsert_snapshot(spark, tbl, updates, ["k"])
+    dels = (
+        S.read_snapshot(spark, tbl, 2)
+        .filter((F.col("k") % 100) == 0)
+        .select("k")
+    )
+    S.delete_rows_snapshot(spark, tbl, dels, ["k"])
+
+    def _agg(v: int) -> DataFrame:
+        return (
+            S.read_snapshot(spark, tbl, v)
+            .groupBy("s")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(
+                    F.sum(
+                        F.round(F.col("p"), 2).cast("decimal(18,2)")
+                    ).cast("double"),
+                    2,
+                ).alias("sum_price"),
+            )
+            .select(
+                F.lit(v).cast("int").alias("version"),
+                F.col("s").alias("o_orderstatus"),
+                "n",
+                "sum_price",
+            )
+        )
+
+    return (
+        _agg(1)
+        .unionByName(_agg(2))
+        .unionByName(_agg(3))
+        .orderBy("version", "o_orderstatus")
+    )

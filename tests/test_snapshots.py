@@ -1,0 +1,123 @@
+"""Snapshot-versioned table layer (sources/snapshots.py): time travel,
+optimistic-commit conflicts, retention vacuum, and scan pushdown on
+explicit-file reads."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string")
+
+
+def test_time_travel_across_commit_kinds(spark, tmp_path):
+    from hw_kafka_streams_spark.sources import snapshots as S
+
+    t = str(tmp_path / "tbl")
+    assert S.create_table(spark, t, _mk(spark, [(1, "a"), (2, "b")])) == 1
+    assert S.commit_append(spark, t, _mk(spark, [(3, "c")])) == 2
+    assert (
+        S.merge_upsert_snapshot(
+            spark, t, _mk(spark, [(2, "B2"), (4, "d")]), ["k"]
+        )
+        == 3
+    )
+    assert (
+        S.delete_rows_snapshot(
+            spark, t, spark.createDataFrame([(1,)], "k int"), ["k"]
+        )
+        == 4
+    )
+    assert S.compact_snapshot(spark, t) == 5
+
+    def snap(v):
+        return {
+            (r.k, r.v) for r in S.read_snapshot(spark, t, v).collect()
+        }
+
+    assert snap(1) == {(1, "a"), (2, "b")}
+    assert snap(2) == {(1, "a"), (2, "b"), (3, "c")}
+    assert snap(3) == {(1, "a"), (2, "B2"), (3, "c"), (4, "d")}
+    assert snap(4) == {(2, "B2"), (3, "c"), (4, "d")}
+    assert snap(5) == snap(4)  # compaction changes layout, not content
+    assert snap(S.current_version(t)) == snap(5)
+
+    ops = [h["operation"] for h in S.history(t)]
+    assert ops == ["create", "append", "merge_upsert", "delete", "compact"]
+    parents = [h["parent"] for h in S.history(t)]
+    assert parents == [0, 1, 2, 3, 4]
+    # compaction shrank the file count
+    h = {x["version"]: x for x in S.history(t)}
+    assert h[5]["n_files"] <= h[4]["n_files"]
+
+
+def test_concurrent_writer_conflict(spark, tmp_path):
+    """Two writers committing from the same parent: the filesystem's
+    O_EXCL admits exactly one v2; the loser gets ConcurrentWriteError
+    and succeeds after rebase (retry against the new head)."""
+    from hw_kafka_streams_spark.sources import snapshots as S
+
+    t = str(tmp_path / "tbl")
+    S.create_table(spark, t, _mk(spark, [(1, "a")]))
+    base = S.current_version(t)
+
+    # writer A wins the race to v2
+    files_a = S._write_data_files(_mk(spark, [(2, "b")]), t, base + 1)
+    files_b = S._write_data_files(_mk(spark, [(3, "c")]), t, base + 1)
+    assert S._commit(t, base, files_a, "append") == 2
+    with pytest.raises(S.ConcurrentWriteError):
+        S._commit(t, base, files_b, "append")
+    # loser rebases on the new head and lands as v3
+    assert S._commit(t, S.current_version(t), files_b, "append") == 3
+
+
+def test_vacuum_retention_and_orphans(spark, tmp_path):
+    from hw_kafka_streams_spark.sources import snapshots as S
+
+    t = str(tmp_path / "tbl")
+    S.create_table(spark, t, _mk(spark, [(1, "a")]))
+    S.commit_overwrite(spark, t, _mk(spark, [(2, "b")]))
+    S.commit_append(spark, t, _mk(spark, [(3, "c")]))  # v3 refs v2's files
+    # orphan from a crashed commit: data written, no manifest
+    S._write_data_files(_mk(spark, [(9, "x")]), t, 99)
+
+    res = S.vacuum(t, keep_last=2)
+    assert res["expired_versions"] == [1]
+    assert res["deleted_files"] >= 1  # v1's file + the orphan
+
+    with pytest.raises(S.NoSuchVersionError):
+        S.read_snapshot(spark, t, 1)
+    # retained versions fully readable — v2's file survived the vacuum
+    # because v3 still references it
+    assert {r.k for r in S.read_snapshot(spark, t, 2).collect()} == {2}
+    assert {r.k for r in S.read_snapshot(spark, t, 3).collect()} == {2, 3}
+    # every remaining data file is referenced
+    import glob
+
+    remaining = {
+        os.path.join("data", os.path.basename(p))
+        for p in glob.glob(os.path.join(t, "data", "*.parquet"))
+    }
+    referenced = set()
+    for v in (2, 3):
+        referenced.update(S._read_manifest(t, v)["files"])
+    assert remaining == referenced
+
+
+def test_snapshot_read_keeps_pushdown(spark, tmp_path):
+    """The explicit-file scan must keep predicate pushdown + column
+    pruning — time travel cannot cost the optimizer anything."""
+    from hw_kafka_streams_spark.sources import snapshots as S
+
+    t = str(tmp_path / "tbl")
+    S.create_table(
+        spark, t, spark.range(1000).selectExpr("id AS k", "id * 2 AS v")
+    )
+    df = S.read_snapshot(spark, t).filter("k > 900").select("k")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(k), GreaterThan(k,900)]" in plan
+    assert "ReadSchema: struct<k:bigint>" in plan
+    assert df.count() == 99
