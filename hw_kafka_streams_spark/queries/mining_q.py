@@ -1147,3 +1147,68 @@ def q_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select(F.lit(layout).alias("layout"), "*")
         )
     return out[0].unionByName(out[1]).orderBy("layout")
+
+
+@register(
+    "q_bigram_backoff_score",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             t -> t <> '') AS t
+          FROM documents
+        ), strain AS (
+          SELECT * FROM toks WHERE doc_id % 2 = 0
+        ), sscore AS (
+          SELECT * FROM toks WHERE doc_id % 2 = 1
+        ), tfb AS (
+          SELECT doc_id, w1, w2, count(*) AS tf FROM (
+            SELECT doc_id,
+                   unnest([struct_pack(w1 := t[i], w2 := t[i+1])
+                           FOR i IN range(1, len(t))], recursive := true)
+            FROM sscore
+          ) GROUP BY 1, 2, 3
+        ), c2 AS (
+          SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM (
+            SELECT unnest([struct_pack(w1 := t[i], w2 := t[i+1])
+                           FOR i IN range(1, len(t))], recursive := true)
+            FROM strain
+          ) GROUP BY 1, 2
+        ), ctx AS (
+          SELECT w1, CAST(sum(c2) AS BIGINT) AS ctx FROM c2 GROUP BY 1
+        ), uni AS (
+          SELECT tok AS w2u, CAST(count(*) AS BIGINT) AS c1
+          FROM (SELECT unnest(t) AS tok FROM strain) GROUP BY 1
+        ), ntot AS (
+          SELECT CAST(sum(c1) AS BIGINT) AS n_tok FROM uni
+        ), contrib AS (
+          SELECT tfb.doc_id, tfb.tf,
+                 CASE WHEN c2.c2 IS NOT NULL THEN 0 ELSE tfb.tf END AS bk,
+                 tfb.tf * CAST(round(ln(
+                     CASE WHEN c2.c2 IS NOT NULL
+                          THEN CAST(c2.c2 AS DOUBLE) / ctx.ctx
+                          ELSE 0.4 * coalesce(CAST(uni.c1 AS DOUBLE), 0.4)
+                               / ntot.n_tok END), 6) AS DECIMAL(18,6)) AS s
+          FROM tfb LEFT JOIN c2 USING (w1, w2)
+                   LEFT JOIN ctx USING (w1)
+                   LEFT JOIN uni ON tfb.w2 = uni.w2u, ntot
+        )
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+               CAST(sum(bk) AS BIGINT) AS n_backoff,
+               round(CAST(sum(s) AS DOUBLE) / sum(tf), 6) AS avg_ln_s
+        FROM contrib GROUP BY 1 ORDER BY 1
+    """,
+    doc="Stupid-backoff bigram LM (Brants et al. 2007) scoring held-out "
+    "docs (odd doc_id) against a model trained on the rest (even): "
+    "S(w2|w1)=c2/ctx if seen else 0.4*c1(w2)/N, OOV floor 0.4*0.4/N. "
+    "Fixes add-one smoothing's over-penalty of unseen bigrams on small "
+    "corpora; unnormalized by design (the paper's scale point). Exact "
+    "integer counts, ln terms DECIMAL(18,6)-summed; n_backoff counts "
+    "the occurrences that fell back (operators/text.py "
+    "bigram_backoff_scores).",
+)
+def q_bigram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    train = docs.filter((F.col("doc_id") % 2) == 0)
+    held_out = docs.filter((F.col("doc_id") % 2) == 1)
+    return T.bigram_backoff_scores(held_out, model_df=train).orderBy("doc_id")

@@ -41,6 +41,10 @@ DECIMAL_RECIPE_QUERIES = [
     "q_bpe_train",
     "q_gopher_rules",
     "q_substring_dedup",
+    # round 6: stupid-backoff LM (LEFT-join seen/unseen branches +
+    # decimal-summed ln terms) and grid-quantized winsorized stats
+    "q_bigram_backoff_score",
+    "q_time_travel",
 ]
 
 

@@ -187,3 +187,44 @@ def test_nfc_normalizer_composes_marks(spark):
     out = {r.id: r.n for r in df.select("id", nfc(F.col("t")).alias("n")).collect()}
     assert out[1] == out[2] == "caf\u00e9"  # decomposed composes
     assert out[3] is None and out[4] == "plain"
+
+
+def test_bigram_backoff_hand_computed(spark):
+    """Stupid backoff against a hand-built model: seen bigram uses
+    c2/ctx, unseen-with-seen-unigram uses 0.4*c1/N, full OOV uses
+    0.4*0.4/N."""
+    import math
+
+    from hw_kafka_streams_spark.operators.text import bigram_backoff_scores
+
+    train = spark.createDataFrame(
+        [(100, "a b a c")], "doc_id long, text string"
+    )
+    # model: c2 = {ab:1, ba:1, ac:1}; ctx = {a:2, b:1}; c1 = {a:2,b:1,c:1}; N=4
+    score = spark.createDataFrame(
+        [(1, "a b d"), (3, "c a")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in bigram_backoff_scores(score, model_df=train).collect()
+    }
+    r1 = out[1]  # bigrams (a,b) seen -> ln(1/2); (b,d) OOV -> ln(0.4*0.4/4)
+    assert r1.n_bigrams == 2 and r1.n_backoff == 1
+    exp1 = (round(math.log(0.5), 6) + round(math.log(0.04), 6)) / 2
+    # compare before the final 6dp rounding: Spark rounds HALF_UP,
+    # Python rounds half-to-even — the last digit can differ by 1
+    assert abs(r1.avg_ln_s - exp1) < 1e-6
+    r3 = out[3]  # (c,a) unseen bigram, a seen c1=2 -> ln(0.4*2/4)
+    assert r3.n_bigrams == 1 and r3.n_backoff == 1
+    assert abs(r3.avg_ln_s - round(math.log(0.2), 6)) < 1e-9
+
+
+def test_bigram_backoff_self_model_no_backoff(spark):
+    """Trained on itself, every bigram is seen: n_backoff == 0."""
+    from hw_kafka_streams_spark.operators.text import bigram_backoff_scores
+
+    df = spark.createDataFrame(
+        [(1, "x y z x y"), (2, "y x z")], "doc_id long, text string"
+    )
+    rows = bigram_backoff_scores(df).collect()
+    assert all(r.n_backoff == 0 for r in rows)
