@@ -1,0 +1,527 @@
+"""Baseline JPEG codec in pure numpy — public-spec ITU T.81 (and the
+T.871 color transform), no codec libraries.
+
+Why this exists: the container ships no pillow/libjpeg, so compressed
+image decode was an honest stub. Baseline sequential JPEG is fully
+specified in public documents; this module implements the complete
+pipeline both ways:
+
+- **decode**: marker parse (DQT / DHT / SOF0 / SOS, tables read from
+  the FILE, not assumed) → canonical Huffman decode (T.81 Annex C/F
+  mincode/maxcode/valptr) with 0xFF00 byte-unstuffing → DC-prediction
+  + amplitude EXTEND → dezigzag → dequantize → orthonormal 8x8 IDCT
+  (one numpy matrix triple-product per block) → level shift + clamp →
+  YCbCr→RGB (T.871 coefficients, rounding pinned to floor(x+0.5)).
+- **encode**: the inverse chain with the Annex K example quantization
+  and Huffman tables, 4:4:4 sampling (no subsampling), integer RGB→
+  YCbCr (scaled-integer floor arithmetic, so the transform is exactly
+  reproducible in SQL for the oracle).
+
+Scope (honest): baseline sequential, 8-bit, 1 or 3 components,
+sampling factors 1x1 (4:4:4), no restart intervals. Progressive
+(SOF2), arithmetic coding, and subsampled chroma raise
+NotImplementedError — real deployments use libjpeg-turbo; this is the
+dependency-free exact-spec path that upgrades JPEG from header-only
+metadata to real pixel decode.
+
+Determinism contract (what makes the Spark queries oracle-able): every
+rounding site is ``floor(x + 0.5)`` (never banker's rounding), the
+RGB→YCbCr forward transform is pure integer arithmetic, and the
+orthonormal IDCT of a DC-only block is exactly ``S00/8`` in IEEE
+doubles — so for constant-color images the whole encode→decode chain
+reduces to a closed-form integer/float expression DuckDB can replay
+bit-for-bit (q_multimodal_jpeg).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ----------------------------------------------------------------- tables
+# Annex K (informative) example tables of ITU T.81 — public spec text.
+
+QUANT_LUM = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int32,
+)
+QUANT_CHROM = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int32,
+)
+
+# (BITS per code length 1..16, HUFFVAL) — Annex K typical tables
+DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUM_VALS = list(range(12))
+DC_CHROM_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROM_VALS = list(range(12))
+AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHROM_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROM_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# zigzag scan order: ZIGZAG[k] = (row, col) of the k-th coefficient
+_zz = []
+for s in range(15):
+    idxs = [(i, s - i) for i in range(max(0, s - 7), min(8, s + 1))]
+    _zz.extend(idxs if s % 2 else idxs[::-1])
+ZIGZAG = _zz
+_ZZ_ROWS = np.array([r for r, _ in ZIGZAG])
+_ZZ_COLS = np.array([c for _, c in ZIGZAG])
+
+# orthonormal 8x8 DCT-II matrix: dct = M @ block @ M.T
+_M = np.zeros((8, 8))
+for _i in range(8):
+    for _j in range(8):
+        _M[_i, _j] = np.cos((2 * _j + 1) * _i * np.pi / 16) * (
+            np.sqrt(0.125) if _i == 0 else 0.5
+        )
+DCT_M = _M
+
+
+def _round_half_up(x: np.ndarray) -> np.ndarray:
+    """floor(x + 0.5): the pinned rounding everywhere in this codec
+    (np.round is banker's — NOT used; SQL floor(x+0.5) matches this)."""
+    return np.floor(x + 0.5)
+
+
+# ----------------------------------------------------------------- huffman
+
+
+def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman codes per T.81 Annex C: {value: (code, size)}."""
+    sizes = []
+    for length in range(1, 17):
+        sizes.extend([length] * bits[length - 1])
+    codes: dict[int, tuple[int, int]] = {}
+    code, si = 0, sizes[0] if sizes else 0
+    for v, s in zip(vals, sizes):
+        while si < s:
+            code <<= 1
+            si += 1
+        codes[v] = (code, s)
+        code += 1
+    return codes
+
+
+class _HuffDecoder:
+    """T.81 F.2.2.3 fast canonical decode: mincode/maxcode/valptr."""
+
+    def __init__(self, bits: list[int], vals: list[int]):
+        self.vals = vals
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code, k = 0, 0
+        for length in range(1, 17):
+            if bits[length - 1]:
+                self.valptr[length] = k
+                self.mincode[length] = code
+                code += bits[length - 1]
+                k += bits[length - 1]
+                self.maxcode[length] = code - 1
+            code <<= 1
+
+    def decode(self, br: "_BitReader") -> int:
+        code = br.read_bit()
+        length = 1
+        while code > self.maxcode[length]:
+            length += 1
+            if length > 16:
+                raise ValueError("corrupt JPEG: huffman code over 16 bits")
+            code = (code << 1) | br.read_bit()
+        return self.vals[self.valptr[length] + code - self.mincode[length]]
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; marker bytes (0xFF followed by non-zero) end the scan."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("corrupt JPEG: ran out of entropy data")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed
+                else:
+                    raise ValueError("corrupt JPEG: marker inside scan")
+            self.acc = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.12: map the s-bit amplitude to its signed value."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+# ----------------------------------------------------------------- decode
+
+
+def decode_baseline_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline JPEG to an (h, w, 3) uint8 RGB array (gray
+    images are replicated to 3 channels).
+
+    Raises NotImplementedError for progressive/arithmetic/subsampled/
+    restart-interval streams (honest scope), ValueError for corrupt
+    data.
+    """
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffDecoder] = {}
+    huff_ac: dict[int, _HuffDecoder] = {}
+    frame = None  # (h, w, [(comp_id, qtab_id)])
+    comp_tables = {}  # comp_id -> (dc_id, ac_id)
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("corrupt JPEG: expected marker")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # parameterless
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                tab = np.zeros((8, 8), dtype=np.int32)
+                for k in range(64):
+                    tab[ZIGZAG[k]] = seg[p + 1 + k]
+                qtables[tq] = tab
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + n])
+                dec = _HuffDecoder(bits, vals)
+                (huff_dc if tc == 0 else huff_ac)[th] = dec
+                p += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            h, w = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "subsampled chroma (only 4:4:4 / grayscale)"
+                    )
+                comps.append((cid, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "progressive/extended/arithmetic JPEG (baseline only)"
+            )
+        elif marker == 0xDD:  # DRI
+            raise NotImplementedError("restart intervals")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = seg[0]
+            for c in range(ns):
+                cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
+                comp_tables[cid] = (tabs >> 4, tabs & 0xF)
+            pos = pos + seglen  # first entropy byte
+            return _decode_scan(
+                data, pos, frame, comp_tables, qtables, huff_dc, huff_ac
+            )
+        pos += seglen
+    raise ValueError("corrupt JPEG: no SOS marker")
+
+
+def _decode_scan(data, pos, frame, comp_tables, qtables, huff_dc, huff_ac):
+    if frame is None:
+        raise ValueError("corrupt JPEG: SOS before SOF")
+    h, w, comps = frame
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    br = _BitReader(data, pos)
+    planes = [np.zeros((bh * 8, bw * 8)) for _ in comps]
+    pred = [0] * len(comps)
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, (cid, tq) in enumerate(comps):
+                dc_id, ac_id = comp_tables[cid]
+                dct = np.zeros(64)
+                s = huff_dc[dc_id].decode(br)
+                diff = _extend(br.receive(s), s)
+                pred[ci] += diff
+                dct[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs = huff_ac[ac_id].decode(br)
+                    r, size = rs >> 4, rs & 0xF
+                    if size == 0:
+                        if r == 15:
+                            k += 16  # ZRL
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("corrupt JPEG: AC index overflow")
+                    dct[k] = _extend(br.receive(size), size)
+                    k += 1
+                blk = np.zeros((8, 8))
+                blk[_ZZ_ROWS, _ZZ_COLS] = dct
+                blk *= qtables[tq]
+                # orthonormal IDCT with the DC term separated: dc/8 is
+                # an EXACT binary operation, while routing it through
+                # the float matmul picks up 1-ulp error (enough to flip
+                # a floor(x+0.5) at a .5 boundary). Flat blocks are
+                # thereby bit-reproducible — the property the closed-
+                # form oracle (dc_roundtrip_value) relies on.
+                dc0 = blk[0, 0]
+                blk[0, 0] = 0.0
+                pix = DCT_M.T @ blk @ DCT_M + dc0 / 8.0
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+    planes = [p[:h, :w] for p in planes]
+    if len(comps) == 1:
+        y = np.clip(_round_half_up(planes[0] + 128.0), 0, 255).astype(np.uint8)
+        return np.stack([y, y, y], axis=-1)
+    # integer-pipeline decode (libjpeg-style): YCbCr planes are rounded
+    # and clamped to 0..255 BEFORE the color transform, so the chain
+    # matches dc_roundtrip_value's closed form exactly
+    y, cb, cr = (
+        np.clip(_round_half_up(p + 128.0), 0.0, 255.0) for p in planes
+    )
+    # T.871 inverse, rounding pinned to floor(x+0.5) — mirrored in SQL
+    r = _round_half_up(y + 1.402 * (cr - 128.0))
+    g = _round_half_up(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0))
+    b = _round_half_up(y + 1.772 * (cb - 128.0))
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+# ----------------------------------------------------------------- encode
+
+
+class _BitWriter:
+    def __init__(self):
+        self.bytes = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, size: int) -> None:
+        for i in range(size - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.bytes.append(self.acc)
+                if self.acc == 0xFF:
+                    self.bytes.append(0x00)  # byte stuffing
+                self.acc, self.nbits = 0, 0
+
+    def flush(self) -> None:
+        if self.nbits:
+            self.acc <<= 8 - self.nbits  # pad with 0s (1s also legal)
+            self.bytes.append(self.acc)
+            if self.acc == 0xFF:
+                self.bytes.append(0x00)
+            self.acc, self.nbits = 0, 0
+
+
+def _csize(v: int) -> int:
+    """DC/AC category: bit length of |v| (0 for 0)."""
+    return int(abs(v)).bit_length()
+
+
+def rgb_to_ycbcr_int(rgb: np.ndarray) -> np.ndarray:
+    """Integer T.871 forward transform — scaled-integer floor
+    arithmetic, exactly reproducible in SQL:
+
+        Y  = (29900·R + 58700·G + 11400·B + 50000) // 100000
+        Cb = min(255, (12800000 − 16874·R − 33126·G + 50000·B + 50000) // 100000)
+        Cr = min(255, (12800000 + 50000·R − 41869·G −  8131·B + 50000) // 100000)
+
+    (numerators are provably non-negative, so floor == truncate and
+    DuckDB's integer division matches).
+    """
+    r = rgb[..., 0].astype(np.int64)
+    g = rgb[..., 1].astype(np.int64)
+    b = rgb[..., 2].astype(np.int64)
+    y = (29900 * r + 58700 * g + 11400 * b + 50000) // 100000
+    cb = (12800000 - 16874 * r - 33126 * g + 50000 * b + 50000) // 100000
+    cr = (12800000 + 50000 * r - 41869 * g - 8131 * b + 50000) // 100000
+    return np.stack(
+        [y, np.minimum(cb, 255), np.minimum(cr, 255)], axis=-1
+    ).astype(np.int32)
+
+
+def _encode_block(bw_: _BitWriter, blk: np.ndarray, q: np.ndarray,
+                  pred: int, dc_codes, ac_codes) -> int:
+    b0 = blk - 128.0
+    dct = DCT_M @ b0 @ DCT_M.T
+    # exact DC: mathematically S00 = sum/8; the direct sum avoids the
+    # matmul's 1-ulp drift (integer-valued floats sum exactly), so a
+    # constant block quantizes from dc = 8·(v−128) precisely
+    dct[0, 0] = b0.sum() / 8.0
+    qd = _round_half_up(dct / q).astype(np.int64)
+    zz = qd[_ZZ_ROWS, _ZZ_COLS]
+    diff = int(zz[0]) - pred
+    s = _csize(diff)
+    code, size = dc_codes[s]
+    bw_.write(code, size)
+    if s:
+        bw_.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = max(np.nonzero(zz[1:])[0]) + 1 if np.any(zz[1:]) else 0
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, size = ac_codes[0xF0]  # ZRL
+            bw_.write(code, size)
+            run -= 16
+        s = _csize(v)
+        code, size = ac_codes[(run << 4) | s]
+        bw_.write(code, size)
+        bw_.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, size = ac_codes[0x00]  # EOB
+        bw_.write(code, size)
+    return int(zz[0])
+
+
+def encode_baseline_jpeg(rgb: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a baseline 4:4:4 JPEG
+    with the Annex K tables. Edge blocks are padded by edge
+    replication (the standard practice)."""
+    h, w = rgb.shape[:2]
+    ycc = rgb_to_ycbcr_int(rgb).astype(np.float64)
+    bh, bwid = (h + 7) // 8, (w + 7) // 8
+    padded = np.pad(
+        ycc, ((0, bh * 8 - h), (0, bwid * 8 - w), (0, 0)), mode="edge"
+    )
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker]))
+        out.extend(struct.pack(">H", len(payload) + 2))
+        out.extend(payload)
+
+    for tq, tab in ((0, QUANT_LUM), (1, QUANT_CHROM)):
+        zz = bytes(int(tab[ZIGZAG[k]]) for k in range(64))
+        seg(0xDB, bytes([tq]) + zz)
+    seg(
+        0xC0,
+        b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x03"
+        + bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]),
+    )
+    for tc, th, bits, vals in (
+        (0, 0, DC_LUM_BITS, DC_LUM_VALS),
+        (1, 0, AC_LUM_BITS, AC_LUM_VALS),
+        (0, 1, DC_CHROM_BITS, DC_CHROM_VALS),
+        (1, 1, AC_CHROM_BITS, AC_CHROM_VALS),
+    ):
+        seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+    seg(0xDA, b"\x03" + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00")
+
+    dc_l = _build_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac_l = _build_codes(AC_LUM_BITS, AC_LUM_VALS)
+    dc_c = _build_codes(DC_CHROM_BITS, DC_CHROM_VALS)
+    ac_c = _build_codes(AC_CHROM_BITS, AC_CHROM_VALS)
+    bw_ = _BitWriter()
+    pred = [0, 0, 0]
+    tabs = [(QUANT_LUM, dc_l, ac_l), (QUANT_CHROM, dc_c, ac_c),
+            (QUANT_CHROM, dc_c, ac_c)]
+    for by in range(bh):
+        for bx in range(bwid):
+            for ci in range(3):
+                q, dcc, acc_ = tabs[ci]
+                blk = padded[
+                    by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, ci
+                ]
+                pred[ci] = _encode_block(bw_, blk, q, pred[ci], dcc, acc_)
+    bw_.flush()
+    out.extend(bw_.bytes)
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+
+def dc_roundtrip_value(v: int, q00: int) -> int:
+    """Closed form of encode→decode for one channel of a CONSTANT
+    image (the oracle's arithmetic twin): DC = 8·(v−128), quantized
+    floor(DC/q00 + 0.5), dequantized ·q00, IDCT'd /8, +128,
+    floor(+0.5), clamped."""
+    dcq = int(np.floor(8.0 * (v - 128) / q00 + 0.5))
+    return int(min(255, max(0, np.floor(dcq * q00 / 8.0 + 128.0 + 0.5))))

@@ -8,14 +8,17 @@ Design for 100 TB of images/audio/video interleaved with text:
   work: batches stream through executors, schema is fixed up front,
   and the scan stays columnar until the Python boundary.
 
-The container has no image/audio codecs, so COMPRESSED-format decode
-is STUBBED (``NotImplementedError`` at clearly-marked points). But
-codec-free formats get REAL processing: PNG/JPEG/GIF/BMP/TIFF/WebP
-header parsing, uncompressed-BMP pixel decode + nearest-neighbor resize +
-channel-mean feature extraction, YUV4MPEG2 (y4m) raw-video frame
-sampling with per-frame luma features, and 16-bit PCM WAV sample
-decode + RMS — all pure byte/numpy math in Arrow-batched stages. The
-Spark plumbing — schemas, batch iteration, row-expanding frame
+The container has no image/audio codec LIBRARIES, so exotic
+compressed-format decode is STUBBED (``NotImplementedError`` at
+clearly-marked points: progressive/subsampled JPEG, MP3, H.264). But a
+large real surface is implemented from public specs: PNG/JPEG/GIF/BMP/
+TIFF/WebP header parsing, **baseline-JPEG pixel decode via the pure-
+numpy ITU T.81 codec in operators/jpegcodec.py** (Huffman + dequant +
+IDCT, encoder included), uncompressed-BMP pixel decode + nearest-
+neighbor resize + channel-mean feature extraction, YUV4MPEG2 (y4m)
+raw-video frame sampling with per-frame luma features, and 16-bit PCM
+WAV sample decode + RMS — all byte/numpy math in Arrow-batched stages.
+The Spark plumbing — schemas, batch iteration, row-expanding frame
 fan-out — is identical to what ffmpeg/PIL-backed stages would use.
 """
 
@@ -705,4 +708,83 @@ def audio_rms(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
     return df.select("doc_id", payload_col).mapInPandas(
         work, schema="doc_id long, n_samples long, rms double"
+    )
+
+
+# ------------------------------------------------------- baseline JPEG
+# Real compressed-image pixel decode: the pure-numpy ITU T.81 baseline
+# codec (operators/jpegcodec.py) — Huffman entropy decode, dequant,
+# IDCT. Upgrades JPEG from header-metadata-only to actual pixels; only
+# progressive/subsampled streams remain stubbed (inside the codec).
+
+
+def synthesize_real_jpeg_payloads(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """One REAL baseline JPEG per row (Annex-K tables, 4:4:4),
+    deterministic from the id: constant fill (id%256, 7id%256,
+    13id%256), dims 8·(id%3+1) × 8·(id%2+1). Constant fills make the
+    full encode→decode chain closed-form predictable (see
+    jpegcodec.dc_roundtrip_value), which is what lets q_multimodal_jpeg
+    carry an arithmetic DuckDB oracle over a REAL compressed codec."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.jpegcodec import (
+        encode_baseline_jpeg,
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [
+                encode_baseline_jpeg(
+                    np.full(
+                        (8 * (int(i) % 2 + 1), 8 * (int(i) % 3 + 1), 3),
+                        (int(i) % 256, (int(i) * 7) % 256, (int(i) * 13) % 256),
+                        dtype=np.uint8,
+                    )
+                )
+                for i in ids
+            ]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+
+
+def jpeg_channel_means(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Per-image channel means over REAL decoded JPEG pixels — the
+    feature-extract stage (bmp_channel_means' twin for a compressed
+    codec). Arrow-batched mapInPandas; each payload runs the full
+    T.81 baseline decode (Huffman → dequant → IDCT → color
+    transform), then exact integer mean (sum // n)."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.jpegcodec import (
+        decode_baseline_jpeg,
+    )
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, data in zip(pdf["doc_id"], pdf[payload_col]):
+                rgb = decode_baseline_jpeg(bytes(data))
+                h, w, _ = rgb.shape
+                s = rgb.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                n = h * w
+                out.append(
+                    (doc_id, w, h,
+                     int(s[0] // n), int(s[1] // n), int(s[2] // n))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "width", "height",
+                         "mean_r", "mean_g", "mean_b"],
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        work,
+        schema="doc_id long, width int, height int, "
+        "mean_r int, mean_g int, mean_b int",
     )

@@ -2809,3 +2809,64 @@ def q_label_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.lang_id_charset("text").alias("detected_script"),
     )
     return cohens_kappa(docs, "expected_script", "detected_script")
+
+
+@register(
+    "q_multimodal_jpeg",
+    oracle="""
+        WITH base AS (
+          SELECT doc_id,
+                 doc_id % 256 AS r, (doc_id * 7) % 256 AS g,
+                 (doc_id * 13) % 256 AS b,
+                 CAST(8 * (doc_id % 3 + 1) AS INT) AS width,
+                 CAST(8 * (doc_id % 2 + 1) AS INT) AS height
+          FROM documents WHERE doc_id < 200
+        ), ycc AS (
+          SELECT *,
+            (29900*r + 58700*g + 11400*b + 50000) // 100000 AS y,
+            least(255, (12800000 - 16874*r - 33126*g + 50000*b + 50000)
+                       // 100000) AS cb,
+            least(255, (12800000 + 50000*r - 41869*g - 8131*b + 50000)
+                       // 100000) AS cr
+          FROM base
+        ), rt AS (
+          SELECT *,
+            least(255, greatest(0, floor(
+              floor(8.0*(y - 128)/16 + 0.5)*16/8.0 + 128.0 + 0.5))) AS y2,
+            least(255, greatest(0, floor(
+              floor(8.0*(cb - 128)/17 + 0.5)*17/8.0 + 128.0 + 0.5))) AS cb2,
+            least(255, greatest(0, floor(
+              floor(8.0*(cr - 128)/17 + 0.5)*17/8.0 + 128.0 + 0.5))) AS cr2
+          FROM ycc
+        )
+        SELECT doc_id, width, height,
+          CAST(least(255, greatest(0,
+            floor(y2 + 1.402*(cr2 - 128.0) + 0.5))) AS INT) AS mean_r,
+          CAST(least(255, greatest(0,
+            floor(y2 - 0.344136*(cb2 - 128.0) - 0.714136*(cr2 - 128.0)
+                  + 0.5))) AS INT) AS mean_g,
+          CAST(least(255, greatest(0,
+            floor(y2 + 1.772*(cb2 - 128.0) + 0.5))) AS INT) AS mean_b
+        FROM rt ORDER BY doc_id
+    """,
+    doc="REAL compressed-image pixel decode, arithmetic-oracled: "
+    "synthesize one baseline JPEG per doc (pure-numpy ITU T.81 encoder "
+    "— FDCT, Annex-K quant + Huffman tables, byte stuffing), then "
+    "decode pixels back (Huffman entropy decode, dequant, IDCT, T.871 "
+    "color transform; operators/jpegcodec.py) and extract channel "
+    "means. Constant fills make the whole codec chain closed-form: "
+    "the oracle replays integer RGB->YCbCr, the quantized-DC "
+    "roundtrip floor(8(v-128)/Q+0.5)*Q/8, and the float inverse "
+    "transform with rounding pinned to floor(x+0.5) on both engines. "
+    "Progressive/subsampled streams stay honestly stubbed inside the "
+    "codec.",
+)
+def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.multimodal import (
+        jpeg_channel_means,
+        synthesize_real_jpeg_payloads,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
+    payloads = synthesize_real_jpeg_payloads(docs)
+    return jpeg_channel_means(payloads).orderBy("doc_id")

@@ -283,3 +283,111 @@ def test_audio_rms_square_and_mixed_wave(spark):
     r = audio_rms(df).collect()[0]
     assert r["n_samples"] == 64
     assert math.isclose(r["rms"], 500.0)
+
+
+# ---------------------------------------------------- baseline JPEG codec
+
+
+def test_jpeg_constant_roundtrip_closed_form():
+    """encode->decode of constant-color images matches the closed-form
+    DC arithmetic for every tested color (the oracle's contract)."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.jpegcodec import (
+        QUANT_CHROM,
+        QUANT_LUM,
+        dc_roundtrip_value,
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+        rgb_to_ycbcr_int,
+    )
+
+    for i in range(0, 256, 7):
+        r, g, b = i, (i * 7) % 256, (i * 13) % 256
+        img = np.full((16, 24, 3), (r, g, b), dtype=np.uint8)
+        dec = decode_baseline_jpeg(encode_baseline_jpeg(img))
+        assert dec.shape == (16, 24, 3)
+        assert (dec == dec[0, 0]).all()
+        y, cb, cr = rgb_to_ycbcr_int(np.array([[[r, g, b]]], np.uint8))[0, 0]
+        y2 = dc_roundtrip_value(int(y), int(QUANT_LUM[0, 0]))
+        cb2 = dc_roundtrip_value(int(cb), int(QUANT_CHROM[0, 0]))
+        cr2 = dc_roundtrip_value(int(cr), int(QUANT_CHROM[0, 0]))
+        er = min(255, max(0, int(np.floor(y2 + 1.402 * (cr2 - 128.0) + 0.5))))
+        eg = min(255, max(0, int(np.floor(
+            y2 - 0.344136 * (cb2 - 128.0) - 0.714136 * (cr2 - 128.0) + 0.5))))
+        eb = min(255, max(0, int(np.floor(y2 + 1.772 * (cb2 - 128.0) + 0.5))))
+        assert tuple(int(x) for x in dec[0, 0]) == (er, eg, eb)
+
+
+def test_jpeg_gradient_roundtrip_tolerance():
+    """Smooth gradients survive quality-50 quantization within a small
+    bound; odd (non-multiple-of-8) dims exercise the edge-padding."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.jpegcodec import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+    )
+
+    yy, xx = np.mgrid[0:21, 0:35]
+    img = np.stack(
+        [(xx * 3) % 256, (yy * 5) % 256, ((xx + yy) * 2) % 256], axis=-1
+    ).astype(np.uint8)
+    dec = decode_baseline_jpeg(encode_baseline_jpeg(img))
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() <= 30 and err.mean() <= 6
+
+
+def test_jpeg_decoder_rejects_out_of_scope_streams():
+    import numpy as np
+    import pytest
+
+    from hw_kafka_streams_spark.operators.jpegcodec import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+    )
+
+    with pytest.raises(ValueError):
+        decode_baseline_jpeg(b"\x00\x11not a jpeg")
+    # flip SOF0 -> SOF2 (progressive): honest stub must raise
+    data = bytearray(
+        encode_baseline_jpeg(np.zeros((8, 8, 3), dtype=np.uint8))
+    )
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_baseline_jpeg(bytes(data))
+
+
+def test_jpeg_channel_means_spark_stage(spark):
+    """The Arrow-batched decode stage end to end on a tiny DF."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.jpegcodec import (
+        decode_baseline_jpeg,
+    )
+    from hw_kafka_streams_spark.operators.multimodal import (
+        jpeg_channel_means,
+        synthesize_real_jpeg_payloads,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    rows = {
+        r.doc_id: r
+        for r in jpeg_channel_means(
+            synthesize_real_jpeg_payloads(df)
+        ).collect()
+    }
+    assert len(rows) == 12
+    for i, r in rows.items():
+        assert r.width == 8 * (i % 3 + 1) and r.height == 8 * (i % 2 + 1)
+        # cross-check one pixel against a local decode
+    from hw_kafka_streams_spark.operators.jpegcodec import (
+        encode_baseline_jpeg,
+    )
+
+    img = np.full((8, 8, 3), (5 % 256, 35 % 256, 65 % 256), dtype=np.uint8)
+    px = decode_baseline_jpeg(encode_baseline_jpeg(img))[0, 0]
+    r5 = rows[5]
+    assert (r5.mean_r, r5.mean_g, r5.mean_b) == tuple(int(x) for x in px)
