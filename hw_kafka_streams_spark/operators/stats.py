@@ -416,12 +416,18 @@ def exact_percentiles_histogram(
         group_col, "_v"
     ).agg(F.count(F.lit(1)).alias("_c"))
     w = Window.partitionBy(group_col).orderBy("_v")
-    cum = hist.withColumn("_end", F.sum("_c").over(w)).withColumn(
-        "_start", F.col("_end") - F.col("_c")
+    # the whole-partition total rides the SAME exchange+sort as the
+    # running sum (two WindowExecs, one shuffle) — cheaper than a
+    # separate groupBy + broadcast join for `n`. The per-group window
+    # sorts the HISTOGRAM (domain-bounded, quantizable), not the rows.
+    wg = Window.partitionBy(group_col)
+    cum = (
+        hist.withColumn("_end", F.sum("_c").over(w))
+        .withColumn("_n", F.sum("_c").over(wg))
+        .withColumn("_start", F.col("_end") - F.col("_c"))
     )
-    n = hist.groupBy(group_col).agg(F.sum("_c").alias("_n"))
     jj = (
-        cum.join(F.broadcast(n), group_col)
+        cum
         .withColumn(
             "_pi",
             F.explode(
