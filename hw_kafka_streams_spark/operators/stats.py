@@ -97,6 +97,7 @@ def quantile_buckets(
     group_col: str,
     n_buckets: int = 10,
     out_col: str = "bucket",
+    quantize_decimals: int | None = None,
 ) -> DataFrame:
     """Per-group quantile bucketing via BROADCAST THRESHOLDS — the
     scale-safe calibration pass (e.g. normalize a quality score across
@@ -106,14 +107,20 @@ def quantile_buckets(
     The tempting plan — ``ntile(n) OVER (PARTITION BY group)`` — puts
     an entire group in ONE task, and low-cardinality groups (languages,
     sources) make that a single-partition sort at 100 TB. Instead: one
-    exact-percentile aggregation per group (tiny result: groups ×
-    (n-1) thresholds), broadcast it back, and assign
-    ``bucket = 1 + #thresholds strictly below value`` in a narrow map.
-    Exact-percentile interpolation matches DuckDB ``quantile_cont``
-    bit-for-bit (proven by q_percentiles), so the assignment is
-    oracle-able. Values equal to a threshold land in the LOWER bucket
-    (strict comparison), the same convention as SQL ``CUME_DIST``-style
-    right-closed buckets.
+    exact-percentile pass per group (tiny result: groups × (n-1)
+    thresholds), broadcast it back, and assign ``bucket = 1 +
+    #thresholds strictly below value`` in a narrow map. Thresholds come
+    from :func:`exact_percentiles_histogram` — the heavy aggregation is
+    a partial-combinable (group, value) COUNT, never ``F.percentile``'s
+    buffer-every-raw-value aggregator whose partials merge by
+    concatenation (a billion-row group would need a billion-slot buffer
+    on one reducer); pass ``quantize_decimals`` to cap the histogram
+    domain on continuous columns. The histogram interpolation matches
+    DuckDB ``quantile_cont`` bit-for-bit (proven by q_percentiles_hist
+    and the parity tests), so the assignment is oracle-able. Values
+    equal to a threshold land in the LOWER bucket (strict comparison),
+    the same convention as SQL ``CUME_DIST``-style right-closed
+    buckets.
     """
     vc = F.col(value_col) if isinstance(value_col, str) else value_col
     probs = [i / n_buckets for i in range(1, n_buckets)]
@@ -121,8 +128,11 @@ def quantile_buckets(
     # assignment would otherwise each recompute the (possibly
     # regexp-heavy) value expression over the full corpus
     with_v = managed_persist(df.withColumn("_v", vc))
-    thresholds = with_v.groupBy(group_col).agg(
-        F.percentile("_v", F.array(*[F.lit(p) for p in probs])).alias("_ts")
+    thresholds = exact_percentiles_histogram(
+        with_v, "_v", group_col, probs, quantize_decimals=quantize_decimals
+    ).select(
+        group_col,
+        F.array(*[F.col(f"p{i}") for i in range(len(probs))]).alias("_ts"),
     )
     bucket = F.lit(1) + F.aggregate(
         F.col("_ts"),
