@@ -18,11 +18,12 @@ pipeline both ways:
   reproducible in SQL for the oracle).
 
 Scope (honest): baseline sequential, 8-bit, 1 or 3 components,
-sampling factors 1x1 (4:4:4), no restart intervals. Progressive
-(SOF2), arithmetic coding, and subsampled chroma raise
-NotImplementedError — real deployments use libjpeg-turbo; this is the
-dependency-free exact-spec path that upgrades JPEG from header-only
-metadata to real pixel decode.
+sampling factors 1/2/4 — 4:4:4, 4:2:2 and 4:2:0 (the web default)
+all decode, with pixel-replication chroma upsample; the encoder can
+emit all three. Progressive (SOF2), arithmetic coding, and restart
+intervals raise NotImplementedError — real deployments use
+libjpeg-turbo; this is the dependency-free exact-spec path that
+upgrades JPEG from header-only metadata to real pixel decode.
 
 Determinism contract (what makes the Spark queries oracle-able): every
 rounding site is ``floor(x + 0.5)`` (never banker's rounding), the
@@ -280,11 +281,12 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
             comps = []
             for c in range(ncomp):
                 cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
+                hs, vs = samp >> 4, samp & 0xF
+                if hs not in (1, 2, 4) or vs not in (1, 2, 4):
                     raise NotImplementedError(
-                        "subsampled chroma (only 4:4:4 / grayscale)"
+                        f"sampling factors {hs}x{vs} (1/2/4 supported)"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, hs, vs, tq))
             frame = (h, w, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -306,51 +308,78 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
     raise ValueError("corrupt JPEG: no SOS marker")
 
 
+def _decode_block(br, dc_dec, ac_dec, qtab, pred):
+    """One 8x8 block: entropy decode → dezigzag → dequant → IDCT.
+    Returns (pixels, new_dc_pred)."""
+    dct = np.zeros(64)
+    s = dc_dec.decode(br)
+    pred += _extend(br.receive(s), s)
+    dct[0] = pred
+    k = 1
+    while k < 64:
+        rs = ac_dec.decode(br)
+        r, size = rs >> 4, rs & 0xF
+        if size == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("corrupt JPEG: AC index overflow")
+        dct[k] = _extend(br.receive(size), size)
+        k += 1
+    blk = np.zeros((8, 8))
+    blk[_ZZ_ROWS, _ZZ_COLS] = dct
+    blk *= qtab
+    # orthonormal IDCT with the DC term separated: dc/8 is an EXACT
+    # binary operation, while routing it through the float matmul
+    # picks up 1-ulp error (enough to flip a floor(x+0.5) at a .5
+    # boundary). Flat blocks are thereby bit-reproducible — the
+    # property the closed-form oracle (dc_roundtrip_value) relies on.
+    dc0 = blk[0, 0]
+    blk[0, 0] = 0.0
+    return DCT_M.T @ blk @ DCT_M + dc0 / 8.0, pred
+
+
 def _decode_scan(data, pos, frame, comp_tables, qtables, huff_dc, huff_ac):
     if frame is None:
         raise ValueError("corrupt JPEG: SOS before SOF")
     h, w, comps = frame
-    bw, bh = (w + 7) // 8, (h + 7) // 8
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     br = _BitReader(data, pos)
-    planes = [np.zeros((bh * 8, bw * 8)) for _ in comps]
+    # per-component plane at ITS OWN resolution (subsampled chroma
+    # stays small until the upsample step)
+    planes = [
+        np.zeros((mcuy * vs * 8, mcux * hs * 8)) for _, hs, vs, _ in comps
+    ]
     pred = [0] * len(comps)
-    for by in range(bh):
-        for bx in range(bw):
-            for ci, (cid, tq) in enumerate(comps):
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (cid, hs, vs, tq) in enumerate(comps):
                 dc_id, ac_id = comp_tables[cid]
-                dct = np.zeros(64)
-                s = huff_dc[dc_id].decode(br)
-                diff = _extend(br.receive(s), s)
-                pred[ci] += diff
-                dct[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    rs = huff_ac[ac_id].decode(br)
-                    r, size = rs >> 4, rs & 0xF
-                    if size == 0:
-                        if r == 15:
-                            k += 16  # ZRL
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        raise ValueError("corrupt JPEG: AC index overflow")
-                    dct[k] = _extend(br.receive(size), size)
-                    k += 1
-                blk = np.zeros((8, 8))
-                blk[_ZZ_ROWS, _ZZ_COLS] = dct
-                blk *= qtables[tq]
-                # orthonormal IDCT with the DC term separated: dc/8 is
-                # an EXACT binary operation, while routing it through
-                # the float matmul picks up 1-ulp error (enough to flip
-                # a floor(x+0.5) at a .5 boundary). Flat blocks are
-                # thereby bit-reproducible — the property the closed-
-                # form oracle (dc_roundtrip_value) relies on.
-                dc0 = blk[0, 0]
-                blk[0, 0] = 0.0
-                pix = DCT_M.T @ blk @ DCT_M + dc0 / 8.0
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
-    planes = [p[:h, :w] for p in planes]
+                for vy in range(vs):
+                    for vx in range(hs):
+                        pix, pred[ci] = _decode_block(
+                            br, huff_dc[dc_id], huff_ac[ac_id],
+                            qtables[tq], pred[ci],
+                        )
+                        y0 = (my * vs + vy) * 8
+                        x0 = (mx * hs + vx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
+    # nearest (pixel-replication) upsample of subsampled components to
+    # full resolution, then crop — a spec-legal decoder choice, and
+    # deterministic (libjpeg's default is triangular "fancy" upsampling;
+    # replication matches our box-downsampling encoder)
+    full = []
+    for (cid, hs, vs, tq), p in zip(comps, planes):
+        if hs != hmax or vs != vmax:
+            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        full.append(p[:h, :w])
+    planes = full
     if len(comps) == 1:
         y = np.clip(_round_half_up(planes[0] + 128.0), 0, 255).astype(np.uint8)
         return np.stack([y, y, y], axis=-1)
@@ -460,16 +489,45 @@ def _encode_block(bw_: _BitWriter, blk: np.ndarray, q: np.ndarray,
     return int(zz[0])
 
 
-def encode_baseline_jpeg(rgb: np.ndarray) -> bytes:
-    """Encode an (h, w, 3) uint8 RGB array as a baseline 4:4:4 JPEG
-    with the Annex K tables. Edge blocks are padded by edge
-    replication (the standard practice)."""
+_SUBSAMPLING = {
+    "444": ((1, 1), (1, 1), (1, 1)),
+    "422": ((2, 1), (1, 1), (1, 1)),
+    "420": ((2, 2), (1, 1), (1, 1)),
+}
+
+
+def encode_baseline_jpeg(rgb: np.ndarray, subsampling: str = "444") -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a baseline JPEG with the
+    Annex K tables. ``subsampling``: "444" (full chroma), "422"
+    (half horizontal), or "420" (half both — the web default). Chroma
+    is box-averaged with floor(mean+0.5) (exact for the 2- and 4-pixel
+    boxes, so still deterministic); edge blocks pad by replication."""
     h, w = rgb.shape[:2]
+    factors = _SUBSAMPLING[subsampling]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     ycc = rgb_to_ycbcr_int(rgb).astype(np.float64)
-    bh, bwid = (h + 7) // 8, (w + 7) // 8
-    padded = np.pad(
-        ycc, ((0, bh * 8 - h), (0, bwid * 8 - w), (0, 0)), mode="edge"
-    )
+    planes = []
+    for ci, (hs, vs) in enumerate(factors):
+        p = ycc[..., ci]
+        if hs != hmax or vs != vmax:
+            fy, fx = vmax // vs, hmax // hs
+            ph = (h + fy - 1) // fy * fy
+            pw = (w + fx - 1) // fx * fx
+            pp = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+            p = np.floor(
+                pp.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3)) + 0.5
+            )
+        th_, tw_ = mcuy * vs * 8, mcux * hs * 8
+        p = np.pad(
+            p,
+            ((0, th_ - p.shape[0]), (0, tw_ - p.shape[1])),
+            mode="edge",
+        )
+        planes.append(p)
+
     out = bytearray(b"\xff\xd8")  # SOI
 
     def seg(marker: int, payload: bytes) -> None:
@@ -480,13 +538,10 @@ def encode_baseline_jpeg(rgb: np.ndarray) -> bytes:
     for tq, tab in ((0, QUANT_LUM), (1, QUANT_CHROM)):
         zz = bytes(int(tab[ZIGZAG[k]]) for k in range(64))
         seg(0xDB, bytes([tq]) + zz)
-    seg(
-        0xC0,
-        b"\x08"
-        + struct.pack(">HH", h, w)
-        + b"\x03"
-        + bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]),
-    )
+    sof = b"\x08" + struct.pack(">HH", h, w) + b"\x03"
+    for ci, (hs, vs) in enumerate(factors):
+        sof += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
+    seg(0xC0, sof)
     for tc, th, bits, vals in (
         (0, 0, DC_LUM_BITS, DC_LUM_VALS),
         (1, 0, AC_LUM_BITS, AC_LUM_VALS),
@@ -504,14 +559,18 @@ def encode_baseline_jpeg(rgb: np.ndarray) -> bytes:
     pred = [0, 0, 0]
     tabs = [(QUANT_LUM, dc_l, ac_l), (QUANT_CHROM, dc_c, ac_c),
             (QUANT_CHROM, dc_c, ac_c)]
-    for by in range(bh):
-        for bx in range(bwid):
-            for ci in range(3):
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (hs, vs) in enumerate(factors):
                 q, dcc, acc_ = tabs[ci]
-                blk = padded[
-                    by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, ci
-                ]
-                pred[ci] = _encode_block(bw_, blk, q, pred[ci], dcc, acc_)
+                for vy in range(vs):
+                    for vx in range(hs):
+                        y0 = (my * vs + vy) * 8
+                        x0 = (mx * hs + vx) * 8
+                        blk = planes[ci][y0 : y0 + 8, x0 : x0 + 8]
+                        pred[ci] = _encode_block(
+                            bw_, blk, q, pred[ci], dcc, acc_
+                        )
     bw_.flush()
     out.extend(bw_.bytes)
     out.extend(b"\xff\xd9")  # EOI

@@ -391,3 +391,31 @@ def test_jpeg_channel_means_spark_stage(spark):
     px = decode_baseline_jpeg(encode_baseline_jpeg(img))[0, 0]
     r5 = rows[5]
     assert (r5.mean_r, r5.mean_g, r5.mean_b) == tuple(int(x) for x in px)
+
+
+def test_jpeg_subsampled_roundtrip():
+    """4:2:0 and 4:2:2 chroma (the web defaults) encode and decode;
+    constants stay exact and identical to 4:4:4 because a box mean of
+    a constant is the constant."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.jpegcodec import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+    )
+
+    yy, xx = np.mgrid[0:37, 0:53]
+    img = np.stack(
+        [(xx * 3) % 256, (yy * 5) % 256, ((xx + yy) * 2) % 256], axis=-1
+    ).astype(np.uint8)
+    for ss in ("444", "422", "420"):
+        dec = decode_baseline_jpeg(encode_baseline_jpeg(img, subsampling=ss))
+        assert dec.shape == img.shape
+        err = np.abs(dec.astype(int) - img.astype(int))
+        assert err.max() <= 30 and err.mean() <= 6, (ss, err.max())
+
+    const = np.full((24, 40, 3), (123, 45, 250), dtype=np.uint8)
+    d444 = decode_baseline_jpeg(encode_baseline_jpeg(const, "444"))
+    d420 = decode_baseline_jpeg(encode_baseline_jpeg(const, "420"))
+    assert (d444 == d444[0, 0]).all() and (d420 == d420[0, 0]).all()
+    assert (d444[0, 0] == d420[0, 0]).all()
