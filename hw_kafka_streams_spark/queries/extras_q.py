@@ -1257,3 +1257,100 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_agg(3))
         .orderBy("version", "o_orderstatus")
     )
+
+
+@register(
+    "q_snapshot_cdc",
+    oracle="""
+        WITH v1 AS (
+            SELECT o_orderkey AS k, o_orderstatus AS s,
+                   CAST(o_totalprice AS DOUBLE) AS p
+            FROM orders WHERE o_orderkey % 10 = 0
+        ),
+        upd AS (
+            SELECT k, 'U' AS s, p FROM v1 WHERE k % 50 = 0
+            UNION ALL
+            SELECT k + 5 AS k, 'N' AS s, 100.0 AS p FROM v1 WHERE k % 50 = 0
+        ),
+        v2 AS (
+            SELECT * FROM v1 WHERE k NOT IN (SELECT k FROM upd)
+            UNION ALL SELECT * FROM upd
+        ),
+        v3 AS (SELECT * FROM v2 WHERE k % 100 <> 0),
+        d AS (
+          SELECT 1 AS from_v, 2 AS to_v, 'insert' AS change_type,
+                 count(*) AS n
+          FROM v2 WHERE k NOT IN (SELECT k FROM v1)
+          UNION ALL
+          SELECT 1, 2, 'delete', count(*)
+          FROM v1 WHERE k NOT IN (SELECT k FROM v2)
+          UNION ALL
+          SELECT 1, 2, 'update', count(*)
+          FROM v1 JOIN v2 USING (k)
+          WHERE v1.s <> v2.s OR v1.p <> v2.p
+          UNION ALL
+          SELECT 2, 3, 'insert', count(*)
+          FROM v3 WHERE k NOT IN (SELECT k FROM v2)
+          UNION ALL
+          SELECT 2, 3, 'delete', count(*)
+          FROM v2 WHERE k NOT IN (SELECT k FROM v3)
+          UNION ALL
+          SELECT 2, 3, 'update', count(*)
+          FROM v2 JOIN v3 USING (k)
+          WHERE v2.s <> v3.s OR v2.p <> v3.p
+        )
+        SELECT CAST(from_v AS INT) AS from_v, CAST(to_v AS INT) AS to_v,
+               change_type, CAST(n AS BIGINT) AS n
+        FROM d WHERE n > 0 ORDER BY from_v, change_type
+    """,
+    doc="Incremental read (CDC) over the snapshot table layer: diff "
+    "version pairs of the q_time_travel table via "
+    "sources/snapshots.snapshot_diff — manifest file-set pruning reads "
+    "only files each version holds exclusively, then a full-outer key "
+    "join labels insert/delete/update. v1->v2 shows the MERGE's "
+    "updates+inserts, v2->v3 the DELETE's removals; the oracle replays "
+    "both versions logically and counts the same change sets.",
+)
+def q_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from hw_kafka_streams_spark.sources import snapshots as S
+
+    o = load_table(spark, "orders", sf_dir)
+    v1df = o.filter((F.col("o_orderkey") % 10) == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("s"),
+        F.col("o_totalprice").cast("double").alias("p"),
+    )
+    tbl = tempfile.mkdtemp(prefix="q_snapshot_cdc_") + "/tbl"
+    S.create_table(spark, tbl, v1df)
+    upd_src = S.read_snapshot(spark, tbl, 1).filter((F.col("k") % 50) == 0)
+    updates = upd_src.select("k", F.lit("U").alias("s"), "p").unionByName(
+        upd_src.select(
+            (F.col("k") + 5).alias("k"),
+            F.lit("N").alias("s"),
+            F.lit(100.0).alias("p"),
+        )
+    )
+    S.merge_upsert_snapshot(spark, tbl, updates, ["k"])
+    dels = (
+        S.read_snapshot(spark, tbl, 2)
+        .filter((F.col("k") % 100) == 0)
+        .select("k")
+    )
+    S.delete_rows_snapshot(spark, tbl, dels, ["k"])
+
+    def _cnt(v_from: int, v_to: int) -> DataFrame:
+        return (
+            S.snapshot_diff(spark, tbl, v_from, v_to, ["k"])
+            .groupBy("change_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.lit(v_from).cast("int").alias("from_v"),
+                F.lit(v_to).cast("int").alias("to_v"),
+                "change_type",
+                "n",
+            )
+        )
+
+    return _cnt(1, 2).unionByName(_cnt(2, 3)).orderBy("from_v", "change_type")

@@ -294,3 +294,62 @@ def vacuum(table: str, keep_last: int = 2) -> dict:
     for v in drop_versions:
         os.remove(_manifest_path(table, v))
     return {"expired_versions": drop_versions, "deleted_files": deleted}
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    table: str,
+    v_from: int,
+    v_to: int,
+    keys: list[str],
+) -> DataFrame:
+    """CDC between two versions: per key, ``insert`` (new in v_to),
+    ``delete`` (gone from v_from), or ``update`` (non-key columns
+    changed) — the incremental-read that lets a downstream consumer
+    process ONLY what a commit changed instead of re-reading the table.
+
+    Manifest-powered pruning: files referenced by BOTH versions hold
+    bitwise-identical rows, so only the files each side holds
+    EXCLUSIVELY are read — diff cost is proportional to the files a
+    commit touched, not to table size (the reason append-heavy tables
+    diff in O(increment) at 100 TB). Precondition: keys are unique
+    within a version (the MERGE/DELETE writers here maintain that).
+
+    The change test hashes the sorted non-key columns (md5 of a JSON
+    struct) on each side of a full-outer key join; both hashes come
+    from the same engine, so representation quirks cancel.
+    """
+    ma = set(_read_manifest(table, v_from)["files"])
+    mb = set(_read_manifest(table, v_to)["files"])
+    only_a = sorted(ma - mb)
+    only_b = sorted(mb - ma)
+    schema_src = read_snapshot(spark, table, v_to)
+
+    def _side(files: list[str]) -> DataFrame:
+        if not files:
+            return schema_src.limit(0)
+        return spark.read.parquet(*[os.path.join(table, f) for f in files])
+
+    a, b = _side(only_a), _side(only_b)
+    non_keys = sorted(c for c in schema_src.columns if c not in keys)
+    from pyspark.sql import functions as F
+
+    def _hashed(df: DataFrame, out: str) -> DataFrame:
+        return df.select(
+            *keys,
+            F.md5(
+                F.to_json(F.struct(*[F.col(c) for c in non_keys]))
+            ).alias(out),
+        )
+
+    j = _hashed(a, "_ha").join(_hashed(b, "_hb"), keys, "full_outer")
+    change = (
+        F.when(F.col("_ha").isNull(), "insert")
+        .when(F.col("_hb").isNull(), "delete")
+        .when(F.col("_ha") != F.col("_hb"), "update")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(*keys, change.alias("change_type"))
+        .filter(F.col("change_type") != "unchanged")
+    )

@@ -121,3 +121,38 @@ def test_snapshot_read_keeps_pushdown(spark, tmp_path):
     assert "PushedFilters: [IsNotNull(k), GreaterThan(k,900)]" in plan
     assert "ReadSchema: struct<k:bigint>" in plan
     assert df.count() == 99
+
+
+def test_snapshot_diff_cdc(spark, tmp_path):
+    """Incremental read: append -> pure inserts (and the shared-file
+    prune means the v1 side reads zero files); merge -> updates +
+    inserts; delete -> deletes."""
+    from hw_kafka_streams_spark.sources import snapshots as S
+
+    t = str(tmp_path / "tbl")
+    S.create_table(spark, t, _mk(spark, [(1, "a"), (2, "b")]))
+    S.commit_append(spark, t, _mk(spark, [(3, "c"), (4, "d")]))
+    d12 = {
+        (r.k, r.change_type)
+        for r in S.snapshot_diff(spark, t, 1, 2, ["k"]).collect()
+    }
+    assert d12 == {(3, "insert"), (4, "insert")}
+    # append: v1's files are all shared with v2 -> the from-side file
+    # set is empty after pruning (manifest subset relation)
+    ma = set(S._read_manifest(t, 1)["files"])
+    mb = set(S._read_manifest(t, 2)["files"])
+    assert ma - mb == set() and len(mb - ma) > 0
+
+    S.merge_upsert_snapshot(spark, t, _mk(spark, [(2, "B2"), (9, "z")]), ["k"])
+    d23 = {
+        (r.k, r.change_type)
+        for r in S.snapshot_diff(spark, t, 2, 3, ["k"]).collect()
+    }
+    assert d23 == {(2, "update"), (9, "insert")}
+
+    S.delete_rows_snapshot(spark, t, spark.createDataFrame([(1,)], "k int"), ["k"])
+    d34 = {
+        (r.k, r.change_type)
+        for r in S.snapshot_diff(spark, t, 3, 4, ["k"]).collect()
+    }
+    assert d34 == {(1, "delete")}
