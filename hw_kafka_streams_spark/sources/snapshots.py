@@ -353,3 +353,101 @@ def snapshot_diff(
         j.select(*keys, change.alias("change_type"))
         .filter(F.col("change_type") != "unchanged")
     )
+
+
+# ------------------------------------------------------- file statistics
+# Per-file column min/max recorded in the manifest at commit time (read
+# straight from the parquet footers pyarrow already wrote). At 100 TB
+# the point is PLANNING-time file skipping: a selective read consults
+# the manifest and never even opens the footers of files whose range
+# can't match — the Iceberg/Delta data-skipping design. Spark still
+# applies the real pushed-down filter inside the surviving files, so
+# skipping is a pure prune, never a correctness dependency.
+
+
+def _file_column_stats(path: str) -> dict:
+    """{column: [min, max]} over all row groups of one parquet file,
+    for primitive orderable types; columns with missing/unusable stats
+    are omitted (skipping then simply keeps the file)."""
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(path).metadata
+    stats: dict[str, list] = {}
+    for rg in range(meta.num_row_groups):
+        for ci in range(meta.num_columns):
+            col = meta.row_group(rg).column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = col.path_in_schema
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                continue  # undecoded physical values — skip, stay safe
+            if hasattr(mn, "isoformat"):
+                mn, mx = mn.isoformat(), mx.isoformat()
+            cur = stats.get(name)
+            if cur is None:
+                stats[name] = [mn, mx]
+            else:
+                cur[0] = min(cur[0], mn)
+                cur[1] = max(cur[1], mx)
+    return stats
+
+
+def attach_file_stats(table: str, version: int | None = None) -> int:
+    """Record per-file column min/max into version ``version``'s
+    manifest (idempotent; returns the number of files profiled). Call
+    after a commit to enable :func:`read_snapshot_pruned` on that
+    version; safe to backfill any existing version. Extending a
+    manifest with stats never changes its file list, so the atomic
+    in-place rewrite cannot affect readers' correctness."""
+    if version is None:
+        version = current_version(table)
+    path = _manifest_path(table, version)
+    m = _read_manifest(table, version)
+    if "file_stats" in m:
+        return len(m["file_stats"])
+    m["file_stats"] = {
+        f: _file_column_stats(os.path.join(table, f)) for f in m["files"]
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(m, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)  # atomic on POSIX; content-extend only
+    return len(m["file_stats"])
+
+
+def read_snapshot_pruned(
+    spark: SparkSession,
+    table: str,
+    column: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Read only the files whose manifest [min, max] for ``column``
+    intersects [lo, hi], then apply the real ``lo <= column <= hi``
+    filter (pushed down into the surviving scans). Returns
+    ``(df, {"files_total": n, "files_read": m})`` so callers — and
+    tests — can see the prune. Files without recorded stats for the
+    column are conservatively kept.
+    """
+    from pyspark.sql import functions as F
+
+    if version is None:
+        version = current_version(table)
+    m = _read_manifest(table, version)
+    stats = m.get("file_stats", {})
+    keep = []
+    for f in m["files"]:
+        rng = stats.get(f, {}).get(column)
+        if rng is None or not (rng[1] < lo or rng[0] > hi):
+            keep.append(f)
+    if keep:
+        df = spark.read.parquet(*[os.path.join(table, f) for f in keep])
+    else:
+        df = read_snapshot(spark, table, version).limit(0)
+    df = df.filter((F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi)))
+    return df, {"files_total": len(m["files"]), "files_read": len(keep)}

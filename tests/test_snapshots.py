@@ -156,3 +156,40 @@ def test_snapshot_diff_cdc(spark, tmp_path):
         for r in S.snapshot_diff(spark, t, 3, 4, ["k"]).collect()
     }
     assert d34 == {(1, "delete")}
+
+
+def test_manifest_file_stats_prune(spark, tmp_path):
+    """Manifest min/max skipping: a selective read opens only the
+    files whose range intersects the predicate, and still returns
+    exactly the filtered rows."""
+    from hw_kafka_streams_spark.sources import snapshots as S
+
+    t = str(tmp_path / "tbl")
+    # three disjoint ranges as three append commits -> >= 3 files
+    S.create_table(
+        spark, t, spark.range(0, 100).selectExpr("id AS k", "id*2 AS v").coalesce(1)
+    )
+    S.commit_append(
+        spark, t,
+        spark.range(1000, 1100).selectExpr("id AS k", "id*2 AS v").coalesce(1),
+    )
+    S.commit_append(
+        spark, t,
+        spark.range(5000, 5100).selectExpr("id AS k", "id*2 AS v").coalesce(1),
+    )
+    n = S.attach_file_stats(t)
+    assert n >= 3
+    assert S.attach_file_stats(t) == n  # idempotent
+
+    df, prune = S.read_snapshot_pruned(spark, t, "k", 1010, 1050)
+    assert prune["files_total"] >= 3
+    assert prune["files_read"] < prune["files_total"]
+    assert sorted(r.k for r in df.collect()) == list(range(1010, 1051))
+
+    # out-of-range predicate prunes everything but still answers
+    df0, prune0 = S.read_snapshot_pruned(spark, t, "k", 90000, 99000)
+    assert prune0["files_read"] == 0 and df0.count() == 0
+
+    # a column without stats is conservatively unpruned
+    df2, prune2 = S.read_snapshot_pruned(spark, t, "v", 0, 10)
+    assert df2.count() == 6  # v in {0,2,4,6,8,10}
