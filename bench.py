@@ -89,6 +89,11 @@ HEADLINE = [
     "q_k_anonymity",
     "q_hard_negatives",
     "q_event_debounce",
+    # round 6 additions: stupid-backoff LM scoring and the pure-numpy
+    # JPEG pixel decode (the snapshot-layer queries stay out of the
+    # headline: their wall time is dominated by deliberate table writes)
+    "q_bigram_backoff_score",
+    "q_multimodal_jpeg",
 ]
 
 

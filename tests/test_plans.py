@@ -273,6 +273,9 @@ def test_headline_plans_no_smj_no_unexpected_nlj(spark, sf_dir):
         "q_ctfidf_source_terms",
         # 1-row n_docs broadcast inside the tf-idf weight expression
         "q_tfidf_cosine_pairs",
+        # round-6: 1-row model-token-total broadcast in the stupid-
+        # backoff score (ntot, same pattern as q_bigram_lm_score)
+        "q_bigram_backoff_score",
         # round-7: the broadcast-anchors cosine scan (queries x corpus
         # is the intentional brute-force pattern, anchors bounded)
         "q_hard_negatives",
