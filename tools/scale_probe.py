@@ -74,6 +74,8 @@ PROBES = [
     "q_source_vocab_jaccard",  # per-group vocab inverted-index join
     "q_zipf_heaps",            # top-k rank fit + per-group OLS moments
     "q_tfidf_cosine_pairs",    # sparse weighted-cosine inverted index
+    "q_bigram_backoff_score",  # held-out LM scoring w/ LEFT-join backoff
+    "q_time_travel",           # snapshot create/merge/delete + 3 pinned reads
 ]
 
 
