@@ -788,3 +788,45 @@ def jpeg_channel_means(df: DataFrame, payload_col: str = "payload") -> DataFrame
         schema="doc_id long, width int, height int, "
         "mean_r int, mean_g int, mean_b int",
     )
+
+
+def synthesize_block_jpeg_payloads(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Block-patterned REAL JPEGs: each 8x8 block of doc ``i`` gets its
+    own constant fill derived from (i, block index) — so the encoded
+    stream carries NONZERO DC differences across blocks (exercising
+    Huffman DC-category coding and the bit packer across many value
+    sizes), while each block individually stays closed-form
+    predictable: DC quantization is per-block and the diff coding of
+    quantized DCs is lossless. 4:4:4 so chroma blocks align with luma
+    blocks. Dims are multiples of 8 (no edge padding), so the channel
+    mean is the exact block-value average."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.jpegcodec import (
+        encode_baseline_jpeg,
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                h, w = 8 * (i % 2 + 1), 8 * (i % 3 + 1)
+                img = np.zeros((h, w, 3), dtype=np.uint8)
+                for by in range(h // 8):
+                    for bx in range(w // 8):
+                        bi = by * (w // 8) + bx
+                        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                            (i + 17 * bi) % 256,
+                            (i * 7 + 29 * bi) % 256,
+                            (i * 13 + 41 * bi) % 256,
+                        )
+                payloads.append(encode_baseline_jpeg(img, subsampling="444"))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )

@@ -1354,3 +1354,73 @@ def q_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _cnt(1, 2).unionByName(_cnt(2, 3)).orderBy("from_v", "change_type")
+
+
+@register(
+    "q_snapshot_prune",
+    oracle="""
+        WITH m AS (SELECT max(l_orderkey) AS mx FROM lineitem),
+        sel AS (
+          SELECT l.l_extendedprice
+          FROM lineitem l, m
+          WHERE l.l_orderkey >= mx // 2 + 1
+            AND l.l_orderkey <= mx // 2 + mx // 8
+        )
+        SELECT CAST(4 AS INT) AS files_total,
+               CAST(1 AS INT) AS files_read,
+               count(*) AS n_rows,
+               round(CAST(sum(CAST(round(l_extendedprice, 2)
+                                   AS DECIMAL(18,2))) AS DOUBLE), 2)
+                   AS sum_price
+        FROM sel
+    """,
+    doc="Manifest min/max file skipping, end to end: lineitem lands in "
+    "a snapshot table as FOUR disjoint l_orderkey-range commits (one "
+    "file each), attach_file_stats lifts footer min/max into the "
+    "manifest, and a range read inside the third commit's span opens "
+    "exactly ONE of the four files (sources/snapshots."
+    "read_snapshot_pruned — the prune counters are part of the hashed "
+    "result). The oracle pins files_read=1 and recomputes the filtered "
+    "aggregate from the raw table with the same dynamic boundaries.",
+)
+def q_snapshot_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from hw_kafka_streams_spark.sources import snapshots as S
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_extendedprice"
+    )
+    mx = li.agg(F.max("l_orderkey")).collect()[0][0]
+    q1, q2, q3 = mx // 4, mx // 2, (3 * mx) // 4
+    tbl = tempfile.mkdtemp(prefix="q_snapshot_prune_") + "/tbl"
+    S.create_table(spark, tbl, li.filter(F.col("l_orderkey") <= q1).coalesce(1))
+    S.commit_append(
+        spark, tbl,
+        li.filter((F.col("l_orderkey") > q1) & (F.col("l_orderkey") <= q2))
+        .coalesce(1),
+    )
+    S.commit_append(
+        spark, tbl,
+        li.filter((F.col("l_orderkey") > q2) & (F.col("l_orderkey") <= q3))
+        .coalesce(1),
+    )
+    S.commit_append(
+        spark, tbl, li.filter(F.col("l_orderkey") > q3).coalesce(1)
+    )
+    S.attach_file_stats(tbl)
+    lo, hi = mx // 2 + 1, mx // 2 + mx // 8
+    df, prune = S.read_snapshot_pruned(spark, tbl, "l_orderkey", lo, hi)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.sum(F.round(F.col("l_extendedprice"), 2).cast("decimal(18,2)"))
+            .cast("double"),
+            2,
+        ).alias("sum_price"),
+    ).select(
+        F.lit(prune["files_total"]).cast("int").alias("files_total"),
+        F.lit(prune["files_read"]).cast("int").alias("files_read"),
+        "n_rows",
+        "sum_price",
+    )
