@@ -1213,7 +1213,7 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("double").alias("p"),
     )
     tbl = tempfile.mkdtemp(prefix="q_time_travel_") + "/tbl"
-    S.create_table(spark, tbl, v1df)
+    S.create_table(spark, tbl, v1df, target_files=4)
     upd_src = S.read_snapshot(spark, tbl, 1).filter((F.col("k") % 50) == 0)
     updates = upd_src.select("k", F.lit("U").alias("s"), "p").unionByName(
         upd_src.select(
@@ -1222,13 +1222,13 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(100.0).alias("p"),
         )
     )
-    S.merge_upsert_snapshot(spark, tbl, updates, ["k"])
+    S.merge_upsert_snapshot(spark, tbl, updates, ["k"], target_files=4)
     dels = (
         S.read_snapshot(spark, tbl, 2)
         .filter((F.col("k") % 100) == 0)
         .select("k")
     )
-    S.delete_rows_snapshot(spark, tbl, dels, ["k"])
+    S.delete_rows_snapshot(spark, tbl, dels, ["k"], target_files=4)
 
     def _agg(v: int) -> DataFrame:
         return (
@@ -1323,7 +1323,7 @@ def q_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("double").alias("p"),
     )
     tbl = tempfile.mkdtemp(prefix="q_snapshot_cdc_") + "/tbl"
-    S.create_table(spark, tbl, v1df)
+    S.create_table(spark, tbl, v1df, target_files=4)
     upd_src = S.read_snapshot(spark, tbl, 1).filter((F.col("k") % 50) == 0)
     updates = upd_src.select("k", F.lit("U").alias("s"), "p").unionByName(
         upd_src.select(
@@ -1332,13 +1332,13 @@ def q_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(100.0).alias("p"),
         )
     )
-    S.merge_upsert_snapshot(spark, tbl, updates, ["k"])
+    S.merge_upsert_snapshot(spark, tbl, updates, ["k"], target_files=4)
     dels = (
         S.read_snapshot(spark, tbl, 2)
         .filter((F.col("k") % 100) == 0)
         .select("k")
     )
-    S.delete_rows_snapshot(spark, tbl, dels, ["k"])
+    S.delete_rows_snapshot(spark, tbl, dels, ["k"], target_files=4)
 
     def _cnt(v_from: int, v_to: int) -> DataFrame:
         return (

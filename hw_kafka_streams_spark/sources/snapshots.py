@@ -98,11 +98,19 @@ def _read_manifest(table: str, version: int) -> dict:
         return json.load(f)
 
 
-def _write_data_files(df: DataFrame, table: str, version: int) -> list[str]:
+def _write_data_files(
+    df: DataFrame, table: str, version: int, target_files: int | None = None
+) -> list[str]:
     """Materialize ``df`` as immutable parquet files under data/ and
     return their table-relative paths. Files are written to a staging
     dir then renamed in — named by version + uuid so no two commits can
-    collide and no file is ever overwritten."""
+    collide and no file is ever overwritten. ``target_files`` coalesces
+    the write so a commit's file count tracks its DATA size instead of
+    the input's partitioning (a 32-partition filter producing 15k rows
+    must not mint 32 near-empty files — the small-file problem at its
+    source)."""
+    if target_files is not None:
+        df = df.coalesce(target_files)
     stage = os.path.join(table, _DATA, f"_stage-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(stage)
     rels = []
@@ -151,29 +159,38 @@ def _commit(
     return version
 
 
-def create_table(spark: SparkSession, table: str, df: DataFrame) -> int:
+def create_table(
+    spark: SparkSession, table: str, df: DataFrame,
+    target_files: int | None = None,
+) -> int:
     """Create a versioned table at ``table`` with ``df`` as version 1."""
     if _list_versions(table):
         raise ValueError(f"table already exists at {table}")
     os.makedirs(os.path.join(table, _DATA), exist_ok=True)
-    files = _write_data_files(df, table, 1)
+    files = _write_data_files(df, table, 1, target_files)
     return _commit(table, 0, files, "create")
 
 
-def commit_append(spark: SparkSession, table: str, df: DataFrame) -> int:
+def commit_append(
+    spark: SparkSession, table: str, df: DataFrame,
+    target_files: int | None = None,
+) -> int:
     """New version = parent's files + ``df``'s new files (no rewrite —
     the O(increment) ingest path)."""
     parent = current_version(table)
     prev = _read_manifest(table, parent)["files"] if parent else []
-    files = _write_data_files(df, table, parent + 1)
+    files = _write_data_files(df, table, parent + 1, target_files)
     return _commit(table, parent, prev + files, "append")
 
 
-def commit_overwrite(spark: SparkSession, table: str, df: DataFrame) -> int:
+def commit_overwrite(
+    spark: SparkSession, table: str, df: DataFrame,
+    target_files: int | None = None,
+) -> int:
     """New version referencing only ``df``'s files; prior versions keep
     their own references (time travel intact)."""
     parent = current_version(table)
-    files = _write_data_files(df, table, parent + 1)
+    files = _write_data_files(df, table, parent + 1, target_files)
     return _commit(table, parent, files, "overwrite")
 
 
@@ -194,7 +211,8 @@ def read_snapshot(
 
 
 def merge_upsert_snapshot(
-    spark: SparkSession, table: str, updates: DataFrame, keys: list[str]
+    spark: SparkSession, table: str, updates: DataFrame, keys: list[str],
+    target_files: int | None = None,
 ) -> int:
     """Versioned MERGE: rows matching ``updates``' keys are replaced,
     new keys appended — same logical plan as sources/files.merge_upsert
@@ -204,13 +222,14 @@ def merge_upsert_snapshot(
     keep = base.join(updates.select(*keys).distinct(), keys, "left_anti")
     parent = current_version(table)
     files = _write_data_files(
-        keep.unionByName(updates), table, parent + 1
+        keep.unionByName(updates), table, parent + 1, target_files
     )
     return _commit(table, parent, files, "merge_upsert")
 
 
 def delete_rows_snapshot(
-    spark: SparkSession, table: str, keys_df: DataFrame, keys: list[str]
+    spark: SparkSession, table: str, keys_df: DataFrame, keys: list[str],
+    target_files: int | None = None,
 ) -> int:
     """Versioned DELETE (anti-join rewrite as a new snapshot). The
     deleted rows stay readable at prior versions until :func:`vacuum`
@@ -219,7 +238,7 @@ def delete_rows_snapshot(
     base = read_snapshot(spark, table)
     keep = base.join(keys_df.select(*keys).distinct(), keys, "left_anti")
     parent = current_version(table)
-    files = _write_data_files(keep, table, parent + 1)
+    files = _write_data_files(keep, table, parent + 1, target_files)
     return _commit(table, parent, files, "delete")
 
 
