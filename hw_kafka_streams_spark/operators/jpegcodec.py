@@ -19,11 +19,12 @@ pipeline both ways:
 
 Scope (honest): baseline sequential, 8-bit, 1 or 3 components,
 sampling factors 1/2/4 — 4:4:4, 4:2:2 and 4:2:0 (the web default)
-all decode, with pixel-replication chroma upsample; the encoder can
-emit all three. Progressive (SOF2), arithmetic coding, and restart
-intervals raise NotImplementedError — real deployments use
-libjpeg-turbo; this is the dependency-free exact-spec path that
-upgrades JPEG from header-only metadata to real pixel decode.
+all decode, with pixel-replication chroma upsample; restart
+intervals (DRI/RSTn) decode and encode; grayscale encodes via
+encode_baseline_jpeg_gray. Progressive (SOF2) and arithmetic coding
+raise NotImplementedError — real deployments use libjpeg-turbo; this
+is the dependency-free exact-spec path that upgrades JPEG from
+header-only metadata to real pixel decode.
 
 Determinism contract (what makes the Spark queries oracle-able): every
 rounding site is ``floor(x + 0.5)`` (never banker's rounding), the
@@ -218,6 +219,21 @@ class _BitReader:
             v = (v << 1) | self.read_bit()
         return v
 
+    def sync_restart(self) -> int:
+        """Consume an RSTn marker at a restart boundary: discard the
+        current byte's remaining pad bits, then expect FFD0-FFD7.
+        Returns n (0-7) for interval-order validation."""
+        self.nbits = 0  # restart markers are byte-aligned
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not (0xD0 <= self.data[self.pos + 1] <= 0xD7)
+        ):
+            raise ValueError("corrupt JPEG: expected restart marker")
+        n = self.data[self.pos + 1] - 0xD0
+        self.pos += 2
+        return n
+
 
 def _extend(v: int, s: int) -> int:
     """T.81 F.12: map the s-bit amplitude to its signed value."""
@@ -231,9 +247,9 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
     """Decode a baseline JPEG to an (h, w, 3) uint8 RGB array (gray
     images are replicated to 3 channels).
 
-    Raises NotImplementedError for progressive/arithmetic/subsampled/
-    restart-interval streams (honest scope), ValueError for corrupt
-    data.
+    Raises NotImplementedError for progressive/arithmetic streams
+    (honest scope), ValueError for corrupt data. Restart intervals
+    (DRI/RSTn) and 4:2:0/4:2:2 subsampling are supported.
     """
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
@@ -241,8 +257,9 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     huff_dc: dict[int, _HuffDecoder] = {}
     huff_ac: dict[int, _HuffDecoder] = {}
-    frame = None  # (h, w, [(comp_id, qtab_id)])
+    frame = None  # (h, w, [(comp_id, hs, vs, qtab_id)])
     comp_tables = {}  # comp_id -> (dc_id, ac_id)
+    dri = 0  # restart interval in MCUs (0 = none)
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("corrupt JPEG: expected marker")
@@ -293,8 +310,8 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
             raise NotImplementedError(
                 "progressive/extended/arithmetic JPEG (baseline only)"
             )
-        elif marker == 0xDD:  # DRI
-            raise NotImplementedError("restart intervals")
+        elif marker == 0xDD:  # DRI: restart every N MCUs
+            (dri,) = struct.unpack(">H", seg[0:2])
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = seg[0]
             for c in range(ns):
@@ -302,7 +319,8 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
                 comp_tables[cid] = (tabs >> 4, tabs & 0xF)
             pos = pos + seglen  # first entropy byte
             return _decode_scan(
-                data, pos, frame, comp_tables, qtables, huff_dc, huff_ac
+                data, pos, frame, comp_tables, qtables, huff_dc, huff_ac,
+                dri,
             )
         pos += seglen
     raise ValueError("corrupt JPEG: no SOS marker")
@@ -342,7 +360,8 @@ def _decode_block(br, dc_dec, ac_dec, qtab, pred):
     return DCT_M.T @ blk @ DCT_M + dc0 / 8.0, pred
 
 
-def _decode_scan(data, pos, frame, comp_tables, qtables, huff_dc, huff_ac):
+def _decode_scan(data, pos, frame, comp_tables, qtables, huff_dc, huff_ac,
+                 dri=0):
     if frame is None:
         raise ValueError("corrupt JPEG: SOS before SOF")
     h, w, comps = frame
@@ -357,8 +376,16 @@ def _decode_scan(data, pos, frame, comp_tables, qtables, huff_dc, huff_ac):
         np.zeros((mcuy * vs * 8, mcux * hs * 8)) for _, hs, vs, _ in comps
     ]
     pred = [0] * len(comps)
+    mcu_done = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if dri and mcu_done and mcu_done % dri == 0:
+                # T.81 restart: byte-align, consume RSTn, reset DC
+                # predictions (each restart interval decodes
+                # independently — the error-resilience point of DRI)
+                br.sync_restart()
+                pred = [0] * len(comps)
+            mcu_done += 1
             for ci, (cid, hs, vs, tq) in enumerate(comps):
                 dc_id, ac_id = comp_tables[cid]
                 for vy in range(vs):
@@ -496,7 +523,9 @@ _SUBSAMPLING = {
 }
 
 
-def encode_baseline_jpeg(rgb: np.ndarray, subsampling: str = "444") -> bytes:
+def encode_baseline_jpeg(
+    rgb: np.ndarray, subsampling: str = "444", restart_interval: int = 0
+) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as a baseline JPEG with the
     Annex K tables. ``subsampling``: "444" (full chroma), "422"
     (half horizontal), or "420" (half both — the web default). Chroma
@@ -549,6 +578,8 @@ def encode_baseline_jpeg(rgb: np.ndarray, subsampling: str = "444") -> bytes:
         (1, 1, AC_CHROM_BITS, AC_CHROM_VALS),
     ):
         seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
     seg(0xDA, b"\x03" + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00")
 
     dc_l = _build_codes(DC_LUM_BITS, DC_LUM_VALS)
@@ -559,8 +590,15 @@ def encode_baseline_jpeg(rgb: np.ndarray, subsampling: str = "444") -> bytes:
     pred = [0, 0, 0]
     tabs = [(QUANT_LUM, dc_l, ac_l), (QUANT_CHROM, dc_c, ac_c),
             (QUANT_CHROM, dc_c, ac_c)]
+    mcu_done, rst_n = 0, 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_done and mcu_done % restart_interval == 0:
+                bw_.flush()  # markers are byte-aligned, never stuffed
+                bw_.bytes.extend(bytes([0xFF, 0xD0 + rst_n % 8]))
+                rst_n += 1
+                pred = [0, 0, 0]
+            mcu_done += 1
             for ci, (hs, vs) in enumerate(factors):
                 q, dcc, acc_ = tabs[ci]
                 for vy in range(vs):
@@ -584,3 +622,45 @@ def dc_roundtrip_value(v: int, q00: int) -> int:
     floor(+0.5), clamped."""
     dcq = int(np.floor(8.0 * (v - 128) / q00 + 0.5))
     return int(min(255, max(0, np.floor(dcq * q00 / 8.0 + 128.0 + 0.5))))
+
+
+def encode_baseline_jpeg_gray(gray: np.ndarray) -> bytes:
+    """Encode an (h, w) uint8 grayscale array as a 1-component baseline
+    JPEG (luminance tables only). decode_baseline_jpeg replicates the
+    decoded plane to 3 channels, so gray images flow through the same
+    downstream feature stages."""
+    h, w = gray.shape[:2]
+    bh, bw2 = (h + 7) // 8, (w + 7) // 8
+    plane = np.pad(
+        gray.astype(np.float64),
+        ((0, bh * 8 - h), (0, bw2 * 8 - w)),
+        mode="edge",
+    )
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker]))
+        out.extend(struct.pack(">H", len(payload) + 2))
+        out.extend(payload)
+
+    zz = bytes(int(QUANT_LUM[ZIGZAG[k]]) for k in range(64))
+    seg(0xDB, bytes([0]) + zz)
+    seg(0xC0, b"\x08" + struct.pack(">HH", h, w) + b"\x01" + bytes([1, 0x11, 0]))
+    for tc, th, bits, vals in (
+        (0, 0, DC_LUM_BITS, DC_LUM_VALS),
+        (1, 0, AC_LUM_BITS, AC_LUM_VALS),
+    ):
+        seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+    seg(0xDA, b"\x01" + bytes([1, 0x00]) + b"\x00\x3f\x00")
+    dc_l = _build_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac_l = _build_codes(AC_LUM_BITS, AC_LUM_VALS)
+    bw_ = _BitWriter()
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw2):
+            blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            pred = _encode_block(bw_, blk, QUANT_LUM, pred, dc_l, ac_l)
+    bw_.flush()
+    out.extend(bw_.bytes)
+    out.extend(b"\xff\xd9")
+    return bytes(out)

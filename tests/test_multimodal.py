@@ -419,3 +419,34 @@ def test_jpeg_subsampled_roundtrip():
     d420 = decode_baseline_jpeg(encode_baseline_jpeg(const, "420"))
     assert (d444 == d444[0, 0]).all() and (d420 == d420[0, 0]).all()
     assert (d444[0, 0] == d420[0, 0]).all()
+
+
+def test_jpeg_restart_intervals_and_grayscale():
+    """DRI/RSTn streams decode to EXACTLY the same pixels as the plain
+    stream (restart only adds byte-aligned sync structure), and
+    1-component grayscale encodes/decodes with channel replication."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.jpegcodec import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+        encode_baseline_jpeg_gray,
+    )
+
+    yy, xx = np.mgrid[0:37, 0:53]
+    img = np.stack(
+        [(xx * 3) % 256, (yy * 5) % 256, ((xx + yy) * 2) % 256], axis=-1
+    ).astype(np.uint8)
+    for ss in ("444", "420"):
+        plain = decode_baseline_jpeg(encode_baseline_jpeg(img, ss))
+        rst = decode_baseline_jpeg(
+            encode_baseline_jpeg(img, ss, restart_interval=2)
+        )
+        assert (plain == rst).all()
+
+    g = ((xx * 2 + yy * 3) % 200).astype(np.uint8)  # smooth ramp
+    dec = decode_baseline_jpeg(encode_baseline_jpeg_gray(g))
+    assert dec.shape == (37, 53, 3)
+    assert (dec[..., 0] == dec[..., 1]).all()
+    assert (dec[..., 1] == dec[..., 2]).all()
+    assert np.abs(dec[..., 0].astype(int) - g.astype(int)).mean() < 6
