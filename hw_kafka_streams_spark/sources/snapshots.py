@@ -129,11 +129,16 @@ def _commit(
     parent: int,
     files: list[str],
     operation: str,
+    schema: dict | None = None,
 ) -> int:
     """Atomically publish ``files`` as version ``parent + 1``.
 
     The O_EXCL create is the whole concurrency story: exactly one
     writer per version number succeeds; everyone else must rebase.
+    ``schema`` (StructType jsonValue) is recorded so readers get a
+    version-pinned schema with ZERO footer reads at plan time — and so
+    appends can EVOLVE the schema (union of parent + increment fields;
+    old files null-fill added columns at read).
     """
     version = parent + 1
     os.makedirs(os.path.join(table, _MANIFESTS), exist_ok=True)
@@ -144,6 +149,8 @@ def _commit(
         "files": files,
         "committed_at": time.time(),
     }
+    if schema is not None:
+        manifest["schema"] = schema
     path = _manifest_path(table, version)
     try:
         fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -159,6 +166,28 @@ def _commit(
     return version
 
 
+def _evolve_schema(parent: dict | None, new: dict) -> dict:
+    """Union of parent and increment fields, parent order first. A
+    field present in both with a DIFFERENT type is a conflict — raise
+    rather than silently coerce (the reader cannot null-fill its way
+    out of a type change)."""
+    if parent is None:
+        return new
+    by_name = {f["name"]: f for f in parent["fields"]}
+    out = list(parent["fields"])
+    for f in new["fields"]:
+        old = by_name.get(f["name"])
+        if old is None:
+            out.append(f)
+        elif old["type"] != f["type"]:
+            raise ValueError(
+                f"schema conflict on column {f['name']!r}: "
+                f"{old['type']} vs {f['type']} — evolve by adding "
+                "columns, not changing types"
+            )
+    return {**parent, "fields": out}
+
+
 def create_table(
     spark: SparkSession, table: str, df: DataFrame,
     target_files: int | None = None,
@@ -168,7 +197,7 @@ def create_table(
         raise ValueError(f"table already exists at {table}")
     os.makedirs(os.path.join(table, _DATA), exist_ok=True)
     files = _write_data_files(df, table, 1, target_files)
-    return _commit(table, 0, files, "create")
+    return _commit(table, 0, files, "create", df.schema.jsonValue())
 
 
 def commit_append(
@@ -178,9 +207,11 @@ def commit_append(
     """New version = parent's files + ``df``'s new files (no rewrite —
     the O(increment) ingest path)."""
     parent = current_version(table)
-    prev = _read_manifest(table, parent)["files"] if parent else []
+    pm = _read_manifest(table, parent) if parent else {}
+    prev = pm.get("files", [])
     files = _write_data_files(df, table, parent + 1, target_files)
-    return _commit(table, parent, prev + files, "append")
+    schema = _evolve_schema(pm.get("schema"), df.schema.jsonValue())
+    return _commit(table, parent, prev + files, "append", schema)
 
 
 def commit_overwrite(
@@ -191,7 +222,7 @@ def commit_overwrite(
     their own references (time travel intact)."""
     parent = current_version(table)
     files = _write_data_files(df, table, parent + 1, target_files)
-    return _commit(table, parent, files, "overwrite")
+    return _commit(table, parent, files, "overwrite", df.schema.jsonValue())
 
 
 def read_snapshot(
@@ -205,9 +236,16 @@ def read_snapshot(
     if version == 0:
         raise NoSuchVersionError(f"table {table} has no committed versions")
     m = _read_manifest(table, version)
+    reader = spark.read
+    if "schema" in m:
+        # version-pinned schema from the manifest: zero footer reads at
+        # plan time, and files predating an added column null-fill it
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(m["schema"]))
     if not m["files"]:
-        return spark.read.parquet(table + "/" + _DATA).limit(0)
-    return spark.read.parquet(*[os.path.join(table, f) for f in m["files"]])
+        return reader.parquet(table + "/" + _DATA).limit(0)
+    return reader.parquet(*[os.path.join(table, f) for f in m["files"]])
 
 
 def merge_upsert_snapshot(
@@ -221,10 +259,9 @@ def merge_upsert_snapshot(
     base = read_snapshot(spark, table)
     keep = base.join(updates.select(*keys).distinct(), keys, "left_anti")
     parent = current_version(table)
-    files = _write_data_files(
-        keep.unionByName(updates), table, parent + 1, target_files
-    )
-    return _commit(table, parent, files, "merge_upsert")
+    out = keep.unionByName(updates)
+    files = _write_data_files(out, table, parent + 1, target_files)
+    return _commit(table, parent, files, "merge_upsert", out.schema.jsonValue())
 
 
 def delete_rows_snapshot(
@@ -239,7 +276,7 @@ def delete_rows_snapshot(
     keep = base.join(keys_df.select(*keys).distinct(), keys, "left_anti")
     parent = current_version(table)
     files = _write_data_files(keep, table, parent + 1, target_files)
-    return _commit(table, parent, files, "delete")
+    return _commit(table, parent, files, "delete", keep.schema.jsonValue())
 
 
 def compact_snapshot(
@@ -260,7 +297,7 @@ def compact_snapshot(
     if sort_within:
         df = df.sortWithinPartitions(sort_within)
     files = _write_data_files(df, table, parent + 1)
-    return _commit(table, parent, files, "compact")
+    return _commit(table, parent, files, "compact", df.schema.jsonValue())
 
 
 def history(table: str) -> list[dict]:

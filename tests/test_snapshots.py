@@ -193,3 +193,29 @@ def test_manifest_file_stats_prune(spark, tmp_path):
     # a column without stats is conservatively unpruned
     df2, prune2 = S.read_snapshot_pruned(spark, t, "v", 0, 10)
     assert df2.count() == 6  # v in {0,2,4,6,8,10}
+
+
+def test_schema_evolution_on_append(spark, tmp_path):
+    """Appending a DataFrame with a new column evolves the manifest
+    schema (union, parent order first); files written before the
+    column existed null-fill it; older versions keep their own pinned
+    schema; type changes are refused."""
+    from hw_kafka_streams_spark.sources import snapshots as S
+
+    t = str(tmp_path / "tbl")
+    S.create_table(spark, t, _mk(spark, [(1, "a")]))
+    S.commit_append(
+        spark, t,
+        spark.createDataFrame([(2, "b", 9.5)], "k int, v string, score double"),
+    )
+    v2 = S.read_snapshot(spark, t, 2)
+    assert v2.columns == ["k", "v", "score"]
+    rows = {r.k: r for r in v2.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
+    # version 1 still reads with its own (pre-evolution) schema
+    assert S.read_snapshot(spark, t, 1).columns == ["k", "v"]
+
+    with pytest.raises(ValueError, match="schema conflict"):
+        S.commit_append(
+            spark, t, spark.createDataFrame([(3, 7)], "k int, v int")
+        )
