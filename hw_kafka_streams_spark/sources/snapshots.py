@@ -381,10 +381,17 @@ def snapshot_diff(
     only_b = sorted(mb - ma)
     schema_src = read_snapshot(spark, table, v_to)
 
+    vschema = _read_manifest(table, v_to).get("schema")
+
     def _side(files: list[str]) -> DataFrame:
         if not files:
             return schema_src.limit(0)
-        return spark.read.parquet(*[os.path.join(table, f) for f in files])
+        reader = spark.read
+        if vschema is not None:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(vschema))
+        return reader.parquet(*[os.path.join(table, f) for f in files])
 
     a, b = _side(only_a), _side(only_b)
     non_keys = sorted(c for c in schema_src.columns if c not in keys)
@@ -502,7 +509,12 @@ def read_snapshot_pruned(
         if rng is None or not (rng[1] < lo or rng[0] > hi):
             keep.append(f)
     if keep:
-        df = spark.read.parquet(*[os.path.join(table, f) for f in keep])
+        reader = spark.read
+        if "schema" in m:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(m["schema"]))
+        df = reader.parquet(*[os.path.join(table, f) for f in keep])
     else:
         df = read_snapshot(spark, table, version).limit(0)
     df = df.filter((F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi)))
