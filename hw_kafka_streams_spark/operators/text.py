@@ -497,10 +497,27 @@ def bigram_backoff_scores(
         .agg(F.count(F.lit(1)).alias("c2"))
     )
     ctx = c2.groupBy("w1").agg(F.sum("c2").alias("ctx"))
-    uni = (
-        mtoks.select(F.explode("toks").alias("t"))
+    # unigram counts WITHOUT a second corpus explode: every token is
+    # the w1 of exactly one bigram except each doc's LAST token, so
+    # c1 = ctx (w1 occurrence counts, derived from the tiny c2 table)
+    # + last-token counts (a narrow element_at pass, no explode). The
+    # heavy tokenize+explode over the train half runs ONCE.
+    last = (
+        mtoks.select(F.element_at("toks", -1).alias("t"))
+        .filter(F.col("t").isNotNull())
         .groupBy("t")
-        .agg(F.count(F.lit(1)).alias("c1"))
+        .agg(F.count(F.lit(1)).alias("_cl"))
+    )
+    uni = (
+        ctx.select(F.col("w1").alias("t"), F.col("ctx").alias("_cw"))
+        .join(last, "t", "full_outer")
+        .select(
+            "t",
+            (
+                F.coalesce(F.col("_cw"), F.lit(0))
+                + F.coalesce(F.col("_cl"), F.lit(0))
+            ).alias("c1"),
+        )
     )
     ntot = uni.agg(F.sum("c1").alias("n_tok"))
     seen = F.col("c2").isNotNull()
