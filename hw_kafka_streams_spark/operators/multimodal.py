@@ -830,3 +830,75 @@ def synthesize_block_jpeg_payloads(
     return df.select(F.col(id_col)).mapInPandas(
         gen, schema="doc_id long, payload binary"
     )
+
+
+# ------------------------------------------------------------- real PNG
+# Lossless real-pixel PNG (operators/pngcodec.py: stdlib zlib DEFLATE +
+# per-row unfiltering, public spec). Encode→decode is bit-exact, so the
+# oracle can predict every decoded pixel from the synthesis formula.
+
+
+def synthesize_real_png_payloads(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """One REAL PNG per row with a deterministic per-pixel gradient:
+    pixel (y, x) of doc i is ((i + 3x + 5y) % 256, (7i + 2x + y) % 256,
+    (13i + x + 4y) % 256), dims (8 + i%7) rows x (8 + i%9) cols."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.pngcodec import encode_png
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                h, w = 8 + i % 7, 8 + i % 9
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = np.stack(
+                    [
+                        (i + 3 * xx + 5 * yy) % 256,
+                        (i * 7 + 2 * xx + yy) % 256,
+                        (i * 13 + xx + 4 * yy) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                payloads.append(encode_png(img))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+
+
+def png_channel_means(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Exact integer channel means over REAL decoded PNG pixels —
+    the lossless twin of jpeg_channel_means."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.pngcodec import decode_png
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, data in zip(pdf["doc_id"], pdf[payload_col]):
+                rgb = decode_png(bytes(data))
+                h, w, _ = rgb.shape
+                s = rgb.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                n = h * w
+                out.append(
+                    (doc_id, w, h,
+                     int(s[0] // n), int(s[1] // n), int(s[2] // n))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "width", "height",
+                         "mean_r", "mean_g", "mean_b"],
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        work,
+        schema="doc_id long, width int, height int, "
+        "mean_r int, mean_g int, mean_b int",
+    )

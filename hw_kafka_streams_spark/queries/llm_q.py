@@ -2944,3 +2944,48 @@ def q_multimodal_jpeg_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jpeg_channel_means(synthesize_block_jpeg_payloads(docs)).orderBy(
         "doc_id"
     )
+
+
+@register(
+    "q_multimodal_png",
+    oracle="""
+        WITH base AS (
+          SELECT doc_id,
+                 CAST(8 + doc_id % 9 AS INT) AS width,
+                 CAST(8 + doc_id % 7 AS INT) AS height
+          FROM documents WHERE doc_id < 200
+        ), px AS (
+          SELECT doc_id, width, height,
+                 (doc_id + 3*x + 5*y) % 256 AS r,
+                 (doc_id * 7 + 2*x + y) % 256 AS g,
+                 (doc_id * 13 + x + 4*y) % 256 AS b
+          FROM base,
+               (SELECT unnest(range(17)) AS x),
+               (SELECT unnest(range(15)) AS y)
+          WHERE x < width AND y < height
+        )
+        SELECT doc_id, width, height,
+               CAST(sum(r) // (width * height) AS INT) AS mean_r,
+               CAST(sum(g) // (width * height) AS INT) AS mean_g,
+               CAST(sum(b) // (width * height) AS INT) AS mean_b
+        FROM px GROUP BY doc_id, width, height ORDER BY doc_id
+    """,
+    doc="REAL lossless-codec pixel decode: per-doc gradient PNGs are "
+    "actually DEFLATE-compressed and per-row-filtered on encode, then "
+    "fully decoded back (stdlib zlib inflate + None/Sub/Up/Average/"
+    "Paeth unfiltering, operators/pngcodec.py) and reduced to exact "
+    "integer channel means. PNG is lossless, so the oracle predicts "
+    "every pixel from the synthesis formula — the strongest possible "
+    "check on a real compression chain. Interlaced/palette/16-bit "
+    "streams raise honestly.",
+)
+def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.multimodal import (
+        png_channel_means,
+        synthesize_real_png_payloads,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
+    return png_channel_means(synthesize_real_png_payloads(docs)).orderBy(
+        "doc_id"
+    )

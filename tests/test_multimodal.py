@@ -450,3 +450,89 @@ def test_jpeg_restart_intervals_and_grayscale():
     assert (dec[..., 0] == dec[..., 1]).all()
     assert (dec[..., 1] == dec[..., 2]).all()
     assert np.abs(dec[..., 0].astype(int) - g.astype(int)).mean() < 6
+
+
+# ------------------------------------------------------------- PNG codec
+
+
+def test_png_lossless_roundtrip_and_filters():
+    """encode->decode is bit-exact; hand-filtered streams with all five
+    filter types (None/Sub/Up/Average/Paeth) decode exactly; gray and
+    RGBA color types normalize to RGB; out-of-scope streams raise."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from hw_kafka_streams_spark.operators.pngcodec import (
+        _SIG,
+        _chunk,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (23, 31, 3), dtype=np.uint8)
+    assert (decode_png(encode_png(img)) == img).all()
+
+    # hand-encode one stream using every filter type
+    h, w, ch = 6, 5, 3
+    img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+
+    def filt_row(r, prev, ft):
+        row = img[r].reshape(-1).astype(int)
+        out = []
+        for i, v in enumerate(row):
+            a = row[i - ch] if i >= ch else 0
+            b = prev[i] if prev is not None else 0
+            c = (prev[i - ch] if i >= ch else 0) if prev is not None else 0
+            if ft == 0:
+                out.append(v)
+            elif ft == 1:
+                out.append((v - a) & 0xFF)
+            elif ft == 2:
+                out.append((v - b) & 0xFF)
+            elif ft == 3:
+                out.append((v - (a + b) // 2) & 0xFF)
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out.append((v - pr) & 0xFF)
+        return bytes([ft]) + bytes(out)
+
+    raw, prev = b"", None
+    for r in range(h):
+        raw += filt_row(r, prev, r % 5)
+        prev = img[r].reshape(-1).astype(int)
+    data = (
+        _SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    assert (decode_png(data) == img).all()
+
+    g = rng.integers(0, 256, (9, 7), dtype=np.uint8)
+    raw = b"".join(b"\x00" + g[r].tobytes() for r in range(9))
+    data = (
+        _SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 9, 8, 0, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    d = decode_png(data)
+    assert d.shape == (9, 7, 3) and (d[..., 0] == g).all()
+
+    # interlaced raises
+    data = (
+        _SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 9, 8, 2, 0, 0, 1))
+        + _chunk(b"IDAT", zlib.compress(b""))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        decode_png(data)
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
