@@ -902,3 +902,62 @@ def png_channel_means(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         schema="doc_id long, width int, height int, "
         "mean_r int, mean_g int, mean_b int",
     )
+
+
+# ------------------------------------------------------------- real GIF
+# Real LZW pixel decode (operators/gifcodec.py): variable-width codes,
+# dictionary growth, de-interlacing, palette lookup — public GIF89a
+# spec. Lossless over palette indices, so decoded pixels are exactly
+# the synthesis formula.
+
+
+def synthesize_real_gif_payloads(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """One REAL LZW-compressed grayscale GIF per row: pixel (y, x) of
+    doc i is (11i + 2x + 3y) % 256, dims (8 + i%7) rows x (8 + i%9)
+    cols, gray 256-entry palette."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.gifcodec import encode_gif_gray
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                h, w = 8 + i % 7, 8 + i % 9
+                yy, xx = np.mgrid[0:h, 0:w]
+                g = ((11 * i + 2 * xx + 3 * yy) % 256).astype(np.uint8)
+                payloads.append(encode_gif_gray(g))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+
+
+def gif_channel_means(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Exact integer mean over REAL LZW-decoded GIF pixels (gray
+    payloads decode to replicated RGB; the R plane is reported)."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.gifcodec import decode_gif
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, data in zip(pdf["doc_id"], pdf[payload_col]):
+                rgb = decode_gif(bytes(data))
+                h, w, _ = rgb.shape
+                s = int(rgb[..., 0].astype(np.int64).sum())
+                out.append((doc_id, w, h, s // (h * w)))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "width", "height", "mean_gray"]
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        work,
+        schema="doc_id long, width int, height int, mean_gray int",
+    )

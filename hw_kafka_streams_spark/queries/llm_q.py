@@ -2989,3 +2989,42 @@ def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return png_channel_means(synthesize_real_png_payloads(docs)).orderBy(
         "doc_id"
     )
+
+
+@register(
+    "q_multimodal_gif",
+    oracle="""
+        WITH base AS (
+          SELECT doc_id,
+                 CAST(8 + doc_id % 9 AS INT) AS width,
+                 CAST(8 + doc_id % 7 AS INT) AS height
+          FROM documents WHERE doc_id < 200
+        ), px AS (
+          SELECT doc_id, width, height,
+                 (11 * doc_id + 2*x + 3*y) % 256 AS v
+          FROM base,
+               (SELECT unnest(range(17)) AS x),
+               (SELECT unnest(range(15)) AS y)
+          WHERE x < width AND y < height
+        )
+        SELECT doc_id, width, height,
+               CAST(sum(v) // (width * height) AS INT) AS mean_gray
+        FROM px GROUP BY doc_id, width, height ORDER BY doc_id
+    """,
+    doc="REAL LZW pixel decode: per-doc gradient GIFs are genuinely "
+    "LZW-compressed (variable-width codes, dictionary growth/reset) "
+    "and decoded back through the full dictionary algorithm + palette "
+    "lookup (operators/gifcodec.py). GIF is lossless over indices, so "
+    "the oracle predicts every pixel from the synthesis formula, like "
+    "the PNG twin. Animations beyond frame 1 are out of scope.",
+)
+def q_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.multimodal import (
+        gif_channel_means,
+        synthesize_real_gif_payloads,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
+    return gif_channel_means(synthesize_real_gif_payloads(docs)).orderBy(
+        "doc_id"
+    )

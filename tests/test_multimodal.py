@@ -536,3 +536,38 @@ def test_png_lossless_roundtrip_and_filters():
         decode_png(data)
     with pytest.raises(ValueError):
         decode_png(b"not a png at all")
+
+
+# ------------------------------------------------------------- GIF codec
+
+
+def test_gif_lzw_roundtrip_battery():
+    """Real LZW compression roundtrips through dictionary growth,
+    4096-entry resets, and the KwKwK self-reference case; de-interlace
+    and palette lookup covered; header-only fakes rejected."""
+    import numpy as np
+    import pytest
+
+    from hw_kafka_streams_spark.operators.gifcodec import (
+        _lzw_decode,
+        _lzw_encode,
+        decode_gif,
+        encode_gif_gray,
+    )
+    from hw_kafka_streams_spark.operators.multimodal import make_fake_gif
+
+    rng = np.random.default_rng(5)
+    cases = [
+        rng.integers(0, 256, (33, 47)).astype(np.uint8),   # noise
+        np.zeros((50, 80), dtype=np.uint8),                # KwKwK chains
+        ((np.arange(300)[:, None] * 7 + np.arange(400)[None, :] * 3) % 256)
+        .astype(np.uint8),                                 # 120k px: resets
+    ]
+    for g in cases:
+        d = decode_gif(encode_gif_gray(g))
+        assert d.shape == g.shape + (3,)
+        assert (d[..., 0] == g).all() and (d[..., 2] == g).all()
+    s = bytes([97, 98] * 5000)  # 'abab...': the textbook KwKwK stream
+    assert bytes(_lzw_decode(_lzw_encode(s), 8, len(s))) == s
+    with pytest.raises(ValueError):
+        decode_gif(make_fake_gif(10, 10))  # header-only filler
