@@ -878,3 +878,226 @@ def cohens_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
             ),
         )
     )
+
+
+def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Mutual information (nats) between two categorical columns, plus
+    both marginal entropies and the normalized MI — "how much does
+    knowing `source` tell you about `lang`?". Chi² (same plan family)
+    answers *whether* the columns are dependent; MI measures *how
+    much*, on an information scale comparable across column pairs —
+    the redundant-metadata / label-leakage audit.
+
+        MI  = Σ_ab p_ab · ln( p_ab / (p_a · p_b) )      (observed cells
+              only — zero cells contribute exactly 0, unlike chi²)
+        NMI = MI / sqrt(H_a · H_b)                       ∈ [0, 1]
+
+    Scale shape: one (a, b) count shuffle bounded by the category
+    product, category-sized margins broadcast back, per-cell terms
+    rounded to 9 dp and DECIMAL-summed so reducer order cannot drift
+    the hash; the epilogue is scalar IEEE. Engine extension (the
+    reference has no statistics surface).
+
+    Returns one row: (n, mi, h_a, h_b, nmi), all 6 dp.
+    """
+    cells = df.groupBy(
+        F.col(col_a).alias("_a"), F.col(col_b).alias("_b")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    cells = managed_persist(cells)  # margins + joint read it 3×
+    at = cells.groupBy("_a").agg(F.sum("_n").alias("_at"))
+    bt = cells.groupBy("_b").agg(F.sum("_n").alias("_bt"))
+    tot = cells.agg(F.sum("_n").alias("n"))
+
+    def _entropy(margin: DataFrame, cnt: str) -> Column:
+        p = F.col(cnt).cast("double") / F.col("n")
+        return (
+            -F.sum(F.round(p * F.log(p), 9).cast("decimal(20,9)"))
+        ).cast("double")
+
+    ha = (
+        at.crossJoin(F.broadcast(tot)).agg(_entropy(at, "_at").alias("h_a"))
+    )
+    hb = (
+        bt.crossJoin(F.broadcast(tot)).agg(_entropy(bt, "_bt").alias("h_b"))
+    )
+    pab = F.col("_n").cast("double") / F.col("n")
+    lift = (F.col("_n").cast("double") * F.col("n")) / (
+        F.col("_at").cast("double") * F.col("_bt")
+    )
+    mi = (
+        cells.join(F.broadcast(at), "_a")
+        .join(F.broadcast(bt), "_b")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(F.round(pab * F.log(lift), 9).cast("decimal(20,9)"))
+            .cast("double")
+            .alias("mi"),
+        )
+    )
+    nmi = F.when(
+        (F.col("h_a") > 0) & (F.col("h_b") > 0),
+        F.col("mi") / F.sqrt(F.col("h_a") * F.col("h_b")),
+    )
+    return (
+        tot.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(ha))
+        .crossJoin(F.broadcast(hb))
+        .select(
+            "n",
+            F.round("mi", 6).alias("mi"),
+            F.round("h_a", 6).alias("h_a"),
+            F.round("h_b", 6).alias("h_b"),
+            F.round(nmi, 6).alias("nmi"),
+        )
+    )
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlation over ``cols`` — the numeric-column
+    redundancy profile (which measures move together / which features
+    are duplicates) in ONE aggregation pass regardless of how many
+    pairs there are.
+
+    Determinism: the ols_fit recipe generalized — each value is
+    rounded to DECIMAL(18,6) per row, all k + k(k+1)/2 moment sums
+    accumulate exactly, and the per-pair closed form runs on the one
+    aggregated row (exploded to pair rows via an inline struct array,
+    so the agg executes once, never per pair). Constant columns get
+    NULL, not NaN.
+
+    Returns one row per unordered pair: (col_x, col_y, n, corr).
+    """
+    deci = {
+        c: F.round(F.col(c).cast("double"), 6).cast("decimal(18,6)")
+        for c in cols
+    }
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(deci[c]).alias(f"_s_{c}"))
+        aggs.append(F.sum(deci[c] * deci[c]).alias(f"_q_{c}"))
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    for a, b in pairs:
+        aggs.append(F.sum(deci[a] * deci[b]).alias(f"_p_{a}_{b}"))
+    m = df.agg(*aggs)
+
+    n = F.col("_n").cast("double")
+
+    def _pair_struct(a: str, b: str) -> Column:
+        sa = F.col(f"_s_{a}").cast("double")
+        sb = F.col(f"_s_{b}").cast("double")
+        qa = F.col(f"_q_{a}").cast("double")
+        qb = F.col(f"_q_{b}").cast("double")
+        p = F.col(f"_p_{a}_{b}").cast("double")
+        va = n * qa - sa * sa
+        vb = n * qb - sb * sb
+        corr = F.when(
+            (va > 0) & (vb > 0), (n * p - sa * sb) / F.sqrt(va * vb)
+        )
+        return F.struct(
+            F.lit(a).alias("col_x"),
+            F.lit(b).alias("col_y"),
+            F.col("_n").alias("n"),
+            F.round(corr, 6).alias("corr"),
+        )
+
+    return m.select(
+        F.explode(F.array(*[_pair_struct(a, b) for a, b in pairs])).alias("s")
+    ).select("s.*")
+
+
+def spearman_corr(
+    df: DataFrame, x: Column | str, y: Column | str
+) -> DataFrame:
+    """Spearman rank correlation of two numeric columns — Pearson over
+    average ranks, robust to monotone-nonlinear relationships and
+    outliers (the audit for "does doc length track token count?"
+    style questions where the raw scales are incomparable).
+
+    Exactness: ties get the standard average rank. DOUBLED ranks
+    (2·avg_rank = 2·cum_below + cnt + 1) stay integers, so every
+    moment sum is an exact DECIMAL(38,0) and the one final epilogue
+    (which the doubling cancels out of) is scalar IEEE — bit-stable
+    across reducer orders and engines.
+
+    Scale shape: a global rank window is the classic single-partition
+    killer; instead each column ranks via the rank_auc recipe —
+    distinct-value counts [1 bounded shuffle], range-derived blocks
+    (:func:`_with_range_block`), per-block totals as the only
+    single-partition window (≤1024 rows), within-block running sums
+    partitioned and parallel. Rows then join their two rank columns
+    back value-to-value.
+
+    Returns one row: (n, rho).
+    """
+    from pyspark.sql import Window
+
+    xc = (F.col(x) if isinstance(x, str) else x).cast("double")
+    yc = (F.col(y) if isinstance(y, str) else y).cast("double")
+    rows = df.select(xc.alias("_x"), yc.alias("_y")).filter(
+        F.col("_x").isNotNull() & F.col("_y").isNotNull()
+    )
+    rows = managed_persist(rows)  # scanned once per rank table + once to join
+
+    def _rank2(col: str, out: str) -> DataFrame:
+        per_v = rows.groupBy(F.col(col).alias("_v")).agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        per_v = _with_range_block(per_v, "_v", "_blk")
+        bsums = per_v.groupBy("_blk").agg(F.sum("_c").alias("_bc"))
+        w_blk = (
+            Window.partitionBy(tiny_table_partition("_blk"))
+            .orderBy("_blk")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        boff = bsums.select(
+            "_blk",
+            F.coalesce(F.sum("_bc").over(w_blk), F.lit(0)).alias("_off"),
+        )
+        w_v = (
+            Window.partitionBy("_blk")
+            .orderBy("_v")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return (
+            per_v.join(F.broadcast(boff), "_blk")
+            .select(
+                "_v",
+                (
+                    2 * (F.col("_off") + F.coalesce(F.sum("_c").over(w_v), F.lit(0)))
+                    + F.col("_c")
+                    + 1
+                ).alias(out),
+            )
+        )
+
+    rx = _rank2("_x", "_rx")
+    ry = _rank2("_y", "_ry")
+    ranked = (
+        rows.join(rx, rows["_x"] == rx["_v"])
+        .drop("_v")
+        .join(ry, rows["_y"] == ry["_v"])
+        .select(
+            F.col("_rx").cast("decimal(38,0)").alias("_rx"),
+            F.col("_ry").cast("decimal(38,0)").alias("_ry"),
+        )
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_rx").alias("_sx"),
+        F.sum("_ry").alias("_sy"),
+        F.sum(F.col("_rx") * F.col("_ry")).alias("_sxy"),
+        F.sum(F.col("_rx") * F.col("_rx")).alias("_sx2"),
+        F.sum(F.col("_ry") * F.col("_ry")).alias("_sy2"),
+    )
+    n = F.col("_n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sx2 = F.col("_sx2").cast("double")
+    sy2 = F.col("_sy2").cast("double")
+    vx = n * sx2 - sx * sx
+    vy = n * sy2 - sy * sy
+    rho = F.when((vx > 0) & (vy > 0), (n * sxy - sx * sy) / F.sqrt(vx * vy))
+    return m.select(
+        F.col("_n").alias("n"), F.round(rho, 6).alias("rho")
+    )

@@ -1068,3 +1068,213 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return gopher_rules(docs).orderBy("doc_id")
+
+
+@register(
+    "q_mutual_information",
+    oracle="""
+        WITH cells AS (
+          SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS c
+          FROM documents GROUP BY 1, 2
+        ),
+        at AS (SELECT a, CAST(sum(c) AS BIGINT) AS atn FROM cells GROUP BY 1),
+        bt AS (SELECT b, CAST(sum(c) AS BIGINT) AS btn FROM cells GROUP BY 1),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+        ha AS (
+          SELECT -CAST(sum(CAST(round(
+                     (atn / CAST(n AS DOUBLE)) * ln(atn / CAST(n AS DOUBLE)),
+                     9) AS DECIMAL(20,9))) AS DOUBLE) AS h_a
+          FROM at CROSS JOIN tot
+        ),
+        hb AS (
+          SELECT -CAST(sum(CAST(round(
+                     (btn / CAST(n AS DOUBLE)) * ln(btn / CAST(n AS DOUBLE)),
+                     9) AS DECIMAL(20,9))) AS DOUBLE) AS h_b
+          FROM bt CROSS JOIN tot
+        ),
+        mi AS (
+          SELECT CAST(sum(CAST(round(
+                     (c / CAST(n AS DOUBLE))
+                     * ln((CAST(c AS DOUBLE) * n)
+                          / (CAST(atn AS DOUBLE) * btn)),
+                     9) AS DECIMAL(20,9))) AS DOUBLE) AS mi
+          FROM cells JOIN at USING (a) JOIN bt USING (b) CROSS JOIN tot
+        )
+        SELECT n, round(mi, 6) AS mi, round(h_a, 6) AS h_a,
+               round(h_b, 6) AS h_b,
+               round(CASE WHEN h_a > 0 AND h_b > 0
+                          THEN mi / sqrt(h_a * h_b) END, 6) AS nmi
+        FROM tot CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb
+    """,
+    doc="Mutual information between language and source labels (nats), "
+    "marginal entropies, and normalized MI — chi-squared's sibling on "
+    "an information scale: how much metadata redundancy / label "
+    "leakage one column carries about another. One category-bounded "
+    "(a, b) count shuffle, margins broadcast, per-cell terms 9dp-"
+    "rounded and DECIMAL-summed (operators/stats.mutual_information).",
+)
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.stats import mutual_information
+
+    docs = load_table(spark, "documents", sf_dir)
+    return mutual_information(docs, "lang", "source")
+
+
+@register(
+    "q_pearson_corr",
+    oracle="""
+        WITH m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(round(CAST(l_quantity AS DOUBLE), 6)
+                          AS DECIMAL(19,6))) AS s_q,
+                 sum(CAST(round(CAST(l_quantity AS DOUBLE), 6)
+                          AS DECIMAL(19,6))
+                     * CAST(round(CAST(l_quantity AS DOUBLE), 6)
+                            AS DECIMAL(19,6))) AS q_q,
+                 sum(CAST(round(CAST(l_extendedprice AS DOUBLE), 6)
+                          AS DECIMAL(19,6))) AS s_e,
+                 sum(CAST(round(CAST(l_extendedprice AS DOUBLE), 6)
+                          AS DECIMAL(19,6))
+                     * CAST(round(CAST(l_extendedprice AS DOUBLE), 6)
+                            AS DECIMAL(19,6))) AS q_e,
+                 sum(CAST(round(CAST(l_discount AS DOUBLE), 6)
+                          AS DECIMAL(19,6))) AS s_d,
+                 sum(CAST(round(CAST(l_discount AS DOUBLE), 6)
+                          AS DECIMAL(19,6))
+                     * CAST(round(CAST(l_discount AS DOUBLE), 6)
+                            AS DECIMAL(19,6))) AS q_d,
+                 sum(CAST(round(CAST(l_quantity AS DOUBLE), 6)
+                          AS DECIMAL(19,6))
+                     * CAST(round(CAST(l_extendedprice AS DOUBLE), 6)
+                            AS DECIMAL(19,6))) AS p_qe,
+                 sum(CAST(round(CAST(l_quantity AS DOUBLE), 6)
+                          AS DECIMAL(19,6))
+                     * CAST(round(CAST(l_discount AS DOUBLE), 6)
+                            AS DECIMAL(19,6))) AS p_qd,
+                 sum(CAST(round(CAST(l_extendedprice AS DOUBLE), 6)
+                          AS DECIMAL(19,6))
+                     * CAST(round(CAST(l_discount AS DOUBLE), 6)
+                            AS DECIMAL(19,6))) AS p_ed
+          FROM lineitem
+        )
+        SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, n,
+               round((n * CAST(p_qe AS DOUBLE)
+                      - CAST(s_q AS DOUBLE) * CAST(s_e AS DOUBLE))
+                     / sqrt((n * CAST(q_q AS DOUBLE)
+                             - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+                            * (n * CAST(q_e AS DOUBLE)
+                               - CAST(s_e AS DOUBLE) * CAST(s_e AS DOUBLE))),
+                     6) AS corr
+        FROM m
+        UNION ALL
+        SELECT 'l_quantity', 'l_discount', n,
+               round((n * CAST(p_qd AS DOUBLE)
+                      - CAST(s_q AS DOUBLE) * CAST(s_d AS DOUBLE))
+                     / sqrt((n * CAST(q_q AS DOUBLE)
+                             - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+                            * (n * CAST(q_d AS DOUBLE)
+                               - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE))),
+                     6)
+        FROM m
+        UNION ALL
+        SELECT 'l_extendedprice', 'l_discount', n,
+               round((n * CAST(p_ed AS DOUBLE)
+                      - CAST(s_e AS DOUBLE) * CAST(s_d AS DOUBLE))
+                     / sqrt((n * CAST(q_e AS DOUBLE)
+                             - CAST(s_e AS DOUBLE) * CAST(s_e AS DOUBLE))
+                            * (n * CAST(q_d AS DOUBLE)
+                               - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE))),
+                     6)
+        FROM m
+        ORDER BY col_x, col_y
+    """,
+    doc="Pairwise Pearson correlation matrix over lineitem's numeric "
+    "measures in ONE aggregation pass: all moment sums (per-column "
+    "sums/squares + per-pair products) accumulate as exact "
+    "DECIMAL(19,6) partials in a single agg, then the one-row result "
+    "explodes to pair rows via an inline struct array — pair count "
+    "never multiplies scan cost, reducer order cannot drift the hash "
+    "(operators/stats.corr_matrix).",
+)
+def q_pearson_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.stats import corr_matrix
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount"]
+    ).orderBy("col_x", "col_y")
+
+
+@register(
+    "q_spearman_corr",
+    oracle=r"""
+        WITH rows_ AS (
+          SELECT CAST(n_chars AS DOUBLE) AS x,
+                 CAST(len(list_filter(
+                     string_split_regex(trim(text), '\s+'),
+                     e -> e <> '')) AS DOUBLE) AS y
+          FROM documents
+          WHERE n_chars IS NOT NULL AND text IS NOT NULL
+        ),
+        rx AS (
+          SELECT v, 2 * cum + c + 1 AS r2 FROM (
+            SELECT x AS v, CAST(count(*) AS BIGINT) AS c,
+                   COALESCE(CAST(sum(count(*)) OVER (
+                       ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS BIGINT), 0) AS cum
+            FROM rows_ GROUP BY x)
+        ),
+        ry AS (
+          SELECT v, 2 * cum + c + 1 AS r2 FROM (
+            SELECT y AS v, CAST(count(*) AS BIGINT) AS c,
+                   COALESCE(CAST(sum(count(*)) OVER (
+                       ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS BIGINT), 0) AS cum
+            FROM rows_ GROUP BY y)
+        ),
+        ranked AS (
+          SELECT CAST(rx.r2 AS HUGEINT) AS a, CAST(ry.r2 AS HUGEINT) AS b
+          FROM rows_ JOIN rx ON rows_.x = rx.v JOIN ry ON rows_.y = ry.v
+        ),
+        m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(a) AS sx, sum(b) AS sy, sum(a * b) AS sxy,
+                 sum(a * a) AS sx2, sum(b * b) AS sy2
+          FROM ranked
+        )
+        SELECT n,
+               round(CASE WHEN n * CAST(sx2 AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                          AND n * CAST(sy2 AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                          THEN (n * CAST(sxy AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                               / sqrt((n * CAST(sx2 AS DOUBLE)
+                                       - CAST(sx AS DOUBLE)
+                                         * CAST(sx AS DOUBLE))
+                                      * (n * CAST(sy2 AS DOUBLE)
+                                         - CAST(sy AS DOUBLE)
+                                           * CAST(sy AS DOUBLE)))
+                     END, 6) AS rho
+        FROM m
+    """,
+    doc="Spearman rank correlation of document char length vs "
+    "whitespace-token count — monotone-association audit robust to "
+    "outliers and scale. Average ranks with ties stay INTEGERS by "
+    "doubling (2r = 2*cum_below + cnt + 1), so every moment sum is "
+    "exact and the doubled scale cancels in the closed form; ranks "
+    "come from distinct-value counts + range-blocked prefix sums "
+    "(never a global rank window) (operators/stats.spearman_corr).",
+)
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.stats import spearman_corr
+    from hw_kafka_streams_spark.operators.text import word_tokens as _wt
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("n_chars").isNotNull() & F.col("text").isNotNull()
+    )
+    return spearman_corr(
+        docs,
+        F.col("n_chars").cast("double"),
+        F.size(_wt(F.col("text"))).cast("double"),
+    )

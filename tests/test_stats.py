@@ -296,3 +296,62 @@ def test_cohens_kappa_perfect_agreement(spark):
     df = spark.createDataFrame(rows, "a string, b string")
     r = cohens_kappa(df, "a", "b").collect()[0]
     assert r.po == 1.0 and r.kappa == 1.0
+
+
+def test_mutual_information_identical_and_independent(spark):
+    from hw_kafka_streams_spark.operators.stats import mutual_information
+
+    # identical columns: MI == H(a) == H(b), NMI == 1
+    rows = [(c, c) for c in "aabbbb"]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = mutual_information(df, "a", "b").collect()[0]
+    p = [2 / 6, 4 / 6]
+    h = -sum(round(x * math.log(x), 9) for x in p)
+    assert abs(r.mi - round(h, 6)) < 1e-9
+    assert abs(r.h_a - round(h, 6)) < 1e-9
+    assert abs(r.nmi - 1.0) < 1e-6
+
+    # independent columns (product distribution): MI == 0
+    rows = [(a, b) for a in "ab" for b in "xy" for _ in range(5)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = mutual_information(df, "a", "b").collect()[0]
+    assert abs(r.mi) < 1e-9
+    assert abs(r.nmi) < 1e-9
+
+
+def test_corr_matrix_exact_and_constant_guard(spark):
+    from hw_kafka_streams_spark.operators.stats import corr_matrix
+
+    rows = [(float(i), 2.0 * i + 1.0, -3.0 * i, 7.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "a double, b double, c double, k double")
+    out = {(r.col_x, r.col_y): r for r in corr_matrix(df, ["a", "b", "c", "k"]).collect()}
+    assert len(out) == 6
+    assert out[("a", "b")].corr == 1.0          # perfect positive
+    assert out[("a", "c")].corr == -1.0         # perfect negative
+    assert out[("a", "k")].corr is None         # constant column -> NULL
+    assert out[("a", "b")].n == 50
+
+
+def test_spearman_monotone_ties_and_antitone(spark):
+    from hw_kafka_streams_spark.operators.stats import spearman_corr
+    from pyspark.sql import functions as F
+
+    # monotone nonlinear (cubic) -> rho exactly 1
+    df = spark.createDataFrame(
+        [(float(i), float(i**3)) for i in range(40)], "x double, y double"
+    )
+    assert spearman_corr(df, "x", "y").collect()[0].rho == 1.0
+    # antitone -> -1
+    df2 = spark.createDataFrame(
+        [(float(i), float(-i)) for i in range(40)], "x double, y double"
+    )
+    assert spearman_corr(df2, "x", "y").collect()[0].rho == -1.0
+    # hand-computed with ties: x=[1,2,2,3], y=[1,3,2,4]
+    # avg ranks x: [1, 2.5, 2.5, 4], y: [1, 3, 2, 4]
+    # cov=4.5, var_x=4.5, var_y=5 -> rho = 4.5/sqrt(22.5) = 0.948683
+    df3 = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 3.0), (2.0, 2.0), (3.0, 4.0)], "x double, y double"
+    )
+    r = spearman_corr(df3, "x", "y").collect()[0]
+    assert r.n == 4
+    assert abs(r.rho - 0.948683) < 1e-9
