@@ -613,6 +613,86 @@ def q_multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_rms(payloads).orderBy("doc_id")
 
 
+_ADPCM_STEPS = (
+    "[7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,66,"
+    "73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,371,"
+    "408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,1552,1707,"
+    "1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,"
+    "7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,20350,"
+    "22385,24623,27086,29794,32767]"
+)
+
+
+@register(
+    "q_multimodal_adpcm",
+    oracle=f"""
+        WITH RECURSIVE dec AS (
+          SELECT doc_id,
+                 0 AS i,
+                 CAST(((doc_id * 997) % 2048) - 1024 AS BIGINT) AS pred,
+                 CAST(doc_id % 20 AS BIGINT) AS idx,
+                 CAST(((doc_id * 997) % 2048) - 1024 AS BIGINT) AS acc
+          FROM documents WHERE doc_id < 150
+          UNION ALL
+          SELECT doc_id, i, predn,
+                 least(88, greatest(0,
+                   idx + ([-1,-1,-1,-1,2,4,6,8])[(nib % 8) + 1])) AS idx,
+                 acc + predn AS acc
+          FROM (
+            SELECT doc_id, i + 1 AS i, idx, acc, nib,
+                   least(32767, greatest(-32768,
+                     pred + (CASE WHEN nib >= 8 THEN -1 ELSE 1 END) * diff
+                   )) AS predn
+            FROM (
+              SELECT doc_id, i, pred, idx, acc, nib,
+                     (s // 8) + (nib % 2) * (s // 4)
+                     + ((nib // 2) % 2) * (s // 2)
+                     + ((nib // 4) % 2) * s AS diff
+              FROM (
+                SELECT *, (doc_id + 3 * i) % 16 AS nib,
+                       ({_ADPCM_STEPS})[idx + 1] AS s
+                FROM dec WHERE i < 64
+              )
+            )
+          )
+        )
+        SELECT doc_id, CAST(65 AS BIGINT) AS n_samples,
+               pred AS last_sample, acc AS sum_samples
+        FROM dec WHERE i = 64 ORDER BY doc_id
+    """,
+    doc="REAL compressed-audio decode (operators/adpcmcodec.py): "
+    "synthesize complete spec-correct IMA ADPCM WAV files (format tag "
+    "0x0011, block header + packed 4-bit nibbles, low nibble first) "
+    "with a deterministic nibble stream, then fully decode them — "
+    "RIFF chunk walk, 89-entry step table, index table, int16 clamp — "
+    "and emit exact integer stats over the decoded waveform. The "
+    "DuckDB oracle replays the SAME public IMA/DVI state machine as a "
+    "recursive CTE over the step-table literal, so every nibble, "
+    "clamp, and table entry is bit-exact-checked. This closes the "
+    "'compressed audio stays stubbed' gap: 4:1 ADPCM is the "
+    "standard telephony/game-audio compression and its decode is "
+    "pure integer math from the public spec. Arrow-batched, "
+    "zero-shuffle, sequential only within a block (spec-mandated), "
+    "full cluster width across rows.",
+)
+def q_multimodal_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.adpcmcodec import (
+        adpcm_stats,
+        make_ima_adpcm_wav,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 150)
+    payloads = _synth_payloads(
+        docs,
+        lambda i: make_ima_adpcm_wav(
+            ((i * 997) % 2048) - 1024,
+            i % 20,
+            [(i + 3 * k) % 16 for k in range(64)],
+        ),
+    )
+    return adpcm_stats(payloads).orderBy("doc_id")
+
+
 @register(
     "q_bpe_pair_stats",
     oracle="""

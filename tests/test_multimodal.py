@@ -571,3 +571,41 @@ def test_gif_lzw_roundtrip_battery():
     assert bytes(_lzw_decode(_lzw_encode(s), 8, len(s))) == s
     with pytest.raises(ValueError):
         decode_gif(make_fake_gif(10, 10))  # header-only filler
+
+
+def test_ima_adpcm_roundtrip_and_container():
+    """Encoder→WAV→decoder roundtrip: decode(encode(x)) must track the
+    encoder's internal decoder state exactly (ADPCM is lossy vs the
+    source but the codec chain itself is deterministic), the RIFF
+    container must parse, and PCM/foreign formats must be rejected."""
+    import pytest
+
+    from hw_kafka_streams_spark.operators.adpcmcodec import (
+        _decode_nibbles,
+        decode_ima_adpcm_wav,
+        encode_ima_adpcm,
+        make_ima_adpcm_wav,
+    )
+    from hw_kafka_streams_spark.operators.multimodal import make_fake_wav_pcm
+
+    # a varied source: ramp + square + clipped extremes
+    src = (
+        [i * 120 - 4000 for i in range(40)]
+        + [3000 if i % 2 else -3000 for i in range(12)]
+        + [32767, -32768] * 6 + [0]
+    )
+    pred0, idx0, nibbles = encode_ima_adpcm(src)
+    assert len(nibbles) == len(src) - 1
+    # decoder replay equals the encoder's own state trajectory
+    replay = _decode_nibbles(pred0, idx0, nibbles)
+    wav = make_ima_adpcm_wav(pred0, idx0, nibbles)  # 64 nibbles: even
+    got = decode_ima_adpcm_wav(wav)
+    assert got == replay
+    assert len(got) == len(src)
+    # constant signal with step index 0 is encoded EXACTLY (step 7>>3==0)
+    const = [1234] * 50
+    p0, i0, nbs = encode_ima_adpcm(const)
+    assert _decode_nibbles(p0, i0, nbs) == const
+    # container rejects PCM payloads (that path is multimodal.audio_rms)
+    with pytest.raises(NotImplementedError):
+        decode_ima_adpcm_wav(make_fake_wav_pcm(8000, 100, 16))
