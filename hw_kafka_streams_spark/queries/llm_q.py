@@ -2947,6 +2947,73 @@ def q_multimodal_jpeg_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_avi",
+    oracle="""
+        WITH frames AS (
+          SELECT doc_id, CAST(f AS INT) AS frame_idx
+          FROM documents, (SELECT unnest(range(5)) AS f)
+          WHERE doc_id < 100 AND f < 2 + doc_id % 3
+        ), colors AS (
+          SELECT doc_id, frame_idx,
+                 (doc_id + 31 * frame_idx) % 256 AS r,
+                 (doc_id * 7 + 29 * frame_idx) % 256 AS g,
+                 (doc_id * 13 + 41 * frame_idx) % 256 AS b
+          FROM frames
+        ), ycc AS (
+          SELECT *,
+            (29900*r + 58700*g + 11400*b + 50000) // 100000 AS y,
+            least(255, (12800000 - 16874*r - 33126*g + 50000*b + 50000)
+                       // 100000) AS cb,
+            least(255, (12800000 + 50000*r - 41869*g - 8131*b + 50000)
+                       // 100000) AS cr
+          FROM colors
+        ), rt AS (
+          SELECT *,
+            least(255, greatest(0, floor(
+              floor(8.0*(y - 128)/16 + 0.5)*16/8.0 + 128.0 + 0.5))) AS y2,
+            least(255, greatest(0, floor(
+              floor(8.0*(cb - 128)/17 + 0.5)*17/8.0 + 128.0 + 0.5))) AS cb2,
+            least(255, greatest(0, floor(
+              floor(8.0*(cr - 128)/17 + 0.5)*17/8.0 + 128.0 + 0.5))) AS cr2
+          FROM ycc
+        )
+        SELECT doc_id, frame_idx,
+          CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+          CAST(least(255, greatest(0,
+            floor(y2 + 1.402*(cr2 - 128.0) + 0.5))) AS INT) AS mean_r,
+          CAST(least(255, greatest(0,
+            floor(y2 - 0.344136*(cb2 - 128.0) - 0.714136*(cr2 - 128.0)
+                  + 0.5))) AS INT) AS mean_g,
+          CAST(least(255, greatest(0,
+            floor(y2 + 1.772*(cb2 - 128.0) + 0.5))) AS INT) AS mean_b
+        FROM rt ORDER BY doc_id, frame_idx
+    """,
+    doc="REAL compressed-VIDEO decode (operators/avicontainer.py): "
+    "synthesize complete spec-correct MJPEG AVI files — full RIFF "
+    "header tree (avih/strh/strf with MJPG fourcc), word-aligned "
+    "'00dc' movi chunks each a complete baseline JPEG, real idx1 "
+    "index — then parse the container, decode EVERY frame through "
+    "the pure-numpy ITU T.81 codec, and emit per-frame channel "
+    "means as a row-expanding fan-out. Constant per-frame fills "
+    "keep the container+codec chain closed-form so the oracle "
+    "replays the arithmetic per (doc, frame). MJPEG is "
+    "frame-parallel by construction (no inter-frame prediction) — "
+    "the decode scales to full cluster width; H.264-class codecs "
+    "remain honestly stubbed.",
+)
+def q_multimodal_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.avicontainer import (
+        avi_frame_means,
+        synthesize_mjpeg_avi_payloads,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 100)
+    return avi_frame_means(synthesize_mjpeg_avi_payloads(docs)).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+@register(
     "q_multimodal_png",
     oracle="""
         WITH base AS (

@@ -609,3 +609,47 @@ def test_ima_adpcm_roundtrip_and_container():
     # container rejects PCM payloads (that path is multimodal.audio_rms)
     with pytest.raises(NotImplementedError):
         decode_ima_adpcm_wav(make_fake_wav_pcm(8000, 100, 16))
+
+
+def test_avi_mjpeg_container_roundtrip_and_validation():
+    """RIFF AVI build→parse roundtrip preserves frame bytes exactly;
+    parser rejects non-MJPG streams, non-JPEG 00dc chunks, and
+    header/movi frame-count disagreement."""
+    import numpy as np
+    import pytest
+
+    from hw_kafka_streams_spark.operators.avicontainer import (
+        make_mjpeg_avi,
+        parse_avi_mjpeg,
+    )
+    from hw_kafka_streams_spark.operators.jpegcodec import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+    )
+
+    frames = [
+        encode_baseline_jpeg(
+            np.full((8, 8, 3), (10 * f, 20 * f, 30 * f), dtype=np.uint8)
+        )
+        for f in range(4)
+    ]
+    avi = make_mjpeg_avi(frames, 8, 8, fps=25)
+    w, h, got = parse_avi_mjpeg(avi)
+    assert (w, h) == (8, 8)
+    assert got == frames  # byte-exact through the container
+    assert decode_baseline_jpeg(got[3]).shape == (8, 8, 3)
+
+    with pytest.raises(ValueError):
+        parse_avi_mjpeg(b"RIFF\x00\x00\x00\x00WAVE")  # not AVI
+    # corrupt the MJPG fourccs -> inter-frame-codec stub path
+    bad = avi.replace(b"MJPG", b"H264")
+    with pytest.raises(NotImplementedError):
+        parse_avi_mjpeg(bad)
+    # header claims a different frame count than movi carries
+    lied = avi.replace(
+        __import__("struct").pack("<I", 4),
+        __import__("struct").pack("<I", 9),
+        1,
+    )
+    with pytest.raises(ValueError):
+        parse_avi_mjpeg(lied)
