@@ -1101,3 +1101,155 @@ def spearman_corr(
     return m.select(
         F.col("_n").alias("n"), F.round(rho, 6).alias("rho")
     )
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: Column | str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test (the default A/B
+    test for "did this curation change shift doc length / quality /
+    latency?" questions — no equal-variance assumption, so it is safe
+    on the skewed distributions real corpora have).
+
+    Exactness: the value is aggregated as DECIMAL(38,0) integer
+    moments (n, Σv, Σv²) — ONE map-side-combinable aggregation over
+    the data, conditional on group, no shuffle beyond the 2-row
+    partial merge. The t statistic and Welch–Satterthwaite degrees of
+    freedom are a scalar IEEE epilogue over those exact moments
+    (the q_regression_stats determinism recipe), so results are
+    bit-stable across partitionings and engines.
+
+    Scale shape: a single pass + O(1) state. At 100 TB this is the
+    cheapest possible plan — no rank, no sort, no join.
+    """
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+        "decimal(38,0)"
+    )
+    g = F.col(group_col)
+    base = df.filter(g.isin(group_a, group_b) & v.isNotNull()).select(
+        (g == F.lit(group_a)).alias("_is_a"), v.alias("_v")
+    )
+    m = base.agg(
+        F.sum(F.when(F.col("_is_a"), 1).otherwise(0)).alias("_na"),
+        F.sum(F.when(~F.col("_is_a"), 1).otherwise(0)).alias("_nb"),
+        F.sum(F.when(F.col("_is_a"), F.col("_v"))).alias("_sa"),
+        F.sum(F.when(~F.col("_is_a"), F.col("_v"))).alias("_sb"),
+        F.sum(F.when(F.col("_is_a"), F.col("_v") * F.col("_v"))).alias("_qa"),
+        F.sum(F.when(~F.col("_is_a"), F.col("_v") * F.col("_v"))).alias("_qb"),
+    )
+    na, nb = F.col("_na").cast("double"), F.col("_nb").cast("double")
+    sa, sb = F.col("_sa").cast("double"), F.col("_sb").cast("double")
+    qa, qb = F.col("_qa").cast("double"), F.col("_qb").cast("double")
+    va = (na * qa - sa * sa) / (na * (na - 1))
+    vb = (nb * qb - sb * sb) / (nb * (nb - 1))
+    sea, seb = va / na, vb / nb
+    se2 = sea + seb
+    t = (sa / na - sb / nb) / F.sqrt(se2)
+    dfw = (se2 * se2) / (sea * sea / (na - 1) + seb * seb / (nb - 1))
+    return m.select(
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        F.round(sa / na, 4).alias("mean_a"),
+        F.round(sb / nb, 4).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dfw, 4).alias("df_welch"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: Column | str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) two-sample test — the
+    nonparametric partner to :func:`welch_ttest` for distributions
+    where means mislead (heavy tails, outliers, ordinal scores).
+
+    Exactness: combined-sample average ranks with ties stay INTEGERS
+    by doubling (2r = 2·cum_below + cnt + 1, the spearman_corr trick),
+    so the rank sum, both U statistics, and the tie-correction term
+    Σ(t³−t) are exact DECIMAL sums; the normal-approximation z score
+    (tie-corrected variance) is a scalar IEEE epilogue. U values are
+    halves at worst, exactly representable as DOUBLE.
+
+    Scale shape: ranks come from distinct-value counts [1 bounded
+    shuffle] + range-derived block prefix sums
+    (:func:`_with_range_block`) — never a global rank window; the
+    per-block offset table is the only single-partition step (≤1024
+    rows).
+    """
+    from pyspark.sql import Window
+
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+        "double"
+    )
+    g = F.col(group_col)
+    base = df.filter(g.isin(group_a, group_b) & v.isNotNull()).select(
+        (g == F.lit(group_a)).alias("_is_a"), v.alias("_v")
+    )
+    per_v = base.groupBy("_v").agg(
+        F.sum(F.when(F.col("_is_a"), 1).otherwise(0)).alias("_ca"),
+        F.sum(F.when(~F.col("_is_a"), 1).otherwise(0)).alias("_cb"),
+    )
+    per_v = _with_range_block(per_v, "_v", "_blk")
+    per_v = per_v.withColumn("_c", F.col("_ca") + F.col("_cb"))
+    bsums = per_v.groupBy("_blk").agg(F.sum("_c").alias("_bc"))
+    w_blk = (
+        Window.partitionBy(tiny_table_partition("_blk"))
+        .orderBy("_blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boff = bsums.select(
+        "_blk", F.coalesce(F.sum("_bc").over(w_blk), F.lit(0)).alias("_off")
+    )
+    w_v = (
+        Window.partitionBy("_blk")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = per_v.join(F.broadcast(boff), "_blk").select(
+        "_ca",
+        "_cb",
+        "_c",
+        (
+            2 * (F.col("_off") + F.coalesce(F.sum("_c").over(w_v), F.lit(0)))
+            + F.col("_c")
+            + 1
+        )
+        .cast("decimal(38,0)")
+        .alias("_r2"),
+    )
+    m = ranked.agg(
+        F.sum("_ca").alias("_n1"),
+        F.sum("_cb").alias("_n2"),
+        F.sum(F.col("_ca").cast("decimal(38,0)") * F.col("_r2")).alias("_r1d"),
+        F.sum(
+            F.col("_c").cast("decimal(38,0)")
+            * F.col("_c")
+            * F.col("_c")
+            - F.col("_c")
+        ).alias("_ties"),
+    )
+    n1, n2 = F.col("_n1").cast("double"), F.col("_n2").cast("double")
+    n = n1 + n2
+    # 2·U1 = 2·R1 − n1(n1+1); doubled rank sum _r1d is already 2·R1
+    u1 = (F.col("_r1d").cast("double") - n1 * (n1 + 1)) / 2
+    u2 = n1 * n2 - u1
+    var_u = (
+        n1 * n2 / 12.0
+        * ((n + 1) - F.col("_ties").cast("double") / (n * (n - 1)))
+    )
+    z = (u1 - n1 * n2 / 2) / F.sqrt(var_u)
+    return m.select(
+        F.col("_n1").alias("n_a"),
+        F.col("_n2").alias("n_b"),
+        u1.alias("u_a"),
+        u2.alias("u_b"),
+        F.round(z, 6).alias("z_score"),
+    )

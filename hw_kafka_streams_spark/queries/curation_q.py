@@ -1278,3 +1278,120 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("double"),
         F.size(_wt(F.col("text"))).cast("double"),
     )
+
+
+@register(
+    "q_welch_ttest",
+    oracle="""
+        WITH m AS (
+          SELECT
+            CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS na,
+            CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS nb,
+            sum(CASE WHEN lang = 'en'
+                     THEN CAST(n_chars AS HUGEINT) END) AS sa,
+            sum(CASE WHEN lang <> 'en'
+                     THEN CAST(n_chars AS HUGEINT) END) AS sb,
+            sum(CASE WHEN lang = 'en'
+                     THEN CAST(n_chars AS HUGEINT) * n_chars END) AS qa,
+            sum(CASE WHEN lang <> 'en'
+                     THEN CAST(n_chars AS HUGEINT) * n_chars END) AS qb
+          FROM documents
+          WHERE lang IN ('en', 'zh') AND n_chars IS NOT NULL
+        )
+        SELECT na AS n_a, nb AS n_b,
+               round(CAST(sa AS DOUBLE) / na, 4) AS mean_a,
+               round(CAST(sb AS DOUBLE) / nb, 4) AS mean_b,
+               round((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+                     / sqrt((CAST(na AS DOUBLE) * qa - CAST(sa AS DOUBLE)
+                             * sa) / (CAST(na AS DOUBLE) * (na - 1)) / na
+                            + (CAST(nb AS DOUBLE) * qb - CAST(sb AS DOUBLE)
+                               * sb) / (CAST(nb AS DOUBLE) * (nb - 1)) / nb),
+                     6) AS t_stat,
+               round(power((CAST(na AS DOUBLE) * qa - CAST(sa AS DOUBLE)
+                            * sa) / (CAST(na AS DOUBLE) * (na - 1)) / na
+                           + (CAST(nb AS DOUBLE) * qb - CAST(sb AS DOUBLE)
+                              * sb) / (CAST(nb AS DOUBLE) * (nb - 1)) / nb,
+                           2)
+                     / (power((CAST(na AS DOUBLE) * qa - CAST(sa AS DOUBLE)
+                               * sa) / (CAST(na AS DOUBLE) * (na - 1)) / na,
+                              2) / (na - 1)
+                        + power((CAST(nb AS DOUBLE) * qb
+                                 - CAST(sb AS DOUBLE) * sb)
+                                / (CAST(nb AS DOUBLE) * (nb - 1)) / nb,
+                                2) / (nb - 1)),
+                     4) AS df_welch
+        FROM m
+    """,
+    doc="Welch's unequal-variance t-test of doc char length, English "
+    "vs Chinese — the default two-sample A/B test for curation "
+    "changes. One map-side-combinable pass builds exact DECIMAL "
+    "moments (n, sum, sum-of-squares per group); t statistic and "
+    "Welch-Satterthwaite df are a scalar epilogue "
+    "(operators/stats.welch_ttest). No sort, no join, O(1) state — "
+    "the cheapest possible 100 TB plan.",
+)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.stats import welch_ttest
+
+    docs = load_table(spark, "documents", sf_dir)
+    return welch_ttest(docs, "lang", "n_chars", "en", "zh")
+
+
+@register(
+    "q_mann_whitney",
+    oracle="""
+        WITH base AS (
+          SELECT lang = 'en' AS is_a, CAST(n_chars AS DOUBLE) AS v
+          FROM documents
+          WHERE lang IN ('en', 'zh') AND n_chars IS NOT NULL
+        ), per_v AS (
+          SELECT v,
+                 sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+                 sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS cb
+          FROM base GROUP BY v
+        ), rk AS (
+          SELECT ca, cb, ca + cb AS c,
+                 2 * COALESCE(sum(ca + cb) OVER (
+                       ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0)
+                 + (ca + cb) + 1 AS r2
+          FROM per_v
+        ), m AS (
+          SELECT CAST(sum(ca) AS BIGINT) AS n1,
+                 CAST(sum(cb) AS BIGINT) AS n2,
+                 sum(CAST(ca AS HUGEINT) * r2) AS r1d,
+                 sum(CAST(c AS HUGEINT) * c * c - c) AS ties
+          FROM rk
+        )
+        SELECT n1 AS n_a, n2 AS n_b,
+               (CAST(r1d AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1)) / 2
+                 AS u_a,
+               CAST(n1 AS DOUBLE) * n2
+                 - (CAST(r1d AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1)) / 2
+                 AS u_b,
+               round(((CAST(r1d AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1))
+                       / 2 - CAST(n1 AS DOUBLE) * n2 / 2)
+                     / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
+                            * ((CAST(n1 AS DOUBLE) + n2 + 1)
+                               - CAST(ties AS DOUBLE)
+                                 / ((CAST(n1 AS DOUBLE) + n2)
+                                    * (CAST(n1 AS DOUBLE) + n2 - 1)))),
+                     6) AS z_score
+        FROM m
+    """,
+    doc="Mann-Whitney U (Wilcoxon rank-sum) of doc char length, "
+    "English vs Chinese — the nonparametric partner to q_welch_ttest "
+    "for heavy-tailed distributions. Combined-sample average ranks "
+    "stay integers by doubling (the spearman trick), so rank sums, "
+    "both U statistics, and the tie term sum(t^3-t) are exact; the "
+    "tie-corrected normal z is a scalar epilogue. Ranks via "
+    "distinct-value counts + range-blocked prefix sums, never a "
+    "global rank window (operators/stats.mann_whitney_u).",
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.stats import mann_whitney_u
+
+    docs = load_table(spark, "documents", sf_dir)
+    return mann_whitney_u(docs, "lang", "n_chars", "en", "zh")

@@ -355,3 +355,38 @@ def test_spearman_monotone_ties_and_antitone(spark):
     r = spearman_corr(df3, "x", "y").collect()[0]
     assert r.n == 4
     assert abs(r.rho - 0.948683) < 1e-9
+
+
+def test_welch_ttest_hand_computed(spark):
+    """a=[1,2,3,4], b=[2,4,6,8,10]: m_a=2.5 v_a=5/3, m_b=6 v_b=10.
+    se2 = 5/12 + 2 = 29/12; t = -3.5/sqrt(29/12) = -2.251436...
+    df = (29/12)^2 / ((5/12)^2/3 + 4/4) = 5.520776...
+    """
+    from hw_kafka_streams_spark.operators.stats import welch_ttest
+
+    rows = [("a", v) for v in [1, 2, 3, 4]] + [
+        ("b", v) for v in [2, 4, 6, 8, 10]
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = welch_ttest(df, "g", "v", "a", "b").collect()[0]
+    assert (r.n_a, r.n_b) == (4, 5)
+    assert (r.mean_a, r.mean_b) == (2.5, 6.0)
+    assert abs(r.t_stat - (-2.251436)) < 1e-6
+    assert abs(r.df_welch - 5.5208) < 1e-4
+
+
+def test_mann_whitney_hand_computed(spark):
+    """Ties across groups: a=[1,2,2,5], b=[2,3,4].
+    Combined sorted [1,2,2,2,3,4,5]; avg rank of the 2s = 3.
+    R1 = 1+3+3+7 = 14; U1 = 14 - 10 = 4; U2 = 12 - 4 = 8.
+    ties: one group of 3 -> T = 24; var = 12/12*(8 - 24/42) = 7.428571
+    z = (4-6)/sqrt(7.428571) = -0.733799...
+    """
+    from hw_kafka_streams_spark.operators.stats import mann_whitney_u
+
+    rows = [("a", v) for v in [1, 2, 2, 5]] + [("b", v) for v in [2, 3, 4]]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+    assert (r.n_a, r.n_b) == (4, 3)
+    assert (r.u_a, r.u_b) == (4.0, 8.0)
+    assert abs(r.z_score - (-0.733799)) < 1e-6
