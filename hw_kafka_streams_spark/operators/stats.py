@@ -1253,3 +1253,146 @@ def mann_whitney_u(
         u2.alias("u_b"),
         F.round(z, 6).alias("z_score"),
     )
+
+
+def anova_f_oneway(
+    df: DataFrame, group_col: str, value_col: Column | str
+) -> DataFrame:
+    """One-way ANOVA F statistic across k groups — does the value's
+    mean differ across sources/langs/shards? (the k-group extension of
+    :func:`welch_ttest`, classic equal-variance form).
+
+    Exactness: ONE map-side-combinable pass builds exact DECIMAL
+    moments per group (n_g, Σv, Σv²); between/within sums of squares
+    reduce over the tiny k-row group table (the chi2_independence
+    determinism budget: exact integer inputs, double terms, round at
+    the edge). F = (SSB/(k−1)) / (SSW/(n−k)).
+
+    Scale shape: one shuffle keyed by group (k rows out), scalar
+    epilogue — no sort, no join, safe at any data size.
+    """
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+        "decimal(38,0)"
+    )
+    per_g = (
+        df.filter(v.isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("_g"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(v).alias("_s"),
+            F.sum(v * v).alias("_q"),
+        )
+    )
+    m = per_g.agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.sum("_n").alias("_nt"),
+        F.sum("_s").alias("_st"),
+        F.sum("_q").alias("_qt"),
+        F.sum(
+            F.col("_s").cast("double")
+            * F.col("_s").cast("double")
+            / F.col("_n").cast("double")
+        ).alias("_sg2"),
+    )
+    k = F.col("_k").cast("double")
+    nt = F.col("_nt").cast("double")
+    st, qt = F.col("_st").cast("double"), F.col("_qt").cast("double")
+    ssb = F.col("_sg2") - st * st / nt
+    ssw = qt - F.col("_sg2")
+    f_stat = (ssb / (k - 1)) / (ssw / (nt - k))
+    return m.select(
+        F.col("_k").alias("k_groups"),
+        F.col("_nt").alias("n"),
+        F.round(f_stat, 6).alias("f_stat"),
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame, group_col: str, value_col: Column | str
+) -> DataFrame:
+    """Kruskal–Wallis H test (rank ANOVA) across k groups, with the
+    standard tie correction — the nonparametric k-group partner to
+    :func:`anova_f_oneway` for skewed corpus statistics.
+
+    Exactness: combined-sample average ranks stay INTEGERS by doubling
+    (2r = 2·cum_below + cnt + 1); per-group doubled rank sums and the
+    tie term Σ(t³−t) are exact DECIMAL sums. With doubled rank sums
+    R2_g = 2·R_g the statistic is
+    H = 3/(n(n+1)) · Σ R2_g²/n_g − 3(n+1), then H' = H/(1 − T/(n³−n));
+    the per-group R2_g²/n_g terms reduce over the tiny k-row table
+    inside the chi2 determinism budget, rounded at the edge.
+
+    Scale shape: ranks via distinct-value counts + range-derived block
+    prefix sums (:func:`_with_range_block`), never a global rank
+    window; one extra bounded shuffle keys the per-group rank sums.
+    """
+    from pyspark.sql import Window
+
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+        "double"
+    )
+    base = df.filter(v.isNotNull() & F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("_g"), v.alias("_v")
+    )
+    base = managed_persist(base)  # value-rank build + group-sum pass
+    per_v = base.groupBy("_v").agg(F.count(F.lit(1)).alias("_c"))
+    per_v = _with_range_block(per_v, "_v", "_blk")
+    bsums = per_v.groupBy("_blk").agg(F.sum("_c").alias("_bc"))
+    w_blk = (
+        Window.partitionBy(tiny_table_partition("_blk"))
+        .orderBy("_blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boff = bsums.select(
+        "_blk", F.coalesce(F.sum("_bc").over(w_blk), F.lit(0)).alias("_off")
+    )
+    w_v = (
+        Window.partitionBy("_blk")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranks = per_v.join(F.broadcast(boff), "_blk").select(
+        "_v",
+        "_c",
+        (
+            2 * (F.col("_off") + F.coalesce(F.sum("_c").over(w_v), F.lit(0)))
+            + F.col("_c")
+            + 1
+        )
+        .cast("decimal(38,0)")
+        .alias("_r2"),
+    )
+    per_g = (
+        base.join(ranks.select("_v", "_r2"), "_v")
+        .groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_r2").alias("_rs"),
+        )
+    )
+    ties = ranks.agg(
+        F.sum(
+            F.col("_c").cast("decimal(38,0)") * F.col("_c") * F.col("_c")
+            - F.col("_c")
+        ).alias("_t")
+    )
+    m = per_g.crossJoin(F.broadcast(ties)).agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.sum("_n").alias("_nt"),
+        F.sum(
+            F.col("_rs").cast("double")
+            * F.col("_rs").cast("double")
+            / F.col("_n").cast("double")
+        ).alias("_rg2"),
+        F.first("_t").alias("_ties"),
+    )
+    nt = F.col("_nt").cast("double")
+    h = 3.0 / (nt * (nt + 1)) * F.col("_rg2") - 3 * (nt + 1)
+    h_corr = h / (
+        1 - F.col("_ties").cast("double") / (nt * nt * nt - nt)
+    )
+    return m.select(
+        F.col("_k").alias("k_groups"),
+        F.col("_nt").alias("n"),
+        F.round(h_corr, 6).alias("h_stat"),
+    )

@@ -1395,3 +1395,94 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return mann_whitney_u(docs, "lang", "n_chars", "en", "zh")
+
+
+@register(
+    "q_anova_f",
+    oracle="""
+        WITH per_g AS (
+          SELECT lang AS g, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(n_chars AS HUGEINT)) AS s,
+                 sum(CAST(n_chars AS HUGEINT) * n_chars) AS q
+          FROM documents
+          WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+          GROUP BY 1
+        ), m AS (
+          SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(n) AS BIGINT) AS nt,
+                 sum(s) AS st, sum(q) AS qt,
+                 sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                     / CAST(n AS DOUBLE)) AS sg2
+          FROM per_g
+        )
+        SELECT k AS k_groups, nt AS n,
+               round(((sg2 - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                       / CAST(nt AS DOUBLE)) / (CAST(k AS DOUBLE) - 1))
+                     / ((CAST(qt AS DOUBLE) - sg2)
+                        / (CAST(nt AS DOUBLE) - k)), 6) AS f_stat
+        FROM m
+    """,
+    doc="One-way ANOVA F statistic of doc char length across "
+    "languages — the k-group mean-difference audit (does length "
+    "distribution differ by language partition?). One "
+    "map-side-combinable pass builds exact DECIMAL moments per group; "
+    "between/within sums of squares reduce over the tiny k-row table "
+    "and the F ratio is a rounded scalar epilogue "
+    "(operators/stats.anova_f_oneway). No sort, no join.",
+)
+def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.stats import anova_f_oneway
+
+    docs = load_table(spark, "documents", sf_dir)
+    return anova_f_oneway(docs, "lang", "n_chars")
+
+
+@register(
+    "q_kruskal_wallis",
+    oracle="""
+        WITH base AS (
+          SELECT lang AS g, CAST(n_chars AS DOUBLE) AS v
+          FROM documents
+          WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        ), per_v AS (
+          SELECT v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY v
+        ), rk AS (
+          SELECT v, c,
+                 2 * COALESCE(sum(c) OVER (
+                       ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) + c + 1 AS r2
+          FROM per_v
+        ), per_g AS (
+          SELECT g, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(r2 AS HUGEINT)) AS rs
+          FROM base JOIN rk USING (v) GROUP BY g
+        ), t AS (
+          SELECT sum(CAST(c AS HUGEINT) * c * c - c) AS ties FROM rk
+        ), m AS (
+          SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(n) AS BIGINT) AS nt,
+                 sum(CAST(rs AS DOUBLE) * CAST(rs AS DOUBLE)
+                     / CAST(n AS DOUBLE)) AS rg2
+          FROM per_g
+        )
+        SELECT k AS k_groups, nt AS n,
+               round((3.0 / (CAST(nt AS DOUBLE) * (nt + 1)) * rg2
+                      - 3 * (CAST(nt AS DOUBLE) + 1))
+                     / (1 - CAST(ties AS DOUBLE)
+                            / (CAST(nt AS DOUBLE) * nt * nt - nt)),
+                     6) AS h_stat
+        FROM m, t
+    """,
+    doc="Kruskal-Wallis H (rank ANOVA) of doc char length across "
+    "languages with the standard tie correction — the nonparametric "
+    "k-group audit. Combined-sample average ranks stay integers by "
+    "doubling (H = 3/(n(n+1))*sum(R2_g^2/n_g) - 3(n+1) on doubled "
+    "rank sums), rank-sum and tie terms are exact DECIMAL, and ranks "
+    "come from distinct-value counts + range-blocked prefix sums — "
+    "never a global rank window (operators/stats.kruskal_wallis).",
+)
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.stats import kruskal_wallis
+
+    docs = load_table(spark, "documents", sf_dir)
+    return kruskal_wallis(docs, "lang", "n_chars")

@@ -390,3 +390,32 @@ def test_mann_whitney_hand_computed(spark):
     assert (r.n_a, r.n_b) == (4, 3)
     assert (r.u_a, r.u_b) == (4.0, 8.0)
     assert abs(r.z_score - (-0.733799)) < 1e-6
+
+
+def test_anova_and_kruskal_hand_computed(spark):
+    """Three groups a=[1,2,3], b=[2,3,4], c=[10,11,12].
+    ANOVA: means 2,3,11; grand 16/3; SSB = 3*(100+49+289)/9 = 146,
+    SSW = 6 -> F = (146/2)/(6/6) = 73.
+    Kruskal: sorted [1,2,2,3,3,4,10,11,12]; avg ranks with ties:
+    1, 2.5, 2.5, 4.5, 4.5, 6, 7, 8, 9. R_a=8, R_b=13, R_c=24.
+    H = 12/(9*10)*(64/3+169/3+576/3) - 30 = 12/90*269.6667 - 30
+      = 5.955556; ties T = 2*(8-2)=12 -> H' = 5.955556/(1-12/720)
+      = 6.056497...
+    """
+    from hw_kafka_streams_spark.operators.stats import (
+        anova_f_oneway,
+        kruskal_wallis,
+    )
+
+    rows = (
+        [("a", v) for v in [1, 2, 3]]
+        + [("b", v) for v in [2, 3, 4]]
+        + [("c", v) for v in [10, 11, 12]]
+    )
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = anova_f_oneway(df, "g", "v").collect()[0]
+    assert (r.k_groups, r.n) == (3, 9)
+    assert abs(r.f_stat - 73.0) < 1e-9
+    kw = kruskal_wallis(df, "g", "v").collect()[0]
+    assert (kw.k_groups, kw.n) == (3, 9)
+    assert abs(kw.h_stat - 6.056497) < 1e-6
