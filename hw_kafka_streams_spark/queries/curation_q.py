@@ -1486,3 +1486,60 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return kruskal_wallis(docs, "lang", "n_chars")
+
+
+@register(
+    "q_jaro_winkler_pairs",
+    oracle="""
+        WITH s AS (
+          SELECT p_partkey AS id, p_name AS name,
+                 string_split(p_name, ' ')[1] AS blk,
+                 length(p_name) AS l
+          FROM part
+        ), pairs AS (
+          SELECT a.id AS id_a, b.id AS id_b,
+                 round(jaro_winkler_similarity(a.name, b.name), 6) AS jw
+          FROM s a JOIN s b
+            ON a.blk = b.blk AND a.id < b.id AND abs(a.l - b.l) <= 6
+        )
+        SELECT CAST(floor(jw * 100) AS INT) AS jw_bucket,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(id_a + id_b) AS BIGINT) AS sum_ids
+        FROM pairs WHERE jw >= 0.9
+        GROUP BY 1 ORDER BY 1
+    """,
+    doc="Record linkage over part names (operators/linkage.py): "
+    "blocked candidate generation (first-token block key + length "
+    "band — pair count is sum-of-squares of block sizes, never n^2) "
+    "then Jaro-Winkler scoring in an Arrow-batched kernel, bucketed "
+    "into a score histogram with a pair-membership checksum "
+    "(sum of id_a+id_b per bucket pins EVERY retained pair). The "
+    "Python Jaro-Winkler is parameter-identical to DuckDB's built-in "
+    "jaro_winkler_similarity (match window floor(max/2)-1, half "
+    "transpositions, prefix<=4, scale 0.1, boost threshold 0.7), so "
+    "the oracle recomputes every score with an independent "
+    "implementation. Threshold applies to the 6-dp-rounded score so "
+    "boundary membership is engine-reproducible.",
+)
+def q_jaro_winkler_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.linkage import jw_linkage_pairs
+
+    part = load_table(spark, "part", sf_dir)
+    pairs = jw_linkage_pairs(
+        part,
+        "p_partkey",
+        "p_name",
+        F.split(F.col("p_name"), " ").getItem(0),
+        threshold=0.9,
+        length_band=6,
+    )
+    return (
+        pairs.groupBy(
+            F.floor(F.col("jw") * 100).cast("int").alias("jw_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("id_a") + F.col("id_b")).alias("sum_ids"),
+        )
+        .orderBy("jw_bucket")
+    )

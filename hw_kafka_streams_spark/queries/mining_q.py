@@ -562,8 +562,9 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "4:2:0 planes (codec-free public interchange format) — walk the "
     "frames, keep every 2nd, and compute exact integer mean luma per "
     "sampled frame. One row fans out to its sampled frames, the exact "
-    "mapInPandas shape an ffmpeg-backed sampler uses; only COMPRESSED "
-    "containers remain stubbed. Oracle recomputes frames and luma "
+    "mapInPandas shape an ffmpeg-backed sampler uses; MJPEG AVI is "
+    "decoded for real too (q_multimodal_avi), inter-frame codecs "
+    "stay stubbed. Oracle recomputes frames and luma "
     "arithmetically.",
 )
 def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -598,7 +599,8 @@ def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     "RMS loudness — exactly A for a square wave, so the oracle "
     "recomputes it arithmetically (sqrt of the exact integer mean "
     "square is exact for perfect squares). Zero-shuffle Arrow narrow "
-    "map; compressed audio stays stubbed.",
+    "map; IMA ADPCM compressed audio decodes for real too "
+    "(q_multimodal_adpcm); MP3-class codecs stay stubbed.",
 )
 def q_multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hw_kafka_streams_spark.operators.multimodal import (

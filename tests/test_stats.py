@@ -419,3 +419,30 @@ def test_anova_and_kruskal_hand_computed(spark):
     kw = kruskal_wallis(df, "g", "v").collect()[0]
     assert (kw.k_groups, kw.n) == (3, 9)
     assert abs(kw.h_stat - 6.056497) < 1e-6
+
+
+def test_jaro_winkler_matches_duckdb_builtin():
+    """The linkage kernel's JW must match DuckDB's built-in bit-for-bit
+    (that equivalence is what the q_jaro_winkler_pairs oracle rests
+    on) — battery over tricky cases: transpositions, prefix boost,
+    boost-threshold boundary, empty strings, equal strings."""
+    import duckdb
+
+    from hw_kafka_streams_spark.operators.linkage import (
+        jaro_winkler_similarity,
+    )
+
+    cases = [
+        ("martha", "marhta"), ("dixon", "dicksonx"),
+        ("jellyfish", "smellyfish"), ("hello", "hello"),
+        ("abc", "xyz"), ("DWAYNE", "DUANE"), ("a", ""), ("", ""),
+        ("chocolate almond", "almond chocolate"),
+        ("linen azure", "linen lace azure"),
+        ("aaaaaaaaaa", "aaaaaaaaab"), ("ab", "ba"), ("x", "x"),
+    ]
+    con = duckdb.connect()
+    for a, b in cases:
+        want = con.sql(
+            "select jaro_winkler_similarity(?, ?)", params=[a, b]
+        ).fetchone()[0]
+        assert abs(jaro_winkler_similarity(a, b) - want) < 1e-12, (a, b)
