@@ -1294,3 +1294,77 @@ def q_bigram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter((F.col("doc_id") % 2) == 0)
     held_out = docs.filter((F.col("doc_id") % 2) == 1)
     return T.bigram_backoff_scores(held_out, model_df=train).orderBy("doc_id")
+
+
+@register(
+    "q_countmin_freq",
+    oracle=r"""
+        WITH words AS (
+          SELECT unnest(list_filter(
+                   string_split_regex(trim(lower(text)), '\s+'),
+                   x -> x <> '')) AS w
+          FROM documents WHERE text IS NOT NULL
+        ), seeds AS (
+          SELECT unnest(range(4)) AS d
+        ), cms AS (
+          SELECT d,
+                 ('0x' || substring(md5(d || '|' || w), 1, 15))::BIGINT
+                   % 1024 AS b,
+                 count(*) AS c
+          FROM words, seeds GROUP BY 1, 2
+        ), top AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS exact_count
+          FROM words GROUP BY 1
+          ORDER BY exact_count DESC, w LIMIT 30
+        )
+        SELECT t.w AS word, t.exact_count,
+               CAST(min(COALESCE(cms.c, 0)) AS BIGINT) AS cms_estimate
+        FROM top t CROSS JOIN seeds s
+        LEFT JOIN cms
+          ON cms.d = s.d
+         AND cms.b = ('0x' || substring(md5(s.d || '|' || t.w), 1, 15))
+                       ::BIGINT % 1024
+        GROUP BY 1, 2
+        ORDER BY exact_count DESC, word
+    """,
+    doc="Count-min sketch frequency estimation "
+    "(operators/sketches.py): build a 4x1024 CMS over corpus words — "
+    "ONE map-side-combinable aggregation bounded at d*w counters "
+    "regardless of input size, mergeable across shards by summing — "
+    "then point-estimate the top-30 exact words and report estimate "
+    "beside truth (CMS guarantees estimate >= exact; the gap is the "
+    "collision error the d-row min controls). Hashing is the repo's "
+    "md5-twin so DuckDB rebuilds the identical grid and estimates — "
+    "full value-hash oracle over a probabilistic sketch.",
+)
+def q_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.cache import managed_persist
+    from hw_kafka_streams_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+    from hw_kafka_streams_spark.operators.text import word_tokens
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("text").isNotNull()
+    )
+    words = managed_persist(
+        docs.select(F.explode(word_tokens(F.lower(F.col("text")))).alias("w"))
+    )
+    cms = cms_build(words, "w", depth=4, width=1024)
+    top = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), "w")
+        .limit(30)
+    )
+    est = cms_estimate(cms, top.select("w"), "w", depth=4, width=1024)
+    return (
+        top.join(est, "w")
+        .select(
+            F.col("w").alias("word"),
+            "exact_count",
+            F.col("cms_estimate").cast("long").alias("cms_estimate"),
+        )
+        .orderBy(F.desc("exact_count"), "word")
+    )

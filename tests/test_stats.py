@@ -446,3 +446,41 @@ def test_jaro_winkler_matches_duckdb_builtin():
             "select jaro_winkler_similarity(?, ?)", params=[a, b]
         ).fetchone()[0]
         assert abs(jaro_winkler_similarity(a, b) - want) < 1e-12, (a, b)
+
+
+def test_cms_overestimates_and_merges(spark):
+    """CMS invariants: estimate >= exact for every key; summing two
+    shard sketches equals the whole-corpus sketch (mergeability is
+    the property that makes it a 100 TB artifact)."""
+    from pyspark.sql import functions as F
+
+    from hw_kafka_streams_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    rows = [(w,) for w in ["a"] * 50 + ["b"] * 20 + ["c"] * 5 + ["d"]]
+    df = spark.createDataFrame(rows, "w string")
+    cms = cms_build(df, "w", depth=3, width=16)
+    keys = spark.createDataFrame([("a",), ("b",), ("c",), ("d",), ("zz",)], "w string")
+    est = {
+        r.w: r.cms_estimate
+        for r in cms_estimate(cms, keys, "w", depth=3, width=16).collect()
+    }
+    exact = {"a": 50, "b": 20, "c": 5, "d": 1, "zz": 0}
+    for k, v in exact.items():
+        assert est[k] >= v, (k, est[k], v)
+    assert est["a"] >= 50  # heavy key never underestimated
+    # mergeability: shard sketches sum to the corpus sketch
+    rows_id = [(i, w) for i, w in enumerate(["a"] * 50 + ["b"] * 20 + ["c"] * 5 + ["d"])]
+    dfi = spark.createDataFrame(rows_id, "i long, w string")
+    s1 = cms_build(dfi.filter("i % 2 = 0"), "w", depth=3, width=16)
+    s2 = cms_build(dfi.filter("i % 2 = 1"), "w", depth=3, width=16)
+    merged = (
+        s1.unionByName(s2)
+        .groupBy("cms_row", "cms_bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = {(r.cms_row, r.cms_bucket): r.cnt for r in cms.collect()}
+    got = {(r.cms_row, r.cms_bucket): r.cnt for r in merged.collect()}
+    assert got == whole
