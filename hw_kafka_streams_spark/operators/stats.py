@@ -1396,3 +1396,61 @@ def kruskal_wallis(
         F.col("_nt").alias("n"),
         F.round(h_corr, 6).alias("h_stat"),
     )
+
+
+def holt_linear(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.5,
+    horizon: int = 3,
+) -> DataFrame:
+    """Holt's double-exponential smoothing (level + linear trend) per
+    key — the standard public forecasting recurrence
+    (l_t = α·y_t + (1−α)(l_{t−1}+b_{t−1});
+    b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}), initialized l₀=y₀,
+    b₀=y₁−y₀. Returns one row per key: (key, n, level, trend,
+    forecast at t+horizon).
+
+    Determinism: α=β=1/2 are exact binary constants and the update is
+    evaluated in a pinned operation order (mul, mul, add) that the
+    DuckDB recursive-CTE oracle replays verbatim, so the float
+    trajectory is bit-identical across engines; outputs round at the
+    edge.
+
+    Scale shape: the recurrence is sequential WITHIN a key
+    (spec-mandated, like an ADPCM block) but embarrassingly parallel
+    ACROSS keys — ``applyInPandas`` after one shuffle on the key, the
+    canonical Spark shape for per-entity state machines. State is
+    O(1) per key; no global order, no driver loop.
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{key_col} long, n long, level double, trend double, forecast double"
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols)
+        key = pdf[key_col].iloc[0]
+        ys = [float(v) for v in pdf[value_col]]
+        level = ys[0]
+        trend = ys[1] - ys[0] if len(ys) > 1 else 0.0
+        for y in ys[1:]:
+            prev = level
+            level = alpha * y + (1 - alpha) * (level + trend)
+            trend = beta * (level - prev) + (1 - beta) * trend
+        return pd.DataFrame(
+            [[key, len(ys), round(level, 6), round(trend, 6),
+              round(level + horizon * trend, 6)]],
+            columns=[key_col, "n", "level", "trend", "forecast"],
+        )
+
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(key_col, *order_cols, value_col)
+        .groupBy(key_col)
+        .applyInPandas(fit, out_schema)
+    )

@@ -2044,3 +2044,54 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, "events", sf_dir)
     return psi_drift(e, "value", "event_type", "view", "click", n_bins=10)
+
+
+@register(
+    "q_holt_forecast",
+    oracle="""
+        WITH RECURSIVE s AS (
+          SELECT user_id, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn,
+                 count(*) OVER (PARTITION BY user_id) AS n
+          FROM events WHERE user_id < 30 AND value IS NOT NULL
+        ), rec AS (
+          SELECT s0.user_id, s0.n, 1 AS rn,
+                 s0.value AS l,
+                 COALESCE(s1.value - s0.value, 0.0) AS b
+          FROM s s0 LEFT JOIN s s1
+            ON s1.user_id = s0.user_id AND s1.rn = 2
+          WHERE s0.rn = 1
+          UNION ALL
+          SELECT r.user_id, r.n, r.rn + 1,
+                 0.5 * nx.value + 0.5 * (r.l + r.b),
+                 0.5 * ((0.5 * nx.value + 0.5 * (r.l + r.b)) - r.l)
+                   + 0.5 * r.b
+          FROM rec r JOIN s nx
+            ON nx.user_id = r.user_id AND nx.rn = r.rn + 1
+        )
+        SELECT user_id, CAST(n AS BIGINT) AS n,
+               round(l, 6) AS level, round(b, 6) AS trend,
+               round(l + 3 * b, 6) AS forecast
+        FROM rec WHERE rn = n ORDER BY user_id
+    """,
+    doc="Holt double-exponential smoothing (level + linear trend, "
+    "alpha=beta=1/2, init l0=y0 b0=y1-y0) per user over the events "
+    "stream, forecasting 3 steps ahead — the standard public "
+    "short-horizon forecaster. Sequential within a key, parallel "
+    "across keys (applyInPandas after one key shuffle, the canonical "
+    "per-entity state-machine shape; operators/stats.holt_linear). "
+    "Exact binary smoothing constants + a pinned op order make the "
+    "float trajectory bit-identical to the DuckDB recursive-CTE "
+    "twin, which replays the full recurrence — every step of every "
+    "user's state is value-hash-checked, like q_multimodal_adpcm's "
+    "codec oracle.",
+)
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.stats import holt_linear
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 30)
+    return holt_linear(
+        ev, "user_id", ["ts", "event_id"], "value",
+        alpha=0.5, beta=0.5, horizon=3,
+    ).orderBy("user_id")
