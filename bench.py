@@ -94,6 +94,13 @@ HEADLINE = [
     # headline: their wall time is dominated by deliberate table writes)
     "q_bigram_backoff_score",
     "q_multimodal_jpeg",
+    # round 6 (cont.): MJPEG-AVI per-frame decode fan-out, the
+    # count-min sketch corpus build, and blocked Jaro-Winkler linkage
+    # (the scan/sketch/block-join shapes worth tracking round-over-
+    # round; the fixed-size ADPCM/stat-test probes are sub-bench-noise)
+    "q_multimodal_avi",
+    "q_countmin_freq",
+    "q_jaro_winkler_pairs",
 ]
 
 

@@ -508,16 +508,14 @@ def bigram_backoff_scores(
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("_cl"))
     )
+    # union + re-aggregate, not a full-outer join: a full outer can
+    # never broadcast, so it would force a vocab-sized sort-merge
+    # join; the union feeds one partial-agged hash aggregate instead
     uni = (
-        ctx.select(F.col("w1").alias("t"), F.col("ctx").alias("_cw"))
-        .join(last, "t", "full_outer")
-        .select(
-            "t",
-            (
-                F.coalesce(F.col("_cw"), F.lit(0))
-                + F.coalesce(F.col("_cl"), F.lit(0))
-            ).alias("c1"),
-        )
+        ctx.select(F.col("w1").alias("t"), F.col("ctx").alias("_c"))
+        .unionByName(last.select("t", F.col("_cl").alias("_c")))
+        .groupBy("t")
+        .agg(F.sum("_c").alias("c1"))
     )
     ntot = uni.agg(F.sum("c1").alias("n_tok"))
     seen = F.col("c2").isNotNull()
