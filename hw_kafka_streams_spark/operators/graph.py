@@ -92,3 +92,50 @@ def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return per_node
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over an
+    edge list; returns (node, label) after ``iters`` rounds.
+
+    Every node starts labeled with itself; each round it adopts the
+    most frequent label among its neighbors, ties broken by the
+    SMALLEST label — the deterministic variant of LPA (the classic
+    randomized tie-break would be un-oracle-able), so the whole
+    trajectory replays exactly in the unrolled-CTE oracle.
+
+    Scale shape: one round = join labels onto edges [shuffle on node
+    key, layout reused across rounds like pagerank] + count per
+    (node, candidate) + a PER-NODE row_number window (keyed — never
+    global). Labels are small longs; state is one row per node.
+    Expects a symmetric edge list (add reversed edges first for
+    directed input); isolated nodes keep their own label by
+    construction of the node set (endpoints of edges).
+    """
+    from pyspark.sql import Window
+
+    labels = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+    )
+    e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+    w = Window.partitionBy("node").orderBy(F.desc("cnt"), "lbl")
+    for _ in range(iters):
+        votes = (
+            e.join(labels, e.e_dst == labels.node)
+            .groupBy(F.col("e_src").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            votes.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("node", "lbl")
+        )
+    return labels

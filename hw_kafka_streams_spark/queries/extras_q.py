@@ -1424,3 +1424,78 @@ def q_snapshot_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         "sum_price",
     )
+
+
+def _lpa_oracle(iters: int = 3) -> str:
+    """Unrolled-CTE twin of operators/graph.label_propagation over the
+    supplier co-occurrence graph: identical self-init and the
+    deterministic (count DESC, label ASC) tie-break each round."""
+    ctes = [
+        "WITH lp AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)",
+        """e AS (SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+         FROM lp a JOIN lp b
+           ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey)""",
+        """l0 AS (SELECT node, node AS lbl FROM
+          (SELECT src AS node FROM e UNION SELECT dst FROM e))""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""l{i} AS (SELECT node, lbl FROM (
+           SELECT e.src AS node, l.lbl,
+                  row_number() OVER (PARTITION BY e.src
+                                     ORDER BY count(*) DESC, l.lbl) AS rk
+           FROM e JOIN l{i - 1} l ON l.node = e.dst
+           GROUP BY e.src, l.lbl) WHERE rk = 1)"""
+        )
+    body = ",\n        ".join(ctes)
+    return f"""
+        {body}
+        SELECT lbl AS community, CAST(count(*) AS BIGINT) AS size,
+               CAST(sum(node) AS BIGINT) AS sum_nodes
+        FROM l{iters}
+        GROUP BY 1 ORDER BY size DESC, community
+    """
+
+
+@register(
+    "q_label_propagation",
+    oracle=_lpa_oracle(),
+    doc="Deterministic synchronous label propagation (3 rounds, "
+    "Raghavan et al. 2007 with count-DESC/label-ASC tie-break) over "
+    "the supplier co-occurrence graph — community detection as the "
+    "third iterative graph algorithm beside PageRank and the "
+    "connected-components labeler. Per-round state is one label per "
+    "node; the vote argmax is a PER-NODE keyed window, never global. "
+    "Communities report (label, size, membership checksum) so any "
+    "node landing in the wrong community flips the hash; the oracle "
+    "unrolls all three rounds as CTEs "
+    "(operators/graph.label_propagation).",
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.graph import label_propagation
+
+    lp = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = lp.select(
+        F.col("l_orderkey").alias("o1"), F.col("l_suppkey").alias("src")
+    )
+    b = lp.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("dst")
+    )
+    edges = (
+        a.join(b, (F.col("o1") == F.col("o2")) & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+        .distinct()
+    )
+    labels = label_propagation(edges, iters=3)
+    return (
+        labels.groupBy(F.col("lbl").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("size"),
+            F.sum("node").alias("sum_nodes"),
+        )
+        .orderBy(F.desc("size"), "community")
+    )

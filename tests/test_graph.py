@@ -29,3 +29,28 @@ def test_pagerank_favors_high_indegree(spark):
     ranks = {r.node: r.rank for r in pagerank(edges, iters=5).collect()}
     assert all(ranks[0] > ranks[leaf] for leaf in leaves)
     assert abs(sum(ranks.values()) - 1.0) < 1e-4
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 3-cliques joined by one bridge edge: after 3 deterministic
+    rounds each clique converges to its minimum label; the bridge is
+    outvoted by within-clique majorities."""
+    from hw_kafka_streams_spark.operators.graph import label_propagation
+
+    cliq1 = [(1, 2), (2, 3), (1, 3)]
+    cliq2 = [(10, 11), (11, 12), (10, 12)]
+    bridge = [(3, 10)]
+    und = cliq1 + cliq2 + bridge
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    got = {
+        r.node: r.lbl for r in label_propagation(edges, iters=3).collect()
+    }
+    # each clique converges to ONE label and the cliques differ
+    # (exact labels depend on the synchronous trajectory: label 3
+    # crosses the bridge and wins clique 2 — deterministic, and the
+    # oracle replays the same trajectory)
+    assert got[1] == got[2] == got[3]
+    assert got[10] == got[11] == got[12]
+    assert got[1] != got[10]
