@@ -219,3 +219,53 @@ def test_prefix_filtering_is_complete(sets, tau):
             jac = len(a & b) / len(a | b)
             if jac >= tau:
                 assert prefix(a) & prefix(b), (a, b, tau)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=-2048, max_value=2047),
+    st.integers(min_value=0, max_value=60),
+    st.lists(
+        st.integers(min_value=0, max_value=15), min_size=2, max_size=40
+    ).filter(lambda ns: len(ns) % 2 == 0),
+)
+def test_adpcm_decoder_matches_sql_state_machine(pred0, idx0, nibbles):
+    """Property: the Python IMA decoder and the recursive-CTE state
+    machine (the exact SQL shape q_multimodal_adpcm's oracle uses)
+    agree on EVERY random (predictor, index, nibble-stream) — so the
+    oracle's correctness does not hinge on the one fixture pattern."""
+    import duckdb
+
+    from hw_kafka_streams_spark.operators.adpcmcodec import (
+        STEP_TABLE,
+        decode_ima_adpcm_wav,
+        make_ima_adpcm_wav,
+    )
+
+    got = decode_ima_adpcm_wav(make_ima_adpcm_wav(pred0, idx0, nibbles))
+    steps = "[" + ",".join(map(str, STEP_TABLE)) + "]"
+    nib_rows = ", ".join(f"({i}, {n})" for i, n in enumerate(nibbles))
+    sql = f"""
+    WITH RECURSIVE nib(i, n) AS (VALUES {nib_rows}),
+    dec AS (
+      SELECT 0 AS i, CAST({pred0} AS BIGINT) AS pred,
+             CAST({idx0} AS BIGINT) AS idx
+      UNION ALL
+      SELECT i, predn,
+             least(88, greatest(0, idx + ([-1,-1,-1,-1,2,4,6,8])[(nb % 8) + 1]))
+      FROM (
+        SELECT d.i + 1 AS i, d.idx, nib.n AS nb,
+               least(32767, greatest(-32768,
+                 d.pred + (CASE WHEN nib.n >= 8 THEN -1 ELSE 1 END)
+                 * ((s // 8) + (nib.n % 2) * (s // 4)
+                    + ((nib.n // 2) % 2) * (s // 2)
+                    + ((nib.n // 4) % 2) * s))) AS predn
+        FROM (SELECT *, ({steps})[idx + 1] AS s FROM dec) d
+        JOIN nib ON nib.i = d.i
+        WHERE d.i < {len(nibbles)}
+      )
+    )
+    SELECT i, pred FROM dec ORDER BY i
+    """
+    want = [r[1] for r in duckdb.sql(sql).fetchall()]
+    assert got == want
