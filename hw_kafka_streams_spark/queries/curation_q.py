@@ -1543,3 +1543,79 @@ def q_jaro_winkler_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("jw_bucket")
     )
+
+
+@register(
+    "q_soundex_blocking",
+    oracle=r"""
+        WITH words AS (
+          SELECT DISTINCT unnest(list_filter(
+                   string_split_regex(trim(lower(text)), '\s+'),
+                   x -> x <> '')) AS w
+          FROM documents WHERE text IS NOT NULL
+        ), alpha AS (
+          SELECT w FROM words WHERE regexp_matches(w, '^[a-z]+$')
+        ), m AS (
+          SELECT w, list_filter(string_split(upper(w), ''),
+                                x -> x BETWEEN 'A' AND 'Z') AS ls0
+          FROM alpha
+        ), hw AS (
+          SELECT w, list_concat([ls0[1]],
+                   list_filter(ls0, (x, i) -> i > 1 AND x <> 'H'
+                                    AND x <> 'W')) AS ls
+          FROM m
+        ), coded AS (
+          SELECT w, ls,
+                 list_transform(ls, x ->
+                   substring('01230120022455012623010202',
+                             ascii(x) - 64, 1)) AS cs
+          FROM hw
+        ), sx AS (
+          SELECT w,
+                 substring(
+                   ls[1] || coalesce(array_to_string(
+                     list_filter(cs, (x, i) -> i > 1 AND x <> '0'
+                                      AND x <> cs[i-1]), ''), '')
+                   || '000', 1, 4) AS code
+          FROM coded
+        )
+        SELECT code, CAST(count(*) AS BIGINT) AS n_words,
+               min(w) AS min_word, max(w) AS max_word
+        FROM sx GROUP BY code
+        ORDER BY n_words DESC, code LIMIT 40
+    """,
+    doc="Phonetic blocking key audit: US-census Soundex (the "
+    "H/W-transparent variant Spark's JVM-side soundex() implements — "
+    "verified code-for-code against a 46-case battery incl. "
+    "Ashcraft/Tymczak/Pfister/Wheel) over the distinct alphabetic "
+    "corpus vocabulary, reporting the 40 largest phonetic buckets "
+    "with min/max members. The blocking companion to "
+    "q_jaro_winkler_pairs: soundex keys bound candidate generation "
+    "for name-matching the way LSH bands bound near-dup search. "
+    "Entirely JVM-side (whole-stage codegen, zero Python); the "
+    "oracle re-implements the full algorithm in SQL list lambdas — "
+    "letter mapping '01230120022455012623010202', H/W transparency, "
+    "vowel duplicate-reset, 4-char pad.",
+)
+def q_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.text import word_tokens
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("text").isNotNull()
+    )
+    words = (
+        docs.select(F.explode(word_tokens(F.lower(F.col("text")))).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .distinct()
+    )
+    return (
+        words.select("w", F.soundex(F.col("w")).alias("code"))
+        .groupBy("code")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.min("w").alias("min_word"),
+            F.max("w").alias("max_word"),
+        )
+        .orderBy(F.desc("n_words"), "code")
+        .limit(40)
+    )
