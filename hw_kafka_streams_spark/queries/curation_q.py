@@ -1619,3 +1619,72 @@ def q_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_words"), "code")
         .limit(40)
     )
+
+
+@register(
+    "q_homoglyph_spoofs",
+    oracle=r"""
+        WITH words AS (
+          SELECT DISTINCT unnest(list_filter(
+                   string_split_regex(trim(lower(text)), '\s+'),
+                   x -> x <> '')) AS w
+          FROM documents WHERE text IS NOT NULL
+        ), alpha AS (
+          SELECT w FROM words WHERE regexp_matches(w, '^[a-z]+$')
+        ), spoofed AS (
+          SELECT w FROM alpha
+          UNION ALL
+          SELECT translate(w, 'aeocxpy', 'аеосхру') AS w
+          FROM alpha WHERE length(w) >= 6 AND w LIKE 's%'
+        ), folded AS (
+          SELECT w, translate(w, 'аеосхру', 'aeocxpy') AS skeleton
+          FROM spoofed
+        )
+        SELECT skeleton, CAST(count(DISTINCT w) AS BIGINT) AS n_forms,
+               min(w) AS min_form, max(w) AS max_form
+        FROM folded GROUP BY skeleton
+        HAVING count(DISTINCT w) > 1
+        ORDER BY skeleton
+    """,
+    doc="Homoglyph spoof detection — the scaled-up version of the "
+    "reference's own golden subtlety (its censor treats Cyrillic "
+    "'1С' and Latin '1C' as DIFFERENT words, tests/test_golden.py): "
+    "fold confusable Cyrillic lookalikes (а е о с х р у) to their "
+    "Latin skeletons with a JVM-side translate() and group by "
+    "skeleton — any skeleton carrying >1 distinct raw form is a "
+    "spoof cluster (the Unicode-security confusables recipe, "
+    "UTS #39). Spoofed variants are synthesized deterministically "
+    "(all long s-words get a fully-substituted Cyrillic twin) so the "
+    "detector provably fires; at crawl scale the same fold runs "
+    "pre-dedup so lookalike spam can't bypass exact-hash dedup. "
+    "Zero Python, one aggregation.",
+)
+def q_homoglyph_spoofs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.text import word_tokens
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("text").isNotNull()
+    )
+    alpha = (
+        docs.select(F.explode(word_tokens(F.lower(F.col("text")))).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .distinct()
+    )
+    spoofed = alpha.unionByName(
+        alpha.filter(
+            (F.length("w") >= 6) & F.col("w").startswith("s")
+        ).select(F.translate(F.col("w"), "aeocxpy", "аеосхру").alias("w"))
+    )
+    folded = spoofed.select(
+        "w", F.translate(F.col("w"), "аеосхру", "aeocxpy").alias("skeleton")
+    )
+    return (
+        folded.groupBy("skeleton")
+        .agg(
+            F.countDistinct("w").alias("n_forms"),
+            F.min("w").alias("min_form"),
+            F.max("w").alias("max_form"),
+        )
+        .filter(F.col("n_forms") > 1)
+        .orderBy("skeleton")
+    )
