@@ -2095,3 +2095,64 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", ["ts", "event_id"], "value",
         alpha=0.5, beta=0.5, horizon=3,
     ).orderBy("user_id")
+
+
+@register(
+    "q_proportion_ztest",
+    oracle="""
+        WITH m AS (
+          SELECT
+            CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n1,
+            CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n2,
+            CAST(sum(CASE WHEN user_id % 2 = 0
+                          AND event_type = 'purchase'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+            CAST(sum(CASE WHEN user_id % 2 = 1
+                          AND event_type = 'purchase'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS x2
+          FROM events WHERE user_id IS NOT NULL
+        )
+        SELECT n1, n2, x1, x2,
+               round(CAST(x1 AS DOUBLE) / n1, 6) AS rate_1,
+               round(CAST(x2 AS DOUBLE) / n2, 6) AS rate_2,
+               round((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+                     / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                            * (1 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                            * (1.0 / n1 + 1.0 / n2)), 6) AS z_score
+        FROM m
+    """,
+    doc="Two-proportion pooled z-test of purchase conversion between "
+    "even/odd user cohorts — the A/B test for binary outcomes "
+    "(completing the test battery: Welch t for means, Mann-Whitney "
+    "for distributions, chi2 for independence, this for rates). ONE "
+    "conditional aggregation builds four exact integer counts; the "
+    "pooled-variance z is a scalar epilogue. Cheapest possible plan "
+    "at any scale: single pass, O(1) state, no shuffle beyond the "
+    "4-number partial merge.",
+)
+def q_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull()
+    )
+    is1 = (F.col("user_id") % 2) == 0
+    purch = F.col("event_type") == "purchase"
+    m = ev.agg(
+        F.sum(F.when(is1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(~is1, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(is1 & purch, 1).otherwise(0)).alias("x1"),
+        F.sum(F.when(~is1 & purch, 1).otherwise(0)).alias("x2"),
+    )
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    x1, x2 = F.col("x1").cast("double"), F.col("x2").cast("double")
+    p = (x1 + x2) / (n1 + n2)
+    z = (x1 / n1 - x2 / n2) / F.sqrt(
+        p * (1 - p) * (F.lit(1.0) / n1 + F.lit(1.0) / n2)
+    )
+    return m.select(
+        "n1", "n2", "x1", "x2",
+        F.round(x1 / n1, 6).alias("rate_1"),
+        F.round(x2 / n2, 6).alias("rate_2"),
+        F.round(z, 6).alias("z_score"),
+    )
