@@ -2156,3 +2156,91 @@ def q_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(x2 / n2, 6).alias("rate_2"),
         F.round(z, 6).alias("z_score"),
     )
+
+
+@register(
+    "q_theil_sen",
+    oracle="""
+        WITH e AS (
+          SELECT user_id, epoch(ts) AS t, value
+          FROM events
+          WHERE user_id < 25 AND value IS NOT NULL AND ts IS NOT NULL
+        ), slopes AS (
+          SELECT a.user_id,
+                 (b.value - a.value) / (b.t - a.t) AS slope
+          FROM e a JOIN e b
+            ON a.user_id = b.user_id AND a.t < b.t
+        ), ranked AS (
+          SELECT user_id, slope,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY slope) AS rn,
+                 count(*) OVER (PARTITION BY user_id) AS m
+          FROM slopes
+        )
+        SELECT user_id, CAST(m AS BIGINT) AS n_pairs,
+               round(slope, 6) + 0.0 AS ts_slope
+        FROM ranked WHERE rn = (m + 1) // 2
+        ORDER BY user_id
+    """,
+    doc="Theil-Sen robust trend estimator per user: the LOWER MEDIAN "
+    "of all pairwise slopes (v_j-v_i)/(t_j-t_i) over the user's "
+    "event series — the standard outlier-resistant alternative to "
+    "the OLS slope (breaks down only at 29% contamination vs OLS's "
+    "0%). Lower median (element (m+1)//2 of the sorted slopes) "
+    "instead of the interpolated median keeps the result an actual "
+    "computed slope — one IEEE division, bit-identical across "
+    "engines, no averaging drift. Pairs come from a per-key "
+    "self-join (quadratic IN THE KEY GROUP only — bounded by "
+    "per-entity series length, never corpus-wide; the keyed window "
+    "rank is equally bounded). Timestamps compare as exact epoch "
+    "integers; equal-timestamp pairs are excluded (undefined slope).",
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = (
+        load_table(spark, "events", sf_dir)
+        .filter(
+            (F.col("user_id") < 25)
+            & F.col("value").isNotNull()
+            & F.col("ts").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp("ts").alias("t"),
+            "value",
+        )
+    )
+    a = e.select("user_id", F.col("t").alias("t1"), F.col("value").alias("v1"))
+    b = e.select(
+        F.col("user_id").alias("u2"),
+        F.col("t").alias("t2"),
+        F.col("value").alias("v2"),
+    )
+    slopes = a.join(
+        b, (F.col("user_id") == F.col("u2")) & (F.col("t1") < F.col("t2"))
+    ).select(
+        "user_id",
+        ((F.col("v2") - F.col("v1")) / (F.col("t2") - F.col("t1"))).alias(
+            "slope"
+        ),
+    )
+    w = W.partitionBy("user_id").orderBy("slope")
+    wc = W.partitionBy("user_id")
+    ranked = slopes.select(
+        "user_id",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("m"),
+    )
+    return (
+        ranked.filter(F.col("rn") == F.floor((F.col("m") + 1) / 2))
+        .select(
+            "user_id",
+            F.col("m").alias("n_pairs"),
+            # + 0.0 folds IEEE negative zero (a rounded -1e-9) to +0.0
+            # on both engines so the value-hash cannot split on -0.0
+            (F.round("slope", 6) + F.lit(0.0)).alias("ts_slope"),
+        )
+        .orderBy("user_id")
+    )
