@@ -2244,3 +2244,122 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q_runs_test",
+    oracle="""
+        WITH e AS (
+          SELECT user_id, ts, event_id, value
+          FROM events
+          WHERE user_id < 40 AND value IS NOT NULL AND ts IS NOT NULL
+        ), med AS (
+          SELECT user_id, value AS med FROM (
+            SELECT user_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY value, event_id) AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS n
+            FROM e
+          ) WHERE rn = (n + 1) // 2
+        ), seq AS (
+          SELECT e.user_id, e.ts, e.event_id,
+                 CASE WHEN e.value > med.med THEN 1 ELSE 0 END AS s
+          FROM e JOIN med ON e.user_id = med.user_id
+          WHERE e.value <> med.med
+        ), runs AS (
+          SELECT user_id, s,
+                 CASE WHEN lag(s) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) IS DISTINCT
+                           FROM s THEN 1 ELSE 0 END AS st
+          FROM seq
+        ), m AS (
+          SELECT user_id,
+                 CAST(sum(st) AS BIGINT) AS r,
+                 CAST(sum(s) AS BIGINT) AS n1,
+                 CAST(count(*) - sum(s) AS BIGINT) AS n2
+          FROM runs GROUP BY user_id
+        )
+        SELECT user_id, r AS n_runs, n1, n2,
+               round((r - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                     / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                            / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)
+                               * (n1 + n2 - 1))), 6) + 0.0 AS z_score
+        FROM m WHERE n1 > 0 AND n2 > 0 AND n1 + n2 > 1
+        ORDER BY user_id
+    """,
+    doc="Wald-Wolfowitz runs test per user: binarize each event value "
+    "against the user's LOWER MEDIAN (an actual data value from the "
+    "keyed rank window — no interpolation, so the split is exact), "
+    "drop median-equal points, count sign runs with one keyed lag "
+    "window, and score run-count vs the exact-integer null "
+    "moments — the sequence-randomness audit (does a user's metric "
+    "alternate suspiciously or trend in streaks?). All counts exact; "
+    "z is a scalar epilogue with the -0.0 fold. Everything runs in "
+    "per-key windows: median rank, lag, and aggregation all shuffle "
+    "once on user_id.",
+)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = (
+        load_table(spark, "events", sf_dir)
+        .filter(
+            (F.col("user_id") < 40)
+            & F.col("value").isNotNull()
+            & F.col("ts").isNotNull()
+        )
+        .select("user_id", "ts", "event_id", "value")
+    )
+    wv = W.partitionBy("user_id").orderBy("value", "event_id")
+    wc = W.partitionBy("user_id")
+    med = (
+        e.select(
+            "user_id",
+            "value",
+            F.row_number().over(wv).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n"),
+        )
+        .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select("user_id", F.col("value").alias("med"))
+    )
+    seq = (
+        e.join(med, "user_id")
+        .filter(F.col("value") != F.col("med"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(F.col("value") > F.col("med"), 1).otherwise(0).alias("s"),
+        )
+    )
+    wt = W.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = seq.select(
+        "user_id",
+        "s",
+        F.when(
+            ~F.lag("s").over(wt).eqNullSafe(F.col("s")), 1
+        ).otherwise(0).alias("st"),
+    )
+    m = runs.groupBy("user_id").agg(
+        F.sum("st").alias("r"),
+        F.sum("s").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("s")).alias("n2"),
+    )
+    r = F.col("r").cast("double")
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1
+    var = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))
+    )
+    return (
+        m.filter((F.col("n1") > 0) & (F.col("n2") > 0) & (F.col("n1") + F.col("n2") > 1))
+        .select(
+            "user_id",
+            F.col("r").alias("n_runs"),
+            "n1",
+            "n2",
+            (F.round((r - mu) / F.sqrt(var), 6) + F.lit(0.0)).alias("z_score"),
+        )
+        .orderBy("user_id")
+    )
