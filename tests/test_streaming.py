@@ -1169,3 +1169,81 @@ def test_streaming_reservoir_equals_batch_twin(spark, tmpdir):
     }
     assert got == expected
     assert len(got) == 10  # 5 per key
+
+
+def test_streaming_cms_heavy_hitter_monitor(spark, tmp_path):
+    """Two micro-batches fold into the partitioned CMS state; the
+    merged estimate covers BOTH batches (>= exact count across the
+    whole history), replaying a batch's fold is idempotent (partition
+    overwrite, no double count), and compaction preserves the grid."""
+    import json
+    import time
+
+    from hw_kafka_streams_spark.streaming.cmsmonitor import (
+        cms_state,
+        cms_state_estimate,
+        compact_cms_state,
+        fold_batch_cms,
+        run_streaming_cms,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    state = str(tmp_path / "cms_state")
+    chk = str(tmp_path / "chk")
+    with open(src / "b1.json", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "spark spark spark flink"}) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = run_streaming_cms(spark, stream, state, chk, depth=3, width=64)
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(state).count() > 0:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        with open(src / "b2.json", "w") as f:
+            f.write(json.dumps({"doc_id": 2, "text": "spark beam beam"}) + "\n")
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(state).select("batch_id").distinct().count() >= 2:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    keys = spark.createDataFrame([("spark",), ("beam",), ("never",)], "w string")
+    est = {
+        r.w: r.cms_estimate
+        for r in cms_state_estimate(spark, state, keys, depth=3, width=64).collect()
+    }
+    assert est["spark"] >= 4  # 3 in batch 1 + 1 in batch 2
+    assert est["beam"] >= 2
+    grid_before = {
+        (r.cms_row, r.cms_bucket): r.cnt for r in cms_state(spark, state).collect()
+    }
+    # replay batch 1's fold: partition overwrite -> identical grid
+    b1 = spark.read.schema("doc_id long, text string").json(str(src / "b1.json"))
+    fold_batch_cms(b1, state, 0, depth=3, width=64)
+    grid_replay = {
+        (r.cms_row, r.cms_bucket): r.cnt for r in cms_state(spark, state).collect()
+    }
+    assert grid_replay == grid_before
+    # compaction preserves the merged grid in one partition
+    compact_cms_state(spark, state)
+    grid_after = {
+        (r.cms_row, r.cms_bucket): r.cnt for r in cms_state(spark, state).collect()
+    }
+    assert grid_after == grid_before
+    assert (
+        spark.read.parquet(state).select("batch_id").distinct().count() == 1
+    )
