@@ -10,9 +10,19 @@ measure, both from the public record-linkage literature).
 Scale design:
 - Blocking is an equi-join on (block key) plus a length band — one
   bounded shuffle; pair count is sum-of-squares of block sizes, never
-  |n|². Oversized blocks are the classic skew hazard: cap them with
-  ``max_block`` (drop + count, reported via the levers doc, same
-  policy as the LSH band caps in operators/dedup.py).
+  |n|². Oversized blocks are the classic skew hazard: ``max_block``
+  DROPS any block whose size exceeds the cap (the linkage-literature
+  policy: a block that large means the key is non-discriminative
+  there, and scoring it would be quadratic garbage — same policy as
+  the LSH band caps in operators/dedup.py). The cap check is a window
+  count over the SAME partitioning the candidate join needs, so it
+  adds no extra shuffle; it makes total pair work ≤ blocks·cap²
+  regardless of data volume — the property that lets this run on
+  100 TB catalogs where a low-cardinality key would otherwise go
+  quadratic (round-6 lesson: first-token blocking over TPC-H's
+  ~92-color part-name vocabulary produced 25 M candidate pairs at
+  sf0.1 and 235 s of scoring; brand+bigram blocking with the cap
+  yields 125 k pairs and ~1 s).
 - Scoring runs in an Arrow-batched pandas UDF (the JW inner loop is
   per-pair O(len²) integer work on ≤50-char names — ~1 µs/pair).
 - ``id_a < id_b`` dedups the symmetric pair inside the join predicate
@@ -97,18 +107,31 @@ def jw_linkage_pairs(
     block_key: Column,
     threshold: float = 0.9,
     length_band: int = 6,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Blocked Jaro-Winkler candidate pairs above ``threshold``.
 
     Returns (id_a, id_b, name_a, name_b, jw) with id_a < id_b and
     jw rounded to 6 dp (the threshold applies to the ROUNDED score so
-    boundary membership is reproducible across engines)."""
+    boundary membership is reproducible across engines). Blocks with
+    more than ``max_block`` members are dropped entirely before pair
+    generation — a deterministic policy both engines can replicate —
+    bounding pair work at blocks·cap² whatever the data volume."""
+    from pyspark.sql import Window
+
     side = df.select(
         F.col(id_col).alias("_id"),
         F.col(name_col).alias("_name"),
         block_key.alias("_blk"),
         F.length(name_col).alias("_len"),
     )
+    if max_block is not None:
+        # Window count over _blk: same hash partitioning the candidate
+        # equi-join shuffles on anyway, so the cap costs no new exchange.
+        n_blk = F.count(F.lit(1)).over(Window.partitionBy("_blk"))
+        side = side.withColumn("_n", n_blk).filter(
+            F.col("_n") <= max_block
+        ).drop("_n")
     a = side.select(
         F.col("_id").alias("id_a"),
         F.col("_name").alias("name_a"),
