@@ -76,6 +76,14 @@ PROBES = [
     "q_tfidf_cosine_pairs",    # sparse weighted-cosine inverted index
     "q_bigram_backoff_score",  # held-out LM scoring w/ LEFT-join backoff
     "q_time_travel",           # snapshot create/merge/delete + 3 pinned reads
+    # round-6 lesson: q_jaro_winkler_pairs went quadratic at sf0.1
+    # (25 M candidate pairs, 235 s) and no probe caught it because it
+    # wasn't in this list — every new pair-generating or kernel-heavy
+    # query joins the probe the round it lands
+    "q_jaro_winkler_pairs",    # capped blocked linkage + JW kernel
+    "q_countmin_freq",         # CMS sketch build + heavy-hitter probe
+    "q_multimodal_jpeg",       # pure-numpy JPEG pixel decode fan-out
+    "q_soundex_blocking",      # JVM-side phonetic key vocabulary agg
 ]
 
 
