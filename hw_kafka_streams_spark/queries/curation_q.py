@@ -1701,3 +1701,56 @@ def q_homoglyph_spoofs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_forms") > 1)
         .orderBy("skeleton")
     )
+
+
+@register(
+    "q_cuped_lift",
+    oracle="""
+        WITH per_unit AS MATERIALIZED (
+          SELECT user_id AS unit,
+                 CASE WHEN ('0x' || substring(md5(user_id::VARCHAR || ':ab42'),
+                                              1, 15))::BIGINT % 2 = 0
+                      THEN 'control' ELSE 'treatment' END AS arm,
+                 sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                          THEN value ELSE 0.0 END) AS x,
+                 sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                          THEN value ELSE 0.0 END) AS y
+          FROM events GROUP BY user_id
+        ), pooled AS (
+          SELECT round(covar_pop(x, y) / var_pop(x), 9) AS theta,
+                 round(avg(x), 6) AS mx
+          FROM per_unit
+        ), adj AS (
+          SELECT arm, y, y - theta * (x - mx) AS y_adj
+          FROM per_unit, pooled
+        )
+        SELECT arm, CAST(count(*) AS BIGINT) AS n_units,
+               round(avg(y), 4) AS mean_y,
+               round(avg(y_adj), 4) AS mean_y_cuped,
+               round(var_pop(y), 2) AS var_y,
+               round(var_pop(y_adj), 2) AS var_y_cuped,
+               round(1.0 - var_pop(y_adj) / var_pop(y), 4) AS var_reduction
+        FROM adj GROUP BY arm ORDER BY arm
+    """,
+    doc="CUPED variance-reduced experiment readout over the events "
+    "stream (operators/stats.cuped_lift; public Deng et al. 2013 "
+    "technique): day 1-15 per-user value sums are the pre-period "
+    "covariate X, day 16-30 the outcome Y, arms assigned by the "
+    "content-stable md5 bucket of user_id (never rand()), pooled "
+    "theta = cov(X,Y)/var_pop(X) and mean(X) rounded to 9/6 dp so "
+    "both engines apply bit-identical adjustment coefficients to "
+    "Y' = Y - theta*(X - mean(X)). Per arm: n, raw and adjusted "
+    "means, raw and adjusted variances, achieved variance-reduction "
+    "ratio. Plan: one unit-keyed shuffle (map-side combined) + one "
+    "broadcast 1-row moments aggregate - no window, no second scan. "
+    "On this synthetic fixture pre/post values are nearly "
+    "uncorrelated so the reduction is ~0 - the oracle verifies the "
+    "adjustment machinery, not an inflated win.",
+)
+def q_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.stats import cuped_lift
+
+    events = load_table(spark, "events", sf_dir)
+    return cuped_lift(
+        events, "user_id", "value", "ts", "2024-01-16 00:00:00"
+    )

@@ -1368,3 +1368,89 @@ def q_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_count"), "word")
     )
+
+
+def _logreg_oracle_sql(lr: float = 1.0, iters: int = 16) -> str:
+    """Unrolled-CTE DuckDB replay of logreg_fit_gd's full optimizer
+    trajectory (operators/classify.py): identical standardization
+    (population moments rounded to 9 dp, standardized features to
+    6 dp), identical per-iteration weight rounding (9 dp), so the
+    final weight vector hash-matches across engines — the same
+    unrolled-iteration oracle pattern as BPE training
+    (bpe_oracle_sql) and deterministic-Lloyd IVF."""
+    head = """
+        WITH raw AS MATERIALIZED (
+          SELECT vec_id AS id,
+                 CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y,
+                 generate_subscripts(embedding, 1) AS dim,
+                 CAST(unnest(embedding) AS DOUBLE) AS xv
+          FROM embeddings
+        ), mo AS MATERIALIZED (
+          SELECT dim, round(avg(xv), 9) AS m,
+                 CASE WHEN round(stddev_pop(xv), 9) > 0
+                      THEN round(stddev_pop(xv), 9) ELSE 1.0 END AS s
+          FROM raw GROUP BY dim
+        ), feats AS MATERIALIZED (
+          SELECT id, y, 0 AS dim, 1.0 AS xv
+          FROM (SELECT DISTINCT id, y FROM raw)
+          UNION ALL
+          SELECT r.id, r.y, r.dim, round((r.xv - mo.m) / mo.s, 6) AS xv
+          FROM raw r JOIN mo USING (dim)
+        ), w_0 AS (SELECT DISTINCT dim, 0.0 AS w FROM feats)"""
+    its = []
+    for k in range(1, iters + 1):
+        its.append(f"""
+        , m_{k} AS MATERIALIZED (
+          SELECT f.id, f.y, sum(f.xv * w.w) AS mg
+          FROM feats f JOIN w_{k - 1} w USING (dim) GROUP BY f.id, f.y
+        ), w_{k} AS MATERIALIZED (
+          SELECT f.dim,
+                 round(max(w.w) + {lr} * avg(f.xv
+                       * (mm.y - 1.0 / (1.0 + exp(-mm.mg)))), 9) AS w
+          FROM feats f JOIN m_{k} mm ON f.id = mm.id
+               JOIN w_{k - 1} w ON f.dim = w.dim
+          GROUP BY f.dim
+        )""")
+    tail = f"""
+        , m_fin AS MATERIALIZED (
+          SELECT f.id, f.y, sum(f.xv * w.w) AS mg
+          FROM feats f JOIN w_{iters} w USING (dim) GROUP BY f.id, f.y
+        ), acc AS (
+          SELECT round(avg(CASE WHEN (CASE WHEN 1.0 / (1.0 + exp(-mg)) >= 0.5
+                                     THEN 1.0 ELSE 0.0 END) = y
+                           THEN 1.0 ELSE 0.0 END), 6) AS train_acc
+          FROM m_fin
+        )
+        SELECT w.dim AS dim, round(w.w, 6) AS weight, acc.train_acc AS train_acc
+        FROM w_{iters} w, acc ORDER BY dim"""
+    return head + "".join(its) + tail
+
+
+@register(
+    "q_logreg_gd",
+    oracle=_logreg_oracle_sql(lr=1.0, iters=16),
+    doc="Binary logistic regression (label<5 vs rest over the 64-dim "
+    "embeddings) trained by 16 full-batch gradient-descent steps "
+    "(operators/classify.logreg_fit_gd) — the gradient-loop "
+    "complement to the closed-form NB/OLS classifiers, in its "
+    "exactly-reproducible form: per-dim standardization with 9-dp "
+    "moments and 6-dp features, weights rounded to 9 dp after every "
+    "update, so the whole optimizer trajectory is pinned across "
+    "engines and the DuckDB oracle replays all 16 updates as "
+    "unrolled CTEs and hash-matches the final 65 coefficients plus "
+    "train accuracy. Spark plan: margin = zip_with dot product "
+    "against broadcast weight literals (zero shuffle, pure JVM), "
+    "gradient = one map-side-combined posexplode avg per iteration, "
+    "driver state = d+1 floats — the broadcast-weights/tree-aggregate "
+    "GD shape that scales to cluster-sized feature tables. On this "
+    "synthetic fixture the classes are only weakly separable "
+    "(~0.64 train acc vs 0.51 base rate) — the oracle verifies the "
+    "trajectory, not model quality.",
+)
+def q_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.classify import logreg_fit_gd
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return logreg_fit_gd(
+        emb, "embedding", F.col("label") < 5, lr=1.0, iters=16
+    )

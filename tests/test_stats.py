@@ -484,3 +484,55 @@ def test_cms_overestimates_and_merges(spark):
     whole = {(r.cms_row, r.cms_bucket): r.cnt for r in cms.collect()}
     got = {(r.cms_row, r.cms_bucket): r.cnt for r in merged.collect()}
     assert got == whole
+
+
+def test_cuped_reduces_variance_when_pre_predicts_post(spark):
+    """Constructed units where Y = 2X + small noise: CUPED must cut
+    variance massively and keep per-arm means finite; arm assignment
+    is deterministic (content-stable hash, no rand())."""
+    from pyspark.sql import functions as F
+
+    from hw_kafka_streams_spark.operators.stats import cuped_lift
+
+    rows = []
+    for u in range(60):
+        x = float(10 + (u * 7) % 50)  # pre-period signal varies by user
+        rows.append((u, "2024-01-10 00:00:00", x))  # pre event
+        rows.append((u, "2024-01-20 00:00:00", 2 * x + (u % 3)))  # post
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = cuped_lift(df, "user_id", "value", "ts", "2024-01-16 00:00:00").collect()
+    assert {r.arm for r in out} == {"control", "treatment"}
+    for r in out:
+        # Y is 2X + tiny noise -> adjusted variance collapses
+        assert r.var_y_cuped < 0.2 * r.var_y, (r.arm, r.var_y, r.var_y_cuped)
+        assert r.var_reduction > 0.8
+    # deterministic across runs
+    again = cuped_lift(df, "user_id", "value", "ts", "2024-01-16 00:00:00").collect()
+    assert out == again
+
+
+def test_logreg_gd_learns_separable_data_and_is_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from hw_kafka_streams_spark.operators.classify import logreg_fit_gd
+
+    # 2-dim linearly separable: y = (x0 + x1 > 0), margin >= 0.5
+    rows = []
+    for i in range(200):
+        a = ((i * 37) % 100 - 50) / 10.0
+        b = ((i * 61) % 100 - 50) / 10.0
+        if abs(a + b) < 0.5:
+            continue
+        rows.append(([a, b], 1 if a + b > 0 else 0))
+    df = spark.createDataFrame(rows, "vec array<double>, label int")
+    out = logreg_fit_gd(df, "vec", F.col("label") == 1, lr=2.0, iters=20)
+    got = out.collect()
+    assert len(got) == 3  # bias + 2 dims
+    acc = got[0].train_acc
+    assert acc > 0.95, acc
+    # standardized weights: both feature dims positive, similar size
+    w1, w2 = got[1].weight, got[2].weight
+    assert w1 > 0 and w2 > 0
+    assert out.collect() == got  # deterministic re-run
