@@ -37,7 +37,15 @@ def pagerank(
     nodes (no out-edges) contribute nothing — acceptable for the
     symmetric co-occurrence graphs this engine builds, where every
     node has out-degree ≥ 1.
+
+    The edge list is persisted for the loop: it is consumed by the
+    node count, the out-weight normalization, and every iteration's
+    join — without the persist each iteration re-executes the full
+    (possibly corpus-sized) edge-building lineage.
     """
+    from hw_kafka_streams_spark.cache import managed_persist
+
+    edges = managed_persist(edges)
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))

@@ -204,3 +204,112 @@ def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = load_table(spark, "part", sf_dir)
     return fuzzy_name_pairs(p, "p_name", max_dist=2).orderBy("name_a", "name_b")
+
+
+_TR_STOP = ("a", "the", "and", "of", "to", "in", "is", "on", "for")
+
+
+def _textrank_oracle(damping: float = 0.85, iters: int = 3) -> str:
+    """Unrolled-CTE twin of TextRank keyword extraction: the SAME
+    pagerank recurrence as _pagerank_oracle (extras_q) over the word
+    co-occurrence graph (window <=2 within a document, symmetric,
+    stopword-filtered), per-iteration 6dp rounding."""
+    stop = ", ".join(f"'{w}'" for w in _TR_STOP)
+    ctes = [
+        """WITH tok AS MATERIALIZED (
+          SELECT doc_id,
+                 generate_subscripts(string_split_regex(trim(lower(text)),
+                                                        '\\s+'), 1) AS pos,
+                 unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+          FROM documents WHERE text IS NOT NULL
+        )""",
+        f"""tf AS MATERIALIZED (
+          SELECT doc_id, pos, w FROM tok
+          WHERE regexp_matches(w, '^[a-z]+$') AND w NOT IN ({stop})
+        )""",
+        """pair AS (
+          SELECT a.w AS src, b.w AS dst
+          FROM tf a JOIN tf b
+            ON a.doc_id = b.doc_id
+           AND b.pos - a.pos BETWEEN 1 AND 2
+           AND a.w <> b.w
+        )""",
+        """e AS MATERIALIZED (
+          SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM (
+            SELECT src, dst FROM pair
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM pair
+          ) GROUP BY 1, 2
+        )""",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "outw AS (SELECT src, sum(w) AS ow FROM e GROUP BY 1)",
+        """ne AS MATERIALIZED (SELECT e.src, e.dst, e.w / o.ow AS share
+         FROM e JOIN outw o ON e.src = o.src)""",
+        "r0 AS (SELECT node, round(1.0 / nn.n, 6) AS rank FROM nodes, nn)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""r{i} AS MATERIALIZED (SELECT nodes.node,
+               round((1 - {damping}) / nn.n + {damping} * coalesce(c.inflow, 0.0), 6)
+                 AS rank
+         FROM nodes CROSS JOIN nn
+         LEFT JOIN (SELECT ne.dst AS node, sum(r{i - 1}.rank * ne.share) AS inflow
+                    FROM ne JOIN r{i - 1} ON ne.src = r{i - 1}.node
+                    GROUP BY 1) c
+           ON c.node = nodes.node)"""
+        )
+    body = ",\n        ".join(ctes)
+    return f"""
+        {body}
+        SELECT node AS keyword, round(rank, 4) AS rank
+        FROM r{iters}
+        ORDER BY rank DESC, keyword LIMIT 30
+    """
+
+
+@register(
+    "q_textrank_keywords",
+    oracle=_textrank_oracle(),
+    doc="TextRank keyword extraction (public Mihalcea & Tarau 2004): "
+    "corpus-wide word co-occurrence graph (window <=2 within a "
+    "document, symmetric, stopword/alpha-filtered) ranked by the SAME "
+    "weighted-PageRank operator as q_pagerank_suppliers "
+    "(operators/graph.pagerank, 3 iterations, d=0.85, per-iteration "
+    "6dp rounding so the unrolled-CTE oracle matches bit-for-bit), "
+    "top 30 keywords. Scale: the graph is VOCABULARY-sized (nodes = "
+    "distinct words, edges = distinct co-occurring pairs) - orders of "
+    "magnitude smaller than the corpus; the only corpus-sized work is "
+    "the tokenize + offset-join pass, which shuffles on doc_id once; "
+    "each pagerank iteration shuffles the vocabulary-sized edge list, "
+    "never the corpus.",
+)
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.graph import pagerank
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("text").isNotNull()
+    )
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(word_tokens(F.lower(F.col("text")))).alias("pos", "w"),
+    ).filter(F.col("w").rlike("^[a-z]+$") & ~F.col("w").isin(*_TR_STOP))
+    a = tok.select(F.col("doc_id").alias("d1"), F.col("pos").alias("p1"), F.col("w").alias("src"))
+    b = tok.select(F.col("doc_id").alias("d2"), F.col("pos").alias("p2"), F.col("w").alias("dst"))
+    pair = a.join(
+        b,
+        (F.col("d1") == F.col("d2"))
+        & (F.col("p2") - F.col("p1")).between(1, 2)
+        & (F.col("src") != F.col("dst")),
+    ).select("src", "dst")
+    edges = (
+        pair.unionAll(pair.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    pr = pagerank(edges, damping=0.85, iters=3)
+    return (
+        pr.select(F.col("node").alias("keyword"), F.round("rank", 4).alias("rank"))
+        .orderBy(F.desc("rank"), "keyword")
+        .limit(30)
+    )

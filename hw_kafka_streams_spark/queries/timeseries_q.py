@@ -2363,3 +2363,65 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q_decayed_heavy_hitters",
+    oracle="""
+        WITH mx AS (
+          SELECT max(epoch_us(ts)) AS tmax FROM events
+        ), w AS (
+          SELECT user_id,
+                 CASE CAST(floor((mx.tmax - epoch_us(ts)) / 604800000000.0)
+                           AS INT)
+                   WHEN 0 THEN 1.0
+                   WHEN 1 THEN 0.5
+                   WHEN 2 THEN 0.25
+                   WHEN 3 THEN 0.125
+                   ELSE 0.0625
+                 END AS wt
+          FROM events, mx
+        )
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+               round(CAST(sum(CAST(wt AS DECIMAL(28,10))) AS DOUBLE), 6)
+                 AS decayed_score
+        FROM w GROUP BY user_id
+        ORDER BY decayed_score DESC, user_id LIMIT 20
+    """,
+    doc="Time-decayed heavy hitters: per-user event counts weighted by "
+    "recency with a 1-week half-life, the monitoring-dashboard "
+    "'trending entities' ranking. Decay is WEEK-BUCKETED so every "
+    "weight is an exact power of 1/2 chosen by a CASE on the integer "
+    "age bucket - zero libm exp/pow in either engine (the "
+    "q_ewma_halflife determinism recipe), summed as exact "
+    "DECIMAL(28,10) so reducer order cannot drift the ranking. Age "
+    "comes from exact integer microsecond differences against the "
+    "broadcast 1-row max-timestamp aggregate. Plan: one scan, one "
+    "user-keyed map-side-combined aggregate, TakeOrdered top-20 - no "
+    "window, no second scan; at stream scale the same CASE fold runs "
+    "per micro-batch and the decimal partials merge associatively.",
+)
+def q_decayed_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    mx = ev.agg(F.max(F.unix_micros("ts")).alias("tmax"))
+    age_w = F.floor(
+        (F.col("tmax") - F.unix_micros("ts")) / F.lit(604800000000.0)
+    ).cast("int")
+    wt = (
+        F.when(age_w == 0, F.lit(1.0))
+        .when(age_w == 1, F.lit(0.5))
+        .when(age_w == 2, F.lit(0.25))
+        .when(age_w == 3, F.lit(0.125))
+        .otherwise(F.lit(0.0625))
+    )
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .select("user_id", wt.cast("decimal(28,10)").alias("wt"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("wt").cast("double"), 6).alias("decayed_score"),
+        )
+        .orderBy(F.desc("decayed_score"), "user_id")
+        .limit(20)
+    )
