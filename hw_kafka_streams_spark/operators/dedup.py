@@ -935,6 +935,58 @@ def containment_pairs(
     one extra row per direction when both directions qualify
     (``small_id``/``big_id`` = contained/containing).
     """
+    return containment_pairs_scored(
+        df, text_col, id_col, n, threshold, max_df
+    ).select("small_id", "big_id", "containment")
+
+
+def containment_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    k: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Per-anchor bounded containment: the top ``k`` containing
+    documents per contained document, ranked by (containment desc,
+    n_common desc, big_id asc).
+
+    The OUTPUT-bounded form of :func:`containment_pairs`: on a
+    duplicate-heavy corpus the full pair list is output-volume-driven
+    (10 near-copies of every doc → ~100× the pairs — the sf1 probe
+    measures exactly that blow-up), but a dedup pipeline only needs
+    one-or-few containing docs per anchor to decide a drop, so the
+    per-anchor top-k is the form that runs at 100 TB: output ≤ k·|docs|
+    rows no matter how duplicated the corpus is. The ranking window
+    partitions by small_id (never global) and Spark executes the
+    rank<=k filter as WindowGroupLimit — a running top-k per key, not
+    a full per-key sort."""
+    from pyspark.sql import Window
+
+    pairs = containment_pairs_scored(df, text_col, id_col, n, threshold, max_df)
+    w = Window.partitionBy("small_id").orderBy(
+        F.desc("containment"), F.desc("n_common"), F.asc("big_id")
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("small_id", "big_id", "containment", F.col("rk").cast("int"))
+    )
+
+
+def containment_pairs_scored(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """:func:`containment_pairs` keeping ``n_common`` in the output —
+    shared by the top-k variant, which needs it as a deterministic
+    tie-break."""
     postings = shingle_postings(df, text_col, id_col, n, distinct=True)
     if max_df is not None:
         rare = (
@@ -959,7 +1011,10 @@ def containment_pairs(
         .withColumn("containment", F.col("n_common") / F.col("sz_small"))
         .filter(F.col("containment") >= threshold)
         .select(
-            "small_id", "big_id", F.round("containment", 4).alias("containment")
+            "small_id",
+            "big_id",
+            F.round("containment", 4).alias("containment"),
+            "n_common",
         )
     )
 

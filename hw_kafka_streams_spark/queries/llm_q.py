@@ -3095,3 +3095,60 @@ def q_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gif_channel_means(synthesize_real_gif_payloads(docs)).orderBy(
         "doc_id"
     )
+
+
+@register(
+    "q_containment_topk",
+    oracle="""
+        WITH sh AS MATERIALIZED (
+          SELECT doc_id,
+                 list_distinct([
+                   array_to_string(toks[i:i+2], ' ')
+                   FOR i IN range(1, len(toks) - 1)
+                 ]) AS shingles
+          FROM (SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\\s+'),
+                                   t -> t <> '') AS toks
+                FROM documents)
+          WHERE len(toks) >= 3
+        ),
+        postings AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+        inter AS (
+          SELECT a.doc_id AS small_id, b.doc_id AS big_id, count(*) AS n_common
+          FROM postings a JOIN postings b
+            ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2
+        ),
+        scored AS (
+          SELECT small_id, big_id,
+                 round(n_common / s.sz, 4) AS containment, n_common,
+                 row_number() OVER (
+                   PARTITION BY small_id
+                   ORDER BY n_common / s.sz DESC, n_common DESC, big_id
+                 ) AS rk
+          FROM inter JOIN sizes s ON s.doc_id = small_id
+          WHERE n_common / s.sz >= 0.5
+        )
+        SELECT small_id, big_id, containment, CAST(rk AS INT) AS rk
+        FROM scored WHERE rk <= 3
+        ORDER BY small_id, rk
+    """,
+    doc="OUTPUT-BOUNDED containment: the top 3 containing documents "
+    "per contained document (operators/dedup.containment_topk). The "
+    "full pair list (q_containment_pairs) is output-volume-driven on "
+    "duplicate-heavy corpora - the sf1 probe measures ~40x growth for "
+    "10x data because 10 near-copies of every doc multiply the pairs "
+    "- but a dedup pipeline only needs one-or-few containing docs per "
+    "anchor to decide a drop, so this per-anchor top-k is the form "
+    "that runs at 100 TB: output <= k*|docs| rows regardless of "
+    "duplication. The ranking window partitions by small_id (never "
+    "global) and the rank<=k filter executes as WindowGroupLimit, a "
+    "running top-k per key with ties broken (containment desc, "
+    "n_common desc, big_id) so both engines pick identical rows.",
+)
+def q_containment_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return D.containment_topk(docs, threshold=0.5, k=3).orderBy(
+        "small_id", "rk"
+    )
