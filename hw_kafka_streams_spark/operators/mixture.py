@@ -223,3 +223,142 @@ def temperature_weights(
             ).alias("w_temp"),
         )
     )
+
+
+def doremi_weights(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    eta: float = 0.5,
+    iters: int = 4,
+) -> DataFrame:
+    """DoReMi-style iterative domain reweighting (public Xie et al.
+    2023 shape, distilled to its verifiable core): find domain weights
+    by multiplicative updates on per-domain EXCESS LOSS, where loss is
+    the exactly-computable unigram-LM negative log-likelihood instead
+    of a proxy-transformer loss.
+
+    Per iteration, with current weights w:
+      p_mix(t)   = Σ_d w_d · c_dt / total_d      (weighted mixture LM)
+      nll_mix(d) = −Σ_t c_dt · ln p_mix(t) / total_d
+      excess(d)  = nll_mix(d) − nll_own(d)        (own-LM NLL, fixed)
+      w'_d      ∝ w_d · exp(eta · excess(d))      (normalized)
+    Domains whose tokens the current mixture covers poorly (high
+    excess) gain weight — the balanced-coverage objective DoReMi
+    optimizes, with the proxy-model retraining step replaced by the
+    closed-form mixture LM so every iteration is deterministic.
+
+    Determinism recipe (the unigram-LM one): every ln/exp scalar is
+    rounded to a declared decimal place and summed as exact DECIMAL,
+    weights rounded to 9 dp per update — the whole trajectory is
+    engine-reproducible and the DuckDB oracle unrolls all iterations.
+
+    Scale: the loop runs on the (domain, token) COUNT table — bounded
+    by vocabulary × domains, orders of magnitude smaller than the
+    corpus; the corpus is scanned ONCE to build it (persisted). Driver
+    state is |domains| floats per iteration.
+    """
+    from hw_kafka_streams_spark.operators.text import word_tokens
+
+    c = managed_persist(
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(group_col).alias("g"),
+            F.explode(word_tokens(F.col(text_col))).alias("t"),
+        )
+        .groupBy("g", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = {
+        r["g"]: r["n"]
+        for r in c.groupBy("g").agg(F.sum("c").alias("n")).collect()
+    }
+    domains = sorted(totals)
+    tot_map = F.create_map(
+        *[x for d in domains for x in (F.lit(d), F.lit(float(totals[d])))]
+    )
+    # own-LM NLL per domain (fixed across iterations): exact-integer
+    # counts, per-token ln rounded to 6 dp, decimal-summed
+    ln_own = F.round(F.log(F.col("c") / tot_map[F.col("g")]), 6).cast(
+        "decimal(18,6)"
+    )
+    nll_own = {
+        r["g"]: r["nll"]
+        for r in c.groupBy("g")
+        .agg(
+            F.round(
+                -F.sum(F.col("c") * ln_own).cast("double")
+                / tot_map[F.col("g")],
+                6,
+            ).alias("nll")
+        )
+        .collect()
+    }
+    w = {d: round(1.0 / len(domains), 9) for d in domains}
+    last_mix: dict[str, float] = {}
+    for _ in range(iters):
+        w_map = F.create_map(
+            *[x for d in domains for x in (F.lit(d), F.lit(w[d]))]
+        )
+        # mixture LM: per-token weighted average of the per-domain
+        # distributions; each term rounded to 12 dp, decimal-summed
+        term = F.round(
+            w_map[F.col("g")] * F.col("c") / tot_map[F.col("g")], 12
+        ).cast("decimal(22,12)")
+        pmix = c.groupBy("t").agg(F.sum(term).alias("pm"))
+        ln_mix = F.round(F.log(F.col("pm").cast("double")), 6).cast(
+            "decimal(18,6)"
+        )
+        mix_rows = (
+            c.join(pmix, "t")
+            .groupBy("g")
+            .agg(
+                F.round(
+                    -F.sum(F.col("c") * ln_mix).cast("double")
+                    / tot_map[F.col("g")],
+                    6,
+                ).alias("nll")
+            )
+            .collect()
+        )
+        last_mix = {r["g"]: r["nll"] for r in mix_rows}
+        import math
+
+        # integer-nanos normalization: u and Σu are exact integers (the
+        # DuckDB twin sums DECIMAL(18,9) — bit-identical), and the two
+        # final divisions are single correctly-rounded IEEE ops
+        u_nanos = {
+            d: int(
+                round(
+                    round(
+                        w[d]
+                        * round(
+                            math.exp(
+                                round(eta * (last_mix[d] - nll_own[d]), 6)
+                            ),
+                            9,
+                        ),
+                        9,
+                    )
+                    * 1e9
+                )
+            )
+            for d in domains
+        }
+        s_f = sum(u_nanos.values()) / 1e9
+        w = {d: round((u_nanos[d] / 1e9) / s_f, 9) for d in domains}
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                d,
+                round(w[d], 6),
+                nll_own[d],
+                last_mix[d],
+                round(last_mix[d] - nll_own[d], 6),
+            )
+            for d in domains
+        ],
+        f"{group_col} string, weight double, nll_own double, "
+        "nll_mix double, excess double",
+    ).orderBy(group_col)

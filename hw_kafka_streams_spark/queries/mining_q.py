@@ -1454,3 +1454,90 @@ def q_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logreg_fit_gd(
         emb, "embedding", F.col("label") < 5, lr=1.0, iters=16
     )
+
+
+def _doremi_oracle(eta: float = 0.5, iters: int = 4) -> str:
+    """Unrolled-CTE twin of operators/mixture.doremi_weights: identical
+    count tables, per-scalar ln/exp rounding, DECIMAL sums, and
+    integer-exact weight normalization per iteration (the driver's
+    integer-nanos arithmetic equals DECIMAL(18,9) summation)."""
+    head = """
+        WITH tok AS MATERIALIZED (
+          SELECT source AS g,
+                 unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                    t -> t <> '')) AS t
+          FROM documents WHERE text IS NOT NULL
+        ), c AS MATERIALIZED (
+          SELECT g, t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+        ), tot AS MATERIALIZED (
+          SELECT g, CAST(sum(c) AS DOUBLE) AS n FROM c GROUP BY 1
+        ), nd AS (SELECT count(*) AS d FROM tot),
+        own AS MATERIALIZED (
+          SELECT c.g,
+                 round(-CAST(sum(c.c * CAST(round(ln(c.c / tot.n), 6)
+                                            AS DECIMAL(18,6))) AS DOUBLE)
+                       / any_value(tot.n), 6) AS nll
+          FROM c JOIN tot USING (g) GROUP BY c.g
+        ),
+        w_0 AS (SELECT g, round(1.0 / nd.d, 9) AS w FROM tot, nd)"""
+    its = []
+    for k in range(1, iters + 1):
+        its.append(f"""
+        , pm_{k} AS MATERIALIZED (
+          SELECT c.t,
+                 sum(CAST(round(w.w * c.c / tot.n, 12) AS DECIMAL(22,12)))
+                   AS pm
+          FROM c JOIN tot USING (g) JOIN w_{k - 1} w USING (g)
+          GROUP BY c.t
+        ), nm_{k} AS MATERIALIZED (
+          SELECT c.g,
+                 round(-CAST(sum(c.c * CAST(round(ln(CAST(pm.pm AS DOUBLE)), 6)
+                                            AS DECIMAL(18,6))) AS DOUBLE)
+                       / any_value(tot.n), 6) AS nll
+          FROM c JOIN tot USING (g) JOIN pm_{k} pm ON c.t = pm.t
+          GROUP BY c.g
+        ), u_{k} AS MATERIALIZED (
+          SELECT w.g,
+                 CAST(round(w.w * round(exp(round({eta} * (nm.nll - own.nll),
+                                                  6)), 9), 9)
+                      AS DECIMAL(18,9)) AS u
+          FROM w_{k - 1} w JOIN nm_{k} nm USING (g) JOIN own USING (g)
+        ), w_{k} AS MATERIALIZED (
+          SELECT g, round(CAST(u AS DOUBLE)
+                          / CAST((SELECT sum(u) FROM u_{k}) AS DOUBLE), 9)
+                      AS w
+          FROM u_{k}
+        )""")
+    tail = f"""
+        SELECT w.g AS source, round(w.w, 6) AS weight,
+               own.nll AS nll_own, nm.nll AS nll_mix,
+               round(nm.nll - own.nll, 6) AS excess
+        FROM w_{iters} w JOIN own USING (g) JOIN nm_{iters} nm USING (g)
+        ORDER BY source"""
+    return head + "".join(its) + tail
+
+
+@register(
+    "q_doremi_weights",
+    oracle=_doremi_oracle(eta=0.5, iters=4),
+    doc="DoReMi-style iterative domain reweighting over the documents "
+    "sources (operators/mixture.doremi_weights; public Xie et al. "
+    "2023 shape with the proxy-transformer loss replaced by the "
+    "exactly-computable unigram-LM NLL): 4 multiplicative-weight "
+    "updates on per-domain excess loss, where the mixture LM is the "
+    "weight-averaged per-domain distribution recomputed each "
+    "iteration from the (domain, token) count table - so domains the "
+    "current mixture covers poorly gain weight, the balanced-coverage "
+    "objective DoReMi optimizes. Every ln/exp scalar is rounded at a "
+    "declared decimal and summed as exact DECIMAL; weight "
+    "normalization is integer-exact (driver integer-nanos = oracle "
+    "DECIMAL(18,9) sums), so the whole 4-iteration trajectory "
+    "hash-matches. Scale: the loop runs on the vocabulary*domains "
+    "count table (corpus scanned once, persisted); driver state is "
+    "|domains| floats.",
+)
+def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.mixture import doremi_weights
+
+    docs = load_table(spark, "documents", sf_dir)
+    return doremi_weights(docs, "source", eta=0.5, iters=4)

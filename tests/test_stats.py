@@ -536,3 +536,26 @@ def test_logreg_gd_learns_separable_data_and_is_deterministic(spark):
     w1, w2 = got[1].weight, got[2].weight
     assert w1 > 0 and w2 > 0
     assert out.collect() == got  # deterministic re-run
+
+
+def test_doremi_upweights_divergent_domain(spark):
+    """A domain whose tokens the mixture covers poorly (disjoint
+    vocabulary) has high excess loss and must gain weight over the
+    uniform start; two same-distribution domains stay symmetric."""
+    from hw_kafka_streams_spark.operators.mixture import doremi_weights
+
+    rows = []
+    for i in range(30):
+        rows.append((i, "common", "alpha beta gamma delta"))
+        rows.append((100 + i, "common2", "alpha beta gamma delta"))
+        rows.append((200 + i, "rare", "zeta eta theta iota kappa"))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.source: r for r in doremi_weights(df, "source", iters=4).collect()}
+    assert out["rare"].weight > 1 / 3 > out["common"].weight
+    assert abs(out["common"].weight - out["common2"].weight) < 1e-9
+    assert out["rare"].excess > out["common"].excess
+    # deterministic across runs
+    again = {r.source: r for r in doremi_weights(df, "source", iters=4).collect()}
+    assert {k: v.weight for k, v in out.items()} == {
+        k: v.weight for k, v in again.items()
+    }
