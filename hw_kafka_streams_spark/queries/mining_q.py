@@ -1340,7 +1340,7 @@ def q_bigram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hw_kafka_streams_spark.cache import managed_persist
     from hw_kafka_streams_spark.operators.sketches import (
-        cms_build,
+        cms_build_counted,
         cms_estimate,
     )
     from hw_kafka_streams_spark.operators.text import word_tokens
@@ -1348,16 +1348,16 @@ def q_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).filter(
         F.col("text").isNotNull()
     )
-    words = managed_persist(
+    # ONE corpus-sized aggregation shared by the sketch build and the
+    # exact top-30: the persisted table is vocabulary-sized, and the
+    # d hashes run once per distinct word, not per occurrence
+    wc = managed_persist(
         docs.select(F.explode(word_tokens(F.lower(F.col("text")))).alias("w"))
-    )
-    cms = cms_build(words, "w", depth=4, width=1024)
-    top = (
-        words.groupBy("w")
+        .groupBy("w")
         .agg(F.count(F.lit(1)).alias("exact_count"))
-        .orderBy(F.desc("exact_count"), "w")
-        .limit(30)
     )
+    cms = cms_build_counted(wc, "w", "exact_count", depth=4, width=1024)
+    top = wc.orderBy(F.desc("exact_count"), "w").limit(30)
     est = cms_estimate(cms, top.select("w"), "w", depth=4, width=1024)
     return (
         top.join(est, "w")
