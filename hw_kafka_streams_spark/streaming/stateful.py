@@ -348,3 +348,114 @@ def streaming_reservoir_sample(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+DECAYED_OUTPUT_SCHEMA = (
+    "key string, decayed_score double, n_total bigint, last_ts_us bigint"
+)
+DECAYED_STATE_SCHEMA = "score double, last_us bigint, n bigint"
+
+
+def _make_decayed_fn(half_life_us: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        score, last_us, n = state.get if state.exists else (0.0, 0, 0)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        # event-time order inside the batch (ties by id) so replays of
+        # the same batch contents produce the same state no matter how
+        # the source partitioned them
+        rows = rows.sort_values(["ts_us", "id"], kind="mergesort")
+        for t in rows["ts_us"]:
+            t = int(t)
+            if n:
+                dt = t - last_us
+                if dt > 0:
+                    score *= 2.0 ** (-dt / half_life_us)
+                    last_us = t
+                # late/equal arrivals fold in at the current horizon:
+                # the score is an at-horizon estimate, not a resort
+            else:
+                last_us = t
+            score += 1.0
+            n += 1
+        state.update((float(score), int(last_us), int(n)))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "decayed_score": [float(score)],
+                "n_total": [n],
+                "last_ts_us": [int(last_us)],
+            }
+        )
+
+    return fn
+
+
+def streaming_decayed_counts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    half_life_hours: float = 168.0,
+) -> DataFrame:
+    """Per-key EVENT-TIME-decayed activity score over an unbounded
+    stream — the streaming twin of q_decayed_heavy_hitters' recency-
+    weighted ranking, kept as O(1) state per key instead of a
+    re-aggregation: on each arrival the score decays multiplicatively
+    ``2^(-Δt/half_life)`` from the key's last event time, then +1.
+
+    State is three scalars per key (score, horizon, count) — bounded
+    regardless of stream length; within a batch rows fold in event-time
+    order (ties by id) so a replayed batch reproduces the same state
+    whatever the source partitioning. The emitted ``decayed_score`` is
+    the estimate AT the key's latest event time; ranking keys at a
+    common wall-clock horizon just multiplies each by
+    ``2^(-(now-last_ts)/half_life)`` — a stateless projection the
+    reader applies, so the stored state never needs clock access.
+    """
+    import pyspark.sql.functions as F
+
+    half_life_us = int(half_life_hours * 3600 * 1_000_000)
+    prepared = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+        F.col(id_col).cast("long").alias("id"),
+    )
+    if not df.isStreaming:
+        # batch degrade: the same per-key event-time fold over the
+        # whole input as one giant micro-batch (applyInPandas — no
+        # cross-batch state to carry)
+        def batch_fold(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(["ts_us", "id"], kind="mergesort")
+            score, last_us, n = 0.0, 0, 0
+            for t in pdf["ts_us"]:
+                t = int(t)
+                if n:
+                    dt = t - last_us
+                    if dt > 0:
+                        score *= 2.0 ** (-dt / half_life_us)
+                        last_us = t
+                else:
+                    last_us = t
+                score += 1.0
+                n += 1
+            return pd.DataFrame(
+                {
+                    "key": [pdf["key"].iloc[0]],
+                    "decayed_score": [float(score)],
+                    "n_total": [n],
+                    "last_ts_us": [int(last_us)],
+                }
+            )
+
+        return prepared.groupBy("key").applyInPandas(
+            batch_fold, schema=DECAYED_OUTPUT_SCHEMA
+        )
+    return prepared.groupBy("key").applyInPandasWithState(
+        _make_decayed_fn(half_life_us),
+        outputStructType=DECAYED_OUTPUT_SCHEMA,
+        stateStructType=DECAYED_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1247,3 +1247,74 @@ def test_streaming_cms_heavy_hitter_monitor(spark, tmp_path):
     assert (
         spark.read.parquet(state).select("batch_id").distinct().count() == 1
     )
+
+
+def test_streaming_decayed_counts_matches_batch_twin(spark, tmpdir):
+    """Two micro-batches through the stateful event-time-decayed
+    counter must end at exactly the state the batch fold computes over
+    the union — the cross-batch decay carries through GroupState."""
+    import math
+
+    from hw_kafka_streams_spark.streaming.stateful import (
+        streaming_decayed_counts,
+    )
+
+    rows1 = [
+        ("u1", "2024-01-01 00:00:00", 1),
+        ("u1", "2024-01-08 00:00:00", 2),  # one half-life later
+        ("u2", "2024-01-01 00:00:00", 3),
+    ]
+    rows2 = [
+        ("u1", "2024-01-15 00:00:00", 4),  # another half-life
+        ("u2", "2024-01-01 12:00:00", 5),
+    ]
+    schema = "user_id string, ts string, event_id long"
+
+    def as_df(rows):
+        return (
+            spark.createDataFrame(rows, schema)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+
+    as_df(rows1).coalesce(1).write.parquet(f"{tmpdir}/decay/b1")
+    stream = spark.readStream.schema(
+        "user_id string, ts timestamp, event_id long"
+    ).parquet(f"{tmpdir}/decay/*")
+    name = f"decay_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_decayed_counts(stream, "user_id", "ts", "event_id")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        as_df(rows2).coalesce(1).write.parquet(f"{tmpdir}/decay/b2")
+        q.processAllAvailable()
+        got = {
+            r.key: (r.decayed_score, r.n_total)
+            for r in spark.sql(
+                f"""select key, decayed_score, n_total from (
+                      select *, row_number() over (
+                        partition by key order by n_total desc) rn
+                      from {name}) where rn = 1"""
+            ).collect()
+        }
+    finally:
+        q.stop()
+    # u1: 1 @t0; *0.5 +1 @t0+1w = 1.5; *0.5 +1 @t0+2w = 1.75
+    assert math.isclose(got["u1"][0], 1.75, rel_tol=1e-12)
+    assert got["u1"][1] == 3
+    # u2: 1 @t0; half a day later: *2^(-0.5/7)+1
+    assert math.isclose(
+        got["u2"][0], 1.0 * 2 ** (-0.5 / 7) + 1.0, rel_tol=1e-12
+    )
+    # batch twin over the union gives identical finals
+    batch = {
+        r.key: (r.decayed_score, r.n_total)
+        for r in streaming_decayed_counts(
+            as_df(rows1 + rows2), "user_id", "ts", "event_id"
+        ).collect()
+    }
+    assert batch == got
