@@ -1499,3 +1499,70 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("size"), "community")
     )
+
+
+@register(
+    "q_snapshot_stats_only",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(4 AS INT) AS n_files,
+               CAST(min(l_orderkey) AS BIGINT) AS min_ok,
+               CAST(max(l_orderkey) AS BIGINT) AS max_ok,
+               round(min(l_quantity), 2) AS min_qty,
+               round(max(l_quantity), 2) AS max_qty
+        FROM lineitem
+    """,
+    doc="Stats-only aggregates from the snapshot MANIFEST "
+    "(sources/snapshots.snapshot_stats_only): count(*)/min/max "
+    "answered from footer row counts and per-file [min,max] recorded "
+    "at attach_file_stats time - zero data files opened, zero Spark "
+    "jobs for the answer (the Iceberg/Delta planning shortcut; at "
+    "100 TB a metadata lookup instead of a cluster-wide scan). The "
+    "query builds a 4-commit snapshot of lineitem, answers from the "
+    "manifest alone, and the oracle recomputes the same aggregates by "
+    "actually scanning the table - the hash match proves "
+    "manifest-only answers equal full-scan answers. Columns missing "
+    "stats raise rather than silently approximate.",
+)
+def q_snapshot_stats_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from hw_kafka_streams_spark.sources import snapshots as S
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_quantity"
+    )
+    mx = li.agg(F.max("l_orderkey")).collect()[0][0]
+    q1, q2, q3 = mx // 4, mx // 2, (3 * mx) // 4
+    tbl = tempfile.mkdtemp(prefix="q_snapshot_stats_") + "/tbl"
+    S.create_table(spark, tbl, li.filter(F.col("l_orderkey") <= q1), target_files=1)
+    S.commit_append(
+        spark, tbl,
+        li.filter((F.col("l_orderkey") > q1) & (F.col("l_orderkey") <= q2)),
+        target_files=1,
+    )
+    S.commit_append(
+        spark, tbl,
+        li.filter((F.col("l_orderkey") > q2) & (F.col("l_orderkey") <= q3)),
+        target_files=1,
+    )
+    S.commit_append(
+        spark, tbl, li.filter(F.col("l_orderkey") > q3), target_files=1
+    )
+    S.attach_file_stats(tbl)
+    ok = S.snapshot_stats_only(tbl, "l_orderkey")
+    qty = S.snapshot_stats_only(tbl, "l_quantity")
+    return spark.createDataFrame(
+        [
+            (
+                ok["n_rows"],
+                ok["n_files"],
+                int(ok["min"]),
+                int(ok["max"]),
+                round(float(qty["min"]), 2),
+                round(float(qty["max"]), 2),
+            )
+        ],
+        "n_rows bigint, n_files int, min_ok bigint, max_ok bigint, "
+        "min_qty double, max_qty double",
+    )

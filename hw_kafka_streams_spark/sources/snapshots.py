@@ -473,6 +473,9 @@ def attach_file_stats(table: str, version: int | None = None) -> int:
     m["file_stats"] = {
         f: _file_column_stats(os.path.join(table, f)) for f in m["files"]
     }
+    m["file_rows"] = {
+        f: _file_row_count(os.path.join(table, f)) for f in m["files"]
+    }
     tmp = path + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(m, fh)
@@ -519,3 +522,53 @@ def read_snapshot_pruned(
         df = read_snapshot(spark, table, version).limit(0)
     df = df.filter((F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi)))
     return df, {"files_total": len(m["files"]), "files_read": len(keep)}
+
+
+def _file_row_count(path: str) -> int:
+    """Exact row count from the parquet footer (never reads data pages)."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def snapshot_stats_only(
+    table: str, column: str, version: int | None = None
+) -> dict:
+    """Answer ``count(*) / min(col) / max(col)`` from the MANIFEST
+    alone — zero data files opened, zero Spark jobs.
+
+    The Iceberg/Delta "stats-only query" planning shortcut: footer row
+    counts are exact, and per-file [min, max] over files covers the
+    table, so ``min of mins / max of maxes / sum of counts`` equal the
+    full-scan answers whenever every file carries stats for the column
+    (parquet min/max are exact for primitive numeric types; a file
+    missing stats makes min/max unanswerable and this raises rather
+    than silently approximating). At 100 TB this is the difference
+    between a metadata lookup and a cluster-wide scan for the
+    dashboards that only want the table's row count and value range.
+
+    Returns {"n_rows", "min", "max", "n_files"}.
+    """
+    if version is None:
+        version = current_version(table)
+    m = _read_manifest(table, version)
+    rows = m.get("file_rows")
+    stats = m.get("file_stats")
+    if rows is None or stats is None:
+        raise ValueError(
+            f"version {version} has no file stats: run attach_file_stats"
+        )
+    missing = [f for f in m["files"] if column not in stats.get(f, {})]
+    if missing:
+        raise ValueError(
+            f"column {column!r} lacks min/max stats in {len(missing)} "
+            "file(s); stats-only answer would be wrong"
+        )
+    mins = [stats[f][column][0] for f in m["files"]]
+    maxes = [stats[f][column][1] for f in m["files"]]
+    return {
+        "n_rows": sum(rows[f] for f in m["files"]),
+        "min": min(mins) if mins else None,
+        "max": max(maxes) if maxes else None,
+        "n_files": len(m["files"]),
+    }

@@ -219,3 +219,32 @@ def test_schema_evolution_on_append(spark, tmp_path):
         S.commit_append(
             spark, t, spark.createDataFrame([(3, 7)], "k int, v int")
         )
+
+
+def test_snapshot_stats_only_answers_and_guards(spark, tmp_path):
+    """Manifest-only count/min/max equal the full scan; asking before
+    attach_file_stats (or for a stats-less column) raises instead of
+    approximating."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hw_kafka_streams_spark.sources import snapshots as S
+
+    tbl = str(tmp_path / "t")
+    df1 = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    df2 = spark.range(50, 120).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    S.create_table(spark, tbl, df1, target_files=1)
+    S.commit_append(spark, tbl, df2, target_files=1)
+    with pytest.raises(ValueError, match="no file stats"):
+        S.snapshot_stats_only(tbl, "k")
+    S.attach_file_stats(tbl)
+    got = S.snapshot_stats_only(tbl, "k")
+    assert got == {"n_rows": 120, "min": 0, "max": 119, "n_files": 2}
+    v = S.snapshot_stats_only(tbl, "v")
+    assert v["min"] == 0.0 and v["max"] == 238.0
+    with pytest.raises(ValueError, match="lacks min/max"):
+        S.snapshot_stats_only(tbl, "nope")
