@@ -101,6 +101,14 @@ HEADLINE = [
     "q_multimodal_avi",
     "q_countmin_freq",
     "q_jaro_winkler_pairs",
+    # round 6 (cont.): the output-bounded containment variant (the
+    # scale-shape worth ratcheting) and the decayed heavy-hitter
+    # ranking (scan + keyed agg + TakeOrdered). The other additions
+    # stay off the headline: logreg/doremi are deliberate multi-job
+    # iterative trainers, snapshot queries are write-dominated,
+    # textrank's cost is vocabulary- not data-sized.
+    "q_containment_topk",
+    "q_decayed_heavy_hitters",
 ]
 
 

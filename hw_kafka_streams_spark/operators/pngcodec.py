@@ -9,9 +9,12 @@ JPEG it is LOSSLESS, so encode→decode is bit-exact and every decoded
 pixel is closed-form predictable from the synthesis formula (the
 q_multimodal_png oracle hashes exact channel means).
 
-Scope (honest): 8-bit depth, color types 0 (gray), 2 (RGB), 6 (RGBA —
-alpha dropped on decode to match the RGB feature stages), no
-interlacing (Adam7 raises), no palette (type 3 raises), no 16-bit.
+Scope (honest): 8-bit depth; color types 0 (gray), 2 (RGB), 3
+(palette), 4 (gray+alpha), 6 (RGBA — alpha dropped on decode to match
+the RGB feature stages); Adam7 interlacing decoded (each pass is an
+independently-filtered sub-image, placed back on the official origin/
+step lattice). Not implemented: 16-bit depth and sub-byte palette
+depths (1/2/4-bit packed indices) — both raise.
 """
 
 from __future__ import annotations
@@ -22,6 +25,12 @@ import zlib
 import numpy as np
 
 _SIG = b"\x89PNG\r\n\x1a\n"
+
+# Adam7 pass lattice (libpng's tables): origin and step per pass.
+_A7_XORIG = (0, 4, 0, 2, 0, 1, 0)
+_A7_YORIG = (0, 0, 4, 0, 2, 0, 1)
+_A7_XSTEP = (8, 8, 4, 4, 2, 2, 1)
+_A7_YSTEP = (8, 8, 8, 4, 4, 2, 2)
 
 
 def _chunk(tag: bytes, payload: bytes) -> bytes:
@@ -47,6 +56,30 @@ def encode_png(rgb: np.ndarray) -> bytes:
     )
 
 
+def encode_png_interlaced(rgb: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an ADAM7-interlaced
+    truecolor PNG (filter type 0 per scanline of every pass). The
+    decoder's interlace path round-trips against this, and the tests
+    also pin a hand-built pass stream so a symmetric encoder/decoder
+    bug cannot hide."""
+    h, w = rgb.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+    raw = bytearray()
+    for p in range(7):
+        sub = rgb[_A7_YORIG[p]::_A7_YSTEP[p], _A7_XORIG[p]::_A7_XSTEP[p]]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue  # empty pass contributes no bytes at all
+        for r in range(ph):
+            raw += b"\x00" + sub[r].tobytes()
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
@@ -58,48 +91,23 @@ def _paeth(a: int, b: int, c: int) -> int:
 _PAETH_VEC = np.vectorize(_paeth, otypes=[np.int32])
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """Decode a PNG to an (h, w, 3) uint8 RGB array (gray replicated,
-    alpha dropped). Raises NotImplementedError for interlaced/palette/
-    16-bit streams, ValueError for corrupt data."""
-    if data[:8] != _SIG:
-        raise ValueError("not a PNG (bad signature)")
-    pos = 8
-    w = h = None
-    bit_depth = color_type = interlace = None
-    idat = bytearray()
-    while pos + 8 <= len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        tag = data[pos + 4 : pos + 8]
-        payload = data[pos + 8 : pos + 8 + length]
-        pos += 12 + length  # len + tag + payload + crc
-        if tag == b"IHDR":
-            w, h, bit_depth, color_type, _comp, _filt, interlace = (
-                struct.unpack(">IIBBBBB", payload)
-            )
-        elif tag == b"IDAT":
-            idat.extend(payload)
-        elif tag == b"IEND":
-            break
-    if w is None:
-        raise ValueError("corrupt PNG: no IHDR")
-    if bit_depth != 8:
-        raise NotImplementedError(f"bit depth {bit_depth} (8 only)")
-    if interlace:
-        raise NotImplementedError("Adam7 interlacing")
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
-    if channels is None or color_type == 3:
-        raise NotImplementedError(f"color type {color_type}")
-    raw = zlib.decompress(bytes(idat))
+def _unfilter(raw: bytes, offset: int, h: int, w: int, channels: int) -> tuple[np.ndarray, int]:
+    """Reverse per-scanline filtering for one (sub-)image of ``h`` rows
+    × ``w`` pixels starting at byte ``offset`` of the decompressed
+    stream. Returns ((h, w*channels) uint8, bytes consumed). The
+    previous-row state starts at zero — exactly the spec's rule for the
+    start of the image AND for the start of every Adam7 pass."""
     stride = w * channels
-    if len(raw) != h * (stride + 1):
-        raise ValueError("corrupt PNG: wrong decompressed length")
+    need = h * (stride + 1)
+    if offset + need > len(raw):
+        raise ValueError("corrupt PNG: truncated pixel data")
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
     for r in range(h):
-        ft = raw[r * (stride + 1)]
+        base = offset + r * (stride + 1)
+        ft = raw[base]
         row = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
+            raw, dtype=np.uint8, count=stride, offset=base + 1
         ).astype(np.int32)
         if ft == 0:  # None
             cur = row
@@ -122,7 +130,13 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"corrupt PNG: filter type {ft}")
         out[r] = cur.astype(np.uint8)
         prev = cur
-    px = out.reshape(h, w, channels)
+    return out, need
+
+
+def _to_rgb(px: np.ndarray, channels: int, palette: np.ndarray | None) -> np.ndarray:
+    """(h, w, channels) samples → (h, w, 3) RGB per the color type."""
+    if palette is not None:  # type 3: indexed
+        return palette[px[..., 0]]
     if channels == 1:
         return np.repeat(px, 3, axis=2)
     if channels == 2:  # gray + alpha
@@ -130,3 +144,80 @@ def decode_png(data: bytes) -> np.ndarray:
     if channels == 4:
         return px[..., :3].copy()
     return px
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode a PNG to an (h, w, 3) uint8 RGB array (gray replicated,
+    alpha dropped, palette resolved, Adam7 de-interlaced). Raises
+    NotImplementedError for 16-bit / sub-byte-palette streams,
+    ValueError for corrupt data."""
+    if data[:8] != _SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    w = h = None
+    bit_depth = color_type = interlace = None
+    palette = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # len + tag + payload + crc
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", payload)
+            )
+        elif tag == b"PLTE":
+            if length % 3:
+                raise ValueError("corrupt PNG: PLTE length not 3n")
+            palette = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("corrupt PNG: no IHDR")
+    if bit_depth != 8:
+        raise NotImplementedError(
+            f"bit depth {bit_depth} (8 only; 16-bit and packed palette "
+            "indices not implemented)"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"corrupt PNG: color type {color_type}")
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("corrupt PNG: palette image without PLTE")
+        # pad to 256 entries so any 8-bit index resolves (spec allows
+        # shorter palettes; out-of-range indices are corrupt but we
+        # clamp-by-pad rather than crash the whole batch)
+        if len(palette) < 256:
+            palette = np.vstack(
+                [palette, np.zeros((256 - len(palette), 3), dtype=np.uint8)]
+            )
+    elif palette is not None:
+        palette = None  # PLTE is advisory for non-indexed types
+    raw = zlib.decompress(bytes(idat))
+    if not interlace:
+        flat, used = _unfilter(raw, 0, h, w, channels)
+        if used != len(raw):
+            raise ValueError("corrupt PNG: wrong decompressed length")
+        return _to_rgb(flat.reshape(h, w, channels), channels, palette)
+    if interlace != 1:
+        raise ValueError(f"corrupt PNG: interlace method {interlace}")
+    # Adam7: seven independently-filtered sub-images on a fixed lattice
+    out = np.zeros((h, w, channels), dtype=np.uint8)
+    offset = 0
+    for p in range(7):
+        pw = (w - _A7_XORIG[p] + _A7_XSTEP[p] - 1) // _A7_XSTEP[p]
+        ph = (h - _A7_YORIG[p] + _A7_YSTEP[p] - 1) // _A7_YSTEP[p]
+        if pw == 0 or ph == 0:
+            continue
+        flat, used = _unfilter(raw, offset, ph, pw, channels)
+        offset += used
+        out[
+            _A7_YORIG[p] :: _A7_YSTEP[p], _A7_XORIG[p] :: _A7_XSTEP[p]
+        ] = flat.reshape(ph, pw, channels)
+    if offset != len(raw):
+        raise ValueError("corrupt PNG: wrong decompressed length")
+    return _to_rgb(out, channels, palette)

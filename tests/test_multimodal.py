@@ -525,15 +525,25 @@ def test_png_lossless_roundtrip_and_filters():
     d = decode_png(data)
     assert d.shape == (9, 7, 3) and (d[..., 0] == g).all()
 
-    # interlaced raises
+    # interlaced is now SUPPORTED (see test_png_adam7_*); a truncated
+    # interlaced stream is corrupt, not unimplemented
     data = (
         _SIG
         + _chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 9, 8, 2, 0, 0, 1))
         + _chunk(b"IDAT", zlib.compress(b""))
         + _chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="truncated"):
         decode_png(data)
+    # 16-bit depth remains honestly unimplemented
+    data16 = (
+        _SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 9, 16, 2, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(b""))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        decode_png(data16)
     with pytest.raises(ValueError):
         decode_png(b"not a png at all")
 
@@ -653,3 +663,76 @@ def test_avi_mjpeg_container_roundtrip_and_validation():
     )
     with pytest.raises(ValueError):
         parse_avi_mjpeg(lied)
+
+
+def test_png_adam7_roundtrip_and_hand_built_vector():
+    """Interlaced decode: (a) round-trips the interlaced encoder on a
+    non-multiple-of-8 image, (b) matches a HAND-BUILT 2x2 pass stream
+    (pass1 -> (0,0), pass6 -> (1,0), pass7 -> row 1), so a symmetric
+    encoder/decoder bug cannot hide, (c) equals the sequential decode
+    of the same pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.pngcodec import (
+        _chunk,
+        _SIG,
+        decode_png,
+        encode_png,
+        encode_png_interlaced,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(13, 11, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png_interlaced(img)), img)
+    assert np.array_equal(
+        decode_png(encode_png_interlaced(img)), decode_png(encode_png(img))
+    )
+
+    # hand-built 2x2 RGB: A B / C D
+    a, b, c, d = (10, 11, 12), (20, 21, 22), (30, 31, 32), (40, 41, 42)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    raw = (
+        b"\x00" + bytes(a)            # pass 1: pixel (0,0)
+        + b"\x00" + bytes(b)          # pass 6: pixel (1,0)
+        + b"\x00" + bytes(c) + bytes(d)  # pass 7: full row y=1
+    )
+    png = (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    got = decode_png(png)
+    assert got.tolist() == [[list(a), list(b)], [list(c), list(d)]]
+
+
+def test_png_palette_decode():
+    """Color type 3: indexed pixels resolve through PLTE; short
+    palettes pad safely."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.pngcodec import (
+        _chunk,
+        _SIG,
+        decode_png,
+    )
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (7, 8, 9)]
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)
+    rows = b"\x00" + bytes([0, 1, 2]) + b"\x00" + bytes([3, 3, 0])
+    png = (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", b"".join(bytes(c) for c in pal))
+        + _chunk(b"IDAT", zlib.compress(rows))
+        + _chunk(b"IEND", b"")
+    )
+    got = decode_png(png)
+    want = np.array([[pal[0], pal[1], pal[2]], [pal[3], pal[3], pal[0]]], dtype=np.uint8)
+    assert np.array_equal(got, want)
