@@ -847,10 +847,16 @@ def synthesize_real_png_payloads(
 ) -> DataFrame:
     """One REAL PNG per row with a deterministic per-pixel gradient:
     pixel (y, x) of doc i is ((i + 3x + 5y) % 256, (7i + 2x + y) % 256,
-    (13i + x + 4y) % 256), dims (8 + i%7) rows x (8 + i%9) cols."""
+    (13i + x + 4y) % 256), dims (8 + i%7) rows x (8 + i%9) cols.
+    Every third doc encodes ADAM7-INTERLACED (same pixels, different
+    wire layout) so the oracled decode exercises both scanline orders —
+    lossless means the oracle's pixel predictions hold either way."""
     import numpy as np
 
-    from hw_kafka_streams_spark.operators.pngcodec import encode_png
+    from hw_kafka_streams_spark.operators.pngcodec import (
+        encode_png,
+        encode_png_interlaced,
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -868,7 +874,8 @@ def synthesize_real_png_payloads(
                     ],
                     axis=-1,
                 ).astype(np.uint8)
-                payloads.append(encode_png(img))
+                enc = encode_png_interlaced if i % 3 == 0 else encode_png
+                payloads.append(enc(img))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     return df.select(F.col(id_col)).mapInPandas(

@@ -3043,8 +3043,10 @@ def q_multimodal_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Paeth unfiltering, operators/pngcodec.py) and reduced to exact "
     "integer channel means. PNG is lossless, so the oracle predicts "
     "every pixel from the synthesis formula — the strongest possible "
-    "check on a real compression chain. Interlaced/palette/16-bit "
-    "streams raise honestly.",
+    "check on a real compression chain. Every third payload is "
+    "Adam7-INTERLACED (same pixels, different wire layout), so the "
+    "oracled decode exercises both scanline orders; palette images "
+    "resolve through PLTE; 16-bit raises honestly.",
 )
 def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hw_kafka_streams_spark.operators.multimodal import (
