@@ -9,12 +9,14 @@ JPEG it is LOSSLESS, so encode→decode is bit-exact and every decoded
 pixel is closed-form predictable from the synthesis formula (the
 q_multimodal_png oracle hashes exact channel means).
 
-Scope (honest): 8-bit depth; color types 0 (gray), 2 (RGB), 3
-(palette), 4 (gray+alpha), 6 (RGBA — alpha dropped on decode to match
-the RGB feature stages); Adam7 interlacing decoded (each pass is an
+Scope: the full PNG core — bit depths 1/2/4/8/16, color types 0
+(gray), 2 (RGB), 3 (palette, incl. packed sub-byte indices), 4
+(gray+alpha), 6 (RGBA); Adam7 interlacing (each pass is an
 independently-filtered sub-image, placed back on the official origin/
-step lattice). Not implemented: 16-bit depth and sub-byte palette
-depths (1/2/4-bit packed indices) — both raise.
+step lattice). 16-bit samples reduce to 8-bit by the spec's >>8 for
+the RGB feature surface; alpha is dropped to match the RGB stages.
+Filtering operates on BYTES with the spec's bpp offset
+(max(1, channels·depth/8)), so sub-byte rows filter as 1-byte units.
 """
 
 from __future__ import annotations
@@ -91,13 +93,18 @@ def _paeth(a: int, b: int, c: int) -> int:
 _PAETH_VEC = np.vectorize(_paeth, otypes=[np.int32])
 
 
-def _unfilter(raw: bytes, offset: int, h: int, w: int, channels: int) -> tuple[np.ndarray, int]:
+def _unfilter(
+    raw: bytes, offset: int, h: int, w: int, channels: int, bit_depth: int
+) -> tuple[np.ndarray, int]:
     """Reverse per-scanline filtering for one (sub-)image of ``h`` rows
     × ``w`` pixels starting at byte ``offset`` of the decompressed
-    stream. Returns ((h, w*channels) uint8, bytes consumed). The
-    previous-row state starts at zero — exactly the spec's rule for the
-    start of the image AND for the start of every Adam7 pass."""
-    stride = w * channels
+    stream. Returns ((h, stride) uint8 FILTERED BYTES, bytes consumed)
+    where stride = ceil(w·channels·depth/8). Filtering is defined on
+    bytes with left-neighbor offset bpp = max(1, channels·depth/8)
+    (the spec's rule — sub-byte rows use 1). The previous-row state
+    starts at zero — for the image start AND for every Adam7 pass."""
+    stride = (w * channels * bit_depth + 7) // 8
+    bpp = max(1, channels * bit_depth // 8)
     need = h * (stride + 1)
     if offset + need > len(raw):
         raise ValueError("corrupt PNG: truncated pixel data")
@@ -116,14 +123,14 @@ def _unfilter(raw: bytes, offset: int, h: int, w: int, channels: int) -> tuple[n
         elif ft in (1, 3, 4):  # Sub / Average / Paeth: left-dependent
             cur = np.zeros(stride, dtype=np.int32)
             for i in range(stride):
-                a = cur[i - channels] if i >= channels else 0
+                a = cur[i - bpp] if i >= bpp else 0
                 b = int(prev[i])
                 if ft == 1:
                     v = row[i] + a
                 elif ft == 3:
                     v = row[i] + (a + b) // 2
                 else:
-                    c = int(prev[i - channels]) if i >= channels else 0
+                    c = int(prev[i - bpp]) if i >= bpp else 0
                     v = row[i] + _paeth(int(a), b, c)
                 cur[i] = v & 0xFF
         else:
@@ -131,6 +138,26 @@ def _unfilter(raw: bytes, offset: int, h: int, w: int, channels: int) -> tuple[n
         out[r] = cur.astype(np.uint8)
         prev = cur
     return out, need
+
+
+def _samples(flat: np.ndarray, w: int, channels: int, bit_depth: int) -> np.ndarray:
+    """Filtered scanline BYTES → (h, w, channels) uint8 samples.
+    16-bit: big-endian pairs reduced by >>8 (the spec's 16→8 scaling);
+    sub-byte: MSB-first unpack, row padding bits discarded."""
+    h = flat.shape[0]
+    if bit_depth == 8:
+        return flat[:, : w * channels].reshape(h, w, channels)
+    if bit_depth == 16:
+        return flat.reshape(h, -1)[:, 0 : 2 * w * channels : 2].reshape(
+            h, w, channels
+        )
+    # 1/2/4-bit: unpack each row's bits MSB-first, regroup
+    per = 8 // bit_depth
+    bits = np.unpackbits(flat, axis=1)
+    vals = np.zeros((h, flat.shape[1] * per), dtype=np.uint8)
+    for k in range(bit_depth):
+        vals = (vals << 1) | bits[:, k::bit_depth][:, : vals.shape[1]]
+    return vals[:, : w * channels].reshape(h, w, channels)
 
 
 def _to_rgb(px: np.ndarray, channels: int, palette: np.ndarray | None) -> np.ndarray:
@@ -148,9 +175,9 @@ def _to_rgb(px: np.ndarray, channels: int, palette: np.ndarray | None) -> np.nda
 
 def decode_png(data: bytes) -> np.ndarray:
     """Decode a PNG to an (h, w, 3) uint8 RGB array (gray replicated,
-    alpha dropped, palette resolved, Adam7 de-interlaced). Raises
-    NotImplementedError for 16-bit / sub-byte-palette streams,
-    ValueError for corrupt data."""
+    alpha dropped, palette resolved, sub-byte indices unpacked, 16-bit
+    reduced by >>8, Adam7 de-interlaced). Raises ValueError for
+    corrupt data or spec-illegal (type, depth) combinations."""
     if data[:8] != _SIG:
         raise ValueError("not a PNG (bad signature)")
     pos = 8
@@ -177,14 +204,18 @@ def decode_png(data: bytes) -> np.ndarray:
             break
     if w is None:
         raise ValueError("corrupt PNG: no IHDR")
-    if bit_depth != 8:
-        raise NotImplementedError(
-            f"bit depth {bit_depth} (8 only; 16-bit and packed palette "
-            "indices not implemented)"
-        )
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         raise ValueError(f"corrupt PNG: color type {color_type}")
+    # spec's legal (type, depth) grid: sub-byte only for gray/palette;
+    # palette never 16-bit
+    allowed = {0: (1, 2, 4, 8, 16), 3: (1, 2, 4, 8)}.get(
+        color_type, (8, 16)
+    )
+    if bit_depth not in allowed:
+        raise ValueError(
+            f"corrupt PNG: depth {bit_depth} invalid for type {color_type}"
+        )
     if color_type == 3:
         if palette is None:
             raise ValueError("corrupt PNG: palette image without PLTE")
@@ -197,12 +228,20 @@ def decode_png(data: bytes) -> np.ndarray:
             )
     elif palette is not None:
         palette = None  # PLTE is advisory for non-indexed types
+    # sub-byte GRAY scales to full range (0/1 → 0/255 at depth 1);
+    # sub-byte PALETTE indices look up as-is
+    gray_scale = (
+        255 // (2**bit_depth - 1)
+        if color_type == 0 and bit_depth < 8
+        else 1
+    )
     raw = zlib.decompress(bytes(idat))
     if not interlace:
-        flat, used = _unfilter(raw, 0, h, w, channels)
+        flat, used = _unfilter(raw, 0, h, w, channels, bit_depth)
         if used != len(raw):
             raise ValueError("corrupt PNG: wrong decompressed length")
-        return _to_rgb(flat.reshape(h, w, channels), channels, palette)
+        px = _samples(flat, w, channels, bit_depth)
+        return _to_rgb(px * np.uint8(gray_scale), channels, palette)
     if interlace != 1:
         raise ValueError(f"corrupt PNG: interlace method {interlace}")
     # Adam7: seven independently-filtered sub-images on a fixed lattice
@@ -213,11 +252,11 @@ def decode_png(data: bytes) -> np.ndarray:
         ph = (h - _A7_YORIG[p] + _A7_YSTEP[p] - 1) // _A7_YSTEP[p]
         if pw == 0 or ph == 0:
             continue
-        flat, used = _unfilter(raw, offset, ph, pw, channels)
+        flat, used = _unfilter(raw, offset, ph, pw, channels, bit_depth)
         offset += used
         out[
             _A7_YORIG[p] :: _A7_YSTEP[p], _A7_XORIG[p] :: _A7_XSTEP[p]
-        ] = flat.reshape(ph, pw, channels)
+        ] = _samples(flat, pw, channels, bit_depth)
     if offset != len(raw):
         raise ValueError("corrupt PNG: wrong decompressed length")
-    return _to_rgb(out, channels, palette)
+    return _to_rgb(out * np.uint8(gray_scale), channels, palette)

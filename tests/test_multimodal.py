@@ -535,15 +535,15 @@ def test_png_lossless_roundtrip_and_filters():
     )
     with pytest.raises(ValueError, match="truncated"):
         decode_png(data)
-    # 16-bit depth remains honestly unimplemented
-    data16 = (
+    # spec-illegal (type, depth): palette cannot be 16-bit
+    bad = (
         _SIG
-        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 9, 16, 2, 0, 0, 0))
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 9, 16, 3, 0, 0, 0))
         + _chunk(b"IDAT", zlib.compress(b""))
         + _chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError):
-        decode_png(data16)
+    with pytest.raises(ValueError, match="invalid for type"):
+        decode_png(bad)
     with pytest.raises(ValueError):
         decode_png(b"not a png at all")
 
@@ -736,3 +736,51 @@ def test_png_palette_decode():
     got = decode_png(png)
     want = np.array([[pal[0], pal[1], pal[2]], [pal[3], pal[3], pal[0]]], dtype=np.uint8)
     assert np.array_equal(got, want)
+
+
+def test_png_16bit_and_subbyte_depths():
+    """16-bit samples reduce by >>8; 1-bit gray scales 0/1 -> 0/255;
+    4-bit palette indices unpack MSB-first with row padding dropped."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.pngcodec import (
+        _chunk,
+        _SIG,
+        decode_png,
+    )
+
+    # 16-bit RGB 2x1: pixels (0x1234 -> 0x12, ...) big-endian
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 16, 2, 0, 0, 0)
+    row = b"\x00" + bytes(
+        [0x12, 0x34, 0x56, 0x78, 0x9A, 0xBC,   # pixel 0 RGB
+         0xFF, 0x00, 0x00, 0xFF, 0x80, 0x01]   # pixel 1 RGB
+    )
+    png = (_SIG + _chunk(b"IHDR", ihdr)
+           + _chunk(b"IDAT", zlib.compress(row)) + _chunk(b"IEND", b""))
+    got = decode_png(png)
+    assert got.tolist() == [[[0x12, 0x56, 0x9A], [0xFF, 0x00, 0x80]]]
+
+    # 1-bit gray 10x2 (stride = 2 bytes/row, 6 padding bits dropped)
+    ihdr = struct.pack(">IIBBBBB", 10, 2, 1, 0, 0, 0, 0)
+    rows = (b"\x00" + bytes([0b10110001, 0b01000000])
+            + b"\x00" + bytes([0b00000001, 0b11000000]))
+    png = (_SIG + _chunk(b"IHDR", ihdr)
+           + _chunk(b"IDAT", zlib.compress(rows)) + _chunk(b"IEND", b""))
+    got = decode_png(png)
+    want_r0 = [255, 0, 255, 255, 0, 0, 0, 255, 0, 255]
+    want_r1 = [0, 0, 0, 0, 0, 0, 0, 255, 255, 255]
+    assert got[..., 0].tolist() == [want_r0, want_r1]
+    assert np.array_equal(got[..., 0], got[..., 2])  # gray replicated
+
+    # 4-bit palette 3x1: indices 0x1, 0x2, 0x0 packed as 0x12 0x0_
+    pal = [(9, 9, 9), (10, 20, 30), (40, 50, 60)]
+    ihdr = struct.pack(">IIBBBBB", 3, 1, 4, 3, 0, 0, 0)
+    row = b"\x00" + bytes([0x12, 0x00])
+    png = (_SIG + _chunk(b"IHDR", ihdr)
+           + _chunk(b"PLTE", b"".join(bytes(c) for c in pal))
+           + _chunk(b"IDAT", zlib.compress(row)) + _chunk(b"IEND", b""))
+    got = decode_png(png)
+    assert got.tolist() == [[list(pal[1]), list(pal[2]), list(pal[0])]]
