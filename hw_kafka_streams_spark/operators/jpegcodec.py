@@ -17,14 +17,15 @@ pipeline both ways:
   YCbCr (scaled-integer floor arithmetic, so the transform is exactly
   reproducible in SQL for the oracle).
 
-Scope (honest): baseline sequential, 8-bit, 1 or 3 components,
-sampling factors 1/2/4 — 4:4:4, 4:2:2 and 4:2:0 (the web default)
-all decode, with pixel-replication chroma upsample; restart
-intervals (DRI/RSTn) decode and encode; grayscale encodes via
-encode_baseline_jpeg_gray. Progressive (SOF2) and arithmetic coding
-raise NotImplementedError — real deployments use libjpeg-turbo; this
-is the dependency-free exact-spec path that upgrades JPEG from
-header-only metadata to real pixel decode.
+Scope: baseline sequential (SOF0/1) AND progressive (SOF2 — spectral
+selection + successive approximation per Annex G, both directions;
+the AC-refinement correction-bit algorithm follows the public libjpeg
+structure), 8-bit, 1 or 3 components, sampling factors 1/2/4 —
+4:4:4, 4:2:2 and 4:2:0 all decode with pixel-replication chroma
+upsample; restart intervals (DRI/RSTn); grayscale encoding.
+Arithmetic coding and lossless/hierarchical modes raise
+NotImplementedError — this is the dependency-free exact-spec path
+that upgrades JPEG from header-only metadata to real pixel decode.
 
 Determinism contract (what makes the Spark queries oracle-able): every
 rounding site is ``floor(x + 0.5)`` (never banker's rounding), the
@@ -305,10 +306,29 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
                     )
                 comps.append((cid, hs, vs, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC2:  # SOF2: progressive DCT, Huffman
+            h, w = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
+                hs, vs = samp >> 4, samp & 0xF
+                if hs not in (1, 2, 4) or vs not in (1, 2, 4):
+                    raise NotImplementedError(
+                        f"sampling factors {hs}x{vs} (1/2/4 supported)"
+                    )
+                comps.append((cid, hs, vs, tq))
+            # hand the rest of the stream (starting at the next marker)
+            # to the multi-scan progressive decoder
+            return _decode_progressive(
+                data, pos + seglen, (h, w, comps), qtables, huff_dc,
+                huff_ac, dri,
+            )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "progressive/extended/arithmetic JPEG (baseline only)"
+                "extended/lossless/arithmetic JPEG (baseline + "
+                "progressive supported)"
             )
         elif marker == 0xDD:  # DRI: restart every N MCUs
             (dri,) = struct.unpack(">H", seg[0:2])
@@ -397,6 +417,12 @@ def _decode_scan(data, pos, frame, comp_tables, qtables, huff_dc, huff_ac,
                         y0 = (my * vs + vy) * 8
                         x0 = (mx * hs + vx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
+    return _planes_to_rgb(comps, planes, h, w, hmax, vmax)
+
+
+def _planes_to_rgb(comps, planes, h, w, hmax, vmax) -> np.ndarray:
+    """Shared decode tail (baseline + progressive): upsample, crop,
+    level-shift, T.871 color transform with floor(x+0.5) rounding."""
     # nearest (pixel-replication) upsample of subsampled components to
     # full resolution, then crop — a spec-legal decoder choice, and
     # deterministic (libjpeg's default is triangular "fancy" upsampling;
@@ -662,5 +688,456 @@ def encode_baseline_jpeg_gray(gray: np.ndarray) -> bytes:
             pred = _encode_block(bw_, blk, QUANT_LUM, pred, dc_l, ac_l)
     bw_.flush()
     out.extend(bw_.bytes)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+# ----------------------------------------------------- progressive decode
+# ITU T.81 Annex G: spectral selection + successive approximation. Scans
+# accumulate QUANTIZED coefficients per block; dequant + IDCT run once at
+# the end. The AC-refinement bit algorithm follows the public libjpeg
+# structure (decode_mcu_AC_refine) — correction bits interleave with the
+# zero-history run counts.
+
+
+def _comp_geometry(frame):
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    geo = []
+    for cid, hs, vs, tq in comps:
+        cw = (w * hs + hmax - 1) // hmax
+        ch = (h * vs + vmax - 1) // vmax
+        nbx = (cw + 7) // 8   # non-interleaved block cols (T.81 A.2.2)
+        nby = (ch + 7) // 8
+        geo.append((mcux * hs, mcuy * vs, nbx, nby))
+    return hmax, vmax, mcux, mcuy, geo
+
+
+def _decode_progressive(data, pos, frame, qtables, huff_dc, huff_ac, dri):
+    h, w, comps = frame
+    hmax, vmax, mcux, mcuy, geo = _comp_geometry(frame)
+    # zigzag-order int coefficient store per component, MCU-padded dims
+    coefs = [
+        np.zeros((pnby, pnbx, 64), dtype=np.int64)
+        for (pnbx, pnby, _, _) in geo
+    ]
+    cid_to_ci = {c[0]: i for i, c in enumerate(comps)}
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("corrupt JPEG: expected marker")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI — all scans in
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT between scans
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                tab = np.zeros((8, 8), dtype=np.int32)
+                for k in range(64):
+                    tab[ZIGZAG[k]] = seg[p + 1 + k]
+                qtables[tq] = tab
+                p += 65
+        elif marker == 0xC4:  # DHT between scans
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + n])
+                (huff_dc if tc == 0 else huff_ac)[th] = _HuffDecoder(
+                    bits, vals
+                )
+                p += 17 + n
+        elif marker == 0xDD:
+            (dri,) = struct.unpack(">H", seg[0:2])
+        elif marker == 0xDA:  # one progressive scan
+            ns = seg[0]
+            scomps = []
+            for c in range(ns):
+                cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
+                scomps.append((cid_to_ci[cid], tabs >> 4, tabs & 0xF))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            pos = _prog_scan(
+                data, pos + seglen, frame, geo, coefs, scomps, ss, se,
+                ah, al, huff_dc, huff_ac, dri, mcux, mcuy,
+            )
+            continue
+        pos += seglen
+    # reconstruction: dequant + IDCT every stored block
+    planes = []
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        pnbx, pnby = geo[ci][0], geo[ci][1]
+        plane = np.zeros((pnby * 8, pnbx * 8))
+        q = qtables[tq]
+        for by in range(pnby):
+            for bx in range(pnbx):
+                zz = coefs[ci][by, bx].astype(np.float64)
+                blk = np.zeros((8, 8))
+                blk[_ZZ_ROWS, _ZZ_COLS] = zz
+                blk *= q
+                dc0 = blk[0, 0]
+                blk[0, 0] = 0.0
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    DCT_M.T @ blk @ DCT_M + dc0 / 8.0
+                )
+        planes.append(plane)
+    return _planes_to_rgb(comps, planes, h, w, hmax, vmax)
+
+
+def _next_marker(data, pos):
+    """First byte index of the next real marker (skips stuffed FF00 and
+    RSTn, which belong to the entropy stream)."""
+    while pos + 1 < len(data):
+        if data[pos] == 0xFF and data[pos + 1] not in (0x00,) and not (
+            0xD0 <= data[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    return len(data)
+
+
+def _prog_scan(data, pos, frame, geo, coefs, scomps, ss, se, ah, al,
+               huff_dc, huff_ac, dri, mcux, mcuy):
+    """Decode one progressive scan; returns the stream position of the
+    next marker. Restart intervals reset DC predictions and the EOB
+    run (each interval decodes independently)."""
+    br = _BitReader(data, pos)
+    state = {"eobrun": 0}
+    pred = {ci: 0 for ci, _, _ in scomps}
+    h, w, comps = frame
+
+    def maybe_restart(done):
+        if dri and done and done % dri == 0:
+            br.sync_restart()
+            state["eobrun"] = 0
+            for k in pred:
+                pred[k] = 0
+
+    if ss == 0:  # DC scan (Se must be 0)
+        if se != 0:
+            raise ValueError("corrupt JPEG: DC scan with Se != 0")
+        if len(scomps) > 1:  # interleaved MCU order
+            done = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    maybe_restart(done)
+                    done += 1
+                    for ci, dc_id, _ in scomps:
+                        _, hs, vs, _ = comps[ci]
+                        for vy in range(vs):
+                            for vx in range(hs):
+                                by, bx = my * vs + vy, mx * hs + vx
+                                _dc_unit(
+                                    br, coefs[ci], by, bx, ah, al,
+                                    huff_dc.get(dc_id), pred, ci,
+                                )
+        else:
+            ci, dc_id, _ = scomps[0]
+            _, _, nbx, nby = geo[ci]
+            done = 0
+            for by in range(nby):
+                for bx in range(nbx):
+                    maybe_restart(done)
+                    done += 1
+                    _dc_unit(
+                        br, coefs[ci], by, bx, ah, al,
+                        huff_dc.get(dc_id), pred, ci,
+                    )
+    else:  # AC scan: non-interleaved single component (T.81 G.1.1.1)
+        if len(scomps) != 1:
+            raise ValueError("corrupt JPEG: interleaved AC scan")
+        ci, _, ac_id = scomps[0]
+        ac = huff_ac[ac_id]
+        _, _, nbx, nby = geo[ci]
+        done = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                maybe_restart(done)
+                done += 1
+                blk = coefs[ci][by, bx]
+                if ah == 0:
+                    _ac_first_block(br, blk, ss, se, al, ac, state)
+                else:
+                    _ac_refine_block(br, blk, ss, se, al, ac, state)
+    return _next_marker(data, br.pos)
+
+
+def _dc_unit(br, coef, by, bx, ah, al, dc_dec, pred, ci):
+    if ah == 0:  # first DC scan: diff-coded, shifted left by Al
+        s = dc_dec.decode(br)
+        pred[ci] += _extend(br.receive(s), s)
+        coef[by, bx, 0] = pred[ci] << al
+    else:  # refinement: one raw bit ORs in the Al-th magnitude bit
+        if br.read_bit():
+            coef[by, bx, 0] |= 1 << al
+
+
+def _ac_first_block(br, blk, ss, se, al, ac, state):
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = ac.decode(br)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            state["eobrun"] = (1 << r) - 1
+            if r:
+                state["eobrun"] += br.receive(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("corrupt JPEG: AC index past Se")
+        blk[k] = _extend(br.receive(s), s) * (1 << al)
+        k += 1
+
+
+def _ac_refine_block(br, blk, ss, se, al, ac, state):
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = ac.decode(br)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r != 15:
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += br.receive(r)
+                    break
+                val = 0  # ZRL: pass 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("corrupt JPEG: refine size != 1")
+                val = p1 if br.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    # correction bit for an already-nonzero coefficient
+                    if br.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if k <= se and val:
+                blk[k] = val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            if blk[k] != 0 and br.read_bit() and (blk[k] & p1) == 0:
+                blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        state["eobrun"] -= 1
+
+
+# ---------------------------------------------------- progressive encode
+# Scan script: DC-first (Al=1) → AC-first bands per component (Al=1) →
+# DC refinement → AC refinements (Al=0). Exercises spectral selection
+# AND successive approximation in both directions; the entropy layer is
+# round-trip tested at the COEFFICIENT level (encode scans → decode
+# scans → exact int equality), independent of the DCT stage.
+
+
+def _quantize_block_zz(blk: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """8x8 spatial block (0..255 floats) → 64 quantized zigzag coefs
+    (same arithmetic as the baseline _encode_block)."""
+    b0 = blk - 128.0
+    dct = DCT_M @ b0 @ DCT_M.T
+    dct[0, 0] = b0.sum() / 8.0
+    qd = _round_half_up(dct / q).astype(np.int64)
+    return qd[_ZZ_ROWS, _ZZ_COLS]
+
+
+def _enc_dc_first(bw_, zz0, pred, ci, al, dc_codes):
+    v = int(zz0) >> al  # T.81: DC point transform is an ARITHMETIC shift
+    diff = v - pred[ci]
+    pred[ci] = v
+    s = _csize(diff)
+    code, size = dc_codes[s]
+    bw_.write(code, size)
+    if s:
+        bw_.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+
+
+def _enc_ac_first(bw_, zz, ss, se, al, ac_codes):
+    run = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = (abs(v) >> al) * (1 if v >= 0 else -1)  # magnitude shift
+        if t == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, size = ac_codes[0xF0]
+            bw_.write(code, size)
+            run -= 16
+        s = _csize(t)
+        code, size = ac_codes[(run << 4) | s]
+        bw_.write(code, size)
+        bw_.write(t if t > 0 else t + (1 << s) - 1, s)
+        run = 0
+    if run > 0:  # trailing zeros → EOB (run length 1: symbol 0x00)
+        code, size = ac_codes[0x00]
+        bw_.write(code, size)
+
+
+def _enc_ac_refine(bw_, zz, ss, se, al, ac_codes):
+    """libjpeg encode_mcu_AC_refine structure, EOB runs of length 1."""
+    absv = [(abs(int(zz[k])) >> al) for k in range(ss, se + 1)]
+    eob = 0  # band-relative index AFTER the last newly-significant coef
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob = i + 1
+    run = 0
+    pending: list[int] = []  # buffered correction bits
+    for i, t in enumerate(absv):
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and i < eob:
+            code, size = ac_codes[0xF0]
+            bw_.write(code, size)
+            run -= 16
+            for b in pending:
+                bw_.write(b, 1)
+            pending = []
+        if t > 1:  # previously nonzero: just a correction bit
+            pending.append(t & 1)
+            continue
+        # newly significant (magnitude exactly 1 at this precision)
+        code, size = ac_codes[(run << 4) | 1]
+        bw_.write(code, size)
+        bw_.write(1 if int(zz[ss + i]) >= 0 else 0, 1)
+        for b in pending:
+            bw_.write(b, 1)
+        pending = []
+        run = 0
+    if run > 0 or pending:
+        code, size = ac_codes[0x00]  # EOB, run length 1
+        bw_.write(code, size)
+        for b in pending:
+            bw_.write(b, 1)
+
+
+def encode_progressive_jpeg(rgb: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a PROGRESSIVE JPEG
+    (SOF2), 4:4:4, Annex K tables. Ten scans: interleaved DC first
+    (Al=1), per-component AC-first bands (Y split 1-5/6-63, chroma
+    1-63, Al=1), interleaved DC refinement, then the matching AC
+    refinement scans (Al=0). Same quantized coefficients as the
+    baseline encoder, so progressive and baseline decodes of the same
+    image are pixel-identical."""
+    h, w = rgb.shape[:2]
+    nby, nbx = (h + 7) // 8, (w + 7) // 8
+    ycc = rgb_to_ycbcr_int(rgb).astype(np.float64)
+    coefs = []
+    for ci in range(3):
+        p = np.pad(
+            ycc[..., ci],
+            ((0, nby * 8 - h), (0, nbx * 8 - w)),
+            mode="edge",
+        )
+        q = QUANT_LUM if ci == 0 else QUANT_CHROM
+        cz = np.zeros((nby, nbx, 64), dtype=np.int64)
+        for by in range(nby):
+            for bx in range(nbx):
+                cz[by, bx] = _quantize_block_zz(
+                    p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], q
+                )
+        coefs.append(cz)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker]))
+        out.extend(struct.pack(">H", len(payload) + 2))
+        out.extend(payload)
+
+    for tq, tab in ((0, QUANT_LUM), (1, QUANT_CHROM)):
+        zzb = bytes(int(tab[ZIGZAG[k]]) for k in range(64))
+        seg(0xDB, bytes([tq]) + zzb)
+    sof = b"\x08" + struct.pack(">HH", h, w) + b"\x03"
+    for ci in range(3):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    seg(0xC2, sof)  # SOF2: progressive
+    for tc, th, bits, vals in (
+        (0, 0, DC_LUM_BITS, DC_LUM_VALS),
+        (1, 0, AC_LUM_BITS, AC_LUM_VALS),
+        (0, 1, DC_CHROM_BITS, DC_CHROM_VALS),
+        (1, 1, AC_CHROM_BITS, AC_CHROM_VALS),
+    ):
+        seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    dc_codes = [
+        _build_codes(DC_LUM_BITS, DC_LUM_VALS),
+        _build_codes(DC_CHROM_BITS, DC_CHROM_VALS),
+    ]
+    ac_codes = [
+        _build_codes(AC_LUM_BITS, AC_LUM_VALS),
+        _build_codes(AC_CHROM_BITS, AC_CHROM_VALS),
+    ]
+
+    def dc_scan(ah, al):
+        # interleaved 3-component SOS header
+        hdr = b"\x03"
+        for ci in range(3):
+            tsel = 0 if ci == 0 else 1
+            hdr += bytes([ci + 1, tsel << 4])
+        hdr += bytes([0, 0, (ah << 4) | al])
+        seg(0xDA, hdr)
+        bw_ = _BitWriter()
+        pred = [0, 0, 0]
+        for by in range(nby):
+            for bx in range(nbx):
+                for ci in range(3):
+                    if ah == 0:
+                        _enc_dc_first(
+                            bw_, coefs[ci][by, bx, 0], pred, ci,
+                            al, dc_codes[0 if ci == 0 else 1],
+                        )
+                    else:
+                        bw_.write((int(coefs[ci][by, bx, 0]) >> al) & 1, 1)
+        bw_.flush()
+        out.extend(bw_.bytes)
+
+    def ac_scan(ci, ss, se, ah, al):
+        tsel = 0 if ci == 0 else 1
+        hdr = b"\x01" + bytes([ci + 1, tsel]) + bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, hdr)
+        bw_ = _BitWriter()
+        enc = _enc_ac_first if ah == 0 else _enc_ac_refine
+        for by in range(nby):
+            for bx in range(nbx):
+                enc(bw_, coefs[ci][by, bx], ss, se, al, ac_codes[tsel])
+        bw_.flush()
+        out.extend(bw_.bytes)
+
+    dc_scan(0, 1)
+    ac_scan(0, 1, 5, 0, 1)
+    ac_scan(0, 6, 63, 0, 1)
+    ac_scan(1, 1, 63, 0, 1)
+    ac_scan(2, 1, 63, 0, 1)
+    dc_scan(1, 0)
+    ac_scan(0, 1, 5, 1, 0)
+    ac_scan(0, 6, 63, 1, 0)
+    ac_scan(1, 1, 63, 1, 0)
+    ac_scan(2, 1, 63, 1, 0)
     out.extend(b"\xff\xd9")
     return bytes(out)

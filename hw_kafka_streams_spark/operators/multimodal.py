@@ -10,8 +10,8 @@ Design for 100 TB of images/audio/video interleaved with text:
 
 The container has no image/audio codec LIBRARIES, so exotic
 compressed-format decode is STUBBED (``NotImplementedError`` at
-clearly-marked points: progressive JPEG, MP3, H.264-class inter-frame
-video). But a large real surface is implemented from public specs:
+clearly-marked points: arithmetic-coded JPEG, MP3, H.264-class
+inter-frame video). But a large real surface is implemented from public specs:
 PNG/JPEG/GIF/BMP/TIFF/WebP header parsing, **baseline-JPEG pixel
 decode via the pure-numpy ITU T.81 codec in operators/jpegcodec.py**
 (Huffman + dequant + IDCT, encoder included), PNG and GIF-LZW pixel
@@ -715,41 +715,48 @@ def audio_rms(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
-# ------------------------------------------------------- baseline JPEG
-# Real compressed-image pixel decode: the pure-numpy ITU T.81 baseline
-# codec (operators/jpegcodec.py) — Huffman entropy decode, dequant,
-# IDCT. Upgrades JPEG from header-metadata-only to actual pixels; only
-# progressive/subsampled streams remain stubbed (inside the codec).
+# ---------------------------------------------------------- real JPEG
+# Real compressed-image pixel decode: the pure-numpy ITU T.81 codec
+# (operators/jpegcodec.py) — baseline AND progressive (spectral
+# selection + successive approximation), Huffman entropy decode,
+# dequant, IDCT. Only arithmetic-coded/lossless modes remain stubbed
+# (inside the codec).
 
 
 def synthesize_real_jpeg_payloads(
     df: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
-    """One REAL baseline JPEG per row (Annex-K tables, 4:4:4),
-    deterministic from the id: constant fill (id%256, 7id%256,
-    13id%256), dims 8·(id%3+1) × 8·(id%2+1). Constant fills make the
-    full encode→decode chain closed-form predictable (see
-    jpegcodec.dc_roundtrip_value), which is what lets q_multimodal_jpeg
-    carry an arithmetic DuckDB oracle over a REAL compressed codec."""
+    """One REAL JPEG per row (Annex-K tables, 4:4:4), deterministic
+    from the id: constant fill (id%256, 7id%256, 13id%256), dims
+    8·(id%3+1) × 8·(id%2+1). Every fifth payload encodes PROGRESSIVE
+    (SOF2, 10-scan spectral-selection + successive-approximation
+    script) — the quantized coefficients are identical to baseline, so
+    the same closed-form oracle (jpegcodec.dc_roundtrip_value) covers
+    both entropy organizations, and q_multimodal_jpeg value-hash
+    verifies the progressive decode path end to end."""
     import numpy as np
 
     from hw_kafka_streams_spark.operators.jpegcodec import (
         encode_baseline_jpeg,
+        encode_progressive_jpeg,
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf[id_col].astype("int64")
-            payloads = [
-                encode_baseline_jpeg(
-                    np.full(
-                        (8 * (int(i) % 2 + 1), 8 * (int(i) % 3 + 1), 3),
-                        (int(i) % 256, (int(i) * 7) % 256, (int(i) * 13) % 256),
-                        dtype=np.uint8,
-                    )
+            payloads = []
+            for i in ids:
+                i = int(i)
+                img = np.full(
+                    (8 * (i % 2 + 1), 8 * (i % 3 + 1), 3),
+                    (i % 256, (i * 7) % 256, (i * 13) % 256),
+                    dtype=np.uint8,
                 )
-                for i in ids
-            ]
+                enc = (
+                    encode_progressive_jpeg if i % 5 == 0
+                    else encode_baseline_jpeg
+                )
+                payloads.append(enc(img))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     return df.select(F.col(id_col)).mapInPandas(

@@ -350,12 +350,18 @@ def test_jpeg_decoder_rejects_out_of_scope_streams():
 
     with pytest.raises(ValueError):
         decode_baseline_jpeg(b"\x00\x11not a jpeg")
-    # flip SOF0 -> SOF2 (progressive): honest stub must raise
     data = bytearray(
         encode_baseline_jpeg(np.zeros((8, 8, 3), dtype=np.uint8))
     )
     i = data.find(b"\xff\xc0")
+    # SOF2 (progressive) is now SUPPORTED — but a baseline scan header
+    # relabeled progressive is MALFORMED (a DC scan must have Se=0),
+    # so it raises ValueError, not NotImplementedError
     data[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="Se != 0"):
+        decode_baseline_jpeg(bytes(data))
+    # SOF3 (lossless) remains honestly out of scope
+    data[i + 1] = 0xC3
     with pytest.raises(NotImplementedError):
         decode_baseline_jpeg(bytes(data))
 
@@ -784,3 +790,141 @@ def test_png_16bit_and_subbyte_depths():
            + _chunk(b"IDAT", zlib.compress(row)) + _chunk(b"IEND", b""))
     got = decode_png(png)
     assert got.tolist() == [[list(pal[1]), list(pal[2]), list(pal[0])]]
+
+
+def test_progressive_jpeg_equals_baseline_pixels():
+    """Progressive and baseline encodes share the same quantized
+    coefficients, so their decodes must be pixel-identical — across
+    random, flat, gradient, and edge-size images."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.jpegcodec import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+        encode_progressive_jpeg,
+    )
+
+    rng = np.random.default_rng(1234)
+    images = [
+        rng.integers(0, 256, size=(24, 40, 3), dtype=np.uint8),
+        np.full((16, 16, 3), 77, dtype=np.uint8),  # flat: EOB-heavy
+        np.zeros((9, 25, 3), dtype=np.uint8),
+        np.full((8, 8, 3), 255, dtype=np.uint8),
+    ]
+    yy, xx = np.mgrid[0:32, 0:32]
+    images.append(
+        np.stack([(3 * xx + 5 * yy) % 256, (2 * xx + yy) % 256,
+                  (xx + 4 * yy) % 256], axis=-1).astype(np.uint8)
+    )
+    for img in images:
+        base = decode_baseline_jpeg(encode_baseline_jpeg(img))
+        prog = decode_baseline_jpeg(encode_progressive_jpeg(img))
+        assert np.array_equal(base, prog), img.shape
+
+
+def test_progressive_entropy_layer_coefficient_roundtrip():
+    """Encode AC first+refine scans from known coefficient blocks and
+    decode them back: exact int equality at the COEFFICIENT level,
+    independent of the DCT stage. Exercises ZRL in refinement, long
+    zero runs, correction bits, EOB handling, and multi-block EOB runs
+    on the decode side."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.jpegcodec import (
+        AC_LUM_BITS,
+        AC_LUM_VALS,
+        _ac_first_block,
+        _ac_refine_block,
+        _BitReader,
+        _BitWriter,
+        _build_codes,
+        _enc_ac_first,
+        _enc_ac_refine,
+        _HuffDecoder,
+    )
+
+    ac_codes = _build_codes(AC_LUM_BITS, AC_LUM_VALS)
+    ac_dec = _HuffDecoder(AC_LUM_BITS, AC_LUM_VALS)
+    rng = np.random.default_rng(99)
+    for trial in range(40):
+        nblocks = int(rng.integers(1, 6))
+        blocks = []
+        for _ in range(nblocks):
+            zz = np.zeros(64, dtype=np.int64)
+            # sparse coefficients with magnitudes crossing the Al=1
+            # bit boundary (1s vanish in the first scan, refine later)
+            for _ in range(int(rng.integers(0, 12))):
+                k = int(rng.integers(1, 64))
+                zz[k] = int(rng.integers(-9, 10))
+            blocks.append(zz)
+        ss, se, al = 1, 63, 1
+        bw = _BitWriter()
+        for zz in blocks:
+            _enc_ac_first(bw, zz, ss, se, al, ac_codes)
+        bw.flush()
+        got = [np.zeros(64, dtype=np.int64) for _ in blocks]
+        br = _BitReader(bytes(bw.bytes) + b"\xff\xd9", 0)
+        state = {"eobrun": 0}
+        for g in got:
+            _ac_first_block(br, g, ss, se, al, ac_dec, state)
+        # first-scan decode == truncated-toward-zero coefficients << 1
+        for zz, g in zip(blocks, got):
+            want = np.sign(zz) * ((np.abs(zz) >> al) << al)
+            want[0] = 0
+            assert np.array_equal(g, want), trial
+        # refinement restores the exact values
+        bw2 = _BitWriter()
+        for zz in blocks:
+            _enc_ac_refine(bw2, zz, ss, se, 0, ac_codes)
+        bw2.flush()
+        br2 = _BitReader(bytes(bw2.bytes) + b"\xff\xd9", 0)
+        state2 = {"eobrun": 0}
+        for g in got:
+            _ac_refine_block(br2, g, ss, se, 0, ac_dec, state2)
+        for zz, g in zip(blocks, got):
+            want = zz.copy()
+            want[0] = 0
+            assert np.array_equal(g, want), trial
+
+
+def test_progressive_refine_zrl_hand_vector():
+    """A block with >16 zero-history positions before a newly
+    significant coefficient forces ZRL in the refinement scan; pinned
+    by construction."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.jpegcodec import (
+        AC_LUM_BITS,
+        AC_LUM_VALS,
+        _ac_first_block,
+        _ac_refine_block,
+        _BitReader,
+        _BitWriter,
+        _build_codes,
+        _enc_ac_first,
+        _enc_ac_refine,
+        _HuffDecoder,
+    )
+
+    ac_codes = _build_codes(AC_LUM_BITS, AC_LUM_VALS)
+    ac_dec = _HuffDecoder(AC_LUM_BITS, AC_LUM_VALS)
+    zz = np.zeros(64, dtype=np.int64)
+    zz[2] = 4    # visible in first scan (4>>1 = 2)
+    zz[3] = -5   # visible (-5 -> -2), correction bit 1 in refine
+    zz[40] = -1  # invisible at Al=1, newly significant in refine (37 zeros)
+    zz[63] = 7   # visible, correction bit
+    for scan_al in [(1,)]:
+        bw = _BitWriter()
+        _enc_ac_first(bw, zz, 1, 63, 1, ac_codes)
+        bw.flush()
+        g = np.zeros(64, dtype=np.int64)
+        st = {"eobrun": 0}
+        _ac_first_block(_BitReader(bytes(bw.bytes) + b"\xff\xd9", 0), g, 1, 63, 1, ac_dec, st)
+        assert g[2] == 4 and g[3] == -4 and g[40] == 0 and g[63] == 6
+        bw2 = _BitWriter()
+        _enc_ac_refine(bw2, zz, 1, 63, 0, ac_codes)
+        bw2.flush()
+        st2 = {"eobrun": 0}
+        _ac_refine_block(_BitReader(bytes(bw2.bytes) + b"\xff\xd9", 0), g, 1, 63, 0, ac_dec, st2)
+        assert g[2] == 4 and g[3] == -5 and g[40] == -1 and g[63] == 7
+        assert not np.any(g[[1, 4, 20, 39, 41, 62]])
