@@ -3154,3 +3154,83 @@ def q_containment_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.containment_topk(docs, threshold=0.5, k=3).orderBy(
         "small_id", "rk"
     )
+
+
+@register(
+    "q_luhn_card_audit",
+    oracle="""
+        WITH cand AS (
+          SELECT doc_id,
+                 '4' || lpad(CAST((doc_id * 7919) % 100000000000000 AS VARCHAR),
+                             14, '0')
+                     || CAST(doc_id % 10 AS VARCHAR) AS card
+          FROM documents WHERE doc_id < 500
+        ), digs AS (
+          SELECT doc_id, card,
+                 list_transform(
+                   range(0, length(card)),
+                   i -> CAST(substring(reverse(card), i + 1, 1) AS INT)
+                 ) AS rev
+          FROM cand
+        ), summed AS (
+          SELECT doc_id, card,
+                 list_sum(list_transform(
+                   range(0, len(rev)),
+                   i -> CASE WHEN i % 2 = 1
+                        THEN CASE WHEN 2 * rev[i + 1] > 9
+                             THEN 2 * rev[i + 1] - 9
+                             ELSE 2 * rev[i + 1] END
+                        ELSE rev[i + 1] END
+                 )) AS luhn_sum
+          FROM digs
+        )
+        SELECT doc_id, card, CAST(luhn_sum AS INT) AS luhn_sum,
+               luhn_sum % 10 = 0 AS luhn_valid
+        FROM summed ORDER BY doc_id
+    """,
+    doc="Luhn-checksum validation of card-shaped digit strings - the "
+    "precision upgrade over regex-only PII detection (a 16-digit "
+    "sequence is only a plausible card number if the ISO/IEC 7812 "
+    "mod-10 checksum holds; redacting on the regex alone "
+    "over-redacts order ids and timestamps). Deterministic "
+    "16-digit candidates are built from doc_id with a data-dependent "
+    "final digit, so ~10% validate; the checksum runs ENTIRELY "
+    "JVM-side as higher-order array functions (reverse -> transform "
+    "with positional doubling -> aggregate sum, zero Python, "
+    "whole-stage codegen) and the oracle recomputes it independently "
+    "with DuckDB list lambdas.",
+)
+def q_luhn_card_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 500)
+    card = F.concat(
+        F.lit("4"),
+        F.lpad(((F.col("doc_id") * 7919) % 100000000000000).cast("string"), 14, "0"),
+        (F.col("doc_id") % 10).cast("string"),
+    )
+    rev = F.reverse(card)
+
+    def _digit(i):
+        return rev.substr(i + 1, F.lit(1)).cast("int")
+
+    luhn_sum = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.length(rev) - 1),
+            lambda i: F.when(
+                i % 2 == 1,
+                F.when(2 * _digit(i) > 9, 2 * _digit(i) - 9).otherwise(
+                    2 * _digit(i)
+                ),
+            ).otherwise(_digit(i)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        docs.select(
+            "doc_id",
+            card.alias("card"),
+            luhn_sum.cast("int").alias("luhn_sum"),
+        )
+        .withColumn("luhn_valid", F.col("luhn_sum") % 10 == 0)
+        .orderBy("doc_id")
+    )
