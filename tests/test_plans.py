@@ -276,6 +276,9 @@ def test_headline_plans_no_smj_no_unexpected_nlj(spark, sf_dir):
         # round-6: 1-row model-token-total broadcast in the stupid-
         # backoff score (ntot, same pattern as q_bigram_lm_score)
         "q_bigram_backoff_score",
+        # round-6 (cont.): 1-row max-timestamp broadcast that anchors
+        # the recency decay (same scalar-aggregate cross pattern)
+        "q_decayed_heavy_hitters",
         # round-7: the broadcast-anchors cosine scan (queries x corpus
         # is the intentional brute-force pattern, anchors bounded)
         "q_hard_negatives",
