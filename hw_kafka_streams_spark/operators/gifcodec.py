@@ -10,10 +10,12 @@ is a literal root, with CLEAR injected before the code width would
 grow past 9 bits — larger output, bit-valid, deterministic). Palette
 lookup maps indices to RGB.
 
-Scope (honest): first image frame only (animations: later frames
-ignored), global or local color table, interlaced or not. No
-transparency compositing (the GCE is skipped; indices map straight
-through the palette).
+Animations: :func:`decode_gif_frames` composes EVERY frame with the
+GIF89a Graphic Control semantics — frame rectangles drawn onto the
+logical-screen canvas, transparent indices skipped, disposal methods
+1 (leave), 2 (restore region to background) and 3 (restore to
+previous canvas) applied between frames. :func:`decode_gif` returns
+the first composed frame (back-compatible).
 """
 
 from __future__ import annotations
@@ -23,12 +25,53 @@ import struct
 import numpy as np
 
 
-def decode_gif(data: bytes) -> np.ndarray:
-    """Decode the first frame of a GIF to an (h, w, 3) uint8 RGB
-    array. Raises ValueError for corrupt data."""
+def _parse_image_block(data: bytes, pos: int, gct):
+    """One image descriptor at ``pos`` (the 0x2C byte) → (indices
+    (h, w) uint8, color table, (left, top), new pos)."""
+    left, top, w, h, ipack = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
+    pos += 10
+    ct = gct
+    if ipack & 0x80:  # local color table
+        n = 2 << (ipack & 0x07)
+        ct = np.frombuffer(
+            data, dtype=np.uint8, count=3 * n, offset=pos
+        ).reshape(n, 3)
+        pos += 3 * n
+    if ct is None:
+        raise ValueError("corrupt GIF: no color table")
+    min_code = data[pos]
+    pos += 1
+    stream = bytearray()
+    while data[pos] != 0:
+        ln = data[pos]
+        stream.extend(data[pos + 1 : pos + 1 + ln])
+        pos += 1 + ln
+    pos += 1
+    idx = _lzw_decode(bytes(stream), min_code, w * h)
+    px = np.array(idx, dtype=np.uint8).reshape(h, w)
+    if ipack & 0x40:  # de-interlace: 4 passes
+        out = np.zeros_like(px)
+        rows = (
+            list(range(0, h, 8))
+            + list(range(4, h, 8))
+            + list(range(2, h, 4))
+            + list(range(1, h, 2))
+        )
+        for src, dst in enumerate(rows):
+            out[dst] = px[src]
+        px = out
+    return px, ct, (left, top), pos
+
+
+def decode_gif_frames(data: bytes, max_frames: int | None = None) -> list[np.ndarray]:
+    """Decode an (animated) GIF to a list of COMPOSED (sh, sw, 3)
+    uint8 RGB frames — each frame is the full logical screen after
+    drawing that image rectangle with its transparency, then disposal
+    runs before the next frame (1/0 leave, 2 restore-to-background,
+    3 restore-to-previous). Raises ValueError for corrupt data."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
-    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    sw, sh, packed, bg, _ar = struct.unpack("<HHBBB", data[6:13])
     pos = 13
     gct = None
     if packed & 0x80:
@@ -37,52 +80,57 @@ def decode_gif(data: bytes) -> np.ndarray:
             data, dtype=np.uint8, count=3 * n, offset=pos
         ).reshape(n, 3)
         pos += 3 * n
+    bg_rgb = (
+        gct[bg] if gct is not None and bg < len(gct)
+        else np.zeros(3, dtype=np.uint8)
+    )
+    canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+    frames: list[np.ndarray] = []
+    disposal, transparent = 0, None  # pending GCE state
     while pos < len(data):
         b = data[pos]
         if b == 0x3B:  # trailer
             break
-        if b == 0x21:  # extension: label + sub-blocks until terminator
-            pos += 2
-            while data[pos] != 0:
-                pos += 1 + data[pos]
-            pos += 1
+        if b == 0x21:  # extension
+            label = data[pos + 1]
+            p = pos + 2
+            if label == 0xF9 and data[p] >= 4:  # Graphic Control
+                gpack = data[p + 1]
+                disposal = (gpack >> 2) & 0x7
+                transparent = data[p + 4] if gpack & 0x01 else None
+            while data[p] != 0:
+                p += 1 + data[p]
+            pos = p + 1
             continue
         if b != 0x2C:
             raise ValueError(f"corrupt GIF: unexpected block 0x{b:02x}")
-        left, top, w, h, ipack = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
-        pos += 10
-        ct = gct
-        if ipack & 0x80:  # local color table
-            n = 2 << (ipack & 0x07)
-            ct = np.frombuffer(
-                data, dtype=np.uint8, count=3 * n, offset=pos
-            ).reshape(n, 3)
-            pos += 3 * n
-        if ct is None:
-            raise ValueError("corrupt GIF: no color table")
-        min_code = data[pos]
-        pos += 1
-        stream = bytearray()
-        while data[pos] != 0:
-            ln = data[pos]
-            stream.extend(data[pos + 1 : pos + 1 + ln])
-            pos += 1 + ln
-        pos += 1
-        idx = _lzw_decode(bytes(stream), min_code, w * h)
-        px = np.array(idx, dtype=np.uint8).reshape(h, w)
-        if ipack & 0x40:  # de-interlace: 4 passes
-            out = np.zeros_like(px)
-            rows = (
-                list(range(0, h, 8))
-                + list(range(4, h, 8))
-                + list(range(2, h, 4))
-                + list(range(1, h, 2))
-            )
-            for src, dst in enumerate(rows):
-                out[dst] = px[src]
-            px = out
-        return ct[px]
-    raise ValueError("corrupt GIF: no image descriptor")
+        px, ct, (left, top), pos = _parse_image_block(data, pos, gct)
+        h, w = px.shape
+        saved = canvas.copy() if disposal == 3 else None
+        region = canvas[top : top + h, left : left + w]
+        rgb = ct[px]
+        if transparent is not None:
+            mask = px != transparent
+            region[mask] = rgb[mask]
+        else:
+            region[:, :] = rgb
+        frames.append(canvas.copy())
+        if max_frames is not None and len(frames) >= max_frames:
+            return frames
+        if disposal == 2:  # restore the rectangle to background
+            canvas[top : top + h, left : left + w] = bg_rgb
+        elif disposal == 3 and saved is not None:
+            canvas = saved
+        disposal, transparent = 0, None  # GCE applies to ONE image
+    if not frames:
+        raise ValueError("corrupt GIF: no image descriptor")
+    return frames
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """Decode the first composed frame of a GIF to an (h, w, 3) uint8
+    RGB array. Raises ValueError for corrupt data."""
+    return decode_gif_frames(data, max_frames=1)[0]
 
 
 def _lzw_decode(stream: bytes, min_code: int, expect: int) -> list[int]:
@@ -188,6 +236,22 @@ def _lzw_encode(data: bytes, min_code: int = 8) -> bytes:
     return bytes(out)
 
 
+def _image_block(
+    gray: np.ndarray, left: int = 0, top: int = 0
+) -> bytes:
+    """One image descriptor + LZW data for a gray index rectangle."""
+    h, w = gray.shape[:2]
+    out = bytearray(struct.pack("<BHHHHB", 0x2C, left, top, w, h, 0))
+    out.append(8)  # LZW min code size
+    payload = _lzw_encode(gray.reshape(-1).tobytes(), 8)
+    for i in range(0, len(payload), 255):
+        chunk = payload[i : i + 255]
+        out.append(len(chunk))
+        out.extend(chunk)
+    out.append(0)  # block terminator
+    return bytes(out)
+
+
 def encode_gif_gray(gray: np.ndarray) -> bytes:
     """Encode an (h, w) uint8 grayscale array as a GIF89a with the
     256-entry gray palette — pixel values ARE palette indices, so the
@@ -197,13 +261,35 @@ def encode_gif_gray(gray: np.ndarray) -> bytes:
     out = bytearray(b"GIF89a")
     out.extend(struct.pack("<HHBBB", w, h, 0xF7, 0, 0))  # GCT, 256 entries
     out.extend(GRAY_PALETTE)
-    out.extend(struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0))
-    out.append(8)  # LZW min code size
-    payload = _lzw_encode(gray.reshape(-1).tobytes(), 8)
-    for i in range(0, len(payload), 255):
-        chunk = payload[i : i + 255]
-        out.append(len(chunk))
-        out.extend(chunk)
-    out.append(0)  # block terminator
+    out.extend(_image_block(gray))
     out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def encode_gif_gray_animation(
+    frames: list[tuple[np.ndarray, int, int]],
+    screen: tuple[int, int],
+    disposal: int = 1,
+    transparent: int | None = None,
+) -> bytes:
+    """Encode a GIF89a animation over the gray palette: ``frames`` is
+    a list of (gray rectangle, left, top) drawn in order onto a
+    ``screen`` = (width, height) canvas; each frame carries a Graphic
+    Control Extension with the given disposal method and optional
+    transparent index. Lossless over indices, like the still encoder."""
+    sw, sh = screen
+    out = bytearray(b"GIF89a")
+    out.extend(struct.pack("<HHBBB", sw, sh, 0xF7, 0, 0))
+    out.extend(GRAY_PALETTE)
+    gpack = (disposal & 0x7) << 2
+    tidx = 0
+    if transparent is not None:
+        gpack |= 0x01
+        tidx = transparent
+    for gray, left, top in frames:
+        out.extend(
+            struct.pack("<BBBBHBB", 0x21, 0xF9, 4, gpack, 4, tidx, 0)
+        )  # GCE: 4-byte block, 4cs delay, terminator
+        out.extend(_image_block(gray, left, top))
+    out.append(0x3B)
     return bytes(out)

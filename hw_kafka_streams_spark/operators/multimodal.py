@@ -979,3 +979,64 @@ def gif_channel_means(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         work,
         schema="doc_id long, width int, height int, mean_gray int",
     )
+
+
+def synthesize_real_gif_anim_payloads(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """One REAL 3-frame animated GIF per row: a full-canvas fill, then
+    two nested sub-rectangle updates (disposal=1, draw-over), all
+    LZW-compressed for real. Fills are deterministic from the id, and
+    frame composition reduces to area-weighted integer means — the
+    closed form q_multimodal_gif_anim's oracle replays."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.gifcodec import (
+        encode_gif_gray_animation,
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = 8 + i % 9, 8 + i % 7
+                v1, v2, v3 = (11 * i + 3) % 256, (7 * i + 5) % 256, (13 * i + 1) % 256
+                frames = [
+                    (np.full((h, w), v1, dtype=np.uint8), 0, 0),
+                    (np.full((h - 2, w - 2), v2, dtype=np.uint8), 1, 1),
+                    (np.full((h // 2, w // 2), v3, dtype=np.uint8), 2, 2),
+                ]
+                payloads.append(
+                    encode_gif_gray_animation(frames, (w, h), disposal=1)
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+
+
+def gif_frame_means(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Per-frame integer gray means over COMPOSED animation frames
+    (full disposal/transparency semantics in gifcodec) — the GIF twin
+    of the MJPEG-AVI per-frame fan-out."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.gifcodec import decode_gif_frames
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                for fi, fr in enumerate(decode_gif_frames(bytes(payload))):
+                    g = fr[..., 0].astype(np.int64)
+                    rows.append((int(doc_id), fi, int(g.sum() // g.size)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "mean_gray"]
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        work, schema="doc_id long, frame_idx int, mean_gray int"
+    )

@@ -3234,3 +3234,55 @@ def q_luhn_card_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("luhn_valid", F.col("luhn_sum") % 10 == 0)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_multimodal_gif_anim",
+    oracle="""
+        WITH base AS (
+          SELECT doc_id,
+                 CAST(8 + doc_id % 9 AS BIGINT) AS w,
+                 CAST(8 + doc_id % 7 AS BIGINT) AS h,
+                 (11 * doc_id + 3) % 256 AS v1,
+                 (7 * doc_id + 5) % 256 AS v2,
+                 (13 * doc_id + 1) % 256 AS v3
+          FROM documents WHERE doc_id < 200
+        ), areas AS (
+          SELECT *, w * h AS a,
+                 (w - 2) * (h - 2) AS a2,
+                 (w // 2) * (h // 2) AS a3
+          FROM base
+        ), fr AS (
+          SELECT doc_id, CAST(unnest(range(3)) AS INT) AS frame_idx,
+                 a, a2, a3, v1, v2, v3
+          FROM areas
+        )
+        SELECT doc_id, frame_idx,
+               CAST(CASE frame_idx
+                 WHEN 0 THEN v1
+                 WHEN 1 THEN (v1 * (a - a2) + v2 * a2) // a
+                 ELSE (v1 * (a - a2) + v2 * (a2 - a3) + v3 * a3) // a
+               END AS INT) AS mean_gray
+        FROM fr ORDER BY doc_id, frame_idx
+    """,
+    doc="REAL animated-GIF frame composition: 3-frame animations "
+    "(full fill + two nested sub-rectangle updates, disposal=1) are "
+    "genuinely LZW-compressed, then every frame is COMPOSED onto the "
+    "logical-screen canvas with the GIF89a Graphic Control semantics "
+    "(operators/gifcodec.decode_gif_frames - disposal 1/2/3 and "
+    "transparency all implemented, pinned by hand vectors in tests) "
+    "and reduced to per-frame integer gray means. Nested rectangles "
+    "make each composed mean an area-weighted closed form the oracle "
+    "replays exactly - the GIF twin of the MJPEG-AVI per-frame "
+    "fan-out, and the second real video-ish container surface.",
+)
+def q_multimodal_gif_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.multimodal import (
+        gif_frame_means,
+        synthesize_real_gif_anim_payloads,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
+    return gif_frame_means(synthesize_real_gif_anim_payloads(docs)).orderBy(
+        "doc_id", "frame_idx"
+    )

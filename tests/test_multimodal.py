@@ -928,3 +928,58 @@ def test_progressive_refine_zrl_hand_vector():
         _ac_refine_block(_BitReader(bytes(bw2.bytes) + b"\xff\xd9", 0), g, 1, 63, 0, ac_dec, st2)
         assert g[2] == 4 and g[3] == -5 and g[40] == -1 and g[63] == 7
         assert not np.any(g[[1, 4, 20, 39, 41, 62]])
+
+
+def test_gif_animation_composition_semantics():
+    """Composed animation frames: draw-over (disposal 1), restore-to-
+    background (2), restore-to-previous (3), and transparency all
+    pinned by hand-computed canvases."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.gifcodec import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif_gray,
+        encode_gif_gray_animation,
+    )
+
+    g = (np.arange(64).reshape(8, 8) * 3 % 256).astype(np.uint8)
+    assert np.array_equal(decode_gif(encode_gif_gray(g))[..., 0], g)
+
+    f1 = np.full((6, 8), 100, dtype=np.uint8)
+    f2 = np.full((4, 6), 30, dtype=np.uint8)
+    f3 = np.full((2, 3), 200, dtype=np.uint8)
+    frames = decode_gif_frames(
+        encode_gif_gray_animation([(f1, 0, 0), (f2, 1, 1), (f3, 2, 2)], (8, 6))
+    )
+    assert len(frames) == 3
+    a, b, c = (fr[..., 0] for fr in frames)
+    assert (a == 100).all()
+    assert b[0, 0] == 100 and b[1, 1] == 30 and b[5, 7] == 100
+    assert c[2, 2] == 200 and c[1, 1] == 30 and c[0, 0] == 100
+
+    # disposal 2: frame 1's rect restored to background before frame 2
+    frames = decode_gif_frames(
+        encode_gif_gray_animation([(f1, 0, 0), (f2, 1, 1)], (8, 6), disposal=2)
+    )
+    b = frames[1][..., 0]
+    assert b[0, 0] == 0 and b[1, 1] == 30
+
+    # transparency: transparent index keeps the underlying pixel
+    f2t = np.full((4, 6), 7, dtype=np.uint8)
+    f2t[0, 0] = 55
+    b = decode_gif_frames(
+        encode_gif_gray_animation(
+            [(f1, 0, 0), (f2t, 1, 1)], (8, 6), transparent=7
+        )
+    )[1][..., 0]
+    assert b[1, 1] == 55 and b[1, 2] == 100
+
+    # disposal 3: canvas restored to the pre-frame state
+    frames = decode_gif_frames(
+        encode_gif_gray_animation(
+            [(f1, 0, 0), (f2, 1, 1), (f3, 2, 2)], (8, 6), disposal=3
+        )
+    )
+    c = frames[2][..., 0]
+    assert c[1, 1] == 0 and c[2, 2] == 200
