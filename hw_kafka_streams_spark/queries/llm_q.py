@@ -3085,7 +3085,8 @@ def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and decoded back through the full dictionary algorithm + palette "
     "lookup (operators/gifcodec.py). GIF is lossless over indices, so "
     "the oracle predicts every pixel from the synthesis formula, like "
-    "the PNG twin. Animations beyond frame 1 are out of scope.",
+    "the PNG twin. Animations compose for real too - see "
+    "q_multimodal_gif_anim (disposal/transparency semantics).",
 )
 def q_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hw_kafka_streams_spark.operators.multimodal import (
