@@ -1040,3 +1040,78 @@ def gif_frame_means(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.select("doc_id", payload_col).mapInPandas(
         work, schema="doc_id long, frame_idx int, mean_gray int"
     )
+
+
+def synthesize_real_tiff_payloads(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """One REAL uncompressed TIFF per row, same per-pixel gradient as
+    the PNG synthesizer (pixel (y, x) of doc i = ((5i + 2x + 3y) % 256,
+    (3i + x + 2y) % 256, (7i + 4x + y) % 256), dims (8 + i%7) rows x
+    (8 + i%9) cols); every third doc encodes BIG-ENDIAN (MM) so the
+    oracled decode exercises both byte orders."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.tiffcodec import encode_tiff_rgb
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                h, w = 8 + i % 7, 8 + i % 9
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = np.stack(
+                    [
+                        (5 * i + 2 * xx + 3 * yy) % 256,
+                        (3 * i + xx + 2 * yy) % 256,
+                        (7 * i + 4 * xx + yy) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                payloads.append(
+                    encode_tiff_rgb(img, ">" if i % 3 == 0 else "<")
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+
+
+def tiff_channel_means(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Exact integer channel means over REAL decoded TIFF pixels —
+    the uncompressed twin of png_channel_means."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.tiffcodec import decode_tiff_pixels
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                px = decode_tiff_pixels(bytes(payload)).astype(np.int64)
+                h, w = px.shape[:2]
+                rows.append(
+                    (
+                        int(doc_id),
+                        w,
+                        h,
+                        int(px[..., 0].sum() // (w * h)),
+                        int(px[..., 1].sum() // (w * h)),
+                        int(px[..., 2].sum() // (w * h)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        work,
+        schema="doc_id long, width int, height int, "
+        "mean_r int, mean_g int, mean_b int",
+    )

@@ -3287,3 +3287,49 @@ def q_multimodal_gif_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gif_frame_means(synthesize_real_gif_anim_payloads(docs)).orderBy(
         "doc_id", "frame_idx"
     )
+
+
+@register(
+    "q_multimodal_tiff",
+    oracle="""
+        WITH base AS (
+          SELECT doc_id,
+                 CAST(8 + doc_id % 9 AS INT) AS width,
+                 CAST(8 + doc_id % 7 AS INT) AS height
+          FROM documents WHERE doc_id < 200
+        ), px AS (
+          SELECT doc_id, width, height,
+                 (5 * doc_id + 2*x + 3*y) % 256 AS r,
+                 (3 * doc_id + x + 2*y) % 256 AS g,
+                 (7 * doc_id + 4*x + y) % 256 AS b
+          FROM base,
+               (SELECT unnest(range(17)) AS x),
+               (SELECT unnest(range(15)) AS y)
+          WHERE x < width AND y < height
+        )
+        SELECT doc_id, width, height,
+               CAST(sum(r) // (width * height) AS INT) AS mean_r,
+               CAST(sum(g) // (width * height) AS INT) AS mean_g,
+               CAST(sum(b) // (width * height) AS INT) AS mean_b
+        FROM px GROUP BY doc_id, width, height ORDER BY doc_id
+    """,
+    doc="REAL uncompressed-TIFF pixel decode "
+    "(operators/tiffcodec.py): per-doc gradient TIFFs - IFD walk, "
+    "SHORT/LONG tags, out-of-line value arrays, strip assembly, both "
+    "byte orders (every third payload encodes big-endian MM) - "
+    "decoded back to exact integer channel means. Lossless, so the "
+    "oracle predicts every pixel from the synthesis formula; the "
+    "seventh real image format in the multimodal surface. LZW/"
+    "Deflate/JPEG-in-TIFF compression raise honestly (their pixel "
+    "paths belong to the dedicated codecs).",
+)
+def q_multimodal_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.multimodal import (
+        synthesize_real_tiff_payloads,
+        tiff_channel_means,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
+    return tiff_channel_means(synthesize_real_tiff_payloads(docs)).orderBy(
+        "doc_id"
+    )

@@ -983,3 +983,33 @@ def test_gif_animation_composition_semantics():
     )
     c = frames[2][..., 0]
     assert c[1, 1] == 0 and c[2, 2] == 200
+
+
+def test_tiff_codec_roundtrip_and_guards():
+    """Uncompressed-TIFF pixels round-trip in both byte orders; gray
+    replicates; compressed/header-only streams raise appropriately."""
+    import numpy as np
+    import pytest
+
+    from hw_kafka_streams_spark.operators.multimodal import make_fake_tiff
+    from hw_kafka_streams_spark.operators.tiffcodec import (
+        decode_tiff_pixels,
+        encode_tiff_rgb,
+    )
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, size=(9, 13, 3), dtype=np.uint8)
+    for bo in ("<", ">"):
+        assert np.array_equal(decode_tiff_pixels(encode_tiff_rgb(img, bo)), img)
+    # compression flag rejected as unimplemented (tag 259 = 5 -> LZW)
+    data = bytearray(encode_tiff_rgb(img))
+    i = data.find(b"\x03\x01\x03\x00\x01\x00\x00\x00\x01\x00")
+    assert i > 0
+    data[i + 8] = 5
+    with pytest.raises(NotImplementedError, match="compression"):
+        decode_tiff_pixels(bytes(data))
+    # header-only fake (no strip tables) is corrupt, not decodable
+    with pytest.raises(ValueError, match="strip"):
+        decode_tiff_pixels(make_fake_tiff(10, 10))
+    with pytest.raises(ValueError):
+        decode_tiff_pixels(b"XXXXXXXX")
