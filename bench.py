@@ -84,29 +84,28 @@ HEADLINE = [
     "q_knn_classify",
     "q_winsorized_stats",
     "q_ctfidf_source_terms",
-    # round 7
+    # later additions (quality rules, privacy audit, mining probes)
     "q_gopher_rules",
     "q_k_anonymity",
     "q_hard_negatives",
     "q_event_debounce",
-    # round 6 additions: stupid-backoff LM scoring and the pure-numpy
-    # JPEG pixel decode (the snapshot-layer queries stay out of the
-    # headline: their wall time is dominated by deliberate table writes)
+    # stupid-backoff LM scoring and the pure-numpy JPEG pixel decode
+    # (snapshot-layer queries stay out of the headline: their wall
+    # time is dominated by deliberate table writes)
     "q_bigram_backoff_score",
     "q_multimodal_jpeg",
-    # round 6 (cont.): MJPEG-AVI per-frame decode fan-out, the
-    # count-min sketch corpus build, and blocked Jaro-Winkler linkage
-    # (the scan/sketch/block-join shapes worth tracking round-over-
-    # round; the fixed-size ADPCM/stat-test probes are sub-bench-noise)
+    # MJPEG-AVI per-frame decode fan-out, the count-min sketch corpus
+    # build, and blocked Jaro-Winkler linkage (the scan/sketch/
+    # block-join shapes worth tracking round-over-round; fixed-size
+    # ADPCM/stat-test probes are sub-bench-noise)
     "q_multimodal_avi",
     "q_countmin_freq",
     "q_jaro_winkler_pairs",
-    # round 6 (cont.): the output-bounded containment variant (the
-    # scale-shape worth ratcheting) and the decayed heavy-hitter
-    # ranking (scan + keyed agg + TakeOrdered). The other additions
-    # stay off the headline: logreg/doremi are deliberate multi-job
-    # iterative trainers, snapshot queries are write-dominated,
-    # textrank's cost is vocabulary- not data-sized.
+    # the output-bounded containment variant (the scale-shape worth
+    # ratcheting) and the decayed heavy-hitter ranking (scan + keyed
+    # agg + TakeOrdered). Off the headline: logreg/doremi are
+    # deliberate multi-job iterative trainers, snapshot queries are
+    # write-dominated, textrank's cost is vocabulary- not data-sized.
     "q_containment_topk",
     "q_decayed_heavy_hitters",
 ]
