@@ -269,3 +269,112 @@ def test_adpcm_decoder_matches_sql_state_machine(pred0, idx0, nibbles):
     """
     want = [r[1] for r in duckdb.sql(sql).fetchall()]
     assert got == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_png_roundtrip_sequential_and_interlaced(w, h, seed):
+    """PNG is lossless: both wire layouts must reproduce every pixel
+    of any image, any size (incl. 1-pixel edges where most Adam7
+    passes are empty)."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.pngcodec import (
+        decode_png,
+        encode_png,
+        encode_png_interlaced,
+    )
+
+    img = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8
+    )
+    assert np.array_equal(decode_png(encode_png(img)), img)
+    assert np.array_equal(decode_png(encode_png_interlaced(img)), img)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_progressive_jpeg_always_equals_baseline(scale, seed):
+    """Same quantized coefficients ⇒ identical pixels, for any image:
+    the progressive entropy reorganization must be invisible."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.jpegcodec import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+        encode_progressive_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(
+        0, 256, size=(8 * scale, 8 * (5 - scale), 3), dtype=np.uint8
+    )
+    assert np.array_equal(
+        decode_baseline_jpeg(encode_baseline_jpeg(img)),
+        decode_baseline_jpeg(encode_progressive_jpeg(img)),
+    )
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.sampled_from(["<", ">"]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_tiff_roundtrip_any_size_both_orders(w, h, bo, seed):
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.tiffcodec import (
+        decode_tiff_pixels,
+        encode_tiff_rgb,
+    )
+
+    img = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8
+    )
+    assert np.array_equal(decode_tiff_pixels(encode_tiff_rgb(img, bo)), img)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(min_value=0, max_value=2**32 - 1))
+def test_gif_animation_matches_reference_compositor(seed):
+    """The codec's composed frames must equal an independent numpy
+    reference compositor (draw-over disposal) for random frame stacks
+    of random rectangles."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.gifcodec import (
+        decode_gif_frames,
+        encode_gif_gray_animation,
+    )
+
+    rng = np.random.default_rng(seed)
+    sw, sh = int(rng.integers(4, 16)), int(rng.integers(4, 16))
+    frames = []
+    for _ in range(int(rng.integers(1, 5))):
+        fw, fh = int(rng.integers(1, sw + 1)), int(rng.integers(1, sh + 1))
+        left = int(rng.integers(0, sw - fw + 1))
+        top = int(rng.integers(0, sh - fh + 1))
+        frames.append(
+            (
+                rng.integers(0, 256, size=(fh, fw), dtype=np.uint8),
+                left,
+                top,
+            )
+        )
+    got = decode_gif_frames(
+        encode_gif_gray_animation(frames, (sw, sh), disposal=1)
+    )
+    canvas = np.zeros((sh, sw), dtype=np.uint8)
+    for (gray, left, top), fr in zip(frames, got):
+        canvas[top : top + gray.shape[0], left : left + gray.shape[1]] = gray
+        assert np.array_equal(fr[..., 0], canvas)
+        assert np.array_equal(fr[..., 0], fr[..., 2])  # gray palette
