@@ -1566,3 +1566,50 @@ def q_snapshot_stats_only(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows bigint, n_files int, min_ok bigint, max_ok bigint, "
         "min_qty double, max_qty double",
     )
+
+
+@register(
+    "q_snapshot_vacuum",
+    oracle="""
+        SELECT CAST(1 AS INT) AS expired_versions,
+               CAST(1 AS INT) AS deleted_files,
+               CAST(count(*) AS BIGINT) AS head_rows,
+               CAST(sum(CASE WHEN l_orderkey <= (SELECT max(l_orderkey) // 2
+                                                 FROM lineitem)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS head_rows_check
+        FROM lineitem
+        WHERE l_orderkey <= (SELECT max(l_orderkey) // 2 FROM lineitem)
+    """,
+    doc="Retention/vacuum audit over the snapshot layer "
+    "(sources/snapshots.vacuum): v1 = all lineitem rows, v2 = an "
+    "OVERWRITE down to the low-orderkey half; vacuum(keep_last=1) "
+    "must expire exactly one version and reference-count-delete "
+    "exactly one data file (v1's, now unreferenced) while the head "
+    "stays fully readable - its row count is recomputed after the "
+    "vacuum from the surviving file and hash-checked against the "
+    "oracle's predicate count over the source table. Deletion is by "
+    "reference counting, never file age: a file still referenced by "
+    "any retained manifest is immune.",
+)
+def q_snapshot_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from hw_kafka_streams_spark.sources import snapshots as S
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey")
+    mx = li.agg(F.max("l_orderkey")).collect()[0][0]
+    tbl = tempfile.mkdtemp(prefix="q_snapshot_vacuum_") + "/tbl"
+    S.create_table(spark, tbl, li, target_files=1)
+    S.commit_overwrite(
+        spark, tbl, li.filter(F.col("l_orderkey") <= mx // 2), target_files=1
+    )
+    rep = S.vacuum(tbl, keep_last=1)
+    head = S.read_snapshot(spark, tbl)  # must survive the vacuum
+    return head.agg(
+        F.lit(len(rep["expired_versions"])).cast("int").alias("expired_versions"),
+        F.lit(rep["deleted_files"]).cast("int").alias("deleted_files"),
+        F.count(F.lit(1)).alias("head_rows"),
+        F.sum(
+            (F.col("l_orderkey") <= mx // 2).cast("int")
+        ).cast("long").alias("head_rows_check"),
+    )
