@@ -1115,3 +1115,69 @@ def tiff_channel_means(df: DataFrame, payload_col: str = "payload") -> DataFrame
         schema="doc_id long, width int, height int, "
         "mean_r int, mean_g int, mean_b int",
     )
+
+
+def synthesize_g711_payloads(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """One deterministic G.711 byte stream per row: byte i of doc d is
+    (31·d + 7·i) % 256, length 64 + d%64 — the same stream decodes
+    under BOTH companding laws in q_multimodal_g711, and the per-byte
+    closed forms let the oracle recompute every sample."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for d in ids:
+                d = int(d)
+                n = 64 + d % 64
+                i = np.arange(n, dtype=np.int64)
+                payloads.append(((31 * d + 7 * i) % 256).astype(np.uint8).tobytes())
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+
+
+def g711_sample_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Decode each payload under µ-law AND A-law (operators/g711.py)
+    and reduce to exact integer sample sums — the strongest possible
+    check on a companding codec (every decoded value participates)."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.g711 import alaw_decode, ulaw_decode
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                raw = bytes(payload)
+                u = ulaw_decode(raw).astype(np.int64)
+                a = alaw_decode(raw).astype(np.int64)
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(raw),
+                        int(u.sum()),
+                        int(np.abs(u).sum()),
+                        int(a.sum()),
+                        int(np.abs(a).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples",
+                    "ulaw_sum", "ulaw_abs_sum", "alaw_sum", "alaw_abs_sum",
+                ],
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        work,
+        schema="doc_id long, n_samples long, ulaw_sum long, "
+        "ulaw_abs_sum long, alaw_sum long, alaw_abs_sum long",
+    )

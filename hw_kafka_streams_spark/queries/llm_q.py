@@ -3333,3 +3333,59 @@ def q_multimodal_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiff_channel_means(synthesize_real_tiff_payloads(docs)).orderBy(
         "doc_id"
     )
+
+
+@register(
+    "q_multimodal_g711",
+    oracle="""
+        WITH base AS (
+          SELECT doc_id, 64 + doc_id % 64 AS n
+          FROM documents WHERE doc_id < 200
+        ), by_i AS (
+          SELECT doc_id, n, unnest(range(n)) AS i FROM base
+        ), b AS (
+          SELECT doc_id, n,
+                 CAST((31 * doc_id + 7 * i) % 256 AS INT) AS byte
+          FROM by_i
+        ), dec AS (
+          SELECT doc_id, n,
+                 ((~byte) & 255) AS u,
+                 xor(byte, 85) AS a
+          FROM b
+        ), samples AS (
+          SELECT doc_id, n,
+                 CASE WHEN (u & 128) != 0 THEN -1 ELSE 1 END
+                 * (((((u & 15) << 3) + 132) << ((u >> 4) & 7)) - 132)
+                   AS us,
+                 CASE WHEN (a & 128) != 0 THEN 1 ELSE -1 END
+                 * (CASE WHEN ((a >> 4) & 7) = 0
+                         THEN ((a & 15) << 4) + 8
+                         ELSE (((a & 15) << 4) + 264)
+                              << (((a >> 4) & 7) - 1) END) AS asmp
+          FROM dec
+        )
+        SELECT doc_id, CAST(any_value(n) AS BIGINT) AS n_samples,
+               CAST(sum(us) AS BIGINT) AS ulaw_sum,
+               CAST(sum(abs(us)) AS BIGINT) AS ulaw_abs_sum,
+               CAST(sum(asmp) AS BIGINT) AS alaw_sum,
+               CAST(sum(abs(asmp)) AS BIGINT) AS alaw_abs_sum
+        FROM samples GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="REAL G.711 mu-law/A-law audio decode (operators/g711.py, "
+    "public ITU-T spec): the telephony companding codecs expanded to "
+    "linear PCM with pure integer bit arithmetic per byte - the third "
+    "real compressed-audio surface (after IMA ADPCM and PCM WAV) and "
+    "the one whose FULL decode the oracle replays as per-byte integer "
+    "expressions (DuckDB bitwise ops), hash-matching exact sample "
+    "sums under both laws for every payload. Tests pin the spec "
+    "vectors (mu 0xFF->0, 0x80->+32124; A +-8/+-32256) and the "
+    "all-256-byte decode->encode->decode idempotence of both laws.",
+)
+def q_multimodal_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.multimodal import (
+        g711_sample_stats,
+        synthesize_g711_payloads,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
+    return g711_sample_stats(synthesize_g711_payloads(docs)).orderBy("doc_id")

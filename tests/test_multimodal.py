@@ -1013,3 +1013,37 @@ def test_tiff_codec_roundtrip_and_guards():
         decode_tiff_pixels(make_fake_tiff(10, 10))
     with pytest.raises(ValueError):
         decode_tiff_pixels(b"XXXXXXXX")
+
+
+def test_g711_spec_vectors_and_idempotence():
+    """G.711 spec hand vectors plus the all-256-byte invariant:
+    decode->encode->decode must be exact for BOTH laws (every code
+    word is a fixed point of its own quantization)."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.g711 import (
+        alaw_decode,
+        alaw_encode,
+        ulaw_decode,
+        ulaw_encode,
+    )
+
+    assert ulaw_decode(bytes([0xFF]))[0] == 0
+    assert ulaw_decode(bytes([0x7F]))[0] == 0  # negative zero -> 0
+    assert ulaw_decode(bytes([0x80]))[0] == 32124
+    assert ulaw_decode(bytes([0x00]))[0] == -32124
+    assert alaw_decode(bytes([0xD5]))[0] == 8
+    assert alaw_decode(bytes([0x55]))[0] == -8
+    assert alaw_decode(bytes([0xAA]))[0] == 32256
+    assert alaw_decode(bytes([0x2A]))[0] == -32256
+    allb = np.arange(256, dtype=np.uint8)
+    for dec, enc in [(ulaw_decode, ulaw_encode), (alaw_decode, alaw_encode)]:
+        samples = dec(allb)
+        assert np.array_equal(dec(enc(samples)), samples)
+    # encoding arbitrary linear PCM stays within segment quantization
+    rng = np.random.default_rng(3)
+    x = rng.integers(-32000, 32001, size=2000).astype(np.int16)
+    for dec, enc, tol in [(ulaw_decode, ulaw_encode, 1 / 16), (alaw_decode, alaw_encode, 1 / 8)]:
+        err = np.abs(dec(enc(x)).astype(np.int64) - x)
+        # error bounded by half the segment step (~|x|/16 + bias)
+        assert (err <= np.maximum(np.abs(x.astype(np.int64)) * tol, 140)).all()
