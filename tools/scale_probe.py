@@ -84,6 +84,7 @@ PROBES = [
     "q_countmin_freq",         # CMS sketch build + heavy-hitter probe
     "q_multimodal_jpeg",       # pure-numpy JPEG pixel decode fan-out
     "q_soundex_blocking",      # JVM-side phonetic key vocabulary agg
+    "q_containment_topk",      # output-bounded per-anchor WindowGroupLimit
 ]
 
 
