@@ -1184,3 +1184,80 @@ def substring_dedup_spans(
         .filter(F.col("span_len") >= min_len)
         .select("doc_a", "doc_b", "start_a", "start_b", "span_len")
     )
+
+
+def block_dedup_rewrite(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_words: int = 10,
+) -> DataFrame:
+    """Corpus-level paragraph-dedup REWRITE (the C4/RefinedWeb recipe):
+    cut every document into fixed ``block_words``-word blocks, keep only
+    the corpus-wide FIRST occurrence of each distinct block (ordered by
+    (doc id, block index)), and reassemble what survives — returning the
+    cleaned text, not just the duplicate spans (that detection side is
+    ``substring_dedup_spans``). Documents whose every block is a repeat
+    of earlier text vanish from the output, exactly like C4's
+    three-sentence-span rule drops fully-boilerplate pages.
+
+    Scale: one explode multiplies rows by len/B (bounded, map-local),
+    the first-occurrence group keys on md5(block) — a fixed-width
+    32-char key, never the block text itself — with map-side combined
+    min(), and the reassembly shuffle is keyed back on the doc id. No
+    pairwise joins anywhere: cost is O(total blocks), the same shape at
+    100 TB. Ref: reference has no sub-record dedup; this extends
+    its per-record censor/dedup model (KafkaStreamApp.java) to
+    corpus-level content hygiene.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    docs = (
+        df.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+        .select(
+            F.col(id_col).cast("long").alias("_id"),
+            words.alias("_ws"),
+        )
+        .withColumn(
+            "_nb",
+            F.ceil(F.size("_ws") / F.lit(block_words)).cast("int"),
+        )
+    )
+    blocks = docs.select(
+        "_id",
+        "_nb",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("_nb") - 1),
+                lambda i: F.array_join(
+                    F.slice(F.col("_ws"), i * block_words + 1, block_words),
+                    " ",
+                ),
+            )
+        ).alias("_blk", "_btxt"),
+    ).withColumn("_bh", F.md5(F.col("_btxt")))
+    # corpus-wide first occurrence per block hash: min over the encoded
+    # (doc, block) order key — a single map-side-combined aggregate
+    order_key = F.col("_id") * F.lit(1_000_000) + F.col("_blk")
+    firsts = (
+        blocks.select("_bh", order_key.alias("_k"))
+        .groupBy("_bh")
+        .agg(F.min("_k").alias("_first"))
+    )
+    kept = blocks.withColumn("_k", order_key).join(firsts, "_bh").filter(
+        F.col("_k") == F.col("_first")
+    )
+    return (
+        kept.groupBy("_id")
+        .agg(
+            F.max("_nb").cast("long").alias("n_blocks"),
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_blk", "_btxt"))),
+                    lambda s: s["_btxt"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .select(F.col("_id").alias(id_col), "n_blocks", "n_kept", "clean_text")
+    )

@@ -1754,3 +1754,69 @@ def q_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cuped_lift(
         events, "user_id", "value", "ts", "2024-01-16 00:00:00"
     )
+
+
+@register(
+    "q_block_dedup_rewrite",
+    oracle=r"""
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                             e -> e <> '') AS ws
+          FROM documents
+          WHERE text IS NOT NULL AND trim(text) <> ''
+        ),
+        docs AS (
+          SELECT doc_id, ws,
+                 CAST(ceil(len(ws) / 10.0) AS INT) AS nb
+          FROM d
+        ),
+        idx AS (
+          SELECT doc_id, nb, ws,
+                 CAST(unnest(range(nb)) AS INT) AS blk
+          FROM docs
+        ),
+        blocks AS (
+          SELECT doc_id, nb, blk,
+                 array_to_string(ws[(blk * 10 + 1):(blk * 10 + 10)], ' ')
+                   AS btxt
+          FROM idx
+        ),
+        hashed AS (
+          SELECT doc_id, nb, blk, btxt, md5(btxt) AS bh,
+                 doc_id * 1000000 + blk AS k
+          FROM blocks
+        ),
+        firsts AS (
+          SELECT bh, min(k) AS first_k FROM hashed GROUP BY bh
+        ),
+        kept AS (
+          SELECT h.* FROM hashed h JOIN firsts f
+            ON h.bh = f.bh AND h.k = f.first_k
+        )
+        SELECT doc_id, CAST(max(nb) AS BIGINT) AS n_blocks,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(btxt, ' ' ORDER BY blk) AS clean_text
+        FROM kept GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    doc="C4-style corpus-level block-dedup REWRITE: every 10-word block "
+    "that already appeared earlier in the corpus (ordered by (doc_id, "
+    "block index)) is removed, and each document's surviving blocks "
+    "are reassembled in order into clean_text - the cleaning "
+    "transformation itself, not just duplicate detection (that side "
+    "is q_substring_dedup). Fully-duplicated documents drop out "
+    "entirely, like C4's repeated-span page pruning. First-occurrence "
+    "choice is a deterministic min over an encoded (doc, block) order "
+    "key; the global group keys on md5(block) - fixed-width keys, "
+    "map-side-combined min, no pairwise join - so the whole rewrite "
+    "is O(total blocks) with two shuffles at any corpus size "
+    "(operators/dedup.block_dedup_rewrite).",
+)
+def q_block_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.dedup import block_dedup_rewrite
+
+    docs = load_table(spark, "documents", sf_dir)
+    return block_dedup_rewrite(docs, "text", "doc_id", block_words=10).orderBy(
+        "doc_id"
+    )

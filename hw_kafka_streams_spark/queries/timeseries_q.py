@@ -2425,3 +2425,143 @@ def q_decayed_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("decayed_score"), "user_id")
         .limit(20)
     )
+
+
+@register(
+    "q_mann_kendall",
+    oracle="""
+        WITH e AS (
+          SELECT user_id, t, arg_min(value, event_id) AS v
+          FROM (
+            SELECT user_id, epoch(ts) AS t, value, event_id
+            FROM events
+            WHERE user_id < 25 AND value IS NOT NULL AND ts IS NOT NULL
+          ) GROUP BY user_id, t
+        ),
+        s AS (
+          SELECT a.user_id,
+                 CAST(sum(CASE WHEN b.v > a.v THEN 1
+                               WHEN b.v < a.v THEN -1 ELSE 0 END)
+                      AS BIGINT) AS s_stat
+          FROM e a JOIN e b
+            ON a.user_id = b.user_id AND a.t < b.t
+          GROUP BY a.user_id
+        ),
+        n AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+          FROM e GROUP BY user_id
+        ),
+        ties AS (
+          SELECT user_id,
+                 CAST(sum(c * (c - 1) * (2 * c + 5)) AS BIGINT) AS tie_term
+          FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+                FROM e GROUP BY user_id, v)
+          GROUP BY user_id
+        )
+        SELECT n.user_id, n.n_events, s.s_stat,
+               round(CASE
+                 WHEN n.n_events * (n.n_events - 1) * (2 * n.n_events + 5)
+                      - ties.tie_term <= 0 THEN 0.0
+                 WHEN s.s_stat > 0 THEN (s.s_stat - 1) / sqrt(
+                   (n.n_events * (n.n_events - 1) * (2 * n.n_events + 5)
+                    - ties.tie_term) / 18.0)
+                 WHEN s.s_stat < 0 THEN (s.s_stat + 1) / sqrt(
+                   (n.n_events * (n.n_events - 1) * (2 * n.n_events + 5)
+                    - ties.tie_term) / 18.0)
+                 ELSE 0.0
+               END, 6) + 0.0 AS mk_z
+        FROM n JOIN s USING (user_id) JOIN ties USING (user_id)
+        WHERE n.n_events >= 3
+        ORDER BY user_id
+    """,
+    doc="Mann-Kendall monotone-trend test per user - the standard "
+    "nonparametric companion to q_theil_sen's slope (MK decides IF a "
+    "trend exists; Theil-Sen estimates HOW steep). S = sum over "
+    "time-ordered pairs of sign(v_j - v_i); Var(S) uses the classic "
+    "tie-corrected form (n(n-1)(2n+5) - sum t(t-1)(2t+5))/18 and the "
+    "continuity-corrected z = (S -/+ 1)/sqrt(Var). Time ties are "
+    "removed up front by a deterministic min_by(event_id) "
+    "representative per (user, timestamp) so the distinct-times "
+    "variance formula is exact, not approximate. Every comparison is "
+    "a CASE sign fold (no libm until the final sqrt, which is "
+    "IEEE-correctly-rounded on both engines); S and the tie term stay "
+    "BIGINT-exact. Pairs come from a per-key self-join - quadratic in "
+    "the per-entity series length ONLY, never corpus-wide; at 100 TB "
+    "the key-group bound (and the O(n log n) inversion-count rewrite "
+    "if groups grow) keeps this a bounded shuffle, and S/n/ties all "
+    "reduce with map-side combine.",
+)
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .filter(
+            (F.col("user_id") < 25)
+            & F.col("value").isNotNull()
+            & F.col("ts").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp("ts").alias("t"),
+            "value",
+            "event_id",
+        )
+        .groupBy("user_id", "t")
+        .agg(F.min_by("value", "event_id").alias("v"))
+    )
+    a = ev.select("user_id", F.col("t").alias("t1"), F.col("v").alias("v1"))
+    b = ev.select(
+        F.col("user_id").alias("u2"),
+        F.col("t").alias("t2"),
+        F.col("v").alias("v2"),
+    )
+    sgn = (
+        F.when(F.col("v2") > F.col("v1"), F.lit(1))
+        .when(F.col("v2") < F.col("v1"), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    s = (
+        a.join(b, (F.col("user_id") == F.col("u2")) & (F.col("t1") < F.col("t2")))
+        .groupBy("user_id")
+        .agg(F.sum(sgn).cast("long").alias("s_stat"))
+    )
+    n = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    ties = (
+        ev.groupBy("user_id", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.col("c") * (F.col("c") - 1) * (2 * F.col("c") + 5)
+            ).cast("long").alias("tie_term")
+        )
+    )
+    var_num = (
+        F.col("n_events")
+        * (F.col("n_events") - 1)
+        * (2 * F.col("n_events") + 5)
+        - F.col("tie_term")
+    )
+    z = (
+        F.when(var_num <= 0, F.lit(0.0))
+        .when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1) / F.sqrt(var_num / F.lit(18.0)),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1) / F.sqrt(var_num / F.lit(18.0)),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        n.join(s, "user_id")
+        .join(ties, "user_id")
+        .filter(F.col("n_events") >= 3)
+        .select(
+            "user_id",
+            "n_events",
+            "s_stat",
+            (F.round(z, 6) + F.lit(0.0)).alias("mk_z"),
+        )
+        .orderBy("user_id")
+    )
