@@ -1181,3 +1181,77 @@ def g711_sample_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         schema="doc_id long, n_samples long, ulaw_sum long, "
         "ulaw_abs_sum long, alaw_sum long, alaw_abs_sum long",
     )
+
+
+# ------------------------------------------------------------- real QOI
+# Full qoiformat.org codec (operators/qoicodec.py): RUN/INDEX/DIFF/
+# LUMA/RGB chunk ops, 64-slot rolling hash index. Lossless, so the
+# synthesized-payload decode is arithmetic-oracle-able like PNG/GIF.
+
+
+def synthesize_qoi_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One REAL QOI file per row. Doc i is (8 + i%6) rows x (8 + i%11)
+    cols; pixel (y, x) is ((5i + 2x + 7y) % 256, (3i + 4x + y) % 256,
+    (11i + x + 2y) % 256) — the x/y steps land in QOI_OP_LUMA range so
+    the gradient exercises the luma path — except every fifth doc is
+    FLAT (every pixel = the (0,0) value), exercising QOI_OP_RUN and the
+    62-run split."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.qoicodec import encode_qoi
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                h, w = 8 + i % 6, 8 + i % 11
+                yy, xx = np.mgrid[0:h, 0:w]
+                if i % 5 == 0:
+                    yy, xx = np.zeros_like(yy), np.zeros_like(xx)
+                img = np.stack(
+                    [
+                        (5 * i + 2 * xx + 7 * yy) % 256,
+                        (3 * i + 4 * xx + yy) % 256,
+                        (11 * i + xx + 2 * yy) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                payloads.append(encode_qoi(img))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+
+
+def qoi_channel_means(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Exact integer channel means over REAL decoded QOI pixels."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.qoicodec import decode_qoi
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, data in zip(pdf["doc_id"], pdf[payload_col]):
+                rgb = decode_qoi(bytes(data))
+                h, w, _ = rgb.shape
+                s = rgb.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                n = h * w
+                out.append(
+                    (doc_id, w, h,
+                     int(s[0] // n), int(s[1] // n), int(s[2] // n))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "width", "height",
+                         "mean_r", "mean_g", "mean_b"],
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        work,
+        schema="doc_id long, width int, height int, "
+        "mean_r int, mean_g int, mean_b int",
+    )

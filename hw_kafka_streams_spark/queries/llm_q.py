@@ -3389,3 +3389,52 @@ def q_multimodal_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
     return g711_sample_stats(synthesize_g711_payloads(docs)).orderBy("doc_id")
+
+
+@register(
+    "q_multimodal_qoi",
+    oracle="""
+        WITH base AS (
+          SELECT doc_id,
+                 CAST(8 + doc_id % 11 AS INT) AS width,
+                 CAST(8 + doc_id % 6 AS INT) AS height
+          FROM documents WHERE doc_id < 200
+        ), px AS (
+          SELECT doc_id, width, height,
+                 (5*doc_id + 2*xe + 7*ye) % 256 AS r,
+                 (3*doc_id + 4*xe + ye) % 256 AS g,
+                 (11*doc_id + xe + 2*ye) % 256 AS b
+          FROM (
+            SELECT doc_id, width, height,
+                   CASE WHEN doc_id % 5 = 0 THEN 0 ELSE x END AS xe,
+                   CASE WHEN doc_id % 5 = 0 THEN 0 ELSE y END AS ye
+            FROM base,
+                 (SELECT unnest(range(19)) AS x),
+                 (SELECT unnest(range(14)) AS y)
+            WHERE x < width AND y < height
+          )
+        )
+        SELECT doc_id, width, height,
+               CAST(sum(r) // (width * height) AS INT) AS mean_r,
+               CAST(sum(g) // (width * height) AS INT) AS mean_g,
+               CAST(sum(b) // (width * height) AS INT) AS mean_b
+        FROM px GROUP BY doc_id, width, height ORDER BY doc_id
+    """,
+    doc="REAL QOI decode (operators/qoicodec.py - the complete "
+    "qoiformat.org spec: RUN/INDEX/DIFF/LUMA/RGB chunk ops and the "
+    "64-slot rolling hash index): per-doc gradient images are "
+    "genuinely QOI-encoded then decoded back to exact integer channel "
+    "means. Gradient x/y steps are tuned to the LUMA op's delta "
+    "range; every fifth doc is flat, exercising RUN and the 62-run "
+    "split. Lossless, so the oracle predicts every pixel from the "
+    "synthesis formula - eighth real image format alongside "
+    "BMP/JPEG/PNG/GIF/TIFF/WebP-header/Y4M.",
+)
+def q_multimodal_qoi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.multimodal import (
+        qoi_channel_means,
+        synthesize_qoi_payloads,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
+    return qoi_channel_means(synthesize_qoi_payloads(docs)).orderBy("doc_id")

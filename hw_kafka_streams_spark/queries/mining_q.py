@@ -1541,3 +1541,172 @@ def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return doremi_weights(docs, "source", eta=0.5, iters=4)
+
+
+# Poisson(1) CDF breakpoints scaled to the 60-bit md5-prefix grid:
+# t[k] = floor(P(X<=k) * 2^60). A row's replicate weight is the k whose
+# interval contains its 60-bit hash - pure integer comparisons, so both
+# engines derive IDENTICAL weights with zero float parsing drift.
+_POIS_T = [
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+    1148701988496035328,
+    1152236456152946176,
+    1152825534095764608,
+    1152909688087595776,
+]
+_BOOT_R = 100  # replicates; lower/upper order stats 3 and 98 ~ 95% CI
+
+
+def _boot_w_sql(h: str) -> str:
+    branches = " ".join(
+        f"WHEN {h} < {t} THEN {k}" for k, t in enumerate(_POIS_T)
+    )
+    return f"CASE {branches} ELSE 8 END"
+
+
+@register(
+    "q_bootstrap_ci",
+    oracle=f"""
+        WITH base AS (
+          SELECT event_type,
+                 CAST(floor(value * 1000000.0) AS BIGINT) AS vq,
+                 event_id
+          FROM events
+          WHERE value IS NOT NULL AND event_type IS NOT NULL
+        ),
+        reps AS (
+          SELECT event_type, vq, event_id,
+                 CAST(unnest(range({_BOOT_R})) AS INT) AS r
+          FROM base
+        ),
+        wtd AS (
+          SELECT event_type, r, vq,
+                 {_boot_w_sql("('0x' || substring(md5(event_id::VARCHAR || ':' || r::VARCHAR), 1, 15))::BIGINT")} AS w
+          FROM reps
+        ),
+        per_rep AS (
+          SELECT event_type, r,
+                 CAST(sum(w) AS BIGINT) AS sw,
+                 sum(CAST(w AS HUGEINT) * vq) AS swv
+          FROM wtd GROUP BY event_type, r
+        ),
+        means AS (
+          SELECT event_type, r,
+                 CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE) / 1000000.0
+                   AS mean_r,
+                 row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE), r
+                 ) AS rn
+          FROM per_rep WHERE sw > 0
+        ),
+        pt AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+                 round(CAST(sum(CAST(vq AS HUGEINT)) AS DOUBLE)
+                       / count(*) / 1000000.0, 6) AS mean_value
+          FROM base GROUP BY event_type
+        )
+        SELECT pt.event_type, pt.n_rows, pt.mean_value,
+               round(min(CASE WHEN rn = 3 THEN mean_r END), 6) AS boot_lo,
+               round(min(CASE WHEN rn = {_BOOT_R - 2} THEN mean_r END), 6)
+                 AS boot_hi
+        FROM pt JOIN means ON pt.event_type = means.event_type
+        GROUP BY pt.event_type, pt.n_rows, pt.mean_value
+        ORDER BY pt.event_type
+    """,
+    doc="Poisson-bootstrap 95% CI for mean(value) per event type - THE "
+    "scalable bootstrap (each row draws an independent Poisson(1) "
+    "replication weight per replicate, so no resampling pass ever "
+    "materializes; the public recipe behind large-scale A/B CIs). "
+    "Weights are DETERMINISTIC: the 60-bit md5(event_id:replicate) "
+    "prefix is compared against precomputed integer CDF breakpoints "
+    "floor(P(X<=k)*2^60) - no float parsing, no RNG state, replayable "
+    "on any engine. Values quantize to an exact micro-unit grid "
+    "(floor(v*1e6), one IEEE multiply) so every replicate sum is "
+    "integer-exact regardless of reducer order; the only doubles are "
+    "the final per-replicate divisions. Plan: the x100 replicate "
+    "fan-out is generated INSIDE the partial-aggregate stage (explode "
+    "-> map-side combine), so the shuffle carries |event_types| x R "
+    "rows, not |rows| x R; CI bounds are order statistics 3/98 of the "
+    "100 replicate means via one bounded window over groups x R rows.",
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    base = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 1000000.0).cast("long").alias("vq"),
+        "event_id",
+    )
+    reps = base.select(
+        "event_type",
+        "vq",
+        "event_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1))).alias("r"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("event_id").cast("string"),
+                    F.lit(":"),
+                    F.col("r").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.lit(8)
+    for k in range(len(_POIS_T) - 1, -1, -1):
+        w = F.when(h < F.lit(_POIS_T[k]), F.lit(k)).otherwise(w)
+    per_rep = (
+        reps.select("event_type", "r", "vq", w.alias("w"))
+        .groupBy("event_type", "r")
+        .agg(
+            F.sum("w").cast("long").alias("sw"),
+            F.sum(
+                F.col("w").cast("decimal(38,0)") * F.col("vq")
+            ).alias("swv"),
+        )
+        .filter(F.col("sw") > 0)
+    )
+    mean_r = F.col("swv").cast("double") / F.col("sw").cast("double")
+    means = per_rep.select(
+        "event_type",
+        "r",
+        (mean_r / F.lit(1000000.0)).alias("mean_r"),
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy(mean_r, F.col("r")))
+        .alias("rn"),
+    )
+    ci = means.groupBy("event_type").agg(
+        F.round(F.min(F.when(F.col("rn") == 3, F.col("mean_r"))), 6).alias(
+            "boot_lo"
+        ),
+        F.round(
+            F.min(F.when(F.col("rn") == _BOOT_R - 2, F.col("mean_r"))), 6
+        ).alias("boot_hi"),
+    )
+    pt = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(
+            F.sum(F.col("vq").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1000000.0),
+            6,
+        ).alias("mean_value"),
+    )
+    return (
+        pt.join(ci, "event_type")
+        .select("event_type", "n_rows", "mean_value", "boot_lo", "boot_hi")
+        .orderBy("event_type")
+    )

@@ -378,3 +378,59 @@ def test_gif_animation_matches_reference_compositor(seed):
         canvas[top : top + gray.shape[0], left : left + gray.shape[1]] = gray
         assert np.array_equal(fr[..., 0], canvas)
         assert np.array_equal(fr[..., 0], fr[..., 2])  # gray palette
+
+
+# ------------------------------------------------------------------ QOI
+# Full-spec codec (operators/qoicodec.py): any uint8 RGB image must
+# round-trip bit-exactly through encode_qoi/decode_qoi (QOI is
+# lossless), regardless of which chunk ops the content selects.
+
+_qoi_px = st.integers(min_value=0, max_value=255)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.randoms(use_true_random=False),
+)
+def test_qoi_roundtrip_lossless(h, w, rnd):
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.qoicodec import (
+        decode_qoi,
+        encode_qoi,
+    )
+
+    mode = rnd.randrange(4)
+    if mode == 0:  # arbitrary noise
+        img = np.array(
+            [rnd.randrange(256) for _ in range(h * w * 3)], dtype=np.uint8
+        ).reshape(h, w, 3)
+    elif mode == 1:  # flat: RUN ops (+ 62-run split on big images)
+        img = np.full((h, w, 3), rnd.randrange(256), np.uint8)
+    elif mode == 2:  # small-step gradient: DIFF/LUMA ops
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = rnd.randrange(256)
+        img = np.stack(
+            [(base + 2 * xx + 7 * yy) % 256,
+             (base + 4 * xx + yy) % 256,
+             (base + xx + 2 * yy) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+    else:  # tiny palette: INDEX ops
+        img = (np.array(
+            [rnd.randrange(4) for _ in range(h * w * 3)], dtype=np.uint8
+        ) * 64).reshape(h, w, 3)
+    enc = encode_qoi(img)
+    assert enc[:4] == b"qoif" and enc[-8:] == b"\x00" * 7 + b"\x01"
+    assert np.array_equal(decode_qoi(enc), img)
+
+
+def test_qoi_rejects_garbage():
+    import pytest
+
+    from hw_kafka_streams_spark.operators.qoicodec import decode_qoi
+
+    with pytest.raises(ValueError):
+        decode_qoi(b"notqoi" + b"\x00" * 20)
