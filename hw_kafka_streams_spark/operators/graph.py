@@ -147,3 +147,47 @@ def label_propagation(
             .select("node", "lbl")
         )
     return labels
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source_nodes: list[int],
+    hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS hop distances: ``(node, dist)`` for every node
+    reachable from ``source_nodes`` within ``hops`` edge traversals
+    (dist 0 = a source itself). The fourth iterative graph algorithm
+    beside PageRank, connected components, and label propagation.
+
+    Scale shape: each hop is ONE equi-join of the frontier onto the
+    edge list (both shuffle-partitioned on the node key, so the
+    exchange layout is reused round to round) plus one distinct and one
+    left-anti against the settled set — frontier-sized, not graph-
+    sized. Hop count is a fixed unroll (the oracle mirrors it as
+    CTEs); for diameter-scale sweeps, localCheckpoint every few rounds
+    exactly like label_clusters. No collect: sources enter as a tiny
+    broadcast-able literal frame.
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+    frontier = spark.createDataFrame(
+        [(int(n),) for n in source_nodes], "node bigint"
+    )
+    settled = frontier.select("node", F.lit(0).alias("dist"))
+    for h in range(1, hops + 1):
+        nxt = (
+            e.join(
+                F.broadcast(frontier) if h == 1 else frontier,
+                e.e_src == F.col("node"),
+            )
+            .select(F.col("e_dst").alias("node"))
+            .distinct()
+            .join(settled.select("node"), "node", "left_anti")
+        )
+        frontier = nxt
+        settled = settled.unionByName(
+            nxt.select("node", F.lit(h).alias("dist"))
+        )
+    return settled

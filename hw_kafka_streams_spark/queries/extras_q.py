@@ -1613,3 +1613,79 @@ def q_snapshot_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_orderkey") <= mx // 2).cast("int")
         ).cast("long").alias("head_rows_check"),
     )
+
+
+def _bfs_oracle(hops: int = 3) -> str:
+    """Unrolled-CTE twin of operators/graph.bfs_hops over the supplier
+    co-occurrence graph, source node = suppkey 1."""
+    ctes = [
+        "WITH lp AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)",
+        """e AS (SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+         FROM lp a JOIN lp b
+           ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey)""",
+        "d0 AS (SELECT CAST(1 AS BIGINT) AS node, 0 AS dist)",
+    ]
+    for i in range(1, hops + 1):
+        ctes.append(
+            f"""d{i} AS (
+           SELECT * FROM d{i - 1}
+           UNION ALL
+           SELECT node, {i} AS dist FROM (
+             SELECT DISTINCT e.dst AS node
+             FROM e JOIN d{i - 1} f ON e.src = f.node AND f.dist = {i - 1}
+           ) WHERE node NOT IN (SELECT node FROM d{i - 1}))"""
+        )
+    body = ",\n        ".join(ctes)
+    return f"""
+        {body}
+        SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(node) AS BIGINT) AS sum_nodes,
+               CAST(min(node) AS BIGINT) AS min_node,
+               CAST(max(node) AS BIGINT) AS max_node
+        FROM d{hops} GROUP BY dist ORDER BY dist
+    """
+
+
+@register(
+    "q_bfs_hops",
+    oracle=_bfs_oracle(),
+    doc="Multi-source BFS hop distances from supplier 1 over the "
+    "supplier co-occurrence graph (suppliers sharing an order) - the "
+    "fourth iterative graph algorithm beside PageRank, connected "
+    "components, and label propagation. Per-hop layers report (count, "
+    "sum/min/max node checksums) so one mis-assigned node flips the "
+    "hash. Each hop is one frontier-edge equi-join + distinct + "
+    "left-anti against the settled set (frontier-sized state, reused "
+    "node-key partitioning); hop count is a fixed unroll mirrored by "
+    "the oracle's CTE chain (operators/graph.bfs_hops).",
+)
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.graph import bfs_hops
+
+    lp = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = lp.select(
+        F.col("l_orderkey").alias("o1"), F.col("l_suppkey").alias("src")
+    )
+    b = lp.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("dst")
+    )
+    edges = (
+        a.join(b, (F.col("o1") == F.col("o2")) & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+        .distinct()
+    )
+    d = bfs_hops(edges, [1], hops=3)
+    return (
+        d.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("node").cast("long").alias("sum_nodes"),
+            F.min("node").cast("long").alias("min_node"),
+            F.max("node").cast("long").alias("max_node"),
+        )
+        .orderBy("dist")
+    )

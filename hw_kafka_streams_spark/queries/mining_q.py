@@ -1710,3 +1710,76 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n_rows", "mean_value", "boot_lo", "boot_hi")
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_skipgram_pairs",
+    oracle=r"""
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                             e -> e <> '') AS ws
+          FROM documents
+          WHERE text IS NOT NULL AND trim(text) <> '' AND doc_id < 200
+        ),
+        toks AS (
+          SELECT doc_id, unnest(ws) AS w,
+                 CAST(unnest(range(1, len(ws) + 1)) AS INT) AS pos
+          FROM d
+        ),
+        pairs AS (
+          SELECT a.w AS center, b.w AS ctx
+          FROM toks a JOIN toks b
+            ON a.doc_id = b.doc_id
+           AND b.pos BETWEEN a.pos - 2 AND a.pos + 2
+           AND b.pos <> a.pos
+        )
+        SELECT center, ctx, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM pairs GROUP BY center, ctx
+        ORDER BY n_pairs DESC, center, ctx LIMIT 50
+    """,
+    doc="Skip-gram (center, context) pair extraction with a +/-2 token "
+    "window - the word2vec/GloVe co-occurrence data-prep stage of an "
+    "embedding training pipeline. Each token joins to AT MOST 4 "
+    "neighbors via a per-document position-range self-join (keyed on "
+    "doc, bounded by the window - never corpus-quadratic), then one "
+    "map-side-combined count and a TakeOrdered top-50 with full "
+    "deterministic tie-break. At 100 TB the window bound makes the "
+    "explode x5 linear and the (center, ctx) agg is the only "
+    "shuffle; a vocabulary-capped variant would hash-prune rare "
+    "words before the join.",
+)
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(
+            F.col("text").isNotNull()
+            & (F.trim(F.col("text")) != "")
+            & (F.col("doc_id") < 200)
+        )
+        .select(
+            "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws")
+        )
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode("ws").alias("pos", "w")
+    )
+    a = toks.select("doc_id", F.col("pos").alias("pa"), F.col("w").alias("center"))
+    b = toks.select(
+        F.col("doc_id").alias("d2"),
+        F.col("pos").alias("pb"),
+        F.col("w").alias("ctx"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("doc_id") == F.col("d2"))
+        & (F.col("pb") >= F.col("pa") - 2)
+        & (F.col("pb") <= F.col("pa") + 2)
+        & (F.col("pb") != F.col("pa")),
+    )
+    return (
+        pairs.groupBy("center", "ctx")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), "center", "ctx")
+        .limit(50)
+    )
