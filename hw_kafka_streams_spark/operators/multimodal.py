@@ -1255,3 +1255,69 @@ def qoi_channel_means(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         schema="doc_id long, width int, height int, "
         "mean_r int, mean_g int, mean_b int",
     )
+
+
+# ------------------------------------------------------------ real FLAC
+# Fixed-predictor FLAC (operators/flaccodec.py): real bitstream with
+# CRC-8/CRC-16/MD5 integrity, CONSTANT/VERBATIM/FIXED subframes and
+# partitioned Rice residuals. Lossless -> arithmetic-oracle-able.
+
+
+def synthesize_flac_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One REAL FLAC file per row. Doc i carries n = 400 + (i%7)*100
+    mono 16-bit samples (several full 256-sample frames plus a partial
+    tail frame) of the integer sawtooth s[t] = ((37i + t*(5 + i%11))
+    % 4001) - 2000 — linear runs keep FIXED-order prediction effective
+    while the wraparounds stress the Rice escape of large residuals."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.flaccodec import encode_flac
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                n = 400 + (i % 7) * 100
+                t = np.arange(n, dtype=np.int64)
+                s = ((37 * i + t * (5 + i % 11)) % 4001 - 2000).astype(
+                    np.int16
+                )
+                payloads.append(encode_flac(s))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+
+
+def flac_pcm_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Exact integer PCM stats over REAL decoded FLAC samples: count,
+    sum, sum of |s|, sum of s^2 — all integer-exact, so the oracle can
+    predict them from the synthesis formula (lossless chain)."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.flaccodec import decode_flac
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, data in zip(pdf["doc_id"], pdf[payload_col]):
+                s, sr = decode_flac(bytes(data))
+                v = s.astype(np.int64)
+                out.append(
+                    (doc_id, sr, len(v), int(v.sum()),
+                     int(np.abs(v).sum()), int((v * v).sum()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "sample_rate", "n_samples",
+                         "sum_s", "sum_abs", "sum_sq"],
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        work,
+        schema="doc_id long, sample_rate int, n_samples long, "
+        "sum_s long, sum_abs long, sum_sq long",
+    )

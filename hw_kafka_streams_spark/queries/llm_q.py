@@ -3438,3 +3438,46 @@ def q_multimodal_qoi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
     return qoi_channel_means(synthesize_qoi_payloads(docs)).orderBy("doc_id")
+
+
+@register(
+    "q_multimodal_flac",
+    oracle="""
+        WITH base AS (
+          SELECT doc_id,
+                 CAST(400 + (doc_id % 7) * 100 AS BIGINT) AS n
+          FROM documents WHERE doc_id < 150
+        ), px AS (
+          SELECT doc_id, n,
+                 (37 * doc_id + t * (5 + doc_id % 11)) % 4001 - 2000 AS s
+          FROM (SELECT doc_id, n, unnest(range(n)) AS t FROM base)
+        )
+        SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+               CAST(max(n) AS BIGINT) AS n_samples,
+               CAST(sum(s) AS BIGINT) AS sum_s,
+               CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+               CAST(sum(s * s) AS BIGINT) AS sum_sq
+        FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="REAL compressed-AUDIO decode (operators/flaccodec.py): per-doc "
+    "integer sawtooth PCM is genuinely FLAC-encoded (spec bitstream: "
+    "STREAMINFO with true stream MD5, 14-bit frame sync, UTF-8 frame "
+    "numbers, CRC-8 headers, CRC-16 frames, CONSTANT/VERBATIM/"
+    "FIXED(0-4) subframes, partitioned Rice residuals with zigzag "
+    "mapping) then decoded back - every CRC and the stream MD5 are "
+    "verified on the way. FLAC is lossless, so exact integer PCM "
+    "moments (sum, sum|s|, sum s^2) are predictable from the "
+    "synthesis formula. Closes the compressed-audio slot next to "
+    "WAV-PCM/IMA-ADPCM/G.711; only perceptual codecs (MP3-class) and "
+    "LPC subframes remain honestly stubbed. Frame-parallel across "
+    "rows via Arrow-batched mapInPandas - per-file decode never "
+    "crosses executors.",
+)
+def q_multimodal_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.multimodal import (
+        flac_pcm_stats,
+        synthesize_flac_payloads,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 150)
+    return flac_pcm_stats(synthesize_flac_payloads(docs)).orderBy("doc_id")

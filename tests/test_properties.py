@@ -434,3 +434,58 @@ def test_qoi_rejects_garbage():
 
     with pytest.raises(ValueError):
         decode_qoi(b"notqoi" + b"\x00" * 20)
+
+
+# ----------------------------------------------------------------- FLAC
+# Fixed-predictor FLAC (operators/flaccodec.py): lossless round-trip
+# for any mono int16 signal; integrity layers (CRC-8/CRC-16/MD5) must
+# catch corruption rather than emit wrong samples.
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=900),
+    st.integers(min_value=0, max_value=3),
+    st.randoms(use_true_random=False),
+)
+def test_flac_roundtrip_lossless(n, kind, rnd):
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.flaccodec import (
+        decode_flac,
+        encode_flac,
+    )
+
+    if kind == 0:  # linear ramp: FIXED orders win
+        s = (np.arange(n) * rnd.randrange(1, 9) + rnd.randrange(-500, 500)) % 4096 - 2048
+    elif kind == 1:  # constant: CONSTANT subframe
+        s = np.full(n, rnd.randrange(-30000, 30000))
+    elif kind == 2:  # noise: VERBATIM fallback allowed
+        s = np.array([rnd.randrange(-32768, 32768) for _ in range(n)])
+    else:  # quadratic: higher fixed orders
+        t = np.arange(n)
+        s = ((t * t * 3 + 7 * t) % 8192) - 4096
+    s = s.astype(np.int16)
+    dec, sr = decode_flac(encode_flac(s))
+    assert sr == 8000
+    assert np.array_equal(dec, s)
+
+
+def test_flac_integrity_checks_fire():
+    import numpy as np
+    import pytest
+
+    from hw_kafka_streams_spark.operators.flaccodec import (
+        decode_flac,
+        encode_flac,
+    )
+
+    s = ((np.arange(500) * 3) % 1000 - 500).astype(np.int16)
+    enc = bytearray(encode_flac(s))
+    with pytest.raises(ValueError):
+        decode_flac(b"FLAC" + bytes(enc[4:]))  # bad magic
+    # flip one residual byte mid-stream: a CRC or the stream MD5 must fire
+    corrupt = bytearray(enc)
+    corrupt[len(corrupt) // 2] ^= 0x40
+    with pytest.raises((ValueError, NotImplementedError, IndexError)):
+        decode_flac(bytes(corrupt))
