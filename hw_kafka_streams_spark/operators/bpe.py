@@ -255,3 +255,67 @@ def bpe_apply_oracle_sql(n_merges: int = 8) -> str:
                CAST(sum(ns) AS BIGINT) AS n_bpe_tokens,
                round(CAST(sum(ns) AS DOUBLE) / count(*), 6) AS fertility
         FROM seg GROUP BY doc_id ORDER BY doc_id"""
+
+
+def wordpiece_encode_words(
+    words: DataFrame,
+    vocab: list[tuple[str, bool]],
+    word_col: str = "word",
+) -> DataFrame:
+    """WordPiece inference (greedy longest-match-first, Wu et al. 2016 /
+    BERT tokenizer) over a DISTINCT-WORD table.
+
+    ``vocab`` is a list of (piece_body, is_continuation); continuation
+    pieces display with the '##' prefix. Each word is consumed left to
+    right: at every position the LONGEST vocab piece of the right kind
+    (start vs continuation) matching the remaining text wins; if none
+    matches, the word becomes a single '[UNK]'.
+
+    Scale design: the tokenizer runs on the distinct-word table —
+    vocabulary-sized, not corpus-sized (the same compaction the BPE
+    trainer uses); callers join the per-word pieces back to corpus
+    counts. The matcher itself is an Arrow-batched pandas iterator over
+    that bounded table with the vocab broadcast as a plain dict-by-
+    length — no per-row Python round trips through the driver.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    by_len: dict[int, dict[str, set[bool]]] = {}
+    for body, cont in vocab:
+        by_len.setdefault(len(body), {}).setdefault(body, set()).add(cont)
+    lens = sorted(by_len, reverse=True)
+
+    def tokenize(word: str) -> tuple[str, int]:
+        pos, out = 0, []
+        while pos < len(word):
+            hit = None
+            for ln in lens:
+                if pos + ln > len(word):
+                    continue
+                cand = word[pos : pos + ln]
+                kinds = by_len[ln].get(cand)
+                if kinds is not None and (pos > 0) in kinds:
+                    hit = cand
+                    break
+            if hit is None:
+                return "[UNK]", 1
+            out.append(("##" + hit) if pos > 0 else hit)
+            pos += len(hit)
+        return "|".join(out), len(out)
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            enc = [tokenize(w) for w in pdf[word_col]]
+            yield pd.DataFrame(
+                {
+                    "word": pdf[word_col],
+                    "pieces": [e[0] for e in enc],
+                    "n_pieces": [e[1] for e in enc],
+                }
+            )
+
+    return words.select(F.col(word_col)).mapInPandas(
+        work, schema="word string, pieces string, n_pieces int"
+    )

@@ -1783,3 +1783,113 @@ def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_pairs"), "center", "ctx")
         .limit(50)
     )
+
+
+# WordPiece vocab shared verbatim by the Spark operator and the DuckDB
+# oracle: (piece_body, is_continuation). Single chars cover the corpus
+# alphabet (so [UNK] needs a genuinely foreign word); multi-char pieces
+# make greedy longest-match-first non-trivial.
+_WP_VOCAB: list[tuple[str, bool]] = (
+    [(c, False) for c in "abcdefghijklmnopqrstuvwy"]
+    + [(c, True) for c in "abcdefghijklmnopqrstuvwy"]
+    + [
+        ("the", False), ("cust", False), ("tab", False), ("sc", False),
+        ("qu", False), ("st", False), ("gr", False), ("sp", False),
+        ("jo", False), ("ha", False), ("val", False), ("key", False),
+        ("row", False), ("line", False), ("win", False),
+        ("omer", True), ("le", True), ("an", True), ("ery", True),
+        ("eam", True), ("ue", True), ("ow", True), ("er", True),
+        ("ta", True), ("rt", True), ("up", True), ("in", True),
+        ("dow", True), ("der", True), ("alue", True), ("umn", True),
+    ]
+)
+
+
+def _wp_oracle(steps: int = 8) -> str:
+    vocab_rows = ", ".join(
+        f"('{b}', {'TRUE' if c else 'FALSE'})" for b, c in _WP_VOCAB
+    )
+    ctes = [
+        r"""WITH w AS (
+          SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                    e -> e <> '')) AS word
+          FROM documents WHERE text IS NOT NULL)""",
+        """words AS (SELECT word, CAST(count(*) AS BIGINT) AS c,
+                 len(word) AS wl FROM w GROUP BY word)""",
+        f"vocab(body, cont) AS (VALUES {vocab_rows})",
+        "s0 AS (SELECT word, c, wl, 1 AS pos, '' AS acc, 0 AS np FROM words)",
+    ]
+    for j in range(1, steps + 1):
+        ctes.append(
+            f"""s{j} AS (
+          SELECT word, c, wl,
+                 CASE WHEN pos > wl THEN pos
+                      WHEN body IS NULL THEN wl + 1
+                      ELSE pos + len(body) END AS pos,
+                 CASE WHEN pos > wl THEN acc
+                      WHEN body IS NULL THEN '[UNK]'
+                      WHEN np = 0 THEN disp
+                      ELSE acc || '|' || disp END AS acc,
+                 CASE WHEN pos > wl THEN np
+                      WHEN body IS NULL THEN 1
+                      ELSE np + 1 END AS np
+          FROM (
+            SELECT s.*, v.body,
+                   CASE WHEN s.pos > 1 THEN '##' || v.body
+                        ELSE v.body END AS disp,
+                   row_number() OVER (
+                     PARTITION BY s.word
+                     ORDER BY len(v.body) DESC NULLS LAST) AS rn
+            FROM s{j - 1} s LEFT JOIN vocab v
+              ON s.pos <= s.wl
+             AND v.cont = (s.pos > 1)
+             AND substr(s.word, s.pos, len(v.body)) = v.body
+          ) WHERE rn = 1)"""
+        )
+    body = ",\n        ".join(ctes)
+    return f"""
+        {body}
+        SELECT word, c AS n_count, acc AS pieces,
+               CAST(np AS INT) AS n_pieces
+        FROM s{steps} ORDER BY word
+    """
+
+
+@register(
+    "q_wordpiece_encode",
+    oracle=_wp_oracle(),
+    doc="WordPiece inference (greedy longest-match-first, the BERT "
+    "tokenizer; Wu et al. 2016) with a fixed piece vocabulary: each "
+    "distinct corpus word is consumed left-to-right, the longest "
+    "matching piece wins at every position, continuations carry the "
+    "'##' prefix, and an unmatchable word collapses to [UNK]. Output "
+    "is per-word (pieces, piece count, corpus count) - fertility "
+    "joins straight off it. The tokenizer runs on the DISTINCT-WORD "
+    "table (vocabulary-sized, never corpus-sized - the BPE trainer's "
+    "compaction) via one Arrow-batched matcher, then joins counts "
+    "back; the oracle unrolls the greedy loop as 8 CTE steps with a "
+    "longest-match window over the same literal vocab "
+    "(operators/bpe.wordpiece_encode_words).",
+)
+def q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.bpe import wordpiece_encode_words
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("text").isNotNull()
+    )
+    counts = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_count"))
+    )
+    enc = wordpiece_encode_words(
+        counts.select("word").distinct(), _WP_VOCAB
+    )
+    return (
+        counts.join(enc, "word")
+        .select("word", "n_count", "pieces", "n_pieces")
+        .orderBy("word")
+    )
