@@ -108,6 +108,13 @@ HEADLINE = [
     # write-dominated, textrank's cost is vocabulary- not data-sized.
     "q_containment_topk",
     "q_decayed_heavy_hitters",
+    # corpus-rewrite dedup (explode + md5-keyed first-occurrence +
+    # doc-keyed reassembly) and the skip-gram window self-join — the
+    # two new scan-heavy shapes worth ratcheting; BFS/bootstrap/
+    # wordpiece are frontier-/replicate-/vocab-sized, codec queries
+    # track via q_multimodal_avi's fan-out already
+    "q_block_dedup_rewrite",
+    "q_skipgram_pairs",
 ]
 
 

@@ -1543,19 +1543,27 @@ def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doremi_weights(docs, "source", eta=0.5, iters=4)
 
 
-# Poisson(1) CDF breakpoints scaled to the 60-bit md5-prefix grid:
-# t[k] = floor(P(X<=k) * 2^60). A row's replicate weight is the k whose
-# interval contains its 60-bit hash - pure integer comparisons, so both
-# engines derive IDENTICAL weights with zero float parsing drift.
+# Poisson(1) CDF breakpoints scaled to the Mersenne-prime grid
+# (P = 2^31 - 1): t[k] = floor(P(X<=k) * P). A (row, replicate)'s
+# weight is the k whose interval contains its mixed hash - pure
+# integer comparisons, so both engines derive IDENTICAL weights with
+# zero float parsing drift. One md5 per ROW seeds the stream; each
+# replicate then mixes with two MINSTD multiplicative rounds
+# (u = ((seed + r*48271) * 16807 % P) * 48271 % P) - every product
+# stays under 2^62, safe for BIGINT on both engines, and the repo's
+# round-5 lesson applies: 100 md5s per row made this the slowest
+# query in the registry (22 s at sf0.1); the integer mix is ~7x
+# cheaper with the same determinism contract.
+_MERS_P = (1 << 31) - 1
 _POIS_T = [
-    424136118829305344,
-    848272237658610688,
-    1060340297073263360,
-    1131029650211480960,
-    1148701988496035328,
-    1152236456152946176,
-    1152825534095764608,
-    1152909688087595776,
+    790015083,
+    1580030167,
+    1975037709,
+    2106706890,
+    2139624185,
+    2146207644,
+    2147304887,
+    2147461637,
 ]
 _BOOT_R = 100  # replicates; lower/upper order stats 3 and 98 ~ 95% CI
 
@@ -1577,14 +1585,20 @@ def _boot_w_sql(h: str) -> str:
           FROM events
           WHERE value IS NOT NULL AND event_type IS NOT NULL
         ),
-        reps AS (
-          SELECT event_type, vq, event_id,
-                 CAST(unnest(range({_BOOT_R})) AS INT) AS r
+        seeded AS (
+          SELECT event_type, vq,
+                 ('0x' || substring(md5(event_id::VARCHAR), 1, 15))::BIGINT
+                   % {_MERS_P} AS seed
           FROM base
+        ),
+        reps AS (
+          SELECT event_type, vq, seed,
+                 CAST(unnest(range({_BOOT_R})) AS BIGINT) AS r
+          FROM seeded
         ),
         wtd AS (
           SELECT event_type, r, vq,
-                 {_boot_w_sql("('0x' || substring(md5(event_id::VARCHAR || ':' || r::VARCHAR), 1, 15))::BIGINT")} AS w
+                 {_boot_w_sql(f"(((seed + r * 48271) % {_MERS_P}) * 16807 % {_MERS_P}) * 48271 % {_MERS_P}")} AS w
           FROM reps
         ),
         per_rep AS (
@@ -1621,10 +1635,13 @@ def _boot_w_sql(h: str) -> str:
     "scalable bootstrap (each row draws an independent Poisson(1) "
     "replication weight per replicate, so no resampling pass ever "
     "materializes; the public recipe behind large-scale A/B CIs). "
-    "Weights are DETERMINISTIC: the 60-bit md5(event_id:replicate) "
-    "prefix is compared against precomputed integer CDF breakpoints "
-    "floor(P(X<=k)*2^60) - no float parsing, no RNG state, replayable "
-    "on any engine. Values quantize to an exact micro-unit grid "
+    "Weights are DETERMINISTIC: one md5 seeds each row, each replicate "
+    "mixes it with two MINSTD multiplicative rounds mod the Mersenne "
+    "prime 2^31-1 (products bounded under 2^62 on both engines), and "
+    "the mixed value is compared against precomputed integer CDF "
+    "breakpoints floor(P(X<=k)*(2^31-1)) - no float parsing, no RNG "
+    "state, replayable on any engine, and ~7x cheaper than hashing "
+    "per (row, replicate). Values quantize to an exact micro-unit grid "
     "(floor(v*1e6), one IEEE multiply) so every replicate sum is "
     "integer-exact regardless of reducer order; the only doubles are "
     "the final per-replicate divisions. Plan: the x100 replicate "
@@ -1644,27 +1661,33 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 1000000.0).cast("long").alias("vq"),
         "event_id",
     )
-    reps = base.select(
+    seeded = base.select(
         "event_type",
         "vq",
-        "event_id",
-        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1))).alias("r"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("event_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(_MERS_P)
+        ).alias("seed"),
     )
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col("event_id").cast("string"),
-                    F.lit(":"),
-                    F.col("r").cast("string"),
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    reps = seeded.select(
+        "event_type",
+        "vq",
+        "seed",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(_BOOT_R - 1).cast("long"))
+        ).alias("r"),
+    )
+    h = (
+        ((F.col("seed") + F.col("r") * F.lit(48271)) % F.lit(_MERS_P))
+        * F.lit(16807)
+        % F.lit(_MERS_P)
+        * F.lit(48271)
+        % F.lit(_MERS_P)
+    )
     w = F.lit(8)
     for k in range(len(_POIS_T) - 1, -1, -1):
         w = F.when(h < F.lit(_POIS_T[k]), F.lit(k)).otherwise(w)

@@ -85,6 +85,12 @@ PROBES = [
     "q_multimodal_jpeg",       # pure-numpy JPEG pixel decode fan-out
     "q_soundex_blocking",      # JVM-side phonetic key vocabulary agg
     "q_containment_topk",      # output-bounded per-anchor WindowGroupLimit
+    "q_block_dedup_rewrite",   # block explode + md5-keyed first-occurrence
+    "q_skipgram_pairs",        # +/-2 window self-join (pair-generating)
+    "q_mann_kendall",          # per-key quadratic pair fold (like theil_sen)
+    "q_bootstrap_ci",          # x100 replicate fan-out into partial agg
+    "q_multimodal_flac",       # FLAC decode kernel fan-out (row-sized)
+    "q_bfs_hops",              # frontier joins over co-occurrence edges
 ]
 
 
