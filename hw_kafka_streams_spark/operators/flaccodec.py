@@ -4,12 +4,12 @@ Implements the real FLAC bitstream (xiph.org format spec): "fLaC"
 marker + STREAMINFO metadata block (including the true MD5 of the
 unencoded samples), spec-correct frame headers (14-bit sync, UTF-8
 coded frame numbers, CRC-8) and footers (CRC-16 poly 0x8005), and
-CONSTANT / VERBATIM / FIXED(0-4) subframes with Rice-coded residuals
-(4-bit parameters, any partition order, zigzag mapping, escape
-partitions). LPC subframes are the one part not implemented — the
-decoder raises honestly on them; every file our encoder emits uses the
-fixed-predictor family, which is the compression core (orders 0-4
-polynomial prediction + entropy-coded residuals).
+CONSTANT / VERBATIM / FIXED(0-4) / LPC subframes with Rice-coded
+residuals (4-bit parameters, any partition order, zigzag mapping,
+escape partitions). The encoder's LPC mode derives real quantized
+coefficients per block (least-squares fit, 12-bit precision, shift 10)
+and falls back to the cheaper of FIXED/VERBATIM when prediction does
+not pay; the decoder handles any order/precision/shift.
 
 FLAC is lossless, so a synthesized-PCM payload decodes to exactly the
 synthesis formula — the same arithmetic-oracle contract as the
@@ -181,10 +181,15 @@ def _best_rice_param(u: np.ndarray) -> int:
 
 
 def encode_flac(
-    samples: np.ndarray, sample_rate: int = 8000, block_size: int = 256
+    samples: np.ndarray,
+    sample_rate: int = 8000,
+    block_size: int = 256,
+    lpc_order: int = 0,
 ) -> bytes:
-    """Encode mono int16 PCM as a real FLAC file (fixed predictors,
-    Rice residuals, partition order 0)."""
+    """Encode mono int16 PCM as a real FLAC file. ``lpc_order`` > 0
+    tries a least-squares LPC predictor of that order per block
+    (12-bit quantized coefficients, shift 10) and keeps it only when
+    its Rice cost beats the best fixed predictor."""
     if samples.dtype != np.int16 or samples.ndim != 1:
         raise ValueError("encode_flac expects 1-D int16 PCM")
     if sample_rate != 8000:
@@ -209,13 +214,17 @@ def encode_flac(
     frame_no = 0
     for start in range(0, n_total, block_size):
         blk = samples[start : start + block_size]
-        out += _encode_frame(blk, frame_no, block_size, sample_rate)
+        out += _encode_frame(blk, frame_no, block_size, sample_rate, lpc_order)
         frame_no += 1
     return bytes(out)
 
 
 def _encode_frame(
-    blk: np.ndarray, frame_no: int, nominal_bs: int, sample_rate: int
+    blk: np.ndarray,
+    frame_no: int,
+    nominal_bs: int,
+    sample_rate: int,
+    lpc_order: int = 0,
 ) -> bytes:
     n = len(blk)
     w = _BitWriter()
@@ -244,13 +253,34 @@ def _encode_frame(
 
     body = _BitWriter()
     body.buf = bytearray(head)
-    _encode_subframe(body, blk)
+    _encode_subframe(body, blk, lpc_order)
     body.align()
     frame = bytes(body.buf)
     return frame + struct.pack(">H", _crc16(frame))
 
 
-def _encode_subframe(w: "_BitWriter", blk: np.ndarray) -> None:
+def _lpc_quantized(blk: np.ndarray, order: int, prec: int = 12, shift: int = 10):
+    """Least-squares LPC fit, quantized to ``prec``-bit signed
+    coefficients on a 2^shift grid. Returns (qcoeffs, residual)."""
+    s = blk.astype(np.float64)
+    rows = np.stack(
+        [s[order - 1 - j : len(s) - 1 - j] for j in range(order)], axis=1
+    )
+    target = s[order:]
+    coef, *_ = np.linalg.lstsq(rows, target, rcond=None)
+    lim = 1 << (prec - 1)
+    qc = np.clip(np.round(coef * (1 << shift)), -lim, lim - 1).astype(np.int64)
+    si = blk.astype(np.int64)
+    pred = np.zeros(len(si) - order, np.int64)
+    for j in range(order):
+        pred += qc[j] * si[order - 1 - j : len(si) - 1 - j]
+    res = si[order:] - (pred >> shift)
+    return qc, res
+
+
+def _encode_subframe(
+    w: "_BitWriter", blk: np.ndarray, lpc_order: int = 0
+) -> None:
     n = len(blk)
     if n and np.all(blk == blk[0]):
         w.write(0, 1)
@@ -270,6 +300,36 @@ def _encode_subframe(w: "_BitWriter", blk: np.ndarray) -> None:
     u = _zigzag(res)
     k = _best_rice_param(u)
     rice_bits = int((u >> k).sum()) + len(u) * (k + 1)
+    if 0 < lpc_order < n:
+        prec, shift = 12, 10
+        qc, lres = _lpc_quantized(blk, lpc_order, prec, shift)
+        lu = _zigzag(lres)
+        lk = _best_rice_param(lu)
+        lpc_bits = (
+            int((lu >> lk).sum())
+            + len(lu) * (lk + 1)
+            + lpc_order * (16 + prec)
+            + 9
+        )
+        if lpc_bits < rice_bits:
+            w.write(0, 1)
+            w.write(0b100000 | (lpc_order - 1), 6)  # LPC, order
+            w.write(0, 1)  # no wasted bits
+            for s in blk[:lpc_order].tolist():
+                w.write(int(s) & 0xFFFF, 16)  # warm-up
+            w.write(prec - 1, 4)
+            w.write(shift, 5)
+            for c in qc.tolist():
+                w.write(int(c) & ((1 << prec) - 1), prec)
+            w.write(0b00, 2)  # rice method
+            w.write(0, 4)  # partition order 0
+            w.write(lk, 4)
+            for q, low in zip(
+                (lu >> lk).tolist(), (lu & ((1 << lk) - 1)).tolist()
+            ):
+                w.write_unary(q)
+                w.write(low, lk)
+            return
     if rice_bits > n * 16:
         w.write(0, 1)
         w.write(0b000001, 6)  # VERBATIM
@@ -430,7 +490,24 @@ def _decode_subframe(r: "_BitReader", n: int) -> np.ndarray:
             pred = sum(c * out[i - 1 - j] for j, c in enumerate(coeffs))
             out[i] = res[i - order] + pred
         return out
-    raise NotImplementedError(f"subframe type {t:06b} (LPC) not supported")
+    if t & 0x20:  # LPC, order 1-32
+        order = (t & 0x1F) + 1
+        warm = [_signed(r.read(16), 16) for _ in range(order)]
+        prec = r.read(4) + 1
+        if prec == 16:
+            raise ValueError("invalid LPC precision code 1111")
+        shift = _signed(r.read(5), 5)
+        if shift < 0:
+            raise ValueError("negative LPC shift")
+        qc = [_signed(r.read(prec), prec) for _ in range(order)]
+        res = _decode_residual(r, n, order)
+        out = np.empty(n, np.int64)
+        out[:order] = warm
+        for i in range(order, n):
+            pred = sum(qc[j] * out[i - 1 - j] for j in range(order))
+            out[i] = res[i - order] + (pred >> shift)
+        return out
+    raise NotImplementedError(f"reserved subframe type {t:06b}")
 
 
 def _decode_residual(r: "_BitReader", n: int, order: int) -> list[int]:

@@ -1820,3 +1820,156 @@ def q_block_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return block_dedup_rewrite(docs, "text", "doc_id", block_words=10).orderBy(
         "doc_id"
     )
+
+
+@register(
+    "q_decision_stump",
+    oracle="""
+        WITH base AS (
+          SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                 (n_chars // 10) * 10 AS f_chars,
+                 (len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  e -> e <> '')) // 5) * 5 AS f_tokens
+          FROM documents
+          WHERE text IS NOT NULL AND n_chars IS NOT NULL
+                AND lang IS NOT NULL
+        ),
+        melted AS (
+          SELECT 'f_chars' AS feature, f_chars AS v, y FROM base
+          UNION ALL
+          SELECT 'f_tokens' AS feature, f_tokens AS v, y FROM base
+        ),
+        per_v AS (
+          SELECT feature, v,
+                 CAST(count(*) AS BIGINT) AS c,
+                 CAST(sum(y) AS BIGINT) AS p
+          FROM melted GROUP BY feature, v
+        ),
+        cum AS (
+          SELECT feature, v,
+                 sum(c) OVER w AS nl, sum(p) OVER w AS pl,
+                 sum(c) OVER (PARTITION BY feature) AS n,
+                 sum(p) OVER (PARTITION BY feature) AS pt,
+                 row_number() OVER (PARTITION BY feature ORDER BY v) AS rn,
+                 count(*) OVER (PARTITION BY feature) AS nv
+          FROM per_v
+          WINDOW w AS (PARTITION BY feature ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        splits AS (
+          SELECT feature, v AS thr,
+                 CAST(nl AS BIGINT) AS n_left,
+                 CAST(n - nl AS BIGINT) AS n_right,
+                 -- weighted Gini: sum_side (n_s/n) * (1 - sum_k (p_k/n_s)^2)
+                 -- expanded to pure rational arithmetic over BIGINTs
+                 (CAST(nl AS DOUBLE) / n)
+                   * (1.0 - (CAST(pl AS DOUBLE) * pl
+                             + CAST(nl - pl AS DOUBLE) * (nl - pl))
+                           / (CAST(nl AS DOUBLE) * nl))
+                 + (CAST(n - nl AS DOUBLE) / n)
+                   * (1.0 - (CAST(pt - pl AS DOUBLE) * (pt - pl)
+                             + CAST((n - nl) - (pt - pl) AS DOUBLE)
+                               * ((n - nl) - (pt - pl)))
+                           / (CAST(n - nl AS DOUBLE) * (n - nl)))
+                   AS gini
+          FROM cum WHERE rn < nv
+        ),
+        best AS (
+          SELECT feature, thr, n_left, n_right, gini,
+                 row_number() OVER (PARTITION BY feature
+                                    ORDER BY gini, thr) AS rk
+          FROM splits
+        )
+        SELECT feature, CAST(thr AS BIGINT) AS threshold,
+               n_left, n_right, round(gini, 6) + 0.0 AS gini
+        FROM best WHERE rk = 1 ORDER BY feature
+    """,
+    doc="Decision-stump training (one-level CART): for each feature, "
+    "the split threshold minimizing weighted Gini impurity of the "
+    "lang='en' label - the weak learner under boosted trees and THE "
+    "classic aggregate-only distributed tree recipe (features "
+    "quantized to a declared grid; per-(feature, value) class counts "
+    "+ one keyed prefix-sum window = every candidate split scored in "
+    "one pass; parallel PLANET/XGBoost-style histogram training). "
+    "Gini is pure RATIONAL arithmetic over exact BIGINT counts - no "
+    "log, no libm - so both engines compute bit-identical impurities; "
+    "the argmin tie-breaks on (gini, threshold) deterministically. "
+    "Candidate-split state is value-domain-bounded (the grid), never "
+    "row-bounded: at 100 TB the heavy agg is one map-side-combined "
+    "groupBy over (feature, grid_value, class).",
+)
+def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("text").isNotNull()
+        & F.col("n_chars").isNotNull()
+        & F.col("lang").isNotNull()
+    )
+    base = docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        (F.floor(F.col("n_chars") / 10) * 10).alias("f_chars"),
+        (
+            F.floor(
+                F.size(F.split(F.trim(F.col("text")), r"\s+")) / 5
+            )
+            * 5
+        ).alias("f_tokens"),
+    )
+    melted = base.select(
+        F.lit("f_chars").alias("feature"), F.col("f_chars").alias("v"), "y"
+    ).unionByName(
+        base.select(
+            F.lit("f_tokens").alias("feature"),
+            F.col("f_tokens").alias("v"),
+            "y",
+        )
+    )
+    per_v = melted.groupBy("feature", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("y").cast("long").alias("p"),
+    )
+    wcum = (
+        W.partitionBy("feature")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("feature")
+    cum = per_v.select(
+        "feature",
+        "v",
+        F.sum("c").over(wcum).alias("nl"),
+        F.sum("p").over(wcum).alias("pl"),
+        F.sum("c").over(wall).alias("n"),
+        F.sum("p").over(wall).alias("pt"),
+        F.row_number().over(W.partitionBy("feature").orderBy("v")).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("nv"),
+    )
+    nl, pl, n, pt = (F.col(c).cast("double") for c in ("nl", "pl", "n", "pt"))
+    nr = n - nl
+    pr = pt - pl
+    gini = (nl / n) * (
+        F.lit(1.0) - (pl * pl + (nl - pl) * (nl - pl)) / (nl * nl)
+    ) + (nr / n) * (
+        F.lit(1.0) - (pr * pr + (nr - pr) * (nr - pr)) / (nr * nr)
+    )
+    splits = cum.filter(F.col("rn") < F.col("nv")).select(
+        "feature",
+        F.col("v").alias("thr"),
+        F.col("nl").cast("long").alias("n_left"),
+        (F.col("n") - F.col("nl")).cast("long").alias("n_right"),
+        gini.alias("gini"),
+    )
+    best = splits.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("feature").orderBy("gini", "thr")
+        ),
+    ).filter(F.col("rk") == 1)
+    return best.select(
+        "feature",
+        F.col("thr").cast("long").alias("threshold"),
+        "n_left",
+        "n_right",
+        (F.round("gini", 6) + F.lit(0.0)).alias("gini"),
+    ).orderBy("feature")

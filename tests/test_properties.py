@@ -489,3 +489,49 @@ def test_flac_integrity_checks_fire():
     corrupt[len(corrupt) // 2] ^= 0x40
     with pytest.raises((ValueError, NotImplementedError, IndexError)):
         decode_flac(bytes(corrupt))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=10, max_value=900),
+    st.sampled_from([1, 2, 4, 8]),
+    st.randoms(use_true_random=False),
+)
+def test_flac_lpc_roundtrip(n, order, rnd):
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.flaccodec import (
+        decode_flac,
+        encode_flac,
+    )
+
+    t = np.arange(n)
+    s = np.clip(
+        (3000 * np.sin(0.07 * t + rnd.random())
+         + 800 * np.sin(0.31 * t + rnd.random())).astype(np.int64),
+        -32768, 32767,
+    ).astype(np.int16)
+    dec, _ = decode_flac(encode_flac(s, lpc_order=order))
+    assert np.array_equal(dec, s)
+
+
+def test_flac_lpc_subframes_actually_used():
+    """The cost gate must actually pick LPC on an LPC-friendly signal
+    (otherwise the decoder's LPC path is dead code in practice)."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.flaccodec import (
+        decode_flac,
+        encode_flac,
+    )
+
+    # high-frequency resonance: each fixed-difference pass AMPLIFIES
+    # the residual (|1 - e^{-i*2.1}| > 1), while LPC(2) models the
+    # recurrence s[t] ~= 2cos(2.1) s[t-1] - s[t-2] almost exactly
+    t = np.arange(4096)
+    s = (8000 * np.sin(2.1 * t)).astype(np.int16)
+    lpc = encode_flac(s, lpc_order=2)
+    fixed = encode_flac(s)
+    assert len(lpc) < len(fixed)  # LPC chosen somewhere => smaller
+    dec, _ = decode_flac(lpc)
+    assert np.array_equal(dec, s)
