@@ -13,6 +13,7 @@ forbidden words are masked length-preserving and case-insensitively.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import tempfile
 
@@ -58,11 +59,22 @@ def main(argv: list[str] | None = None) -> int:
     if args.stream:
         from hw_kafka_streams_spark.streaming.pipeline import run_file_topology
 
+        from hw_kafka_streams_spark.streaming.topics import FileTopicAdmin
+
         with tempfile.TemporaryDirectory(prefix="sg_demo_") as d:
-            messages.coalesce(1).write.parquet(f"{d}/messages")
+            # O9/O10 parity: reset the namespace, then declare the
+            # reference's four topics before producing (KafkaStreamApp
+            # createTopics / RemoveAll.removeAll)
+            admin = FileTopicAdmin(f"{d}/topics")
+            admin.delete_all()
+            for t in ("messages", "blocked-users", "forbidden-words",
+                      "filtered-messages"):
+                admin.create_topic(t, partitions=3)
+            msg_dir = os.path.join(admin.root, "messages")
+            messages.coalesce(1).write.mode("append").parquet(msg_dir)
             q = run_file_topology(
                 spark,
-                f"{d}/messages",
+                msg_dir,
                 blocked,
                 [w for w, v in GOLDEN_WORDS if v == "ban"],
                 queryName="demo",

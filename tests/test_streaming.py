@@ -1318,3 +1318,63 @@ def test_streaming_decayed_counts_matches_batch_twin(spark, tmpdir):
         ).collect()
     }
     assert batch == got
+
+
+# ------------------------------------------------------- topic admin
+# O9/O10 parity (KafkaStreamApp createTopics / RemoveAll.removeAll):
+# the file-transport twin must honor create/list/delete-all semantics
+# and keep Spark readers oblivious to the `_topic_meta.json` manifest.
+
+
+def test_topic_admin_lifecycle(tmp_path):
+    import pytest
+
+    from hw_kafka_streams_spark.streaming.topics import (
+        FileTopicAdmin,
+        TopicExistsError,
+        UnknownTopicError,
+    )
+
+    admin = FileTopicAdmin(str(tmp_path / "topics"))
+    assert admin.list_topics() == []
+    admin.create_topic("messages", partitions=3)
+    admin.create_topic("blocked-users", partitions=1, config={"cleanup": "compact"})
+    assert admin.list_topics() == ["blocked-users", "messages"]
+    assert admin.topic_meta("messages")["partitions"] == 3
+    assert admin.topic_meta("blocked-users")["config"] == {"cleanup": "compact"}
+    with pytest.raises(TopicExistsError):
+        admin.create_topic("messages")
+    admin.create_topic("messages", exist_ok=True)  # idempotent opt-in
+    # stable keyed partitioning within bounds, like the default partitioner
+    parts = {admin.partition_for("messages", f"u{i}") for i in range(50)}
+    assert parts <= {0, 1, 2} and len(parts) > 1
+    assert admin.partition_for("messages", "alice") == admin.partition_for(
+        "messages", "alice"
+    )
+    # delete-all resets the namespace (reference startup wipe)
+    assert admin.delete_all() == 2
+    assert admin.list_topics() == []
+    with pytest.raises(UnknownTopicError):
+        admin.topic_meta("messages")
+
+
+def test_topic_dir_readable_by_spark_despite_manifest(spark, tmp_path):
+    from hw_kafka_streams_spark.streaming.topics import FileTopicAdmin
+
+    admin = FileTopicAdmin(str(tmp_path / "topics"))
+    d = admin.create_topic("messages", partitions=2)
+    df = spark.createDataFrame(
+        [("a", "hi", "b")], "sender string, text string, receiver string"
+    )
+    df.write.mode("append").parquet(d)
+    # the leading-underscore manifest must be invisible to the reader
+    assert spark.read.parquet(d).count() == 1
+
+
+def test_kafka_admin_raises_without_client():
+    import pytest
+
+    from hw_kafka_streams_spark.streaming.topics import KafkaTopicAdmin
+
+    with pytest.raises(ImportError):
+        KafkaTopicAdmin("localhost:9092")
