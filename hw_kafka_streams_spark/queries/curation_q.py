@@ -1973,3 +1973,127 @@ def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_right",
         (F.round("gini", 6) + F.lit(0.0)).alias("gini"),
     ).orderBy("feature")
+
+
+@register(
+    "q_mahalanobis_outliers",
+    oracle=r"""
+        WITH base AS (
+          SELECT lang,
+                 CAST(n_chars AS HUGEINT) AS x,
+                 CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                      e -> e <> '')) AS HUGEINT) AS y
+          FROM documents
+          WHERE text IS NOT NULL AND n_chars IS NOT NULL
+                AND lang IS NOT NULL
+        ),
+        m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+          FROM base
+        ),
+        -- n^2-scaled central second moments stay EXACT integers:
+        -- Cxx = n*sxx - sx^2 etc.; det on that scale is n^4-scaled
+        cov AS (
+          SELECT n, sx, sy,
+                 n * sxx - sx * sx AS cxx,
+                 n * syy - sy * sy AS cyy,
+                 n * sxy - sx * sy AS cxy
+          FROM m
+        ),
+        scored AS (
+          -- D2 = (n-1) * [dx dy] C^-1 [dx dy]^T with dx = x - mean;
+          -- on the integer scale: dxn = n*x - sx (n-scaled deviation),
+          -- D2 = (n-1) * (cyy*dxn^2 - 2*cxy*dxn*dyn + cxx*dyn^2)
+          --      / (n^2 * (cxx*cyy - cxy^2))  -- all-integer numerator
+          SELECT lang,
+                 CAST(n - 1 AS DOUBLE)
+                   * CAST(cyy * (n*x - sx) * (n*x - sx)
+                          - 2 * cxy * (n*x - sx) * (n*y - sy)
+                          + cxx * (n*y - sy) * (n*y - sy) AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * n
+                      * CAST(cxx * cyy - cxy * cxy AS DOUBLE)) AS d2
+          FROM base, cov
+        )
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN d2 > 9.0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_outliers,
+               round(max(d2), 6) AS max_d2
+        FROM scored GROUP BY lang ORDER BY lang
+    """,
+    doc="Mahalanobis-distance multivariate outlier audit over (char "
+    "length, token count): the covariance-aware generalization of "
+    "z-scores that catches documents whose FEATURE COMBINATION is "
+    "anomalous (e.g. many chars but few tokens) even when each "
+    "marginal looks normal. Both the covariance moments and every "
+    "per-row quadratic-form numerator are EXACT integers (n-scaled "
+    "central deviations, HUGEINT/DECIMAL algebra; the 2x2 inverse is "
+    "closed-form via the adjugate, no linear-algebra library), so the "
+    "only doubles are two final divisions - bit-identical across "
+    "engines. The n-scaled integer algebra needs ~4 log10(n max|x|) "
+    "decimal digits (fits DECIMAL(38)/HUGEINT with room through the "
+    "test SF range; at extreme n, score with double deviations from "
+    "the broadcast means instead - exactness only matters for the "
+    "cross-engine hash, not the statistic). Plan: one map-side-"
+    "combined moment pass, a broadcast 1-row covariance join, then a "
+    "narrow scoring map + keyed agg - the cheapest possible two-pass "
+    "shape at 100 TB; D2 > 9 (~3-sigma-equivalent, chi2_2 tail) "
+    "flags outliers.",
+)
+def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("text").isNotNull()
+        & F.col("n_chars").isNotNull()
+        & F.col("lang").isNotNull()
+    )
+    dec = "decimal(38,0)"
+    base = docs.select(
+        "lang",
+        F.col("n_chars").cast(dec).alias("x"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast(dec).alias("y"),
+    )
+    m = base.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    ).select(
+        "n",
+        "sx",
+        "sy",
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("cxx"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("cyy"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("cxy"),
+    )
+    dxn = F.col("n") * F.col("x") - F.col("sx")
+    dyn = F.col("n") * F.col("y") - F.col("sy")
+    num = (
+        F.col("cyy") * dxn * dxn
+        - F.lit(2).cast(dec) * F.col("cxy") * dxn * dyn
+        + F.col("cxx") * dyn * dyn
+    )
+    det = F.col("cxx") * F.col("cyy") - F.col("cxy") * F.col("cxy")
+    d2 = (
+        (F.col("n") - F.lit(1).cast(dec)).cast("double")
+        * num.cast("double")
+        / (
+            F.col("n").cast("double")
+            * F.col("n").cast("double")
+            * det.cast("double")
+        )
+    )
+    scored = base.crossJoin(F.broadcast(m)).select("lang", d2.alias("d2"))
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("d2") > 9.0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+            F.round(F.max("d2"), 6).alias("max_d2"),
+        )
+        .orderBy("lang")
+    )
