@@ -170,8 +170,15 @@ def bfs_hops(
     exactly like label_clusters. No collect: sources enter as a tiny
     broadcast-able literal frame.
     """
+    from hw_kafka_streams_spark.cache import managed_persist
+
     spark = edges.sparkSession
-    e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+    # the edge list feeds every hop's join — persist once or the
+    # upstream build (often an expensive distinct self-join) recomputes
+    # per hop (same multi-consumer rationale as pagerank above)
+    e = managed_persist(
+        edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+    )
     frontier = spark.createDataFrame(
         [(int(n),) for n in source_nodes], "node bigint"
     )
