@@ -271,10 +271,12 @@ def _stream_bench(spark, seconds: float = 5.0) -> dict:
     # Three full query runs, best-of: run 1 pays stream-side codegen and
     # foreachBatch plumbing warmup (measured ~4x slower), and a second
     # warmup run can still carry residue when the probe follows a long
-    # batch loop (profiled: first-run 1.78 M rows/s vs 2.0-2.1 M steady
-    # over 5 runs — the r5 "1.66 M dip" was exactly this warmup tail +
-    # the unpinned row count, not an engine change). Steady state is
-    # the honest capacity number. Rows are PINNED: exactly `target`
+    # batch loop. Standalone 5-run steady state measures 1.6-1.8 M
+    # rows/s on this host (re-profiled round 6; the earlier 2.0-2.1 M
+    # reading was a different host-load condition — with rows pinned,
+    # level shifts are host variance, trends within a round are real).
+    # Steady state is the honest capacity number. Rows are PINNED:
+    # exactly `target`
     # fixed-size batches are counted and the clock stops inside the
     # sink the instant batch `target` completes — r4/r5 drifted 8 M vs
     # 6 M rows because the old loop kept counting batches that landed
