@@ -2097,3 +2097,317 @@ def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "q_levenshtein_pairs",
+    oracle="""
+        WITH s AS (
+          SELECT p_partkey AS id, p_name AS name,
+                 p_brand || ':' || string_split(p_name, ' ')[1]
+                         || ':' || string_split(p_name, ' ')[2] AS blk,
+                 length(p_name) AS l
+          FROM part
+        ), bs AS (
+          SELECT blk, count(*) AS n FROM s GROUP BY blk
+        ), keep AS (
+          SELECT s.* FROM s JOIN bs USING (blk) WHERE bs.n <= 32
+        ), pairs AS (
+          SELECT a.id AS id_a, b.id AS id_b,
+                 levenshtein(a.name, b.name) AS dist
+          FROM keep a JOIN keep b
+            ON a.blk = b.blk AND a.id < b.id AND abs(a.l - b.l) <= 3
+        )
+        SELECT CAST(dist AS INT) AS dist,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(id_a + id_b) AS BIGINT) AS sum_ids
+        FROM pairs WHERE dist <= 3
+        GROUP BY 1 ORDER BY 1
+    """,
+    doc="Blocked Levenshtein linkage over part names - the unit-cost "
+    "edit-distance sibling of q_jaro_winkler_pairs, sharing its "
+    "(brand, first-two-tokens) block key and max_block=32 oversized-"
+    "block drop (pair work bounded at blocks*cap^2 at any volume). "
+    "Zero Python: Spark's builtin levenshtein scores inside "
+    "whole-stage codegen and DuckDB's builtin shares the unit-cost "
+    "definition, so the oracle independently recomputes every "
+    "distance. The |len(a)-len(b)| <= max_dist band is a LOWER-BOUND "
+    "prune here - provably lossless, unlike the heuristic JW band. "
+    "Histogram by distance with a pair-membership checksum pins "
+    "every retained pair (operators/linkage.edit_distance_pairs).",
+)
+def q_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.linkage import edit_distance_pairs
+
+    part = load_table(spark, "part", sf_dir)
+    toks = F.split(F.col("p_name"), " ")
+    pairs = edit_distance_pairs(
+        part,
+        "p_partkey",
+        "p_name",
+        F.concat_ws(":", F.col("p_brand"), toks.getItem(0), toks.getItem(1)),
+        max_dist=3,
+        length_band=3,
+        max_block=32,
+    )
+    return (
+        pairs.groupBy(F.col("dist").cast("int").alias("dist"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("id_a") + F.col("id_b")).cast("long").alias("sum_ids"),
+        )
+        .orderBy("dist")
+    )
+
+
+@register(
+    "q_stump_cv",
+    oracle=r"""
+        WITH base AS (
+          SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                 (n_chars // 10) * 10 AS f_chars,
+                 (len(list_filter(string_split_regex(trim(text), '\s+'),
+                                  e -> e <> '')) // 5) * 5 AS f_tokens,
+                 CAST(('0x' || substring(md5(doc_id::VARCHAR || ':cv'),
+                                         1, 15))::BIGINT % 3 AS INT) AS fold
+          FROM documents
+          WHERE text IS NOT NULL AND n_chars IS NOT NULL
+                AND lang IS NOT NULL
+        ),
+        melted AS (
+          SELECT fold, 'f_chars' AS feature, f_chars AS v, y FROM base
+          UNION ALL
+          SELECT fold, 'f_tokens' AS feature, f_tokens AS v, y FROM base
+        ),
+        per_v AS (
+          SELECT fold, feature, v,
+                 CAST(count(*) AS BIGINT) AS c, CAST(sum(y) AS BIGINT) AS p
+          FROM melted GROUP BY fold, feature, v
+        ),
+        tot AS (
+          SELECT feature, v, sum(c) AS ct, sum(p) AS pt
+          FROM per_v GROUP BY feature, v
+        ),
+        train AS (
+          SELECT f.fold_out, t.feature, t.v,
+                 t.ct - COALESCE(pv.c, 0) AS c,
+                 t.pt - COALESCE(pv.p, 0) AS p
+          FROM (SELECT unnest([0, 1, 2]) AS fold_out) f
+          CROSS JOIN tot t
+          LEFT JOIN per_v pv
+            ON pv.fold = f.fold_out AND pv.feature = t.feature
+           AND pv.v = t.v
+        ),
+        cum AS (
+          SELECT fold_out, feature, v,
+                 sum(c) OVER w AS nl, sum(p) OVER w AS pl,
+                 sum(c) OVER part AS n, sum(p) OVER part AS pt,
+                 row_number() OVER (PARTITION BY fold_out, feature
+                                    ORDER BY v) AS rn,
+                 count(*) OVER part AS nv
+          FROM train
+          WINDOW w AS (PARTITION BY fold_out, feature ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 part AS (PARTITION BY fold_out, feature)
+        ),
+        splits AS (
+          SELECT fold_out, feature, v AS thr, nl, pl, n, pt,
+                 (CAST(nl AS DOUBLE) / n)
+                   * (1.0 - (CAST(pl AS DOUBLE) * pl
+                             + CAST(nl - pl AS DOUBLE) * (nl - pl))
+                           / (CAST(nl AS DOUBLE) * nl))
+                 + (CAST(n - nl AS DOUBLE) / n)
+                   * (1.0 - (CAST(pt - pl AS DOUBLE) * (pt - pl)
+                             + CAST((n - nl) - (pt - pl) AS DOUBLE)
+                               * ((n - nl) - (pt - pl)))
+                           / (CAST(n - nl AS DOUBLE) * (n - nl)))
+                   AS gini
+          FROM cum WHERE rn < nv AND nl > 0 AND nl < n
+        ),
+        winner AS (
+          SELECT * FROM (
+            SELECT fold_out, feature, thr, gini,
+                   CASE WHEN 2 * pl > nl THEN 1 ELSE 0 END AS lab_l,
+                   CASE WHEN 2 * (pt - pl) > (n - nl) THEN 1 ELSE 0 END
+                     AS lab_r,
+                   row_number() OVER (PARTITION BY fold_out
+                                      ORDER BY gini, feature, thr) AS rk
+            FROM splits) WHERE rk = 1
+        ),
+        eval_ AS (
+          SELECT m.fold, w.feature, w.thr, w.gini,
+                 CASE WHEN (CASE WHEN m.v <= w.thr
+                                 THEN w.lab_l ELSE w.lab_r END) = m.y
+                      THEN 1 ELSE 0 END AS ok
+          FROM melted m JOIN winner w
+            ON m.fold = w.fold_out AND m.feature = w.feature
+        )
+        SELECT fold, feature, CAST(thr AS BIGINT) AS threshold,
+               CAST(count(*) AS BIGINT) AS n_test,
+               CAST(sum(ok) AS BIGINT) AS n_correct,
+               round(CAST(sum(ok) AS DOUBLE) / count(*), 6) AS accuracy
+        FROM eval_ GROUP BY fold, feature, thr
+        ORDER BY fold
+    """,
+    doc="3-fold cross-validated decision stump: deterministic md5-hash "
+    "folds, per-fold training WITHOUT re-scanning (training counts = "
+    "global per-(feature, value, class) counts MINUS the held-out "
+    "fold's - the k-fold histogram-subtraction trick that makes CV "
+    "cost one extra subtraction join instead of k corpus passes), "
+    "Gini argmin per fold with full deterministic tie-break, majority "
+    "labels per side, then held-out accuracy per fold - the "
+    "model-selection loop (train/evaluate without leakage) expressed "
+    "entirely as aggregates. All counts are exact integers; the only "
+    "doubles are Gini ratios and the final accuracy division. Scale: "
+    "the heavy agg is one (fold, feature, grid-value, class) count - "
+    "grid-bounded state x k folds; evaluation is a broadcast of 3 "
+    "winner rows (operators pattern: q_decision_stump).",
+)
+def q_stump_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("text").isNotNull()
+        & F.col("n_chars").isNotNull()
+        & F.col("lang").isNotNull()
+    )
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":cv"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 3
+    ).cast("int")
+    base = docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        (F.floor(F.col("n_chars") / 10) * 10).alias("f_chars"),
+        (F.floor(F.size(F.split(F.trim(F.col("text")), r"\s+")) / 5) * 5).alias(
+            "f_tokens"
+        ),
+        fold.alias("fold"),
+    )
+    melted = base.select(
+        "fold", F.lit("f_chars").alias("feature"), F.col("f_chars").alias("v"), "y"
+    ).unionByName(
+        base.select(
+            "fold",
+            F.lit("f_tokens").alias("feature"),
+            F.col("f_tokens").alias("v"),
+            "y",
+        )
+    )
+    per_v = melted.groupBy("fold", "feature", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("y").cast("long").alias("p"),
+    )
+    tot = per_v.groupBy("feature", "v").agg(
+        F.sum("c").alias("ct"), F.sum("p").alias("pt")
+    )
+    folds = spark.range(3).select(F.col("id").cast("int").alias("fold_out"))
+    train = (
+        folds.crossJoin(tot)
+        .join(
+            per_v.withColumnRenamed("fold", "fold_out"),
+            ["fold_out", "feature", "v"],
+            "left",
+        )
+        .select(
+            "fold_out",
+            "feature",
+            "v",
+            (F.col("ct") - F.coalesce(F.col("c"), F.lit(0))).alias("c"),
+            (F.col("pt") - F.coalesce(F.col("p"), F.lit(0))).alias("p"),
+        )
+    )
+    wcum = (
+        W.partitionBy("fold_out", "feature")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("fold_out", "feature")
+    cum = train.select(
+        "fold_out",
+        "feature",
+        "v",
+        F.sum("c").over(wcum).alias("nl"),
+        F.sum("p").over(wcum).alias("pl"),
+        F.sum("c").over(wall).alias("n"),
+        F.sum("p").over(wall).alias("pt"),
+        F.row_number()
+        .over(W.partitionBy("fold_out", "feature").orderBy("v"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("nv"),
+    )
+    nl, pl, n, pt = (F.col(c).cast("double") for c in ("nl", "pl", "n", "pt"))
+    nr, pr = n - nl, pt - pl
+    gini = (nl / n) * (
+        F.lit(1.0) - (pl * pl + (nl - pl) * (nl - pl)) / (nl * nl)
+    ) + (nr / n) * (
+        F.lit(1.0) - (pr * pr + (nr - pr) * (nr - pr)) / (nr * nr)
+    )
+    splits = cum.filter(
+        (F.col("rn") < F.col("nv")) & (F.col("nl") > 0) & (F.col("nl") < F.col("n"))
+    ).select(
+        "fold_out",
+        "feature",
+        F.col("v").alias("thr"),
+        gini.alias("gini"),
+        F.when(2 * F.col("pl") > F.col("nl"), 1).otherwise(0).alias("lab_l"),
+        F.when(
+            2 * (F.col("pt") - F.col("pl")) > (F.col("n") - F.col("nl")), 1
+        )
+        .otherwise(0)
+        .alias("lab_r"),
+    )
+    winner = (
+        splits.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("fold_out").orderBy("gini", "feature", "thr")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk", "gini")
+        .withColumnRenamed("feature", "feat")
+    )
+    ev = melted.join(
+        F.broadcast(winner),
+        (F.col("fold") == F.col("fold_out"))
+        & (F.col("feature") == F.col("feat")),
+    ).select(
+        "fold",
+        "feat",
+        "thr",
+        F.when(
+            F.when(F.col("v") <= F.col("thr"), F.col("lab_l"))
+            .otherwise(F.col("lab_r"))
+            == F.col("y"),
+            1,
+        )
+        .otherwise(0)
+        .alias("ok"),
+    )
+    return (
+        ev.groupBy("fold", F.col("feat").alias("feature"), "thr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum("ok").cast("long").alias("n_correct"),
+            F.round(
+                F.sum("ok").cast("double") / F.count(F.lit(1)), 6
+            ).alias("accuracy"),
+        )
+        .select(
+            "fold",
+            "feature",
+            F.col("thr").cast("long").alias("threshold"),
+            "n_test",
+            "n_correct",
+            "accuracy",
+        )
+        .orderBy("fold")
+    )
