@@ -1689,3 +1689,89 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dist")
     )
+
+
+@register(
+    "q_tpch_refresh",
+    oracle="""
+        WITH mx AS (SELECT max(o_orderkey) AS mk FROM orders),
+        v1 AS (
+          SELECT * FROM orders, mx WHERE o_orderkey <= mk // 2
+        ),
+        v2 AS (SELECT * FROM orders),
+        v3 AS (
+          SELECT * FROM orders WHERE o_custkey % 10 <> 0
+        ),
+        agg AS (
+          SELECT o_orderstatus,
+                 CAST(count(*) AS BIGINT) AS n_orders,
+                 round(CAST(sum(CAST(round(o_totalprice, 2)
+                                     AS DECIMAL(18,2))) AS DOUBLE), 2)
+                   AS sum_price
+          FROM v3 GROUP BY o_orderstatus
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM v1) AS v1_rows,
+               (SELECT CAST(count(*) AS BIGINT) FROM v2) AS v2_rows,
+               o_orderstatus, n_orders, sum_price
+        FROM agg ORDER BY o_orderstatus
+    """,
+    doc="TPC-H refresh-function cycle (RF1 insert / RF2 delete, TPC-H "
+    "spec clause 2.27) over the snapshot-versioned table layer: v1 = "
+    "the old half of orders, RF1 appends the new half (v2), RF2 "
+    "deletes every o_custkey%10=0 customer's orders as an anti-join "
+    "commit (v3) - then the pricing aggregate runs against v3 while "
+    "v1/v2 row counts are answered by TIME TRAVEL over the SAME "
+    "table (each commit is a manifest, old versions stay readable; "
+    "v1/v2 counts come from the manifests' pinned file lists, never "
+    "a second copy of the data). The oracle replays all three "
+    "versions from the raw table. This is the ACID maintenance loop "
+    "a 100 TB lakehouse lives on: append commits touch only new "
+    "files, the delete rewrites only the surviving set, and readers "
+    "pinned to any version never block (sources/snapshots.py).",
+)
+def q_tpch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from hw_kafka_streams_spark.sources import snapshots as S
+
+    orders = load_table(spark, "orders", sf_dir)
+    mk = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    tbl = tempfile.mkdtemp(prefix="q_tpch_refresh_") + "/orders"
+    # v1: the historical half
+    S.create_table(
+        spark, tbl, orders.filter(F.col("o_orderkey") <= mk // 2).coalesce(2)
+    )
+    # RF1: insert the new half (append commit -> v2)
+    S.commit_append(
+        spark, tbl, orders.filter(F.col("o_orderkey") > mk // 2).coalesce(2)
+    )
+    # RF2: delete one customer decile (anti-join commit -> v3)
+    doomed = (
+        S.read_snapshot(spark, tbl)
+        .filter(F.col("o_custkey") % 10 == 0)
+        .select("o_orderkey")
+    )
+    S.delete_rows_snapshot(spark, tbl, doomed, ["o_orderkey"])
+    v1_rows = S.read_snapshot(spark, tbl, 1).count()
+    v2_rows = S.read_snapshot(spark, tbl, 2).count()
+    head = S.read_snapshot(spark, tbl)
+    return (
+        head.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(
+                F.sum(
+                    F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)")
+                ).cast("double"),
+                2,
+            ).alias("sum_price"),
+        )
+        .select(
+            F.lit(v1_rows).cast("long").alias("v1_rows"),
+            F.lit(v2_rows).cast("long").alias("v2_rows"),
+            "o_orderstatus",
+            "n_orders",
+            "sum_price",
+        )
+        .orderBy("o_orderstatus")
+    )
