@@ -1321,3 +1321,75 @@ def flac_pcm_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         schema="doc_id long, sample_rate int, n_samples long, "
         "sum_s long, sum_abs long, sum_sq long",
     )
+
+
+# ------------------------------------------------------------- EXIF
+# Metadata side of the multimodal story (operators/exifmeta.py): APP1
+# "Exif" TIFF-IFD build/inject/parse over real JPEG payloads.
+
+
+def synthesize_exif_jpeg_payloads(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """One REAL JPEG per row, EXIF-tagged: doc i carries orientation
+    1 + i%8, make 'CAM'+(i%5), capture time 2024:01:(1+i%27)
+    (i%24):00:00 — little-endian IFDs on even docs, big-endian on odd
+    (the parser must handle both), and every 7th doc ships NO EXIF at
+    all (metadata-less files are data, not errors)."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.exifmeta import (
+        build_exif_app1,
+        inject_app1,
+    )
+    from hw_kafka_streams_spark.operators.jpegcodec import encode_baseline_jpeg
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                img = np.full((8, 8, 3), (i * 29) % 256, np.uint8)
+                jpg = encode_baseline_jpeg(img)
+                if i % 7 != 0:
+                    app1 = build_exif_app1(
+                        1 + i % 8,
+                        f"CAM{i % 5}",
+                        f"2024:01:{1 + i % 27:02d} {i % 24:02d}:00:00",
+                        "<" if i % 2 == 0 else ">",
+                    )
+                    jpg = inject_app1(jpg, app1)
+                payloads.append(jpg)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+
+
+def exif_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Extract EXIF orientation/make/datetime from JPEG payloads by
+    walking the real segment stream + TIFF IFD (exifmeta.parse_exif)."""
+    from hw_kafka_streams_spark.operators.exifmeta import parse_exif
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, data in zip(pdf["doc_id"], pdf[payload_col]):
+                m = parse_exif(bytes(data))
+                out.append(
+                    (doc_id, m["orientation"], m["make"], m["datetime"],
+                     m["byte_order"])
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "orientation", "make", "taken_at",
+                         "byte_order"],
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        work,
+        schema="doc_id long, orientation int, make string, "
+        "taken_at string, byte_order string",
+    )

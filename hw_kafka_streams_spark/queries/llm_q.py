@@ -3481,3 +3481,40 @@ def q_multimodal_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 150)
     return flac_pcm_stats(synthesize_flac_payloads(docs)).orderBy("doc_id")
+
+
+@register(
+    "q_multimodal_exif",
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN NULL
+                    ELSE CAST(1 + doc_id % 8 AS INT) END AS orientation,
+               CASE WHEN doc_id % 7 = 0 THEN NULL
+                    ELSE 'CAM' || (doc_id % 5) END AS make,
+               CASE WHEN doc_id % 7 = 0 THEN NULL
+                    ELSE '2024:01:' || lpad((1 + doc_id % 27)::VARCHAR, 2, '0')
+                         || ' ' || lpad((doc_id % 24)::VARCHAR, 2, '0')
+                         || ':00:00' END AS taken_at,
+               CASE WHEN doc_id % 7 = 0 THEN NULL
+                    WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order
+        FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+    doc="EXIF metadata extraction (operators/exifmeta.py, public JEITA "
+    "CP-3451 spec): real JPEGs get a spec-correct APP1 'Exif' segment "
+    "(TIFF IFD0: Make/Orientation/DateTime, BOTH byte orders, "
+    "out-of-line even-aligned ASCII arrays) injected after SOI, then "
+    "the parser walks the segment stream and the IFD back out - the "
+    "metadata-extraction stage of an image-curation pipeline "
+    "(orientation for rotation-normalize, capture time for dedup/"
+    "recency). Every 7th doc ships no EXIF and must surface NULLs, "
+    "not errors. Arrow-batched mapInPandas; per-file parse never "
+    "crosses executors.",
+)
+def q_multimodal_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.multimodal import (
+        exif_metadata,
+        synthesize_exif_jpeg_payloads,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
+    return exif_metadata(synthesize_exif_jpeg_payloads(docs)).orderBy("doc_id")
