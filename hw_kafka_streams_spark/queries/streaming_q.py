@@ -186,3 +186,99 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+@register(
+    "q_watermark_audit",
+    oracle="""
+        WITH e AS (
+          SELECT event_id, event_type, epoch(ts) AS t
+          FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        ),
+        scored AS (
+          SELECT event_type, t,
+                 max(t) OVER (ORDER BY event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS hwm
+          FROM e
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN hwm - t > 600 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS late_10m,
+               CAST(sum(CASE WHEN hwm - t > 3600 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS late_1h,
+               CAST(max(CASE WHEN hwm > t THEN hwm - t ELSE 0 END)
+                    AS BIGINT) AS max_disorder_s
+        FROM scored GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Watermark audit: for every event, the high-water mark of "
+    "event time over STRICTLY EARLIER ARRIVALS (arrival order = "
+    "event_id) - exactly Structured Streaming's watermark state - "
+    "then per-type counts of rows a 10-minute / 1-hour watermark "
+    "would drop as too-late, plus the max observed disorder. THE "
+    "tuning query for `withWatermark` delays at 100 TB/day: run it "
+    "on a day of history, read off the late-drop curve. The global "
+    "running max never becomes a single-partition window: arrival "
+    "ids bucket into blocks (monotone with the order), per-block "
+    "maxes form a tiny broadcast table whose exclusive prefix-max "
+    "seeds each block, and the within-block running max is a "
+    "parallel keyed window (the q_window_rank block-prefix "
+    "pattern, here with MAX instead of SUM).",
+)
+def q_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hw_kafka_streams_spark.operators.winutil import tiny_table_partition
+
+    e = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            F.unix_timestamp("ts").alias("t"),
+            (F.col("event_id") / 10000).cast("long").alias("blk"),
+        )
+    )
+    bmax = e.groupBy("blk").agg(F.max("t").alias("bm"))
+    w_blk = (
+        Window.partitionBy(tiny_table_partition("blk"))
+        .orderBy("blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bprev = bmax.select("blk", F.max("bm").over(w_blk).alias("blk_prev"))
+    w_in = (
+        Window.partitionBy("blk")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = e.join(F.broadcast(bprev), "blk").select(
+        "event_type",
+        "t",
+        F.greatest(F.max("t").over(w_in), F.col("blk_prev")).alias("hwm"),
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(
+                F.when(F.col("hwm") - F.col("t") > 600, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("late_10m"),
+            F.sum(
+                F.when(F.col("hwm") - F.col("t") > 3600, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("late_1h"),
+            F.max(
+                F.when(
+                    F.col("hwm") > F.col("t"), F.col("hwm") - F.col("t")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("max_disorder_s"),
+        )
+        .orderBy("event_type")
+    )
