@@ -459,3 +459,64 @@ def streaming_decayed_counts(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+QUOTA_SCHEMA = "key string, admitted long, throttled long, quota_left long"
+QUOTA_STATE = "used long"
+
+
+def _make_quota_fn(quota: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        used = state.get[0] if state.exists else 0
+        arrived = 0
+        for pdf in pdfs:
+            arrived += len(pdf)
+        admit = max(0, min(arrived, quota - used))
+        used += admit
+        state.update((used,))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "admitted": [admit],
+                "throttled": [arrived - admit],
+                "quota_left": [max(0, quota - used)],
+            }
+        )
+
+    return fn
+
+
+def keyed_quota(df: DataFrame, quota: int, key_col: str = "user_id") -> DataFrame:
+    """Cross-batch per-key admission quota (token-bucket with no
+    refill): each key may ADMIT at most ``quota`` rows over the
+    stream's lifetime; later arrivals count as throttled. The
+    ingestion-control primitive for a shared 100 TB/day intake — a
+    per-tenant cap that survives micro-batch boundaries, which no
+    windowed aggregate can express (the state has no window bound).
+    Emits one (key, admitted, throttled, quota_left) row per key per
+    batch; admission is batch-granular here (row-level admission would
+    carry row ids through the state function — same shape, more
+    columns). Batch DataFrames degrade to a single-pass groupBy with
+    the same admit/throttle arithmetic.
+    """
+    if not df.isStreaming:
+        import pyspark.sql.functions as F
+
+        n = F.count(F.lit(1))
+        return df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+            F.least(n, F.lit(quota)).alias("admitted"),
+            F.greatest(n - quota, F.lit(0)).alias("throttled"),
+            F.greatest(F.lit(quota) - n, F.lit(0)).alias("quota_left"),
+        )
+    import pyspark.sql.functions as F
+
+    keyed = df.withColumn(key_col, F.col(key_col).cast("string"))
+    return keyed.groupBy(key_col).applyInPandasWithState(
+        _make_quota_fn(quota),
+        outputStructType=QUOTA_SCHEMA,
+        stateStructType=QUOTA_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

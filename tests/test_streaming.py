@@ -1378,3 +1378,55 @@ def test_kafka_admin_raises_without_client():
 
     with pytest.raises(ImportError):
         KafkaTopicAdmin("localhost:9092")
+
+
+def test_keyed_quota_across_batches(spark, tmpdir):
+    """Cross-batch per-key quota: admissions must carry over micro-
+    batch boundaries (quota=4: batch1 admits 3, batch2 admits only 1
+    of 3 more and throttles 2)."""
+    from hw_kafka_streams_spark.streaming.stateful import keyed_quota
+
+    rows1 = [("u1",)] * 3 + [("u2",)] * 1
+    rows2 = [("u1",)] * 3 + [("u2",)] * 1
+    spark.createDataFrame(rows1, "user_id string").coalesce(1).write.parquet(
+        f"{tmpdir}/in", mode="append"
+    )
+    stream = spark.readStream.schema("user_id string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(f"{tmpdir}/in")
+    name = f"quota_{uuid.uuid4().hex[:8]}"
+    q = (
+        keyed_quota(stream, quota=4)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows2, "user_id string").coalesce(
+            1
+        ).write.parquet(f"{tmpdir}/in", mode="append")
+        q.processAllAvailable()
+        got = [
+            (r.key, r.admitted, r.throttled, r.quota_left)
+            for r in spark.sql(
+                f"select * from {name} order by key, quota_left desc"
+            ).collect()
+        ]
+    finally:
+        q.stop()
+    # u1: 3 admitted then 1 admitted + 2 throttled; u2: 1 then 1
+    assert ("u1", 3, 0, 1) in got and ("u1", 1, 2, 0) in got
+    assert ("u2", 1, 0, 3) in got and ("u2", 1, 0, 2) in got
+
+
+def test_keyed_quota_batch_degradation(spark):
+    from hw_kafka_streams_spark.streaming.stateful import keyed_quota
+
+    df = spark.createDataFrame([("a",)] * 5 + [("b",)] * 2, "user_id string")
+    got = {
+        (r.key, r.admitted, r.throttled, r.quota_left)
+        for r in keyed_quota(df, quota=3).collect()
+    }
+    assert got == {("a", 3, 2, 0), ("b", 2, 0, 1)}
