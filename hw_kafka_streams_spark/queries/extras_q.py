@@ -1775,3 +1775,46 @@ def q_tpch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# One ANSI-SQL text, run VERBATIM by BOTH engines: Spark executes it
+# through sql.run_sql (temp views over the parquet catalog), DuckDB
+# runs the identical string as the oracle. CTE + window + join + agg
+# in the shared dialect subset — the strongest possible statement that
+# the SQL entry point is first-class, not a transliteration layer.
+_SQL_IFACE = """
+    WITH r AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC,
+                                         o_orderkey) AS rk
+      FROM orders
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_top,
+           round(CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+                      AS DOUBLE), 2) AS top_sum
+    FROM r JOIN customer ON c_custkey = o_custkey
+    WHERE rk <= 3
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""
+
+
+@register(
+    "q_sql_interface",
+    oracle=_SQL_IFACE,
+    doc="SQL entry-point parity: the SAME ANSI-SQL text (CTE + keyed "
+    "window + join + decimal-exact aggregate) is executed verbatim by "
+    "Spark through sql.run_sql's temp-view catalog AND by DuckDB as "
+    "its own oracle - zero per-engine translation, proving the SQL "
+    "surface compiles to the same Catalyst plans the DataFrame "
+    "queries use (top-3-orders-per-customer spend by market segment). "
+    "The keyed window is customer-partitioned (parallel), the join "
+    "broadcasts the customer dim at test SF and shuffles on c_custkey "
+    "at scale, and the money sum rides exact DECIMAL(18,2).",
+)
+def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.sql import run_sql
+
+    return run_sql(spark, _SQL_IFACE, sf_dir)
