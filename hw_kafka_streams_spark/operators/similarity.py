@@ -1332,3 +1332,62 @@ def hard_negatives(
             "rnk",
         )
     )
+
+
+def kcenter_select(
+    emb: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, int, float]]:
+    """Greedy k-center / farthest-point sampling — the classic coreset
+    selection for training-data subset curation (2-approximation to the
+    optimal k-center cover; Gonzalez 1985). Seed = lowest id; each
+    round picks the point FARTHEST from the selected set (max over
+    candidates of min squared-euclidean distance to any selected
+    vector, distances rounded to 4 dp with an id tie-break so the
+    selection is engine-reproducible).
+
+    Returns [(order, id, radius)] — ``radius`` is the selected point's
+    distance-to-set at pick time, the (non-increasing) coverage-radius
+    curve that tells a curator how much diversity each extra exemplar
+    buys.
+
+    Scale shape: the selected set is a k-row driver artifact (same
+    bounded-epilogue policy as Lloyd centroids / BPE merge picks);
+    round i is ONE full scan computing least(d(v, s_0..s_{i-1})) as a
+    pure column expression over broadcast literal vectors plus a
+    TakeOrdered(1) — k scans total, no shuffle beyond the 1-row
+    argmax, any corpus size. Distance folds are sequential
+    left-to-right F.aggregate (deterministic summation order; the
+    DuckDB twin folds the same order).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    base = emb.select(F.col(id_col).alias("_id"), v.alias("_v"))
+    first = base.orderBy("_id").limit(1).collect()[0]
+    picked: list[tuple[int, int, float]] = [(0, int(first["_id"]), 0.0)]
+    sel_vecs: list[list[float]] = [list(first["_v"])]
+
+    def dist_to(lit_vec: list[float]):
+        arr = F.array(*[F.lit(float(x)) for x in lit_vec])
+        return F.round(
+            F.aggregate(
+                F.zip_with(F.col("_v"), arr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        )
+
+    for i in range(1, k):
+        dists = [dist_to(s) for s in sel_vecs]
+        dmin = dists[0] if len(dists) == 1 else F.least(*dists)
+        row = (
+            base.select("_id", "_v", dmin.alias("_d"))
+            .orderBy(F.desc("_d"), F.asc("_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        picked.append((i, int(row["_id"]), float(row["_d"])))
+        sel_vecs.append(list(row["_v"]))
+    return picked

@@ -3518,3 +3518,77 @@ def q_multimodal_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
     return exif_metadata(synthesize_exif_jpeg_payloads(docs)).orderBy("doc_id")
+
+
+def _kcenter_oracle(k: int = 8) -> str:
+    """Unrolled-CTE twin of operators/similarity.kcenter_select: same
+    lowest-id seed, same 4-dp rounded squared-euclid distances, same
+    (dist DESC, id ASC) argmax, same running-min accumulation."""
+    d_expr = (
+        "round(list_sum([ (e.v[i] - s.v[i]) * (e.v[i] - s.v[i]) "
+        "FOR i IN range(1, len(e.v) + 1) ]), 4)"
+    )
+    ctes = [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "s0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1)",
+        f"dm1 AS (SELECT e.vec_id, {d_expr} AS dmin FROM e, s0 s)",
+    ]
+    for i in range(1, k):
+        ctes.append(
+            f"""p{i} AS (SELECT vec_id, dmin FROM dm{i}
+                 ORDER BY dmin DESC, vec_id LIMIT 1)"""
+        )
+        if i < k - 1:
+            ctes.append(
+                f"""s{i} AS (SELECT e.vec_id, e.v FROM e, p{i}
+                     WHERE e.vec_id = p{i}.vec_id)"""
+            )
+            ctes.append(
+                f"""dm{i + 1} AS (
+                  SELECT d.vec_id, least(d.dmin, {d_expr}) AS dmin
+                  FROM dm{i} d JOIN e ON e.vec_id = d.vec_id, s{i} s)"""
+            )
+    body = ",\n        ".join(ctes)
+    picks = " UNION ALL ".join(
+        [
+            "SELECT 0 AS sel_order, vec_id, 0.0 AS radius FROM s0",
+            *[
+                f"SELECT {i}, vec_id, dmin + 0.0 FROM p{i}"
+                for i in range(1, k)
+            ],
+        ]
+    )
+    return f"""
+        {body}
+        SELECT CAST(sel_order AS INT) AS sel_order,
+               CAST(vec_id AS BIGINT) AS vec_id,
+               round(radius, 4) + 0.0 AS radius
+        FROM ({picks}) ORDER BY sel_order
+    """
+
+
+@register(
+    "q_kcenter_coreset",
+    oracle=_kcenter_oracle(),
+    doc="Greedy k-center / farthest-point sampling over the embedding "
+    "corpus (Gonzalez 1985, the 2-approximation coreset selector): 8 "
+    "exemplars picked by repeated argmax of min-distance-to-selected, "
+    "reported with the non-increasing coverage-radius curve - the "
+    "diversity-driven subset selection a curator runs before labeling "
+    "or few-shot sampling. Selected set = k-row bounded driver "
+    "artifact (Lloyd-centroid policy); each round is one full scan "
+    "computing least(d(v, s_0..s_i)) over broadcast literal vectors + "
+    "a TakeOrdered(1) - k scans, no shuffle, any corpus size. "
+    "Distances are 4-dp-rounded sequential-fold squared euclids with "
+    "id tie-breaks; the oracle unrolls all 8 rounds as CTEs "
+    "(operators/similarity.kcenter_select).",
+)
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.similarity import kcenter_select
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    picks = kcenter_select(emb, k=8)
+    return spark.createDataFrame(
+        [(int(o), int(i), float(r)) for o, i, r in picks],
+        "sel_order int, vec_id bigint, radius double",
+    ).orderBy("sel_order")
