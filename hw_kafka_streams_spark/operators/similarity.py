@@ -1334,6 +1334,27 @@ def hard_negatives(
     )
 
 
+def min_sq_dist_arrow(vec: Column, selected: list[list[float]]) -> Column:
+    """Min over ``selected`` of the 4-dp-rounded squared L2 distance —
+    one (batch x selected x dim) numpy kernel per Arrow batch (the
+    nearest_centroid_arrow shape). Per-pair distances round BEFORE the
+    min so the result equals least(round(d_0,4), ..., round(d_m,4))
+    exactly as the unrolled SQL twins compute it."""
+    from pyspark.sql.functions import pandas_udf
+
+    S = np.asarray(selected, dtype=np.float64)  # (m, dim)
+
+    @pandas_udf("double")
+    def _mind(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="float64")
+        A = _stack(v)
+        d = ((A[:, None, :] - S[None, :, :]) ** 2).sum(axis=2)  # (n, m)
+        return pd.Series(np.round(d, 4).min(axis=1))
+
+    return _mind(vec)
+
+
 def kcenter_select(
     emb: DataFrame,
     k: int = 8,
@@ -1355,12 +1376,12 @@ def kcenter_select(
 
     Scale shape: the selected set is a k-row driver artifact (same
     bounded-epilogue policy as Lloyd centroids / BPE merge picks);
-    round i is ONE full scan computing least(d(v, s_0..s_{i-1})) as a
-    pure column expression over broadcast literal vectors plus a
-    TakeOrdered(1) — k scans total, no shuffle beyond the 1-row
-    argmax, any corpus size. Distance folds are sequential
-    left-to-right F.aggregate (deterministic summation order; the
-    DuckDB twin folds the same order).
+    round i is ONE full scan computing min over the selected set of
+    4-dp-rounded squared distances — a single (batch x selected x dim)
+    numpy kernel per Arrow batch (the nearest_centroid_arrow shape;
+    HOF folds are CodegenFallback, see module docstring) — plus a
+    TakeOrdered(1). k scans total, no shuffle beyond the 1-row argmax,
+    any corpus size.
     """
     v = F.col(vec_col).cast("array<double>")
     base = emb.select(F.col(id_col).alias("_id"), v.alias("_v"))
@@ -1368,26 +1389,63 @@ def kcenter_select(
     picked: list[tuple[int, int, float]] = [(0, int(first["_id"]), 0.0)]
     sel_vecs: list[list[float]] = [list(first["_v"])]
 
-    def dist_to(lit_vec: list[float]):
-        arr = F.array(*[F.lit(float(x)) for x in lit_vec])
-        return F.round(
-            F.aggregate(
-                F.zip_with(F.col("_v"), arr, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            4,
-        )
-
     for i in range(1, k):
-        dists = [dist_to(s) for s in sel_vecs]
-        dmin = dists[0] if len(dists) == 1 else F.least(*dists)
         row = (
-            base.select("_id", "_v", dmin.alias("_d"))
+            base.select(
+                "_id", "_v", min_sq_dist_arrow(F.col("_v"), sel_vecs).alias("_d")
+            )
             .orderBy(F.desc("_d"), F.asc("_id"))
             .limit(1)
             .collect()[0]
         )
         picked.append((i, int(row["_id"]), float(row["_d"])))
+        sel_vecs.append(list(row["_v"]))
+    return picked
+
+
+def mmr_select_dist(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 6,
+    lam: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, int, float]]:
+    """Maximal Marginal Relevance in distance form (Carbonell &
+    Goldstein 1998): iteratively pick argmin of
+    ``lam * d(v, query) - (1 - lam) * min_dist_to_selected`` —
+    relevance pulls toward the query, the diversity term pushes away
+    from what's already picked. Distance form (squared euclid, 4-dp
+    rounded, id tie-break) keeps every number on the proven
+    cross-engine fold; similarity-form MMR is the same selection with
+    signs flipped. Returns [(rank, id, mmr_score)].
+
+    Scale: identical bounded-epilogue shape to :func:`kcenter_select`
+    (k scans, selected set broadcast as literals, TakeOrdered(1) per
+    round, no shuffle).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    base = emb.select(F.col(id_col).alias("_id"), v.alias("_v"))
+
+    dq = min_sq_dist_arrow(F.col("_v"), [query_vec])
+    first = (
+        base.select("_id", "_v", F.round(F.lit(lam) * dq, 4).alias("_m"))
+        .orderBy(F.asc("_m"), F.asc("_id"))
+        .limit(1)
+        .collect()[0]
+    )
+    picked = [(0, int(first["_id"]), float(first["_m"]))]
+    sel_vecs = [list(first["_v"])]
+    for i in range(1, k):
+        dmin = min_sq_dist_arrow(F.col("_v"), sel_vecs)
+        score = F.round(F.lit(lam) * dq - F.lit(1.0 - lam) * dmin, 4)
+        row = (
+            base.filter(~F.col("_id").isin([p[1] for p in picked]))
+            .select("_id", "_v", score.alias("_m"))
+            .orderBy(F.asc("_m"), F.asc("_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        picked.append((i, int(row["_id"]), float(row["_m"])))
         sel_vecs.append(list(row["_v"]))
     return picked

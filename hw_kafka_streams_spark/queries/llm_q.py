@@ -3592,3 +3592,85 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(o), int(i), float(r)) for o, i, r in picks],
         "sel_order int, vec_id bigint, radius double",
     ).orderBy("sel_order")
+
+
+def _mmr_oracle(k: int = 6) -> str:
+    """Unrolled-CTE twin of operators/similarity.mmr_select_dist:
+    query = vector 0, candidates = the rest, lam = 0.7 with the
+    diversity weight written as (1.0 - 0.7) so both engines derive the
+    bit-identical IEEE coefficient."""
+    d = (
+        "round(list_sum([ (c.v[i] - {s}.v[i]) * (c.v[i] - {s}.v[i]) "
+        "FOR i IN range(1, len(c.v) + 1) ]), 4)"
+    )
+    ctes = [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "qv AS (SELECT v FROM e WHERE vec_id = 0)",
+        f"""dq AS (SELECT c.vec_id, c.v, {d.format(s="q")} AS dq
+             FROM (SELECT * FROM e WHERE vec_id > 0) c, qv q)""",
+        """p0 AS (SELECT vec_id, round(0.7 * dq, 4) AS m FROM dq
+             ORDER BY m, vec_id LIMIT 1)""",
+    ]
+    for i in range(1, k):
+        prev_sel = " UNION ALL ".join(
+            f"SELECT vec_id FROM p{j}" for j in range(i)
+        )
+        sel_vs = " UNION ALL ".join(
+            f"SELECT v FROM e WHERE vec_id = (SELECT vec_id FROM p{j})"
+            for j in range(i)
+        )
+        ctes.append(
+            f"""p{i} AS (
+              SELECT vec_id, round(0.7 * dq - (1.0 - 0.7) * dmin, 4) AS m
+              FROM (
+                SELECT c.vec_id, c.dq,
+                       min(round(list_sum([ (c.v[i] - s.v[i])
+                                            * (c.v[i] - s.v[i])
+                           FOR i IN range(1, len(c.v) + 1) ]), 4)) AS dmin
+                FROM dq c, ({sel_vs}) s(v)
+                WHERE c.vec_id NOT IN ({prev_sel})
+                GROUP BY c.vec_id, c.dq, c.v
+              ) ORDER BY m, vec_id LIMIT 1)"""
+        )
+    body = ",\n        ".join(ctes)
+    picks = " UNION ALL ".join(
+        f"SELECT {i} AS rnk, vec_id, m FROM p{i}" for i in range(k)
+    )
+    return f"""
+        {body}
+        SELECT CAST(rnk AS INT) AS rnk, CAST(vec_id AS BIGINT) AS vec_id,
+               round(m, 4) + 0.0 AS mmr_score
+        FROM ({picks}) ORDER BY rnk
+    """
+
+
+@register(
+    "q_mmr_select",
+    oracle=_mmr_oracle(),
+    doc="Maximal Marginal Relevance diverse retrieval (Carbonell & "
+    "Goldstein 1998) in distance form: 6 picks by iterated argmin of "
+    "lam*d(v, query) - (1-lam)*min_dist_to_selected over the embedding "
+    "corpus (query = vector 0, lam = 0.7) - the diversity-aware "
+    "reranking between a retriever and a context window, the "
+    "complement of q_kcenter_coreset's query-free curation. Same "
+    "bounded-epilogue shape: k scans with the selected set broadcast "
+    "into one (batch x selected x dim) Arrow numpy kernel, "
+    "TakeOrdered(1) per round, no shuffle. The diversity coefficient "
+    "is written (1.0 - 0.7) on BOTH engines so the IEEE literal is "
+    "bit-identical; distances are 4-dp-rounded before min "
+    "(operators/similarity.mmr_select_dist).",
+)
+def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.similarity import mmr_select_dist
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qrow = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("v")
+    ).collect()[0]
+    picks = mmr_select_dist(
+        emb.filter(F.col("vec_id") > 0), list(qrow["v"]), k=6, lam=0.7
+    )
+    return spark.createDataFrame(
+        [(int(r), int(i), float(m)) for r, i, m in picks],
+        "rnk int, vec_id bigint, mmr_score double",
+    ).orderBy("rnk")
