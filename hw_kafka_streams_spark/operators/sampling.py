@@ -181,3 +181,72 @@ def split_leakage_audit(
             "n_leaked_test_docs"
         ),
     )
+
+
+def greedy_max_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    n: int = 3,
+) -> list[tuple[int, int, int, int]]:
+    """Greedy maximum-coverage document selection: pick ``k`` documents
+    maximizing the UNION of covered word ``n``-grams — the classic
+    (1 - 1/e)-approximate submodular selection (Nemhauser et al. 1978),
+    i.e. coverage-driven data curation: each pick is the document
+    adding the most shingles nothing already selected covers. The
+    set-cover complement of the metric-space k-center selector
+    (similarity.kcenter_select).
+
+    Returns [(rank, id, gain, covered_total)] — ``gain`` is the pick's
+    marginal new-shingle count (non-increasing, submodularity made
+    visible), ``covered_total`` the running union size.
+
+    Scale shape: RESIDUAL-POSTINGS formulation — one distinct
+    (id, shingle) posting table, and each round subtracts the winner's
+    shingles with a shingle-keyed LEFT ANTI join, so round i works on
+    what round i-1 left, not the full corpus; the winner argmax is a
+    map-side-combined count + TakeOrdered(1); localCheckpoint per
+    round keeps the k-step lineage flat. Selected set = k-row driver
+    artifact (the Lloyd/BPE bounded-epilogue policy).
+    """
+    from hw_kafka_streams_spark.operators.text import word_tokens
+
+    toks = word_tokens(F.col(text_col))
+    m = F.size(toks) - F.lit(n - 1)
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(m, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+    posts = (
+        df.filter(F.col(text_col).isNotNull())
+        # need >= n tokens or sequence(1, m<=0) would slice garbage
+        .filter(F.size(word_tokens(F.col(text_col))) >= n)
+        .select(F.col(id_col).alias("_id"), F.explode(shingles).alias("_sh"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    picked: list[tuple[int, int, int, int]] = []
+    total = 0
+    for r in range(k):
+        top = (
+            posts.groupBy("_id")
+            .agg(F.count(F.lit(1)).alias("_gain"))
+            .orderBy(F.desc("_gain"), F.asc("_id"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pick_id, gain = int(top[0]["_id"]), int(top[0]["_gain"])
+        total += gain
+        picked.append((r, pick_id, gain, total))
+        won = posts.filter(F.col("_id") == pick_id).select("_sh")
+        posts = (
+            posts.filter(F.col("_id") != pick_id)
+            .join(won, "_sh", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    return picked

@@ -313,3 +313,74 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), "keyword")
         .limit(30)
     )
+
+
+def _maxcov_oracle(k: int = 5) -> str:
+    """Unrolled twin of operators/sampling.greedy_max_coverage: same
+    3-gram shingles, same residual-postings subtraction per round,
+    same (gain DESC, id ASC) argmax."""
+    ctes = [
+        r"""WITH d AS (
+          SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                                     e -> e <> '') AS toks
+          FROM documents
+          WHERE text IS NOT NULL AND doc_id < 150)""",
+        """r0 AS (
+          SELECT DISTINCT doc_id AS id,
+                 unnest(list_distinct([
+                   array_to_string(toks[i:i+2], ' ')
+                   FOR i IN range(1, len(toks) - 1)
+                 ])) AS sh
+          FROM d WHERE len(toks) >= 3)""",
+    ]
+    for i in range(k):
+        ctes.append(
+            f"""p{i} AS (SELECT id, CAST(count(*) AS BIGINT) AS gain
+                 FROM r{i} GROUP BY id ORDER BY gain DESC, id LIMIT 1)"""
+        )
+        if i < k - 1:
+            ctes.append(
+                f"""r{i + 1} AS (
+                  SELECT * FROM r{i}
+                  WHERE id <> (SELECT id FROM p{i})
+                    AND sh NOT IN (SELECT sh FROM r{i}
+                                   WHERE id = (SELECT id FROM p{i})))"""
+            )
+    body = ",\n        ".join(ctes)
+    picks = " UNION ALL ".join(
+        f"SELECT {i} AS rnk, id, gain FROM p{i}" for i in range(k)
+    )
+    return f"""
+        {body}
+        SELECT CAST(rnk AS INT) AS rnk, CAST(id AS BIGINT) AS doc_id, gain,
+               CAST(sum(gain) OVER (ORDER BY rnk) AS BIGINT)
+                 AS covered_total
+        FROM ({picks}) ORDER BY rnk
+    """
+
+
+@register(
+    "q_max_coverage_select",
+    oracle=_maxcov_oracle(),
+    doc="Greedy maximum-coverage document selection (Nemhauser et al. "
+    "1978, the (1-1/e) submodular guarantee): 5 picks, each the "
+    "document adding the most word-3-gram shingles NOTHING already "
+    "selected covers, with the non-increasing marginal-gain curve "
+    "and running union size - coverage-driven corpus curation, the "
+    "set-cover complement of q_kcenter_coreset's metric diversity. "
+    "Residual-postings formulation: one distinct (doc, shingle) "
+    "table; each round LEFT-ANTI-subtracts the winner's shingles so "
+    "round i scans only what round i-1 left (never the full corpus "
+    "k times); winner = map-side-combined count + TakeOrdered(1); "
+    "selected set is a k-row driver artifact "
+    "(operators/sampling.greedy_max_coverage).",
+)
+def q_max_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.sampling import greedy_max_coverage
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 150)
+    picks = greedy_max_coverage(docs, "text", "doc_id", k=5, n=3)
+    return spark.createDataFrame(
+        [(int(r), int(i), int(g), int(t)) for r, i, g, t in picks],
+        "rnk int, doc_id bigint, gain bigint, covered_total bigint",
+    ).orderBy("rnk")
