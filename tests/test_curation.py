@@ -807,3 +807,22 @@ def test_winsorized_stats_quantized_thresholds(spark):
     # raw values inside [2, 4]: [2.6, 3.1]
     assert abs(r.trim_mean - (2.6 + 3.1) / 2) < 1e-6
     assert r.n_clipped_lo == 1 and r.n_clipped_hi == 2
+
+
+def test_greedy_max_coverage_submodular_and_exhaustion(spark):
+    from hw_kafka_streams_spark.operators.sampling import greedy_max_coverage
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),          # shingles: abc bcd cde (3)
+            (2, "a b c"),              # abc (subset of 1)
+            (3, "x y z w"),            # xyz yzw (2 new)
+            (4, None),                 # null text: ignored
+            (5, "a b"),                # < n tokens: ignored
+        ],
+        "doc_id bigint, text string",
+    )
+    picks = greedy_max_coverage(docs, k=10, n=3)
+    assert [p[1] for p in picks] == [1, 3]  # 2 adds nothing: never picked...
+    gains = [p[2] for p in picks]
+    assert gains == [3, 2] and picks[-1][3] == 5

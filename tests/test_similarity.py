@@ -307,3 +307,38 @@ def test_hard_negatives_excludes_same_label(spark):
     ids = [(r.negative_id, r.rnk) for r in sorted(out, key=lambda r: r.rnk)]
     assert ids == [(3, 1), (4, 2)]
     assert all(r.negative_label != r.anchor_label for r in out)
+
+
+def test_kcenter_radius_non_increasing_and_spread(spark):
+    from hw_kafka_streams_spark.operators.similarity import kcenter_select
+
+    # three tight clusters on a line: FPS must visit all three clusters
+    # before refining within one
+    pts = [(0, [0.0, 0.0]), (1, [0.1, 0.0]),
+           (10, [100.0, 0.0]), (11, [100.1, 0.0]),
+           (20, [50.0, 0.0]), (21, [50.1, 0.0])]
+    emb = spark.createDataFrame(
+        pts, "vec_id bigint, embedding array<double>"
+    )
+    picks = kcenter_select(emb, k=4)
+    assert picks[0][1] == 0  # lowest-id seed
+    # farthest first (100.1 > 100.0 from x=0), then the middle cluster:
+    # all three clusters covered before any within-cluster refinement
+    assert [p[1] for p in picks[:3]] == [0, 11, 20]
+    radii = [p[2] for p in picks[1:]]
+    assert radii == sorted(radii, reverse=True)  # non-increasing
+
+
+def test_mmr_balances_relevance_and_diversity(spark):
+    from hw_kafka_streams_spark.operators.similarity import mmr_select_dist
+
+    # near-duplicates at ids 1/2 close to the query; a farther but
+    # genuinely distinct point at 5. Pure relevance (lam=1) would rank
+    # 1, 2, 5; with diversity weighted (lam=0.2) the near-dup 2 must
+    # drop behind 5
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.01, 0.0]), (5, [2.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    picks = mmr_select_dist(emb, [0.0, 0.0], k=3, lam=0.2)
+    assert [p[1] for p in picks] == [1, 5, 2]
