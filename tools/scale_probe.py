@@ -91,6 +91,8 @@ PROBES = [
     "q_bootstrap_ci",          # x100 replicate fan-out into partial agg
     "q_multimodal_flac",       # FLAC decode kernel fan-out (row-sized)
     "q_bfs_hops",              # frontier joins over co-occurrence edges
+    "q_kcenter_coreset",       # k corpus scans x Arrow min-dist kernel
+    "q_max_coverage_select",   # residual-postings anti-join per round
 ]
 
 
