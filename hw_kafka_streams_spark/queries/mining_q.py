@@ -1916,3 +1916,315 @@ def q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("word", "n_count", "pieces", "n_pieces")
         .orderBy("word")
     )
+
+
+@register(
+    "q_diff_in_diff",
+    oracle="""
+        WITH bounds AS (
+          SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
+          FROM events WHERE ts IS NOT NULL
+        ),
+        base AS (
+          SELECT ('0x' || substring(md5(user_id::VARCHAR || ':did'),
+                                    1, 15))::BIGINT % 2 AS treat,
+                 CASE WHEN epoch_us(ts) >= b.t0 + (b.t1 - b.t0) // 2
+                      THEN 1 ELSE 0 END AS post,
+                 CAST(floor(value * 1000000.0) AS HUGEINT) AS vq
+          FROM events, bounds b
+          WHERE ts IS NOT NULL AND value IS NOT NULL
+                AND user_id IS NOT NULL
+        ),
+        cells AS (
+          SELECT treat, post,
+                 CAST(count(*) AS BIGINT) AS n,
+                 sum(vq) AS s
+          FROM base GROUP BY treat, post
+        ),
+        m AS (
+          SELECT
+            max(CASE WHEN treat = 1 AND post = 1 THEN CAST(s AS DOUBLE) / n END) AS y11,
+            max(CASE WHEN treat = 1 AND post = 0 THEN CAST(s AS DOUBLE) / n END) AS y10,
+            max(CASE WHEN treat = 0 AND post = 1 THEN CAST(s AS DOUBLE) / n END) AS y01,
+            max(CASE WHEN treat = 0 AND post = 0 THEN CAST(s AS DOUBLE) / n END) AS y00,
+            max(CASE WHEN treat = 1 AND post = 1 THEN n END) AS n11,
+            max(CASE WHEN treat = 1 AND post = 0 THEN n END) AS n10,
+            max(CASE WHEN treat = 0 AND post = 1 THEN n END) AS n01,
+            max(CASE WHEN treat = 0 AND post = 0 THEN n END) AS n00
+          FROM cells
+        )
+        SELECT n00, n01, n10, n11,
+               round(y10 / 1000000.0 - y00 / 1000000.0, 6) AS pre_gap,
+               round(y11 / 1000000.0 - y01 / 1000000.0, 6) AS post_gap,
+               round((y11 - y01) / 1000000.0
+                     - (y10 - y00) / 1000000.0, 6) AS did_estimate
+        FROM m
+    """,
+    doc="Difference-in-differences estimator: deterministic md5-hash "
+    "treatment assignment per user, pre/post split at the exact "
+    "integer-microsecond midpoint of the observed time range, and "
+    "DiD = (post-treat - post-ctrl) - (pre-treat - pre-ctrl) - the "
+    "workhorse quasi-experimental readout when randomization isn't "
+    "available (here the hash makes ground truth ~0, so the query "
+    "doubles as an A/A placebo audit: a non-zero DiD means the "
+    "pipeline, not the data, injected a difference). Cell means ride "
+    "exact HUGEINT/DECIMAL micro-unit sums (one map-side-combined "
+    "pass over 4 cells); the only doubles are 4 final divisions - "
+    "the cheapest possible panel shape at 100 TB.",
+)
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("t1"),
+    )
+    treat = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":did"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    base = ev.crossJoin(F.broadcast(bounds)).select(
+        treat.alias("treat"),
+        F.when(
+            F.unix_micros("ts")
+            >= F.col("t0") + F.floor((F.col("t1") - F.col("t0")) / 2),
+            1,
+        )
+        .otherwise(0)
+        .alias("post"),
+        F.floor(F.col("value") * 1000000.0)
+        .cast("decimal(38,0)")
+        .alias("vq"),
+    )
+    cells = base.groupBy("treat", "post").agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("vq").alias("s")
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+
+    def cell(t, p, col):
+        return F.max(
+            F.when((F.col("treat") == t) & (F.col("post") == p), col)
+        )
+
+    m = cells.agg(
+        cell(1, 1, mean).alias("y11"),
+        cell(1, 0, mean).alias("y10"),
+        cell(0, 1, mean).alias("y01"),
+        cell(0, 0, mean).alias("y00"),
+        cell(1, 1, F.col("n")).alias("n11"),
+        cell(1, 0, F.col("n")).alias("n10"),
+        cell(0, 1, F.col("n")).alias("n01"),
+        cell(0, 0, F.col("n")).alias("n00"),
+    )
+    micro = F.lit(1000000.0)
+    return m.select(
+        "n00",
+        "n01",
+        "n10",
+        "n11",
+        F.round(F.col("y10") / micro - F.col("y00") / micro, 6).alias(
+            "pre_gap"
+        ),
+        F.round(F.col("y11") / micro - F.col("y01") / micro, 6).alias(
+            "post_gap"
+        ),
+        F.round(
+            (F.col("y11") - F.col("y01")) / micro
+            - (F.col("y10") - F.col("y00")) / micro,
+            6,
+        ).alias("did_estimate"),
+    )
+
+
+@register(
+    "q_conformal_interval",
+    oracle=r"""
+        WITH base AS (
+          SELECT ('0x' || substring(md5(doc_id::VARCHAR || ':conf'),
+                                    1, 15))::BIGINT % 10 AS bkt,
+                 CAST(n_chars AS HUGEINT) AS x,
+                 CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                      e -> e <> '')) AS HUGEINT) AS y
+          FROM documents
+          WHERE text IS NOT NULL AND n_chars IS NOT NULL
+        ),
+        mom AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(x) AS sx, sum(y) AS sy,
+                 sum(x * y) AS sxy, sum(x * x) AS sxx
+          FROM base WHERE bkt <= 5
+        ),
+        fit AS (
+          SELECT n,
+                 (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   AS slope,
+                 sx, sy
+          FROM mom
+        ),
+        fit2 AS (
+          SELECT n AS n_train, slope,
+                 (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / n
+                   AS icept
+          FROM fit
+        ),
+        scored AS (
+          SELECT b.bkt,
+                 CAST(floor(abs(CAST(b.y AS DOUBLE)
+                                - (f.slope * CAST(b.x AS DOUBLE) + f.icept))
+                            * 1000000.0) AS BIGINT) AS rq
+          FROM base b, fit2 f WHERE b.bkt >= 6
+        ),
+        calh AS (
+          SELECT rq, count(*) AS c FROM scored WHERE bkt <= 7 GROUP BY rq
+        ),
+        caln AS (SELECT CAST(sum(c) AS BIGINT) AS n_cal FROM calh),
+        qhat AS (
+          SELECT min(rq) AS q_micro FROM (
+            SELECT rq, sum(c) OVER (ORDER BY rq) AS cum, n_cal
+            FROM calh, caln
+          ) WHERE cum >= ceil(0.9 * (n_cal + 1))
+        )
+        SELECT f.n_train, c.n_cal,
+               CAST(count(*) AS BIGINT) AS n_test,
+               round(f.slope, 6) AS slope,
+               round(f.icept, 6) AS intercept,
+               q.q_micro,
+               round(CAST(sum(CASE WHEN s.rq <= q.q_micro THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*), 6) AS coverage
+        FROM scored s, fit2 f, caln c, qhat q
+        WHERE s.bkt >= 8
+        GROUP BY f.n_train, c.n_cal, f.slope, f.icept, q.q_micro
+    """,
+    doc="Split-conformal prediction interval (Vovk et al.; the "
+    "distribution-free coverage guarantee): hash-split 60/20/20 into "
+    "train/calibration/test, OLS fit y~x on train (token count vs "
+    "char count; exact HUGEINT moment sums, scalar epilogue), "
+    "conformal radius q_hat = the ceil(0.9*(n_cal+1))-th smallest "
+    "calibration |residual|, then EMPIRICAL coverage of prediction "
+    "intervals +-q_hat on held-out test - the model-agnostic "
+    "uncertainty audit (coverage must land near 90% regardless of "
+    "the model's quality). Residuals quantize to exact micro-units "
+    "so the order statistic comes from a COUNT-HISTOGRAM prefix sum "
+    "(domain-bounded, never a row-buffer quantile - the "
+    "exact_percentiles_histogram shape), and the only doubles are "
+    "the fit epilogue and per-row scoring.",
+)
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    bkt = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":conf"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    base = docs.select(
+        bkt.alias("bkt"),
+        F.col("n_chars").cast("decimal(38,0)").alias("x"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("decimal(38,0)")
+        .alias("y"),
+    )
+    mom = base.filter(F.col("bkt") <= 5).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (
+        nd * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    fit = mom.select(
+        F.col("n").alias("n_train"), slope.alias("slope"), "sx", "sy", "n"
+    ).select(
+        "n_train",
+        "slope",
+        (
+            (F.col("sy").cast("double") - F.col("slope") * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("icept"),
+    )
+    scored = base.filter(F.col("bkt") >= 6).crossJoin(F.broadcast(fit)).select(
+        "bkt",
+        "n_train",
+        "slope",
+        "icept",
+        F.floor(
+            F.abs(
+                F.col("y").cast("double")
+                - (F.col("slope") * F.col("x").cast("double") + F.col("icept"))
+            )
+            * F.lit(1000000.0)
+        )
+        .cast("long")
+        .alias("rq"),
+    )
+    calh = (
+        scored.filter(F.col("bkt") <= 7)
+        .groupBy("rq")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    caln = calh.agg(F.sum("c").cast("long").alias("n_cal"))
+    cum = calh.crossJoin(F.broadcast(caln)).select(
+        "rq",
+        "n_cal",
+        F.sum("c")
+        .over(
+            W.partitionBy(F.lit(0))
+            .orderBy("rq")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .alias("cum"),
+    )
+    qhat = (
+        cum.filter(F.col("cum") >= F.ceil(0.9 * (F.col("n_cal") + 1)))
+        .agg(F.min("rq").alias("q_micro"))
+    )
+    test = scored.filter(F.col("bkt") >= 8).crossJoin(F.broadcast(qhat)).crossJoin(
+        F.broadcast(caln)
+    )
+    return test.groupBy("n_train", "n_cal", "slope", "icept", "q_micro").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.round(
+            F.sum(F.when(F.col("rq") <= F.col("q_micro"), 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("coverage"),
+    ).select(
+        "n_train",
+        "n_cal",
+        "n_test",
+        F.round("slope", 6).alias("slope"),
+        F.round("icept", 6).alias("intercept"),
+        "q_micro",
+        "coverage",
+    )
