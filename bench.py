@@ -5,13 +5,18 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 ``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints
 ONE JSON line::
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "...", "value": N, "unit": "sec", "queries": {"n": K,
+     "detail": "BENCH_DETAIL.json"}, "shared_total": M, "sf": ...,
+     "stream": {...}}
 
-``value`` is the total wall-clock over the headline set in ISOLATED
-mode (caches cleared before every timed run; cold codegen run
-discarded), so each per-query number is attributable to that query's
-code alone. ``queries_shared``/``shared_total`` report the legacy
-session-reuse mode (caches accumulate across the loop) for the
+The contract line is kept SMALL (≈250 chars) because the driver
+captures only a ~2000-char tail of stdout; the full per-query
+isolated/shared breakdown is written to ``BENCH_DETAIL.json`` at the
+repo root (and echoed to stderr). ``value`` is the total wall-clock
+over the headline set in ISOLATED mode (caches cleared before every
+timed run; cold codegen run discarded), so each per-query number is
+attributable to that query's code alone. ``shared_total`` reports the
+legacy session-reuse mode (caches accumulate across the loop) for the
 shared-subtree upside; those numbers are order-coupled by design and
 must not be compared per-query across rounds. Each query is executed
 to completion (collect of the bounded aggregate result), never
@@ -206,6 +211,15 @@ def main() -> None:
     release_managed_caches()
 
     total = round(sum(isolated.values()), 3)
+    try:
+        stream = _stream_bench(spark)
+    except Exception as exc:  # never let the stream probe break the contract
+        stream = {"error": str(exc)[:200]}
+    # Driver contract line: the driver captures only a ~2000-char TAIL of
+    # stdout (round-6 lesson: 124 per-query entries overflowed it and the
+    # driver recorded parsed:null despite rc=0). Keep the contract line
+    # SMALL — totals + stream only — and write the per-query detail to
+    # BENCH_DETAIL.json next to this script for the judge/humans.
     out = {
         # headline value = sum of ISOLATED times: each addend is
         # attributable to its query alone, so a round-over-round delta
@@ -213,17 +227,35 @@ def main() -> None:
         "metric": "headline_queries_total_wall_isolated",
         "value": total,
         "unit": "sec",
-        "queries": isolated,
+        "queries": {"n": len(isolated), "detail": "BENCH_DETAIL.json"},
         "shared_total": round(sum(shared.values()), 3),
-        "queries_shared": shared,
         "sf": _sf_of(sf_dir),
+        "stream": stream,
     }
     if errors:
-        out["errors"] = errors
+        out["errors_n"] = len(errors)
+    detail = {
+        "metric": out["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": out["sf"],
+        "queries": isolated,
+        "shared_total": out["shared_total"],
+        "queries_shared": shared,
+        "stream": stream,
+        "errors": errors,
+    }
     try:
-        out["stream"] = _stream_bench(spark)
-    except Exception as exc:  # never let the stream probe break the contract
-        out["stream"] = {"error": str(exc)[:200]}
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+    except Exception as exc:
+        out["detail_write_error"] = str(exc)[:120]
+    # Full detail also goes to stderr (not captured by the driver's
+    # stdout tail, but visible in logs).
+    print(json.dumps(detail), file=sys.stderr)
     print(json.dumps(out))
 
 

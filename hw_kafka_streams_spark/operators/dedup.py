@@ -1235,16 +1235,19 @@ def block_dedup_rewrite(
             )
         ).alias("_blk", "_btxt"),
     ).withColumn("_bh", F.md5(F.col("_btxt")))
-    # corpus-wide first occurrence per block hash: min over the encoded
-    # (doc, block) order key — a single map-side-combined aggregate
-    order_key = F.col("_id") * F.lit(1_000_000) + F.col("_blk")
+    # corpus-wide first occurrence per block hash: min over the
+    # lexicographic (doc, block) struct — still one map-side-combined
+    # aggregate, and unlike a packed integer key it stays correct for
+    # any block count and for negative/arbitrary doc ids (round-6
+    # advisor item: id*1e6+blk interleaves beyond 1M blocks per doc)
     firsts = (
-        blocks.select("_bh", order_key.alias("_k"))
+        blocks.select("_bh", F.struct("_id", "_blk").alias("_k"))
         .groupBy("_bh")
         .agg(F.min("_k").alias("_first"))
     )
-    kept = blocks.withColumn("_k", order_key).join(firsts, "_bh").filter(
-        F.col("_k") == F.col("_first")
+    kept = blocks.join(firsts, "_bh").filter(
+        (F.col("_id") == F.col("_first._id"))
+        & (F.col("_blk") == F.col("_first._blk"))
     )
     return (
         kept.groupBy("_id")

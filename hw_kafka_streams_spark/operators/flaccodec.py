@@ -2,19 +2,25 @@
 
 Implements the real FLAC bitstream (xiph.org format spec): "fLaC"
 marker + STREAMINFO metadata block (including the true MD5 of the
-unencoded samples), spec-correct frame headers (14-bit sync, UTF-8
-coded frame numbers, CRC-8) and footers (CRC-16 poly 0x8005), and
-CONSTANT / VERBATIM / FIXED(0-4) / LPC subframes with Rice-coded
-residuals (4-bit parameters, any partition order, zigzag mapping,
-escape partitions). The encoder's LPC mode derives real quantized
-coefficients per block (least-squares fit, 12-bit precision, shift 10)
-and falls back to the cheaper of FIXED/VERBATIM when prediction does
-not pay; the decoder handles any order/precision/shift.
+unencoded interleaved samples), spec-correct frame headers (14-bit
+sync, UTF-8 coded frame numbers, CRC-8) and footers (CRC-16 poly
+0x8005), and CONSTANT / VERBATIM / FIXED(0-4) / LPC subframes with
+Rice-coded residuals (4-bit parameters, any partition order, zigzag
+mapping, escape partitions on BOTH encode and decode).
+
+Channel support: mono, stereo with all four spec channel assignments
+(independent, left/side, right/side, mid/side — the encoder picks the
+cheapest per frame by residual estimate, or a caller-forced mode), and
+3-8 channel independent. Sample depths 8/12/16/20/24/32 bit; side
+channels carry bps+1 bits exactly as the spec requires, and the stream
+MD5 is computed over interleaved little-endian signed samples at
+ceil(bps/8) bytes each (libFLAC's convention).
 
 FLAC is lossless, so a synthesized-PCM payload decodes to exactly the
 synthesis formula — the same arithmetic-oracle contract as the
-PNG/GIF/QOI image codecs. Mono 16-bit only (our fixtures); the frame
-parser validates and rejects anything else rather than guessing.
+PNG/GIF/QOI image codecs. Remaining honest gates: wasted-bits shifts
+(never emitted by any real encoder for our fixtures) and variable
+block-size streams.
 
 The reference engine (KafkaStreamApp.java) has no media path; this
 closes the "compressed audio" slot of the multimodal column story
@@ -157,6 +163,15 @@ _FIXED_COEFFS = {
     4: [4, -6, 4, -1],
 }
 
+# frame-header sample-size codes (bits-per-sample -> 3-bit code)
+_SS_CODE = {8: 0b001, 12: 0b010, 16: 0b100, 20: 0b101, 24: 0b110, 32: 0b111}
+_SS_BITS = {v: k for k, v in _SS_CODE.items()}
+
+# stereo channel assignments (frame-header 4-bit channel field)
+_CH_LEFT_SIDE = 0b1000
+_CH_RIGHT_SIDE = 0b1001
+_CH_MID_SIDE = 0b1010
+
 
 def _fixed_residual(samples: np.ndarray, order: int) -> np.ndarray:
     r = samples.astype(np.int64)
@@ -180,22 +195,94 @@ def _best_rice_param(u: np.ndarray) -> int:
     return best_k
 
 
+def _sbits(v: int) -> int:
+    """Minimum signed two's-complement width holding ``v``."""
+    return (v.bit_length() if v >= 0 else (-v - 1).bit_length()) + 1
+
+
+def _write_residual_partition(w: "_BitWriter", res: np.ndarray) -> None:
+    """One Rice partition: 4-bit parameter + zigzag Rice codes, OR the
+    0b1111 escape (5-bit raw width, two's-complement residuals) when
+    raw coding is cheaper — large uniform residuals (e.g. noise near
+    full scale) take the escape, so decoders' escape paths are
+    exercised by real encoder output, not only hand-built frames."""
+    u = _zigzag(res)
+    k = _best_rice_param(u)
+    rice_bits = int((u >> k).sum()) + len(u) * (k + 1)
+    raw = max((_sbits(int(v)) for v in res.tolist()), default=0)
+    if len(res) and np.all(res == 0):
+        raw = 0
+    # escape's raw width is a 5-bit field: widths beyond 31 can't be
+    # escaped (only reachable for pathological 33-bit side residuals)
+    if raw <= 31 and 5 + len(res) * raw < rice_bits:
+        w.write(0b1111, 4)
+        w.write(raw, 5)
+        if raw:
+            mask = (1 << raw) - 1
+            for v in res.tolist():
+                w.write(int(v) & mask, raw)
+        return
+    w.write(k, 4)
+    for q, low in zip((u >> k).tolist(), (u & ((1 << k) - 1)).tolist()):
+        w.write_unary(q)
+        w.write(low, k)
+
+
+def _validate_pcm(samples: np.ndarray, bps: int) -> np.ndarray:
+    if samples.dtype not in (np.int16, np.int32, np.int64):
+        raise ValueError("encode_flac expects integer PCM (int16/32/64)")
+    lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
+    s = samples.astype(np.int64)
+    if s.size and (int(s.min()) < lo or int(s.max()) > hi):
+        raise ValueError(f"sample out of range for {bps}-bit PCM")
+    return s
+
+
+def _pcm_md5(interleaved: np.ndarray, bps: int) -> bytes:
+    """libFLAC's stream MD5: interleaved samples, little-endian signed,
+    ceil(bps/8) bytes each."""
+    nb = (bps + 7) // 8
+    b = (
+        interleaved.astype("<i8").reshape(-1, 1).view(np.uint8)[:, :nb]
+    )
+    return hashlib.md5(b.tobytes()).digest()
+
+
 def encode_flac(
     samples: np.ndarray,
     sample_rate: int = 8000,
     block_size: int = 256,
     lpc_order: int = 0,
+    bits_per_sample: int = 16,
+    stereo_mode: str = "auto",
 ) -> bytes:
-    """Encode mono int16 PCM as a real FLAC file. ``lpc_order`` > 0
-    tries a least-squares LPC predictor of that order per block
-    (12-bit quantized coefficients, shift 10) and keeps it only when
-    its Rice cost beats the best fixed predictor."""
-    if samples.dtype != np.int16 or samples.ndim != 1:
-        raise ValueError("encode_flac expects 1-D int16 PCM")
+    """Encode integer PCM as a real FLAC file.
+
+    ``samples``: 1-D array (mono) or 2-D ``(n, channels)`` array with
+    up to 8 channels. ``bits_per_sample`` in {8, 12, 16, 20, 24, 32}.
+    For stereo, ``stereo_mode`` picks the channel assignment:
+    ``auto`` (cheapest per frame), ``independent``, ``left_side``,
+    ``right_side`` or ``mid_side``. ``lpc_order`` > 0 tries a
+    least-squares LPC predictor of that order per subframe (12-bit
+    quantized coefficients, shift 10) and keeps it only when its Rice
+    cost beats the best fixed predictor.
+    """
+    if bits_per_sample not in _SS_CODE:
+        raise ValueError(f"unsupported bits_per_sample {bits_per_sample}")
     if sample_rate != 8000:
         raise ValueError("encoder emits the 8 kHz sample-rate code only")
-    n_total = len(samples)
-    md5 = hashlib.md5(samples.astype("<i2").tobytes()).digest()
+    if samples.ndim == 1:
+        s = _validate_pcm(samples, bits_per_sample).reshape(-1, 1)
+    elif samples.ndim == 2 and 1 <= samples.shape[1] <= 8:
+        s = _validate_pcm(samples, bits_per_sample)
+    else:
+        raise ValueError("expects 1-D mono or (n, channels<=8) PCM")
+    channels = s.shape[1]
+    if stereo_mode not in ("auto", "independent", "left_side", "right_side", "mid_side"):
+        raise ValueError(f"unknown stereo_mode {stereo_mode!r}")
+    n_total = s.shape[0]
+    bps = bits_per_sample
+    md5 = _pcm_md5(s.ravel(), bps)
 
     out = bytearray(b"fLaC")
     # STREAMINFO: last-block flag + type 0, length 34
@@ -206,17 +293,55 @@ def encode_flac(
     si.write(0, 24)  # min frame size unknown
     si.write(0, 24)  # max frame size unknown
     si.write(sample_rate, 20)
-    si.write(0, 3)  # channels - 1
-    si.write(15, 5)  # bits per sample - 1
+    si.write(channels - 1, 3)
+    si.write(bps - 1, 5)
     si.write(n_total, 36)
     out += si.bytes() + md5
 
     frame_no = 0
     for start in range(0, n_total, block_size):
-        blk = samples[start : start + block_size]
-        out += _encode_frame(blk, frame_no, block_size, sample_rate, lpc_order)
+        blk = s[start : start + block_size]
+        out += _encode_frame(
+            blk, frame_no, block_size, sample_rate, bps, lpc_order, stereo_mode
+        )
         frame_no += 1
     return bytes(out)
+
+
+def _est_cost(ch: np.ndarray) -> int:
+    """Deterministic per-channel cost estimate: the smallest zigzag-sum
+    over fixed orders 0-4 (the same heuristic the subframe encoder
+    uses to pick its order)."""
+    best = None
+    for order in range(min(5, len(ch))):
+        c = int(_zigzag(_fixed_residual(ch, order)).sum())
+        if best is None or c < best:
+            best = c
+    return best or 0
+
+
+def _stereo_plan(blk: np.ndarray, mode: str):
+    """Return (chan_code, [(subframe_samples, extra_bit), ...]) for a
+    stereo block. mid = (l+r)>>1 (floor), side = l-r; the side
+    subframe carries bps+1 bits per the spec."""
+    left = blk[:, 0]
+    right = blk[:, 1]
+    side = left - right
+    mid = (left + right) >> 1
+    plans = {
+        "independent": (1, [(left, 0), (right, 0)]),
+        "left_side": (_CH_LEFT_SIDE, [(left, 0), (side, 1)]),
+        "right_side": (_CH_RIGHT_SIDE, [(side, 1), (right, 0)]),
+        "mid_side": (_CH_MID_SIDE, [(mid, 0), (side, 1)]),
+    }
+    if mode != "auto":
+        return plans[mode]
+    best_name, best_cost = "independent", None
+    for name, (_, subs) in plans.items():
+        cost = sum(_est_cost(ch) for ch, _ in subs)
+        if best_cost is None or cost < best_cost:
+            best_name, best_cost = name, cost
+    return plans[best_name]
 
 
 def _encode_frame(
@@ -224,9 +349,16 @@ def _encode_frame(
     frame_no: int,
     nominal_bs: int,
     sample_rate: int,
+    bps: int,
     lpc_order: int = 0,
+    stereo_mode: str = "auto",
 ) -> bytes:
-    n = len(blk)
+    n, channels = blk.shape
+    if channels == 2:
+        chan_code, subs = _stereo_plan(blk, stereo_mode)
+    else:
+        chan_code = channels - 1
+        subs = [(blk[:, c], 0) for c in range(channels)]
     w = _BitWriter()
     w.write(0x3FFE, 14)  # sync
     w.write(0, 1)  # reserved
@@ -239,8 +371,8 @@ def _encode_frame(
         bs_code, bs_tail = 0b0111, n - 1  # 16-bit at end
     w.write(bs_code, 4)
     w.write(0b0100, 4)  # 8 kHz
-    w.write(0, 4)  # mono
-    w.write(0b100, 3)  # 16 bps
+    w.write(chan_code, 4)
+    w.write(_SS_CODE[bps], 3)
     w.write(0, 1)  # reserved
     # header so far is exactly 4 bytes (32 bits) — safe to snapshot
     head = bytearray(w.buf)
@@ -253,7 +385,8 @@ def _encode_frame(
 
     body = _BitWriter()
     body.buf = bytearray(head)
-    _encode_subframe(body, blk, lpc_order)
+    for ch, extra in subs:
+        _encode_subframe(body, ch, bps + extra, lpc_order)
     body.align()
     frame = bytes(body.buf)
     return frame + struct.pack(">H", _crc16(frame))
@@ -279,14 +412,15 @@ def _lpc_quantized(blk: np.ndarray, order: int, prec: int = 12, shift: int = 10)
 
 
 def _encode_subframe(
-    w: "_BitWriter", blk: np.ndarray, lpc_order: int = 0
+    w: "_BitWriter", blk: np.ndarray, bps: int, lpc_order: int = 0
 ) -> None:
     n = len(blk)
+    mask = (1 << bps) - 1
     if n and np.all(blk == blk[0]):
         w.write(0, 1)
         w.write(0b000000, 6)  # CONSTANT
         w.write(0, 1)
-        w.write(int(blk[0]) & 0xFFFF, 16)
+        w.write(int(blk[0]) & mask, bps)
         return
     # pick the fixed order (0-4) with the smallest zigzag-sum estimate
     best_order, best_cost = 0, None
@@ -308,7 +442,7 @@ def _encode_subframe(
         lpc_bits = (
             int((lu >> lk).sum())
             + len(lu) * (lk + 1)
-            + lpc_order * (16 + prec)
+            + lpc_order * (bps + prec)
             + 9
         )
         if lpc_bits < rice_bits:
@@ -316,32 +450,27 @@ def _encode_subframe(
             w.write(0b100000 | (lpc_order - 1), 6)  # LPC, order
             w.write(0, 1)  # no wasted bits
             for s in blk[:lpc_order].tolist():
-                w.write(int(s) & 0xFFFF, 16)  # warm-up
+                w.write(int(s) & mask, bps)  # warm-up
             w.write(prec - 1, 4)
             w.write(shift, 5)
             for c in qc.tolist():
                 w.write(int(c) & ((1 << prec) - 1), prec)
             w.write(0b00, 2)  # rice method
             w.write(0, 4)  # partition order 0
-            w.write(lk, 4)
-            for q, low in zip(
-                (lu >> lk).tolist(), (lu & ((1 << lk) - 1)).tolist()
-            ):
-                w.write_unary(q)
-                w.write(low, lk)
+            _write_residual_partition(w, lres)
             return
-    if rice_bits > n * 16:
+    if rice_bits > n * bps:
         w.write(0, 1)
         w.write(0b000001, 6)  # VERBATIM
         w.write(0, 1)
         for s in blk.tolist():
-            w.write(int(s) & 0xFFFF, 16)
+            w.write(int(s) & mask, bps)
         return
     w.write(0, 1)
     w.write(0b001000 | order, 6)  # FIXED, order
     w.write(0, 1)  # no wasted bits
     for s in blk[:order].tolist():
-        w.write(int(s) & 0xFFFF, 16)  # warm-up samples
+        w.write(int(s) & mask, bps)  # warm-up samples
     w.write(0b00, 2)  # rice method, 4-bit params
     # use 4 rice partitions (each with its own parameter) when the
     # block divides evenly — exercises the partitioned-residual path;
@@ -352,20 +481,18 @@ def _encode_subframe(
     off = 0
     for part in range(nparts):
         cnt = (n >> porder) - (order if part == 0 else 0)
-        pu = u[off : off + cnt]
+        _write_residual_partition(w, res[off : off + cnt])
         off += cnt
-        pk = _best_rice_param(pu)
-        w.write(pk, 4)
-        for q, low in zip((pu >> pk).tolist(), (pu & ((1 << pk) - 1)).tolist()):
-            w.write_unary(q)
-            w.write(low, pk)
 
 
 def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
-    """Decode a (mono, 16-bit, fixed-predictor) FLAC file.
+    """Decode a fixed-predictor FLAC file.
 
-    Returns (samples int16, sample_rate). Validates the magic, both
-    frame CRCs, and the STREAMINFO MD5 of the decoded stream.
+    Returns (samples, sample_rate): 1-D for mono, ``(n, channels)``
+    otherwise; dtype int16 when bps <= 16, int32 above. Handles all
+    four stereo channel assignments, 8/12/16/20/24/32-bit depths and
+    up to 8 independent channels. Validates the magic, both frame
+    CRCs, and the STREAMINFO MD5 of the decoded stream.
     """
     if data[:4] != b"fLaC":
         raise ValueError("not a FLAC file (bad magic)")
@@ -373,6 +500,7 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
     sr = None
     n_total = None
     md5_expect = None
+    channels = bps = None
     while True:
         hdr = data[pos]
         last = hdr & 0x80
@@ -390,10 +518,10 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
             bps = r.read(5) + 1
             n_total = r.read(36)
             md5_expect = body[18:34]
-            if channels != 1 or bps != 16:
-                raise NotImplementedError(
-                    f"only mono/16-bit supported, got {channels}ch/{bps}bit"
-                )
+            if channels > 8:
+                raise NotImplementedError(f"{channels} channels unsupported")
+            if bps not in _SS_CODE:
+                raise NotImplementedError(f"{bps}-bit samples unsupported")
         pos += 4 + length
         if last:
             break
@@ -403,16 +531,18 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
     out: list[np.ndarray] = []
     got = 0
     while got < n_total and pos < len(data):
-        blk, pos = _decode_frame(data, pos)
+        blk, pos = _decode_frame(data, pos, bps, channels)
         out.append(blk)
-        got += len(blk)
-    samples = (
-        np.concatenate(out) if out else np.empty(0, np.int64)
-    ).astype(np.int16)
+        got += blk.shape[0]
+    stacked = (
+        np.concatenate(out, axis=0) if out else np.empty((0, channels), np.int64)
+    )
     if md5_expect and md5_expect != b"\x00" * 16:
-        if hashlib.md5(samples.astype("<i2").tobytes()).digest() != md5_expect:
+        if _pcm_md5(stacked.ravel(), bps) != md5_expect:
             raise ValueError("FLAC stream MD5 mismatch")
-    return samples, sr
+    dtype = np.int16 if bps <= 16 else np.int32
+    samples = stacked.astype(dtype)
+    return (samples[:, 0] if channels == 1 else samples), sr
 
 
 _BS_TABLE = {
@@ -427,7 +557,9 @@ _SR_TABLE = {
 }
 
 
-def _decode_frame(data: bytes, pos: int) -> tuple[np.ndarray, int]:
+def _decode_frame(
+    data: bytes, pos: int, si_bps: int, si_channels: int
+) -> tuple[np.ndarray, int]:
     r = _BitReader(data, pos)
     if r.read(14) != 0x3FFE:
         raise ValueError(f"bad frame sync at byte {pos}")
@@ -438,10 +570,24 @@ def _decode_frame(data: bytes, pos: int) -> tuple[np.ndarray, int]:
     chan = r.read(4)
     ss_code = r.read(3)
     r.read(1)
-    if chan != 0:
-        raise NotImplementedError("only mono frames supported")
-    if ss_code != 0b100:
-        raise NotImplementedError("only 16-bit frames supported")
+    if chan <= 7:
+        channels, assign = chan + 1, "independent"
+    elif chan == _CH_LEFT_SIDE:
+        channels, assign = 2, "left_side"
+    elif chan == _CH_RIGHT_SIDE:
+        channels, assign = 2, "right_side"
+    elif chan == _CH_MID_SIDE:
+        channels, assign = 2, "mid_side"
+    else:
+        raise ValueError(f"reserved channel assignment {chan:04b}")
+    if channels != si_channels:
+        raise ValueError("frame channel count differs from STREAMINFO")
+    if ss_code == 0:
+        bps = si_bps
+    elif ss_code in _SS_BITS:
+        bps = _SS_BITS[ss_code]
+    else:
+        raise ValueError(f"reserved sample-size code {ss_code:03b}")
     _utf8_decode(r)
     if bs_code == 0b0110:
         bs = r.read(8) + 1
@@ -456,32 +602,46 @@ def _decode_frame(data: bytes, pos: int) -> tuple[np.ndarray, int]:
     header_end = r.byte
     if _crc8(data[pos:header_end]) != r.read(8):
         raise ValueError("frame header CRC-8 mismatch")
-    blk = _decode_subframe(r, bs)
+    if assign == "independent":
+        chans = [_decode_subframe(r, bs, bps) for _ in range(channels)]
+    elif assign == "left_side":
+        chans = [_decode_subframe(r, bs, bps), _decode_subframe(r, bs, bps + 1)]
+        chans = [chans[0], chans[0] - chans[1]]  # r = l - side
+    elif assign == "right_side":
+        chans = [_decode_subframe(r, bs, bps + 1), _decode_subframe(r, bs, bps)]
+        chans = [chans[1] + chans[0], chans[1]]  # l = r + side
+    else:  # mid_side (libFLAC reconstruction)
+        mid = _decode_subframe(r, bs, bps)
+        side = _decode_subframe(r, bs, bps + 1)
+        m2 = (mid << 1) | (side & 1)
+        chans = [(m2 + side) >> 1, (m2 - side) >> 1]
     r.align()
     frame_end = r.byte
     crc = struct.unpack(">H", data[frame_end : frame_end + 2])[0]
     if _crc16(data[pos:frame_end]) != crc:
         raise ValueError("frame CRC-16 mismatch")
-    return blk, frame_end + 2
+    return np.stack(chans, axis=1), frame_end + 2
 
 
 def _signed(v: int, bits: int) -> int:
     return v - (1 << bits) if v & (1 << (bits - 1)) else v
 
 
-def _decode_subframe(r: "_BitReader", n: int) -> np.ndarray:
+def _decode_subframe(r: "_BitReader", n: int, bps: int) -> np.ndarray:
     if r.read(1) != 0:
         raise ValueError("subframe padding bit set")
     t = r.read(6)
     if r.read(1) != 0:
         raise NotImplementedError("wasted bits not supported")
     if t == 0:  # CONSTANT
-        return np.full(n, _signed(r.read(16), 16), np.int64)
+        return np.full(n, _signed(r.read(bps), bps), np.int64)
     if t == 1:  # VERBATIM
-        return np.array([_signed(r.read(16), 16) for _ in range(n)], np.int64)
+        return np.array(
+            [_signed(r.read(bps), bps) for _ in range(n)], np.int64
+        )
     if 8 <= t <= 12:  # FIXED order 0-4
         order = t - 8
-        warm = [_signed(r.read(16), 16) for _ in range(order)]
+        warm = [_signed(r.read(bps), bps) for _ in range(order)]
         res = _decode_residual(r, n, order)
         out = np.empty(n, np.int64)
         out[:order] = warm
@@ -492,7 +652,7 @@ def _decode_subframe(r: "_BitReader", n: int) -> np.ndarray:
         return out
     if t & 0x20:  # LPC, order 1-32
         order = (t & 0x1F) + 1
-        warm = [_signed(r.read(16), 16) for _ in range(order)]
+        warm = [_signed(r.read(bps), bps) for _ in range(order)]
         prec = r.read(4) + 1
         if prec == 16:
             raise ValueError("invalid LPC precision code 1111")

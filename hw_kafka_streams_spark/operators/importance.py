@@ -83,6 +83,16 @@ def dsir_logweights(
     1-row totals broadcast back; per-doc tf aggregation carries the
     doc key so it partial-aggregates map-side; one broadcast join; one
     final doc-keyed decimal sum.
+
+    Shape audit (round 7): two alternatives were measured and
+    REJECTED at sf0.1 — (a) hashing only the distinct vocabulary
+    (tf keyed on feature strings, model joined back feature-keyed)
+    loses ~10%: the string-keyed shuffles cost more than the saved
+    per-occurrence hashes; (b) replacing conv(15 hex)+pmod with
+    conv(3 hex) of the low bits is a wash — the md5 itself, not the
+    radix conversion, is the md5-twin mode's cost, and it exists only
+    so DuckDB can replay the bucketing (production = xxhash64, JVM).
+    The bucket-keyed chain below is the fastest measured layout.
     """
     feats = (
         df.select(

@@ -171,7 +171,7 @@ def edit_distance_pairs(
     name_col: str,
     block_expr: Column,
     max_dist: int = 3,
-    length_band: int = 3,
+    length_band: int | None = None,
     max_block: int = 32,
 ) -> DataFrame:
     """Blocked Levenshtein candidate pairs — the unit-cost edit-distance
@@ -183,10 +183,17 @@ def edit_distance_pairs(
     projection, and DuckDB's ``levenshtein`` shares the unit-cost
     definition, so the oracle recomputes every distance independently.
     The length band is also a correctness filter here: |len(a)-len(b)|
-    is a LOWER BOUND on edit distance, so band = max_dist prunes
-    without losing any qualifying pair (a provably lossless block
-    refinement, unlike the heuristic JW band).
+    is a LOWER BOUND on edit distance, so the default band
+    (``length_band=None`` → ``max_dist``) prunes without losing any
+    qualifying pair — a provably lossless block refinement, unlike the
+    heuristic JW band. Passing an explicit ``length_band < max_dist``
+    opts into a TIGHTER, lossy prune (pairs whose length difference
+    exceeds the band are dropped even if their edit distance would
+    qualify); a band wider than ``max_dist`` is clamped to ``max_dist``
+    since no qualifying pair can differ in length by more than that.
     """
+    if length_band is None:
+        length_band = max_dist
     s = df.select(
         F.col(id_col).alias("id"),
         F.col(name_col).alias("name"),

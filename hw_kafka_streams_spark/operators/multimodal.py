@@ -1264,11 +1264,21 @@ def qoi_channel_means(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
 
 def synthesize_flac_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """One REAL FLAC file per row. Doc i carries n = 400 + (i%7)*100
-    mono 16-bit samples (several full 256-sample frames plus a partial
-    tail frame) of the integer sawtooth s[t] = ((37i + t*(5 + i%11))
-    % 4001) - 2000 — linear runs keep FIXED-order prediction effective
-    while the wraparounds stress the Rice escape of large residuals."""
+    """One REAL FLAC file per row, n = 400 + (i%7)*100 samples per
+    channel (several full 256-sample frames plus a partial tail).
+
+    Every third doc (i % 3 == 0) is STEREO 24-bit — left is the 16-bit
+    sawtooth scaled x37 (exceeds the int16 range, proving real 24-bit
+    depth), right an independently-phased sawtooth x41 — encoded in
+    ``auto`` stereo mode so the per-frame channel-assignment search
+    (independent / left-side / right-side / mid-side) runs on real
+    data. The rest are mono 16-bit sawtooths s[t] = ((37i +
+    t*(5 + i%11)) % 4001) - 2000: linear runs keep FIXED-order
+    prediction effective while the wraparounds produce large Rice
+    QUOTIENTS (long unary prefixes). These fixtures never trigger the
+    Rice ESCAPE code (residuals are too small); the escape paths are
+    covered by the encoder-escape and hand-built-frame unit tests in
+    tests/test_properties.py."""
     import numpy as np
 
     from hw_kafka_streams_spark.operators.flaccodec import encode_flac
@@ -1281,10 +1291,17 @@ def synthesize_flac_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame
                 i = int(i)
                 n = 400 + (i % 7) * 100
                 t = np.arange(n, dtype=np.int64)
-                s = ((37 * i + t * (5 + i % 11)) % 4001 - 2000).astype(
-                    np.int16
-                )
-                payloads.append(encode_flac(s))
+                left = (37 * i + t * (5 + i % 11)) % 4001 - 2000
+                if i % 3 == 0:
+                    right = (23 * i + t * (7 + i % 5)) % 3001 - 1500
+                    s = np.stack([left * 37, right * 41], axis=1).astype(
+                        np.int32
+                    )
+                    payloads.append(
+                        encode_flac(s, bits_per_sample=24, stereo_mode="auto")
+                    )
+                else:
+                    payloads.append(encode_flac(left.astype(np.int16)))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     return df.select(F.col(id_col)).mapInPandas(
@@ -1293,9 +1310,10 @@ def synthesize_flac_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame
 
 
 def flac_pcm_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Exact integer PCM stats over REAL decoded FLAC samples: count,
-    sum, sum of |s|, sum of s^2 — all integer-exact, so the oracle can
-    predict them from the synthesis formula (lossless chain)."""
+    """Exact integer PCM stats over REAL decoded FLAC samples: channel
+    count, per-channel sample count, sum, sum of |s|, sum of s^2 over
+    all channels — all integer-exact, so the oracle can predict them
+    from the synthesis formula (lossless chain)."""
     import numpy as np
 
     from hw_kafka_streams_spark.operators.flaccodec import decode_flac
@@ -1306,20 +1324,22 @@ def flac_pcm_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             for doc_id, data in zip(pdf["doc_id"], pdf[payload_col]):
                 s, sr = decode_flac(bytes(data))
                 v = s.astype(np.int64)
+                n_ch = 1 if v.ndim == 1 else v.shape[1]
+                flat = v.ravel()
                 out.append(
-                    (doc_id, sr, len(v), int(v.sum()),
-                     int(np.abs(v).sum()), int((v * v).sum()))
+                    (doc_id, sr, n_ch, v.shape[0], int(flat.sum()),
+                     int(np.abs(flat).sum()), int((flat * flat).sum()))
                 )
             yield pd.DataFrame(
                 out,
-                columns=["doc_id", "sample_rate", "n_samples",
-                         "sum_s", "sum_abs", "sum_sq"],
+                columns=["doc_id", "sample_rate", "n_channels",
+                         "n_samples", "sum_s", "sum_abs", "sum_sq"],
             )
 
     return df.select("doc_id", payload_col).mapInPandas(
         work,
-        schema="doc_id long, sample_rate int, n_samples long, "
-        "sum_s long, sum_abs long, sum_sq long",
+        schema="doc_id long, sample_rate int, n_channels int, "
+        "n_samples long, sum_s long, sum_abs long, sum_sq long",
     )
 
 

@@ -1783,16 +1783,17 @@ def q_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM idx
         ),
         hashed AS (
-          SELECT doc_id, nb, blk, btxt, md5(btxt) AS bh,
-                 doc_id * 1000000 + blk AS k
+          SELECT doc_id, nb, blk, btxt, md5(btxt) AS bh
           FROM blocks
         ),
         firsts AS (
-          SELECT bh, min(k) AS first_k FROM hashed GROUP BY bh
+          SELECT bh, min(struct_pack(doc_id := doc_id, blk := blk)) AS fk
+          FROM hashed GROUP BY bh
         ),
         kept AS (
           SELECT h.* FROM hashed h JOIN firsts f
-            ON h.bh = f.bh AND h.k = f.first_k
+            ON h.bh = f.bh AND h.doc_id = f.fk.doc_id
+                           AND h.blk = f.fk.blk
         )
         SELECT doc_id, CAST(max(nb) AS BIGINT) AS n_blocks,
                CAST(count(*) AS BIGINT) AS n_kept,
@@ -1807,8 +1808,8 @@ def q_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "transformation itself, not just duplicate detection (that side "
     "is q_substring_dedup). Fully-duplicated documents drop out "
     "entirely, like C4's repeated-span page pruning. First-occurrence "
-    "choice is a deterministic min over an encoded (doc, block) order "
-    "key; the global group keys on md5(block) - fixed-width keys, "
+    "choice is a deterministic lexicographic min over the (doc, block) "
+    "struct; the global group keys on md5(block) - fixed-width keys, "
     "map-side-combined min, no pairwise join - so the whole rewrite "
     "is O(total blocks) with two shuffles at any corpus size "
     "(operators/dedup.block_dedup_rewrite).",

@@ -1,7 +1,7 @@
 """LLM-training-data pipeline queries: dedup, similarity, text analysis.
 
-Oracle policy: ALL registered queries carry a DuckDB oracle (224/224 as
-of round 5). Deterministic-arithmetic kernels (jaccard via inverted
+Oracle policy: ALL registered queries carry a DuckDB oracle (283/283 as
+of round 6; see QUERIES.md for the current registry count). Deterministic-arithmetic kernels (jaccard via inverted
 index, cosine, md5 fingerprints, token stats, charset lang-id) oracle
 directly. Signature schemes originally built on xxhash64 (MinHash,
 SimHash, RHP-LSH) run in md5-twin mode for the oracled queries — the
@@ -3445,18 +3445,29 @@ def q_multimodal_qoi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH base AS (
           SELECT doc_id,
-                 CAST(400 + (doc_id % 7) * 100 AS BIGINT) AS n
+                 CAST(400 + (doc_id % 7) * 100 AS BIGINT) AS n,
+                 CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS ch
           FROM documents WHERE doc_id < 150
         ), px AS (
-          SELECT doc_id, n,
-                 (37 * doc_id + t * (5 + doc_id % 11)) % 4001 - 2000 AS s
-          FROM (SELECT doc_id, n, unnest(range(n)) AS t FROM base)
+          SELECT doc_id, n, ch,
+                 CASE WHEN ch = 2
+                      THEN ((37 * doc_id + t * (5 + doc_id % 11)) % 4001
+                            - 2000) * 37
+                      ELSE (37 * doc_id + t * (5 + doc_id % 11)) % 4001
+                           - 2000 END AS s1,
+                 CASE WHEN ch = 2
+                      THEN ((23 * doc_id + t * (7 + doc_id % 5)) % 3001
+                            - 1500) * 41 END AS s2
+          FROM (SELECT doc_id, n, ch, unnest(range(n)) AS t FROM base)
         )
         SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+               CAST(max(ch) AS INT) AS n_channels,
                CAST(max(n) AS BIGINT) AS n_samples,
-               CAST(sum(s) AS BIGINT) AS sum_s,
-               CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
-               CAST(sum(s * s) AS BIGINT) AS sum_sq
+               CAST(sum(s1) + coalesce(sum(s2), 0) AS BIGINT) AS sum_s,
+               CAST(sum(abs(s1)) + coalesce(sum(abs(s2)), 0) AS BIGINT)
+                 AS sum_abs,
+               CAST(sum(s1 * s1) + coalesce(sum(s2 * s2), 0) AS BIGINT)
+                 AS sum_sq
         FROM px GROUP BY doc_id ORDER BY doc_id
     """,
     doc="REAL compressed-AUDIO decode (operators/flaccodec.py): per-doc "
@@ -3465,13 +3476,17 @@ def q_multimodal_qoi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "numbers, CRC-8 headers, CRC-16 frames, CONSTANT/VERBATIM/"
     "FIXED(0-4) subframes, partitioned Rice residuals with zigzag "
     "mapping) then decoded back - every CRC and the stream MD5 are "
-    "verified on the way. FLAC is lossless, so exact integer PCM "
-    "moments (sum, sum|s|, sum s^2) are predictable from the "
-    "synthesis formula. Closes the compressed-audio slot next to "
-    "WAV-PCM/IMA-ADPCM/G.711; only perceptual codecs (MP3-class) and "
-    "LPC subframes remain honestly stubbed. Frame-parallel across "
-    "rows via Arrow-batched mapInPandas - per-file decode never "
-    "crosses executors.",
+    "verified on the way. Every third doc is STEREO 24-bit (the "
+    "left channel exceeds the int16 range, proving real depth) with "
+    "the per-frame channel-assignment search choosing among "
+    "independent/left-side/right-side/mid-side decorrelation; the "
+    "rest are mono 16-bit. FLAC is lossless, so exact integer PCM "
+    "moments (sum, sum|s|, sum s^2 over all channels) are predictable "
+    "from the synthesis formula. Closes the compressed-audio slot "
+    "next to WAV-PCM/IMA-ADPCM/G.711; remaining honest stubs are "
+    "perceptual codecs (MP3-class), wasted-bits shifts and variable "
+    "block-size streams. Frame-parallel across rows via Arrow-batched "
+    "mapInPandas - per-file decode never crosses executors.",
 )
 def q_multimodal_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hw_kafka_streams_spark.operators.multimodal import (

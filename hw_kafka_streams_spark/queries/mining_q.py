@@ -1828,7 +1828,17 @@ _WP_VOCAB: list[tuple[str, bool]] = (
 )
 
 
-def _wp_oracle(steps: int = 8) -> str:
+def _wp_oracle(steps: int = 16) -> str:
+    """Unroll the greedy WordPiece loop as ``steps`` CTE passes.
+
+    Every pass consumes >= 1 character (single-char pieces cover the
+    alphabet; unmatched chars collapse to [UNK] and jump to wl+1), so
+    ``steps`` passes are sufficient for any word of length <= steps.
+    The corpus max word length is 8 at every shipped SF; steps=16
+    doubles that headroom, and the final SELECT raises via DuckDB's
+    ``error()`` if any word is still unconsumed (pos <= wl) — a
+    too-shallow unroll fails LOUDLY instead of hash-drifting
+    (round-6 advisor item)."""
     vocab_rows = ", ".join(
         f"('{b}', {'TRUE' if c else 'FALSE'})" for b, c in _WP_VOCAB
     )
@@ -1872,7 +1882,10 @@ def _wp_oracle(steps: int = 8) -> str:
     body = ",\n        ".join(ctes)
     return f"""
         {body}
-        SELECT word, c AS n_count, acc AS pieces,
+        SELECT word, c AS n_count,
+               CASE WHEN pos <= wl
+                    THEN error('wordpiece oracle unroll too shallow')
+                    ELSE acc END AS pieces,
                CAST(np AS INT) AS n_pieces
         FROM s{steps} ORDER BY word
     """
@@ -1890,8 +1903,9 @@ def _wp_oracle(steps: int = 8) -> str:
     "joins straight off it. The tokenizer runs on the DISTINCT-WORD "
     "table (vocabulary-sized, never corpus-sized - the BPE trainer's "
     "compaction) via one Arrow-batched matcher, then joins counts "
-    "back; the oracle unrolls the greedy loop as 8 CTE steps with a "
-    "longest-match window over the same literal vocab "
+    "back; the oracle unrolls the greedy loop as 16 CTE steps (2x the "
+    "corpus max word length, error()-guarded against truncation) with "
+    "a longest-match window over the same literal vocab "
     "(operators/bpe.wordpiece_encode_words).",
 )
 def q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
