@@ -1818,3 +1818,210 @@ def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hw_kafka_streams_spark.sql import run_sql
 
     return run_sql(spark, _SQL_IFACE, sf_dir)
+
+
+_E2E_FP = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
+
+_E2E_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, source, doc_id % 3 AS day, {_E2E_FP} AS fp,
+             len(regexp_extract_all(text, '\\S+')) AS n_tokens
+      FROM documents WHERE text IS NOT NULL
+    ),
+    ded AS (
+      SELECT *, row_number() OVER (PARTITION BY fp ORDER BY day, doc_id)
+               AS rn
+      FROM base
+    ),
+    qual AS (SELECT * FROM ded WHERE rn = 1 AND n_tokens >= 40),
+    mix AS (
+      SELECT *, row_number() OVER (PARTITION BY day, source
+                                   ORDER BY doc_id) AS sr
+      FROM qual
+    ),
+    cur AS (SELECT * FROM mix WHERE sr <= 5),
+    day_agg AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_tokens) AS BIGINT) AS s
+      FROM cur GROUP BY day
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(n_tokens) AS BIGINT) AS s FROM cur),
+    p AS (
+      SELECT doc_id, n_tokens,
+             coalesce(CAST(sum(n_tokens) OVER (
+                 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0) AS start
+      FROM cur WHERE n_tokens > 0
+    ),
+    pk AS (
+      SELECT CAST(max((start + n_tokens - 1) // 256) + 1 AS BIGINT)
+               AS n_windows,
+             CAST(sum(n_tokens) AS BIGINT) AS s,
+             CAST(sum(CASE WHEN (start // 256)
+                                <> ((start + n_tokens - 1) // 256)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_span
+      FROM p
+    )
+    SELECT stage, CAST(version AS INTEGER) AS version,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM (
+      SELECT 'ingest_d0' AS stage, 1 AS version, n AS n_rows,
+             s AS n_tokens FROM day_agg WHERE day = 0
+      UNION ALL
+      SELECT 'ingest_d1', 2, n, s FROM day_agg WHERE day = 1
+      UNION ALL
+      SELECT 'ingest_d2', 3, n, s FROM day_agg WHERE day = 2
+      UNION ALL
+      SELECT 'replay_d1', 3, 0, 0
+      UNION ALL
+      SELECT 'cdc_d2', 3, n, 0 FROM day_agg WHERE day = 2
+      UNION ALL
+      SELECT 'curated_head', 3, n, s FROM tot
+      UNION ALL
+      SELECT 'packed', 1, n_windows, s FROM pk
+      UNION ALL
+      SELECT 'packed_spanning', 1, n_span, 0 FROM pk
+    ) ORDER BY stage
+"""
+
+
+@register(
+    "q_corpus_build_e2e",
+    oracle=_E2E_ORACLE,
+    doc="End-to-end RESTARTABLE corpus build over the snapshot table "
+    "layer (sources/snapshots.py): three simulated daily increments "
+    "(day = doc_id %% 3) each run dedup (intra-day keep-min + exact "
+    "anti-join against the fingerprint LEDGER snapshot table) -> "
+    "quality filter (>= 40 tokens) -> per-(day, source) mixture cap "
+    "(5 docs, row_number) and COMMIT two snapshot tables per day: the "
+    "pre-quality fingerprint ledger (so future days drop ANY "
+    "previously seen content, even content that failed quality) and "
+    "the curated corpus (appends v1/v2/v3). Day 1 is then REPLAYED: "
+    "the ledger anti-join drops the entire increment, the step "
+    "commits NOTHING, and the head version stays 3 - the "
+    "crash-restart idempotence a 100 TB multi-day build needs, "
+    "asserted by the replay_d1 output row (0 rows, version still 3). "
+    "snapshot_diff(v2 -> v3) audits the day-2 commit (manifest "
+    "file-set pruning reads only the appended files: O(increment) "
+    "CDC); the curated head is then sequence-packed into 256-token "
+    "windows (block-prefix-sum, no global window) and committed as "
+    "the packed table v1. Every stage count, the CDC insert count, "
+    "the replay zero, and the pack geometry are value-hash verified "
+    "by a logical CTE replay of the whole pipeline. Per-day driver "
+    "collects are 1-row bounded aggregates.",
+)
+def q_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from hw_kafka_streams_spark.operators.chunking import sequence_pack_stats
+    from hw_kafka_streams_spark.operators.text import fingerprint, token_count
+    from hw_kafka_streams_spark.sources import snapshots as S
+
+    root = tempfile.mkdtemp(prefix="q_corpus_e2e_")
+    cur_t = root + "/curated"
+    fps_t = root + "/fps_ledger"
+    pack_t = root + "/packed"
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("text").isNotNull()
+    )
+    base = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        (F.col("doc_id") % 3).alias("day"),
+        fingerprint(F.col("text")).alias("fp"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+
+    def day_step(d: int) -> tuple[int, int, int]:
+        """One increment: dedup -> quality -> mixture -> commit.
+        Returns (curated head version, rows appended, tokens appended).
+        Commits NOTHING when the post-dedup increment is empty — the
+        property that makes a crashed/re-run day a no-op."""
+        inc = base.filter(F.col("day") == d)
+        first = inc.groupBy("fp").agg(F.min("doc_id").alias("_k"))
+        keep = (
+            inc.join(first, "fp")
+            .filter(F.col("doc_id") == F.col("_k"))
+            .drop("_k")
+        )
+        if S.current_version(fps_t):
+            keep = keep.join(
+                S.read_snapshot(spark, fps_t).select("fp"), "fp", "left_anti"
+            )
+        qual = keep.filter(F.col("n_tokens") >= 40)
+        w = Window.partitionBy("source").orderBy("doc_id")
+        survivors = (
+            qual.withColumn("_sr", F.row_number().over(w))
+            .filter(F.col("_sr") <= 5)
+            .drop("_sr", "day", "fp")
+        )
+        row = survivors.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("s"),
+        ).collect()[0]
+        n_new = keep.limit(1).count()  # bounded replay probe
+        if n_new == 0:
+            return S.current_version(cur_t), 0, 0
+        new_fps = keep.select("fp")
+        if S.current_version(fps_t) == 0:
+            S.create_table(spark, fps_t, new_fps, target_files=2)
+        else:
+            S.commit_append(spark, fps_t, new_fps, target_files=2)
+        if S.current_version(cur_t) == 0:
+            v = S.create_table(spark, cur_t, survivors, target_files=2)
+        else:
+            v = S.commit_append(spark, cur_t, survivors, target_files=2)
+        return v, int(row["n"]), int(row["s"])
+
+    audit: list[tuple[str, int, int, int]] = []
+    for d in (0, 1, 2):
+        v, n, s = day_step(d)
+        audit.append((f"ingest_d{d}", v, n, s))
+    # replay idempotence: re-running an already-applied increment must
+    # append nothing and leave the head version untouched
+    rv, rn, rs = day_step(1)
+    audit.append(("replay_d1", rv, rn, rs))
+    # O(increment) CDC audit of the day-2 commit
+    cdc = (
+        S.snapshot_diff(spark, cur_t, 2, 3, keys=["doc_id"])
+        .groupBy()
+        .agg(
+            F.sum(
+                F.when(F.col("change_type") == "insert", 1).otherwise(0)
+            ).alias("ins")
+        )
+        .collect()[0]
+    )
+    audit.append(("cdc_d2", S.current_version(cur_t), int(cdc["ins"]), 0))
+    head = S.read_snapshot(spark, cur_t)
+    hrow = head.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("s")
+    ).collect()[0]
+    audit.append(
+        ("curated_head", S.current_version(cur_t), int(hrow["n"]), int(hrow["s"]))
+    )
+    # final stage: sequence-pack the curated head, commit as packed v1
+    packed = sequence_pack_stats(head, capacity=256, block=256)
+    pv = S.create_table(spark, pack_t, packed, target_files=2)
+    prow = (
+        S.read_snapshot(spark, pack_t)
+        .agg(
+            (F.max("last_window") + 1).alias("nw"),
+            F.sum("n_tokens").alias("s"),
+            F.sum(F.col("spans_boundary").cast("int")).alias("span"),
+        )
+        .collect()[0]
+    )
+    audit.append(("packed", pv, int(prow["nw"]), int(prow["s"])))
+    audit.append(("packed_spanning", pv, int(prow["span"]), 0))
+
+    return spark.createDataFrame(
+        audit, "stage string, version int, n_rows long, n_tokens long"
+    ).orderBy("stage")

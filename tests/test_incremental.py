@@ -196,3 +196,88 @@ def test_incremental_null_text_and_id_passthrough(spark, tmp_path):
     sdf = spark.createDataFrame([("x1", "text")], "doc_id string, text string")
     with pytest.raises(ValueError, match="integral id column"):
         incremental_dedup_step(spark, sdf, state, day_id=2)
+
+
+def test_corpus_build_over_snapshots_e2e(spark, tmp_path):
+    """Composed pipeline: incremental (bloom + LSH) dedup -> quality
+    filter -> snapshot commit per day, with snapshot_diff auditing each
+    commit and replay committing nothing — the restartable multi-day
+    corpus build (the md5-twin variant is oracled as
+    q_corpus_build_e2e; this covers the xxhash64/LSH production path
+    the oracle can't replay)."""
+    from pyspark.sql import functions as F
+
+    from hw_kafka_streams_spark.operators.chunking import sequence_pack_stats
+    from hw_kafka_streams_spark.operators.incremental import (
+        incremental_dedup_step,
+    )
+    from hw_kafka_streams_spark.sources import snapshots as S
+
+    state = str(tmp_path / "dedup_state")
+    curated = str(tmp_path / "curated")
+
+    # doc 4 is low-quality (3 words): dropped by the filter, but its
+    # fingerprint still enters dedup state — so day 2's copy (doc 14)
+    # is a dup-of-history even though doc 4 never reached the table
+    days = [
+        DAY1 + [(4, "too short doc")],
+        DAY2 + [(14, "too short doc")],
+        DAY3,
+    ]
+
+    def run_day(rows, day_id):
+        batch = spark.createDataFrame(rows, "doc_id long, text string")
+        labels = incremental_dedup_step(
+            spark, batch, state, day_id=day_id, threshold=0.4
+        )
+        keep_ids = labels.filter(F.col("is_new")).select("doc_id")
+        survivors = (
+            batch.join(keep_ids, "doc_id")
+            .withColumn(
+                "n_tokens", F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+            )
+            .filter(F.col("n_tokens") >= 5)
+        )
+        n = survivors.count()
+        if n == 0:
+            return S.current_version(curated), 0
+        if S.current_version(curated) == 0:
+            return S.create_table(spark, curated, survivors, target_files=1), n
+        return S.commit_append(spark, curated, survivors, target_files=1), n
+
+    v1, n1 = run_day(days[0], day_id=1)
+    assert (v1, n1) == (1, 3)  # doc 4 fails quality; 1-3 commit
+
+    v2, n2 = run_day(days[1], day_id=2)
+    # day 2: 10 exact-dup, 11 near-dup, 13 intra-dup, 14 dup of the
+    # LOW-QUALITY doc 4 (state remembers content the table never held),
+    # leaving only 12
+    assert (v2, n2) == (2, 1)
+    ins = (
+        S.snapshot_diff(spark, curated, 1, 2, keys=["doc_id"])
+        .filter(F.col("change_type") == "insert")
+        .count()
+    )
+    assert ins == n2  # O(increment) CDC sees exactly the appended rows
+
+    # replay day 2: every doc is now history -> no survivors, NO commit
+    rv, rn = run_day(days[1], day_id=2)
+    assert (rv, rn) == (2, 0)
+    assert S.current_version(curated) == 2
+
+    v3, n3 = run_day(days[2], day_id=3)
+    assert (v3, n3) == (3, 1)  # 20 dup-of-history, 21 new
+
+    head = S.read_snapshot(spark, curated)
+    assert sorted(r.doc_id for r in head.select("doc_id").collect()) == [
+        1, 2, 3, 12, 21,
+    ]
+    # final stage: pack the curated head; geometry must match the
+    # hand-computed token stream (5 docs, 11-12 tokens each, cap 16)
+    packed = sequence_pack_stats(head, capacity=16, block=4)
+    rows = {r.doc_id: r for r in packed.collect()}
+    total = sum(r.n_tokens for r in rows.values())
+    assert max(r.last_window for r in rows.values()) == (total - 1) // 16
+    # every doc's window span is consistent with a 16-token cut
+    for r in rows.values():
+        assert r.n_windows == r.last_window - r.first_window + 1
