@@ -319,3 +319,84 @@ def wordpiece_encode_words(
     return words.select(F.col(word_col)).mapInPandas(
         work, schema="word string, pieces string, n_pieces int"
     )
+
+
+def unigram_viterbi_segment(
+    words: DataFrame,
+    vocab: list[tuple[str, int]],
+    word_col: str = "word",
+) -> DataFrame:
+    """Unigram-LM tokenizer inference (Kudo 2018 / SentencePiece): the
+    Viterbi segmentation of each word into vocab pieces minimizing the
+    total piece cost (an integer-scaled negative log-probability) —
+    the third tokenizer family beside BPE merges and WordPiece greedy
+    longest-match. Unlike WordPiece, a locally longer piece LOSES when
+    two shorter pieces are jointly cheaper: the DP explores every
+    segmentation, not one greedy path.
+
+    ``vocab`` is a list of (piece, cost). Ties are broken
+    deterministically by (total cost, piece count, piece string) —
+    integer costs make ties reachable, and lexicographic tuple order
+    is engine-identical for the ASCII pieces used here, so the DuckDB
+    oracle's struct-min replays the exact same choice. A word with no
+    full-cover segmentation becomes '[UNK]' (NULL cost).
+
+    Scale design: same as :func:`wordpiece_encode_words` — the DP runs
+    on the DISTINCT-word table (vocabulary-sized, never corpus-sized)
+    via one Arrow-batched iterator; per-word cost is O(len × pieces
+    matching at each position), with the vocab broadcast as a plain
+    dict keyed by piece length.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    by_len: dict[int, dict[str, int]] = {}
+    for piece, cost in vocab:
+        by_len.setdefault(len(piece), {})[piece] = cost
+    lens = sorted(by_len)
+
+    def segment(word: str) -> tuple[str, int, int | None]:
+        n = len(word)
+        # best[j] = (cost, n_pieces, 'p1|p2|...') covering word[:j]
+        best: list[tuple[int, int, str] | None] = [None] * (n + 1)
+        best[0] = (0, 0, "")
+        for j in range(1, n + 1):
+            cands = []
+            for ln in lens:
+                if ln > j:
+                    break
+                prev = best[j - ln]
+                if prev is None:
+                    continue
+                cost = by_len[ln].get(word[j - ln : j])
+                if cost is None:
+                    continue
+                acc = word[j - ln : j] if not prev[2] else (
+                    prev[2] + "|" + word[j - ln : j]
+                )
+                cands.append((prev[0] + cost, prev[1] + 1, acc))
+            if cands:
+                best[j] = min(cands)
+        if best[n] is None:
+            return "[UNK]", 1, None
+        c, np_, acc = best[n]
+        return acc, np_, c
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            seg = [segment(w) for w in pdf[word_col]]
+            yield pd.DataFrame(
+                {
+                    "word": pdf[word_col],
+                    "pieces": [s[0] for s in seg],
+                    "n_pieces": [s[1] for s in seg],
+                    "cost": pd.array(
+                        [s[2] for s in seg], dtype="Int64"
+                    ),
+                }
+            )
+
+    return words.select(F.col(word_col)).mapInPandas(
+        work, schema="word string, pieces string, n_pieces int, cost long"
+    )

@@ -22,10 +22,13 @@ selection + successive approximation per Annex G, both directions;
 the AC-refinement correction-bit algorithm follows the public libjpeg
 structure), 8-bit, 1 or 3 components, sampling factors 1/2/4 —
 4:4:4, 4:2:2 and 4:2:0 all decode with pixel-replication chroma
-upsample; restart intervals (DRI/RSTn); grayscale encoding.
-Arithmetic coding and lossless/hierarchical modes raise
-NotImplementedError — this is the dependency-free exact-spec path
-that upgrades JPEG from header-only metadata to real pixel decode.
+upsample; restart intervals (DRI/RSTn); grayscale encoding; AND
+LOSSLESS (SOF3, process 14 — predictive mod-2^16 differences, all 7
+Annex H predictors, 2-16 bit precision, encode + decode via
+encode/decode_lossless_jpeg). Arithmetic coding and hierarchical
+modes raise NotImplementedError — this is the dependency-free
+exact-spec path that upgrades JPEG from header-only metadata to real
+pixel decode.
 
 Determinism contract (what makes the Spark queries oracle-able): every
 rounding site is ``floor(x + 0.5)`` (never banker's rounding), the
@@ -324,11 +327,16 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
                 data, pos + seglen, (h, w, comps), qtables, huff_dc,
                 huff_ac, dri,
             )
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC3:
+            raise NotImplementedError(
+                "lossless JPEG carries >8-bit planes — use "
+                "decode_lossless_jpeg, which returns (plane, precision)"
+            )
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "extended/lossless/arithmetic JPEG (baseline + "
-                "progressive supported)"
+                "extended/arithmetic/hierarchical JPEG (baseline, "
+                "progressive and lossless supported)"
             )
         elif marker == 0xDD:  # DRI: restart every N MCUs
             (dri,) = struct.unpack(">H", seg[0:2])
@@ -1141,3 +1149,187 @@ def encode_progressive_jpeg(rgb: np.ndarray) -> bytes:
     ac_scan(2, 1, 63, 1, 0)
     out.extend(b"\xff\xd9")
     return bytes(out)
+
+
+# ------------------------------------------------- lossless (SOF3)
+# ITU T.81 process 14: predictive lossless JPEG, Huffman-coded
+# prediction differences — the mode medical/archival pipelines still
+# ship (DICOM transfer syntax 1.2.840.10008.1.2.4.70). No DCT, no
+# quantization: bit-exact at 2-16 bit precision, so decoded pixel
+# stats are arithmetic-oracle-able just like the FLAC/QOI codecs.
+
+# Fixed diff-category table (categories 0-16; cat 16 = +32768 with no
+# extra bits). Short codes on the small categories smooth images emit
+# most; Kraft sum 0.745 < 1 guarantees the all-ones code stays
+# unassigned as T.81 requires.
+_LL_BITS = [0, 0, 5, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 0, 0]
+_LL_VALS = list(range(17))
+
+
+def _ll_predict(
+    row: int, col: int, px: np.ndarray, predictor: int, default: int
+) -> int:
+    """T.81 H.1.2 prediction for sample (row, col) over the
+    reconstructed plane ``px``: a=left, b=above, c=above-left. First
+    sample uses the level default 2^(P-1); the rest of the first line
+    predicts from a; the first column of later lines predicts from b."""
+    if row == 0 and col == 0:
+        return default
+    if row == 0:
+        return int(px[0, col - 1])
+    if col == 0:
+        return int(px[row - 1, 0])
+    a = int(px[row, col - 1])
+    b = int(px[row - 1, col])
+    c = int(px[row - 1, col - 1])
+    if predictor == 1:
+        return a
+    if predictor == 2:
+        return b
+    if predictor == 3:
+        return c
+    if predictor == 4:
+        return a + b - c
+    if predictor == 5:
+        return a + ((b - c) >> 1)
+    if predictor == 6:
+        return b + ((a - c) >> 1)
+    if predictor == 7:
+        return (a + b) >> 1
+    raise ValueError(f"predictor must be 1-7, got {predictor}")
+
+
+def encode_lossless_jpeg(
+    img: np.ndarray, predictor: int = 4, precision: int | None = None
+) -> bytes:
+    """Encode a 2-D grayscale array as a REAL lossless JPEG (SOF3).
+
+    ``precision`` is the sample bit depth (2-16; default: 8 for uint8
+    input, 16 otherwise). The predictor selector (1-7) travels in the
+    SOS Ss field exactly as T.81 specifies; differences are coded
+    modulo 2^16 through the DC-style Huffman category + extend-bits
+    path the baseline codec already uses.
+    """
+    if img.ndim != 2:
+        raise ValueError("encode_lossless_jpeg expects a 2-D gray array")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"predictor must be 1-7, got {predictor}")
+    if precision is None:
+        precision = 8 if img.dtype == np.uint8 else 16
+    if not 2 <= precision <= 16:
+        raise ValueError("precision must be 2-16")
+    px = img.astype(np.int64)
+    if px.min() < 0 or px.max() >= (1 << precision):
+        raise ValueError(f"sample out of range for {precision}-bit")
+    h, w = px.shape
+    default = 1 << (precision - 1)
+    codes = _build_codes(_LL_BITS, _LL_VALS)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # DHT: DC class 0, table 0
+    dht = bytes([0x00]) + bytes(_LL_BITS) + bytes(_LL_VALS)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    # SOF3: precision, dims, 1 component, 1x1 sampling, (unused) qtab 0
+    sof = struct.pack(">BHHB", precision, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc3" + struct.pack(">H", 2 + len(sof)) + sof
+    # SOS: 1 component -> DC table 0; Ss = predictor, Se = 0, AhAl = 0
+    sos = bytes([1, 1, 0x00, predictor, 0, 0x00])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    bw = _BitWriter()
+    for r in range(h):
+        for cpos in range(w):
+            pred = _ll_predict(r, cpos, px, predictor, default)
+            d = (int(px[r, cpos]) - pred) & 0xFFFF
+            if d > 32768:
+                d -= 65536  # signed fold: d in [-32767, 32768]
+            if d == 32768:
+                code, size = codes[16]
+                bw.write(code, size)  # category 16: no extra bits
+                continue
+            s = _csize(d)
+            code, size = codes[s]
+            bw.write(code, size)
+            if s:
+                bw.write(d if d >= 0 else d + (1 << s) - 1, s)
+    bw.flush()
+    out += bw.bytes
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def decode_lossless_jpeg(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode a single-component lossless JPEG (SOF3, Huffman).
+
+    Returns ``(plane, precision)`` — uint8 for precision <= 8, uint16
+    above. Raises NotImplementedError for multi-component lossless
+    scans (our fixtures are gray planes; color lossless interleaves
+    one sample per component per MCU) and ValueError for corrupt data.
+    """
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    huff: dict[int, _HuffDecoder] = {}
+    frame = None
+    predictor = pt = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("corrupt JPEG: expected marker")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xC4:  # DHT (DC class only matters here)
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + n])
+                if tc == 0:
+                    huff[th] = _HuffDecoder(bits, vals)
+                p += 17 + n
+        elif marker == 0xC3:  # SOF3
+            precision = seg[0]
+            h, w = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            if ncomp != 1:
+                raise NotImplementedError(
+                    "multi-component lossless scans unsupported"
+                )
+            frame = (precision, h, w)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("corrupt JPEG: SOS before SOF3")
+            ns = seg[0]
+            table = seg[2] >> 4
+            predictor = seg[1 + 2 * ns]
+            pt = seg[3 + 2 * ns] & 0xF
+            if pt != 0:
+                raise NotImplementedError("point transform unsupported")
+            if not 1 <= predictor <= 7:
+                raise ValueError(f"bad predictor selector {predictor}")
+            precision, h, w = frame
+            default = 1 << (precision - 1)
+            dec = huff[table]
+            br = _BitReader(data, pos + seglen)
+            px = np.zeros((h, w), np.int64)
+            for r in range(h):
+                for cpos in range(w):
+                    s = dec.decode(br)
+                    if s == 16:
+                        d = 32768  # category 16 carries no extra bits
+                    else:
+                        d = _extend(br.receive(s), s)
+                    pred = _ll_predict(r, cpos, px, predictor, default)
+                    px[r, cpos] = (pred + d) & 0xFFFF
+            if px.max() >= (1 << precision):
+                raise ValueError("decoded sample exceeds declared precision")
+            dtype = np.uint8 if precision <= 8 else np.uint16
+            return px.astype(dtype), precision
+        pos += seglen
+    raise ValueError("corrupt JPEG: no SOS marker")

@@ -12,9 +12,11 @@ The container has no image/audio codec LIBRARIES, so exotic
 compressed-format decode is STUBBED (``NotImplementedError`` at
 clearly-marked points: arithmetic-coded JPEG, MP3, H.264-class
 inter-frame video). But a large real surface is implemented from public specs:
-PNG/JPEG/GIF/BMP/TIFF/WebP header parsing, **baseline-JPEG pixel
-decode via the pure-numpy ITU T.81 codec in operators/jpegcodec.py**
-(Huffman + dequant + IDCT, encoder included), PNG and GIF-LZW pixel
+PNG/JPEG/GIF/BMP/TIFF/WebP header parsing, **baseline + progressive +
+lossless(SOF3) JPEG pixel decode via the pure-numpy ITU T.81 codec in
+operators/jpegcodec.py** (Huffman + dequant + IDCT for the DCT modes,
+predictive mod-2^16 differences for lossless; encoders included), PNG
+and GIF-LZW pixel
 decode (operators/pngcodec.py, operators/gifcodec.py), uncompressed-
 BMP pixel decode + nearest-neighbor resize + channel-mean feature
 extraction, YUV4MPEG2 (y4m) raw-video frame sampling with per-frame
@@ -1412,4 +1414,80 @@ def exif_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         work,
         schema="doc_id long, orientation int, make string, "
         "taken_at string, byte_order string",
+    )
+
+
+# ----------------------------------------------- lossless JPEG (SOF3)
+# Predictive lossless JPEG (operators/jpegcodec.py encode/decode_
+# lossless_jpeg): real T.81 process-14 bitstream, bit-exact at 16-bit
+# depth -> arithmetic-oracle-able pixel moments.
+
+
+def synthesize_lossless_jpeg_payloads(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """One REAL lossless JPEG (SOF3) per row: doc i carries a
+    (16 + (i%5)*4) x (20 + (i%3)*8) 16-bit gray plane with
+    pixel(r, c) = (1009*i + 37*r + 101*c) mod 65536, encoded with
+    predictor 1 + (i % 7) — so the fixture set exercises every T.81
+    predictor (H.1.2) and the mod-2^16 difference fold."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.jpegcodec import (
+        encode_lossless_jpeg,
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                h = 16 + (i % 5) * 4
+                w = 20 + (i % 3) * 8
+                r = np.arange(h, dtype=np.int64)[:, None]
+                c = np.arange(w, dtype=np.int64)[None, :]
+                img = ((1009 * i + 37 * r + 101 * c) % 65536).astype(
+                    np.uint16
+                )
+                payloads.append(
+                    encode_lossless_jpeg(img, predictor=1 + i % 7)
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+
+
+def lossless_jpeg_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Exact integer pixel stats over REAL decoded lossless JPEGs:
+    dims, precision, sum and sum-of-squares — predictable from the
+    synthesis formula because the codec is bit-exact."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.jpegcodec import (
+        decode_lossless_jpeg,
+    )
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, data in zip(pdf["doc_id"], pdf[payload_col]):
+                px, prec = decode_lossless_jpeg(bytes(data))
+                v = px.astype(np.int64)
+                out.append(
+                    (doc_id, px.shape[0], px.shape[1], prec,
+                     int(v.sum()), int((v * v).sum()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "height", "width", "precision",
+                         "sum_v", "sum_sq"],
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        work,
+        schema="doc_id long, height int, width int, precision int, "
+        "sum_v long, sum_sq long",
     )

@@ -3689,3 +3689,51 @@ def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(r), int(i), float(m)) for r, i, m in picks],
         "rnk int, vec_id bigint, mmr_score double",
     ).orderBy("rnk")
+
+
+@register(
+    "q_multimodal_jpeg_lossless",
+    oracle="""
+        WITH base AS (
+          SELECT doc_id,
+                 CAST(16 + (doc_id % 5) * 4 AS INT) AS h,
+                 CAST(20 + (doc_id % 3) * 8 AS INT) AS w
+          FROM documents WHERE doc_id < 150
+        ), rows_ AS (
+          SELECT doc_id, h, w, unnest(range(h)) AS r FROM base
+        ), px AS (
+          SELECT doc_id, h, w,
+                 (1009 * doc_id + 37 * r + 101 * c) % 65536 AS v
+          FROM (SELECT doc_id, h, w, r, unnest(range(w)) AS c FROM rows_)
+        )
+        SELECT doc_id, CAST(max(h) AS INT) AS height,
+               CAST(max(w) AS INT) AS width,
+               CAST(16 AS INT) AS precision,
+               CAST(sum(v) AS BIGINT) AS sum_v,
+               CAST(sum(v * v) AS BIGINT) AS sum_sq
+        FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="REAL LOSSLESS-JPEG decode (operators/jpegcodec.py, ITU T.81 "
+    "process 14 / SOF3): per-doc 16-bit gray gradients are genuinely "
+    "encoded as predictive lossless JPEG - Huffman category + "
+    "extend-bits coding of mod-2^16 prediction differences, with the "
+    "predictor selector cycling 1-7 across docs so every Annex H "
+    "predictor (left/above/diag/planar/average) is exercised - then "
+    "decoded back bit-exactly. Lossless means integer pixel moments "
+    "(sum, sum of squares) are predictable from the synthesis "
+    "formula. Closes the lossless-JPEG slot of the codec story "
+    "(baseline and progressive DCT modes landed earlier; remaining "
+    "honest stubs are arithmetic coding and hierarchical mode). "
+    "Arrow-batched mapInPandas; per-file decode never crosses "
+    "executors.",
+)
+def q_multimodal_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.multimodal import (
+        lossless_jpeg_stats,
+        synthesize_lossless_jpeg_payloads,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 150)
+    return lossless_jpeg_stats(
+        synthesize_lossless_jpeg_payloads(docs)
+    ).orderBy("doc_id")

@@ -2242,3 +2242,124 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_micro",
         "coverage",
     )
+
+
+# Unigram-LM tokenizer vocab shared verbatim by the Spark operator and
+# the DuckDB oracle: (piece, integer cost = scaled -log p). Single
+# chars cover the corpus alphabet minus x/z (so genuinely foreign words
+# collapse to [UNK]); multi-char pieces are priced so the Viterbi DP
+# sometimes prefers two short pieces over one long one — the case
+# greedy WordPiece gets wrong by construction.
+_UNI_VOCAB: list[tuple[str, int]] = (
+    [(c, 60) for c in "abcdefghijklmnopqrstuvwy"]
+    + [
+        ("the", 30), ("er", 33), ("in", 35), ("up", 36), ("an", 37),
+        ("ow", 38), ("ue", 39), ("le", 40), ("st", 41), ("der", 41),
+        ("ery", 42), ("ta", 43), ("eam", 43), ("qu", 44), ("ha", 44),
+        ("omer", 45), ("rt", 45), ("gr", 46), ("jo", 46), ("row", 47),
+        ("sc", 47), ("tab", 48), ("sp", 48), ("key", 49), ("cust", 50),
+        ("dow", 50), ("win", 51), ("val", 52), ("line", 53), ("umn", 54),
+        ("alue", 55),
+    ]
+)
+
+
+def _uni_oracle(steps: int = 16) -> str:
+    """Unroll the Viterbi DP as ``steps`` position CTEs: step j adds
+    the best (cost, n_pieces, pieces) tuple covering word[:j] — a
+    struct-min over every vocab piece ending at j, exactly the
+    operator's lexicographic tie-break. Sufficient for any word of
+    length <= steps (corpus max is 8); the final SELECT error()s if a
+    longer word ever appears rather than silently mis-segmenting."""
+    vocab_rows = ", ".join(f"('{p}', {c})" for p, c in _UNI_VOCAB)
+    ctes = [
+        r"""w AS (
+          SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                    e -> e <> '')) AS word
+          FROM documents WHERE text IS NOT NULL)""",
+        """words AS (SELECT word, CAST(count(*) AS BIGINT) AS c,
+                 len(word) AS wl FROM w GROUP BY word)""",
+        f"vocab(p, cost) AS (VALUES {vocab_rows})",
+        """b0 AS (SELECT word, c, wl, 0 AS pos,
+                 CAST(0 AS BIGINT) AS score, 0 AS np, '' AS acc
+                 FROM words)""",
+    ]
+    # AS MATERIALIZED is load-bearing: each step references its
+    # predecessor TWICE (carry-forward union + new-position scan), so
+    # letting DuckDB inline the chain doubles the plan per step — 2^16
+    # parquet scans ("too many open files") instead of 16 small tables.
+    for j in range(1, steps + 1):
+        ctes.append(
+            f"""b{j} AS MATERIALIZED (
+          SELECT * FROM b{j - 1}
+          UNION ALL
+          SELECT word, c, wl, {j} AS pos,
+                 m.sc AS score, m.np AS np, m.acc AS acc
+          FROM (
+            SELECT s.word, s.c, s.wl,
+                   min(struct_pack(
+                     sc := s.score + v.cost,
+                     np := s.np + 1,
+                     acc := CASE WHEN s.acc = '' THEN v.p
+                                 ELSE s.acc || '|' || v.p END)) AS m
+            FROM b{j - 1} s JOIN vocab v
+              ON s.pos = {j} - len(v.p)
+             AND {j} <= s.wl
+             AND substr(s.word, s.pos + 1, len(v.p)) = v.p
+            GROUP BY s.word, s.c, s.wl
+          ))"""
+        )
+    body = ",\n        ".join(ctes)
+    return f"""
+        WITH {body}
+        SELECT words.word, words.c AS n_count,
+               CASE WHEN words.wl > {steps}
+                    THEN error('unigram oracle unroll too shallow')
+                    WHEN b.acc IS NULL THEN '[UNK]'
+                    ELSE b.acc END AS pieces,
+               CAST(coalesce(b.np, 1) AS INT) AS n_pieces,
+               b.score AS cost
+        FROM words LEFT JOIN
+             (SELECT word, score, np, acc FROM b{steps}
+              WHERE pos = wl) b USING (word)
+        ORDER BY words.word
+    """
+
+
+@register(
+    "q_unigram_tokenize",
+    oracle=_uni_oracle(),
+    doc="Unigram-LM tokenizer inference (Kudo 2018, the SentencePiece "
+    "segmentation model) - the third tokenizer family beside BPE "
+    "(q_bpe_encode) and WordPiece (q_wordpiece_encode): each distinct "
+    "corpus word gets the VITERBI-optimal segmentation minimizing "
+    "total integer piece cost (scaled -log p), with deterministic "
+    "(cost, piece count, piece string) tie-break, so a locally longer "
+    "piece loses when two shorter pieces are jointly cheaper - the "
+    "case greedy longest-match mis-tokenizes by construction. Runs on "
+    "the DISTINCT-word table (vocabulary-sized, never corpus-sized) "
+    "via one Arrow-batched DP, corpus counts joined back; the oracle "
+    "unrolls the DP as 16 position CTEs (2x corpus max word length, "
+    "error()-guarded), each a struct-min over pieces ending at that "
+    "position (operators/bpe.unigram_viterbi_segment).",
+)
+def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.bpe import unigram_viterbi_segment
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("text").isNotNull()
+    )
+    counts = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_count"))
+    )
+    enc = unigram_viterbi_segment(counts.select("word").distinct(), _UNI_VOCAB)
+    return (
+        counts.join(enc, "word")
+        .select("word", "n_count", "pieces", "n_pieces", "cost")
+        .orderBy("word")
+    )

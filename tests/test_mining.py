@@ -418,3 +418,35 @@ def test_event_debounce_islands(spark):
     assert got[("click", 1)] == (3, 1)   # events 1-3 chain into one burst
     assert got[("click", 2)] == (1, 4)
     assert got[("view", 1)] == (1, 5)
+
+
+def test_unigram_viterbi_beats_greedy(spark):
+    """The Viterbi DP must pick two jointly-cheaper short pieces where
+    greedy longest-match would lock in one long piece, must apply the
+    deterministic (cost, n_pieces, pieces) tie-break, and must [UNK]
+    words outside the vocab alphabet."""
+    from hw_kafka_streams_spark.operators.bpe import unigram_viterbi_segment
+
+    # ab=10 then c(60): total 70 beats abc=80 — greedy longest-match
+    # would take 'abc'; Viterbi must not. 'de'+'ef' can't both apply
+    # (overlap); d(60)+ef(10) and de(10)+f(60) both cost 70 with 2
+    # pieces -> TIE on (cost, np); the piece-string tie-break picks
+    # 'de|f' ('e' < '|' byte-wise, identical in Python and DuckDB).
+    vocab = [(c, 60) for c in "abcdef"] + [
+        ("abc", 80), ("ab", 10), ("de", 10), ("ef", 10),
+    ]
+    words = spark.createDataFrame(
+        [("abc",), ("def",), ("axc",)], "word string"
+    )
+    out = {
+        r.word: r
+        for r in unigram_viterbi_segment(words, vocab).collect()
+    }
+    assert out["abc"].pieces == "ab|c"
+    assert out["abc"].cost == 70
+    assert out["abc"].n_pieces == 2
+    assert out["def"].pieces == "de|f"  # tie broken by piece string
+    assert out["def"].cost == 70
+    assert out["axc"].pieces == "[UNK]"  # 'x' not in vocab
+    assert out["axc"].cost is None
+    assert out["axc"].n_pieces == 1
