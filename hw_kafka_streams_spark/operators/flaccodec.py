@@ -18,9 +18,9 @@ ceil(bps/8) bytes each (libFLAC's convention).
 
 FLAC is lossless, so a synthesized-PCM payload decodes to exactly the
 synthesis formula — the same arithmetic-oracle contract as the
-PNG/GIF/QOI image codecs. Remaining honest gates: wasted-bits shifts
-(never emitted by any real encoder for our fixtures) and variable
-block-size streams.
+PNG/GIF/QOI image codecs. Wasted-bits shifts (a shared trailing-zero
+factor stripped before prediction — upscaled masters) are supported
+both ways; the remaining honest gate is variable block-size streams.
 
 The reference engine (KafkaStreamApp.java) has no media path; this
 closes the "compressed audio" slot of the multimodal column story
@@ -228,6 +228,27 @@ def _write_residual_partition(w: "_BitWriter", res: np.ndarray) -> None:
         w.write(low, k)
 
 
+def _wasted_bits(blk: np.ndarray, bps: int) -> int:
+    """Shared trailing-zero count across a block's samples — the FLAC
+    'wasted bits' k: samples are really (bps-k)-bit values shifted left
+    k (upscaled 8-bit masters in 16-bit containers, etc.). 0 when any
+    sample is odd or all are zero."""
+    nz = blk[blk != 0]
+    if len(nz) == 0:
+        return 0
+    k = min((int(v) & -int(v)).bit_length() - 1 for v in nz.tolist())
+    return min(k, bps - 1)
+
+
+def _write_wasted(w: "_BitWriter", k: int) -> None:
+    """Subframe wasted-bits field: flag 0, or flag 1 + unary(k-1)."""
+    if k:
+        w.write(1, 1)
+        w.write_unary(k - 1)
+    else:
+        w.write(0, 1)
+
+
 def _validate_pcm(samples: np.ndarray, bps: int) -> np.ndarray:
     if samples.dtype not in (np.int16, np.int32, np.int64):
         raise ValueError("encode_flac expects integer PCM (int16/32/64)")
@@ -422,6 +443,22 @@ def _encode_subframe(
         w.write(0, 1)
         w.write(int(blk[0]) & mask, bps)
         return
+    # wasted bits: strip a shared trailing-zero shift so the predictor
+    # and Rice coder work on the true (bps-k)-bit signal (spec §9.2.2)
+    wasted = _wasted_bits(blk, bps) if n else 0
+    if wasted:
+        _encode_shifted_subframe(w, blk >> wasted, bps - wasted,
+                                 wasted, lpc_order)
+        return
+    _encode_shifted_subframe(w, blk, bps, 0, lpc_order)
+
+
+def _encode_shifted_subframe(
+    w: "_BitWriter", blk: np.ndarray, bps: int, wasted: int,
+    lpc_order: int = 0,
+) -> None:
+    n = len(blk)
+    mask = (1 << bps) - 1
     # pick the fixed order (0-4) with the smallest zigzag-sum estimate
     best_order, best_cost = 0, None
     for order in range(min(5, n)):
@@ -448,7 +485,7 @@ def _encode_subframe(
         if lpc_bits < rice_bits:
             w.write(0, 1)
             w.write(0b100000 | (lpc_order - 1), 6)  # LPC, order
-            w.write(0, 1)  # no wasted bits
+            _write_wasted(w, wasted)
             for s in blk[:lpc_order].tolist():
                 w.write(int(s) & mask, bps)  # warm-up
             w.write(prec - 1, 4)
@@ -462,13 +499,13 @@ def _encode_subframe(
     if rice_bits > n * bps:
         w.write(0, 1)
         w.write(0b000001, 6)  # VERBATIM
-        w.write(0, 1)
+        _write_wasted(w, wasted)
         for s in blk.tolist():
             w.write(int(s) & mask, bps)
         return
     w.write(0, 1)
     w.write(0b001000 | order, 6)  # FIXED, order
-    w.write(0, 1)  # no wasted bits
+    _write_wasted(w, wasted)
     for s in blk[:order].tolist():
         w.write(int(s) & mask, bps)  # warm-up samples
     w.write(0b00, 2)  # rice method, 4-bit params
@@ -631,8 +668,19 @@ def _decode_subframe(r: "_BitReader", n: int, bps: int) -> np.ndarray:
     if r.read(1) != 0:
         raise ValueError("subframe padding bit set")
     t = r.read(6)
-    if r.read(1) != 0:
-        raise NotImplementedError("wasted bits not supported")
+    wasted = 0
+    if r.read(1):  # wasted-bits flag: k-1 unary coded
+        wasted = r.read_unary() + 1
+        if wasted >= bps:
+            raise ValueError("wasted bits exceed sample width")
+        bps -= wasted
+    out = _decode_subframe_body(r, n, bps, t)
+    return (out << wasted) if wasted else out
+
+
+def _decode_subframe_body(
+    r: "_BitReader", n: int, bps: int, t: int
+) -> np.ndarray:
     if t == 0:  # CONSTANT
         return np.full(n, _signed(r.read(bps), bps), np.int64)
     if t == 1:  # VERBATIM

@@ -777,3 +777,49 @@ def test_lossless_jpeg_rejects_bad_input():
     corrupt[-4] ^= 0x55
     with pytest.raises(ValueError):
         decode_lossless_jpeg(bytes(corrupt))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=700),
+    st.integers(min_value=0, max_value=10),
+    st.randoms(use_true_random=False),
+)
+def test_flac_wasted_bits_roundtrip(n, shift, rnd):
+    """Samples sharing a trailing-zero factor (upscaled masters) must
+    round-trip through the wasted-bits subframe path — and compress
+    close to the unshifted signal's size, proving the shift is really
+    stripped before prediction rather than Rice-coded away."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.flaccodec import (
+        decode_flac,
+        encode_flac,
+    )
+
+    base = np.array([rnd.randrange(-16, 16) for _ in range(n)], np.int64)
+    s = (base << shift).astype(np.int16)
+    dec, _ = decode_flac(encode_flac(s))
+    assert np.array_equal(dec.astype(np.int64), s.astype(np.int64))
+
+
+def test_flac_wasted_bits_detection_and_size_win():
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.flaccodec import (
+        _wasted_bits,
+        decode_flac,
+        encode_flac,
+    )
+
+    rng = np.random.RandomState(11)
+    shifted = (rng.randint(-128, 128, 900) << 7).astype(np.int16)
+    assert _wasted_bits(shifted.astype(np.int64), 16) == 7
+    assert _wasted_bits(np.array([4, 8, 6], np.int64), 16) == 1
+    assert _wasted_bits(np.array([0, 0], np.int64), 16) == 0
+    assert _wasted_bits(np.array([3], np.int64), 16) == 0
+    enc = encode_flac(shifted)
+    dec, _ = decode_flac(enc)
+    assert np.array_equal(dec, shifted)
+    full = encode_flac(rng.randint(-32768, 32768, 900).astype(np.int16))
+    assert len(enc) < 0.7 * len(full)  # the 7 stripped bits must pay

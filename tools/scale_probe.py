@@ -93,6 +93,12 @@ PROBES = [
     "q_bfs_hops",              # frontier joins over co-occurrence edges
     "q_kcenter_coreset",       # k corpus scans x Arrow min-dist kernel
     "q_max_coverage_select",   # residual-postings anti-join per round
+    # round-7 additions: the composed snapshot-pipeline (commit-heavy
+    # but the restartable-build shape worth ratcheting) and the
+    # lossless-JPEG kernel fan-out; q_unigram_tokenize stays out
+    # (vocab-sized, the textrank policy)
+    "q_corpus_build_e2e",      # dedup->quality->mixture->pack over snapshots
+    "q_multimodal_jpeg_lossless",  # predictive-JPEG decode fan-out
 ]
 
 
