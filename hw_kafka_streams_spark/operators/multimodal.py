@@ -15,7 +15,9 @@ inter-frame video). But a large real surface is implemented from public specs:
 PNG/JPEG/GIF/BMP/TIFF/WebP header parsing, **baseline + progressive +
 lossless(SOF3) JPEG pixel decode via the pure-numpy ITU T.81 codec in
 operators/jpegcodec.py** (Huffman + dequant + IDCT for the DCT modes,
-predictive mod-2^16 differences for lossless; encoders included), PNG
+predictive mod-2^16 differences for lossless; encoders included),
+**JPEG-LS / LOCO-I (ITU T.87) encode+decode** — context-adaptive
+Golomb coding with run mode (operators/jlscodec.py), PNG
 and GIF-LZW pixel
 decode (operators/pngcodec.py, operators/gifcodec.py), uncompressed-
 BMP pixel decode + nearest-neighbor resize + channel-mean feature
@@ -1475,6 +1477,78 @@ def lossless_jpeg_stats(df: DataFrame, payload_col: str = "payload") -> DataFram
             out = []
             for doc_id, data in zip(pdf["doc_id"], pdf[payload_col]):
                 px, prec = decode_lossless_jpeg(bytes(data))
+                v = px.astype(np.int64)
+                out.append(
+                    (doc_id, px.shape[0], px.shape[1], prec,
+                     int(v.sum()), int((v * v).sum()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "height", "width", "precision",
+                         "sum_v", "sum_sq"],
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        work,
+        schema="doc_id long, height int, width int, precision int, "
+        "sum_v long, sum_sq long",
+    )
+
+
+def synthesize_jls_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One REAL JPEG-LS (ITU T.87) stream per row. Doc i carries a
+    (16 + (i%5)*4) x (24 + (i%3)*8) gray plane, 16-bit when i%4==0 and
+    8-bit otherwise, with a FLAT left half (per-row constant — every
+    row enters run mode, exercising the J-table run coder and both
+    run-interruption contexts at the half boundary) and a gradient
+    right half whose slope varies by doc (regular mode: context
+    quantization, Golomb k adaptation, bias correction):
+
+        v(r, c) = (11*i + 29*r) mod 2^P                 for c < w/2
+        v(r, c) = (11*i + 29*r + 23*(c - w/2)*(1 + i%3)) mod 2^P  else
+    """
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.jlscodec import encode_jls
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                h = 16 + (i % 5) * 4
+                w = 24 + (i % 3) * 8
+                prec = 16 if i % 4 == 0 else 8
+                maxv = 1 << prec
+                r = np.arange(h, dtype=np.int64)[:, None]
+                c = np.arange(w, dtype=np.int64)[None, :]
+                base = 11 * i + 29 * r + 0 * c
+                grad = 23 * np.maximum(c - w // 2, 0) * (1 + i % 3)
+                img = ((base + grad) % maxv).astype(
+                    np.uint16 if prec == 16 else np.uint8
+                )
+                payloads.append(encode_jls(img, precision=prec))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+
+
+def jls_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Exact integer pixel stats over REAL decoded JPEG-LS streams:
+    dims, precision, sum and sum-of-squares — predictable from the
+    synthesis formula because the codec is lossless."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.jlscodec import decode_jls
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, data in zip(pdf["doc_id"], pdf[payload_col]):
+                px, prec = decode_jls(bytes(data))
                 v = px.astype(np.int64)
                 out.append(
                     (doc_id, px.shape[0], px.shape[1], prec,

@@ -3737,3 +3737,54 @@ def q_multimodal_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lossless_jpeg_stats(
         synthesize_lossless_jpeg_payloads(docs)
     ).orderBy("doc_id")
+
+
+@register(
+    "q_multimodal_jls",
+    oracle="""
+        WITH base AS (
+          SELECT doc_id,
+                 CAST(16 + (doc_id % 5) * 4 AS INT) AS h,
+                 CAST(24 + (doc_id % 3) * 8 AS INT) AS w,
+                 CAST(CASE WHEN doc_id % 4 = 0 THEN 16 ELSE 8 END AS INT)
+                   AS prec
+          FROM documents WHERE doc_id < 150
+        ), rows_ AS (
+          SELECT doc_id, h, w, prec, unnest(range(h)) AS r FROM base
+        ), px AS (
+          SELECT doc_id, h, w, prec,
+                 (11 * doc_id + 29 * r
+                  + 23 * greatest(c - w // 2, 0) * (1 + doc_id % 3))
+                 % (1 << prec) AS v
+          FROM (SELECT doc_id, h, w, prec, r, unnest(range(w)) AS c
+                FROM rows_)
+        )
+        SELECT doc_id, CAST(max(h) AS INT) AS height,
+               CAST(max(w) AS INT) AS width,
+               CAST(max(prec) AS INT) AS precision,
+               CAST(sum(v) AS BIGINT) AS sum_v,
+               CAST(sum(v * v) AS BIGINT) AS sum_sq
+        FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="REAL JPEG-LS decode (operators/jlscodec.py, ITU T.87 / "
+    "LOCO-I): per-doc gray planes - flat left half, doc-varying "
+    "gradient right half, 8- and 16-bit - are genuinely encoded as "
+    "single-component JPEG-LS (MED prediction, 365 quantized-gradient "
+    "contexts with online Golomb-k adaptation and bias correction, "
+    "J-table run mode with both run-interruption contexts, T.87 "
+    "bit-stuffing) and decoded back bit-exactly. Lossless means "
+    "integer pixel moments are predictable from the synthesis "
+    "formula, so the oracle replays it in SQL. This closes the "
+    "context-adaptive entropy-coding slot of the codec story "
+    "(remaining honest gates: T.81 QM arithmetic modes, NEAR>0, "
+    "multi-component scans). Arrow-batched mapInPandas; per-file "
+    "decode never crosses executors.",
+)
+def q_multimodal_jls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.multimodal import (
+        jls_stats,
+        synthesize_jls_payloads,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 150)
+    return jls_stats(synthesize_jls_payloads(docs)).orderBy("doc_id")

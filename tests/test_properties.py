@@ -823,3 +823,119 @@ def test_flac_wasted_bits_detection_and_size_win():
     assert np.array_equal(dec, shifted)
     full = encode_flac(rng.randint(-32768, 32768, 900).astype(np.int16))
     assert len(enc) < 0.7 * len(full)  # the 7 stripped bits must pay
+
+
+# -------------------------------------------------- JPEG-LS (T.87)
+# Context-adaptive Golomb codec (operators/jlscodec.py): bit-exact
+# round-trip across depths, shapes, and run/regular mode mixes.
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.sampled_from([8, 12, 16]),
+    st.sampled_from(["noise", "flat", "gradient", "bilevel", "mixed"]),
+    st.randoms(use_true_random=False),
+)
+def test_jls_roundtrip_lossless(h, w, precision, kind, rnd):
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.jlscodec import (
+        decode_jls,
+        encode_jls,
+    )
+
+    lim = 1 << precision
+    dt = np.uint16 if precision > 8 else np.uint8
+    if kind == "noise":
+        img = np.array(
+            [[rnd.randrange(lim) for _ in range(w)] for _ in range(h)], dt
+        )
+    elif kind == "flat":
+        img = np.full((h, w), rnd.randrange(lim), dt)
+    elif kind == "gradient":
+        r = np.arange(h)[:, None]
+        c = np.arange(w)[None, :]
+        img = (
+            (rnd.randrange(9) * r + rnd.randrange(9) * c + rnd.randrange(lim))
+            % lim
+        ).astype(dt)
+    elif kind == "bilevel":
+        img = np.array(
+            [[rnd.randrange(2) * (lim - 1) for _ in range(w)] for _ in range(h)],
+            dt,
+        )
+    else:  # mixed: flat left half (run mode), noise right half
+        img = np.full((h, w), rnd.randrange(lim), dt)
+        for rr in range(h):
+            for cc in range(w // 2, w):
+                img[rr, cc] = rnd.randrange(lim)
+    dec, prec = decode_jls(encode_jls(img, precision=precision))
+    assert prec == precision
+    assert dec.shape == (h, w)
+    assert np.array_equal(dec.astype(np.int64), img.astype(np.int64))
+
+
+def test_jls_run_mode_compresses_and_saturates_j_table():
+    """A mostly-flat 200x400 plane must compress far below raw (run
+    mode with J-table growth to long blocks) and still round-trip —
+    including runs broken mid-line (both run-interruption contexts)
+    and runs ending exactly at and short of the line end."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.jlscodec import (
+        decode_jls,
+        encode_jls,
+    )
+
+    img = np.zeros((200, 400), np.uint8)
+    img[50:150, 100:300] = 77  # interior rectangle: mid-line breaks
+    img[0, 399] = 5  # run broken at the very last column
+    enc = encode_jls(img)
+    assert len(enc) * 20 < img.size  # >20x on a flat-dominated plane
+    dec, _ = decode_jls(enc)
+    assert np.array_equal(dec, img)
+
+
+def test_jls_stuffing_never_emits_markers():
+    """T.87 inserts a 0 bit after every 0xFF so no byte pair 0xFF
+    0x80-0xFF (a marker) can appear inside entropy data."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.jlscodec import (
+        decode_jls,
+        encode_jls,
+    )
+
+    rnd = np.random.RandomState(3)
+    img = rnd.randint(0, 65536, (60, 80)).astype(np.uint16)
+    enc = encode_jls(img)
+    body = enc[2:-2]  # strip SOI / EOI
+    # scan entropy data after the SOS segment for marker-like pairs
+    sos = body.index(b"\xff\xda")
+    entropy = body[sos + 2 + 8 :]
+    for i in range(len(entropy) - 1):
+        if entropy[i] == 0xFF:
+            assert entropy[i + 1] < 0x80, f"marker byte at {i}"
+    dec, _ = decode_jls(enc)
+    assert np.array_equal(dec, img)
+
+
+def test_jls_rejects_bad_input():
+    import numpy as np
+    import pytest
+
+    from hw_kafka_streams_spark.operators.jlscodec import (
+        decode_jls,
+        encode_jls,
+    )
+
+    with pytest.raises(ValueError):
+        encode_jls(np.zeros(5, np.uint8))  # 1-D
+    with pytest.raises(ValueError):
+        encode_jls(np.full((2, 2), 300), precision=8)  # out of range
+    with pytest.raises(NotImplementedError):
+        encode_jls(np.zeros((2, 2), np.uint8), precision=4)  # sub-8-bit
+    with pytest.raises(ValueError):
+        decode_jls(b"\x00\x01\x02")  # no SOI
