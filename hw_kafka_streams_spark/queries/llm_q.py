@@ -3788,3 +3788,53 @@ def q_multimodal_jls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 150)
     return jls_stats(synthesize_jls_payloads(docs)).orderBy("doc_id")
+
+
+@register(
+    "q_multimodal_mclv",
+    oracle="""
+        WITH base AS (
+          SELECT doc_id,
+                 CAST((doc_id % 3) - 1 AS BIGINT) AS dy,
+                 CAST(((doc_id // 3) % 3) - 1 AS BIGINT) AS dx
+          FROM documents WHERE doc_id < 100
+        ), frames AS (
+          SELECT doc_id, dy, dx, unnest(range(6)) AS t FROM base
+        ), rows_ AS (
+          SELECT doc_id, dy, dx, t, unnest(range(32)) AS r FROM frames
+        ), px AS (
+          SELECT doc_id,
+                 (1000 + 5 * doc_id + 3 * (r - t * dy)
+                  + 7 * (c - t * dx)) % 256 AS v
+          FROM (SELECT doc_id, dy, dx, t, r, unnest(range(48)) AS c
+                FROM rows_)
+        )
+        SELECT doc_id, CAST(6 AS INT) AS n_frames,
+               CAST(32 AS INT) AS height, CAST(48 AS INT) AS width,
+               CAST(sum(v) AS BIGINT) AS sum_v,
+               CAST(sum(v * v) AS BIGINT) AS sum_sq
+        FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="REAL inter-frame video codec (operators/mcvideo.py): "
+    "rigidly-translating 6-frame luma clips are encoded with "
+    "exhaustive block-matching motion search (+/-4, edge-replicated "
+    "unrestricted MVs, deterministic lexicographic tie-break), 1-bit "
+    "skip for exactly-predicted blocks, and per-block adaptive Rice "
+    "residual coding - then fully decoded (I-frame + MC replay). "
+    "Lossless residuals keep the cycle bit-exact, so the oracle "
+    "predicts pixel moments from the synthesis formula in SQL. "
+    "Interior blocks skip-code with MV = (-dy, -dx); border blocks "
+    "carry real residuals against the replicated pad. Honest gates: "
+    "B-frames, sub-pixel MC, in-loop filters, interoperable "
+    "bitstreams (private MCLV1 layout). Arrow-batched mapInPandas; "
+    "the (candidates x blocks) SAD tensor is one numpy pass per "
+    "frame, per-file work never crosses executors.",
+)
+def q_multimodal_mclv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.multimodal import (
+        mclv_stats,
+        synthesize_mclv_payloads,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 100)
+    return mclv_stats(synthesize_mclv_payloads(docs)).orderBy("doc_id")

@@ -939,3 +939,135 @@ def test_jls_rejects_bad_input():
         encode_jls(np.zeros((2, 2), np.uint8), precision=4)  # sub-8-bit
     with pytest.raises(ValueError):
         decode_jls(b"\x00\x01\x02")  # no SOI
+
+
+# -------------------------------------------------- MC video (MCLV1)
+# Motion-compensated lossless inter-frame codec (operators/mcvideo.py):
+# bit-exact round-trip, exact motion recovery on rigid translation.
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=5),
+    st.integers(min_value=1, max_value=30),
+    st.integers(min_value=1, max_value=30),
+    st.sampled_from(["noise", "static", "translate", "walk"]),
+    st.randoms(use_true_random=False),
+)
+def test_mclv_roundtrip_lossless(t, h, w, kind, rnd):
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.mcvideo import (
+        decode_mclv,
+        encode_mclv,
+    )
+
+    if kind == "noise":
+        clip = np.array(
+            [[[rnd.randrange(256) for _ in range(w)] for _ in range(h)]
+             for _ in range(t)],
+            np.uint8,
+        )
+    elif kind == "static":
+        f = np.full((h, w), rnd.randrange(256), np.uint8)
+        clip = np.stack([f] * t)
+    elif kind == "translate":
+        dy, dx = rnd.randrange(-2, 3), rnd.randrange(-2, 3)
+        frames = []
+        for ti in range(t):
+            r = np.arange(h)[:, None]
+            c = np.arange(w)[None, :]
+            frames.append(
+                ((1000 + 3 * (r - ti * dy) + 7 * (c - ti * dx)) % 256
+                 ).astype(np.uint8)
+            )
+        clip = np.stack(frames)
+    else:  # walk: textured frame random-rolled each step
+        f = np.array(
+            [[rnd.randrange(256) for _ in range(w)] for _ in range(h)],
+            np.uint8,
+        )
+        frames = [f]
+        for _ in range(t - 1):
+            frames.append(
+                np.roll(frames[-1],
+                        (rnd.randrange(-3, 4), rnd.randrange(-3, 4)),
+                        axis=(0, 1))
+            )
+        clip = np.stack(frames)
+    dec = decode_mclv(encode_mclv(clip))
+    assert dec.shape == clip.shape
+    assert np.array_equal(dec, clip)
+
+
+def test_mclv_motion_search_finds_exact_shift():
+    """A rigidly-translating pattern must yield MV = (-dy, -dx) and a
+    skip flag for every interior block — the motion search proves it
+    finds the true displacement, not merely a decodable one."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.mcvideo import (
+        decode_mclv,
+        encode_mclv,
+        motion_field,
+    )
+
+    dy, dx = 2, -3
+    frames = []
+    for ti in range(4):
+        r = np.arange(32)[:, None]
+        c = np.arange(48)[None, :]
+        frames.append(
+            ((5000 + 3 * (r - ti * dy) + 7 * (c - ti * dx)) % 256
+             ).astype(np.uint8)
+        )
+    clip = np.stack(frames)
+    enc = encode_mclv(clip, block=8, search=4)
+    assert np.array_equal(decode_mclv(enc), clip)
+    nbx = 48 // 8
+    for field in motion_field(enc):
+        # interior blocks: grid rows 1..2, cols 1..4 (border excluded)
+        for by in range(1, 3):
+            for bx in range(1, 5):
+                assert field[by * nbx + bx] == (-dy, -dx)
+
+
+def test_mclv_static_clip_is_all_skip_and_tiny():
+    """A static clip must cost ~1 MV byte + 1 skip bit per block per
+    P-frame beyond the raw I-frame — near-maximal compression."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.mcvideo import (
+        decode_mclv,
+        encode_mclv,
+        motion_field,
+    )
+
+    rng = np.random.RandomState(5)
+    f = rng.randint(0, 256, (32, 32)).astype(np.uint8)
+    clip = np.stack([f] * 8)
+    enc = encode_mclv(clip)
+    # 13 header + 1024 I-frame + 7 P-frames * 16 blocks * ~9/8 bytes
+    assert len(enc) < 13 + 1024 + 7 * 16 * 2
+    assert np.array_equal(decode_mclv(enc), clip)
+    for field in motion_field(enc):
+        assert all(mv == (0, 0) for mv in field)
+
+
+def test_mclv_rejects_bad_input():
+    import numpy as np
+    import pytest
+
+    from hw_kafka_streams_spark.operators.mcvideo import (
+        decode_mclv,
+        encode_mclv,
+    )
+
+    with pytest.raises(ValueError):
+        encode_mclv(np.zeros((4, 4), np.uint8))  # 2-D
+    with pytest.raises(ValueError):
+        encode_mclv(np.zeros((2, 4, 4), np.int32))  # not uint8
+    with pytest.raises(ValueError):
+        encode_mclv(np.zeros((2, 4, 4), np.uint8), search=9)  # nibble
+    with pytest.raises(ValueError):
+        decode_mclv(b"JUNK" + b"\x00" * 20)
