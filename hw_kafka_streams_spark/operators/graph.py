@@ -198,3 +198,66 @@ def bfs_hops(
             nxt.select("node", F.lit(h).alias("dist"))
         )
     return settled
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    max_iters: int = 12,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly drop
+    nodes of degree < k until the residual subgraph is stable; returns
+    ``(node, degree)`` for the surviving core (degree = within-core).
+    The fifth iterative graph algorithm here — the standard
+    web/citation-graph density filter (Seidman 1983, "Network
+    structure and minimum degree"): a page that survives the k-core
+    sits in a densely interlinked cluster, a strong crawl-quality
+    prior, and the same peeling is the first stage of community/spam
+    analyses at web scale.
+
+    Expects a SYMMETRIC deduplicated edge list (both directions
+    present), so degree = count of rows per ``src``.
+
+    Scale shape: one round = a degree count [shuffle on the node key,
+    layout reused round to round] + two hash semi-joins filtering the
+    edge list against surviving nodes. State is the shrinking edge
+    list itself — persisted per round, previous round released, so
+    lineage never compounds and each round's input is materialized
+    (peeling is monotone: the edge list only shrinks). Convergence is
+    detected from a 1-row count action per round (bounded driver
+    traffic); ``max_iters`` hard-caps the loop and a loud ValueError —
+    not a silent partial core — reports non-convergence, mirroring
+    the oracle's error() guard on the same unroll depth.
+    """
+    from hw_kafka_streams_spark.cache import managed_persist
+
+    e = managed_persist(
+        edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+    )
+    n_edges = e.count()
+    for _ in range(max_iters):
+        if n_edges == 0:
+            break
+        deg = e.groupBy("e_src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select(F.col("e_src").alias("node"))
+        nxt = managed_persist(
+            e.join(keep, e.e_src == keep.node, "left_semi").join(
+                keep, F.col("e_dst") == keep.node, "left_semi"
+            )
+        )
+        n_nxt = nxt.count()
+        e.unpersist()
+        e = nxt
+        if n_nxt == n_edges:  # no node fell below k: stable core
+            break
+        n_edges = n_nxt
+    else:
+        raise ValueError(
+            f"k-core peeling did not converge within {max_iters} rounds"
+        )
+    return (
+        e.groupBy(F.col("e_src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )

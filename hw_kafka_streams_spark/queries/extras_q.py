@@ -2025,3 +2025,79 @@ def q_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         audit, "stage string, version int, n_rows long, n_tokens long"
     ).orderBy("stage")
+
+
+def _kcore_oracle(k: int = 7, unroll: int = 8) -> str:
+    """Unrolled-CTE twin of operators/graph.kcore over the hash-thinned
+    part co-occurrence graph, with an error() guard if the peeling has
+    not converged by ``unroll`` rounds — a too-shallow unroll fails
+    LOUDLY instead of hash-drifting (the WordPiece-oracle policy).
+    MATERIALIZED is load-bearing: every step references its
+    predecessor three times (FROM + two IN filters), so inlined CTEs
+    would re-expand the whole chain 3^unroll times."""
+    ctes = [
+        "WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """e0 AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst
+         FROM lp a JOIN lp b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+         WHERE (a.l_partkey + b.l_partkey) % 23 < 3
+         GROUP BY 1, 2)""",
+    ]
+    for i in range(1, unroll + 1):
+        ctes.append(
+            f"""k{i} AS MATERIALIZED (SELECT src AS node FROM e{i - 1}
+         GROUP BY src HAVING count(*) >= {k})""",
+        )
+        ctes.append(
+            f"""e{i} AS MATERIALIZED (SELECT e.src, e.dst FROM e{i - 1} e
+         WHERE e.src IN (SELECT node FROM k{i})
+           AND e.dst IN (SELECT node FROM k{i}))""",
+        )
+    body = ",\n        ".join(ctes)
+    return f"""
+        {body}
+        SELECT CASE WHEN (SELECT count(*) FROM e{unroll})
+                     <> (SELECT count(*) FROM e{unroll - 1})
+               THEN error('k-core oracle: not converged at unroll {unroll}')
+               ELSE src END AS l_partkey,
+               CAST(count(*) AS BIGINT) AS degree
+        FROM e{unroll} GROUP BY src ORDER BY l_partkey
+    """
+
+
+@register(
+    "q_kcore_parts",
+    oracle=_kcore_oracle(),
+    doc="k-core decomposition (k=7) by iterative peeling over the "
+    "hash-thinned part co-occurrence graph (edge = two parts sharing "
+    "an order, kept when (p1+p2) mod 23 < 3 - deterministic "
+    "sparsification, the public edge-sampling trick, because the "
+    "synthetic graph is otherwise too dense to peel). The standard "
+    "web-graph density filter (Seidman 1983): surviving nodes sit in "
+    "clusters where everyone keeps >= 7 in-core neighbors; 3-4 "
+    "peeling rounds at the shipped SFs. The fifth iterative graph op "
+    "(operators/graph.kcore): per round one node-keyed degree count "
+    "plus two semi-joins, edge state persisted per round and released, "
+    "convergence from a 1-row count. The oracle unrolls 8 rounds with "
+    "an error() guard against silent non-convergence.",
+)
+def q_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.graph import kcore
+
+    lp = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = lp.select(F.col("l_orderkey").alias("o1"), F.col("l_partkey").alias("src"))
+    b = lp.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, (F.col("o1") == F.col("o2")) & (F.col("src") != F.col("dst")))
+        .filter((F.col("src") + F.col("dst")) % 23 < 3)
+        .select("src", "dst")
+        .distinct()
+    )
+    core = kcore(edges, k=7, max_iters=12)
+    return core.select(
+        F.col("node").alias("l_partkey"), "degree"
+    ).orderBy("l_partkey")

@@ -54,3 +54,46 @@ def test_label_propagation_two_cliques(spark):
     assert got[1] == got[2] == got[3]
     assert got[10] == got[11] == got[12]
     assert got[1] != got[10]
+
+
+def test_kcore_peels_tail_into_clique(spark):
+    """A 4-clique with a pendant path attached: the 2-core must peel
+    the path in cascading rounds (each removal drops the next node
+    below degree 2) and keep exactly the clique, with degree 3 each."""
+    from hw_kafka_streams_spark.operators.graph import kcore
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a != b]
+    path = [(3, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(
+        clique + path + [(b, a) for a, b in path], "src long, dst long"
+    )
+    got = {r.node: r.degree for r in kcore(edges, k=2).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_kcore_empty_and_full(spark):
+    from hw_kafka_streams_spark.operators.graph import kcore
+
+    tri = [(1, 2), (2, 3), (1, 3)]
+    edges = spark.createDataFrame(
+        tri + [(b, a) for a, b in tri], "src long, dst long"
+    )
+    # k=2: the triangle IS a 2-core, nothing peels
+    assert kcore(edges, k=2).count() == 3
+    # k=3: everything peels away to an empty core
+    assert kcore(edges, k=3).count() == 0
+
+
+def test_kcore_nonconvergence_raises(spark):
+    """A long pendant chain forces one peel round per node; max_iters
+    below the chain length must raise, not return a partial core."""
+    import pytest
+
+    from hw_kafka_streams_spark.operators.graph import kcore
+
+    chain = [(i, i + 1) for i in range(6)]
+    edges = spark.createDataFrame(
+        chain + [(b, a) for a, b in chain], "src long, dst long"
+    )
+    with pytest.raises(ValueError, match="did not converge"):
+        kcore(edges, k=2, max_iters=2)
