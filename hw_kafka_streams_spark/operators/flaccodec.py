@@ -20,7 +20,11 @@ FLAC is lossless, so a synthesized-PCM payload decodes to exactly the
 synthesis formula — the same arithmetic-oracle contract as the
 PNG/GIF/QOI image codecs. Wasted-bits shifts (a shared trailing-zero
 factor stripped before prediction — upscaled masters) are supported
-both ways; the remaining honest gate is variable block-size streams.
+both ways, and so are VARIABLE block-size streams (per-frame sizes
+from a caller schedule, strategy bit set, frame headers addressed by
+36-bit sample number in extended UTF-8, STREAMINFO min/max declared;
+the decoder validates the addressing in BOTH strategies, so a dropped
+or reordered frame fails loudly instead of shifting PCM).
 
 The reference engine (KafkaStreamApp.java) has no media path; this
 closes the "compressed audio" slot of the multimodal column story
@@ -119,7 +123,9 @@ def _crc16(data: bytes) -> int:
 
 
 def _utf8_code(n: int) -> bytes:
-    """FLAC's UTF-8-style coding of frame numbers (values < 2^31)."""
+    """FLAC's UTF-8-style coding of frame/sample numbers: the standard
+    scheme extended to 7 bytes (0xFE lead), covering the 36-bit sample
+    numbers variable-blocksize frame headers carry."""
     if n < 0x80:
         return bytes([n])
     out = []
@@ -131,8 +137,12 @@ def _utf8_code(n: int) -> bytes:
         lead, nbytes = 0xF0, 4
     elif n < 0x4000000:
         lead, nbytes = 0xF8, 5
-    else:
+    elif n < 0x80000000:
         lead, nbytes = 0xFC, 6
+    elif n < (1 << 36):
+        lead, nbytes = 0xFE, 7
+    else:
+        raise ValueError("frame/sample number exceeds 36 bits")
     for i in range(nbytes - 1):
         out.append(0x80 | (n & 0x3F))
         n >>= 6
@@ -276,6 +286,7 @@ def encode_flac(
     lpc_order: int = 0,
     bits_per_sample: int = 16,
     stereo_mode: str = "auto",
+    block_schedule: list[int] | None = None,
 ) -> bytes:
     """Encode integer PCM as a real FLAC file.
 
@@ -287,6 +298,14 @@ def encode_flac(
     least-squares LPC predictor of that order per subframe (12-bit
     quantized coefficients, shift 10) and keeps it only when its Rice
     cost beats the best fixed predictor.
+
+    ``block_schedule`` switches the stream to VARIABLE blocking
+    strategy: frames take their sizes from the schedule (cycled if the
+    clip outlasts it, last frame truncated), every frame header sets
+    the strategy bit and carries its starting SAMPLE number (extended
+    UTF-8, up to 36 bits) instead of a frame ordinal, and STREAMINFO
+    declares the true min/max block size — the spec's layout for
+    content-adaptive blocking. ``block_size`` is ignored in this mode.
     """
     if bits_per_sample not in _SS_CODE:
         raise ValueError(f"unsupported bits_per_sample {bits_per_sample}")
@@ -305,12 +324,21 @@ def encode_flac(
     bps = bits_per_sample
     md5 = _pcm_md5(s.ravel(), bps)
 
+    if block_schedule is not None:
+        if not block_schedule or any(
+            not 16 <= b <= 65535 for b in block_schedule
+        ):
+            raise ValueError("block_schedule entries must be in 16..65535")
+        min_bs, max_bs = min(block_schedule), max(block_schedule)
+    else:
+        min_bs = max_bs = block_size
+
     out = bytearray(b"fLaC")
     # STREAMINFO: last-block flag + type 0, length 34
     out += bytes([0x80, 0, 0, 34])
     si = _BitWriter()
-    si.write(block_size, 16)  # min block size
-    si.write(block_size, 16)  # max block size
+    si.write(min_bs, 16)  # min block size
+    si.write(max_bs, 16)  # max block size
     si.write(0, 24)  # min frame size unknown
     si.write(0, 24)  # max frame size unknown
     si.write(sample_rate, 20)
@@ -319,13 +347,26 @@ def encode_flac(
     si.write(n_total, 36)
     out += si.bytes() + md5
 
-    frame_no = 0
-    for start in range(0, n_total, block_size):
-        blk = s[start : start + block_size]
-        out += _encode_frame(
-            blk, frame_no, block_size, sample_rate, bps, lpc_order, stereo_mode
-        )
-        frame_no += 1
+    if block_schedule is not None:
+        start = idx = 0
+        while start < n_total:
+            bs = block_schedule[idx % len(block_schedule)]
+            blk = s[start : start + bs]
+            out += _encode_frame(
+                blk, start, bs, sample_rate, bps, lpc_order, stereo_mode,
+                variable=True,
+            )
+            start += bs
+            idx += 1
+    else:
+        frame_no = 0
+        for start in range(0, n_total, block_size):
+            blk = s[start : start + block_size]
+            out += _encode_frame(
+                blk, frame_no, block_size, sample_rate, bps, lpc_order,
+                stereo_mode,
+            )
+            frame_no += 1
     return bytes(out)
 
 
@@ -373,6 +414,7 @@ def _encode_frame(
     bps: int,
     lpc_order: int = 0,
     stereo_mode: str = "auto",
+    variable: bool = False,
 ) -> bytes:
     n, channels = blk.shape
     if channels == 2:
@@ -383,8 +425,9 @@ def _encode_frame(
     w = _BitWriter()
     w.write(0x3FFE, 14)  # sync
     w.write(0, 1)  # reserved
-    w.write(0, 1)  # fixed-blocksize stream
-    if n == nominal_bs and n == 256:
+    # blocking strategy: 1 = variable (frame_no is a SAMPLE number)
+    w.write(1 if variable else 0, 1)
+    if n == 256 and (variable or n == nominal_bs):
         bs_code, bs_tail = 0b1000, None
     elif n - 1 < 256:
         bs_code, bs_tail = 0b0110, n - 1  # 8-bit at end
@@ -566,11 +609,25 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("missing STREAMINFO")
 
     out: list[np.ndarray] = []
-    got = 0
+    got = n_frames = 0
+    stream_variable: bool | None = None
     while got < n_total and pos < len(data):
-        blk, pos = _decode_frame(data, pos, bps, channels)
+        blk, pos, variable, coded_no = _decode_frame(data, pos, bps, channels)
+        if stream_variable is None:
+            stream_variable = variable
+        elif variable != stream_variable:
+            raise ValueError("blocking strategy changed mid-stream")
+        # variable streams address frames by starting SAMPLE number,
+        # fixed streams by frame ordinal — validate either way so a
+        # dropped/reordered frame fails loudly instead of shifting PCM
+        expect = got if variable else n_frames
+        if coded_no != expect:
+            raise ValueError(
+                f"frame number mismatch: coded {coded_no}, expected {expect}"
+            )
         out.append(blk)
         got += blk.shape[0]
+        n_frames += 1
     stacked = (
         np.concatenate(out, axis=0) if out else np.empty((0, channels), np.int64)
     )
@@ -601,7 +658,7 @@ def _decode_frame(
     if r.read(14) != 0x3FFE:
         raise ValueError(f"bad frame sync at byte {pos}")
     r.read(1)
-    r.read(1)
+    variable = r.read(1)  # blocking strategy
     bs_code = r.read(4)
     sr_code = r.read(4)
     chan = r.read(4)
@@ -625,7 +682,7 @@ def _decode_frame(
         bps = _SS_BITS[ss_code]
     else:
         raise ValueError(f"reserved sample-size code {ss_code:03b}")
-    _utf8_decode(r)
+    coded_no = _utf8_decode(r)
     if bs_code == 0b0110:
         bs = r.read(8) + 1
     elif bs_code == 0b0111:
@@ -657,7 +714,7 @@ def _decode_frame(
     crc = struct.unpack(">H", data[frame_end : frame_end + 2])[0]
     if _crc16(data[pos:frame_end]) != crc:
         raise ValueError("frame CRC-16 mismatch")
-    return np.stack(chans, axis=1), frame_end + 2
+    return np.stack(chans, axis=1), frame_end + 2, bool(variable), coded_no
 
 
 def _signed(v: int, bits: int) -> int:

@@ -1284,7 +1284,12 @@ def synthesize_flac_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame
     QUOTIENTS (long unary prefixes). These fixtures never trigger the
     Rice ESCAPE code (residuals are too small); the escape paths are
     covered by the encoder-escape and hand-built-frame unit tests in
-    tests/test_properties.py."""
+    tests/test_properties.py.
+
+    Mono docs with i % 5 == 1 are VARIABLE-blocksize streams (frame
+    sizes cycling 192/320/256, strategy bit set, sample-number frame
+    addressing) — the oracle is unchanged because losslessness makes
+    the container layout invisible to the PCM moments."""
     import numpy as np
 
     from hw_kafka_streams_spark.operators.flaccodec import encode_flac
@@ -1305,6 +1310,13 @@ def synthesize_flac_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame
                     )
                     payloads.append(
                         encode_flac(s, bits_per_sample=24, stereo_mode="auto")
+                    )
+                elif i % 5 == 1:
+                    payloads.append(
+                        encode_flac(
+                            left.astype(np.int16),
+                            block_schedule=[192, 320, 256],
+                        )
                     )
                 else:
                     payloads.append(encode_flac(left.astype(np.int16)))

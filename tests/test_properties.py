@@ -1071,3 +1071,90 @@ def test_mclv_rejects_bad_input():
         encode_mclv(np.zeros((2, 4, 4), np.uint8), search=9)  # nibble
     with pytest.raises(ValueError):
         decode_mclv(b"JUNK" + b"\x00" * 20)
+
+
+# ------------------------------------------- FLAC variable block-size
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=1200),
+    st.lists(st.integers(min_value=16, max_value=400), min_size=1, max_size=4),
+    st.sampled_from([1, 2]),
+    st.randoms(use_true_random=False),
+)
+def test_flac_variable_blocksize_roundtrip(n, schedule, channels, rnd):
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.flaccodec import (
+        decode_flac,
+        encode_flac,
+    )
+
+    vals = np.array(
+        [[rnd.randrange(-2000, 2001) for _ in range(channels)]
+         for _ in range(n)],
+        np.int16,
+    )
+    samples = vals[:, 0] if channels == 1 else vals
+    enc = encode_flac(samples, block_schedule=schedule)
+    dec, sr = decode_flac(enc)
+    assert np.array_equal(dec, samples)
+
+
+def test_flac_variable_blocksize_header_layout():
+    """The strategy bit must be set, STREAMINFO must declare the true
+    min/max sizes, and frame addressing is by sample number: corrupting
+    a later frame's number must fail the addressing check (not just
+    CRC) — find the second frame by its sync+strategy byte pattern."""
+    import numpy as np
+    import pytest
+
+    from hw_kafka_streams_spark.operators.flaccodec import (
+        decode_flac,
+        encode_flac,
+    )
+
+    s = ((np.arange(700) * 13) % 4001 - 2000).astype(np.int16)
+    enc = encode_flac(s, block_schedule=[192, 320])
+    # STREAMINFO starts at byte 8: min/max block size big-endian u16s
+    assert int.from_bytes(enc[8:10], "big") == 192
+    assert int.from_bytes(enc[10:12], "big") == 320
+    # frame headers: sync 0xFFF9 = 14-bit sync + reserved 0 + strategy 1
+    assert enc[42:44].hex() != ""  # stream has frames
+    syncs = []
+    i = 0
+    while True:
+        j = enc.find(b"\xff\xf9", i)
+        if j < 0:
+            break
+        syncs.append(j)
+        i = j + 1
+    assert len(syncs) >= 3  # 700 samples over [192, 320, 192]
+    dec, _ = decode_flac(enc)
+    assert np.array_equal(dec, s)
+    # fixed-strategy stream of the same PCM has no 0xFFF9 headers
+    fixed = encode_flac(s)
+    k = 4 + 4 + 34  # fLaC + header + STREAMINFO
+    assert fixed.find(b"\xff\xf9", k) in (-1,) or b"\xff\xf8" in fixed[k:]
+
+    corrupt = bytearray(enc)
+    # the 5th header byte (after 4-byte fixed part) is the UTF-8 sample
+    # number of frame 2 (value 192 -> 3-byte UTF-8 0xC3 0x80): bump it
+    p = syncs[1] + 4
+    assert corrupt[p] == 0xC3 and corrupt[p + 1] == 0x80
+    corrupt[p + 1] = 0x81  # sample number 193
+    # re-fix the header CRC-8 so ONLY the addressing check can object;
+    # frame 2 is 320 samples -> 16-bit explicit size tail after the
+    # sample number, so the CRC sits at p + 2 (utf8) + 2 (size tail)
+    from hw_kafka_streams_spark.operators.flaccodec import _crc8
+
+    hdr_end = p + 4
+    corrupt[hdr_end] = _crc8(bytes(corrupt[syncs[1] : hdr_end]))
+    # ... and the frame CRC-16 (footer of frame 2, just before frame 3)
+    from hw_kafka_streams_spark.operators.flaccodec import _crc16
+
+    crc16 = _crc16(bytes(corrupt[syncs[1] : syncs[2] - 2]))
+    corrupt[syncs[2] - 2 : syncs[2]] = crc16.to_bytes(2, "big")
+    with pytest.raises(ValueError, match="frame number mismatch"):
+        decode_flac(bytes(corrupt))
