@@ -261,3 +261,89 @@ def kcore(
         e.groupBy(F.col("e_src").alias("node"))
         .agg(F.count(F.lit(1)).alias("degree"))
     )
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999, "Authoritative
+    sources in a hyperlinked environment") over a DIRECTED edge list;
+    returns ``(node, hub, authority)`` after ``iters`` mutual-update
+    rounds — the classic complement of PageRank for crawl frontiers:
+    hubs are link pages, authorities are linked-to content pages.
+
+    Update: a(v) = Σ_{u→v} h(u), then h(u) = Σ_{u→v} a(v), each
+    followed by SUM-normalization (scores sum to 1) — the L1 variant,
+    chosen over L2 because it keeps the whole trajectory in +,/ only.
+
+    Determinism contract (the pagerank policy): scores round to 9
+    decimals after each normalization, so Spark's partial-agg
+    summation order cannot drift a value vs the sequential
+    unrolled-CTE oracle. Scale shape: each half-round is one
+    shuffle-join of scores onto edges plus one node-keyed aggregate —
+    the same exchange layout round to round; the normalizer is a 1-row
+    aggregate broadcast back, never a driver collect.
+    """
+    from hw_kafka_streams_spark.cache import managed_persist
+
+    e = managed_persist(
+        edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+    )
+    nodes = (
+        e.select(F.col("e_src").alias("node"))
+        .union(e.select(F.col("e_dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    nodes = managed_persist(nodes)
+    hubs = nodes.select("node", F.round(F.lit(1.0 / n), 9).alias("score"))
+    auths = hubs
+    for _ in range(iters):
+        raw_a = (
+            e.join(hubs, e.e_src == hubs.node)
+            .groupBy(F.col("e_dst").alias("node"))
+            .agg(F.sum("score").alias("raw"))
+        )
+        # localCheckpoint each half-round: the mutual recursion doubles
+        # the LOGICAL plan per half-round (normalizer total + next
+        # half-round both consume it), so after 2*iters rounds the
+        # lineage is 2^(2*iters) x the base plan — measured as an AQE
+        # stage storm and a plan-stringification OOM. Truncating
+        # lineage (not just caching) is the standard fix for iterative
+        # graph loops; eager, so each round materializes once.
+        auths = _l1_normalize(nodes, raw_a).localCheckpoint(eager=True)
+        raw_h = (
+            e.join(auths, e.e_dst == auths.node)
+            .groupBy(F.col("e_src").alias("node"))
+            .agg(F.sum("score").alias("raw"))
+        )
+        hubs = _l1_normalize(nodes, raw_h).localCheckpoint(eager=True)
+    return (
+        nodes.join(hubs.withColumnRenamed("score", "hub"), "node", "left")
+        .join(auths.withColumnRenamed("score", "authority"), "node", "left")
+        .select(
+            "node",
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+            F.coalesce("authority", F.lit(0.0)).alias("authority"),
+        )
+    )
+
+
+def _l1_normalize(nodes: DataFrame, raw: DataFrame) -> DataFrame:
+    """(node, raw) -> (node, score) with scores summing to 1, 9 dp;
+    nodes missing from ``raw`` score 0. The total is a 1-row aggregate
+    cross-joined back (broadcast), mirroring the oracle exactly."""
+    tot = raw.agg(F.sum("raw").alias("tot"))
+    return (
+        nodes.join(raw, "node", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "node",
+            F.round(
+                F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("tot"), 9
+            ).alias("score"),
+        )
+    )

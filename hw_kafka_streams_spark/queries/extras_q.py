@@ -2101,3 +2101,91 @@ def q_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return core.select(
         F.col("node").alias("l_partkey"), "degree"
     ).orderBy("l_partkey")
+
+
+def _hits_oracle(iters: int = 3) -> str:
+    """Unrolled-CTE twin of operators/graph.hits on the supplier->part
+    shipping graph (part ids offset by 1e6 to disjoin the id spaces):
+    identical init, L1 normalization and 9dp per-step rounding."""
+    ctes = [
+        """WITH e AS MATERIALIZED (
+           SELECT DISTINCT l_suppkey AS src,
+                  l_partkey + 1000000 AS dst FROM lineitem)""",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        """h0 AS (SELECT node, round(1.0 / nn.n, 9) AS score
+           FROM nodes, nn)""",
+    ]
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""ra{i} AS (SELECT e.dst AS node, sum({prev_h}.score) AS raw
+           FROM e JOIN {prev_h} ON e.src = {prev_h}.node GROUP BY 1)"""
+        )
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (SELECT nodes.node,
+                  round(coalesce(ra{i}.raw, 0.0)
+                        / (SELECT sum(raw) FROM ra{i}), 9) AS score
+           FROM nodes LEFT JOIN ra{i} ON nodes.node = ra{i}.node)"""
+        )
+        ctes.append(
+            f"""rh{i} AS (SELECT e.src AS node, sum(a{i}.score) AS raw
+           FROM e JOIN a{i} ON e.dst = a{i}.node GROUP BY 1)"""
+        )
+        ctes.append(
+            f"""h{i} AS MATERIALIZED (SELECT nodes.node,
+                  round(coalesce(rh{i}.raw, 0.0)
+                        / (SELECT sum(raw) FROM rh{i}), 9) AS score
+           FROM nodes LEFT JOIN rh{i} ON nodes.node = rh{i}.node)"""
+        )
+        prev_h = f"h{i}"
+    body = ",\n        ".join(ctes)
+    return f"""
+        {body}
+        SELECT nodes.node AS node,
+               round(coalesce(h{iters}.score, 0.0), 6) AS hub,
+               round(coalesce(a{iters}.score, 0.0), 6) AS authority
+        FROM nodes
+        LEFT JOIN h{iters} ON nodes.node = h{iters}.node
+        LEFT JOIN a{iters} ON nodes.node = a{iters}.node
+        ORDER BY hub DESC, authority DESC, node
+        LIMIT 50
+    """
+
+
+@register(
+    "q_hits_ship_graph",
+    oracle=_hits_oracle(),
+    doc="HITS hubs-and-authorities (Kleinberg 1999, 3 iterations, L1 "
+    "normalization) over the directed supplier->part shipping graph - "
+    "the crawl-frontier scoring complement of PageRank: suppliers act "
+    "as hubs, parts as authorities (id spaces disjoined by a 1e6 "
+    "offset). Sixth iterative graph op (operators/graph.hits): each "
+    "half-round is one shuffle-join of scores onto edges plus a "
+    "node-keyed aggregate reusing the same exchange layout; the L1 "
+    "normalizer is a 1-row broadcast cross join, never a collect. "
+    "Scores round to 9dp per step so the sequential unrolled-CTE "
+    "oracle matches despite partial-agg summation order; top-50 via "
+    "TakeOrderedAndProject.",
+)
+def q_hits_ship_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.graph import hits
+
+    edges = (
+        load_table(spark, "lineitem", sf_dir)
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("l_partkey") + 1000000).alias("dst"),
+        )
+        .distinct()
+    )
+    h = hits(edges, iters=3)
+    return (
+        h.select(
+            "node",
+            F.round("hub", 6).alias("hub"),
+            F.round("authority", 6).alias("authority"),
+        )
+        .orderBy(F.desc("hub"), F.desc("authority"), "node")
+        .limit(50)
+    )

@@ -97,3 +97,24 @@ def test_kcore_nonconvergence_raises(spark):
     )
     with pytest.raises(ValueError, match="did not converge"):
         kcore(edges, k=2, max_iters=2)
+
+
+def test_hits_hub_and_authority_structure(spark):
+    """1,2,3 all cite 10; only 1 also cites 11: node 10 must dominate
+    authorities, node 1 must dominate hubs, and each score vector must
+    L1-normalize to ~1 over its side."""
+    from hw_kafka_streams_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (1, 11)], "src long, dst long"
+    )
+    got = {r.node: (r.hub, r.authority) for r in hits(edges, iters=3).collect()}
+    hubs = {n: h for n, (h, _) in got.items()}
+    auths = {n: a for n, (_, a) in got.items()}
+    assert auths[10] > auths[11] > 0
+    assert hubs[1] > hubs[2] == hubs[3] > 0
+    # pure sources have 0 authority; pure sinks have 0 hub score
+    assert auths[1] == auths[2] == auths[3] == 0.0
+    assert hubs[10] == hubs[11] == 0.0
+    assert abs(sum(hubs.values()) - 1.0) < 1e-6
+    assert abs(sum(auths.values()) - 1.0) < 1e-6
