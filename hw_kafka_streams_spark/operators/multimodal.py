@@ -10,10 +10,11 @@ Design for 100 TB of images/audio/video interleaved with text:
 
 The container has no image/audio codec LIBRARIES, so exotic
 compressed-format decode is STUBBED (``NotImplementedError`` at
-clearly-marked points: T.81 QM-arithmetic JPEG modes, MP3-class
-perceptual audio, interoperable H.264 bitstreams — though the CORE of
-inter-frame coding, block-matching motion compensation, is real now:
-operators/mcvideo.py). But a large real surface is implemented from public specs:
+clearly-marked points: T.81 QM-arithmetic JPEG modes, interoperable
+MP3/H.264 bitstreams — though the CORES of both families are real
+now: block-matching motion compensation in operators/mcvideo.py and
+the MDCT/scalefactor transform-audio path in operators/mdctcodec.py).
+But a large real surface is implemented from public specs:
 PNG/JPEG/GIF/BMP/TIFF/WebP header parsing, **baseline + progressive +
 lossless(SOF3) JPEG pixel decode via the pure-numpy ITU T.81 codec in
 operators/jpegcodec.py** (Huffman + dequant + IDCT for the DCT modes,
