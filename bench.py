@@ -120,6 +120,11 @@ HEADLINE = [
     # track via q_multimodal_avi's fan-out already
     "q_block_dedup_rewrite",
     "q_skipgram_pairs",
+    # k-core: the edge build is a data-sized fact self-join (the
+    # graph-extraction scan shape worth ratcheting round-over-round);
+    # HITS stays off (score loop is graph-sized, same edge build) and
+    # the JPEG-LS/MCLV codec fixtures are fixed-size like ADPCM
+    "q_kcore_parts",
 ]
 
 

@@ -99,6 +99,11 @@ PROBES = [
     # (vocab-sized, the textrank policy)
     "q_corpus_build_e2e",      # dedup->quality->mixture->pack over snapshots
     "q_multimodal_jpeg_lossless",  # predictive-JPEG decode fan-out
+    # round-7 additions: the data-sized graph-extraction self-joins
+    # feeding the two new iterative graph ops; the JPEG-LS and MCLV
+    # codec fixtures are fixed-size (the ADPCM policy) and stay out
+    "q_kcore_parts",           # peeling rounds over a fact self-join graph
+    "q_hits_ship_graph",       # hub/authority loop over supplier->part
 ]
 
 
