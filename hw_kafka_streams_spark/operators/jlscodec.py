@@ -26,10 +26,13 @@ Implemented from the public T.87 decoding/encoding procedures:
 - T.87 bit-stuffing (a 0 bit is inserted after every 0xFF byte so no
   marker can appear in entropy data) and the SOF55/SOS marker frame.
 
-Scope gates (honest, like flaccodec's): single component, NEAR=0
-(lossless), precision 8-16 (the default-threshold formula below is the
-MAXVAL>=128 branch of the spec; sub-8-bit thresholds differ), default
-T1/T2/T3/RESET only (so no LSE segment is emitted). Interop against an
+Scope gates (honest, like flaccodec's): single component, precision
+8-16 (the default-threshold formula below is the MAXVAL>=128 branch of
+the spec; sub-8-bit thresholds differ), default T1/T2/T3/RESET only
+(so no LSE segment is emitted). NEAR-lossless mode (NEAR > 0) IS
+implemented: errors quantize onto the 2*NEAR+1 grid, both sides run
+the context machinery over the reconstructed plane, and every decoded
+sample is within +/-NEAR of the source (hypothesis-enforced). Interop against an
 independent T.87 decoder is untested in this container (none
 available); self-consistency is hypothesis-verified end to end in
 tests/test_properties.py, the same determinism contract as the FLAC and
@@ -55,29 +58,41 @@ _SOF55 = b"\xff\xf7"
 _SOS = b"\xff\xda"
 
 
-def _default_thresholds(maxval: int) -> tuple[int, int, int]:
-    """T.87 default T1/T2/T3 — MAXVAL>=128 branch (C.2.4.1.1.1),
-    NEAR=0. For MAXVAL=255 this yields the canonical (3, 7, 21)."""
+def _default_thresholds(maxval: int, near: int) -> tuple[int, int, int]:
+    """T.87 default T1/T2/T3 — MAXVAL>=128 branch (C.2.4.1.1.1), with
+    the spec's NEAR-dependent widening. For MAXVAL=255, NEAR=0 this
+    yields the canonical (3, 7, 21)."""
     if maxval < 128:
         raise NotImplementedError(
             "JPEG-LS precision < 8 bits (MAXVAL < 128) unsupported: the "
             "small-MAXVAL default-threshold branch is not implemented"
         )
     factor = (min(maxval, 4095) + 128) // 256
-    t1 = min(max(factor * (3 - 2) + 2, 2), maxval)
-    t2 = min(max(factor * (7 - 3) + 3, t1), maxval)
-    t3 = min(max(factor * (21 - 4) + 4, t2), maxval)
+    t1 = min(max(factor * (3 - 2) + 2 + 3 * near, near + 1), maxval)
+    t2 = min(max(factor * (7 - 3) + 3 + 5 * near, t1), maxval)
+    t3 = min(max(factor * (21 - 4) + 4 + 7 * near, t2), maxval)
     return t1, t2, t3
 
 
 class _State:
-    """Shared encoder/decoder context state (T.87 A.2.1 init)."""
+    """Shared encoder/decoder context state (T.87 A.2.1 init).
 
-    def __init__(self, maxval: int):
-        self.range = maxval + 1
+    ``near`` > 0 switches to NEAR-LOSSLESS mode: prediction errors are
+    quantized onto the 2*NEAR+1 grid (every reconstructed sample is
+    within +/-NEAR of the original), RANGE shrinks accordingly, the
+    gradient thresholds widen, and — crucially — BOTH sides run the
+    context machinery over the RECONSTRUCTED plane, never the source,
+    so encoder and decoder state stays in lockstep."""
+
+    def __init__(self, maxval: int, near: int = 0):
+        if not 0 <= near <= maxval // 2:
+            raise ValueError("NEAR must be in 0..MAXVAL/2")
+        self.near = near
+        self.q_step = 2 * near + 1
+        self.range = (maxval + 2 * near) // self.q_step + 1
         self.maxval = maxval
-        self.qbpp = max(2, (maxval).bit_length())
-        self.bpp = self.qbpp
+        self.qbpp = max(2, (self.range - 1).bit_length())
+        self.bpp = max(2, (maxval).bit_length())
         self.limit = 2 * (self.bpp + max(8, self.bpp))
         init_a = max(2, (self.range + 32) // 64)
         # 365 regular contexts + 2 run-interruption contexts (365, 366)
@@ -86,7 +101,7 @@ class _State:
         self.C = [0] * 365
         self.N = [1] * 367
         self.Nn = [0, 0]  # sign stats for contexts 365/366
-        self.t1, self.t2, self.t3 = _default_thresholds(maxval)
+        self.t1, self.t2, self.t3 = _default_thresholds(maxval, near)
         self.run_index = 0
 
     def quantize(self, d: int) -> int:
@@ -96,9 +111,9 @@ class _State:
             return -3
         if d <= -self.t1:
             return -2
-        if d < 0:
+        if d < -self.near:
             return -1
-        if d == 0:
+        if d <= self.near:
             return 0
         if d < self.t1:
             return 1
@@ -108,6 +123,23 @@ class _State:
             return 3
         return 4
 
+    def quantize_error(self, errval: int) -> int:
+        """A.4.4: fold the raw error onto the 2*NEAR+1 grid."""
+        if self.near == 0:
+            return errval
+        if errval > 0:
+            return (self.near + errval) // self.q_step
+        return -((self.near - errval) // self.q_step)
+
+    def reconstruct(self, pred: int, signed_qerr: int) -> int:
+        """A.4.5 + A.8: dequantize, wrap into the legal interval, clamp."""
+        rx = pred + signed_qerr * self.q_step
+        if rx < -self.near:
+            rx += self.range * self.q_step
+        elif rx > self.maxval + self.near:
+            rx -= self.range * self.q_step
+        return min(max(rx, 0), self.maxval)
+
     def golomb_k(self, q: int, temp: int) -> int:
         k = 0
         while (self.N[q] << k) < temp and k < 32:
@@ -115,7 +147,7 @@ class _State:
         return k
 
     def update_regular(self, q: int, errval: int) -> None:
-        self.B[q] += errval
+        self.B[q] += errval * self.q_step
         self.A[q] += abs(errval)
         if self.N[q] == _RESET:
             self.A[q] >>= 1
@@ -259,9 +291,15 @@ def _neighbors(px: np.ndarray, r: int, c: int, w: int) -> tuple[int, int, int, i
     return a, b, cc, d
 
 
-def encode_jls(img: np.ndarray, precision: int | None = None) -> bytes:
+def encode_jls(
+    img: np.ndarray, precision: int | None = None, near: int = 0
+) -> bytes:
     """Encode a 2-D gray array as a single-component JPEG-LS stream
-    (SOF55, NEAR=0, default thresholds, no LSE segment)."""
+    (SOF55, default thresholds, no LSE segment). ``near`` > 0 selects
+    NEAR-LOSSLESS mode: every reconstructed sample is within
+    +/-``near`` of the input (T.87 A.4.4/A.4.5 quantization, the
+    context machinery running over the reconstructed plane on both
+    sides)."""
     if img.ndim != 2:
         raise ValueError("encode_jls expects a 2-D gray array")
     if precision is None:
@@ -273,16 +311,20 @@ def encode_jls(img: np.ndarray, precision: int | None = None) -> bytes:
     if px.min() < 0 or px.max() > maxval:
         raise ValueError(f"sample out of range for {precision}-bit")
     h, w = px.shape
-    st = _State(maxval)
+    st = _State(maxval, near)
     bw = _StuffWriter()
+    # context/prediction state reads the RECONSTRUCTED plane (== the
+    # source when near == 0) so the decoder can replay it exactly
+    rec = np.zeros((h, w), np.int64)
 
     for r in range(h):
         c = 0
         while c < w:
-            a, b, cc, d = _neighbors(px, r, c, w)
+            a, b, cc, d = _neighbors(rec, r, c, w)
             d1, d2, d3 = d - b, b - cc, cc - a
-            if d1 == 0 and d2 == 0 and d3 == 0:
-                c = _encode_run(bw, st, px, r, c, w, a, b)
+            if st.quantize(d1) == 0 and st.quantize(d2) == 0 \
+                    and st.quantize(d3) == 0:
+                c = _encode_run(bw, st, px, rec, r, c, w, a)
                 continue
             q1, q2, q3 = st.quantize(d1), st.quantize(d2), st.quantize(d3)
             if q1 < 0 or (q1 == 0 and q2 < 0) or (q1 == 0 and q2 == 0 and q3 < 0):
@@ -297,10 +339,14 @@ def encode_jls(img: np.ndarray, precision: int | None = None) -> bytes:
             errval = int(px[r, c]) - pred
             if sign < 0:
                 errval = -errval
+            errval = st.quantize_error(errval)
             if errval < 0:
                 errval += st.range
             if errval >= (st.range + 1) // 2:
                 errval -= st.range
+            rec[r, c] = st.reconstruct(
+                pred, errval if sign > 0 else -errval
+            )
             k = st.golomb_k(q, st.A[q])
             if k == 0 and 2 * st.B[q] <= -st.N[q]:
                 merr = 2 * errval + 1 if errval >= 0 else -2 * (errval + 1)
@@ -314,21 +360,24 @@ def encode_jls(img: np.ndarray, precision: int | None = None) -> bytes:
     out = bytearray(_SOI)
     sof = struct.pack(">BHHB", precision, h, w, 1) + bytes([1, 0x11, 0])
     out += _SOF55 + struct.pack(">H", 2 + len(sof)) + sof
-    # SOS: 1 component, mapping table 0; NEAR=0, ILV=0, Al/Ah=0
-    sos = bytes([1, 1, 0x00, 0, 0, 0x00])
+    # SOS: 1 component, mapping table 0; NEAR, ILV=0, Al/Ah=0
+    sos = bytes([1, 1, 0x00, near, 0, 0x00])
     out += _SOS + struct.pack(">H", 2 + len(sos)) + sos
     out += bw.out
     out += _EOI
     return bytes(out)
 
 
-def _encode_run(bw, st, px, r, c, w, a, b) -> int:
-    """Run mode (A.7): count the run of Ra, emit J-table blocks, then
-    the interruption sample unless the line ended. Returns next col."""
+def _encode_run(bw, st, px, rec, r, c, w, a) -> int:
+    """Run mode (A.7): count the run of Ra (within +/-NEAR for
+    near-lossless — run samples RECONSTRUCT to the run value), emit
+    J-table blocks, then the interruption sample unless the line
+    ended. Returns next col."""
     runval = a
     start = c
-    while c < w and int(px[r, c]) == runval:
+    while c < w and abs(int(px[r, c]) - runval) <= st.near:
         c += 1
+    rec[r, start:c] = runval
     runcnt = c - start
     while runcnt >= (1 << _J[st.run_index]):
         bw.write(1, 1)
@@ -346,16 +395,19 @@ def _encode_run(bw, st, px, r, c, w, a, b) -> int:
     if st.run_index > 0:
         st.run_index -= 1
     # run interruption sample
-    _, rb, _, _ = _neighbors(px, r, c, w)
-    ritype = 1 if runval == rb else 0
+    _, rb, _, _ = _neighbors(rec, r, c, w)
+    ritype = 1 if abs(runval - rb) <= st.near else 0
     pred = runval if ritype else rb
     errval = int(px[r, c]) - pred
-    if ritype == 0 and runval > rb:
+    sign = -1 if (ritype == 0 and runval > rb) else 1
+    if sign < 0:
         errval = -errval
+    errval = st.quantize_error(errval)
     if errval < 0:
         errval += st.range
     if errval >= (st.range + 1) // 2:
         errval -= st.range
+    rec[r, c] = st.reconstruct(pred, errval if sign > 0 else -errval)
     q = 365 + ritype
     temp = st.A[q] + (st.N[q] >> 1) if ritype else st.A[q]
     k = st.golomb_k(q, temp)
@@ -407,16 +459,18 @@ def decode_jls(data: bytes) -> tuple[np.ndarray, int]:
             if frame is None:
                 raise ValueError("corrupt stream: SOS before SOF55")
             near, ilv = seg[1 + 2 * seg[0]], seg[2 + 2 * seg[0]]
-            if near != 0 or ilv != 0:
-                raise NotImplementedError("NEAR>0 / interleaved scans")
-            return _decode_scan(data, pos + seglen, *frame)
+            if ilv != 0:
+                raise NotImplementedError("interleaved scans")
+            return _decode_scan(data, pos + seglen, *frame, near)
         pos += seglen
     raise ValueError("corrupt stream: no SOS marker")
 
 
-def _decode_scan(data: bytes, pos: int, precision: int, h: int, w: int):
+def _decode_scan(
+    data: bytes, pos: int, precision: int, h: int, w: int, near: int = 0
+):
     maxval = (1 << precision) - 1
-    st = _State(maxval)
+    st = _State(maxval, near)
     br = _StuffReader(data, pos)
     px = np.zeros((h, w), np.int64)
     for r in range(h):
@@ -424,7 +478,8 @@ def _decode_scan(data: bytes, pos: int, precision: int, h: int, w: int):
         while c < w:
             a, b, cc, d = _neighbors(px, r, c, w)
             d1, d2, d3 = d - b, b - cc, cc - a
-            if d1 == 0 and d2 == 0 and d3 == 0:
+            if st.quantize(d1) == 0 and st.quantize(d2) == 0 \
+                    and st.quantize(d3) == 0:
                 c = _decode_run(br, st, px, r, c, w, a)
                 continue
             q1, q2, q3 = st.quantize(d1), st.quantize(d2), st.quantize(d3)
@@ -444,10 +499,9 @@ def _decode_scan(data: bytes, pos: int, precision: int, h: int, w: int):
             else:
                 errval = merr // 2 if merr % 2 == 0 else -((merr + 1) // 2)
             st.update_regular(q, errval)
-            if sign < 0:
-                errval = -errval
-            val = (pred + errval) % st.range
-            px[r, c] = val
+            px[r, c] = st.reconstruct(
+                pred, errval if sign > 0 else -errval
+            )
             c += 1
     dtype = np.uint8 if precision <= 8 else np.uint16
     return px.astype(dtype), precision
@@ -482,7 +536,7 @@ def _decode_run(br, st, px, r, c, w, a) -> int:
             break
     # run interruption sample — closed-form inverse of the emap parity
     _, rb, _, _ = _neighbors(px, r, c, w)
-    ritype = 1 if runval == rb else 0
+    ritype = 1 if abs(runval - rb) <= st.near else 0
     pred = runval if ritype else rb
     sign = -1 if (ritype == 0 and runval > rb) else 1
     q = 365 + ritype
@@ -503,5 +557,5 @@ def _decode_run(br, st, px, r, c, w, a) -> int:
         st.N[q] >>= 1
         st.Nn[ritype] >>= 1
     st.N[q] += 1
-    px[r, c] = (pred + sign * errval) % st.range
+    px[r, c] = st.reconstruct(pred, errval if sign > 0 else -errval)
     return c + 1

@@ -3775,9 +3775,11 @@ def q_multimodal_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bit-stuffing) and decoded back bit-exactly. Lossless means "
     "integer pixel moments are predictable from the synthesis "
     "formula, so the oracle replays it in SQL. This closes the "
-    "context-adaptive entropy-coding slot of the codec story "
-    "(remaining honest gates: T.81 QM arithmetic modes, NEAR>0, "
-    "multi-component scans). Arrow-batched mapInPandas; per-file "
+    "context-adaptive entropy-coding slot of the codec story; NEAR>0 "
+    "near-lossless mode is implemented too (tests-enforced +/-NEAR "
+    "bound - a lossy cycle is not SQL-oracle-able). Remaining honest "
+    "gates: T.81 QM arithmetic modes, multi-component scans. "
+    "Arrow-batched mapInPandas; per-file "
     "decode never crosses executors.",
 )
 def q_multimodal_jls(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1248,3 +1248,52 @@ def test_mdct_codec_rejects_bad_input():
         encode_mdct_audio(np.zeros(5, np.float64))
     with pytest.raises(ValueError):
         decode_mdct_audio(b"nope" + b"\x00" * 16)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=30),
+    st.integers(min_value=1, max_value=30),
+    st.sampled_from([8, 12, 16]),
+    st.integers(min_value=0, max_value=6),
+    st.randoms(use_true_random=False),
+)
+def test_jls_near_lossless_error_bound(h, w, precision, near, rnd):
+    """NEAR-lossless mode: every reconstructed sample within +/-NEAR
+    of the input, for any content, depth, and NEAR — including the
+    run-mode paths (|Di| <= NEAR triggers, fuzzy run matching)."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.jlscodec import (
+        decode_jls,
+        encode_jls,
+    )
+
+    lim = 1 << precision
+    dt = np.uint16 if precision > 8 else np.uint8
+    img = np.array(
+        [[rnd.randrange(lim) for _ in range(w)] for _ in range(h)], dt
+    )
+    dec, prec = decode_jls(encode_jls(img, precision=precision, near=near))
+    assert prec == precision
+    err = np.abs(dec.astype(np.int64) - img.astype(np.int64)).max()
+    assert err <= near
+
+
+def test_jls_near_shrinks_bitstream():
+    """On smooth-plus-noise content the NEAR ladder must monotonically
+    shrink the stream (the whole point of near-lossless mode)."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.jlscodec import encode_jls
+
+    rng = np.random.RandomState(7)
+    r = np.arange(64)[:, None]
+    c = np.arange(64)[None, :]
+    img = (
+        ((2 * r + 3 * c) % 256 + rng.randint(-2, 3, (64, 64)))
+        .clip(0, 255)
+        .astype(np.uint8)
+    )
+    sizes = [len(encode_jls(img, near=n)) for n in (0, 1, 3)]
+    assert sizes[2] < sizes[1] < sizes[0]
