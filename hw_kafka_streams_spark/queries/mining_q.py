@@ -2363,3 +2363,78 @@ def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("word", "n_count", "pieces", "n_pieces", "cost")
         .orderBy("word")
     )
+
+
+@register(
+    "q_association_rules",
+    oracle="""
+        WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                   FROM lineitem),
+        nn AS (SELECT count(DISTINCT o) AS n FROM b),
+        ic AS (SELECT p, count(*) AS c FROM b GROUP BY 1),
+        pairs AS (
+          SELECT a.p AS pa, c.p AS pb, count(*) AS np
+          FROM b a JOIN b c ON a.o = c.o AND a.p < c.p
+          GROUP BY 1, 2 HAVING count(*) >= 2
+        )
+        SELECT CAST(pa AS BIGINT) AS part_a, CAST(pb AS BIGINT) AS part_b,
+               CAST(np AS BIGINT) AS n_both,
+               round(np * 1.0 / nn.n, 6) AS support,
+               round(np * 1.0 / ia.c, 6) AS conf_a_to_b,
+               round(np * 1.0 / ib.c, 6) AS conf_b_to_a,
+               round(np * 1.0 * nn.n / (ia.c * ib.c), 6) AS lift
+        FROM pairs
+        JOIN ic ia ON ia.p = pairs.pa
+        JOIN ic ib ON ib.p = pairs.pb
+        CROSS JOIN nn
+        ORDER BY lift DESC, part_a, part_b LIMIT 40
+    """,
+    doc="Market-basket association rules (Agrawal & Srikant 1994, the "
+    "Apriori support/confidence/lift readout) over order baskets: "
+    "frequent part pairs (min support count 2) with both rule "
+    "directions' confidence and the symmetric lift. Scale shape: the "
+    "pair enumeration is a per-basket self-join - bounded by basket "
+    "size squared per order, never corpus-quadratic - and the item "
+    "counts broadcast back onto the filtered pair table; every "
+    "statistic is one integer-ratio division rounded at the output "
+    "edge, so both engines agree bit-for-bit. Top-40 by lift via "
+    "TakeOrderedAndProject.",
+)
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = (
+        load_table(spark, "lineitem", sf_dir)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    from hw_kafka_streams_spark.cache import managed_persist
+
+    b = managed_persist(b)
+    n_orders = b.select("o").distinct().count()
+    ic = b.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+    a = b.select(F.col("o").alias("o1"), F.col("p").alias("pa"))
+    c = b.select(F.col("o").alias("o2"), F.col("p").alias("pb"))
+    pairs = (
+        a.join(c, (F.col("o1") == F.col("o2")) & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("np"))
+        .filter(F.col("np") >= 2)
+    )
+    ia = ic.select(F.col("p").alias("pa"), F.col("c").alias("ca"))
+    ib = ic.select(F.col("p").alias("pb"), F.col("c").alias("cb"))
+    return (
+        pairs.join(F.broadcast(ia), "pa")
+        .join(F.broadcast(ib), "pb")
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            F.col("np").alias("n_both"),
+            F.round(F.col("np") / F.lit(n_orders), 6).alias("support"),
+            F.round(F.col("np") / F.col("ca"), 6).alias("conf_a_to_b"),
+            F.round(F.col("np") / F.col("cb"), 6).alias("conf_b_to_a"),
+            F.round(
+                F.col("np") * F.lit(n_orders) / (F.col("ca") * F.col("cb")), 6
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(40)
+    )
