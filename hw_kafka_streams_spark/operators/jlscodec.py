@@ -26,10 +26,12 @@ Implemented from the public T.87 decoding/encoding procedures:
 - T.87 bit-stuffing (a 0 bit is inserted after every 0xFF byte so no
   marker can appear in entropy data) and the SOF55/SOS marker frame.
 
-Scope gates (honest, like flaccodec's): single component, precision
-8-16 (the default-threshold formula below is the MAXVAL>=128 branch of
-the spec; sub-8-bit thresholds differ), default T1/T2/T3/RESET only
-(so no LSE segment is emitted). NEAR-lossless mode (NEAR > 0) IS
+Scope gates (honest, like flaccodec's): precision 8-16 (the
+default-threshold formula below is the MAXVAL>=128 branch of the
+spec; sub-8-bit thresholds differ), default T1/T2/T3/RESET only (so
+no LSE segment is emitted), and NON-INTERLEAVED multi-component
+layout only (ILV=0, one scan per component — the line/sample
+interleaved modes ILV 1/2 are the remaining layout gate). NEAR-lossless mode (NEAR > 0) IS
 implemented: errors quantize onto the 2*NEAR+1 grid, both sides run
 the context machinery over the reconstructed plane, and every decoded
 sample is within +/-NEAR of the source (hypothesis-enforced). Interop against an
@@ -294,22 +296,45 @@ def _neighbors(px: np.ndarray, r: int, c: int, w: int) -> tuple[int, int, int, i
 def encode_jls(
     img: np.ndarray, precision: int | None = None, near: int = 0
 ) -> bytes:
-    """Encode a 2-D gray array as a single-component JPEG-LS stream
-    (SOF55, default thresholds, no LSE segment). ``near`` > 0 selects
-    NEAR-LOSSLESS mode: every reconstructed sample is within
-    +/-``near`` of the input (T.87 A.4.4/A.4.5 quantization, the
-    context machinery running over the reconstructed plane on both
-    sides)."""
-    if img.ndim != 2:
-        raise ValueError("encode_jls expects a 2-D gray array")
+    """Encode a gray (2-D) or multi-component (h, w, ncomp<=4) array
+    as a JPEG-LS stream (SOF55, default thresholds, no LSE segment).
+    Multi-component images use the spec's NON-INTERLEAVED layout
+    (ILV=0): one SOS + complete scan per component, coder state
+    reinitialized per scan. ``near`` > 0 selects NEAR-LOSSLESS mode:
+    every reconstructed sample is within +/-``near`` of the input
+    (T.87 A.4.4/A.4.5 quantization, the context machinery running
+    over the reconstructed plane on both sides)."""
+    if img.ndim == 2:
+        planes = [img]
+    elif img.ndim == 3 and 1 <= img.shape[2] <= 4:
+        planes = [img[:, :, i] for i in range(img.shape[2])]
+    else:
+        raise ValueError("encode_jls expects (h, w) or (h, w, ncomp<=4)")
     if precision is None:
         precision = 8 if img.dtype == np.uint8 else 16
     if not 8 <= precision <= 16:
         raise NotImplementedError("JPEG-LS precision must be 8-16 here")
     maxval = (1 << precision) - 1
-    px = img.astype(np.int64)
-    if px.min() < 0 or px.max() > maxval:
+    if int(img.min()) < 0 or int(img.max()) > maxval:
         raise ValueError(f"sample out of range for {precision}-bit")
+    h, w = planes[0].shape
+    out = bytearray(_SOI)
+    comp_spec = b"".join(
+        bytes([ci + 1, 0x11, 0]) for ci in range(len(planes))
+    )
+    sof = struct.pack(">BHHB", precision, h, w, len(planes)) + comp_spec
+    out += _SOF55 + struct.pack(">H", 2 + len(sof)) + sof
+    for ci, plane in enumerate(planes):
+        # SOS: 1 component per scan (non-interleaved), mapping table 0
+        sos = bytes([1, ci + 1, 0x00, near, 0, 0x00])
+        out += _SOS + struct.pack(">H", 2 + len(sos)) + sos
+        out += _encode_plane(plane.astype(np.int64), maxval, near)
+    out += _EOI
+    return bytes(out)
+
+
+def _encode_plane(px: np.ndarray, maxval: int, near: int) -> bytes:
+    """One complete single-component scan (fresh coder state)."""
     h, w = px.shape
     st = _State(maxval, near)
     bw = _StuffWriter()
@@ -356,16 +381,7 @@ def encode_jls(
             st.update_regular(q, errval)
             c += 1
     bw.flush()
-
-    out = bytearray(_SOI)
-    sof = struct.pack(">BHHB", precision, h, w, 1) + bytes([1, 0x11, 0])
-    out += _SOF55 + struct.pack(">H", 2 + len(sof)) + sof
-    # SOS: 1 component, mapping table 0; NEAR, ILV=0, Al/Ah=0
-    sos = bytes([1, 1, 0x00, near, 0, 0x00])
-    out += _SOS + struct.pack(">H", 2 + len(sos)) + sos
-    out += bw.out
-    out += _EOI
-    return bytes(out)
+    return bytes(bw.out)
 
 
 def _encode_run(bw, st, px, rec, r, c, w, a) -> int:
@@ -432,12 +448,18 @@ def _encode_run(bw, st, px, rec, r, c, w, a) -> int:
 
 
 def decode_jls(data: bytes) -> tuple[np.ndarray, int]:
-    """Decode a single-component JPEG-LS stream produced by
-    :func:`encode_jls`. Returns ``(plane, precision)``."""
+    """Decode a JPEG-LS stream produced by :func:`encode_jls`.
+    Returns ``(plane_or_stack, precision)`` — a 2-D array for gray,
+    (h, w, ncomp) for multi-component (one non-interleaved scan per
+    component; T.87 bit-stuffing guarantees no marker byte pair can
+    occur inside entropy data, so the next SOS is found by scanning
+    forward from the end of the decoded scan)."""
     if data[:2] != _SOI:
         raise ValueError("not a JPEG-LS stream (no SOI)")
     pos = 2
     frame = None
+    planes: list[np.ndarray] = []
+    ncomp = 1
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("corrupt stream: expected marker")
@@ -450,8 +472,9 @@ def decode_jls(data: bytes) -> tuple[np.ndarray, int]:
         if marker == 0xF7:  # SOF55
             precision = seg[0]
             h, w = struct.unpack(">HH", seg[1:5])
-            if seg[5] != 1:
-                raise NotImplementedError("multi-component JPEG-LS")
+            ncomp = seg[5]
+            if not 1 <= ncomp <= 4:
+                raise NotImplementedError(f"{ncomp}-component JPEG-LS")
             frame = (precision, h, w)
         elif marker == 0xF8:
             raise NotImplementedError("LSE parameter segments")
@@ -461,9 +484,17 @@ def decode_jls(data: bytes) -> tuple[np.ndarray, int]:
             near, ilv = seg[1 + 2 * seg[0]], seg[2 + 2 * seg[0]]
             if ilv != 0:
                 raise NotImplementedError("interleaved scans")
-            return _decode_scan(data, pos + seglen, *frame, near)
+            plane, end = _decode_scan(data, pos + seglen, *frame, near)
+            planes.append(plane)
+            if len(planes) == ncomp:
+                if ncomp == 1:
+                    return planes[0], frame[0]
+                return np.stack(planes, axis=2), frame[0]
+            # next marker follows the (byte-padded) entropy data
+            pos = data.index(b"\xff", end)
+            continue
         pos += seglen
-    raise ValueError("corrupt stream: no SOS marker")
+    raise ValueError("corrupt stream: missing scans")
 
 
 def _decode_scan(
@@ -504,7 +535,7 @@ def _decode_scan(
             )
             c += 1
     dtype = np.uint8 if precision <= 8 else np.uint16
-    return px.astype(dtype), precision
+    return px.astype(dtype), br.pos
 
 
 def _decode_run(br, st, px, r, c, w, a) -> int:

@@ -1652,3 +1652,65 @@ def mclv_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         schema="doc_id long, n_frames int, height int, width int, "
         "sum_v long, sum_sq long",
     )
+
+
+def synthesize_jls_rgb_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One REAL multi-component JPEG-LS stream per row: doc i carries
+    a (12 + (i%4)*4) x (20 + (i%3)*6) x 3 RGB image with
+    v(r, c, ch) = (7*i + 13*r + 17*c + 31*ch*(1 + r%3)) mod 256 —
+    channel-dependent gradients so the three non-interleaved scans
+    carry genuinely different statistics."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.jlscodec import encode_jls
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                h = 12 + (i % 4) * 4
+                w = 20 + (i % 3) * 6
+                r = np.arange(h, dtype=np.int64)[:, None, None]
+                c = np.arange(w, dtype=np.int64)[None, :, None]
+                ch = np.arange(3, dtype=np.int64)[None, None, :]
+                img = (
+                    (7 * i + 13 * r + 17 * c + 31 * ch * (1 + r % 3)) % 256
+                ).astype(np.uint8)
+                payloads.append(encode_jls(img))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+
+
+def jls_rgb_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Exact channel-summed pixel stats over decoded multi-component
+    JPEG-LS streams (lossless -> oracle-predictable)."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.jlscodec import decode_jls
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, data in zip(pdf["doc_id"], pdf[payload_col]):
+                px, _ = decode_jls(bytes(data))
+                v = px.astype(np.int64)
+                out.append(
+                    (doc_id, px.shape[0], px.shape[1], px.shape[2],
+                     int(v.sum()), int((v * v).sum()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "height", "width", "n_channels",
+                         "sum_v", "sum_sq"],
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        work,
+        schema="doc_id long, height int, width int, n_channels int, "
+        "sum_v long, sum_sq long",
+    )

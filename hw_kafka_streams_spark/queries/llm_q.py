@@ -3778,7 +3778,7 @@ def q_multimodal_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
     "context-adaptive entropy-coding slot of the codec story; NEAR>0 "
     "near-lossless mode is implemented too (tests-enforced +/-NEAR "
     "bound - a lossy cycle is not SQL-oracle-able). Remaining honest "
-    "gates: T.81 QM arithmetic modes, multi-component scans. "
+    "gates: T.81 QM arithmetic modes, interleaved (ILV 1/2) scans. "
     "Arrow-batched mapInPandas; per-file "
     "decode never crosses executors.",
 )
@@ -3840,3 +3840,47 @@ def q_multimodal_mclv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 100)
     return mclv_stats(synthesize_mclv_payloads(docs)).orderBy("doc_id")
+
+
+@register(
+    "q_multimodal_jls_rgb",
+    oracle="""
+        WITH base AS (
+          SELECT doc_id, CAST(12 + (doc_id % 4) * 4 AS INT) AS h,
+                 CAST(20 + (doc_id % 3) * 6 AS INT) AS w
+          FROM documents WHERE doc_id < 90
+        ), rows_ AS (
+          SELECT doc_id, h, w, unnest(range(h)) AS r FROM base
+        ), cols AS (
+          SELECT doc_id, h, w, r, unnest(range(w)) AS c FROM rows_
+        ), px AS (
+          SELECT doc_id, h, w,
+                 (7 * doc_id + 13 * r + 17 * c + 31 * ch * (1 + r % 3))
+                 % 256 AS v
+          FROM (SELECT doc_id, h, w, r, c, unnest(range(3)) AS ch
+                FROM cols)
+        )
+        SELECT doc_id, CAST(max(h) AS INT) AS height,
+               CAST(max(w) AS INT) AS width,
+               CAST(3 AS INT) AS n_channels,
+               CAST(sum(v) AS BIGINT) AS sum_v,
+               CAST(sum(v * v) AS BIGINT) AS sum_sq
+        FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Multi-component JPEG-LS decode: per-doc RGB planes (channel-"
+    "dependent gradients) genuinely encoded as T.87 NON-INTERLEAVED "
+    "streams - one SOS + complete scan per component, coder state "
+    "reinitialized per scan, the next scan located by marker search "
+    "(bit-stuffing guarantees no marker inside entropy data) - and "
+    "decoded back bit-exactly, so channel-summed pixel moments are "
+    "oracle-predicted. Closes the multi-component gate; ILV 1/2 "
+    "interleaved layouts remain. Arrow-batched mapInPandas.",
+)
+def q_multimodal_jls_rgb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.multimodal import (
+        jls_rgb_stats,
+        synthesize_jls_rgb_payloads,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 90)
+    return jls_rgb_stats(synthesize_jls_rgb_payloads(docs)).orderBy("doc_id")

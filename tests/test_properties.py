@@ -1297,3 +1297,37 @@ def test_jls_near_shrinks_bitstream():
     )
     sizes = [len(encode_jls(img, near=n)) for n in (0, 1, 3)]
     assert sizes[2] < sizes[1] < sizes[0]
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=2, max_value=4),
+    st.sampled_from([8, 16]),
+    st.integers(min_value=0, max_value=2),
+    st.randoms(use_true_random=False),
+)
+def test_jls_multicomponent_roundtrip(h, w, ncomp, precision, near, rnd):
+    """Non-interleaved multi-component streams: one scan per
+    component with fresh coder state; lossless when NEAR=0, +/-NEAR
+    otherwise; marker search must find every next scan."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.jlscodec import (
+        decode_jls,
+        encode_jls,
+    )
+
+    lim = 1 << precision
+    dt = np.uint16 if precision > 8 else np.uint8
+    img = np.array(
+        [[[rnd.randrange(lim) for _ in range(ncomp)] for _ in range(w)]
+         for _ in range(h)],
+        dt,
+    )
+    dec, prec = decode_jls(encode_jls(img, precision=precision, near=near))
+    assert prec == precision
+    assert dec.shape == (h, w, ncomp)
+    err = np.abs(dec.astype(np.int64) - img.astype(np.int64)).max()
+    assert err <= near
