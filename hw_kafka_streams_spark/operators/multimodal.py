@@ -1056,7 +1056,9 @@ def synthesize_real_tiff_payloads(
     the PNG synthesizer (pixel (y, x) of doc i = ((5i + 2x + 3y) % 256,
     (3i + x + 2y) % 256, (7i + 4x + y) % 256), dims (8 + i%7) rows x
     (8 + i%9) cols); every third doc encodes BIG-ENDIAN (MM) so the
-    oracled decode exercises both byte orders."""
+    oracled decode exercises both byte orders, and compression cycles
+    none / TIFF-LZW / Deflate by i%4 (i%4==3 adds the horizontal-
+    differencing predictor) — lossless, so the oracle is untouched."""
     import numpy as np
 
     from hw_kafka_streams_spark.operators.tiffcodec import encode_tiff_rgb
@@ -1077,8 +1079,15 @@ def synthesize_real_tiff_payloads(
                     ],
                     axis=-1,
                 ).astype(np.uint8)
+                comp = {0: 1, 1: 5, 2: 8, 3: 5}[i % 4]
+                pred = 2 if i % 4 == 3 else 1
                 payloads.append(
-                    encode_tiff_rgb(img, ">" if i % 3 == 0 else "<")
+                    encode_tiff_rgb(
+                        img,
+                        ">" if i % 3 == 0 else "<",
+                        compression=comp,
+                        predictor=pred,
+                    )
                 )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 

@@ -8,11 +8,15 @@ JPEG baseline+progressive, PNG, GIF incl. animation, MJPEG-AVI, Y4M).
 Lossless, so every decoded pixel is closed-form predictable from the
 synthesis formula (q_multimodal_tiff hashes exact channel means).
 
-Scope: 8-bit samples, Compression=1 (none), PhotometricInterpretation
-1 (gray, black-is-zero) and 2 (RGB), one or more strips, both byte
-orders, SHORT/LONG tag types, out-of-line value arrays (strip offset/
-count lists). LZW/Deflate/JPEG-in-TIFF compression raise honestly —
-their pixel paths belong to the dedicated codecs.
+Scope: 8-bit samples, PhotometricInterpretation 1 (gray,
+black-is-zero) and 2 (RGB), one or more strips, both byte orders,
+SHORT/LONG tag types, out-of-line value arrays (strip offset/count
+lists); Compression 1 (none), 5 (TIFF 6.0 §13 LZW — MSB-first code
+packing, early width change, per-strip streams, table-full resets)
+and 8/32946 (Deflate via stdlib zlib, the PNG codec's dependency
+stance), each both ways, plus the tag-317 horizontal-differencing
+predictor. JPEG-in-TIFF raises honestly — that pixel path belongs to
+the dedicated JPEG codec.
 """
 
 from __future__ import annotations
@@ -22,13 +26,40 @@ import struct
 import numpy as np
 
 
-def encode_tiff_rgb(rgb: np.ndarray, byte_order: str = "<") -> bytes:
-    """Encode an (h, w, 3) uint8 RGB array as an uncompressed TIFF
-    (single strip, chunky RGB). ``byte_order``: '<' II little-endian
-    or '>' MM big-endian — both decode, so tests cover each."""
+def encode_tiff_rgb(
+    rgb: np.ndarray,
+    byte_order: str = "<",
+    compression: int = 1,
+    predictor: int = 1,
+) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a TIFF (single strip,
+    chunky RGB). ``byte_order``: '<' II little-endian or '>' MM
+    big-endian. ``compression``: 1 = none, 5 = TIFF-LZW (MSB-first
+    code packing with the spec's early width change), 8 = Deflate
+    (Adobe/TIFF 6 style, stdlib zlib — the same dependency stance as
+    the PNG codec). ``predictor``: 1 = none, 2 = horizontal
+    differencing per sample (tag 317) applied before compression."""
     e = byte_order
     h, w = rgb.shape[:2]
-    pixels = rgb.tobytes()
+    raw = rgb
+    if predictor == 2:
+        raw = raw.astype(np.int16)
+        raw = np.concatenate(
+            [raw[:, :1, :], np.diff(raw, axis=1)], axis=1
+        ).astype(np.uint8)  # mod-256 differences
+    elif predictor != 1:
+        raise ValueError(f"predictor must be 1 or 2, got {predictor}")
+    body = raw.tobytes()
+    if compression == 1:
+        pixels = body
+    elif compression == 5:
+        pixels = _lzw_compress(body)
+    elif compression == 8:
+        import zlib
+
+        pixels = zlib.compress(body, 9)
+    else:
+        raise ValueError(f"unsupported compression {compression}")
     # layout: header(8) + pixel data + BitsPerSample array(6) + IFD
     px_off = 8
     bps_off = px_off + len(pixels)
@@ -37,13 +68,16 @@ def encode_tiff_rgb(rgb: np.ndarray, byte_order: str = "<") -> bytes:
         (256, 4, 1, w),            # ImageWidth
         (257, 4, 1, h),            # ImageLength
         (258, 3, 3, bps_off),      # BitsPerSample -> offset to [8,8,8]
-        (259, 3, 1, 1),            # Compression: none
+        (259, 3, 1, compression),  # Compression
         (262, 3, 1, 2),            # Photometric: RGB
         (273, 4, 1, px_off),       # StripOffsets
         (277, 3, 1, 3),            # SamplesPerPixel
         (278, 4, 1, h),            # RowsPerStrip: one strip
         (279, 4, 1, len(pixels)),  # StripByteCounts
     ]
+    if predictor == 2:
+        entries.append((317, 3, 1, 2))  # Predictor: horizontal diff
+    entries.sort()
     ifd = struct.pack(e + "H", len(entries))
     for tag, typ, cnt, val in entries:
         if typ == 3 and cnt == 1:
@@ -101,10 +135,10 @@ def decode_tiff_pixels(data: bytes) -> np.ndarray:
         raise ValueError("corrupt TIFF: missing dimensions")
     w, h = w[0], h[0]
     comp = (values(259, [1]) or [1])[0]
-    if comp != 1:
+    if comp not in (1, 5, 8, 32946):
         raise NotImplementedError(
-            f"TIFF compression {comp} (only 1 = none; LZW/Deflate/JPEG "
-            "belong to the dedicated codecs)"
+            f"TIFF compression {comp} (1/5 LZW/8 Deflate supported; "
+            "JPEG-in-TIFF belongs to the dedicated codec)"
         )
     photometric = (values(262, [1]) or [1])[0]
     spp = (values(277, [1]) or [1])[0]
@@ -119,14 +153,123 @@ def decode_tiff_pixels(data: bytes) -> np.ndarray:
     counts = values(279)
     if not offsets or not counts or len(offsets) != len(counts):
         raise ValueError("corrupt TIFF: bad strip tables")
-    raw = b"".join(
-        data[o : o + c] for o, c in zip(offsets, counts)
-    )
+    strips = [data[o : o + c] for o, c in zip(offsets, counts)]
+    if comp == 5:
+        strips = [_lzw_decompress(sdata) for sdata in strips]
+    elif comp in (8, 32946):
+        import zlib
+
+        strips = [zlib.decompress(sdata) for sdata in strips]
+    raw = b"".join(strips)
     if len(raw) < h * w * spp:
         raise ValueError("corrupt TIFF: truncated strip data")
     px = np.frombuffer(raw, dtype=np.uint8, count=h * w * spp).reshape(
         h, w, spp
     )
+    predictor = (values(317, [1]) or [1])[0]
+    if predictor == 2:
+        px = np.cumsum(px.astype(np.int64), axis=1).astype(np.uint8)
+    elif predictor != 1:
+        raise NotImplementedError(f"TIFF predictor {predictor}")
     if spp == 1:
         return np.repeat(px, 3, axis=2)
     return px.copy()
+
+
+def _lzw_compress(data: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW: MSB-first code packing, ClearCode 256, EOI
+    257, first table code 258, and the spec's EARLY width change (the
+    writer widens one code before the table actually overflows —
+    TIFF's historical off-by-one, distinct from GIF's LZW in both bit
+    order and change point)."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+        acc &= (1 << nbits) - 1
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(256, width)  # leading ClearCode
+    cur = b""
+    for byte in data:
+        cand = cur + bytes([byte])
+        if cand in table:
+            cur = cand
+            continue
+        emit(table[cur], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:  # early change
+            width += 1
+        if next_code >= 4094:  # table full: reset
+            emit(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        cur = bytes([byte])
+    if cur:
+        emit(table[cur], width)
+    emit(257, width)  # EOI
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes) -> bytes:
+    """Inverse of :func:`_lzw_compress` (KwKwK handled)."""
+    out = bytearray()
+    pos = acc = nbits = 0
+    width = 9
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    prev = b""
+
+    def read() -> int:
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            if pos >= len(data):
+                return 257  # truncated: treat as EOI
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        return code
+
+    while True:
+        code = read()
+        if code == 257:
+            break
+        if code == 256:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = b""
+            continue
+        if prev == b"":
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code}")
+        out += entry
+        prev = entry
+        # mirror the encoder's early change. The decoder's table lags
+        # the encoder by exactly one entry (the encoder adds right
+        # after emitting; the decoder adds on the NEXT code), so where
+        # the encoder widens at next_code == (1<<width)-1 the decoder
+        # widens at len == (1<<width)-2. The encoder's table-full
+        # reset arrives as an ordinary ClearCode, handled above.
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+    return bytes(out)

@@ -1331,3 +1331,67 @@ def test_jls_multicomponent_roundtrip(h, w, ncomp, precision, near, rnd):
     assert dec.shape == (h, w, ncomp)
     err = np.abs(dec.astype(np.int64) - img.astype(np.int64)).max()
     assert err <= near
+
+
+# ---------------------------------------- TIFF LZW / Deflate / predictor
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.sampled_from([1, 5, 8]),
+    st.sampled_from([1, 2]),
+    st.sampled_from(["<", ">"]),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_tiff_compression_roundtrip(h, w, comp, pred, bo, seed):
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.tiffcodec import (
+        decode_tiff_pixels,
+        encode_tiff_rgb,
+    )
+
+    img = (
+        np.random.RandomState(seed).randint(0, 256, (h, w, 3)).astype(np.uint8)
+    )
+    dec = decode_tiff_pixels(
+        encode_tiff_rgb(img, bo, compression=comp, predictor=pred)
+    )
+    assert np.array_equal(dec, img)
+
+
+def test_tiff_lzw_kernel_resets_and_early_change():
+    """The LZW pair must survive table-full resets (>4k dictionary
+    entries -> embedded ClearCodes) and the TIFF early width change;
+    repetitive data must compress far below raw."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.tiffcodec import (
+        _lzw_compress,
+        _lzw_decompress,
+    )
+
+    rng = np.random.RandomState(9)
+    long_random = bytes(rng.randint(0, 256, 200_000).astype(np.uint8))
+    assert _lzw_decompress(_lzw_compress(long_random)) == long_random
+    rep = b"abcabd" * 20_000
+    enc = _lzw_compress(rep)
+    assert len(enc) * 4 < len(rep)
+    assert _lzw_decompress(enc) == rep
+    assert _lzw_decompress(_lzw_compress(b"")) == b""
+
+
+def test_tiff_predictor_improves_gradient_compression():
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.tiffcodec import encode_tiff_rgb
+
+    r = np.arange(64)[:, None, None]
+    c = np.arange(64)[None, :, None]
+    img = ((r + c + np.arange(3)[None, None, :]) % 256).astype(np.uint8)
+    plain = len(encode_tiff_rgb(img, compression=5, predictor=1))
+    pred = len(encode_tiff_rgb(img, compression=5, predictor=2))
+    raw = len(encode_tiff_rgb(img))
+    assert pred < plain < raw
