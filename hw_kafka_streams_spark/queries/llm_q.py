@@ -1,7 +1,8 @@
 """LLM-training-data pipeline queries: dedup, similarity, text analysis.
 
-Oracle policy: ALL registered queries carry a DuckDB oracle (283/283 as
-of round 6; see QUERIES.md for the current registry count). Deterministic-arithmetic kernels (jaccard via inverted
+Oracle policy: ALL registered queries carry a DuckDB oracle (292/292 as
+of round 7; see QUERIES.md for the current registry count).
+Deterministic-arithmetic kernels (jaccard via inverted
 index, cosine, md5 fingerprints, token stats, charset lang-id) oracle
 directly. Signature schemes originally built on xxhash64 (MinHash,
 SimHash, RHP-LSH) run in md5-twin mode for the oracled queries — the
