@@ -2565,3 +2565,39 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q_gorilla_ts_blocks",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_points,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents,
+               CAST(min(epoch_us(ts)) AS BIGINT) AS ts_min_us,
+               CAST(max(epoch_us(ts)) AS BIGINT) AS ts_max_us
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Gorilla TSDB chunk build (Pelkonen et al., VLDB 2015 - the "
+    "Prometheus/InfluxDB storage lineage): each event-type series is "
+    "time-ordered and compressed into one real delta-of-delta + "
+    "XOR-window block (operators/gorillacodec.py), then DECODED and "
+    "reduced - the returned exact integer aggregates (cent-scaled "
+    "value sums, epoch-microsecond bounds) must equal the oracle's "
+    "aggregates over the raw table, proving the bit-exact lossless "
+    "cycle through real compression. applyInPandas keyed by series: "
+    "chunks never cross executors, append is per-chunk - the hot-tail "
+    "ingest shape of a 100 TB metrics store. block_bytes (the "
+    "compression readout) is asserted in tests, not oracled.",
+)
+def q_gorilla_ts_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.gorillacodec import (
+        gorilla_block_stats,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        gorilla_block_stats(ev)
+        .drop("block_bytes")
+        .orderBy("event_type")
+    )
