@@ -15,8 +15,10 @@ lists); Compression 1 (none), 5 (TIFF 6.0 §13 LZW — MSB-first code
 packing, early width change, per-strip streams, table-full resets)
 and 8/32946 (Deflate via stdlib zlib, the PNG codec's dependency
 stance), each both ways, plus the tag-317 horizontal-differencing
-predictor. JPEG-in-TIFF raises honestly — that pixel path belongs to
-the dedicated JPEG codec.
+predictor, and 7 (new-style JPEG-in-TIFF: complete interchange
+streams per strip through the in-house T.81 codec — lossy, so kept
+out of the fixture's lossless pixel oracle). The deprecated old-JPEG
+code 6 raises honestly.
 """
 
 from __future__ import annotations
@@ -41,6 +43,16 @@ def encode_tiff_rgb(
     differencing per sample (tag 317) applied before compression."""
     e = byte_order
     h, w = rgb.shape[:2]
+    if compression == 7:
+        if predictor != 1:
+            raise ValueError("predictor does not apply to JPEG strips")
+        from hw_kafka_streams_spark.operators.jpegcodec import (
+            encode_baseline_jpeg,
+        )
+
+        return _assemble_tiff(
+            e, h, w, encode_baseline_jpeg(rgb), 7, 1
+        )
     raw = rgb
     if predictor == 2:
         raw = raw.astype(np.int16)
@@ -60,6 +72,12 @@ def encode_tiff_rgb(
         pixels = zlib.compress(body, 9)
     else:
         raise ValueError(f"unsupported compression {compression}")
+    return _assemble_tiff(e, h, w, pixels, compression, predictor)
+
+
+def _assemble_tiff(
+    e: str, h: int, w: int, pixels: bytes, compression: int, predictor: int
+) -> bytes:
     # layout: header(8) + pixel data + BitsPerSample array(6) + IFD
     px_off = 8
     bps_off = px_off + len(pixels)
@@ -135,10 +153,10 @@ def decode_tiff_pixels(data: bytes) -> np.ndarray:
         raise ValueError("corrupt TIFF: missing dimensions")
     w, h = w[0], h[0]
     comp = (values(259, [1]) or [1])[0]
-    if comp not in (1, 5, 8, 32946):
+    if comp not in (1, 5, 7, 8, 32946):
         raise NotImplementedError(
-            f"TIFF compression {comp} (1/5 LZW/8 Deflate supported; "
-            "JPEG-in-TIFF belongs to the dedicated codec)"
+            f"TIFF compression {comp} (1 / 5 LZW / 7 JPEG / 8 Deflate "
+            "supported; the deprecated old-JPEG 6 is not)"
         )
     photometric = (values(262, [1]) or [1])[0]
     spp = (values(277, [1]) or [1])[0]
@@ -154,6 +172,20 @@ def decode_tiff_pixels(data: bytes) -> np.ndarray:
     if not offsets or not counts or len(offsets) != len(counts):
         raise ValueError("corrupt TIFF: bad strip tables")
     strips = [data[o : o + c] for o, c in zip(offsets, counts)]
+    if comp == 7:
+        # "new-style" JPEG-in-TIFF: each strip is a complete JPEG
+        # interchange stream; decode through the in-house T.81 codec
+        # and stack strip rows (lossy upstream, so the TIFF fixture
+        # keeps JPEG strips out of its lossless pixel oracle)
+        from hw_kafka_streams_spark.operators.jpegcodec import (
+            decode_baseline_jpeg,
+        )
+
+        parts = [decode_baseline_jpeg(sdata) for sdata in strips]
+        px = np.concatenate(parts, axis=0)
+        if px.shape[0] < h or px.shape[1] < w:
+            raise ValueError("corrupt TIFF: JPEG strips smaller than frame")
+        return px[:h, :w, :]
     if comp == 5:
         strips = [_lzw_decompress(sdata) for sdata in strips]
     elif comp in (8, 32946):

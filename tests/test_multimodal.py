@@ -1001,13 +1001,13 @@ def test_tiff_codec_roundtrip_and_guards():
     img = rng.integers(0, 256, size=(9, 13, 3), dtype=np.uint8)
     for bo in ("<", ">"):
         assert np.array_equal(decode_tiff_pixels(encode_tiff_rgb(img, bo)), img)
-    # JPEG-in-TIFF (tag 259 = 7) stays rejected as unimplemented;
-    # LZW (5) and Deflate (8) are real now and covered by the
-    # roundtrip suites in test_properties.py
+    # deprecated old-JPEG (tag 259 = 6) stays rejected as
+    # unimplemented; LZW (5), new-JPEG (7) and Deflate (8) are real
+    # now and covered by the suites in test_properties.py
     data = bytearray(encode_tiff_rgb(img))
     i = data.find(b"\x03\x01\x03\x00\x01\x00\x00\x00\x01\x00")
     assert i > 0
-    data[i + 8] = 7
+    data[i + 8] = 6
     with pytest.raises(NotImplementedError, match="compression"):
         decode_tiff_pixels(bytes(data))
     # header-only fake (no strip tables) is corrupt, not decodable

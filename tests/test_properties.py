@@ -1469,3 +1469,38 @@ def test_gorilla_rejects_bad_input():
         encode_gorilla(np.zeros((2, 2), np.int64), np.zeros((2, 2)))
     with pytest.raises(ValueError):
         decode_gorilla(b"nope")
+
+
+def test_tiff_jpeg_in_tiff_roundtrip_within_tolerance():
+    """Compression 7 (new-style JPEG-in-TIFF): each strip is a full
+    JPEG interchange stream decoded through the in-house T.81 codec;
+    lossy, so the check is tolerance + geometry, and the deprecated
+    old-JPEG code 6 must still raise."""
+    import numpy as np
+    import pytest
+
+    from hw_kafka_streams_spark.operators.tiffcodec import (
+        decode_tiff_pixels,
+        encode_tiff_rgb,
+    )
+
+    r = np.arange(40)[:, None, None]
+    c = np.arange(48)[None, :, None]
+    img = np.clip(
+        128 + 40 * np.sin(r / 8) + 30 * np.cos(c / 9)
+        + np.arange(3)[None, None, :] * 5,
+        0, 255,
+    ).astype(np.uint8)
+    enc = encode_tiff_rgb(img, compression=7)
+    assert len(enc) * 4 < img.size  # actually compressed
+    dec = decode_tiff_pixels(enc)
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.mean() < 4 and err.max() < 40
+    with pytest.raises(ValueError):
+        encode_tiff_rgb(img, compression=7, predictor=2)
+    bad = bytearray(encode_tiff_rgb(img))
+    i = bad.find(b"\x03\x01\x03\x00\x01\x00\x00\x00\x01\x00")
+    bad[i + 8] = 6  # deprecated old-JPEG
+    with pytest.raises(NotImplementedError):
+        decode_tiff_pixels(bytes(bad))
