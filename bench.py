@@ -120,11 +120,13 @@ HEADLINE = [
     # track via q_multimodal_avi's fan-out already
     "q_block_dedup_rewrite",
     "q_skipgram_pairs",
-    # k-core: the edge build is a data-sized fact self-join (the
-    # graph-extraction scan shape worth ratcheting round-over-round);
-    # HITS stays off (score loop is graph-sized, same edge build) and
-    # the JPEG-LS/MCLV codec fixtures are fixed-size like ADPCM
-    "q_kcore_parts",
+    # round-7 graph ops (k-core, HITS) stay OFF the headline: their
+    # wall time is 4-6 driver-synchronized peel/score rounds of fixed
+    # per-job overhead (~10 s at sf0.1 for ~300 k edges — measured
+    # loop-dominated, not scan-dominated), which would swamp the
+    # scan-shape deltas this total exists to ratchet. SCALING.md
+    # tracks both; the JPEG-LS/MCLV/Gorilla codec fixtures are
+    # fixed-size like ADPCM and track via the multimodal entries.
 ]
 
 
