@@ -59,8 +59,9 @@ def encode_gorilla(ts: np.ndarray, values: np.ndarray) -> bytes:
     if ts.ndim != 1 or ts.shape != values.shape:
         raise ValueError("expects parallel 1-D timestamp/value arrays")
     n = len(ts)
-    if n and np.any(np.diff(ts) < 0):
-        raise ValueError("timestamps must be non-decreasing")
+    # Monotonicity is checked inside the encode loop on exact Python
+    # ints — np.diff wraps on int64 overflow (span >= 2^63) and would
+    # both mis-report order and mask the zigzag-width guard below.
     out = bytearray(_MAGIC)
     out += struct.pack(">I", n)
     if n == 0:
@@ -74,8 +75,15 @@ def encode_gorilla(ts: np.ndarray, values: np.ndarray) -> bytes:
     prev_lz, prev_mlen = -1, -1  # no value window open yet
     for i in range(1, n):
         delta = int(ts[i]) - int(ts[i - 1])
+        if delta < 0:
+            raise ValueError("timestamps must be non-decreasing")
         if i == 1:
-            bw.write(_zz(delta) & ((1 << 64) - 1), 64)
+            zd = _zz(delta)
+            if zd >= 1 << 64:
+                raise ValueError(
+                    "timestamp delta exceeds the 64-bit zigzag field"
+                )
+            bw.write(zd, 64)
         else:
             dod = delta - prev_delta
             if dod == 0:
@@ -90,8 +98,13 @@ def encode_gorilla(ts: np.ndarray, values: np.ndarray) -> bytes:
                 bw.write(0b1110, 4)
                 bw.write(dod + 2047, 12)
             else:
+                zdod = _zz(dod)
+                if zdod >= 1 << 64:
+                    raise ValueError(
+                        "delta-of-delta exceeds the 64-bit zigzag field"
+                    )
                 bw.write(0b1111, 4)
-                bw.write(_zz(dod) & ((1 << 64) - 1), 64)
+                bw.write(zdod, 64)
         prev_delta = delta
         x = int(bits[i] ^ bits[i - 1])
         if x == 0:
@@ -191,11 +204,17 @@ def gorilla_block_stats(df, ts_col: str = "ts", val_col: str = "value",
         vs = pdf[val_col].astype("float64").to_numpy()
         block = encode_gorilla(ts, vs)
         dts, dvs = decode_gorilla(block)
-        assert np.array_equal(dts, ts)
-        assert np.array_equal(
-            dvs.view(np.uint64), vs.view(np.uint64)
-        ), "gorilla cycle not bit-exact"
-        cents = np.round(dvs * 100).astype(np.int64)
+        if not np.array_equal(dts, ts):
+            raise ValueError("gorilla timestamp cycle not exact")
+        if not np.array_equal(dvs.view(np.uint64), vs.view(np.uint64)):
+            raise ValueError("gorilla value cycle not bit-exact")
+        # Half-AWAY-from-zero, matching the DuckDB oracle's round();
+        # np.round is banker's (half-to-even) and is forbidden on
+        # oracled paths (same policy as jpegcodec.py / llm_q.py).
+        scaled = dvs * 100
+        cents = np.where(
+            scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)
+        ).astype(np.int64)
         return pd.DataFrame(
             {
                 key_col: [pdf[key_col].iloc[0]],

@@ -298,6 +298,13 @@ def hits(
         .distinct()
     )
     n = nodes.count()
+    if n == 0:
+        # Empty edge list: no nodes, hence an empty (typed) result —
+        # mirrors kcore's n_edges==0 short-circuit instead of a
+        # driver-side ZeroDivisionError on 1.0 / n.
+        return edges.sparkSession.createDataFrame(
+            [], "node string, hub double, authority double"
+        )
     nodes = managed_persist(nodes)
     hubs = nodes.select("node", F.round(F.lit(1.0 / n), 9).alias("score"))
     auths = hubs

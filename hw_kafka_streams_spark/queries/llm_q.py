@@ -1,7 +1,9 @@
 """LLM-training-data pipeline queries: dedup, similarity, text analysis.
 
-Oracle policy: ALL registered queries carry a DuckDB oracle (292/292 as
-of round 7; see QUERIES.md for the current registry count).
+Oracle policy: ALL registered queries carry a DuckDB oracle (the
+count is asserted, not hand-maintained — see
+tests/test_oracle_parity.py::test_oracle_policy_total; QUERIES.md is
+the generated registry listing).
 Deterministic-arithmetic kernels (jaccard via inverted
 index, cosine, md5 fingerprints, token stats, charset lang-id) oracle
 directly. Signature schemes originally built on xxhash64 (MinHash,

@@ -118,3 +118,14 @@ def test_hits_hub_and_authority_structure(spark):
     assert hubs[10] == hubs[11] == 0.0
     assert abs(sum(hubs.values()) - 1.0) < 1e-6
     assert abs(sum(auths.values()) - 1.0) < 1e-6
+
+
+def test_hits_empty_graph(spark):
+    """ADVICE r7: hits() on an empty edge list returns an empty typed
+    frame instead of ZeroDivisionError on the driver."""
+    from hw_kafka_streams_spark.operators.graph import hits
+
+    e = spark.createDataFrame([], "src string, dst string")
+    out = hits(e, iters=2)
+    assert out.columns == ["node", "hub", "authority"]
+    assert out.count() == 0

@@ -52,3 +52,30 @@ def test_oracle_output_types_hashable(con):
     oracles = {n: q.oracle for n, q in REGISTRY.items() if q.oracle is not None}
     bad = lint_oracle_types(con, oracles)
     assert not bad, f"oracles with unhashable output types: {bad}"
+
+
+def test_oracle_policy_total():
+    """Kill the stale-docstring class (VERDICT r6+r7): every registered
+    query carries an oracle, and NO query-module docstring may carry a
+    hand-maintained "N/N" registry count that disagrees with the live
+    registry. Modules should cite this test / QUERIES.md instead of a
+    literal number."""
+    import importlib
+    import pkgutil
+    import re
+
+    import hw_kafka_streams_spark.queries as qpkg
+
+    total = len(REGISTRY)
+    oracled = len(_ORACLE_QUERIES)
+    assert oracled == total, (
+        f"oracle policy broken: {oracled}/{total} queries oracled"
+    )
+    stale = []
+    for mod in pkgutil.iter_modules(qpkg.__path__):
+        m = importlib.import_module(f"{qpkg.__name__}.{mod.name}")
+        doc = m.__doc__ or ""
+        for a, b in re.findall(r"\b(\d{2,})/(\d{2,})\b", doc):
+            if int(a) != total or int(b) != total:
+                stale.append(f"{mod.name}: {a}/{b} (registry is {total})")
+    assert not stale, f"stale registry counts in docstrings: {stale}"

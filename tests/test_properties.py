@@ -1504,3 +1504,27 @@ def test_tiff_jpeg_in_tiff_roundtrip_within_tolerance():
     bad[i + 8] = 6  # deprecated old-JPEG
     with pytest.raises(NotImplementedError):
         decode_tiff_pixels(bytes(bad))
+
+
+def test_gorilla_overflow_and_rounding_guards():
+    """ADVICE r7: (a) zigzagged deltas that exceed the 64-bit field
+    must raise, not silently truncate; (b) cent-scaling is
+    half-AWAY-from-zero (DuckDB round), never banker's."""
+    import numpy as np
+    import pytest
+
+    from hw_kafka_streams_spark.operators.gorillacodec import (
+        encode_gorilla,
+    )
+
+    # delta = (2^63-1) - (-2^63) overflows the zigzag field
+    ts = np.array([-(2**63), 2**63 - 1], np.int64)
+    vs = np.array([1.0, 2.0], np.float64)
+    with pytest.raises(ValueError, match="64-bit zigzag"):
+        encode_gorilla(ts, vs)
+    # half-away-from-zero (np.round would give 12 / -12)
+    scaled = np.array([12.5, -12.5])
+    cents = np.where(
+        scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)
+    ).astype(np.int64)
+    assert cents.tolist() == [13, -13]
