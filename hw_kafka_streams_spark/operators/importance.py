@@ -94,11 +94,25 @@ def dsir_logweights(
     so DuckDB can replay the bucketing (production = xxhash64, JVM).
     The bucket-keyed chain below is the fastest measured layout.
     """
+    narrow = df.select(
+        F.col(id_col).alias("id"),
+        is_target.alias("is_target"),
+        F.col(text_col).alias("_t"),
+    )
+    # The tokenize+explode+hash stage is the dominant CPU cost and is
+    # pipelined onto the SCAN's splits: a small corpus arriving as one
+    # file split would run it on one core (measured: the whole sf0.1
+    # query serialized behind a 1-task stage). Spread first — on a
+    # multi-TB input the scan already yields >= core-count splits and
+    # this inserts nothing (same guard as dedup.py minhash).
+    ncores = narrow.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < ncores:
+        narrow = narrow.repartition(ncores)
     feats = (
-        df.select(
-            F.col(id_col).alias("id"),
-            is_target.alias("is_target"),
-            F.explode(unigram_bigram_features(F.col(text_col))).alias("f"),
+        narrow.select(
+            "id",
+            "is_target",
+            F.explode(unigram_bigram_features(F.col("_t"))).alias("f"),
         )
         .select("id", "is_target", _bucket(F.col("f"), dim, hash_mode).alias("b"))
     )
