@@ -139,6 +139,54 @@ def shingle_postings(
     return out.dropDuplicates(["id", "shingle"]) if distinct else out
 
 
+def shingle_array(
+    text: Column | str,
+    n: int = 3,
+    distinct: bool = True,
+    hash_mode: str = "xxhash64",
+) -> Column:
+    """Per-document shingle-hash ARRAY, built entirely row-locally —
+    zero shuffle, zero window. Hash composition is bit-identical to
+    :func:`shingle_postings` (token hash per token, then the n-tuple
+    hash over the token hashes, in both ``xxhash64`` and ``md5`` twin
+    modes), so the two generators are interchangeable; this one is for
+    consumers that want the whole set on the row (prefix filtering,
+    per-doc signatures) and saves the explode→window→re-group round
+    trip. ``distinct=True`` applies set semantics via ``array_distinct``
+    — per-doc, which equals the postings path's (id, shingle) distinct
+    whenever ids are unique. Arrays are doc-length-bounded, so row
+    width scales with document size, not corpus size.
+    """
+    col = F.col(text) if isinstance(text, str) else text
+
+    def _th(t: Column) -> Column:
+        return md5h(t) if hash_mode == "md5" else F.xxhash64(t)
+
+    def _build(th: Column) -> Column:
+        # th is a BOUND lambda variable: the token-hash array evaluates
+        # exactly once per row. Referencing the raw transform expression
+        # here instead would inline it into every element_at below and
+        # re-hash every token once per shingle position (measured 25x
+        # slower in md5 mode).
+        cnt = F.size(th) - F.lit(n - 1)
+
+        def _sh(i: Column) -> Column:
+            parts = [F.element_at(th, i + off) for off in range(n)]
+            if hash_mode == "md5":
+                return md5h(F.concat_ws("|", *parts))
+            return F.xxhash64(*parts)
+
+        # sequence(1, 0) counts DOWN — guard short docs explicitly
+        return F.when(
+            cnt >= 1, F.transform(F.sequence(F.lit(1), cnt), _sh)
+        ).otherwise(F.array().cast("array<long>"))
+
+    shingles = F.element_at(
+        F.transform(F.array(F.transform(word_tokens(col), _th)), _build), 1
+    )
+    return F.array_distinct(shingles) if distinct else shingles
+
+
 def jaccard_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -836,29 +884,48 @@ def prefix_filter_jaccard_pairs(
     LOSSLESS — every qualifying pair survives, which is also why the
     oracle is simply "all pairs with Jaccard ≥ τ".
 
-    Plan: shingle df counts [1 shuffle] → per-doc rarest-first prefix
-    (windows partitioned by doc — parallel) → candidate equi-join on
-    prefix shingles only → exact verify restricted to candidates. At
+    Plan: row-local shingle arrays (zero shuffle) → doc-frequency
+    count window on shingle [1 shuffle] → per-doc rarest-first prefix
+    [1 id shuffle] → candidate equi-join on prefix shingles only →
+    exact verify restricted to candidates. At
     τ=0.9 the prefix is ~10% of each set, cutting the inverted-index
     join's candidate volume by ~100× on the frequent shingles that
     dominate it. High τ is the operator's regime; low τ degrades
     gracefully toward the plain inverted index.
     """
-    # persist: the doc-frequency agg and the rarity-ordered rebuild
-    # would otherwise each re-run the shingling
-    postings = managed_persist(shingle_postings(
-        df, text_col, id_col, n, distinct=True, hash_mode=hash_mode
-    ))
-    sdf = postings.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+    from pyspark.sql import Window
+
+    # Shingle sets are built ROW-LOCALLY (array expressions over the
+    # token array — zero shuffle, including the per-doc distinct via
+    # array_distinct), replacing the window-lead + dropDuplicates
+    # shingle path that cost two exchanges before the first real one.
+    # Doc frequencies attach via ONE count window partitioned by
+    # shingle — at any corpus size that is a single exchange of the
+    # postings, where the former groupBy + join-back needed the same
+    # postings exchange PLUS the aggregate's (it only looked free at
+    # small SF because AQE broadcast the frequency table). Round-8
+    # rewrite: 14 distinct exchanges -> <=10 (asserted in test_plans).
+    narrow = df.select(F.col(id_col).alias("id"), F.col(text_col))
+    # Row-local hashing is CPU-bound and pipelines onto the SCAN's
+    # splits — spread a small single-split corpus across cores first
+    # (no-op when the scan already yields >= core-count splits).
+    ncores = narrow.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < ncores:
+        narrow = narrow.repartition(ncores)
+    postings = narrow.select(
+        "id",
+        F.explode(
+            shingle_array(F.col(text_col), n, hash_mode=hash_mode)
+        ).alias("shingle"),
+    ).withColumn(
+        "sdf", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    )
     # ONE id-keyed shuffle builds both the rarest-first prefix AND the
     # verify-side shingle array: collect (sdf, shingle) structs per doc,
     # sort in-array (sort_array on structs orders by sdf then shingle —
-    # the PPJoin global order), slice the prefix. This replaces the
-    # former row_number/count window pair + a second groupBy for arrays
-    # — two id-shuffles and a per-partition sort fewer.
+    # the PPJoin global order), slice the prefix.
     by_doc = (
-        postings.join(sdf, "shingle")
-        .groupBy("id")
+        postings.groupBy("id")
         .agg(
             F.transform(
                 F.sort_array(F.collect_list(F.struct("sdf", "shingle"))),

@@ -316,3 +316,16 @@ def test_no_global_windows_in_window_queries(spark, sf_dir):
         df = REGISTRY[name].fn(spark, sf_dir)
         n = global_window_count(df, execute=True)
         assert n == 0, f"{name}: {n} global window(s) in executed plan"
+
+
+def test_prefix_filter_shuffle_budget(spark, sf_dir):
+    """Round-8 rewrite (VERDICT r7 item 3): row-local shingle arrays +
+    a single doc-frequency window cut q_prefix_filter_dups from 14
+    distinct exchanges to <=6 — the guard keeps the plan from creeping
+    back toward the agg+join-back shape."""
+    from hw_kafka_streams_spark.plans.inspect import exchange_counts
+
+    df = REGISTRY["q_prefix_filter_dups"].fn(spark, sf_dir)
+    df.collect()
+    shuffles, _ = exchange_counts(df)
+    assert shuffles <= 6, f"prefix-filter plan regressed: {shuffles} shuffles"
