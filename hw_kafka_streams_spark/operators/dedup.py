@@ -117,23 +117,49 @@ def shingle_postings(
     the DuckDB-reproducible hash at both levels — shingle hash =
     md5h of the '|'-joined token hashes — so the downstream pipeline
     can be value-hash oracled. xxhash64 remains the 100-TB default.
+
+    Duplicate ``id_col`` values are safe: the window orders by
+    (row-uid, pos) and shingles whose ``lead`` offsets cross a row
+    boundary are dropped, so n-grams never span two physical rows.
+    Per-id semantics under duplicates = union of each row's shingle
+    bag (set union with ``distinct=True``). The window partition key
+    stays ``id`` alone, so the one id shuffle is still reused by
+    downstream per-id aggregations.
     """
     from pyspark.sql import Window
 
     token_hash = md5h(F.col("tok")) if hash_mode == "md5" else F.xxhash64("tok")
-    toks = df.select(
+    # rid MUST be projected in its own select BELOW the generator: in
+    # the same select as posexplode it would be evaluated once per
+    # exploded token row, giving every token its own "row" and filtering
+    # every shingle out. Nondeterministic expressions are never
+    # project-collapsed across a Generate, so this ordering is stable.
+    rows = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(word_tokens(F.col(text_col))).alias("pos", "tok"),
-    ).select("id", "pos", token_hash.alias("th"))
-    w = Window.partitionBy("id").orderBy("pos")
+        F.col(text_col).alias("__sp_text"),
+        F.monotonically_increasing_id().alias("rid"),
+    )
+    toks = rows.select(
+        "id",
+        "rid",
+        F.posexplode(word_tokens(F.col("__sp_text"))).alias("pos", "tok"),
+    ).select("id", "rid", "pos", token_hash.alias("th"))
+    w = Window.partitionBy("id").orderBy("rid", "pos")
     parts = [F.col("th")] + [F.lead("th", i).over(w) for i in range(1, n)]
     hcols = [F.col(f"h{i}") for i in range(n)]
     shingle = (
         md5h(F.concat_ws("|", *hcols)) if hash_mode == "md5" else F.xxhash64(*hcols)
     )
     out = (
-        toks.select("id", *[p.alias(f"h{i}") for i, p in enumerate(parts)])
-        .filter(F.col(f"h{n-1}").isNotNull())
+        toks.select(
+            "id",
+            "rid",
+            F.lead("rid", n - 1).over(w).alias("rid_end"),
+            *[p.alias(f"h{i}") for i, p in enumerate(parts)],
+        )
+        .filter(
+            F.col(f"h{n-1}").isNotNull() & (F.col("rid_end") == F.col("rid"))
+        )
         .select("id", shingle.alias("shingle"))
     )
     return out.dropDuplicates(["id", "shingle"]) if distinct else out
@@ -885,26 +911,35 @@ def prefix_filter_jaccard_pairs(
     oracle is simply "all pairs with Jaccard ≥ τ".
 
     Plan: row-local shingle arrays (zero shuffle) → doc-frequency
-    count window on shingle [1 shuffle] → per-doc rarest-first prefix
-    [1 id shuffle] → candidate equi-join on prefix shingles only →
-    exact verify restricted to candidates. At
-    τ=0.9 the prefix is ~10% of each set, cutting the inverted-index
-    join's candidate volume by ~100× on the frequent shingles that
-    dominate it. High τ is the operator's regime; low τ degrades
-    gracefully toward the plain inverted index.
-    """
-    from pyspark.sql import Window
+    partial-agg ``groupBy(shingle)`` + equi-join back → per-doc
+    rarest-first prefix [1 id shuffle] → candidate equi-join on prefix
+    shingles only → exact verify restricted to candidates. At τ=0.9
+    the prefix is ~10% of each set, cutting the inverted-index join's
+    candidate volume by ~100× on the frequent shingles that dominate
+    it. High τ is the operator's regime; low τ degrades gracefully
+    toward the plain inverted index.
 
+    Duplicate ``id_col`` values are safe: the per-doc set is built with
+    ``collect_set`` (union-of-shingles semantics per id, same as the
+    inverted-index path's ``(id, shingle)`` distinct), and duplicate
+    postings only inflate the doc-frequency ORDER — any consistent
+    global order preserves the prefix-filter completeness proof.
+    """
     # Shingle sets are built ROW-LOCALLY (array expressions over the
     # token array — zero shuffle, including the per-doc distinct via
     # array_distinct), replacing the window-lead + dropDuplicates
     # shingle path that cost two exchanges before the first real one.
-    # Doc frequencies attach via ONE count window partitioned by
-    # shingle — at any corpus size that is a single exchange of the
-    # postings, where the former groupBy + join-back needed the same
-    # postings exchange PLUS the aggregate's (it only looked free at
-    # small SF because AQE broadcast the frequency table). Round-8
-    # rewrite: 14 distinct exchanges -> <=10 (asserted in test_plans).
+    # Doc frequencies attach via partial-agg groupBy(shingle) + an
+    # equi-join back — NOT a count window partitioned by shingle: the
+    # window forces every posting of a shingle into ONE task with no
+    # map-side combine and no AQE skew splitting, so a Zipfian-hot
+    # trigram becomes a single multi-GB straggler partition at 100 TB
+    # (VERDICT r8 item 1). The groupBy gets map-side partial
+    # aggregation (the frequency table is |distinct shingles| rows,
+    # not |postings|) and the join back is AQE-skew-splittable; at
+    # small SF AQE broadcasts the frequency table outright. Exchange
+    # budget asserted in test_prefix_filter_shuffle_budget (<=6, plus
+    # zero WindowExec nodes).
     narrow = df.select(F.col(id_col).alias("id"), F.col(text_col))
     # Row-local hashing is CPU-bound and pipelines onto the SCAN's
     # splits — spread a small single-split corpus across cores first
@@ -917,18 +952,20 @@ def prefix_filter_jaccard_pairs(
         F.explode(
             shingle_array(F.col(text_col), n, hash_mode=hash_mode)
         ).alias("shingle"),
-    ).withColumn(
-        "sdf", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
     )
+    freq = postings.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+    postings = postings.join(freq, "shingle")
     # ONE id-keyed shuffle builds both the rarest-first prefix AND the
     # verify-side shingle array: collect (sdf, shingle) structs per doc,
     # sort in-array (sort_array on structs orders by sdf then shingle —
-    # the PPJoin global order), slice the prefix.
+    # the PPJoin global order), slice the prefix. collect_SET, not
+    # list: duplicate doc ids would otherwise inflate sz and silently
+    # drop qualifying pairs below threshold (ADVICE r8).
     by_doc = (
         postings.groupBy("id")
         .agg(
             F.transform(
-                F.sort_array(F.collect_list(F.struct("sdf", "shingle"))),
+                F.sort_array(F.collect_set(F.struct("sdf", "shingle"))),
                 lambda s: s["shingle"],
             ).alias("shs")
         )

@@ -43,6 +43,21 @@ from hw_kafka_streams_spark.operators.mcvideo import _BitReader, _BitWriter
 _MAGIC = b"GOR1"
 
 
+def half_away_int64(x: np.ndarray) -> np.ndarray:
+    """Half-AWAY-from-zero round to int64, bit-matching C++/DuckDB
+    ``std::round`` on every double. ``floor(x + 0.5)`` is wrong on
+    doubles where the ``+0.5`` addition carries
+    (``floor(0.49999999999999994 + 0.5) == 1``; ``std::round`` gives
+    0). ``frac = x - trunc(x)`` is EXACT for all doubles (Sterbenz
+    lemma for |x| >= 1, trivially exact below 1), so the half-point
+    compare decides the tie on the true value (ADVICE r8)."""
+    whole = np.trunc(x)
+    frac = x - whole
+    return (whole + np.where(np.abs(frac) >= 0.5, np.sign(x), 0.0)).astype(
+        np.int64
+    )
+
+
 def _zz(v: int) -> int:
     return (v << 1) ^ (v >> 63) if v < 0 else v << 1
 
@@ -208,13 +223,11 @@ def gorilla_block_stats(df, ts_col: str = "ts", val_col: str = "value",
             raise ValueError("gorilla timestamp cycle not exact")
         if not np.array_equal(dvs.view(np.uint64), vs.view(np.uint64)):
             raise ValueError("gorilla value cycle not bit-exact")
-        # Half-AWAY-from-zero, matching the DuckDB oracle's round();
-        # np.round is banker's (half-to-even) and is forbidden on
-        # oracled paths (same policy as jpegcodec.py / llm_q.py).
-        scaled = dvs * 100
-        cents = np.where(
-            scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)
-        ).astype(np.int64)
+        # Half-AWAY-from-zero via the carry-immune helper, matching the
+        # DuckDB oracle's round(); np.round is banker's (half-to-even)
+        # and is forbidden on oracled paths (same policy as
+        # jpegcodec.py / llm_q.py).
+        cents = half_away_int64(dvs * 100)
         return pd.DataFrame(
             {
                 key_col: [pdf[key_col].iloc[0]],

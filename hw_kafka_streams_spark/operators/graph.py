@@ -299,12 +299,17 @@ def hits(
     )
     n = nodes.count()
     if n == 0:
-        # Empty edge list: no nodes, hence an empty (typed) result —
-        # mirrors kcore's n_edges==0 short-circuit instead of a
-        # driver-side ZeroDivisionError on 1.0 / n.
-        return edges.sparkSession.createDataFrame(
-            [], "node string, hub double, authority double"
-        )
+        # Empty edge list: no nodes, hence an empty result — mirrors
+        # kcore's n_edges==0 short-circuit instead of a driver-side
+        # ZeroDivisionError on 1.0 / n. Built from the typed nodes
+        # frame so the node column keeps the INPUT edge column's type
+        # (an int-keyed edge list must not flip to string when empty —
+        # ADVICE r8).
+        return nodes.select(
+            "node",
+            F.lit(0.0).alias("hub"),
+            F.lit(0.0).alias("authority"),
+        ).limit(0)
     nodes = managed_persist(nodes)
     hubs = nodes.select("node", F.round(F.lit(1.0 / n), 9).alias("score"))
     auths = hubs

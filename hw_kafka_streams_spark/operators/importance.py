@@ -79,10 +79,16 @@ def dsir_logweights(
     ``dsir_logweight = Σ_buckets tf_b · ln(p_target(b)/p_raw(b))``
     under add-one smoothing. Higher = more target-like.
 
-    Plan: explode features once; bucket counts (≤ dim rows) and the
-    1-row totals broadcast back; per-doc tf aggregation carries the
-    doc key so it partial-aggregates map-side; one broadcast join; one
-    final doc-keyed decimal sum.
+    Plan (round-9 reuse, VERDICT r8 item 7): ONE hash-repartition of
+    the NARROW doc table by id up-front; explode/hash/project all
+    preserve that partitioning, so the per-doc tf aggregation AND the
+    final per-doc decimal sum both run exchange-free — the hashed
+    feature stream (the only thing here that grows faster than the
+    corpus) never crosses the network at all. What still shuffles:
+    the compact (doc, bucket) tf table once, keyed by bucket, to fit
+    the ≤ dim-row model (partial-combined map-side), plus the 1-row
+    totals. Shuffle bytes scale with raw text + tf, not with the
+    2×-tokens feature stream the old groupBy-keyed chain moved.
 
     Shape audit (round 7): two alternatives were measured and
     REJECTED at sf0.1 — (a) hashing only the distinct vocabulary
@@ -92,22 +98,22 @@ def dsir_logweights(
     conv(3 hex) of the low bits is a wash — the md5 itself, not the
     radix conversion, is the md5-twin mode's cost, and it exists only
     so DuckDB can replay the bucketing (production = xxhash64, JVM).
-    The bucket-keyed chain below is the fastest measured layout.
     """
     narrow = df.select(
         F.col(id_col).alias("id"),
         is_target.alias("is_target"),
         F.col(text_col).alias("_t"),
     )
-    # The tokenize+explode+hash stage is the dominant CPU cost and is
-    # pipelined onto the SCAN's splits: a small corpus arriving as one
-    # file split would run it on one core (measured: the whole sf0.1
-    # query serialized behind a 1-task stage). Spread first — on a
-    # multi-TB input the scan already yields >= core-count splits and
-    # this inserts nothing (same guard as dedup.py minhash).
-    ncores = narrow.sparkSession.sparkContext.defaultParallelism
-    if narrow.rdd.getNumPartitions() < ncores:
-        narrow = narrow.repartition(ncores)
+    # Repartition by id BEFORE the explode: (1) the tokenize+hash
+    # stage (dominant CPU) spreads across all cores even when a small
+    # corpus arrives as one file split (the round-7 serialization
+    # trap); (2) hash(id) satisfies the clustering of BOTH downstream
+    # per-doc groupBys ((id) ⊆ (id,is_target,b) and ⊆ (id,is_target)),
+    # so neither inserts an exchange — the exploded feature stream
+    # stays executor-local. Moving the pre-explode text rows is
+    # strictly less traffic than the old plan's partial-agged
+    # (id,is_target,b,tf) stream shuffle.
+    narrow = narrow.repartition("id")
     feats = (
         narrow.select(
             "id",
@@ -127,9 +133,13 @@ def dsir_logweights(
     # model counts derive from tf, not from a second pass over the
     # explode: the (doc, bucket) table is orders of magnitude smaller
     # than the raw feature stream, and the explode runs exactly once.
-    bc = tf.groupBy("b").agg(
-        F.sum(F.when(F.col("is_target"), F.col("tf")).otherwise(0)).alias("ct"),
-        F.sum(F.when(~F.col("is_target"), F.col("tf")).otherwise(0)).alias("cr"),
+    # bc is ≤ dim rows but has TWO consumers (lr and tot) — persist it
+    # so the tf cache is scanned once for the model, not twice.
+    bc = managed_persist(
+        tf.groupBy("b").agg(
+            F.sum(F.when(F.col("is_target"), F.col("tf")).otherwise(0)).alias("ct"),
+            F.sum(F.when(~F.col("is_target"), F.col("tf")).otherwise(0)).alias("cr"),
+        )
     )
     tot = bc.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
     p_t = (F.col("ct") + 1).cast("double") / (F.col("nt") + F.lit(dim))

@@ -160,6 +160,53 @@ def global_window_count(df: DataFrame, execute: bool = True) -> int:
     return n
 
 
+def window_exec_count(df: DataFrame, execute: bool = True) -> int:
+    """Number of WindowExec / WindowGroupLimitExec nodes ANYWHERE in
+    the executed plan, descending into AQE wrappers, query stages and
+    each InMemoryRelation's cached plan (a window hidden behind a
+    ``persist()`` still runs — once, at materialization). Used by plan
+    guards that forbid data-keyed windows on Zipfian columns: WindowExec
+    gets neither map-side partial aggregation nor AQE skew splitting,
+    so a hot key becomes one straggler task at scale (VERDICT r8).
+    """
+    if execute:
+        df.collect()
+    root = df._jdf.queryExecution().executedPlan()
+    n = 0
+    visited: set[int] = set()
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        try:
+            nid = node.id()
+        except Exception:
+            nid = id(node)
+        if nid in visited:
+            continue
+        visited.add(nid)
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            stack.append(node.executedPlan())
+            continue
+        if "QueryStageExec" in name:
+            try:
+                stack.append(node.plan())
+                continue
+            except Exception:
+                pass
+        if name == "InMemoryTableScanExec":
+            try:
+                stack.append(node.relation().cachedPlan())
+            except Exception:
+                pass
+        if name in ("WindowExec", "WindowGroupLimitExec"):
+            n += 1
+        ch = node.children()
+        for i in range(ch.length()):
+            stack.append(ch.apply(i))
+    return n
+
+
 def _collapse_cached_repeats(plan: str) -> str:
     """Keep only the FIRST InMemoryRelation subtree; drop the repeats.
 

@@ -318,6 +318,46 @@ def test_prefix_filter_matches_inverted_index_and_prunes(spark, sf_dir):
     assert n_pairs(pre) < n_pairs(postings)
 
 
+def test_prefix_filter_lossless_under_duplicate_doc_ids(spark):
+    """ADVICE r8: duplicate doc ids must not inflate the per-doc set
+    size (collect_set, not collect_list) — losslessness vs the
+    inverted-index path (union-of-shingles semantics per id) must hold
+    on a corpus where one id appears on two rows, including the case
+    where the dup rows carry DIFFERENT text (set union across rows)."""
+    from hw_kafka_streams_spark.operators.dedup import (
+        jaccard_candidate_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    near = " ".join(f"tok{i}" for i in range(28)) + " zz yy"
+    other = " ".join(f"alt{i}" for i in range(25))
+    df = spark.createDataFrame(
+        [
+            (1, base),       # id 1, twice with identical text
+            (1, base),
+            (2, near),       # near-dup of 1
+            (3, other),      # id 3, twice with different text: union
+            (3, other + " extra0 extra1"),
+            (4, other + " extra0 extra1 extra2"),
+        ],
+        "doc_id long, text string",
+    )
+    for tau in (0.5, 0.8):
+        full = {
+            (r.id1, r.id2, r.jaccard)
+            for r in jaccard_candidate_pairs(df, threshold=tau).collect()
+        }
+        pref = {
+            (r.id1, r.id2, r.jaccard)
+            for r in prefix_filter_jaccard_pairs(df, threshold=tau).collect()
+        }
+        assert pref == full, f"tau={tau}: {pref ^ full}"
+    assert any(p[:2] == (1, 2) for p in pref) or any(
+        p[:2] == (3, 4) for p in pref
+    )  # the corpus genuinely exercises the dup-id rows
+
+
 def test_containment_catches_excerpt_jaccard_misses(spark):
     """A short doc fully contained in a long one: containment = 1.0
     while Jaccard is far below any dedup threshold."""

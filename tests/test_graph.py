@@ -129,3 +129,19 @@ def test_hits_empty_graph(spark):
     out = hits(e, iters=2)
     assert out.columns == ["node", "hub", "authority"]
     assert out.count() == 0
+
+
+def test_hits_empty_graph_preserves_key_type(spark):
+    """ADVICE r8: an INT-keyed empty edge list must return an int node
+    column — the empty short-circuit builds from the typed nodes frame,
+    so empty vs non-empty schemas never diverge."""
+    from hw_kafka_streams_spark.operators.graph import hits
+
+    e_int = spark.createDataFrame([], "src long, dst long")
+    out = hits(e_int, iters=2)
+    assert dict(out.dtypes)["node"] == "bigint"
+    assert out.count() == 0
+    nonempty = hits(
+        spark.createDataFrame([(1, 2)], "src long, dst long"), iters=1
+    )
+    assert out.dtypes == nonempty.dtypes

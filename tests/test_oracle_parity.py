@@ -72,10 +72,20 @@ def test_oracle_policy_total():
         f"oracle policy broken: {oracled}/{total} queries oracled"
     )
     stale = []
+    # Anchored to registry-count CONTEXT: only flag "N/M" ratios whose
+    # sentence talks about queries/oracles/registry — a bare \d+/\d+
+    # would false-positive on benign docstring ratios like "24/7" or
+    # "16/44 kHz" (ADVICE r8).
+    ratio_in_context = re.compile(
+        r"\b(\d{2,})/(\d{2,})\b(?=[^.]*\b(?:quer|oracl|registr)\w*)"
+        r"|\b(?:quer|oracl|registr)\w*[^.]*?\b(\d{2,})/(\d{2,})\b",
+        re.IGNORECASE,
+    )
     for mod in pkgutil.iter_modules(qpkg.__path__):
         m = importlib.import_module(f"{qpkg.__name__}.{mod.name}")
         doc = m.__doc__ or ""
-        for a, b in re.findall(r"\b(\d{2,})/(\d{2,})\b", doc):
+        for g in ratio_in_context.findall(doc):
+            a, b = (g[0], g[1]) if g[0] else (g[2], g[3])
             if int(a) != total or int(b) != total:
                 stale.append(f"{mod.name}: {a}/{b} (registry is {total})")
     assert not stale, f"stale registry counts in docstrings: {stale}"

@@ -319,13 +319,20 @@ def test_no_global_windows_in_window_queries(spark, sf_dir):
 
 
 def test_prefix_filter_shuffle_budget(spark, sf_dir):
-    """Round-8 rewrite (VERDICT r7 item 3): row-local shingle arrays +
-    a single doc-frequency window cut q_prefix_filter_dups from 14
-    distinct exchanges to <=6 — the guard keeps the plan from creeping
-    back toward the agg+join-back shape."""
-    from hw_kafka_streams_spark.plans.inspect import exchange_counts
+    """Round-8/9 rewrite (VERDICT r7 item 3, r8 item 1): row-local
+    shingle arrays + partial-agg doc frequencies keep
+    q_prefix_filter_dups at <=6 distinct exchanges (was 14), and the
+    plan must contain ZERO WindowExec nodes — the r8 shingle-keyed
+    count window was a skew-unsafe full shuffle (no map-side combine,
+    no AQE skew splitting) that this guard now forbids outright."""
+    from hw_kafka_streams_spark.plans.inspect import (
+        exchange_counts,
+        window_exec_count,
+    )
 
     df = REGISTRY["q_prefix_filter_dups"].fn(spark, sf_dir)
     df.collect()
     shuffles, _ = exchange_counts(df)
     assert shuffles <= 6, f"prefix-filter plan regressed: {shuffles} shuffles"
+    nwin = window_exec_count(df, execute=False)
+    assert nwin == 0, f"prefix-filter plan has {nwin} WindowExec node(s)"

@@ -1436,6 +1436,35 @@ def test_gorilla_roundtrip_bit_exact(n, kind, seed):
     assert np.array_equal(dvs.view(np.uint64), vs.view(np.uint64))
 
 
+def test_half_away_int64_matches_cpp_round_on_pathological_doubles():
+    """ADVICE r8: floor(x+0.5) carries in FP on values just below a
+    half (0.49999999999999994 + 0.5 rounds UP to 1.0); the helper must
+    match C++/DuckDB std::round — half away from zero, decided on the
+    TRUE double value — on every pathological shape."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.gorillacodec import half_away_int64
+
+    below_half = np.nextafter(0.5, 0.0)  # 0.49999999999999994
+    cases = np.array(
+        [
+            below_half,            # floor(x+0.5)==1; std::round==0
+            -below_half,
+            0.5, -0.5, 1.5, -1.5, 2.5, -2.5,
+            np.nextafter(1.5, 0.0),   # 1.4999999999999998 -> 1
+            np.nextafter(-1.5, 0.0),  # -> -1
+            0.0, -0.0, 100.0, -100.0,
+            4503599627370495.5,       # largest x.5 exactly representable
+        ]
+    )
+    expect = np.array(
+        [0, 0, 1, -1, 2, -2, 3, -3, 1, -1, 0, 0, 100, -100,
+         4503599627370496],
+        dtype=np.int64,
+    )
+    assert np.array_equal(half_away_int64(cases), expect)
+
+
 def test_gorilla_compression_on_metrics_shaped_data():
     """Regular cadence + slowly-drifting 2-decimal values (the metrics
     sweet spot) must land far below the 16 raw bytes/point; constant
