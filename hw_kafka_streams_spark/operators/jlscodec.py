@@ -26,19 +26,32 @@ Implemented from the public T.87 decoding/encoding procedures:
 - T.87 bit-stuffing (a 0 bit is inserted after every 0xFF byte so no
   marker can appear in entropy data) and the SOF55/SOS marker frame.
 
-Scope gates (honest, like flaccodec's): precision 8-16 (the
+Round 9 closes the two layout gates carried since round 7:
+
+- **LSE parameter segments** (T.87 C.2.4.1.1, marker 0xFFF8, ID=1):
+  the encoder takes custom MAXVAL / T1 / T2 / T3 / RESET and emits the
+  13-byte preset segment when any differs from the defaults; the
+  decoder parses LSE and applies the presets to every subsequent scan
+  (LSE IDs 2-4 — mapping tables / oversize dimensions — stay gated).
+- **Interleaved scans**: ILV=1 (line-interleaved — one SOS, each row
+  coded component-by-component, ONE shared set of context counters
+  A/B/C/N/Nn but a per-component RUNindex, per A.2.1/A.7.1) and ILV=2
+  (sample-interleaved — components advance in lockstep per column,
+  run mode entered only when ALL components' gradients quantize to
+  zero, run lengths shared, and each component's interruption sample
+  coded with RItype=0 against its own Rb, per A.7.2).
+
+Remaining gates (honest, like flaccodec's): precision 8-16 (the
 default-threshold formula below is the MAXVAL>=128 branch of the
-spec; sub-8-bit thresholds differ), default T1/T2/T3/RESET only (so
-no LSE segment is emitted), and NON-INTERLEAVED multi-component
-layout only (ILV=0, one scan per component — the line/sample
-interleaved modes ILV 1/2 are the remaining layout gate). NEAR-lossless mode (NEAR > 0) IS
+spec; sub-8-bit thresholds differ). NEAR-lossless mode (NEAR > 0) IS
 implemented: errors quantize onto the 2*NEAR+1 grid, both sides run
 the context machinery over the reconstructed plane, and every decoded
 sample is within +/-NEAR of the source (hypothesis-enforced). Interop against an
 independent T.87 decoder is untested in this container (none
 available); self-consistency is hypothesis-verified end to end in
-tests/test_properties.py, the same determinism contract as the FLAC and
-QOI codecs here.
+tests/test_properties.py — all three ILV modes, LSE presets, and the
+LSE×ILV×NEAR cross-products — the same determinism contract as the
+FLAC and QOI codecs here.
 """
 
 from __future__ import annotations
@@ -58,6 +71,7 @@ _SOI = b"\xff\xd8"
 _EOI = b"\xff\xd9"
 _SOF55 = b"\xff\xf7"
 _SOS = b"\xff\xda"
+_LSE = b"\xff\xf8"
 
 
 def _default_thresholds(maxval: int, near: int) -> tuple[int, int, int]:
@@ -86,7 +100,16 @@ class _State:
     context machinery over the RECONSTRUCTED plane, never the source,
     so encoder and decoder state stays in lockstep."""
 
-    def __init__(self, maxval: int, near: int = 0):
+    def __init__(
+        self,
+        maxval: int,
+        near: int = 0,
+        t1: int | None = None,
+        t2: int | None = None,
+        t3: int | None = None,
+        reset: int | None = None,
+        n_run_indexes: int = 1,
+    ):
         if not 0 <= near <= maxval // 2:
             raise ValueError("NEAR must be in 0..MAXVAL/2")
         self.near = near
@@ -103,8 +126,21 @@ class _State:
         self.C = [0] * 365
         self.N = [1] * 367
         self.Nn = [0, 0]  # sign stats for contexts 365/366
-        self.t1, self.t2, self.t3 = _default_thresholds(maxval, near)
-        self.run_index = 0
+        dt1, dt2, dt3 = _default_thresholds(maxval, near)
+        self.t1 = dt1 if t1 is None else t1
+        self.t2 = dt2 if t2 is None else t2
+        self.t3 = dt3 if t3 is None else t3
+        # C.2.4.1.1.1 legal ranges for preset thresholds
+        if not near + 1 <= self.t1 <= self.t2 <= self.t3 <= maxval:
+            raise ValueError(
+                "thresholds must satisfy NEAR+1 <= T1 <= T2 <= T3 <= MAXVAL"
+            )
+        self.reset = _RESET if reset is None else reset
+        if not 3 <= self.reset <= max(255, maxval):
+            raise ValueError("RESET must be in 3..max(255, MAXVAL)")
+        # ILV=1 keeps a SEPARATE run index per component (A.7.1); the
+        # regular-context counters are shared across components.
+        self.run_index = [0] * n_run_indexes
 
     def quantize(self, d: int) -> int:
         if d <= -self.t3:
@@ -151,7 +187,7 @@ class _State:
     def update_regular(self, q: int, errval: int) -> None:
         self.B[q] += errval * self.q_step
         self.A[q] += abs(errval)
-        if self.N[q] == _RESET:
+        if self.N[q] == self.reset:
             self.A[q] >>= 1
             b = self.B[q]
             self.B[q] = b >> 1 if b >= 0 else -((1 - b) >> 1)
@@ -294,16 +330,31 @@ def _neighbors(px: np.ndarray, r: int, c: int, w: int) -> tuple[int, int, int, i
 
 
 def encode_jls(
-    img: np.ndarray, precision: int | None = None, near: int = 0
+    img: np.ndarray,
+    precision: int | None = None,
+    near: int = 0,
+    ilv: int = 0,
+    t1: int | None = None,
+    t2: int | None = None,
+    t3: int | None = None,
+    reset: int | None = None,
+    maxval: int | None = None,
 ) -> bytes:
     """Encode a gray (2-D) or multi-component (h, w, ncomp<=4) array
-    as a JPEG-LS stream (SOF55, default thresholds, no LSE segment).
-    Multi-component images use the spec's NON-INTERLEAVED layout
-    (ILV=0): one SOS + complete scan per component, coder state
-    reinitialized per scan. ``near`` > 0 selects NEAR-LOSSLESS mode:
-    every reconstructed sample is within +/-``near`` of the input
-    (T.87 A.4.4/A.4.5 quantization, the context machinery running
-    over the reconstructed plane on both sides)."""
+    as a JPEG-LS stream (SOF55).
+
+    ``ilv`` selects the multi-component layout: 0 = non-interleaved
+    (one SOS + complete scan per component, coder state reinitialized
+    per scan), 1 = line-interleaved, 2 = sample-interleaved (both: a
+    single SOS covering all components, one shared coder state).
+    Single-component images always use ILV=0 (T.87 requires it).
+
+    Custom ``t1``/``t2``/``t3``/``reset``/``maxval`` presets emit an
+    LSE parameter segment (C.2.4.1.1, ID=1); defaults emit none.
+    ``near`` > 0 selects NEAR-LOSSLESS mode: every reconstructed
+    sample is within +/-``near`` of the input (T.87 A.4.4/A.4.5
+    quantization, the context machinery running over the
+    reconstructed plane on both sides)."""
     if img.ndim == 2:
         planes = [img]
     elif img.ndim == 3 and 1 <= img.shape[2] <= 4:
@@ -314,9 +365,18 @@ def encode_jls(
         precision = 8 if img.dtype == np.uint8 else 16
     if not 8 <= precision <= 16:
         raise NotImplementedError("JPEG-LS precision must be 8-16 here")
-    maxval = (1 << precision) - 1
-    if int(img.min()) < 0 or int(img.max()) > maxval:
-        raise ValueError(f"sample out of range for {precision}-bit")
+    if ilv not in (0, 1, 2):
+        raise ValueError("ILV must be 0 (none), 1 (line) or 2 (sample)")
+    if len(planes) == 1:
+        ilv = 0
+    default_maxval = (1 << precision) - 1
+    mv = default_maxval if maxval is None else maxval
+    if not 128 <= mv <= default_maxval:
+        raise ValueError("MAXVAL preset must be in 128..(1<<P)-1")
+    if int(img.min()) < 0 or int(img.max()) > mv:
+        raise ValueError(f"sample out of range for MAXVAL={mv}")
+    # one probe state resolves defaults AND validates the presets once
+    probe = _State(mv, near, t1, t2, t3, reset)
     h, w = planes[0].shape
     out = bytearray(_SOI)
     comp_spec = b"".join(
@@ -324,98 +384,46 @@ def encode_jls(
     )
     sof = struct.pack(">BHHB", precision, h, w, len(planes)) + comp_spec
     out += _SOF55 + struct.pack(">H", 2 + len(sof)) + sof
-    for ci, plane in enumerate(planes):
-        # SOS: 1 component per scan (non-interleaved), mapping table 0
-        sos = bytes([1, ci + 1, 0x00, near, 0, 0x00])
+    if any(v is not None for v in (t1, t2, t3, reset, maxval)):
+        # LSE, ID=1: coding-parameter presets (13-byte segment)
+        lse = struct.pack(
+            ">BHHHHH", 1, mv, probe.t1, probe.t2, probe.t3, probe.reset
+        )
+        out += _LSE + struct.pack(">H", 2 + len(lse)) + lse
+    iplanes = [p.astype(np.int64) for p in planes]
+    if ilv == 0:
+        for ci, plane in enumerate(iplanes):
+            # SOS: 1 component per scan (non-interleaved), mapping table 0
+            sos = bytes([1, ci + 1, 0x00, near, 0, 0x00])
+            out += _SOS + struct.pack(">H", 2 + len(sos)) + sos
+            out += _encode_plane(plane, mv, near, t1, t2, t3, reset)
+    else:
+        sos = (
+            bytes([len(planes)])
+            + b"".join(bytes([ci + 1, 0x00]) for ci in range(len(planes)))
+            + bytes([near, ilv, 0x00])
+        )
         out += _SOS + struct.pack(">H", 2 + len(sos)) + sos
-        out += _encode_plane(plane.astype(np.int64), maxval, near)
+        out += _encode_interleaved(iplanes, mv, near, ilv, t1, t2, t3, reset)
     out += _EOI
     return bytes(out)
 
 
-def _encode_plane(px: np.ndarray, maxval: int, near: int) -> bytes:
-    """One complete single-component scan (fresh coder state)."""
-    h, w = px.shape
-    st = _State(maxval, near)
-    bw = _StuffWriter()
-    # context/prediction state reads the RECONSTRUCTED plane (== the
-    # source when near == 0) so the decoder can replay it exactly
-    rec = np.zeros((h, w), np.int64)
-
-    for r in range(h):
-        c = 0
-        while c < w:
-            a, b, cc, d = _neighbors(rec, r, c, w)
-            d1, d2, d3 = d - b, b - cc, cc - a
-            if st.quantize(d1) == 0 and st.quantize(d2) == 0 \
-                    and st.quantize(d3) == 0:
-                c = _encode_run(bw, st, px, rec, r, c, w, a)
-                continue
-            q1, q2, q3 = st.quantize(d1), st.quantize(d2), st.quantize(d3)
-            if q1 < 0 or (q1 == 0 and q2 < 0) or (q1 == 0 and q2 == 0 and q3 < 0):
-                sign = -1
-                q1, q2, q3 = -q1, -q2, -q3
-            else:
-                sign = 1
-            q = 81 * q1 + 9 * q2 + q3
-            pred = _med_predict(a, b, cc)
-            pred += sign * st.C[q]
-            pred = min(max(pred, 0), maxval)
-            errval = int(px[r, c]) - pred
-            if sign < 0:
-                errval = -errval
-            errval = st.quantize_error(errval)
-            if errval < 0:
-                errval += st.range
-            if errval >= (st.range + 1) // 2:
-                errval -= st.range
-            rec[r, c] = st.reconstruct(
-                pred, errval if sign > 0 else -errval
-            )
-            k = st.golomb_k(q, st.A[q])
-            if k == 0 and 2 * st.B[q] <= -st.N[q]:
-                merr = 2 * errval + 1 if errval >= 0 else -2 * (errval + 1)
-            else:
-                merr = 2 * errval if errval >= 0 else -2 * errval - 1
-            _lg_encode(bw, merr, k, st.limit, st.qbpp)
-            st.update_regular(q, errval)
-            c += 1
-    bw.flush()
-    return bytes(bw.out)
-
-
-def _encode_run(bw, st, px, rec, r, c, w, a) -> int:
-    """Run mode (A.7): count the run of Ra (within +/-NEAR for
-    near-lossless — run samples RECONSTRUCT to the run value), emit
-    J-table blocks, then the interruption sample unless the line
-    ended. Returns next col."""
-    runval = a
-    start = c
-    while c < w and abs(int(px[r, c]) - runval) <= st.near:
-        c += 1
-    rec[r, start:c] = runval
-    runcnt = c - start
-    while runcnt >= (1 << _J[st.run_index]):
-        bw.write(1, 1)
-        runcnt -= 1 << _J[st.run_index]
-        if st.run_index < 31:
-            st.run_index += 1
-    if c >= w:
-        if runcnt > 0:
-            bw.write(1, 1)
-        return c
-    bw.write(0, 1)
-    if _J[st.run_index]:
-        bw.write(runcnt, _J[st.run_index])
-    glimit = st.limit - _J[st.run_index] - 1
-    if st.run_index > 0:
-        st.run_index -= 1
-    # run interruption sample
-    _, rb, _, _ = _neighbors(rec, r, c, w)
-    ritype = 1 if abs(runval - rb) <= st.near else 0
-    pred = runval if ritype else rb
-    errval = int(px[r, c]) - pred
-    sign = -1 if (ritype == 0 and runval > rb) else 1
+def _encode_regular(bw, st, x, a, b, cc, q1, q2, q3) -> int:
+    """Regular-mode encode of one sample (A.4-A.6): sign-fold the
+    context, bias-correct the MED prediction, quantize + modulo-reduce
+    the error, Golomb-code, update context state. Returns the
+    reconstructed value for the causal plane."""
+    if q1 < 0 or (q1 == 0 and q2 < 0) or (q1 == 0 and q2 == 0 and q3 < 0):
+        sign = -1
+        q1, q2, q3 = -q1, -q2, -q3
+    else:
+        sign = 1
+    q = 81 * q1 + 9 * q2 + q3
+    pred = _med_predict(a, b, cc)
+    pred += sign * st.C[q]
+    pred = min(max(pred, 0), st.maxval)
+    errval = x - pred
     if sign < 0:
         errval = -errval
     errval = st.quantize_error(errval)
@@ -423,7 +431,211 @@ def _encode_run(bw, st, px, rec, r, c, w, a) -> int:
         errval += st.range
     if errval >= (st.range + 1) // 2:
         errval -= st.range
-    rec[r, c] = st.reconstruct(pred, errval if sign > 0 else -errval)
+    rec = st.reconstruct(pred, errval if sign > 0 else -errval)
+    k = st.golomb_k(q, st.A[q])
+    if k == 0 and 2 * st.B[q] <= -st.N[q]:
+        merr = 2 * errval + 1 if errval >= 0 else -2 * (errval + 1)
+    else:
+        merr = 2 * errval if errval >= 0 else -2 * errval - 1
+    _lg_encode(bw, merr, k, st.limit, st.qbpp)
+    st.update_regular(q, errval)
+    return rec
+
+
+def _decode_regular(br, st, a, b, cc, q1, q2, q3) -> int:
+    """Mirror of :func:`_encode_regular`."""
+    if q1 < 0 or (q1 == 0 and q2 < 0) or (q1 == 0 and q2 == 0 and q3 < 0):
+        sign = -1
+        q1, q2, q3 = -q1, -q2, -q3
+    else:
+        sign = 1
+    q = 81 * q1 + 9 * q2 + q3
+    pred = _med_predict(a, b, cc)
+    pred += sign * st.C[q]
+    pred = min(max(pred, 0), st.maxval)
+    k = st.golomb_k(q, st.A[q])
+    merr = _lg_decode(br, k, st.limit, st.qbpp)
+    if k == 0 and 2 * st.B[q] <= -st.N[q]:
+        errval = (merr - 1) // 2 if merr % 2 else -(merr // 2) - 1
+    else:
+        errval = merr // 2 if merr % 2 == 0 else -((merr + 1) // 2)
+    st.update_regular(q, errval)
+    return st.reconstruct(pred, errval if sign > 0 else -errval)
+
+
+def _encode_line(bw, st, px, rec, r, w, rix=0) -> None:
+    """One row of one component: run/regular dispatch (A.2)."""
+    c = 0
+    while c < w:
+        a, b, cc, d = _neighbors(rec, r, c, w)
+        q1 = st.quantize(d - b)
+        q2 = st.quantize(b - cc)
+        q3 = st.quantize(cc - a)
+        if q1 == 0 and q2 == 0 and q3 == 0:
+            c = _encode_run(bw, st, px, rec, r, c, w, a, rix)
+            continue
+        rec[r, c] = _encode_regular(
+            bw, st, int(px[r, c]), a, b, cc, q1, q2, q3
+        )
+        c += 1
+
+
+def _encode_plane(
+    px: np.ndarray, maxval: int, near: int, t1=None, t2=None, t3=None,
+    reset=None,
+) -> bytes:
+    """One complete single-component scan (fresh coder state)."""
+    h, w = px.shape
+    st = _State(maxval, near, t1, t2, t3, reset)
+    bw = _StuffWriter()
+    # context/prediction state reads the RECONSTRUCTED plane (== the
+    # source when near == 0) so the decoder can replay it exactly
+    rec = np.zeros((h, w), np.int64)
+    for r in range(h):
+        _encode_line(bw, st, px, rec, r, w)
+    bw.flush()
+    return bytes(bw.out)
+
+
+def _encode_interleaved(
+    planes, maxval, near, ilv, t1=None, t2=None, t3=None, reset=None
+) -> bytes:
+    """One multi-component scan, ILV=1 (line) or ILV=2 (sample). One
+    SHARED context-counter set for the whole scan (A.2.1); ILV=1 keeps
+    a run index per component (A.7.1), ILV=2 shares a single one (runs
+    advance all components in lockstep)."""
+    ncomp = len(planes)
+    h, w = planes[0].shape
+    st = _State(
+        maxval, near, t1, t2, t3, reset,
+        n_run_indexes=ncomp if ilv == 1 else 1,
+    )
+    bw = _StuffWriter()
+    recs = [np.zeros((h, w), np.int64) for _ in range(ncomp)]
+    for r in range(h):
+        if ilv == 1:
+            for ci in range(ncomp):
+                _encode_line(bw, st, planes[ci], recs[ci], r, w, rix=ci)
+        else:
+            _encode_row_ilv2(bw, st, planes, recs, r, w)
+    bw.flush()
+    return bytes(bw.out)
+
+
+def _encode_row_ilv2(bw, st, planes, recs, r, w) -> None:
+    """Sample-interleaved row (A.7.2): at each column, run mode only
+    when EVERY component's gradients quantize to zero; otherwise each
+    component's sample is regular-coded in component order."""
+    ncomp = len(planes)
+    c = 0
+    while c < w:
+        nbs = [_neighbors(recs[i], r, c, w) for i in range(ncomp)]
+        qs = [
+            (st.quantize(d - b), st.quantize(b - cc), st.quantize(cc - a))
+            for (a, b, cc, d) in nbs
+        ]
+        if all(q == (0, 0, 0) for q in qs):
+            c = _encode_run_ilv2(
+                bw, st, planes, recs, r, c, w, [nb[0] for nb in nbs]
+            )
+            continue
+        for i in range(ncomp):
+            a, b, cc, _ = nbs[i]
+            q1, q2, q3 = qs[i]
+            recs[i][r, c] = _encode_regular(
+                bw, st, int(planes[i][r, c]), a, b, cc, q1, q2, q3
+            )
+        c += 1
+
+
+def _encode_run_ilv2(bw, st, planes, recs, r, c, w, runvals) -> int:
+    """Sample-interleaved run (A.7.2): the run extends while EVERY
+    component matches its own run value (within NEAR); run-length
+    J-blocks are emitted once; the interruption sample of EACH
+    component is then coded with RItype=0 against its own Rb."""
+    ncomp = len(planes)
+    start = c
+    while c < w and all(
+        abs(int(planes[i][r, c]) - runvals[i]) <= st.near
+        for i in range(ncomp)
+    ):
+        c += 1
+    for i in range(ncomp):
+        recs[i][r, start:c] = runvals[i]
+    runcnt = c - start
+    while runcnt >= (1 << _J[st.run_index[0]]):
+        bw.write(1, 1)
+        runcnt -= 1 << _J[st.run_index[0]]
+        if st.run_index[0] < 31:
+            st.run_index[0] += 1
+    if c >= w:
+        if runcnt > 0:
+            bw.write(1, 1)
+        return c
+    bw.write(0, 1)
+    if _J[st.run_index[0]]:
+        bw.write(runcnt, _J[st.run_index[0]])
+    glimit = st.limit - _J[st.run_index[0]] - 1
+    if st.run_index[0] > 0:
+        st.run_index[0] -= 1
+    for i in range(ncomp):
+        _, rb, _, _ = _neighbors(recs[i], r, c, w)
+        sign = -1 if runvals[i] > rb else 1
+        recs[i][r, c] = _encode_ri(
+            bw, st, int(planes[i][r, c]), rb, sign, 0, glimit
+        )
+    return c + 1
+
+
+def _encode_run(bw, st, px, rec, r, c, w, a, rix=0) -> int:
+    """Run mode (A.7): count the run of Ra (within +/-NEAR for
+    near-lossless — run samples RECONSTRUCT to the run value), emit
+    J-table blocks, then the interruption sample unless the line
+    ended. ``rix`` selects the run index (per-component in ILV=1).
+    Returns next col."""
+    runval = a
+    start = c
+    while c < w and abs(int(px[r, c]) - runval) <= st.near:
+        c += 1
+    rec[r, start:c] = runval
+    runcnt = c - start
+    while runcnt >= (1 << _J[st.run_index[rix]]):
+        bw.write(1, 1)
+        runcnt -= 1 << _J[st.run_index[rix]]
+        if st.run_index[rix] < 31:
+            st.run_index[rix] += 1
+    if c >= w:
+        if runcnt > 0:
+            bw.write(1, 1)
+        return c
+    bw.write(0, 1)
+    if _J[st.run_index[rix]]:
+        bw.write(runcnt, _J[st.run_index[rix]])
+    glimit = st.limit - _J[st.run_index[rix]] - 1
+    if st.run_index[rix] > 0:
+        st.run_index[rix] -= 1
+    # run interruption sample
+    _, rb, _, _ = _neighbors(rec, r, c, w)
+    ritype = 1 if abs(runval - rb) <= st.near else 0
+    pred = runval if ritype else rb
+    sign = -1 if (ritype == 0 and runval > rb) else 1
+    rec[r, c] = _encode_ri(bw, st, int(px[r, c]), pred, sign, ritype, glimit)
+    return c + 1
+
+
+def _encode_ri(bw, st, x, pred, sign, ritype, glimit) -> int:
+    """Run-interruption sample encode (A.7.2): error vs the run/Rb
+    prediction, the emap parity fold, context 365+RItype statistics.
+    Returns the reconstructed value."""
+    errval = x - pred
+    if sign < 0:
+        errval = -errval
+    errval = st.quantize_error(errval)
+    if errval < 0:
+        errval += st.range
+    if errval >= (st.range + 1) // 2:
+        errval -= st.range
+    rec = st.reconstruct(pred, errval if sign > 0 else -errval)
     q = 365 + ritype
     temp = st.A[q] + (st.N[q] >> 1) if ritype else st.A[q]
     k = st.golomb_k(q, temp)
@@ -439,27 +651,54 @@ def _encode_run(bw, st, px, rec, r, c, w, a) -> int:
     if errval < 0:
         st.Nn[ritype] += 1
     st.A[q] += (emerr + 1 - ritype) >> 1
-    if st.N[q] == _RESET:
+    if st.N[q] == st.reset:
         st.A[q] >>= 1
         st.N[q] >>= 1
         st.Nn[ritype] >>= 1
     st.N[q] += 1
-    return c + 1
+    return rec
+
+
+def _decode_ri(br, st, pred, sign, ritype, glimit) -> int:
+    """Mirror of :func:`_encode_ri` — closed-form inverse of the emap
+    parity (errval < 0  <=>  emap == (k != 0 or 2*Nn >= N))."""
+    q = 365 + ritype
+    temp = st.A[q] + (st.N[q] >> 1) if ritype else st.A[q]
+    k = st.golomb_k(q, temp)
+    emerr = _lg_decode(br, k, glimit, st.qbpp)
+    tot = emerr + ritype  # = 2*|errval| - emap
+    emap = tot & 1
+    mag = (tot + emap) // 2
+    neg_pred = 1 if (k != 0 or 2 * st.Nn[ritype] >= st.N[q]) else 0
+    errval = -mag if emap == neg_pred else mag
+    if errval < 0:
+        st.Nn[ritype] += 1
+    st.A[q] += (emerr + 1 - ritype) >> 1
+    if st.N[q] == st.reset:
+        st.A[q] >>= 1
+        st.N[q] >>= 1
+        st.Nn[ritype] >>= 1
+    st.N[q] += 1
+    return st.reconstruct(pred, errval if sign > 0 else -errval)
 
 
 def decode_jls(data: bytes) -> tuple[np.ndarray, int]:
     """Decode a JPEG-LS stream produced by :func:`encode_jls`.
     Returns ``(plane_or_stack, precision)`` — a 2-D array for gray,
-    (h, w, ncomp) for multi-component (one non-interleaved scan per
-    component; T.87 bit-stuffing guarantees no marker byte pair can
-    occur inside entropy data, so the next SOS is found by scanning
-    forward from the end of the decoded scan)."""
+    (h, w, ncomp) for multi-component. Handles non-interleaved
+    multi-scan layout (T.87 bit-stuffing guarantees no marker byte
+    pair can occur inside entropy data, so the next SOS is found by
+    scanning forward from the end of the decoded scan), line/sample
+    interleaved single-scan layouts (ILV 1/2), and LSE ID=1 preset
+    segments (custom MAXVAL/T1/T2/T3/RESET applied to every
+    subsequent scan)."""
     if data[:2] != _SOI:
         raise ValueError("not a JPEG-LS stream (no SOI)")
     pos = 2
     frame = None
     planes: list[np.ndarray] = []
     ncomp = 1
+    presets: dict = {}
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("corrupt stream: expected marker")
@@ -476,20 +715,41 @@ def decode_jls(data: bytes) -> tuple[np.ndarray, int]:
             if not 1 <= ncomp <= 4:
                 raise NotImplementedError(f"{ncomp}-component JPEG-LS")
             frame = (precision, h, w)
-        elif marker == 0xF8:
-            raise NotImplementedError("LSE parameter segments")
+        elif marker == 0xF8:  # LSE
+            if seg[0] != 1:
+                # IDs 2/3 (mapping tables) and 4 (oversize dims) stay
+                # honest gates — nothing here emits them
+                raise NotImplementedError(f"LSE segment ID {seg[0]}")
+            mv, pt1, pt2, pt3, prst = struct.unpack(">HHHHH", seg[1:11])
+            presets = {
+                "maxval": mv, "t1": pt1, "t2": pt2, "t3": pt3,
+                "reset": prst,
+            }
         elif marker == 0xDA:
             if frame is None:
                 raise ValueError("corrupt stream: SOS before SOF55")
-            near, ilv = seg[1 + 2 * seg[0]], seg[2 + 2 * seg[0]]
+            ns = seg[0]
+            near, ilv = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            precision, h, w = frame
+            mv = presets.get("maxval", (1 << precision) - 1)
+            stp = dict(
+                t1=presets.get("t1"), t2=presets.get("t2"),
+                t3=presets.get("t3"), reset=presets.get("reset"),
+            )
+            dtype = np.uint8 if precision <= 8 else np.uint16
             if ilv != 0:
-                raise NotImplementedError("interleaved scans")
-            plane, end = _decode_scan(data, pos + seglen, *frame, near)
-            planes.append(plane)
+                if ns != ncomp:
+                    raise ValueError("interleaved SOS must cover all comps")
+                stack = _decode_interleaved(
+                    data, pos + seglen, mv, h, w, ncomp, near, ilv, stp
+                )
+                return stack.astype(dtype), precision
+            plane, end = _decode_scan(data, pos + seglen, mv, h, w, near, stp)
+            planes.append(plane.astype(dtype))
             if len(planes) == ncomp:
                 if ncomp == 1:
-                    return planes[0], frame[0]
-                return np.stack(planes, axis=2), frame[0]
+                    return planes[0], precision
+                return np.stack(planes, axis=2), precision
             # next marker follows the (byte-padded) entropy data
             pos = data.index(b"\xff", end)
             continue
@@ -497,96 +757,140 @@ def decode_jls(data: bytes) -> tuple[np.ndarray, int]:
     raise ValueError("corrupt stream: missing scans")
 
 
+def _decode_line(br, st, px, r, w, rix=0) -> None:
+    """Mirror of :func:`_encode_line`."""
+    c = 0
+    while c < w:
+        a, b, cc, d = _neighbors(px, r, c, w)
+        q1 = st.quantize(d - b)
+        q2 = st.quantize(b - cc)
+        q3 = st.quantize(cc - a)
+        if q1 == 0 and q2 == 0 and q3 == 0:
+            c = _decode_run(br, st, px, r, c, w, a, rix)
+            continue
+        px[r, c] = _decode_regular(br, st, a, b, cc, q1, q2, q3)
+        c += 1
+
+
 def _decode_scan(
-    data: bytes, pos: int, precision: int, h: int, w: int, near: int = 0
+    data: bytes, pos: int, maxval: int, h: int, w: int, near: int = 0,
+    stp: dict | None = None,
 ):
-    maxval = (1 << precision) - 1
-    st = _State(maxval, near)
+    st = _State(maxval, near, **(stp or {}))
     br = _StuffReader(data, pos)
     px = np.zeros((h, w), np.int64)
     for r in range(h):
-        c = 0
-        while c < w:
-            a, b, cc, d = _neighbors(px, r, c, w)
-            d1, d2, d3 = d - b, b - cc, cc - a
-            if st.quantize(d1) == 0 and st.quantize(d2) == 0 \
-                    and st.quantize(d3) == 0:
-                c = _decode_run(br, st, px, r, c, w, a)
-                continue
-            q1, q2, q3 = st.quantize(d1), st.quantize(d2), st.quantize(d3)
-            if q1 < 0 or (q1 == 0 and q2 < 0) or (q1 == 0 and q2 == 0 and q3 < 0):
-                sign = -1
-                q1, q2, q3 = -q1, -q2, -q3
-            else:
-                sign = 1
-            q = 81 * q1 + 9 * q2 + q3
-            pred = _med_predict(a, b, cc)
-            pred += sign * st.C[q]
-            pred = min(max(pred, 0), maxval)
-            k = st.golomb_k(q, st.A[q])
-            merr = _lg_decode(br, k, st.limit, st.qbpp)
-            if k == 0 and 2 * st.B[q] <= -st.N[q]:
-                errval = (merr - 1) // 2 if merr % 2 else -(merr // 2) - 1
-            else:
-                errval = merr // 2 if merr % 2 == 0 else -((merr + 1) // 2)
-            st.update_regular(q, errval)
-            px[r, c] = st.reconstruct(
-                pred, errval if sign > 0 else -errval
+        _decode_line(br, st, px, r, w)
+    return px, br.pos
+
+
+def _decode_interleaved(
+    data: bytes, pos: int, maxval: int, h: int, w: int, ncomp: int,
+    near: int, ilv: int, stp: dict | None = None,
+) -> np.ndarray:
+    """Mirror of :func:`_encode_interleaved`."""
+    st = _State(
+        maxval, near, **(stp or {}),
+        n_run_indexes=ncomp if ilv == 1 else 1,
+    )
+    br = _StuffReader(data, pos)
+    recs = [np.zeros((h, w), np.int64) for _ in range(ncomp)]
+    for r in range(h):
+        if ilv == 1:
+            for ci in range(ncomp):
+                _decode_line(br, st, recs[ci], r, w, rix=ci)
+        else:
+            _decode_row_ilv2(br, st, recs, r, w)
+    return np.stack(recs, axis=2)
+
+
+def _decode_row_ilv2(br, st, recs, r, w) -> None:
+    """Mirror of :func:`_encode_row_ilv2`."""
+    ncomp = len(recs)
+    c = 0
+    while c < w:
+        nbs = [_neighbors(recs[i], r, c, w) for i in range(ncomp)]
+        qs = [
+            (st.quantize(d - b), st.quantize(b - cc), st.quantize(cc - a))
+            for (a, b, cc, d) in nbs
+        ]
+        if all(q == (0, 0, 0) for q in qs):
+            c = _decode_run_ilv2(
+                br, st, recs, r, c, w, [nb[0] for nb in nbs]
             )
-            c += 1
-    dtype = np.uint8 if precision <= 8 else np.uint16
-    return px.astype(dtype), br.pos
+            continue
+        for i in range(ncomp):
+            a, b, cc, _ = nbs[i]
+            q1, q2, q3 = qs[i]
+            recs[i][r, c] = _decode_regular(br, st, a, b, cc, q1, q2, q3)
+        c += 1
 
 
-def _decode_run(br, st, px, r, c, w, a) -> int:
+def _decode_run_ilv2(br, st, recs, r, c, w, runvals) -> int:
+    """Mirror of :func:`_encode_run_ilv2`."""
+    ncomp = len(recs)
+    while True:
+        if br.bit() == 1:
+            n = 1 << _J[st.run_index[0]]
+            if c + n > w:
+                for i in range(ncomp):
+                    recs[i][r, c:w] = runvals[i]
+                return w
+            for i in range(ncomp):
+                recs[i][r, c : c + n] = runvals[i]
+            c += n
+            if st.run_index[0] < 31:
+                st.run_index[0] += 1
+            if c >= w:
+                return c
+        else:
+            if _J[st.run_index[0]]:
+                n = br.bits(_J[st.run_index[0]])
+                for i in range(ncomp):
+                    recs[i][r, c : c + n] = runvals[i]
+                c += n
+            glimit = st.limit - _J[st.run_index[0]] - 1
+            if st.run_index[0] > 0:
+                st.run_index[0] -= 1
+            break
+    for i in range(ncomp):
+        _, rb, _, _ = _neighbors(recs[i], r, c, w)
+        sign = -1 if runvals[i] > rb else 1
+        recs[i][r, c] = _decode_ri(br, st, rb, sign, 0, glimit)
+    return c + 1
+
+
+def _decode_run(br, st, px, r, c, w, a, rix=0) -> int:
     """Mirror of :func:`_encode_run`: J-table run blocks (a full block
     that exactly reaches EOL still bumps RUNindex; the padding '1' a
     partial EOL run gets does not), then the interruption sample."""
     runval = a
     while True:
         if br.bit() == 1:
-            n = 1 << _J[st.run_index]
+            n = 1 << _J[st.run_index[rix]]
             if c + n > w:
                 # partial-run EOL marker: fill the tail, no index bump
                 px[r, c:w] = runval
                 return w
             px[r, c : c + n] = runval
             c += n
-            if st.run_index < 31:
-                st.run_index += 1
+            if st.run_index[rix] < 31:
+                st.run_index[rix] += 1
             if c >= w:
                 return c
         else:
-            if _J[st.run_index]:
-                n = br.bits(_J[st.run_index])
+            if _J[st.run_index[rix]]:
+                n = br.bits(_J[st.run_index[rix]])
                 px[r, c : c + n] = runval
                 c += n
-            glimit = st.limit - _J[st.run_index] - 1
-            if st.run_index > 0:
-                st.run_index -= 1
+            glimit = st.limit - _J[st.run_index[rix]] - 1
+            if st.run_index[rix] > 0:
+                st.run_index[rix] -= 1
             break
-    # run interruption sample — closed-form inverse of the emap parity
+    # run interruption sample
     _, rb, _, _ = _neighbors(px, r, c, w)
     ritype = 1 if abs(runval - rb) <= st.near else 0
     pred = runval if ritype else rb
     sign = -1 if (ritype == 0 and runval > rb) else 1
-    q = 365 + ritype
-    temp = st.A[q] + (st.N[q] >> 1) if ritype else st.A[q]
-    k = st.golomb_k(q, temp)
-    emerr = _lg_decode(br, k, glimit, st.qbpp)
-    tot = emerr + ritype  # = 2*|errval| - emap
-    emap = tot & 1
-    mag = (tot + emap) // 2
-    # errval < 0  <=>  emap == (k != 0 or 2*Nn >= N)  (encoder predicate)
-    neg_pred = 1 if (k != 0 or 2 * st.Nn[ritype] >= st.N[q]) else 0
-    errval = -mag if emap == neg_pred else mag
-    if errval < 0:
-        st.Nn[ritype] += 1
-    st.A[q] += (emerr + 1 - ritype) >> 1
-    if st.N[q] == _RESET:
-        st.A[q] >>= 1
-        st.N[q] >>= 1
-        st.Nn[ritype] >>= 1
-    st.N[q] += 1
-    px[r, c] = st.reconstruct(pred, errval if sign > 0 else -errval)
+    px[r, c] = _decode_ri(br, st, pred, sign, ritype, glimit)
     return c + 1

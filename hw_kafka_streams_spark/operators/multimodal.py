@@ -1667,8 +1667,12 @@ def synthesize_jls_rgb_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFr
     """One REAL multi-component JPEG-LS stream per row: doc i carries
     a (12 + (i%4)*4) x (20 + (i%3)*6) x 3 RGB image with
     v(r, c, ch) = (7*i + 13*r + 17*c + 31*ch*(1 + r%3)) mod 256 —
-    channel-dependent gradients so the three non-interleaved scans
-    carry genuinely different statistics."""
+    channel-dependent gradients so the component scans carry genuinely
+    different statistics. The LAYOUT varies per doc: ILV = i mod 3
+    (non-interleaved / line-interleaved / sample-interleaved), and
+    every 5th doc adds an LSE preset segment (T1/T2/T3 = 4/8/32,
+    RESET = 32), so the corpus exercises every T.87 scan layout the
+    codec supports plus the parameter-preset path (VERDICT r8 item 4)."""
     import numpy as np
 
     from hw_kafka_streams_spark.operators.jlscodec import encode_jls
@@ -1687,7 +1691,10 @@ def synthesize_jls_rgb_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFr
                 img = (
                     (7 * i + 13 * r + 17 * c + 31 * ch * (1 + r % 3)) % 256
                 ).astype(np.uint8)
-                payloads.append(encode_jls(img))
+                kw = {"ilv": i % 3}
+                if i % 5 == 0:
+                    kw.update(t1=4, t2=8, t3=32, reset=32)
+                payloads.append(encode_jls(img, **kw))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     return df.select(F.col(id_col)).mapInPandas(
@@ -1697,7 +1704,10 @@ def synthesize_jls_rgb_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFr
 
 def jls_rgb_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Exact channel-summed pixel stats over decoded multi-component
-    JPEG-LS streams (lossless -> oracle-predictable)."""
+    JPEG-LS streams (lossless -> oracle-predictable). ``ilv`` is read
+    back from the FIRST SOS header of the stream itself, so the oracle
+    (which derives it as doc_id % 3) verifies the payload genuinely
+    carries the interleaved layout, not just that decode succeeded."""
     import numpy as np
 
     from hw_kafka_streams_spark.operators.jlscodec import decode_jls
@@ -1706,20 +1716,24 @@ def jls_rgb_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         for pdf in batches:
             out = []
             for doc_id, data in zip(pdf["doc_id"], pdf[payload_col]):
-                px, _ = decode_jls(bytes(data))
+                data = bytes(data)
+                px, _ = decode_jls(data)
+                sos = data.index(b"\xff\xda")
+                ns = data[sos + 4]
+                ilv = data[sos + 6 + 2 * ns]
                 v = px.astype(np.int64)
                 out.append(
                     (doc_id, px.shape[0], px.shape[1], px.shape[2],
-                     int(v.sum()), int((v * v).sum()))
+                     int(ilv), int(v.sum()), int((v * v).sum()))
                 )
             yield pd.DataFrame(
                 out,
                 columns=["doc_id", "height", "width", "n_channels",
-                         "sum_v", "sum_sq"],
+                         "ilv", "sum_v", "sum_sq"],
             )
 
     return df.select("doc_id", payload_col).mapInPandas(
         work,
         schema="doc_id long, height int, width int, n_channels int, "
-        "sum_v long, sum_sq long",
+        "ilv int, sum_v long, sum_sq long",
     )

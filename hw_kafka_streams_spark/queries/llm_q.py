@@ -3780,9 +3780,10 @@ def q_multimodal_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
     "formula, so the oracle replays it in SQL. This closes the "
     "context-adaptive entropy-coding slot of the codec story; NEAR>0 "
     "near-lossless mode is implemented too (tests-enforced +/-NEAR "
-    "bound - a lossy cycle is not SQL-oracle-able). Remaining honest "
-    "gates: T.81 QM arithmetic modes, interleaved (ILV 1/2) scans. "
-    "Arrow-batched mapInPandas; per-file "
+    "bound - a lossy cycle is not SQL-oracle-able), as are ILV 1/2 "
+    "interleaved layouts and LSE presets (exercised per-doc in "
+    "q_multimodal_jls_rgb). Remaining honest gate: T.81 QM "
+    "arithmetic modes. Arrow-batched mapInPandas; per-file "
     "decode never crosses executors.",
 )
 def q_multimodal_jls(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3866,18 +3867,22 @@ def q_multimodal_mclv(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, CAST(max(h) AS INT) AS height,
                CAST(max(w) AS INT) AS width,
                CAST(3 AS INT) AS n_channels,
+               CAST(doc_id % 3 AS INT) AS ilv,
                CAST(sum(v) AS BIGINT) AS sum_v,
                CAST(sum(v * v) AS BIGINT) AS sum_sq
         FROM px GROUP BY doc_id ORDER BY doc_id
     """,
-    doc="Multi-component JPEG-LS decode: per-doc RGB planes (channel-"
-    "dependent gradients) genuinely encoded as T.87 NON-INTERLEAVED "
-    "streams - one SOS + complete scan per component, coder state "
-    "reinitialized per scan, the next scan located by marker search "
-    "(bit-stuffing guarantees no marker inside entropy data) - and "
-    "decoded back bit-exactly, so channel-summed pixel moments are "
-    "oracle-predicted. Closes the multi-component gate; ILV 1/2 "
-    "interleaved layouts remain. Arrow-batched mapInPandas.",
+    doc="Multi-component JPEG-LS decode across ALL THREE T.87 scan "
+    "layouts: per-doc RGB planes (channel-dependent gradients) are "
+    "encoded with ILV = doc_id %% 3 - non-interleaved (one SOS + scan "
+    "per component, next scan located by marker search), LINE-"
+    "interleaved (one shared context-counter set, per-component run "
+    "index), and SAMPLE-interleaved (lockstep columns, shared runs, "
+    "RItype=0 interruptions) - plus an LSE parameter-preset segment "
+    "(T1/T2/T3/RESET) on every 5th doc. Decoded back bit-exactly; "
+    "the ilv column is parsed from the stream's SOS header so the "
+    "oracle (doc_id %% 3) verifies the layout is genuinely carried. "
+    "Arrow-batched mapInPandas.",
 )
 def q_multimodal_jls_rgb(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hw_kafka_streams_spark.operators.multimodal import (

@@ -939,6 +939,73 @@ def test_jls_rejects_bad_input():
         encode_jls(np.zeros((2, 2), np.uint8), precision=4)  # sub-8-bit
     with pytest.raises(ValueError):
         decode_jls(b"\x00\x01\x02")  # no SOI
+    z = np.zeros((2, 2), np.uint8)
+    with pytest.raises(ValueError):
+        encode_jls(z, ilv=3)  # no such interleave mode
+    with pytest.raises(ValueError):
+        encode_jls(z, t1=9, t2=5)  # T1 > T2
+    with pytest.raises(ValueError):
+        encode_jls(z, reset=2)  # RESET < 3
+    with pytest.raises(ValueError):
+        encode_jls(np.full((2, 2), 255, np.uint8), maxval=200)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=2, max_value=4),
+    st.sampled_from([0, 1, 2]),
+    st.sampled_from(["noise", "flat", "mixed", "plane-flat"]),
+    st.integers(min_value=0, max_value=2),
+    st.booleans(),
+    st.randoms(use_true_random=False),
+)
+def test_jls_interleaved_lse_roundtrip(h, w, ncomp, ilv, kind, near, lse, rnd):
+    """VERDICT r8 item 4: all three ILV layouts × LSE presets × NEAR
+    must round-trip (bit-exact when near=0, within ±near otherwise) —
+    including flat planes that drive the shared-run (ILV=2) and
+    per-component-run-index (ILV=1) paths."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.jlscodec import (
+        decode_jls,
+        encode_jls,
+    )
+
+    if kind == "noise":
+        img = np.array(
+            [[[rnd.randrange(256) for _ in range(ncomp)]
+              for _ in range(w)] for _ in range(h)], np.uint8,
+        )
+    elif kind == "flat":
+        img = np.full((h, w, ncomp), rnd.randrange(256), np.uint8)
+    elif kind == "plane-flat":
+        # one flat component + noisy ones: ILV=2 must NOT enter run
+        # mode (not all components flat); ILV=1 runs on one plane only
+        img = np.array(
+            [[[rnd.randrange(256) for _ in range(ncomp)]
+              for _ in range(w)] for _ in range(h)], np.uint8,
+        )
+        img[:, :, 0] = 42
+    else:  # mixed: flat left half (shared runs), noise right half
+        img = np.full((h, w, ncomp), rnd.randrange(256), np.uint8)
+        for rr in range(h):
+            for cc in range(w // 2, w):
+                for ci in range(ncomp):
+                    img[rr, cc, ci] = rnd.randrange(256)
+    kw = dict(ilv=ilv, near=near)
+    if lse:
+        kw.update(t1=2 + near + rnd.randrange(6), reset=rnd.choice([16, 64, 128]))
+        kw["t2"] = kw["t1"] + rnd.randrange(8)
+        kw["t3"] = kw["t2"] + rnd.randrange(20)
+    enc = encode_jls(img, **kw)
+    if lse:
+        assert b"\xff\xf8" in enc  # the LSE segment is actually emitted
+    dec, prec = decode_jls(enc)
+    assert prec == 8 and dec.shape == (h, w, ncomp)
+    err = np.abs(dec.astype(np.int64) - img.astype(np.int64))
+    assert int(err.max()) <= near
 
 
 # -------------------------------------------------- MC video (MCLV1)
