@@ -56,7 +56,42 @@ PROBES = [
     # evidence requested by the round-6 verdict item 4
     "q_bootstrap_ci",
     "q_bfs_hops",
+    # round-7/8 additions (VERDICT r8 item 6)
+    "q_multimodal_flac",
+    "q_multimodal_jls",
+    "q_multimodal_mclv",
+    "q_gorilla_ts_blocks",
+    "q_corpus_build_e2e",
+    "q_association_rules",
+    "q_unigram_tokenize",
 ]
+
+
+# One-line adjudication per probe, rendered into the table so the
+# growth factor and its explanation travel together.
+NOTES = {
+    "q_winsorized_stats": "sort volume 10x, per-partition trim",
+    "q_containment_pairs": "posting-bounded candidate join",
+    "q_char_entropy": "narrow map, scan-dominated",
+    "q_bigram_lm_score": "corpus-join over distinct bigrams",
+    "q_bootstrap_ci": "replicate fan-out into partial agg",
+    "q_bfs_hops": "scan/build 10x; frontier graph-sized",
+    "q_multimodal_flac": "fixture capped at 150 docs — flat by "
+    "construction; decode cost = rows x per-file Arrow kernel, "
+    "no shuffle, so real growth tracks file count linearly",
+    "q_multimodal_jls": "fixture capped at 150 docs — same per-file "
+    "mapInPandas shape as flac; flat probe = fixed fixture",
+    "q_multimodal_mclv": "fixture capped at 100 docs — per-clip "
+    "encode+decode, no shuffle; flat probe = fixed fixture",
+    "q_gorilla_ts_blocks": "events 10x; per-series applyInPandas, "
+    "one key shuffle, blocks never cross executors",
+    "q_corpus_build_e2e": "docs 10x; snapshot-commit increments, "
+    "ledger anti-join keeps work O(increment)",
+    "q_association_rules": "lineitem 10x; basket pair explode bounded "
+    "by per-order item count, support prune before pairs",
+    "q_unigram_tokenize": "vocab-sized EM over the DISTINCT-word "
+    "table; corpus growth enters via one tokenize+count pass",
+}
 
 
 def synthesize(spark) -> None:
@@ -138,12 +173,13 @@ def main() -> None:
         "`×(0.1→1)` at or below ~10× means the growth factor is "
         "flattening toward linear, not compounding.",
         "",
-        "| query | sf0.1 | sf1 (synth) | ×(0.1→1) |",
-        "|---|---|---|---|",
+        "| query | sf0.1 | sf1 (synth) | ×(0.1→1) | adjudication |",
+        "|---|---|---|---|---|",
     ]
     for name, t01, t1 in rows:
         lines.append(
-            f"| {name} | {t01:.2f}s | {t1:.2f}s | {t1 / t01:.1f}× |"
+            f"| {name} | {t01:.2f}s | {t1:.2f}s | {t1 / t01:.1f}× "
+            f"| {NOTES.get(name, '')} |"
         )
     with open(out_md, "a") as f:
         f.write("\n".join(lines) + "\n")
