@@ -1058,7 +1058,11 @@ def synthesize_real_tiff_payloads(
     (8 + i%9) cols); every third doc encodes BIG-ENDIAN (MM) so the
     oracled decode exercises both byte orders, and compression cycles
     none / TIFF-LZW / Deflate by i%4 (i%4==3 adds the horizontal-
-    differencing predictor) — lossless, so the oracle is untouched."""
+    differencing predictor) — lossless, so the oracle is untouched.
+    Every 5th doc stores the SAME pixel values as 16-BIT samples
+    (BitsPerSample [16,16,16], file-byte-order words), so the oracled
+    battery also covers the round-9 16-bit read path; values are
+    unchanged, so the oracle stays identical."""
     import numpy as np
 
     from hw_kafka_streams_spark.operators.tiffcodec import encode_tiff_rgb
@@ -1078,7 +1082,7 @@ def synthesize_real_tiff_payloads(
                         (7 * i + 4 * xx + yy) % 256,
                     ],
                     axis=-1,
-                ).astype(np.uint8)
+                ).astype(np.uint16 if i % 5 == 0 else np.uint8)
                 comp = {0: 1, 1: 5, 2: 8, 3: 5}[i % 4]
                 pred = 2 if i % 4 == 3 else 1
                 payloads.append(

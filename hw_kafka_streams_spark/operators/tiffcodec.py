@@ -8,8 +8,9 @@ JPEG baseline+progressive, PNG, GIF incl. animation, MJPEG-AVI, Y4M).
 Lossless, so every decoded pixel is closed-form predictable from the
 synthesis formula (q_multimodal_tiff hashes exact channel means).
 
-Scope: 8-bit samples, PhotometricInterpretation 1 (gray,
-black-is-zero) and 2 (RGB), one or more strips, both byte orders,
+Scope: 8- and 16-bit samples (16-bit stored in the file byte order
+per TIFF 6.0 §4, decoded to uint16), PhotometricInterpretation 1
+(gray, black-is-zero) and 2 (RGB), one or more strips, both byte orders,
 SHORT/LONG tag types, out-of-line value arrays (strip offset/count
 lists); Compression 1 (none), 5 (TIFF 6.0 §13 LZW — MSB-first code
 packing, early width change, per-strip streams, table-full resets)
@@ -34,34 +35,39 @@ def encode_tiff_rgb(
     compression: int = 1,
     predictor: int = 1,
 ) -> bytes:
-    """Encode an (h, w, 3) uint8 RGB array as a TIFF (single strip,
-    chunky RGB). ``byte_order``: '<' II little-endian or '>' MM
-    big-endian. ``compression``: 1 = none, 5 = TIFF-LZW (MSB-first
-    code packing with the spec's early width change), 8 = Deflate
-    (Adobe/TIFF 6 style, stdlib zlib — the same dependency stance as
-    the PNG codec). ``predictor``: 1 = none, 2 = horizontal
-    differencing per sample (tag 317) applied before compression."""
+    """Encode an (h, w, 3) uint8 or uint16 RGB array as a TIFF
+    (single strip, chunky RGB; 16-bit samples are written in the
+    file's byte order per TIFF 6.0 §4). ``byte_order``: '<' II
+    little-endian or '>' MM big-endian. ``compression``: 1 = none,
+    5 = TIFF-LZW (MSB-first code packing with the spec's early width
+    change), 8 = Deflate (Adobe/TIFF 6 style, stdlib zlib — the same
+    dependency stance as the PNG codec). ``predictor``: 1 = none,
+    2 = horizontal differencing per sample (tag 317) applied before
+    compression (mod 2^bits)."""
     e = byte_order
     h, w = rgb.shape[:2]
+    bits = 16 if rgb.dtype == np.uint16 else 8
     if compression == 7:
         if predictor != 1:
             raise ValueError("predictor does not apply to JPEG strips")
+        if bits != 8:
+            raise ValueError("JPEG strips are 8-bit only (T.81 baseline)")
         from hw_kafka_streams_spark.operators.jpegcodec import (
             encode_baseline_jpeg,
         )
 
         return _assemble_tiff(
-            e, h, w, encode_baseline_jpeg(rgb), 7, 1
+            e, h, w, encode_baseline_jpeg(rgb), 7, 1, 8
         )
     raw = rgb
     if predictor == 2:
-        raw = raw.astype(np.int16)
+        raw = raw.astype(np.int32)
         raw = np.concatenate(
             [raw[:, :1, :], np.diff(raw, axis=1)], axis=1
-        ).astype(np.uint8)  # mod-256 differences
+        ).astype(rgb.dtype)  # mod-2^bits differences
     elif predictor != 1:
         raise ValueError(f"predictor must be 1 or 2, got {predictor}")
-    body = raw.tobytes()
+    body = raw.astype(e + ("u2" if bits == 16 else "u1")).tobytes()
     if compression == 1:
         pixels = body
     elif compression == 5:
@@ -72,11 +78,12 @@ def encode_tiff_rgb(
         pixels = zlib.compress(body, 9)
     else:
         raise ValueError(f"unsupported compression {compression}")
-    return _assemble_tiff(e, h, w, pixels, compression, predictor)
+    return _assemble_tiff(e, h, w, pixels, compression, predictor, bits)
 
 
 def _assemble_tiff(
-    e: str, h: int, w: int, pixels: bytes, compression: int, predictor: int
+    e: str, h: int, w: int, pixels: bytes, compression: int, predictor: int,
+    bits: int,
 ) -> bytes:
     # layout: header(8) + pixel data + BitsPerSample array(6) + IFD
     px_off = 8
@@ -85,7 +92,7 @@ def _assemble_tiff(
     entries = [
         (256, 4, 1, w),            # ImageWidth
         (257, 4, 1, h),            # ImageLength
-        (258, 3, 3, bps_off),      # BitsPerSample -> offset to [8,8,8]
+        (258, 3, 3, bps_off),      # BitsPerSample -> offset to [b,b,b]
         (259, 3, 1, compression),  # Compression
         (262, 3, 1, 2),            # Photometric: RGB
         (273, 4, 1, px_off),       # StripOffsets
@@ -105,13 +112,14 @@ def _assemble_tiff(
     ifd += struct.pack(e + "I", 0)
     magic = b"II*\x00" if e == "<" else b"MM\x00*"
     head = magic[:2] + struct.pack(e + "H", 42) + struct.pack(e + "I", ifd_off)
-    return head + pixels + struct.pack(e + "HHH", 8, 8, 8) + ifd
+    return head + pixels + struct.pack(e + "HHH", bits, bits, bits) + ifd
 
 
 def decode_tiff_pixels(data: bytes) -> np.ndarray:
-    """Decode an uncompressed baseline TIFF to an (h, w, 3) uint8 RGB
-    array (gray replicated). Raises NotImplementedError for compressed
-    streams, ValueError for corrupt data."""
+    """Decode a baseline TIFF to an (h, w, 3) RGB array — uint8 for
+    8-bit samples, uint16 for 16-bit (gray replicated). Raises
+    NotImplementedError for unsupported layouts, ValueError for
+    corrupt data."""
     if len(data) < 8:
         raise ValueError("not a TIFF (truncated header)")
     if data[:4] == b"II*\x00":
@@ -161,8 +169,13 @@ def decode_tiff_pixels(data: bytes) -> np.ndarray:
     photometric = (values(262, [1]) or [1])[0]
     spp = (values(277, [1]) or [1])[0]
     bps = values(258, [8]) or [8]
-    if any(b != 8 for b in bps):
-        raise NotImplementedError(f"TIFF bits-per-sample {bps} (8 only)")
+    if len(set(bps)) != 1 or bps[0] not in (8, 16):
+        raise NotImplementedError(
+            f"TIFF bits-per-sample {bps} (uniform 8 or 16 only)"
+        )
+    bits = bps[0]
+    if bits == 16 and comp == 7:
+        raise NotImplementedError("16-bit JPEG strips (T.81 baseline is 8-bit)")
     if photometric not in (1, 2) or spp not in (1, 3):
         raise NotImplementedError(
             f"TIFF photometric {photometric} / {spp} samples"
@@ -193,16 +206,20 @@ def decode_tiff_pixels(data: bytes) -> np.ndarray:
 
         strips = [zlib.decompress(sdata) for sdata in strips]
     raw = b"".join(strips)
-    if len(raw) < h * w * spp:
+    dtype = np.dtype(e + ("u2" if bits == 16 else "u1"))
+    if len(raw) < h * w * spp * dtype.itemsize:
         raise ValueError("corrupt TIFF: truncated strip data")
-    px = np.frombuffer(raw, dtype=np.uint8, count=h * w * spp).reshape(
+    px = np.frombuffer(raw, dtype=dtype, count=h * w * spp).reshape(
         h, w, spp
     )
+    out_dtype = np.uint16 if bits == 16 else np.uint8
     predictor = (values(317, [1]) or [1])[0]
     if predictor == 2:
-        px = np.cumsum(px.astype(np.int64), axis=1).astype(np.uint8)
+        px = np.cumsum(px.astype(np.int64), axis=1).astype(out_dtype)
     elif predictor != 1:
         raise NotImplementedError(f"TIFF predictor {predictor}")
+    else:
+        px = px.astype(out_dtype)  # native-endian view for callers
     if spp == 1:
         return np.repeat(px, 3, axis=2)
     return px.copy()

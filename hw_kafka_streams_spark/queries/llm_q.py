@@ -3316,15 +3316,15 @@ def q_multimodal_gif_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(b) // (width * height) AS INT) AS mean_b
         FROM px GROUP BY doc_id, width, height ORDER BY doc_id
     """,
-    doc="REAL uncompressed-TIFF pixel decode "
-    "(operators/tiffcodec.py): per-doc gradient TIFFs - IFD walk, "
-    "SHORT/LONG tags, out-of-line value arrays, strip assembly, both "
-    "byte orders (every third payload encodes big-endian MM) - "
-    "decoded back to exact integer channel means. Lossless, so the "
-    "oracle predicts every pixel from the synthesis formula; the "
-    "seventh real image format in the multimodal surface. LZW/"
-    "Deflate/JPEG-in-TIFF compression raise honestly (their pixel "
-    "paths belong to the dedicated codecs).",
+    doc="REAL TIFF pixel decode (operators/tiffcodec.py): per-doc "
+    "gradient TIFFs - IFD walk, SHORT/LONG tags, out-of-line value "
+    "arrays, strip assembly, both byte orders (every third payload "
+    "encodes big-endian MM), compression cycling none/LZW/Deflate "
+    "with the tag-317 predictor, and 16-BIT samples on every 5th doc "
+    "(file-byte-order words, round-9 gate removal) - decoded back to "
+    "exact integer channel means. Lossless, so the oracle predicts "
+    "every pixel from the synthesis formula; the seventh real image "
+    "format in the multimodal surface.",
 )
 def q_multimodal_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hw_kafka_streams_spark.operators.multimodal import (

@@ -1410,9 +1410,14 @@ def test_jls_multicomponent_roundtrip(h, w, ncomp, precision, near, rnd):
     st.sampled_from([1, 5, 8]),
     st.sampled_from([1, 2]),
     st.sampled_from(["<", ">"]),
+    st.sampled_from([8, 16]),
     st.integers(min_value=0, max_value=2**31 - 1),
 )
-def test_tiff_compression_roundtrip(h, w, comp, pred, bo, seed):
+def test_tiff_compression_roundtrip(h, w, comp, pred, bo, bits, seed):
+    """8- and 16-bit samples x both byte orders x all compressions x
+    both predictors: decode must be bit-exact AND keep the sample
+    depth (uint16 in, uint16 out — 16-bit stored in the file byte
+    order per TIFF 6.0 §4, round-9 gate removal)."""
     import numpy as np
 
     from hw_kafka_streams_spark.operators.tiffcodec import (
@@ -1420,12 +1425,16 @@ def test_tiff_compression_roundtrip(h, w, comp, pred, bo, seed):
         encode_tiff_rgb,
     )
 
+    dt = np.uint16 if bits == 16 else np.uint8
     img = (
-        np.random.RandomState(seed).randint(0, 256, (h, w, 3)).astype(np.uint8)
+        np.random.RandomState(seed)
+        .randint(0, 1 << bits, (h, w, 3))
+        .astype(dt)
     )
     dec = decode_tiff_pixels(
         encode_tiff_rgb(img, bo, compression=comp, predictor=pred)
     )
+    assert dec.dtype == dt
     assert np.array_equal(dec, img)
 
 
