@@ -67,8 +67,10 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column (JVM-side).
+def word_shingles(text: Column | str, n: int = 3, distinct: bool = True) -> Column:
+    """Word n-gram shingles of a text column (JVM-side); ``distinct``
+    gives set semantics (the dedup default), ``False`` keeps the raw
+    bag with multiplicity (diversity metrics like distinct-n need it).
 
     NOTE: higher-order-function expressions are interpreted (no
     codegen), so this per-row array form is for small/medium inputs and
@@ -79,7 +81,8 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     toks = word_tokens(text)
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return F.when(F.size(toks) >= n, F.array_distinct(sh)).otherwise(
+    out = F.array_distinct(sh) if distinct else sh
+    return F.when(F.size(toks) >= n, out).otherwise(
         F.array().cast("array<string>")
     )
 

@@ -2412,3 +2412,121 @@ def q_stump_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+@register(
+    "q_mlm_mask_plan",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             t -> t <> '') AS t
+          FROM documents
+        ), pos AS (
+          SELECT doc_id, len(t) AS n,
+                 unnest(range(1, len(t) + 1)) AS p
+          FROM toks
+        ), m AS (
+          SELECT doc_id, n, p,
+                 ('0x' || substring(md5(doc_id || ':' || p), 1, 15))::BIGINT
+                   % 100 < 15 AS masked,
+                 ('0x' || substring(md5(doc_id || ':' || p || ':a'), 1, 15))
+                   ::BIGINT % 10 AS act,
+                 lag(('0x' || substring(md5(doc_id || ':' || p), 1, 15))
+                       ::BIGINT % 100 < 15, 1, false)
+                     OVER (PARTITION BY doc_id ORDER BY p) AS prev_masked
+          FROM pos
+        )
+        SELECT doc_id,
+               CAST(max(n) AS INT) AS n_tokens,
+               CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS INT)
+                 AS n_masked,
+               CAST(sum(CASE WHEN masked AND act BETWEEN 0 AND 7
+                             THEN 1 ELSE 0 END) AS INT) AS n_mask_tok,
+               CAST(sum(CASE WHEN masked AND act = 8
+                             THEN 1 ELSE 0 END) AS INT) AS n_rand_tok,
+               CAST(sum(CASE WHEN masked AND act = 9
+                             THEN 1 ELSE 0 END) AS INT) AS n_keep_tok,
+               CAST(sum(CASE WHEN masked AND NOT prev_masked
+                             THEN 1 ELSE 0 END) AS INT) AS n_spans,
+               CAST(coalesce(min(CASE WHEN masked THEN p END), 0) AS INT)
+                 AS first_masked
+        FROM m GROUP BY doc_id
+        UNION ALL
+        SELECT doc_id, 0, 0, 0, 0, 0, 0, 0 FROM toks WHERE len(t) = 0
+        ORDER BY doc_id
+    """,
+    doc="Deterministic BERT-style mask PLANNING (operators/masking.py, "
+    "Devlin et al. 2018 15%% / 80-10-10): position p of doc d is "
+    "masked iff md5h(d:p) %% 100 < 15, actions from md5h(d:p:a) %% 10 "
+    "- so re-running or re-sharding the job cannot re-roll a single "
+    "mask. Per-doc integer stats include n_spans (maximal masked "
+    "runs, the T5 span-corruption unit, Raffel et al. 2020). Entirely "
+    "row-local array expressions over the token array: the plan is "
+    "one narrow projection over the scan, zero exchanges at any "
+    "corpus size.",
+)
+def q_mlm_mask_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.masking import mlm_mask_plan
+
+    docs = load_table(spark, "documents", sf_dir)
+    return mlm_mask_plan(docs).orderBy("doc_id")
+
+
+@register(
+    "q_distinct_ngrams",
+    oracle="""
+        WITH toks AS (
+          SELECT source,
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             t -> t <> '') AS t
+          FROM documents
+        ), g AS (
+          SELECT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+          FROM (SELECT source, t, unnest(range(1, len(t) - 1)) AS i
+                FROM toks WHERE len(t) >= 3)
+        ), c AS (
+          SELECT source, gram, count(*) AS c FROM g GROUP BY 1, 2
+        )
+        SELECT source,
+               CAST(sum(c) AS BIGINT) AS n_trigrams,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(max(c) AS BIGINT) AS max_df,
+               round(count(*) / CAST(sum(c) AS DOUBLE), 4)
+                 AS distinct_ratio
+        FROM c GROUP BY source ORDER BY source
+    """,
+    doc="Distinct-n corpus DIVERSITY per source (the distinct-trigram "
+    "ratio of Li et al. 2016 'distinct-N', the standard cheap "
+    "diversity/templatedness signal - a source whose ratio collapses "
+    "is boilerplate-heavy or machine-generated). Raw trigram bag "
+    "built row-locally, then one partial-agged (source, gram) "
+    "count and a source-sized rollup: two shuffles total, the first "
+    "map-side combined - never all-pairs, never a distinct over the "
+    "raw stream.",
+)
+def q_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.dedup import word_shingles
+
+    docs = load_table(spark, "documents", sf_dir)
+    grams = docs.select(
+        "source",
+        F.explode(word_shingles(F.col("text"), 3, distinct=False)).alias(
+            "gram"
+        ),
+    )
+    per_gram = grams.groupBy("source", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        per_gram.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_trigrams"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("max_df"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.sum("c"), 4
+            ).alias("distinct_ratio"),
+        )
+        .orderBy("source")
+    )

@@ -826,3 +826,59 @@ def test_greedy_max_coverage_submodular_and_exhaustion(spark):
     assert [p[1] for p in picks] == [1, 3]  # 2 adds nothing: never picked...
     gains = [p[2] for p in picks]
     assert gains == [3, 2] and picks[-1][3] == 5
+
+
+def test_mlm_mask_plan_semantics(spark):
+    """Round-9 masking operator: action counts partition n_masked,
+    spans are maximal masked runs, first_masked points at a masked
+    position, empty docs yield all-zero rows, and the plan is
+    deterministic across runs (hash-derived, never rand())."""
+    from hw_kafka_streams_spark.operators.masking import mlm_mask_plan
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(200))),
+            (2, "a b c"),
+            (3, ""),
+            (4, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in mlm_mask_plan(docs).collect()}
+    r1 = rows[1]
+    assert r1.n_tokens == 200
+    assert 0 < r1.n_masked < 200  # 15% of 200 — astronomically unlikely 0
+    assert r1.n_mask_tok + r1.n_rand_tok + r1.n_keep_tok == r1.n_masked
+    assert 1 <= r1.n_spans <= r1.n_masked
+    assert 1 <= r1.first_masked <= 200
+    assert rows[3].n_tokens == 0 and rows[3].n_masked == 0
+    assert rows[3].n_spans == 0 and rows[3].first_masked == 0
+    # determinism: a second evaluation is bit-identical
+    again = {r.doc_id: r for r in mlm_mask_plan(docs).collect()}
+    assert rows == again
+
+
+def test_mlm_mask_plan_spans_match_bruteforce(spark):
+    """n_spans equals a driver-side recount of maximal masked runs
+    replayed from the same md5 recipe."""
+    import hashlib
+
+    from hw_kafka_streams_spark.operators.masking import mlm_mask_plan
+
+    n_tok = 120
+    docs = spark.createDataFrame(
+        [(7, " ".join(f"t{i}" for i in range(n_tok)))],
+        "doc_id long, text string",
+    )
+    row = mlm_mask_plan(docs).collect()[0]
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    masks = [h60(f"7:{p}") % 100 < 15 for p in range(1, n_tok + 1)]
+    spans = sum(
+        1 for i, m in enumerate(masks) if m and (i == 0 or not masks[i - 1])
+    )
+    assert row.n_masked == sum(masks)
+    assert row.n_spans == spans
+    assert row.first_masked == masks.index(True) + 1
