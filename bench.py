@@ -139,6 +139,11 @@ HEADLINE = [
     "q_multimodal_mclv",
     "q_gorilla_ts_blocks",
     "q_corpus_build_e2e",
+    # round-9 additions: zero-shuffle mask planning and the two-agg
+    # diversity rollup — both scan-dominated, cheap, and the newest
+    # operator surface worth ratcheting
+    "q_mlm_mask_plan",
+    "q_distinct_ngrams",
 ]
 
 
