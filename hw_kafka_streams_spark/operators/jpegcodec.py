@@ -25,10 +25,14 @@ structure), 8-bit, 1 or 3 components, sampling factors 1/2/4 —
 upsample; restart intervals (DRI/RSTn); grayscale encoding; AND
 LOSSLESS (SOF3, process 14 — predictive mod-2^16 differences, all 7
 Annex H predictors, 2-16 bit precision, encode + decode via
-encode/decode_lossless_jpeg). Arithmetic coding and hierarchical
-modes raise NotImplementedError — this is the dependency-free
-exact-spec path that upgrades JPEG from header-only metadata to real
-pixel decode.
+encode/decode_lossless_jpeg); AND extended sequential with ARITHMETIC
+entropy coding (SOF9/DAC, Annex D QM coder + Annex F statistical
+models — encode via encode_sequential_arith_jpeg, decode through the
+same decode_baseline_jpeg entry, restart intervals included).
+Hierarchical, differential, and progressive-arithmetic (SOF10) modes
+raise NotImplementedError — this is the dependency-free exact-spec
+path that upgrades JPEG from header-only metadata to real pixel
+decode.
 
 Determinism contract (what makes the Spark queries oracle-able): every
 rounding site is ``floor(x + 0.5)`` (never banker's rounding), the
@@ -264,6 +268,9 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
     frame = None  # (h, w, [(comp_id, hs, vs, qtab_id)])
     comp_tables = {}  # comp_id -> (dc_id, ac_id)
     dri = 0  # restart interval in MCUs (0 = none)
+    arith = False  # SOF9: arithmetic entropy coding
+    dc_cond: dict[int, tuple[int, int]] = {}  # DAC: tbl -> (L, U)
+    ac_cond: dict[int, int] = {}  # DAC: tbl -> Kx
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("corrupt JPEG: expected marker")
@@ -296,7 +303,8 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
                 dec = _HuffDecoder(bits, vals)
                 (huff_dc if tc == 0 else huff_ac)[th] = dec
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC9):  # SOF0/1 baseline, SOF9 arith
+            arith = marker == 0xC9
             h, w = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
             comps = []
@@ -332,12 +340,23 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
                 "lossless JPEG carries >8-bit planes — use "
                 "decode_lossless_jpeg, which returns (plane, precision)"
             )
-        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "extended/arithmetic/hierarchical JPEG (baseline, "
-                "progressive and lossless supported)"
+                "differential/progressive-arithmetic/hierarchical JPEG "
+                "(baseline, progressive, lossless and sequential-"
+                "arithmetic supported)"
             )
+        elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
+            p = 0
+            while p < len(seg):
+                tc, tb = seg[p] >> 4, seg[p] & 0xF
+                cs = seg[p + 1]
+                if tc == 0:
+                    dc_cond[tb] = (cs & 0xF, cs >> 4)  # (L, U)
+                else:
+                    ac_cond[tb] = cs  # Kx
+                p += 2
         elif marker == 0xDD:  # DRI: restart every N MCUs
             (dri,) = struct.unpack(">H", seg[0:2])
         elif marker == 0xDA:  # SOS — entropy data follows
@@ -346,6 +365,11 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
                 cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
                 comp_tables[cid] = (tabs >> 4, tabs & 0xF)
             pos = pos + seglen  # first entropy byte
+            if arith:
+                return _decode_scan_arith(
+                    data, pos, frame, comp_tables, qtables, dc_cond,
+                    ac_cond, dri,
+                )
             return _decode_scan(
                 data, pos, frame, comp_tables, qtables, huff_dc, huff_ac,
                 dri,
@@ -1333,3 +1357,336 @@ def decode_lossless_jpeg(data: bytes) -> tuple[np.ndarray, int]:
             return px.astype(dtype), precision
         pos += seglen
     raise ValueError("corrupt JPEG: no SOS marker")
+
+
+# ------------------------------------------------- arithmetic (SOF9)
+# ITU T.81 Annex F with the QM coder of Annex D (operators/qmcoder.py):
+# extended sequential DCT, arithmetic entropy coding. The statistical
+# models are the spec's: DC differences conditioned on the previous
+# diff's category (5 classes picked by the DAC L/U parameters, Table
+# F.4), AC coefficients conditioned on the zigzag index k with the Kx
+# split into a low-/high-frequency magnitude table (Table F.5), signs
+# of AC coefficients coded with the non-adaptive 0.5 state. The DCT /
+# quantization stage is byte-for-byte the baseline encoder's
+# (_quantize_block_zz), so an arithmetic stream decodes to EXACTLY the
+# same pixels as the Huffman stream of the same image — the equality
+# the tests assert.
+
+from hw_kafka_streams_spark.operators import qmcoder as _qm  # noqa: E402
+
+_DC_STAT_BINS = 64   # spec needs 49 (20 cond + 14 tree + 14 value + 1)
+_AC_STAT_BINS = 256  # spec needs 245 (189 + 2 * (14 tree + 14 value))
+
+
+def _fresh_stats(n: int) -> list:
+    return [_qm.new_context() for _ in range(n)]
+
+
+def _arith_code_dc(coder, st, dc_ctx, ci, diff, lu, decode):
+    """Encode (decode=False) or decode (decode=True) one DC difference
+    per F.1.4.1 / F.2.4.1. ``st`` is the table's DC statistics area,
+    ``dc_ctx[ci]`` the conditioning base (0/4/8/12/16), ``lu`` the DAC
+    (L, U) pair. Returns the diff."""
+    low, up = lu
+    base = dc_ctx[ci]
+    if decode:
+        if coder.decode(st[base]) == 0:
+            dc_ctx[ci] = 0
+            return 0
+        sign = coder.decode(st[base + 1])
+    else:
+        if diff == 0:
+            coder.encode(st[base], 0)
+            dc_ctx[ci] = 0
+            return 0
+        coder.encode(st[base], 1)
+        sign = 1 if diff < 0 else 0
+        coder.encode(st[base + 1], sign)
+    dc_ctx[ci] = 8 if sign else 4
+    idx = base + (3 if sign else 2)  # SN / SP
+    u = None if decode else abs(diff) - 1
+    m = 0
+    if decode:
+        if coder.decode(st[idx]):
+            m = 1
+            idx = 20  # X1
+            while coder.decode(st[idx]):
+                m <<= 1
+                idx += 1
+                if m > 1 << 15:
+                    raise ValueError("corrupt arith JPEG: DC magnitude")
+        u = m
+    else:
+        if u:
+            coder.encode(st[idx], 1)
+            m = 1
+            v2 = u
+            idx = 20
+            while v2 >> 1:
+                v2 >>= 1
+                coder.encode(st[idx], 1)
+                m <<= 1
+                idx += 1
+        coder.encode(st[idx], 0)
+    vbin = st[idx + 14]
+    mm = m >> 1
+    while mm:
+        if decode:
+            if coder.decode(vbin):
+                u |= mm
+        else:
+            coder.encode(vbin, 1 if (u & mm) else 0)
+        mm >>= 1
+    # conditioning category for the NEXT block of this component
+    if m < (1 << low) >> 1:
+        dc_ctx[ci] = 0
+    elif m > (1 << up) >> 1:
+        dc_ctx[ci] += 8
+    v = u + 1
+    return -v if sign else v
+
+
+def _arith_code_ac(coder, st, fixed, kx, zz, decode):
+    """Encode the AC coefficients of one zigzag block (decode=False)
+    or decode them into ``zz`` in place (decode=True), per F.1.4.2 /
+    F.2.4.2. Bins: 3 per zigzag index (EOB decision, zero/nonzero,
+    shared SP/SN/X1), magnitude trees at 189 (k <= Kx) / 217."""
+    if decode:
+        k = 1
+        while k <= 63:
+            base = 3 * (k - 1)
+            if coder.decode(st[base]):
+                return  # EOB
+            while coder.decode(st[base + 1]) == 0:
+                k += 1
+                if k > 63:
+                    raise ValueError("corrupt arith JPEG: AC run")
+                base = 3 * (k - 1)
+            sign = coder.decode(fixed)
+            idx = base + 2
+            m = 0
+            if coder.decode(st[idx]):
+                if coder.decode(st[idx]):
+                    m = 2
+                    idx = 189 if k <= kx else 217
+                    while coder.decode(st[idx]):
+                        m <<= 1
+                        idx += 1
+                        if m > 1 << 15:
+                            raise ValueError(
+                                "corrupt arith JPEG: AC magnitude"
+                            )
+                else:
+                    m = 1
+            u = m
+            vbin = st[idx + 14]
+            mm = m >> 1
+            while mm:
+                if coder.decode(vbin):
+                    u |= mm
+                mm >>= 1
+            v = u + 1
+            zz[k] = -v if sign else v
+            k += 1
+        return
+    ke = int(np.max(np.nonzero(zz[1:])[0])) + 1 if np.any(zz[1:]) else 0
+    k = 1
+    while k <= ke:
+        base = 3 * (k - 1)
+        coder.encode(st[base], 0)  # not EOB yet
+        v = int(zz[k])
+        while v == 0:
+            coder.encode(st[base + 1], 0)
+            k += 1
+            base = 3 * (k - 1)
+            v = int(zz[k])
+        coder.encode(st[base + 1], 1)
+        if v < 0:
+            coder.encode(fixed, 1)
+            v = -v
+        else:
+            coder.encode(fixed, 0)
+        idx = base + 2
+        u = v - 1
+        m = 0
+        if u:
+            coder.encode(st[idx], 1)
+            m = 1
+            v2 = u
+            if v2 >> 1:
+                v2 >>= 1
+                coder.encode(st[idx], 1)  # 2nd decision shares the bin
+                m = 2
+                idx = 189 if k <= kx else 217
+                while v2 >> 1:
+                    v2 >>= 1
+                    coder.encode(st[idx], 1)
+                    m <<= 1
+                    idx += 1
+        coder.encode(st[idx], 0)
+        vbin = st[idx + 14]
+        mm = m >> 1
+        while mm:
+            coder.encode(vbin, 1 if (u & mm) else 0)
+            mm >>= 1
+        k += 1
+    if ke < 63:
+        coder.encode(st[3 * ke], 1)  # EOB
+
+
+def encode_sequential_arith_jpeg(
+    rgb: np.ndarray, subsampling: str = "444"
+) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an arithmetic-coded
+    extended sequential JPEG (SOF9, T.81 Annex F): same DQT stage as
+    encode_baseline_jpeg, DAC conditioning defaults (L=0, U=1, Kx=5)
+    written explicitly, luma on conditioning tables 0 / chroma on 1."""
+    h, w = rgb.shape[:2]
+    factors = _SUBSAMPLING[subsampling]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    ycc = rgb_to_ycbcr_int(rgb).astype(np.float64)
+    planes = []
+    for ci, (hs, vs) in enumerate(factors):
+        p = ycc[..., ci]
+        if hs != hmax or vs != vmax:
+            fy, fx = vmax // vs, hmax // hs
+            ph = (h + fy - 1) // fy * fy
+            pw = (w + fx - 1) // fx * fx
+            pp = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+            p = np.floor(
+                pp.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3)) + 0.5
+            )
+        th_, tw_ = mcuy * vs * 8, mcux * hs * 8
+        p = np.pad(
+            p, ((0, th_ - p.shape[0]), (0, tw_ - p.shape[1])), mode="edge"
+        )
+        planes.append(p)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker]))
+        out.extend(struct.pack(">H", len(payload) + 2))
+        out.extend(payload)
+
+    for tq, tab in ((0, QUANT_LUM), (1, QUANT_CHROM)):
+        zzb = bytes(int(tab[ZIGZAG[k]]) for k in range(64))
+        seg(0xDB, bytes([tq]) + zzb)
+    sof = b"\x08" + struct.pack(">HH", h, w) + b"\x03"
+    for ci, (hs, vs) in enumerate(factors):
+        sof += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
+    seg(0xC9, sof)  # SOF9: extended sequential, arithmetic
+    # DAC: DC tables 0/1 with (U=1, L=0), AC tables 0/1 with Kx=5
+    seg(0xCC, bytes([0x00, 0x10, 0x01, 0x10, 0x10, 5, 0x11, 5]))
+    seg(0xDA, b"\x03" + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00")
+
+    enc = _qm.QMEncoder()
+    fixed = _qm.fixed_context()
+    dc_stats = {0: _fresh_stats(_DC_STAT_BINS), 1: _fresh_stats(_DC_STAT_BINS)}
+    ac_stats = {0: _fresh_stats(_AC_STAT_BINS), 1: _fresh_stats(_AC_STAT_BINS)}
+    dc_ctx = [0, 0, 0]
+    pred = [0, 0, 0]
+    qtabs = [QUANT_LUM, QUANT_CHROM, QUANT_CHROM]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (hs, vs) in enumerate(factors):
+                tbl = 0 if ci == 0 else 1
+                for vy in range(vs):
+                    for vx in range(hs):
+                        y0 = (my * vs + vy) * 8
+                        x0 = (mx * hs + vx) * 8
+                        blk = planes[ci][y0 : y0 + 8, x0 : x0 + 8]
+                        zz = _quantize_block_zz(blk, qtabs[ci])
+                        diff = int(zz[0]) - pred[ci]
+                        pred[ci] = int(zz[0])
+                        _arith_code_dc(
+                            enc, dc_stats[tbl], dc_ctx, ci, diff,
+                            (0, 1), decode=False,
+                        )
+                        _arith_code_ac(
+                            enc, ac_stats[tbl], fixed, 5, zz, decode=False
+                        )
+    out.extend(enc.flush())
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def _decode_scan_arith(data, pos, frame, comp_tables, qtables, dc_cond,
+                       ac_cond, dri=0):
+    """Arithmetic-coded sequential scan (F.2): mirror of _decode_scan
+    with the QM decoder in place of the Huffman bit reader. Restart
+    markers re-initialise the coder, the statistics areas, the DC
+    conditioning contexts and the predictions (F.2.1.3)."""
+    if frame is None:
+        raise ValueError("corrupt JPEG: SOS before SOF")
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    def fresh(start):
+        dec = _qm.QMDecoder(data, start)
+        return (
+            dec,
+            _qm.fixed_context(),
+            {t: _fresh_stats(_DC_STAT_BINS) for t in range(4)},
+            {t: _fresh_stats(_AC_STAT_BINS) for t in range(4)},
+            [0] * len(comps),
+            [0] * len(comps),
+        )
+
+    dec, fixed, dc_stats, ac_stats, dc_ctx, pred = fresh(pos)
+    planes = [
+        np.zeros((mcuy * vs * 8, mcux * hs * 8)) for _, hs, vs, _ in comps
+    ]
+    mcu_done = 0
+    zz = np.zeros(64, dtype=np.int64)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and mcu_done and mcu_done % dri == 0:
+                # byte-aligned RSTn between restart intervals: the QM
+                # decoder recorded where it hit the marker
+                mp = dec.marker_pos
+                if mp is None:
+                    # decoder has not consumed up to the marker yet —
+                    # scan forward for it (it must be the next marker)
+                    mp = dec.pos
+                    while mp + 1 < len(data) and not (
+                        data[mp] == 0xFF and data[mp + 1] != 0x00
+                    ):
+                        mp += 1
+                if not 0xD0 <= data[mp + 1] <= 0xD7:
+                    raise ValueError("corrupt JPEG: expected RSTn")
+                dec, fixed, dc_stats, ac_stats, dc_ctx, pred = fresh(mp + 2)
+            mcu_done += 1
+            for ci, (cid, hs, vs, tq) in enumerate(comps):
+                dc_id, ac_id = comp_tables[cid]
+                lu = dc_cond.get(dc_id, (0, 1))
+                kx = ac_cond.get(ac_id, 5)
+                for vy in range(vs):
+                    for vx in range(hs):
+                        zz[:] = 0
+                        diff = _arith_code_dc(
+                            dec, dc_stats[dc_id], dc_ctx, ci, None, lu,
+                            decode=True,
+                        )
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        _arith_code_ac(
+                            dec, ac_stats[ac_id], fixed, kx, zz,
+                            decode=True,
+                        )
+                        blk = np.zeros((8, 8))
+                        blk[_ZZ_ROWS, _ZZ_COLS] = zz
+                        blk *= qtables[tq]
+                        dc0 = blk[0, 0]
+                        blk[0, 0] = 0.0
+                        pix = DCT_M.T @ blk @ DCT_M + dc0 / 8.0
+                        y0 = (my * vs + vy) * 8
+                        x0 = (mx * hs + vx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
+    return _planes_to_rgb(comps, planes, h, w, hmax, vmax)

@@ -1741,3 +1741,46 @@ def jls_rgb_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         schema="doc_id long, height int, width int, n_channels int, "
         "ilv int, sum_v long, sum_sq long",
     )
+
+
+def synthesize_arith_jpeg_payloads(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Block-patterned REAL JPEGs with ARITHMETIC entropy coding
+    (SOF9/DAC, T.81 Annex D QM coder + Annex F statistical models):
+    the same per-block constant fills as synthesize_block_jpeg_payloads
+    — the DCT/quantization stage is shared with the baseline encoder,
+    and entropy coding is lossless over the quantized coefficients, so
+    the identical closed-form oracle covers this stream while the
+    decode side runs the QM decoder, the DC conditioning-category
+    state machine and the Kx-split AC magnitude trees end to end."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.jpegcodec import (
+        encode_sequential_arith_jpeg,
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                h, w = 8 * (i % 2 + 1), 8 * (i % 3 + 1)
+                img = np.zeros((h, w, 3), dtype=np.uint8)
+                for by in range(h // 8):
+                    for bx in range(w // 8):
+                        bi = by * (w // 8) + bx
+                        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                            (i + 17 * bi) % 256,
+                            (i * 7 + 29 * bi) % 256,
+                            (i * 13 + 41 * bi) % 256,
+                        )
+                payloads.append(
+                    encode_sequential_arith_jpeg(img, subsampling="444")
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )

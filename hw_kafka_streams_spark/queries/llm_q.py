@@ -2950,6 +2950,83 @@ def q_multimodal_jpeg_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_jpeg_arith",
+    oracle="""
+        WITH base AS (
+          SELECT doc_id,
+                 CAST(8 * (doc_id % 3 + 1) AS INT) AS width,
+                 CAST(8 * (doc_id % 2 + 1) AS INT) AS height
+          FROM documents WHERE doc_id >= 40 AND doc_id < 160
+        ), blocks AS (
+          SELECT doc_id, width, height, bi
+          FROM base, (SELECT unnest(range(6)) AS bi)
+          WHERE bi < (width // 8) * (height // 8)
+        ), colors AS (
+          SELECT *,
+                 (doc_id + 17 * bi) % 256 AS r,
+                 (doc_id * 7 + 29 * bi) % 256 AS g,
+                 (doc_id * 13 + 41 * bi) % 256 AS b
+          FROM blocks
+        ), ycc AS (
+          SELECT *,
+            (29900*r + 58700*g + 11400*b + 50000) // 100000 AS y,
+            least(255, (12800000 - 16874*r - 33126*g + 50000*b + 50000)
+                       // 100000) AS cb,
+            least(255, (12800000 + 50000*r - 41869*g - 8131*b + 50000)
+                       // 100000) AS cr
+          FROM colors
+        ), rt AS (
+          SELECT *,
+            least(255, greatest(0, floor(
+              floor(8.0*(y - 128)/16 + 0.5)*16/8.0 + 128.0 + 0.5))) AS y2,
+            least(255, greatest(0, floor(
+              floor(8.0*(cb - 128)/17 + 0.5)*17/8.0 + 128.0 + 0.5))) AS cb2,
+            least(255, greatest(0, floor(
+              floor(8.0*(cr - 128)/17 + 0.5)*17/8.0 + 128.0 + 0.5))) AS cr2
+          FROM ycc
+        ), px AS (
+          SELECT doc_id, width, height,
+            CAST(least(255, greatest(0,
+              floor(y2 + 1.402*(cr2 - 128.0) + 0.5))) AS BIGINT) AS r2,
+            CAST(least(255, greatest(0,
+              floor(y2 - 0.344136*(cb2 - 128.0) - 0.714136*(cr2 - 128.0)
+                    + 0.5))) AS BIGINT) AS g2,
+            CAST(least(255, greatest(0,
+              floor(y2 + 1.772*(cb2 - 128.0) + 0.5))) AS BIGINT) AS b2
+          FROM rt
+        )
+        SELECT doc_id, width, height,
+               CAST((sum(r2) * 64) // (width * height) AS INT) AS mean_r,
+               CAST((sum(g2) * 64) // (width * height) AS INT) AS mean_g,
+               CAST((sum(b2) * 64) // (width * height) AS INT) AS mean_b
+        FROM px GROUP BY doc_id, width, height ORDER BY doc_id
+    """,
+    doc="ARITHMETIC-coded JPEG decode (SOF9/DAC, T.81 Annex D QM "
+    "coder + Annex F DC/AC statistical models): the same block-"
+    "patterned images as q_multimodal_jpeg_blocks but entropy-coded "
+    "with the adaptive binary arithmetic coder, so the Spark side "
+    "runs QM renormalization/byte-unstuffing, the DC conditioning "
+    "categories and the Kx-split AC magnitude trees on every payload. "
+    "Entropy coding is lossless over the shared quantized "
+    "coefficients, so the identical closed-form oracle replays the "
+    "pixel arithmetic (operators/qmcoder.py, jpegcodec.py via "
+    "multimodal.synthesize_arith_jpeg_payloads).",
+)
+def q_multimodal_jpeg_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.multimodal import (
+        jpeg_channel_means,
+        synthesize_arith_jpeg_payloads,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        (F.col("doc_id") >= 40) & (F.col("doc_id") < 160)
+    )
+    return jpeg_channel_means(synthesize_arith_jpeg_payloads(docs)).orderBy(
+        "doc_id"
+    )
+
+
+@register(
     "q_multimodal_avi",
     oracle="""
         WITH frames AS (

@@ -1633,3 +1633,129 @@ def test_gorilla_overflow_and_rounding_guards():
         scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)
     ).astype(np.int64)
     assert cents.tolist() == [13, -13]
+
+
+# ---------------------------------------------------------------------------
+# QM arithmetic coder (operators/qmcoder.py, T.81 Annex D) and the
+# arithmetic-coded JPEG mode (SOF9, Annex F models)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.booleans()), max_size=600
+    ),
+)
+def test_qm_coder_roundtrip(decisions):
+    """Every (context, bit) sequence decodes back exactly, and the
+    payload obeys T.81 byte stuffing (no bare 0xFF)."""
+    from hw_kafka_streams_spark.operators.qmcoder import (
+        QMDecoder,
+        QMEncoder,
+        fixed_context,
+        new_context,
+    )
+
+    enc = QMEncoder()
+    ectx = [new_context() for _ in range(6)] + [fixed_context()]
+    for ci, b in decisions:
+        enc.encode(ectx[ci], int(b))
+        if ci == 0:
+            enc.encode(ectx[6], int(not b))  # interleave fixed bins
+    payload = enc.flush()
+    assert b"\xff" not in payload.replace(b"\xff\x00", b"")
+    dec = QMDecoder(payload + b"\xff\xd9", 0)
+    dctx = [new_context() for _ in range(6)] + [fixed_context()]
+    for ci, b in decisions:
+        assert dec.decode(dctx[ci]) == int(b)
+        if ci == 0:
+            assert dec.decode(dctx[6]) == int(not b)
+
+
+def test_qm_coder_compression_tracks_entropy():
+    """The adaptive estimator approaches the source entropy — the
+    property the Annex D state machine exists for (a mis-transcribed
+    transition table still roundtrips but stops compressing)."""
+    import math
+    import random
+
+    from hw_kafka_streams_spark.operators.qmcoder import (
+        QMEncoder,
+        new_context,
+    )
+
+    rng = random.Random(11)
+    for p in (0.5, 0.1, 0.02):
+        bits = [1 if rng.random() < p else 0 for _ in range(20000)]
+        enc = QMEncoder()
+        ctx = new_context()
+        for b in bits:
+            enc.encode(ctx, b)
+        out = enc.flush()
+        entropy = -(p * math.log2(p) + (1 - p) * math.log2(1 - p))
+        # within 15% of the source entropy (plus a small constant for
+        # the adaptation ramp and flush)
+        assert 8 * len(out) <= entropy * len(bits) * 1.15 + 200, (
+            p, len(out),
+        )
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=4),
+    st.sampled_from(["444", "422", "420"]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_arith_jpeg_always_equals_huffman(scale, sub, seed):
+    """SOF9 arithmetic entropy coding is lossless over the same
+    quantized coefficients ⇒ pixel-identical to the baseline stream,
+    for any image and subsampling."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.jpegcodec import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+        encode_sequential_arith_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(
+        0, 256, size=(8 * scale, 8 * (5 - scale), 3), dtype=np.uint8
+    )
+    assert np.array_equal(
+        decode_baseline_jpeg(encode_baseline_jpeg(img, subsampling=sub)),
+        decode_baseline_jpeg(
+            encode_sequential_arith_jpeg(img, subsampling=sub)
+        ),
+    )
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=30),
+    st.integers(min_value=1, max_value=30),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_arith_jpeg_odd_dims_and_smooth_content(h, w, seed):
+    """Non-multiple-of-8 dims (edge padding) and smooth gradients —
+    the regime where AC coefficients are sparse and the EOB/zero-run
+    decision bins carry most of the stream."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.jpegcodec import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+        encode_sequential_arith_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    a, b, c = (int(x) for x in rng.integers(0, 7, 3))
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(xx * a + yy) % 256, (yy * b) % 256, ((xx + yy) * c) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    assert np.array_equal(
+        decode_baseline_jpeg(encode_baseline_jpeg(img)),
+        decode_baseline_jpeg(encode_sequential_arith_jpeg(img)),
+    )
