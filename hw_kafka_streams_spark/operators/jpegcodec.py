@@ -28,11 +28,12 @@ Annex H predictors, 2-16 bit precision, encode + decode via
 encode/decode_lossless_jpeg); AND extended sequential with ARITHMETIC
 entropy coding (SOF9/DAC, Annex D QM coder + Annex F statistical
 models — encode via encode_sequential_arith_jpeg, decode through the
-same decode_baseline_jpeg entry, restart intervals included).
-Hierarchical, differential, and progressive-arithmetic (SOF10) modes
-raise NotImplementedError — this is the dependency-free exact-spec
-path that upgrades JPEG from header-only metadata to real pixel
-decode.
+same decode_baseline_jpeg entry, restart intervals included); AND
+progressive ARITHMETIC (SOF10 — the Annex G scan scripts QM-coded,
+encode via encode_progressive_arith_jpeg). Hierarchical, differential
+and lossless-arithmetic modes raise NotImplementedError — this is the
+dependency-free exact-spec path that upgrades JPEG from header-only
+metadata to real pixel decode.
 
 Determinism contract (what makes the Spark queries oracle-able): every
 rounding site is ``floor(x + 0.5)`` (never banker's rounding), the
@@ -340,12 +341,27 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
                 "lossless JPEG carries >8-bit planes — use "
                 "decode_lossless_jpeg, which returns (plane, precision)"
             )
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
-                        0xCD, 0xCE, 0xCF):
+        elif marker == 0xCA:  # SOF10: progressive DCT, arithmetic
+            h, w = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
+                hs, vs = samp >> 4, samp & 0xF
+                if hs not in (1, 2, 4) or vs not in (1, 2, 4):
+                    raise NotImplementedError(
+                        f"sampling factors {hs}x{vs} (1/2/4 supported)"
+                    )
+                comps.append((cid, hs, vs, tq))
+            return _decode_progressive_arith(
+                data, pos + seglen, (h, w, comps), qtables, dc_cond,
+                ac_cond, dri,
+            )
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "differential/progressive-arithmetic/hierarchical JPEG "
-                "(baseline, progressive, lossless and sequential-"
-                "arithmetic supported)"
+                "differential/hierarchical/lossless-arithmetic JPEG "
+                "(baseline, progressive, lossless, and both sequential- "
+                "and progressive-arithmetic supported)"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
             p = 0
@@ -1446,20 +1462,24 @@ def _arith_code_dc(coder, st, dc_ctx, ci, diff, lu, decode):
     return -v if sign else v
 
 
-def _arith_code_ac(coder, st, fixed, kx, zz, decode):
+def _arith_code_ac(coder, st, fixed, kx, zz, decode, ss=1, se=63, al=0):
     """Encode the AC coefficients of one zigzag block (decode=False)
     or decode them into ``zz`` in place (decode=True), per F.1.4.2 /
     F.2.4.2. Bins: 3 per zigzag index (EOB decision, zero/nonzero,
-    shared SP/SN/X1), magnitude trees at 189 (k <= Kx) / 217."""
+    shared SP/SN/X1), magnitude trees at 189 (k <= Kx) / 217.
+    ``ss``/``se``/``al`` generalize to progressive spectral-selection
+    first scans (G.1.3): values are point-transformed ``|v| >> al``
+    and the band is [Ss, Se]; sequential coding is the (1, 63, 0)
+    special case."""
     if decode:
-        k = 1
-        while k <= 63:
+        k = ss
+        while k <= se:
             base = 3 * (k - 1)
             if coder.decode(st[base]):
                 return  # EOB
             while coder.decode(st[base + 1]) == 0:
                 k += 1
-                if k > 63:
+                if k > se:
                     raise ValueError("corrupt arith JPEG: AC run")
                 base = 3 * (k - 1)
             sign = coder.decode(fixed)
@@ -1485,27 +1505,29 @@ def _arith_code_ac(coder, st, fixed, kx, zz, decode):
                 if coder.decode(vbin):
                     u |= mm
                 mm >>= 1
-            v = u + 1
+            v = (u + 1) << al
             zz[k] = -v if sign else v
             k += 1
         return
-    ke = int(np.max(np.nonzero(zz[1:])[0])) + 1 if np.any(zz[1:]) else 0
-    k = 1
+    ke = ss - 1
+    for j in range(se, ss - 1, -1):
+        if abs(int(zz[j])) >> al:
+            ke = j
+            break
+    k = ss
     while k <= ke:
         base = 3 * (k - 1)
         coder.encode(st[base], 0)  # not EOB yet
-        v = int(zz[k])
+        v = abs(int(zz[k])) >> al
+        sign = 1 if int(zz[k]) < 0 else 0
         while v == 0:
             coder.encode(st[base + 1], 0)
             k += 1
             base = 3 * (k - 1)
-            v = int(zz[k])
+            v = abs(int(zz[k])) >> al
+            sign = 1 if int(zz[k]) < 0 else 0
         coder.encode(st[base + 1], 1)
-        if v < 0:
-            coder.encode(fixed, 1)
-            v = -v
-        else:
-            coder.encode(fixed, 0)
+        coder.encode(fixed, sign)
         idx = base + 2
         u = v - 1
         m = 0
@@ -1530,7 +1552,7 @@ def _arith_code_ac(coder, st, fixed, kx, zz, decode):
             coder.encode(vbin, 1 if (u & mm) else 0)
             mm >>= 1
         k += 1
-    if ke < 63:
+    if ke < se:
         coder.encode(st[3 * ke], 1)  # EOB
 
 
@@ -1690,3 +1712,369 @@ def _decode_scan_arith(data, pos, frame, comp_tables, qtables, dc_cond,
                         x0 = (mx * hs + vx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
     return _planes_to_rgb(comps, planes, h, w, hmax, vmax)
+
+
+# -------------------------------------- progressive arithmetic (SOF10)
+# T.81 Annex G with arithmetic entropy coding: the same spectral-
+# selection / successive-approximation scan scripts as SOF2, entropy-
+# coded with the Annex D QM coder under the Annex F statistical models
+# (first scans) and the G.1.3.3 correction-bit model (refinement
+# scans). Statistics areas, DC conditioning contexts and the coder
+# itself are re-initialised per scan (F.1.4.1.1) — every scan is an
+# independent entropy-coded segment.
+
+
+def _arith_code_ac_refine(coder, st, fixed, zz, decode, ss, se, al):
+    """One block of an AC successive-approximation scan (G.1.3.3).
+    Encode path needs the FULL-precision coefficients in ``zz`` (it
+    derives both this stage's and the previous stage's visibility);
+    decode path updates the accumulated coefficients in place. Bin
+    layout matches the first-scan model: 3 per zigzag index — EOB
+    decision, newly-nonzero decision, correction bit."""
+    p1 = 1 << al
+    if decode:
+        kex = 0
+        for j in range(se, ss - 1, -1):
+            if zz[j]:
+                kex = j
+                break
+        k = ss
+        while k <= se:
+            base = 3 * (k - 1)
+            if k > kex:
+                if coder.decode(st[base]):
+                    return  # EOB
+            while True:
+                if zz[k]:  # previously nonzero: correction bit
+                    if coder.decode(st[base + 2]):
+                        zz[k] += -p1 if zz[k] < 0 else p1
+                    break
+                if coder.decode(st[base + 1]):  # newly nonzero
+                    zz[k] = -p1 if coder.decode(fixed) else p1
+                    break
+                k += 1
+                if k > se:
+                    raise ValueError("corrupt arith JPEG: SA run")
+                base = 3 * (k - 1)
+            k += 1
+        return
+    # encoder: this stage's EOB index (|v| >> al nonzero) and the
+    # previous stage's (|v| >> ah nonzero, ah = al + 1 here — T.81
+    # requires Ah == Al + 1 in refinement scans)
+    ah = al + 1
+    ke = ss - 1
+    for j in range(se, ss - 1, -1):
+        if abs(int(zz[j])) >> al:
+            ke = j
+            break
+    kex = ss - 1
+    for j in range(ke, ss - 1, -1):
+        if abs(int(zz[j])) >> ah:
+            kex = j
+            break
+    k = ss
+    while k <= ke:
+        base = 3 * (k - 1)
+        if k > kex:
+            coder.encode(st[base], 0)  # not EOB yet
+        while True:
+            v = int(zz[k])
+            t = abs(v) >> al
+            if t:
+                if t >> 1:  # previously nonzero: emit correction bit
+                    coder.encode(st[base + 2], t & 1)
+                else:  # newly nonzero at this stage: decision + sign
+                    coder.encode(st[base + 1], 1)
+                    coder.encode(fixed, 1 if v < 0 else 0)
+                break
+            coder.encode(st[base + 1], 0)
+            k += 1
+            base = 3 * (k - 1)
+        k += 1
+    if k <= se:
+        coder.encode(st[3 * (k - 1)], 1)  # EOB
+
+
+def encode_progressive_arith_jpeg(rgb: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a progressive
+    ARITHMETIC-coded JPEG (SOF10): the same 10-scan spectral-selection
+    + successive-approximation script as encode_progressive_jpeg, QM-
+    coded. Quantized coefficients are shared with the baseline
+    encoder, so all four entropy organizations (SOF0/SOF2/SOF9/SOF10)
+    of the same image decode pixel-identically."""
+    h, w = rgb.shape[:2]
+    nby, nbx = (h + 7) // 8, (w + 7) // 8
+    ycc = rgb_to_ycbcr_int(rgb).astype(np.float64)
+    coefs = []
+    for ci in range(3):
+        p = np.pad(
+            ycc[..., ci],
+            ((0, nby * 8 - h), (0, nbx * 8 - w)),
+            mode="edge",
+        )
+        q = QUANT_LUM if ci == 0 else QUANT_CHROM
+        cz = np.zeros((nby, nbx, 64), dtype=np.int64)
+        for by in range(nby):
+            for bx in range(nbx):
+                cz[by, bx] = _quantize_block_zz(
+                    p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], q
+                )
+        coefs.append(cz)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker]))
+        out.extend(struct.pack(">H", len(payload) + 2))
+        out.extend(payload)
+
+    for tq, tab in ((0, QUANT_LUM), (1, QUANT_CHROM)):
+        zzb = bytes(int(tab[ZIGZAG[k]]) for k in range(64))
+        seg(0xDB, bytes([tq]) + zzb)
+    sof = b"\x08" + struct.pack(">HH", h, w) + b"\x03"
+    for ci in range(3):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    seg(0xCA, sof)  # SOF10: progressive, arithmetic
+    seg(0xCC, bytes([0x00, 0x10, 0x01, 0x10, 0x10, 5, 0x11, 5]))
+
+    def dc_scan(ah, al):
+        hdr = b"\x03"
+        for ci in range(3):
+            hdr += bytes([ci + 1, (0 if ci == 0 else 1) << 4])
+        hdr += bytes([0, 0, (ah << 4) | al])
+        seg(0xDA, hdr)
+        enc = _qm.QMEncoder()
+        fixed = _qm.fixed_context()
+        dc_stats = {
+            0: _fresh_stats(_DC_STAT_BINS), 1: _fresh_stats(_DC_STAT_BINS)
+        }
+        dc_ctx = [0, 0, 0]
+        pred = [0, 0, 0]
+        for by in range(nby):
+            for bx in range(nbx):
+                for ci in range(3):
+                    tbl = 0 if ci == 0 else 1
+                    if ah == 0:
+                        v = int(coefs[ci][by, bx, 0]) >> al  # arith shift
+                        _arith_code_dc(
+                            enc, dc_stats[tbl], dc_ctx, ci, v - pred[ci],
+                            (0, 1), decode=False,
+                        )
+                        pred[ci] = v
+                    else:
+                        enc.encode(
+                            fixed, (int(coefs[ci][by, bx, 0]) >> al) & 1
+                        )
+        out.extend(enc.flush())
+
+    def ac_scan(ci, ss, se, ah, al):
+        tbl = 0 if ci == 0 else 1
+        hdr = b"\x01" + bytes([ci + 1, tbl]) + bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, hdr)
+        enc = _qm.QMEncoder()
+        fixed = _qm.fixed_context()
+        st = _fresh_stats(_AC_STAT_BINS)
+        for by in range(nby):
+            for bx in range(nbx):
+                if ah == 0:
+                    _arith_code_ac(
+                        enc, st, fixed, 5, coefs[ci][by, bx],
+                        decode=False, ss=ss, se=se, al=al,
+                    )
+                else:
+                    _arith_code_ac_refine(
+                        enc, st, fixed, coefs[ci][by, bx],
+                        decode=False, ss=ss, se=se, al=al,
+                    )
+        out.extend(enc.flush())
+
+    dc_scan(0, 1)
+    ac_scan(0, 1, 5, 0, 1)
+    ac_scan(0, 6, 63, 0, 1)
+    ac_scan(1, 1, 63, 0, 1)
+    ac_scan(2, 1, 63, 0, 1)
+    dc_scan(1, 0)
+    ac_scan(0, 1, 5, 1, 0)
+    ac_scan(0, 6, 63, 1, 0)
+    ac_scan(1, 1, 63, 1, 0)
+    ac_scan(2, 1, 63, 1, 0)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def _decode_progressive_arith(data, pos, frame, qtables, dc_cond, ac_cond,
+                              dri):
+    """Multi-scan progressive decode, arithmetic flavor: marker loop
+    mirrors _decode_progressive (DQT/DAC/DRI may appear between
+    scans), each SOS runs one QM-coded scan over the shared
+    coefficient store, reconstruction happens once at the end."""
+    h, w, comps = frame
+    hmax, vmax, mcux, mcuy, geo = _comp_geometry(frame)
+    coefs = [
+        np.zeros((pnby, pnbx, 64), dtype=np.int64)
+        for (pnbx, pnby, _, _) in geo
+    ]
+    cid_to_ci = {c[0]: i for i, c in enumerate(comps)}
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("corrupt JPEG: expected marker")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                tab = np.zeros((8, 8), dtype=np.int32)
+                for k in range(64):
+                    tab[ZIGZAG[k]] = seg[p + 1 + k]
+                qtables[tq] = tab
+                p += 65
+        elif marker == 0xCC:  # DAC between scans
+            p = 0
+            while p < len(seg):
+                tc, tb = seg[p] >> 4, seg[p] & 0xF
+                cs = seg[p + 1]
+                if tc == 0:
+                    dc_cond[tb] = (cs & 0xF, cs >> 4)
+                else:
+                    ac_cond[tb] = cs
+                p += 2
+        elif marker == 0xDD:
+            (dri,) = struct.unpack(">H", seg[0:2])
+        elif marker == 0xDA:
+            ns = seg[0]
+            scomps = []
+            for c in range(ns):
+                cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
+                scomps.append((cid_to_ci[cid], tabs >> 4, tabs & 0xF))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            pos = _prog_scan_arith(
+                data, pos + seglen, frame, geo, coefs, scomps, ss, se,
+                ah, al, dc_cond, ac_cond, dri, mcux, mcuy,
+            )
+            continue
+        pos += seglen
+    planes = []
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        pnbx, pnby = geo[ci][0], geo[ci][1]
+        plane = np.zeros((pnby * 8, pnbx * 8))
+        q = qtables[tq]
+        for by in range(pnby):
+            for bx in range(pnbx):
+                zz = coefs[ci][by, bx].astype(np.float64)
+                blk = np.zeros((8, 8))
+                blk[_ZZ_ROWS, _ZZ_COLS] = zz
+                blk *= q
+                dc0 = blk[0, 0]
+                blk[0, 0] = 0.0
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    DCT_M.T @ blk @ DCT_M + dc0 / 8.0
+                )
+        planes.append(plane)
+    return _planes_to_rgb(comps, planes, h, w, hmax, vmax)
+
+
+def _prog_scan_arith(data, pos, frame, geo, coefs, scomps, ss, se, ah, al,
+                     dc_cond, ac_cond, dri, mcux, mcuy):
+    """Decode one QM-coded progressive scan; returns the position of
+    the next marker. Restart intervals re-initialise the coder, the
+    statistics areas and the DC state (F.1.4.1.1)."""
+    h, w, comps = frame
+
+    def fresh(start):
+        return (
+            _qm.QMDecoder(data, start),
+            _qm.fixed_context(),
+            {t: _fresh_stats(_DC_STAT_BINS) for t in range(4)},
+            {t: _fresh_stats(_AC_STAT_BINS) for t in range(4)},
+            [0] * len(comps),
+            [0] * len(comps),
+        )
+
+    dec, fixed, dc_stats, ac_stats, dc_ctx, pred = fresh(pos)
+
+    def restart():
+        mp = dec.marker_pos
+        if mp is None:
+            mp = dec.pos
+            while mp + 1 < len(data) and not (
+                data[mp] == 0xFF and data[mp + 1] != 0x00
+            ):
+                mp += 1
+        if not 0xD0 <= data[mp + 1] <= 0xD7:
+            raise ValueError("corrupt JPEG: expected RSTn")
+        return fresh(mp + 2)
+
+    done = 0
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("corrupt JPEG: DC scan with Se != 0")
+        units = []
+        if len(scomps) > 1:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    units.append([
+                        (ci, dc_id, my * vs + vy, mx * hs + vx)
+                        for ci, dc_id, _ in scomps
+                        for _, hs, vs, _ in (comps[ci],)
+                        for vy in range(vs)
+                        for vx in range(hs)
+                    ])
+        else:
+            ci, dc_id, _ = scomps[0]
+            _, _, nbx, nby = geo[ci]
+            units = [
+                [(ci, dc_id, by, bx)]
+                for by in range(nby)
+                for bx in range(nbx)
+            ]
+        for unit in units:
+            if dri and done and done % dri == 0:
+                dec, fixed, dc_stats, ac_stats, dc_ctx, pred = restart()
+            done += 1
+            for ci, dc_id, by, bx in unit:
+                if ah == 0:
+                    diff = _arith_code_dc(
+                        dec, dc_stats[dc_id], dc_ctx, ci, None,
+                        dc_cond.get(dc_id, (0, 1)), decode=True,
+                    )
+                    pred[ci] += diff
+                    coefs[ci][by, bx, 0] = pred[ci] << al
+                else:
+                    if dec.decode(fixed):
+                        coefs[ci][by, bx, 0] |= 1 << al
+    else:  # AC scan: single component
+        if len(scomps) != 1:
+            raise ValueError("corrupt JPEG: interleaved AC scan")
+        ci, _, ac_id = scomps[0]
+        kx = ac_cond.get(ac_id, 5)
+        _, _, nbx, nby = geo[ci]
+        for by in range(nby):
+            for bx in range(nbx):
+                if dri and done and done % dri == 0:
+                    dec, fixed, dc_stats, ac_stats, dc_ctx, pred = restart()
+                done += 1
+                if ah == 0:
+                    _arith_code_ac(
+                        dec, ac_stats[ac_id], fixed, kx, coefs[ci][by, bx],
+                        decode=True, ss=ss, se=se, al=al,
+                    )
+                else:
+                    _arith_code_ac_refine(
+                        dec, ac_stats[ac_id], fixed, coefs[ci][by, bx],
+                        decode=True, ss=ss, se=se, al=al,
+                    )
+    mp = dec.marker_pos
+    if mp is None:
+        mp = dec.pos
+    return _next_marker(data, mp)

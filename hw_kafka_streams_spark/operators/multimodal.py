@@ -1753,10 +1753,14 @@ def synthesize_arith_jpeg_payloads(
     and entropy coding is lossless over the quantized coefficients, so
     the identical closed-form oracle covers this stream while the
     decode side runs the QM decoder, the DC conditioning-category
-    state machine and the Kx-split AC magnitude trees end to end."""
+    state machine and the Kx-split AC magnitude trees end to end.
+    Every third payload encodes PROGRESSIVE arithmetic (SOF10, the
+    Annex G 10-scan script), so the successive-approximation QM path
+    is value-hash-verified too."""
     import numpy as np
 
     from hw_kafka_streams_spark.operators.jpegcodec import (
+        encode_progressive_arith_jpeg,
         encode_sequential_arith_jpeg,
     )
 
@@ -1776,9 +1780,13 @@ def synthesize_arith_jpeg_payloads(
                             (i * 7 + 29 * bi) % 256,
                             (i * 13 + 41 * bi) % 256,
                         )
-                payloads.append(
-                    encode_sequential_arith_jpeg(img, subsampling="444")
+                enc = (
+                    encode_progressive_arith_jpeg if i % 3 == 0
+                    else lambda im: encode_sequential_arith_jpeg(
+                        im, subsampling="444"
+                    )
                 )
+                payloads.append(enc(img))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     return df.select(F.col(id_col)).mapInPandas(

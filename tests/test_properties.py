@@ -1759,3 +1759,58 @@ def test_arith_jpeg_odd_dims_and_smooth_content(h, w, seed):
         decode_baseline_jpeg(encode_baseline_jpeg(img)),
         decode_baseline_jpeg(encode_sequential_arith_jpeg(img)),
     )
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_progressive_arith_jpeg_always_equals_baseline(scale, seed):
+    """SOF10 (progressive + arithmetic): the successive-approximation
+    QM scan script reorganizes the same quantized coefficients —
+    pixels must match the baseline Huffman stream exactly."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.jpegcodec import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+        encode_progressive_arith_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(
+        0, 256, size=(8 * scale, 8 * (5 - scale), 3), dtype=np.uint8
+    )
+    assert np.array_equal(
+        decode_baseline_jpeg(encode_baseline_jpeg(img)),
+        decode_baseline_jpeg(encode_progressive_arith_jpeg(img)),
+    )
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=28),
+    st.integers(min_value=1, max_value=28),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_progressive_arith_jpeg_odd_dims(h, w, seed):
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.jpegcodec import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+        encode_progressive_arith_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    a, b = (int(x) for x in rng.integers(0, 9, 2))
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(xx * a + yy * b) % 256, (xx + yy) % 256, (xx * b) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    assert np.array_equal(
+        decode_baseline_jpeg(encode_baseline_jpeg(img)),
+        decode_baseline_jpeg(encode_progressive_arith_jpeg(img)),
+    )
