@@ -2530,3 +2530,150 @@ def q_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_length_bucket_batches",
+    oracle="""
+        WITH t AS (
+          SELECT doc_id,
+                 len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                 t -> t <> '')) AS n_tokens
+          FROM documents
+        ), b AS (
+          SELECT doc_id, n_tokens,
+                 ((greatest(n_tokens, 1) + 63) // 64) * 64 AS bucket_cap
+          FROM t
+        )
+        SELECT CAST(bucket_cap AS INT) AS bucket_cap,
+               count(*) AS n_docs,
+               CAST((count(*) + 31) // 32 AS BIGINT) AS n_batches,
+               CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+               CAST(count(*) * bucket_cap AS BIGINT) AS padded_tokens,
+               round(100.0 * (count(*) * bucket_cap - sum(n_tokens))
+                     / (count(*) * bucket_cap), 4) AS waste_pct
+        FROM b GROUP BY bucket_cap ORDER BY bucket_cap
+    """,
+    doc="Length-bucketed batch planning (the dynamic-batching recipe "
+    "every trainer uses to cut attention padding): docs are assigned "
+    "to 64-token length buckets, each bucket padded to its cap and "
+    "cut into 32-doc micro-batches; per bucket the plan reports batch "
+    "count and the padding waste the bucketing leaves. Pure partial-"
+    "agged groupBy on a derived key — NO global row_number/sort (a "
+    "single-partition window is exactly what dynamic batching exists "
+    "to avoid at corpus scale); bucket skew is data skew the trainer "
+    "sees too.",
+)
+def q_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.text import token_count
+
+    docs = load_table(spark, "documents", sf_dir)
+    b = docs.select(
+        token_count("text").alias("n_tokens"),
+    ).withColumn(
+        "bucket_cap",
+        (
+            (F.greatest(F.col("n_tokens"), F.lit(1)) + F.lit(63))
+            .cast("long") / F.lit(64)
+        ).cast("long") * F.lit(64),
+    )
+    return (
+        b.groupBy(F.col("bucket_cap").cast("int").alias("bucket_cap"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            ((F.count(F.lit(1)) + F.lit(31)).cast("long") / F.lit(32))
+            .cast("long")
+            .alias("n_batches"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        )
+        .select(
+            "bucket_cap",
+            "n_docs",
+            "n_batches",
+            "sum_tokens",
+            (F.col("n_docs") * F.col("bucket_cap"))
+            .cast("long")
+            .alias("padded_tokens"),
+            F.round(
+                F.lit(100.0)
+                * (F.col("n_docs") * F.col("bucket_cap") - F.col("sum_tokens"))
+                / (F.col("n_docs") * F.col("bucket_cap")),
+                4,
+            ).alias("waste_pct"),
+        )
+        .orderBy("bucket_cap")
+    )
+
+
+@register(
+    "q_epoch_repetition_plan",
+    oracle="""
+        WITH t AS (
+          SELECT source,
+                 count(*) AS n_docs,
+                 sum(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                     t -> t <> ''))) AS tokens
+          FROM documents GROUP BY source
+        ), tot AS (
+          SELECT count(*) AS n_sources, 2.0 * sum(tokens) AS budget FROM t
+        )
+        SELECT source,
+               n_docs,
+               CAST(tokens AS BIGINT) AS tokens,
+               CAST(floor(budget / n_sources) AS BIGINT) AS budget_share,
+               round(budget / n_sources / tokens, 4) AS epochs_raw,
+               round(least(4.0, budget / n_sources / tokens), 4)
+                   AS epochs_capped,
+               CAST(floor(tokens * least(4.0, budget / n_sources / tokens))
+                    AS BIGINT) AS effective_tokens,
+               CAST(greatest(0, floor(budget / n_sources)
+                                - floor(tokens * least(4.0,
+                                        budget / n_sources / tokens)))
+                    AS BIGINT) AS shortfall
+        FROM t, tot ORDER BY source
+    """,
+    doc="Epoch repetition planning under a token budget (the data-"
+    "constrained-scaling recipe: when the budget exceeds a source's "
+    "unique tokens, repeat it up to a cap — 4 epochs here, past which "
+    "repeated data stops helping): per source, the uniform budget "
+    "share, raw and capped epoch counts, effective tokens after "
+    "capping and the unfillable shortfall. One partial-agged per-"
+    "source rollup + a broadcast 1-row total: scale-safe by "
+    "construction.",
+)
+def q_epoch_repetition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.text import token_count
+
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).alias("tokens"),
+    )
+    tot = t.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        (F.lit(2.0) * F.sum("tokens")).alias("budget"),
+    )
+    share = F.col("budget") / F.col("n_sources")
+    epochs = share / F.col("tokens")
+    capped = F.least(F.lit(4.0), epochs)
+    return (
+        t.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.col("tokens").cast("long").alias("tokens"),
+            F.floor(share).cast("long").alias("budget_share"),
+            F.round(epochs, 4).alias("epochs_raw"),
+            F.round(capped, 4).alias("epochs_capped"),
+            F.floor(F.col("tokens") * capped)
+            .cast("long")
+            .alias("effective_tokens"),
+            F.greatest(
+                F.lit(0),
+                F.floor(share) - F.floor(F.col("tokens") * capped),
+            )
+            .cast("long")
+            .alias("shortfall"),
+        )
+        .orderBy("source")
+    )
