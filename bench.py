@@ -144,6 +144,13 @@ HEADLINE = [
     # operator surface worth ratcheting
     "q_mlm_mask_plan",
     "q_distinct_ngrams",
+    # round-9b: QM-coded JPEG decode fan-out (the arithmetic entropy
+    # path is pure-Python bit twiddling per payload — the cost worth
+    # watching), plus the two batch/epoch planning rollups (cheap
+    # partial-agg scans; ratchet the scan shape)
+    "q_multimodal_jpeg_arith",
+    "q_length_bucket_batches",
+    "q_epoch_repetition_plan",
 ]
 
 

@@ -65,3 +65,60 @@ def k_anonymity_audit(
             .alias("n_classes_below_l")
         )
     return classes.agg(*out_aggs)
+
+
+def luhn_valid(cand):
+    """Column expression: Luhn mod-10 checksum validity of a 16-digit
+    candidate string (ISO/IEC 7812) — the validation step that
+    separates real payment-card numbers from arbitrary 16-digit runs,
+    cutting the false-positive rate of regex-only PII scrubbing. Pure
+    higher-order-function arithmetic (transform + aggregate), JVM-side
+    and codegen-friendly: from the right, every second digit doubles
+    (minus 9 when > 9) and the sum must divide by 10 — for a 16-digit
+    string that doubles the odd 1-based positions."""
+    from pyspark.sql import Column
+
+    c = cand if isinstance(cand, Column) else F.col(cand)
+    digits = F.transform(
+        F.sequence(F.lit(1), F.lit(16)),
+        lambda i: c.substr(i, F.lit(1)).cast("int"),
+    )
+    contrib = F.transform(
+        F.zip_with(
+            digits,
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+        ),
+        lambda s: F.when(
+            s["i"] % 2 == 1,
+            F.when(s["d"] * 2 > 9, s["d"] * 2 - 9).otherwise(s["d"] * 2),
+        ).otherwise(s["d"]),
+    )
+    total = F.aggregate(contrib, F.lit(0), lambda a, x: a + x)
+    return (total % 10) == 0
+
+
+def cc_candidate_audit(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Per-document payment-card PII audit: extract 16-digit
+    candidates, split them by Luhn validity, and emit last-4 masked
+    forms of the VALID ones only (the scrub a compliance pipeline
+    would apply). One zero-shuffle vectorized pass — regexp extract +
+    HOF checksum per row, no UDF."""
+    cands = F.expr(
+        rf"regexp_extract_all({text_col}, '\\b\\d{{16}}\\b', 0)"
+    )
+    valid = F.filter(cands, luhn_valid)
+    return df.select(
+        F.col(id_col),
+        F.size(cands).alias("n_candidates"),
+        F.size(valid).alias("n_valid"),
+        (F.size(cands) - F.size(valid)).alias("n_invalid"),
+        F.array_join(
+            F.transform(
+                valid,
+                lambda c: F.concat(F.lit("****"), c.substr(13, 4)),
+            ),
+            ",",
+        ).alias("masked_valid"),
+    )

@@ -1097,6 +1097,120 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_luhn_cc_detect",
+    oracle=r"""
+        WITH synth AS (
+          SELECT doc_id,
+                 '4111' || lpad(CAST(doc_id % 1000000 AS VARCHAR), 6, '0')
+                        || '00000' AS base15
+          FROM documents WHERE doc_id < 300
+        ), chk AS (
+          SELECT doc_id, base15,
+                 (10 - list_sum(list_transform(range(1, 16), i ->
+                     CASE WHEN i % 2 = 1 THEN
+                       CASE WHEN 2 * CAST(substring(base15, i, 1) AS INT) > 9
+                            THEN 2 * CAST(substring(base15, i, 1) AS INT) - 9
+                            ELSE 2 * CAST(substring(base15, i, 1) AS INT) END
+                     ELSE CAST(substring(base15, i, 1) AS INT) END))
+                  % 10) % 10 AS check_digit
+          FROM synth
+        ), txt AS (
+          SELECT c.doc_id,
+                 CASE c.doc_id % 3
+                   WHEN 0 THEN 'pay ' || base15 || check_digit || ' now'
+                   WHEN 1 THEN 'pay ' || base15
+                               || (check_digit + 5) % 10 || ' now'
+                   ELSE 'pay ' || base15 || check_digit || ' or '
+                        || base15 || (check_digit + 5) % 10 || ' now'
+                 END || ' ' || d.text AS text2
+          FROM chk c JOIN documents d USING (doc_id)
+        ), cand AS (
+          SELECT doc_id,
+                 regexp_extract_all(text2, '\b\d{16}\b') AS cands
+          FROM txt
+        ), val AS (
+          SELECT doc_id, cands,
+                 list_filter(cands, cc ->
+                   list_sum(list_transform(range(1, 17), i ->
+                     CASE WHEN i % 2 = 1 THEN
+                       CASE WHEN 2 * CAST(substring(cc, i, 1) AS INT) > 9
+                            THEN 2 * CAST(substring(cc, i, 1) AS INT) - 9
+                            ELSE 2 * CAST(substring(cc, i, 1) AS INT) END
+                     ELSE CAST(substring(cc, i, 1) AS INT) END))
+                   % 10 = 0) AS valid
+          FROM cand
+        )
+        SELECT doc_id,
+               CAST(len(cands) AS INT) AS n_candidates,
+               CAST(len(valid) AS INT) AS n_valid,
+               CAST(len(cands) - len(valid) AS INT) AS n_invalid,
+               coalesce(array_to_string(list_transform(valid, cc ->
+                   '****' || substring(cc, 13, 4)), ','), '')
+                   AS masked_valid
+        FROM val ORDER BY doc_id
+    """,
+    doc="Luhn-VALIDATED payment-card detection (ISO/IEC 7812 mod-10): "
+    "regex-only CC scrubbing false-positives on any 16-digit run; the "
+    "checksum cut is what production PII pipelines apply. Deterministic "
+    "valid AND invalid card numbers are synthesized from doc_id (check "
+    "digit computed in-query by both engines), extraction + validation "
+    "run as pure higher-order-function arithmetic (transform/aggregate "
+    "— zero UDFs, zero shuffles), and only Luhn-valid hits are last-4 "
+    "masked (operators/privacy.luhn_valid / cc_candidate_audit).",
+)
+def q_luhn_cc_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.privacy import cc_candidate_audit
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 300)
+    base15 = F.concat(
+        F.lit("4111"),
+        F.lpad((F.col("doc_id") % 1000000).cast("string"), 6, "0"),
+        F.lit("00000"),
+    )
+    contrib = F.transform(
+        F.zip_with(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(15)),
+                lambda i: base15.substr(i, F.lit(1)).cast("int"),
+            ),
+            F.sequence(F.lit(1), F.lit(15)),
+            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+        ),
+        lambda s: F.when(
+            s["i"] % 2 == 1,
+            F.when(s["d"] * 2 > 9, s["d"] * 2 - 9).otherwise(s["d"] * 2),
+        ).otherwise(s["d"]),
+    )
+    check = (
+        F.lit(10) - F.aggregate(contrib, F.lit(0), lambda a, x: a + x) % 10
+    ) % 10
+    bad = (check + 5) % 10
+    valid_cc = F.concat(base15, check.cast("string"))
+    invalid_cc = F.concat(base15, bad.cast("string"))
+    text2 = F.concat(
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("pay "), valid_cc, F.lit(" now")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("pay "), invalid_cc, F.lit(" now")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("pay "), valid_cc, F.lit(" or "), invalid_cc,
+                F.lit(" now"),
+            )
+        ),
+        F.lit(" "),
+        F.col("text"),
+    )
+    return cc_candidate_audit(
+        docs.select("doc_id", text2.alias("text")), text_col="text"
+    ).orderBy("doc_id")
+
+
+@register(
     "q_text_repetition",
     oracle=r"""
         WITH toks AS (

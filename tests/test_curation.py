@@ -882,3 +882,46 @@ def test_mlm_mask_plan_spans_match_bruteforce(spark):
     assert row.n_masked == sum(masks)
     assert row.n_spans == spans
     assert row.first_masked == masks.index(True) + 1
+
+
+def test_luhn_validator_known_numbers(spark):
+    """ISO/IEC 7812 mod-10 against the classic published test numbers:
+    4111111111111111 / 5500005555555559 are valid, one-digit
+    perturbations are not, and only valid hits are masked."""
+    from hw_kafka_streams_spark.operators.privacy import (
+        cc_candidate_audit,
+        luhn_valid,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "card 4111111111111111 ok"),
+            (2, "card 4111111111111112 bad"),
+            (3, "card 5500005555555559 and 4111111111111111"),
+            (4, "no digits here"),
+            (5, "short 123456 run 12345678901234567890 too long"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in cc_candidate_audit(df).collect()}
+    assert (rows[1].n_valid, rows[1].n_invalid) == (1, 0)
+    assert rows[1].masked_valid == "****1111"
+    assert (rows[2].n_valid, rows[2].n_invalid) == (0, 1)
+    assert rows[3].n_valid == 2
+    assert rows[3].masked_valid == "****5559,****1111"
+    assert rows[4].n_candidates == 0
+    # \b\d{16}\b does not match inside longer digit runs
+    assert rows[5].n_candidates == 0
+
+    from pyspark.sql import functions as F
+
+    vals = (
+        spark.createDataFrame(
+            [("4111111111111111",), ("4111111111111112",),
+             ("5500005555555559",), ("0000000000000000",)],
+            "cc string",
+        )
+        .select(luhn_valid(F.col("cc")).alias("ok"))
+        .collect()
+    )
+    assert [r.ok for r in vals] == [True, False, True, True]

@@ -91,6 +91,18 @@ NOTES = {
     "by per-order item count, support prune before pairs",
     "q_unigram_tokenize": "vocab-sized EM over the DISTINCT-word "
     "table; corpus growth enters via one tokenize+count pass",
+    # round-9 additions
+    "q_mlm_mask_plan": "docs 10x; zero-shuffle per-doc mask plan, "
+    "scan-dominated",
+    "q_distinct_ngrams": "docs 10x; trigram explode into partial-agged "
+    "(source, gram) count — explode volume is the linear cost",
+    "q_multimodal_jpeg_arith": "fixture capped at 120 docs — per-file "
+    "QM entropy decode under mapInPandas, no shuffle; flat probe = "
+    "fixed fixture",
+    "q_length_bucket_batches": "docs 10x; partial-agged groupBy on the "
+    "derived bucket key, no global sort",
+    "q_epoch_repetition_plan": "docs 10x; per-source rollup + "
+    "broadcast 1-row total",
 }
 
 
@@ -147,12 +159,13 @@ def synthesize(spark) -> None:
 
 def main() -> None:
     out_md = sys.argv[1] if len(sys.argv) > 1 else "SCALING.md"
+    probes = sys.argv[2:] or PROBES  # optional query-name override
     spark = get_spark("sf1_probe")
     synthesize(spark)
     qmap = queries()
 
     rows = []
-    for name in PROBES:
+    for name in probes:
         times = {}
         for sf_dir, key in ((SRC, "0.1"), (DST, "1.0")):
             best = float("inf")
