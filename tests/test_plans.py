@@ -336,3 +336,44 @@ def test_prefix_filter_shuffle_budget(spark, sf_dir):
     assert shuffles <= 6, f"prefix-filter plan regressed: {shuffles} shuffles"
     nwin = window_exec_count(df, execute=False)
     assert nwin == 0, f"prefix-filter plan has {nwin} WindowExec node(s)"
+
+
+def test_batch_planning_plan_guards(spark, sf_dir):
+    """Round-9 planning queries must keep their scale-safe shapes:
+    q_length_bucket_batches is a partial-agged groupBy on a derived
+    key — <=2 exchanges (hash agg + output sort) and ZERO WindowExec
+    (a global row_number batching plan is exactly what the bucketed
+    design exists to avoid); q_epoch_repetition_plan folds a 1-row
+    total via broadcast — no sort-merge join, no window."""
+    from hw_kafka_streams_spark.plans.inspect import (
+        exchange_counts,
+        window_exec_count,
+    )
+
+    df = REGISTRY["q_length_bucket_batches"].fn(spark, sf_dir)
+    df.collect()
+    shuffles, _ = exchange_counts(df)
+    assert shuffles <= 2, f"bucket-batch plan regressed: {shuffles} shuffles"
+    assert window_exec_count(df, execute=False) == 0
+
+    df2 = REGISTRY["q_epoch_repetition_plan"].fn(spark, sf_dir)
+    df2.collect()
+    shuffles2, _ = exchange_counts(df2)
+    assert shuffles2 <= 4, f"epoch-plan regressed: {shuffles2} shuffles"
+    assert window_exec_count(df2, execute=False) == 0
+    plan = df2._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+
+
+def test_luhn_detect_zero_shuffle_scan(spark, sf_dir):
+    """q_luhn_cc_detect is one vectorized pass: no exchange other than
+    the output ordering, zero Python stages (the checksum is HOF
+    arithmetic, not a UDF)."""
+    from hw_kafka_streams_spark.plans.inspect import exchange_counts
+
+    df = REGISTRY["q_luhn_cc_detect"].fn(spark, sf_dir)
+    df.collect()
+    shuffles, _ = exchange_counts(df)
+    assert shuffles <= 1, f"luhn plan regressed: {shuffles} shuffles"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan
