@@ -1149,14 +1149,15 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS masked_valid
         FROM val ORDER BY doc_id
     """,
-    doc="Luhn-VALIDATED payment-card detection (ISO/IEC 7812 mod-10): "
-    "regex-only CC scrubbing false-positives on any 16-digit run; the "
-    "checksum cut is what production PII pipelines apply. Deterministic "
-    "valid AND invalid card numbers are synthesized from doc_id (check "
-    "digit computed in-query by both engines), extraction + validation "
-    "run as pure higher-order-function arithmetic (transform/aggregate "
-    "— zero UDFs, zero shuffles), and only Luhn-valid hits are last-4 "
-    "masked (operators/privacy.luhn_valid / cc_candidate_audit).",
+    doc="Luhn-validated payment-card DETECTION-AND-SCRUB over free "
+    "text — the pipeline stage downstream of q_luhn_card_audit's "
+    "checksum arithmetic: word-boundary extraction of 16-digit "
+    "candidates from prose, validity SPLIT (the false-positive cut "
+    "regex-only scrubbing lacks), and last-4 masking of valid hits "
+    "only. Deterministic valid AND invalid cards are synthesized from "
+    "doc_id with the check digit computed in-query by both engines; "
+    "everything is higher-order-function arithmetic — zero UDFs, zero "
+    "shuffles (operators/privacy.luhn_valid / cc_candidate_audit).",
 )
 def q_luhn_cc_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hw_kafka_streams_spark.operators.privacy import cc_candidate_audit
