@@ -1557,12 +1557,14 @@ def _arith_code_ac(coder, st, fixed, kx, zz, decode, ss=1, se=63, al=0):
 
 
 def encode_sequential_arith_jpeg(
-    rgb: np.ndarray, subsampling: str = "444"
+    rgb: np.ndarray, subsampling: str = "444", restart_interval: int = 0
 ) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as an arithmetic-coded
     extended sequential JPEG (SOF9, T.81 Annex F): same DQT stage as
     encode_baseline_jpeg, DAC conditioning defaults (L=0, U=1, Kx=5)
-    written explicitly, luma on conditioning tables 0 / chroma on 1."""
+    written explicitly, luma on conditioning tables 0 / chroma on 1.
+    ``restart_interval`` (MCUs) flushes the coder and re-initialises
+    all statistics at each RSTn, per F.1.4.1.1."""
     h, w = rgb.shape[:2]
     factors = _SUBSAMPLING[subsampling]
     hmax = max(f[0] for f in factors)
@@ -1603,17 +1605,36 @@ def encode_sequential_arith_jpeg(
     seg(0xC9, sof)  # SOF9: extended sequential, arithmetic
     # DAC: DC tables 0/1 with (U=1, L=0), AC tables 0/1 with Kx=5
     seg(0xCC, bytes([0x00, 0x10, 0x01, 0x10, 0x10, 5, 0x11, 5]))
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
     seg(0xDA, b"\x03" + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00")
 
-    enc = _qm.QMEncoder()
-    fixed = _qm.fixed_context()
-    dc_stats = {0: _fresh_stats(_DC_STAT_BINS), 1: _fresh_stats(_DC_STAT_BINS)}
-    ac_stats = {0: _fresh_stats(_AC_STAT_BINS), 1: _fresh_stats(_AC_STAT_BINS)}
-    dc_ctx = [0, 0, 0]
-    pred = [0, 0, 0]
+    def fresh_state():
+        return (
+            _qm.QMEncoder(),
+            _qm.fixed_context(),
+            {0: _fresh_stats(_DC_STAT_BINS), 1: _fresh_stats(_DC_STAT_BINS)},
+            {0: _fresh_stats(_AC_STAT_BINS), 1: _fresh_stats(_AC_STAT_BINS)},
+            [0, 0, 0],
+            [0, 0, 0],
+        )
+
+    enc, fixed, dc_stats, ac_stats, dc_ctx, pred = fresh_state()
     qtabs = [QUANT_LUM, QUANT_CHROM, QUANT_CHROM]
+    mcu_done, rst_n = 0, 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if (
+                restart_interval and mcu_done
+                and mcu_done % restart_interval == 0
+            ):
+                # close this interval's entropy segment, emit RSTn,
+                # restart the coder with virgin statistics (F.1.4.1.1)
+                out.extend(enc.flush())
+                out.extend(bytes([0xFF, 0xD0 + rst_n % 8]))
+                rst_n += 1
+                enc, fixed, dc_stats, ac_stats, dc_ctx, pred = fresh_state()
+            mcu_done += 1
             for ci, (hs, vs) in enumerate(factors):
                 tbl = 0 if ci == 0 else 1
                 for vy in range(vs):

@@ -1814,3 +1814,30 @@ def test_progressive_arith_jpeg_odd_dims(h, w, seed):
         decode_baseline_jpeg(encode_baseline_jpeg(img)),
         decode_baseline_jpeg(encode_progressive_arith_jpeg(img)),
     )
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_arith_jpeg_restart_intervals(interval, seed):
+    """SOF9 with DRI/RSTn: each restart interval is an independent
+    entropy segment (coder + statistics + DC state re-initialised), so
+    pixels still match the unrestarted and baseline streams exactly —
+    the error-resilience shape large scans ship with."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.jpegcodec import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+        encode_sequential_arith_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(24, 40, 3), dtype=np.uint8)  # 15 MCUs
+    ref = decode_baseline_jpeg(encode_baseline_jpeg(img))
+    got = decode_baseline_jpeg(
+        encode_sequential_arith_jpeg(img, restart_interval=interval)
+    )
+    assert np.array_equal(ref, got)
