@@ -30,10 +30,13 @@ entropy coding (SOF9/DAC, Annex D QM coder + Annex F statistical
 models — encode via encode_sequential_arith_jpeg, decode through the
 same decode_baseline_jpeg entry, restart intervals included); AND
 progressive ARITHMETIC (SOF10 — the Annex G scan scripts QM-coded,
-encode via encode_progressive_arith_jpeg). Hierarchical, differential
-and lossless-arithmetic modes raise NotImplementedError — this is the
-dependency-free exact-spec path that upgrades JPEG from header-only
-metadata to real pixel decode.
+encode via encode_progressive_arith_jpeg); AND lossless ARITHMETIC
+(SOF11, Annex H.2 — the H.1 predictors QM-coded under 25 (Da, Db)
+two-dimensional conditioning contexts, encode/decode via
+encode/decode_lossless_arith_jpeg). Hierarchical and differential
+modes raise NotImplementedError — this is the dependency-free
+exact-spec path that upgrades JPEG from header-only metadata to real
+pixel decode.
 
 Determinism contract (what makes the Spark queries oracle-able): every
 rounding site is ``floor(x + 0.5)`` (never banker's rounding), the
@@ -357,11 +360,16 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
                 data, pos + seglen, (h, w, comps), qtables, dc_cond,
                 ac_cond, dri,
             )
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xCB:
             raise NotImplementedError(
-                "differential/hierarchical/lossless-arithmetic JPEG "
-                "(baseline, progressive, lossless, and both sequential- "
-                "and progressive-arithmetic supported)"
+                "lossless JPEG carries >8-bit planes — use "
+                "decode_lossless_arith_jpeg, which returns "
+                "(plane, precision)"
+            )
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "differential/hierarchical JPEG (baseline, progressive, "
+                "lossless, and all three arithmetic processes supported)"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
             p = 0
@@ -2099,3 +2107,214 @@ def _prog_scan_arith(data, pos, frame, geo, coefs, scomps, ss, se, ah, al,
     if mp is None:
         mp = dec.pos
     return _next_marker(data, mp)
+
+# ---------------------------------------- lossless arithmetic (SOF11)
+# ITU T.81 Annex H.2: predictive lossless coding (the same Annex H.1
+# predictors and mod-2^16 difference fold as SOF3) entropy-coded with
+# the Annex D QM coder. The statistical model conditions each
+# prediction difference on the 5-way classification — zero / ±small /
+# ±large, thresholds from the DAC (L, U) pair exactly as the Annex F
+# DC model applies them between blocks — of the two differences
+# already coded at the LEFT (Da) and ABOVE (Db) neighbour positions:
+# 25 two-dimensional contexts of 4 bins each (zero decision, sign,
+# SP, SN), plus two magnitude-tree/value-bin sets (X1..X15 / M2..M15),
+# the second selected when Db sits in a large-magnitude category
+# (H.2.1). Reference parity note: the reference app (KafkaStreamApp)
+# has no codec surface — this extends the multimodal column story the
+# driver mandates, from public spec text only.
+
+_LA_STAT_BINS = 192  # 25*4 = 100 conditioning + trees at 100 / 130
+
+
+def _la_classify(sign: int, m: int, lu: tuple) -> int:
+    """Conditioning category (0-4) of a coded difference from its sign
+    and magnitude-tree MSB ``m`` — the F.1.4.4.1.2 thresholds: zero /
+    small if m < 2^L/2, ±small, ±large if m > 2^U/2."""
+    low, up = lu
+    if m < (1 << low) >> 1:
+        return 0
+    cat = 2 if sign else 1
+    if m > (1 << up) >> 1:
+        cat += 2
+    return cat
+
+
+def _arith_code_la(coder, st, base, tree, diff, decode):
+    """Encode (decode=False) or decode one lossless prediction
+    difference per H.2: the Annex F DC zero/sign/magnitude structure
+    with the conditioning base and magnitude-tree base supplied by the
+    caller's (Ca, Cb) context. Returns (diff, sign, m)."""
+    if decode:
+        if coder.decode(st[base]) == 0:
+            return 0, 0, 0
+        sign = coder.decode(st[base + 1])
+    else:
+        if diff == 0:
+            coder.encode(st[base], 0)
+            return 0, 0, 0
+        coder.encode(st[base], 1)
+        sign = 1 if diff < 0 else 0
+        coder.encode(st[base + 1], sign)
+    idx = base + (3 if sign else 2)  # SN / SP
+    u = None if decode else abs(diff) - 1
+    m = 0
+    if decode:
+        if coder.decode(st[idx]):
+            m = 1
+            idx = tree
+            while coder.decode(st[idx]):
+                m <<= 1
+                idx += 1
+                if m > 1 << 15:
+                    raise ValueError("corrupt arith JPEG: LL magnitude")
+        u = m
+    else:
+        if u:
+            coder.encode(st[idx], 1)
+            m = 1
+            v2 = u
+            idx = tree
+            while v2 >> 1:
+                v2 >>= 1
+                coder.encode(st[idx], 1)
+                m <<= 1
+                idx += 1
+        coder.encode(st[idx], 0)
+    vbin = st[idx + 14]
+    mm = m >> 1
+    while mm:
+        if decode:
+            if coder.decode(vbin):
+                u |= mm
+        else:
+            coder.encode(vbin, 1 if (u & mm) else 0)
+        mm >>= 1
+    v = u + 1
+    return (-v if sign else v), sign, m
+
+
+def encode_lossless_arith_jpeg(
+    img: np.ndarray, predictor: int = 4, precision: int | None = None
+) -> bytes:
+    """Encode a 2-D grayscale array as a lossless ARITHMETIC-coded
+    JPEG (SOF11, T.81 process 14 with QM entropy coding). Same H.1
+    prediction and mod-2^16 fold as encode_lossless_jpeg; the DAC
+    conditioning default (L=0, U=1) is written explicitly."""
+    if img.ndim != 2:
+        raise ValueError("encode_lossless_arith_jpeg expects a 2-D array")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"predictor must be 1-7, got {predictor}")
+    if precision is None:
+        precision = 8 if img.dtype == np.uint8 else 16
+    if not 2 <= precision <= 16:
+        raise ValueError("precision must be 2-16")
+    px = img.astype(np.int64)
+    if px.min() < 0 or px.max() >= (1 << precision):
+        raise ValueError(f"sample out of range for {precision}-bit")
+    h, w = px.shape
+    default = 1 << (precision - 1)
+    lu = (0, 1)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # DAC: DC-class conditioning table 0 with (L=0, U=1)
+    out += b"\xff\xcc" + struct.pack(">H", 4) + bytes([0x00, 0x10])
+    sof = struct.pack(">BHHB", precision, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xcb" + struct.pack(">H", 2 + len(sof)) + sof
+    sos = bytes([1, 1, 0x00, predictor, 0, 0x00])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    enc = _qm.QMEncoder()
+    st = _fresh_stats(_LA_STAT_BINS)
+    cat_above = [0] * w  # category of the diff coded at (r-1, c)
+    for r in range(h):
+        cat_left = 0
+        for cpos in range(w):
+            pred = _ll_predict(r, cpos, px, predictor, default)
+            d = (int(px[r, cpos]) - pred) & 0xFFFF
+            if d > 32768:
+                d -= 65536  # signed fold: d in [-32767, 32768]
+            ca, cb = cat_left, cat_above[cpos]
+            base = 4 * (5 * cb + ca)
+            tree = 130 if cb >= 3 else 100
+            _, sign, m = _arith_code_la(enc, st, base, tree, d, False)
+            cat = _la_classify(sign, m, lu)
+            cat_left = cat
+            cat_above[cpos] = cat
+    out += enc.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def decode_lossless_arith_jpeg(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode a single-component lossless arithmetic JPEG (SOF11).
+
+    Returns ``(plane, precision)`` — uint8 for precision <= 8, uint16
+    above. The (L, U) conditioning pair is read from the stream's DAC
+    segment; multi-component scans raise NotImplementedError."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    frame = None
+    lu = (0, 1)
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("corrupt JPEG: expected marker")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xCC:  # DAC
+            p = 0
+            while p < len(seg):
+                tc = seg[p] >> 4
+                cs = seg[p + 1]
+                if tc == 0:
+                    lu = (cs & 0xF, cs >> 4)
+                p += 2
+        elif marker == 0xCB:  # SOF11
+            precision = seg[0]
+            h, w = struct.unpack(">HH", seg[1:5])
+            if seg[5] != 1:
+                raise NotImplementedError(
+                    "multi-component lossless arithmetic scans unsupported"
+                )
+            frame = (precision, h, w)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("corrupt JPEG: SOS before SOF11")
+            ns = seg[0]
+            predictor = seg[1 + 2 * ns]
+            pt = seg[3 + 2 * ns] & 0xF
+            if pt != 0:
+                raise NotImplementedError("point transform unsupported")
+            if not 1 <= predictor <= 7:
+                raise ValueError(f"bad predictor selector {predictor}")
+            precision, h, w = frame
+            default = 1 << (precision - 1)
+            dec = _qm.QMDecoder(data, pos + seglen)
+            st = _fresh_stats(_LA_STAT_BINS)
+            px = np.zeros((h, w), np.int64)
+            cat_above = [0] * w
+            for r in range(h):
+                cat_left = 0
+                for cpos in range(w):
+                    ca, cb = cat_left, cat_above[cpos]
+                    base = 4 * (5 * cb + ca)
+                    tree = 130 if cb >= 3 else 100
+                    d, sign, m = _arith_code_la(dec, st, base, tree, None,
+                                                True)
+                    pred = _ll_predict(r, cpos, px, predictor, default)
+                    px[r, cpos] = (pred + d) & 0xFFFF
+                    cat = _la_classify(sign, m, lu)
+                    cat_left = cat
+                    cat_above[cpos] = cat
+            if px.max() >= (1 << precision):
+                raise ValueError("decoded sample exceeds declared precision")
+            dtype = np.uint8 if precision <= 8 else np.uint16
+            return px.astype(dtype), precision
+        pos += seglen
+    raise ValueError("corrupt JPEG: no SOS marker")

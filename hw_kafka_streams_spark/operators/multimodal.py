@@ -1523,6 +1523,84 @@ def lossless_jpeg_stats(df: DataFrame, payload_col: str = "payload") -> DataFram
     )
 
 
+def synthesize_lossless_arith_jpeg_payloads(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """One REAL lossless ARITHMETIC JPEG (SOF11, T.81 Annex H.2) per
+    row: doc i carries a (16 + (i%5)*4) x (20 + (i%3)*8) gray plane,
+    16-bit when i%4==0 and 8-bit otherwise, with
+    pixel(r, c) = (1013*i + 41*r + 97*c) mod 2^P, encoded with
+    predictor 1 + (i % 7) — every H.1 predictor, both precisions, and
+    (via the mod-2^P wraps) all five (Da, Db) conditioning categories
+    of the H.2 statistical model are exercised across the fixture."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.jpegcodec import (
+        encode_lossless_arith_jpeg,
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                h = 16 + (i % 5) * 4
+                w = 20 + (i % 3) * 8
+                prec = 16 if i % 4 == 0 else 8
+                r = np.arange(h, dtype=np.int64)[:, None]
+                c = np.arange(w, dtype=np.int64)[None, :]
+                img = ((1013 * i + 41 * r + 97 * c) % (1 << prec)).astype(
+                    np.uint16 if prec == 16 else np.uint8
+                )
+                payloads.append(
+                    encode_lossless_arith_jpeg(
+                        img, predictor=1 + i % 7, precision=prec
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+
+
+def lossless_arith_jpeg_stats(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Exact integer pixel stats over REAL decoded SOF11 lossless
+    arithmetic JPEGs: dims, precision, sum and sum-of-squares —
+    predictable from the synthesis formula because the QM entropy
+    cycle is bit-exact."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.jpegcodec import (
+        decode_lossless_arith_jpeg,
+    )
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, data in zip(pdf["doc_id"], pdf[payload_col]):
+                px, prec = decode_lossless_arith_jpeg(bytes(data))
+                v = px.astype(np.int64)
+                out.append(
+                    (doc_id, px.shape[0], px.shape[1], prec,
+                     int(v.sum()), int((v * v).sum()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "height", "width", "precision",
+                         "sum_v", "sum_sq"],
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        work,
+        schema="doc_id long, height int, width int, precision int, "
+        "sum_v long, sum_sq long",
+    )
+
+
 def synthesize_jls_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """One REAL JPEG-LS (ITU T.87) stream per row. Doc i carries a
     (16 + (i%5)*4) x (24 + (i%3)*8) gray plane, 16-bit when i%4==0 and

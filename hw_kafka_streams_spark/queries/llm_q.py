@@ -3917,10 +3917,10 @@ def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decoded back bit-exactly. Lossless means integer pixel moments "
     "(sum, sum of squares) are predictable from the synthesis "
     "formula. Closes the lossless-JPEG slot of the codec story "
-    "(baseline and progressive DCT modes landed earlier; remaining "
-    "honest stubs are arithmetic coding and hierarchical mode). "
-    "Arrow-batched mapInPandas; per-file decode never crosses "
-    "executors.",
+    "(baseline and progressive DCT modes landed earlier; the "
+    "arithmetic-coded twin is q_multimodal_jpeg_la, leaving "
+    "hierarchical mode the one honest stub). Arrow-batched "
+    "mapInPandas; per-file decode never crosses executors.",
 )
 def q_multimodal_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hw_kafka_streams_spark.operators.multimodal import (
@@ -3931,6 +3931,57 @@ def q_multimodal_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 150)
     return lossless_jpeg_stats(
         synthesize_lossless_jpeg_payloads(docs)
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_multimodal_jpeg_la",
+    oracle="""
+        WITH base AS (
+          SELECT doc_id,
+                 CAST(16 + (doc_id % 5) * 4 AS INT) AS h,
+                 CAST(20 + (doc_id % 3) * 8 AS INT) AS w,
+                 CAST(CASE WHEN doc_id % 4 = 0 THEN 16 ELSE 8 END AS INT)
+                   AS prec
+          FROM documents WHERE doc_id < 150
+        ), rows_ AS (
+          SELECT doc_id, h, w, prec, unnest(range(h)) AS r FROM base
+        ), px AS (
+          SELECT doc_id, h, w, prec,
+                 (1013 * doc_id + 41 * r + 97 * c) % (1 << prec) AS v
+          FROM (SELECT doc_id, h, w, prec, r, unnest(range(w)) AS c
+                FROM rows_)
+        )
+        SELECT doc_id, CAST(max(h) AS INT) AS height,
+               CAST(max(w) AS INT) AS width,
+               CAST(max(prec) AS INT) AS precision,
+               CAST(sum(v) AS BIGINT) AS sum_v,
+               CAST(sum(v * v) AS BIGINT) AS sum_sq
+        FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="REAL LOSSLESS-ARITHMETIC JPEG decode (operators/jpegcodec.py, "
+    "ITU T.81 SOF11 / Annex H.2): per-doc gray gradients - 16-bit "
+    "when doc_id%4==0, 8-bit otherwise, predictor cycling 1-7 - are "
+    "genuinely encoded with the Annex D QM coder under the H.2 "
+    "statistical model (prediction differences conditioned on the "
+    "5-way zero/±small/±large classification of the left AND above "
+    "neighbours' differences: 25 two-dimensional contexts, dual "
+    "magnitude trees selected by the above-neighbour category) and "
+    "decoded back bit-exactly, closing the last non-hierarchical T.81 "
+    "process (the codec now covers SOF0/1/2/3/9/10/11). Lossless "
+    "means integer pixel moments are predictable from the synthesis "
+    "formula, so the oracle replays it in SQL. Arrow-batched "
+    "mapInPandas; per-file decode never crosses executors.",
+)
+def q_multimodal_jpeg_la(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.multimodal import (
+        lossless_arith_jpeg_stats,
+        synthesize_lossless_arith_jpeg_payloads,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 150)
+    return lossless_arith_jpeg_stats(
+        synthesize_lossless_arith_jpeg_payloads(docs)
     ).orderBy("doc_id")
 
 
@@ -3974,8 +4025,7 @@ def q_multimodal_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
     "near-lossless mode is implemented too (tests-enforced +/-NEAR "
     "bound - a lossy cycle is not SQL-oracle-able), as are ILV 1/2 "
     "interleaved layouts and LSE presets (exercised per-doc in "
-    "q_multimodal_jls_rgb). Remaining honest gate: T.81 QM "
-    "arithmetic modes. Arrow-batched mapInPandas; per-file "
+    "q_multimodal_jls_rgb). Arrow-batched mapInPandas; per-file "
     "decode never crosses executors.",
 )
 def q_multimodal_jls(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -779,6 +779,96 @@ def test_lossless_jpeg_rejects_bad_input():
         decode_lossless_jpeg(bytes(corrupt))
 
 
+# ------------------------------------- lossless arithmetic JPEG (SOF11)
+# T.81 Annex H.2 (operators/jpegcodec.py): the H.1 predictors under the
+# QM coder with 25 (Da, Db) conditioning contexts — bit-exact
+# round-trip for any 2-16 bit plane under every predictor.
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=7),
+    st.sampled_from([2, 8, 12, 16]),
+    st.randoms(use_true_random=False),
+)
+def test_lossless_arith_jpeg_roundtrip(h, w, predictor, precision, rnd):
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.jpegcodec import (
+        decode_lossless_arith_jpeg,
+        encode_lossless_arith_jpeg,
+    )
+
+    lim = 1 << precision
+    img = np.array(
+        [[rnd.randrange(lim) for _ in range(w)] for _ in range(h)],
+        np.uint16 if precision > 8 else np.uint8,
+    )
+    dec, prec = decode_lossless_arith_jpeg(
+        encode_lossless_arith_jpeg(
+            img, predictor=predictor, precision=precision
+        )
+    )
+    assert prec == precision
+    assert dec.shape == (h, w)
+    assert np.array_equal(dec.astype(np.int64), img.astype(np.int64))
+
+
+def test_lossless_arith_jpeg_mod_fold_extremes():
+    """Alternating 0/65535 pixels force ±32768-class differences: the
+    mod-2^16 fold, the large-magnitude trees AND the large-category
+    conditioning contexts all engage — the round trip must survive for
+    every predictor."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.jpegcodec import (
+        decode_lossless_arith_jpeg,
+        encode_lossless_arith_jpeg,
+    )
+
+    img = np.zeros((5, 8), np.uint16)
+    img[:, 1::2] = 65535
+    img[2, 3] = 32768  # mid-scale sample next to extremes
+    for p in range(1, 8):
+        dec, _ = decode_lossless_arith_jpeg(
+            encode_lossless_arith_jpeg(img, predictor=p)
+        )
+        assert np.array_equal(dec, img), f"predictor {p}"
+
+
+def test_lossless_arith_jpeg_rejects_bad_input():
+    import numpy as np
+    import pytest
+
+    from hw_kafka_streams_spark.operators.jpegcodec import (
+        decode_baseline_jpeg,
+        decode_lossless_arith_jpeg,
+        encode_lossless_arith_jpeg,
+    )
+
+    img = np.arange(12, dtype=np.uint16).reshape(3, 4)
+    with pytest.raises(ValueError):
+        encode_lossless_arith_jpeg(img, predictor=0)
+    with pytest.raises(ValueError):
+        encode_lossless_arith_jpeg(
+            np.full((2, 2), 300, np.uint16), precision=8
+        )
+    # the baseline decoder must point SOF11 callers at the right API
+    enc = encode_lossless_arith_jpeg(img, precision=12)
+    with pytest.raises(NotImplementedError):
+        decode_baseline_jpeg(enc)
+    # a truncated stream must raise, not return wrong pixels: with the
+    # entropy segment cut short the QM decoder pads with termination
+    # bytes and the decoded plane overflows the declared precision
+    big = np.full((24, 24), 4000, np.uint16)
+    big[::2, ::2] = 95
+    enc2 = encode_lossless_arith_jpeg(big, precision=12)
+    with pytest.raises(ValueError):
+        decode_lossless_arith_jpeg(enc2[: len(enc2) // 2])
+
+
 @settings(max_examples=25, deadline=None)
 @given(
     st.integers(min_value=1, max_value=700),
