@@ -33,10 +33,12 @@ progressive ARITHMETIC (SOF10 — the Annex G scan scripts QM-coded,
 encode via encode_progressive_arith_jpeg); AND lossless ARITHMETIC
 (SOF11, Annex H.2 — the H.1 predictors QM-coded under 25 (Da, Db)
 two-dimensional conditioning contexts, encode/decode via
-encode/decode_lossless_arith_jpeg). Hierarchical and differential
-modes raise NotImplementedError — this is the dependency-free
-exact-spec path that upgrades JPEG from header-only metadata to real
-pixel decode.
+encode/decode_lossless_arith_jpeg); AND HIERARCHICAL (Annex J — DHP /
+EXP / SOF3 base + SOF7 differential-lossless pyramid, encode/decode
+via encode/decode_hierarchical_jpeg). Differential DCT and
+differential arithmetic frames raise NotImplementedError — this is
+the dependency-free exact-spec path that upgrades JPEG from
+header-only metadata to real pixel decode.
 
 Determinism contract (what makes the Spark queries oracle-able): every
 rounding site is ``floor(x + 0.5)`` (never banker's rounding), the
@@ -366,10 +368,16 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
                 "decode_lossless_arith_jpeg, which returns "
                 "(plane, precision)"
             )
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC7, 0xDE):
             raise NotImplementedError(
-                "differential/hierarchical JPEG (baseline, progressive, "
-                "lossless, and all three arithmetic processes supported)"
+                "hierarchical JPEG — use decode_hierarchical_jpeg, "
+                "which returns (plane, precision)"
+            )
+        elif marker in (0xC5, 0xC6, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "differential DCT / differential arithmetic frames "
+                "(all non-differential T.81 processes plus the lossless "
+                "hierarchical pyramid supported)"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
             p = 0
@@ -1341,6 +1349,11 @@ def decode_lossless_jpeg(data: bytes) -> tuple[np.ndarray, int]:
                 if tc == 0:
                     huff[th] = _HuffDecoder(bits, vals)
                 p += 17 + n
+        elif marker == 0xDE:  # DHP: this is a hierarchical stream
+            raise NotImplementedError(
+                "hierarchical JPEG — use decode_hierarchical_jpeg "
+                "(decoding only the base frame would be silently wrong)"
+            )
         elif marker == 0xC3:  # SOF3
             precision = seg[0]
             h, w = struct.unpack(">HH", seg[1:5])
@@ -2318,3 +2331,250 @@ def decode_lossless_arith_jpeg(data: bytes) -> tuple[np.ndarray, int]:
             return px.astype(dtype), precision
         pos += seglen
     raise ValueError("corrupt JPEG: no SOS marker")
+
+# ------------------------------------------ hierarchical (Annex J)
+# ITU T.81 Annex J: multi-frame pyramid coding. DHP (0xDE, frame-header
+# syntax) declares the final dims; a non-differential frame codes the
+# coarsest scale; each EXP (0xDF) upsamples the reference 2x per the
+# J.1.1.2 bilinear filter (P(2x)=R(x), P(2x+1)=(R(x)+R(x+1)+1)>>1,
+# edge-replicated, cropped to the next frame's dims); each
+# differential frame (SOF7: differential lossless) codes the mod-2^16
+# residual of its scale against the upsampled reference. With a
+# lossless base frame the whole pyramid is bit-exact, which is what
+# makes q_multimodal_jpeg_hier SQL-oracle-able. Differential DCT
+# (SOF5/6) and differential arithmetic (SOF13-15) frames raise —
+# a lossy or QM-coded differential stage is a documented honest gate.
+
+
+def _expand_ref(
+    ref: np.ndarray, eh: int, ev: int, out_h: int, out_w: int
+) -> np.ndarray:
+    """EXP reference upsampling (T.81 J.1.1.2), cropped to the next
+    frame's dims; an axis without expansion must already match."""
+    out = ref.astype(np.int64)
+    if eh:
+        h, w = out.shape
+        wide = np.zeros((h, 2 * w), np.int64)
+        wide[:, 0::2] = out
+        nxt = np.concatenate([out[:, 1:], out[:, -1:]], axis=1)
+        wide[:, 1::2] = (out + nxt + 1) >> 1
+        out = wide[:, :out_w]
+    if ev:
+        h, w = out.shape
+        tall = np.zeros((2 * h, w), np.int64)
+        tall[0::2] = out
+        nxt = np.concatenate([out[1:], out[-1:]], axis=0)
+        tall[1::2] = (out + nxt + 1) >> 1
+        out = tall[:out_h]
+    if out.shape != (out_h, out_w):
+        raise ValueError(
+            f"EXP produced {out.shape}, next frame is {(out_h, out_w)}"
+        )
+    return out
+
+
+def _write_ll_diff(bw, codes, d: int) -> None:
+    """One mod-2^16 difference through the H.1 category + extend-bits
+    path (category 16 carries no extra bits)."""
+    if d > 32768:
+        d -= 65536
+    if d == 32768:
+        code, size = codes[16]
+        bw.write(code, size)
+        return
+    s = _csize(d)
+    code, size = codes[s]
+    bw.write(code, size)
+    if s:
+        bw.write(d if d >= 0 else d + (1 << s) - 1, s)
+
+
+def encode_hierarchical_jpeg(
+    img: np.ndarray,
+    levels: int = 3,
+    predictor: int = 4,
+    precision: int | None = None,
+) -> bytes:
+    """Encode a 2-D grayscale array as a REAL hierarchical JPEG
+    (T.81 Annex J): DHP, a lossless SOF3 base frame at 1/2^(levels-1)
+    scale (decimation downsampling — the downsampling filter is the
+    encoder's choice per J.1.1.1), then per level an EXP marker and a
+    differential-lossless SOF7 frame. Bit-exact end to end."""
+    if img.ndim != 2:
+        raise ValueError("encode_hierarchical_jpeg expects a 2-D array")
+    if levels < 2:
+        raise ValueError("hierarchical coding needs levels >= 2")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"predictor must be 1-7, got {predictor}")
+    if precision is None:
+        precision = 8 if img.dtype == np.uint8 else 16
+    if not 2 <= precision <= 16:
+        raise ValueError("precision must be 2-16")
+    px = img.astype(np.int64)
+    if px.min() < 0 or px.max() >= (1 << precision):
+        raise ValueError(f"sample out of range for {precision}-bit")
+    h, w = px.shape
+    pyramid = [px]
+    for _ in range(levels - 1):
+        pyramid.append(pyramid[-1][::2, ::2])
+    pyramid.reverse()  # coarsest first
+    default = 1 << (precision - 1)
+    codes = _build_codes(_LL_BITS, _LL_VALS)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker]))
+        out.extend(struct.pack(">H", len(payload) + 2))
+        out.extend(payload)
+
+    # DHT once — tables persist across the image's frames (B.2.4.2)
+    seg(0xC4, bytes([0x00]) + bytes(_LL_BITS) + bytes(_LL_VALS))
+    # DHP: frame-header syntax carrying the FINAL dims (B.3.2)
+    seg(0xDE, struct.pack(">BHHB", precision, h, w, 1) + bytes([1, 0x11, 0]))
+
+    base = pyramid[0]
+    seg(
+        0xC3,
+        struct.pack(">BHHB", precision, base.shape[0], base.shape[1], 1)
+        + bytes([1, 0x11, 0]),
+    )
+    seg(0xDA, bytes([1, 1, 0x00, predictor, 0, 0x00]))
+    bw = _BitWriter()
+    for r in range(base.shape[0]):
+        for cpos in range(base.shape[1]):
+            pred = _ll_predict(r, cpos, base, predictor, default)
+            _write_ll_diff(bw, codes, (int(base[r, cpos]) - pred) & 0xFFFF)
+    bw.flush()
+    out += bw.bytes
+
+    ref = base
+    for lvl in range(1, levels):
+        cur = pyramid[lvl]
+        ch, cw = cur.shape
+        seg(0xDF, bytes([0x11]))  # EXP: expand both axes
+        ref = _expand_ref(ref, 1, 1, ch, cw)
+        seg(
+            0xC7,
+            struct.pack(">BHHB", precision, ch, cw, 1) + bytes([1, 0x11, 0]),
+        )
+        seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))  # Ss=0: no predictor
+        bw = _BitWriter()
+        for d in ((cur - ref) & 0xFFFF).flatten():
+            _write_ll_diff(bw, codes, int(d))
+        bw.flush()
+        out += bw.bytes
+        ref = cur
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def decode_hierarchical_jpeg(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode a single-component hierarchical JPEG (DHP + SOF3 base +
+    EXP/SOF7 differential-lossless refinements). Returns
+    ``(plane, precision)``. Differential DCT and arithmetic frames
+    raise NotImplementedError."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    huff: dict[int, _HuffDecoder] = {}
+    dhp = None
+    pending_exp = None
+    ref = None
+    frame = None
+    precision = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("corrupt JPEG: expected marker")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + n])
+                if tc == 0:
+                    huff[th] = _HuffDecoder(bits, vals)
+                p += 17 + n
+        elif marker == 0xDE:  # DHP
+            dh, dw = struct.unpack(">HH", seg[1:5])
+            dhp = (seg[0], dh, dw)
+        elif marker == 0xDF:  # EXP
+            pending_exp = (seg[0] >> 4, seg[0] & 0xF)
+        elif marker in (0xC3, 0xC7):  # lossless / differential lossless
+            precision = seg[0]
+            fh, fw = struct.unpack(">HH", seg[1:5])
+            if seg[5] != 1:
+                raise NotImplementedError(
+                    "multi-component hierarchical scans unsupported"
+                )
+            frame = (marker == 0xC7, fh, fw)
+        elif marker in (0xC5, 0xC6, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "differential DCT / differential arithmetic hierarchical "
+                "frames (lossless pyramid supported)"
+            )
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("corrupt JPEG: SOS before a frame header")
+            differential, fh, fw = frame
+            ns = seg[0]
+            table = seg[2] >> 4
+            ss = seg[1 + 2 * ns]
+            pt = seg[3 + 2 * ns] & 0xF
+            if pt != 0:
+                raise NotImplementedError("point transform unsupported")
+            dec = huff[table]
+            br = _BitReader(data, pos + seglen)
+            vals = np.zeros(fh * fw, np.int64)
+            for i in range(fh * fw):
+                s = dec.decode(br)
+                vals[i] = 32768 if s == 16 else _extend(br.receive(s), s)
+            if differential:
+                if ref is None:
+                    raise ValueError(
+                        "corrupt JPEG: differential frame without reference"
+                    )
+                if pending_exp is not None:
+                    ref = _expand_ref(
+                        ref, pending_exp[0], pending_exp[1], fh, fw
+                    )
+                    pending_exp = None
+                if ref.shape != (fh, fw):
+                    raise ValueError(
+                        "corrupt JPEG: reference/frame dimension mismatch"
+                    )
+                ref = (ref + vals.reshape(fh, fw)) & 0xFFFF
+            else:
+                if not 1 <= ss <= 7:
+                    raise ValueError(f"bad predictor selector {ss}")
+                default = 1 << (precision - 1)
+                px = np.zeros((fh, fw), np.int64)
+                diffs = vals.reshape(fh, fw)
+                for r in range(fh):
+                    for cpos in range(fw):
+                        pred = _ll_predict(r, cpos, px, ss, default)
+                        px[r, cpos] = (pred + int(diffs[r, cpos])) & 0xFFFF
+                ref = px
+                pending_exp = None
+            pos = _next_marker(data, br.pos)
+            continue
+        pos += seglen
+    if ref is None or precision is None:
+        raise ValueError("corrupt JPEG: no frame decoded")
+    if dhp is not None and (
+        ref.shape != (dhp[1], dhp[2]) or dhp[0] != precision
+    ):
+        raise ValueError("corrupt JPEG: final frame disagrees with DHP")
+    if ref.max() >= (1 << precision):
+        raise ValueError("decoded sample exceeds declared precision")
+    dtype = np.uint8 if precision <= 8 else np.uint16
+    return ref.astype(dtype), precision

@@ -1601,6 +1601,85 @@ def lossless_arith_jpeg_stats(
     )
 
 
+def synthesize_hier_jpeg_payloads(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """One REAL hierarchical JPEG (T.81 Annex J) per row: doc i
+    carries a (17 + (i%5)*4) x (21 + (i%3)*8) gray plane — odd dims on
+    purpose, so every EXP upsample hits the crop/edge-replication path
+    — 16-bit when i%4==0 and 8-bit otherwise, with
+    pixel(r, c) = (911*i + 43*r + 89*c) mod 2^P, coded as a
+    2 + (i%3)-level pyramid (SOF3 base + EXP + SOF7 differential
+    refinements) with base predictor 1 + (i%7)."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.jpegcodec import (
+        encode_hierarchical_jpeg,
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                h = 17 + (i % 5) * 4
+                w = 21 + (i % 3) * 8
+                prec = 16 if i % 4 == 0 else 8
+                r = np.arange(h, dtype=np.int64)[:, None]
+                c = np.arange(w, dtype=np.int64)[None, :]
+                img = ((911 * i + 43 * r + 89 * c) % (1 << prec)).astype(
+                    np.uint16 if prec == 16 else np.uint8
+                )
+                payloads.append(
+                    encode_hierarchical_jpeg(
+                        img,
+                        levels=2 + i % 3,
+                        predictor=1 + i % 7,
+                        precision=prec,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+
+
+def hier_jpeg_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Exact integer pixel stats over REAL decoded hierarchical JPEGs
+    (DHP/EXP/SOF7 pyramid): dims, precision, sum and sum-of-squares —
+    predictable from the synthesis formula because the lossless
+    pyramid is bit-exact."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.jpegcodec import (
+        decode_hierarchical_jpeg,
+    )
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, data in zip(pdf["doc_id"], pdf[payload_col]):
+                px, prec = decode_hierarchical_jpeg(bytes(data))
+                v = px.astype(np.int64)
+                out.append(
+                    (doc_id, px.shape[0], px.shape[1], prec,
+                     int(v.sum()), int((v * v).sum()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "height", "width", "precision",
+                         "sum_v", "sum_sq"],
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        work,
+        schema="doc_id long, height int, width int, precision int, "
+        "sum_v long, sum_sq long",
+    )
+
+
 def synthesize_jls_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """One REAL JPEG-LS (ITU T.87) stream per row. Doc i carries a
     (16 + (i%5)*4) x (24 + (i%3)*8) gray plane, 16-bit when i%4==0 and

@@ -2976,8 +2976,10 @@ def q_label_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the oracle replays integer RGB->YCbCr, the quantized-DC "
     "roundtrip floor(8(v-128)/Q+0.5)*Q/8, and the float inverse "
     "transform with rounding pinned to floor(x+0.5) on both engines. "
-    "Progressive/subsampled streams stay honestly stubbed inside the "
-    "codec.",
+    "The codec also covers progressive, subsampled, arithmetic, "
+    "lossless and hierarchical streams (q_multimodal_jpeg_blocks/"
+    "_arith/_lossless/_la/_hier); only differential DCT frames stay "
+    "honestly gated.",
 )
 def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hw_kafka_streams_spark.operators.multimodal import (
@@ -3918,9 +3920,9 @@ def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(sum, sum of squares) are predictable from the synthesis "
     "formula. Closes the lossless-JPEG slot of the codec story "
     "(baseline and progressive DCT modes landed earlier; the "
-    "arithmetic-coded twin is q_multimodal_jpeg_la, leaving "
-    "hierarchical mode the one honest stub). Arrow-batched "
-    "mapInPandas; per-file decode never crosses executors.",
+    "arithmetic-coded twin is q_multimodal_jpeg_la, the multi-frame "
+    "pyramid q_multimodal_jpeg_hier). Arrow-batched mapInPandas; "
+    "per-file decode never crosses executors.",
 )
 def q_multimodal_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hw_kafka_streams_spark.operators.multimodal import (
@@ -3982,6 +3984,59 @@ def q_multimodal_jpeg_la(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 150)
     return lossless_arith_jpeg_stats(
         synthesize_lossless_arith_jpeg_payloads(docs)
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_multimodal_jpeg_hier",
+    oracle="""
+        WITH base AS (
+          SELECT doc_id,
+                 CAST(17 + (doc_id % 5) * 4 AS INT) AS h,
+                 CAST(21 + (doc_id % 3) * 8 AS INT) AS w,
+                 CAST(CASE WHEN doc_id % 4 = 0 THEN 16 ELSE 8 END AS INT)
+                   AS prec
+          FROM documents WHERE doc_id < 150
+        ), rows_ AS (
+          SELECT doc_id, h, w, prec, unnest(range(h)) AS r FROM base
+        ), px AS (
+          SELECT doc_id, h, w, prec,
+                 (911 * doc_id + 43 * r + 89 * c) % (1 << prec) AS v
+          FROM (SELECT doc_id, h, w, prec, r, unnest(range(w)) AS c
+                FROM rows_)
+        )
+        SELECT doc_id, CAST(max(h) AS INT) AS height,
+               CAST(max(w) AS INT) AS width,
+               CAST(max(prec) AS INT) AS precision,
+               CAST(sum(v) AS BIGINT) AS sum_v,
+               CAST(sum(v * v) AS BIGINT) AS sum_sq
+        FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="REAL HIERARCHICAL JPEG decode (operators/jpegcodec.py, ITU "
+    "T.81 Annex J): per-doc odd-dimension gray gradients (8- and "
+    "16-bit, 2-4 pyramid levels, base predictor cycling 1-7) are "
+    "genuinely coded as DHP + a lossless SOF3 base frame at the "
+    "coarsest scale + per level an EXP reference upsample (the "
+    "J.1.1.2 bilinear filter with edge replication and crop — odd "
+    "dims exercise it every level) and a differential-lossless SOF7 "
+    "frame carrying the mod-2^16 residual, then fully decoded by "
+    "walking the multi-frame stream. A lossless pyramid is bit-exact, "
+    "so integer pixel moments are predictable from the synthesis "
+    "formula and the oracle replays it in SQL. This closes the "
+    "hierarchical slot of the codec story (differential DCT / "
+    "differential arithmetic frames stay honestly gated). "
+    "Arrow-batched mapInPandas; per-file decode never crosses "
+    "executors.",
+)
+def q_multimodal_jpeg_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.multimodal import (
+        hier_jpeg_stats,
+        synthesize_hier_jpeg_payloads,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 150)
+    return hier_jpeg_stats(
+        synthesize_hier_jpeg_payloads(docs)
     ).orderBy("doc_id")
 
 

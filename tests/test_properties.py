@@ -869,6 +869,99 @@ def test_lossless_arith_jpeg_rejects_bad_input():
         decode_lossless_arith_jpeg(enc2[: len(enc2) // 2])
 
 
+# --------------------------------------- hierarchical JPEG (Annex J)
+# T.81 hierarchical pyramid (operators/jpegcodec.py): SOF3 base frame
+# + EXP bilinear reference upsampling + SOF7 differential-lossless
+# refinements — bit-exact round-trip at any dims (odd dims exercise
+# the EXP crop/edge-replication path) and pyramid depth.
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=44),
+    st.integers(min_value=1, max_value=44),
+    st.integers(min_value=2, max_value=4),
+    st.integers(min_value=1, max_value=7),
+    st.sampled_from([2, 8, 12, 16]),
+    st.randoms(use_true_random=False),
+)
+def test_hierarchical_jpeg_roundtrip(h, w, levels, predictor, precision,
+                                     rnd):
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.jpegcodec import (
+        decode_hierarchical_jpeg,
+        encode_hierarchical_jpeg,
+    )
+
+    lim = 1 << precision
+    img = np.array(
+        [[rnd.randrange(lim) for _ in range(w)] for _ in range(h)],
+        np.uint16 if precision > 8 else np.uint8,
+    )
+    dec, prec = decode_hierarchical_jpeg(
+        encode_hierarchical_jpeg(
+            img, levels=levels, predictor=predictor, precision=precision
+        )
+    )
+    assert prec == precision
+    assert dec.shape == (h, w)
+    assert np.array_equal(dec.astype(np.int64), img.astype(np.int64))
+
+
+def test_hierarchical_jpeg_stream_structure_and_extremes():
+    """The stream must genuinely carry the multi-frame pyramid (DHP,
+    one SOF3, EXP + SOF7 per refinement level) and survive ±32768-class
+    residuals in the differential frames."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.jpegcodec import (
+        decode_hierarchical_jpeg,
+        encode_hierarchical_jpeg,
+    )
+
+    img = np.zeros((7, 13), np.uint16)
+    img[:, 1::2] = 65535  # alternating extremes at full scale only
+    enc = encode_hierarchical_jpeg(img, levels=3)
+    assert enc.count(b"\xff\xde") == 1  # DHP
+    assert enc.count(b"\xff\xc3") == 1  # one lossless base frame
+    assert enc.count(b"\xff\xdf") == 2  # EXP per refinement level
+    assert enc.count(b"\xff\xc7") == 2  # differential frames
+    dec, prec = decode_hierarchical_jpeg(enc)
+    assert prec == 16
+    assert np.array_equal(dec, img)
+
+
+def test_hierarchical_jpeg_rejects_bad_input():
+    import numpy as np
+    import pytest
+
+    from hw_kafka_streams_spark.operators.jpegcodec import (
+        decode_baseline_jpeg,
+        decode_hierarchical_jpeg,
+        decode_lossless_jpeg,
+        encode_hierarchical_jpeg,
+    )
+
+    img = np.arange(20, dtype=np.uint8).reshape(4, 5)
+    with pytest.raises(ValueError):
+        encode_hierarchical_jpeg(img, levels=1)
+    with pytest.raises(ValueError):
+        encode_hierarchical_jpeg(img, predictor=0)
+    enc = encode_hierarchical_jpeg(img, levels=2)
+    # single-frame decoders must point hierarchical callers here
+    # rather than silently returning only the coarse base frame
+    with pytest.raises(NotImplementedError):
+        decode_baseline_jpeg(enc)
+    with pytest.raises(NotImplementedError):
+        decode_lossless_jpeg(enc)
+    # corrupt entropy data must raise, not return wrong pixels
+    corrupt = bytearray(enc)
+    corrupt[-4] ^= 0x55
+    with pytest.raises(ValueError):
+        decode_hierarchical_jpeg(bytes(corrupt))
+
+
 @settings(max_examples=25, deadline=None)
 @given(
     st.integers(min_value=1, max_value=700),
