@@ -553,6 +553,118 @@ def bigram_backoff_scores(
     )
 
 
+def kneser_ney_scores(
+    df: DataFrame,
+    model_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document interpolated Kneser-Ney bigram LM score (Kneser &
+    Ney 1995; Chen & Goodman 1999's interpolated variant) — the
+    smoothing KenLM ships and CCNet-style perplexity filters actually
+    use. Where stupid backoff falls back to RAW unigram frequency,
+    KN backs off to the CONTINUATION probability — how many distinct
+    contexts a word completes — which stops high-frequency but
+    context-bound words ("Francisco") from inflating unseen-bigram
+    scores:
+
+        p(w2|w1) = (c2(w1,w2) − D)/ctx(w1) + λ(w1)·p_cont(w2)
+        λ(w1)    = D · N1+(w1,·) / ctx(w1)
+        p_cont(w2) = N1+(·,w2) / B
+
+    with D = 0.75 (the Chen-Goodman fixed discount), c2/ctx exact
+    bigram/context counts, N1+(w1,·) the distinct-successor count,
+    N1+(·,w2) the distinct-predecessor count, and B the number of
+    distinct bigram types. c2 ≥ 1 on seen bigrams and D < 1, so the
+    max(·,0) clamp in the textbook formula never binds. Held-out
+    deviations (documented, both engines identical): an unseen w2
+    takes the continuation floor p_cont = 0.5/B, and an unseen
+    CONTEXT w1 (ctx = 0, λ undefined) backs off fully to p_cont(w2).
+    Train on ``model_df`` (default: ``df`` itself); pass a held-out
+    corpus for the realistic quality-filter shape.
+
+    Per doc: ``n_bigrams``, ``n_unseen`` (occurrences whose bigram was
+    not in the model — the interpolation-only mass), ``avg_ln_p``
+    (tf-weighted mean ln p, DECIMAL(18,6)-summed so reducer order
+    cannot drift the hash). Docs with < 2 tokens are excluded.
+
+    Scale shape: one tokenize+explode over each corpus; ctx and the
+    distinct-successor count come from ONE groupBy over the c2 table
+    (no second corpus pass), p_cont from a w2-keyed groupBy of the
+    same table; scoring is LEFT joins keyed (w1,w2), (w1), (w2) — all
+    partial-agged and shard-joinable at crawl scale; B is a broadcast
+    1-row scalar. No windows, no skew-prone keys beyond the Zipfian
+    w1/w2 equi-joins AQE already splits.
+    """
+    model_df = df if model_df is None else model_df
+    tfb = (
+        df.select(
+            F.col(id_col).alias("id"),
+            word_tokens(F.lower(F.col(text_col))).alias("toks"),
+        )
+        .select("id", F.explode(_adjacent_pairs(F.col("toks"))).alias("p"))
+        .select("id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    c2 = (
+        model_df.select(word_tokens(F.lower(F.col(text_col))).alias("toks"))
+        .select(F.explode(_adjacent_pairs(F.col("toks"))).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    # ctx(w1) and N1+(w1,·) from ONE pass over the (already tiny
+    # vocabulary-sized) bigram-type table; same for the continuation
+    # counts — the corpus-sized explode runs exactly once.
+    ctxn1 = c2.groupBy("w1").agg(
+        F.sum("c2").alias("ctx"), F.count(F.lit(1)).alias("n1fwd")
+    )
+    cont = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("ncont"))
+    btot = c2.agg(F.count(F.lit(1)).alias("b_types"))
+    d = F.lit(float(discount))
+    pcont = (
+        F.coalesce(F.col("ncont").cast("double"), F.lit(0.5))
+        / F.col("b_types")
+    )
+    seen = F.col("c2").isNotNull()
+    known_ctx = F.col("ctx").isNotNull()
+    lam = d * F.col("n1fwd") / F.col("ctx")
+    p = (
+        F.when(
+            seen,
+            (F.col("c2") - d) / F.col("ctx") + lam * pcont,
+        )
+        .when(known_ctx, lam * pcont)
+        .otherwise(pcont)
+    )
+    contrib = (
+        tfb.join(c2, ["w1", "w2"], "left")
+        .join(ctxn1, "w1", "left")
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "id",
+            "tf",
+            F.when(seen, F.lit(0)).otherwise(F.col("tf")).alias("uns"),
+            (F.col("tf") * F.round(F.log(p), 6).cast("decimal(18,6)")).alias(
+                "s"
+            ),
+        )
+    )
+    return (
+        contrib.groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.sum("uns").alias("n_unseen"),
+            F.round(F.sum("s").cast("double") / F.sum("tf"), 6).alias(
+                "avg_ln_p"
+            ),
+        )
+        .select(F.col("id").alias(id_col), "n_bigrams", "n_unseen", "avg_ln_p")
+    )
+
+
 def char_entropy_scores(
     df: DataFrame,
     text_col: str = "text",

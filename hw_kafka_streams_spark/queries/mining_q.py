@@ -1297,6 +1297,83 @@ def q_bigram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_kn_lm_score",
+    oracle=r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                             t -> t <> '') AS t
+          FROM documents
+        ), strain AS (
+          SELECT * FROM toks WHERE doc_id % 2 = 0
+        ), sscore AS (
+          SELECT * FROM toks WHERE doc_id % 2 = 1
+        ), tfb AS (
+          SELECT doc_id, w1, w2, count(*) AS tf FROM (
+            SELECT doc_id,
+                   unnest([struct_pack(w1 := t[i], w2 := t[i+1])
+                           FOR i IN range(1, len(t))], recursive := true)
+            FROM sscore
+          ) GROUP BY 1, 2, 3
+        ), c2 AS (
+          SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM (
+            SELECT unnest([struct_pack(w1 := t[i], w2 := t[i+1])
+                           FOR i IN range(1, len(t))], recursive := true)
+            FROM strain
+          ) GROUP BY 1, 2
+        ), ctxn1 AS (
+          SELECT w1, CAST(sum(c2) AS BIGINT) AS ctx,
+                 CAST(count(*) AS BIGINT) AS n1fwd
+          FROM c2 GROUP BY 1
+        ), cont AS (
+          SELECT w2 AS w2c, CAST(count(*) AS BIGINT) AS ncont
+          FROM c2 GROUP BY 1
+        ), btot AS (
+          SELECT CAST(count(*) AS BIGINT) AS b_types FROM c2
+        ), contrib AS (
+          SELECT tfb.doc_id, tfb.tf,
+                 CASE WHEN c2.c2 IS NOT NULL THEN 0 ELSE tfb.tf END AS uns,
+                 tfb.tf * CAST(round(ln(
+                   CASE WHEN c2.c2 IS NOT NULL
+                        THEN (c2.c2 - 0.75) / ctxn1.ctx
+                             + (0.75 * ctxn1.n1fwd / ctxn1.ctx)
+                               * (coalesce(CAST(cont.ncont AS DOUBLE), 0.5)
+                                  / btot.b_types)
+                        WHEN ctxn1.ctx IS NOT NULL
+                        THEN (0.75 * ctxn1.n1fwd / ctxn1.ctx)
+                             * (coalesce(CAST(cont.ncont AS DOUBLE), 0.5)
+                                / btot.b_types)
+                        ELSE coalesce(CAST(cont.ncont AS DOUBLE), 0.5)
+                             / btot.b_types END), 6) AS DECIMAL(18,6)) AS s
+          FROM tfb LEFT JOIN c2 USING (w1, w2)
+                   LEFT JOIN ctxn1 USING (w1)
+                   LEFT JOIN cont ON tfb.w2 = cont.w2c, btot
+        )
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+               CAST(sum(uns) AS BIGINT) AS n_unseen,
+               round(CAST(sum(s) AS DOUBLE) / sum(tf), 6) AS avg_ln_p
+        FROM contrib GROUP BY 1 ORDER BY 1
+    """,
+    doc="Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; Chen & "
+    "Goodman 1999's fixed-discount D=0.75 variant — the smoothing "
+    "KenLM ships) scoring held-out docs (odd doc_id) against a model "
+    "trained on the rest: p(w2|w1) = (c2-D)/ctx + D*N1+(w1,.)/ctx * "
+    "N1+(.,w2)/B. Backs off to CONTINUATION counts, not raw unigram "
+    "frequency — the 'Francisco' fix stupid backoff lacks. Unseen-w2 "
+    "continuation floor 0.5/B, unknown-context full backoff "
+    "(documented deviations, identical both engines). Exact integer "
+    "counts, ln terms DECIMAL(18,6)-summed; n_unseen counts the "
+    "interpolation-only occurrences (operators/text.py "
+    "kneser_ney_scores).",
+)
+def q_kn_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    train = docs.filter((F.col("doc_id") % 2) == 0)
+    held_out = docs.filter((F.col("doc_id") % 2) == 1)
+    return T.kneser_ney_scores(held_out, model_df=train).orderBy("doc_id")
+
+
+@register(
     "q_countmin_freq",
     oracle=r"""
         WITH words AS (

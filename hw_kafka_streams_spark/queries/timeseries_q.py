@@ -1648,6 +1648,129 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_pacf",
+    oracle="""
+        WITH series AS (
+          SELECT event_type,
+                 CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+                 CAST(count(*) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2
+        ),
+        mu AS (
+          SELECT event_type, CAST(sum(x) AS BIGINT) AS sx,
+                 count(*) AS n
+          FROM series GROUP BY 1
+        ),
+        lagged AS (
+          SELECT s.event_type, s.x,
+                 lag(s.x, 1) OVER w AS x1,
+                 lag(s.x, 2) OVER w AS x2,
+                 lag(s.x, 3) OVER w AS x3,
+                 mu.sx, mu.n
+          FROM series s JOIN mu USING (event_type)
+          WINDOW w AS (PARTITION BY s.event_type ORDER BY s.h)
+        ),
+        acf AS (
+          SELECT event_type, min(n) AS n_hours,
+                 round(CAST(sum(CAST(round(
+                     (x - CAST(sx AS DOUBLE) / n)
+                     * (x1 - CAST(sx AS DOUBLE) / n), 6) AS DECIMAL(18,6)))
+                   AS DOUBLE)
+                   / CAST(sum(CAST(round(
+                       (x - CAST(sx AS DOUBLE) / n)
+                       * (x - CAST(sx AS DOUBLE) / n), 6) AS DECIMAL(18,6)))
+                     AS DOUBLE), 9) AS r1,
+                 round(CAST(sum(CAST(round(
+                     (x - CAST(sx AS DOUBLE) / n)
+                     * (x2 - CAST(sx AS DOUBLE) / n), 6) AS DECIMAL(18,6)))
+                   AS DOUBLE)
+                   / CAST(sum(CAST(round(
+                       (x - CAST(sx AS DOUBLE) / n)
+                       * (x - CAST(sx AS DOUBLE) / n), 6) AS DECIMAL(18,6)))
+                     AS DOUBLE), 9) AS r2,
+                 round(CAST(sum(CAST(round(
+                     (x - CAST(sx AS DOUBLE) / n)
+                     * (x3 - CAST(sx AS DOUBLE) / n), 6) AS DECIMAL(18,6)))
+                   AS DOUBLE)
+                   / CAST(sum(CAST(round(
+                       (x - CAST(sx AS DOUBLE) / n)
+                       * (x - CAST(sx AS DOUBLE) / n), 6) AS DECIMAL(18,6)))
+                     AS DOUBLE), 9) AS r3
+          FROM lagged GROUP BY event_type
+        ),
+        dl AS (
+          SELECT event_type, n_hours, r1, r2, r3,
+                 round((r2 - r1 * r1) / (1 - r1 * r1), 9) AS p2
+          FROM acf
+        ),
+        dl2 AS (
+          SELECT *, round(r1 - p2 * r1, 9) AS phi21 FROM dl
+        )
+        SELECT event_type, n_hours,
+               round(r1, 4) AS pacf_1,
+               round(p2, 4) AS pacf_2,
+               round((r3 - phi21 * r2 - p2 * r1)
+                     / (1 - phi21 * r1 - p2 * r2), 4) AS pacf_3
+        FROM dl2 ORDER BY event_type
+    """,
+    doc="Partial autocorrelation (PACF) of the hourly event-count "
+    "series at lags 1-3 per event type, via the closed-form "
+    "Durbin-Levinson recursion on the sample ACF: phi11=r1, "
+    "phi22=(r2-r1^2)/(1-r1^2), phi33 from the level-2 coefficients — "
+    "the AR-order diagnostic beside q_acf's MA-side view. The heavy "
+    "part (hour-bucketed counts, one partitioned window pass, "
+    "DECIMAL-summed deviation products) is exactly q_acf's "
+    "domain-bounded shape; the recursion itself is a per-group scalar "
+    "epilogue with every intermediate rounded to 9 dp so both engines "
+    "walk identical doubles. Lag terms with no partner drop from the "
+    "numerators only (the sample-ACF convention).",
+)
+def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    series = e.groupBy(
+        "event_type",
+        (F.col("ts").cast("long") / 3600).cast("long").alias("h"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    mu = series.groupBy("event_type").agg(
+        F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = (
+        series.join(F.broadcast(mu), "event_type")
+        .withColumn("x1", F.lag("x", 1).over(w))
+        .withColumn("x2", F.lag("x", 2).over(w))
+        .withColumn("x3", F.lag("x", 3).over(w))
+    )
+    m = F.col("sx").cast("double") / F.col("n")
+    dev = F.col("x") - m
+
+    def dsum(expr):
+        return F.sum(F.round(expr, 6).cast("decimal(18,6)")).cast("double")
+
+    acf = lagged.groupBy("event_type").agg(
+        F.min("n").alias("n_hours"),
+        F.round(dsum(dev * (F.col("x1") - m)) / dsum(dev * dev), 9).alias("r1"),
+        F.round(dsum(dev * (F.col("x2") - m)) / dsum(dev * dev), 9).alias("r2"),
+        F.round(dsum(dev * (F.col("x3") - m)) / dsum(dev * dev), 9).alias("r3"),
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    dl = acf.withColumn(
+        "p2", F.round((r2 - r1 * r1) / (F.lit(1) - r1 * r1), 9)
+    )
+    dl2 = dl.withColumn("phi21", F.round(r1 - F.col("p2") * r1, 9))
+    p2, phi21 = F.col("p2"), F.col("phi21")
+    return dl2.select(
+        "event_type",
+        "n_hours",
+        F.round(r1, 4).alias("pacf_1"),
+        F.round(p2, 4).alias("pacf_2"),
+        F.round(
+            (r3 - phi21 * r2 - p2 * r1) / (F.lit(1) - phi21 * r1 - p2 * r2), 4
+        ).alias("pacf_3"),
+    ).orderBy("event_type")
+
+
+@register(
     "q_cusum_changepoint",
     oracle="""
         WITH series AS (

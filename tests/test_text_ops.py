@@ -228,3 +228,51 @@ def test_bigram_backoff_self_model_no_backoff(spark):
     )
     rows = bigram_backoff_scores(df).collect()
     assert all(r.n_backoff == 0 for r in rows)
+
+
+def test_kneser_ney_hand_computed(spark):
+    """Interpolated KN against a hand-built model: seen bigram gets
+    discounted MLE + lambda*p_cont, unseen-w2 gets the 0.5/B floor,
+    unknown CONTEXT backs off fully to the continuation unigram."""
+    import math
+
+    from hw_kafka_streams_spark.operators.text import kneser_ney_scores
+
+    train = spark.createDataFrame(
+        [(100, "a b a c")], "doc_id long, text string"
+    )
+    # model: c2={ab:1,ba:1,ac:1}; ctx={a:2,b:1}; N1+fwd={a:2,b:1};
+    # N1+cont={a:1,b:1,c:1}; B=3
+    score = spark.createDataFrame(
+        [(1, "a b d"), (3, "d a"), (7, "a c")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in kneser_ney_scores(score, model_df=train).collect()
+    }
+    r1 = out[1]
+    # (a,b) seen: (1-.75)/2 + .75*2/2 * 1/3 = 0.375
+    # (b,d) unseen w2: lambda(b)*floor = .75*1/1 * (0.5/3) = 0.125
+    assert r1.n_bigrams == 2 and r1.n_unseen == 1
+    exp1 = (round(math.log(0.375), 6) + round(math.log(0.125), 6)) / 2
+    assert abs(r1.avg_ln_p - exp1) < 1e-6
+    r3 = out[3]  # (d,a): unknown context d -> p_cont(a) = 1/3
+    assert r3.n_bigrams == 1 and r3.n_unseen == 1
+    assert abs(r3.avg_ln_p - round(math.log(1.0 / 3.0), 6)) < 1e-9
+    r7 = out[7]  # (a,c) seen: (1-.75)/2 + .75*2/2 * 1/3 = 0.375
+    assert r7.n_bigrams == 1 and r7.n_unseen == 0
+    assert abs(r7.avg_ln_p - round(math.log(0.375), 6)) < 1e-9
+
+
+def test_kneser_ney_self_model_all_seen(spark):
+    """Trained on itself, every bigram is seen and every p is a valid
+    probability-like score in (0, 1]: n_unseen == 0, avg_ln_p <= 0."""
+    from hw_kafka_streams_spark.operators.text import kneser_ney_scores
+
+    df = spark.createDataFrame(
+        [(1, "x y z x y"), (2, "y x z")], "doc_id long, text string"
+    )
+    rows = kneser_ney_scores(df).collect()
+    assert rows and all(r.n_unseen == 0 for r in rows)
+    assert all(r.avg_ln_p <= 0 for r in rows)
