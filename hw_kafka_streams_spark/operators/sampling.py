@@ -71,6 +71,33 @@ def stratified_sample(
     return df.sampleBy(strata_col, fractions, seed)
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    rate_bp: Column,
+    denom: int = 10_000,
+    seed: int = 42,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its stable
+    (key, stratum) hash bucket falls below the stratum's rate
+    (``rate_bp``, basis points of ``denom`` — a Column, so rates can
+    come from a config join or an expression over the stratum).
+
+    This is ``sampleBy`` without the RNG: re-runs, shard additions,
+    and cluster resizes keep EXACTLY the same rows (content-stable,
+    the property a 100 TB curriculum re-run needs), and with
+    ``hash_mode='md5'`` the decision is DuckDB-reproducible so the
+    sample itself can be value-hash oracled. Pure filter over the
+    scan — no shuffle, no state.
+    """
+    key = F.concat(
+        F.col(key_col).cast("string"), F.lit("|"), F.col(strata_col)
+    )
+    return df.filter(hash_bucket(key, denom, seed, hash_mode) < rate_bp)
+
+
 def reservoir_per_key(
     df: DataFrame, key_col: str, n: int, order_hint: str | None = None
 ) -> DataFrame:

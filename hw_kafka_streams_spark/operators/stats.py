@@ -1332,6 +1332,74 @@ def anova_f_oneway(
     )
 
 
+def brown_forsythe(
+    df: DataFrame, group_col: str, value_col: Column | str
+) -> DataFrame:
+    """Brown–Forsythe test (Levene's test on MEDIAN-centered absolute
+    deviations): does the value's SPREAD differ across groups? The
+    variance-homogeneity audit run before trusting
+    :func:`anova_f_oneway` (whose equal-variance assumption it
+    checks), robust to heavy tails because the center is the median.
+
+    W = one-way ANOVA F computed on z_ij = |v_ij − med_j|.
+
+    Exactness: group medians via Spark's exact interpolated
+    percentile (bit-matches DuckDB quantile_cont — the q_percentiles
+    precedent); each z is one scalar double rounded to 6 dp and
+    DECIMAL-summed (z², 6 dp, DECIMAL(28,6)) so reducer order cannot
+    drift the moments; the F ratio is a rounded scalar epilogue over
+    the k-row group table.
+
+    Scale shape: two group-keyed aggregations (median pass, moment
+    pass) reusing one partitioning plus a broadcast median join — no
+    sort beyond percentile's internal per-group one, no row window.
+    """
+    vraw = F.col(value_col) if isinstance(value_col, str) else value_col
+    base = df.filter(vraw.isNotNull() & F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("_g"), vraw.cast("double").alias("_v")
+    )
+    med = base.groupBy("_g").agg(
+        F.percentile("_v", F.lit(0.5)).alias("_med")
+    )
+    zr = F.abs(F.col("_v") - F.col("_med"))
+    per_g = (
+        base.join(F.broadcast(med), "_g")
+        .select(
+            "_g",
+            F.round(zr, 6).cast("decimal(18,6)").alias("_z"),
+            F.round(zr * zr, 6).cast("decimal(28,6)").alias("_z2"),
+        )
+        .groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_z").alias("_s"),
+            F.sum("_z2").alias("_q"),
+        )
+    )
+    m = per_g.agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.sum("_n").alias("_nt"),
+        F.sum("_s").alias("_st"),
+        F.sum("_q").alias("_qt"),
+        F.sum(
+            F.col("_s").cast("double")
+            * F.col("_s").cast("double")
+            / F.col("_n").cast("double")
+        ).alias("_sg2"),
+    )
+    k = F.col("_k").cast("double")
+    nt = F.col("_nt").cast("double")
+    st, qt = F.col("_st").cast("double"), F.col("_qt").cast("double")
+    ssb = F.col("_sg2") - st * st / nt
+    ssw = qt - F.col("_sg2")
+    w_stat = (ssb / (k - 1)) / (ssw / (nt - k))
+    return m.select(
+        F.col("_k").alias("k_groups"),
+        F.col("_nt").alias("n"),
+        F.round(w_stat, 6).alias("bf_stat"),
+    )
+
+
 def kruskal_wallis(
     df: DataFrame, group_col: str, value_col: Column | str
 ) -> DataFrame:

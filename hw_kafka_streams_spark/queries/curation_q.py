@@ -2677,3 +2677,321 @@ def q_epoch_repetition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_quantile_normalize",
+    oracle=r"""
+        WITH sc AS (
+          SELECT doc_id, source,
+                 CAST(len(list_filter(
+                     string_split_regex(trim(lower(text)), '\s+'),
+                     t -> t <> '')) AS BIGINT) AS sc
+          FROM documents
+        ), nsrc AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n FROM sc GROUP BY 1
+        ), ntot AS (
+          SELECT CAST(count(*) AS BIGINT) AS nt FROM sc
+        ), ssc AS (
+          SELECT source, sc, CAST(count(*) AS BIGINT) AS c,
+                 CAST(sum(count(*)) OVER (PARTITION BY source
+                                          ORDER BY sc) AS BIGINT) AS cum
+          FROM sc GROUP BY 1, 2
+        ), gsc AS (
+          SELECT sc AS gval, CAST(count(*) AS BIGINT) AS c,
+                 CAST(sum(count(*)) OVER (ORDER BY sc) AS BIGINT) AS cum
+          FROM sc GROUP BY 1
+        ), ranked AS (
+          SELECT d.doc_id, d.source, d.sc,
+                 s.cum - s.c
+                 + row_number() OVER (PARTITION BY d.source, d.sc
+                                      ORDER BY d.doc_id) AS rnk,
+                 n.n, t.nt
+          FROM sc d JOIN ssc s USING (source, sc)
+                    JOIN nsrc n USING (source), ntot t
+        ), pr AS (
+          SELECT doc_id, source, sc,
+                 CASE WHEN n > 1
+                      THEN CAST(rnk - 1 AS DOUBLE) / (n - 1)
+                      ELSE 0.0 END AS pr,
+                 nt
+          FROM ranked
+        )
+        SELECT p.doc_id, p.source, p.sc AS raw_tokens,
+               round(p.pr, 6) AS pct,
+               g.gval AS calibrated_tokens
+        FROM pr p JOIN gsc g
+          ON CAST(round(p.pr * (p.nt - 1), 0) AS BIGINT) + 1
+             BETWEEN g.cum - g.c + 1 AND g.cum
+        ORDER BY p.doc_id
+    """,
+    doc="Cross-source quantile normalization of a quality signal "
+    "(token count): each doc's within-source percentile maps to the "
+    "POOLED distribution's value at that rank, so a '90th-percentile "
+    "web doc' and a '90th-percentile wiki doc' land on the same "
+    "calibrated scale — the fix for per-source score-threshold drift "
+    "when mixing corpora. Scale shape: NO global row_number — both "
+    "the per-source and the global rank tables are cumulative counts "
+    "over DISTINCT scores (domain-bounded: scores are token counts, "
+    "bounded by max doc length), per-doc ranks come from a window "
+    "partitioned by (source, score) (tie-group-sized tasks), and the "
+    "rank->value lookup is a broadcast range join against the tiny "
+    "distinct-score table. Rank arithmetic is exact integers; the "
+    "percentile division is one scalar expression both engines "
+    "evaluate identically.",
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    sc = docs.select(
+        "doc_id",
+        "source",
+        F.size(word_tokens(F.lower(F.col("text")))).cast("long").alias("sc"),
+    )
+    nsrc = sc.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    ntot = sc.agg(F.count(F.lit(1)).alias("nt"))
+    ssc = (
+        sc.groupBy("source", "sc")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "cum",
+            F.sum("c").over(W.partitionBy("source").orderBy("sc")),
+        )
+    )
+    gsc = (
+        sc.groupBy("sc")
+        .agg(F.count(F.lit(1)).alias("gc"))
+        .withColumn(
+            "gcum",
+            F.sum("gc").over(
+                W.partitionBy(tiny_table_partition("sc")).orderBy("sc")
+            ),
+        )
+        .select(F.col("sc").alias("gval"), "gc", "gcum")
+    )
+    rnk = (
+        F.col("cum")
+        - F.col("c")
+        + F.row_number().over(
+            W.partitionBy("source", "sc").orderBy("doc_id")
+        ).cast("long")
+    )
+    ranked = (
+        sc.join(ssc, ["source", "sc"])
+        .join(F.broadcast(nsrc), "source")
+        .crossJoin(F.broadcast(ntot))
+        .select("doc_id", "source", "sc", rnk.alias("rnk"), "n", "nt")
+    )
+    pr = F.when(
+        F.col("n") > 1,
+        (F.col("rnk") - 1).cast("double") / (F.col("n") - 1),
+    ).otherwise(F.lit(0.0))
+    p = ranked.select("doc_id", "source", "sc", pr.alias("pr"), "nt")
+    k = F.round(F.col("pr") * (F.col("nt") - 1), 0).cast("long") + 1
+    return (
+        p.join(
+            F.broadcast(gsc),
+            (k >= F.col("gcum") - F.col("gc") + 1) & (k <= F.col("gcum")),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("sc").alias("raw_tokens"),
+            F.round(F.col("pr"), 6).alias("pct"),
+            F.col("gval").alias("calibrated_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_stratified_sample",
+    oracle="""
+        WITH rates AS (
+          SELECT source,
+                 1000 + 500 * (('0x' || substring(
+                     md5(source || ':rate'), 1, 15))::BIGINT % 8)
+                   AS rate_bp,
+                 CAST(count(*) AS BIGINT) AS n_total
+          FROM documents GROUP BY 1
+        ), kept AS (
+          SELECT d.source, count(*) AS n_kept
+          FROM documents d JOIN rates r USING (source)
+          WHERE ('0x' || substring(
+                  md5(d.doc_id::VARCHAR || '|' || d.source || ':42'),
+                  1, 15))::BIGINT % 10000 < r.rate_bp
+          GROUP BY 1
+        )
+        SELECT r.source, r.rate_bp, r.n_total,
+               CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+               round(CAST(coalesce(k.n_kept, 0) AS DOUBLE)
+                     / r.n_total, 4) AS kept_rate
+        FROM rates r LEFT JOIN kept k USING (source)
+        ORDER BY r.source
+    """,
+    doc="Deterministic stratified sampling audit: each source gets a "
+    "rate (10%-45%, itself hash-derived so the config is synthetic "
+    "but stable) and docs are kept by a content-stable (doc_id, "
+    "source) md5 bucket below that rate — sampleBy without the RNG: "
+    "re-runs, shard additions, and cluster resizes keep exactly the "
+    "same rows, and the whole decision is a pure filter over the "
+    "scan (no shuffle, no state). hash_mode='md5' gives it a "
+    "bit-exact DuckDB twin; the operator's scale default stays "
+    "xxhash64 (operators/sampling.py stratified_hash_sample).",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.dedup import md5h
+    from hw_kafka_streams_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    rate = (
+        F.lit(1000)
+        + F.lit(500)
+        * F.pmod(md5h(F.concat(F.col("source"), F.lit(":rate"))), F.lit(8))
+    ).alias("rate_bp")
+    totals = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    kept = (
+        stratified_hash_sample(
+            docs.withColumn("rate_bp", rate),
+            "source",
+            "doc_id",
+            F.col("rate_bp"),
+            hash_mode="md5",
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        totals.withColumn("rate_bp", rate)
+        .join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("rate_bp").cast("long").alias("rate_bp"),
+            "n_total",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.round(
+                F.coalesce(F.col("n_kept"), F.lit(0)).cast("double")
+                / F.col("n_total"),
+                4,
+            ).alias("kept_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q_source_dup_matrix",
+    oracle=r"""
+        WITH fp AS (
+          SELECT md5(substring(lower(trim(
+                   regexp_replace(text, '\s+', ' ', 'g'))), 1, 80)) AS fp,
+                 source
+          FROM documents
+        ), sfp AS (
+          SELECT fp, source, CAST(count(*) AS BIGINT) AS c
+          FROM fp GROUP BY 1, 2
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(count(*) AS BIGINT) AS n_shared_fps,
+               CAST(sum(a.c * b.c) AS BIGINT) AS n_doc_pairs
+        FROM sfp a JOIN sfp b
+          ON a.fp = b.fp AND a.source < b.source
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Cross-source duplication matrix: which corpus sources share "
+    "content, and how much — the overlap census run before setting "
+    "per-source mixture weights (double-counted content silently "
+    "upweights itself). Keyed on the HEAD fingerprint (md5 of the "
+    "first 80 normalized chars — shared lead paragraphs/boilerplate, "
+    "the common cross-source dup mode; full-content fps are "
+    "q_dedup_exact's job). Scale shape: one 16-byte-key shuffle to "
+    "(fp, source) counts, then a self-equi-join per fp whose fan-out "
+    "is bounded by the SOURCE count squared (never doc-squared), and "
+    "a pair-keyed agg over at most |sources|^2 rows.",
+)
+def q_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    fp = F.md5(
+        F.substring(
+            F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))),
+            1,
+            80,
+        )
+    )
+    sfp = docs.select(fp.alias("fp"), "source").groupBy("fp", "source").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    a = sfp.alias("a")
+    b = sfp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_fps"),
+            F.sum(F.col("a.c") * F.col("b.c")).alias("n_doc_pairs"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+@register(
+    "q_brown_forsythe",
+    oracle="""
+        WITH med AS (
+          SELECT lang AS g, quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med
+          FROM documents
+          WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+          GROUP BY 1
+        ), per_g AS (
+          SELECT d.lang AS g, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(round(abs(CAST(d.n_chars AS DOUBLE) - m.med), 6)
+                     AS DECIMAL(18,6))) AS s,
+                 sum(CAST(round(abs(CAST(d.n_chars AS DOUBLE) - m.med)
+                               * abs(CAST(d.n_chars AS DOUBLE) - m.med), 6)
+                     AS DECIMAL(28,6))) AS q
+          FROM documents d JOIN med m ON d.lang = m.g
+          WHERE d.n_chars IS NOT NULL
+          GROUP BY 1
+        ), m2 AS (
+          SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(n) AS BIGINT) AS nt,
+                 CAST(sum(s) AS DOUBLE) AS st,
+                 CAST(sum(q) AS DOUBLE) AS qt,
+                 sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                     / CAST(n AS DOUBLE)) AS sg2
+          FROM per_g
+        )
+        SELECT k AS k_groups, nt AS n,
+               round(((sg2 - st * st / CAST(nt AS DOUBLE))
+                      / (CAST(k AS DOUBLE) - 1))
+                     / ((qt - sg2) / (CAST(nt AS DOUBLE) - k)), 6)
+                   AS bf_stat
+        FROM m2
+    """,
+    doc="Brown-Forsythe test (Levene on median-centered absolute "
+    "deviations) of doc char length spread across languages — the "
+    "variance-homogeneity audit run before trusting q_anova_f's "
+    "equal-variance assumption; median centering keeps it valid "
+    "under the heavy-tailed length distributions real corpora have. "
+    "Medians via exact interpolated percentile (the q_percentiles "
+    "bit-match precedent), deviations 6dp-DECIMAL-summed, F ratio a "
+    "scalar epilogue over the k-row group table "
+    "(operators/stats.brown_forsythe).",
+)
+def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.stats import brown_forsythe
+
+    docs = load_table(spark, "documents", sf_dir)
+    return brown_forsythe(docs, "lang", "n_chars")

@@ -1771,6 +1771,115 @@ def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sax_symbols",
+    oracle="""
+        WITH series AS (
+          SELECT event_type,
+                 CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+                 CAST(count(*) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2
+        ),
+        mom AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(x * x) AS BIGINT) AS sx2
+          FROM series GROUP BY 1
+        ),
+        znorm AS (
+          SELECT s.event_type, m.n,
+                 CAST(row_number() OVER (PARTITION BY s.event_type
+                                         ORDER BY s.h) AS BIGINT) AS rn,
+                 round((s.x - CAST(m.sx AS DOUBLE) / m.n)
+                       / (CASE WHEN CAST(m.sx2 AS DOUBLE) / m.n
+                                    - (CAST(m.sx AS DOUBLE) / m.n)
+                                      * (CAST(m.sx AS DOUBLE) / m.n) > 0
+                               THEN sqrt(CAST(m.sx2 AS DOUBLE) / m.n
+                                         - (CAST(m.sx AS DOUBLE) / m.n)
+                                           * (CAST(m.sx AS DOUBLE) / m.n))
+                               ELSE 1.0 END), 6) AS z
+          FROM series s JOIN mom m USING (event_type)
+        ),
+        paa AS (
+          SELECT event_type, ((rn - 1) * 16) // n AS seg,
+                 round(CAST(sum(CAST(z AS DECIMAL(18,6))) AS DOUBLE)
+                       / count(*), 6) AS pv,
+                 min(n) AS n
+          FROM znorm GROUP BY 1, 2
+        )
+        SELECT event_type, min(n) AS n_hours,
+               string_agg(CASE WHEN pv < -0.6745 THEN 'a'
+                               WHEN pv < 0.0 THEN 'b'
+                               WHEN pv < 0.6745 THEN 'c'
+                               ELSE 'd' END, '' ORDER BY seg) AS sax_word
+        FROM paa GROUP BY event_type ORDER BY event_type
+    """,
+    doc="SAX symbolization (Lin et al. 2003) of the hourly event-count "
+    "series per event type: z-normalize (population moments from EXACT "
+    "integer sums, the cusum recipe — no Welford drift), Piecewise "
+    "Aggregate Approximation into 16 segments (integer-div bucketing, "
+    "DECIMAL-summed segment means), then map each PAA mean to a 4-"
+    "letter alphabet at the N(0,1) equiprobable breakpoints "
+    "(-0.6745, 0, 0.6745). The discretization behind motif/anomaly "
+    "mining over telemetry at scale: the series is domain-bounded "
+    "hour counts, the word is one ordered string_agg per type, and "
+    "the whole plan is two keyed aggs + one window — nothing "
+    "row-bounded leaves the executors.",
+)
+def q_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    series = e.groupBy(
+        "event_type",
+        (F.col("ts").cast("long") / 3600).cast("long").alias("h"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    mom = series.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+    )
+    m = F.col("sx").cast("double") / F.col("n")
+    var = F.col("sx2").cast("double") / F.col("n") - m * m
+    s = F.when(var > 0, F.sqrt(var)).otherwise(F.lit(1.0))
+    w = Window.partitionBy("event_type").orderBy("h")
+    znorm = (
+        series.join(F.broadcast(mom), "event_type")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .select(
+            "event_type",
+            "n",
+            "rn",
+            F.round((F.col("x") - m) / s, 6).alias("z"),
+        )
+    )
+    paa = znorm.groupBy(
+        "event_type", F.expr("((rn - 1) * 16) div n").alias("seg")
+    ).agg(
+        F.round(
+            F.sum(F.col("z").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("pv"),
+        F.min("n").alias("n"),
+    )
+    return (
+        paa.groupBy("event_type")
+        .agg(
+            F.min("n").alias("n_hours"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg", "pv"))),
+                    lambda s: F.when(s.pv < -0.6745, F.lit("a"))
+                    .when(s.pv < 0.0, F.lit("b"))
+                    .when(s.pv < 0.6745, F.lit("c"))
+                    .otherwise(F.lit("d")),
+                ),
+                "",
+            ).alias("sax_word"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "q_cusum_changepoint",
     oracle="""
         WITH series AS (

@@ -925,3 +925,41 @@ def test_luhn_validator_known_numbers(spark):
         .collect()
     )
     assert [r.ok for r in vals] == [True, False, True, True]
+
+
+def test_sax_word_structure(spark, sf_dir):
+    """SAX words: <=16 symbols from {a,b,c,d}, one row per event type,
+    and a z-normalized series must use more than one symbol unless the
+    series is constant."""
+    from hw_kafka_streams_spark.queries import queries
+
+    rows = queries()["q_sax_symbols"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= len(r.sax_word) <= 16
+        assert set(r.sax_word) <= set("abcd")
+        if r.n_hours >= 16:
+            assert len(r.sax_word) == 16
+            assert len(set(r.sax_word)) > 1
+
+
+def test_quantile_normalize_invariants(spark, sf_dir):
+    """Percentiles live in [0,1], calibrated values come from the
+    global score multiset, and within a source the calibrated value is
+    monotone in the raw score."""
+    from collections import defaultdict
+
+    from hw_kafka_streams_spark.queries import queries
+
+    rows = queries()["q_quantile_normalize"](spark, sf_dir).collect()
+    assert rows
+    raws = set(r.raw_tokens for r in rows)
+    by_src = defaultdict(list)
+    for r in rows:
+        assert 0.0 <= r.pct <= 1.0
+        assert r.calibrated_tokens in raws
+        by_src[r.source].append((r.raw_tokens, r.doc_id, r.calibrated_tokens))
+    for recs in by_src.values():
+        recs.sort()
+        cals = [c for _, _, c in recs]
+        assert cals == sorted(cals)

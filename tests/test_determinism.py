@@ -45,6 +45,15 @@ DECIMAL_RECIPE_QUERIES = [
     # decimal-summed ln terms) and grid-quantized winsorized stats
     "q_bigram_backoff_score",
     "q_time_travel",
+    # round 9: Kneser-Ney (three LEFT-join count tables + decimal ln
+    # sums), Durbin-Levinson PACF (9dp-rounded recursion on decimal
+    # ACF), SAX (integer-moment z-norm + decimal PAA means), and the
+    # rank-arithmetic quantile calibration
+    "q_kn_lm_score",
+    "q_pacf",
+    "q_sax_symbols",
+    "q_quantile_normalize",
+    "q_brown_forsythe",
 ]
 
 

@@ -559,3 +559,64 @@ def test_doremi_upweights_divergent_domain(spark):
     assert {k: v.weight for k, v in out.items()} == {
         k: v.weight for k, v in again.items()
     }
+
+
+def test_brown_forsythe_hand_computed(spark):
+    """Two groups with hand-computable median deviations: g1 values
+    [0,2,4] (med 2, z=[2,0,2]), g2 [0,6,12] (med 6, z=[6,0,6]) ->
+    W = (SSB/1)/(SSW/4) = 10.6667/6.6667 = 1.6 exactly."""
+    from hw_kafka_streams_spark.operators.stats import brown_forsythe
+
+    df = spark.createDataFrame(
+        [("a", 0), ("a", 2), ("a", 4), ("b", 0), ("b", 6), ("b", 12)],
+        "g string, v long",
+    )
+    row = brown_forsythe(df, "g", "v").collect()[0]
+    assert row.k_groups == 2 and row.n == 6
+    assert abs(row.bf_stat - 1.6) < 1e-9
+
+
+def test_brown_forsythe_equal_spread_near_zero(spark):
+    """Identical spreads in every group -> SSB = 0 -> W = 0."""
+    from hw_kafka_streams_spark.operators.stats import brown_forsythe
+
+    df = spark.createDataFrame(
+        [("a", 0), ("a", 10), ("a", 20), ("b", 5), ("b", 15), ("b", 25)],
+        "g string, v long",
+    )
+    row = brown_forsythe(df, "g", "v").collect()[0]
+    assert abs(row.bf_stat) < 1e-12
+
+
+def test_stratified_hash_sample_deterministic_subset(spark):
+    """Content-stable sampling: same rows across runs, a strict subset,
+    and per-stratum rates within binomial tolerance of the target."""
+    from pyspark.sql import functions as F
+
+    from hw_kafka_streams_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "s%d" % (i % 3)) for i in range(3000)],
+        "doc_id long, src string",
+    )
+    rate = F.when(F.col("src") == "s0", F.lit(2000)).otherwise(F.lit(5000))
+    got1 = set(
+        r.doc_id
+        for r in stratified_hash_sample(df, "src", "doc_id", rate).collect()
+    )
+    got2 = set(
+        r.doc_id
+        for r in stratified_hash_sample(df, "src", "doc_id", rate).collect()
+    )
+    assert got1 == got2 and 0 < len(got1) < 3000
+    kept_s0 = sum(1 for i in got1 if i % 3 == 0)
+    assert abs(kept_s0 / 1000 - 0.2) < 0.05
+    kept_s1 = sum(1 for i in got1 if i % 3 == 1)
+    assert abs(kept_s1 / 1000 - 0.5) < 0.06
+    # md5 mode keeps the same contract with a DuckDB-reproducible hash
+    md5_rows = stratified_hash_sample(
+        df, "src", "doc_id", rate, hash_mode="md5"
+    ).collect()
+    assert 0 < len(md5_rows) < 3000
