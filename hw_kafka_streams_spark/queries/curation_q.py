@@ -2995,3 +2995,117 @@ def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return brown_forsythe(docs, "lang", "n_chars")
+
+
+@register(
+    "q_jsd_sources",
+    oracle=r"""
+        WITH wc AS (
+          SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM (
+            SELECT source,
+                   unnest(list_filter(
+                     string_split_regex(trim(lower(text)), '\s+'),
+                     t -> t <> '')) AS w
+            FROM documents
+          ) GROUP BY 1, 2
+        ), ns AS (
+          SELECT source, CAST(sum(c) AS BIGINT) AS n FROM wc GROUP BY 1
+        ), pairs AS (
+          SELECT a.source AS sa, b.source AS sb,
+                 CAST(a.c AS DOUBLE) / na.n AS p,
+                 CAST(b.c AS DOUBLE) / nb.n AS q
+          FROM wc a JOIN wc b ON a.w = b.w AND a.source < b.source
+               JOIN ns na ON na.source = a.source
+               JOIN ns nb ON nb.source = b.source
+        ), agg AS (
+          SELECT sa, sb, CAST(count(*) AS BIGINT) AS shared_vocab,
+                 CAST(sum(CAST(round(p, 12) AS DECIMAL(28,12)))
+                      AS DOUBLE) AS sp,
+                 CAST(sum(CAST(round(q, 12) AS DECIMAL(28,12)))
+                      AS DOUBLE) AS sq,
+                 CAST(sum(CAST(round(p * ln((2 * p) / (p + q)), 9)
+                      AS DECIMAL(18,9))) AS DOUBLE) AS tp,
+                 CAST(sum(CAST(round(q * ln((2 * q) / (p + q)), 9)
+                      AS DECIMAL(18,9))) AS DOUBLE) AS tq
+          FROM pairs GROUP BY 1, 2
+        )
+        SELECT sa AS source_a, sb AS source_b, shared_vocab,
+               round(0.5 * (tp + ln(2) * (1 - sp))
+                     + 0.5 * (tq + ln(2) * (1 - sq)), 6) AS jsd
+        FROM agg ORDER BY 1, 2
+    """,
+    doc="Jensen-Shannon divergence matrix between source token "
+    "distributions — the symmetric, bounded ([0, ln 2]) corpus-"
+    "similarity measure behind mixture design and redundancy pruning "
+    "(KL without the infinities). Key identity exploited for scale: "
+    "words EXCLUSIVE to one source contribute exactly ln2 x their "
+    "probability mass, so only SHARED words need the self-equi-join "
+    "on word (Zipfian key, AQE-split) and each pair's exclusive mass "
+    "falls out of (1 - shared mass) — never a full-outer vocab join. "
+    "190 output rows for 20 sources; p/q are exact integer-count "
+    "ratios, JSD terms 9dp-DECIMAL-summed, shared mass 12dp-summed, "
+    "epilogue a rounded scalar.",
+)
+def q_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    wc = (
+        docs.select(
+            "source",
+            F.explode(word_tokens(F.lower(F.col("text")))).alias("w"),
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ns = wc.groupBy("source").agg(F.sum("c").alias("n"))
+    a = wc.alias("a")
+    b = wc.alias("b")
+    na = ns.alias("na")
+    nb = ns.alias("nb")
+    p = F.col("a.c").cast("double") / F.col("na.n")
+    q = F.col("b.c").cast("double") / F.col("nb.n")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .join(F.broadcast(na), F.col("na.source") == F.col("a.source"))
+        .join(F.broadcast(nb), F.col("nb.source") == F.col("b.source"))
+        .select(
+            F.col("a.source").alias("sa"),
+            F.col("b.source").alias("sb"),
+            p.alias("p"),
+            q.alias("q"),
+        )
+    )
+    pc, qc = F.col("p"), F.col("q")
+    agg = pairs.groupBy("sa", "sb").agg(
+        F.count(F.lit(1)).alias("shared_vocab"),
+        F.sum(F.round(pc, 12).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("sp"),
+        F.sum(F.round(qc, 12).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("sq"),
+        F.sum(
+            F.round(pc * F.log((2 * pc) / (pc + qc)), 9).cast("decimal(18,9)")
+        )
+        .cast("double")
+        .alias("tp"),
+        F.sum(
+            F.round(qc * F.log((2 * qc) / (pc + qc)), 9).cast("decimal(18,9)")
+        )
+        .cast("double")
+        .alias("tq"),
+    )
+    ln2 = F.log(F.lit(2.0))
+    return agg.select(
+        F.col("sa").alias("source_a"),
+        F.col("sb").alias("source_b"),
+        "shared_vocab",
+        F.round(
+            0.5 * (F.col("tp") + ln2 * (1 - F.col("sp")))
+            + 0.5 * (F.col("tq") + ln2 * (1 - F.col("sq"))),
+            6,
+        ).alias("jsd"),
+    ).orderBy("source_a", "source_b")

