@@ -4189,3 +4189,98 @@ def q_multimodal_jls_rgb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 90)
     return jls_rgb_stats(synthesize_jls_rgb_payloads(docs)).orderBy("doc_id")
+
+
+@register(
+    "q_matryoshka_audit",
+    oracle="""
+        WITH fulltop AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY round(list_cosine_similarity(
+                       q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4)
+                       DESC, c.vec_id) AS rnk
+            FROM embeddings q JOIN embeddings c
+              ON q.vec_id < 20 AND c.vec_id <> q.vec_id
+          ) WHERE rnk <= 10
+        ), t16 AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY round(list_cosine_similarity(
+                       q.embedding[1:16]::DOUBLE[],
+                       c.embedding[1:16]::DOUBLE[]), 4)
+                       DESC, c.vec_id) AS rnk
+            FROM embeddings q JOIN embeddings c
+              ON q.vec_id < 20 AND c.vec_id <> q.vec_id
+          ) WHERE rnk <= 10
+        ), t32 AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY round(list_cosine_similarity(
+                       q.embedding[1:32]::DOUBLE[],
+                       c.embedding[1:32]::DOUBLE[]), 4)
+                       DESC, c.vec_id) AS rnk
+            FROM embeddings q JOIN embeddings c
+              ON q.vec_id < 20 AND c.vec_id <> q.vec_id
+          ) WHERE rnk <= 10
+        ), qs AS (
+          SELECT DISTINCT vec_id AS query_id FROM embeddings
+          WHERE vec_id < 20
+        )
+        SELECT CAST(16 AS BIGINT) AS dim_prefix, q.query_id,
+               CAST(coalesce(o.n, 0) AS BIGINT) AS n_overlap
+        FROM qs q LEFT JOIN (
+          SELECT f.query_id, count(*) AS n
+          FROM fulltop f JOIN t16 USING (query_id, neighbor_id)
+          GROUP BY 1) o USING (query_id)
+        UNION ALL
+        SELECT CAST(32 AS BIGINT) AS dim_prefix, q.query_id,
+               CAST(coalesce(o.n, 0) AS BIGINT) AS n_overlap
+        FROM qs q LEFT JOIN (
+          SELECT f.query_id, count(*) AS n
+          FROM fulltop f JOIN t32 USING (query_id, neighbor_id)
+          GROUP BY 1) o USING (query_id)
+        ORDER BY dim_prefix, query_id
+    """,
+    doc="Matryoshka truncation audit (Kusupati et al. 2022): how many "
+    "of each query's exact top-10 cosine neighbors survive when the "
+    "64-d embedding is truncated to its first 16/32 dims — the "
+    "measurement behind serving truncated MRL embeddings for cheap "
+    "first-stage retrieval. Reuses brute_force_topk (broadcast "
+    "queries x partition-parallel corpus, Arrow numpy cosine, "
+    "per-query ranked window) on sliced vectors; overlap is a "
+    "(query, neighbor)-keyed equi-join of two 10-row-per-query "
+    "tables. 20 probes x 2 prefixes = 40 output rows.",
+)
+def q_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    probes = emb.filter(F.col("vec_id") < 20)
+    full = S.brute_force_topk(probes, emb, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    qs = probes.select(F.col("vec_id").alias("query_id")).distinct()
+    parts = []
+    for d in (16, 32):
+        tq = probes.withColumn("embedding", F.slice("embedding", 1, d))
+        tc = emb.withColumn("embedding", F.slice("embedding", 1, d))
+        t = S.brute_force_topk(tq, tc, k=10).select(
+            "query_id", "neighbor_id"
+        )
+        ov = (
+            full.join(t, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        parts.append(
+            qs.join(ov, "query_id", "left").select(
+                F.lit(d).cast("long").alias("dim_prefix"),
+                "query_id",
+                F.coalesce(F.col("n"), F.lit(0))
+                .cast("long")
+                .alias("n_overlap"),
+            )
+        )
+    return parts[0].unionByName(parts[1]).orderBy("dim_prefix", "query_id")

@@ -2515,3 +2515,119 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "part_a", "part_b")
         .limit(40)
     )
+
+
+@register(
+    "q_phrase_search",
+    oracle=r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                             t -> t <> '') AS t
+          FROM documents
+        ), hits AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(range(1, len(t)),
+                      i -> t[i] = 'hash' AND t[i+1] = 'join'))
+                   AS BIGINT) AS n_hits
+          FROM toks
+        )
+        SELECT doc_id, n_hits FROM hits WHERE n_hits > 0 ORDER BY doc_id
+    """,
+    doc="Exact phrase search ('hash join') via a POSITIONAL inverted "
+    "index: posexplode to (doc, pos, term) postings, filter each "
+    "term's posting list BEFORE the join (the selective step — at "
+    "crawl scale each list is a tiny fraction of the corpus), then "
+    "equi-join on (doc_id, pos+1) — the adjacency join every "
+    "phrase-capable search engine runs. The oracle counts adjacent "
+    "pairs with a per-doc list scan — a structurally different "
+    "algorithm, so agreement cross-validates both. One shuffle keyed "
+    "(doc_id, pos) on two pre-filtered posting lists; no windows.",
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(T.word_tokens(F.lower(F.col("text")))).alias(
+            "pos", "w"
+        ),
+    )
+    a = tok.filter(F.col("w") == "hash").select("doc_id", "pos")
+    b = tok.filter(F.col("w") == "join").select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    return (
+        a.join(b, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_hill_tail_index",
+    oracle=r"""
+        WITH wc AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+            SELECT unnest(list_filter(
+                     string_split_regex(trim(lower(text)), '\s+'),
+                     t -> t <> '')) AS w
+            FROM documents
+          ) GROUP BY 1
+        ), ranked AS (
+          SELECT w, c,
+                 row_number() OVER (ORDER BY c DESC, w) AS rn
+          FROM wc
+        ), tail AS (
+          SELECT c AS c_tail FROM ranked WHERE rn = 17
+        )
+        SELECT 16 AS k_used, t.c_tail,
+               round(16.0 / CAST(sum(CAST(round(
+                   ln(CAST(r.c AS DOUBLE) / t.c_tail), 9)
+                 AS DECIMAL(18,9))) AS DOUBLE), 6) AS hill_alpha
+        FROM ranked r, tail t
+        WHERE r.rn <= 16
+        GROUP BY t.c_tail
+    """,
+    doc="Hill estimator of the word-frequency tail index (the "
+    "power-law exponent diagnostic beside q_zipf_heaps' rank-slope "
+    "view): alpha = k / sum_{i<=k} ln(c_i / c_{k+1}) over the k=16 "
+    "largest counts, ties broken by word so both engines pick the "
+    "same order statistics. Scale shape: one word-count shuffle, a "
+    "top-17 TakeOrdered (bounded), and a 16-row DECIMAL-summed "
+    "epilogue — never a global rank over the vocabulary.",
+)
+def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    wc = (
+        docs.select(
+            F.explode(T.word_tokens(F.lower(F.col("text")))).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = wc.orderBy(F.desc("c"), "w").limit(17)
+    # rank 17 under (c DESC, w ASC) == rank 1 under the reversed order
+    tail = (
+        top.orderBy("c", F.desc("w"))
+        .limit(1)
+        .select(F.col("c").alias("c_tail"), F.col("w").alias("w_tail"))
+    )
+    return (
+        top.crossJoin(F.broadcast(tail))
+        .filter(F.col("w") != F.col("w_tail"))
+        .groupBy("c_tail")
+        .agg(
+            F.round(
+                F.lit(16.0)
+                / F.sum(
+                    F.round(
+                        F.log(F.col("c").cast("double") / F.col("c_tail")),
+                        9,
+                    ).cast("decimal(18,9)")
+                ).cast("double"),
+                6,
+            ).alias("hill_alpha")
+        )
+        .select(F.lit(16).alias("k_used"), "c_tail", "hill_alpha")
+    )

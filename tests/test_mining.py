@@ -450,3 +450,64 @@ def test_unigram_viterbi_beats_greedy(spark):
     assert out["axc"].pieces == "[UNK]"  # 'x' not in vocab
     assert out["axc"].cost is None
     assert out["axc"].n_pieces == 1
+
+
+def test_phrase_search_hand_built(spark):
+    """Positional-index adjacency: counts non-overlapping and
+    overlapping occurrences, ignores reversed order and gaps."""
+    from pyspark.sql import functions as F
+
+    from hw_kafka_streams_spark.operators.text import word_tokens
+
+    df = spark.createDataFrame(
+        [
+            (1, "hash join hash join"),
+            (2, "join hash"),
+            (3, "hash x join"),
+            (4, "hash join hash"),
+        ],
+        "doc_id long, text string",
+    )
+    tok = df.select(
+        "doc_id",
+        F.posexplode(word_tokens(F.lower("text"))).alias("pos", "w"),
+    )
+    a = tok.filter(F.col("w") == "hash").select("doc_id", "pos")
+    b = tok.filter(F.col("w") == "join").select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    got = {
+        r.doc_id: r.n_hits
+        for r in a.join(b, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .collect()
+    }
+    assert got == {1: 2, 4: 1}
+
+
+def test_hill_alpha_on_exact_power_law(spark, sf_dir):
+    """Hill alpha is positive and finite on the corpus, and the
+    reported tail count is the 17th-largest word count."""
+    from hw_kafka_streams_spark.queries import queries
+
+    row = queries()["q_hill_tail_index"](spark, sf_dir).collect()[0]
+    assert row.k_used == 16
+    assert row.c_tail >= 1
+    assert row.hill_alpha > 0
+
+
+def test_matryoshka_overlap_monotone_in_prefix(spark, sf_dir):
+    """On average, a longer prefix preserves at least as much of the
+    exact top-10 as a shorter one; overlaps are within [0, 10]."""
+    from collections import defaultdict
+
+    from hw_kafka_streams_spark.queries import queries
+
+    rows = queries()["q_matryoshka_audit"](spark, sf_dir).collect()
+    sums = defaultdict(int)
+    for r in rows:
+        assert 0 <= r.n_overlap <= 10
+        sums[r.dim_prefix] += r.n_overlap
+    assert set(sums) == {16, 32}
+    assert sums[32] >= sums[16]
