@@ -151,6 +151,18 @@ HEADLINE = [
     "q_multimodal_jpeg_arith",
     "q_length_bucket_batches",
     "q_epoch_repetition_plan",
+    # round-9c: the three new corpus-scan shapes worth ratcheting —
+    # Kneser-Ney (corpus explode + 3 LEFT-joined count tables), the
+    # JSD source matrix (Zipfian vocab self-join), and positional
+    # phrase search (pre-filtered posting-list adjacency join). The
+    # other round-9c additions stay off the headline: pacf/sax/
+    # kaplan-meier/hill are domain-bounded epilogues over tiny
+    # aggregates, stratified-sample/dup-matrix/brown-forsythe are
+    # single-scan probes, and matryoshka/quantile-normalize are
+    # probe-sized broadcast joins — all sub-bench-noise by design.
+    "q_kn_lm_score",
+    "q_jsd_sources",
+    "q_phrase_search",
 ]
 
 

@@ -3109,3 +3109,156 @@ def q_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jsd"),
     ).orderBy("source_a", "source_b")
+
+
+@register(
+    "q_benjamini_hochberg",
+    oracle="""
+        WITH per_s AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_s,
+                 sum(CAST(n_chars AS HUGEINT)) AS sx
+          FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+        ), g AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(n_chars AS HUGEINT)) AS s,
+                 sum(CAST(n_chars AS HUGEINT) * n_chars) AS q
+          FROM documents WHERE n_chars IS NOT NULL
+        ), m AS (
+          SELECT CAST(count(*) AS BIGINT) AS m FROM per_s
+        ), z AS (
+          SELECT source, n_s,
+                 (CAST(sx AS DOUBLE) / n_s - CAST(s AS DOUBLE) / n)
+                 / sqrt((CAST(q AS DOUBLE) / n
+                         - (CAST(s AS DOUBLE) / n)
+                           * (CAST(s AS DOUBLE) / n)) / n_s) AS zv
+          FROM per_s, g
+        ), p AS (
+          SELECT source, n_s, zv,
+                 2.0 * (exp(-abs(zv) * abs(zv) / 2.0)
+                        / 2.5066282746310002)
+                     * ((1.0 / (1.0 + 0.2316419 * abs(zv)))
+                        * (0.319381530
+                           + (1.0 / (1.0 + 0.2316419 * abs(zv)))
+                             * (-0.356563782
+                                + (1.0 / (1.0 + 0.2316419 * abs(zv)))
+                                  * (1.781477937
+                                     + (1.0 / (1.0 + 0.2316419 * abs(zv)))
+                                       * (-1.821255978
+                                          + (1.0 / (1.0 + 0.2316419
+                                                    * abs(zv)))
+                                            * 1.330274429))))) AS pv
+          FROM z
+        ), ranked AS (
+          SELECT source, n_s, zv, pv,
+                 CAST(row_number() OVER (ORDER BY pv, source)
+                   AS BIGINT) AS rnk,
+                 m.m
+          FROM p, m
+        ), thr AS (
+          SELECT CAST(coalesce(max(CASE WHEN pv <= rnk * 0.05
+                                        / CAST(m AS DOUBLE)
+                                   THEN rnk ELSE 0 END), 0) AS BIGINT)
+                   AS cutoff
+          FROM ranked
+        )
+        SELECT r.source, r.n_s AS n_docs,
+               round(r.zv, 4) AS z_score,
+               round(r.pv, 6) AS p_value,
+               r.rnk, CAST(r.rnk <= t.cutoff AS INT) AS rejected
+        FROM ranked r, thr t ORDER BY r.rnk
+    """,
+    doc="Benjamini-Hochberg FDR control over a per-source screening "
+    "battery (two-sided z-test: does a source's mean doc length "
+    "deviate from the corpus mean?) — the multiple-testing guard "
+    "every per-source anomaly sweep needs (20 sources at alpha=.05 "
+    "expects a false alarm without it). Normal CDF via the "
+    "Abramowitz-Stegun 26.2.17 polynomial written as the IDENTICAL "
+    "scalar expression in both engines (no erf builtin in either); "
+    "z from exact integer moments. Step-up rule: reject ranks <= "
+    "max{i : p_(i) <= i*alpha/m}. Scale shape: one group-keyed agg, "
+    "a 1-row global moment, and windows over the m-row source table "
+    "(tiny partition).",
+)
+def q_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("n_chars").isNotNull()
+    )
+    v = F.col("n_chars").cast("decimal(38,0)")
+    per_s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_s"), F.sum(v).alias("sx")
+    )
+    g = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s"),
+        F.sum(v * v).alias("q"),
+    )
+    mean_g = F.col("s").cast("double") / F.col("n")
+    var_g = F.col("q").cast("double") / F.col("n") - mean_g * mean_g
+    zv = (F.col("sx").cast("double") / F.col("n_s") - mean_g) / F.sqrt(
+        var_g / F.col("n_s")
+    )
+    z = per_s.crossJoin(F.broadcast(g)).select(
+        "source", "n_s", zv.alias("zv")
+    )
+    az = F.abs(F.col("zv"))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.2316419) * az)
+    poly = t * (
+        F.lit(0.319381530)
+        + t
+        * (
+            F.lit(-0.356563782)
+            + t
+            * (
+                F.lit(1.781477937)
+                + t * (F.lit(-1.821255978) + t * F.lit(1.330274429))
+            )
+        )
+    )
+    pv = (
+        F.lit(2.0)
+        * (F.exp(-az * az / F.lit(2.0)) / F.lit(2.5066282746310002))
+        * poly
+    )
+    p = z.select("source", "n_s", "zv", pv.alias("pv"))
+    m = p.agg(F.count(F.lit(1)).alias("m"))
+    ranked = (
+        p.crossJoin(F.broadcast(m))
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(
+                W.partitionBy(tiny_table_partition("source")).orderBy(
+                    "pv", "source"
+                )
+            )
+            .cast("long"),
+        )
+    )
+    thr = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("pv")
+                    <= F.col("rnk") * F.lit(0.05) / F.col("m").cast("double"),
+                    F.col("rnk"),
+                ).otherwise(F.lit(0))
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("cutoff")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(thr))
+        .select(
+            "source",
+            F.col("n_s").alias("n_docs"),
+            F.round("zv", 4).alias("z_score"),
+            F.round("pv", 6).alias("p_value"),
+            "rnk",
+            (F.col("rnk") <= F.col("cutoff")).cast("int").alias("rejected"),
+        )
+        .orderBy("rnk")
+    )

@@ -2631,3 +2631,90 @@ def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.lit(16).alias("k_used"), "c_tail", "hill_alpha")
     )
+
+
+@register(
+    "q_cond_entropy",
+    oracle=r"""
+        WITH toks AS (
+          SELECT source,
+                 list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                             t -> t <> '') AS t
+          FROM documents
+        ), c2 AS (
+          SELECT source, w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM (
+            SELECT source,
+                   unnest([struct_pack(w1 := t[i], w2 := t[i+1])
+                           FOR i IN range(1, len(t))], recursive := true)
+            FROM toks
+          ) GROUP BY 1, 2, 3
+        ), ctx AS (
+          SELECT source, w1, CAST(sum(c2) AS BIGINT) AS ctx
+          FROM c2 GROUP BY 1, 2
+        ), n AS (
+          SELECT source, CAST(sum(c2) AS BIGINT) AS nb FROM c2 GROUP BY 1
+        )
+        SELECT c2.source, min(n.nb) AS n_bigrams,
+               round(CAST(sum(CAST(round(
+                   -(CAST(c2.c2 AS DOUBLE) / n.nb)
+                   * ln(CAST(c2.c2 AS DOUBLE) / ctx.ctx), 9)
+                 AS DECIMAL(18,9))) AS DOUBLE), 6) AS cond_entropy,
+               round(CAST(sum(CAST(round(
+                   -(CAST(c2.c2 AS DOUBLE) / n.nb)
+                   * ln(CAST(c2.c2 AS DOUBLE) / n.nb), 9)
+                 AS DECIMAL(18,9))) AS DOUBLE), 6) AS joint_entropy
+        FROM c2 JOIN ctx USING (source, w1) JOIN n USING (source)
+        GROUP BY 1 ORDER BY 1
+    """,
+    doc="Conditional bigram entropy H(w2|w1) per source (plus the "
+    "joint H(w1,w2)) — the sequential-predictability signal: "
+    "machine-generated or templated text has LOW conditional entropy "
+    "(each word pins the next) even when its unigram entropy looks "
+    "normal, which is why this catches paraphrase-mill content that "
+    "q_char_entropy misses. H(w2|w1) = -sum p(w1,w2) ln p(w2|w1), "
+    "exact integer counts, per-term 9dp DECIMAL sums. Scale shape: "
+    "one corpus explode to (source, w1, w2) counts (map-side "
+    "combined), the ctx marginal from a second pass over that "
+    "already-tiny table, a source-keyed rollup at the end.",
+)
+def q_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.text import _adjacent_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    c2 = (
+        docs.select(
+            "source",
+            F.explode(
+                _adjacent_pairs(T.word_tokens(F.lower(F.col("text"))))
+            ).alias("p"),
+        )
+        .groupBy(
+            "source", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+        )
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    ctx = c2.groupBy("source", "w1").agg(F.sum("c2").alias("ctx"))
+    n = c2.groupBy("source").agg(F.sum("c2").alias("nb"))
+    pj = F.col("c2").cast("double") / F.col("nb")
+    pc = F.col("c2").cast("double") / F.col("ctx")
+    return (
+        c2.join(ctx, ["source", "w1"])
+        .join(F.broadcast(n), "source")
+        .groupBy("source")
+        .agg(
+            F.min("nb").alias("n_bigrams"),
+            F.round(
+                F.sum(
+                    F.round(-pj * F.log(pc), 9).cast("decimal(18,9)")
+                ).cast("double"),
+                6,
+            ).alias("cond_entropy"),
+            F.round(
+                F.sum(
+                    F.round(-pj * F.log(pj), 9).cast("decimal(18,9)")
+                ).cast("double"),
+                6,
+            ).alias("joint_entropy"),
+        )
+        .orderBy("source")
+    )

@@ -620,3 +620,71 @@ def test_stratified_hash_sample_deterministic_subset(spark):
         df, "src", "doc_id", rate, hash_mode="md5"
     ).collect()
     assert 0 < len(md5_rows) < 3000
+
+
+def test_benjamini_hochberg_stepup_rule(spark, sf_dir):
+    """BH step-up: the rejected set is exactly ranks <= cutoff, the
+    p-values are sorted by rank, and every rejected p satisfies the
+    i*alpha/m bound at its own rank."""
+    from hw_kafka_streams_spark.queries import queries
+
+    rows = queries()["q_benjamini_hochberg"](spark, sf_dir).collect()
+    assert rows
+    m = len(rows)
+    ps = [r.p_value for r in rows]
+    assert ps == sorted(ps)
+    rejected = [r for r in rows if r.rejected]
+    if rejected:
+        cutoff = max(r.rnk for r in rejected)
+        assert all(r.rejected == (r.rnk <= cutoff) for r in rows)
+        tail = [r for r in rows if r.rnk == cutoff][0]
+        assert tail.p_value <= cutoff * 0.05 / m + 1e-9
+
+
+def test_cond_entropy_templated_below_natural(spark):
+    """A rigid template (each word pins the next) must have near-zero
+    conditional entropy; shuffled text keeps it high; joint >= cond."""
+    from hw_kafka_streams_spark.queries import queries  # noqa: F401
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from hw_kafka_streams_spark.operators.text import (
+        _adjacent_pairs,
+        word_tokens,
+    )
+
+    tmpl = " ".join(["a b c d"] * 50)
+    vary = "a b a c b d c a d b a d b c d a c d b a " * 10
+    df = spark.createDataFrame(
+        [(1, "tmpl", tmpl), (2, "vary", vary)],
+        "doc_id long, source string, text string",
+    )
+    c2 = (
+        df.select(
+            "source",
+            F.explode(_adjacent_pairs(word_tokens(F.lower("text")))).alias(
+                "p"
+            ),
+        )
+        .groupBy("source", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    ctx = c2.groupBy("source", "w1").agg(F.sum("c2").alias("ctx"))
+    n = c2.groupBy("source").agg(F.sum("c2").alias("nb"))
+    pj = F.col("c2").cast("double") / F.col("nb")
+    pc = F.col("c2").cast("double") / F.col("ctx")
+    rows = {
+        r.source: r
+        for r in c2.join(ctx, ["source", "w1"])
+        .join(n, "source")
+        .groupBy("source")
+        .agg(
+            F.sum(-pj * F.log(pc)).alias("cond"),
+            F.sum(-pj * F.log(pj)).alias("joint"),
+        )
+        .collect()
+    }
+    # template: only boundary bigrams (d->a) compete; near zero
+    assert rows["tmpl"].cond < 0.1
+    assert rows["vary"].cond > 0.5
+    assert rows["tmpl"].joint >= rows["tmpl"].cond - 1e-9
+    assert rows["vary"].joint >= rows["vary"].cond - 1e-9
