@@ -104,6 +104,14 @@ PROBES = [
     # codec fixtures are fixed-size (the ADPCM policy) and stay out
     "q_kcore_parts",           # peeling rounds over a fact self-join graph
     "q_hits_ship_graph",       # hub/authority loop over supplier->part
+    # round-9c additions: the pair-generating / corpus-join shapes
+    # (the round-6 lesson — every new one joins the probe)
+    "q_kn_lm_score",           # held-out KN scoring, 3 LEFT-joined counts
+    "q_jsd_sources",           # vocab self-join bounded by n_sources^2
+    "q_phrase_search",         # posting-list (doc,pos) adjacency join
+    "q_cond_entropy",          # (source,w1,w2) counts + source rollup
+    "q_source_dup_matrix",     # (fp,source) self-join, n_sources^2 cap
+    "q_quantile_normalize",    # distinct-score cum tables + range join
 ]
 
 

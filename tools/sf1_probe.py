@@ -103,6 +103,33 @@ NOTES = {
     "derived bucket key, no global sort",
     "q_epoch_repetition_plan": "docs 10x; per-source rollup + "
     "broadcast 1-row total",
+    # round-9c additions
+    "q_kn_lm_score": "docs 10x; corpus explode into (w1,w2) counts, "
+    "3 LEFT joins on vocab-sized tables",
+    "q_jsd_sources": "docs 10x; vocab self-join bounded by "
+    "n_sources^2 per word",
+    "q_phrase_search": "docs 10x; pre-filtered posting lists, "
+    "(doc,pos) adjacency equi-join",
+    "q_cond_entropy": "docs 10x; (source,w1,w2) partial-agged counts, "
+    "source rollup",
+    "q_quantile_normalize": "docs 10x; distinct-score cum tables + "
+    "tie-group windows, broadcast range join",
+    "q_stratified_sample": "docs 10x; pure filter over the scan + "
+    "source rollup",
+    "q_source_dup_matrix": "docs 10x; (fp,source) counts, self-join "
+    "bounded by n_sources^2 per fp",
+    "q_brown_forsythe": "docs 10x; exact percentile + DECIMAL moment "
+    "pass, k-row epilogue",
+    "q_benjamini_hochberg": "docs 10x; group moments + m-row BH "
+    "window",
+    "q_hill_tail_index": "docs 10x; word-count shuffle + top-17 "
+    "TakeOrdered",
+    "q_sax_symbols": "events 10x; hour-bucket counts (domain-bounded "
+    "series), integer-moment z-norm",
+    "q_pacf": "events 10x; same domain-bounded hour series as q_acf, "
+    "scalar DL epilogue",
+    "q_kaplan_meier": "events 10x; per-user min/max agg, duration "
+    "tables domain-bounded in hours",
 }
 
 
