@@ -99,16 +99,36 @@ def stratified_hash_sample(
 
 
 def reservoir_per_key(
-    df: DataFrame, key_col: str, n: int, order_hint: str | None = None
+    df: DataFrame,
+    key_col: str,
+    n: int,
+    order_hint: str | None = None,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Deterministic k-per-key sample: rank by a stable hash of the row's
     id (or ``order_hint``) within each key, keep the first n. One
     shuffle on key; the per-group top-n avoids a full sort via
-    WindowGroupLimit pushdown."""
+    WindowGroupLimit pushdown. ``hash_mode='md5'`` ranks by the
+    DuckDB-reproducible md5h of the hint (requires ``order_hint``) so
+    the sample itself can be value-hash oracled; xxhash64 stays the
+    scale default."""
     from pyspark.sql import Window
 
-    order = F.xxhash64(F.col(order_hint)) if order_hint else F.xxhash64(*df.columns)
-    w = Window.partitionBy(key_col).orderBy(order)
+    if hash_mode == "md5":
+        from hw_kafka_streams_spark.operators.dedup import md5h
+
+        if order_hint is None:
+            raise ValueError("hash_mode='md5' requires order_hint")
+        # hint column as tiebreak: a (vanishingly unlikely) 60-bit
+        # collision must not leave rank order engine-dependent
+        order = [md5h(F.col(order_hint).cast("string")), F.col(order_hint)]
+    else:
+        order = [
+            F.xxhash64(F.col(order_hint))
+            if order_hint
+            else F.xxhash64(*df.columns)
+        ]
+    w = Window.partitionBy(key_col).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= n)

@@ -3262,3 +3262,106 @@ def q_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+@register(
+    "q_reservoir_sample",
+    oracle="""
+        WITH ranked AS (
+          SELECT source, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY ('0x' || substring(
+                       md5(doc_id::VARCHAR), 1, 15))::BIGINT, doc_id)
+                   AS rn
+          FROM documents
+        )
+        SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        FROM ranked WHERE rn <= 5 ORDER BY source, doc_id
+    """,
+    doc="Deterministic k-per-key reservoir (k=5 docs per source): rank "
+    "by a stable content hash of the id inside each key and keep the "
+    "first k — the inspect-a-sample primitive whose membership "
+    "survives re-runs, shard additions, and cluster resizes (rand() "
+    "or randomSplit would resample every time). One shuffle on the "
+    "key; the per-group top-k goes through WindowGroupLimit pushdown "
+    "so no group is ever fully sorted. hash_mode='md5' gives the rank "
+    "a bit-exact DuckDB twin (operators/sampling.reservoir_per_key); "
+    "xxhash64 stays the scale default.",
+)
+def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.sampling import reservoir_per_key
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        reservoir_per_key(
+            docs, "source", 5, order_hint="doc_id", hash_mode="md5"
+        )
+        .select("source", "doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+        .orderBy("source", "doc_id")
+    )
+
+
+@register(
+    "q_lexical_richness",
+    oracle=r"""
+        WITH wc AS (
+          SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM (
+            SELECT source,
+                   unnest(list_filter(
+                     string_split_regex(trim(lower(text)), '\s+'),
+                     t -> t <> '')) AS w
+            FROM documents
+          ) GROUP BY 1, 2
+        )
+        SELECT source,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS vocab,
+               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS hapax,
+               round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS ttr,
+               round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS hapax_ratio,
+               round(CAST(sum(c * (c - 1)) AS DOUBLE)
+                     / (CAST(sum(c) AS DOUBLE)
+                        * (CAST(sum(c) AS DOUBLE) - 1)), 9)
+                 AS simpson_d
+        FROM wc GROUP BY source ORDER BY source
+    """,
+    doc="Lexical-richness battery per source: type-token ratio, hapax-"
+    "legomena ratio (the productive-vocabulary signal — template "
+    "mills re-use words, so their hapax share collapses), and "
+    "Simpson's D repeat-probability (EXACT integer arithmetic "
+    "sum c(c-1)/N(N-1) — no float until the final division). "
+    "Complements q_distinct_ngrams' trigram view with the unigram "
+    "one. Scale shape: one partial-agged (source, word) count, one "
+    "source rollup — the same two-shuffle plan.",
+)
+def q_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    wc = (
+        docs.select(
+            "source",
+            F.explode(word_tokens(F.lower(F.col("text")))).alias("w"),
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c")
+    hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    vocab = F.count(F.lit(1))
+    return (
+        wc.groupBy("source")
+        .agg(
+            n.alias("n_tokens"),
+            vocab.alias("vocab"),
+            hapax.alias("hapax"),
+            F.round(vocab.cast("double") / n, 6).alias("ttr"),
+            F.round(hapax.cast("double") / vocab, 6).alias("hapax_ratio"),
+            F.round(
+                F.sum(F.col("c") * (F.col("c") - 1)).cast("double")
+                / (n.cast("double") * (n.cast("double") - 1)),
+                9,
+            ).alias("simpson_d"),
+        )
+        .orderBy("source")
+    )

@@ -2718,3 +2718,96 @@ def q_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_percolator",
+    oracle=r"""
+        WITH stored(qid, terms) AS (VALUES
+          (1, ['hash', 'join']),
+          (2, ['scan', 'filter', 'slow']),
+          (3, ['sort', 'merge']),
+          (4, ['vector', 'batch', 'fast']),
+          (5, ['window']),
+          (6, ['customer', 'order', 'line']),
+          (7, ['zzz_nonexistent']),
+          (8, ['spark', 'key'])
+        ), toks AS (
+          SELECT doc_id,
+                 list_distinct(list_filter(
+                   string_split_regex(trim(lower(text)), '\s+'),
+                   t -> t <> '')) AS t
+          FROM documents
+        ), hits AS (
+          SELECT s.qid, count(*) AS n_docs, min(d.doc_id) AS first_doc
+          FROM stored s JOIN toks d ON list_has_all(d.t, s.terms)
+          GROUP BY 1
+        )
+        SELECT s.qid, CAST(len(s.terms) AS INT) AS n_terms,
+               CAST(coalesce(h.n_docs, 0) AS BIGINT) AS n_docs,
+               h.first_doc
+        FROM stored s LEFT JOIN hits h USING (qid)
+        ORDER BY s.qid
+    """,
+    doc="Percolator (reverse search: match STORED queries against the "
+    "document stream — the alerting/routing primitive behind saved "
+    "searches and topic taps): 8 stored AND-term queries, a doc "
+    "matches when it contains every term. Spark runs the scalable "
+    "inverted shape — distinct (doc, term) postings joined to the "
+    "BROADCAST query-term table, then count-equals-arity per (doc, "
+    "query) — while the oracle scans each doc's token list with "
+    "list_has_all: two structurally different algorithms, so "
+    "agreement cross-validates both. Includes a zero-match query "
+    "(LEFT-join epilogue must keep it). Scale shape: postings are "
+    "(doc, term)-keyed and pre-filtered to query terms BEFORE any "
+    "shuffle; stored queries broadcast; never a per-doc regex loop.",
+)
+def q_percolator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stored = spark.createDataFrame(
+        [
+            (1, ["hash", "join"]),
+            (2, ["scan", "filter", "slow"]),
+            (3, ["sort", "merge"]),
+            (4, ["vector", "batch", "fast"]),
+            (5, ["window"]),
+            (6, ["customer", "order", "line"]),
+            (7, ["zzz_nonexistent"]),
+            (8, ["spark", "key"]),
+        ],
+        "qid int, terms array<string>",
+    )
+    qterms = stored.select(
+        "qid",
+        F.size("terms").alias("n_terms"),
+        F.explode("terms").alias("w"),
+    )
+    docs = load_table(spark, "documents", sf_dir)
+    postings = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(T.word_tokens(F.lower(F.col("text"))))
+            ).alias("w"),
+        )
+    )
+    matched = (
+        postings.join(F.broadcast(qterms), "w")
+        .groupBy("doc_id", "qid", "n_terms")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .filter(F.col("n_hit") == F.col("n_terms"))
+    )
+    hits = matched.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+    )
+    return (
+        stored.select("qid", F.size("terms").alias("n_terms"))
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            "n_terms",
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+            "first_doc",
+        )
+        .orderBy("qid")
+    )

