@@ -520,3 +520,118 @@ def keyed_quota(df: DataFrame, quota: int, key_col: str = "user_id") -> DataFram
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+EWMA_OUTPUT_SCHEMA = (
+    "key string, n_total bigint, ewma double, ewm_std double, "
+    "n_alerts bigint, last_alert_value double"
+)
+EWMA_STATE_SCHEMA = "mean double, var double, n bigint, n_alerts bigint"
+
+
+def _make_ewma_fn(alpha: float, k_sigma: float, warmup: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        mean, var, n, n_alerts = (
+            state.get if state.exists else (0.0, 0.0, 0, 0)
+        )
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        # event-time order (ties by id) — replayed batch contents
+        # reproduce the same state whatever the source partitioning
+        rows = rows.sort_values(["ts_us", "id"], kind="mergesort")
+        last_alert = None
+        for v in rows["v"]:
+            v = float(v)
+            if n == 0:
+                mean, var = v, 0.0
+            else:
+                diff = v - mean
+                # West (1979) exponentially-weighted moments: the
+                # deviation is judged against the PRE-update spread,
+                # so a spike cannot mask itself
+                if n >= warmup and diff * diff > (
+                    k_sigma * k_sigma
+                ) * max(var, 1e-12):
+                    n_alerts += 1
+                    last_alert = v
+                incr = alpha * diff
+                mean = mean + incr
+                var = (1.0 - alpha) * (var + diff * incr)
+            n += 1
+        state.update((float(mean), float(var), int(n), int(n_alerts)))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_total": [n],
+                "ewma": [float(mean)],
+                "ewm_std": [float(var) ** 0.5],
+                "n_alerts": [n_alerts],
+                "last_alert_value": [last_alert],
+            }
+        )
+
+    return fn
+
+
+def streaming_ewma_anomaly(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    alpha: float = 0.1,
+    k_sigma: float = 4.0,
+    warmup: int = 8,
+) -> DataFrame:
+    """Per-key EWMA anomaly monitor over an unbounded stream — the
+    telemetry alerting op (latency spikes, metric drift) as O(1) state
+    per key: exponentially-weighted mean AND variance (West 1979
+    update), alerting when an arrival deviates from the pre-update
+    mean by more than ``k_sigma`` pre-update standard deviations after
+    a ``warmup`` arrival count (the cold-start guard — the first few
+    values define the baseline, they cannot be anomalies against it).
+
+    Why stateful-custom and not a windowed agg: the baseline is
+    EXPONENTIAL over the key's whole history (no window bound), and
+    the alert decision needs the running moments AT each arrival, not
+    a per-window summary. State is four scalars per key — bounded
+    regardless of stream length; within a batch rows fold in
+    event-time order (ties by id) so replays reproduce the same
+    state. Emits one summary row per key per batch (update mode).
+
+    Batch DataFrames degrade to the same fold via ``applyInPandas``
+    (one giant micro-batch, no cross-batch state).
+    """
+    import pyspark.sql.functions as F
+
+    prepared = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+        F.col(id_col).cast("long").alias("id"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    if not df.isStreaming:
+        fn = _make_ewma_fn(alpha, k_sigma, warmup)
+
+        def batch_fold(pdf: pd.DataFrame) -> pd.DataFrame:
+            class _FakeState:
+                exists = False
+                hasTimedOut = False
+
+                def update(self, t):
+                    pass
+
+            out = list(fn((pdf["key"].iloc[0],), iter([pdf]), _FakeState()))
+            return out[0]
+
+        return prepared.groupBy("key").applyInPandas(
+            batch_fold, schema=EWMA_OUTPUT_SCHEMA
+        )
+    return prepared.groupBy("key").applyInPandasWithState(
+        _make_ewma_fn(alpha, k_sigma, warmup),
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1430,3 +1430,143 @@ def test_keyed_quota_batch_degradation(spark):
         for r in keyed_quota(df, quota=3).collect()
     }
     assert got == {("a", 3, 2, 0), ("b", 2, 0, 1)}
+
+
+def test_streaming_ewma_anomaly_spike_alerts_across_batches(spark, tmpdir):
+    """State carries across microbatches: batch 1 establishes a stable
+    baseline (no alerts), batch 2's spike must alert against the
+    CARRIED moments; a steady key never alerts."""
+    import pandas as pd
+
+    from hw_kafka_streams_spark.streaming.stateful import (
+        streaming_ewma_anomaly,
+    )
+
+    rows = []
+    # batch 0: both keys stable around 10 (+-1 alternating), 20 points
+    for i in range(20):
+        v = 10.0 + (1.0 if i % 2 else -1.0)
+        rows.append((0, "spiky", i, 1_700_000_000_000_000 + i * 1000, v))
+        rows.append((0, "steady", 100 + i, 1_700_000_000_000_000 + i * 1000, v))
+    # batch 1: spiky jumps to 100 once then returns; steady stays put
+    for i in range(20, 30):
+        v = 100.0 if i == 24 else (10.0 + (1.0 if i % 2 else -1.0))
+        rows.append((1, "spiky", i, 1_700_000_000_000_000 + i * 1000, v))
+        w = 10.0 + (1.0 if i % 2 else -1.0)
+        rows.append((1, "steady", 100 + i, 1_700_000_000_000_000 + i * 1000, w))
+    pdf = pd.DataFrame(rows, columns=["b", "key", "id", "ts_us", "v"])
+    for b in (0, 1):
+        spark.createDataFrame(
+            pdf[pdf.b == b][["key", "id", "ts_us", "v"]]
+        ).coalesce(1).write.mode("append").parquet(f"{tmpdir}/ewma")
+    stream = (
+        spark.readStream.schema("key string, id long, ts_us long, v double")
+        .parquet(f"{tmpdir}/ewma")
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    )
+    name = f"ewma_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_ewma_anomaly(stream, "key", "ts", "id", "v", alpha=0.2)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        final = spark.sql(
+            f"select key, max(n_total) n, max(n_alerts) a,"
+            f" max(last_alert_value) lav from {name} group by key"
+        ).collect()
+    finally:
+        q.stop()
+    by_key = {r.key: r for r in final}
+    assert by_key["spiky"].n == 30
+    assert by_key["spiky"].a >= 1 and by_key["spiky"].lav == 100.0
+    assert by_key["steady"].a == 0
+
+
+def test_ewma_batch_twin_matches_streaming_fold(spark):
+    """The batch degrade (applyInPandas) runs the identical fold: same
+    alert count and final moments as a hand-rolled replay."""
+    from hw_kafka_streams_spark.streaming.stateful import (
+        streaming_ewma_anomaly,
+    )
+
+    vals = [10.0, 10.5, 9.5, 10.2, 9.8, 10.1, 9.9, 10.0, 10.3, 50.0, 10.0]
+    df = spark.createDataFrame(
+        [("k", i, 1_700_000_000_000_000 + i * 1000, v) for i, v in enumerate(vals)],
+        "key string, id long, ts_us long, v double",
+    ).withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    row = streaming_ewma_anomaly(
+        df, "key", "ts", "id", "v", alpha=0.2, k_sigma=4.0, warmup=8
+    ).collect()[0]
+    # hand replay
+    mean, var, n, alerts = 0.0, 0.0, 0, 0
+    for v in vals:
+        if n == 0:
+            mean, var = v, 0.0
+        else:
+            diff = v - mean
+            if n >= 8 and diff * diff > 16.0 * max(var, 1e-12):
+                alerts += 1
+            incr = 0.2 * diff
+            mean += incr
+            var = 0.8 * (var + diff * incr)
+        n += 1
+    assert row.n_total == 11 and row.n_alerts == alerts == 1
+    assert abs(row.ewma - mean) < 1e-12
+    assert abs(row.ewm_std - var**0.5) < 1e-12
+
+
+def test_streaming_percolator_matches_batch_query(spark, tmpdir):
+    """The stateless streaming percolator over a 2-batch doc stream
+    emits exactly the alerts the batch shape produces on the union,
+    and replays idempotently (same rows per restart-from-scratch)."""
+    import pandas as pd
+
+    from hw_kafka_streams_spark.streaming.percolate import (
+        streaming_percolator,
+    )
+
+    stored = spark.createDataFrame(
+        [(1, ["hash", "join"]), (2, ["merge", "sort"]), (3, ["absent_zz"])],
+        "qid int, terms array<string>",
+    )
+    docs = [
+        (0, 1, "hash join fast table"),
+        (0, 2, "sort then merge the runs"),
+        (1, 3, "hash only no second term"),
+        (1, 4, "join hash reversed order still matches"),
+    ]
+    pdf = pd.DataFrame(docs, columns=["b", "doc_id", "text"])
+    for b in (0, 1):
+        spark.createDataFrame(pdf[pdf.b == b][["doc_id", "text"]]).coalesce(
+            1
+        ).write.mode("append").parquet(f"{tmpdir}/percdocs")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        f"{tmpdir}/percdocs"
+    )
+    name = f"perc_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_percolator(stream, stored)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.doc_id, r.qid)
+            for r in spark.sql(f"select * from {name}").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        (r.doc_id, r.qid)
+        for r in streaming_percolator(
+            spark.createDataFrame(pdf[["doc_id", "text"]]), stored
+        ).collect()
+    }
+    assert got == batch == {(1, 1), (2, 2), (4, 1)}
