@@ -1371,3 +1371,120 @@ def block_dedup_rewrite(
         )
         .select(F.col("_id").alias(id_col), "n_blocks", "n_kept", "clean_text")
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm), word-level: hash every k-word shingle,
+    slide a w-window over the hash sequence, keep each window's
+    MINIMUM. The selection guarantee: any shared run of at least
+    ``w + k - 1`` words between two documents is certain to share a
+    selected fingerprint — a DETERMINISTIC local-sampling dedup
+    primitive (MinHash's guarantee is only probabilistic) at ~1/w the
+    posting volume of full shingling.
+
+    Word-level rather than MOSS's character k-grams — the standard
+    large-corpus adaptation (char-grams at crawl scale explode the
+    posting count ~6×). Only the selected hash VALUES are kept (the
+    classic (hash, pos) pairs matter for locating matches, not for
+    candidate generation; array_distinct collapses repeated picks).
+
+    Plan shape is the :func:`shingle_postings` scale path, NOT the
+    row-local HOF form: an array formulation re-evaluates the whole
+    shingle-hash array per window element (interpreted HOFs are not
+    CSE'd — measured 48 s vs ~3 s at sf0.01), so tokens posexplode
+    once, shingles assemble from ``lead`` offsets, and the w-window
+    minimum is one ``min() over (rowsBetween(0, w-1))`` pass reusing
+    the same id-keyed sort. Hashes are the two-level md5 60-bit twin
+    (token hash, then shingle = md5h of the '|'-joined token hashes)
+    so DuckDB rebuilds identical selections. Docs shorter than
+    k + w - 1 words emit nothing (stated contract — too short for the
+    guarantee to mean anything).
+    """
+    from pyspark.sql import Window
+
+    rows = df.select(
+        F.col(id_col).alias("id"),
+        F.lower(F.col(text_col)).alias("__wn_text"),
+        F.monotonically_increasing_id().alias("rid"),
+    )
+    toks = rows.select(
+        "id",
+        "rid",
+        F.posexplode(word_tokens(F.col("__wn_text"))).alias("pos", "tok"),
+    ).select("id", "rid", "pos", md5h(F.col("tok")).alias("th"))
+    ww = Window.partitionBy("id").orderBy("rid", "pos")
+    parts = [F.col("th")] + [F.lead("th", i).over(ww) for i in range(1, k)]
+    sh = (
+        toks.select(
+            "id",
+            "rid",
+            "pos",
+            F.lead("rid", k - 1).over(ww).alias("rid_end"),
+            *[p.alias(f"h{i}") for i, p in enumerate(parts)],
+        )
+        .filter(
+            F.col(f"h{k-1}").isNotNull() & (F.col("rid_end") == F.col("rid"))
+        )
+        .select(
+            "id",
+            "rid",
+            "pos",
+            md5h(
+                F.concat_ws("|", *[F.col(f"h{i}") for i in range(k)])
+            ).alias("sh"),
+        )
+    )
+    # the same (id)-keyed sort serves the shingle assembly above and
+    # the w-window minimum below — one exchange total
+    wmin = Window.partitionBy("id").orderBy("rid", "pos").rowsBetween(0, w - 1)
+    picks = (
+        sh.select(
+            "id",
+            F.min("sh").over(wmin).alias("fp"),
+            F.lead("pos", w - 1)
+            .over(Window.partitionBy("id").orderBy("rid", "pos"))
+            .alias("pos_end"),
+            F.lead("rid", w - 1)
+            .over(Window.partitionBy("id").orderBy("rid", "pos"))
+            .alias("rid_end"),
+            "rid",
+        )
+        .filter(F.col("pos_end").isNotNull() & (F.col("rid_end") == F.col("rid")))
+        .select("id", "fp")
+    )
+    return picks.dropDuplicates(["id", "fp"])
+
+
+def winnowing_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs from winnowed fingerprints: equi-join
+    the (id, fingerprint) postings with itself (a < b), keep pairs
+    sharing at least ``min_shared`` selections. Posting-list-bounded
+    like every candidate generator here — never all-pairs; the
+    fingerprint key's fan-out is 1/w of full shingling's.
+    """
+    fps = winnow_fingerprints(df, text_col, id_col, k, w)
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id"))
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -4284,3 +4284,57 @@ def q_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return parts[0].unionByName(parts[1]).orderBy("dim_prefix", "query_id")
+
+
+@register(
+    "q_winnowing_dups",
+    oracle=r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                             t -> t <> '') AS t
+          FROM documents
+        ), th AS (
+          SELECT doc_id,
+                 [('0x' || substring(md5(tok), 1, 15))::BIGINT
+                  FOR tok IN t] AS th
+          FROM toks WHERE len(t) >= 3
+        ), hs AS (
+          SELECT doc_id,
+                 [('0x' || substring(md5(th[i]::VARCHAR || '|' ||
+                     th[i+1]::VARCHAR || '|' || th[i+2]::VARCHAR),
+                     1, 15))::BIGINT
+                  FOR i IN range(1, len(th) - 1)] AS h
+          FROM th
+        ), fps AS (
+          SELECT doc_id, unnest(list_distinct(
+                   [list_min(h[j:j+3]) FOR j IN range(1, len(h) - 2)]))
+                   AS fp
+          FROM hs WHERE len(h) >= 4
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 3
+        ORDER BY 1, 2
+    """,
+    doc="Winnowing near-dup candidates (Schleimer-Wilkerson-Aiken "
+    "2003, the MOSS algorithm, word-level): hash every 3-word "
+    "shingle, keep each 4-window's MINIMUM hash — a DETERMINISTIC "
+    "guarantee (any shared run of >= w+k-1 = 6 words shares a "
+    "fingerprint) where MinHash only offers a probabilistic one, at "
+    "~1/w the posting volume of full shingling. Pairs sharing >= 3 "
+    "selections. Row-local selection (no shuffle before the postings "
+    "explode), md5-twin hashes so DuckDB rebuilds identical picks, "
+    "candidate join posting-list-bounded "
+    "(operators/dedup.winnowing_candidate_pairs).",
+)
+def q_winnowing_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.dedup import (
+        winnowing_candidate_pairs,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return winnowing_candidate_pairs(docs, k=3, w=4, min_shared=3).orderBy(
+        "id_a", "id_b"
+    )

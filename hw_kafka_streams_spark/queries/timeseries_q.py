@@ -2955,3 +2955,155 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("duration_h")
     )
+
+
+@register(
+    "q_piecewise_trend",
+    oracle="""
+        WITH series AS (
+          SELECT event_type,
+                 CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+                 CAST(count(*) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2
+        ),
+        idx AS (
+          SELECT event_type, h, x,
+                 CAST(row_number() OVER w AS BIGINT) AS t,
+                 CAST(sum(x) OVER w AS BIGINT) AS cum
+          FROM series
+          WINDOW w AS (PARTITION BY event_type ORDER BY h)
+        ),
+        mom AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx
+          FROM series GROUP BY 1
+        ),
+        dev AS (
+          SELECT i.event_type, i.h,
+                 abs(m.n * i.cum - i.t * m.sx) AS d
+          FROM idx i JOIN mom m USING (event_type)
+        ),
+        cp AS (
+          SELECT event_type, min(h) AS cp_h FROM dev
+          WHERE d = (SELECT max(d2.d) FROM dev d2
+                     WHERE d2.event_type = dev.event_type)
+          GROUP BY 1
+        ),
+        seg AS (
+          SELECT s.event_type, cp.cp_h,
+                 CAST(s.h <= cp.cp_h AS INT) AS pre,
+                 s.h, s.x
+          FROM series s JOIN cp USING (event_type)
+        ),
+        fits AS (
+          SELECT event_type, cp_h, pre,
+                 CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(h AS HUGEINT)) AS sh,
+                 sum(CAST(x AS HUGEINT)) AS sx,
+                 sum(CAST(h AS HUGEINT) * h) AS shh,
+                 sum(CAST(h AS HUGEINT) * x) AS shx
+          FROM seg GROUP BY 1, 2, 3
+        ),
+        slopes AS (
+          SELECT event_type, cp_h, pre, n,
+                 round((CAST(n AS DOUBLE) * CAST(shx AS DOUBLE)
+                        - CAST(sh AS DOUBLE) * CAST(sx AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(shh AS DOUBLE)
+                          - CAST(sh AS DOUBLE) * CAST(sh AS DOUBLE)),
+                       6) AS slope
+          FROM fits WHERE n >= 2
+        )
+        SELECT a.event_type, a.cp_h AS changepoint_h,
+               a.n AS n_pre, b.n AS n_post,
+               a.slope AS slope_pre, b.slope AS slope_post,
+               round(b.slope - a.slope, 6) AS slope_delta
+        FROM slopes a JOIN slopes b
+          ON a.event_type = b.event_type AND a.pre = 1 AND b.pre = 0
+        ORDER BY a.event_type
+    """,
+    doc="Piecewise (segmented) trend: OLS slope of the hourly "
+    "event-count series BEFORE vs AFTER its CUSUM changepoint — the "
+    "follow-up question every detected shift raises (did the level "
+    "jump, or did the TREND change?). Changepoint selection is "
+    "q_cusum_changepoint's integer |n*cum - t*sx| argmax (earliest-h "
+    "tiebreak); each segment's slope comes from exact HUGEINT/DECIMAL "
+    "moments (n*Sxy - Sx*Sy)/(n*Sxx - Sx^2) with no float until the "
+    "final division. Scale shape: the same domain-bounded hour series "
+    "as q_acf, one window pass for the cumulative deviation, two "
+    "conditional moment aggregations — no per-event rows past the "
+    "first agg.",
+)
+def q_piecewise_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    series = e.groupBy(
+        "event_type",
+        (F.col("ts").cast("long") / 3600).cast("long").alias("h"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    idx = series.select(
+        "event_type",
+        "h",
+        "x",
+        F.row_number().over(w).cast("long").alias("t"),
+        F.sum("x").over(w).alias("cum"),
+    )
+    mom = series.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx")
+    )
+    dev = idx.join(F.broadcast(mom), "event_type").select(
+        "event_type",
+        "h",
+        F.abs(F.col("n") * F.col("cum") - F.col("t") * F.col("sx")).alias(
+            "d"
+        ),
+    )
+    mx = dev.groupBy("event_type").agg(F.max("d").alias("dmax"))
+    cp = (
+        dev.join(F.broadcast(mx), "event_type")
+        .filter(F.col("d") == F.col("dmax"))
+        .groupBy("event_type")
+        .agg(F.min("h").alias("cp_h"))
+    )
+    seg = series.join(F.broadcast(cp), "event_type").withColumn(
+        "pre", (F.col("h") <= F.col("cp_h")).cast("int")
+    )
+    hd = F.col("h").cast("decimal(38,0)")
+    xd = F.col("x").cast("decimal(38,0)")
+    fits = seg.groupBy("event_type", "cp_h", "pre").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(hd).alias("sh"),
+        F.sum(xd).alias("sxx"),
+        F.sum(hd * hd).alias("shh"),
+        F.sum(hd * xd).alias("shx"),
+    )
+    slope = F.round(
+        (
+            F.col("n").cast("double") * F.col("shx").cast("double")
+            - F.col("sh").cast("double") * F.col("sxx").cast("double")
+        )
+        / (
+            F.col("n").cast("double") * F.col("shh").cast("double")
+            - F.col("sh").cast("double") * F.col("sh").cast("double")
+        ),
+        6,
+    )
+    slopes = fits.filter(F.col("n") >= 2).select(
+        "event_type", "cp_h", "pre", "n", slope.alias("slope")
+    )
+    a = slopes.filter(F.col("pre") == 1).alias("a")
+    b = slopes.filter(F.col("pre") == 0).alias("b")
+    return (
+        a.join(b, F.col("a.event_type") == F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.cp_h").alias("changepoint_h"),
+            F.col("a.n").alias("n_pre"),
+            F.col("b.n").alias("n_post"),
+            F.col("a.slope").alias("slope_pre"),
+            F.col("b.slope").alias("slope_post"),
+            F.round(F.col("b.slope") - F.col("a.slope"), 6).alias(
+                "slope_delta"
+            ),
+        )
+        .orderBy("event_type")
+    )

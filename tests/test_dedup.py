@@ -377,3 +377,36 @@ def test_containment_catches_excerpt_jaccard_misses(spark):
     assert cont == {(2, 1): 1.0}  # excerpt contained; never the reverse
     jac = jaccard_candidate_pairs(df, threshold=0.2).collect()
     assert not [r for r in jac if {r.id1, r.id2} == {1, 2}]  # J ≈ 0.04
+
+
+def test_winnowing_guarantee_shared_run(spark):
+    """The winnowing guarantee: any shared run of >= w+k-1 = 6 words
+    must share at least one selected fingerprint; fully disjoint texts
+    share none; short docs emit nothing."""
+    from hw_kafka_streams_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnowing_candidate_pairs,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro words here {shared} tail one"),
+            (2, f"other opening {shared} different ending"),
+            (3, "completely disjoint vocabulary nothing matches here at all"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {
+        i: set(
+            r.fp
+            for r in winnow_fingerprints(df.filter(f"doc_id = {i}")).collect()
+        )
+        for i in (1, 2, 3, 4)
+    }
+    assert fps[1] & fps[2], "shared 6-word run must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    assert fps[4] == set()
+    pairs = winnowing_candidate_pairs(df, min_shared=1).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}

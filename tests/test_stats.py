@@ -688,3 +688,55 @@ def test_cond_entropy_templated_below_natural(spark):
     assert rows["vary"].cond > 0.5
     assert rows["tmpl"].joint >= rows["tmpl"].cond - 1e-9
     assert rows["vary"].joint >= rows["vary"].cond - 1e-9
+
+
+def test_piecewise_trend_detects_slope_break(spark, tmp_path):
+    """A series that is flat then steeply rising must place the
+    changepoint near the break and report slope_post >> slope_pre."""
+    import datetime
+
+    from hw_kafka_streams_spark.queries import queries
+
+    rows = []
+    eid = 0
+    base = datetime.datetime(2024, 1, 1)
+    for hour in range(48):
+        # flat 2/hour for 24h, then ramp: hour-23 events per hour
+        n = 2 if hour < 24 else (hour - 22)
+        for i in range(n):
+            rows.append(
+                (
+                    eid,
+                    base + datetime.timedelta(hours=hour, seconds=i),
+                    1,
+                    "probe",
+                    1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    p = str(tmp_path / "events.parquet")
+    df.write.parquet(p)
+    # point the query at a dir with just this events table
+    import os
+
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"):
+        src = f"/root/testdata/sf0.001/{t}.parquet"
+        os.symlink(src, str(tmp_path / f"{t}.parquet"))
+    out = {
+        r.event_type: r
+        for r in queries()["q_piecewise_trend"](spark, str(tmp_path)).collect()
+    }
+    r = out["probe"]
+    base_h = int(datetime.datetime(2024, 1, 1).timestamp()) // 3600
+    # CUSUM argmax should land inside the ramp, after the flat half
+    assert base_h + 20 <= r.changepoint_h <= base_h + 47
+    assert r.n_pre >= 2 and r.n_post >= 2
+    assert r.slope_post > r.slope_pre + 0.5
+    assert abs(r.slope_pre) < 0.2
