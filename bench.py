@@ -163,6 +163,8 @@ HEADLINE = [
     "q_kn_lm_score",
     "q_jsd_sources",
     "q_phrase_search",
+    # winnowing: the new posting-bounded candidate-pair shape
+    "q_winnowing_dups",
 ]
 
 

@@ -112,6 +112,7 @@ PROBES = [
     "q_cond_entropy",          # (source,w1,w2) counts + source rollup
     "q_source_dup_matrix",     # (fp,source) self-join, n_sources^2 cap
     "q_quantile_normalize",    # distinct-score cum tables + range join
+    "q_winnowing_dups",        # windowed-min selection + fp pair join
 ]
 
 

@@ -130,6 +130,16 @@ NOTES = {
     "scalar DL epilogue",
     "q_kaplan_meier": "events 10x; per-user min/max agg, duration "
     "tables domain-bounded in hours",
+    "q_percolator": "docs 10x; postings pre-filtered to query terms "
+    "before any shuffle, stored queries broadcast",
+    "q_reservoir_sample": "docs 10x; one key shuffle, "
+    "WindowGroupLimit keeps top-5 per group unsorted",
+    "q_lexical_richness": "docs 10x; one partial-agged (source, word) "
+    "count + source rollup",
+    "q_winnowing_dups": "docs 10x; explode+lead selection, "
+    "posting-bounded fingerprint join (~1/w of full shingling)",
+    "q_piecewise_trend": "events 10x; domain-bounded hour series, "
+    "two conditional moment aggs",
 }
 
 
