@@ -1398,7 +1398,8 @@ def winnow_fingerprints(
     Plan shape is the :func:`shingle_postings` scale path, NOT the
     row-local HOF form: an array formulation re-evaluates the whole
     shingle-hash array per window element (interpreted HOFs are not
-    CSE'd — measured 48 s vs ~3 s at sf0.01), so tokens posexplode
+    CSE'd — the oracle-check wall at sf0.01 measured 48 s for the HOF
+    form vs 8 s for this one), so tokens posexplode
     once, shingles assemble from ``lead`` offsets, and the w-window
     minimum is one ``min() over (rowsBetween(0, w-1))`` pass reusing
     the same id-keyed sort. Hashes are the two-level md5 60-bit twin

@@ -522,9 +522,9 @@ def test_percolator_zero_match_query_survives(spark, sf_dir):
     rows = {r.qid: r for r in queries()["q_percolator"](spark, sf_dir).collect()}
     assert set(rows) == set(range(1, 9))
     assert rows[7].n_docs == 0 and rows[7].first_doc is None
-    # q5 ('window') is a subset of no other, but q1 ('hash join') can
-    # never match more docs than either term alone would
-    assert rows[1].n_docs <= rows[5].n_docs + rows[1].n_docs  # sanity
+    # single-term queries over this corpus's common vocabulary match;
+    # every first_doc of a matched query is a real doc id
+    assert rows[5].n_docs > 0 and rows[5].first_doc is not None
     assert all(r.n_docs >= 0 for r in rows.values())
 
 
