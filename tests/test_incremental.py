@@ -142,7 +142,11 @@ def test_streaming_incremental_dedup_foreachbatch(spark, tmp_path):
         spark, stream, state, chk, sink, threshold=0.4, compact_every=0
     )
     try:
-        deadline = time.time() + 60
+        # generous deadlines: under a fully loaded 32-core host (whole
+        # suite + parallel Spark sessions) a 2-doc micro-batch has been
+        # observed to take >60 s to schedule — the tight deadline made
+        # this the suite's one flaky test
+        deadline = time.time() + 150
         while not labels and time.time() < deadline:
             time.sleep(0.5)
         # drop batch 2 in AFTER batch 1 processed
@@ -151,7 +155,7 @@ def test_streaming_incremental_dedup_foreachbatch(spark, tmp_path):
                 "text": "first streaming document with enough words to signature"}) + "\n")
             f.write(json.dumps({"doc_id": 11,
                 "text": "a wholly new third document streaming in fresh today"}) + "\n")
-        deadline = time.time() + 90
+        deadline = time.time() + 210
         while len(labels) < 2 and time.time() < deadline:
             time.sleep(0.5)
     finally:

@@ -282,6 +282,12 @@ def test_headline_plans_no_smj_no_unexpected_nlj(spark, sf_dir):
         # round-7: the broadcast-anchors cosine scan (queries x corpus
         # is the intentional brute-force pattern, anchors bounded)
         "q_hard_negatives",
+        # round-9: 1-row broadcast totals — the 2x-token budget scalar
+        # in the epoch planner and the bigram-type count B in the
+        # Kneser-Ney continuation probability (same ntot pattern as
+        # q_bigram_backoff_score)
+        "q_epoch_repetition_plan",
+        "q_kn_lm_score",
     }
     offenders: dict[str, str] = {}
     for name in HEADLINE:
