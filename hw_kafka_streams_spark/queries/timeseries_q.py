@@ -3107,3 +3107,141 @@ def q_piecewise_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_transition_entropy",
+    oracle="""
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS nxt
+          FROM events
+        ),
+        trans AS (
+          SELECT event_type AS src, nxt AS dst,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+        ),
+        outdeg AS (
+          SELECT src, CAST(sum(n) AS BIGINT) AS tot,
+                 CAST(count(*) AS BIGINT) AS n_dst
+          FROM trans GROUP BY 1
+        )
+        SELECT t.src, o.n_dst, o.tot AS n_transitions,
+               round(CAST(sum(CAST(round(
+                   -(CAST(t.n AS DOUBLE) / o.tot)
+                   * ln(CAST(t.n AS DOUBLE) / o.tot), 9)
+                 AS DECIMAL(18,9))) AS DOUBLE), 6) AS row_entropy,
+               round(CAST(sum(CAST(round(
+                   -(CAST(t.n AS DOUBLE) / o.tot)
+                   * ln(CAST(t.n AS DOUBLE) / o.tot), 9)
+                 AS DECIMAL(18,9))) AS DOUBLE)
+                 / ln(CAST(o.n_dst AS DOUBLE)), 6) AS normalized
+        FROM trans t JOIN outdeg o USING (src)
+        GROUP BY 1, 2, 3
+        HAVING o.n_dst > 1
+        ORDER BY 1
+    """,
+    doc="Markov transition-row entropy per source state: H(next | "
+    "current = s) over q_event_transitions' first-order matrix, plus "
+    "the ln(k)-normalized form — the navigation-predictability signal "
+    "(a state whose row entropy collapses funnels users "
+    "deterministically; near-1 normalized entropy means the next step "
+    "is anyone's guess). Exact integer transition counts, per-term "
+    "9dp DECIMAL sums; states with a single successor drop (H = 0 by "
+    "definition, ln(1) normalization undefined — stated contract). "
+    "Scale shape: one per-user window pass (the transition extraction "
+    "q_event_transitions already pays), then two aggregations over "
+    "the k^2-row transition matrix — domain-bounded.",
+)
+def q_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    outdeg = trans.groupBy("src").agg(
+        F.sum("n").alias("tot"), F.count(F.lit(1)).alias("n_dst")
+    )
+    p = F.col("n").cast("double") / F.col("tot")
+    ent = F.sum(F.round(-p * F.log(p), 9).cast("decimal(18,9)")).cast(
+        "double"
+    )
+    return (
+        trans.join(outdeg, "src")
+        .groupBy("src", "n_dst", F.col("tot").alias("n_transitions"))
+        .agg(
+            F.round(ent, 6).alias("row_entropy"),
+            F.round(
+                ent / F.log(F.col("n_dst").cast("double")), 6
+            ).alias("normalized"),
+        )
+        .filter(F.col("n_dst") > 1)
+        .orderBy("src")
+    )
+
+
+@register(
+    "q_gini_sources",
+    oracle="""
+        WITH st AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS chars
+          FROM documents GROUP BY 1
+        ),
+        ranked AS (
+          SELECT source, n_docs, chars,
+                 CAST(row_number() OVER (ORDER BY chars, source)
+                   AS BIGINT) AS i
+          FROM st
+        ),
+        m AS (
+          SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(chars) AS BIGINT) AS tot,
+                 CAST(sum(i * chars) AS BIGINT) AS iw
+          FROM ranked
+        )
+        SELECT k AS n_sources, tot AS total_chars,
+               round((2.0 * iw) / (CAST(k AS DOUBLE) * tot)
+                     - (CAST(k AS DOUBLE) + 1) / k, 6) AS gini
+        FROM m
+    """,
+    doc="Gini coefficient of corpus-share concentration across "
+    "sources (by character volume): 0 = perfectly balanced corpus, "
+    "near 1 = one source dominates — the one-number inequality audit "
+    "run before trusting per-source mixture weights (a dominant "
+    "source silently becomes the model's dialect). Exact integer "
+    "rank-weighted formula G = 2*sum(i*x_i)/(k*sum x) - (k+1)/k over "
+    "the k-row source table (ties broken by source name so both "
+    "engines rank identically); the only window is over k rows "
+    "(tiny partition).",
+)
+def q_gini_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    st = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+    )
+    w = Window.partitionBy(tiny_table_partition("source")).orderBy(
+        "chars", "source"
+    )
+    ranked = st.withColumn("i", F.row_number().over(w).cast("long"))
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("chars").alias("tot"),
+        F.sum(F.col("i") * F.col("chars")).alias("iw"),
+    )
+    return m.select(
+        F.col("k").alias("n_sources"),
+        F.col("tot").alias("total_chars"),
+        F.round(
+            (2.0 * F.col("iw"))
+            / (F.col("k").cast("double") * F.col("tot"))
+            - (F.col("k").cast("double") + 1) / F.col("k"),
+            6,
+        ).alias("gini"),
+    )

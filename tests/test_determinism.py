@@ -54,6 +54,7 @@ DECIMAL_RECIPE_QUERIES = [
     "q_sax_symbols",
     "q_quantile_normalize",
     "q_brown_forsythe",
+    "q_transition_entropy",
 ]
 
 

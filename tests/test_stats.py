@@ -740,3 +740,44 @@ def test_piecewise_trend_detects_slope_break(spark, tmp_path):
     assert r.n_pre >= 2 and r.n_post >= 2
     assert r.slope_post > r.slope_pre + 0.5
     assert abs(r.slope_pre) < 0.2
+
+
+def test_gini_extremes(spark):
+    """Perfectly balanced sources -> G = 0; near-total concentration
+    pushes G toward (k-1)/k."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hw_kafka_streams_spark.operators.winutil import tiny_table_partition
+
+    def gini(rows):
+        st = spark.createDataFrame(rows, "source string, n_chars long")
+        agg = st.groupBy("source").agg(F.sum("n_chars").alias("chars"))
+        w = Window.partitionBy(tiny_table_partition("source")).orderBy(
+            "chars", "source"
+        )
+        r = agg.withColumn("i", F.row_number().over(w).cast("long"))
+        m = r.agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum("chars").alias("tot"),
+            F.sum(F.col("i") * F.col("chars")).alias("iw"),
+        ).collect()[0]
+        return (2.0 * m.iw) / (m.k * m.tot) - (m.k + 1) / m.k
+
+    balanced = [(f"s{i}", 100) for i in range(4)]
+    assert abs(gini(balanced)) < 1e-12
+    skewed = [("s0", 1), ("s1", 1), ("s2", 1), ("s3", 997)]
+    assert gini(skewed) > 0.7
+
+
+def test_transition_entropy_deterministic_funnel_collapses(spark, sf_dir):
+    """Registry output invariants: normalized in [0,1], entropy >= 0,
+    and every reported state has >1 successor."""
+    from hw_kafka_streams_spark.queries import queries
+
+    rows = queries()["q_transition_entropy"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_dst > 1
+        assert r.row_entropy >= 0
+        assert -1e-9 <= r.normalized <= 1 + 1e-9
