@@ -3245,3 +3245,320 @@ def q_gini_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "q_grubbs_test",
+    oracle="""
+        WITH mom AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS sx,
+                 sum(CAST(round(value * value, 6) AS DECIMAL(38,6)))
+                   AS sx2
+          FROM events GROUP BY 1
+        ),
+        g AS (
+          SELECT e.event_type,
+                 max(abs(e.value - CAST(m.sx AS DOUBLE) / m.n)) AS maxdev,
+                 min(m.n) AS n,
+                 min(CAST(m.sx AS DOUBLE)) AS sxd,
+                 min(CAST(m.sx2 AS DOUBLE)) AS sx2d
+          FROM events e JOIN mom m USING (event_type)
+          GROUP BY 1
+        )
+        SELECT event_type, n,
+               round(maxdev
+                     / sqrt((sx2d - sxd * sxd / n) / (n - 1)), 6)
+                 AS grubbs_g,
+               round(sqrt(CAST(n - 1 AS DOUBLE) * (n - 1) / n), 6)
+                 AS g_max
+        FROM g ORDER BY event_type
+    """,
+    doc="Grubbs statistic per event type: G = max|x - mean| / s (sample "
+    "stddev), the parametric single-outlier screen beside "
+    "q_mad_outliers' robust fences, reported with its theoretical "
+    "ceiling (n-1)/sqrt(n) — G near the ceiling means one point "
+    "carries the entire spread. Moments are 6dp-DECIMAL sums "
+    "(reducer-order-proof); the max-deviation pass reuses the same "
+    "event_type partitioning. Two group-keyed aggregations, no "
+    "windows, no sort.",
+)
+def q_grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    v = F.col("value")
+    mom = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(v, 6).cast("decimal(28,6)")).alias("sx"),
+        F.sum(F.round(v * v, 6).cast("decimal(38,6)")).alias("sx2"),
+    )
+    m = F.col("sx").cast("double") / F.col("n")
+    g = (
+        e.join(F.broadcast(mom), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max(F.abs(v - m)).alias("maxdev"),
+            F.min("n").alias("n"),
+            F.min(F.col("sx").cast("double")).alias("sxd"),
+            F.min(F.col("sx2").cast("double")).alias("sx2d"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    s = F.sqrt(
+        (F.col("sx2d") - F.col("sxd") * F.col("sxd") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    return g.select(
+        "event_type",
+        "n",
+        F.round(F.col("maxdev") / s, 6).alias("grubbs_g"),
+        F.round(F.sqrt((nd - 1) * (nd - 1) / nd), 6).alias("g_max"),
+    ).orderBy("event_type")
+
+
+@register(
+    "q_durbin_watson",
+    oracle="""
+        WITH series AS (
+          SELECT event_type,
+                 CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+                 CAST(count(*) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2
+        ),
+        mom AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(h AS HUGEINT)) AS sh,
+                 sum(CAST(x AS HUGEINT)) AS sx,
+                 sum(CAST(h AS HUGEINT) * h) AS shh,
+                 sum(CAST(h AS HUGEINT) * x) AS shx
+          FROM series GROUP BY 1
+        ),
+        fit AS (
+          SELECT event_type, n,
+                 round((CAST(n AS DOUBLE) * CAST(shx AS DOUBLE)
+                        - CAST(sh AS DOUBLE) * CAST(sx AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(shh AS DOUBLE)
+                          - CAST(sh AS DOUBLE) * CAST(sh AS DOUBLE)),
+                       9) AS b,
+                 CAST(sh AS DOUBLE) / n AS mh,
+                 CAST(sx AS DOUBLE) / n AS mx
+          FROM mom
+        ),
+        resid AS (
+          SELECT s.event_type,
+                 round(s.x - (f.mx + f.b * (s.h - f.mh)), 6) AS e,
+                 lag(round(s.x - (f.mx + f.b * (s.h - f.mh)), 6))
+                   OVER (PARTITION BY s.event_type ORDER BY s.h) AS ep
+          FROM series s JOIN fit f USING (event_type)
+        )
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+               round(CAST(sum(CAST(round((e - ep) * (e - ep), 6)
+                          AS DECIMAL(28,6))) AS DOUBLE)
+                     / CAST(sum(CAST(round(e * e, 6)
+                          AS DECIMAL(28,6))) AS DOUBLE), 6) AS dw
+        FROM resid GROUP BY 1 ORDER BY 1
+    """,
+    doc="Durbin-Watson statistic of the OLS-detrended hourly "
+    "event-count series per type: DW = sum (e_t - e_{t-1})^2 / "
+    "sum e_t^2 — the residual-autocorrelation audit behind trusting "
+    "any trend fit (DW near 2 = independent residuals, near 0 = the "
+    "trend line is lying about its standard errors). Slope from "
+    "exact HUGEINT/DECIMAL moments (9dp-rounded), residuals rounded "
+    "to 6dp so both engines difference identical values, numerator/"
+    "denominator DECIMAL-summed; the lag is one pass over the "
+    "domain-bounded hour series. The first residual has no "
+    "predecessor and drops from the numerator only (the standard "
+    "convention).",
+)
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    series = e.groupBy(
+        "event_type",
+        (F.col("ts").cast("long") / 3600).cast("long").alias("h"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    hd = F.col("h").cast("decimal(38,0)")
+    xd = F.col("x").cast("decimal(38,0)")
+    mom = series.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(hd).alias("sh"),
+        F.sum(xd).alias("sx"),
+        F.sum(hd * hd).alias("shh"),
+        F.sum(hd * xd).alias("shx"),
+    )
+    nd = F.col("n").cast("double")
+    b = F.round(
+        (
+            nd * F.col("shx").cast("double")
+            - F.col("sh").cast("double") * F.col("sx").cast("double")
+        )
+        / (
+            nd * F.col("shh").cast("double")
+            - F.col("sh").cast("double") * F.col("sh").cast("double")
+        ),
+        9,
+    )
+    fit = mom.select(
+        "event_type",
+        "n",
+        b.alias("b"),
+        (F.col("sh").cast("double") / F.col("n")).alias("mh"),
+        (F.col("sx").cast("double") / F.col("n")).alias("mx"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    ecol = F.round(
+        F.col("x") - (F.col("mx") + F.col("b") * (F.col("h") - F.col("mh"))),
+        6,
+    )
+    resid = (
+        series.join(F.broadcast(fit), "event_type")
+        .select("event_type", "h", ecol.alias("e"))
+        .withColumn("ep", F.lag("e").over(w))
+    )
+    def dsum(expr):
+        return F.sum(F.round(expr, 6).cast("decimal(28,6)")).cast("double")
+
+    return (
+        resid.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.round(
+                dsum((F.col("e") - F.col("ep")) * (F.col("e") - F.col("ep")))
+                / dsum(F.col("e") * F.col("e")),
+                6,
+            ).alias("dw"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_friedman_test",
+    oracle="""
+        WITH series AS (
+          SELECT event_type,
+                 CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+                 CAST(count(*) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2
+        ),
+        kk AS (
+          SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k
+          FROM series
+        ),
+        full_blocks AS (
+          SELECT h FROM series, kk GROUP BY h, kk.k
+          HAVING count(*) = min(kk.k)
+        ),
+        b AS (
+          SELECT s.h, s.event_type, s.x FROM series s
+          JOIN full_blocks USING (h)
+        ),
+        dr AS (
+          SELECT a.h, a.event_type,
+                 CAST(2 * sum(CASE WHEN c.x < a.x THEN 1 ELSE 0 END)
+                      + sum(CASE WHEN c.x = a.x THEN 1 ELSE 0 END)
+                      + 1 AS BIGINT) AS dr
+          FROM b a JOIN b c ON a.h = c.h
+          GROUP BY 1, 2
+        ),
+        rj AS (
+          SELECT event_type, CAST(sum(dr) AS BIGINT) AS rd,
+                 CAST(sum(dr * dr) AS BIGINT) AS ad2
+          FROM dr GROUP BY 1
+        ),
+        m AS (
+          SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(rd) AS BIGINT) AS rtot,
+                 CAST(sum(ad2) AS BIGINT) AS ad,
+                 (SELECT CAST(count(*) AS BIGINT) FROM full_blocks)
+                   AS n
+          FROM rj
+        )
+        SELECT m.k, m.n AS n_blocks,
+               round((CAST(m.k AS DOUBLE) - 1)
+                     * (SELECT sum(CAST((rj.rd - m.n * (m.k + 1))
+                                   AS DOUBLE)
+                                  * (rj.rd - m.n * (m.k + 1)))
+                        FROM rj)
+                     / (CAST(m.ad AS DOUBLE)
+                        - CAST(m.n AS DOUBLE) * m.k * (m.k + 1)
+                          * (m.k + 1)), 6) AS chi2
+        FROM m
+        WHERE m.n > 0
+          AND m.ad > m.n * m.k * (m.k + 1) * (m.k + 1)
+    """,
+    doc="Friedman test (tie-corrected, Conover form) across event "
+    "types with hours as blocks: do the k types keep the same rank "
+    "order of activity hour after hour, or does some type "
+    "systematically dominate? The repeated-measures nonparametric "
+    "ANOVA beside q_kruskal_wallis's independent-groups one. "
+    "Within-block average ranks stay INTEGERS by doubling (the "
+    "Kruskal-Wallis trick: dr = 2r = 2*#less + #equal-incl-self + 1), "
+    "collapses the tie-corrected statistic to an EXACT integer "
+    "ratio: chi2 = (k-1)*sum(Rd_j - n(k+1))^2 / (Ad - n*k*(k+1)^2) "
+    "— no float until the final division. Incomplete blocks (an "
+    "hour missing a type) drop by contract. Scale shape: blocks are "
+    "hour-sized (k rows each), the rank self-join is k^2 per block "
+    "over the domain-bounded hour series, then two tiny rollups.",
+)
+def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    series = e.groupBy(
+        "event_type",
+        (F.col("ts").cast("long") / 3600).cast("long").alias("h"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    kk = series.agg(F.countDistinct("event_type").alias("k"))
+    full_blocks = (
+        series.crossJoin(F.broadcast(kk))
+        .groupBy("h", "k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") == F.col("k"))
+        .select("h")
+    )
+    b = series.join(full_blocks, "h")
+    a_, c_ = b.alias("a"), b.alias("c")
+    dr = (
+        a_.join(c_, F.col("a.h") == F.col("c.h"))
+        .groupBy(F.col("a.h").alias("h"), F.col("a.event_type").alias("event_type"))
+        .agg(
+            (
+                2 * F.sum((F.col("c.x") < F.col("a.x")).cast("long"))
+                + F.sum((F.col("c.x") == F.col("a.x")).cast("long"))
+                + 1
+            ).alias("dr")
+        )
+    )
+    rj = dr.groupBy("event_type").agg(
+        F.sum("dr").alias("rd"),
+        F.sum(F.col("dr") * F.col("dr")).alias("ad2"),
+    )
+    nb = full_blocks.agg(F.count(F.lit(1)).alias("n"))
+    m = (
+        rj.agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum("ad2").alias("ad"),
+        )
+        .crossJoin(F.broadcast(nb))
+    )
+    dev = rj.crossJoin(F.broadcast(m)).agg(
+        F.sum(
+            (F.col("rd") - F.col("n") * (F.col("k") + 1)).cast("double")
+            * (F.col("rd") - F.col("n") * (F.col("k") + 1))
+        ).alias("ss"),
+        F.min("k").alias("k"),
+        F.min("n").alias("n"),
+        F.min("ad").alias("ad"),
+    )
+    kd = F.col("k").cast("double")
+    den = F.col("ad").cast("double") - F.col("n").cast("double") * F.col(
+        "k"
+    ) * (F.col("k") + 1) * (F.col("k") + 1)
+    # degenerate corpora (no complete block, or all-tied ranks) emit
+    # ZERO rows — the stated contract, identical in the oracle's WHERE
+    return (
+        dev.filter(
+            F.col("n").isNotNull() & (F.col("n") > 0) & (den > 0)
+        ).select(
+            "k",
+            F.col("n").alias("n_blocks"),
+            F.round((kd - 1) * F.col("ss") / den, 6).alias("chi2"),
+        )
+    )

@@ -781,3 +781,72 @@ def test_transition_entropy_deterministic_funnel_collapses(spark, sf_dir):
         assert r.n_dst > 1
         assert r.row_entropy >= 0
         assert -1e-9 <= r.normalized <= 1 + 1e-9
+
+
+def test_friedman_dominant_treatment_inflates_chi2(spark, sf_dir):
+    """Registry invariants: chi2 >= 0 and blocks/k are sane; a fully
+    dominant treatment on synthetic blocks maxes the statistic at
+    n*(k-1) (no ties, perfect ordering)."""
+    from hw_kafka_streams_spark.queries import queries
+
+    rows = queries()["q_friedman_test"](spark, sf_dir).collect()
+    # sf0.001 has no complete hour blocks -> zero rows by contract
+    for row in rows:
+        assert row.k >= 2 and row.n_blocks >= 1
+        assert row.chi2 >= 0
+    full = queries()["q_friedman_test"](spark, "/root/testdata/sf0.01").collect()
+    assert len(full) == 1 and full[0].chi2 >= 0 and full[0].k >= 2
+
+
+def test_durbin_watson_independent_vs_trending(spark, sf_dir):
+    """DW lives in [0, 4]; a count series' residuals after a linear
+    fit should not show perfect positive autocorrelation (DW == 0)."""
+    from hw_kafka_streams_spark.queries import queries
+
+    rows = queries()["q_durbin_watson"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.dw < 4
+
+
+def test_grubbs_bounded_by_ceiling(spark, sf_dir):
+    """G can never exceed its algebraic ceiling (n-1)/sqrt(n)."""
+    from hw_kafka_streams_spark.queries import queries
+
+    rows = queries()["q_grubbs_test"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.grubbs_g <= r.g_max + 1e-9
+
+
+def test_friedman_hand_computed_no_ties(spark):
+    """2 blocks, k=3, identical rank order: chi2 = n(k-1) = 4 exactly
+    (the textbook maximum for consistent dominance, no ties)."""
+    from pyspark.sql import functions as F
+
+    b = spark.createDataFrame(
+        [(1, "A", 3), (1, "B", 2), (1, "C", 1),
+         (2, "A", 30), (2, "B", 20), (2, "C", 10)],
+        "h long, event_type string, x long",
+    )
+    a_, c_ = b.alias("a"), b.alias("c")
+    dr = (
+        a_.join(c_, F.col("a.h") == F.col("c.h"))
+        .groupBy(F.col("a.h").alias("h"), F.col("a.event_type").alias("t"))
+        .agg(
+            (
+                2 * F.sum((F.col("c.x") < F.col("a.x")).cast("long"))
+                + F.sum((F.col("c.x") == F.col("a.x")).cast("long"))
+                + 1
+            ).alias("dr")
+        )
+    )
+    rj = {r.t: r.rd for r in dr.groupBy("t").agg(F.sum("dr").alias("rd")).collect()}
+    assert rj == {"A": 12, "B": 8, "C": 4}
+    n, k = 2, 3
+    ad = sum(
+        r.s for r in dr.groupBy().agg(F.sum(F.col("dr") * F.col("dr")).alias("s")).collect()
+    )
+    ss = sum((rd - n * (k + 1)) ** 2 for rd in rj.values())
+    chi2 = (k - 1) * ss / (ad - n * k * (k + 1) ** 2)
+    assert abs(chi2 - 4.0) < 1e-12
