@@ -55,6 +55,13 @@ DECIMAL_RECIPE_QUERIES = [
     "q_quantile_normalize",
     "q_brown_forsythe",
     "q_transition_entropy",
+    # round-9d: decimal-moment Grubbs and decimal-residual
+    # Durbin-Watson. q_friedman_test stays out: it is exact-integer
+    # until one final division (nothing to drift) and legitimately
+    # returns ZERO rows at sf0.001 (no complete hour blocks), which
+    # this battery's non-empty guard rejects.
+    "q_grubbs_test",
+    "q_durbin_watson",
 ]
 
 
