@@ -3562,3 +3562,107 @@ def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((kd - 1) * F.col("ss") / den, 6).alias("chi2"),
         )
     )
+
+
+@register(
+    "q_forecast_skill",
+    oracle="""
+        WITH series AS (
+          SELECT event_type,
+                 CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+                 CAST(count(*) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2
+        ),
+        base AS (
+          SELECT event_type, h % 24 AS hod,
+                 CAST(sum(x) AS BIGINT) AS sxh,
+                 CAST(count(*) AS BIGINT) AS nh
+          FROM series GROUP BY 1, 2
+        ),
+        lagged AS (
+          SELECT s.event_type, s.h, s.x,
+                 lag(s.x) OVER (PARTITION BY s.event_type
+                                ORDER BY s.h) AS xp,
+                 CAST(b.sxh AS DOUBLE) / b.nh AS pred
+          FROM series s JOIN base b
+            ON s.event_type = b.event_type AND s.h % 24 = b.hod
+        ),
+        sub AS (
+          SELECT * FROM lagged WHERE xp IS NOT NULL
+        ),
+        mom AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx
+          FROM sub GROUP BY 1
+        )
+        SELECT s.event_type, min(m.n) AS n_hours,
+               round(1 - CAST(sum(CAST(round(
+                     (s.x - s.pred) * (s.x - s.pred), 6)
+                   AS DECIMAL(28,6))) AS DOUBLE)
+                 / CAST(sum(CAST(round(
+                     (s.x - CAST(m.sx AS DOUBLE) / m.n)
+                     * (s.x - CAST(m.sx AS DOUBLE) / m.n), 6)
+                   AS DECIMAL(28,6))) AS DOUBLE), 6) AS r2_seasonal,
+               round(sqrt(CAST(sum(CAST(round(
+                     (s.x - s.pred) * (s.x - s.pred), 6)
+                   AS DECIMAL(28,6))) AS DOUBLE)
+                 / CAST(sum(CAST(round(
+                     CAST((s.x - s.xp) * (s.x - s.xp) AS DOUBLE), 6)
+                   AS DECIMAL(28,6))) AS DOUBLE)), 6) AS theil_u
+        FROM sub s JOIN mom m USING (event_type)
+        GROUP BY 1 ORDER BY 1
+    """,
+    doc="Forecast-skill audit of the hour-of-day seasonal baseline "
+    "per event type: R^2 (variance explained vs the mean) and "
+    "Theil's U vs the lag-1 naive persistence forecast (U < 1 = the "
+    "seasonal baseline beats 'predict the last value'; U >= 1 = the "
+    "seasonality is noise and a persistence model is better) — the "
+    "go/no-go check before shipping any seasonal-baseline alerting "
+    "(q_seasonal_residuals' flags presume the baseline has skill). "
+    "Baseline means are exact integer ratios, every squared error is "
+    "6dp-DECIMAL-summed, both statistics share one scan of the "
+    "domain-bounded hour series restricted to lag-defined rows "
+    "(the standard same-horizon comparison).",
+)
+def q_forecast_skill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    series = e.groupBy(
+        "event_type",
+        (F.col("ts").cast("long") / 3600).cast("long").alias("h"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    base = series.groupBy(
+        "event_type", (F.col("h") % 24).alias("hod")
+    ).agg(F.sum("x").alias("sxh"), F.count(F.lit(1)).alias("nh"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = (
+        series.withColumn("xp", F.lag("x").over(w))
+        .withColumn("hod", F.col("h") % 24)
+        .join(F.broadcast(base), ["event_type", "hod"])
+        .withColumn("pred", F.col("sxh").cast("double") / F.col("nh"))
+        .filter(F.col("xp").isNotNull())
+    )
+    mom = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx")
+    )
+    m = F.col("sx").cast("double") / F.col("n")
+
+    def dsum(expr):
+        return F.sum(F.round(expr, 6).cast("decimal(28,6)")).cast("double")
+
+    err = F.col("x") - F.col("pred")
+    nerr = (F.col("x") - F.col("xp")).cast("double")
+    return (
+        lagged.join(F.broadcast(mom), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("n").alias("n_hours"),
+            F.round(
+                1 - dsum(err * err) / dsum((F.col("x") - m) * (F.col("x") - m)),
+                6,
+            ).alias("r2_seasonal"),
+            F.round(
+                F.sqrt(dsum(err * err) / dsum(nerr * nerr)), 6
+            ).alias("theil_u"),
+        )
+        .orderBy("event_type")
+    )

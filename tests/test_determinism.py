@@ -62,6 +62,7 @@ DECIMAL_RECIPE_QUERIES = [
     # this battery's non-empty guard rejects.
     "q_grubbs_test",
     "q_durbin_watson",
+    "q_forecast_skill",
 ]
 
 

