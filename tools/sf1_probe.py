@@ -140,6 +140,17 @@ NOTES = {
     "posting-bounded fingerprint join (~1/w of full shingling)",
     "q_piecewise_trend": "events 10x; domain-bounded hour series, "
     "two conditional moment aggs",
+    "q_transition_entropy": "events 10x; one per-user window pass, "
+    "k^2-row matrix rollups",
+    "q_gini_sources": "docs 10x; k-row source table, tiny-partition "
+    "rank window",
+    "q_grubbs_test": "events 10x; two group-keyed DECIMAL-moment aggs",
+    "q_durbin_watson": "events 10x; domain-bounded hour series, one "
+    "lag pass",
+    "q_friedman_test": "events 10x; k-sized blocks, k^2-per-block "
+    "rank self-join over the hour series",
+    "q_forecast_skill": "events 10x; hour series + 24-row baseline "
+    "broadcast, one lag pass",
 }
 
 
