@@ -3666,3 +3666,166 @@ def q_forecast_skill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_hurst_exponent",
+    oracle="""
+        WITH series AS (
+          SELECT event_type,
+                 CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+                 CAST(count(*) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2
+        ),
+        idx AS (
+          SELECT event_type, h, x,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                                         ORDER BY h) AS BIGINT) AS rn
+          FROM series
+        ),
+        sizes(n) AS (VALUES (CAST(8 AS BIGINT)), (16), (32)),
+        chunked AS (
+          SELECT i.event_type, s.n, (i.rn - 1) // s.n AS chunk,
+                 i.rn, i.x
+          FROM idx i CROSS JOIN sizes s
+        ),
+        cstats AS (
+          SELECT event_type, n, chunk,
+                 CAST(count(*) AS BIGINT) AS cnt,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(x * x) AS BIGINT) AS sx2
+          FROM chunked GROUP BY 1, 2, 3
+        ),
+        dev AS (
+          SELECT c.event_type, c.n, c.chunk,
+                 sum(c.x) OVER (PARTITION BY c.event_type, c.n, c.chunk
+                                ORDER BY c.rn)
+                 - (row_number() OVER (PARTITION BY c.event_type, c.n,
+                                       c.chunk ORDER BY c.rn))
+                   * (CAST(cs.sx AS DOUBLE) / cs.cnt) AS cumdev,
+                 CAST(cs.sx2 AS DOUBLE) / cs.cnt
+                 - (CAST(cs.sx AS DOUBLE) / cs.cnt)
+                   * (CAST(cs.sx AS DOUBLE) / cs.cnt) AS var_p
+          FROM chunked c JOIN cstats cs
+            USING (event_type, n, chunk)
+          WHERE cs.cnt = c.n
+        ),
+        rs AS (
+          SELECT event_type, n, chunk,
+                 CAST(round((max(cumdev) - min(cumdev))
+                            / sqrt(min(var_p)), 6)
+                   AS DECIMAL(18,6)) AS rs
+          FROM dev WHERE var_p > 0 GROUP BY 1, 2, 3
+        ),
+        pts AS (
+          SELECT event_type, n,
+                 round(ln(CAST(sum(rs) AS DOUBLE) / count(*)), 9)
+                   AS lrs,
+                 round(ln(CAST(n AS DOUBLE)), 9) AS ln_n,
+                 CAST(count(*) AS BIGINT) AS n_chunks
+          FROM rs GROUP BY 1, 2
+        ),
+        fit AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS k,
+                 sum(ln_n) AS sx, sum(lrs) AS sy,
+                 sum(ln_n * ln_n) AS sxx, sum(ln_n * lrs) AS sxy,
+                 CAST(min(n_chunks) AS BIGINT) AS min_chunks
+          FROM pts GROUP BY 1
+        )
+        SELECT event_type, k AS n_sizes, min_chunks,
+               round((k * sxy - sx * sy) / (k * sxx - sx * sx), 4)
+                 AS hurst
+        FROM fit WHERE k >= 2 ORDER BY event_type
+    """,
+    doc="Hurst exponent per event type via rescaled-range (R/S) "
+    "analysis (Hurst 1951; Mandelbrot's long-range-dependence "
+    "diagnostic): chunk the hourly count series at sizes 8/16/32, "
+    "per chunk R = range of mean-centered cumulative sums and "
+    "S = population stddev, H = OLS slope of ln(mean R/S) on ln(n). "
+    "H ~ 0.5 = memoryless, H -> 1 = persistent (bursts cluster — "
+    "capacity planning must size for runs, not iid noise). "
+    "Determinism: chunk moments are exact integer sums, cumdev is "
+    "one integer cum minus i*(integer ratio), R/S rounded to 6dp and "
+    "DECIMAL-averaged, the 3-point slope a rounded scalar epilogue. "
+    "Scale shape: windows partition by (type, size, chunk) — chunk "
+    "size <= 32 rows — over the domain-bounded hour series; ragged "
+    "tail chunks drop by contract; zero-variance chunks drop (R/S "
+    "undefined).",
+)
+def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    series = e.groupBy(
+        "event_type",
+        (F.col("ts").cast("long") / 3600).cast("long").alias("h"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    wrn = Window.partitionBy("event_type").orderBy("h")
+    idx = series.withColumn("rn", F.row_number().over(wrn).cast("long"))
+    sizes = F.explode(F.array(F.lit(8), F.lit(16), F.lit(32))).alias("n")
+    chunked = idx.select(
+        "event_type", "rn", "x", sizes
+    ).withColumn("chunk", F.expr("(rn - 1) div n"))
+    cstats = chunked.groupBy("event_type", "n", "chunk").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+    )
+    m = F.col("sx").cast("double") / F.col("cnt")
+    var_p = F.col("sx2").cast("double") / F.col("cnt") - m * m
+    wc = Window.partitionBy("event_type", "n", "chunk").orderBy("rn")
+    dev = (
+        chunked.join(cstats, ["event_type", "n", "chunk"])
+        .filter(F.col("cnt") == F.col("n"))
+        .select(
+            "event_type",
+            "n",
+            "chunk",
+            (
+                F.sum("x").over(wc)
+                - F.row_number().over(wc).cast("long") * m
+            ).alias("cumdev"),
+            var_p.alias("var_p"),
+        )
+    )
+    rs = (
+        dev.filter(F.col("var_p") > 0)
+        .groupBy("event_type", "n", "chunk")
+        .agg(
+            F.round(
+                (F.max("cumdev") - F.min("cumdev"))
+                / F.sqrt(F.min("var_p")),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("rs")
+        )
+    )
+    pts = rs.groupBy("event_type", "n").agg(
+        F.round(
+            F.log(F.sum("rs").cast("double") / F.count(F.lit(1))), 9
+        ).alias("lrs"),
+        F.round(F.log(F.col("n").cast("double")), 9).alias("ln_n"),
+        F.count(F.lit(1)).alias("n_chunks"),
+    )
+    fit = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ln_n").alias("sx"),
+        F.sum("lrs").alias("sy"),
+        F.sum(F.col("ln_n") * F.col("ln_n")).alias("sxx"),
+        F.sum(F.col("ln_n") * F.col("lrs")).alias("sxy"),
+        F.min("n_chunks").cast("long").alias("min_chunks"),
+    )
+    kd = F.col("k").cast("double")
+    return (
+        fit.filter(F.col("k") >= 2)
+        .select(
+            "event_type",
+            F.col("k").alias("n_sizes"),
+            "min_chunks",
+            F.round(
+                (kd * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (kd * F.col("sxx") - F.col("sx") * F.col("sx")),
+                4,
+            ).alias("hurst"),
+        )
+        .orderBy("event_type")
+    )

@@ -63,6 +63,7 @@ DECIMAL_RECIPE_QUERIES = [
     "q_grubbs_test",
     "q_durbin_watson",
     "q_forecast_skill",
+    "q_hurst_exponent",
 ]
 
 

@@ -862,3 +862,70 @@ def test_forecast_skill_ranges_and_known_seasonality(spark, sf_dir):
     for r in rows:
         assert r.r2_seasonal <= 1 + 1e-9
         assert r.theil_u > 0
+
+
+def test_hurst_range_and_iid_vs_trending(spark, sf_dir):
+    """H estimates live in a plausible band on real series; a strongly
+    trending synthetic series must show higher H than an alternating
+    (anti-persistent) one."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hw_kafka_streams_spark.queries import queries
+
+    rows = queries()["q_hurst_exponent"](spark, sf_dir).collect()
+    for r in rows:
+        assert -0.5 < r.hurst < 1.6  # estimator noise band on short series
+
+    def hurst_of(vals):
+        df = spark.createDataFrame(
+            [(i + 1, v) for i, v in enumerate(vals)], "rn long, x long"
+        )
+        out = []
+        for n in (8, 16, 32):
+            ch = df.withColumn("chunk", F.expr(f"(rn - 1) div {n}"))
+            cs = ch.groupBy("chunk").agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("x").alias("sx"),
+                F.sum(F.col("x") * F.col("x")).alias("sx2"),
+            )
+            m = F.col("sx").cast("double") / F.col("cnt")
+            var_p = F.col("sx2").cast("double") / F.col("cnt") - m * m
+            w = Window.partitionBy("chunk").orderBy("rn")
+            dev = (
+                ch.join(cs, "chunk")
+                .filter(F.col("cnt") == n)
+                .select(
+                    "chunk",
+                    (
+                        F.sum("x").over(w)
+                        - F.row_number().over(w).cast("long") * m
+                    ).alias("cd"),
+                    var_p.alias("v"),
+                )
+            )
+            rs = (
+                dev.filter(F.col("v") > 0)
+                .groupBy("chunk")
+                .agg(
+                    (
+                        (F.max("cd") - F.min("cd")) / F.sqrt(F.min("v"))
+                    ).alias("rs")
+                )
+                .agg(F.avg("rs").alias("mrs"))
+                .collect()[0]
+                .mrs
+            )
+            import math
+
+            out.append((math.log(n), math.log(rs)))
+        n_, sx = len(out), sum(p[0] for p in out)
+        sy = sum(p[1] for p in out)
+        sxx = sum(p[0] * p[0] for p in out)
+        sxy = sum(p[0] * p[1] for p in out)
+        return (n_ * sxy - sx * sy) / (n_ * sxx - sx * sx)
+
+    trending = [i for i in range(96)]  # pure trend: maximal persistence
+    alternating = [10 if i % 2 else 0 for i in range(96)]
+    assert hurst_of(trending) > hurst_of(alternating) + 0.3
+    assert hurst_of(alternating) < 0.35

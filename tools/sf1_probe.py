@@ -151,6 +151,8 @@ NOTES = {
     "rank self-join over the hour series",
     "q_forecast_skill": "events 10x; hour series + 24-row baseline "
     "broadcast, one lag pass",
+    "q_hurst_exponent": "events 10x; chunk windows bounded at 32 rows "
+    "over the domain-bounded hour series",
 }
 
 
