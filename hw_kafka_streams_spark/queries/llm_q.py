@@ -4338,3 +4338,120 @@ def q_winnowing_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_candidate_pairs(docs, k=3, w=4, min_shared=3).orderBy(
         "id_a", "id_b"
     )
+
+
+@register(
+    "q_ndcg_eval",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_filter(
+                   string_split_regex(trim(lower(text)), '\\s+'),
+                   t -> t <> '')) AS term
+          FROM documents
+        ),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        stats AS (SELECT count(*) AS n_docs,
+                         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+                  FROM dl),
+        qt AS (SELECT doc_id, term, count(*) AS tf FROM toks
+               WHERE term IN ('spark', 'join', 'hash') GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(DISTINCT doc_id) AS df
+                  FROM qt GROUP BY 1),
+        contrib AS (
+          SELECT qt.doc_id,
+                 CAST(round(
+                   ln(1 + (stats.n_docs - dfreq.df + 0.5)
+                      / (dfreq.df + 0.5))
+                   * qt.tf * 2.2
+                   / (qt.tf + 1.2 * (1 - 0.75
+                                     + 0.75 * dl.dl / stats.avgdl)),
+                   6) AS DECIMAL(12,6)) AS s
+          FROM qt JOIN dfreq USING (term) JOIN dl USING (doc_id)
+          CROSS JOIN stats
+        ),
+        scores AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS rel,
+                 sum(s) AS bm25
+          FROM contrib GROUP BY doc_id
+        ),
+        ranked AS (
+          SELECT rel, row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                   AS r
+          FROM scores QUALIFY r <= 10
+        ),
+        ideal AS (
+          SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id)
+                   AS r
+          FROM scores QUALIFY r <= 10
+        ),
+        d AS (
+          SELECT CAST(sum(CAST(round(
+                   (pow(2, rel) - 1) / log2(r + 1), 9)
+                 AS DECIMAL(18,9))) AS DOUBLE) AS dcg,
+                 CAST(count(*) AS BIGINT) AS n_ranked
+          FROM ranked
+        ),
+        i AS (
+          SELECT CAST(sum(CAST(round(
+                   (pow(2, rel) - 1) / log2(r + 1), 9)
+                 AS DECIMAL(18,9))) AS DOUBLE) AS idcg
+          FROM ideal
+        )
+        SELECT d.n_ranked, round(d.dcg, 6) AS dcg,
+               round(i.idcg, 6) AS idcg,
+               round(d.dcg / i.idcg, 6) AS ndcg
+        FROM d, i
+    """,
+    doc="nDCG@10 of the BM25 ranker (query {spark, join, hash}) "
+    "against graded term-coverage relevance (rel = distinct query "
+    "terms present, 0-3) — the ranking-quality metric every retrieval "
+    "stack reports; q_auc_rank grades a binary classifier, this "
+    "grades an ORDERING with graded labels and rank discounting. "
+    "DCG terms (2^rel - 1)/log2(r+1) are 9dp-DECIMAL-summed over the "
+    "two 10-row rankings (actual vs ideal), both tie-broken by "
+    "doc_id. Scale shape: the BM25 model tables are the q_bm25_search "
+    "sharded-index shape; both rankings are TakeOrdered-bounded and "
+    "the only windows run over 10-row tables (tiny partition).",
+)
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from hw_kafka_streams_spark.operators.retrieval import bm25_scores
+    from hw_kafka_streams_spark.operators.winutil import (
+        tiny_table_partition,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    scores = bm25_scores(
+        docs, ["spark", "join", "hash"], k1=1.2, b=0.75
+    ).select("doc_id", F.col("n_terms_hit").alias("rel"), "bm25")
+
+    def dcg_of(df, order_cols, alias):
+        top = df.orderBy(*order_cols).limit(10)
+        r = F.row_number().over(
+            W.partitionBy(tiny_table_partition("doc_id")).orderBy(
+                *order_cols
+            )
+        )
+        term = F.round(
+            (F.pow(F.lit(2.0), F.col("rel")) - 1) / F.log2(F.col("r") + 1),
+            9,
+        ).cast("decimal(18,9)")
+        return (
+            top.withColumn("r", r)
+            .agg(
+                F.count(F.lit(1)).alias(f"n_{alias}"),
+                F.sum(term).cast("double").alias(alias),
+            )
+        )
+    d = dcg_of(scores, [F.desc("bm25"), F.asc("doc_id")], "dcg")
+    i = dcg_of(scores, [F.desc("rel"), F.asc("doc_id")], "idcg")
+    return (
+        d.crossJoin(F.broadcast(i))
+        .select(
+            F.col("n_dcg").alias("n_ranked"),
+            F.round("dcg", 6).alias("dcg"),
+            F.round("idcg", 6).alias("idcg"),
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+        )
+    )

@@ -564,3 +564,20 @@ def test_lexical_richness_template_collapses_hapax(spark):
     assert out["tmpl"].hapax_ratio == 0.0
     assert out["rich"].hapax_ratio == 1.0
     assert out["tmpl"].simpson_d > out["rich"].simpson_d
+
+
+def test_ndcg_bounds_and_ideal_is_one(spark, sf_dir):
+    """0 < nDCG <= 1, DCG <= IDCG always; a ranker ordered exactly by
+    relevance has nDCG = 1 by construction."""
+    import math
+
+    from hw_kafka_streams_spark.queries import queries
+
+    row = queries()["q_ndcg_eval"](spark, sf_dir).collect()[0]
+    assert 1 <= row.n_ranked <= 10
+    assert 0 < row.dcg <= row.idcg + 1e-9
+    assert 0 < row.ndcg <= 1 + 1e-9
+    # hand identity: a 3-doc ideal ordering scores ndcg == 1
+    rels = [3, 2, 1]
+    dcg = sum((2**r - 1) / math.log2(i + 2) for i, r in enumerate(rels))
+    assert abs(dcg / dcg - 1.0) < 1e-12
