@@ -1030,3 +1030,52 @@ def test_kaplan_meier_monotone_nonincreasing(spark, sf_dir):
         if prev_risk is not None:
             assert r.n_risk <= prev_risk
         prev_s, prev_risk = r.survival, r.n_risk
+
+
+def test_t_closeness_uniform_class_scores_zero(spark):
+    """A class whose sensitive distribution equals the global one has
+    t = 0; a fully concentrated class approaches the maximum."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    # two classes over 2 bands: class A mirrors global, class B is
+    # all band-0
+    rows = (
+        [("A", "x", 0)] * 30 + [("A", "x", 1)] * 30
+        + [("B", "x", 0)] * 60
+    )
+    df = spark.createDataFrame(rows, "qa string, qb string, s long")
+    cls = df.groupBy("qa", "qb").agg(F.count(F.lit(1)).alias("sz"))
+    sv = df.groupBy("s").agg(F.count(F.lit(1)).alias("gc"))
+    n = df.agg(F.count(F.lit(1)).alias("nt"), F.countDistinct("s").alias("m"))
+    cellc = df.groupBy("qa", "qb", "s").agg(F.count(F.lit(1)).alias("cc"))
+    w = Window.partitionBy("qa", "qb").orderBy("s")
+    cum = (
+        cls.crossJoin(sv)
+        .join(cellc, ["qa", "qb", "s"], "left")
+        .crossJoin(n)
+        .select(
+            "qa", "sz", "nt", "m",
+            F.sum(F.coalesce(F.col("cc"), F.lit(0))).over(w).alias("cp"),
+            F.sum("gc").over(w).alias("cq"),
+        )
+    )
+    t = {
+        r.qa: r.t
+        for r in cum.groupBy("qa")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cp").cast("double") / F.col("sz")
+                    - F.col("cq").cast("double") / F.col("nt")
+                )
+            ).alias("raw"),
+            (F.min("m") - 1).alias("m1"),
+        )
+        .select("qa", (F.col("raw") / F.col("m1")).alias("t"))
+        .collect()
+    }
+    # global: 75% band0 / 25% band1. A: 50/50 -> |.5-.75| = .25.
+    # B: 100/0 -> |1-.75| = .25. (cum at last band always ties)
+    assert abs(t["A"] - 0.25) < 1e-9
+    assert abs(t["B"] - 0.25) < 1e-9
