@@ -3491,3 +3491,151 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_t_weighted"),
         F.sum((F.col("t") > 0.3).cast("long")).alias("n_above_03"),
     )
+
+
+@register(
+    "q_mcnemar_filters",
+    oracle=r"""
+        WITH flags AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split_regex(trim(text),
+                     '\s+'), t -> t <> '')) >= 120 AS INT) AS f_len,
+                 CAST(len(list_filter(string_split_regex(trim(lower(
+                     text)), '\s+'),
+                     t -> regexp_matches(t, '[a-z]')))
+                   >= CAST(0.8 * len(list_filter(string_split_regex(
+                       trim(text), '\s+'), t -> t <> '')) AS BIGINT)
+                   AS INT) AS f_alpha
+          FROM documents
+        ),
+        cells AS (
+          SELECT CAST(sum(CASE WHEN f_len = 1 AND f_alpha = 1
+                          THEN 1 ELSE 0 END) AS BIGINT) AS both_pass,
+                 CAST(sum(CASE WHEN f_len = 1 AND f_alpha = 0
+                          THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                 CAST(sum(CASE WHEN f_len = 0 AND f_alpha = 1
+                          THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                 CAST(sum(CASE WHEN f_len = 0 AND f_alpha = 0
+                          THEN 1 ELSE 0 END) AS BIGINT) AS neither
+          FROM flags
+        )
+        SELECT both_pass, b AS only_len, c AS only_alpha, neither,
+               round(CASE WHEN b + c > 0
+                     THEN CAST((b - c) * (b - c) AS DOUBLE) / (b + c)
+                     ELSE 0.0 END, 6) AS mcnemar_chi2
+        FROM cells
+    """,
+    doc="McNemar's paired test comparing two quality filters on the "
+    "SAME documents (length >= 120 tokens vs >= 80% alphabetic "
+    "tokens): the 2x2 agreement table plus chi2 = (b-c)^2/(b+c) over "
+    "the DISCORDANT cells only — the right test when deciding whether "
+    "swapping one filter for another changes the kept set (a plain "
+    "proportion test double-counts the agreeing docs). Both flags are "
+    "single-scan integer expressions; the whole query is one "
+    "map-side-combinable aggregation — no shuffle beyond the 1-row "
+    "reduce.",
+)
+def q_mcnemar_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = word_tokens(F.col("text"))
+    ltoks = word_tokens(F.lower(F.col("text")))
+    n_alpha = F.size(
+        F.filter(ltoks, lambda t: t.rlike("[a-z]"))
+    )
+    f_len = (F.size(toks) >= 120).cast("int")
+    f_alpha = (
+        n_alpha >= (0.8 * F.size(toks)).cast("long")
+    ).cast("int")
+    flags = docs.select(f_len.alias("f_len"), f_alpha.alias("f_alpha"))
+    cells = flags.agg(
+        F.sum(((F.col("f_len") == 1) & (F.col("f_alpha") == 1)).cast("long"))
+        .alias("both_pass"),
+        F.sum(((F.col("f_len") == 1) & (F.col("f_alpha") == 0)).cast("long"))
+        .alias("only_len"),
+        F.sum(((F.col("f_len") == 0) & (F.col("f_alpha") == 1)).cast("long"))
+        .alias("only_alpha"),
+        F.sum(((F.col("f_len") == 0) & (F.col("f_alpha") == 0)).cast("long"))
+        .alias("neither"),
+    )
+    b, c = F.col("only_len"), F.col("only_alpha")
+    return cells.select(
+        "both_pass",
+        "only_len",
+        "only_alpha",
+        "neither",
+        F.round(
+            F.when(
+                b + c > 0,
+                ((b - c) * (b - c)).cast("double") / (b + c),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("mcnemar_chi2"),
+    )
+
+
+@register(
+    "q_cohens_d_pairs",
+    oracle="""
+        WITH per_s AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(n_chars AS HUGEINT)) AS s,
+                 sum(CAST(n_chars AS HUGEINT) * n_chars) AS q
+          FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               round((CAST(a.s AS DOUBLE) / a.n
+                      - CAST(b.s AS DOUBLE) / b.n)
+                     / sqrt((
+                         (CAST(a.q AS DOUBLE)
+                          - CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE)
+                            / a.n)
+                         + (CAST(b.q AS DOUBLE)
+                            - CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE)
+                              / b.n)
+                       ) / (a.n + b.n - 2)), 6) AS cohens_d
+        FROM per_s a JOIN per_s b ON a.source < b.source
+        ORDER BY 1, 2
+    """,
+    doc="Pairwise Cohen's d effect sizes of doc length between "
+    "sources (pooled-variance standardized mean difference) — the "
+    "magnitude companion to q_benjamini_hochberg's significance "
+    "flags: with corpus-sized n everything is 'significant', and d "
+    "tells you whether the difference is worth acting on (|d| < 0.2 "
+    "= negligible by the standard rule). One group-keyed DECIMAL-"
+    "moment pass, then a k x k self-join over the k-row source table "
+    "— every float derives from exact integer sums.",
+)
+def q_cohens_d_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("n_chars").isNotNull()
+    )
+    v = F.col("n_chars").cast("decimal(38,0)")
+    per_s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s"),
+        F.sum(v * v).alias("q"),
+    )
+    a, b = per_s.alias("a"), per_s.alias("b")
+
+    def mean(side):
+        return F.col(f"{side}.s").cast("double") / F.col(f"{side}.n")
+
+    def ss(side):
+        return F.col(f"{side}.q").cast("double") - F.col(
+            f"{side}.s"
+        ).cast("double") * F.col(f"{side}.s").cast("double") / F.col(
+            f"{side}.n"
+        )
+
+    pooled = F.sqrt(
+        (ss("a") + ss("b")) / (F.col("a.n") + F.col("b.n") - 2)
+    )
+    return (
+        a.join(b, F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.round((mean("a") - mean("b")) / pooled, 6).alias("cohens_d"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -929,3 +929,33 @@ def test_hurst_range_and_iid_vs_trending(spark, sf_dir):
     alternating = [10 if i % 2 else 0 for i in range(96)]
     assert hurst_of(trending) > hurst_of(alternating) + 0.3
     assert hurst_of(alternating) < 0.35
+
+
+def test_mcnemar_hand_computed(spark):
+    """b=3, c=1 discordant -> chi2 = (3-1)^2/4 = 1.0; cells sum to n."""
+    from pyspark.sql import functions as F
+
+    flags = spark.createDataFrame(
+        [(1, 1)] * 5 + [(1, 0)] * 3 + [(0, 1)] * 1 + [(0, 0)] * 2,
+        "f_len int, f_alpha int",
+    )
+    cells = flags.agg(
+        F.sum(((F.col("f_len") == 1) & (F.col("f_alpha") == 1)).cast("long")).alias("bp"),
+        F.sum(((F.col("f_len") == 1) & (F.col("f_alpha") == 0)).cast("long")).alias("b"),
+        F.sum(((F.col("f_len") == 0) & (F.col("f_alpha") == 1)).cast("long")).alias("c"),
+        F.sum(((F.col("f_len") == 0) & (F.col("f_alpha") == 0)).cast("long")).alias("ne"),
+    ).collect()[0]
+    assert (cells.bp, cells.b, cells.c, cells.ne) == (5, 3, 1, 2)
+    chi2 = (cells.b - cells.c) ** 2 / (cells.b + cells.c)
+    assert abs(chi2 - 1.0) < 1e-12
+
+
+def test_cohens_d_known_separation(spark, sf_dir):
+    """d is antisymmetric-by-order and |d| large only when means are
+    far apart relative to the pooled spread; registry run sane."""
+    from hw_kafka_streams_spark.queries import queries
+
+    rows = queries()["q_cohens_d_pairs"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.cohens_d) < 10  # same-generator sources: small d
