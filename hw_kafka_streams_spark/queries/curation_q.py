@@ -3639,3 +3639,209 @@ def q_cohens_d_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+@register(
+    "q_jarque_bera",
+    oracle="""
+        WITH per AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(n_chars) AS BIGINT) AS s1
+          FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+        ),
+        piv AS (SELECT source, n, s1 // n AS c FROM per),
+        dev AS (
+          SELECT d.source, p.n,
+                 CAST(d.n_chars - p.c AS HUGEINT) AS dd
+          FROM documents d JOIN piv p USING (source)
+          WHERE d.n_chars IS NOT NULL
+        ),
+        mom AS (
+          SELECT source, min(n) AS n, CAST(min(n) AS DOUBLE) AS nf,
+                 CAST(sum(dd) AS DOUBLE) AS t1,
+                 CAST(sum(dd * dd) AS DOUBLE) AS t2,
+                 CAST(sum(dd * dd * dd) AS DOUBLE) AS t3,
+                 CAST(sum(dd * dd * dd * dd) AS DOUBLE) AS t4
+          FROM dev GROUP BY source
+        ),
+        cm AS (
+          SELECT source, n, nf,
+                 t2 / nf - (t1 / nf) * (t1 / nf) AS m2,
+                 t3 / nf - 3 * (t1 / nf) * (t2 / nf)
+                   + 2 * (t1 / nf) * (t1 / nf) * (t1 / nf) AS m3,
+                 t4 / nf - 4 * (t1 / nf) * (t3 / nf)
+                   + 6 * (t1 / nf) * (t1 / nf) * (t2 / nf)
+                   - 3 * (t1 / nf) * (t1 / nf) * (t1 / nf) * (t1 / nf)
+                   AS m4
+          FROM mom
+        )
+        SELECT source, n,
+               round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+               round(m4 / (m2 * m2) - 3, 6) AS kurtosis_excess,
+               round(nf / 6 * ((m3 / (m2 * sqrt(m2)))
+                               * (m3 / (m2 * sqrt(m2)))
+                               + (m4 / (m2 * m2) - 3)
+                                 * (m4 / (m2 * m2) - 3) / 4),
+                     4) AS jarque_bera
+        FROM cm ORDER BY source
+    """,
+    doc="Jarque-Bera normality test of doc length per source "
+    "(chi2_2 on skewness^2 + excess-kurtosis^2/4) — the gate before "
+    "q_welch_ttest/q_cohens_d_pairs lean on normal-ish length "
+    "distributions, and the skew/kurtosis profile is itself a "
+    "source-mix fingerprint. Determinism: raw power sums are taken "
+    "about an exact integer pivot c = floor(mean) (so DECIMAL(38,0) "
+    "sums of d^4 stay ~1e20 at sf1 instead of the 1e33 raw fourth "
+    "moments), central moments then derive from the exact sums with "
+    "one fixed-shape float expression per group; m2^1.5 is written "
+    "m2*sqrt(m2) because sqrt is correctly-rounded IEEE in both "
+    "engines while pow() is library-dependent. Two group-keyed "
+    "reduces + one broadcast pivot join, no windows.",
+)
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("n_chars").isNotNull()
+    )
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("s1")
+    )
+    piv = per.select(
+        "source", "n", F.expr("s1 div n").alias("c")
+    )
+    dev = docs.join(F.broadcast(piv), "source").select(
+        "source",
+        "n",
+        (F.col("n_chars") - F.col("c")).cast("decimal(38,0)").alias("dd"),
+    )
+    dd = F.col("dd")
+    mom = dev.groupBy("source").agg(
+        F.min("n").alias("n"),
+        F.min("n").cast("double").alias("nf"),
+        F.sum(dd).cast("double").alias("t1"),
+        F.sum(dd * dd).cast("double").alias("t2"),
+        F.sum(dd * dd * dd).cast("double").alias("t3"),
+        F.sum(dd * dd * dd * dd).cast("double").alias("t4"),
+    )
+    nf = F.col("nf")
+    delta = F.col("t1") / nf
+    m2 = F.col("t2") / nf - delta * delta
+    m3 = (
+        F.col("t3") / nf
+        - 3 * delta * (F.col("t2") / nf)
+        + 2 * delta * delta * delta
+    )
+    m4 = (
+        F.col("t4") / nf
+        - 4 * delta * (F.col("t3") / nf)
+        + 6 * delta * delta * (F.col("t2") / nf)
+        - 3 * delta * delta * delta * delta
+    )
+    skew = m3 / (m2 * F.sqrt(m2))
+    kurtx = m4 / (m2 * m2) - 3
+    return mom.select(
+        "source",
+        "n",
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurtx, 6).alias("kurtosis_excess"),
+        F.round(nf / 6 * (skew * skew + kurtx * kurtx / 4), 4).alias(
+            "jarque_bera"
+        ),
+    ).orderBy("source")
+
+
+@register(
+    "q_bartlett_test",
+    oracle="""
+        WITH per AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(n_chars AS HUGEINT)) AS s1,
+                 sum(CAST(n_chars AS HUGEINT) * n_chars) AS s2
+          FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+        ),
+        v AS (
+          SELECT source, n,
+                 CAST(n * s2 - s1 * s1 AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * (n - 1)) AS s2i
+          FROM per
+        ),
+        terms AS (
+          SELECT n,
+                 CAST(round((n - 1) * ln(s2i), 6)
+                      AS DECIMAL(38,6)) AS wlog,
+                 CAST(round((n - 1) * s2i, 4)
+                      AS DECIMAL(38,4)) AS wvar,
+                 CAST(round(1.0 / (n - 1), 12)
+                      AS DECIMAL(38,12)) AS winv
+          FROM v
+        ),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(n) AS BIGINT) AS ntot,
+                 CAST(sum(wlog) AS DOUBLE) AS sum_wlog,
+                 CAST(sum(wvar) AS DOUBLE) AS sum_wvar,
+                 CAST(sum(winv) AS DOUBLE) AS sum_winv
+          FROM terms
+        )
+        SELECT k AS k_groups, ntot AS n_total,
+               CAST(k - 1 AS BIGINT) AS df,
+               round(((ntot - k) * ln(sum_wvar / (ntot - k)) - sum_wlog)
+                     / (1 + (sum_winv - 1.0 / (ntot - k))
+                            / (3.0 * (k - 1))), 4) AS bartlett_chi2
+        FROM agg
+    """,
+    doc="Bartlett's test for variance homogeneity of doc length "
+    "across sources — the parametric sharp-tooth companion to "
+    "q_brown_forsythe (Bartlett is the most powerful test under "
+    "normality and the one classic ANOVA preconditions cite; "
+    "Brown-Forsythe is the robust fallback — run q_jarque_bera to "
+    "decide which to trust). Per-source sample variances come from "
+    "exact integer sums (n*s2 - s1^2); the k-row rollup sums are "
+    "round-to-DECIMAL terms so reducer order cannot drift the chi2. "
+    "Two group reduces, no joins, no windows.",
+)
+def q_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("n_chars").isNotNull()
+    )
+    v = F.col("n_chars").cast("decimal(38,0)")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+    )
+    n = F.col("n")
+    s2i = (n * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+        "double"
+    ) / (n.cast("double") * (n.cast("double") - 1))
+    terms = per.select(
+        n.cast("long").alias("n"),
+        F.round((n.cast("double") - 1) * F.log(s2i), 6)
+        .cast("decimal(38,6)")
+        .alias("wlog"),
+        F.round((n.cast("double") - 1) * s2i, 4)
+        .cast("decimal(38,4)")
+        .alias("wvar"),
+        F.round(1.0 / (n.cast("double") - 1), 12)
+        .cast("decimal(38,12)")
+        .alias("winv"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("ntot"),
+        F.sum("wlog").cast("double").alias("sum_wlog"),
+        F.sum("wvar").cast("double").alias("sum_wvar"),
+        F.sum("winv").cast("double").alias("sum_winv"),
+    )
+    k, ntot = F.col("k"), F.col("ntot")
+    kf = k.cast("double")
+    nk = ntot.cast("double") - kf
+    return agg.select(
+        k.alias("k_groups"),
+        ntot.alias("n_total"),
+        (k - 1).cast("long").alias("df"),
+        F.round(
+            (nk * F.log(F.col("sum_wvar") / nk) - F.col("sum_wlog"))
+            / (1 + (F.col("sum_winv") - 1.0 / nk) / (3.0 * (kf - 1))),
+            4,
+        ).alias("bartlett_chi2"),
+    )

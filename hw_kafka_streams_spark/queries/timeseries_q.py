@@ -3829,3 +3829,403 @@ def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _hourly_counts(e: DataFrame) -> DataFrame:
+    """Hourly event-count series per type — the shared grid behind
+    q_acf/q_pacf and the round-9 portmanteau/AR(2) diagnostics.
+    Domain-bounded (hours in the time range x event types), never
+    row-bounded."""
+    return e.groupBy(
+        "event_type",
+        (F.col("ts").cast("long") / 3600).cast("long").alias("h"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+
+
+# Exact-integer sample-ACF sums shared by q_ljung_box and
+# q_yule_walker_ar2: for lag k over the positionally-lagged series
+# (the q_acf convention — gaps close up), the scaled numerator
+#   Nk = n^2*sum(x_t*x_{t-k}) - n*sx*sum(x_t + x_{t-k}) + mk*sx^2
+# and scaled denominator D = n^2*sxx - n*sx^2 are BOTH exact
+# integers (counts are integers), so r_k = Nk/D involves exactly one
+# float division — no reducer-order drift, no rounding recipe needed.
+_ACF_SQL_SUMS = """
+        series AS (
+          SELECT event_type,
+                 CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+                 CAST(count(*) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2
+        ),
+        lagged AS (
+          SELECT event_type, CAST(x AS HUGEINT) AS x,
+                 CAST(lag(x, 1) OVER w AS HUGEINT) AS x1,
+                 CAST(lag(x, 2) OVER w AS HUGEINT) AS x2,
+                 CAST(lag(x, 3) OVER w AS HUGEINT) AS x3,
+                 CAST(lag(x, 4) OVER w AS HUGEINT) AS x4,
+                 CAST(lag(x, 5) OVER w AS HUGEINT) AS x5,
+                 CAST(lag(x, 6) OVER w AS HUGEINT) AS x6
+          FROM series
+          WINDOW w AS (PARTITION BY event_type ORDER BY h)
+        ),
+        sums AS (
+          SELECT event_type,
+                 CAST(count(*) AS HUGEINT) AS n,
+                 sum(x) AS sx, sum(x * x) AS sxx,
+                 sum(x * x1) AS p1, sum(x + x1) AS q1,
+                 CAST(count(x1) AS HUGEINT) AS m1,
+                 sum(x * x2) AS p2, sum(x + x2) AS q2,
+                 CAST(count(x2) AS HUGEINT) AS m2,
+                 sum(x * x3) AS p3, sum(x + x3) AS q3,
+                 CAST(count(x3) AS HUGEINT) AS m3,
+                 sum(x * x4) AS p4, sum(x + x4) AS q4,
+                 CAST(count(x4) AS HUGEINT) AS m4,
+                 sum(x * x5) AS p5, sum(x + x5) AS q5,
+                 CAST(count(x5) AS HUGEINT) AS m5,
+                 sum(x * x6) AS p6, sum(x + x6) AS q6,
+                 CAST(count(x6) AS HUGEINT) AS m6
+          FROM lagged GROUP BY event_type
+        ),
+        acf AS (
+          SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+                 CAST(m1 AS BIGINT) AS m1_b,
+                 CAST(n*n*p1 - n*sx*q1 + m1*sx*sx AS DOUBLE)
+                   / CAST(n*n*sxx - n*sx*sx AS DOUBLE) AS r1,
+                 CAST(n*n*p2 - n*sx*q2 + m2*sx*sx AS DOUBLE)
+                   / CAST(n*n*sxx - n*sx*sx AS DOUBLE) AS r2,
+                 CAST(n*n*p3 - n*sx*q3 + m3*sx*sx AS DOUBLE)
+                   / CAST(n*n*sxx - n*sx*sx AS DOUBLE) AS r3,
+                 CAST(n*n*p4 - n*sx*q4 + m4*sx*sx AS DOUBLE)
+                   / CAST(n*n*sxx - n*sx*sx AS DOUBLE) AS r4,
+                 CAST(n*n*p5 - n*sx*q5 + m5*sx*sx AS DOUBLE)
+                   / CAST(n*n*sxx - n*sx*sx AS DOUBLE) AS r5,
+                 CAST(n*n*p6 - n*sx*q6 + m6*sx*sx AS DOUBLE)
+                   / CAST(n*n*sxx - n*sx*sx AS DOUBLE) AS r6,
+                 CAST(n AS DOUBLE) AS nf,
+                 CAST(m1 AS DOUBLE) AS f1, CAST(m2 AS DOUBLE) AS f2,
+                 CAST(m3 AS DOUBLE) AS f3, CAST(m4 AS DOUBLE) AS f4,
+                 CAST(m5 AS DOUBLE) AS f5, CAST(m6 AS DOUBLE) AS f6
+          FROM sums
+        )
+"""
+
+
+def _acf_exact(e: DataFrame, max_lag: int) -> DataFrame:
+    """Spark twin of _ACF_SQL_SUMS: one event_type-partitioned lag
+    window over the hourly series, DECIMAL(38,0) exact-integer sums,
+    one float division per lag.  Returns one row per event_type with
+    n_hours, m{k}, r{k} (k = 1..max_lag)."""
+    series = _hourly_counts(e)
+    w = Window.partitionBy("event_type").orderBy("h")
+    d = F.col("x").cast("decimal(38,0)")
+    lagged = series.select(
+        "event_type",
+        d.alias("xd"),
+        *[
+            F.lag("x", k).over(w).cast("decimal(38,0)").alias(f"x{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("xd").alias("sx"),
+        F.sum(F.col("xd") * F.col("xd")).alias("sxx"),
+    ]
+    for k in range(1, max_lag + 1):
+        xk = F.col(f"x{k}")
+        aggs += [
+            F.sum(F.col("xd") * xk).alias(f"p{k}"),
+            F.sum(F.col("xd") + xk).alias(f"q{k}"),
+            F.count(xk).cast("decimal(38,0)").alias(f"m{k}"),
+        ]
+    sums = lagged.groupBy("event_type").agg(*aggs)
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    den = (n * n * sxx - n * sx * sx).cast("double")
+    cols = [
+        F.col("event_type"),
+        n.cast("long").alias("n_hours"),
+    ]
+    for k in range(1, max_lag + 1):
+        pk, qk, mk = F.col(f"p{k}"), F.col(f"q{k}"), F.col(f"m{k}")
+        num = (n * n * pk - n * sx * qk + mk * sx * sx).cast("double")
+        cols.append(mk.cast("long").alias(f"m{k}_rows"))
+        cols.append((num / den).alias(f"r{k}"))
+    return sums.select(*cols)
+
+
+@register(
+    "q_ljung_box",
+    oracle="WITH " + _ACF_SQL_SUMS + """
+        SELECT event_type, n_hours,
+               round(r1, 4) AS acf_1,
+               round(nf * (nf + 2) * (r1*r1/f1 + r2*r2/f2 + r3*r3/f3
+                     + r4*r4/f4 + r5*r5/f5 + r6*r6/f6), 4) AS q_lb,
+               6 AS df
+        FROM acf ORDER BY event_type
+    """,
+    doc="Ljung-Box portmanteau whiteness test (Q = n(n+2) "
+    "sum r_k^2/(n-k), lags 1-6) on the hourly event-count series per "
+    "type — the standard 'is there ANY autocorrelation left' gate "
+    "before trusting q_forecast_skill's persistence baselines or "
+    "q_acf's individual lags (six separate r_k tests inflate alpha; "
+    "the portmanteau pools them into one chi2_6). Exact-integer ACF: "
+    "numerator and denominator are DECIMAL(38,0) sums of integer "
+    "count products scaled by n^2, so each r_k is a single float "
+    "division — no reducer-order drift. One event_type-partitioned "
+    "lag window (positional-lag convention of q_acf: calendar gaps "
+    "close up; the matched-pair count m_k stands in for n-k), one "
+    "group-keyed reduce.",
+)
+def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    acf = _acf_exact(e, 6)
+    nf = F.col("n_hours").cast("double")
+    q = nf * (nf + 2) * sum(
+        (F.col(f"r{k}") * F.col(f"r{k}"))
+        / F.col(f"m{k}_rows").cast("double")
+        for k in range(1, 7)
+    )
+    return acf.select(
+        "event_type",
+        "n_hours",
+        F.round("r1", 4).alias("acf_1"),
+        F.round(q, 4).alias("q_lb"),
+        F.lit(6).alias("df"),
+    ).orderBy("event_type")
+
+
+@register(
+    "q_yule_walker_ar2",
+    oracle="WITH " + _ACF_SQL_SUMS + """
+        SELECT event_type, n_hours,
+               round(r1, 4) AS acf_1, round(r2, 4) AS acf_2,
+               round(r1 * (1 - r2) / (1 - r1 * r1), 6) AS phi1,
+               round((r2 - r1 * r1) / (1 - r1 * r1), 6) AS phi2,
+               round(1 - (r1 * (1 - r2) / (1 - r1 * r1)) * r1
+                       - ((r2 - r1 * r1) / (1 - r1 * r1)) * r2,
+                     6) AS resid_var_ratio
+        FROM acf ORDER BY event_type
+    """,
+    doc="AR(2) fit of the hourly event-count series by Yule-Walker "
+    "(Box-Jenkins 3.2): phi1 = r1(1-r2)/(1-r1^2), phi2 = "
+    "(r2-r1^2)/(1-r1^2) from the exact-integer sample ACF, plus the "
+    "implied innovation-variance ratio 1 - phi1*r1 - phi2*r2 (how "
+    "much of the series the linear memory explains — the model-order "
+    "companion to q_pacf's cutoff diagnostic). Same single-window "
+    "exact-ACF plan as q_ljung_box; the closed form needs no "
+    "iteration and no matrix solve beyond the 2x2 the formula "
+    "already inverts.",
+)
+def q_yule_walker_ar2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    acf = _acf_exact(e, 2)
+    r1, r2 = F.col("r1"), F.col("r2")
+    phi1 = r1 * (1 - r2) / (1 - r1 * r1)
+    phi2 = (r2 - r1 * r1) / (1 - r1 * r1)
+    return acf.select(
+        "event_type",
+        "n_hours",
+        F.round(r1, 4).alias("acf_1"),
+        F.round(r2, 4).alias("acf_2"),
+        F.round(phi1, 6).alias("phi1"),
+        F.round(phi2, 6).alias("phi2"),
+        F.round(1 - phi1 * r1 - phi2 * r2, 6).alias("resid_var_ratio"),
+    ).orderBy("event_type")
+
+
+@register(
+    "q_granger_lag1",
+    oracle="""
+        WITH series AS (
+          SELECT event_type,
+                 CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+                 CAST(count(*) AS BIGINT) AS x
+          FROM events WHERE event_type IN ('view', 'click')
+          GROUP BY 1, 2
+        ),
+        bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM series),
+        grid AS (SELECT unnest(generate_series(h0, h1)) AS h FROM bounds),
+        wide AS (
+          SELECT g.h,
+                 COALESCE(max(CASE WHEN s.event_type = 'view'
+                              THEN s.x END), 0) AS v,
+                 COALESCE(max(CASE WHEN s.event_type = 'click'
+                              THEN s.x END), 0) AS c
+          FROM grid g LEFT JOIN series s ON g.h = s.h GROUP BY g.h
+        ),
+        reg AS (
+          SELECT c, v,
+                 lag(c) OVER (ORDER BY h) AS c1,
+                 lag(v) OVER (ORDER BY h) AS v1
+          FROM wide
+        ),
+        longf AS (
+          SELECT 'view->click' AS direction,
+                 CAST(c AS HUGEINT) AS y, CAST(c1 AS HUGEINT) AS a,
+                 CAST(v1 AS HUGEINT) AS b
+          FROM reg WHERE c1 IS NOT NULL
+          UNION ALL
+          SELECT 'click->view' AS direction,
+                 CAST(v AS HUGEINT) AS y, CAST(v1 AS HUGEINT) AS a,
+                 CAST(c1 AS HUGEINT) AS b
+          FROM reg WHERE c1 IS NOT NULL
+        ),
+        sums AS (
+          SELECT direction, CAST(count(*) AS HUGEINT) AS m,
+                 sum(y) AS sy, sum(a) AS sa, sum(b) AS sb,
+                 sum(y*y) AS syy, sum(a*a) AS saa, sum(b*b) AS sbb,
+                 sum(a*y) AS say, sum(b*y) AS sby, sum(a*b) AS sab
+          FROM longf GROUP BY direction
+        ),
+        cent AS (
+          SELECT direction, CAST(m AS BIGINT) AS n_pairs,
+                 CAST(m AS DOUBLE) AS mf,
+                 CAST(m*syy - sy*sy AS DOUBLE) AS cyy,
+                 CAST(m*saa - sa*sa AS DOUBLE) AS caa,
+                 CAST(m*sbb - sb*sb AS DOUBLE) AS cbb,
+                 CAST(m*say - sa*sy AS DOUBLE) AS cay,
+                 CAST(m*sby - sb*sy AS DOUBLE) AS cby,
+                 CAST(m*sab - sa*sb AS DOUBLE) AS cab
+          FROM sums
+        ),
+        fit AS (
+          SELECT direction, n_pairs, mf, cyy, cay, cby,
+                 cyy - cay * cay / NULLIF(caa, 0) AS rss_r,
+                 (cay * cbb - cby * cab)
+                   / NULLIF(caa * cbb - cab * cab, 0) AS beta_a,
+                 (cby * caa - cay * cab)
+                   / NULLIF(caa * cbb - cab * cab, 0) AS beta_b
+          FROM cent
+        )
+        SELECT direction, n_pairs,
+               round(beta_b, 6) AS beta_cross,
+               round((rss_r - (cyy - (beta_a * cay + beta_b * cby)))
+                     * (mf - 3)
+                     / NULLIF(cyy - (beta_a * cay + beta_b * cby), 0),
+                     4) AS f_stat
+        FROM fit ORDER BY direction
+    """,
+    doc="Lag-1 Granger causality between the hourly view and click "
+    "count series, both directions: does yesterday's-hour view count "
+    "predict this hour's clicks beyond clicks' own lag (and vice "
+    "versa)? F = ((RSS_restricted - RSS_full)/1) / (RSS_full/(m-3)) "
+    "with both OLS fits in closed form — centered second-moment sums "
+    "scaled by m are EXACT DECIMAL(38,0) integers (hourly counts are "
+    "integers; the zero-filled grid keeps the lag truly calendar-"
+    "adjacent, unlike the positional q_acf convention), so the only "
+    "float work is the final 2x2 Cramer solve. One domain-bounded "
+    "grid, one tiny_table_partition window for the lag, one 2-row "
+    "group reduce — nothing row-scale crosses the network after the "
+    "first hourly-count shuffle.",
+)
+def q_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type").isin("view", "click")
+    )
+    series = _hourly_counts(e)
+    bounds = series.agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("h0", "h1")).alias("h")
+    )
+    wide = (
+        grid.join(series, "h", "left")
+        .groupBy("h")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("event_type") == "view", F.col("x"))),
+                F.lit(0),
+            ).alias("v"),
+            F.coalesce(
+                F.max(F.when(F.col("event_type") == "click", F.col("x"))),
+                F.lit(0),
+            ).alias("c"),
+        )
+    )
+    w = Window.partitionBy(tiny_table_partition("h")).orderBy("h")
+    reg = (
+        wide.select(
+            "c",
+            "v",
+            F.lag("c").over(w).alias("c1"),
+            F.lag("v").over(w).alias("v1"),
+        )
+        .filter(F.col("c1").isNotNull())
+    )
+
+    def side(direction, y, a, b):
+        d = "decimal(38,0)"
+        return reg.select(
+            F.lit(direction).alias("direction"),
+            F.col(y).cast(d).alias("y"),
+            F.col(a).cast(d).alias("a"),
+            F.col(b).cast(d).alias("b"),
+        )
+
+    longf = side("view->click", "c", "c1", "v1").unionAll(
+        side("click->view", "v", "v1", "c1")
+    )
+    sums = longf.groupBy("direction").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("m"),
+        F.sum("y").alias("sy"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("a") * F.col("a")).alias("saa"),
+        F.sum(F.col("b") * F.col("b")).alias("sbb"),
+        F.sum(F.col("a") * F.col("y")).alias("say"),
+        F.sum(F.col("b") * F.col("y")).alias("sby"),
+        F.sum(F.col("a") * F.col("b")).alias("sab"),
+    )
+    m = F.col("m")
+    cent = sums.select(
+        "direction",
+        m.cast("long").alias("n_pairs"),
+        m.cast("double").alias("mf"),
+        (m * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("double")
+        .alias("cyy"),
+        (m * F.col("saa") - F.col("sa") * F.col("sa"))
+        .cast("double")
+        .alias("caa"),
+        (m * F.col("sbb") - F.col("sb") * F.col("sb"))
+        .cast("double")
+        .alias("cbb"),
+        (m * F.col("say") - F.col("sa") * F.col("sy"))
+        .cast("double")
+        .alias("cay"),
+        (m * F.col("sby") - F.col("sb") * F.col("sy"))
+        .cast("double")
+        .alias("cby"),
+        (m * F.col("sab") - F.col("sa") * F.col("sb"))
+        .cast("double")
+        .alias("cab"),
+    )
+    caa, cbb, cab = F.col("caa"), F.col("cbb"), F.col("cab")
+    cay, cby, cyy = F.col("cay"), F.col("cby"), F.col("cyy")
+    det = F.nullif(caa * cbb - cab * cab, F.lit(0.0))
+    fit = cent.select(
+        "direction",
+        "n_pairs",
+        "mf",
+        "cyy",
+        "cay",
+        "cby",
+        (cyy - cay * cay / F.nullif(caa, F.lit(0.0))).alias("rss_r"),
+        ((cay * cbb - cby * cab) / det).alias("beta_a"),
+        ((cby * caa - cay * cab) / det).alias("beta_b"),
+    )
+    rss_u = cyy - (
+        F.col("beta_a") * cay + F.col("beta_b") * cby
+    )
+    return fit.select(
+        "direction",
+        "n_pairs",
+        F.round(F.col("beta_b"), 6).alias("beta_cross"),
+        F.round(
+            (F.col("rss_r") - rss_u)
+            * (F.col("mf") - 3)
+            / F.nullif(rss_u, F.lit(0.0)),
+            4,
+        ).alias("f_stat"),
+    ).orderBy("direction")

@@ -959,3 +959,144 @@ def test_cohens_d_known_separation(spark, sf_dir):
     assert rows
     for r in rows:
         assert abs(r.cohens_d) < 10  # same-generator sources: small d
+
+
+def _hourly_np(sf_dir, types=None):
+    """Numpy twin of the hourly count series (per event_type)."""
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    if types is not None:
+        ev = ev[ev.event_type.isin(types)]
+    h = ev.ts.astype("datetime64[s]").astype("int64") // 3600
+    return ev.assign(h=h).groupby(["event_type", "h"]).size()
+
+
+def test_ljung_box_matches_numpy_and_acf_query(spark, sf_dir):
+    """Q recomputed in numpy from the same positional-lag convention;
+    acf_1 agrees with q_acf's independent DECIMAL-recipe reading."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.queries import queries
+
+    rows = {r.event_type: r for r in queries()["q_ljung_box"](spark, sf_dir).collect()}
+    acf_rows = {r.event_type: r for r in queries()["q_acf"](spark, sf_dir).collect()}
+    counts = _hourly_np(sf_dir)
+    for et, r in rows.items():
+        x = counts.loc[et].sort_index().to_numpy(dtype=float)
+        n = len(x)
+        assert r.n_hours == n
+        dev = x - x.mean()
+        den = (dev * dev).sum()
+        q = 0.0
+        for k in range(1, 7):
+            rk = (dev[k:] * dev[:-k]).sum() / den
+            q += rk * rk / (n - k)
+            if k == 1:
+                assert abs(r.acf_1 - rk) < 5e-4
+        q *= n * (n + 2)
+        assert abs(r.q_lb - q) < max(1e-3, 1e-6 * abs(q))
+        assert r.df == 6 and r.q_lb >= 0
+        assert abs(r.acf_1 - acf_rows[et].acf_1) <= 1e-4 + 1e-9
+
+
+def test_yule_walker_satisfies_normal_equations(spark, sf_dir):
+    """The fitted (phi1, phi2) must satisfy the two Yule-Walker
+    equations r1 = phi1 + phi2*r1 and r2 = phi1*r1 + phi2 up to the
+    published rounding."""
+    from hw_kafka_streams_spark.queries import queries
+
+    for r in queries()["q_yule_walker_ar2"](spark, sf_dir).collect():
+        assert abs(r.phi1 + r.phi2 * r.acf_1 - r.acf_1) < 5e-3
+        assert abs(r.phi1 * r.acf_1 + r.phi2 - r.acf_2) < 5e-3
+        assert 0 < r.resid_var_ratio <= 1 + 1e-9
+
+
+def test_granger_matches_numpy_ols(spark, sf_dir):
+    """F recomputed with numpy lstsq on the zero-filled hourly grid."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.queries import queries
+
+    rows = {
+        r.direction: r for r in queries()["q_granger_lag1"](spark, sf_dir).collect()
+    }
+    counts = _hourly_np(sf_dir, types=["view", "click"])
+    h0 = min(h for _, h in counts.index)
+    h1 = max(h for _, h in counts.index)
+    hours = range(h0, h1 + 1)
+    v = np.array([counts.get(("view", h), 0) for h in hours], dtype=float)
+    c = np.array([counts.get(("click", h), 0) for h in hours], dtype=float)
+
+    def f_stat(y, own, other):
+        yt, a, b = y[1:], own[:-1], other[:-1]
+        m = len(yt)
+        X_r = np.column_stack([np.ones(m), a])
+        X_u = np.column_stack([np.ones(m), a, b])
+        rss = lambda X: ((yt - X @ np.linalg.lstsq(X, yt, rcond=None)[0]) ** 2).sum()
+        rss_r, rss_u = rss(X_r), rss(X_u)
+        return (rss_r - rss_u) * (m - 3) / rss_u
+
+    for direction, (y, own, other) in {
+        "view->click": (c, c, v),
+        "click->view": (v, v, c),
+    }.items():
+        expect = f_stat(y, own, other)
+        got = rows[direction].f_stat
+        assert abs(got - expect) < max(5e-3, 1e-4 * abs(expect)), (
+            direction,
+            got,
+            expect,
+        )
+
+
+def test_jarque_bera_matches_numpy(spark, sf_dir):
+    """Skewness / excess kurtosis / JB recomputed with numpy
+    population moments per source."""
+    import numpy as np
+    import pandas as pd
+
+    from hw_kafka_streams_spark.queries import queries
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+    for r in queries()["q_jarque_bera"](spark, sf_dir).collect():
+        x = docs[docs.source == r.source].n_chars.dropna().to_numpy(dtype=float)
+        n = len(x)
+        assert r.n == n
+        d = x - x.mean()
+        m2, m3, m4 = (d**2).mean(), (d**3).mean(), (d**4).mean()
+        skew = m3 / m2**1.5
+        kurtx = m4 / m2**2 - 3
+        jb = n / 6 * (skew**2 + kurtx**2 / 4)
+        assert abs(r.skewness - skew) < 1e-5
+        assert abs(r.kurtosis_excess - kurtx) < 1e-5
+        assert abs(r.jarque_bera - jb) < max(1e-3, 1e-6 * jb)
+
+
+def test_bartlett_matches_numpy(spark, sf_dir):
+    """Bartlett chi2 recomputed from per-source sample variances."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from hw_kafka_streams_spark.queries import queries
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+    groups = [
+        g.n_chars.dropna().to_numpy(dtype=float)
+        for _, g in docs.groupby("source")
+    ]
+    k = len(groups)
+    ns = [len(g) for g in groups]
+    vs = [g.var(ddof=1) for g in groups]
+    ntot = sum(ns)
+    sp2 = sum((n - 1) * v for n, v in zip(ns, vs)) / (ntot - k)
+    num = (ntot - k) * math.log(sp2) - sum(
+        (n - 1) * math.log(v) for n, v in zip(ns, vs)
+    )
+    corr = 1 + (sum(1 / (n - 1) for n in ns) - 1 / (ntot - k)) / (3 * (k - 1))
+    expect = num / corr
+    row = queries()["q_bartlett_test"](spark, sf_dir).collect()[0]
+    assert row.k_groups == k and row.n_total == ntot and row.df == k - 1
+    assert abs(row.bartlett_chi2 - expect) < max(1e-3, 1e-5 * abs(expect))
