@@ -4455,3 +4455,374 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
         )
     )
+
+
+# ---- round-9 IR-evaluation trio: MAP/MRR, QL-Dirichlet, calibration ----
+
+_BM25_CTE = """
+        toks AS (
+          SELECT doc_id, unnest(list_filter(
+                   string_split_regex(trim(lower(text)), '\\s+'),
+                   t -> t <> '')) AS term
+          FROM documents
+        ),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        stats AS (SELECT count(*) AS n_docs,
+                         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+                  FROM dl)
+"""
+
+
+def _bm25_query_cte(i: int, terms: list[str]) -> str:
+    """Per-query-set CTE chain replaying operators/retrieval.
+    bm25_scores' decimal contract for query set ``terms``."""
+    tl = ", ".join(f"'{t}'" for t in terms)
+    k = len(terms)
+    return f"""
+        qt{i} AS (SELECT doc_id, term, count(*) AS tf FROM toks
+               WHERE term IN ({tl}) GROUP BY 1, 2),
+        df{i} AS (SELECT term, count(DISTINCT doc_id) AS df
+                  FROM qt{i} GROUP BY 1),
+        sc{i} AS (
+          SELECT qt{i}.doc_id, CAST(count(*) AS BIGINT) AS hits,
+                 sum(CAST(round(
+                   ln(1 + (stats.n_docs - df{i}.df + 0.5)
+                      / (df{i}.df + 0.5))
+                   * qt{i}.tf * 2.2
+                   / (qt{i}.tf + 1.2 * (1 - 0.75
+                                     + 0.75 * dl.dl / stats.avgdl)),
+                   6) AS DECIMAL(12,6))) AS bm25
+          FROM qt{i} JOIN df{i} USING (term) JOIN dl USING (doc_id)
+          CROSS JOIN stats GROUP BY qt{i}.doc_id
+        ),
+        rel{i} AS (SELECT doc_id, bm25,
+                          CAST(hits = {k} AS INT) AS rel FROM sc{i}),
+        top{i} AS (
+          SELECT rel, row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                   AS r,
+                 sum(rel) OVER (ORDER BY bm25 DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+          FROM rel{i} QUALIFY r <= 10
+        ),
+        ap{i} AS (
+          SELECT 'q{i}' AS query_id,
+                 (SELECT CAST(sum(rel) AS BIGINT) FROM rel{i})
+                   AS n_rel_total,
+                 round(CAST(sum(CAST(round(
+                     rel * CAST(cum AS DOUBLE) / r, 9)
+                   AS DECIMAL(18,9))) AS DOUBLE) / 10, 6) AS ap_10,
+                 round(max(CASE WHEN rel = 1
+                           THEN round(1.0 / r, 9) ELSE 0.0 END), 6)
+                   AS mrr
+          FROM top{i}
+        )"""
+
+
+_IR_QUERIES = [["spark"], ["join", "window"], ["hash", "filter", "stream"]]
+
+
+@register(
+    "q_map_mrr_eval",
+    oracle="WITH " + _BM25_CTE + ","
+    + ",".join(_bm25_query_cte(i, q) for i, q in enumerate(_IR_QUERIES))
+    + """
+        SELECT * FROM ap0 UNION ALL SELECT * FROM ap1
+        UNION ALL SELECT * FROM ap2 ORDER BY query_id
+    """,
+    doc="AP@10 and reciprocal rank of the BM25 ranker for three query "
+    "sets (spark | join+window | hash+filter+stream) against strict "
+    "all-terms-present relevance — the set-based companion to "
+    "q_ndcg_eval's graded single query (MAP/MRR are what retrieval "
+    "regressions report when graded labels don't exist). AP terms "
+    "rel_r * (cum_rel_r / r) / 10 are 9dp-DECIMAL-summed over the "
+    "10-row ranking; RR = max(rel/r) needs no second window. Each "
+    "query set reuses the sharded bm25_scores shape; the only "
+    "windows run over TakeOrdered-bounded 10-row tables.",
+)
+def q_map_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from hw_kafka_streams_spark.operators.retrieval import bm25_scores
+    from hw_kafka_streams_spark.operators.winutil import (
+        tiny_table_partition,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    outs = []
+    for i, terms in enumerate(_IR_QUERIES):
+        scores = bm25_scores(docs, terms, k1=1.2, b=0.75).select(
+            "doc_id",
+            "bm25",
+            (F.col("n_terms_hit") == len(terms)).cast("int").alias("rel"),
+        )
+        scores = managed_persist(scores)
+        nrel = scores.agg(
+            F.sum("rel").cast("long").alias("n_rel_total")
+        )
+        top = scores.orderBy(F.desc("bm25"), "doc_id").limit(10)
+        w = W.partitionBy(tiny_table_partition("doc_id")).orderBy(
+            F.desc("bm25"), "doc_id"
+        )
+        ranked = top.select(
+            "rel",
+            F.row_number().over(w).alias("r"),
+            F.sum("rel")
+            .over(w.rowsBetween(W.unboundedPreceding, 0))
+            .alias("cum"),
+        )
+        ap = ranked.agg(
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("rel") * F.col("cum").cast("double")
+                        / F.col("r"),
+                        9,
+                    ).cast("decimal(18,9)")
+                ).cast("double")
+                / 10,
+                6,
+            ).alias("ap_10"),
+            F.round(
+                F.max(
+                    F.when(
+                        F.col("rel") == 1, F.round(1.0 / F.col("r"), 9)
+                    ).otherwise(F.lit(0.0))
+                ),
+                6,
+            ).alias("mrr"),
+        )
+        outs.append(
+            ap.crossJoin(F.broadcast(nrel)).select(
+                F.lit(f"q{i}").alias("query_id"),
+                "n_rel_total",
+                "ap_10",
+                "mrr",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("query_id")
+
+
+@register(
+    "q_ql_dirichlet",
+    oracle="WITH " + _BM25_CTE + """,
+        coll AS (SELECT CAST(count(*) AS BIGINT) AS ctot FROM toks),
+        ctf AS (SELECT term, CAST(count(*) AS BIGINT) AS ctf
+                FROM toks WHERE term IN ('spark', 'join', 'hash')
+                GROUP BY 1),
+        pq AS (SELECT term,
+                      2000.0 * (CAST(ctf AS DOUBLE) / ctot) AS mup
+               FROM ctf CROSS JOIN coll),
+        kconst AS (SELECT CAST(sum(CAST(round(ln(mup), 6)
+                          AS DECIMAL(18,6))) AS DOUBLE) AS kk FROM pq),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+               WHERE term IN ('spark', 'join', 'hash') GROUP BY 1, 2),
+        adj AS (SELECT tf.doc_id,
+                       sum(CAST(round(ln((tf.tf + pq.mup) / pq.mup), 6)
+                           AS DECIMAL(18,6))) AS a
+                FROM tf JOIN pq USING (term) GROUP BY 1),
+        scored AS (
+          SELECT dl.doc_id,
+                 round(COALESCE(CAST(a AS DOUBLE), 0.0) + kk
+                       - 3 * ln(dl.dl + 2000.0), 6) AS ql
+          FROM dl LEFT JOIN adj USING (doc_id) CROSS JOIN kconst
+        )
+        SELECT rnk, doc_id, ql FROM (
+          SELECT doc_id, ql,
+                 row_number() OVER (ORDER BY ql DESC, doc_id) AS rnk
+          FROM scored) WHERE rnk <= 10 ORDER BY rnk
+    """,
+    doc="Query-likelihood ranking with Dirichlet smoothing (Zhai & "
+    "Lafferty 2001), mu=2000, query {spark, join, hash}: score = "
+    "sum_q ln((tf + mu*p(q|C)) / (dl + mu)) — the language-model "
+    "ranker beside BM25 (different idf-free length normalization; "
+    "every doc scores, even term-free ones, via the smoothing mass). "
+    "Decomposed as matched-term adjustments ln((tf+mu*p)/(mu*p)) "
+    "(6dp-DECIMAL-summed, docs-hitting-terms sized) plus a 1-row "
+    "query constant and a per-doc -|Q|*ln(dl+mu) — so the full-corpus "
+    "branch is a pure column expression on the dl table, no join "
+    "against the token stream. Top-10 by TakeOrdered; rank window "
+    "over the 10-row result.",
+)
+def q_ql_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from hw_kafka_streams_spark.operators.text import word_tokens
+    from hw_kafka_streams_spark.operators.winutil import (
+        tiny_table_partition,
+    )
+
+    terms = ["spark", "join", "hash"]
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(word_tokens(F.lower(F.col("text")))).alias("term"),
+    )
+    toks = managed_persist(toks)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    coll = toks.agg(F.count(F.lit(1)).alias("ctot"))
+    ctf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("ctf"))
+    )
+    pq = ctf.crossJoin(F.broadcast(coll)).select(
+        "term",
+        (2000.0 * (F.col("ctf").cast("double") / F.col("ctot"))).alias(
+            "mup"
+        ),
+    )
+    pq = managed_persist(pq)
+    kconst = pq.agg(
+        F.sum(F.round(F.log("mup"), 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("kk")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    adj = (
+        tf.join(F.broadcast(pq), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.round(
+                    F.log((F.col("tf") + F.col("mup")) / F.col("mup")), 6
+                ).cast("decimal(18,6)")
+            ).alias("a")
+        )
+    )
+    scored = (
+        dl.join(adj, "doc_id", "left")
+        .crossJoin(F.broadcast(kconst))
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(F.col("a").cast("double"), F.lit(0.0))
+                + F.col("kk")
+                - 3 * F.log(F.col("dl") + 2000.0),
+                6,
+            ).alias("ql"),
+        )
+    )
+    top = scored.orderBy(F.desc("ql"), "doc_id").limit(10)
+    w = W.partitionBy(tiny_table_partition("doc_id")).orderBy(
+        F.desc("ql"), "doc_id"
+    )
+    return top.select(
+        F.row_number().over(w).alias("rnk"), "doc_id", "ql"
+    ).orderBy("rnk")
+
+
+@register(
+    "q_calibration_brier",
+    oracle="WITH " + _BM25_CTE + "," + _bm25_query_cte(9, ["spark", "join", "hash"])
+    + """,
+        b6t AS (SELECT doc_id, rel,
+                       CAST(bm25 * 1000000 AS HUGEINT) AS b6
+                FROM rel9),
+        mom AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                       sum(b6) AS s1, sum(b6 * b6) AS s2
+                FROM b6t),
+        probs AS (
+          SELECT doc_id, rel,
+                 1.0 / (1.0 + exp(-(CAST(n * b6 - s1 AS DOUBLE)
+                        / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))))) AS p
+          FROM b6t CROSS JOIN mom
+        ),
+        tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_total,
+                 round(CAST(sum(CAST(round((p - rel) * (p - rel), 6)
+                       AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+                   AS brier
+          FROM probs
+        )
+        SELECT LEAST(CAST(floor(p * 10) AS INT), 9) AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(CAST(round(p, 6) AS DECIMAL(18,6)))
+                     AS DOUBLE) / count(*), 6) AS mean_p,
+               round(CAST(sum(rel) AS DOUBLE) / count(*), 6)
+                 AS frac_pos,
+               min(tot.brier) AS brier,
+               CAST(min(tot.n_total) AS BIGINT) AS n_total
+        FROM probs CROSS JOIN tot
+        GROUP BY 1 ORDER BY bin
+    """,
+    doc="Reliability diagram + Brier score of BM25-as-probability: "
+    "z-standardize the bm25 score over the candidate set (query "
+    "{spark, join, hash}), squash through a sigmoid, and compare "
+    "predicted confidence against strict all-terms relevance per "
+    "decile bin — the calibration audit every learned quality/rerank "
+    "filter needs before its scores gate data (a miscalibrated 0.9 "
+    "silently over-prunes). Determinism: bm25 decimals scale to "
+    "exact integer micro-units, so mean/sd enter as one float "
+    "division of exact integers (z = (n*x - s1)/sqrt(n*s2 - s1^2)); "
+    "bin means and the Brier term sums are 6dp-DECIMAL-summed. One "
+    "extra 1-row moment reduce + 10-row group over the bm25_scores "
+    "shape; nothing new shuffles at corpus scale.",
+)
+def q_calibration_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.retrieval import bm25_scores
+
+    docs = load_table(spark, "documents", sf_dir)
+    scores = bm25_scores(docs, ["spark", "join", "hash"]).select(
+        "doc_id",
+        (F.col("n_terms_hit") == 3).cast("int").alias("rel"),
+        (F.col("bm25") * 1000000).cast("decimal(38,0)").alias("b6"),
+    )
+    scores = managed_persist(scores)
+    mom = scores.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("b6").alias("s1"),
+        F.sum(F.col("b6") * F.col("b6")).alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    z = (n * F.col("b6") - s1).cast("double") / F.sqrt(
+        (n * s2 - s1 * s1).cast("double")
+    )
+    probs = scores.crossJoin(F.broadcast(mom)).select(
+        "doc_id", "rel", (1.0 / (1.0 + F.exp(-z))).alias("p")
+    )
+    probs = managed_persist(probs)
+    tot = probs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.round(
+            F.sum(
+                F.round(
+                    (F.col("p") - F.col("rel"))
+                    * (F.col("p") - F.col("rel")),
+                    6,
+                ).cast("decimal(18,6)")
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("brier"),
+    )
+    return (
+        probs.crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9)).alias(
+                "bin"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(
+                F.sum(F.round(F.col("p"), 6).cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_p"),
+            F.round(
+                F.sum("rel").cast("double") / F.count(F.lit(1)), 6
+            ).alias("frac_pos"),
+            F.min("brier").alias("brier"),
+            F.min("n_total").cast("long").alias("n_total"),
+        )
+        .orderBy("bin")
+    )

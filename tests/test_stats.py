@@ -1100,3 +1100,81 @@ def test_bartlett_matches_numpy(spark, sf_dir):
     row = queries()["q_bartlett_test"](spark, sf_dir).collect()[0]
     assert row.k_groups == k and row.n_total == ntot and row.df == k - 1
     assert abs(row.bartlett_chi2 - expect) < max(1e-3, 1e-5 * abs(expect))
+
+
+def test_map_mrr_single_term_perfect(spark, sf_dir):
+    """For the single-term query set, strict relevance == 'doc hits
+    the term', so every retrieved doc is relevant: AP@10 and MRR must
+    both be exactly 1 (given >= 10 relevant docs exist)."""
+    from hw_kafka_streams_spark.queries import queries
+
+    rows = {r.query_id: r for r in queries()["q_map_mrr_eval"](spark, sf_dir).collect()}
+    assert set(rows) == {"q0", "q1", "q2"}
+    q0 = rows["q0"]
+    assert q0.n_rel_total >= 10
+    assert q0.ap_10 == 1.0 and q0.mrr == 1.0
+    for r in rows.values():
+        assert 0 <= r.ap_10 <= 1 and 0 <= r.mrr <= 1
+        # MRR is 0 or a reciprocal of a rank in 1..10
+        assert r.mrr == 0 or any(abs(r.mrr - round(1 / k, 6)) < 1e-9 for k in range(1, 11))
+
+
+def test_ql_dirichlet_matches_numpy(spark, sf_dir):
+    """Top-10 scores recomputed in pure python with the same
+    whitespace tokenizer and mu=2000 Dirichlet smoothing."""
+    import math
+    import re
+
+    import pandas as pd
+
+    from hw_kafka_streams_spark.queries import queries
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    terms = ["spark", "join", "hash"]
+    dl, tf, ctf, ctot = {}, {}, {t: 0 for t in terms}, 0
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        toks = [t for t in re.split(r"\s+", text.strip().lower()) if t]
+        dl[doc_id] = len(toks)
+        ctot += len(toks)
+        for t in terms:
+            c = toks.count(t)
+            tf[(doc_id, t)] = c
+            ctf[t] += c
+    mup = {t: 2000.0 * ctf[t] / ctot for t in terms}
+
+    def score(d):
+        return sum(
+            math.log((tf[(d, t)] + mup[t]) / (dl[d] + 2000.0)) for t in terms
+        )
+
+    expect = sorted(dl, key=lambda d: (-score(d), d))[:10]
+    got = queries()["q_ql_dirichlet"](spark, sf_dir).collect()
+    assert [r.doc_id for r in got] == expect
+    for r in got:
+        assert abs(r.ql - score(r.doc_id)) < 1e-4
+    assert [r.rnk for r in got] == list(range(1, 11))
+
+
+def test_calibration_brier_invariants(spark, sf_dir):
+    """Bins partition the candidate set; per-bin means live in their
+    bin; Brier is a proper [0,1] score consistent with a direct
+    recompute from the bins' resolution/reliability decomposition
+    bound."""
+    from hw_kafka_streams_spark.queries import queries
+
+    rows = queries()["q_calibration_brier"](spark, sf_dir).collect()
+    assert rows
+    n_total = rows[0].n_total
+    assert sum(r.n for r in rows) == n_total
+    assert all(rows[0].brier == r.brier for r in rows)
+    assert 0 <= rows[0].brier <= 1
+    for r in rows:
+        assert 0 <= r.bin <= 9
+        lo, hi = r.bin / 10, (r.bin + 1) / 10 if r.bin < 9 else 1.0 + 1e-9
+        assert lo - 1e-6 <= r.mean_p <= hi + 1e-6
+        assert 0 <= r.frac_pos <= 1
+    # reliability term alone can't exceed the Brier score by more than
+    # the refinement bound: brier >= sum n_b (mean_p_b - frac_pos_b)^2 / N
+    # minus binning slack — check the weak direction with tolerance
+    reliability = sum(r.n * (r.mean_p - r.frac_pos) ** 2 for r in rows) / n_total
+    assert rows[0].brier >= reliability - 0.05
