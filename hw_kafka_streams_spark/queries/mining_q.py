@@ -18,6 +18,7 @@ from hw_kafka_streams_spark.operators import text as T
 from hw_kafka_streams_spark.operators.bpe import bpe_apply_oracle_sql, bpe_oracle_sql
 from hw_kafka_streams_spark.queries import register
 from hw_kafka_streams_spark.sources.catalog import load_table
+from hw_kafka_streams_spark.cache import managed_persist
 
 _FP = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
 
@@ -2811,3 +2812,252 @@ def q_percolator(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+def _bt_oracle(iters: int = 3) -> str:
+    """Unrolled-CTE DuckDB replay of the Bradley-Terry MM trajectory
+    (Hunter 2004): per-opponent denominator terms and the
+    normalization sum are round-to-9dp DECIMAL sums, strengths
+    rounded to 9dp after every update — the same pinned-trajectory
+    oracle pattern as q_logreg_gd / q_doremi_weights."""
+    head = """
+        WITH ut AS MATERIALIZED (
+          SELECT user_id, event_type AS t, count(*) AS c
+          FROM events GROUP BY 1, 2
+        ),
+        m AS MATERIALIZED (
+          SELECT a.t AS i, b.t AS j,
+                 CASE WHEN a.c > b.c THEN a.t ELSE b.t END AS winner
+          FROM ut a JOIN ut b
+            ON a.user_id = b.user_id AND a.t < b.t
+          WHERE a.c <> b.c
+        ),
+        n_ij AS MATERIALIZED (SELECT i, j, CAST(count(*) AS BIGINT) AS n
+                 FROM m GROUP BY 1, 2),
+        wins AS MATERIALIZED (SELECT winner AS t, CAST(count(*) AS BIGINT) AS w
+                 FROM m GROUP BY 1),
+        items AS (SELECT DISTINCT t FROM ut),
+        sym AS MATERIALIZED (SELECT i AS t, j AS o, n FROM n_ij
+                UNION ALL SELECT j, i, n FROM n_ij),
+        p_0 AS (SELECT t, round(1.0 / (SELECT count(*) FROM items), 9)
+                       AS p
+                FROM items)"""
+    its = []
+    for k in range(1, iters + 1):
+        its.append(f"""
+        , den_{k} AS (
+          SELECT s.t,
+                 CAST(sum(CAST(round(s.n / (pt.p + po.p), 9)
+                      AS DECIMAL(28,9))) AS DOUBLE) AS den
+          FROM sym s JOIN p_{k - 1} pt ON s.t = pt.t
+               JOIN p_{k - 1} po ON s.o = po.t
+          GROUP BY s.t
+        ), raw_{k} AS (
+          SELECT d.t,
+                 round(COALESCE(w.w, 0) / d.den, 9) AS pr
+          FROM den_{k} d LEFT JOIN wins w USING (t)
+        ), p_{k} AS (
+          SELECT t, round(pr / (
+            SELECT CAST(sum(CAST(round(pr, 9) AS DECIMAL(28,9)))
+                   AS DOUBLE) FROM raw_{k}), 9) AS p
+          FROM raw_{k}
+        )""")
+    tail = f"""
+        SELECT i.t AS event_type,
+               CAST(COALESCE((SELECT sum(n) FROM sym WHERE sym.t = i.t),
+                             0) AS BIGINT) AS n_matches,
+               CAST(COALESCE(w.w, 0) AS BIGINT) AS wins,
+               round(p.p, 6) AS bt_strength
+        FROM items i LEFT JOIN wins w ON i.t = w.t
+             JOIN p_{iters} p ON i.t = p.t
+        ORDER BY event_type"""
+    return head + "".join(its) + tail
+
+
+@register(
+    "q_bradley_terry",
+    oracle=_bt_oracle(iters=3),
+    doc="Bradley-Terry preference strengths over event types, fit by "
+    "3 unrolled MM updates (Hunter 2004: p_i <- w_i / sum_j "
+    "n_ij/(p_i+p_j), renormalized) — the batch preference model "
+    "behind reward-model data curation (pairwise comparisons -> "
+    "per-item strengths). 'Matches' are per-user activity duels: for "
+    "each user and each type pair, the type with more of that user's "
+    "events wins (ties void). Scale shape: the duel derivation is "
+    "one (user, type) count shuffle + a per-user self-join with "
+    "fan-out bounded by k^2 event types; everything after lives on "
+    "k-row tables (k = 5), so the MM iterations are broadcast-only. "
+    "Trajectory pinned by 9dp rounding of every denominator term, "
+    "update, and normalization (DECIMAL sums, reducer-order-proof); "
+    "the DuckDB oracle replays all 3 updates as unrolled CTEs.",
+)
+def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    ut = e.groupBy("user_id", F.col("event_type").alias("t")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    a, b = ut.alias("a"), ut.alias("b")
+    m = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.t") < F.col("b.t")),
+        )
+        .filter(F.col("a.c") != F.col("b.c"))
+        .select(
+            F.col("a.t").alias("i"),
+            F.col("b.t").alias("j"),
+            F.when(F.col("a.c") > F.col("b.c"), F.col("a.t"))
+            .otherwise(F.col("b.t"))
+            .alias("winner"),
+        )
+    )
+    # One pass over the duel table computes every model input; all
+    # are k^2-bounded (k = #event types), so collect them once and run
+    # the MM iterations over literal frames — the heavy lineage
+    # (events scan + per-user self-join) executes exactly once, and
+    # each iteration's job is a handful of sub-ms literal-table joins.
+    stats = (
+        m.groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("winner") == F.col("i")).cast("long")).alias(
+                "wi"
+            ),
+        )
+        .collect()
+    )
+    sym_rows = [(r.i, r.j, r.n) for r in stats] + [
+        (r.j, r.i, r.n) for r in stats
+    ]
+    win_counts: dict = {}
+    for r in stats:
+        win_counts[r.i] = win_counts.get(r.i, 0) + r.wi
+        win_counts[r.j] = win_counts.get(r.j, 0) + (r.n - r.wi)
+    item_list = sorted({t for t, _, _ in sym_rows})
+    n_to = {(t, o): n for t, o, n in sym_rows}
+    tot = {t: sum(n for (tt, _), n in n_to.items() if tt == t)
+           for t in item_list}
+    k_items = len(item_list)
+
+    # MM iterations as 1-row projection jobs: every round/divide runs
+    # through the SAME engine expressions the k-row-table form used
+    # (F.round half-up, DECIMAL(28,9) exact term sums), but with the
+    # k^2-bounded model state inlined as literals there is nothing to
+    # shuffle — 3 sub-second jobs instead of 3 multi-stage ones. The
+    # oracle replays the identical trajectory in unrolled CTEs.
+    def dec_sum(cols):
+        out = cols[0]
+        for c in cols[1:]:
+            out = out + c
+        return out
+
+    p9 = {
+        t: spark.range(1)
+        .select(F.round(F.lit(1.0) / F.lit(float(k_items)), 9).alias("p"))
+        .first()[0]
+        for t in item_list[:1]
+    }
+    p9 = {t: p9[item_list[0]] for t in item_list}
+    for _ in range(3):
+        pr_exprs = {}
+        for t in item_list:
+            terms = [
+                F.round(
+                    F.lit(n_to[(t, o)]) / (F.lit(p9[t]) + F.lit(p9[o])), 9
+                ).cast("decimal(28,9)")
+                for o in item_list
+                if (t, o) in n_to
+            ]
+            den = dec_sum(terms).cast("double")
+            pr_exprs[t] = F.round(
+                F.lit(win_counts.get(t, 0)) / den, 9
+            )
+        srow = spark.range(1).select(
+            *[pr_exprs[t].alias(f"pr_{i}") for i, t in enumerate(item_list)],
+            dec_sum(
+                [
+                    F.round(pr_exprs[t], 9).cast("decimal(28,9)")
+                    for t in item_list
+                ]
+            )
+            .cast("double")
+            .alias("s"),
+        )
+        prow = spark.range(1).select(
+            *[
+                F.round(pr_exprs[t] / srow.select("s").first()[0], 9).alias(
+                    f"p_{i}"
+                )
+                for i, t in enumerate(item_list)
+            ]
+        ).first()
+        p9 = {t: prow[f"p_{i}"] for i, t in enumerate(item_list)}
+    final = spark.createDataFrame(
+        [
+            (t, tot.get(t, 0), win_counts.get(t, 0), p9[t])
+            for t in item_list
+        ],
+        "event_type string, n_matches long, wins long, p double",
+    )
+    return final.select(
+        "event_type",
+        "n_matches",
+        "wins",
+        F.round(F.col("p"), 6).alias("bt_strength"),
+    ).orderBy("event_type")
+
+
+@register(
+    "q_dp_noisy_counts",
+    oracle="""
+        WITH per AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_true
+          FROM documents GROUP BY 1
+        ),
+        u AS (
+          SELECT source, n_true,
+                 CAST(('0x' || substring(md5(source || ':dp42'), 1, 15))
+                      AS BIGINT) / 1152921504606846976.0 - 0.5 AS uu
+          FROM per
+        )
+        SELECT source, n_true,
+               round(n_true
+                     - 1.0 * CASE WHEN uu >= 0 THEN 1.0 ELSE -1.0 END
+                       * ln(GREATEST(1 - 2 * abs(uu), 1e-18)), 4)
+                 AS noisy_n,
+               1.0 AS epsilon
+        FROM u ORDER BY source
+    """,
+    doc="Differentially-private per-source doc counts via the Laplace "
+    "mechanism (Dwork 2006): count sensitivity 1, epsilon = 1, noise "
+    "= -b*sign(u)*ln(1-2|u|) by inverse-CDF from a SEEDED uniform "
+    "(the md5h 60-bit twin scaled to [-0.5, 0.5)) — deterministic so "
+    "the release is replayable and oracled; a production release "
+    "would rotate the seed per budget epoch and drop the n_true "
+    "column (kept here because the synthetic fixture has no secrets "
+    "and the audit wants the error visible). One group-keyed count, "
+    "k-row noise map, zero extra shuffles at any scale.",
+)
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.dedup import md5h
+
+    docs = load_table(spark, "documents", sf_dir)
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true")
+    )
+    uu = (
+        md5h(F.concat(F.col("source"), F.lit(":dp42")))
+        / F.lit(1152921504606846976.0)
+        - 0.5
+    )
+    sign = F.when(uu >= 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    noise = -1.0 * sign * F.log(
+        F.greatest(1 - 2 * F.abs(uu), F.lit(1e-18))
+    )
+    return per.select(
+        "source",
+        "n_true",
+        F.round(F.col("n_true") + noise, 4).alias("noisy_n"),
+        F.lit(1.0).alias("epsilon"),
+    ).orderBy("source")

@@ -1178,3 +1178,38 @@ def test_calibration_brier_invariants(spark, sf_dir):
     # minus binning slack — check the weak direction with tolerance
     reliability = sum(r.n * (r.mean_p - r.frac_pos) ** 2 for r in rows) / n_total
     assert rows[0].brier >= reliability - 0.05
+
+
+def test_bradley_terry_strengths_track_win_rates(spark, sf_dir):
+    """Strengths are a distribution (sum ~1, all positive); with
+    near-equal match counts the MM fixed point must order items by
+    win rate; wins bounded by matches."""
+    from hw_kafka_streams_spark.queries import queries
+
+    rows = queries()["q_bradley_terry"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert abs(sum(r.bt_strength for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert 0 < r.bt_strength < 1
+        assert 0 <= r.wins <= r.n_matches
+    by_strength = sorted(rows, key=lambda r: -r.bt_strength)
+    by_winrate = sorted(rows, key=lambda r: -(r.wins / r.n_matches))
+    assert [r.event_type for r in by_strength] == [
+        r.event_type for r in by_winrate
+    ]
+
+
+def test_dp_noisy_counts_seeded_laplace(spark, sf_dir):
+    """Noise is deterministic (seeded), nonzero, and Laplace-bounded;
+    epsilon is reported."""
+    from hw_kafka_streams_spark.queries import queries
+
+    r1 = queries()["q_dp_noisy_counts"](spark, sf_dir).collect()
+    r2 = queries()["q_dp_noisy_counts"](spark, sf_dir).collect()
+    assert [tuple(r) for r in r1] == [tuple(r) for r in r2]
+    for r in r1:
+        noise = r.noisy_n - r.n_true
+        assert noise != 0  # a.s. for the seeded uniform
+        # |noise| = b*|ln(u')|, u' >= 1e-18 -> |noise| <= 18*ln(10)+eps
+        assert abs(noise) < 42
+        assert r.epsilon == 1.0
