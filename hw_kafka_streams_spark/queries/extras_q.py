@@ -2189,3 +2189,169 @@ def q_hits_ship_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("hub"), F.desc("authority"), "node")
         .limit(50)
     )
+
+
+# Candidate FDs audited by q_fd_discovery: (table, lhs-cols, rhs-col).
+# Mix of exact keys (g3 = 0 by construction) and plausible-but-false
+# dependencies (the profiler's job is telling them apart).
+_FD_CANDIDATES = [
+    ("orders", ["o_orderkey"], "o_custkey"),
+    ("orders", ["o_custkey"], "o_orderpriority"),
+    ("orders", ["o_orderdate"], "o_orderstatus"),
+    ("lineitem", ["l_orderkey", "l_linenumber"], "l_quantity"),
+    ("lineitem", ["l_partkey"], "l_suppkey"),
+    ("documents", ["doc_id"], "lang"),
+    ("documents", ["source"], "lang"),
+]
+
+
+@register(
+    "q_fd_discovery",
+    oracle="\nUNION ALL\n".join(
+        f"""
+        SELECT '{tbl}' AS tbl, '{",".join(lhs)}' AS lhs,
+               '{rhs}' AS rhs,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               round(1.0 - CAST(sum(mx) AS DOUBLE)
+                     / sum(cnt), 6) AS g3_error,
+               CAST(sum(mx) = sum(cnt) AS BOOLEAN) AS holds
+        FROM (
+          SELECT {", ".join(lhs)}, max(c) AS mx, sum(c) AS cnt
+          FROM (SELECT {", ".join(lhs)}, {rhs}, count(*) AS c
+                FROM {tbl} GROUP BY ALL)
+          GROUP BY ALL
+        )"""
+        for tbl, lhs, rhs in _FD_CANDIDATES
+    )
+    + "\nORDER BY tbl, lhs, rhs",
+    doc="Approximate functional-dependency discovery (Kivinen & "
+    "Mannila g3 measure: the min fraction of rows to delete for "
+    "X -> Y to hold, = 1 - sum_x max_y n(x,y) / N) over a fixed "
+    "candidate set spanning exact keys (o_orderkey -> o_custkey, "
+    "doc_id -> lang: g3 = 0), plausible-but-false rules (o_custkey "
+    "-> o_orderpriority, source -> lang), and a would-be key the "
+    "synthetic generator happens to violate ((l_orderkey, "
+    "l_linenumber) -> l_quantity — real TPC-H makes it a composite "
+    "key; this fixture doesn't, and the profiler catches exactly "
+    "that) — the schema-profiling pass that seeds "
+    "constraint mining and dedup-key selection. Per candidate: one "
+    "map-side-combinable (X, Y) count, one X-keyed max/sum rollup, "
+    "one 1-row reduce — 2 bounded shuffles each, unioned; nothing "
+    "row-scale leaves its table's partitions twice.",
+)
+def q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs = []
+    for tbl, lhs, rhs in _FD_CANDIDATES:
+        t = load_table(spark, tbl, sf_dir)
+        xy = t.groupBy(*lhs, rhs).agg(F.count(F.lit(1)).alias("c"))
+        grp = xy.groupBy(*lhs).agg(
+            F.max("c").alias("mx"), F.sum("c").alias("cnt")
+        )
+        outs.append(
+            grp.agg(
+                F.count(F.lit(1)).cast("long").alias("n_groups"),
+                F.round(
+                    1.0 - F.sum("mx").cast("double") / F.sum("cnt"), 6
+                ).alias("g3_error"),
+                (F.sum("mx") == F.sum("cnt")).alias("holds"),
+            ).select(
+                F.lit(tbl).alias("tbl"),
+                F.lit(",".join(lhs)).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                "n_groups",
+                "g3_error",
+                "holds",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("tbl", "lhs", "rhs")
+
+
+# Candidate inclusion dependencies for q_fk_discovery:
+# (child table, child col, parent table, parent col) — the four real
+# TPC-H FKs plus one decoy that fails containment.
+_IND_CANDIDATES = [
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("orders", "o_orderkey", "customer", "c_custkey"),
+]
+
+
+@register(
+    "q_fk_discovery",
+    oracle="\nUNION ALL\n".join(
+        f"""
+        SELECT '{ct}' AS child_table, '{cc}' AS child_col,
+               '{pt}' AS parent_table, '{pc}' AS parent_col,
+               CAST(count(*) AS BIGINT) AS n_child_distinct,
+               CAST(sum(CASE WHEN p.k IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_contained,
+               round(CAST(sum(CASE WHEN p.k IS NOT NULL
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6) AS containment,
+               CAST(count(*) = sum(CASE WHEN p.k IS NOT NULL
+                                   THEN 1 ELSE 0 END) AS BOOLEAN)
+                 AS holds
+        FROM (SELECT DISTINCT {cc} AS k FROM {ct}) c
+        LEFT JOIN (SELECT DISTINCT {pc} AS k FROM {pt}) p USING (k)
+        """
+        for ct, cc, pt, pc in _IND_CANDIDATES
+    )
+    + "\nORDER BY child_table, child_col, parent_table",
+    doc="Inclusion-dependency (foreign-key) discovery: distinct-value "
+    "containment of each candidate child column in its candidate "
+    "parent key (the unary-IND check behind automatic join-graph / "
+    "star-schema inference; candidates = the four real TPC-H FKs "
+    "plus one decoy). Containment = |child-distinct within parent| / "
+    "|child-distinct|. Per candidate: two DISTINCT reductions (each "
+    "dimension-key-bounded, far below row scale) and one equi-join "
+    "of the distinct sets — the parent side is a key table, so at "
+    "100 TB the join broadcasts or AQE-coalesces; no row-scale "
+    "all-pairs anywhere.",
+)
+def q_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs = []
+    for ct, cc, pt, pc in _IND_CANDIDATES:
+        c = load_table(spark, ct, sf_dir).select(
+            F.col(cc).alias("k")
+        ).distinct()
+        p = (
+            load_table(spark, pt, sf_dir)
+            .select(F.col(pc).alias("k"))
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
+        joined = c.join(p, "k", "left")
+        outs.append(
+            joined.agg(
+                F.count(F.lit(1)).cast("long").alias("n_child_distinct"),
+                F.sum(
+                    F.when(F.col("hit").isNotNull(), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_contained"),
+            ).select(
+                F.lit(ct).alias("child_table"),
+                F.lit(cc).alias("child_col"),
+                F.lit(pt).alias("parent_table"),
+                F.lit(pc).alias("parent_col"),
+                "n_child_distinct",
+                "n_contained",
+                F.round(
+                    F.col("n_contained").cast("double")
+                    / F.col("n_child_distinct"),
+                    6,
+                ).alias("containment"),
+                (F.col("n_contained") == F.col("n_child_distinct")).alias(
+                    "holds"
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("child_table", "child_col", "parent_table")

@@ -1213,3 +1213,45 @@ def test_dp_noisy_counts_seeded_laplace(spark, sf_dir):
         # |noise| = b*|ln(u')|, u' >= 1e-18 -> |noise| <= 18*ln(10)+eps
         assert abs(noise) < 42
         assert r.epsilon == 1.0
+
+
+def test_fd_discovery_keys_hold_and_decoys_fail(spark, sf_dir):
+    from hw_kafka_streams_spark.queries import queries
+
+    rows = {
+        (r.tbl, r.lhs, r.rhs): r
+        for r in queries()["q_fd_discovery"](spark, sf_dir).collect()
+    }
+    assert rows[("orders", "o_orderkey", "o_custkey")].holds
+    assert rows[("orders", "o_orderkey", "o_custkey")].g3_error == 0.0
+    # the synthetic generator does NOT enforce TPC-H's composite
+    # lineitem key (sf0.001: 4599 distinct (orderkey, linenumber) over
+    # 6000 rows) — the profiler correctly reports the FD as violated
+    li = rows[("lineitem", "l_orderkey,l_linenumber", "l_quantity")]
+    assert not li.holds and li.g3_error > 0
+    assert rows[("documents", "doc_id", "lang")].holds
+    assert not rows[("orders", "o_custkey", "o_orderpriority")].holds
+    assert not rows[("documents", "source", "lang")].holds
+    for r in rows.values():
+        assert 0 <= r.g3_error < 1
+        assert r.holds == (r.g3_error == 0.0)
+
+
+def test_fk_discovery_real_fks_hold_decoy_fails(spark, sf_dir):
+    from hw_kafka_streams_spark.queries import queries
+
+    rows = {
+        (r.child_table, r.child_col, r.parent_table): r
+        for r in queries()["q_fk_discovery"](spark, sf_dir).collect()
+    }
+    for key in [
+        ("orders", "o_custkey", "customer"),
+        ("lineitem", "l_orderkey", "orders"),
+        ("lineitem", "l_suppkey", "supplier"),
+        ("customer", "c_nationkey", "nation"),
+    ]:
+        assert rows[key].holds and rows[key].containment == 1.0
+    decoy = rows[("orders", "o_orderkey", "customer")]
+    assert not decoy.holds and decoy.containment < 1.0
+    for r in rows.values():
+        assert r.n_contained <= r.n_child_distinct
