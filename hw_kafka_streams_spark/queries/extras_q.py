@@ -2355,3 +2355,71 @@ def q_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out.orderBy("child_table", "child_col", "parent_table")
+
+
+# Like _SQL_IFACE: ONE SQL text executed verbatim by both engines.
+# The supplier keys form an implicit binary heap (children of k are
+# 2k, 2k+1), so the recursion walks level order from the root and the
+# depth-d level must contain exactly the keys [2^d, 2^(d+1)) that
+# exist — a closed-form answer the test pins.
+_RECURSIVE_SQL = """
+    WITH RECURSIVE chain(k, depth) AS (
+      SELECT s_suppkey, 0 FROM supplier WHERE s_suppkey = 1
+      UNION ALL
+      SELECT s.s_suppkey, c.depth + 1
+      FROM supplier s JOIN chain c
+        ON s.s_suppkey = 2 * c.k OR s.s_suppkey = 2 * c.k + 1
+    )
+    SELECT depth, CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(min(k) AS BIGINT) AS min_key,
+           CAST(max(k) AS BIGINT) AS max_key
+    FROM chain GROUP BY depth ORDER BY depth
+"""
+
+
+@register(
+    "q_recursive_cte",
+    oracle=_RECURSIVE_SQL,
+    doc="WITH RECURSIVE parity (Spark 4 recursive CTEs): level-order "
+    "walk of the implicit binary tree over supplier keys (children "
+    "of k = 2k, 2k+1), aggregated per depth — the same verbatim ANSI "
+    "text runs in both engines, like q_sql_interface. This is the "
+    "SQL-surface twin of the iterative-join graph operators "
+    "(pagerank/BFS): each recursion step is one join of the frontier "
+    "against the base table, which Spark executes as the same "
+    "repeated-join loop the DataFrame BFS uses — frontier-sized, "
+    "never row-scale; depth bounded by log2(max key).",
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.sql import run_sql
+
+    return run_sql(spark, _RECURSIVE_SQL, sf_dir)
+
+
+_LATERAL_SQL = """
+    SELECT c.c_custkey, o.o_orderkey, o.price
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, round(o_totalprice, 2) AS price
+      FROM orders WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+    WHERE c.c_custkey % 50 = 0
+    ORDER BY c.c_custkey, o.o_orderkey
+"""
+
+
+@register(
+    "q_lateral_join",
+    oracle=_LATERAL_SQL,
+    doc="Correlated LATERAL subquery parity (top-2 orders per sampled "
+    "customer), same verbatim ANSI text in both engines — the "
+    "for-each-row join SQL users reach for before discovering window "
+    "functions. Catalyst DECORRELATES the per-row ORDER BY ... LIMIT "
+    "into a partitioned rank filter (DomainJoin -> window), so the "
+    "executed plan is the q_topk_per_group shape — one keyed window, "
+    "no per-customer re-execution, no N+1 scans; at 100 TB it scales "
+    "exactly like the explicit window form.",
+)
+def q_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.sql import run_sql
+
+    return run_sql(spark, _LATERAL_SQL, sf_dir)

@@ -3061,3 +3061,118 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_true") + noise, 4).alias("noisy_n"),
         F.lit(1.0).alias("epsilon"),
     ).orderBy("source")
+
+
+@register(
+    "q_ams_f2",
+    oracle="""
+        WITH wc AS (
+          SELECT t AS w, CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT unnest(list_filter(string_split_regex(
+                         trim(lower(text)), '\\s+'), x -> x <> '')) AS t
+                FROM documents)
+          GROUP BY 1
+        ),
+        signs AS (
+          SELECT r, w, c,
+                 CASE WHEN CAST(('0x' || substring(
+                        md5(w || ':ams' || CAST(r AS VARCHAR)), 1, 15))
+                        AS BIGINT) % 2 = 0
+                      THEN c ELSE -c END AS sc
+          FROM wc CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS r)
+        ),
+        est AS (
+          SELECT r, CAST(sum(sc) AS HUGEINT) AS x FROM signs GROUP BY r
+        ),
+        grp AS (
+          SELECT r // 4 AS g, CAST(sum(x * x) AS HUGEINT) AS s4
+          FROM est GROUP BY 1
+        ),
+        med AS (
+          SELECT CAST(sum(s4) - min(s4) - max(s4) AS DOUBLE) / 8
+                   AS ams_f2
+          FROM grp
+        ),
+        exact AS (
+          SELECT CAST(sum(c * c) AS BIGINT) AS exact_f2 FROM wc
+        )
+        SELECT exact_f2, round(ams_f2, 2) AS ams_f2,
+               round(abs(ams_f2 - exact_f2) / exact_f2, 4) AS rel_err,
+               16 AS n_estimators
+        FROM exact CROSS JOIN med
+    """,
+    doc="AMS second-moment (F2) sketch of the token-frequency vector "
+    "(Alon-Matias-Szegedy 1996): 16 {-1,+1}-signed linear sketches "
+    "X_r = sum_w s(w,r)*c_w from the 60-bit md5 twin's parity, "
+    "mean-of-4 within groups, median-of-4-means across groups (= "
+    "midrange of the middle two), vs the exact F2 = sum c^2 — the "
+    "self-join-size / skew estimator beside HLL (F0) and Count-Min "
+    "(point freq). Everything before the final two divisions is "
+    "exact integer arithmetic; the sketch input is the DISTINCT-word "
+    "count table (vocab-bounded), and each X_r is one "
+    "map-side-combinable signed sum — at 100 TB the 16 estimators "
+    "ride a single 16-key shuffle.",
+)
+def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.dedup import md5h
+    from hw_kafka_streams_spark.operators.text import word_tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    wc = (
+        docs.select(
+            F.explode(word_tokens(F.lower(F.col("text")))).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    signs = wc.select(
+        "w",
+        "c",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("r"),
+    ).select(
+        "r",
+        F.when(
+            md5h(
+                F.concat(
+                    F.col("w"), F.lit(":ams"), F.col("r").cast("string")
+                )
+            )
+            % 2
+            == 0,
+            F.col("c"),
+        )
+        .otherwise(-F.col("c"))
+        .alias("sc"),
+    )
+    est = signs.groupBy("r").agg(
+        F.sum("sc").cast("decimal(38,0)").alias("x")
+    )
+    # keep the per-group estimator sums in exact DECIMAL so the
+    # median-of-means (midrange of the middle two = (total-min-max)/2,
+    # then /4 for the within-group mean) is ONE float division of an
+    # exact integer — no double sums over group rows at any scale
+    grp = est.groupBy((F.col("r") / 4).cast("int").alias("g")).agg(
+        F.sum(F.col("x") * F.col("x")).alias("s4")
+    )
+    med = grp.agg(
+        (
+            (F.sum("s4") - F.min("s4") - F.max("s4")).cast("double") / 8
+        ).alias("ams_f2")
+    )
+    exact = wc.agg(
+        F.sum(
+            F.col("c").cast("decimal(38,0)") * F.col("c")
+        )
+        .cast("long")
+        .alias("exact_f2")
+    )
+    return exact.crossJoin(F.broadcast(med)).select(
+        "exact_f2",
+        F.round("ams_f2", 2).alias("ams_f2"),
+        F.round(
+            F.abs(F.col("ams_f2") - F.col("exact_f2"))
+            / F.col("exact_f2"),
+            4,
+        ).alias("rel_err"),
+        F.lit(16).alias("n_estimators"),
+    )

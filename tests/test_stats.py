@@ -1255,3 +1255,75 @@ def test_fk_discovery_real_fks_hold_decoy_fails(spark, sf_dir):
     assert not decoy.holds and decoy.containment < 1.0
     for r in rows.values():
         assert r.n_contained <= r.n_child_distinct
+
+
+def test_recursive_cte_binary_heap_levels(spark, sf_dir):
+    """Depth-d level of the implicit supplier binary heap must be
+    exactly the existing keys in [2^d, 2^(d+1))."""
+    import pandas as pd
+
+    from hw_kafka_streams_spark.queries import queries
+
+    max_key = int(
+        pd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+        .s_suppkey.max()
+    )
+    rows = queries()["q_recursive_cte"](spark, sf_dir).collect()
+    for r in rows:
+        lo, hi = 2**r.depth, 2 ** (r.depth + 1) - 1
+        assert r.min_key == lo
+        assert r.max_key == min(hi, max_key)
+        assert r.n_suppliers == min(hi, max_key) - lo + 1
+    assert rows[-1].max_key == max_key
+
+
+def test_lateral_join_decorrelates_to_window(spark, sf_dir):
+    """Catalyst must decorrelate the per-row ORDER BY/LIMIT lateral
+    into a window/rank plan — no nested-loop re-execution — and the
+    rows must be each sampled customer's true top-2."""
+    import pandas as pd
+
+    from hw_kafka_streams_spark.queries import queries
+
+    df = queries()["q_lateral_join"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    rows = df.collect()
+    orders = pd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_totalprice"]
+    )
+    got = {}
+    for r in rows:
+        got.setdefault(r.c_custkey, []).append(r.o_orderkey)
+    for ck, oks in got.items():
+        sub = orders[orders.o_custkey == ck].sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        )
+        assert sorted(oks) == sorted(sub.o_orderkey.head(2).tolist())
+        assert len(oks) <= 2
+
+
+def test_ams_f2_estimator_quality_and_exactness(spark, sf_dir):
+    """Exact F2 recomputed in pandas; the 16-estimator median-of-means
+    lands within a loose Chebyshev-style band (the sketch is unbiased
+    with variance <= 2 F2^2 / 4 per mean)."""
+    import re
+
+    import pandas as pd
+
+    from hw_kafka_streams_spark.queries import queries
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    from collections import Counter
+
+    c = Counter()
+    for t in docs.text:
+        c.update(x for x in re.split(r"\s+", t.strip().lower()) if x)
+    exact = sum(v * v for v in c.values())
+    row = queries()["q_ams_f2"](spark, sf_dir).collect()[0]
+    assert row.exact_f2 == exact
+    assert row.n_estimators == 16
+    assert row.rel_err < 2.0  # very loose: sketch is coarse at 16 counters
+    assert abs(row.ams_f2 - exact) / exact == __import__("pytest").approx(
+        row.rel_err, abs=1e-4
+    )
