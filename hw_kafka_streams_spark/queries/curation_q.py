@@ -3845,3 +3845,61 @@ def q_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("bartlett_chi2"),
     )
+
+
+@register(
+    "q_wilson_ci",
+    oracle="""
+        WITH per AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN n_chars < 800 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS k
+          FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+        )
+        SELECT source, n, k AS n_short,
+               round(CAST(k AS DOUBLE) / n, 6) AS p_hat,
+               round(((CAST(k AS DOUBLE) / n)
+                      + 1.96 * 1.96 / (2 * n)
+                      - 1.96 * sqrt((CAST(k AS DOUBLE) / n)
+                                    * (1 - CAST(k AS DOUBLE) / n) / n
+                                    + 1.96 * 1.96 / (4.0 * n * n)))
+                     / (1 + 1.96 * 1.96 / n), 6) AS wilson_lo,
+               round(((CAST(k AS DOUBLE) / n)
+                      + 1.96 * 1.96 / (2 * n)
+                      + 1.96 * sqrt((CAST(k AS DOUBLE) / n)
+                                    * (1 - CAST(k AS DOUBLE) / n) / n
+                                    + 1.96 * 1.96 / (4.0 * n * n)))
+                     / (1 + 1.96 * 1.96 / n), 6) AS wilson_hi
+        FROM per ORDER BY source
+    """,
+    doc="Wilson-score 95% confidence intervals for the short-doc rate "
+    "(n_chars < 800) per source — the interval to quote for "
+    "proportions (unlike the Wald interval it never leaves [0,1] and "
+    "stays honest at extreme rates/small strata); the per-source "
+    "defect-rate readout quality dashboards put error bars on. Pure "
+    "closed form from exact integer (k, n) — one group-keyed "
+    "map-side-combinable count, sqrt is correctly-rounded IEEE in "
+    "both engines.",
+)
+def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("n_chars").isNotNull()
+    )
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("n_chars") < 800).cast("long")).cast("long").alias("k"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("k").cast("double") / n
+    z2 = 1.96 * 1.96
+    half = F.lit(1.96) * F.sqrt(p * (1 - p) / n + z2 / (4.0 * n * n))
+    center = p + z2 / (2 * n)
+    denom = 1 + z2 / n
+    return per.select(
+        "source",
+        "n",
+        F.col("k").alias("n_short"),
+        F.round(p, 6).alias("p_hat"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    ).orderBy("source")

@@ -4826,3 +4826,272 @@ def q_calibration_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# Shared DuckDB CTE: exact 3-gram-shingle Jaccard candidate pairs
+# (the q_dedup_jaccard contract) at threshold 0.05.
+_JACC_PAIRS_CTE = """
+        sh AS (
+          SELECT doc_id,
+                 list_distinct([
+                   array_to_string(toks[i:i+2], ' ')
+                   FOR i IN range(1, len(toks) - 1)
+                 ]) AS shingles
+          FROM (SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\\s+'),
+                                   t -> t <> '') AS toks
+                FROM documents)
+          WHERE len(toks) >= 3
+        ),
+        postings AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+        inter AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+          FROM postings a JOIN postings b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        cand AS (
+          SELECT id1, id2,
+                 n_common / (s1.sz + s2.sz - n_common) AS jac
+          FROM inter
+            JOIN sizes s1 ON s1.doc_id = id1
+            JOIN sizes s2 ON s2.doc_id = id2
+          WHERE n_common / (s1.sz + s2.sz - n_common) >= 0.05
+        )
+"""
+
+
+@register(
+    "q_bleu_pairs",
+    oracle="WITH " + _JACC_PAIRS_CTE + """,
+        toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             t -> t <> '') AS toks
+          FROM documents
+        ),
+        uni AS (
+          SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT doc_id, unnest(toks) AS g FROM toks) GROUP BY 1, 2
+        ),
+        big AS (
+          SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT doc_id,
+                       unnest([array_to_string(toks[i:i+1], ' ')
+                               FOR i IN range(1, len(toks))]) AS g
+                FROM toks WHERE len(toks) >= 2)
+          GROUP BY 1, 2
+        ),
+        lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM toks),
+        p1 AS (
+          SELECT p.id1, p.id2,
+                 CAST(sum(LEAST(a.c, COALESCE(b.c, 0))) AS BIGINT)
+                   AS clip1
+          FROM cand p
+            JOIN uni a ON a.doc_id = p.id1
+            LEFT JOIN uni b ON b.doc_id = p.id2 AND b.g = a.g
+          GROUP BY 1, 2
+        ),
+        p2 AS (
+          SELECT p.id1, p.id2,
+                 CAST(sum(LEAST(a.c, COALESCE(b.c, 0))) AS BIGINT)
+                   AS clip2
+          FROM cand p
+            JOIN big a ON a.doc_id = p.id1
+            LEFT JOIN big b ON b.doc_id = p.id2 AND b.g = a.g
+          GROUP BY 1, 2
+        )
+        SELECT c.id1, c.id2, round(c.jac, 4) AS jaccard,
+               round(CAST(p1.clip1 AS DOUBLE) / la.n, 6) AS prec1,
+               round(CAST(COALESCE(p2.clip2, 0) AS DOUBLE)
+                     / (la.n - 1), 6) AS prec2,
+               round(CASE WHEN p1.clip1 = 0 OR COALESCE(p2.clip2, 0) = 0
+                          THEN 0.0
+                          ELSE (CASE WHEN la.n >= lb.n THEN 1.0
+                                ELSE exp(1.0 - CAST(lb.n AS DOUBLE)
+                                         / la.n) END)
+                               * sqrt((CAST(p1.clip1 AS DOUBLE) / la.n)
+                                      * (CAST(p2.clip2 AS DOUBLE)
+                                         / (la.n - 1)))
+                     END, 6) AS bleu2
+        FROM cand c
+          JOIN p1 ON p1.id1 = c.id1 AND p1.id2 = c.id2
+          LEFT JOIN p2 ON p2.id1 = c.id1 AND p2.id2 = c.id2
+          JOIN lens la ON la.doc_id = c.id1
+          JOIN lens lb ON lb.doc_id = c.id2
+        ORDER BY c.id1, c.id2
+    """,
+    doc="BLEU-2 (clipped n-gram precision, geometric mean, brevity "
+    "penalty — Papineni 2002) over the exact-Jaccard near-dup "
+    "candidate pairs: the MT-eval metric repurposed as a dedup "
+    "DIAGNOSTIC (Jaccard on distinct shingle SETS can't tell "
+    "phrase-level rewording from block moves; clipped-count "
+    "precision with multiplicity can). Geometric mean written as "
+    "sqrt(p1*p2) (correctly-rounded IEEE, no exp/ln except in BP); "
+    "clip sums are exact integers. Scale shape: all joins hang off "
+    "the candidate-pair table (posting-list-bounded, never "
+    "all-pairs); the per-doc gram tables join it on (doc, gram) "
+    "equi-keys.",
+)
+def q_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.text import (
+        _adjacent_pairs,
+        word_tokens,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    cand = D.jaccard_candidate_pairs(docs, threshold=0.05).select(
+        "id1", "id2", "jaccard"
+    )
+    cand = managed_persist(cand)
+    # Only candidate-pair members need gram tables: semi-join the
+    # corpus down to those ids FIRST (pair-bounded, broadcastable), so
+    # the unigram/bigram counts and the (doc, gram) joins below run
+    # over ~|pairs| docs, not the corpus — at any scale the BLEU pass
+    # costs no more than the candidate generation that feeds it.
+    ids = managed_persist(
+        cand.select(F.col("id1").alias("doc_id"))
+        .union(cand.select(F.col("id2")))
+        .distinct()
+    )
+    tk = (
+        docs.join(F.broadcast(ids), "doc_id")
+        .select("doc_id", word_tokens(F.col("text")).alias("toks"))
+    )
+    uni = (
+        tk.select("doc_id", F.explode("toks").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    big = (
+        tk.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    _adjacent_pairs(F.col("toks")),
+                    lambda s: F.concat_ws(" ", s["w1"], s["w2"]),
+                )
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lens = tk.select("doc_id", F.size("toks").cast("long").alias("n"))
+
+    def clipped(grams, out):
+        a = grams.withColumnsRenamed({"doc_id": "id1", "c": "ca"})
+        b = grams.withColumnsRenamed({"doc_id": "id2", "c": "cb"})
+        return (
+            cand.select("id1", "id2")
+            .join(a, "id1")
+            .join(b, ["id2", "g"], "left")
+            .groupBy("id1", "id2")
+            .agg(
+                F.sum(F.least(F.col("ca"), F.coalesce(F.col("cb"), F.lit(0))))
+                .cast("long")
+                .alias(out)
+            )
+        )
+
+    p1 = clipped(uni, "clip1")
+    p2 = clipped(big, "clip2")
+    la = lens.withColumnsRenamed({"doc_id": "id1", "n": "la"})
+    lb = lens.withColumnsRenamed({"doc_id": "id2", "n": "lb"})
+    j = (
+        cand.join(p1, ["id1", "id2"])
+        .join(p2, ["id1", "id2"], "left")
+        .join(la, "id1")
+        .join(lb, "id2")
+    )
+    laf, lbf = F.col("la").cast("double"), F.col("lb").cast("double")
+    pr1 = F.col("clip1").cast("double") / laf
+    clip2 = F.coalesce(F.col("clip2"), F.lit(0))
+    pr2 = clip2.cast("double") / (laf - 1)
+    bp = F.when(F.col("la") >= F.col("lb"), F.lit(1.0)).otherwise(
+        F.exp(1.0 - lbf / laf)
+    )
+    return j.select(
+        "id1",
+        "id2",
+        F.round("jaccard", 4).alias("jaccard"),
+        F.round(pr1, 6).alias("prec1"),
+        F.round(pr2, 6).alias("prec2"),
+        F.round(
+            F.when(
+                (F.col("clip1") == 0) | (clip2 == 0), F.lit(0.0)
+            ).otherwise(bp * F.sqrt(pr1 * pr2)),
+            6,
+        ).alias("bleu2"),
+    ).orderBy("id1", "id2")
+
+
+@register(
+    "q_dedup_threshold_sweep",
+    oracle="WITH " + _JACC_PAIRS_CTE + """,
+        thr AS (SELECT CAST(unnest([0.05, 0.1, 0.2, 0.3, 0.5])
+                    AS DOUBLE) AS tau),
+        hit AS (
+          SELECT t.tau, c.id1, c.id2 FROM cand c JOIN thr t
+            ON c.jac >= t.tau
+        ),
+        docs_hit AS (
+          SELECT tau, id1 AS d FROM hit
+          UNION SELECT tau, id2 FROM hit
+        )
+        SELECT t.tau,
+               CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+               CAST(COALESCE(d.n_docs, 0) AS BIGINT) AS n_docs_involved
+        FROM thr t
+          LEFT JOIN (SELECT tau, count(*) AS n_pairs FROM hit
+                     GROUP BY 1) p USING (tau)
+          LEFT JOIN (SELECT tau, count(*) AS n_docs FROM docs_hit
+                     GROUP BY 1) d USING (tau)
+        ORDER BY t.tau
+    """,
+    doc="Dedup-threshold sensitivity sweep: candidate-pair and "
+    "involved-doc counts at Jaccard cutoffs 0.05-0.5 — the parameter "
+    "audit run before committing a near-dup threshold (a cliff "
+    "between taus means the corpus has a near-identical cluster; a "
+    "plateau means the choice is safe). One candidate generation "
+    "(posting-list-bounded), then a 5-row threshold broadcast "
+    "against the bounded pair set — the sweep costs no more than "
+    "one dedup run.",
+)
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    cand = managed_persist(
+        D.jaccard_candidate_pairs(docs, threshold=0.05).select(
+            "id1", "id2", "jaccard"
+        )
+    )
+    thr = spark.createDataFrame(
+        [(t,) for t in [0.05, 0.1, 0.2, 0.3, 0.5]], "tau double"
+    )
+    hit = cand.join(
+        F.broadcast(thr), F.col("jaccard") >= F.col("tau")
+    ).select("tau", "id1", "id2")
+    hit = managed_persist(hit)
+    pairs = hit.groupBy("tau").agg(F.count(F.lit(1)).alias("n_pairs"))
+    docs_hit = (
+        hit.select("tau", F.col("id1").alias("d"))
+        .union(hit.select("tau", F.col("id2")))
+        .distinct()
+        .groupBy("tau")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return (
+        thr.join(F.broadcast(pairs), "tau", "left")
+        .join(F.broadcast(docs_hit), "tau", "left")
+        .select(
+            "tau",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias(
+                "n_pairs"
+            ),
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias(
+                "n_docs_involved"
+            ),
+        )
+        .orderBy("tau")
+    )

@@ -4229,3 +4229,181 @@ def q_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("f_stat"),
     ).orderBy("direction")
+
+
+@register(
+    "q_sprt_audit",
+    oracle="""
+        WITH base AS (
+          SELECT event_type, ts, event_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                 CASE WHEN value > 35 THEN 1 ELSE 0 END AS s
+          FROM events
+        ),
+        rng AS (SELECT event_type, min(ts_s) AS vmin, max(ts_s) AS vmax
+                FROM base GROUP BY 1),
+        blkd AS (
+          SELECT b.*, CASE WHEN r.vmax <= r.vmin THEN 0
+                      ELSE LEAST(63, CAST(floor((b.ts_s - r.vmin)
+                           / ((r.vmax - r.vmin) / 64.0)) AS BIGINT))
+                      END AS blk
+          FROM base b JOIN rng r USING (event_type)
+        ),
+        win AS (
+          SELECT event_type, blk, s,
+                 sum(s) OVER w AS cs, count(*) OVER w AS cn
+          FROM blkd
+          WINDOW w AS (PARTITION BY event_type, blk
+                       ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+        ),
+        bt AS (SELECT event_type, blk, CAST(sum(s) AS BIGINT) AS bs,
+                      CAST(count(*) AS BIGINT) AS bn
+               FROM blkd GROUP BY 1, 2),
+        off AS (
+          SELECT event_type, blk,
+                 COALESCE(sum(bs) OVER wo, 0) AS osum,
+                 COALESCE(sum(bn) OVER wo, 0) AS onum
+          FROM bt
+          WINDOW wo AS (PARTITION BY event_type ORDER BY blk
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING)
+        ),
+        path AS (
+          SELECT w.event_type, o.onum + w.cn AS idx,
+                 o.osum + w.cs AS ns
+          FROM win w JOIN off o
+            ON w.event_type = o.event_type AND w.blk = o.blk
+        ),
+        llr AS (
+          SELECT event_type, idx,
+                 ns * ln(1.2) + (idx - ns) * ln(0.8) AS llr
+          FROM path
+        ),
+        crossed AS (
+          SELECT event_type, CAST(min(idx) AS BIGINT) AS n_to_decision,
+                 min_by(CASE WHEN llr >= ln(19.0) THEN 'H1'
+                        ELSE 'H0' END, idx) AS decision
+          FROM llr WHERE llr >= ln(19.0) OR llr <= -ln(19.0)
+          GROUP BY 1
+        ),
+        tot AS (SELECT event_type, CAST(sum(bn) AS BIGINT) AS n_events,
+                       CAST(sum(bs) AS BIGINT) AS n_succ
+                FROM bt GROUP BY 1)
+        SELECT t.event_type, t.n_events,
+               round(CAST(t.n_succ AS DOUBLE) / t.n_events, 4) AS p_hat,
+               COALESCE(c.decision, 'continue') AS decision,
+               c.n_to_decision,
+               round(t.n_succ * ln(1.2)
+                     + (t.n_events - t.n_succ) * ln(0.8), 6)
+                 AS llr_final
+        FROM tot t LEFT JOIN crossed c USING (event_type)
+        ORDER BY t.event_type
+    """,
+    doc="Wald SPRT (1945) per event type over the time-ordered stream: "
+    "H0 p=0.5 vs H1 p=0.6 on success = value > 35, "
+    "alpha = beta = 0.05 (boundaries +-ln 19) — the sequential "
+    "decision audit an online experiment runs instead of a "
+    "fixed-horizon test, reporting WHEN the evidence first crossed "
+    "and which way. The cumulative LLR needs only running INTEGER "
+    "success/total counts (llr = ns*ln1.2 + nf*ln0.8), so the global "
+    "prefix sum rides the block-prefix-sum pattern: per-(type, "
+    "range-block) windows in parallel + one bounded per-type block "
+    "rollup — no single-partition row-scale window, exact integer "
+    "paths, floats only at the readout.",
+)
+def q_sprt_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    base = e.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.col("ts").cast("long").alias("ts_s"),
+        (F.col("value") > 35).cast("long").alias("s"),
+    )
+    rng = base.groupBy("event_type").agg(
+        F.min("ts_s").alias("vmin"), F.max("ts_s").alias("vmax")
+    )
+    width = (F.col("vmax") - F.col("vmin")) / 64.0
+    blk = (
+        F.when(F.col("vmax") <= F.col("vmin"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(63),
+                F.floor((F.col("ts_s") - F.col("vmin")) / width),
+            )
+        )
+        .cast("long")
+    )
+    blkd = base.join(F.broadcast(rng), "event_type").withColumn("blk", blk)
+    blkd = managed_persist(blkd.select("event_type", "ts", "event_id", "s", "blk"))
+    w_in = (
+        Window.partitionBy("event_type", "blk")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    win = blkd.select(
+        "event_type",
+        "blk",
+        F.sum("s").over(w_in).alias("cs"),
+        F.count(F.lit(1)).over(w_in).alias("cn"),
+    )
+    bt = blkd.groupBy("event_type", "blk").agg(
+        F.sum("s").alias("bs"), F.count(F.lit(1)).alias("bn")
+    )
+    w_blk = (
+        Window.partitionBy("event_type")
+        .orderBy("blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = bt.select(
+        "event_type",
+        "blk",
+        F.coalesce(F.sum("bs").over(w_blk), F.lit(0)).alias("osum"),
+        F.coalesce(F.sum("bn").over(w_blk), F.lit(0)).alias("onum"),
+    )
+    path = win.join(off, ["event_type", "blk"]).select(
+        "event_type",
+        (F.col("onum") + F.col("cn")).alias("idx"),
+        (F.col("osum") + F.col("cs")).alias("ns"),
+    )
+    l1, l0 = F.log(F.lit(1.2)), F.log(F.lit(0.8))
+    a_bound = F.log(F.lit(19.0))
+    llr_c = F.col("ns") * l1 + (F.col("idx") - F.col("ns")) * l0
+    llr = path.select("event_type", "idx", llr_c.alias("llr"))
+    crossed = (
+        llr.filter((F.col("llr") >= a_bound) | (F.col("llr") <= -a_bound))
+        .groupBy("event_type")
+        .agg(
+            F.min("idx").cast("long").alias("n_to_decision"),
+            F.min_by(
+                F.when(F.col("llr") >= a_bound, F.lit("H1")).otherwise(
+                    F.lit("H0")
+                ),
+                F.col("idx"),
+            ).alias("decision"),
+        )
+    )
+    tot = bt.groupBy("event_type").agg(
+        F.sum("bn").cast("long").alias("n_events"),
+        F.sum("bs").cast("long").alias("n_succ"),
+    )
+    return (
+        tot.join(F.broadcast(crossed), "event_type", "left")
+        .select(
+            "event_type",
+            "n_events",
+            F.round(
+                F.col("n_succ").cast("double") / F.col("n_events"), 4
+            ).alias("p_hat"),
+            F.coalesce(F.col("decision"), F.lit("continue")).alias(
+                "decision"
+            ),
+            "n_to_decision",
+            F.round(
+                F.col("n_succ") * l1
+                + (F.col("n_events") - F.col("n_succ")) * l0,
+                6,
+            ).alias("llr_final"),
+        )
+        .orderBy("event_type")
+    )

@@ -1327,3 +1327,97 @@ def test_ams_f2_estimator_quality_and_exactness(spark, sf_dir):
     assert abs(row.ams_f2 - exact) / exact == __import__("pytest").approx(
         row.rel_err, abs=1e-4
     )
+
+
+def test_bleu_pairs_matches_python_recompute(spark, sf_dir):
+    """Clipped precisions and BLEU-2 recomputed in pure python for
+    every reported pair."""
+    import math
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from hw_kafka_streams_spark.queries import queries
+
+    rows = queries()["q_bleu_pairs"](spark, sf_dir).collect()
+    assert rows  # sf0.001 corpus has near-dup pairs
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    text = dict(zip(docs.doc_id, docs.text))
+
+    def toks(d):
+        return [t for t in re.split(r"\s+", text[d].strip()) if t]
+
+    for r in rows:
+        ta, tb = toks(r.id1), toks(r.id2)
+        u_a, u_b = Counter(ta), Counter(tb)
+        b_a = Counter(zip(ta, ta[1:]))
+        b_b = Counter(zip(tb, tb[1:]))
+        clip1 = sum(min(c, u_b[g]) for g, c in u_a.items())
+        clip2 = sum(min(c, b_b[g]) for g, c in b_a.items())
+        p1, p2 = clip1 / len(ta), clip2 / (len(ta) - 1)
+        assert abs(r.prec1 - p1) < 1e-5 and abs(r.prec2 - p2) < 1e-5
+        if clip1 == 0 or clip2 == 0:
+            expect = 0.0
+        else:
+            bp = 1.0 if len(ta) >= len(tb) else math.exp(1 - len(tb) / len(ta))
+            expect = bp * math.sqrt(p1 * p2)
+        assert abs(r.bleu2 - expect) < 1e-5
+        assert 0 <= r.bleu2 <= 1 + 1e-9
+
+
+def test_dedup_threshold_sweep_monotone(spark, sf_dir):
+    from hw_kafka_streams_spark.queries import queries
+
+    rows = queries()["q_dedup_threshold_sweep"](spark, sf_dir).collect()
+    assert [r.tau for r in rows] == [0.05, 0.1, 0.2, 0.3, 0.5]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_pairs >= b.n_pairs
+        assert a.n_docs_involved >= b.n_docs_involved
+    for r in rows:
+        assert r.n_docs_involved <= 2 * r.n_pairs or r.n_pairs == 0
+
+
+def test_wilson_ci_formula_and_bounds(spark, sf_dir):
+    import math
+
+    from hw_kafka_streams_spark.queries import queries
+
+    for r in queries()["q_wilson_ci"](spark, sf_dir).collect():
+        p, n, z = r.n_short / r.n, r.n, 1.96
+        center = p + z * z / (2 * n)
+        half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+        denom = 1 + z * z / n
+        assert abs(r.wilson_lo - (center - half) / denom) < 1e-5
+        assert abs(r.wilson_hi - (center + half) / denom) < 1e-5
+        assert 0 <= r.wilson_lo <= r.p_hat <= r.wilson_hi <= 1
+
+
+def test_sprt_matches_numpy_sequential_replay(spark, sf_dir):
+    """Decision, stopping index, and final LLR recomputed by a direct
+    sequential replay of each type's (ts, event_id)-ordered stream."""
+    import math
+
+    import pandas as pd
+
+    from hw_kafka_streams_spark.queries import queries
+
+    rows = {r.event_type: r for r in queries()["q_sprt_audit"](spark, sf_dir).collect()}
+    ev = pd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "event_id", "value"]
+    ).sort_values(["ts", "event_id"])
+    l1, l0, a = math.log(1.2), math.log(0.8), math.log(19.0)
+    for et, g in ev.groupby("event_type"):
+        succ = (g.value > 35).to_numpy()
+        llr, decision, n_dec = 0.0, "continue", None
+        for i, s in enumerate(succ, 1):
+            llr += l1 if s else l0
+            if decision == "continue" and (llr >= a or llr <= -a):
+                decision = "H1" if llr >= a else "H0"
+                n_dec = i
+        r = rows[et]
+        assert r.decision == decision
+        assert r.n_to_decision == n_dec
+        assert r.n_events == len(succ)
+        assert abs(r.llr_final - llr) < 1e-4
+        assert abs(r.p_hat - succ.mean()) < 1e-3
