@@ -4407,3 +4407,161 @@ def q_sprt_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# Shapley scaffold: for every channel c and coalition S of the OTHER
+# channels, one row (c, key(S), key(S+c), |S|!*(3-|S|)!) — 32 rows,
+# generated once at import; weights are exact integers over 4! = 24.
+_SHAP_ROWS = [('click', '', 'click', 6), ('error', '', 'error', 6), ('signup', '', 'signup', 6), ('view', '', 'view', 6), ('error', 'click', 'click,error', 2), ('signup', 'click', 'click,signup', 2), ('view', 'click', 'click,view', 2), ('click', 'error', 'click,error', 2), ('signup', 'error', 'error,signup', 2), ('view', 'error', 'error,view', 2), ('click', 'signup', 'click,signup', 2), ('error', 'signup', 'error,signup', 2), ('view', 'signup', 'signup,view', 2), ('click', 'view', 'click,view', 2), ('error', 'view', 'error,view', 2), ('signup', 'view', 'signup,view', 2), ('signup', 'click,error', 'click,error,signup', 2), ('view', 'click,error', 'click,error,view', 2), ('error', 'click,signup', 'click,error,signup', 2), ('view', 'click,signup', 'click,signup,view', 2), ('error', 'click,view', 'click,error,view', 2), ('signup', 'click,view', 'click,signup,view', 2), ('click', 'error,signup', 'click,error,signup', 2), ('view', 'error,signup', 'error,signup,view', 2), ('click', 'error,view', 'click,error,view', 2), ('signup', 'error,view', 'error,signup,view', 2), ('click', 'signup,view', 'click,signup,view', 2), ('error', 'signup,view', 'error,signup,view', 2), ('view', 'click,error,signup', 'click,error,signup,view', 6), ('signup', 'click,error,view', 'click,error,signup,view', 6), ('error', 'click,signup,view', 'click,error,signup,view', 6), ('click', 'error,signup,view', 'click,error,signup,view', 6)]
+_SHAP_VALUES_SQL = """('click', '', 'click', 6),
+          ('error', '', 'error', 6),
+          ('signup', '', 'signup', 6),
+          ('view', '', 'view', 6),
+          ('error', 'click', 'click,error', 2),
+          ('signup', 'click', 'click,signup', 2),
+          ('view', 'click', 'click,view', 2),
+          ('click', 'error', 'click,error', 2),
+          ('signup', 'error', 'error,signup', 2),
+          ('view', 'error', 'error,view', 2),
+          ('click', 'signup', 'click,signup', 2),
+          ('error', 'signup', 'error,signup', 2),
+          ('view', 'signup', 'signup,view', 2),
+          ('click', 'view', 'click,view', 2),
+          ('error', 'view', 'error,view', 2),
+          ('signup', 'view', 'signup,view', 2),
+          ('signup', 'click,error', 'click,error,signup', 2),
+          ('view', 'click,error', 'click,error,view', 2),
+          ('error', 'click,signup', 'click,error,signup', 2),
+          ('view', 'click,signup', 'click,signup,view', 2),
+          ('error', 'click,view', 'click,error,view', 2),
+          ('signup', 'click,view', 'click,signup,view', 2),
+          ('click', 'error,signup', 'click,error,signup', 2),
+          ('view', 'error,signup', 'error,signup,view', 2),
+          ('click', 'error,view', 'click,error,view', 2),
+          ('signup', 'error,view', 'error,signup,view', 2),
+          ('click', 'signup,view', 'click,signup,view', 2),
+          ('error', 'signup,view', 'error,signup,view', 2),
+          ('view', 'click,error,signup', 'click,error,signup,view', 6),
+          ('signup', 'click,error,view', 'click,error,signup,view', 6),
+          ('error', 'click,signup,view', 'click,error,signup,view', 6),
+          ('click', 'error,signup,view', 'click,error,signup,view', 6)"""
+
+
+@register(
+    "q_shapley_attribution",
+    oracle="""
+        WITH f AS (SELECT user_id, min(ts) AS t0 FROM events GROUP BY 1),
+        w AS (
+          SELECT e.user_id, e.event_type
+          FROM events e JOIN f USING (user_id)
+          WHERE epoch(e.ts) < epoch(f.t0) + 21600
+        ),
+        s AS (
+          SELECT user_id,
+                 COALESCE(array_to_string(list_sort(list_distinct(
+                     list(event_type)
+                     FILTER (event_type <> 'purchase'))), ','), '')
+                   AS st,
+                 max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                     END) AS conv
+          FROM w GROUP BY 1
+        ),
+        coal AS (SELECT st, CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(conv) AS BIGINT) AS k
+                 FROM s GROUP BY 1),
+        scaf(c, s_key, sc_key, wnum) AS (VALUES
+          """ + _SHAP_VALUES_SQL + """),
+        terms AS (
+          SELECT scaf.c,
+                 scaf.wnum * (COALESCE(CAST(cu.k AS DOUBLE) / cu.n, 0.0)
+                              - COALESCE(CAST(cs.k AS DOUBLE) / cs.n,
+                                         0.0)) / 24.0 AS term
+          FROM scaf
+            LEFT JOIN coal cs ON cs.st = scaf.s_key
+            LEFT JOIN coal cu ON cu.st = scaf.sc_key
+        )
+        SELECT c AS channel,
+               round(CAST(sum(CAST(round(term, 9) AS DECIMAL(18,9)))
+                     AS DOUBLE), 6) AS shapley
+        FROM terms GROUP BY 1 ORDER BY 1
+    """,
+    doc="Shapley-value conversion attribution over the four "
+    "non-purchase channels (Shapley 1953, applied per Zhao et al. "
+    "2018): the characteristic function v(S) is the observed "
+    "conversion rate of users whose first-6-hours touched-channel "
+    "set is exactly S (unobserved coalitions contribute 0), and each "
+    "channel's credit is the exact 4-player Shapley sum — the "
+    "axiomatically fair split that last-touch/linear attribution "
+    "(q_touch_attribution) can't give. The coalition table is "
+    "2^4-bounded, the scaffold is a 32-row literal with exact "
+    "integer weights over 4!, and the final per-channel sums are "
+    "9dp-DECIMAL; at any corpus scale the only row-scale work is "
+    "the per-user set derivation (one groupBy). Efficiency identity "
+    "sum(shapley) = v(full) - v(empty) is pinned in tests.",
+)
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    f = e.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    w = e.join(f, "user_id").filter(
+        F.col("ts").cast("double") < F.col("t0").cast("double") + 21600
+    )
+    s = w.groupBy("user_id").agg(
+        F.concat_ws(
+            ",",
+            F.sort_array(
+                F.array_distinct(
+                    F.collect_list(
+                        F.when(
+                            F.col("event_type") != "purchase",
+                            F.col("event_type"),
+                        )
+                    )
+                )
+            ),
+        ).alias("st"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias(
+            "conv"
+        ),
+    )
+    coal = s.groupBy("st").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("k"),
+    )
+    coal = F.broadcast(managed_persist(coal))
+    scaf = spark.createDataFrame(
+        _SHAP_ROWS, "c string, s_key string, sc_key string, wnum long"
+    )
+    cs = coal.withColumnsRenamed({"st": "s_key", "n": "ns", "k": "ks"})
+    cu = coal.withColumnsRenamed({"st": "sc_key", "n": "nu", "k": "ku"})
+    terms = (
+        scaf.join(cs, "s_key", "left")
+        .join(cu, "sc_key", "left")
+        .select(
+            "c",
+            (
+                F.col("wnum")
+                * (
+                    F.coalesce(
+                        F.col("ku").cast("double") / F.col("nu"),
+                        F.lit(0.0),
+                    )
+                    - F.coalesce(
+                        F.col("ks").cast("double") / F.col("ns"),
+                        F.lit(0.0),
+                    )
+                )
+                / 24.0
+            ).alias("term"),
+        )
+    )
+    return (
+        terms.groupBy(F.col("c").alias("channel"))
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("term"), 9).cast("decimal(18,9)"))
+                .cast("double"),
+                6,
+            ).alias("shapley")
+        )
+        .orderBy("channel")
+    )

@@ -1421,3 +1421,72 @@ def test_sprt_matches_numpy_sequential_replay(spark, sf_dir):
         assert r.n_events == len(succ)
         assert abs(r.llr_final - llr) < 1e-4
         assert abs(r.p_hat - succ.mean()) < 1e-3
+
+
+def test_isotonic_calibration_is_pav(spark, sf_dir):
+    """The minimax closed form must equal the classic sequential PAV
+    run on the same (n, frac_pos) bins, be monotone, and preserve the
+    weighted mean (pooling property)."""
+    from hw_kafka_streams_spark.queries import queries
+
+    rows = queries()["q_isotonic_calibration"](spark, sf_dir).collect()
+    assert rows == sorted(rows, key=lambda r: r.bin)
+    iso = [r.iso_p for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(iso, iso[1:]))  # monotone
+    # classic PAV on (weight, value) blocks
+    blocks = [[r.n, r.frac_pos * r.n] for r in rows]  # [w, sum]
+    i = 0
+    while i < len(blocks) - 1:
+        if blocks[i][1] / blocks[i][0] > blocks[i + 1][1] / blocks[i + 1][0] + 1e-12:
+            blocks[i][0] += blocks[i + 1][0]
+            blocks[i][1] += blocks[i + 1][1]
+            del blocks[i + 1]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    # blocks pooled contiguous bins; rebuild the per-bin fit
+    expect = []
+    bi = 0
+    for w, sm in blocks:
+        covered = 0
+        while covered < w - 1e-6:
+            covered += rows[bi].n
+            expect.append(sm / w)
+            bi += 1
+    assert len(expect) == len(rows)
+    for got, exp in zip(iso, expect):
+        assert abs(got - exp) < 1e-4
+    # pooling property: weighted mean unchanged
+    lhs = sum(r.n * r.iso_p for r in rows)
+    rhs = sum(r.n * r.frac_pos for r in rows)
+    assert abs(lhs - rhs) < 1e-2
+
+
+def test_shapley_efficiency_identity(spark, sf_dir):
+    """sum of Shapley values == v(full) - v(empty) (efficiency axiom),
+    with v recomputed from a pandas coalition table."""
+    import pandas as pd
+
+    from hw_kafka_streams_spark.queries import queries
+
+    rows = queries()["q_shapley_attribution"](spark, sf_dir).collect()
+    assert [r.channel for r in rows] == ["click", "error", "signup", "view"]
+    ev = pd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    t0 = ev.groupby("user_id").ts.transform("min")
+    w = ev[(ev.ts - t0).dt.total_seconds() < 21600]
+    coal = {}
+    for uid, g in w.groupby("user_id"):
+        st = ",".join(sorted(set(g.event_type) - {"purchase"}))
+        conv = int((g.event_type == "purchase").any())
+        n, k = coal.get(st, (0, 0))
+        coal[st] = (n + 1, k + conv)
+
+    def v(key):
+        n, k = coal.get(key, (0, 0))
+        return k / n if n else 0.0
+
+    total = sum(r.shapley for r in rows)
+    expect = v("click,error,signup,view") - v("")
+    assert abs(total - expect) < 1e-3
