@@ -635,3 +635,117 @@ def streaming_ewma_anomaly(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SPRT_OUTPUT_SCHEMA = (
+    "key string, n_total bigint, n_succ bigint, llr double, "
+    "decision string, n_at_decision bigint"
+)
+SPRT_STATE_SCHEMA = (
+    "ns bigint, n bigint, decision string, n_at_decision bigint"
+)
+
+
+def _make_sprt_fn(p0: float, p1: float, alpha: float, beta: float):
+    import math
+
+    l1 = math.log(p1 / p0)
+    l0 = math.log((1.0 - p1) / (1.0 - p0))
+    a_hi = math.log((1.0 - beta) / alpha)
+    a_lo = math.log(beta / (1.0 - alpha))
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        ns, n, decision, n_at = (
+            state.get if state.exists else (0, 0, "continue", None)
+        )
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts_us", "id"], kind="mergesort")
+        for s in rows["s"]:
+            n += 1
+            ns += int(s)
+            if decision == "continue":
+                # LLR from the INTEGER counts — no running float state,
+                # so replays and the batch twin are bit-identical
+                llr = ns * l1 + (n - ns) * l0
+                if llr >= a_hi:
+                    decision, n_at = "H1", n
+                elif llr <= a_lo:
+                    decision, n_at = "H0", n
+        state.update((int(ns), int(n), decision, n_at))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_total": [n],
+                "n_succ": [ns],
+                "llr": [ns * l1 + (n - ns) * l0],
+                "decision": [decision],
+                "n_at_decision": [n_at],
+            }
+        )
+
+    return fn
+
+
+def streaming_sprt_monitor(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    success_col: str,
+    p0: float = 0.5,
+    p1: float = 0.6,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+) -> DataFrame:
+    """Per-key Wald SPRT over an unbounded stream — the ONLINE twin of
+    the batch ``q_sprt_audit``: each arrival updates integer
+    (successes, total) state, the cumulative log-likelihood ratio is
+    recomputed from those counts (never carried as a float), and the
+    first boundary crossing LATCHES the decision with its sample
+    number — exactly how a sequential experiment monitor stops.
+
+    Why stateful-custom: the decision depends on the key's entire
+    arrival history and must latch at the first crossing; a windowed
+    aggregate sees neither. State is three scalars + a label per key,
+    bounded forever; within a batch rows fold in event-time order
+    (ties by id) so replays reproduce the same stopping point. Emits
+    one summary row per key per batch (update mode).
+
+    Batch DataFrames degrade to the identical fold via
+    ``applyInPandas``, which is how the equality test pins the
+    semantics (the q_sprt_audit oracle covers the batch math).
+    """
+    import pyspark.sql.functions as F
+
+    prepared = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+        F.col(id_col).cast("long").alias("id"),
+        F.col(success_col).cast("int").alias("s"),
+    )
+    fn = _make_sprt_fn(p0, p1, alpha, beta)
+    if not df.isStreaming:
+
+        def batch_fold(pdf: pd.DataFrame) -> pd.DataFrame:
+            class _FakeState:
+                exists = False
+                hasTimedOut = False
+
+                def update(self, t):
+                    pass
+
+            out = list(fn((pdf["key"].iloc[0],), iter([pdf]), _FakeState()))
+            return out[0]
+
+        return prepared.groupBy("key").applyInPandas(
+            batch_fold, schema=SPRT_OUTPUT_SCHEMA
+        )
+    return prepared.groupBy("key").applyInPandasWithState(
+        fn,
+        outputStructType=SPRT_OUTPUT_SCHEMA,
+        stateStructType=SPRT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

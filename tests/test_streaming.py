@@ -1570,3 +1570,86 @@ def test_streaming_percolator_matches_batch_query(spark, tmpdir):
         ).collect()
     }
     assert got == batch == {(1, 1), (2, 2), (4, 1)}
+
+
+def test_streaming_sprt_latches_across_batches(spark, tmpdir):
+    """Batch 1 leaves the biased key undecided; batch 2's continued
+    successes must cross +ln19 against CARRIED counts and latch H1
+    with the crossing sample number; a fair key keeps running."""
+    import math
+
+    import pandas as pd
+
+    from hw_kafka_streams_spark.streaming.stateful import (
+        streaming_sprt_monitor,
+    )
+
+    rows = []
+    # biased: all successes; fair: strict alternation
+    for i in range(10):
+        rows.append((0, "biased", i, 1_700_000_000_000_000 + i * 1000, 1))
+        rows.append((0, "fair", 100 + i, 1_700_000_000_000_000 + i * 1000, i % 2))
+    for i in range(10, 30):
+        rows.append((1, "biased", i, 1_700_000_000_000_000 + i * 1000, 1))
+        rows.append((1, "fair", 100 + i, 1_700_000_000_000_000 + i * 1000, i % 2))
+    pdf = pd.DataFrame(rows, columns=["b", "key", "id", "ts_us", "s"])
+    for b in (0, 1):
+        spark.createDataFrame(
+            pdf[pdf.b == b][["key", "id", "ts_us", "s"]]
+        ).coalesce(1).write.mode("append").parquet(f"{tmpdir}/sprt")
+    stream = (
+        spark.readStream.schema("key string, id long, ts_us long, s long")
+        .parquet(f"{tmpdir}/sprt")
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    )
+    name = f"sprt_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_sprt_monitor(stream, "key", "ts", "id", "s")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        final = spark.sql(
+            f"select key, max(n_total) n, max(n_at_decision) nd,"
+            f" max(decision) d from {name} where n_total = 30"
+            f" group by key"
+        ).collect()
+    finally:
+        q.stop()
+    by_key = {r.key: r for r in final}
+    # all-success LLR crosses ln19 at n = ceil(ln19/ln1.2) = 17
+    expect_n = math.ceil(math.log(19) / math.log(1.2))
+    assert by_key["biased"].d == "H1"
+    assert by_key["biased"].nd == expect_n and expect_n > 10  # in batch 2
+    assert by_key["fair"].d == "continue" and by_key["fair"].nd is None
+
+
+def test_sprt_batch_twin_matches_query_registry(spark, sf_dir):
+    """The batch degrade over the real events stream must agree with
+    q_sprt_audit (same per-type decision, stopping index, final LLR)
+    — the oracle-checked query pins the math, the monitor inherits
+    it."""
+    from hw_kafka_streams_spark.queries import queries
+    from hw_kafka_streams_spark.sources.catalog import load_table
+    from hw_kafka_streams_spark.streaming.stateful import (
+        streaming_sprt_monitor,
+    )
+
+    e = load_table(spark, "events", sf_dir).withColumn(
+        "s", (F.col("value") > 35).cast("int")
+    )
+    mon = {
+        r.key: r
+        for r in streaming_sprt_monitor(
+            e, "event_type", "ts", "event_id", "s"
+        ).collect()
+    }
+    for r in queries()["q_sprt_audit"](spark, sf_dir).collect():
+        m = mon[r.event_type]
+        assert m.decision == r.decision
+        assert m.n_at_decision == r.n_to_decision
+        assert m.n_total == r.n_events
+        assert abs(m.llr - r.llr_final) < 1e-4

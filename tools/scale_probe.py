@@ -113,6 +113,12 @@ PROBES = [
     "q_source_dup_matrix",     # (fp,source) self-join, n_sources^2 cap
     "q_quantile_normalize",    # distinct-score cum tables + range join
     "q_winnowing_dups",        # windowed-min selection + fp pair join
+    # round-9d additions: the session's pair-generating / corpus-join
+    # shapes (round-6 lesson applies)
+    "q_bleu_pairs",            # clipped-gram joins off candidate pairs
+    "q_dedup_threshold_sweep",  # 5-threshold sweep over one candidate set
+    "q_ql_dirichlet",          # Dirichlet LM: dl-table column expr + tf join
+    "q_sprt_audit",            # block-prefix-sum integer LLR path
 ]
 
 

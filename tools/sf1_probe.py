@@ -64,6 +64,11 @@ PROBES = [
     "q_corpus_build_e2e",
     "q_association_rules",
     "q_unigram_tokenize",
+    # round-9d additions
+    "q_bleu_pairs",
+    "q_dedup_threshold_sweep",
+    "q_ql_dirichlet",
+    "q_sprt_audit",
 ]
 
 
@@ -132,6 +137,16 @@ NOTES = {
     "tables domain-bounded in hours",
     "q_percolator": "docs 10x; postings pre-filtered to query terms "
     "before any shuffle, stored queries broadcast",
+    "q_bleu_pairs": "docs 10x; all gram joins semi-joined down to "
+    "candidate-pair members first — cost tracks the candidate "
+    "generation, never the corpus",
+    "q_dedup_threshold_sweep": "docs 10x; ONE candidate generation, "
+    "5-row threshold broadcast over the bounded pair set",
+    "q_ql_dirichlet": "docs 10x; matched-term tf join is "
+    "docs-hitting-terms sized, full-corpus branch is a column "
+    "expression on the dl table",
+    "q_sprt_audit": "events 10x; integer prefix sums via "
+    "block-prefix-sum, bounded per-type block rollup",
     "q_reservoir_sample": "docs 10x; one key shuffle, "
     "WindowGroupLimit keeps top-5 per group unsorted",
     "q_lexical_richness": "docs 10x; one partial-agged (source, word) "
