@@ -3903,3 +3903,161 @@ def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) / denom, 6).alias("wilson_lo"),
         F.round((center + half) / denom, 6).alias("wilson_hi"),
     ).orderBy("source")
+
+
+@register(
+    "q_topic_coherence",
+    oracle="""
+        WITH toks AS (
+            SELECT source, unnest(list_filter(
+                     string_split_regex(trim(lower(text)), '\\s+'),
+                     t -> t <> '')) AS term
+            FROM documents
+        ),
+        tf AS (SELECT source, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        w_c AS (SELECT source, sum(tf) AS w FROM tf GROUP BY 1),
+        f_t AS (SELECT term, sum(tf) AS f FROM tf GROUP BY 1),
+        totals AS (SELECT sum(w) AS n_total, count(*) AS n_classes FROM w_c),
+        scored AS (
+            SELECT tf.source, tf.term,
+                   round((CAST(tf.tf AS DOUBLE) / w_c.w)
+                         * ln(1.0 + (CAST(t.n_total AS DOUBLE) / t.n_classes)
+                                    / f_t.f), 6) AS ctfidf
+            FROM tf JOIN w_c USING (source) JOIN f_t USING (term)
+            CROSS JOIN totals t
+        ),
+        sel AS (
+            SELECT source, term FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY source ORDER BY ctfidf DESC, term) AS rnk
+                FROM scored)
+            WHERE rnk <= 5
+        ),
+        pres AS (
+            SELECT DISTINCT d.doc_id, t.term
+            FROM (SELECT doc_id, unnest(list_filter(
+                     string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x <> '')) AS term
+                  FROM documents) d
+            JOIN (SELECT DISTINCT term FROM sel) t USING (term)
+        ),
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                FROM pres GROUP BY 1),
+        pairs AS (
+            SELECT a.source, a.term AS t1, b.term AS t2
+            FROM sel a JOIN sel b
+              ON a.source = b.source AND a.term < b.term
+        ),
+        codf AS (
+            SELECT p.source, p.t1, p.t2,
+                   CAST(count(x2.doc_id) AS BIGINT) AS co
+            FROM pairs p
+              LEFT JOIN pres x1 ON x1.term = p.t1
+              LEFT JOIN pres x2
+                ON x2.term = p.t2 AND x2.doc_id = x1.doc_id
+            GROUP BY 1, 2, 3
+        ),
+        npmi AS (
+            SELECT c.source,
+                   CASE WHEN c.co = 0 THEN -1.0
+                        WHEN c.co = nd.n THEN 1.0
+                        ELSE ln((CAST(c.co AS DOUBLE) * nd.n)
+                                / (CAST(d1.df AS DOUBLE) * d2.df))
+                             / (-ln(CAST(c.co AS DOUBLE) / nd.n))
+                   END AS v
+            FROM codf c
+              JOIN dft d1 ON d1.term = c.t1
+              JOIN dft d2 ON d2.term = c.t2
+              CROSS JOIN nd
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+               round(CAST(sum(CAST(round(v, 6) AS DECIMAL(18,6)))
+                     AS DOUBLE) / count(*), 6) AS coherence_npmi
+        FROM npmi GROUP BY 1 ORDER BY source
+    """,
+    doc="NPMI topic coherence (Bouma 2009; the C_v family's core) of "
+    "each source's top-5 c-TF-IDF terms: mean normalized PMI over "
+    "the 10 term pairs, from document-level co-occurrence — the "
+    "standard 'are these characteristic terms actually about one "
+    "thing' check on q_ctfidf_source_terms' output (incoherent top "
+    "terms mean the class is a grab-bag and its mixture weight is "
+    "suspect). Scale shape: the c-TF-IDF model reuses the one "
+    "(class, term) shuffle; the presence table is semi-joined down "
+    "to the <= 5k selected terms BEFORE the distinct, and the "
+    "co-occurrence join fans out over the k*C(5,2)-bounded pair "
+    "scaffold, never all term pairs. NPMI edge conventions: "
+    "never-co-occurring pairs pin to -1, always-co-occurring to +1.",
+)
+def q_topic_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    sel = ctfidf_terms(docs, group_col="source", top_k=5).select(
+        "source", "term"
+    )
+    sel = F.broadcast(managed_persist(sel))
+    terms = sel.select("term").distinct()
+    pres = (
+        docs.select(
+            "doc_id",
+            F.explode(word_tokens(F.lower(F.col("text")))).alias("term"),
+        )
+        .join(F.broadcast(terms), "term")
+        .distinct()
+    )
+    pres = managed_persist(pres)
+    nd = docs.agg(F.count(F.lit(1)).alias("n"))
+    dft = pres.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    a = sel.select("source", F.col("term").alias("t1"))
+    b = sel.select(F.col("source").alias("source_b"), F.col("term").alias("t2"))
+    pairs = a.join(
+        b,
+        (F.col("source") == F.col("source_b")) & (F.col("t1") < F.col("t2")),
+    ).select("source", "t1", "t2")
+    x1 = pres.withColumnsRenamed({"term": "t1"})
+    x2 = pres.withColumnsRenamed({"term": "t2x", "doc_id": "doc_id2"})
+    codf = (
+        pairs.join(x1, "t1", "left")
+        .join(
+            x2,
+            (F.col("t2") == F.col("t2x"))
+            & (F.col("doc_id") == F.col("doc_id2")),
+            "left",
+        )
+        .groupBy("source", "t1", "t2")
+        .agg(F.count(F.col("doc_id2")).alias("co"))
+    )
+    d1 = dft.withColumnsRenamed({"term": "t1", "df": "df1"})
+    d2 = dft.withColumnsRenamed({"term": "t2", "df": "df2"})
+    co, n = F.col("co"), F.col("n")
+    npmi = (
+        codf.join(F.broadcast(d1), "t1")
+        .join(F.broadcast(d2), "t2")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "source",
+            F.when(co == 0, F.lit(-1.0))
+            .when(co == n, F.lit(1.0))
+            .otherwise(
+                F.log(
+                    (co.cast("double") * n)
+                    / (F.col("df1").cast("double") * F.col("df2"))
+                )
+                / -F.log(co.cast("double") / n)
+            )
+            .alias("v"),
+        )
+    )
+    return (
+        npmi.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(
+                F.sum(F.round(F.col("v"), 6).cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("coherence_npmi"),
+        )
+        .orderBy("source")
+    )

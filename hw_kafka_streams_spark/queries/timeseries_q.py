@@ -4565,3 +4565,181 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+def _entropy_rate_oracle(iters: int = 3) -> str:
+    """Unrolled-CTE DuckDB replay of the power-iteration stationary
+    distribution + entropy-rate readout — the q_bradley_terry oracle
+    pattern over the k x k transition table."""
+    head = """
+        WITH seq AS MATERIALIZED (
+          SELECT user_id, event_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS nxt
+          FROM events
+        ),
+        trans AS MATERIALIZED (
+          SELECT event_type AS src, nxt AS dst,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+        ),
+        tot AS MATERIALIZED (SELECT src, CAST(sum(n) AS BIGINT) AS t
+                             FROM trans GROUP BY 1),
+        states AS MATERIALIZED (SELECT DISTINCT src AS st FROM trans),
+        hrow AS MATERIALIZED (
+          SELECT tr.src AS st,
+                 CAST(sum(CAST(round(
+                     -(CAST(tr.n AS DOUBLE) / tot.t)
+                     * ln(CAST(tr.n AS DOUBLE) / tot.t), 9)
+                   AS DECIMAL(28,9))) AS DOUBLE) AS h
+          FROM trans tr JOIN tot USING (src) GROUP BY 1
+        ),
+        pi_0 AS (SELECT st, round(1.0 / (SELECT count(*) FROM states),
+                                  9) AS p
+                 FROM states)"""
+    its = []
+    for k in range(1, iters + 1):
+        its.append(f"""
+        , raw_{k} AS (
+          SELECT tr.dst AS st,
+                 CAST(sum(CAST(round(
+                     pi.p * (CAST(tr.n AS DOUBLE) / tot.t), 9)
+                   AS DECIMAL(28,9))) AS DOUBLE) AS pr
+          FROM trans tr JOIN tot ON tot.src = tr.src
+               JOIN pi_{k - 1} pi ON pi.st = tr.src
+          GROUP BY 1
+        ), pi_{k} AS (
+          SELECT st, round(pr / (
+            SELECT CAST(sum(CAST(round(pr, 9) AS DECIMAL(28,9)))
+                   AS DOUBLE) FROM raw_{k}), 9) AS p
+          FROM raw_{k}
+        )"""
+        )
+    tail = f"""
+        , rate AS (
+          SELECT CAST(sum(CAST(round(pi.p * h.h, 9) AS DECIMAL(28,9)))
+                 AS DOUBLE) AS er
+          FROM pi_{iters} pi JOIN hrow h USING (st)
+        )
+        SELECT pi.st AS state, round(pi.p, 6) AS pi,
+               round(h.h, 6) AS h_row,
+               round(rate.er, 6) AS entropy_rate
+        FROM pi_{iters} pi JOIN hrow h USING (st) CROSS JOIN rate
+        ORDER BY state"""
+    return head + "".join(its) + tail
+
+
+@register(
+    "q_entropy_rate",
+    oracle=_entropy_rate_oracle(iters=3),
+    doc="Markov entropy rate of the behavioral transition chain: "
+    "H = sum_i pi_i * H(row_i) with the stationary distribution pi "
+    "from 3 unrolled power iterations of the row-stochastic "
+    "transition matrix — the single bits-per-step compressibility "
+    "number that q_transition_entropy's per-row readout doesn't "
+    "give (rows must be weighted by how often the chain actually "
+    "sits in them). Same scale shape as q_bradley_terry: one "
+    "user-partitioned lead window + (src, dst) count shuffle, then "
+    "everything lives on the k x k matrix — iterations run as 1-row "
+    "literal-projection jobs, trajectory pinned by 9dp rounding "
+    "(DECIMAL term sums), oracle replays it as unrolled CTEs.",
+)
+def q_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.withColumn("nxt", F.lead("event_type").over(w)).filter(
+        F.col("nxt").isNotNull()
+    )
+    trans = seq.groupBy(
+        F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    trans = managed_persist(trans)
+    tmat = {(r.src, r.dst): r.n for r in trans.collect()}
+    tot = {}
+    for (s_, _), n_ in tmat.items():
+        tot[s_] = tot.get(s_, 0) + n_
+    states = sorted(tot)
+    k = len(states)
+    totdf = spark.createDataFrame(
+        [(s_, t_) for s_, t_ in sorted(tot.items())], "src string, t long"
+    )
+    p_ij = F.col("n").cast("double") / F.col("t")
+    hrow = (
+        trans.join(F.broadcast(totdf), "src")
+        .groupBy(F.col("src").alias("st"))
+        .agg(
+            F.sum(F.round(-p_ij * F.log(p_ij), 9).cast("decimal(28,9)"))
+            .cast("double")
+            .alias("h")
+        )
+    )
+    # stationary distribution: 1-row literal-projection power
+    # iterations (the q_bradley_terry shape) — engine-rounded so the
+    # unrolled-CTE oracle replays the identical trajectory
+    def dec_sum(cols):
+        out = cols[0]
+        for c in cols[1:]:
+            out = out + c
+        return out
+
+    p0 = (
+        spark.range(1)
+        .select(F.round(F.lit(1.0) / F.lit(float(k)), 9).alias("p"))
+        .first()[0]
+    )
+    pi = {s_: p0 for s_ in states}
+    for _ in range(3):
+        raw_exprs = {}
+        for j in states:
+            terms = [
+                F.round(
+                    F.lit(pi[i])
+                    * (F.lit(tmat[(i, j)]) / F.lit(tot[i])),
+                    9,
+                ).cast("decimal(28,9)")
+                for i in states
+                if (i, j) in tmat
+            ]
+            raw_exprs[j] = dec_sum(terms).cast("double")
+        srow = spark.range(1).select(
+            dec_sum(
+                [
+                    F.round(raw_exprs[j], 9).cast("decimal(28,9)")
+                    for j in states
+                ]
+            )
+            .cast("double")
+            .alias("s")
+        )
+        s_val = srow.first()[0]
+        prow = spark.range(1).select(
+            *[
+                F.round(raw_exprs[j] / F.lit(s_val), 9).alias(f"p_{i}")
+                for i, j in enumerate(states)
+            ]
+        ).first()
+        pi = {j: prow[f"p_{i}"] for i, j in enumerate(states)}
+    pidf = F.broadcast(
+        spark.createDataFrame(
+            [(s_, pi[s_]) for s_ in states], "st string, p double"
+        )
+    )
+    joined = hrow.join(pidf, "st")
+    joined = managed_persist(joined)
+    rate = joined.agg(
+        F.sum(
+            F.round(F.col("p") * F.col("h"), 9).cast("decimal(28,9)")
+        )
+        .cast("double")
+        .alias("er")
+    )
+    return (
+        joined.crossJoin(F.broadcast(rate))
+        .select(
+            F.col("st").alias("state"),
+            F.round("p", 6).alias("pi"),
+            F.round("h", 6).alias("h_row"),
+            F.round("er", 6).alias("entropy_rate"),
+        )
+        .orderBy("state")
+    )

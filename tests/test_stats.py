@@ -1490,3 +1490,56 @@ def test_shapley_efficiency_identity(spark, sf_dir):
     total = sum(r.shapley for r in rows)
     expect = v("click,error,signup,view") - v("")
     assert abs(total - expect) < 1e-3
+
+
+def test_topic_coherence_bounds_and_identical_terms(spark, sf_dir):
+    """NPMI coherence lies in [-1, 1]; every source reports C(5,2)
+    pairs (or fewer if the vocab is tiny)."""
+    from hw_kafka_streams_spark.queries import queries
+
+    rows = queries()["q_topic_coherence"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_pairs <= 10
+        assert -1 - 1e-9 <= r.coherence_npmi <= 1 + 1e-9
+
+
+def test_entropy_rate_matches_numpy_power_iteration(spark, sf_dir):
+    """pi and the rate recomputed with numpy: stationary distribution
+    of the row-stochastic transition matrix, entropy weighted by it.
+    Three power iterations from uniform get close enough on this
+    rapidly-mixing chain that the 4dp comparison is stable."""
+    import numpy as np
+    import pandas as pd
+
+    from hw_kafka_streams_spark.queries import queries
+
+    rows = queries()["q_entropy_rate"](spark, sf_dir).collect()
+    ev = pd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    ).sort_values(["ts", "event_id"])
+    counts = {}
+    for _, g in ev.groupby("user_id"):
+        ts = g.event_type.tolist()
+        for a, b in zip(ts, ts[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    states = sorted({r.state for r in rows})
+    P = np.zeros((len(states), len(states)))
+    for (a, b), n in counts.items():
+        P[states.index(a), states.index(b)] = n
+    P = P / P.sum(axis=1, keepdims=True)
+    pi = np.full(len(states), 1 / len(states))
+    for _ in range(3):
+        pi = pi @ P
+        pi /= pi.sum()
+    with np.errstate(divide="ignore", invalid="ignore"):
+        H = -np.nansum(np.where(P > 0, P * np.log(P), 0.0), axis=1)
+    rate = float(pi @ H)
+    by_state = {r.state: r for r in rows}
+    for i, st in enumerate(states):
+        assert abs(by_state[st].pi - pi[i]) < 5e-4
+        assert abs(by_state[st].h_row - H[i]) < 5e-4
+    assert abs(rows[0].entropy_rate - rate) < 1e-3
+    # entropy rate can't exceed the max row entropy
+    assert rows[0].entropy_rate <= max(H) + 1e-9
