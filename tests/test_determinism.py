@@ -64,6 +64,30 @@ DECIMAL_RECIPE_QUERIES = [
     "q_durbin_watson",
     "q_forecast_skill",
     "q_hurst_exponent",
+    # round-9e: exact-integer ACF portmanteau / Yule-Walker, the
+    # Granger Cramer solve over exact centered moments, the integer-
+    # pivot JB moments, Bartlett's round-to-DECIMAL rollup, decimal
+    # AP terms, Dirichlet-LM decimal ln sums, the Laplace-DP seeded
+    # release, the MM/power-iteration trajectories, the SPRT integer
+    # LLR path, NPMI decimal term means, and the AMS signed sums
+    "q_ljung_box",
+    "q_yule_walker_ar2",
+    "q_granger_lag1",
+    "q_jarque_bera",
+    "q_bartlett_test",
+    "q_map_mrr_eval",
+    "q_ql_dirichlet",
+    "q_calibration_brier",
+    "q_bradley_terry",
+    "q_dp_noisy_counts",
+    "q_ams_f2",
+    "q_sprt_audit",
+    "q_wilson_ci",
+    "q_bleu_pairs",
+    "q_topic_coherence",
+    "q_entropy_rate",
+    "q_isotonic_calibration",
+    "q_shapley_attribution",
 ]
 
 
