@@ -4061,3 +4061,270 @@ def q_topic_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_neyman_allocation",
+    oracle="""
+        WITH per AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS nh,
+                 sum(CAST(n_chars AS HUGEINT)) AS s1,
+                 sum(CAST(n_chars AS HUGEINT) * n_chars) AS s2
+          FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+        ),
+        sd AS (
+          SELECT source, nh,
+                 sqrt(CAST(nh * s2 - s1 * s1 AS DOUBLE)
+                      / (CAST(nh AS DOUBLE) * (nh - 1))) AS sh
+          FROM per
+        ),
+        tot AS (
+          SELECT CAST(sum(nh) AS BIGINT) AS n_total,
+                 CAST(sum(CAST(round(nh * sh, 4) AS DECIMAL(28,4)))
+                      AS DOUBLE) AS sum_ns
+          FROM sd
+        ),
+        alloc AS (
+          SELECT s.source, s.nh, s.sh,
+                 1000.0 * s.nh / t.n_total AS n_prop,
+                 1000.0 * (s.nh * s.sh) / t.sum_ns AS n_ney,
+                 t.n_total
+          FROM sd s CROSS JOIN tot t
+        ),
+        vtot AS (
+          SELECT CAST(sum(CAST(round(
+                   (CAST(nh AS DOUBLE) / n_total)
+                   * (CAST(nh AS DOUBLE) / n_total)
+                   * sh * sh / n_ney, 9) AS DECIMAL(28,9)))
+                 AS DOUBLE) AS v_ney,
+                 CAST(sum(CAST(round(
+                   (CAST(nh AS DOUBLE) / n_total)
+                   * (CAST(nh AS DOUBLE) / n_total)
+                   * sh * sh / n_prop, 9) AS DECIMAL(28,9)))
+                 AS DOUBLE) AS v_prop
+          FROM alloc
+        )
+        SELECT a.source, a.nh AS n_docs, round(a.sh, 4) AS std_len,
+               round(a.n_prop, 2) AS n_proportional,
+               round(a.n_ney, 2) AS n_neyman,
+               round(v.v_ney / v.v_prop, 6) AS var_ratio
+        FROM alloc a CROSS JOIN vtot v ORDER BY a.source
+    """,
+    doc="Neyman optimal allocation (1934) of a 1000-doc eval sample "
+    "across sources: n_h proportional to N_h * S_h (strata with more "
+    "spread get more budget) vs plain proportional allocation, plus "
+    "the stratified-mean variance ratio the optimization buys — how "
+    "an eval set or labeling budget should actually be split instead "
+    "of sampling uniformly. Per-stratum std from exact integer "
+    "moments; the k-row rollups (sum N_h S_h, both variance totals) "
+    "are round-to-DECIMAL sums. One group-keyed pass, k-row "
+    "epilogue, no windows.",
+)
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("n_chars").isNotNull()
+    )
+    v = F.col("n_chars").cast("decimal(38,0)")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("nh"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+    )
+    nh = F.col("nh")
+    sh = F.sqrt(
+        (nh.cast("decimal(38,0)") * F.col("s2") - F.col("s1") * F.col("s1"))
+        .cast("double")
+        / (nh.cast("double") * (nh.cast("double") - 1))
+    )
+    sd = per.select("source", "nh", sh.alias("sh"))
+    sd = managed_persist(sd)
+    tot = sd.agg(
+        F.sum("nh").cast("long").alias("n_total"),
+        F.sum(
+            F.round(F.col("nh") * F.col("sh"), 4).cast("decimal(28,4)")
+        )
+        .cast("double")
+        .alias("sum_ns"),
+    )
+    alloc = sd.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "nh",
+        "sh",
+        (1000.0 * nh / F.col("n_total")).alias("n_prop"),
+        (1000.0 * (nh * F.col("sh")) / F.col("sum_ns")).alias("n_ney"),
+        "n_total",
+    )
+    alloc = managed_persist(alloc)
+    wh = nh.cast("double") / F.col("n_total")
+    vterm_n = F.round(
+        wh * wh * F.col("sh") * F.col("sh") / F.col("n_ney"), 9
+    ).cast("decimal(28,9)")
+    vterm_p = F.round(
+        wh * wh * F.col("sh") * F.col("sh") / F.col("n_prop"), 9
+    ).cast("decimal(28,9)")
+    vtot = alloc.agg(
+        F.sum(vterm_n).cast("double").alias("v_ney"),
+        F.sum(vterm_p).cast("double").alias("v_prop"),
+    )
+    return (
+        alloc.crossJoin(F.broadcast(vtot))
+        .select(
+            "source",
+            nh.alias("n_docs"),
+            F.round("sh", 4).alias("std_len"),
+            F.round("n_prop", 2).alias("n_proportional"),
+            F.round("n_ney", 2).alias("n_neyman"),
+            F.round(F.col("v_ney") / F.col("v_prop"), 6).alias(
+                "var_ratio"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# A&S 26.2.17 upper-tail P(Z > x) for x >= 0 — the exact scalar text
+# both engines share (the q_benjamini_hochberg recipe).
+_NORM_UPPER = (
+    "(exp(-{x} * {x} / 2.0) / 2.5066282746310002)"
+    " * ((1.0 / (1.0 + 0.2316419 * {x}))"
+    "    * (0.319381530"
+    "       + (1.0 / (1.0 + 0.2316419 * {x}))"
+    "         * (-0.356563782"
+    "            + (1.0 / (1.0 + 0.2316419 * {x}))"
+    "              * (1.781477937"
+    "                 + (1.0 / (1.0 + 0.2316419 * {x}))"
+    "                   * (-1.821255978"
+    "                      + (1.0 / (1.0 + 0.2316419 * {x}))"
+    "                        * 1.330274429)))))"
+)
+
+
+@register(
+    "q_lilliefors",
+    oracle="""
+        WITH mom AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(n_chars AS HUGEINT)) AS s1,
+                 sum(CAST(n_chars AS HUGEINT) * n_chars) AS s2
+          FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+        ),
+        vals AS (
+          SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+          FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT source, v, c,
+                 sum(c) OVER (PARTITION BY source ORDER BY v) AS cm
+          FROM vals
+        ),
+        z AS (
+          SELECT c.source, c.cm, c.c, m.n,
+                 (c.v - CAST(m.s1 AS DOUBLE) / m.n)
+                 / sqrt(CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE)
+                        / (CAST(m.n AS DOUBLE) * m.n)) AS zv
+          FROM cum c JOIN mom m USING (source)
+        ),
+        phi AS (
+          SELECT source, cm, c, n,
+                 CASE WHEN zv >= 0 THEN 1.0 - """
+    + _NORM_UPPER.format(x="zv")
+    + """
+                      ELSE """
+    + _NORM_UPPER.format(x="(-zv)")
+    + """
+                 END AS ph
+          FROM z
+        ),
+        d AS (
+          SELECT source, CAST(min(n) AS BIGINT) AS n,
+                 max(GREATEST(CAST(cm AS DOUBLE) / n - ph,
+                              ph - CAST(cm - c AS DOUBLE) / n)) AS dv
+          FROM phi GROUP BY 1
+        )
+        SELECT source, n, round(dv, 6) AS d_stat,
+               round(0.886 / sqrt(CAST(n AS DOUBLE)), 6) AS crit_05,
+               CAST(dv > 0.886 / sqrt(CAST(n AS DOUBLE)) AS INT)
+                 AS reject_normal
+        FROM d ORDER BY source
+    """,
+    doc="Lilliefors normality test per source: the KS distance between "
+    "the empirical CDF of doc length and the normal fitted from the "
+    "SAME data (mean/sd from exact integer population moments) — the "
+    "distribution-shape companion to q_jarque_bera's moment view "
+    "(JB sees skew/kurtosis; Lilliefors sees any CDF gap, e.g. "
+    "bimodality with symmetric moments). Normal CDF via the shared "
+    "A&S 26.2.17 scalar text; D from the max over DISTINCT values of "
+    "both one-sided ECDF gaps (the cum and cum-minus-count rails); "
+    "large-sample 5% critical value 0.886/sqrt(n). The only window "
+    "runs per source over the value-domain-bounded distinct-length "
+    "table, parallel across sources.",
+)
+def q_lilliefors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("n_chars").isNotNull()
+    )
+    dv = F.col("n_chars").cast("decimal(38,0)")
+    mom = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dv).alias("s1"),
+        F.sum(dv * dv).alias("s2"),
+    )
+    vals = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = W.partitionBy("source").orderBy("v")
+    cum = vals.withColumn("cm", F.sum("c").over(w))
+    n = F.col("n")
+    zv = (
+        F.col("v") - F.col("s1").cast("double") / n
+    ) / F.sqrt(
+        (n.cast("decimal(38,0)") * F.col("s2") - F.col("s1") * F.col("s1"))
+        .cast("double")
+        / (n.cast("double") * n)
+    )
+    z = cum.join(F.broadcast(mom), "source").select(
+        "source", "cm", "c", "n", zv.alias("zv")
+    )
+
+    def upper(x):
+        t = 1.0 / (1.0 + 0.2316419 * x)
+        return (F.exp(-x * x / 2.0) / 2.5066282746310002) * (
+            t
+            * (
+                0.319381530
+                + t
+                * (
+                    -0.356563782
+                    + t
+                    * (
+                        1.781477937
+                        + t * (-1.821255978 + t * 1.330274429)
+                    )
+                )
+            )
+        )
+
+    ph = F.when(F.col("zv") >= 0, 1.0 - upper(F.col("zv"))).otherwise(
+        upper(-F.col("zv"))
+    )
+    phi = z.select("source", "cm", "c", "n", ph.alias("ph"))
+    d = phi.groupBy("source").agg(
+        F.min("n").cast("long").alias("n"),
+        F.max(
+            F.greatest(
+                F.col("cm").cast("double") / F.col("n") - F.col("ph"),
+                F.col("ph")
+                - (F.col("cm") - F.col("c")).cast("double") / F.col("n"),
+            )
+        ).alias("dv"),
+    )
+    crit = 0.886 / F.sqrt(F.col("n").cast("double"))
+    return d.select(
+        "source",
+        "n",
+        F.round("dv", 6).alias("d_stat"),
+        F.round(crit, 6).alias("crit_05"),
+        (F.col("dv") > crit).cast("int").alias("reject_normal"),
+    ).orderBy("source")

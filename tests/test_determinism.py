@@ -88,6 +88,8 @@ DECIMAL_RECIPE_QUERIES = [
     "q_entropy_rate",
     "q_isotonic_calibration",
     "q_shapley_attribution",
+    "q_neyman_allocation",
+    "q_lilliefors",
 ]
 
 

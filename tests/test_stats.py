@@ -1543,3 +1543,61 @@ def test_entropy_rate_matches_numpy_power_iteration(spark, sf_dir):
     assert abs(rows[0].entropy_rate - rate) < 1e-3
     # entropy rate can't exceed the max row entropy
     assert rows[0].entropy_rate <= max(H) + 1e-9
+
+
+def test_neyman_allocation_optimality_and_budget(spark, sf_dir):
+    """Allocations sum to the budget; the Neyman variance never
+    exceeds proportional (it is the minimizer); numpy recompute."""
+    import numpy as np
+    import pandas as pd
+
+    from hw_kafka_streams_spark.queries import queries
+
+    rows = queries()["q_neyman_allocation"](spark, sf_dir).collect()
+    assert abs(sum(r.n_proportional for r in rows) - 1000) < 0.1
+    assert abs(sum(r.n_neyman for r in rows) - 1000) < 0.1
+    assert rows[0].var_ratio <= 1 + 1e-9
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+    for r in rows:
+        x = docs[docs.source == r.source].n_chars.dropna()
+        assert abs(r.std_len - x.std(ddof=1)) < 1e-2
+        assert r.n_docs == len(x)
+    ns = np.array([r.n_docs * r.std_len for r in rows])
+    expect = 1000 * ns / ns.sum()
+    for r, e in zip(rows, expect):
+        assert abs(r.n_neyman - e) < 0.05
+
+
+def test_lilliefors_matches_scipy_free_recompute(spark, sf_dir):
+    """D recomputed with numpy ECDF + the same A&S CDF; the uniform-ish
+    synthetic lengths must reject normality decisively."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from hw_kafka_streams_spark.queries import queries
+
+    def phi(z):
+        x = abs(z)
+        t = 1.0 / (1.0 + 0.2316419 * x)
+        upper = (math.exp(-x * x / 2) / 2.5066282746310002) * (
+            t * (0.319381530 + t * (-0.356563782 + t * (1.781477937
+                + t * (-1.821255978 + t * 1.330274429))))
+        )
+        return 1 - upper if z >= 0 else upper
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+    for r in queries()["q_lilliefors"](spark, sf_dir).collect():
+        x = np.sort(docs[docs.source == r.source].n_chars.dropna().to_numpy(float))
+        n = len(x)
+        mu, sd = x.mean(), x.std(ddof=0)
+        d = 0.0
+        vals, counts = np.unique(x, return_counts=True)
+        cum = np.cumsum(counts)
+        for v, cm, c in zip(vals, cum, counts):
+            p = phi((v - mu) / sd)
+            d = max(d, cm / n - p, p - (cm - c) / n)
+        assert abs(r.d_stat - d) < 1e-5
+        assert abs(r.crit_05 - 0.886 / math.sqrt(n)) < 1e-6
+        assert r.reject_normal == int(d > 0.886 / math.sqrt(n))
