@@ -3176,3 +3176,238 @@ def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rel_err"),
         F.lit(16).alias("n_estimators"),
     )
+
+
+def _fs_oracle(iters: int = 2) -> str:
+    """Unrolled-CTE DuckDB replay of the Fellegi-Sunter EM trajectory
+    (Winkler 1988 unsupervised fit): per-pattern match posteriors and
+    the m/u/p updates are round-to-9dp with DECIMAL pattern sums —
+    the q_bradley_terry oracle pattern over the 2^3-row agreement
+    table."""
+    head = """
+        WITH p AS MATERIALIZED (
+          SELECT p_partkey AS k, string_split(p_name, ' ')[1] AS adj,
+                 string_split(p_name, ' ')[2] AS noun,
+                 p_brand, p_type, p_size,
+                 CAST(floor(p_retailprice / 10) AS BIGINT) AS pband
+          FROM part
+        ),
+        pat AS MATERIALIZED (
+          SELECT CAST(a.adj = b.adj AS INT) AS g1,
+                 CAST(a.p_type = b.p_type AS INT) AS g2,
+                 CAST(a.pband = b.pband AS INT) AS g3,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM p a JOIN p b
+            ON a.noun = b.noun AND a.p_size = b.p_size
+               AND a.p_brand = b.p_brand AND a.k < b.k
+          GROUP BY 1, 2, 3
+        ),
+        em_0 AS (SELECT 0.1 AS pp, 0.9 AS m1, 0.9 AS m2, 0.9 AS m3,
+                        0.1 AS u1, 0.1 AS u2, 0.1 AS u3)"""
+    its = []
+    for k in range(1, iters + 1):
+        its.append(f"""
+        , wt_{k} AS (
+          SELECT pat.g1, pat.g2, pat.g3, pat.n,
+                 round(
+                   (e.pp
+                    * (CASE WHEN pat.g1 = 1 THEN e.m1 ELSE 1 - e.m1 END)
+                    * (CASE WHEN pat.g2 = 1 THEN e.m2 ELSE 1 - e.m2 END)
+                    * (CASE WHEN pat.g3 = 1 THEN e.m3 ELSE 1 - e.m3 END))
+                   / ((e.pp
+                       * (CASE WHEN pat.g1 = 1 THEN e.m1
+                          ELSE 1 - e.m1 END)
+                       * (CASE WHEN pat.g2 = 1 THEN e.m2
+                          ELSE 1 - e.m2 END)
+                       * (CASE WHEN pat.g3 = 1 THEN e.m3
+                          ELSE 1 - e.m3 END))
+                      + ((1 - e.pp)
+                         * (CASE WHEN pat.g1 = 1 THEN e.u1
+                            ELSE 1 - e.u1 END)
+                         * (CASE WHEN pat.g2 = 1 THEN e.u2
+                            ELSE 1 - e.u2 END)
+                         * (CASE WHEN pat.g3 = 1 THEN e.u3
+                            ELSE 1 - e.u3 END))), 9) AS w
+          FROM pat CROSS JOIN em_{k - 1} e
+        ), s_{k} AS (
+          SELECT CAST(sum(CAST(round(n * w, 6) AS DECIMAL(28,6)))
+                   AS DOUBLE) AS sw,
+                 CAST(sum(CAST(round(n * (1 - w), 6) AS DECIMAL(28,6)))
+                   AS DOUBLE) AS snw,
+                 CAST(sum(n) AS DOUBLE) AS sn,
+                 CAST(sum(CAST(round(n * w * g1, 6) AS DECIMAL(28,6)))
+                   AS DOUBLE) AS swa1,
+                 CAST(sum(CAST(round(n * w * g2, 6) AS DECIMAL(28,6)))
+                   AS DOUBLE) AS swa2,
+                 CAST(sum(CAST(round(n * w * g3, 6) AS DECIMAL(28,6)))
+                   AS DOUBLE) AS swa3,
+                 CAST(sum(CAST(round(n * (1 - w) * g1, 6)
+                   AS DECIMAL(28,6))) AS DOUBLE) AS snwa1,
+                 CAST(sum(CAST(round(n * (1 - w) * g2, 6)
+                   AS DECIMAL(28,6))) AS DOUBLE) AS snwa2,
+                 CAST(sum(CAST(round(n * (1 - w) * g3, 6)
+                   AS DECIMAL(28,6))) AS DOUBLE) AS snwa3
+          FROM wt_{k}
+        ), em_{k} AS (
+          SELECT round(sw / sn, 9) AS pp,
+                 round(swa1 / sw, 9) AS m1, round(swa2 / sw, 9) AS m2,
+                 round(swa3 / sw, 9) AS m3,
+                 round(snwa1 / snw, 9) AS u1,
+                 round(snwa2 / snw, 9) AS u2,
+                 round(snwa3 / snw, 9) AS u3
+          FROM s_{k}
+        )""")
+    tail = f"""
+        , np AS (SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) AS n_pairs
+                 FROM pat)
+        SELECT f.field,
+               round(CASE f.field WHEN 'adjective' THEN e.m1
+                     WHEN 'type' THEN e.m2 ELSE e.m3 END, 6) AS m,
+               round(CASE f.field WHEN 'adjective' THEN e.u1
+                     WHEN 'type' THEN e.u2 ELSE e.u3 END, 6) AS u,
+               round(ln((CASE f.field WHEN 'adjective' THEN e.m1
+                         WHEN 'type' THEN e.m2 ELSE e.m3 END)
+                        / (CASE f.field WHEN 'adjective' THEN e.u1
+                           WHEN 'type' THEN e.u2 ELSE e.u3 END))
+                     / ln(2.0), 4) AS agree_weight,
+               round(e.pp, 6) AS p_match, np.n_pairs
+        FROM (SELECT unnest(['adjective', 'type', 'price_band'])
+                AS field) f
+          CROSS JOIN em_{iters} e CROSS JOIN np
+        WHERE np.n_pairs > 0
+        ORDER BY f.field"""
+    return head + "".join(its) + tail
+
+
+@register(
+    "q_fellegi_sunter",
+    oracle=_fs_oracle(iters=2),
+    doc="Fellegi-Sunter probabilistic record linkage (1969), fit "
+    "UNSUPERVISED by 2 unrolled EM iterations (Winkler 1988) over "
+    "(noun, size, brand)-blocked part pairs: per-field m "
+    "(P(agree | match)) and u (P(agree | non-match)) probabilities "
+    "and the log2 agreement weights ln(m/u) that score candidate "
+    "links — the decision-theoretic layer on top of the "
+    "edit-distance/soundex battery (q_jaro_winkler_pairs etc. "
+    "generate candidates; FS says how much each field's agreement "
+    "is WORTH). Agreement patterns collapse the pair set to a "
+    "2^3-row table before any float work, so EM runs on bounded "
+    "state (1-row literal jobs, trajectory pinned by 9dp rounding; "
+    "unrolled-CTE oracle). Blocking on three fields is the standard "
+    "ER quadratic guard; at sf0.001 the blocks are all singletons "
+    "and both engines return 0 rows (the q_friedman_test "
+    "empty-at-tiny-SF convention).",
+)
+def q_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    part = load_table(spark, "part", sf_dir)
+    p = part.select(
+        F.col("p_partkey").alias("k"),
+        F.split(F.col("p_name"), " ")[0].alias("adj"),
+        F.split(F.col("p_name"), " ")[1].alias("noun"),
+        "p_brand",
+        "p_type",
+        "p_size",
+        F.floor(F.col("p_retailprice") / 10).cast("long").alias("pband"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    pat_rows = (
+        a.join(
+            b,
+            (F.col("a.noun") == F.col("b.noun"))
+            & (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.k") < F.col("b.k")),
+        )
+        .select(
+            (F.col("a.adj") == F.col("b.adj")).cast("int").alias("g1"),
+            (F.col("a.p_type") == F.col("b.p_type"))
+            .cast("int")
+            .alias("g2"),
+            (F.col("a.pband") == F.col("b.pband"))
+            .cast("int")
+            .alias("g3"),
+        )
+        .groupBy("g1", "g2", "g3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    out_schema = (
+        "field string, m double, u double, agree_weight double, "
+        "p_match double, n_pairs long"
+    )
+    if not pat_rows:
+        return spark.createDataFrame([], out_schema)
+    n_pairs = sum(r.n for r in pat_rows)
+
+    # EM as 1-row literal-projection jobs (the q_bradley_terry shape):
+    # every round/divide runs through engine expressions so the
+    # unrolled-CTE oracle replays the identical trajectory.
+    def dec_sum(cols):
+        out = cols[0]
+        for c in cols[1:]:
+            out = out + c
+        return out
+
+    params = {"pp": 0.1, "m1": 0.9, "m2": 0.9, "m3": 0.9,
+              "u1": 0.1, "u2": 0.1, "u3": 0.1}
+    for _ in range(2):
+        w_exprs = []
+        for r in pat_rows:
+            def side(pref, g, i):
+                v = params[f"{pref}{i}"]
+                return F.lit(v) if g == 1 else (1 - F.lit(v))
+
+            num = F.lit(params["pp"]) * side("m", r.g1, 1) * side(
+                "m", r.g2, 2
+            ) * side("m", r.g3, 3)
+            den = (1 - F.lit(params["pp"])) * side("u", r.g1, 1) * side(
+                "u", r.g2, 2
+            ) * side("u", r.g3, 3)
+            w_exprs.append((r, F.round(num / (num + den), 9)))
+        sums = {}
+        sums["sw"] = dec_sum(
+            [F.round(F.lit(r.n) * w, 6).cast("decimal(28,6)")
+             for r, w in w_exprs]
+        ).cast("double")
+        sums["snw"] = dec_sum(
+            [F.round(F.lit(r.n) * (1 - w), 6).cast("decimal(28,6)")
+             for r, w in w_exprs]
+        ).cast("double")
+        for i, g in [(1, "g1"), (2, "g2"), (3, "g3")]:
+            sums[f"swa{i}"] = dec_sum(
+                [F.round(F.lit(r.n) * w * F.lit(getattr(r, g)), 6)
+                 .cast("decimal(28,6)") for r, w in w_exprs]
+            ).cast("double")
+            sums[f"snwa{i}"] = dec_sum(
+                [F.round(F.lit(r.n) * (1 - w) * F.lit(getattr(r, g)), 6)
+                 .cast("decimal(28,6)") for r, w in w_exprs]
+            ).cast("double")
+        row = spark.range(1).select(
+            F.round(sums["sw"] / F.lit(float(n_pairs)), 9).alias("pp"),
+            *[
+                F.round(sums[f"swa{i}"] / sums["sw"], 9).alias(f"m{i}")
+                for i in (1, 2, 3)
+            ],
+            *[
+                F.round(sums[f"snwa{i}"] / sums["snw"], 9).alias(f"u{i}")
+                for i in (1, 2, 3)
+            ],
+        ).first()
+        params = {k2: row[k2] for k2 in params}
+    fields = [("adjective", 1), ("price_band", 3), ("type", 2)]
+    lit_rows = [
+        (name, params[f"m{i}"], params[f"u{i}"]) for name, i in fields
+    ]
+    base = spark.createDataFrame(lit_rows, "field string, m double, u double")
+    return base.select(
+        "field",
+        F.round("m", 6).alias("m"),
+        F.round("u", 6).alias("u"),
+        F.round(F.log(F.col("m") / F.col("u")) / math.log(2.0), 4).alias(
+            "agree_weight"
+        ),
+        F.round(F.lit(params["pp"]), 6).alias("p_match"),
+        F.lit(n_pairs).cast("long").alias("n_pairs"),
+    ).orderBy("field")

@@ -1601,3 +1601,26 @@ def test_lilliefors_matches_scipy_free_recompute(spark, sf_dir):
         assert abs(r.d_stat - d) < 1e-5
         assert abs(r.crit_05 - 0.886 / math.sqrt(n)) < 1e-6
         assert r.reject_normal == int(d > 0.886 / math.sqrt(n))
+
+
+def test_fellegi_sunter_em_separates_m_from_u(spark):
+    """On sf0.01 (sf0.001 has no blocked pairs — empty by convention)
+    the EM must land with m > u for at least the informative fields,
+    positive agreement weights where m > u, and a sane match prior."""
+    from hw_kafka_streams_spark.queries import queries
+
+    rows = queries()["q_fellegi_sunter"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert [r.field for r in rows] == ["adjective", "price_band", "type"]
+    for r in rows:
+        assert 0 < r.m < 1 and 0 < r.u < 1
+        assert (r.agree_weight > 0) == (r.m > r.u)
+        assert 0 < r.p_match < 1
+        assert r.n_pairs == rows[0].n_pairs > 0
+
+
+def test_fellegi_sunter_empty_at_sf0001(spark, sf_dir):
+    from hw_kafka_streams_spark.queries import queries
+
+    assert queries()["q_fellegi_sunter"](spark, sf_dir).count() == 0
