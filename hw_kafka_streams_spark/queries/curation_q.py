@@ -4328,3 +4328,141 @@ def q_lilliefors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(crit, 6).alias("crit_05"),
         (F.col("dv") > crit).cast("int").alias("reject_normal"),
     ).orderBy("source")
+
+
+@register(
+    "q_simpson_audit",
+    oracle="""
+        WITH base AS (
+          SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN 1 ELSE 0 END AS x,
+                 CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END AS y,
+                 o_orderstatus AS stratum
+          FROM orders
+        ),
+        per AS (
+          SELECT stratum,
+                 CAST(sum(CASE WHEN x = 1 THEN y ELSE 0 END)
+                      AS BIGINT) AS y1,
+                 CAST(sum(x) AS BIGINT) AS n1,
+                 CAST(sum(CASE WHEN x = 0 THEN y ELSE 0 END)
+                      AS BIGINT) AS y0,
+                 CAST(sum(1 - x) AS BIGINT) AS n0
+          FROM base GROUP BY 1
+          UNION ALL
+          SELECT 'ALL',
+                 CAST(sum(CASE WHEN x = 1 THEN y ELSE 0 END) AS BIGINT),
+                 CAST(sum(x) AS BIGINT),
+                 CAST(sum(CASE WHEN x = 0 THEN y ELSE 0 END) AS BIGINT),
+                 CAST(sum(1 - x) AS BIGINT)
+          FROM base
+        ),
+        rd AS (
+          SELECT stratum, y1, n1, y0, n0,
+                 CAST(y1 AS DOUBLE) / n1
+                 - CAST(y0 AS DOUBLE) / n0 AS diff
+          FROM per
+        ),
+        flag AS (
+          SELECT CAST(
+            (SELECT CASE WHEN diff > 0 THEN 1
+                    WHEN diff < 0 THEN -1 ELSE 0 END
+             FROM rd WHERE stratum = 'ALL')
+            * min(CASE WHEN diff > 0 THEN 1
+                  WHEN diff < 0 THEN -1 ELSE 0 END) < 0
+            AND (SELECT count(DISTINCT CASE WHEN diff > 0 THEN 1
+                         WHEN diff < 0 THEN -1 ELSE 0 END)
+                 FROM rd WHERE stratum <> 'ALL') = 1
+            AS INT) AS paradox
+          FROM rd WHERE stratum <> 'ALL'
+        )
+        SELECT r.stratum, r.n1 AS n_exposed, r.n0 AS n_control,
+               round(CAST(r.y1 AS DOUBLE) / r.n1, 6) AS rate_exposed,
+               round(CAST(r.y0 AS DOUBLE) / r.n0, 6) AS rate_control,
+               round(r.diff, 6) AS risk_diff,
+               f.paradox AS simpson_flag
+        FROM rd r CROSS JOIN flag f
+        ORDER BY r.stratum
+    """,
+    doc="Simpson's-paradox audit: the risk difference of high-value "
+    "orders between urgent-priority and other orders, AGGREGATED and "
+    "per order-status stratum, with a flag that fires only when the "
+    "aggregate association's sign contradicts a UNANIMOUS opposite "
+    "sign across all strata — the confounding tripwire every "
+    "observational comparison (source quality deltas, filter A/Bs "
+    "over mixed corpora) should run before anyone acts on the "
+    "pooled number. One map-side-combinable pass builds every cell "
+    "(the union'd ALL row shares the scan at 100 TB via partial "
+    "aggregation); the sign logic runs on the k+1-row table.",
+)
+def q_simpson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    base = orders.select(
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH")
+        .cast("int")
+        .alias("x"),
+        (F.col("o_totalprice") > 250000).cast("int").alias("y"),
+        F.col("o_orderstatus").alias("stratum"),
+    )
+    base = managed_persist(base)
+
+    def cells(df, label_col):
+        return df.groupBy(label_col).agg(
+            F.sum(F.when(F.col("x") == 1, F.col("y")).otherwise(0))
+            .cast("long")
+            .alias("y1"),
+            F.sum("x").cast("long").alias("n1"),
+            F.sum(F.when(F.col("x") == 0, F.col("y")).otherwise(0))
+            .cast("long")
+            .alias("y0"),
+            F.sum(1 - F.col("x")).cast("long").alias("n0"),
+        )
+
+    per = cells(base, "stratum").unionAll(
+        cells(base.withColumn("stratum", F.lit("ALL")), "stratum")
+    )
+    diff = F.col("y1").cast("double") / F.col("n1") - F.col("y0").cast(
+        "double"
+    ) / F.col("n0")
+    rd = per.select("stratum", "y1", "n1", "y0", "n0", diff.alias("diff"))
+    rd = managed_persist(rd)
+    sign = (
+        F.when(F.col("diff") > 0, 1)
+        .when(F.col("diff") < 0, -1)
+        .otherwise(0)
+    )
+    agg_sign = rd.filter(F.col("stratum") == "ALL").select(
+        sign.alias("s_all")
+    )
+    strata = rd.filter(F.col("stratum") != "ALL").select(
+        sign.alias("s")
+    )
+    flag = (
+        strata.crossJoin(F.broadcast(agg_sign))
+        .agg(
+            (
+                (F.min(F.col("s_all") * F.col("s")) < 0)
+                & (F.countDistinct("s") == 1)
+            )
+            .cast("int")
+            .alias("paradox")
+        )
+    )
+    return (
+        rd.crossJoin(F.broadcast(flag))
+        .select(
+            "stratum",
+            F.col("n1").alias("n_exposed"),
+            F.col("n0").alias("n_control"),
+            F.round(F.col("y1").cast("double") / F.col("n1"), 6).alias(
+                "rate_exposed"
+            ),
+            F.round(F.col("y0").cast("double") / F.col("n0"), 6).alias(
+                "rate_control"
+            ),
+            F.round("diff", 6).alias("risk_diff"),
+            F.col("paradox").alias("simpson_flag"),
+        )
+        .orderBy("stratum")
+    )

@@ -4743,3 +4743,218 @@ def q_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("state")
     )
+
+
+def _poisson_glm_oracle(iters: int = 3) -> str:
+    """Unrolled-CTE DuckDB replay of the Newton-IRLS trajectory for
+    the seasonal Poisson GLM: 9dp-rounded harmonic features, 6dp
+    DECIMAL score/Hessian sums, 9dp-rounded coefficient updates —
+    the same pinned-trajectory pattern as q_logreg_gd."""
+    head = """
+        WITH series AS MATERIALIZED (
+          SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+                 CAST(count(*) AS BIGINT) AS y
+          FROM events GROUP BY 1
+        ),
+        feat AS MATERIALIZED (
+          SELECT y,
+                 round(sin(2 * pi() * ((h % 24) / 24.0)), 9) AS x1,
+                 round(cos(2 * pi() * ((h % 24) / 24.0)), 9) AS x2
+          FROM series
+        ),
+        init AS (
+          SELECT round(ln(CAST(sum(y) AS DOUBLE) / count(*)), 9) AS b0,
+                 0.0 AS b1, 0.0 AS b2
+          FROM feat
+        )"""
+    its = []
+    for k in range(1, iters + 1):
+        prev = "init" if k == 1 else f"beta_{k - 1}"
+        its.append(f"""
+        , s_{k} AS (
+          SELECT
+            CAST(sum(CAST(round(y - exp(b.b0 + b.b1 * x1 + b.b2 * x2),
+              6) AS DECIMAL(28,6))) AS DOUBLE) AS g0,
+            CAST(sum(CAST(round((y - exp(b.b0 + b.b1 * x1 + b.b2 * x2))
+              * x1, 6) AS DECIMAL(28,6))) AS DOUBLE) AS g1,
+            CAST(sum(CAST(round((y - exp(b.b0 + b.b1 * x1 + b.b2 * x2))
+              * x2, 6) AS DECIMAL(28,6))) AS DOUBLE) AS g2,
+            CAST(sum(CAST(round(exp(b.b0 + b.b1 * x1 + b.b2 * x2),
+              6) AS DECIMAL(28,6))) AS DOUBLE) AS h00,
+            CAST(sum(CAST(round(exp(b.b0 + b.b1 * x1 + b.b2 * x2)
+              * x1, 6) AS DECIMAL(28,6))) AS DOUBLE) AS h01,
+            CAST(sum(CAST(round(exp(b.b0 + b.b1 * x1 + b.b2 * x2)
+              * x2, 6) AS DECIMAL(28,6))) AS DOUBLE) AS h02,
+            CAST(sum(CAST(round(exp(b.b0 + b.b1 * x1 + b.b2 * x2)
+              * x1 * x1, 6) AS DECIMAL(28,6))) AS DOUBLE) AS h11,
+            CAST(sum(CAST(round(exp(b.b0 + b.b1 * x1 + b.b2 * x2)
+              * x1 * x2, 6) AS DECIMAL(28,6))) AS DOUBLE) AS h12,
+            CAST(sum(CAST(round(exp(b.b0 + b.b1 * x1 + b.b2 * x2)
+              * x2 * x2, 6) AS DECIMAL(28,6))) AS DOUBLE) AS h22
+          FROM feat CROSS JOIN {prev} b
+        ), beta_{k} AS (
+          SELECT
+            round(b.b0 + ((g0 * (h11 * h22 - h12 * h12)
+              - g1 * (h01 * h22 - h02 * h12)
+              + g2 * (h01 * h12 - h02 * h11))
+              / (h00 * (h11 * h22 - h12 * h12)
+                 - h01 * (h01 * h22 - h02 * h12)
+                 + h02 * (h01 * h12 - h02 * h11))), 9) AS b0,
+            round(b.b1 + ((h00 * (g1 * h22 - g2 * h12)
+              - h01 * (g0 * h22 - g2 * h02)
+              + h02 * (g0 * h12 - g1 * h02))
+              / (h00 * (h11 * h22 - h12 * h12)
+                 - h01 * (h01 * h22 - h02 * h12)
+                 + h02 * (h01 * h12 - h02 * h11))), 9) AS b1,
+            round(b.b2 + ((h00 * (h11 * g2 - h12 * g1)
+              - h01 * (h01 * g2 - h12 * g0)
+              + h02 * (h01 * g1 - h11 * g0))
+              / (h00 * (h11 * h22 - h12 * h12)
+                 - h01 * (h01 * h22 - h02 * h12)
+                 + h02 * (h01 * h12 - h02 * h11))), 9) AS b2
+          FROM s_{k} CROSS JOIN {prev} b
+        )""")
+    tail = f"""
+        , dev AS (
+          SELECT
+            CAST(sum(CAST(round(2 * (CASE WHEN y > 0
+              THEN y * ln(y / exp(b.b0 + b.b1 * x1 + b.b2 * x2))
+              ELSE 0.0 END
+              - (y - exp(b.b0 + b.b1 * x1 + b.b2 * x2))), 6)
+              AS DECIMAL(28,6))) AS DOUBLE) AS deviance,
+            CAST(count(*) AS BIGINT) AS n_hours
+          FROM feat CROSS JOIN beta_{iters} b
+        ),
+        ndev AS (
+          SELECT CAST(sum(CAST(round(2 * (CASE WHEN y > 0
+              THEN y * ln(y / exp(i.b0)) ELSE 0.0 END
+              - (y - exp(i.b0))), 6) AS DECIMAL(28,6))) AS DOUBLE)
+            AS null_dev
+          FROM feat CROSS JOIN init i
+        )
+        SELECT d.n_hours, round(b.b0, 6) AS b0, round(b.b1, 6) AS b1,
+               round(b.b2, 6) AS b2,
+               round(sqrt(b.b1 * b.b1 + b.b2 * b.b2), 6)
+                 AS daily_amplitude,
+               round(d.deviance, 4) AS deviance,
+               round(1 - d.deviance / n.null_dev, 6) AS pseudo_r2
+        FROM beta_{iters} b CROSS JOIN dev d CROSS JOIN ndev n"""
+    return head + "".join(its) + tail
+
+
+@register(
+    "q_poisson_glm",
+    oracle=_poisson_glm_oracle(iters=3),
+    doc="Poisson GLM with a daily harmonic (log-link rate = exp(b0 + "
+    "b1 sin + b2 cos of hour-of-day)) fit to the hourly event-count "
+    "series by 3 unrolled Newton-IRLS steps — the COUNT-data "
+    "regression family beside the Gaussian OLS (q_regression_stats) "
+    "and logistic (q_logreg_gd) fits, and the principled version of "
+    "q_seasonal_residuals' per-hour baseline (2 parameters instead "
+    "of 24, plus deviance/pseudo-R2 model diagnostics). Trajectory "
+    "pinned: harmonic features 9dp-rounded, every score/Hessian sum "
+    "a 6dp-DECIMAL reduce over the domain-bounded hour series, 3x3 "
+    "Newton solve via explicit Cramer determinants, coefficients "
+    "9dp-rounded per step; the oracle replays all 3 steps as "
+    "unrolled CTEs. Each iteration is ONE map-side-combinable "
+    "aggregation — at any scale the model state is 3 floats.",
+)
+def q_poisson_glm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    e = load_table(spark, "events", sf_dir)
+    series = e.groupBy(
+        (F.col("ts").cast("long") / 3600).cast("long").alias("h")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    hv = (F.col("h") % 24) / 24.0
+    feat = series.select(
+        "y",
+        F.round(F.sin(2 * math.pi * hv), 9).alias("x1"),
+        F.round(F.cos(2 * math.pi * hv), 9).alias("x2"),
+    )
+    feat = managed_persist(feat)
+    init = feat.agg(
+        F.round(
+            F.log(F.sum("y").cast("double") / F.count(F.lit(1))), 9
+        ).alias("b0")
+    ).first()
+    beta = (float(init["b0"]), 0.0, 0.0)
+
+    def dsum(expr):
+        return F.sum(F.round(expr, 6).cast("decimal(28,6)")).cast("double")
+
+    for _ in range(3):
+        b0, b1, b2 = (F.lit(v) for v in beta)
+        mu = F.exp(b0 + b1 * F.col("x1") + b2 * F.col("x2"))
+        y, x1, x2 = F.col("y"), F.col("x1"), F.col("x2")
+        s = feat.agg(
+            dsum(y - mu).alias("g0"),
+            dsum((y - mu) * x1).alias("g1"),
+            dsum((y - mu) * x2).alias("g2"),
+            dsum(mu).alias("h00"),
+            dsum(mu * x1).alias("h01"),
+            dsum(mu * x2).alias("h02"),
+            dsum(mu * x1 * x1).alias("h11"),
+            dsum(mu * x1 * x2).alias("h12"),
+            dsum(mu * x2 * x2).alias("h22"),
+        ).first()
+        g0, g1, g2 = s["g0"], s["g1"], s["g2"]
+        h00, h01, h02 = s["h00"], s["h01"], s["h02"]
+        h11, h12, h22 = s["h11"], s["h12"], s["h22"]
+        # 3x3 Cramer solve + 9dp step, all through engine expressions
+        # (1-row projection) so the oracle's identical CTE text lands
+        # on the same doubles
+        L = F.lit
+        det = (
+            L(h00) * (L(h11) * L(h22) - L(h12) * L(h12))
+            - L(h01) * (L(h01) * L(h22) - L(h02) * L(h12))
+            + L(h02) * (L(h01) * L(h12) - L(h02) * L(h11))
+        )
+        d0 = (
+            L(g0) * (L(h11) * L(h22) - L(h12) * L(h12))
+            - L(g1) * (L(h01) * L(h22) - L(h02) * L(h12))
+            + L(g2) * (L(h01) * L(h12) - L(h02) * L(h11))
+        )
+        d1 = (
+            L(h00) * (L(g1) * L(h22) - L(g2) * L(h12))
+            - L(h01) * (L(g0) * L(h22) - L(g2) * L(h02))
+            + L(h02) * (L(g0) * L(h12) - L(g1) * L(h02))
+        )
+        d2 = (
+            L(h00) * (L(h11) * L(g2) - L(h12) * L(g1))
+            - L(h01) * (L(h01) * L(g2) - L(h12) * L(g0))
+            + L(h02) * (L(h01) * L(g1) - L(h11) * L(g0))
+        )
+        row = spark.range(1).select(
+            F.round(L(beta[0]) + d0 / det, 9).alias("b0"),
+            F.round(L(beta[1]) + d1 / det, 9).alias("b1"),
+            F.round(L(beta[2]) + d2 / det, 9).alias("b2"),
+        ).first()
+        beta = (row["b0"], row["b1"], row["b2"])
+    b0, b1, b2 = (F.lit(v) for v in beta)
+    mu = F.exp(b0 + b1 * F.col("x1") + b2 * F.col("x2"))
+    y = F.col("y")
+    dev_term = 2 * (
+        F.when(y > 0, y * F.log(y / mu)).otherwise(F.lit(0.0)) - (y - mu)
+    )
+    mu0 = F.exp(F.lit(float(init["b0"])))
+    ndev_term = 2 * (
+        F.when(y > 0, y * F.log(y / mu0)).otherwise(F.lit(0.0))
+        - (y - mu0)
+    )
+    out = feat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        dsum(dev_term).alias("deviance"),
+        dsum(ndev_term).alias("null_dev"),
+    )
+    return out.select(
+        "n_hours",
+        F.round(b0, 6).alias("b0"),
+        F.round(b1, 6).alias("b1"),
+        F.round(b2, 6).alias("b2"),
+        F.round(F.sqrt(b1 * b1 + b2 * b2), 6).alias("daily_amplitude"),
+        F.round("deviance", 4).alias("deviance"),
+        F.round(1 - F.col("deviance") / F.col("null_dev"), 6).alias(
+            "pseudo_r2"
+        ),
+    )

@@ -90,6 +90,11 @@ DECIMAL_RECIPE_QUERIES = [
     "q_shapley_attribution",
     "q_neyman_allocation",
     "q_lilliefors",
+    "q_poisson_glm",
+    # q_fellegi_sunter stays out for the q_friedman_test reason: it
+    # legitimately returns ZERO rows at sf0.001 (all blocks are
+    # singletons), which the non-empty guard rejects; its trajectory
+    # determinism is covered by the sf0.01 oracle hash.
 ]
 
 

@@ -1624,3 +1624,67 @@ def test_fellegi_sunter_empty_at_sf0001(spark, sf_dir):
     from hw_kafka_streams_spark.queries import queries
 
     assert queries()["q_fellegi_sunter"](spark, sf_dir).count() == 0
+
+
+def test_poisson_glm_matches_numpy_newton(spark, sf_dir):
+    """Coefficients and deviance recomputed with a numpy Newton fit on
+    the same 9dp-rounded harmonic features (converged solution —
+    3 steps from the intercept start get within 1e-3 on this data)."""
+    import numpy as np
+    import pandas as pd
+
+    from hw_kafka_streams_spark.queries import queries
+
+    row = queries()["q_poisson_glm"](spark, sf_dir).collect()[0]
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    h = (ev.ts.astype("datetime64[s]").astype("int64") // 3600)
+    y = h.value_counts().sort_index().to_numpy(dtype=float)
+    hours = np.sort(h.unique())
+    x1 = np.round(np.sin(2 * np.pi * ((hours % 24) / 24.0)), 9)
+    x2 = np.round(np.cos(2 * np.pi * ((hours % 24) / 24.0)), 9)
+    X = np.column_stack([np.ones_like(x1), x1, x2])
+    b = np.array([np.log(y.mean()), 0.0, 0.0])
+    for _ in range(25):
+        mu = np.exp(X @ b)
+        g = X.T @ (y - mu)
+        H = X.T @ (X * mu[:, None])
+        b = b + np.linalg.solve(H, g)
+    assert row.n_hours == len(y)
+    assert abs(row.b0 - b[0]) < 1e-3
+    assert abs(row.b1 - b[1]) < 1e-3
+    assert abs(row.b2 - b[2]) < 1e-3
+    mu = np.exp(X @ b)
+    dev = 2 * np.sum(np.where(y > 0, y * np.log(y / mu), 0) - (y - mu))
+    assert abs(row.deviance - dev) < max(0.5, 1e-3 * dev)
+    assert 0 <= row.pseudo_r2 <= 1
+
+
+def test_simpson_audit_cells_and_flag_logic(spark, sf_dir):
+    """Cell counts recomputed in pandas; the flag definition (pooled
+    sign contradicts a unanimous stratum sign) verified directly."""
+    import pandas as pd
+
+    from hw_kafka_streams_spark.queries import queries
+
+    rows = {r.stratum: r for r in queries()["q_simpson_audit"](spark, sf_dir).collect()}
+    o = pd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice", "o_orderstatus"],
+    )
+    o["x"] = o.o_orderpriority.isin(["1-URGENT", "2-HIGH"]).astype(int)
+    o["y"] = (o.o_totalprice > 250000).astype(int)
+    signs = []
+    for st, r in rows.items():
+        sub = o if st == "ALL" else o[o.o_orderstatus == st]
+        e, c = sub[sub.x == 1], sub[sub.x == 0]
+        assert (r.n_exposed, r.n_control) == (len(e), len(c))
+        diff = e.y.mean() - c.y.mean()
+        assert abs(r.risk_diff - diff) < 1e-5
+        if st != "ALL":
+            signs.append(1 if diff > 0 else (-1 if diff < 0 else 0))
+    all_sign = (
+        1 if rows["ALL"].risk_diff > 0
+        else (-1 if rows["ALL"].risk_diff < 0 else 0)
+    )
+    expect_flag = int(len(set(signs)) == 1 and signs[0] * all_sign < 0)
+    assert rows["ALL"].simpson_flag == expect_flag
