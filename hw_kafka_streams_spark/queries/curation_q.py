@@ -4466,3 +4466,252 @@ def q_simpson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stratum")
     )
+
+
+@register(
+    "q_icc",
+    oracle="""
+        WITH per AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(n_chars AS HUGEINT)) AS s1,
+                 sum(CAST(n_chars AS HUGEINT) * n_chars) AS s2
+          FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+        ),
+        g AS (
+          SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(n) AS BIGINT) AS ntot,
+                 CAST(sum(s1) AS HUGEINT) AS st1,
+                 CAST(sum(s2) AS HUGEINT) AS st2,
+                 CAST(sum(CAST(round(
+                     CAST(s1 AS DOUBLE) * s1 / n, 4)
+                   AS DECIMAL(38,4))) AS DOUBLE) AS ssb_part,
+                 CAST(sum(CAST(round(
+                     CAST(n AS DOUBLE) * n, 4)
+                   AS DECIMAL(38,4))) AS DOUBLE) AS sum_n2
+          FROM per
+        ),
+        ss AS (
+          SELECT k, ntot,
+                 ssb_part - CAST(st1 AS DOUBLE) * st1 / ntot AS ssb,
+                 CAST(st2 AS DOUBLE)
+                   - CAST(st1 AS DOUBLE) * st1 / ntot AS sst,
+                 (ntot - sum_n2 / ntot) / (k - 1) AS n0
+          FROM g
+        )
+        SELECT k AS k_groups, ntot AS n_total,
+               round(n0, 4) AS n0_effective,
+               round(ssb / (k - 1), 4) AS ms_between,
+               round((sst - ssb) / (ntot - k), 4) AS ms_within,
+               round(((ssb / (k - 1)) - (sst - ssb) / (ntot - k))
+                     / ((ssb / (k - 1))
+                        + (n0 - 1) * (sst - ssb) / (ntot - k)),
+                     6) AS icc1,
+               round(1 + (n0 - 1)
+                     * (((ssb / (k - 1)) - (sst - ssb) / (ntot - k))
+                        / ((ssb / (k - 1))
+                           + (n0 - 1) * (sst - ssb) / (ntot - k))),
+                     4) AS design_effect
+        FROM ss
+    """,
+    doc="Intraclass correlation ICC(1) of doc length within sources "
+    "(one-way random-effects ANOVA, unequal groups via "
+    "Searle's n0 = (N - sum n_h^2/N)/(k-1)) plus the Kish design "
+    "effect 1 + (n0-1)*ICC — the number that says how much a "
+    "source-clustered sample inflates variance vs simple random "
+    "sampling, i.e. the justification for q_neyman_allocation's "
+    "stratification and the honest n for any cluster-sampled eval. "
+    "All sums of squares from exact integer moments (per-group "
+    "s1^2/n terms 4dp-DECIMAL-rolled); one group pass, 1-row "
+    "epilogue.",
+)
+def q_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("n_chars").isNotNull()
+    )
+    v = F.col("n_chars").cast("decimal(38,0)")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+    )
+    g = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("ntot"),
+        F.sum("s1").alias("st1"),
+        F.sum("s2").alias("st2"),
+        F.sum(
+            F.round(
+                F.col("s1").cast("double") * F.col("s1") / F.col("n"), 4
+            ).cast("decimal(38,4)")
+        )
+        .cast("double")
+        .alias("ssb_part"),
+        F.sum(
+            F.round(F.col("n").cast("double") * F.col("n"), 4).cast(
+                "decimal(38,4)"
+            )
+        )
+        .cast("double")
+        .alias("sum_n2"),
+    )
+    k = F.col("k")
+    ntot = F.col("ntot")
+    ssb = F.col("ssb_part") - F.col("st1").cast("double") * F.col(
+        "st1"
+    ) / ntot
+    sst = F.col("st2").cast("double") - F.col("st1").cast(
+        "double"
+    ) * F.col("st1") / ntot
+    n0 = (ntot - F.col("sum_n2") / ntot) / (k - 1)
+    msb = ssb / (k - 1)
+    msw = (sst - ssb) / (ntot - k)
+    icc = (msb - msw) / (msb + (n0 - 1) * msw)
+    return g.select(
+        k.alias("k_groups"),
+        ntot.alias("n_total"),
+        F.round(n0, 4).alias("n0_effective"),
+        F.round(msb, 4).alias("ms_between"),
+        F.round(msw, 4).alias("ms_within"),
+        F.round(icc, 6).alias("icc1"),
+        F.round(1 + (n0 - 1) * icc, 4).alias("design_effect"),
+    )
+
+
+@register(
+    "q_sobel_mediation",
+    oracle="""
+        WITH base AS (
+          SELECT CAST(n_chars AS HUGEINT) AS x,
+                 CAST(len(list_filter(string_split_regex(trim(text),
+                     '\\s+'), t -> t <> '')) AS HUGEINT) AS m,
+                 CAST(len(list_distinct(list_filter(
+                     string_split_regex(trim(lower(text)), '\\s+'),
+                     t -> t <> ''))) AS HUGEINT) AS y
+          FROM documents WHERE n_chars IS NOT NULL
+        ),
+        s AS (
+          SELECT CAST(count(*) AS HUGEINT) AS n,
+                 sum(x) AS sx, sum(m) AS sm, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(m * m) AS smm,
+                 sum(y * y) AS syy, sum(x * m) AS sxm,
+                 sum(x * y) AS sxy, sum(m * y) AS smy
+          FROM base
+        ),
+        c AS (
+          SELECT CAST(n AS DOUBLE) AS nf,
+                 CAST(n * sxx - sx * sx AS DOUBLE) AS cxx,
+                 CAST(n * smm - sm * sm AS DOUBLE) AS cmm,
+                 CAST(n * syy - sy * sy AS DOUBLE) AS cyy,
+                 CAST(n * sxm - sx * sm AS DOUBLE) AS cxm,
+                 CAST(n * sxy - sx * sy AS DOUBLE) AS cxy,
+                 CAST(n * smy - sm * sy AS DOUBLE) AS cmy
+          FROM s
+        ),
+        fit AS (
+          SELECT nf,
+                 cxm / cxx AS a,
+                 (cmm - cxm * cxm / cxx) / (nf - 2) / cxx AS var_a,
+                 (cxx * cmy - cxm * cxy)
+                   / (cmm * cxx - cxm * cxm) AS b,
+                 ((cyy - ((cxx * cmy - cxm * cxy) * cmy
+                          + (cmm * cxy - cxm * cmy) * cxy)
+                         / (cmm * cxx - cxm * cxm))
+                  / (nf - 3))
+                 * cxx / (cmm * cxx - cxm * cxm) AS var_b,
+                 cxy / cxx AS c_total
+          FROM c
+        )
+        SELECT CAST(nf AS BIGINT) AS n_docs,
+               round(a, 6) AS a_x_to_m,
+               round(b, 6) AS b_m_to_y,
+               round(a * b, 6) AS indirect,
+               round(c_total, 6) AS total_effect,
+               round(a * b / c_total, 6) AS prop_mediated,
+               round(a * b / sqrt(a * a * var_b + b * b * var_a), 4)
+                 AS sobel_z
+        FROM fit
+    """,
+    doc="Sobel mediation test (1982; Baron-Kenny path analysis in "
+    "closed form): does doc length in chars (X) drive distinct "
+    "vocabulary (Y) THROUGH token count (M)? Path a from M ~ X, "
+    "path b from Y ~ M + X (the 2x2 Cramer solve of the "
+    "q_granger_lag1 machinery), indirect effect a*b with the Sobel "
+    "z = ab / sqrt(a^2 se_b^2 + b^2 se_a^2) — the causal-decomposition "
+    "reading that q_pearson_corr's marginal correlations can't give. "
+    "All three variables are integers, so every centered moment is "
+    "an exact DECIMAL scaled by n; the fit is pure closed-form float "
+    "on exact inputs. One tokenize pass + one 1-row reduce.",
+)
+def q_sobel_mediation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("n_chars").isNotNull()
+    )
+    d = "decimal(38,0)"
+    base = docs.select(
+        F.col("n_chars").cast(d).alias("x"),
+        F.size(word_tokens(F.col("text"))).cast(d).alias("m"),
+        F.size(
+            F.array_distinct(word_tokens(F.lower(F.col("text"))))
+        )
+        .cast(d)
+        .alias("y"),
+    )
+    x, m, y = F.col("x"), F.col("m"), F.col("y")
+    s = base.agg(
+        F.count(F.lit(1)).cast(d).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(m).alias("sm"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(m * m).alias("smm"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * m).alias("sxm"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(m * y).alias("smy"),
+    )
+    n = F.col("n")
+    c = s.select(
+        n.cast("double").alias("nf"),
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double")
+        .alias("cxx"),
+        (n * F.col("smm") - F.col("sm") * F.col("sm"))
+        .cast("double")
+        .alias("cmm"),
+        (n * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("double")
+        .alias("cyy"),
+        (n * F.col("sxm") - F.col("sx") * F.col("sm"))
+        .cast("double")
+        .alias("cxm"),
+        (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("double")
+        .alias("cxy"),
+        (n * F.col("smy") - F.col("sm") * F.col("sy"))
+        .cast("double")
+        .alias("cmy"),
+    )
+    nf = F.col("nf")
+    cxx, cmm, cyy = F.col("cxx"), F.col("cmm"), F.col("cyy")
+    cxm, cxy, cmy = F.col("cxm"), F.col("cxy"), F.col("cmy")
+    a = cxm / cxx
+    var_a = (cmm - cxm * cxm / cxx) / (nf - 2) / cxx
+    det = cmm * cxx - cxm * cxm
+    b = (cxx * cmy - cxm * cxy) / det
+    rss_scaled = cyy - (
+        (cxx * cmy - cxm * cxy) * cmy + (cmm * cxy - cxm * cmy) * cxy
+    ) / det
+    var_b = (rss_scaled / (nf - 3)) * cxx / det
+    c_total = cxy / cxx
+    fit = c.select(
+        nf.cast("long").alias("n_docs"),
+        F.round(a, 6).alias("a_x_to_m"),
+        F.round(b, 6).alias("b_m_to_y"),
+        F.round(a * b, 6).alias("indirect"),
+        F.round(c_total, 6).alias("total_effect"),
+        F.round(a * b / c_total, 6).alias("prop_mediated"),
+        F.round(
+            a * b / F.sqrt(a * a * var_b + b * b * var_a), 4
+        ).alias("sobel_z"),
+    )
+    return fit

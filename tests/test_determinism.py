@@ -91,6 +91,10 @@ DECIMAL_RECIPE_QUERIES = [
     "q_neyman_allocation",
     "q_lilliefors",
     "q_poisson_glm",
+    "q_icc",
+    "q_sobel_mediation",
+    "q_iv_wald",
+    "q_simpson_audit",
     # q_fellegi_sunter stays out for the q_friedman_test reason: it
     # legitimately returns ZERO rows at sf0.001 (all blocks are
     # singletons), which the non-empty guard rejects; its trajectory

@@ -1688,3 +1688,88 @@ def test_simpson_audit_cells_and_flag_logic(spark, sf_dir):
     )
     expect_flag = int(len(set(signs)) == 1 and signs[0] * all_sign < 0)
     assert rows["ALL"].simpson_flag == expect_flag
+
+
+def test_icc_matches_numpy_anova(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from hw_kafka_streams_spark.queries import queries
+
+    r = queries()["q_icc"](spark, sf_dir).collect()[0]
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+    groups = [g.n_chars.dropna().to_numpy(float) for _, g in docs.groupby("source")]
+    k, ns = len(groups), [len(g) for g in groups]
+    N = sum(ns)
+    gm = np.concatenate(groups).mean()
+    ssb = sum(n * (g.mean() - gm) ** 2 for n, g in zip(ns, groups))
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    msb, msw = ssb / (k - 1), ssw / (N - k)
+    n0 = (N - sum(n * n for n in ns) / N) / (k - 1)
+    icc = (msb - msw) / (msb + (n0 - 1) * msw)
+    assert r.k_groups == k and r.n_total == N
+    assert abs(r.ms_between - msb) < max(0.5, 1e-5 * msb)
+    assert abs(r.ms_within - msw) < max(0.5, 1e-5 * msw)
+    assert abs(r.icc1 - icc) < 1e-4
+    assert abs(r.design_effect - (1 + (n0 - 1) * icc)) < 1e-3
+    assert -1 <= r.icc1 <= 1
+
+
+def test_sobel_mediation_matches_numpy_paths(spark, sf_dir):
+    import math
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    from hw_kafka_streams_spark.queries import queries
+
+    r = queries()["q_sobel_mediation"](spark, sf_dir).collect()[0]
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars", "text"])
+    docs = docs[docs.n_chars.notna()]
+    x = docs.n_chars.to_numpy(float)
+    toks = [
+        [t for t in re.split(r"\s+", s.strip()) if t] for s in docs.text
+    ]
+    m = np.array([len(t) for t in toks], float)
+    y = np.array(
+        [len({w.lower() for w in t}) for t in toks], float
+    )
+    n = len(x)
+    Xa = np.column_stack([np.ones(n), x])
+    beta_a = np.linalg.lstsq(Xa, m, rcond=None)[0]
+    rss_a = ((m - Xa @ beta_a) ** 2).sum()
+    se_a = math.sqrt(rss_a / (n - 2) / ((x - x.mean()) ** 2).sum())
+    Xb = np.column_stack([np.ones(n), m, x])
+    beta_b = np.linalg.lstsq(Xb, y, rcond=None)[0]
+    rss_b = ((y - Xb @ beta_b) ** 2).sum()
+    XtX_inv = np.linalg.inv(Xb.T @ Xb)
+    se_b = math.sqrt(rss_b / (n - 3) * XtX_inv[1, 1])
+    av, bv = beta_a[1], beta_b[1]
+    sobel = av * bv / math.sqrt(av * av * se_b**2 + bv * bv * se_a**2)
+    assert abs(r.a_x_to_m - av) < 1e-4
+    assert abs(r.b_m_to_y - bv) < 1e-4
+    assert abs(r.sobel_z - sobel) < max(0.01, 1e-3 * abs(sobel))
+    assert abs(r.indirect - av * bv) < 1e-4
+    assert r.n_docs == n
+
+
+def test_iv_wald_matches_pandas_ratio(spark, sf_dir):
+    import pandas as pd
+
+    from hw_kafka_streams_spark.queries import queries
+
+    r = queries()["q_iv_wald"](spark, sf_dir).collect()[0]
+    ev = pd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
+    )
+    ev["z"] = (ev.user_id % 2 == 0).astype(int)
+    ev["x"] = ev.event_type.isin(["click", "signup"]).astype(int)
+    ev["y"] = ev.value.round(2)
+    g1, g0 = ev[ev.z == 1], ev[ev.z == 0]
+    fs = g1.x.mean() - g0.x.mean()
+    rf = g1.y.mean() - g0.y.mean()
+    assert (r.n_z1, r.n_z0) == (len(g1), len(g0))
+    assert abs(r.first_stage - fs) < 1e-5
+    assert abs(r.reduced_form - rf) < 1e-4
+    assert abs(r.wald_iv - rf / fs) < max(0.01, 1e-3 * abs(rf / fs))
