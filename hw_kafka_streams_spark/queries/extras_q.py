@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from hw_kafka_streams_spark.queries import register
 from hw_kafka_streams_spark.sources.catalog import load_table
+from hw_kafka_streams_spark.cache import managed_persist
 
 
 @register(
@@ -2423,3 +2424,220 @@ def q_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hw_kafka_streams_spark.sql import run_sql
 
     return run_sql(spark, _LATERAL_SQL, sf_dir)
+
+
+@register(
+    "q_schema_evolution",
+    oracle="""
+        WITH v1 AS (
+          SELECT o_orderkey AS k, o_orderstatus AS s,
+                 CAST(o_totalprice AS DOUBLE) AS p
+          FROM orders WHERE o_orderkey % 10 = 0
+        ),
+        incr AS (
+          SELECT o_orderkey + 1 AS k, o_orderstatus AS s,
+                 CAST(o_totalprice AS DOUBLE) AS p,
+                 CAST(o_orderkey % 7 AS BIGINT) AS disc
+          FROM orders WHERE o_orderkey % 10 = 5
+        ),
+        v2 AS (
+          SELECT k, s, p, CAST(NULL AS BIGINT) AS disc FROM v1
+          UNION ALL SELECT * FROM incr
+        ),
+        a1 AS (
+          SELECT CAST(1 AS INT) AS version,
+                 CAST(3 AS INT) AS n_cols,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 round(CAST(sum(CAST(round(p, 2) AS DECIMAL(18,2)))
+                       AS DOUBLE), 2) AS sum_price,
+                 CAST(NULL AS BIGINT) AS n_disc_null,
+                 CAST(NULL AS BIGINT) AS sum_disc
+          FROM v1
+        ),
+        a2 AS (
+          SELECT CAST(2 AS INT) AS version,
+                 CAST(4 AS INT) AS n_cols,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 round(CAST(sum(CAST(round(p, 2) AS DECIMAL(18,2)))
+                       AS DOUBLE), 2) AS sum_price,
+                 CAST(sum(CASE WHEN disc IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_disc_null,
+                 CAST(sum(disc) AS BIGINT) AS sum_disc
+          FROM v2
+        )
+        SELECT * FROM a1 UNION ALL SELECT * FROM a2 ORDER BY version
+    """,
+    doc="Snapshot schema evolution end-to-end: v1 commits 3 columns, "
+    "v2 appends rows carrying a NEW column; the evolved manifest "
+    "schema (union, parent order first — snapshots._evolve_schema) "
+    "null-fills the column for files written before it existed, "
+    "while version 1 still reads with its own pinned 3-column "
+    "schema — the add-column migration every long-lived lakehouse "
+    "table needs without rewriting history. n_cols comes from the "
+    "ACTUAL per-version DataFrame schema, so a pinning regression "
+    "fails the hash. Money sums ride exact DECIMAL cents; reads "
+    "stay manifest-listed parquet scans with zero plan-time footer "
+    "reads.",
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from hw_kafka_streams_spark.sources import snapshots as S
+
+    o = load_table(spark, "orders", sf_dir)
+    v1df = o.filter((F.col("o_orderkey") % 10) == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("s"),
+        F.col("o_totalprice").cast("double").alias("p"),
+    )
+    incr = o.filter((F.col("o_orderkey") % 10) == 5).select(
+        (F.col("o_orderkey") + 1).alias("k"),
+        F.col("o_orderstatus").alias("s"),
+        F.col("o_totalprice").cast("double").alias("p"),
+        (F.col("o_orderkey") % 7).cast("long").alias("disc"),
+    )
+    tbl = tempfile.mkdtemp(prefix="q_schema_evo_") + "/tbl"
+    S.create_table(spark, tbl, v1df, target_files=4)
+    S.commit_append(spark, tbl, incr, target_files=2)
+
+    def _agg(v: int) -> DataFrame:
+        df = S.read_snapshot(spark, tbl, v)
+        has_disc = "disc" in df.columns
+        aggs = [
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(
+                F.sum(F.round(F.col("p"), 2).cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("sum_price"),
+        ]
+        if has_disc:
+            aggs.append(
+                F.sum(F.col("disc").isNull().cast("long"))
+                .cast("long")
+                .alias("n_disc_null")
+            )
+            aggs.append(F.sum("disc").cast("long").alias("sum_disc"))
+        out = df.agg(*aggs)
+        if not has_disc:
+            out = out.withColumn(
+                "n_disc_null", F.lit(None).cast("long")
+            ).withColumn("sum_disc", F.lit(None).cast("long"))
+        return out.select(
+            F.lit(v).cast("int").alias("version"),
+            F.lit(len(df.columns)).cast("int").alias("n_cols"),
+            "n_rows",
+            "sum_price",
+            "n_disc_null",
+            "sum_disc",
+        )
+
+    return _agg(1).unionByName(_agg(2)).orderBy("version")
+
+
+@register(
+    "q_write_quarantine",
+    oracle="""
+        WITH src AS (
+          SELECT o_orderkey AS k,
+                 CASE WHEN o_orderkey % 97 = 0 THEN -o_totalprice
+                      ELSE o_totalprice END AS p,
+                 CASE WHEN o_orderkey % 89 = 0 THEN 'X'
+                      ELSE o_orderstatus END AS s
+          FROM orders
+        ),
+        flagged AS (
+          SELECT k, p, s,
+                 CAST(p < 0 AS INT) AS bad_price,
+                 CAST(s NOT IN ('O', 'F', 'P') AS INT) AS bad_status
+          FROM src
+        ),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_input,
+                 CAST(sum(CASE WHEN bad_price = 0 AND bad_status = 0
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+                 CAST(sum(CASE WHEN bad_price = 1 OR bad_status = 1
+                          THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_quarantined,
+                 CAST(sum(bad_price) AS BIGINT) AS n_bad_price,
+                 CAST(sum(bad_status) AS BIGINT) AS n_bad_status
+          FROM flagged
+        ),
+        written AS (
+          SELECT round(CAST(sum(CAST(round(p, 2) AS DECIMAL(18,2)))
+                       AS DOUBLE), 2) AS sum_price_written
+          FROM flagged WHERE bad_price = 0 AND bad_status = 0
+        )
+        SELECT a.*, w.sum_price_written FROM agg a CROSS JOIN written w
+    """,
+    doc="Constraint-gated write with a dead-letter quarantine: rows "
+    "violating CHECK-style rules (non-negative price, known status "
+    "— violations injected deterministically on key residues, since "
+    "the synthetic fixture is clean) are split OFF the write path "
+    "into a quarantine, the valid rows land as a snapshot commit, "
+    "and the readout re-reads the COMMITTED table for the money sum "
+    "— so the hash verifies the quarantine split AND the write/read "
+    "round-trip, the reject-don't-poison pattern every ingestion "
+    "pipeline needs (q_dq_checks observes quality; this ENFORCES "
+    "it at the boundary). One pass splits both ways; per-rule "
+    "counts are map-side-combinable.",
+)
+def q_write_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from hw_kafka_streams_spark.sources import snapshots as S
+
+    o = load_table(spark, "orders", sf_dir)
+    src = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.when(
+            F.col("o_orderkey") % 97 == 0, -F.col("o_totalprice")
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("p"),
+        F.when(F.col("o_orderkey") % 89 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("s"),
+    )
+    flagged = src.select(
+        "k",
+        "p",
+        "s",
+        (F.col("p") < 0).cast("int").alias("bad_price"),
+        (~F.col("s").isin("O", "F", "P")).cast("int").alias("bad_status"),
+    )
+    flagged = managed_persist(flagged)
+    valid = flagged.filter(
+        (F.col("bad_price") == 0) & (F.col("bad_status") == 0)
+    ).select("k", "p", "s")
+    tbl = tempfile.mkdtemp(prefix="q_quarantine_") + "/tbl"
+    S.create_table(spark, tbl, valid, target_files=4)
+    agg = flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_input"),
+        F.sum(
+            ((F.col("bad_price") == 0) & (F.col("bad_status") == 0)).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("n_valid"),
+        F.sum(
+            ((F.col("bad_price") == 1) | (F.col("bad_status") == 1)).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("n_quarantined"),
+        F.sum("bad_price").cast("long").alias("n_bad_price"),
+        F.sum("bad_status").cast("long").alias("n_bad_status"),
+    )
+    written = S.read_snapshot(spark, tbl, 1).agg(
+        F.round(
+            F.sum(F.round(F.col("p"), 2).cast("decimal(18,2)")).cast(
+                "double"
+            ),
+            2,
+        ).alias("sum_price_written")
+    )
+    return agg.crossJoin(F.broadcast(written))

@@ -248,3 +248,33 @@ def test_snapshot_stats_only_answers_and_guards(spark, tmp_path):
     assert v["min"] == 0.0 and v["max"] == 238.0
     with pytest.raises(ValueError, match="lacks min/max"):
         S.snapshot_stats_only(tbl, "nope")
+
+
+def test_q_schema_evolution_pinned_versions(spark):
+    """The registry query's two versions really carry different
+    schemas, and the evolved read null-fills exactly the v1 rows."""
+    from hw_kafka_streams_spark.queries import queries
+
+    rows = queries()["q_schema_evolution"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    v1, v2 = rows
+    assert (v1.version, v1.n_cols) == (1, 3)
+    assert (v2.version, v2.n_cols) == (2, 4)
+    assert v1.n_disc_null is None and v1.sum_disc is None
+    assert v2.n_disc_null == v1.n_rows  # every v1 row null-fills disc
+    assert v2.n_rows > v1.n_rows
+
+
+def test_q_write_quarantine_reject_dont_poison(spark):
+    """Quarantined rows never reach the committed table; counts
+    partition the input; the written sum excludes the corrupted
+    prices."""
+    from hw_kafka_streams_spark.queries import queries
+
+    r = queries()["q_write_quarantine"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert r.n_valid + r.n_quarantined == r.n_input
+    assert r.n_quarantined >= max(r.n_bad_price, r.n_bad_status) > 0
+    assert r.sum_price_written > 0
