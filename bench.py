@@ -165,6 +165,20 @@ HEADLINE = [
     "q_phrase_search",
     # winnowing: the new posting-bounded candidate-pair shape
     "q_winnowing_dups",
+    # round-9e: the session's five representative heavy shapes —
+    # BLEU's candidate-pair clipped-gram joins, the Dirichlet-LM
+    # corpus-join/column-expr split, the block-prefix-sum SPRT path,
+    # the 3-step Newton GLM (iterative full-pass aggs), and the
+    # coherence co-occurrence over the semi-joined presence table.
+    # The rest of the round stays off: closed-form k-row epilogues
+    # (stats tests, ICC/Sobel/IV, Wilson, Shapley, isotonic, FD/FK,
+    # entropy-rate/BT literal-job iterations) — sub-bench-noise by
+    # design.
+    "q_bleu_pairs",
+    "q_ql_dirichlet",
+    "q_sprt_audit",
+    "q_poisson_glm",
+    "q_topic_coherence",
 ]
 
 

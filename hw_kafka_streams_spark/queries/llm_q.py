@@ -4696,8 +4696,11 @@ def q_ql_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("a")
         )
     )
+    # adj is docs-hitting-terms sized — a corpus fraction, too big
+    # to broadcast blindly at 100 TB but perfectly keyed: a shuffled
+    # HASH join avoids SMJ's sort on both doc-sized sides
     scored = (
-        dl.join(adj, "doc_id", "left")
+        dl.join(adj.hint("shuffle_hash"), "doc_id", "left")
         .crossJoin(F.broadcast(kconst))
         .select(
             "doc_id",
@@ -4991,10 +4994,13 @@ def q_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     def clipped(grams, out):
         a = grams.withColumnsRenamed({"doc_id": "id1", "c": "ca"})
         b = grams.withColumnsRenamed({"doc_id": "id2", "c": "cb"})
+        # both gram tables are candidate-member-bounded (the corpus
+        # was semi-joined down to pair ids), so the b side broadcasts
+        # at any scale and the a side joins the pair scaffold hashed
         return (
             cand.select("id1", "id2")
-            .join(a, "id1")
-            .join(b, ["id2", "g"], "left")
+            .join(a.hint("shuffle_hash"), "id1")
+            .join(F.broadcast(b), ["id2", "g"], "left")
             .groupBy("id1", "id2")
             .agg(
                 F.sum(F.least(F.col("ca"), F.coalesce(F.col("cb"), F.lit(0))))
@@ -5007,11 +5013,12 @@ def q_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     p2 = clipped(big, "clip2")
     la = lens.withColumnsRenamed({"doc_id": "id1", "n": "la"})
     lb = lens.withColumnsRenamed({"doc_id": "id2", "n": "lb"})
+    # every assembly input is candidate-bounded — broadcast them all
     j = (
-        cand.join(p1, ["id1", "id2"])
-        .join(p2, ["id1", "id2"], "left")
-        .join(la, "id1")
-        .join(lb, "id2")
+        cand.join(F.broadcast(p1), ["id1", "id2"])
+        .join(F.broadcast(p2), ["id1", "id2"], "left")
+        .join(F.broadcast(la), "id1")
+        .join(F.broadcast(lb), "id2")
     )
     laf, lbf = F.col("la").cast("double"), F.col("lb").cast("double")
     pr1 = F.col("clip1").cast("double") / laf

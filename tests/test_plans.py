@@ -288,6 +288,11 @@ def test_headline_plans_no_smj_no_unexpected_nlj(spark, sf_dir):
         # q_bigram_backoff_score)
         "q_epoch_repetition_plan",
         "q_kn_lm_score",
+        # round-9e: 1-row broadcasts — the collection-total scalar in
+        # the Dirichlet-LM smoothing mass and the n_docs scalar in
+        # the NPMI denominator (same ntot pattern)
+        "q_ql_dirichlet",
+        "q_topic_coherence",
     }
     offenders: dict[str, str] = {}
     for name in HEADLINE:
