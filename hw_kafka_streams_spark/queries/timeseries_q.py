@@ -5042,3 +5042,179 @@ def q_iv_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rf, 6).alias("reduced_form"),
         F.round(rf / fs, 4).alias("wald_iv"),
     )
+
+
+# Integer-scaled 2-state HMM score constants: ln(0.9)*1e6 and
+# ln(0.1)*1e6, pinned as literals so neither engine evaluates a
+# transcendental for the transition matrix.
+_HMM_T_STAY = -105361
+_HMM_T_SWITCH = -2302585
+
+
+@register(
+    "q_hmm_viterbi",
+    oracle=f"""
+        WITH RECURSIVE series AS (
+          SELECT event_type,
+                 CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS h,
+                 CAST(count(*) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2
+        ),
+        idx AS (
+          SELECT event_type, y,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY h) AS rn
+          FROM series
+        ),
+        lam AS (
+          SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n,
+                 1.25 * (CAST(sum(y) AS DOUBLE) / count(*)) AS lh,
+                 0.75 * (CAST(sum(y) AS DOUBLE) / count(*)) AS ll
+          FROM idx GROUP BY 1
+        ),
+        consts AS (
+          SELECT event_type, n,
+                 CAST(round(ln(lh) * 1000000) AS BIGINT) AS l_hi,
+                 CAST(round(lh * 1000000) AS BIGINT) AS lam_hi,
+                 CAST(round(ln(ll) * 1000000) AS BIGINT) AS l_lo,
+                 CAST(round(ll * 1000000) AS BIGINT) AS lam_lo
+          FROM lam
+        ),
+        fwd AS (
+          SELECT i.event_type, i.rn,
+                 i.y * c.l_hi - c.lam_hi AS v_hi,
+                 i.y * c.l_lo - c.lam_lo AS v_lo
+          FROM idx i JOIN consts c USING (event_type) WHERE i.rn = 1
+          UNION ALL
+          SELECT i.event_type, i.rn,
+                 i.y * c.l_hi - c.lam_hi
+                   + GREATEST(f.v_hi + {_HMM_T_STAY},
+                              f.v_lo + {_HMM_T_SWITCH}) AS v_hi,
+                 i.y * c.l_lo - c.lam_lo
+                   + GREATEST(f.v_lo + {_HMM_T_STAY},
+                              f.v_hi + {_HMM_T_SWITCH}) AS v_lo
+          FROM fwd f
+            JOIN idx i ON i.event_type = f.event_type
+                       AND i.rn = f.rn + 1
+            JOIN consts c ON c.event_type = f.event_type
+        ),
+        fwdm AS MATERIALIZED (SELECT * FROM fwd),
+        back AS (
+          SELECT f.event_type, f.rn,
+                 CASE WHEN f.v_hi >= f.v_lo THEN 1 ELSE 0 END AS st,
+                 f.v_hi, f.v_lo
+          FROM fwdm f JOIN consts c ON c.event_type = f.event_type
+                     AND f.rn = c.n
+          UNION ALL
+          SELECT f.event_type, f.rn,
+                 CASE b.st
+                   WHEN 1 THEN CASE WHEN f.v_hi + {_HMM_T_STAY}
+                                  >= f.v_lo + {_HMM_T_SWITCH}
+                               THEN 1 ELSE 0 END
+                   ELSE CASE WHEN f.v_lo + {_HMM_T_STAY}
+                           >= f.v_hi + {_HMM_T_SWITCH}
+                        THEN 0 ELSE 1 END
+                 END AS st,
+                 f.v_hi, f.v_lo
+          FROM back b
+            JOIN fwdm f ON f.event_type = b.event_type
+                       AND f.rn = b.rn - 1
+        ),
+        path AS (SELECT event_type, rn, st FROM back)
+        SELECT p.event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(p.st) AS BIGINT) AS n_high_days,
+               CAST(sum(CASE WHEN nx.st IS NOT NULL
+                        AND nx.st <> p.st THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_switches,
+               round(CAST(max(CASE WHEN p.rn = c.n THEN
+                        GREATEST(p2.v_hi, p2.v_lo) END) AS DOUBLE)
+                     / 1000000, 4) AS viterbi_score
+        FROM path p
+          LEFT JOIN path nx ON nx.event_type = p.event_type
+                            AND nx.rn = p.rn + 1
+          JOIN consts c ON c.event_type = p.event_type
+          JOIN back p2 ON p2.event_type = p.event_type
+                       AND p2.rn = p.rn
+        GROUP BY p.event_type ORDER BY p.event_type
+    """,
+    doc="2-state HMM regime decoding (Viterbi) of the daily "
+    "event-count series: high/low-activity states with Poisson-rate "
+    "emissions at 1.25x / 0.75x the series mean and sticky 0.9/0.1 "
+    "transitions — reports hours in the high regime, regime "
+    "switches, and the Viterbi path score per type (the "
+    "duration-aware segmentation q_cusum_changepoint's single "
+    "changepoint and q_sax_symbols' memoryless codes can't give). "
+    "Determinism is TOTAL: log-rates and rates scale to integer "
+    "micro-nats once per series (4 scalars), transitions are pinned "
+    "integer literals, so the entire forward DP and backward path "
+    "recovery is int64 arithmetic with a fixed tie rule — the "
+    "DuckDB oracle replays it as two recursive CTEs (forward "
+    "scores, backward argmax walk). Spark runs the identical int64 "
+    "DP per event_type under applyInPandas — series are "
+    "domain-bounded (hours in range), the holt_linear per-group "
+    "sequential-fit convention; day series are ~30 steps so the "
+    "recursive oracle stays cheap.",
+)
+def q_hmm_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, "events", sf_dir)
+    series = e.groupBy(
+        "event_type",
+        (F.col("ts").cast("long") / 86400).cast("long").alias("h"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+
+    t_stay, t_switch = _HMM_T_STAY, _HMM_T_SWITCH
+
+    def decode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("h")
+        y = pdf["x"].to_numpy(np.int64)
+        n = len(y)
+        mean = float(y.sum()) / n
+        lh, ll = 1.25 * mean, 0.75 * mean
+        l_hi = int(round(np.log(lh) * 1e6))
+        lam_hi = int(round(lh * 1e6))
+        l_lo = int(round(np.log(ll) * 1e6))
+        lam_lo = int(round(ll * 1e6))
+        v_hi = np.empty(n, np.int64)
+        v_lo = np.empty(n, np.int64)
+        v_hi[0] = y[0] * l_hi - lam_hi
+        v_lo[0] = y[0] * l_lo - lam_lo
+        for t in range(1, n):
+            v_hi[t] = y[t] * l_hi - lam_hi + max(
+                v_hi[t - 1] + t_stay, v_lo[t - 1] + t_switch
+            )
+            v_lo[t] = y[t] * l_lo - lam_lo + max(
+                v_lo[t - 1] + t_stay, v_hi[t - 1] + t_switch
+            )
+        st = np.empty(n, np.int64)
+        st[n - 1] = 1 if v_hi[n - 1] >= v_lo[n - 1] else 0
+        for t in range(n - 2, -1, -1):
+            if st[t + 1] == 1:
+                st[t] = 1 if v_hi[t] + t_stay >= v_lo[t] + t_switch else 0
+            else:
+                st[t] = 0 if v_lo[t] + t_stay >= v_hi[t] + t_switch else 1
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_days": [n],
+                "n_high_days": [int(st.sum())],
+                "n_switches": [int((st[1:] != st[:-1]).sum())],
+                "viterbi_score": [
+                    round(float(max(v_hi[n - 1], v_lo[n - 1])) / 1e6, 4)
+                ],
+            }
+        )
+
+    return (
+        series.groupBy("event_type")
+        .applyInPandas(
+            decode,
+            schema="event_type string, n_days long, n_high_days long,"
+            " n_switches long, viterbi_score double",
+        )
+        .orderBy("event_type")
+    )

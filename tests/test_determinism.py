@@ -91,6 +91,7 @@ DECIMAL_RECIPE_QUERIES = [
     "q_neyman_allocation",
     "q_lilliefors",
     "q_poisson_glm",
+    "q_hmm_viterbi",
     "q_icc",
     "q_sobel_mediation",
     "q_iv_wald",

@@ -1773,3 +1773,44 @@ def test_iv_wald_matches_pandas_ratio(spark, sf_dir):
     assert abs(r.first_stage - fs) < 1e-5
     assert abs(r.reduced_form - rf) < 1e-4
     assert abs(r.wald_iv - rf / fs) < max(0.01, 1e-3 * abs(rf / fs))
+
+
+def test_hmm_viterbi_matches_numpy_and_is_sane(spark, sf_dir):
+    """Full numpy Viterbi replay with the same integer-scaled scores;
+    path invariants (counts partition, score finite)."""
+    import numpy as np
+    import pandas as pd
+
+    from hw_kafka_streams_spark.queries import queries
+
+    rows = {r.event_type: r for r in queries()["q_hmm_viterbi"](spark, sf_dir).collect()}
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    d = ev.ts.astype("datetime64[s]").astype("int64") // 86400
+    T_STAY, T_SW = -105361, -2302585
+    for et, g in ev.assign(d=d).groupby("event_type"):
+        y = g.groupby("d").size().sort_index().to_numpy(np.int64)
+        n = len(y)
+        mean = float(y.sum()) / n
+        lh, ll = 1.25 * mean, 0.75 * mean
+        l_hi, lam_hi = int(round(np.log(lh) * 1e6)), int(round(lh * 1e6))
+        l_lo, lam_lo = int(round(np.log(ll) * 1e6)), int(round(ll * 1e6))
+        v_hi = np.empty(n, np.int64)
+        v_lo = np.empty(n, np.int64)
+        v_hi[0], v_lo[0] = y[0] * l_hi - lam_hi, y[0] * l_lo - lam_lo
+        for t in range(1, n):
+            v_hi[t] = y[t] * l_hi - lam_hi + max(v_hi[t-1] + T_STAY, v_lo[t-1] + T_SW)
+            v_lo[t] = y[t] * l_lo - lam_lo + max(v_lo[t-1] + T_STAY, v_hi[t-1] + T_SW)
+        st = np.empty(n, np.int64)
+        st[n-1] = 1 if v_hi[n-1] >= v_lo[n-1] else 0
+        for t in range(n-2, -1, -1):
+            if st[t+1] == 1:
+                st[t] = 1 if v_hi[t] + T_STAY >= v_lo[t] + T_SW else 0
+            else:
+                st[t] = 0 if v_lo[t] + T_STAY >= v_hi[t] + T_SW else 1
+        r = rows[et]
+        assert r.n_days == n
+        assert r.n_high_days == int(st.sum())
+        assert r.n_switches == int((st[1:] != st[:-1]).sum())
+        assert abs(r.viterbi_score - round(max(v_hi[n-1], v_lo[n-1]) / 1e6, 4)) < 1e-9
+        assert 0 <= r.n_high_days <= r.n_days
+        assert r.n_switches < r.n_days
