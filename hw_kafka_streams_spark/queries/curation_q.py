@@ -4715,3 +4715,137 @@ def q_sobel_mediation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sobel_z"),
     )
     return fit
+
+
+@register(
+    "q_dataset_card",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_filter(string_split_regex(
+                   trim(lower(text)), '\\s+'), t -> t <> '')) AS w
+          FROM documents
+        ),
+        tok_stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(count(DISTINCT w) AS BIGINT) AS n_vocab
+          FROM toks
+        ),
+        per_doc AS (
+          SELECT doc_id,
+                 len(list_filter(string_split_regex(trim(text),
+                     '\\s+'), t -> t <> '')) AS n_tok,
+                 md5(lower(trim(regexp_replace(text, '\\s+', ' ',
+                     'g')))) AS fp,
+                 lang, source
+          FROM documents
+        ),
+        doc_stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                 CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                 CAST(count(*) - count(DISTINCT fp) AS BIGINT)
+                   AS n_exact_dups,
+                 CAST(sum(CASE WHEN n_tok < 120 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_short
+          FROM per_doc
+        ),
+        lang_h AS (
+          SELECT CAST(sum(CAST(round(
+                   -(CAST(c AS DOUBLE) / t)
+                   * ln(CAST(c AS DOUBLE) / t), 9)
+                 AS DECIMAL(18,9))) AS DOUBLE) AS lang_entropy
+          FROM (SELECT lang, CAST(count(*) AS BIGINT) AS c,
+                       CAST(sum(count(*)) OVER () AS BIGINT) AS t
+                FROM documents GROUP BY 1)
+        )
+        SELECT d.n_docs, d.n_sources, d.n_langs,
+               t.n_tokens, t.n_vocab,
+               round(CAST(t.n_tokens AS DOUBLE) / d.n_docs, 2)
+                 AS mean_doc_tokens,
+               round(CAST(d.n_exact_dups AS DOUBLE) / d.n_docs, 6)
+                 AS exact_dup_rate,
+               round(CAST(d.n_short AS DOUBLE) / d.n_docs, 6)
+                 AS short_doc_rate,
+               round(h.lang_entropy, 4) AS lang_entropy_nats
+        FROM doc_stats d CROSS JOIN tok_stats t CROSS JOIN lang_h h
+    """,
+    doc="Dataset-card summary row ('Datasheets for Datasets', Gebru "
+    "2018): the one-line corpus profile a model card quotes — doc/"
+    "source/language counts, token volume and vocabulary, mean "
+    "length, exact-duplicate rate (normalized-fingerprint), "
+    "short-doc rate, and the language-mix entropy. Every number "
+    "reuses a battle-tested recipe from the battery (fingerprint "
+    "dedup, token counts, decimal-entropy) composed into TWO corpus "
+    "scans (token explode; per-doc profile) + 1-row joins — the "
+    "capstone readout over the curation surface. The lang-entropy "
+    "window is category-sized (OVER () on the k-row lang counts).",
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.text import (
+        fingerprint,
+        word_tokens,
+    )
+    from hw_kafka_streams_spark.operators.winutil import (
+        tiny_table_partition,
+    )
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        F.explode(word_tokens(F.lower(F.col("text")))).alias("w")
+    )
+    tok_stats = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.countDistinct("w").cast("long").alias("n_vocab"),
+    )
+    per_doc = docs.select(
+        F.size(word_tokens(F.col("text"))).alias("n_tok"),
+        fingerprint(F.col("text")).alias("fp"),
+        "lang",
+        "source",
+    )
+    doc_stats = per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        (F.count(F.lit(1)) - F.countDistinct("fp"))
+        .cast("long")
+        .alias("n_exact_dups"),
+        F.sum((F.col("n_tok") < 120).cast("long"))
+        .cast("long")
+        .alias("n_short"),
+    )
+    lc = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    wt = W.partitionBy(tiny_table_partition("lang"))
+    lang_h = lc.withColumn("t", F.sum("c").over(wt)).agg(
+        F.sum(
+            F.round(
+                -(F.col("c").cast("double") / F.col("t"))
+                * F.log(F.col("c").cast("double") / F.col("t")),
+                9,
+            ).cast("decimal(18,9)")
+        )
+        .cast("double")
+        .alias("lang_entropy")
+    )
+    return (
+        doc_stats.crossJoin(F.broadcast(tok_stats))
+        .crossJoin(F.broadcast(lang_h))
+        .select(
+            "n_docs",
+            "n_sources",
+            "n_langs",
+            "n_tokens",
+            "n_vocab",
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("n_docs"), 2
+            ).alias("mean_doc_tokens"),
+            F.round(
+                F.col("n_exact_dups").cast("double") / F.col("n_docs"), 6
+            ).alias("exact_dup_rate"),
+            F.round(
+                F.col("n_short").cast("double") / F.col("n_docs"), 6
+            ).alias("short_doc_rate"),
+            F.round("lang_entropy", 4).alias("lang_entropy_nats"),
+        )
+    )

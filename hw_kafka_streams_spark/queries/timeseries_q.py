@@ -5218,3 +5218,100 @@ def q_hmm_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_gumbel_return_levels",
+    oracle="""
+        WITH daily AS (
+          SELECT event_type,
+                 CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+                 max(value) AS mx
+          FROM events GROUP BY 1, 2
+        ),
+        cents AS (
+          SELECT event_type,
+                 CAST(round(mx, 2) * 100 AS HUGEINT) AS c
+          FROM daily
+        ),
+        mom AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 sum(c) AS s1, sum(c * c) AS s2
+          FROM cents GROUP BY 1
+        ),
+        fit AS (
+          SELECT event_type, n,
+                 (CAST(s1 AS DOUBLE) / n) / 100.0 AS mean_mx,
+                 sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * (n - 1))) / 100.0 AS sd_mx
+          FROM mom
+        ),
+        gum AS (
+          SELECT event_type, n, mean_mx, sd_mx,
+                 sd_mx * 0.7796968012336093 AS beta,
+                 mean_mx
+                   - sd_mx * 0.7796968012336093
+                     * 0.5772156649015329 AS mu
+          FROM fit
+        )
+        SELECT event_type, n AS n_days,
+               round(mean_mx, 4) AS mean_daily_max,
+               round(mu, 4) AS gumbel_mu,
+               round(beta, 4) AS gumbel_beta,
+               round(mu - beta * ln(-ln(1 - 1.0 / 30)), 4)
+                 AS rl_30d,
+               round(mu - beta * ln(-ln(1 - 1.0 / 365)), 4)
+                 AS rl_365d
+        FROM gum ORDER BY event_type
+    """,
+    doc="Extreme-value analysis of daily maxima (block-maxima "
+    "Gumbel fit by method of moments: beta = sd*sqrt(6)/pi, mu = "
+    "mean - beta*gamma) with 30-day and 365-day return levels — the "
+    "tail-risk readout capacity planning actually asks for ('what "
+    "peak value should we expect once a year?'), which mean/"
+    "percentile summaries structurally underestimate. sqrt(6)/pi "
+    "and the Euler-Mascheroni constant are pinned double literals "
+    "in both engines; daily-max cents ride exact DECIMAL so the "
+    "moments are one float division each. One domain-bounded "
+    "(type, day) max shuffle, k-row epilogue.",
+)
+def q_gumbel_return_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    daily = e.groupBy(
+        "event_type",
+        (F.col("ts").cast("long") / 86400).cast("long").alias("d"),
+    ).agg(F.max("value").alias("mx"))
+    cents = daily.select(
+        "event_type",
+        (F.round(F.col("mx"), 2) * 100).cast("decimal(38,0)").alias("c"),
+    )
+    mom = cents.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    n = F.col("n")
+    mean_mx = (F.col("s1").cast("double") / n) / 100.0
+    sd_mx = (
+        F.sqrt(
+            (n.cast("decimal(38,0)") * F.col("s2")
+             - F.col("s1") * F.col("s1")).cast("double")
+            / (n.cast("double") * (n.cast("double") - 1))
+        )
+        / 100.0
+    )
+    beta = sd_mx * 0.7796968012336093
+    mu = mean_mx - beta * 0.5772156649015329
+    return mom.select(
+        "event_type",
+        n.alias("n_days"),
+        F.round(mean_mx, 4).alias("mean_daily_max"),
+        F.round(mu, 4).alias("gumbel_mu"),
+        F.round(beta, 4).alias("gumbel_beta"),
+        F.round(mu - beta * F.log(-F.log(F.lit(1 - 1.0 / 30))), 4).alias(
+            "rl_30d"
+        ),
+        F.round(mu - beta * F.log(-F.log(F.lit(1 - 1.0 / 365))), 4).alias(
+            "rl_365d"
+        ),
+    ).orderBy("event_type")

@@ -92,6 +92,8 @@ DECIMAL_RECIPE_QUERIES = [
     "q_lilliefors",
     "q_poisson_glm",
     "q_hmm_viterbi",
+    "q_gumbel_return_levels",
+    "q_dataset_card",
     "q_icc",
     "q_sobel_mediation",
     "q_iv_wald",

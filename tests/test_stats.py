@@ -1814,3 +1814,52 @@ def test_hmm_viterbi_matches_numpy_and_is_sane(spark, sf_dir):
         assert abs(r.viterbi_score - round(max(v_hi[n-1], v_lo[n-1]) / 1e6, 4)) < 1e-9
         assert 0 <= r.n_high_days <= r.n_days
         assert r.n_switches < r.n_days
+
+
+def test_gumbel_return_levels_ordering_and_numpy(spark, sf_dir):
+    """Return levels recomputed from pandas daily maxima; monotone in
+    the return period and above the mean."""
+    import math
+
+    import pandas as pd
+
+    from hw_kafka_streams_spark.queries import queries
+
+    rows = {r.event_type: r for r in queries()["q_gumbel_return_levels"](spark, sf_dir).collect()}
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+    d = ev.ts.astype("datetime64[s]").astype("int64") // 86400
+    for et, g in ev.assign(d=d).groupby("event_type"):
+        mx = g.groupby("d").value.max().round(2)
+        beta = mx.std(ddof=1) * math.sqrt(6) / math.pi
+        mu = mx.mean() - beta * 0.5772156649015329
+        r = rows[et]
+        assert r.n_days == mx.size
+        assert abs(r.gumbel_beta - beta) < 1e-3
+        assert abs(r.gumbel_mu - mu) < 1e-3
+        rl30 = mu - beta * math.log(-math.log(1 - 1 / 30))
+        rl365 = mu - beta * math.log(-math.log(1 - 1 / 365))
+        assert abs(r.rl_30d - rl30) < 1e-3
+        assert abs(r.rl_365d - rl365) < 1e-3
+        assert r.mean_daily_max < r.rl_30d < r.rl_365d
+
+
+def test_dataset_card_cross_checks_other_queries(spark, sf_dir):
+    """Card numbers agree with independent pandas recomputes."""
+    import re
+
+    import pandas as pd
+
+    from hw_kafka_streams_spark.queries import queries
+
+    r = queries()["q_dataset_card"](spark, sf_dir).collect()[0]
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    assert r.n_docs == len(docs)
+    assert r.n_sources == docs.source.nunique()
+    assert r.n_langs == docs.lang.nunique()
+    ntok = docs.text.map(lambda t: len([x for x in re.split(r"\s+", t.strip()) if x]))
+    assert r.n_tokens == int(ntok.sum())
+    assert abs(r.mean_doc_tokens - ntok.mean()) < 0.01
+    fp = docs.text.map(lambda t: re.sub(r"\s+", " ", t).strip().lower())
+    assert abs(r.exact_dup_rate - (len(docs) - fp.nunique()) / len(docs)) < 1e-6
+    assert abs(r.short_doc_rate - (ntok < 120).mean()) < 1e-6
+    assert r.lang_entropy_nats >= 0
