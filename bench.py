@@ -409,7 +409,9 @@ def _stream_bench(spark, seconds: float = 5.0) -> dict:
     # batch loop. Standalone 5-run steady state measures 1.6-1.8 M
     # rows/s on this host (re-profiled round 6; the earlier 2.0-2.1 M
     # reading was a different host-load condition — with rows pinned,
-    # level shifts are host variance, trends within a round are real).
+    # level shifts are host variance, trends within a round are real;
+    # round-9 gate runs read 0.95-1.33 M under the same shift that
+    # moved the whole batch headline ~1.23x — see BENCH note below).
     # Steady state is the honest capacity number. Rows are PINNED:
     # exactly `target`
     # fixed-size batches are counted and the clock stops inside the
