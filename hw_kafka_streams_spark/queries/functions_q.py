@@ -296,3 +296,56 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.array_max(dbl), 4).alias("vec_max"),
         F.size(F.filter(dbl, lambda x: x > 0)).cast("double").alias("n_pos"),
     ).orderBy("vec_id")
+
+
+@register(
+    "q_collation_fold",
+    oracle="""
+        WITH toks AS (
+          SELECT source, unnest(list_filter(string_split_regex(
+                   trim(text), '\\s+'), t -> t <> '')) AS w
+          FROM documents
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(DISTINCT w) AS BIGINT) AS vocab_cs,
+               CAST(count(DISTINCT lower(w)) AS BIGINT) AS vocab_ci,
+               round(1.0 - CAST(count(DISTINCT lower(w)) AS DOUBLE)
+                     / count(DISTINCT w), 6) AS fold_rate
+        FROM toks GROUP BY source ORDER BY source
+    """,
+    doc="Collation-aware vocabulary fold (Spark 4 string collations): "
+    "per-source distinct-token counts under binary (UTF8_BINARY) vs "
+    "case-insensitive (COLLATE UTF8_LCASE) comparison — how much of "
+    "a source's vocabulary is mere casing variance, the number that "
+    "decides whether a tokenizer needs a lowercase pass. The Spark "
+    "side exercises the REAL collation surface (the distinct runs "
+    "on a collated string type, not on a lower() projection); the "
+    "DuckDB oracle folds with lower(), which agrees on this "
+    "corpus's repertoire. Both distincts share one (source, token) "
+    "shuffle; partial aggregation applies as usual.",
+)
+def q_collation_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.text import word_tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "source",
+        F.explode(word_tokens(F.col("text"))).alias("w"),
+    )
+    ci = F.expr("w COLLATE UTF8_LCASE")
+    return (
+        toks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.countDistinct("w").cast("long").alias("vocab_cs"),
+            F.countDistinct(ci).cast("long").alias("vocab_ci"),
+            F.round(
+                1.0
+                - F.countDistinct(ci).cast("double")
+                / F.countDistinct("w"),
+                6,
+            ).alias("fold_rate"),
+        )
+        .orderBy("source")
+    )

@@ -3411,3 +3411,207 @@ def q_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(params["pp"]), 6).alias("p_match"),
         F.lit(n_pairs).cast("long").alias("n_pairs"),
     ).orderBy("field")
+
+
+def _ppmi_oracle(iters: int = 3) -> str:
+    """Unrolled-CTE replay of the PPMI power iteration: matrix entries
+    rounded to 6dp, vector entries to 9dp after every normalization,
+    all vocab-row sums DECIMAL — the pinned-trajectory pattern."""
+    head = r"""
+        WITH d AS MATERIALIZED (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)),
+                             '\s+'), e -> e <> '') AS ws
+          FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+        ),
+        toks AS MATERIALIZED (
+          SELECT doc_id, unnest(ws) AS w,
+                 CAST(unnest(range(1, len(ws) + 1)) AS INT) AS pos
+          FROM d
+        ),
+        pairs AS MATERIALIZED (
+          SELECT a.w AS wc, b.w AS cc, CAST(count(*) AS BIGINT) AS n
+          FROM toks a JOIN toks b
+            ON a.doc_id = b.doc_id
+           AND b.pos BETWEEN a.pos - 2 AND a.pos + 2
+           AND b.pos <> a.pos
+          GROUP BY 1, 2
+        ),
+        marg AS MATERIALIZED (
+          SELECT wc AS w, CAST(sum(n) AS BIGINT) AS m
+          FROM pairs GROUP BY 1
+        ),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM pairs),
+        ppmi AS MATERIALIZED (
+          SELECT p.wc, p.cc,
+                 CAST(round(GREATEST(0.0,
+                   ln((CAST(p.n AS DOUBLE) * tot.t)
+                      / (CAST(ma.m AS DOUBLE) * mb.m))), 6)
+                   AS DECIMAL(18,6)) AS v
+          FROM pairs p
+            JOIN marg ma ON ma.w = p.wc
+            JOIN marg mb ON mb.w = p.cc
+            CROSS JOIN tot
+          WHERE ma.m >= 5 AND mb.m >= 5
+        ),
+        vocab AS MATERIALIZED (SELECT DISTINCT wc AS w FROM ppmi),
+        nv AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM vocab),
+        x_0 AS (SELECT w, round(1.0 / sqrt(CAST(nv AS DOUBLE)), 9)
+                       AS x
+                FROM vocab CROSS JOIN nv)"""
+    its = []
+    for k in range(1, iters + 1):
+        its.append(f"""
+        , y_{k} AS MATERIALIZED (
+          SELECT p.wc AS w,
+                 CAST(sum(CAST(round(CAST(p.v AS DOUBLE) * x.x, 9)
+                   AS DECIMAL(28,9))) AS DOUBLE) AS y
+          FROM ppmi p JOIN x_{k - 1} x ON x.w = p.cc
+          GROUP BY 1
+        ), n_{k} AS (
+          SELECT sqrt(CAST(sum(CAST(round(y * y, 9)
+                   AS DECIMAL(28,9))) AS DOUBLE)) AS nrm
+          FROM y_{k}
+        ), x_{k} AS (
+          SELECT w, round(y / nrm, 9) AS x
+          FROM y_{k} CROSS JOIN n_{k}
+        )""")
+    tail = f"""
+        SELECT w AS word, round(x.x, 6) AS component,
+               round(n.nrm, 4) AS lambda_est
+        FROM x_{iters} x CROSS JOIN n_{iters} n
+        ORDER BY x.x DESC, w LIMIT 10"""
+    return head + "".join(its) + tail
+
+
+@register(
+    "q_ppmi_power_iteration",
+    oracle=_ppmi_oracle(iters=3),
+    doc="Distributional-semantics axis: positive-PMI co-occurrence "
+    "matrix (+/-2 skip-gram window, the word2vec/GloVe statistic — "
+    "Levy & Goldberg 2014 showed SGNS factorizes exactly this) with "
+    "3 unrolled power iterations extracting the top eigenvector and "
+    "its Rayleigh/norm eigenvalue estimate — embedding training "
+    "reduced to its linear-algebra core, entirely in-engine. Scale "
+    "shape: the pair extraction is the data-sized part (per-doc "
+    "position-range self-join, <= 4 neighbors per token, one "
+    "map-side-combined count); the PPMI matrix and iteration "
+    "vectors are VOCAB-bounded, iterated as pair-table joins with "
+    "the vector collected per step as a bounded artifact (the "
+    "broadcast-weights GD shape). Trajectory pinned: 6dp matrix "
+    "entries, 9dp vector entries per step, DECIMAL vocab-row sums; "
+    "the oracle replays all 3 steps as unrolled MATERIALIZED CTEs.",
+)
+def q_ppmi_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.text import word_tokens
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(word_tokens(F.lower(F.col("text")))).alias(
+            "pos0", "w"
+        ),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    a, b = toks.alias("a"), toks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") >= F.col("a.pos") - 2)
+            & (F.col("b.pos") <= F.col("a.pos") + 2)
+            & (F.col("b.pos") != F.col("a.pos")),
+        )
+        .groupBy(
+            F.col("a.w").alias("wc"), F.col("b.w").alias("cc")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = managed_persist(pairs)
+    marg = pairs.groupBy(F.col("wc").alias("w")).agg(
+        F.sum("n").alias("m")
+    )
+    tot = pairs.agg(F.sum("n").alias("t"))
+    ma = marg.withColumnsRenamed({"w": "wc", "m": "ma"})
+    mb = marg.withColumnsRenamed({"w": "cc", "m": "mb"})
+    ppmi = (
+        pairs.join(F.broadcast(ma), "wc")
+        .join(F.broadcast(mb), "cc")
+        .crossJoin(F.broadcast(tot))
+        .filter((F.col("ma") >= 5) & (F.col("mb") >= 5))
+        .select(
+            "wc",
+            "cc",
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    F.log(
+                        (F.col("n").cast("double") * F.col("t"))
+                        / (F.col("ma").cast("double") * F.col("mb"))
+                    ),
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("v"),
+        )
+    )
+    ppmi = managed_persist(ppmi)
+    vocab = [r.wc for r in ppmi.select("wc").distinct().collect()]
+    nv = len(vocab)
+    x0 = (
+        spark.range(1)
+        .select(
+            F.round(
+                F.lit(1.0) / F.sqrt(F.lit(float(nv))), 9
+            ).alias("x")
+        )
+        .first()[0]
+    )
+    xdf = spark.createDataFrame(
+        [(w, x0) for w in sorted(vocab)], "cc string, x double"
+    )
+    nrm_val = None
+    for _ in range(3):
+        y = (
+            ppmi.join(F.broadcast(xdf), "cc")
+            .groupBy(F.col("wc").alias("w"))
+            .agg(
+                F.sum(
+                    F.round(
+                        F.col("v").cast("double") * F.col("x"), 9
+                    ).cast("decimal(28,9)")
+                )
+                .cast("double")
+                .alias("y")
+            )
+        )
+        nrm = y.agg(
+            F.sqrt(
+                F.sum(
+                    F.round(F.col("y") * F.col("y"), 9).cast(
+                        "decimal(28,9)"
+                    )
+                ).cast("double")
+            ).alias("nrm")
+        )
+        xn = y.crossJoin(F.broadcast(nrm)).select(
+            F.col("w").alias("cc"),
+            F.round(F.col("y") / F.col("nrm"), 9).alias("x"),
+            "nrm",
+        )
+        rows = xn.collect()
+        nrm_val = rows[0]["nrm"] if rows else 0.0
+        xdf = spark.createDataFrame(
+            [(r.cc, float(r.x)) for r in rows], "cc string, x double"
+        )
+    return (
+        xdf.select(
+            F.col("cc").alias("word"),
+            F.round(F.col("x"), 6).alias("component"),
+            F.round(F.lit(nrm_val), 4).alias("lambda_est"),
+        )
+        .orderBy(F.desc("component"), "word")
+        .limit(10)
+    )

@@ -94,6 +94,8 @@ DECIMAL_RECIPE_QUERIES = [
     "q_hmm_viterbi",
     "q_gumbel_return_levels",
     "q_dataset_card",
+    "q_collation_fold",
+    "q_ppmi_power_iteration",
     "q_icc",
     "q_sobel_mediation",
     "q_iv_wald",

@@ -1863,3 +1863,70 @@ def test_dataset_card_cross_checks_other_queries(spark, sf_dir):
     assert abs(r.exact_dup_rate - (len(docs) - fp.nunique()) / len(docs)) < 1e-6
     assert abs(r.short_doc_rate - (ntok < 120).mean()) < 1e-6
     assert r.lang_entropy_nats >= 0
+
+
+def test_collation_fold_semantics(spark, sf_dir):
+    """Case-insensitive vocab is never larger than case-sensitive;
+    pandas lower-fold recompute matches."""
+    import re
+
+    import pandas as pd
+
+    from hw_kafka_streams_spark.queries import queries
+
+    rows = queries()["q_collation_fold"](spark, sf_dir).collect()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    for r in rows:
+        toks = []
+        for t in docs[docs.source == r.source].text:
+            toks += [x for x in re.split(r"\s+", t.strip()) if x]
+        assert r.n_tokens == len(toks)
+        assert r.vocab_cs == len(set(toks))
+        assert r.vocab_ci == len({t.lower() for t in toks})
+        assert r.vocab_ci <= r.vocab_cs
+        assert abs(r.fold_rate - (1 - r.vocab_ci / r.vocab_cs)) < 1e-9
+
+
+def test_ppmi_power_iteration_matches_numpy(spark, sf_dir):
+    """Top eigenvector/eigenvalue recomputed with numpy from the same
+    PPMI matrix and the same 3-step pinned-rounding trajectory."""
+    import re
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+
+    from hw_kafka_streams_spark.queries import queries
+
+    got = queries()["q_ppmi_power_iteration"](spark, sf_dir).collect()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    pairs = Counter()
+    for t in docs.text:
+        ws = [x for x in re.split(r"\s+", t.strip().lower()) if x]
+        for i, w in enumerate(ws):
+            for j in range(max(0, i - 2), min(len(ws), i + 3)):
+                if j != i:
+                    pairs[(w, ws[j])] += 1
+    marg = Counter()
+    for (w, _), n in pairs.items():
+        marg[w] += n
+    T = sum(pairs.values())
+    vocab = sorted(w for w in marg if marg[w] >= 5)
+    idx = {w: i for i, w in enumerate(vocab)}
+    M = np.zeros((len(vocab), len(vocab)))
+    for (w, c), n in pairs.items():
+        if w in idx and c in idx:
+            M[idx[w], idx[c]] = round(
+                max(0.0, np.log(n * T / (marg[w] * marg[c]))), 6
+            )
+    x = np.full(len(vocab), round(1 / np.sqrt(len(vocab)), 9))
+    for _ in range(3):
+        y = np.round(M * x[None, :], 9).sum(axis=1)
+        nrm = np.sqrt(np.round(y * y, 9).sum())
+        x = np.round(y / nrm, 9)
+    top = sorted(zip(x, vocab), key=lambda t: (-t[0], t[1]))[:10]
+    assert len(got) == min(10, len(vocab))
+    for r, (xc, w) in zip(got, top):
+        assert r.word == w
+        assert abs(r.component - xc) < 1e-5
+        assert abs(r.lambda_est - round(float(nrm), 4)) < 1e-3
