@@ -119,6 +119,8 @@ PROBES = [
     "q_dedup_threshold_sweep",  # 5-threshold sweep over one candidate set
     "q_ql_dirichlet",          # Dirichlet LM: dl-table column expr + tf join
     "q_sprt_audit",            # block-prefix-sum integer LLR path
+    "q_ppmi_power_iteration",  # skipgram pair shuffle + vocab-bounded iters
+    "q_collation_fold",        # collated-distinct corpus scan
 ]
 
 

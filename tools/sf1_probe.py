@@ -69,6 +69,8 @@ PROBES = [
     "q_dedup_threshold_sweep",
     "q_ql_dirichlet",
     "q_sprt_audit",
+    "q_ppmi_power_iteration",
+    "q_collation_fold",
 ]
 
 
@@ -137,6 +139,10 @@ NOTES = {
     "tables domain-bounded in hours",
     "q_percolator": "docs 10x; postings pre-filtered to query terms "
     "before any shuffle, stored queries broadcast",
+    "q_ppmi_power_iteration": "docs 10x; pair extraction is the "
+    "data-sized stage, matrix/vectors vocab-bounded — iterations "
+    "flat",
+    "q_collation_fold": "docs 10x; one (source, token) shuffle; the 7.5x step is the sf1 synthesizer's per-doc unique suffix tokens exploding DISTINCT cardinality ~31 -> ~170k (ICU-collated compares are per-distinct, still partial-agged — tracks vocab, not corpus)",
     "q_bleu_pairs": "docs 10x; all gram joins semi-joined down to "
     "candidate-pair members first — cost tracks the candidate "
     "generation, never the corpus",
