@@ -4849,3 +4849,169 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("lang_entropy", 4).alias("lang_entropy_nats"),
         )
     )
+
+
+# Three deterministic binary "raters" on the same docs — shared by
+# q_cochran_q and q_fleiss_kappa (the >2-filter extension of
+# q_mcnemar_filters' paired design).
+_FILTER_SQL = """
+        flags AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split_regex(trim(text),
+                     '\\s+'), t -> t <> '')) >= 120 AS INT) AS f1,
+                 CAST(n_chars >= 800 AS INT) AS f2,
+                 CAST(len(list_distinct(list_filter(
+                     string_split_regex(trim(lower(text)), '\\s+'),
+                     t -> t <> ''))) >= 25 AS INT) AS f3
+          FROM documents WHERE n_chars IS NOT NULL
+        )
+"""
+
+
+@register(
+    "q_cochran_q",
+    oracle="WITH " + _FILTER_SQL + """,
+        rows_ AS (
+          SELECT f1, f2, f3, f1 + f2 + f3 AS r FROM flags
+        ),
+        s AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(f1) AS BIGINT) AS c1,
+                 CAST(sum(f2) AS BIGINT) AS c2,
+                 CAST(sum(f3) AS BIGINT) AS c3,
+                 CAST(sum(r) AS BIGINT) AS sr,
+                 CAST(sum(r * r) AS BIGINT) AS sr2
+          FROM rows_
+        )
+        SELECT n AS n_docs, c1 AS pass_len, c2 AS pass_chars,
+               c3 AS pass_vocab,
+               round(3 * 2 * ((c1 - CAST(sr AS DOUBLE) / 3)
+                              * (c1 - CAST(sr AS DOUBLE) / 3)
+                            + (c2 - CAST(sr AS DOUBLE) / 3)
+                              * (c2 - CAST(sr AS DOUBLE) / 3)
+                            + (c3 - CAST(sr AS DOUBLE) / 3)
+                              * (c3 - CAST(sr AS DOUBLE) / 3))
+                     / (3 * sr - sr2), 4) AS cochran_q,
+               2 AS df
+        FROM s
+    """,
+    doc="Cochran's Q (1950): do THREE matched quality filters (token "
+    "length >= 120, chars >= 800, distinct vocab >= 25) pass the "
+    "same documents at the same rate? — the k-filter extension of "
+    "q_mcnemar_filters' paired 2x2 (McNemar IS Cochran's Q at k=2), "
+    "the right omnibus before swapping any one filter in a battery. "
+    "Q = k(k-1) sum_j (C_j - R/k)^2 / (k R - sum_i R_i^2), every sum "
+    "an exact integer off ONE map-side-combinable scan; the float "
+    "work is a fixed 1-row expression.",
+)
+def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("n_chars").isNotNull()
+    )
+    toks = word_tokens(F.col("text"))
+    f1 = (F.size(toks) >= 120).cast("int")
+    f2 = (F.col("n_chars") >= 800).cast("int")
+    f3 = (
+        F.size(F.array_distinct(word_tokens(F.lower(F.col("text")))))
+        >= 25
+    ).cast("int")
+    rows = docs.select(
+        f1.alias("f1"), f2.alias("f2"), f3.alias("f3")
+    ).withColumn("r", F.col("f1") + F.col("f2") + F.col("f3"))
+    s = rows.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("f1").cast("long").alias("c1"),
+        F.sum("f2").cast("long").alias("c2"),
+        F.sum("f3").cast("long").alias("c3"),
+        F.sum("r").cast("long").alias("sr"),
+        F.sum(F.col("r") * F.col("r")).cast("long").alias("sr2"),
+    )
+    srf = F.col("sr").cast("double") / 3
+
+    def dev(c):
+        return (F.col(c) - srf) * (F.col(c) - srf)
+
+    return s.select(
+        F.col("n").alias("n_docs"),
+        F.col("c1").alias("pass_len"),
+        F.col("c2").alias("pass_chars"),
+        F.col("c3").alias("pass_vocab"),
+        F.round(
+            3 * 2 * (dev("c1") + dev("c2") + dev("c3"))
+            / (3 * F.col("sr") - F.col("sr2")),
+            4,
+        ).alias("cochran_q"),
+        F.lit(2).alias("df"),
+    )
+
+
+@register(
+    "q_fleiss_kappa",
+    oracle="WITH " + _FILTER_SQL + """,
+        rows_ AS (SELECT f1 + f2 + f3 AS r FROM flags),
+        s AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(r) AS BIGINT) AS sr,
+                 CAST(sum(r * r) AS BIGINT) AS sr2
+          FROM rows_
+        ),
+        k AS (
+          SELECT n, sr, sr2,
+                 -- per-item agreement: (r^2 + (3-r)^2 - 3) / (3*2),
+                 -- averaged -> (sr2 + sum(3-r)^2 - 3n) / 6n with
+                 -- sum(3-r)^2 = 9n - 6 sr + sr2
+                 (CAST(sr2 AS DOUBLE) + (9 * n - 6 * sr + sr2) - 3 * n)
+                   / (6.0 * n) AS p_bar,
+                 (CAST(sr AS DOUBLE) / (3 * n))
+                   * (CAST(sr AS DOUBLE) / (3 * n))
+                 + (1 - CAST(sr AS DOUBLE) / (3 * n))
+                   * (1 - CAST(sr AS DOUBLE) / (3 * n)) AS p_e
+          FROM s
+        )
+        SELECT n AS n_docs, round(p_bar, 6) AS p_observed,
+               round(p_e, 6) AS p_expected,
+               round((p_bar - p_e) / (1 - p_e), 6) AS fleiss_kappa
+        FROM k
+    """,
+    doc="Fleiss' kappa (1971) over the same three matched quality "
+    "filters: chance-corrected agreement for >2 raters — the "
+    "magnitude companion to q_cochran_q's significance (Q says the "
+    "filters differ; kappa says how much they actually agree beyond "
+    "the base rate) and the k>2 extension of q_label_agreement_kappa."
+    " For binary categories every term reduces to the exact integer "
+    "sums (sum r, sum r^2) from ONE scan: per-item pair-agreement "
+    "averages and the chance term are closed-form 1-row float "
+    "expressions.",
+)
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("n_chars").isNotNull()
+    )
+    toks = word_tokens(F.col("text"))
+    r = (
+        (F.size(toks) >= 120).cast("int")
+        + (F.col("n_chars") >= 800).cast("int")
+        + (
+            F.size(
+                F.array_distinct(word_tokens(F.lower(F.col("text"))))
+            )
+            >= 25
+        ).cast("int")
+    )
+    s = docs.select(r.alias("r")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r").cast("long").alias("sr"),
+        F.sum(F.col("r") * F.col("r")).cast("long").alias("sr2"),
+    )
+    n, sr, sr2 = F.col("n"), F.col("sr"), F.col("sr2")
+    p_bar = (
+        sr2.cast("double") + (9 * n - 6 * sr + sr2) - 3 * n
+    ) / (6.0 * n)
+    pr = sr.cast("double") / (3 * n)
+    p_e = pr * pr + (1 - pr) * (1 - pr)
+    return s.select(
+        n.alias("n_docs"),
+        F.round(p_bar, 6).alias("p_observed"),
+        F.round(p_e, 6).alias("p_expected"),
+        F.round((p_bar - p_e) / (1 - p_e), 6).alias("fleiss_kappa"),
+    )

@@ -96,6 +96,8 @@ DECIMAL_RECIPE_QUERIES = [
     "q_dataset_card",
     "q_collation_fold",
     "q_ppmi_power_iteration",
+    "q_cochran_q",
+    "q_fleiss_kappa",
     "q_icc",
     "q_sobel_mediation",
     "q_iv_wald",

@@ -1930,3 +1930,59 @@ def test_ppmi_power_iteration_matches_numpy(spark, sf_dir):
         assert r.word == w
         assert abs(r.component - xc) < 1e-5
         assert abs(r.lambda_est - round(float(nrm), 4)) < 1e-3
+
+
+def _filter_matrix(sf_dir):
+    import re
+
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text", "n_chars"])
+    docs = docs[docs.n_chars.notna()]
+    rows = []
+    for t, nc in zip(docs.text, docs.n_chars):
+        toks = [x for x in re.split(r"\s+", t.strip()) if x]
+        rows.append(
+            (
+                int(len(toks) >= 120),
+                int(nc >= 800),
+                int(len({x.lower() for x in toks}) >= 25),
+            )
+        )
+    return rows
+
+
+def test_cochran_q_matches_formula(spark, sf_dir):
+    from hw_kafka_streams_spark.queries import queries
+
+    m = _filter_matrix(sf_dir)
+    r = queries()["q_cochran_q"](spark, sf_dir).collect()[0]
+    c = [sum(row[j] for row in m) for j in range(3)]
+    sr = sum(sum(row) for row in m)
+    sr2 = sum(sum(row) ** 2 for row in m)
+    q = 6 * sum((cj - sr / 3) ** 2 for cj in c) / (3 * sr - sr2)
+    assert (r.n_docs, r.pass_len, r.pass_chars, r.pass_vocab) == (
+        len(m), c[0], c[1], c[2],
+    )
+    assert abs(r.cochran_q - q) < max(1e-3, 1e-4 * q)
+    assert r.cochran_q >= 0 and r.df == 2
+
+
+def test_fleiss_kappa_matches_formula_and_bounds(spark, sf_dir):
+    from hw_kafka_streams_spark.queries import queries
+
+    m = _filter_matrix(sf_dir)
+    r = queries()["q_fleiss_kappa"](spark, sf_dir).collect()[0]
+    n, k = len(m), 3
+    p_items = [
+        (sum(row) ** 2 + (k - sum(row)) ** 2 - k) / (k * (k - 1))
+        for row in m
+    ]
+    p_bar = sum(p_items) / n
+    p1 = sum(sum(row) for row in m) / (n * k)
+    p_e = p1 * p1 + (1 - p1) * (1 - p1)
+    kappa = (p_bar - p_e) / (1 - p_e)
+    assert abs(r.p_observed - p_bar) < 1e-5
+    assert abs(r.p_expected - p_e) < 1e-5
+    assert abs(r.fleiss_kappa - kappa) < 1e-4
+    assert -1 <= r.fleiss_kappa <= 1
