@@ -5240,3 +5240,234 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "q_kendall_w",
+    oracle="WITH " + _BM25_CTE + """,
+        qt AS (SELECT doc_id, term, count(*) AS tf FROM toks
+               WHERE term IN ('spark', 'join', 'hash') GROUP BY 1, 2),
+        dfq AS (SELECT term, count(DISTINCT doc_id) AS df
+                FROM qt GROUP BY 1),
+        bm AS (
+          SELECT qt.doc_id,
+                 CAST(sum(CAST(round(
+                   ln(1 + (stats.n_docs - dfq.df + 0.5)
+                      / (dfq.df + 0.5))
+                   * qt.tf * 2.2
+                   / (qt.tf + 1.2 * (1 - 0.75
+                                     + 0.75 * dl.dl / stats.avgdl)),
+                   6) AS DECIMAL(12,6))) AS DOUBLE) AS s_bm25
+          FROM qt JOIN dfq USING (term) JOIN dl USING (doc_id)
+          CROSS JOIN stats GROUP BY qt.doc_id
+        ),
+        coll AS (SELECT CAST(count(*) AS BIGINT) AS ctot FROM toks),
+        pq AS (SELECT term, 2000.0 * (CAST(count(*) AS DOUBLE)
+                      / (SELECT ctot FROM coll)) AS mup
+               FROM toks WHERE term IN ('spark', 'join', 'hash')
+               GROUP BY term),
+        kconst AS (SELECT CAST(sum(CAST(round(ln(mup), 6)
+                      AS DECIMAL(18,6))) AS DOUBLE) AS kk FROM pq),
+        qlsc AS (
+          SELECT dl.doc_id,
+                 round(COALESCE((
+                   SELECT CAST(sum(CAST(round(
+                       ln((qt.tf + pq.mup) / pq.mup), 6)
+                     AS DECIMAL(18,6))) AS DOUBLE)
+                   FROM qt JOIN pq USING (term)
+                   WHERE qt.doc_id = dl.doc_id), 0.0)
+                   + kconst.kk - 3 * ln(dl.dl + 2000.0), 6) AS s_ql
+          FROM dl CROSS JOIN kconst
+        ),
+        tfsum AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS s_tf
+                  FROM qt GROUP BY 1),
+        cand AS (
+          SELECT doc_id FROM (
+            SELECT doc_id, row_number() OVER (ORDER BY s_bm25 DESC,
+                   doc_id) AS r FROM bm) WHERE r <= 20
+          UNION
+          SELECT doc_id FROM (
+            SELECT doc_id, row_number() OVER (ORDER BY s_ql DESC,
+                   doc_id) AS r FROM qlsc) WHERE r <= 20
+          UNION
+          SELECT doc_id FROM (
+            SELECT doc_id, row_number() OVER (ORDER BY s_tf DESC,
+                   doc_id) AS r FROM tfsum) WHERE r <= 20
+        ),
+        scored AS (
+          SELECT c.doc_id,
+                 round(COALESCE(bm.s_bm25, 0.0), 6) AS s_bm25,
+                 ql.s_ql,
+                 COALESCE(tf.s_tf, 0) AS s_tf
+          FROM cand c
+            LEFT JOIN bm ON bm.doc_id = c.doc_id
+            JOIN qlsc ql ON ql.doc_id = c.doc_id
+            LEFT JOIN tfsum tf ON tf.doc_id = c.doc_id
+        ),
+        ranked AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY s_bm25 DESC, doc_id)
+                   AS r1,
+                 row_number() OVER (ORDER BY s_ql DESC, doc_id) AS r2,
+                 row_number() OVER (ORDER BY s_tf DESC, doc_id) AS r3
+          FROM scored
+        ),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS m,
+                 CAST(sum((r1 + r2 + r3) * (r1 + r2 + r3))
+                      AS BIGINT) AS srr
+          FROM ranked
+        )
+        SELECT m AS m_items,
+               round((12.0 * (srr - CAST(m AS DOUBLE)
+                                    * (3 * (m + 1) / 2.0)
+                                    * (3 * (m + 1) / 2.0)))
+                     / (9.0 * m * (CAST(m AS DOUBLE) * m - 1)), 6)
+                 AS kendall_w
+        FROM agg
+    """,
+    doc="Kendall's coefficient of concordance W (1939) among three "
+    "rankers — BM25, Dirichlet query-likelihood, and raw term "
+    "frequency — over the union of their top-20s for the shared "
+    "query: ONE number for 'do these retrieval signals even agree "
+    "on ordering' before fusing them (q_hybrid_rank_fusion assumes "
+    "concordant branches; W near 1/3-ish says re-weight, W near 1 "
+    "says redundant). Candidate union is 60-bounded, so every rank "
+    "window runs on a tiny table; rank sums are exact integers, "
+    "W = (12 sum R_i^2 - 3 k^2 m(m+1)^2) / (k^2 m(m^2-1)) in one "
+    "fixed float expression. Scores pinned 6dp before ranking with "
+    "doc_id tie-breaks so the permutation itself is deterministic.",
+)
+def q_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from hw_kafka_streams_spark.operators.retrieval import bm25_scores
+    from hw_kafka_streams_spark.operators.text import word_tokens
+    from hw_kafka_streams_spark.operators.winutil import (
+        tiny_table_partition,
+    )
+
+    terms = ["spark", "join", "hash"]
+    docs = load_table(spark, "documents", sf_dir)
+    bm = bm25_scores(docs, terms).select(
+        "doc_id", F.col("bm25").cast("double").alias("s_bm25")
+    )
+    bm = managed_persist(bm)
+    toks = docs.select(
+        "doc_id",
+        F.explode(word_tokens(F.lower(F.col("text")))).alias("term"),
+    )
+    toks = managed_persist(toks)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    coll = toks.agg(F.count(F.lit(1)).alias("ctot"))
+    qt = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    qt = managed_persist(qt)
+    pq = (
+        qt.groupBy("term")
+        .agg(F.sum("tf").alias("ctf"))
+        .crossJoin(F.broadcast(coll))
+        .select(
+            "term",
+            (2000.0 * (F.col("ctf").cast("double") / F.col("ctot")))
+            .alias("mup"),
+        )
+    )
+    # NOTE: ctf here must match the oracle's count over toks — qt's
+    # sum(tf) over matched docs IS that count (every occurrence of a
+    # query term lives in some doc's qt row)
+    pq = managed_persist(pq)
+    kconst = pq.agg(
+        F.sum(F.round(F.log("mup"), 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("kk")
+    )
+    adj = (
+        qt.join(F.broadcast(pq), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.round(
+                    F.log((F.col("tf") + F.col("mup")) / F.col("mup")), 6
+                ).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("a")
+        )
+    )
+    qlsc = (
+        dl.join(adj.hint("shuffle_hash"), "doc_id", "left")
+        .crossJoin(F.broadcast(kconst))
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(F.col("a"), F.lit(0.0))
+                + F.col("kk")
+                - 3 * F.log(F.col("dl") + 2000.0),
+                6,
+            ).alias("s_ql"),
+        )
+    )
+    qlsc = managed_persist(qlsc)
+    tfsum = qt.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("s_tf")
+    )
+    tfsum = managed_persist(tfsum)
+
+    def top20(df, col):
+        return (
+            df.orderBy(F.desc(col), "doc_id")
+            .limit(20)
+            .select("doc_id")
+        )
+
+    cand = (
+        top20(bm, "s_bm25")
+        .union(top20(qlsc, "s_ql"))
+        .union(top20(tfsum, "s_tf"))
+        .distinct()
+    )
+    scored = (
+        cand.join(F.broadcast(bm), "doc_id", "left")
+        .join(F.broadcast(qlsc), "doc_id")
+        .join(F.broadcast(tfsum), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(F.coalesce(F.col("s_bm25"), F.lit(0.0)), 6).alias(
+                "s_bm25"
+            ),
+            "s_ql",
+            F.coalesce(F.col("s_tf"), F.lit(0)).alias("s_tf"),
+        )
+    )
+    tw = W.partitionBy(tiny_table_partition("doc_id"))
+    ranked = scored.select(
+        F.row_number()
+        .over(tw.orderBy(F.desc("s_bm25"), "doc_id"))
+        .alias("r1"),
+        F.row_number()
+        .over(tw.orderBy(F.desc("s_ql"), "doc_id"))
+        .alias("r2"),
+        F.row_number()
+        .over(tw.orderBy(F.desc("s_tf"), "doc_id"))
+        .alias("r3"),
+    )
+    rsum = F.col("r1") + F.col("r2") + F.col("r3")
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(rsum * rsum).cast("long").alias("srr"),
+    )
+    m = F.col("m")
+    mf = m.cast("double")
+    center = 3 * (m + 1) / 2.0
+    return agg.select(
+        m.alias("m_items"),
+        F.round(
+            (12.0 * (F.col("srr") - mf * center * center))
+            / (9.0 * m * (mf * m - 1)),
+            6,
+        ).alias("kendall_w"),
+    )

@@ -98,6 +98,7 @@ DECIMAL_RECIPE_QUERIES = [
     "q_ppmi_power_iteration",
     "q_cochran_q",
     "q_fleiss_kappa",
+    "q_kendall_w",
     "q_icc",
     "q_sobel_mediation",
     "q_iv_wald",

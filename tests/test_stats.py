@@ -1986,3 +1986,15 @@ def test_fleiss_kappa_matches_formula_and_bounds(spark, sf_dir):
     assert abs(r.p_expected - p_e) < 1e-5
     assert abs(r.fleiss_kappa - kappa) < 1e-4
     assert -1 <= r.fleiss_kappa <= 1
+
+
+def test_kendall_w_bounds_and_value(spark, sf_dir):
+    """W lies in [0, 1]; with three term-overlap-driven scorers on the
+    same query it should show substantial concordance; m bounded by
+    the union of three top-20s."""
+    from hw_kafka_streams_spark.queries import queries
+
+    r = queries()["q_kendall_w"](spark, sf_dir).collect()[0]
+    assert 20 <= r.m_items <= 60
+    assert -1e-9 <= r.kendall_w <= 1 + 1e-9
+    assert r.kendall_w > 0.3  # related scorers are far from discordant
