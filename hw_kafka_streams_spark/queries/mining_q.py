@@ -3615,3 +3615,83 @@ def q_ppmi_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("component"), "word")
         .limit(10)
     )
+
+
+@register(
+    "q_seq_patterns",
+    oracle="""
+        WITH ut AS (
+          SELECT user_id, event_type AS t,
+                 min(ts) AS mn, max(ts) AS mx
+          FROM events GROUP BY 1, 2
+        ),
+        users AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+                         AS n_users
+                  FROM events),
+        sup AS (
+          SELECT a.t AS first_type, b.t AS then_type,
+                 CAST(count(*) AS BIGINT) AS n_supporting
+          FROM ut a JOIN ut b
+            ON a.user_id = b.user_id AND a.t <> b.t
+               AND a.mn < b.mx
+          GROUP BY 1, 2
+        )
+        SELECT s.first_type, s.then_type, s.n_supporting,
+               round(CAST(s.n_supporting AS DOUBLE) / u.n_users, 6)
+                 AS support
+        FROM sup s CROSS JOIN users u
+        WHERE CAST(s.n_supporting AS DOUBLE) / u.n_users >= 0.2
+        ORDER BY s.first_type, s.then_type
+    """,
+    doc="Sequential-pattern support (the length-2 SPADE/PrefixSpan "
+    "core): for every ordered event-type pair (a -> b), the fraction "
+    "of users with SOME a occurring before SOME b — ordered behavior "
+    "q_assoc_rules' unordered co-occurrence and q_event_transitions' "
+    "adjacent-step matrix both miss (a -> b here allows any gap). "
+    "The existence test compresses each user's timeline to per-type "
+    "(min_ts, max_ts): 'exists a before b' is exactly min_a < max_b, "
+    "so the support scan is one (user, type) aggregate plus a "
+    "user-keyed self-join with k^2-bounded fan-out — never "
+    "event-pair-quadratic. Support floor 0.2 mirrors the assoc-rules "
+    "prune.",
+)
+def q_seq_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    ut = e.groupBy("user_id", F.col("event_type").alias("t")).agg(
+        F.min("ts").alias("mn"), F.max("ts").alias("mx")
+    )
+    ut = managed_persist(ut)
+    users = e.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+    a, b = ut.alias("a"), ut.alias("b")
+    sup = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.t") != F.col("b.t"))
+            & (F.col("a.mn") < F.col("b.mx")),
+        )
+        .groupBy(
+            F.col("a.t").alias("first_type"),
+            F.col("b.t").alias("then_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_supporting"))
+    )
+    return (
+        sup.crossJoin(F.broadcast(users))
+        .filter(
+            F.col("n_supporting").cast("double") / F.col("n_users")
+            >= 0.2
+        )
+        .select(
+            "first_type",
+            "then_type",
+            "n_supporting",
+            F.round(
+                F.col("n_supporting").cast("double") / F.col("n_users"),
+                6,
+            ).alias("support"),
+        )
+        .orderBy("first_type", "then_type")
+    )

@@ -1998,3 +1998,38 @@ def test_kendall_w_bounds_and_value(spark, sf_dir):
     assert 20 <= r.m_items <= 60
     assert -1e-9 <= r.kendall_w <= 1 + 1e-9
     assert r.kendall_w > 0.3  # related scorers are far from discordant
+
+
+def test_seq_patterns_matches_pandas_existence(spark, sf_dir):
+    """Support recomputed by direct existence check per user; ordered
+    asymmetry present (support(a,b) need not equal support(b,a))."""
+    import pandas as pd
+
+    from hw_kafka_streams_spark.queries import queries
+
+    rows = {(r.first_type, r.then_type): r for r in
+            queries()["q_seq_patterns"](spark, sf_dir).collect()}
+    ev = pd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+    n_users = ev.user_id.nunique()
+    g = ev.groupby(["user_id", "event_type"]).ts.agg(["min", "max"])
+    types = sorted(ev.event_type.unique())
+    for a in types:
+        for b in types:
+            if a == b:
+                continue
+            n = 0
+            for uid in ev.user_id.unique():
+                try:
+                    if g.loc[(uid, a), "min"] < g.loc[(uid, b), "max"]:
+                        n += 1
+                except KeyError:
+                    pass
+            sup = n / n_users
+            if sup >= 0.2:
+                r = rows[(a, b)]
+                assert r.n_supporting == n
+                assert abs(r.support - sup) < 1e-9
+            else:
+                assert (a, b) not in rows
