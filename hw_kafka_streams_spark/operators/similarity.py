@@ -323,6 +323,87 @@ def nearest_centroid_arrow(vec: Column, centroids: list[list[float]]) -> Column:
     return _nearest(vec)
 
 
+def _lloyd_partial_sums(centroids: list[list[float]]):
+    """Per-partition fused Lloyd round kernel for ``mapInPandas``:
+    assign each vector to its nearest centroid (squared L2, ties →
+    smaller cid — identical to :func:`nearest_centroid_arrow`) and
+    emit per-(cid, dim) partial sums + counts. The driver-side
+    ``round(Σs/Σn, 6)`` reduction is the same 6-dp mean the DuckDB
+    twin computes, so the trainer stays value-hash oracled."""
+    C = np.asarray(centroids, dtype=np.float64)
+
+    def _partial(batches):
+        k, dim = C.shape
+        sums = np.zeros((k, dim), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.array(pdf["v"].tolist(), dtype=np.float64)
+            d2 = ((A[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            cid = d2.argmin(axis=1)
+            for c in np.unique(cid):
+                m = cid == c
+                sums[c] += A[m].sum(axis=0)
+                counts[c] += int(m.sum())
+        ks = np.nonzero(counts > 0)[0]
+        yield pd.DataFrame(
+            {
+                "cid": np.repeat(ks, dim).astype("int32"),
+                "d": np.tile(np.arange(dim), len(ks)).astype("int32"),
+                "s": sums[ks].ravel(),
+                "n": np.repeat(counts[ks], dim),
+            }
+        )
+
+    return _partial
+
+
+def _lloyd_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    iters: int = 2,
+) -> tuple[list[list[float]], DataFrame]:
+    """Train deterministic Lloyd centroids; ALSO return the persisted
+    ``(id, v)`` projection so callers that immediately assign the same
+    corpus (semantic_dedup's idx step) reuse the cached vectors instead
+    of re-scanning parquet and persisting a second copy — the double
+    cache was the round-9 q_semantic_dedup cost."""
+    # persist the projected vectors: the init collect + every Lloyd
+    # round re-scans them (iters+1 corpus scans otherwise; cache.py
+    # lifecycle — the table is (id, vec) only)
+    e = managed_persist(
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+    )
+    cents = [r.v for r in e.orderBy("id").limit(n_centroids).collect()]
+    for _ in range(iters):
+        # fused assign + per-partition partial sums: ONE Arrow pass per
+        # round (the posexplode form shipped 100k×dim interpreted rows
+        # into the agg each round — the round-9 Lloyd hot spot); the
+        # shuffle is k×dim×partitions partial rows, map-side-combined
+        # exactly like a partial hash agg. round(Σs/Σn, 6) keeps the
+        # DuckDB avg twin: 6-dp rounding absorbs float summation order
+        # the same way it did for round(avg(val), 6).
+        partials = e.mapInPandas(
+            _lloyd_partial_sums(cents), "cid int, d int, s double, n long"
+        )
+        rows = (
+            partials.groupBy("cid", "d")
+            .agg(F.round(F.sum("s") / F.sum("n"), 6).alias("c"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "c"))).alias("dc"))
+            .collect()
+        )
+        new = {r.cid: [x.c for x in r.dc] for r in rows}
+        cents = [new.get(i, cents[i]) for i in range(n_centroids)]
+    return cents, e
+
+
 def lloyd_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -348,28 +429,7 @@ def lloyd_centroids(
     the production trainer — this variant exists so the full IVF
     pipeline can be value-hash verified against DuckDB.
     """
-    # persist the projected vectors: the init collect + every Lloyd
-    # round re-scans them (iters+1 corpus scans otherwise; cache.py
-    # lifecycle — the table is (id, vec) only)
-    e = managed_persist(
-        corpus.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).cast("array<double>").alias("v"),
-        )
-    )
-    cents = [r.v for r in e.orderBy("id").limit(n_centroids).collect()]
-    for _ in range(iters):
-        assigned = e.select(nearest_centroid_arrow(F.col("v"), cents).alias("cid"), "v")
-        rows = (
-            assigned.select("cid", F.posexplode("v").alias("d", "val"))
-            .groupBy("cid", "d")
-            .agg(F.round(F.avg("val"), 6).alias("c"))
-            .groupBy("cid")
-            .agg(F.array_sort(F.collect_list(F.struct("d", "c"))).alias("dc"))
-            .collect()
-        )
-        new = {r.cid: [x.c for x in r.dc] for r in rows}
-        cents = [new.get(i, cents[i]) for i in range(n_centroids)]
+    cents, _ = _lloyd_train(corpus, id_col, vec_col, n_centroids, iters)
     return cents
 
 
@@ -659,65 +719,72 @@ def semantic_dedup(
     assignment is one Arrow argmin pass, centroids broadcast as plan
     literals. No global shuffle beyond the cid hash partition.
     """
-    cents = lloyd_centroids(corpus, id_col, vec_col, n_centroids, iters)
-    # persist: three consumers (both pair-join sides + the final label
-    # join) would otherwise each re-run the Arrow argmin assignment
-    # over the full corpus
-    idx = managed_persist(
-        corpus.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("v"),
-            nearest_centroid_arrow(
-                F.col(vec_col).cast("array<double>"), cents
-            ).alias("cid"),
-        )
+    cents, e = _lloyd_train(corpus, id_col, vec_col, n_centroids, iters)
+    # the assignment reuses the trainer's persisted (id, v) cache — NOT
+    # a second persist of (id, v, cid): round 9 cached the vectors
+    # twice (lloyd's e + this idx), and the duplicate cache write cost
+    # more than the Arrow argmin it saved (the round-9 2.2× regression)
+    idx = e.select(
+        "id", "v", nearest_centroid_arrow(F.col("v"), cents).alias("cid")
     )
-    # per-cluster grouped map: candidate pairs materialize only inside
-    # the Python worker (never as Spark rows carrying both vectors —
-    # the a⋈b equi-join shape shuffled ~0.8 GB of duplicated vectors at
-    # sf0.1). The per-pair cosine uses the SAME einsum dot/(‖a‖·‖b‖)
-    # path as cosine_arrow, so the DuckDB-parity numerics are
-    # unchanged; a guard band below the threshold is applied in-kernel
-    # and the exact 4-dp-rounded compare stays JVM-side.
-    guard = threshold - 1e-4
+    # per-cluster grouped map emitting LABELS, not pairs: the kernel
+    # already sees the whole cluster, so min-smaller-id-neighbor is an
+    # in-kernel minimum — emitting (id, is_dup, dup_of) directly
+    # removes round 9's pairs→groupBy(b_id)→join-back tail (one agg
+    # shuffle + one join + a second argmin pass over the corpus).
+    # Candidate pairs still materialize only inside the Python worker.
+    # The per-pair cosine keeps the SAME einsum dot/(‖a‖·‖b‖) path as
+    # cosine_arrow; the 4-dp compare uses floor(|x|·1e4 + 0.5) —
+    # HALF_UP, matching Spark's F.round and DuckDB's round (np.round
+    # would be half-to-even) — against the integer threshold so the
+    # DuckDB-parity decision is unchanged.
+    tau_i = int(round(threshold * 1e4))
 
-    def _cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        A = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+    def _cluster_labels(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["id"].to_numpy()
         order = np.argsort(ids)
-        A, ids = A[order], ids[order]
-        iu, ju = np.triu_indices(len(ids), k=1)
-        if len(iu) == 0:
-            return pd.DataFrame({"a_id": [], "b_id": [], "cos_sim": []})
+        ids = ids[order]
+        n = len(ids)
+        cid = pdf["cid"].to_numpy()[order]
+        out = pd.DataFrame(
+            {
+                "id": ids,
+                "cid": cid,
+                "is_dup": np.zeros(n, dtype=bool),
+                "dup_of": pd.array([None] * n, dtype="Int64"),
+            }
+        )
+        if n < 2:
+            return out
+        A = np.vstack(pdf["v"].to_numpy()).astype(np.float64)[order]
+        iu, ju = np.triu_indices(n, k=1)
         X, Y = A[iu], A[ju]
         dots = np.einsum("ij,ij->i", X, Y)
         cos = dots / (
             np.sqrt(np.einsum("ij,ij->i", X, X))
             * np.sqrt(np.einsum("ij,ij->i", Y, Y))
         )
-        m = cos >= guard
-        return pd.DataFrame(
-            {"a_id": ids[iu[m]], "b_id": ids[ju[m]], "cos_sim": cos[m]}
+        r_i = (np.floor(np.abs(cos) * 1e4 + 0.5) * np.sign(cos)).astype(
+            np.int64
         )
+        m = r_i >= tau_i
+        big = np.iinfo(np.int64).max
+        best = np.full(n, big, dtype=np.int64)
+        np.minimum.at(best, ju[m], ids[iu[m]])
+        hit = best < big
+        out["is_dup"] = hit
+        out["dup_of"] = pd.array(
+            [int(b) if h else None for b, h in zip(best, hit)], dtype="Int64"
+        )
+        return out
 
-    pairs = idx.select("cid", "id", "v").groupBy("cid").applyInPandas(
-        _cluster_pairs, "a_id long, b_id long, cos_sim double"
-    )
-    dup = (
-        pairs.select("b_id", "a_id", F.round("cos_sim", 4).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= threshold)
-        .groupBy("b_id")
-        .agg(F.min("a_id").alias("dup_of"))
-    )
     return (
-        # shuffle-hash, not sort-merge: equi-join on the id needs no
-        # sort order, and the dup side is the smaller (dups-only) set
-        idx.join(dup.hint("shuffle_hash"), idx.id == dup.b_id, "left")
+        idx.groupBy("cid")
+        .applyInPandas(
+            _cluster_labels, "id long, cid int, is_dup boolean, dup_of long"
+        )
         .select(
-            F.col("id").alias(id_col),
-            "cid",
-            F.col("dup_of").isNotNull().alias("is_dup"),
-            "dup_of",
+            F.col("id").alias(id_col), "cid", "is_dup", "dup_of"
         )
         .orderBy(id_col)
     )
@@ -805,6 +872,7 @@ def pq_codebooks(
     m: int = 8,
     ks: int = 16,
     iters: int = 3,
+    projected: DataFrame | None = None,
 ) -> list[list[list[float]]]:
     """Train m per-subspace codebooks (each ks × dim/m) with the same
     deterministic-Lloyd recipe as :func:`lloyd_centroids`: init from
@@ -822,13 +890,18 @@ def pq_codebooks(
     rows, not the corpus) and encode everything.
     """
     # persist: the init collect + every training round re-scan this
-    # projection (iters+1 scans otherwise; cache.py lifecycle)
-    e = managed_persist(
-        corpus.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).cast("array<double>").alias("v"),
+    # projection (iters+1 scans otherwise; cache.py lifecycle).
+    # ``projected`` lets a caller that already holds the persisted
+    # (id, v) table (ivfpq_topk's shared Lloyd/PQ training) pass it in
+    # instead of caching the identical projection twice.
+    e = projected
+    if e is None:
+        e = managed_persist(
+            corpus.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            )
         )
-    )
     init = [r.v for r in e.orderBy("id").limit(ks).collect()]
     dim = len(init[0])
     if dim % m != 0:
@@ -1015,8 +1088,11 @@ def ivfpq_topk(
     (Jégou et al. §IV) and drops in by re-centering before
     pq_codebooks/pq_encode_arrow — the plan shape is identical.
     """
-    cents = lloyd_centroids(corpus, id_col, vec_col, n_centroids, iters=2)
-    cb = pq_codebooks(corpus, id_col, vec_col, m, ks)
+    # one shared persisted (id, v) projection feeds BOTH trainers —
+    # lloyd + PQ each caching their own identical copy was the same
+    # double-cache cost semantic_dedup paid in round 9
+    cents, e = _lloyd_train(corpus, id_col, vec_col, n_centroids, iters=2)
+    cb = pq_codebooks(corpus, id_col, vec_col, m, ks, projected=e)
     indexed = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
