@@ -248,6 +248,17 @@ def main() -> None:
     # Warm the JVM + parquet footers once so timings measure the queries.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    # Stream probe FIRST: after 160+ timed batch runs the same session
+    # reads ~0.9 M rows/s from accumulated residue (JIT/GC/live plans)
+    # while the standalone steady state is 1.6-1.8 M (round-9 verdict
+    # item 5) — probing before the batch loop makes the recorded
+    # number attributable to the streaming path itself.
+    try:
+        stream = _stream_bench(spark)
+    except Exception as exc:  # never let the stream probe break the contract
+        stream = {"error": str(exc)[:200]}
+    _clear_all_caches(spark)
+
     isolated: dict[str, float] = {}
     shared: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -313,10 +324,6 @@ def main() -> None:
     release_managed_caches()
 
     total = round(sum(isolated.values()), 3)
-    try:
-        stream = _stream_bench(spark)
-    except Exception as exc:  # never let the stream probe break the contract
-        stream = {"error": str(exc)[:200]}
     # Driver contract line: the driver captures only a ~2000-char TAIL of
     # stdout (round-6 lesson: 124 per-query entries overflowed it and the
     # driver recorded parsed:null despite rc=0). Keep the contract line

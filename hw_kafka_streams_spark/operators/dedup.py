@@ -234,14 +234,20 @@ def jaccard_candidate_pairs(
     ``max_df`` is the posting-list skew guard for large corpora: a
     shingle occurring in d documents contributes O(d²) join rows, so a
     boilerplate phrase shared by 1M docs is catastrophic. Dropping
-    shingles with document frequency > max_df bounds the worst list at
-    O(max_df²); ubiquitous shingles carry ~no similarity signal anyway
-    (the same move as stop-word removal in tf-idf). Slightly lowers
-    measured Jaccard for affected pairs — sizes are computed AFTER the
-    cut so the metric stays a true Jaccard over the kept shingle sets.
-    Default None preserves exact semantics (and the DuckDB oracle).
+    shingles with document frequency > max_df from the JOIN bounds the
+    worst list at O(max_df²); ubiquitous shingles carry ~no similarity
+    signal anyway (the same move as stop-word removal in tf-idf). Set
+    sizes stay the TRUE (uncut) shingle-set sizes, so the reported
+    jaccard is a strict LOWER BOUND of the real one for pairs touching
+    a cut shingle and exact otherwise — the guard can only DROP pairs,
+    never add them. (Computing sizes after the cut instead INFLATES
+    jaccard — smaller unions — which at low τ mass-promotes junk pairs:
+    measured 275k → 4.76M pairs at a synthetic sf1.) Default None
+    preserves exact semantics (and the DuckDB oracle).
     """
     postings = shingle_postings(df, text_col, id_col, n, distinct=True)
+    # TRUE set sizes, computed before any df cut (see docstring)
+    sizes = postings.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     if max_df is not None:
         rare = (
             postings.groupBy("shingle")
@@ -250,7 +256,6 @@ def jaccard_candidate_pairs(
             .select("shingle")
         )
         postings = postings.join(rare, "shingle")
-    sizes = postings.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     p2 = postings.select(F.col("id").alias("id2"), F.col("shingle").alias("shingle2"))
     inter = (
         postings.join(

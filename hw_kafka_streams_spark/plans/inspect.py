@@ -247,11 +247,15 @@ def plan_report(df: DataFrame, execute: bool = False) -> dict:
         df.collect()
     raw = physical_plan(df)
     plan = _collapse_cached_repeats(raw)
-    n_shuffles, _ = exchange_counts(df)
+    # broadcasts from the SAME node-id-deduped JVM walk as shuffles —
+    # string-counting BroadcastHashJoin repeats a reused/cached subtree
+    # once per consumer (the exact inflation count_shuffles documents;
+    # the r9 PLANS.md showed a nonsense 312 for q_bleu_pairs)
+    n_shuffles, n_broadcasts = exchange_counts(df)
     return {
         "cache_reuses": max(0, raw.count("InMemoryTableScan") - 1),
         "shuffles": n_shuffles,
-        "broadcasts": plan.count("BroadcastHashJoin"),
+        "broadcasts": n_broadcasts,
         "sort_merge_joins": plan.count("SortMergeJoin"),
         "nested_loop_joins": plan.count("NestedLoop"),
         "python_stages": plan.count("EvalPython") + plan.count("MapInPandas"),

@@ -4841,6 +4841,15 @@ def q_calibration_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Shared DuckDB CTE: exact 3-gram-shingle Jaccard candidate pairs
 # (the q_dedup_jaccard contract) at threshold 0.05.
+# Candidate CTE shared by q_bleu_pairs / q_dedup_threshold_sweep.
+# The df <= 64 posting cut is the hot-shingle skew guard at tau=0.05:
+# a shingle in d docs contributes O(d^2) join rows, so the low-tau
+# candidate join is unbounded without it. IDENTICAL cut to the Spark
+# side (jaccard_candidate_pairs max_df=64). Set sizes are the TRUE
+# (uncut) sizes on both engines, so the jaccard estimate is a strict
+# lower bound — the guard only ever DROPS pairs. At the test scales
+# the max observed df is 25, so the guard changes no values — it
+# exists for the 100 TB shape.
 _JACC_PAIRS_CTE = """
         sh AS (
           SELECT doc_id,
@@ -4854,8 +4863,12 @@ _JACC_PAIRS_CTE = """
                 FROM documents)
           WHERE len(toks) >= 3
         ),
-        postings AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-        sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+        postings0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM postings0 GROUP BY doc_id),
+        rare AS (SELECT shingle FROM postings0
+                 GROUP BY shingle HAVING count(*) <= 64),
+        postings AS (SELECT p.doc_id, p.shingle
+                     FROM postings0 p JOIN rare USING (shingle)),
         inter AS (
           SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
           FROM postings a JOIN postings b
@@ -4943,7 +4956,10 @@ _JACC_PAIRS_CTE = """
     "clip sums are exact integers. Scale shape: all joins hang off "
     "the candidate-pair table (posting-list-bounded, never "
     "all-pairs); the per-doc gram tables join it on (doc, gram) "
-    "equi-keys.",
+    "equi-keys. Candidate generation runs with max_df=64 — the "
+    "hot-shingle skew guard that bounds the low-tau inverted-index "
+    "self-join at O(max_df^2) rows per shingle; the oracle CTE "
+    "applies the identical df cut.",
 )
 def q_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hw_kafka_streams_spark.operators.text import (
@@ -4952,7 +4968,10 @@ def q_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, "documents", sf_dir)
-    cand = D.jaccard_candidate_pairs(docs, threshold=0.05).select(
+    # max_df=64: hot-shingle skew guard for the tau=0.05 candidate
+    # join (O(d^2) rows per shingle otherwise); identical cut in the
+    # oracle CTE, sizes computed after the cut on both engines
+    cand = D.jaccard_candidate_pairs(docs, threshold=0.05, max_df=64).select(
         "id1", "id2", "jaccard"
     )
     cand = managed_persist(cand)
@@ -5070,14 +5089,15 @@ def q_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "audit run before committing a near-dup threshold (a cliff "
     "between taus means the corpus has a near-identical cluster; a "
     "plateau means the choice is safe). One candidate generation "
-    "(posting-list-bounded), then a 5-row threshold broadcast "
-    "against the bounded pair set — the sweep costs no more than "
-    "one dedup run.",
+    "(posting-list-bounded, max_df=64 hot-shingle guard mirrored in "
+    "the oracle CTE), then a 5-row threshold broadcast against the "
+    "bounded pair set — the sweep costs no more than one dedup run.",
 )
 def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
+    # max_df=64 skew guard — see q_bleu_pairs / _JACC_PAIRS_CTE
     cand = managed_persist(
-        D.jaccard_candidate_pairs(docs, threshold=0.05).select(
+        D.jaccard_candidate_pairs(docs, threshold=0.05, max_df=64).select(
             "id1", "id2", "jaccard"
         )
     )

@@ -3026,18 +3026,20 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
                      - 1.0 * CASE WHEN uu >= 0 THEN 1.0 ELSE -1.0 END
                        * ln(GREATEST(1 - 2 * abs(uu), 1e-18)), 4)
                  AS noisy_n,
-               1.0 AS epsilon
+               1.0 AS nominal_epsilon
         FROM u ORDER BY source
     """,
-    doc="Differentially-private per-source doc counts via the Laplace "
-    "mechanism (Dwork 2006): count sensitivity 1, epsilon = 1, noise "
-    "= -b*sign(u)*ln(1-2|u|) by inverse-CDF from a SEEDED uniform "
-    "(the md5h 60-bit twin scaled to [-0.5, 0.5)) — deterministic so "
-    "the release is replayable and oracled; a production release "
-    "would rotate the seed per budget epoch and drop the n_true "
-    "column (kept here because the synthetic fixture has no secrets "
-    "and the audit wants the error visible). One group-keyed count, "
-    "k-row noise map, zero extra shuffles at any scale.",
+    doc="Laplace-mechanism noisy per-source doc counts (Dwork 2006 "
+    "SHAPE: count sensitivity 1, noise = -b*sign(u)*ln(1-2|u|) by "
+    "inverse-CDF). The uniform is a SEEDED public function of the "
+    "group key (md5h 60-bit twin scaled to [-0.5, 0.5)) so the "
+    "release is replayable and oracled — which VOIDS the DP "
+    "guarantee, not merely weakens it: anyone can recompute and "
+    "subtract the noise. The column is therefore nominal_epsilon "
+    "(the budget the pipeline WOULD spend with a secret per-epoch "
+    "seed); a real release swaps in secret randomness and drops "
+    "n_true. One group-keyed count, k-row noise map, zero extra "
+    "shuffles at any scale.",
 )
 def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hw_kafka_streams_spark.operators.dedup import md5h
@@ -3059,7 +3061,7 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_true",
         F.round(F.col("n_true") + noise, 4).alias("noisy_n"),
-        F.lit(1.0).alias("epsilon"),
+        F.lit(1.0).alias("nominal_epsilon"),
     ).orderBy("source")
 
 

@@ -526,21 +526,26 @@ EWMA_OUTPUT_SCHEMA = (
     "key string, n_total bigint, ewma double, ewm_std double, "
     "n_alerts bigint, last_alert_value double"
 )
-EWMA_STATE_SCHEMA = "mean double, var double, n bigint, n_alerts bigint"
+EWMA_STATE_SCHEMA = (
+    "mean double, var double, n bigint, n_alerts bigint, "
+    "last_alert double"
+)
 
 
 def _make_ewma_fn(alpha: float, k_sigma: float, warmup: int):
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        mean, var, n, n_alerts = (
-            state.get if state.exists else (0.0, 0.0, 0, 0)
+        # last_alert rides in the state tuple: without it a batch with
+        # no NEW alert reported null last_alert_value while the
+        # cumulative n_alerts said alerts happened (ADVICE r9)
+        mean, var, n, n_alerts, last_alert = (
+            state.get if state.exists else (0.0, 0.0, 0, 0, None)
         )
         rows = pd.concat(list(pdfs), ignore_index=True)
         # event-time order (ties by id) — replayed batch contents
         # reproduce the same state whatever the source partitioning
         rows = rows.sort_values(["ts_us", "id"], kind="mergesort")
-        last_alert = None
         for v in rows["v"]:
             v = float(v)
             if n == 0:
@@ -559,7 +564,15 @@ def _make_ewma_fn(alpha: float, k_sigma: float, warmup: int):
                 mean = mean + incr
                 var = (1.0 - alpha) * (var + diff * incr)
             n += 1
-        state.update((float(mean), float(var), int(n), int(n_alerts)))
+        state.update(
+            (
+                float(mean),
+                float(var),
+                int(n),
+                int(n_alerts),
+                None if last_alert is None else float(last_alert),
+            )
+        )
         yield pd.DataFrame(
             {
                 "key": [key[0]],

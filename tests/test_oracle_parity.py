@@ -88,4 +88,16 @@ def test_oracle_policy_total():
             a, b = (g[0], g[1]) if g[0] else (g[2], g[3])
             if int(a) != total or int(b) != total:
                 stale.append(f"{mod.name}: {a}/{b} (registry is {total})")
+    # README ships a registry count too — the docstring sweep missed it
+    # in round 9 (README said 368 while the registry was 373)
+    import os
+
+    readme = os.path.join(os.path.dirname(os.path.dirname(__file__)), "README.md")
+    with open(readme, encoding="utf-8") as fh:
+        for i, line in enumerate(fh, 1):
+            m2 = re.search(r"registry: (\d+) operators", line)
+            if m2 and int(m2.group(1)) != total:
+                stale.append(
+                    f"README.md:{i}: {m2.group(1)} (registry is {total})"
+                )
     assert not stale, f"stale registry counts in docstrings: {stale}"

@@ -1454,8 +1454,14 @@ def test_streaming_ewma_anomaly_spike_alerts_across_batches(spark, tmpdir):
         rows.append((1, "spiky", i, 1_700_000_000_000_000 + i * 1000, v))
         w = 10.0 + (1.0 if i % 2 else -1.0)
         rows.append((1, "steady", 100 + i, 1_700_000_000_000_000 + i * 1000, w))
+    # batch 2: both keys quiet — last_alert_value must CARRY from the
+    # batch-1 spike (state-tuple member, not per-batch local; ADVICE r9)
+    for i in range(30, 36):
+        v = 10.0 + (1.0 if i % 2 else -1.0)
+        rows.append((2, "spiky", i, 1_700_000_000_000_000 + i * 1000, v))
+        rows.append((2, "steady", 100 + i, 1_700_000_000_000_000 + i * 1000, v))
     pdf = pd.DataFrame(rows, columns=["b", "key", "id", "ts_us", "v"])
-    for b in (0, 1):
+    for b in (0, 1, 2):
         spark.createDataFrame(
             pdf[pdf.b == b][["key", "id", "ts_us", "v"]]
         ).coalesce(1).write.mode("append").parquet(f"{tmpdir}/ewma")
@@ -1478,12 +1484,18 @@ def test_streaming_ewma_anomaly_spike_alerts_across_batches(spark, tmpdir):
             f"select key, max(n_total) n, max(n_alerts) a,"
             f" max(last_alert_value) lav from {name} group by key"
         ).collect()
+        last_emit = spark.sql(
+            f"select last_alert_value from {name}"
+            f" where key = 'spiky' order by n_total desc limit 1"
+        ).collect()
     finally:
         q.stop()
     by_key = {r.key: r for r in final}
-    assert by_key["spiky"].n == 30
+    assert by_key["spiky"].n == 36
     assert by_key["spiky"].a >= 1 and by_key["spiky"].lav == 100.0
     assert by_key["steady"].a == 0
+    # the alert-free batch 2 must still report the carried value
+    assert last_emit[0].last_alert_value == 100.0
 
 
 def test_ewma_batch_twin_matches_streaming_fold(spark):

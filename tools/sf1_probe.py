@@ -143,11 +143,15 @@ NOTES = {
     "data-sized stage, matrix/vectors vocab-bounded — iterations "
     "flat",
     "q_collation_fold": "docs 10x; one (source, token) shuffle; the 7.5x step is the sf1 synthesizer's per-doc unique suffix tokens exploding DISTINCT cardinality ~31 -> ~170k (ICU-collated compares are per-distinct, still partial-agged — tracks vocab, not corpus)",
-    "q_bleu_pairs": "docs 10x; all gram joins semi-joined down to "
-    "candidate-pair members first — cost tracks the candidate "
-    "generation, never the corpus",
-    "q_dedup_threshold_sweep": "docs 10x; ONE candidate generation, "
-    "5-row threshold broadcast over the bounded pair set",
+    "q_bleu_pairs": "docs 10x; OUTPUT-driven: the synthesizer's 10 "
+    "near-identical replicas per doc inflate true tau=0.05 pairs "
+    "590 -> ~275k (~466x, 45 intra-replica pairs per doc compounding "
+    "with template families), yet wall grows only ~2.4x — candidate "
+    "generation is max_df=64-guarded (lower-bound jaccard: true "
+    "uncut sizes, cut join) and all gram joins are pair-bounded",
+    "q_dedup_threshold_sweep": "docs 10x; ONE candidate generation "
+    "(max_df=64 hot-shingle guard), 5-row threshold broadcast over "
+    "the bounded pair set",
     "q_ql_dirichlet": "docs 10x; matched-term tf join is "
     "docs-hitting-terms sized, full-corpus branch is a column "
     "expression on the dl table",
