@@ -1931,13 +1931,18 @@ def q_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).filter(
         F.col("text").isNotNull()
     )
-    base = docs.select(
-        "doc_id",
-        "source",
-        "text",
-        (F.col("doc_id") % 3).alias("day"),
-        fingerprint(F.col("text")).alias("fp"),
-        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    # persist: four day_steps × four consumers each re-evaluated the
+    # fingerprint/token_count kernels over the full corpus (~16 scans;
+    # the round-9 8.9 s profile was dominated by exactly this)
+    base = managed_persist(
+        docs.select(
+            "doc_id",
+            "source",
+            "text",
+            (F.col("doc_id") % 3).alias("day"),
+            fingerprint(F.col("text")).alias("fp"),
+            token_count(F.col("text")).cast("long").alias("n_tokens"),
+        )
     )
 
     def day_step(d: int) -> tuple[int, int, int]:
@@ -1956,6 +1961,10 @@ def q_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             keep = keep.join(
                 S.read_snapshot(spark, fps_t).select("fp"), "fp", "left_anti"
             )
+        # persist: four consumers (stats agg, replay probe, ledger
+        # commit, curated commit) would each replay the dedup join +
+        # ledger anti-join lineage
+        keep = managed_persist(keep)
         qual = keep.filter(F.col("n_tokens") >= 40)
         w = Window.partitionBy("source").orderBy("doc_id")
         survivors = (
