@@ -86,7 +86,7 @@ def main() -> None:
 
     rows = []
     methods = {
-        "lsh_topk (6 planes, multi-probe 1)": lambda: S.lsh_topk(
+        "lsh_topk (auto planes via lsh_planes_for)": lambda: S.lsh_topk(
             queries, corpus, k=K
         ),
         "ivf_topk (16 centroids, 4 probes)": lambda: S.ivf_topk(
