@@ -34,11 +34,12 @@ encode via encode_progressive_arith_jpeg); AND lossless ARITHMETIC
 (SOF11, Annex H.2 — the H.1 predictors QM-coded under 25 (Da, Db)
 two-dimensional conditioning contexts, encode/decode via
 encode/decode_lossless_arith_jpeg); AND HIERARCHICAL (Annex J — DHP /
-EXP / SOF3 base + SOF7 differential-lossless pyramid, encode/decode
-via encode/decode_hierarchical_jpeg). Differential DCT and
-differential arithmetic frames raise NotImplementedError — this is
-the dependency-free exact-spec path that upgrades JPEG from
-header-only metadata to real pixel decode.
+EXP pyramids with either SOF3 + SOF7 Huffman frames or SOF11 + SOF15
+QM-coded arithmetic frames, encode/decode via
+encode/decode_hierarchical_jpeg). Differential DCT frames
+(SOF5/6/13/14) raise NotImplementedError — this is the
+dependency-free exact-spec path that upgrades JPEG from header-only
+metadata to real pixel decode.
 
 Determinism contract (what makes the Spark queries oracle-able): every
 rounding site is ``floor(x + 0.5)`` (never banker's rounding), the
@@ -368,16 +369,16 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
                 "decode_lossless_arith_jpeg, which returns "
                 "(plane, precision)"
             )
-        elif marker in (0xC7, 0xDE):
+        elif marker in (0xC7, 0xCF, 0xDE):
             raise NotImplementedError(
                 "hierarchical JPEG — use decode_hierarchical_jpeg, "
                 "which returns (plane, precision)"
             )
-        elif marker in (0xC5, 0xC6, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC5, 0xC6, 0xCD, 0xCE):
             raise NotImplementedError(
-                "differential DCT / differential arithmetic frames "
-                "(all non-differential T.81 processes plus the lossless "
-                "hierarchical pyramid supported)"
+                "differential DCT frames (all non-differential T.81 "
+                "processes plus the lossless hierarchical pyramid — "
+                "Huffman and arithmetic — supported)"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
             p = 0
@@ -2341,9 +2342,11 @@ def decode_lossless_arith_jpeg(data: bytes) -> tuple[np.ndarray, int]:
 # differential frame (SOF7: differential lossless) codes the mod-2^16
 # residual of its scale against the upsampled reference. With a
 # lossless base frame the whole pyramid is bit-exact, which is what
-# makes q_multimodal_jpeg_hier SQL-oracle-able. Differential DCT
-# (SOF5/6) and differential arithmetic (SOF13-15) frames raise —
-# a lossy or QM-coded differential stage is a documented honest gate.
+# makes q_multimodal_jpeg_hier SQL-oracle-able. Arithmetic pyramids
+# (SOF11 base + SOF15 differential frames under the Annex H.2 QM
+# model, fresh coder/stats per scan) are equally bit-exact.
+# Differential DCT (SOF5/6/13/14) frames raise — a lossy differential
+# stage is a documented honest gate.
 
 
 def _expand_ref(
@@ -2389,23 +2392,69 @@ def _write_ll_diff(bw, codes, d: int) -> None:
         bw.write(d if d >= 0 else d + (1 << s) - 1, s)
 
 
+def _la_code_plane(
+    plane: np.ndarray,
+    precision: int,
+    predictor: int,
+    ref: np.ndarray | None,
+) -> bytes:
+    """QM-encode one hierarchical scan's samples with the H.2 model:
+    a non-differential frame (``ref is None``) codes H.1 prediction
+    differences exactly like SOF11; a differential frame codes the
+    mod-2^16 residual against the expanded reference with prediction
+    disabled (T.81 J.1.2: Ss=0 in differential frames). Fresh QM coder
+    and statistics per scan (each scan is its own entropy interval)."""
+    h, w = plane.shape
+    default = 1 << (precision - 1)
+    lu = (0, 1)
+    enc = _qm.QMEncoder()
+    st = _fresh_stats(_LA_STAT_BINS)
+    cat_above = [0] * w
+    for r in range(h):
+        cat_left = 0
+        for cpos in range(w):
+            if ref is None:
+                pred = _ll_predict(r, cpos, plane, predictor, default)
+            else:
+                pred = int(ref[r, cpos])
+            d = (int(plane[r, cpos]) - pred) & 0xFFFF
+            if d > 32768:
+                d -= 65536
+            base = 4 * (5 * cat_above[cpos] + cat_left)
+            tree = 130 if cat_above[cpos] >= 3 else 100
+            _, sign, m = _arith_code_la(enc, st, base, tree, d, False)
+            cat = _la_classify(sign, m, lu)
+            cat_left = cat
+            cat_above[cpos] = cat
+    return enc.flush()
+
+
 def encode_hierarchical_jpeg(
     img: np.ndarray,
     levels: int = 3,
     predictor: int = 4,
     precision: int | None = None,
+    entropy: str = "huffman",
 ) -> bytes:
     """Encode a 2-D grayscale array as a REAL hierarchical JPEG
-    (T.81 Annex J): DHP, a lossless SOF3 base frame at 1/2^(levels-1)
+    (T.81 Annex J): DHP, a lossless base frame at 1/2^(levels-1)
     scale (decimation downsampling — the downsampling filter is the
     encoder's choice per J.1.1.1), then per level an EXP marker and a
-    differential-lossless SOF7 frame. Bit-exact end to end."""
+    differential-lossless frame. Bit-exact end to end.
+
+    ``entropy="huffman"`` codes SOF3 + SOF7 frames; ``"arith"`` codes
+    the same pyramid as SOF11 + SOF15 frames — the Annex H.2 QM model
+    (25 (Ca, Cb) conditioning contexts) applied per scan, with the
+    differential scans coding the mod-2^16 residual under Ss=0 (no
+    predictor, J.1.2)."""
     if img.ndim != 2:
         raise ValueError("encode_hierarchical_jpeg expects a 2-D array")
     if levels < 2:
         raise ValueError("hierarchical coding needs levels >= 2")
     if not 1 <= predictor <= 7:
         raise ValueError(f"predictor must be 1-7, got {predictor}")
+    if entropy not in ("huffman", "arith"):
+        raise ValueError(f"entropy must be huffman|arith, got {entropy!r}")
     if precision is None:
         precision = 8 if img.dtype == np.uint8 else 16
     if not 2 <= precision <= 16:
@@ -2413,13 +2462,14 @@ def encode_hierarchical_jpeg(
     px = img.astype(np.int64)
     if px.min() < 0 or px.max() >= (1 << precision):
         raise ValueError(f"sample out of range for {precision}-bit")
+    arith = entropy == "arith"
     h, w = px.shape
     pyramid = [px]
     for _ in range(levels - 1):
         pyramid.append(pyramid[-1][::2, ::2])
     pyramid.reverse()  # coarsest first
     default = 1 << (precision - 1)
-    codes = _build_codes(_LL_BITS, _LL_VALS)
+    codes = None if arith else _build_codes(_LL_BITS, _LL_VALS)
 
     out = bytearray(b"\xff\xd8")  # SOI
 
@@ -2428,25 +2478,32 @@ def encode_hierarchical_jpeg(
         out.extend(struct.pack(">H", len(payload) + 2))
         out.extend(payload)
 
-    # DHT once — tables persist across the image's frames (B.2.4.2)
-    seg(0xC4, bytes([0x00]) + bytes(_LL_BITS) + bytes(_LL_VALS))
+    if arith:
+        # DAC once: DC-class conditioning table 0 with (L=0, U=1)
+        seg(0xCC, bytes([0x00, 0x10]))
+    else:
+        # DHT once — tables persist across the image's frames (B.2.4.2)
+        seg(0xC4, bytes([0x00]) + bytes(_LL_BITS) + bytes(_LL_VALS))
     # DHP: frame-header syntax carrying the FINAL dims (B.3.2)
     seg(0xDE, struct.pack(">BHHB", precision, h, w, 1) + bytes([1, 0x11, 0]))
 
     base = pyramid[0]
     seg(
-        0xC3,
+        0xCB if arith else 0xC3,
         struct.pack(">BHHB", precision, base.shape[0], base.shape[1], 1)
         + bytes([1, 0x11, 0]),
     )
     seg(0xDA, bytes([1, 1, 0x00, predictor, 0, 0x00]))
-    bw = _BitWriter()
-    for r in range(base.shape[0]):
-        for cpos in range(base.shape[1]):
-            pred = _ll_predict(r, cpos, base, predictor, default)
-            _write_ll_diff(bw, codes, (int(base[r, cpos]) - pred) & 0xFFFF)
-    bw.flush()
-    out += bw.bytes
+    if arith:
+        out += _la_code_plane(base, precision, predictor, None)
+    else:
+        bw = _BitWriter()
+        for r in range(base.shape[0]):
+            for cpos in range(base.shape[1]):
+                pred = _ll_predict(r, cpos, base, predictor, default)
+                _write_ll_diff(bw, codes, (int(base[r, cpos]) - pred) & 0xFFFF)
+        bw.flush()
+        out += bw.bytes
 
     ref = base
     for lvl in range(1, levels):
@@ -2455,24 +2512,28 @@ def encode_hierarchical_jpeg(
         seg(0xDF, bytes([0x11]))  # EXP: expand both axes
         ref = _expand_ref(ref, 1, 1, ch, cw)
         seg(
-            0xC7,
+            0xCF if arith else 0xC7,
             struct.pack(">BHHB", precision, ch, cw, 1) + bytes([1, 0x11, 0]),
         )
         seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))  # Ss=0: no predictor
-        bw = _BitWriter()
-        for d in ((cur - ref) & 0xFFFF).flatten():
-            _write_ll_diff(bw, codes, int(d))
-        bw.flush()
-        out += bw.bytes
+        if arith:
+            out += _la_code_plane(cur, precision, 0, ref)
+        else:
+            bw = _BitWriter()
+            for d in ((cur - ref) & 0xFFFF).flatten():
+                _write_ll_diff(bw, codes, int(d))
+            bw.flush()
+            out += bw.bytes
         ref = cur
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
 
 def decode_hierarchical_jpeg(data: bytes) -> tuple[np.ndarray, int]:
-    """Decode a single-component hierarchical JPEG (DHP + SOF3 base +
-    EXP/SOF7 differential-lossless refinements). Returns
-    ``(plane, precision)``. Differential DCT and arithmetic frames
+    """Decode a single-component hierarchical JPEG: DHP + a lossless
+    base frame (SOF3 Huffman or SOF11 arithmetic) + EXP/differential-
+    lossless refinements (SOF7 Huffman or SOF15 QM-coded). Returns
+    ``(plane, precision)``. Differential DCT frames (SOF5/6/13/14)
     raise NotImplementedError."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
@@ -2483,6 +2544,7 @@ def decode_hierarchical_jpeg(data: bytes) -> tuple[np.ndarray, int]:
     ref = None
     frame = None
     precision = None
+    lu = (0, 1)
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("corrupt JPEG: expected marker")
@@ -2504,40 +2566,71 @@ def decode_hierarchical_jpeg(data: bytes) -> tuple[np.ndarray, int]:
                 if tc == 0:
                     huff[th] = _HuffDecoder(bits, vals)
                 p += 17 + n
+        elif marker == 0xCC:  # DAC
+            p = 0
+            while p < len(seg):
+                if seg[p] >> 4 == 0:
+                    lu = (seg[p + 1] & 0xF, seg[p + 1] >> 4)
+                p += 2
         elif marker == 0xDE:  # DHP
             dh, dw = struct.unpack(">HH", seg[1:5])
             dhp = (seg[0], dh, dw)
         elif marker == 0xDF:  # EXP
             pending_exp = (seg[0] >> 4, seg[0] & 0xF)
-        elif marker in (0xC3, 0xC7):  # lossless / differential lossless
+        elif marker in (0xC3, 0xC7, 0xCB, 0xCF):
+            # lossless / differential lossless, Huffman or arithmetic
             precision = seg[0]
             fh, fw = struct.unpack(">HH", seg[1:5])
             if seg[5] != 1:
                 raise NotImplementedError(
                     "multi-component hierarchical scans unsupported"
                 )
-            frame = (marker == 0xC7, fh, fw)
-        elif marker in (0xC5, 0xC6, 0xCD, 0xCE, 0xCF):
+            frame = (marker in (0xC7, 0xCF), fh, fw, marker in (0xCB, 0xCF))
+        elif marker in (0xC5, 0xC6, 0xCD, 0xCE):
             raise NotImplementedError(
-                "differential DCT / differential arithmetic hierarchical "
-                "frames (lossless pyramid supported)"
+                "differential DCT hierarchical frames "
+                "(lossless pyramid supported, Huffman and arithmetic)"
             )
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("corrupt JPEG: SOS before a frame header")
-            differential, fh, fw = frame
+            differential, fh, fw, arith = frame
             ns = seg[0]
             table = seg[2] >> 4
             ss = seg[1 + 2 * ns]
             pt = seg[3 + 2 * ns] & 0xF
             if pt != 0:
                 raise NotImplementedError("point transform unsupported")
-            dec = huff[table]
-            br = _BitReader(data, pos + seglen)
-            vals = np.zeros(fh * fw, np.int64)
-            for i in range(fh * fw):
-                s = dec.decode(br)
-                vals[i] = 32768 if s == 16 else _extend(br.receive(s), s)
+            if arith:
+                qdec = _qm.QMDecoder(data, pos + seglen)
+                st = _fresh_stats(_LA_STAT_BINS)
+                vals = np.zeros(fh * fw, np.int64)
+                cat_above = [0] * fw
+                i = 0
+                for r in range(fh):
+                    cat_left = 0
+                    for cpos in range(fw):
+                        base = 4 * (5 * cat_above[cpos] + cat_left)
+                        tree = 130 if cat_above[cpos] >= 3 else 100
+                        d, sign, m = _arith_code_la(
+                            qdec, st, base, tree, None, True
+                        )
+                        vals[i] = d
+                        i += 1
+                        cat = _la_classify(sign, m, lu)
+                        cat_left = cat
+                        cat_above[cpos] = cat
+                end = qdec.marker_pos
+                if end is None:
+                    end = qdec.pos
+            else:
+                dec = huff[table]
+                br = _BitReader(data, pos + seglen)
+                vals = np.zeros(fh * fw, np.int64)
+                for i in range(fh * fw):
+                    s = dec.decode(br)
+                    vals[i] = 32768 if s == 16 else _extend(br.receive(s), s)
+                end = br.pos
             if differential:
                 if ref is None:
                     raise ValueError(
@@ -2565,7 +2658,7 @@ def decode_hierarchical_jpeg(data: bytes) -> tuple[np.ndarray, int]:
                         px[r, cpos] = (pred + int(diffs[r, cpos])) & 0xFFFF
                 ref = px
                 pending_exp = None
-            pos = _next_marker(data, br.pos)
+            pos = _next_marker(data, end)
             continue
         pos += seglen
     if ref is None or precision is None:

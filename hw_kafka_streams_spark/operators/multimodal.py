@@ -1609,8 +1609,11 @@ def synthesize_hier_jpeg_payloads(
     purpose, so every EXP upsample hits the crop/edge-replication path
     — 16-bit when i%4==0 and 8-bit otherwise, with
     pixel(r, c) = (911*i + 43*r + 89*c) mod 2^P, coded as a
-    2 + (i%3)-level pyramid (SOF3 base + EXP + SOF7 differential
-    refinements) with base predictor 1 + (i%7)."""
+    2 + (i%3)-level pyramid with base predictor 1 + (i%7). Entropy
+    coding alternates by parity: even docs are Huffman pyramids (SOF3
+    base + EXP + SOF7 differential refinements), odd docs are
+    ARITHMETIC pyramids (SOF11 base + SOF15 QM-coded differential
+    frames) — both lossless, so the pixel-moment oracle is shared."""
     import numpy as np
 
     from hw_kafka_streams_spark.operators.jpegcodec import (
@@ -1637,6 +1640,7 @@ def synthesize_hier_jpeg_payloads(
                         levels=2 + i % 3,
                         predictor=1 + i % 7,
                         precision=prec,
+                        entropy="arith" if i % 2 else "huffman",
                     )
                 )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})

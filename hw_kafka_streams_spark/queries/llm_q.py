@@ -4018,13 +4018,14 @@ def q_multimodal_jpeg_la(spark: SparkSession, sf_dir: str) -> DataFrame:
     "genuinely coded as DHP + a lossless SOF3 base frame at the "
     "coarsest scale + per level an EXP reference upsample (the "
     "J.1.1.2 bilinear filter with edge replication and crop — odd "
-    "dims exercise it every level) and a differential-lossless SOF7 "
-    "frame carrying the mod-2^16 residual, then fully decoded by "
-    "walking the multi-frame stream. A lossless pyramid is bit-exact, "
-    "so integer pixel moments are predictable from the synthesis "
-    "formula and the oracle replays it in SQL. This closes the "
-    "hierarchical slot of the codec story (differential DCT / "
-    "differential arithmetic frames stay honestly gated). "
+    "dims exercise it every level) and a differential-lossless frame "
+    "carrying the mod-2^16 residual, then fully decoded by walking "
+    "the multi-frame stream. Entropy coding alternates by doc parity: "
+    "Huffman pyramids (SOF3+SOF7) and ARITHMETIC pyramids (SOF11 base "
+    "+ SOF15 QM-coded differential frames, Annex H.2 conditioning) — "
+    "both lossless and bit-exact, so integer pixel moments are "
+    "predictable from the synthesis formula and the oracle replays "
+    "it in SQL (differential DCT frames stay honestly gated). "
     "Arrow-batched mapInPandas; per-file decode never crosses "
     "executors.",
 )

@@ -883,10 +883,11 @@ def test_lossless_arith_jpeg_rejects_bad_input():
     st.integers(min_value=2, max_value=4),
     st.integers(min_value=1, max_value=7),
     st.sampled_from([2, 8, 12, 16]),
+    st.sampled_from(["huffman", "arith"]),
     st.randoms(use_true_random=False),
 )
 def test_hierarchical_jpeg_roundtrip(h, w, levels, predictor, precision,
-                                     rnd):
+                                     entropy, rnd):
     import numpy as np
 
     from hw_kafka_streams_spark.operators.jpegcodec import (
@@ -901,7 +902,8 @@ def test_hierarchical_jpeg_roundtrip(h, w, levels, predictor, precision,
     )
     dec, prec = decode_hierarchical_jpeg(
         encode_hierarchical_jpeg(
-            img, levels=levels, predictor=predictor, precision=precision
+            img, levels=levels, predictor=predictor, precision=precision,
+            entropy=entropy,
         )
     )
     assert prec == precision
@@ -930,6 +932,16 @@ def test_hierarchical_jpeg_stream_structure_and_extremes():
     dec, prec = decode_hierarchical_jpeg(enc)
     assert prec == 16
     assert np.array_equal(dec, img)
+    # arithmetic pyramid: DAC + SOF11 base + SOF15 differentials, and
+    # the ±32768-class residuals survive the QM magnitude tree too
+    enc_a = encode_hierarchical_jpeg(img, levels=3, entropy="arith")
+    assert enc_a.count(b"\xff\xcc") == 1  # DAC
+    assert enc_a.count(b"\xff\xcb") == 1  # SOF11 base
+    assert enc_a.count(b"\xff\xcf") == 2  # SOF15 differential frames
+    assert b"\xff\xc4" not in enc_a  # no Huffman tables
+    dec_a, prec_a = decode_hierarchical_jpeg(enc_a)
+    assert prec_a == 16
+    assert np.array_equal(dec_a, img)
 
 
 def test_hierarchical_jpeg_rejects_bad_input():
