@@ -4331,6 +4331,160 @@ def q_lilliefors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_anderson_darling",
+    oracle="""
+        WITH mom AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(n_chars AS HUGEINT)) AS s1,
+                 sum(CAST(n_chars AS HUGEINT) * n_chars) AS s2
+          FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+        ),
+        vals AS (
+          SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+          FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT source, v, c,
+                 sum(c) OVER (PARTITION BY source ORDER BY v) AS cm
+          FROM vals
+        ),
+        z AS (
+          SELECT c.source, c.c, c.cm, m.n,
+                 (c.v - CAST(m.s1 AS DOUBLE) / m.n)
+                 / sqrt(CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE)
+                        / (CAST(m.n AS DOUBLE) * m.n)) AS zv
+          FROM cum c JOIN mom m USING (source)
+        ),
+        phi AS (
+          SELECT source, c, cm, n,
+                 GREATEST(LEAST(CASE WHEN zv >= 0 THEN 1.0 - """
+    + _NORM_UPPER.format(x="zv")
+    + """
+                      ELSE """
+    + _NORM_UPPER.format(x="(-zv)")
+    + """
+                 END, 1.0 - 1e-15), 1e-15) AS ph
+          FROM z
+        ),
+        terms AS (
+          SELECT source, n,
+                 CAST(round(
+                   (CAST(cm * cm - (cm - c) * (cm - c) AS DOUBLE)
+                      * ln(ph)
+                    + CAST((n - cm + c) * (n - cm + c)
+                           - (n - cm) * (n - cm) AS DOUBLE)
+                      * ln(1.0 - ph)) / n, 9) AS DECIMAL(38, 9)) AS t
+          FROM phi
+        ),
+        a2 AS (
+          SELECT source, CAST(min(n) AS BIGINT) AS n,
+                 -CAST(min(n) AS DOUBLE) - CAST(sum(t) AS DOUBLE) AS a
+          FROM terms GROUP BY 1
+        )
+        SELECT source, n, round(a, 6) AS a2,
+               round(a * (1.0 + 0.75 / n + 2.25 / (CAST(n AS DOUBLE) * n)),
+                     6) AS a2_star,
+               CAST(a * (1.0 + 0.75 / n + 2.25 / (CAST(n AS DOUBLE) * n))
+                    > 0.787 AS INT) AS reject_normal
+        FROM a2 ORDER BY source
+    """,
+    doc="Anderson-Darling normality test per source over doc length — "
+    "the tail-weighted companion to q_lilliefors (KS weighs the CDF "
+    "gap uniformly; AD's 1/[F(1-F)] weight makes it the most powerful "
+    "of the EDF normality tests against heavy/light tails, Stephens "
+    "1974). Grouped-count formulation with EXACT integer rank "
+    "coefficients: for a tied value spanning cumulative counts "
+    "(cm-c, cm], sum(2i-1) = cm^2-(cm-c)^2 and the mirrored "
+    "coefficient is (n-cm+c)^2-(n-cm)^2, so ties need no row "
+    "explosion and the scan stays one partial-agged pass over "
+    "DISTINCT lengths. Normal CDF via the shared A&S 26.2.17 scalar "
+    "text, clamped to [1e-15, 1-1e-15] on both engines; per-term "
+    "DECIMAL(38,9) rounding makes the float sum order-proof. "
+    "A*2 = A2(1+0.75/n+2.25/n^2) against the 5% estimated-parameters "
+    "critical value 0.787.",
+)
+def q_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("n_chars").isNotNull()
+    )
+    dv = F.col("n_chars").cast("decimal(38,0)")
+    mom = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dv).alias("s1"),
+        F.sum(dv * dv).alias("s2"),
+    )
+    vals = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = W.partitionBy("source").orderBy("v")
+    cum = vals.withColumn("cm", F.sum("c").over(w))
+    n = F.col("n")
+    zv = (
+        F.col("v") - F.col("s1").cast("double") / n
+    ) / F.sqrt(
+        (n.cast("decimal(38,0)") * F.col("s2") - F.col("s1") * F.col("s1"))
+        .cast("double")
+        / (n.cast("double") * n)
+    )
+    z = cum.join(F.broadcast(mom), "source").select(
+        "source", "c", "cm", "n", zv.alias("zv")
+    )
+
+    def upper(x):
+        t = 1.0 / (1.0 + 0.2316419 * x)
+        return (F.exp(-x * x / 2.0) / 2.5066282746310002) * (
+            t
+            * (
+                0.319381530
+                + t
+                * (
+                    -0.356563782
+                    + t
+                    * (
+                        1.781477937
+                        + t * (-1.821255978 + t * 1.330274429)
+                    )
+                )
+            )
+        )
+
+    ph = F.greatest(
+        F.least(
+            F.when(F.col("zv") >= 0, 1.0 - upper(F.col("zv"))).otherwise(
+                upper(-F.col("zv"))
+            ),
+            F.lit(1.0 - 1e-15),
+        ),
+        F.lit(1e-15),
+    )
+    phi = z.select("source", "c", "cm", "n", ph.alias("ph"))
+    cmc = F.col("cm") - F.col("c")
+    coef1 = (F.col("cm") * F.col("cm") - cmc * cmc).cast("double")
+    nc = F.col("n") - F.col("cm")
+    coef2 = ((nc + F.col("c")) * (nc + F.col("c")) - nc * nc).cast("double")
+    term = F.round(
+        (coef1 * F.log(F.col("ph")) + coef2 * F.log(1.0 - F.col("ph")))
+        / F.col("n"),
+        9,
+    ).cast("decimal(38,9)")
+    a2 = phi.select("source", "n", term.alias("t")).groupBy("source").agg(
+        F.min("n").cast("long").alias("n"),
+        (-F.min("n").cast("double") - F.sum("t").cast("double")).alias("a"),
+    )
+    nn = F.col("n").cast("double")
+    star = F.col("a") * (1.0 + 0.75 / nn + 2.25 / (nn * nn))
+    return a2.select(
+        "source",
+        "n",
+        F.round("a", 6).alias("a2"),
+        F.round(star, 6).alias("a2_star"),
+        (star > 0.787).cast("int").alias("reject_normal"),
+    ).orderBy("source")
+
+
+@register(
     "q_simpson_audit",
     oracle="""
         WITH base AS (

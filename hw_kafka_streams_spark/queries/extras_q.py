@@ -657,6 +657,431 @@ def q_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_breusch_pagan",
+    oracle="""
+        WITH pts AS (
+          SELECT l_returnflag,
+                 CAST(l_quantity AS DECIMAL(12,2)) AS x,
+                 CAST(l_extendedprice AS DECIMAL(14,2)) AS y
+          FROM lineitem
+        ),
+        m AS (
+          SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                 sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                 sum(x * x) AS sx2
+          FROM pts GROUP BY 1
+        ),
+        fit AS (
+          SELECT l_returnflag, n, sx, sx2,
+                 (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                 / (CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                   AS b,
+                 (CAST(sy AS DOUBLE)
+                  - CAST(sx AS DOUBLE)
+                    * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                    / (CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n))
+                 / n AS a
+          FROM m
+        ),
+        aux AS (
+          SELECT p.l_returnflag, f.n, f.sx, f.sx2,
+                 CAST(round((CAST(p.y AS DOUBLE) - f.a
+                             - f.b * CAST(p.x AS DOUBLE))
+                            * (CAST(p.y AS DOUBLE) - f.a
+                               - f.b * CAST(p.x AS DOUBLE)), 4)
+                      AS DECIMAL(38,4)) AS u,
+                 p.x
+          FROM pts p JOIN fit f USING (l_returnflag)
+        ),
+        s AS (
+          SELECT l_returnflag, CAST(min(n) AS BIGINT) AS n,
+                 CAST(min(sx) AS DOUBLE) AS sx,
+                 CAST(min(sx2) AS DOUBLE) AS sx2,
+                 CAST(sum(u) AS DOUBLE) AS su,
+                 CAST(sum(CAST(round(CAST(u AS DOUBLE) * x, 2)
+                               AS DECIMAL(38,2))) AS DOUBLE) AS sxu,
+                 CAST(sum(CAST(round(CAST(u AS DOUBLE)
+                                     * CAST(u AS DOUBLE) / 1e6, 4)
+                               AS DECIMAL(38,4))) AS DOUBLE) * 1e6 AS suu
+          FROM aux GROUP BY 1
+        )
+        SELECT l_returnflag, n,
+               round(n * ((n * sxu - sx * su) * (n * sxu - sx * su))
+                     / ((n * sx2 - sx * sx) * (n * suu - su * su)),
+                     6) AS lm_stat,
+               CAST(n * ((n * sxu - sx * su) * (n * sxu - sx * su))
+                    / ((n * sx2 - sx * sx) * (n * suu - su * su))
+                    > 3.8415 AS INT) AS heteroskedastic
+        FROM s ORDER BY l_returnflag
+    """,
+    doc="Breusch-Pagan/Koenker heteroskedasticity test per returnflag: "
+    "LM = n * R^2 of the auxiliary regression of squared OLS "
+    "residuals on the regressor, against chi2(1) 5% = 3.8415 — the "
+    "does-error-variance-grow-with-x diagnostic that decides whether "
+    "q_regression_stats' plain OLS standard errors can be trusted. "
+    "Two passes: exact-DECIMAL moments fit (a, b); then the residual "
+    "pass accumulates the aux moments as per-term ROUNDED DECIMALs "
+    "(u at 4dp, x*u at 2dp, u^2 scaled 1e-6 at 4dp) so both engines "
+    "sum identical quantized terms — the float-aggregation recipe "
+    "from the determinism battery. Broadcast 1-row-per-group fit, "
+    "narrow map, one partial-agged reduction.",
+)
+def q_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    pts = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("decimal(12,2)").alias("x"),
+        F.col("l_extendedprice").cast("decimal(14,2)").alias("y"),
+    )
+    m = pts.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sx2 = F.col("sxy").cast("double"), F.col("sx2").cast("double")
+    b = (sxy - sx * sy / n) / (sx2 - sx * sx / n)
+    fit = m.select(
+        "l_returnflag",
+        "n",
+        sx.alias("sx"),
+        sx2.alias("sx2"),
+        b.alias("b"),
+        ((sy - sx * b) / n).alias("a"),
+    )
+    xd = F.col("x").cast("double")
+    e = F.col("y").cast("double") - (F.col("a") + F.col("b") * xd)
+    aux = pts.join(F.broadcast(fit), "l_returnflag").select(
+        "l_returnflag",
+        "n",
+        "sx",
+        "sx2",
+        F.round(e * e, 4).cast("decimal(38,4)").alias("u"),
+        xd.alias("x"),
+    )
+    s = aux.groupBy("l_returnflag").agg(
+        F.min("n").cast("long").alias("n"),
+        F.min("sx").alias("sxd"),
+        F.min("sx2").alias("sx2d"),
+        F.sum("u").cast("double").alias("su"),
+        F.sum(
+            F.round(F.col("u").cast("double") * F.col("x"), 2).cast(
+                "decimal(38,2)"
+            )
+        )
+        .cast("double")
+        .alias("sxu"),
+        (
+            F.sum(
+                F.round(
+                    F.col("u").cast("double")
+                    * F.col("u").cast("double")
+                    / 1e6,
+                    4,
+                ).cast("decimal(38,4)")
+            ).cast("double")
+            * 1e6
+        ).alias("suu"),
+    )
+    nn = F.col("n")
+    num = nn * F.col("sxu") - F.col("sxd") * F.col("su")
+    lm = (
+        nn
+        * (num * num)
+        / (
+            (nn * F.col("sx2d") - F.col("sxd") * F.col("sxd"))
+            * (nn * F.col("suu") - F.col("su") * F.col("su"))
+        )
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(lm, 6).alias("lm_stat"),
+        (lm > 3.8415).cast("int").alias("heteroskedastic"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "q_cooks_distance",
+    oracle="""
+        WITH pts AS (
+          SELECT l_orderkey, l_linenumber,
+                 CAST(l_quantity AS DECIMAL(12,2)) AS x,
+                 CAST(l_extendedprice AS DECIMAL(14,2)) AS y
+          FROM lineitem
+        ),
+        m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                 sum(x * x) AS sx2, sum(y * y) AS sy2
+          FROM pts
+        ),
+        fit AS (
+          SELECT n,
+                 CAST(sx AS DOUBLE) / n AS xbar,
+                 CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n AS sxx,
+                 (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                 / (CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                   AS b,
+                 ((CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+                  - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                    * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                    / (CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n))
+                 / (n - 2) AS s2,
+                 (CAST(sy AS DOUBLE)
+                  - CAST(sx AS DOUBLE)
+                    * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                    / (CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n))
+                 / n AS a
+          FROM m
+        ),
+        diag AS (
+          SELECT p.l_orderkey, p.l_linenumber,
+                 CAST(p.x AS DOUBLE) AS x, CAST(p.y AS DOUBLE) AS y,
+                 CAST(p.y AS DOUBLE) - (f.a + f.b * CAST(p.x AS DOUBLE))
+                   AS e,
+                 1.0 / f.n + (CAST(p.x AS DOUBLE) - f.xbar)
+                             * (CAST(p.x AS DOUBLE) - f.xbar) / f.sxx AS h,
+                 f.s2
+          FROM pts p CROSS JOIN fit f
+        ),
+        scored AS (
+          SELECT l_orderkey, l_linenumber, x, y,
+                 round(e, 4) AS residual, round(h, 8) AS leverage,
+                 round((e * e / (2.0 * s2)) * h / ((1.0 - h) * (1.0 - h)),
+                       8) AS cooks_d
+          FROM diag
+        )
+        SELECT l_orderkey, l_linenumber, x, y, residual, leverage, cooks_d,
+               CAST(rnk AS INT) AS rnk
+        FROM (SELECT *, row_number() OVER (
+                ORDER BY cooks_d DESC, l_orderkey, l_linenumber) AS rnk
+              FROM scored)
+        WHERE rnk <= 20 ORDER BY rnk
+    """,
+    doc="Cook's distance influence audit of the price~quantity OLS fit: "
+    "the 20 most influential rows with residual, leverage "
+    "h = 1/n + (x-xbar)^2/Sxx and D = e^2/(k s^2) * h/(1-h)^2 (k=2) — "
+    "the standard regression-diagnostic triage for which records are "
+    "DRIVING a fitted relationship (a data-quality primitive: one "
+    "fat-finger row can own a 100 TB fit). Exact-DECIMAL moment sums "
+    "feed a broadcast 1-row fit; the per-row pass is a narrow map and "
+    "the global top-20 ranks on the 8-dp-ROUNDED D (float last-ulp "
+    "order is not load-bearing), ties to (orderkey, linenumber).",
+)
+def q_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, "lineitem", sf_dir)
+    pts = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("decimal(12,2)").alias("x"),
+        F.col("l_extendedprice").cast("decimal(14,2)").alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sx2, sy2 = F.col("sx2").cast("double"), F.col("sy2").cast("double")
+    sxx = sx2 - sx * sx / n
+    b = (sxy - sx * sy / n) / sxx
+    fit = m.select(
+        "n",
+        (sx / n).alias("xbar"),
+        sxx.alias("sxx"),
+        b.alias("b"),
+        (((sy2 - sy * sy / n) - (sxy - sx * sy / n) * (sxy - sx * sy / n) / sxx)
+         / (n - 2)).alias("s2"),
+        ((sy - sx * b) / n).alias("a"),
+    )
+    xd = F.col("x").cast("double")
+    yd = F.col("y").cast("double")
+    e = yd - (F.col("a") + F.col("b") * xd)
+    h = 1.0 / F.col("n") + (xd - F.col("xbar")) * (xd - F.col("xbar")) / F.col(
+        "sxx"
+    )
+    scored = pts.crossJoin(F.broadcast(fit)).select(
+        "l_orderkey",
+        "l_linenumber",
+        xd.alias("x"),
+        yd.alias("y"),
+        F.round(e, 4).alias("residual"),
+        F.round(h, 8).alias("leverage"),
+        F.round(
+            (e * e / (2.0 * F.col("s2"))) * h / ((1.0 - h) * (1.0 - h)), 8
+        ).alias("cooks_d"),
+    )
+    # distributed partial top-k (TakeOrderedAndProject), THEN rank the
+    # 20 survivors — a global row_number window would drag the whole
+    # scan into one task
+    from hw_kafka_streams_spark.operators.winutil import tiny_table_partition
+
+    top = scored.orderBy(
+        F.desc("cooks_d"), "l_orderkey", "l_linenumber"
+    ).limit(20)
+    w = W.partitionBy(tiny_table_partition(F.col("l_orderkey"))).orderBy(
+        F.desc("cooks_d"), "l_orderkey", "l_linenumber"
+    )
+    return top.withColumn("rnk", F.row_number().over(w).cast("int")).orderBy(
+        "rnk"
+    )
+
+
+@register(
+    "q_chow_test",
+    oracle="""
+        WITH seg AS (
+          SELECT l_returnflag,
+                 CASE WHEN l_shipdate < TIMESTAMP '1998-06-01'
+                      THEN 0 ELSE 1 END AS seg,
+                 CAST(l_quantity AS DECIMAL(12,2)) AS x,
+                 CAST(l_extendedprice AS DECIMAL(14,2)) AS y
+          FROM lineitem
+        ),
+        m AS (
+          SELECT l_returnflag, seg, CAST(count(*) AS BIGINT) AS n,
+                 sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                 sum(x * x) AS sx2, sum(y * y) AS sy2
+          FROM seg GROUP BY 1, 2
+        ),
+        ssr AS (
+          SELECT l_returnflag, seg, n,
+                 (CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+                 - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                   * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                   / (CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                   AS s
+          FROM m
+        ),
+        pooled AS (
+          SELECT l_returnflag, CAST(sum(n) AS BIGINT) AS n,
+                 (CAST(sum(sy2) AS DOUBLE)
+                  - CAST(sum(sy) AS DOUBLE) * CAST(sum(sy) AS DOUBLE)
+                    / sum(n))
+                 - (CAST(sum(sxy) AS DOUBLE)
+                    - CAST(sum(sx) AS DOUBLE) * CAST(sum(sy) AS DOUBLE)
+                      / sum(n))
+                   * (CAST(sum(sxy) AS DOUBLE)
+                      - CAST(sum(sx) AS DOUBLE) * CAST(sum(sy) AS DOUBLE)
+                        / sum(n))
+                   / (CAST(sum(sx2) AS DOUBLE)
+                      - CAST(sum(sx) AS DOUBLE) * CAST(sum(sx) AS DOUBLE)
+                        / sum(n)) AS s
+          FROM m GROUP BY 1
+        ),
+        split AS (
+          SELECT l_returnflag,
+                 CAST(sum(CASE WHEN seg = 0 THEN n END) AS BIGINT) AS n1,
+                 CAST(sum(CASE WHEN seg = 1 THEN n END) AS BIGINT) AS n2,
+                 sum(s) AS s12
+          FROM ssr GROUP BY 1
+        )
+        SELECT p.l_returnflag, s.n1, s.n2,
+               round(((p.s - s.s12) / 2.0)
+                     / (s.s12 / (s.n1 + s.n2 - 4)), 6) AS f_stat,
+               CAST(((p.s - s.s12) / 2.0)
+                    / (s.s12 / (s.n1 + s.n2 - 4)) > 2.9957 AS INT)
+                 AS structural_break
+        FROM pooled p JOIN split s USING (l_returnflag)
+        ORDER BY p.l_returnflag
+    """,
+    doc="Chow structural-break test (Chow 1960) per returnflag: does "
+    "the price~quantity OLS relationship change across the "
+    "1998-06-01 ship-date breakpoint? F = ((SSR_pooled - SSR1 - SSR2)"
+    "/k) / ((SSR1 + SSR2)/(n-2k)) with k=2 (intercept + slope), "
+    "compared to the large-df 5% critical value F(2, inf) = 2.9957. "
+    "Every SSR comes from the same exact-DECIMAL five-moment sums as "
+    "q_regression_stats (SSR = Syy_c - Sxy_c^2/Sxx_c), so the whole "
+    "test is one partial-agged pass over the scan grouped by "
+    "(returnflag, segment) with a 6-row float epilogue — the 100 TB "
+    "shape for any regression-diagnostic battery.",
+)
+def q_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(14,2)")
+    seg = F.when(
+        F.col("l_shipdate") < F.lit("1998-06-01").cast("timestamp"), 0
+    ).otherwise(1)
+    m = (
+        li.select(
+            "l_returnflag", seg.alias("seg"), x.alias("x"), y.alias("y")
+        )
+        .groupBy("l_returnflag", "seg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sx2"),
+            F.sum(F.col("y") * F.col("y")).alias("sy2"),
+        )
+    )
+    m = managed_persist(m)
+
+    def ssr_of(n, sx, sy, sxy, sx2, sy2):
+        syy_c = sy2.cast("double") - sy.cast("double") * sy.cast("double") / n
+        sxy_c = sxy.cast("double") - sx.cast("double") * sy.cast("double") / n
+        sxx_c = sx2.cast("double") - sx.cast("double") * sx.cast("double") / n
+        return syy_c - sxy_c * sxy_c / sxx_c
+
+    ssr = m.select(
+        "l_returnflag",
+        "seg",
+        "n",
+        ssr_of(
+            F.col("n"),
+            F.col("sx"),
+            F.col("sy"),
+            F.col("sxy"),
+            F.col("sx2"),
+            F.col("sy2"),
+        ).alias("s"),
+    )
+    pooled = m.groupBy("l_returnflag").agg(
+        F.sum("n").cast("long").alias("n"),
+        ssr_of(
+            F.sum("n"),
+            F.sum("sx"),
+            F.sum("sy"),
+            F.sum("sxy"),
+            F.sum("sx2"),
+            F.sum("sy2"),
+        ).alias("s"),
+    )
+    split = ssr.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("seg") == 0, F.col("n"))).cast("long").alias("n1"),
+        F.sum(F.when(F.col("seg") == 1, F.col("n"))).cast("long").alias("n2"),
+        F.sum("s").alias("s12"),
+    )
+    f_stat = ((F.col("s") - F.col("s12")) / 2.0) / (
+        F.col("s12") / (F.col("n1") + F.col("n2") - 4)
+    )
+    return (
+        pooled.join(split, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n1",
+            "n2",
+            F.round(f_stat, 6).alias("f_stat"),
+            (f_stat > 2.9957).cast("int").alias("structural_break"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
     "q_skew_profile",
     oracle="""
         WITH per_key AS (

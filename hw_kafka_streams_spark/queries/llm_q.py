@@ -5492,3 +5492,144 @@ def q_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kendall_w"),
     )
+
+
+_RBO_P = 0.9
+_RBO_K = 20
+_RBO_WEIGHTS = [(d, _RBO_P ** (d - 1)) for d in range(1, _RBO_K + 1)]
+_RBO_PK = _RBO_P**_RBO_K
+
+
+@register(
+    "q_rbo_rankers",
+    oracle="WITH " + _BM25_CTE + """,
+        qt AS (SELECT doc_id, term, count(*) AS tf FROM toks
+               WHERE term IN ('spark', 'join', 'hash') GROUP BY 1, 2),
+        dfq AS (SELECT term, count(DISTINCT doc_id) AS df
+                FROM qt GROUP BY 1),
+        bm AS (
+          SELECT qt.doc_id,
+                 sum(CAST(round(
+                   ln(1 + (stats.n_docs - dfq.df + 0.5)
+                      / (dfq.df + 0.5))
+                   * qt.tf * 2.2
+                   / (qt.tf + 1.2 * (1 - 0.75
+                                     + 0.75 * dl.dl / stats.avgdl)),
+                   6) AS DECIMAL(12,6))) AS s
+          FROM qt JOIN dfq USING (term) JOIN dl USING (doc_id)
+          CROSS JOIN stats GROUP BY qt.doc_id
+        ),
+        tfsum AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS s
+                  FROM qt GROUP BY 1),
+        t1 AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id)
+                 AS r1 FROM bm QUALIFY r1 <= """ + str(_RBO_K) + """),
+        t2 AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id)
+                 AS r2 FROM tfsum QUALIFY r2 <= """ + str(_RBO_K) + """),
+        joint AS (SELECT t1.r1, t2.r2 FROM t1 JOIN t2 USING (doc_id)),
+        w(d, wt) AS (VALUES """ + ", ".join(
+        f"({d}, {wt!r})" for d, wt in _RBO_WEIGHTS
+    ) + """),
+        xd AS (
+          SELECT w.d, w.wt,
+                 (SELECT count(*) FROM joint
+                  WHERE r1 <= w.d AND r2 <= w.d) AS x
+          FROM w
+        ),
+        s AS (
+          SELECT CAST(sum(CAST(round(wt * x / d, 9) AS DECIMAL(18,9)))
+                      AS DOUBLE) AS acc,
+                 CAST(max(CASE WHEN d = """ + str(_RBO_K) + """ THEN x
+                          END) AS BIGINT) AS xk
+          FROM xd
+        )
+        SELECT """ + str(_RBO_K) + """ AS depth,
+               CAST(""" + repr(_RBO_P) + """ AS DOUBLE) AS p, xk AS overlap_at_k,
+               round(""" + repr(1 - _RBO_P) + """ * acc, 6) AS rbo_min,
+               round(""" + repr(1 - _RBO_P) + """ * acc
+                     + (CAST(xk AS DOUBLE) / """ + str(_RBO_K) + """)
+                       * """ + repr(_RBO_PK) + """, 6) AS rbo_ext
+        FROM s
+    """,
+    doc="Rank-biased overlap (Webber, Moffat & Zobel 2010) between the "
+    "BM25 and raw-term-frequency rankers at depth 20, p=0.9 — the "
+    "top-weighted list-agreement measure that, unlike Kendall's W "
+    "(q_kendall_w), rewards agreement MORE at the head of the "
+    "ranking and handles non-conjoint lists: the right metric for "
+    "'do two retrieval signals fetch the same top results'. "
+    "rbo_min is the truncated prefix sum (1-p) sum p^(d-1) X_d/d "
+    "over exact integer prefix overlaps X_d; rbo_ext extrapolates "
+    "the depth-k agreement. Both top-20s come from distributed "
+    "partial top-k (TakeOrdered), ranked on exact-DECIMAL/integer "
+    "scores with doc_id tie-breaks; the p^(d-1) weights are shared "
+    "literals so no engine-pow drift enters, and the 20 RBO terms "
+    "sum as 9-dp DECIMALs.",
+)
+def q_rbo_rankers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from hw_kafka_streams_spark.operators.retrieval import bm25_scores
+    from hw_kafka_streams_spark.operators.text import word_tokens
+    from hw_kafka_streams_spark.operators.winutil import (
+        tiny_table_partition,
+    )
+
+    terms = ["spark", "join", "hash"]
+    docs = load_table(spark, "documents", sf_dir)
+    bm = bm25_scores(docs, terms).select("doc_id", F.col("bm25").alias("s"))
+    toks = docs.select(
+        "doc_id",
+        F.explode(word_tokens(F.lower(F.col("text")))).alias("term"),
+    )
+    tfsum = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.sum(F.lit(1)).cast("long").alias("s"))
+    )
+    tw = W.partitionBy(tiny_table_partition("doc_id")).orderBy(
+        F.desc("s"), "doc_id"
+    )
+
+    def top_ranked(df, rname):
+        # distributed partial top-k, THEN rank the k survivors
+        return (
+            df.orderBy(F.desc("s"), "doc_id")
+            .limit(_RBO_K)
+            .withColumn(rname, F.row_number().over(tw))
+            .select("doc_id", rname)
+        )
+
+    both = top_ranked(bm, "r1").join(top_ranked(tfsum, "r2"), "doc_id")
+    w = spark.createDataFrame(_RBO_WEIGHTS, "d int, wt double")
+    # prefix overlap X_d = |{docs: max(r1, r2) <= d}| — LEFT join keeps
+    # every depth row even when the two top-20s are disjoint
+    g = both.groupBy(F.greatest("r1", "r2").alias("md")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    xd = (
+        w.join(F.broadcast(g), F.col("md") <= F.col("d"), "left")
+        .groupBy("d", "wt")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("x"))
+    )
+    s = xd.agg(
+        F.sum(
+            F.round(F.col("wt") * F.col("x") / F.col("d"), 9).cast(
+                "decimal(18,9)"
+            )
+        )
+        .cast("double")
+        .alias("acc"),
+        F.max(F.when(F.col("d") == _RBO_K, F.col("x")))
+        .cast("long")
+        .alias("xk"),
+    )
+    return s.select(
+        F.lit(_RBO_K).alias("depth"),
+        F.lit(_RBO_P).alias("p"),
+        F.col("xk").alias("overlap_at_k"),
+        F.round(F.lit(1 - _RBO_P) * F.col("acc"), 6).alias("rbo_min"),
+        F.round(
+            F.lit(1 - _RBO_P) * F.col("acc")
+            + (F.col("xk").cast("double") / _RBO_K) * F.lit(_RBO_PK),
+            6,
+        ).alias("rbo_ext"),
+    )

@@ -3186,6 +3186,164 @@ def q_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_transfer_entropy",
+    oracle="""
+        WITH hrs AS (
+          SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+                 event_type
+          FROM events
+        ),
+        bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM hrs),
+        grid AS (
+          SELECT t.event_type, g.h
+          FROM (SELECT DISTINCT event_type FROM hrs) t
+          CROSS JOIN (SELECT unnest(range(h0, h1 + 1)) AS h
+                      FROM bounds) g
+        ),
+        cnt AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS c
+                FROM hrs GROUP BY 1, 2),
+        series AS (
+          SELECT g.event_type, g.h, COALESCE(cnt.c, 0) AS x
+          FROM grid g LEFT JOIN cnt USING (event_type, h)
+        ),
+        tot AS (SELECT event_type, CAST(sum(x) AS BIGINT) AS s,
+                       CAST(count(*) AS BIGINT) AS nh
+                FROM series GROUP BY 1),
+        bin AS (
+          SELECT s.event_type, s.h,
+                 CAST(s.x * t.nh > t.s AS INT) AS b
+          FROM series s JOIN tot t USING (event_type)
+        ),
+        lagd AS (
+          SELECT event_type, h, b,
+                 lag(b) OVER (PARTITION BY event_type ORDER BY h) AS bl
+          FROM bin
+        ),
+        yy AS (SELECT event_type AS y_type, h, b AS yt, bl AS yl
+               FROM lagd WHERE bl IS NOT NULL),
+        xx AS (SELECT event_type AS x_type, h, bl AS xl
+               FROM lagd WHERE bl IS NOT NULL),
+        c3 AS (
+          SELECT x_type, y_type, yt, yl, xl,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM yy JOIN xx USING (h)
+          WHERE x_type <> y_type GROUP BY 1, 2, 3, 4, 5
+        ),
+        c2a AS (SELECT x_type, y_type, yl, xl,
+                       CAST(sum(c) AS BIGINT) AS c
+                FROM c3 GROUP BY 1, 2, 3, 4),
+        c2b AS (SELECT x_type, y_type, yt, yl,
+                       CAST(sum(c) AS BIGINT) AS c
+                FROM c3 GROUP BY 1, 2, 3, 4),
+        c1 AS (SELECT x_type, y_type, yl, CAST(sum(c) AS BIGINT) AS c
+               FROM c3 GROUP BY 1, 2, 3),
+        nn AS (SELECT x_type, y_type, CAST(sum(c) AS BIGINT) AS n
+               FROM c3 GROUP BY 1, 2)
+        SELECT c3.x_type, c3.y_type, nn.n AS n_obs,
+               round(CAST(sum(CAST(round(
+                 (CAST(c3.c AS DOUBLE) / nn.n)
+                 * ln(CAST(c3.c AS DOUBLE) * c1.c
+                      / (CAST(c2a.c AS DOUBLE) * c2b.c)), 9)
+                 AS DECIMAL(18,9))) AS DOUBLE), 6) AS te_nats
+        FROM c3
+          JOIN c2a USING (x_type, y_type, yl, xl)
+          JOIN c2b USING (x_type, y_type, yt, yl)
+          JOIN c1 USING (x_type, y_type, yl)
+          JOIN nn USING (x_type, y_type)
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2
+    """,
+    doc="Lag-1 transfer entropy (Schreiber 2000) between every ordered "
+    "pair of event types' hourly activity series — the DIRECTED "
+    "information-flow companion to q_granger_lag1 (Granger sees only "
+    "linear lead-lag; TE = I(y_t ; x_{t-1} | y_{t-1}) catches any "
+    "predictive coupling, and TE(x->y) != TE(y->x) gives direction). "
+    "Series are zero-filled over the complete hour grid (domain-"
+    "bounded, never row-bounded), binarized by the exact integer "
+    "above-mean test cnt*H > total; the plug-in estimator runs off "
+    "ONE (yt, yl, xl) joint-count table per pair — every marginal is "
+    "a grouped sum of it, so the whole statistic is k^2-bounded "
+    "integer counts with a per-term 9-dp DECIMAL ln sum.",
+)
+def q_transfer_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    hrs = e.select(
+        (F.col("ts").cast("long") / 3600).cast("long").alias("h"),
+        "event_type",
+    )
+    bounds = hrs.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    types = hrs.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"),
+    )
+    cnt = hrs.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("c"))
+    series = grid.join(cnt.hint("shuffle_hash"), ["event_type", "h"], "left")\
+        .select(
+            "event_type", "h", F.coalesce(F.col("c"), F.lit(0)).alias("x")
+        )
+    tot = series.groupBy("event_type").agg(
+        F.sum("x").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("nh"),
+    )
+    b = (F.col("x") * F.col("nh") > F.col("s")).cast("int")
+    binned = series.join(F.broadcast(tot), "event_type").select(
+        "event_type", "h", b.alias("b")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagd = binned.withColumn("bl", F.lag("b").over(w)).filter(
+        F.col("bl").isNotNull()
+    )
+    lagd = managed_persist(lagd)
+    yy = lagd.select(
+        F.col("event_type").alias("y_type"),
+        "h",
+        F.col("b").alias("yt"),
+        F.col("bl").alias("yl"),
+    )
+    xx = lagd.select(
+        F.col("event_type").alias("x_type"), "h", F.col("bl").alias("xl")
+    )
+    c3 = (
+        yy.join(xx, "h")
+        .filter(F.col("x_type") != F.col("y_type"))
+        .groupBy("x_type", "y_type", "yt", "yl", "xl")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    c3 = managed_persist(c3)
+    c2a = c3.groupBy("x_type", "y_type", "yl", "xl").agg(
+        F.sum("c").cast("long").alias("ca")
+    )
+    c2b = c3.groupBy("x_type", "y_type", "yt", "yl").agg(
+        F.sum("c").cast("long").alias("cb")
+    )
+    c1 = c3.groupBy("x_type", "y_type", "yl").agg(
+        F.sum("c").cast("long").alias("c1")
+    )
+    nn = c3.groupBy("x_type", "y_type").agg(
+        F.sum("c").cast("long").alias("n")
+    )
+    term = F.round(
+        (F.col("c").cast("double") / F.col("n"))
+        * F.log(
+            F.col("c").cast("double")
+            * F.col("c1")
+            / (F.col("ca").cast("double") * F.col("cb"))
+        ),
+        9,
+    ).cast("decimal(18,9)")
+    return (
+        c3.join(F.broadcast(c2a), ["x_type", "y_type", "yl", "xl"])
+        .join(F.broadcast(c2b), ["x_type", "y_type", "yt", "yl"])
+        .join(F.broadcast(c1), ["x_type", "y_type", "yl"])
+        .join(F.broadcast(nn), ["x_type", "y_type"])
+        .groupBy("x_type", "y_type", F.col("n").alias("n_obs"))
+        .agg(F.round(F.sum(term).cast("double"), 6).alias("te_nats"))
+        .orderBy("x_type", "y_type")
+    )
+
+
+@register(
     "q_gini_sources",
     oracle="""
         WITH st AS (

@@ -90,6 +90,17 @@ DECIMAL_RECIPE_QUERIES = [
     "q_shapley_attribution",
     "q_neyman_allocation",
     "q_lilliefors",
+    # round 10: tail-weighted EDF normality — DECIMAL(38,9) per-term
+    # rank-coefficient x ln(phi) sums over distinct lengths; the
+    # regression-diagnostic battery (Chow SSRs from DECIMAL moments,
+    # BP's quantized residual-moment sums, Cook's rounded-D ranking);
+    # TE's 9-dp ln-ratio sums; RBO's literal-weight DECIMAL terms
+    "q_anderson_darling",
+    "q_chow_test",
+    "q_breusch_pagan",
+    "q_cooks_distance",
+    "q_transfer_entropy",
+    "q_rbo_rankers",
     "q_poisson_glm",
     "q_hmm_viterbi",
     "q_gumbel_return_levels",
