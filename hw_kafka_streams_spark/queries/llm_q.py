@@ -5494,6 +5494,124 @@ def q_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_err_eval",
+    oracle="WITH " + _BM25_CTE + """,
+        qt AS (SELECT doc_id, term, count(*) AS tf FROM toks
+               WHERE term IN ('spark', 'join', 'hash') GROUP BY 1, 2),
+        dfq AS (SELECT term, count(DISTINCT doc_id) AS df
+                FROM qt GROUP BY 1),
+        bm AS (
+          SELECT qt.doc_id, CAST(count(*) AS BIGINT) AS hits,
+                 sum(CAST(round(
+                   ln(1 + (stats.n_docs - dfq.df + 0.5)
+                      / (dfq.df + 0.5))
+                   * qt.tf * 2.2
+                   / (qt.tf + 1.2 * (1 - 0.75
+                                     + 0.75 * dl.dl / stats.avgdl)),
+                   6) AS DECIMAL(12,6))) AS s
+          FROM qt JOIN dfq USING (term) JOIN dl USING (doc_id)
+          CROSS JOIN stats GROUP BY qt.doc_id
+        ),
+        ranked AS (
+          SELECT doc_id, hits,
+                 CAST(row_number() OVER (ORDER BY s DESC, doc_id)
+                      AS BIGINT) AS r
+          FROM bm QUALIFY r <= 10
+        ),
+        dyadic AS (
+          SELECT r, hits,
+                 ((1 << hits) - 1) AS rnum,
+                 sum(CASE WHEN hits = 1 THEN 1 ELSE 0 END)
+                   OVER (ORDER BY r ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS a7,
+                 sum(CASE WHEN hits = 2 THEN 1 ELSE 0 END)
+                   OVER (ORDER BY r ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS a5,
+                 sum(CASE WHEN hits = 3 THEN 1 ELSE 0 END)
+                   OVER (ORDER BY r ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS a1
+          FROM ranked
+        )
+        SELECT CAST(count(*) AS BIGINT) AS depth,
+               round(CAST(sum(CAST(round(
+                 (CAST(rnum AS DOUBLE) / 8.0)
+                 * (pow(7, COALESCE(a7, 0)) * pow(5, COALESCE(a5, 0))
+                    * pow(1, COALESCE(a1, 0))
+                    / pow(8, COALESCE(a7, 0) + COALESCE(a5, 0)
+                             + COALESCE(a1, 0)))
+                 / r, 12) AS DECIMAL(18,12))) AS DOUBLE), 8) AS err
+        FROM dyadic
+    """,
+    doc="Expected reciprocal rank (Chapelle et al. 2009) of the BM25 "
+    "top-10 with graded relevance = query-terms-hit (0-3): the "
+    "cascade metric ERR = sum_r (1/r) R_r prod_{i<r}(1-R_i) that, "
+    "unlike nDCG (q_ndcg_eval), models a user who STOPS at the first "
+    "satisfying result — so one highly-relevant doc at rank 1 "
+    "devalues everything below it. Determinism recipe: with "
+    "R = (2^g - 1)/8 every factor (1-R) is the dyadic rational "
+    "{8,7,5,1}/8, so the cascade product is the EXACT integer "
+    "7^a 5^b 1^c / 8^(a+b+c) computed from cumulative per-grade "
+    "COUNTS (window sums of indicators) — no float cumprod, no "
+    "exp/ln, both engines evaluate identical integer powers. "
+    "Ranking on exact-DECIMAL BM25 with doc_id tie-breaks; top-10 "
+    "via distributed partial top-k.",
+)
+def q_err_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from hw_kafka_streams_spark.operators.retrieval import bm25_scores
+    from hw_kafka_streams_spark.operators.winutil import (
+        tiny_table_partition,
+    )
+
+    terms = ["spark", "join", "hash"]
+    docs = load_table(spark, "documents", sf_dir)
+    bm = bm25_scores(docs, terms).select(
+        "doc_id", F.col("n_terms_hit").alias("hits"), F.col("bm25").alias("s")
+    )
+    top = bm.orderBy(F.desc("s"), "doc_id").limit(10)
+    tw = W.partitionBy(tiny_table_partition("doc_id"))
+    ranked = top.select(
+        "hits",
+        F.row_number()
+        .over(tw.orderBy(F.desc("s"), "doc_id"))
+        .cast("long")
+        .alias("r"),
+    )
+    wprev = (
+        W.partitionBy(tiny_table_partition("r"))
+        .orderBy("r")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+
+    def cum(g):
+        return F.coalesce(
+            F.sum((F.col("hits") == g).cast("long")).over(wprev), F.lit(0)
+        )
+
+    dyadic = ranked.select(
+        "r",
+        F.expr("shiftleft(1, cast(hits as int)) - 1").alias("rnum"),
+        cum(1).alias("a7"),
+        cum(2).alias("a5"),
+        cum(3).alias("a1"),
+    )
+    surv = (
+        F.pow(F.lit(7.0), F.col("a7"))
+        * F.pow(F.lit(5.0), F.col("a5"))
+        * F.pow(F.lit(1.0), F.col("a1"))
+        / F.pow(F.lit(8.0), F.col("a7") + F.col("a5") + F.col("a1"))
+    )
+    term = F.round(
+        (F.col("rnum").cast("double") / 8.0) * surv / F.col("r"), 12
+    ).cast("decimal(18,12)")
+    return dyadic.agg(
+        F.count(F.lit(1)).cast("long").alias("depth"),
+        F.round(F.sum(term).cast("double"), 8).alias("err"),
+    )
+
+
 _RBO_P = 0.9
 _RBO_K = 20
 _RBO_WEIGHTS = [(d, _RBO_P ** (d - 1)) for d in range(1, _RBO_K + 1)]

@@ -3185,6 +3185,157 @@ def q_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A&S 26.2.17 upper-tail P(Z > x) for x >= 0 — the shared scalar text
+# (same recipe as curation_q's battery).
+_NORM_UPPER_TS = (
+    "(exp(-{x} * {x} / 2.0) / 2.5066282746310002)"
+    " * ((1.0 / (1.0 + 0.2316419 * {x}))"
+    "    * (0.319381530"
+    "       + (1.0 / (1.0 + 0.2316419 * {x}))"
+    "         * (-0.356563782"
+    "            + (1.0 / (1.0 + 0.2316419 * {x}))"
+    "              * (1.781477937"
+    "                 + (1.0 / (1.0 + 0.2316419 * {x}))"
+    "                   * (-1.821255978"
+    "                      + (1.0 / (1.0 + 0.2316419 * {x}))"
+    "                        * 1.330274429)))))"
+)
+
+
+@register(
+    "q_sign_test",
+    oracle="""
+        WITH bounds AS (
+          SELECT (CAST(floor(epoch(min(ts))) AS BIGINT)
+                  + CAST(floor(epoch(max(ts))) AS BIGINT)) // 2 AS mid
+          FROM events
+        ),
+        halves AS (
+          SELECT user_id,
+                 CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                           < (SELECT mid FROM bounds)
+                      THEN 0 ELSE 1 END AS half,
+                 CAST(round(value, 6) AS DECIMAL(20,6)) AS v
+          FROM events WHERE value IS NOT NULL
+        ),
+        per AS (
+          SELECT user_id, half, sum(v) AS s,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM halves GROUP BY 1, 2
+        ),
+        paired AS (
+          SELECT a.user_id, a.s AS s1, a.n AS n1, b.s AS s2, b.n AS n2
+          FROM per a JOIN per b USING (user_id)
+          WHERE a.half = 0 AND b.half = 1
+        ),
+        signs AS (
+          SELECT CASE WHEN s2 * n1 > s1 * n2 THEN 1
+                      WHEN s2 * n1 < s1 * n2 THEN -1
+                      ELSE 0 END AS sg
+          FROM paired
+        ),
+        agg AS (
+          SELECT CAST(sum(CASE WHEN sg <> 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN sg = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS np
+          FROM signs
+        ),
+        z AS (
+          SELECT n, np,
+                 (abs(np - CAST(n AS DOUBLE) / 2) - 0.5)
+                 / (sqrt(CAST(n AS DOUBLE)) / 2) AS zv
+          FROM agg
+        )
+        SELECT n AS n_pairs, np AS n_plus, round(zv, 6) AS z,
+               round(2 * """ + _NORM_UPPER_TS.format(x="zv") + """, 6)
+                 AS p_two_sided,
+               CAST(2 * """ + _NORM_UPPER_TS.format(x="zv") + """
+                    < 0.05 AS INT) AS reject_no_shift
+        FROM z
+    """,
+    doc="Paired sign test: did each user's mean event value SHIFT "
+    "between the first and second half of the observation window? "
+    "The distribution-free paired-location test that needs nothing "
+    "but comparison — the companion to q_welch_ttest (means) and "
+    "q_mann_whitney (independent ranks) for paired data with "
+    "arbitrary per-user value scales. Per-user half-means compare "
+    "EXACTLY via DECIMAL cross-multiplication (s2*n1 vs s1*n2 — no "
+    "division, no float), ties drop per the standard convention; "
+    "normal approximation with continuity correction through the "
+    "shared A&S 26.2.17 CDF. One (user, half) partial agg + a "
+    "user-keyed self-join — fully distributed, k-row epilogue.",
+)
+def q_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir).filter(
+        F.col("value").isNotNull()
+    )
+    bounds = e.agg(
+        (
+            (F.min(F.col("ts").cast("long")) + F.max(F.col("ts").cast("long")))
+            / 2
+        )
+        .cast("long")
+        .alias("mid")
+    )
+    halves = e.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        F.when(F.col("ts").cast("long") < F.col("mid"), 0)
+        .otherwise(1)
+        .alias("half"),
+        F.round("value", 6).cast("decimal(20,6)").alias("v"),
+    )
+    per = halves.groupBy("user_id", "half").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = per.filter(F.col("half") == 0).select(
+        "user_id", F.col("s").alias("s1"), F.col("n").alias("n1")
+    )
+    b = per.filter(F.col("half") == 1).select(
+        "user_id", F.col("s").alias("s2"), F.col("n").alias("n2")
+    )
+    lhs = F.col("s2") * F.col("n1")
+    rhs = F.col("s1") * F.col("n2")
+    signs = a.join(b, "user_id").select(
+        F.when(lhs > rhs, 1).when(lhs < rhs, -1).otherwise(0).alias("sg")
+    )
+    agg = signs.agg(
+        F.sum((F.col("sg") != 0).cast("long")).cast("long").alias("n"),
+        F.sum((F.col("sg") == 1).cast("long")).cast("long").alias("np"),
+    )
+    zv = (
+        F.abs(F.col("np") - F.col("n").cast("double") / 2) - 0.5
+    ) / (F.sqrt(F.col("n").cast("double")) / 2)
+
+    def upper(x):
+        t = 1.0 / (1.0 + 0.2316419 * x)
+        return (F.exp(-x * x / 2.0) / 2.5066282746310002) * (
+            t
+            * (
+                0.319381530
+                + t
+                * (
+                    -0.356563782
+                    + t
+                    * (
+                        1.781477937
+                        + t * (-1.821255978 + t * 1.330274429)
+                    )
+                )
+            )
+        )
+
+    z = agg.select("n", "np", zv.alias("zv"))
+    p = 2 * upper(F.col("zv"))
+    return z.select(
+        F.col("n").alias("n_pairs"),
+        F.col("np").alias("n_plus"),
+        F.round("zv", 6).alias("z"),
+        F.round(p, 6).alias("p_two_sided"),
+        (p < 0.05).cast("int").alias("reject_no_shift"),
+    )
+
+
 @register(
     "q_transfer_entropy",
     oracle="""

@@ -101,6 +101,8 @@ DECIMAL_RECIPE_QUERIES = [
     "q_cooks_distance",
     "q_transfer_entropy",
     "q_rbo_rankers",
+    "q_err_eval",
+    "q_sign_test",
     "q_poisson_glm",
     "q_hmm_viterbi",
     "q_gumbel_return_levels",
