@@ -179,6 +179,20 @@ HEADLINE = [
     "q_sprt_audit",
     "q_poisson_glm",
     "q_topic_coherence",
+    # round-10: the scan-heavy new shapes — the AD grouped-EDF pass
+    # over distinct lengths, the regression-diagnostic two-pass
+    # batteries (Chow segment moments, BP residual moments, Cook's
+    # broadcast-fit narrow map + distributed top-k), the TE hour-grid
+    # self-join over joint counts, and RBO's dual tokenize-and-rank
+    # stacks. q_err_eval (same BM25 stack as RBO) and q_sign_test
+    # (one scan + user-keyed self-join) stay off — shape-duplicates
+    # of ratcheted entries, sub-bench-noise by design.
+    "q_anderson_darling",
+    "q_chow_test",
+    "q_breusch_pagan",
+    "q_cooks_distance",
+    "q_transfer_entropy",
+    "q_rbo_rankers",
 ]
 
 

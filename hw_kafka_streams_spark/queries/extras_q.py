@@ -684,13 +684,12 @@ def q_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM m
         ),
         aux AS (
-          SELECT p.l_returnflag, f.n, f.sx, f.sx2,
+          SELECT p.l_returnflag, f.n, f.sx, f.sx2, p.x,
                  CAST(round((CAST(p.y AS DOUBLE) - f.a
                              - f.b * CAST(p.x AS DOUBLE))
                             * (CAST(p.y AS DOUBLE) - f.a
                                - f.b * CAST(p.x AS DOUBLE)), 4)
-                      AS DECIMAL(38,4)) AS u,
-                 p.x
+                      AS DECIMAL(18,4)) AS u
           FROM pts p JOIN fit f USING (l_returnflag)
         ),
         s AS (
@@ -698,11 +697,10 @@ def q_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(min(sx) AS DOUBLE) AS sx,
                  CAST(min(sx2) AS DOUBLE) AS sx2,
                  CAST(sum(u) AS DOUBLE) AS su,
-                 CAST(sum(CAST(round(CAST(u AS DOUBLE) * x, 2)
-                               AS DECIMAL(38,2))) AS DOUBLE) AS sxu,
-                 CAST(sum(CAST(round(CAST(u AS DOUBLE)
-                                     * CAST(u AS DOUBLE) / 1e6, 4)
-                               AS DECIMAL(38,4))) AS DOUBLE) * 1e6 AS suu
+                 CAST(sum(CAST(u AS DECIMAL(38,4)) * x) AS DOUBLE)
+                   AS sxu,
+                 CAST(sum(CAST(u AS DECIMAL(38,4)) * u) AS DOUBLE)
+                   AS suu
           FROM aux GROUP BY 1
         )
         SELECT l_returnflag, n,
@@ -720,11 +718,20 @@ def q_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "does-error-variance-grow-with-x diagnostic that decides whether "
     "q_regression_stats' plain OLS standard errors can be trusted. "
     "Two passes: exact-DECIMAL moments fit (a, b); then the residual "
-    "pass accumulates the aux moments as per-term ROUNDED DECIMALs "
-    "(u at 4dp, x*u at 2dp, u^2 scaled 1e-6 at 4dp) so both engines "
-    "sum identical quantized terms — the float-aggregation recipe "
-    "from the determinism battery. Broadcast 1-row-per-group fit, "
-    "narrow map, one partial-agged reduction.",
+    "pass quantizes the squared residual ONCE (u at 4dp DECIMAL) and "
+    "derives the aux moments as EXACT decimal products sum(u*x) and "
+    "sum(u*u) — one per-row rounding instead of three (each "
+    "double->BigDecimal round cost more than the decimal multiply), "
+    "and the products are exact so the only engine-shared "
+    "quantization is u itself. Per-row decimals stay at "
+    "precision 18 (compact long-backed; 38 costs ~3x in BigDecimal "
+    "churn) with 4+ digits of headroom over this data's residual "
+    "range, and ANSI mode turns any overflow into an error, never a "
+    "wrong answer. The fit is materialized as a 3-row literal table "
+    "(bounded collect) so the b/a expression trees are not re-inlined "
+    "into every residual aggregate — leaving them live cost ~4.5 s "
+    "of Catalyst work per fresh plan. Broadcast fit, narrow map, one "
+    "partial-agged reduction.",
 )
 def q_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
@@ -752,6 +759,16 @@ def q_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.alias("b"),
         ((sy - sx * b) / n).alias("a"),
     )
+    # bounded collect -> literal 3-row model table (the documented
+    # literal-projection pattern): leaving fit as a live subplan
+    # inlines the b/a expression trees into e, e*e, and all three u
+    # aggregates — the duplicated decimal-cast trees cost ~4.5 s of
+    # Catalyst re-optimization PER FRESH PLAN, 15x the actual compute
+    fit = spark.createDataFrame(
+        fit.collect(),
+        "l_returnflag string, n long, sx double, sx2 double, "
+        "b double, a double",
+    )
     xd = F.col("x").cast("double")
     e = F.col("y").cast("double") - (F.col("a") + F.col("b") * xd)
     aux = pts.join(F.broadcast(fit), "l_returnflag").select(
@@ -759,32 +776,16 @@ def q_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "sx",
         "sx2",
-        F.round(e * e, 4).cast("decimal(38,4)").alias("u"),
-        xd.alias("x"),
+        F.round(e * e, 4).cast("decimal(18,4)").alias("u"),
+        "x",
     )
     s = aux.groupBy("l_returnflag").agg(
         F.min("n").cast("long").alias("n"),
         F.min("sx").alias("sxd"),
         F.min("sx2").alias("sx2d"),
         F.sum("u").cast("double").alias("su"),
-        F.sum(
-            F.round(F.col("u").cast("double") * F.col("x"), 2).cast(
-                "decimal(38,2)"
-            )
-        )
-        .cast("double")
-        .alias("sxu"),
-        (
-            F.sum(
-                F.round(
-                    F.col("u").cast("double")
-                    * F.col("u").cast("double")
-                    / 1e6,
-                    4,
-                ).cast("decimal(38,4)")
-            ).cast("double")
-            * 1e6
-        ).alias("suu"),
+        F.sum(F.col("u") * F.col("x")).cast("double").alias("sxu"),
+        F.sum(F.col("u") * F.col("u")).cast("double").alias("suu"),
     )
     nn = F.col("n")
     num = nn * F.col("sxu") - F.col("sxd") * F.col("su")
@@ -1028,7 +1029,20 @@ def q_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("y") * F.col("y")).alias("sy2"),
         )
     )
-    m = managed_persist(m)
+    # single conditional-sum pivot over the 6-row moment table — no
+    # persist, no join-back: the per-segment and pooled SSRs are all
+    # scalar expressions of the pivoted exact-DECIMAL sums (a persist
+    # + 3-consumer join over 6 rows cost ~2s of pure stage overhead)
+    def segsum(c, s):
+        return F.sum(F.when(F.col("seg") == s, F.col(c)))
+
+    g = m.groupBy("l_returnflag").agg(
+        *[
+            segsum(c, s).alias(f"{c}{s}")
+            for c in ("n", "sx", "sy", "sxy", "sx2", "sy2")
+            for s in (0, 1)
+        ]
+    )
 
     def ssr_of(n, sx, sy, sxy, sx2, sy2):
         syy_c = sy2.cast("double") - sy.cast("double") * sy.cast("double") / n
@@ -1036,49 +1050,25 @@ def q_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         sxx_c = sx2.cast("double") - sx.cast("double") * sx.cast("double") / n
         return syy_c - sxy_c * sxy_c / sxx_c
 
-    ssr = m.select(
+    def moms(s):
+        return [F.col(f"{c}{s}") for c in ("n", "sx", "sy", "sxy", "sx2", "sy2")]
+
+    pooled_moms = [
+        F.col(f"{c}0") + F.col(f"{c}1")
+        for c in ("n", "sx", "sy", "sxy", "sx2", "sy2")
+    ]
+    s12 = ssr_of(*moms(0)) + ssr_of(*moms(1))
+    sp = ssr_of(*pooled_moms)
+    f_stat = ((sp - s12) / 2.0) / (
+        s12 / (F.col("n0") + F.col("n1") - 4)
+    )
+    return g.select(
         "l_returnflag",
-        "seg",
-        "n",
-        ssr_of(
-            F.col("n"),
-            F.col("sx"),
-            F.col("sy"),
-            F.col("sxy"),
-            F.col("sx2"),
-            F.col("sy2"),
-        ).alias("s"),
-    )
-    pooled = m.groupBy("l_returnflag").agg(
-        F.sum("n").cast("long").alias("n"),
-        ssr_of(
-            F.sum("n"),
-            F.sum("sx"),
-            F.sum("sy"),
-            F.sum("sxy"),
-            F.sum("sx2"),
-            F.sum("sy2"),
-        ).alias("s"),
-    )
-    split = ssr.groupBy("l_returnflag").agg(
-        F.sum(F.when(F.col("seg") == 0, F.col("n"))).cast("long").alias("n1"),
-        F.sum(F.when(F.col("seg") == 1, F.col("n"))).cast("long").alias("n2"),
-        F.sum("s").alias("s12"),
-    )
-    f_stat = ((F.col("s") - F.col("s12")) / 2.0) / (
-        F.col("s12") / (F.col("n1") + F.col("n2") - 4)
-    )
-    return (
-        pooled.join(split, "l_returnflag")
-        .select(
-            "l_returnflag",
-            "n1",
-            "n2",
-            F.round(f_stat, 6).alias("f_stat"),
-            (f_stat > 2.9957).cast("int").alias("structural_break"),
-        )
-        .orderBy("l_returnflag")
-    )
+        F.col("n0").cast("long").alias("n1"),
+        F.col("n1").cast("long").alias("n2"),
+        F.round(f_stat, 6).alias("f_stat"),
+        (f_stat > 2.9957).cast("int").alias("structural_break"),
+    ).orderBy("l_returnflag")
 
 
 @register(

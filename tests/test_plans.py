@@ -293,6 +293,12 @@ def test_headline_plans_no_smj_no_unexpected_nlj(spark, sf_dir):
         # the NPMI denominator (same ntot pattern)
         "q_ql_dirichlet",
         "q_topic_coherence",
+        # round-10: 1-row broadcasts — Cook's fitted-model cross, the
+        # TE hour-grid bounds cross, and the BM25-stack scalar inside
+        # RBO (same ntot pattern as q_bm25_search)
+        "q_cooks_distance",
+        "q_transfer_entropy",
+        "q_rbo_rankers",
     }
     offenders: dict[str, str] = {}
     for name in HEADLINE:
