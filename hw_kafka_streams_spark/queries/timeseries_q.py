@@ -3185,6 +3185,203 @@ def q_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_matrix_profile",
+    oracle="""
+        WITH hrs AS (
+          SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h
+          FROM events
+        ),
+        bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM hrs),
+        grid AS (SELECT unnest(range(h0, h1 + 1)) - h0 AS t FROM bounds),
+        cnt AS (SELECT h - (SELECT h0 FROM bounds) AS t,
+                       CAST(count(*) AS BIGINT) AS x
+                FROM hrs GROUP BY 1),
+        series AS (
+          SELECT g.t, COALESCE(cnt.x, 0) AS x
+          FROM grid g LEFT JOIN cnt USING (t)
+        ),
+        win AS (
+          SELECT t AS i,
+                 sum(x) OVER w AS s,
+                 sum(x * x) OVER w AS ss,
+                 count(*) OVER w AS m_obs
+          FROM series
+          WINDOW w AS (ORDER BY t ROWS BETWEEN CURRENT ROW
+                       AND 23 FOLLOWING)
+        ),
+        valid AS (SELECT i, s, ss FROM win
+                  WHERE m_obs = 24 AND 24 * ss - s * s > 0),
+        lags AS (
+          SELECT unnest(range(24, (SELECT h1 - h0 + 1 FROM bounds) - 23))
+            AS d
+        ),
+        prod AS (
+          SELECT l.d, a.t,
+                 a.x * b.x AS p
+          FROM lags l
+            JOIN series a ON a.t + l.d <= (SELECT h1 - h0 FROM bounds)
+            JOIN series b ON b.t = a.t + l.d
+        ),
+        dots AS (
+          SELECT d, t AS i,
+                 sum(p) OVER w AS dot,
+                 count(*) OVER w AS m_obs
+          FROM prod
+          WINDOW w AS (PARTITION BY d ORDER BY t
+                       ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING)
+        ),
+        pair AS (
+          SELECT dd.i, dd.i + dd.d AS j,
+                 round(2.0 * 24 * (1.0
+                   - (24.0 * dd.dot - wa.s * wb.s)
+                     / sqrt(CAST((24 * wa.ss - wa.s * wa.s)
+                            * (24 * wb.ss - wb.s * wb.s) AS DOUBLE))),
+                   6) AS d2
+          FROM dots dd
+            JOIN valid wa ON wa.i = dd.i
+            JOIN valid wb ON wb.i = dd.i + dd.d
+          WHERE dd.m_obs = 24
+        ),
+        sym AS (
+          SELECT i, j, d2 FROM pair
+          UNION ALL
+          SELECT j, i, d2 FROM pair
+        ),
+        mp AS (
+          SELECT i, min(d2) AS mp_d2,
+                 min(CASE WHEN d2 = md THEN j END) AS nn
+          FROM (SELECT i, j, d2, min(d2) OVER (PARTITION BY i) AS md
+                FROM sym)
+          GROUP BY i
+        )
+        SELECT CAST(rnk AS INT) AS rnk, CAST(i AS BIGINT) AS win_start,
+               mp_d2 AS mp_dist, CAST(nn AS BIGINT) AS nn_start
+        FROM (SELECT *, row_number() OVER (ORDER BY mp_d2 DESC, i)
+                AS rnk FROM mp)
+        WHERE rnk <= 5 ORDER BY rnk
+    """,
+    doc="Matrix profile discord detection (Yeh et al., ICDM 2016) over "
+    "the hourly event-count series, window m=24: for every "
+    "day-length window, the z-normalized distance to its nearest "
+    "non-overlapping neighbor; the 5 windows whose nearest neighbor "
+    "is FARTHEST are the top discords — the strongest "
+    "anomaly-detection primitive in the time-series toolkit (a "
+    "discord is anomalous against every day in the corpus, not just "
+    "a forecast). SQL-shaped as the STOMP diagonal decomposition: "
+    "per-lag elementwise products, a 24-row rolling sum per diagonal "
+    "(window dot products), and exact integer window moments — "
+    "d^2 = 2m(1-r) with r built entirely from exact integer "
+    "dot/s/ss, rounded 6dp before the min/rank so both engines pick "
+    "identical neighbors (ties -> smaller index). The series is "
+    "time-DOMAIN-bounded (720 hours at every SF), so the diagonal "
+    "table is ~H^2/2 rows regardless of event count; at petabyte "
+    "scale the hour-grid aggregation is the only data-sized stage "
+    "(MASS/FFT is the documented in-kernel refinement if H itself "
+    "grows).",
+)
+def q_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.winutil import (
+        tiny_table_partition,
+    )
+
+    m = 24
+    e = load_table(spark, "events", sf_dir)
+    hrs = e.select((F.col("ts").cast("long") / 3600).cast("long").alias("h"))
+    bounds = hrs.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = bounds.select(
+        F.explode(F.sequence(F.lit(0), F.col("h1") - F.col("h0"))).alias("t")
+    )
+    cnt = (
+        hrs.crossJoin(F.broadcast(bounds))
+        .groupBy((F.col("h") - F.col("h0")).alias("t"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    series = grid.join(cnt.hint("shuffle_hash"), "t", "left").select(
+        "t", F.coalesce(F.col("x"), F.lit(0)).alias("x")
+    )
+    series = managed_persist(series)
+    # rolling window moments: the series is time-DOMAIN-bounded (720
+    # rows), so the single-series window runs on the block-table scale
+    wseq = (
+        Window.partitionBy(tiny_table_partition("t"))
+        .orderBy("t")
+        .rowsBetween(0, m - 1)
+    )
+    win = series.select(
+        F.col("t").alias("i"),
+        F.sum("x").over(wseq).alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(wseq).alias("ss"),
+        F.count(F.lit(1)).over(wseq).alias("m_obs"),
+    )
+    valid = win.filter(
+        (F.col("m_obs") == m) & (m * F.col("ss") - F.col("s") * F.col("s") > 0)
+    ).select("i", "s", "ss")
+    valid = managed_persist(valid)
+    hmax = bounds.select((F.col("h1") - F.col("h0")).alias("tmax"))
+    lags = hmax.select(
+        F.explode(
+            F.sequence(F.lit(m), F.col("tmax") + 1 - m)
+        ).alias("d")
+    )
+    a = series.select(F.col("t"), F.col("x").alias("xa"))
+    b = series.select(F.col("t").alias("t2"), F.col("x").alias("xb"))
+    prod = (
+        lags.crossJoin(a)
+        .crossJoin(F.broadcast(hmax))
+        .filter(F.col("t") + F.col("d") <= F.col("tmax"))
+        .join(b, F.col("t2") == F.col("t") + F.col("d"))
+        .select("d", "t", (F.col("xa") * F.col("xb")).alias("p"))
+    )
+    wlag = (
+        Window.partitionBy("d").orderBy("t").rowsBetween(0, m - 1)
+    )
+    dots = prod.select(
+        "d",
+        F.col("t").alias("i"),
+        F.sum("p").over(wlag).alias("dot"),
+        F.count(F.lit(1)).over(wlag).alias("m_obs"),
+    ).filter(F.col("m_obs") == m)
+    wa = valid.select(
+        F.col("i").alias("ia"), F.col("s").alias("sa"), F.col("ss").alias("ssa")
+    )
+    wb = valid.select(
+        F.col("i").alias("ib"), F.col("s").alias("sb"), F.col("ss").alias("ssb")
+    )
+    r = (m * F.col("dot") - F.col("sa") * F.col("sb")) / F.sqrt(
+        (
+            (m * F.col("ssa") - F.col("sa") * F.col("sa"))
+            * (m * F.col("ssb") - F.col("sb") * F.col("sb"))
+        ).cast("double")
+    )
+    pair = (
+        dots.join(F.broadcast(wa), F.col("ia") == F.col("i"))
+        .join(F.broadcast(wb), F.col("ib") == F.col("i") + F.col("d"))
+        .select(
+            "i",
+            (F.col("i") + F.col("d")).alias("j"),
+            F.round(2.0 * m * (1.0 - r), 6).alias("d2"),
+        )
+    )
+    sym = pair.unionAll(
+        pair.select(F.col("j").alias("i"), F.col("i").alias("j"), "d2")
+    )
+    mp = sym.groupBy("i").agg(
+        F.min("d2").alias("mp_d2"),
+        F.min_by(F.col("j"), F.struct(F.col("d2"), F.col("j"))).alias("nn"),
+    )
+    top = mp.orderBy(F.desc("mp_d2"), "i").limit(5)
+    wr = Window.partitionBy(tiny_table_partition("i")).orderBy(
+        F.desc("mp_d2"), "i"
+    )
+    return top.select(
+        F.row_number().over(wr).cast("int").alias("rnk"),
+        F.col("i").cast("long").alias("win_start"),
+        F.col("mp_d2").alias("mp_dist"),
+        F.col("nn").cast("long").alias("nn_start"),
+    ).orderBy("rnk")
+
+
 # A&S 26.2.17 upper-tail P(Z > x) for x >= 0 — the shared scalar text
 # (same recipe as curation_q's battery).
 _NORM_UPPER_TS = (

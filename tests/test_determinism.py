@@ -103,6 +103,9 @@ DECIMAL_RECIPE_QUERIES = [
     "q_rbo_rankers",
     "q_err_eval",
     "q_sign_test",
+    # matrix profile: exact integer window moments, 6-dp-rounded d^2
+    # before the min/rank
+    "q_matrix_profile",
     "q_poisson_glm",
     "q_hmm_viterbi",
     "q_gumbel_return_levels",

@@ -121,6 +121,13 @@ PROBES = [
     "q_sprt_audit",            # block-prefix-sum integer LLR path
     "q_ppmi_power_iteration",  # skipgram pair shuffle + vocab-bounded iters
     "q_collation_fold",        # collated-distinct corpus scan
+    # round-10 headline additions (the ratchet convention)
+    "q_anderson_darling",      # grouped-EDF pass over distinct lengths
+    "q_chow_test",             # conditional-sum pivot over segment moments
+    "q_breusch_pagan",         # two-pass residual moments, literal fit
+    "q_cooks_distance",        # broadcast-fit narrow map + TakeOrdered
+    "q_transfer_entropy",      # hour-grid self-join joint counts
+    "q_rbo_rankers",           # dual tokenize/rank stacks + prefix overlap
 ]
 
 
@@ -166,9 +173,17 @@ def main() -> None:
             f"| {name} | {r['0.001']:.2f}s | {r['0.01']:.2f}s | {r['0.1']:.2f}s "
             f"| {growth:.1f}× |"
         )
+    # PRESERVE appended sections (sf1 probes, ANN recall audit): they
+    # are written by other tools and live after the generated table
+    tail = ""
+    if os.path.exists(out_md):
+        prev = open(out_md).read()
+        idx = prev.find("\n## ")
+        if idx != -1:
+            tail = prev[idx:]
     with open(out_md, "w") as f:
-        f.write("\n".join(lines) + "\n")
-    print(f"wrote {out_md}")
+        f.write("\n".join(lines) + "\n" + tail)
+    print(f"wrote {out_md} (kept {len(tail)} bytes of appended sections)")
 
 
 if __name__ == "__main__":
