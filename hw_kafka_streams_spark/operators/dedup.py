@@ -1494,3 +1494,123 @@ def winnowing_candidate_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def cdc_chunk_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    window: int = 8,
+    mask: int = 64,
+) -> DataFrame:
+    """Content-defined chunking (CDC) dedup audit per group.
+
+    The storage-dedup primitive (Muthitacharoen et al., LBFS SOSP'01;
+    the FastCDC/Gear family refines it): split each document at
+    positions where a hash of the trailing ``window`` characters is
+    0 mod ``mask`` — boundaries depend on CONTENT, not offsets, so an
+    insertion early in a document shifts no boundary after the edit
+    horizon and duplicated passages land in identical chunks
+    (expected chunk length = ``mask`` chars). Fixed-width blocks lose
+    all alignment after one insertion; CDC is why backup/dedup
+    systems beat them — and why near-identical crawl snapshots
+    dedup at chunk level even when exact-doc dedup misses them.
+
+    This variant uses the WINDOWED-hash boundary (md5h of the trailing
+    8-gram) rather than the Gear rolling recursion: semantics and
+    shift-resistance are identical, and the boundary predicate is a
+    pure per-position expression both engines evaluate exactly
+    (a byte-recursive rolling state has no SQL twin). Production CDC
+    adds min/max chunk clamps; omitted here, stated contract.
+
+    Returns one row per group: chunk counts, within-group distinct
+    chunks, byte totals and the dedup ratio. Plan: positions explode
+    -> boundary filter (the only len(text)-sized stage, projected to
+    (id, i) immediately), per-doc spans via lag, substr chunk
+    extraction against the doc table, fingerprint groupBy — every
+    stage partial-agged or keyed on (id)/(fingerprint), no windows
+    over unbounded partitions (per-doc spans are doc-length-bounded).
+    """
+    from pyspark.sql import Window as W
+
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("txt"),
+        F.col(group_col).alias("grp"),
+        F.length(text_col).alias("len"),
+    ).filter(F.col("txt").isNotNull() & (F.col("len") > 0))
+    # len < window docs produce no positions (F.sequence would COUNT
+    # DOWN for len < window — DuckDB's range is empty there); they
+    # come back as whole-doc chunks below
+    pos = docs.filter(F.col("len") >= window).select(
+        "id",
+        "len",
+        F.explode(F.sequence(F.lit(window), F.col("len"))).alias("i"),
+        F.col("txt"),
+    )
+    from hw_kafka_streams_spark.cache import managed_persist
+
+    # persist: three consumers (spans lag, tail max, whole anti-join)
+    # would each replay the len(text)-sized md5 boundary scan
+    bnd = managed_persist(
+        pos.filter(
+            md5h(F.expr(f"substring(txt, i - {window - 1}, {window})"))
+            % mask
+            == 0
+        ).select("id", "i")
+    )
+    # per-doc spans: lag over the (doc-length-bounded) boundary list,
+    # plus the tail span closing at len
+    wdoc = W.partitionBy("id").orderBy("i")
+    spans = bnd.select(
+        "id",
+        (F.coalesce(F.lag("i").over(wdoc), F.lit(0)) + 1).alias("start"),
+        F.col("i").alias("end"),
+    )
+    tail = (
+        bnd.groupBy("id")
+        .agg(F.max("i").alias("last"))
+        .join(docs.select("id", "len"), "id")
+        .filter(F.col("last") < F.col("len"))
+        .select("id", (F.col("last") + 1).alias("start"), F.col("len").alias("end"))
+    )
+    whole = (
+        docs.join(bnd.select("id").distinct(), "id", "left_anti")
+        .select("id", F.lit(1).alias("start"), F.col("len").alias("end"))
+    )
+    allspans = spans.unionByName(tail).unionByName(whole)
+    chunks = allspans.join(docs.select("id", "grp", "txt"), "id").select(
+        "id",
+        "grp",
+        (F.col("end") - F.col("start") + 1).alias("nbytes"),
+        md5h(
+            F.expr("substring(txt, start, end - start + 1)")
+        ).alias("fp"),
+    )
+    per_fp = chunks.groupBy("grp", "fp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("nbytes").alias("nbytes"),
+    )
+    return (
+        per_fp.groupBy("grp")
+        .agg(
+            F.sum("n").cast("long").alias("n_chunks"),
+            F.count(F.lit(1)).cast("long").alias("n_unique"),
+            F.sum(F.col("n") * F.col("nbytes")).cast("long").alias("bytes_total"),
+            F.sum("nbytes").cast("long").alias("bytes_unique"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_chunks",
+            "n_unique",
+            "bytes_total",
+            "bytes_unique",
+            F.round(
+                1.0
+                - F.col("bytes_unique").cast("double") / F.col("bytes_total"),
+                6,
+            ).alias("dedup_ratio"),
+        )
+        .orderBy(group_col)
+    )

@@ -5495,6 +5495,86 @@ def q_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_cdc_chunk_dedup",
+    oracle="""
+        WITH docs AS (
+          SELECT doc_id AS id, text AS txt, source AS grp,
+                 length(text) AS len
+          FROM documents
+          WHERE text IS NOT NULL AND length(text) > 0
+        ),
+        pos AS (SELECT id, len, unnest(range(8, len + 1)) AS i, txt
+                FROM docs),
+        bnd AS (
+          SELECT id, i FROM pos
+          WHERE CAST(('0x' || substring(
+                  md5(substring(txt, i - 7, 8)), 1, 15)) AS BIGINT)
+                % 64 = 0
+        ),
+        spans AS (
+          SELECT id,
+                 COALESCE(lag(i) OVER (PARTITION BY id ORDER BY i), 0)
+                   + 1 AS st,
+                 i AS en
+          FROM bnd
+        ),
+        tl AS (
+          SELECT b.id, b.last + 1 AS st, d.len AS en
+          FROM (SELECT id, max(i) AS last FROM bnd GROUP BY 1) b
+            JOIN docs d USING (id)
+          WHERE b.last < d.len
+        ),
+        whole AS (
+          SELECT d.id, 1 AS st, d.len AS en FROM docs d
+          WHERE d.id NOT IN (SELECT id FROM bnd)
+        ),
+        allspans AS (
+          SELECT * FROM spans
+          UNION ALL SELECT * FROM tl
+          UNION ALL SELECT * FROM whole
+        ),
+        chunks AS (
+          SELECT d.grp, a.en - a.st + 1 AS nbytes,
+                 CAST(('0x' || substring(
+                   md5(substring(d.txt, a.st, a.en - a.st + 1)),
+                   1, 15)) AS BIGINT) AS fp
+          FROM allspans a JOIN docs d USING (id)
+        ),
+        per_fp AS (
+          SELECT grp, fp, CAST(count(*) AS BIGINT) AS n,
+                 min(nbytes) AS nbytes
+          FROM chunks GROUP BY 1, 2
+        )
+        SELECT grp AS source, CAST(sum(n) AS BIGINT) AS n_chunks,
+               CAST(count(*) AS BIGINT) AS n_unique,
+               CAST(sum(n * nbytes) AS BIGINT) AS bytes_total,
+               CAST(sum(nbytes) AS BIGINT) AS bytes_unique,
+               round(1.0 - CAST(sum(nbytes) AS DOUBLE)
+                     / sum(n * nbytes), 6) AS dedup_ratio
+        FROM per_fp GROUP BY 1 ORDER BY 1
+    """,
+    doc="Content-defined chunking dedup audit per source (LBFS "
+    "SOSP'01 / the FastCDC family): documents split where the hash "
+    "of the trailing 8-gram is 0 mod 64, so chunk boundaries follow "
+    "CONTENT — an insertion shifts no boundary beyond its edit "
+    "horizon, and duplicated passages land in identical chunks even "
+    "when exact-doc dedup misses the containing documents (the "
+    "storage-layer complement to MinHash: crawl snapshots dedup at "
+    "chunk granularity). Reports chunk counts, within-source "
+    "distinct chunks, byte totals and the dedup ratio. Windowed-"
+    "hash boundary (pure per-position md5h expression) instead of "
+    "the Gear rolling recursion — identical shift-resistance with "
+    "an exact SQL twin; min/max chunk clamps omitted (stated "
+    "contract). The only len(text)-sized stage is the boundary "
+    "filter, projected to (id, i) immediately "
+    "(operators/dedup.py cdc_chunk_stats).",
+)
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return D.cdc_chunk_stats(docs)
+
+
+@register(
     "q_err_eval",
     oracle="WITH " + _BM25_CTE + """,
         qt AS (SELECT doc_id, term, count(*) AS tf FROM toks

@@ -106,6 +106,7 @@ DECIMAL_RECIPE_QUERIES = [
     # matrix profile: exact integer window moments, 6-dp-rounded d^2
     # before the min/rank
     "q_matrix_profile",
+    "q_cdc_chunk_dedup",
     "q_poisson_glm",
     "q_hmm_viterbi",
     "q_gumbel_return_levels",
