@@ -5495,6 +5495,143 @@ def q_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_speculative_acceptance",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id, source,
+                 list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             t -> t <> '') AS t
+          FROM documents
+        ),
+        bg AS (
+          SELECT source,
+                 unnest([struct_pack(w1 := t[i], w2 := t[i+1])
+                         FOR i IN range(1, len(t))], recursive := true)
+          FROM toks
+        ),
+        tfb AS (SELECT source, w1, w2, CAST(count(*) AS BIGINT) AS tf
+                FROM bg GROUP BY 1, 2, 3),
+        c2 AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c2
+               FROM tfb GROUP BY 1, 2),
+        ctx AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS ctx
+                FROM c2 GROUP BY 1),
+        uni AS (
+          SELECT tok AS w2, CAST(count(*) AS BIGINT) AS c1
+          FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1
+        ),
+        scal AS (
+          SELECT CAST(sum(c1) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS v
+          FROM uni
+        ),
+        acc AS (
+          SELECT tfb.source, tfb.tf,
+                 tfb.tf * CAST(round(LEAST(1.0,
+                   CAST(CAST(c2.c2 + 1 AS HUGEINT)
+                        * (scal.n + scal.v) AS DOUBLE)
+                   / CAST(CAST(ctx.ctx + scal.v AS HUGEINT)
+                          * (uni.c1 + 1) AS DOUBLE)), 9)
+                   AS DECIMAL(28,9)) AS s
+          FROM tfb JOIN c2 USING (w1, w2) JOIN ctx USING (w1)
+            JOIN uni USING (w2), scal
+        ),
+        agg AS (
+          SELECT source, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                 CAST(sum(s) AS DOUBLE) / sum(tf) AS a
+          FROM acc GROUP BY 1
+        )
+        SELECT source, n_tokens, round(a, 6) AS acceptance,
+               round(CASE WHEN a >= 1.0 THEN 5.0
+                     ELSE (1.0 - a*a*a*a*a) / (1.0 - a) END, 6)
+                 AS exp_tokens_per_round
+        FROM agg ORDER BY source
+    """,
+    doc="Speculative-decoding acceptance-rate audit (Leviathan et al. "
+    "2023) per source: draft = the corpus's add-one unigram LM, "
+    "target = its add-one bigram LM; the acceptance probability of a "
+    "drafted token is min(1, p_target/p_draft), averaged over every "
+    "bigram position — the data-side measurement of HOW WELL a cheap "
+    "draft model anticipates a context-aware target on each slice of "
+    "the corpus, plus the implied expected tokens per k=4 draft "
+    "round (1-a^5)/(1-a). Determinism: the ratio's numerator and "
+    "denominator are exact integer products ((c2+1)(N+V) vs "
+    "(ctx+V)(c1+1), HUGEINT/decimal-widened), min applied to their "
+    "single float division, per-term 9dp-DECIMAL sums. Same "
+    "scale shape as the bigram LM: keyed (w1,w2)/(w1)/(w2) partial "
+    "aggs, model tables join back by key.",
+)
+def q_speculative_acceptance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.text import (
+        _adjacent_pairs,
+        word_tokens,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    base = docs.select(
+        "source", word_tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    base = managed_persist(base)
+    bg = base.select(
+        "source", F.explode(_adjacent_pairs(F.col("toks"))).alias("p")
+    ).select("source", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    tfb = bg.groupBy("source", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    tfb = managed_persist(tfb)
+    c2 = tfb.groupBy("w1", "w2").agg(F.sum("tf").cast("long").alias("c2"))
+    c2 = managed_persist(c2)
+    ctx = c2.groupBy("w1").agg(F.sum("c2").cast("long").alias("ctx"))
+    uni = (
+        base.select(F.explode("toks").alias("w2"))
+        .groupBy("w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    )
+    uni = managed_persist(uni)
+    scal = uni.agg(
+        F.sum("c1").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    num = (
+        (F.col("c2") + 1).cast("decimal(38,0)")
+        * (F.col("n") + F.col("v")).cast("decimal(38,0)")
+    ).cast("double")
+    den = (
+        (F.col("ctx") + F.col("v")).cast("decimal(38,0)")
+        * (F.col("c1") + 1).cast("decimal(38,0)")
+    ).cast("double")
+    # tf narrowed to decimal(9,0): long x decimal(28,9) would exceed
+    # precision 38 and Spark's precision-loss mode silently truncates
+    # the product's scale to 6dp (observed 1251.028742 vs DuckDB's
+    # 1251.028750692); 9+28+1 = 38 keeps the full 9dp scale
+    term = F.col("tf").cast("decimal(9,0)") * F.round(
+        F.least(F.lit(1.0), num / den), 9
+    ).cast("decimal(28,9)")
+    acc = (
+        tfb.join(c2.hint("shuffle_hash"), ["w1", "w2"])
+        .join(ctx.hint("shuffle_hash"), "w1")
+        .join(uni.hint("shuffle_hash"), "w2")
+        .crossJoin(F.broadcast(scal))
+        .select("source", "tf", term.alias("s"))
+    )
+    agg = acc.groupBy("source").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        (F.sum("s").cast("double") / F.sum("tf")).alias("a"),
+    )
+    a = F.col("a")
+    return agg.select(
+        "source",
+        "n_tokens",
+        F.round(a, 6).alias("acceptance"),
+        F.round(
+            F.when(a >= 1.0, F.lit(5.0)).otherwise(
+                (1.0 - a * a * a * a * a) / (1.0 - a)
+            ),
+            6,
+        ).alias("exp_tokens_per_round"),
+    ).orderBy("source")
+
+
+@register(
     "q_cdc_chunk_dedup",
     oracle="""
         WITH docs AS (

@@ -107,6 +107,7 @@ DECIMAL_RECIPE_QUERIES = [
     # before the min/rank
     "q_matrix_profile",
     "q_cdc_chunk_dedup",
+    "q_speculative_acceptance",
     "q_poisson_glm",
     "q_hmm_viterbi",
     "q_gumbel_return_levels",
