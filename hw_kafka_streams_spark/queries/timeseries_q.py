@@ -3186,6 +3186,136 @@ def q_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_pettitt_test",
+    oracle="""
+        WITH hrs AS (
+          SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h
+          FROM events
+        ),
+        bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM hrs),
+        grid AS (SELECT unnest(range(h0, h1 + 1)) - h0 AS t FROM bounds),
+        cnt AS (SELECT h - (SELECT h0 FROM bounds) AS t,
+                       CAST(count(*) AS BIGINT) AS x
+                FROM hrs GROUP BY 1),
+        series AS (
+          SELECT g.t, COALESCE(cnt.x, 0) AS x
+          FROM grid g LEFT JOIN cnt USING (t)
+        ),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM series),
+        vals AS (
+          SELECT x AS v, CAST(count(*) AS BIGINT) AS c
+          FROM series GROUP BY 1
+        ),
+        cum AS (
+          SELECT v, c, sum(c) OVER (ORDER BY v) AS cm FROM vals
+        ),
+        vt AS (
+          SELECT s.t, 2 * cum.cm - cum.c - nn.n AS vv
+          FROM series s JOIN cum ON cum.v = s.x CROSS JOIN nn
+        ),
+        ut AS (
+          SELECT t, sum(vv) OVER (ORDER BY t) AS u, nn.n
+          FROM vt CROSS JOIN nn
+        ),
+        k AS (
+          SELECT CAST(min(n) AS BIGINT) AS n,
+                 CAST(max(abs(u)) AS BIGINT) AS kstat,
+                 CAST(min(CASE WHEN abs(u) = mk THEN t END) AS BIGINT)
+                   AS change_at
+          FROM (SELECT t, u, n,
+                       max(abs(u)) OVER () AS mk
+                FROM ut WHERE t < n - 1)
+        )
+        SELECT n AS n_hours, kstat AS k_stat, change_at,
+               round(2 * exp(-6.0 * kstat * kstat
+                     / (CAST(n AS DOUBLE) * n * n
+                        + CAST(n AS DOUBLE) * n)), 8) AS p_approx,
+               CAST(2 * exp(-6.0 * kstat * kstat
+                    / (CAST(n AS DOUBLE) * n * n
+                       + CAST(n AS DOUBLE) * n)) < 0.05 AS INT)
+                 AS significant
+        FROM k
+    """,
+    doc="Pettitt changepoint test (Pettitt 1979) over the hourly "
+    "event-count series: the rank-based (distribution-free) single "
+    "changepoint detector — K = max_t |U_t| with U_t the "
+    "Mann-Whitney-style statistic comparing everything before t to "
+    "everything after, located at the argmax (ties -> earliest). "
+    "Complements q_cusum_changepoint (CUSUM needs a mean scale; "
+    "Pettitt survives heavy tails and monotone transforms). Computed "
+    "via the exact identity U_t = prefix-sum of V_t where "
+    "V_t = #{x_j < x_t} - #{x_j > x_t} comes from the value "
+    "histogram (ties handled exactly, no O(n^2) pair join) — "
+    "integers end to end, the only float is the closed-form "
+    "significance 2 exp(-6K^2/(n^3+n^2)). Series zero-filled over "
+    "the time-DOMAIN-bounded hour grid; every window runs on "
+    "value- or domain-bounded tables.",
+)
+def q_pettitt_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.winutil import (
+        tiny_table_partition,
+    )
+
+    e = load_table(spark, "events", sf_dir)
+    hrs = e.select((F.col("ts").cast("long") / 3600).cast("long").alias("h"))
+    bounds = hrs.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = bounds.select(
+        F.explode(F.sequence(F.lit(0), F.col("h1") - F.col("h0"))).alias("t")
+    )
+    cnt = (
+        hrs.crossJoin(F.broadcast(bounds))
+        .groupBy((F.col("h") - F.col("h0")).alias("t"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    series = grid.join(cnt.hint("shuffle_hash"), "t", "left").select(
+        "t", F.coalesce(F.col("x"), F.lit(0)).alias("x")
+    )
+    series = managed_persist(series)
+    nn = series.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    vals = series.groupBy(F.col("x").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wv = Window.partitionBy(tiny_table_partition("v")).orderBy("v")
+    cum = vals.withColumn("cm", F.sum("c").over(wv))
+    vt = (
+        series.join(F.broadcast(cum), series.x == cum.v)
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "t",
+            (2 * F.col("cm") - F.col("c") - F.col("n")).alias("vv"),
+            "n",
+        )
+    )
+    wt = (
+        Window.partitionBy(tiny_table_partition("t"))
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ut = vt.select(
+        "t", F.sum("vv").over(wt).alias("u"), "n"
+    ).filter(F.col("t") < F.col("n") - 1)
+    wk = Window.partitionBy(tiny_table_partition("t"))
+    k = ut.withColumn("mk", F.max(F.abs(F.col("u"))).over(wk)).agg(
+        F.min("n").cast("long").alias("n"),
+        F.max(F.abs(F.col("u"))).cast("long").alias("kstat"),
+        F.min(F.when(F.abs(F.col("u")) == F.col("mk"), F.col("t")))
+        .cast("long")
+        .alias("change_at"),
+    )
+    nd = F.col("n").cast("double")
+    p = 2 * F.exp(
+        -6.0 * F.col("kstat") * F.col("kstat") / (nd * nd * nd + nd * nd)
+    )
+    return k.select(
+        F.col("n").alias("n_hours"),
+        F.col("kstat").alias("k_stat"),
+        "change_at",
+        F.round(p, 8).alias("p_approx"),
+        (p < 0.05).cast("int").alias("significant"),
+    )
+
+
+@register(
     "q_matrix_profile",
     oracle="""
         WITH hrs AS (

@@ -108,6 +108,7 @@ DECIMAL_RECIPE_QUERIES = [
     "q_matrix_profile",
     "q_cdc_chunk_dedup",
     "q_speculative_acceptance",
+    "q_pettitt_test",
     "q_poisson_glm",
     "q_hmm_viterbi",
     "q_gumbel_return_levels",

@@ -71,6 +71,13 @@ PROBES = [
     "q_sprt_audit",
     "q_ppmi_power_iteration",
     "q_collation_fold",
+    # round-10 additions
+    "q_cdc_chunk_dedup",
+    "q_matrix_profile",
+    "q_speculative_acceptance",
+    "q_breusch_pagan",
+    "q_cooks_distance",
+    "q_anderson_darling",
 ]
 
 
@@ -152,6 +159,21 @@ NOTES = {
     "q_dedup_threshold_sweep": "docs 10x; ONE candidate generation "
     "(max_df=64 hot-shingle guard), 5-row threshold broadcast over "
     "the bounded pair set",
+    "q_cdc_chunk_dedup": "docs 10x; the boundary md5 scan is the only "
+    "len(text)-sized stage (projected to (id, i) immediately) — "
+    "linear in total characters, chunk stats partial-agged",
+    "q_matrix_profile": "events 10x; the hour grid is time-DOMAIN-"
+    "bounded (720 hours at every SF) so the diagonal table is "
+    "constant-size — only the grid aggregation sees more rows",
+    "q_speculative_acceptance": "docs 10x; keyed (w1,w2)/(w1)/(w2) "
+    "partial aggs, model tables join back by key — vocab-bounded "
+    "epilogue",
+    "q_breusch_pagan": "lineitem 10x; two scan passes (exact-DECIMAL "
+    "moments, quantized residual moments), 3-row literal fit",
+    "q_cooks_distance": "lineitem 10x; broadcast 1-row fit, narrow "
+    "map, distributed partial top-20",
+    "q_anderson_darling": "docs 10x; one grouped-count pass, EDF "
+    "epilogue over DISTINCT lengths (value-domain-bounded)",
     "q_ql_dirichlet": "docs 10x; matched-term tf join is "
     "docs-hitting-terms sized, full-corpus branch is a column "
     "expression on the dl table",
