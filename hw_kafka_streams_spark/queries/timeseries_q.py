@@ -3186,6 +3186,141 @@ def q_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_abc_analysis",
+    oracle="""
+        WITH rev AS (
+          SELECT l_partkey AS pk,
+                 sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                   AS r
+          FROM lineitem GROUP BY 1
+        ),
+        b AS (
+          SELECT min(CAST(r AS DOUBLE)) AS rmin,
+                 max(CAST(r AS DOUBLE)) AS rmax,
+                 CAST(sum(r) AS DECIMAL(38,0)) AS tot
+          FROM rev
+        ),
+        blked AS (
+          SELECT pk, r,
+                 LEAST(CAST(floor((b.rmax - CAST(r AS DOUBLE))
+                       / (b.rmax - b.rmin + 1e-9) * 512) AS BIGINT),
+                       511) AS blk,
+                 b.tot
+          FROM rev CROSS JOIN b
+        ),
+        inblk AS (
+          SELECT pk, r, blk, tot,
+                 sum(r) OVER (PARTITION BY blk
+                              ORDER BY r DESC, pk) AS cum_in
+          FROM blked
+        ),
+        bsum AS (SELECT blk, sum(r) AS bs FROM blked GROUP BY 1),
+        boff AS (
+          SELECT blk, COALESCE(sum(bs) OVER (ORDER BY blk
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS off
+          FROM bsum
+        ),
+        cls AS (
+          SELECT i.pk, i.r,
+                 CASE WHEN CAST(i.cum_in + o.off AS DOUBLE) / i.tot
+                           <= 0.80 THEN 'A'
+                      WHEN CAST(i.cum_in + o.off AS DOUBLE) / i.tot
+                           <= 0.95 THEN 'B'
+                      ELSE 'C' END AS abc
+          FROM inblk i JOIN boff o USING (blk)
+        )
+        SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+               round(CAST(sum(r) AS DOUBLE) / 1e4, 2) AS revenue,
+               round(CAST(sum(r) AS DOUBLE)
+                     / (SELECT CAST(tot AS DOUBLE) FROM b), 6) AS share
+        FROM cls GROUP BY 1 ORDER BY abc
+    """,
+    doc="ABC / Pareto inventory classification of parts by revenue "
+    "(class A = parts inside the top 80% of cumulative revenue, "
+    "B to 95%, C the tail) — the classic concentration rollup behind "
+    "'which 20% of the catalog earns 80%'. Scale shape: the global "
+    "revenue-descending cumulative sum uses the block-prefix-sum "
+    "pattern (512 range blocks over the revenue domain: per-block "
+    "windows run parallel, only the 512-row block-offset table is "
+    "single-partition) — never a global window over the data-sized "
+    "part dimension. Per-part revenue is an exact 2dp-DECIMAL sum, "
+    "so ordering (r DESC, partkey) and every cumulative are "
+    "engine-identical; block boundaries are one shared float "
+    "expression of the exact min/max.",
+)
+def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.winutil import (
+        tiny_table_partition,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    # exact integer micro-cents: price and discount are 2dp-exact, so
+    # round(x*100)::long is exact on both engines — round(x, 2) on the
+    # 4-decimal product hits the .005 boundary constantly, where Spark
+    # (shortest-repr BigDecimal) and DuckDB (exact binary) disagree
+    rev = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("r")
+    )
+    rev = managed_persist(rev)
+    b = rev.agg(
+        F.min(F.col("r").cast("double")).alias("rmin"),
+        F.max(F.col("r").cast("double")).alias("rmax"),
+        F.sum("r").cast("decimal(38,0)").alias("tot"),
+    )
+    blk = F.least(
+        F.floor(
+            (F.col("rmax") - F.col("r").cast("double"))
+            / (F.col("rmax") - F.col("rmin") + 1e-9)
+            * 512
+        ).cast("long"),
+        F.lit(511),
+    )
+    blked = rev.crossJoin(F.broadcast(b)).select(
+        "pk", "r", blk.alias("blk"), "tot"
+    )
+    blked = managed_persist(blked)
+    win = Window.partitionBy("blk").orderBy(F.desc("r"), "pk")
+    inblk = blked.withColumn("cum_in", F.sum("r").over(win))
+    bsum = blked.groupBy("blk").agg(F.sum("r").alias("bs"))
+    woff = (
+        Window.partitionBy(tiny_table_partition("blk"))
+        .orderBy("blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boff = bsum.select(
+        "blk", F.coalesce(F.sum("bs").over(woff), F.lit(0)).alias("off")
+    )
+    share = (F.col("cum_in") + F.col("off")).cast("double") / F.col("tot")
+    cls = inblk.join(F.broadcast(boff), "blk").select(
+        "r",
+        F.when(share <= 0.80, "A").when(share <= 0.95, "B").otherwise(
+            "C"
+        ).alias("abc"),
+    )
+    tot_d = b.select(F.col("tot").cast("double").alias("t"))
+    return (
+        cls.groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("r").cast("double").alias("revenue"),
+        )
+        .crossJoin(F.broadcast(tot_d))
+        .select(
+            "abc",
+            "n_parts",
+            F.round(F.col("revenue") / 1e4, 2).alias("revenue"),
+            F.round(F.col("revenue") / F.col("t"), 6).alias("share"),
+        )
+        .orderBy("abc")
+    )
+
+
+@register(
     "q_pettitt_test",
     oracle="""
         WITH hrs AS (

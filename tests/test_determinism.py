@@ -109,6 +109,7 @@ DECIMAL_RECIPE_QUERIES = [
     "q_cdc_chunk_dedup",
     "q_speculative_acceptance",
     "q_pettitt_test",
+    "q_abc_analysis",
     "q_poisson_glm",
     "q_hmm_viterbi",
     "q_gumbel_return_levels",
