@@ -3186,6 +3186,83 @@ def q_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dau_wau_stickiness",
+    oracle="""
+        WITH act AS (
+          SELECT DISTINCT user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+          FROM events
+        ),
+        bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM act),
+        contrib AS (
+          SELECT user_id, unnest(range(day, LEAST(day + 7,
+                   (SELECT d1 FROM bounds) + 1))) AS day
+          FROM act
+        ),
+        dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+                FROM act GROUP BY 1),
+        wau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT)
+                  AS wau
+                FROM contrib GROUP BY 1),
+        full7 AS (
+          SELECT w.day, d.dau, w.wau
+          FROM wau w JOIN dau d USING (day)
+          WHERE w.day >= (SELECT d0 FROM bounds) + 6
+        )
+        SELECT day - (SELECT d0 FROM bounds) AS day_idx, dau, wau,
+               round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+        FROM full7 ORDER BY day_idx
+    """,
+    doc="DAU / trailing-7-day WAU / stickiness (DAU/WAU) per day — the "
+    "product-analytics engagement rollup. The sliding DISTINCT is the "
+    "interesting part at scale: a 7-day window COUNT(DISTINCT) per "
+    "day would re-scan a week of raw events per day; instead each "
+    "(user, active-day) pair — already deduplicated, far smaller "
+    "than events — is EXPLODED into the <= 7 future day-buckets it "
+    "contributes to, and WAU is one partial-agged distinct count per "
+    "bucket (the standard contribution-explode trick; cost = 7x the "
+    "per-day distinct table, independent of raw event volume). Days "
+    "with an incomplete trailing week are dropped (stated contract); "
+    "exact integer counts, one float division.",
+)
+def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    act = e.select(
+        "user_id",
+        (F.col("ts").cast("long") / 86400).cast("long").alias("day"),
+    ).distinct()
+    act = managed_persist(act)
+    bounds = act.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    contrib = act.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.least(F.col("day") + 6, F.col("d1")),
+            )
+        ).alias("day"),
+    )
+    dau = act.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    wau = contrib.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )
+    return (
+        wau.join(dau.hint("shuffle_hash"), "day")
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("day") >= F.col("d0") + 6)
+        .select(
+            (F.col("day") - F.col("d0")).alias("day_idx"),
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day_idx")
+    )
+
+
+@register(
     "q_abc_analysis",
     oracle="""
         WITH rev AS (
