@@ -52,9 +52,20 @@ def exchange_counts(df: DataFrame) -> tuple[int, int]:
     automatic). Counts ALL shuffle exchanges — hash, range, and
     single-partition — not just hash partitioning.
     """
+    return _node_counts(df)[:2]
+
+
+def _node_counts(df: DataFrame) -> tuple[int, int, int, int]:
+    """(shuffles, broadcasts, sort_merge_joins, nested_loop_joins) by
+    the node-id-deduped JVM walk — the string-count of a plan with
+    persisted subtrees repeats every node once per InMemoryTableScan
+    consumer (the r4/r9 inflation class; q_transfer_entropy's plan
+    string showed 120 NLJs for what is physically 2 nodes)."""
     root = df._jdf.queryExecution().executedPlan()
     shuffles: set[int] = set()
     broadcasts: set[int] = set()
+    smjs: set[int] = set()
+    nljs: set[int] = set()
     visited: set[int] = set()
     stack = [root]
     while stack:
@@ -93,10 +104,14 @@ def exchange_counts(df: DataFrame) -> tuple[int, int]:
             shuffles.add(nid)
         elif name == "BroadcastExchangeExec":
             broadcasts.add(nid)
+        elif name == "SortMergeJoinExec":
+            smjs.add(nid)
+        elif name == "BroadcastNestedLoopJoinExec" or "NestedLoop" in name:
+            nljs.add(nid)
         ch = node.children()
         for i in range(ch.length()):
             stack.append(ch.apply(i))
-    return len(shuffles), len(broadcasts)
+    return len(shuffles), len(broadcasts), len(smjs), len(nljs)
 
 
 def pushed_filters(df: DataFrame) -> list[str]:
@@ -251,13 +266,13 @@ def plan_report(df: DataFrame, execute: bool = False) -> dict:
     # string-counting BroadcastHashJoin repeats a reused/cached subtree
     # once per consumer (the exact inflation count_shuffles documents;
     # the r9 PLANS.md showed a nonsense 312 for q_bleu_pairs)
-    n_shuffles, n_broadcasts = exchange_counts(df)
+    n_shuffles, n_broadcasts, n_smj, n_nlj = _node_counts(df)
     return {
         "cache_reuses": max(0, raw.count("InMemoryTableScan") - 1),
         "shuffles": n_shuffles,
         "broadcasts": n_broadcasts,
-        "sort_merge_joins": plan.count("SortMergeJoin"),
-        "nested_loop_joins": plan.count("NestedLoop"),
+        "sort_merge_joins": n_smj,
+        "nested_loop_joins": n_nlj,
         "python_stages": plan.count("EvalPython") + plan.count("MapInPandas"),
         # Arrow-batched pandas UDFs (vectorized, acceptable for numeric
         # kernels) vs row-at-a-time Python UDFs (the true slow path —
