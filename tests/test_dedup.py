@@ -171,8 +171,12 @@ def test_jaccard_max_df_drops_hot_shingles(spark):
         (r.id1, r.id2): r.jaccard
         for r in jaccard_candidate_pairs(docs, threshold=0.01, max_df=2).collect()
     }
-    # hot shingles dropped: only the true near-dup pair survives, at 1.0
-    assert set(capped) == {(1, 2)} and capped[(1, 2)] == 1.0
+    # hot shingles dropped from the JOIN only: the true near-dup pair
+    # is the sole survivor, and its jaccard is the LOWER BOUND over
+    # true (uncut) set sizes — 3 kept shared shingles of 4-shingle
+    # sets: 3/(4+4-3) = 0.6 <= the true 1.0 (round-10 contract: sizes
+    # are never shrunk by the cut, so the guard can only DROP pairs)
+    assert set(capped) == {(1, 2)} and capped[(1, 2)] == 0.6
 
 
 def test_minhash_arrow_kernel_matches_jvm_md5(spark):

@@ -1201,7 +1201,7 @@ def test_bradley_terry_strengths_track_win_rates(spark, sf_dir):
 
 def test_dp_noisy_counts_seeded_laplace(spark, sf_dir):
     """Noise is deterministic (seeded), nonzero, and Laplace-bounded;
-    epsilon is reported."""
+    the nominal epsilon is reported."""
     from hw_kafka_streams_spark.queries import queries
 
     r1 = queries()["q_dp_noisy_counts"](spark, sf_dir).collect()
@@ -1212,7 +1212,9 @@ def test_dp_noisy_counts_seeded_laplace(spark, sf_dir):
         assert noise != 0  # a.s. for the seeded uniform
         # |noise| = b*|ln(u')|, u' >= 1e-18 -> |noise| <= 18*ln(10)+eps
         assert abs(noise) < 42
-        assert r.epsilon == 1.0
+        assert r.nominal_epsilon == 1.0  # renamed: the deterministic
+        # public seed VOIDS the DP guarantee (ADVICE r9) — the column
+        # records the budget a secret-seed deployment would spend
 
 
 def test_fd_discovery_keys_hold_and_decoys_fail(spark, sf_dir):
