@@ -4331,6 +4331,83 @@ def q_lilliefors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_odds_ratio",
+    oracle="""
+        WITH cells AS (
+          SELECT CAST(sum(CASE WHEN lang = 'en' AND n_chars > 500
+                          THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                 CAST(sum(CASE WHEN lang = 'en' AND n_chars <= 500
+                          THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                 CAST(sum(CASE WHEN lang <> 'en' AND n_chars > 500
+                          THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                 CAST(sum(CASE WHEN lang <> 'en' AND n_chars <= 500
+                          THEN 1 ELSE 0 END) AS BIGINT) AS d
+          FROM documents
+          WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+        )
+        SELECT a, b, c, d,
+               round(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c), 6)
+                 AS odds_ratio,
+               round(exp(ln(CAST(a AS DOUBLE) * d
+                            / (CAST(b AS DOUBLE) * c))
+                         - 1.959964 * sqrt(1.0/a + 1.0/b + 1.0/c
+                                           + 1.0/d)), 6) AS ci_lo,
+               round(exp(ln(CAST(a AS DOUBLE) * d
+                            / (CAST(b AS DOUBLE) * c))
+                         + 1.959964 * sqrt(1.0/a + 1.0/b + 1.0/c
+                                           + 1.0/d)), 6) AS ci_hi,
+               CAST(exp(ln(CAST(a AS DOUBLE) * d
+                           / (CAST(b AS DOUBLE) * c))
+                        - 1.959964 * sqrt(1.0/a + 1.0/b + 1.0/c
+                                          + 1.0/d)) > 1.0
+                    OR exp(ln(CAST(a AS DOUBLE) * d
+                              / (CAST(b AS DOUBLE) * c))
+                           + 1.959964 * sqrt(1.0/a + 1.0/b + 1.0/c
+                                             + 1.0/d)) < 1.0 AS INT)
+                 AS significant
+        FROM cells
+    """,
+    doc="Odds ratio with the Woolf 95% CI over the 2x2 table "
+    "(exposure = lang 'en', outcome = n_chars > 500): the "
+    "epidemiology-standard association effect SIZE that q_chi2_"
+    "independence's p-value cannot give (chi2 says 'associated', OR "
+    "says 'how strongly and in which direction', and the CI excludes "
+    "1 iff the association is significant at 5%). One conditional-sum "
+    "scan to four exact integer cells; ln(OR) +- 1.959964*sqrt(1/a+1/b"
+    "+1/c+1/d) is a fixed float epilogue shared verbatim by both "
+    "engines.",
+)
+def q_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("lang").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    en = F.col("lang") == "en"
+    big = F.col("n_chars") > 500
+    cells = docs.agg(
+        F.sum((en & big).cast("long")).cast("long").alias("a"),
+        F.sum((en & ~big).cast("long")).cast("long").alias("b"),
+        F.sum((~en & big).cast("long")).cast("long").alias("c"),
+        F.sum((~en & ~big).cast("long")).cast("long").alias("d"),
+    )
+    a, b = F.col("a").cast("double"), F.col("b").cast("double")
+    c, d = F.col("c").cast("double"), F.col("d").cast("double")
+    lor = F.log(a * d / (b * c))
+    se = F.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+    lo = F.exp(lor - 1.959964 * se)
+    hi = F.exp(lor + 1.959964 * se)
+    return cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(a * d / (b * c), 6).alias("odds_ratio"),
+        F.round(lo, 6).alias("ci_lo"),
+        F.round(hi, 6).alias("ci_hi"),
+        ((lo > 1.0) | (hi < 1.0)).cast("int").alias("significant"),
+    )
+
+
+@register(
     "q_anderson_darling",
     oracle="""
         WITH mom AS (
