@@ -106,7 +106,7 @@ def _node_counts(df: DataFrame) -> tuple[int, int, int, int]:
             broadcasts.add(nid)
         elif name == "SortMergeJoinExec":
             smjs.add(nid)
-        elif name == "BroadcastNestedLoopJoinExec" or "NestedLoop" in name:
+        elif "NestedLoop" in name:
             nljs.add(nid)
         ch = node.children()
         for i in range(ch.length()):
@@ -257,6 +257,13 @@ def plan_report(df: DataFrame, execute: bool = False) -> dict:
     Cached-subtree repetitions are collapsed before counting (see
     :func:`_collapse_cached_repeats`); ``cache_reuses`` reports how
     many InMemoryTableScan consumers shared a persisted subtree.
+
+    Metric note (round 10+): ``broadcasts`` counts DEDUPED
+    ``BroadcastExchangeExec`` nodes from the JVM plan walk — it
+    includes exchanges feeding nested-loop joins and collapses reused
+    ones. Rounds <=9 counted ``BroadcastHashJoin`` substring hits in
+    the plan string (inflated by cached-subtree repetition); PLANS.md
+    numbers are not comparable across that boundary.
     """
     if execute:
         df.collect()

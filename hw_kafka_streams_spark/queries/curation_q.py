@@ -4478,7 +4478,10 @@ def q_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text, clamped to [1e-15, 1-1e-15] on both engines; per-term "
     "DECIMAL(38,9) rounding makes the float sum order-proof. "
     "A*2 = A2(1+0.75/n+2.25/n^2) against the 5% estimated-parameters "
-    "critical value 0.787.",
+    "critical value 0.787. Convention: z-scores use the POPULATION "
+    "sd (SS/n), not Stephens' n-1 sample sd — A*2 is slightly "
+    "inflated (conservative) for small groups; the oracle mirrors "
+    "the same formula and q_lilliefors shares the convention.",
 )
 def q_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W

@@ -4971,7 +4971,8 @@ def q_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     # max_df=64: hot-shingle skew guard for the tau=0.05 candidate
     # join (O(d^2) rows per shingle otherwise); identical cut in the
-    # oracle CTE, sizes computed after the cut on both engines
+    # oracle CTE, sizes computed before the cut (true uncut sizes)
+    # on both engines — cutting sizes inflates low-tau jaccard
     cand = D.jaccard_candidate_pairs(docs, threshold=0.05, max_df=64).select(
         "id1", "id2", "jaccard"
     )

@@ -3661,7 +3661,10 @@ def q_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("i", "s", "ss")
     valid = managed_persist(valid)
     hmax = bounds.select((F.col("h1") - F.col("h0")).alias("tmax"))
-    lags = hmax.select(
+    # Guard: F.sequence counts DOWN when start > stop, which would emit
+    # trivial-overlap lags d < m on series shorter than 2m hours while
+    # the DuckDB oracle's range(m, H-m+1) is empty — filter bounds first.
+    lags = hmax.filter(F.col("tmax") + 1 - m >= m).select(
         F.explode(
             F.sequence(F.lit(m), F.col("tmax") + 1 - m)
         ).alias("d")
