@@ -246,6 +246,13 @@ def jaccard_candidate_pairs(
     preserves exact semantics (and the DuckDB oracle).
     """
     postings = shingle_postings(df, text_col, id_col, n, distinct=True)
+    # The posting table feeds 3 consumers (set sizes + both self-join
+    # sides) — 4 with the max_df df-count — so persist it ONCE instead
+    # of re-running tokenize→explode→window per consumer (VERDICT r10
+    # item 3: the df guard must not cost an extra corpus scan). Spills
+    # to disk at scale; still cheaper than recomputing the shingle
+    # pipeline 3-4x over 100 TB.
+    postings = managed_persist(postings)
     # TRUE set sizes, computed before any df cut (see docstring)
     sizes = postings.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     if max_df is not None:

@@ -4987,16 +4987,21 @@ def q_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(cand.select(F.col("id2")))
         .distinct()
     )
-    tk = (
+    # tk/uni/big are each consumed twice below (a and b join sides) and
+    # lens twice (la, lb): unpersisted, that re-runs the corpus scan +
+    # tokenize SIX times (measured ~4 s of the query's 6.6 at sf0.1).
+    # All three are candidate-member-bounded (~|pairs| docs), so the
+    # persists are tiny and the docs scan happens exactly once.
+    tk = managed_persist(
         docs.join(F.broadcast(ids), "doc_id")
         .select("doc_id", word_tokens(F.col("text")).alias("toks"))
     )
-    uni = (
+    uni = managed_persist(
         tk.select("doc_id", F.explode("toks").alias("g"))
         .groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    big = (
+    big = managed_persist(
         tk.filter(F.size("toks") >= 2)
         .select(
             "doc_id",
