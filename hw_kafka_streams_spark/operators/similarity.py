@@ -269,14 +269,66 @@ def lsh_topk(
     )
 
 
+def ivf_geometry_for(rows: int) -> tuple[int, int]:
+    """Auto-scaled IVF geometry: (n_centroids, n_probe) for a corpus
+    of ``rows`` vectors.
+
+    Below 2048 rows the legacy (16 centroids, 4 probes) geometry is
+    returned — every driver test SF lands here, so value-hash oracles
+    are unchanged. Past that, ``n_centroids = 2^ceil(log2(sqrt(n)))``
+    (the nlist ~ sqrt(n) rule from Johnson et al., billion-scale
+    similarity search, rounded to a power of two and capped at 4096)
+    and ``n_probe = max(4, n_centroids / 16)``, which pins the
+    expected corpus-scan fraction at ~6% (<= 10% at any scale) instead
+    of the fixed default's 25%: at 100x the data a probe still reads a
+    CONSTANT fraction, and the per-list occupancy n/n_centroids grows
+    only as sqrt(n).
+    """
+    import math
+
+    if rows <= 2048:
+        return 16, 4
+    n_c = min(4096, 2 ** math.ceil(math.log2(math.sqrt(rows))))
+    return n_c, max(4, n_c // 16)
+
+
+def topk_centroids_arrow(
+    vec: Column, centroids: list[list[float]], n_probe: int
+) -> Column:
+    """Top-``n_probe`` centroid ids by cosine, one batched (n × k × d)
+    matmul per Arrow batch (ties → smaller cid, stable argsort — the
+    same order as the plan-literal ``array_sort`` path). The probe
+    kernel for auto-scaled IVF: at 256+ centroids a plan-literal
+    scoring expression is tens of thousands of Catalyst nodes, while
+    this stays one numpy matmul regardless of k."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+    cn = np.linalg.norm(C, axis=1)
+    Cn = C / np.where(cn == 0, 1.0, cn)[:, None]
+    take = min(n_probe, len(centroids))
+
+    @pandas_udf("array<int>")
+    def _probe(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        A = _stack(v).astype(np.float64)  # (n, dim)
+        an = np.linalg.norm(A, axis=1)
+        sims = (A / np.where(an == 0, 1.0, an)[:, None]) @ Cn.T  # (n, k)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :take]
+        return pd.Series(list(order.astype("int32")))
+
+    return _probe(vec)
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 16,
-    n_probe: int = 4,
+    n_centroids: int | None = None,
+    n_probe: int | None = None,
     seed: int = 13,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) partitioning.
@@ -291,10 +343,22 @@ def ivf_topk(
 
     Corpus scanned fraction ≈ n_probe / n_centroids; recall grows with
     n_probe — the standard IVF trade (Johnson et al., billion-scale
-    similarity search).
+    similarity search). ``n_centroids=None`` (default) auto-scales the
+    geometry from the corpus row count via :func:`ivf_geometry_for`
+    (legacy 16/4 at every driver SF; ~sqrt(n) lists with a pinned ~6%
+    scan fraction beyond) and probes via the Arrow kernel when the
+    centroid set is too large for plan-literal scoring.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
+
+    if n_centroids is None:
+        auto_c, auto_p = ivf_geometry_for(corpus.count())
+        n_centroids = auto_c
+        if n_probe is None:
+            n_probe = auto_p
+    if n_probe is None:
+        n_probe = max(4, n_centroids // 16) if n_centroids > 32 else 4
 
     feat = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -311,24 +375,37 @@ def ivf_topk(
     def _centroid_col(c: list[float]):
         return F.array(*[F.lit(float(x)) for x in c])
 
-    # score all centroids per query (JVM expressions over plan literals),
-    # keep the n_probe nearest (by cosine), explode to (query, cid)
-    qv = F.col("qvec").cast("array<double>")
-    scored = F.array(
-        *[
-            F.struct(
-                (-cosine(qv, _centroid_col(c))).alias("negsim"),
-                F.lit(i).alias("cid"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    # score all centroids per query, keep the n_probe nearest (by
+    # cosine), explode to (query, cid). Small centroid sets score as
+    # JVM expressions over plan literals (the legacy, oracle-stable
+    # plan); large auto-scaled sets use the Arrow matmul kernel — a
+    # 256-centroid literal expression is ~50k Catalyst nodes.
+    qbase = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    probes = F.slice(F.array_sort(scored), 1, n_probe)
-    q = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-        .select("query_id", "qvec", F.explode(probes).alias("p"))
-        .select("query_id", "qvec", F.col("p.cid").alias("cid"))
-    )
+    if n_centroids <= 32:
+        qv = F.col("qvec").cast("array<double>")
+        scored = F.array(
+            *[
+                F.struct(
+                    (-cosine(qv, _centroid_col(c))).alias("negsim"),
+                    F.lit(i).alias("cid"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+        probes = F.slice(F.array_sort(scored), 1, n_probe)
+        q = qbase.select(
+            "query_id", "qvec", F.explode(probes).alias("p")
+        ).select("query_id", "qvec", F.col("p.cid").alias("cid"))
+    else:
+        q = qbase.select(
+            "query_id",
+            "qvec",
+            F.explode(
+                topk_centroids_arrow(F.col("qvec"), centroids, n_probe)
+            ).alias("cid"),
+        )
 
     cand = (
         indexed.join(F.broadcast(q), "cid")
@@ -535,7 +612,7 @@ def build_ivf_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     seed: int = 13,
 ) -> None:
     """Persist an IVF index: corpus partitioned on disk by nearest
@@ -545,10 +622,13 @@ def build_ivf_index(
     probes 4 of 64 centroids READS 1/16 of the corpus — partition
     pruning at the parquet scan, visible as PartitionFilters in the
     plan. Build cost is one k-means fit + one shuffle-free write.
+    ``n_centroids=None`` auto-scales via :func:`ivf_geometry_for`.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    if n_centroids is None:
+        n_centroids = ivf_geometry_for(corpus.count())[0]
     feat = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
@@ -573,7 +653,7 @@ def ivf_topk_indexed(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_probe: int = 4,
+    n_probe: int | None = None,
 ) -> DataFrame:
     """Search a persisted IVF index (see :func:`build_ivf_index`).
 
@@ -582,27 +662,50 @@ def ivf_topk_indexed(
     unprobed inverted list at the scan. Per-query restriction then
     happens in the (broadcast) candidate join. Centroids and the probe
     set are driver-side literals: both are tiny by construction
-    (n_centroids entries).
+    (n_centroids entries). ``n_probe=None`` derives from the stored
+    centroid count (4 up to 64 lists, then lists/16 — the same pinned
+    ~6% scan fraction as :func:`ivf_geometry_for`).
     """
     centroids = {
         r.cid: r.centroid for r in spark.read.parquet(f"{path}/centroids").collect()
     }
-    qv = F.col("qvec").cast("array<double>")
-    scored = F.array(
-        *[
-            F.struct(
-                (-cosine(qv, F.array(*[F.lit(x) for x in c]))).alias("negsim"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, c in sorted(centroids.items())
-        ]
+    if n_probe is None:
+        n_probe = max(4, len(centroids) // 16)
+    qbase = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    probes = F.slice(F.array_sort(scored), 1, n_probe)
-    q = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-        .select("query_id", "qvec", F.explode(probes).alias("p"))
-        .select("query_id", "qvec", F.col("p.cid").alias("cid"))
-    )
+    if len(centroids) <= 32:
+        qv = F.col("qvec").cast("array<double>")
+        scored = F.array(
+            *[
+                F.struct(
+                    (-cosine(qv, F.array(*[F.lit(x) for x in c]))).alias("negsim"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, c in sorted(centroids.items())
+            ]
+        )
+        probes = F.slice(F.array_sort(scored), 1, n_probe)
+        q = qbase.select(
+            "query_id", "qvec", F.explode(probes).alias("p")
+        ).select("query_id", "qvec", F.col("p.cid").alias("cid"))
+    else:
+        # dense cid order (build_ivf_index writes 0..k-1); the Arrow
+        # kernel indexes by position, so map position -> stored cid
+        cid_order = sorted(centroids)
+        cents = [centroids[c] for c in cid_order]
+        pos2cid = F.array(*[F.lit(int(c)) for c in cid_order])
+        q = qbase.select(
+            "query_id",
+            "qvec",
+            F.explode(
+                topk_centroids_arrow(F.col("qvec"), cents, n_probe)
+            ).alias("pos"),
+        ).select(
+            "query_id",
+            "qvec",
+            F.element_at(pos2cid, F.col("pos") + 1).alias("cid"),
+        )
     probe_cids = sorted({r.cid for r in q.select("cid").distinct().collect()})
     lists = spark.read.parquet(f"{path}/lists").filter(F.col("cid").isin(probe_cids))
     cand = (

@@ -89,7 +89,7 @@ def main() -> None:
         "lsh_topk (auto planes via lsh_planes_for)": lambda: S.lsh_topk(
             queries, corpus, k=K
         ),
-        "ivf_topk (16 centroids, 4 probes)": lambda: S.ivf_topk(
+        "ivf_topk (auto geometry via ivf_geometry_for)": lambda: S.ivf_topk(
             queries, corpus, k=K
         ),
         "pq_topk (m=8, ks=16 ADC)": lambda: S.pq_topk(
@@ -106,6 +106,8 @@ def main() -> None:
         release_managed_caches()
 
     n_corpus = corpus.count()
+    ivf_c, ivf_p = S.ivf_geometry_for(n_corpus)
+    lsh_pl, lsh_r = S.lsh_planes_for(n_corpus)
     lines = [
         "",
         "## ANN recall@10 audit, sf1-scale embeddings "
@@ -115,7 +117,10 @@ def main() -> None:
         f"{N_QUERIES} queries, k={K}; truth = brute_force_topk "
         f"({t_bf:.1f}s). Recall = |approx ∩ truth| / {denom}. "
         "Registry-default parameters — the audit grades the shipped "
-        "configuration.",
+        "configuration. Auto geometry at this corpus size: "
+        f"LSH {lsh_pl} planes / radius {lsh_r}; IVF {ivf_c} centroids "
+        f"/ {ivf_p} probes (expected scan fraction "
+        f"{ivf_p / ivf_c:.1%}).",
         "",
         "| method | recall@10 | wall |",
         "|---|---|---|",
