@@ -101,3 +101,28 @@ def test_oracle_policy_total():
                     f"README.md:{i}: {m2.group(1)} (registry is {total})"
                 )
     assert not stale, f"stale registry counts in docstrings: {stale}"
+
+
+def test_every_headline_query_has_sf1_probe_row():
+    """Headline-coverage lint (VERDICT r10 item 7): every query in the
+    bench headline set must have (a) an sf1 probe row in SCALING.md and
+    (b) a PROBES + NOTES entry in tools/sf1_probe.py, so no headline
+    shape ships without a one-decade growth measurement and its
+    adjudication."""
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(__file__))
+    sys.path.insert(0, root)
+    from bench import HEADLINE  # noqa: E402
+    from sf1_probe import NOTES, PROBES  # noqa: E402
+
+    with open(os.path.join(root, "SCALING.md"), encoding="utf-8") as fh:
+        md = fh.read()
+    missing_rows = [
+        q for q in HEADLINE if not re.search(r"\|\s*" + re.escape(q) + r"\s*\|", md)
+    ]
+    assert not missing_rows, f"headline queries without SCALING.md rows: {missing_rows}"
+    # every sf1 probe must carry its adjudication note
+    missing_note = [q for q in PROBES if q not in NOTES]
+    assert not missing_note, f"sf1_probe PROBES without NOTES entries: {missing_note}"
