@@ -36,10 +36,13 @@ two-dimensional conditioning contexts, encode/decode via
 encode/decode_lossless_arith_jpeg); AND HIERARCHICAL (Annex J — DHP /
 EXP pyramids with either SOF3 + SOF7 Huffman frames or SOF11 + SOF15
 QM-coded arithmetic frames, encode/decode via
-encode/decode_hierarchical_jpeg). Differential DCT frames
-(SOF5/6/13/14) raise NotImplementedError — this is the
-dependency-free exact-spec path that upgrades JPEG from header-only
-metadata to real pixel decode.
+encode/decode_hierarchical_jpeg) — including DCT pyramids: an SOF1
+extended-sequential base frame refined by SOF5 differential
+sequential DCT frames (level shift omitted, PRED=0, closed-loop
+residuals per Annex J.1.1.3 / F.1.1.5.1). Differential progressive
+and arithmetic-DCT frames (SOF6/13/14) raise NotImplementedError —
+this is the dependency-free exact-spec path that upgrades JPEG from
+header-only metadata to real pixel decode.
 
 Determinism contract (what makes the Spark queries oracle-able): every
 rounding site is ``floor(x + 0.5)`` (never banker's rounding), the
@@ -376,9 +379,9 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
             )
         elif marker in (0xC5, 0xC6, 0xCD, 0xCE):
             raise NotImplementedError(
-                "differential DCT frames (all non-differential T.81 "
-                "processes plus the lossless hierarchical pyramid — "
-                "Huffman and arithmetic — supported)"
+                "differential DCT frames are only legal inside a "
+                "hierarchical stream — use decode_hierarchical_jpeg "
+                "(SOF5 supported there; SOF6/13/14 remain gated)"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
             p = 0
@@ -569,16 +572,12 @@ def rgb_to_ycbcr_int(rgb: np.ndarray) -> np.ndarray:
     ).astype(np.int32)
 
 
-def _encode_block(bw_: _BitWriter, blk: np.ndarray, q: np.ndarray,
-                  pred: int, dc_codes, ac_codes) -> int:
-    b0 = blk - 128.0
-    dct = DCT_M @ b0 @ DCT_M.T
-    # exact DC: mathematically S00 = sum/8; the direct sum avoids the
-    # matmul's 1-ulp drift (integer-valued floats sum exactly), so a
-    # constant block quantizes from dc = 8·(v−128) precisely
-    dct[0, 0] = b0.sum() / 8.0
-    qd = _round_half_up(dct / q).astype(np.int64)
-    zz = qd[_ZZ_ROWS, _ZZ_COLS]
+def _write_seq_block(bw_: _BitWriter, zz: np.ndarray, pred: int,
+                     dc_codes, ac_codes) -> int:
+    """Huffman-write one QUANTIZED zigzag block (T.81 F.1.2): DC DIFF
+    against ``pred`` (pass 0 in differential frames — F.1.1.5.1 pins
+    PRED=0 there), then the AC run/size symbols with ZRL and EOB.
+    Returns zz[0], the caller's next prediction."""
     diff = int(zz[0]) - pred
     s = _csize(diff)
     code, size = dc_codes[s]
@@ -605,6 +604,15 @@ def _encode_block(bw_: _BitWriter, blk: np.ndarray, q: np.ndarray,
         code, size = ac_codes[0x00]  # EOB
         bw_.write(code, size)
     return int(zz[0])
+
+
+def _encode_block(bw_: _BitWriter, blk: np.ndarray, q: np.ndarray,
+                  pred: int, dc_codes, ac_codes) -> int:
+    # _quantize_block_zz keeps the exact-DC separation (S00 = sum/8);
+    # see its docstring for the constant-block bit-exactness argument
+    return _write_seq_block(
+        bw_, _quantize_block_zz(blk, q), pred, dc_codes, ac_codes
+    )
 
 
 _SUBSAMPLING = {
@@ -2344,9 +2352,12 @@ def decode_lossless_arith_jpeg(data: bytes) -> tuple[np.ndarray, int]:
 # lossless base frame the whole pyramid is bit-exact, which is what
 # makes q_multimodal_jpeg_hier SQL-oracle-able. Arithmetic pyramids
 # (SOF11 base + SOF15 differential frames under the Annex H.2 QM
-# model, fresh coder/stats per scan) are equally bit-exact.
-# Differential DCT (SOF5/6/13/14) frames raise — a lossy differential
-# stage is a documented honest gate.
+# model, fresh coder/stats per scan) are equally bit-exact. DCT
+# pyramids (SOF1 base + SOF5 differential sequential DCT) are LOSSY
+# but closed-loop deterministic: constant images reduce to the DC
+# roundtrip closed form, which keeps them SQL-oracle-able too.
+# Differential progressive / arithmetic-DCT (SOF6/13/14) frames
+# raise — documented honest gates.
 
 
 def _expand_ref(
@@ -2429,6 +2440,122 @@ def _la_code_plane(
     return enc.flush()
 
 
+def _dct_zz_nolevel(blk: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """FDCT + quantize WITHOUT the level shift: differential DCT frames
+    (T.81 J.1.1.3) code the signed residual plane directly. Exact-DC
+    separation as everywhere in this codec (S00 = sum/8 so a constant
+    residual quantizes from dc = 8·d precisely)."""
+    dct = DCT_M @ blk @ DCT_M.T
+    dct[0, 0] = blk.sum() / 8.0
+    return _round_half_up(dct / q).astype(np.int64)[_ZZ_ROWS, _ZZ_COLS]
+
+
+def _idct_block_zz(zz: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Dequant + IDCT of one quantized zigzag block with the DC term
+    routed around the float matmul (the _decode_block bit-exactness
+    trick: dc/8 is an exact binary operation, so flat blocks survive
+    floor(x+0.5) at .5 boundaries). Returns un-level-shifted floats."""
+    blk = np.zeros((8, 8))
+    blk[_ZZ_ROWS, _ZZ_COLS] = zz
+    blk *= q
+    dc0 = blk[0, 0]
+    blk[0, 0] = 0.0
+    return DCT_M.T @ blk @ DCT_M + dc0 / 8.0
+
+
+def _dct_code_plane(
+    plane: np.ndarray, q: np.ndarray, dc_codes, ac_codes,
+    differential: bool,
+) -> tuple[bytes, np.ndarray]:
+    """Sequential-DCT-code one plane (T.81 F.1 inside an Annex J
+    pyramid). Base frames take 0..255 samples through the usual -128
+    level shift and DC prediction chain; differential frames take
+    SIGNED residuals with no level shift and PRED=0 per block
+    (F.1.1.5.1). Closed loop: also returns the decoder's EXACT
+    reconstruction (quantize → dequantize → IDCT → floor(x+0.5)), so
+    the caller computes the next level's residual against what the
+    decoder will actually hold — the standard hierarchical feedback
+    structure (J.1.1.3)."""
+    h, w = plane.shape
+    bh, bw2 = (h + 7) // 8, (w + 7) // 8
+    padded = np.pad(
+        plane.astype(np.float64),
+        ((0, bh * 8 - h), (0, bw2 * 8 - w)),
+        mode="edge",
+    )
+    bw_ = _BitWriter()
+    rec = np.zeros((bh * 8, bw2 * 8))
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw2):
+            blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            if differential:
+                zz = _dct_zz_nolevel(blk, q)
+                _write_seq_block(bw_, zz, 0, dc_codes, ac_codes)
+            else:
+                zz = _quantize_block_zz(blk, q)
+                pred = _write_seq_block(bw_, zz, pred, dc_codes, ac_codes)
+            rec[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _idct_block_zz(
+                zz, q
+            )
+    bw_.flush()
+    rec = rec[:h, :w]
+    if differential:
+        recp = _round_half_up(rec).astype(np.int64)
+    else:
+        recp = np.clip(_round_half_up(rec + 128.0), 0, 255).astype(np.int64)
+    return bytes(bw_.bytes), recp
+
+
+def _dct_decode_plane(
+    data: bytes, pos: int, fh: int, fw: int, qtab: np.ndarray,
+    dc_dec, ac_dec, differential: bool,
+) -> tuple[np.ndarray, int]:
+    """Mirror of :func:`_dct_code_plane`: one sequential-DCT scan of a
+    single-component hierarchical frame. Differential frames decode DC
+    directly (PRED=0 — F.1.1.5.1) and return signed residuals; base
+    frames run the DC prediction chain and return level-shifted,
+    clamped samples. Returns (int plane, end position)."""
+    bh, bw2 = (fh + 7) // 8, (fw + 7) // 8
+    br = _BitReader(data, pos)
+    out = np.zeros((bh * 8, bw2 * 8))
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw2):
+            zz = np.zeros(64, np.int64)
+            s = dc_dec.decode(br)
+            d = _extend(br.receive(s), s)
+            if differential:
+                zz[0] = d
+            else:
+                pred += d
+                zz[0] = pred
+            k = 1
+            while k < 64:
+                rs = ac_dec.decode(br)
+                r, size = rs >> 4, rs & 0xF
+                if size == 0:
+                    if r == 15:
+                        k += 16  # ZRL
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("corrupt JPEG: AC index overflow")
+                zz[k] = _extend(br.receive(size), size)
+                k += 1
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _idct_block_zz(
+                zz, qtab
+            )
+    plane = out[:fh, :fw]
+    if differential:
+        return _round_half_up(plane).astype(np.int64), br.pos
+    return (
+        np.clip(_round_half_up(plane + 128.0), 0, 255).astype(np.int64),
+        br.pos,
+    )
+
+
 def encode_hierarchical_jpeg(
     img: np.ndarray,
     levels: int = 3,
@@ -2446,15 +2573,22 @@ def encode_hierarchical_jpeg(
     the same pyramid as SOF11 + SOF15 frames — the Annex H.2 QM model
     (25 (Ca, Cb) conditioning contexts) applied per scan, with the
     differential scans coding the mod-2^16 residual under Ss=0 (no
-    predictor, J.1.2)."""
+    predictor, J.1.2). ``entropy="dct"`` codes a LOSSY pyramid —
+    an extended-sequential DCT base frame (SOF1) plus differential
+    sequential DCT refinements (SOF5, level shift omitted and PRED=0
+    per J.1.1.3/F.1.1.5.1), closed-loop so each residual is computed
+    against the decoder's exact reconstruction; 8-bit only (the T.81
+    DCT sample precision here)."""
     if img.ndim != 2:
         raise ValueError("encode_hierarchical_jpeg expects a 2-D array")
     if levels < 2:
         raise ValueError("hierarchical coding needs levels >= 2")
     if not 1 <= predictor <= 7:
         raise ValueError(f"predictor must be 1-7, got {predictor}")
-    if entropy not in ("huffman", "arith"):
-        raise ValueError(f"entropy must be huffman|arith, got {entropy!r}")
+    if entropy not in ("huffman", "arith", "dct"):
+        raise ValueError(
+            f"entropy must be huffman|arith|dct, got {entropy!r}"
+        )
     if precision is None:
         precision = 8 if img.dtype == np.uint8 else 16
     if not 2 <= precision <= 16:
@@ -2462,6 +2596,13 @@ def encode_hierarchical_jpeg(
     px = img.astype(np.int64)
     if px.min() < 0 or px.max() >= (1 << precision):
         raise ValueError(f"sample out of range for {precision}-bit")
+    if entropy == "dct":
+        if precision != 8:
+            raise NotImplementedError(
+                "hierarchical DCT pyramids are 8-bit only (12-bit DCT "
+                "precision unsupported)"
+            )
+        return _encode_hierarchical_dct(px, levels)
     arith = entropy == "arith"
     h, w = px.shape
     pyramid = [px]
@@ -2529,16 +2670,77 @@ def encode_hierarchical_jpeg(
     return bytes(out)
 
 
+def _encode_hierarchical_dct(px: np.ndarray, levels: int) -> bytes:
+    """The entropy="dct" body of :func:`encode_hierarchical_jpeg`:
+    DHP + SOF1 extended-sequential base + EXP/SOF5 differential
+    sequential DCT refinements, all with the Annex K luminance quant
+    table. The DC Huffman table is the lossless-family one (categories
+    0..16 — differential DC DIFFs can reach category 12, past the
+    11-category baseline table K.3); AC is the standard K.5 luminance
+    table. Closed loop: see :func:`_dct_code_plane`."""
+    h, w = px.shape
+    pyramid = [px]
+    for _ in range(levels - 1):
+        pyramid.append(pyramid[-1][::2, ::2])
+    pyramid.reverse()  # coarsest first
+    dc_codes = _build_codes(_LL_BITS, _LL_VALS)
+    ac_codes = _build_codes(AC_LUM_BITS, AC_LUM_VALS)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker]))
+        out.extend(struct.pack(">H", len(payload) + 2))
+        out.extend(payload)
+
+    zzq = bytes(int(QUANT_LUM[ZIGZAG[k]]) for k in range(64))
+    seg(0xDB, bytes([0]) + zzq)  # DQT, Pq=0 table 0
+    seg(0xC4, bytes([0x00]) + bytes(_LL_BITS) + bytes(_LL_VALS))
+    seg(0xC4, bytes([0x10]) + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS))
+    seg(0xDE, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+
+    base = pyramid[0]
+    seg(
+        0xC1,  # SOF1: extended sequential DCT, Huffman
+        struct.pack(">BHHB", 8, base.shape[0], base.shape[1], 1)
+        + bytes([1, 0x11, 0]),
+    )
+    seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0x00]))
+    ent, rec = _dct_code_plane(base, QUANT_LUM, dc_codes, ac_codes, False)
+    out += ent
+
+    for lvl in range(1, levels):
+        cur = pyramid[lvl]
+        ch, cw = cur.shape
+        seg(0xDF, bytes([0x11]))  # EXP: expand both axes
+        ref = _expand_ref(rec, 1, 1, ch, cw)
+        seg(
+            0xC5,  # SOF5: differential sequential DCT, Huffman
+            struct.pack(">BHHB", 8, ch, cw, 1) + bytes([1, 0x11, 0]),
+        )
+        seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0x00]))
+        ent, drec = _dct_code_plane(
+            cur - ref, QUANT_LUM, dc_codes, ac_codes, True
+        )
+        out += ent
+        rec = np.clip(ref + drec, 0, 255)
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
 def decode_hierarchical_jpeg(data: bytes) -> tuple[np.ndarray, int]:
-    """Decode a single-component hierarchical JPEG: DHP + a lossless
-    base frame (SOF3 Huffman or SOF11 arithmetic) + EXP/differential-
-    lossless refinements (SOF7 Huffman or SOF15 QM-coded). Returns
-    ``(plane, precision)``. Differential DCT frames (SOF5/6/13/14)
-    raise NotImplementedError."""
+    """Decode a single-component hierarchical JPEG: DHP + a base frame
+    (lossless SOF3/SOF11 or sequential-DCT SOF0/SOF1) + EXP +
+    differential refinements (lossless SOF7 Huffman / SOF15 QM-coded,
+    or differential sequential DCT SOF5). Returns ``(plane,
+    precision)``. Differential progressive/arithmetic-DCT frames
+    (SOF6/13/14) raise NotImplementedError."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
     huff: dict[int, _HuffDecoder] = {}
+    huff_ac: dict[int, _HuffDecoder] = {}
+    qtables: dict[int, np.ndarray] = {}
     dhp = None
     pending_exp = None
     ref = None
@@ -2565,7 +2767,20 @@ def decode_hierarchical_jpeg(data: bytes) -> tuple[np.ndarray, int]:
                 vals = list(seg[p + 17 : p + 17 + n])
                 if tc == 0:
                     huff[th] = _HuffDecoder(bits, vals)
+                else:
+                    huff_ac[th] = _HuffDecoder(bits, vals)
                 p += 17 + n
+        elif marker == 0xDB:  # DQT (DCT frames)
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                tab = np.zeros((8, 8))
+                for k in range(64):
+                    tab[ZIGZAG[k]] = seg[p + 1 + k]
+                qtables[tq] = tab
+                p += 65
         elif marker == 0xCC:  # DAC
             p = 0
             while p < len(seg):
@@ -2585,22 +2800,67 @@ def decode_hierarchical_jpeg(data: bytes) -> tuple[np.ndarray, int]:
                 raise NotImplementedError(
                     "multi-component hierarchical scans unsupported"
                 )
-            frame = (marker in (0xC7, 0xCF), fh, fw, marker in (0xCB, 0xCF))
-        elif marker in (0xC5, 0xC6, 0xCD, 0xCE):
+            frame = (
+                marker in (0xC7, 0xCF), fh, fw, marker in (0xCB, 0xCF), None
+            )
+        elif marker in (0xC0, 0xC1, 0xC5):
+            # sequential DCT (base) / differential sequential DCT
+            precision = seg[0]
+            if precision != 8:
+                raise NotImplementedError(
+                    "hierarchical DCT frames are 8-bit only"
+                )
+            fh, fw = struct.unpack(">HH", seg[1:5])
+            if seg[5] != 1:
+                raise NotImplementedError(
+                    "multi-component hierarchical scans unsupported"
+                )
+            frame = (marker == 0xC5, fh, fw, False, seg[8])
+        elif marker in (0xC6, 0xCD, 0xCE):
             raise NotImplementedError(
-                "differential DCT hierarchical frames "
-                "(lossless pyramid supported, Huffman and arithmetic)"
+                "differential progressive / arithmetic-DCT hierarchical "
+                "frames (lossless pyramids — Huffman and arithmetic — "
+                "and the Huffman sequential-DCT pyramid supported)"
             )
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("corrupt JPEG: SOS before a frame header")
-            differential, fh, fw, arith = frame
+            differential, fh, fw, arith, dct_tq = frame
             ns = seg[0]
             table = seg[2] >> 4
             ss = seg[1 + 2 * ns]
             pt = seg[3 + 2 * ns] & 0xF
             if pt != 0:
                 raise NotImplementedError("point transform unsupported")
+            if dct_tq is not None:
+                plane, end = _dct_decode_plane(
+                    data, pos + seglen, fh, fw, qtables[dct_tq],
+                    huff[table], huff_ac[seg[2] & 0xF], differential,
+                )
+                if differential:
+                    if ref is None:
+                        raise ValueError(
+                            "corrupt JPEG: differential frame without "
+                            "reference"
+                        )
+                    if pending_exp is not None:
+                        ref = _expand_ref(
+                            ref, pending_exp[0], pending_exp[1], fh, fw
+                        )
+                        pending_exp = None
+                    if ref.shape != (fh, fw):
+                        raise ValueError(
+                            "corrupt JPEG: reference/frame dimension "
+                            "mismatch"
+                        )
+                    # lossy differential output adds and CLAMPS (unlike
+                    # the lossless pyramid's mod-2^16 arithmetic)
+                    ref = np.clip(ref + plane, 0, 255)
+                else:
+                    ref = plane
+                    pending_exp = None
+                pos = _next_marker(data, end)
+                continue
             if arith:
                 qdec = _qm.QMDecoder(data, pos + seglen)
                 st = _fresh_stats(_LA_STAT_BINS)

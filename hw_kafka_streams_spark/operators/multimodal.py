@@ -1684,6 +1684,45 @@ def hier_jpeg_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
+def synthesize_hier_dct_jpeg_payloads(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """One REAL DCT-pyramid hierarchical JPEG (T.81 Annex J with
+    SOF1 + SOF5 frames) per row: doc i carries a CONSTANT
+    (17 + (i%5)*4) x (21 + (i%3)*8) gray plane of value
+    (911*i) mod 256, coded as a 2 + (i%3)-level pyramid. Constant
+    planes are the lossy pyramid's oracle-able subset: the base frame
+    reduces to the DC roundtrip closed form and each SOF5 refinement
+    to one more quantize/dequantize of the constant residual, all
+    floor(x+0.5) integer arithmetic a SQL oracle replays exactly. Odd
+    dims keep every EXP upsample on the crop/edge-replication path."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.jpegcodec import (
+        encode_hierarchical_jpeg,
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                h = 17 + (i % 5) * 4
+                w = 21 + (i % 3) * 8
+                img = np.full((h, w), (911 * i) % 256, np.uint8)
+                payloads.append(
+                    encode_hierarchical_jpeg(
+                        img, levels=2 + i % 3, entropy="dct"
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+
+
 def synthesize_jls_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """One REAL JPEG-LS (ITU T.87) stream per row. Doc i carries a
     (16 + (i%5)*4) x (24 + (i%3)*8) gray plane, 16-bit when i%4==0 and

@@ -4042,6 +4042,73 @@ def q_multimodal_jpeg_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_jpeg_hier_dct",
+    oracle="""
+        WITH base AS (
+          SELECT doc_id,
+                 CAST(17 + (doc_id % 5) * 4 AS BIGINT) AS h,
+                 CAST(21 + (doc_id % 3) * 8 AS BIGINT) AS w,
+                 CAST(1 + doc_id % 3 AS INT) AS refines,
+                 CAST((911 * doc_id) % 256 AS BIGINT) AS v
+          FROM documents WHERE doc_id < 150
+        ), r0 AS (
+          SELECT *, LEAST(255, GREATEST(0,
+            CAST(FLOOR((v - 128) / 2.0 + 0.5) AS BIGINT) * 2 + 128
+          )) AS rec0 FROM base
+        ), r1 AS (
+          SELECT *, LEAST(255, GREATEST(0,
+            rec0 + 2 * CAST(FLOOR((v - rec0) / 2.0 + 0.5) AS BIGINT)
+          )) AS rec1 FROM r0
+        ), r2 AS (
+          SELECT *, LEAST(255, GREATEST(0,
+            rec1 + 2 * CAST(FLOOR((v - rec1) / 2.0 + 0.5) AS BIGINT)
+          )) AS rec2 FROM r1
+        ), r3 AS (
+          SELECT *, LEAST(255, GREATEST(0,
+            rec2 + 2 * CAST(FLOOR((v - rec2) / 2.0 + 0.5) AS BIGINT)
+          )) AS rec3 FROM r2
+        ), fin AS (
+          SELECT doc_id, h, w,
+                 CASE refines WHEN 1 THEN rec1 WHEN 2 THEN rec2
+                      ELSE rec3 END AS rec
+          FROM r3
+        )
+        SELECT doc_id, CAST(h AS INT) AS height, CAST(w AS INT) AS width,
+               CAST(8 AS INT) AS precision,
+               CAST(h * w * rec AS BIGINT) AS sum_v,
+               CAST(h * w * rec * rec AS BIGINT) AS sum_sq
+        FROM fin ORDER BY doc_id
+    """,
+    doc="REAL DCT-PYRAMID hierarchical JPEG decode "
+    "(operators/jpegcodec.py, ITU T.81 Annex J with SEQUENTIAL-DCT "
+    "frames — the round-11 gate close): per-doc constant gray planes "
+    "are genuinely coded as DHP + an SOF1 extended-sequential base "
+    "frame + per level an EXP bilinear upsample and an SOF5 "
+    "DIFFERENTIAL sequential DCT frame (level shift omitted, PRED=0 "
+    "per F.1.1.5.1, closed-loop residual against the decoder's exact "
+    "reconstruction), then fully decoded by walking the multi-frame "
+    "stream. The pyramid is lossy, but constant planes make every "
+    "frame DC-only, so the decode reduces to the Annex-K q00=16 DC "
+    "roundtrip plus one quantize/dequantize per refinement — exact "
+    "floor(x+0.5) integer arithmetic the SQL oracle unrolls (1-3 "
+    "refinement levels). Arrow-batched mapInPandas; per-file decode "
+    "never crosses executors. Non-constant imagery is covered by the "
+    "error-bound + determinism tests (a lossy cycle on arbitrary "
+    "pixels is not SQL-oracle-able).",
+)
+def q_multimodal_jpeg_hier_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.multimodal import (
+        hier_jpeg_stats,
+        synthesize_hier_dct_jpeg_payloads,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 150)
+    return hier_jpeg_stats(
+        synthesize_hier_dct_jpeg_payloads(docs)
+    ).orderBy("doc_id")
+
+
+@register(
     "q_multimodal_jls",
     oracle="""
         WITH base AS (

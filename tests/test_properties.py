@@ -976,6 +976,106 @@ def test_hierarchical_jpeg_rejects_bad_input():
 
 @settings(max_examples=25, deadline=None)
 @given(
+    st.integers(min_value=0, max_value=255),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=2, max_value=4),
+)
+def test_hierarchical_dct_jpeg_constant_closed_form(v, h, w, levels):
+    """DCT pyramids (SOF1 base + SOF5 differential frames) are lossy,
+    but on a CONSTANT plane every frame is DC-only and the decode
+    reduces to the q00 DC roundtrip plus one quantize/dequantize per
+    refinement — the exact closed form the SQL oracle replays. This is
+    the strong end-to-end invariant for the lossy path."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.jpegcodec import (
+        QUANT_LUM,
+        dc_roundtrip_value,
+        decode_hierarchical_jpeg,
+        encode_hierarchical_jpeg,
+    )
+
+    img = np.full((h, w), v, np.uint8)
+    enc = encode_hierarchical_jpeg(img, levels=levels, entropy="dct")
+    dec, prec = decode_hierarchical_jpeg(enc)
+    assert prec == 8 and dec.shape == (h, w)
+    q00 = int(QUANT_LUM[0, 0])
+    rec = dc_roundtrip_value(v, q00)
+    for _ in range(levels - 1):
+        dq = int(np.floor(8.0 * (v - rec) / q00 + 0.5))
+        rec = min(255, max(0, rec + int(np.floor(dq * q00 / 8.0 + 0.5))))
+    u = np.unique(dec)
+    assert len(u) == 1 and int(u[0]) == rec, (v, levels, u, rec)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=2, max_value=4),
+    st.randoms(use_true_random=False),
+)
+def test_hierarchical_dct_jpeg_deterministic_and_bounded(h, w, levels, rnd):
+    """Arbitrary pixels through the lossy pyramid: byte-deterministic
+    encode, structurally correct stream (DHP + one SOF1 + EXP/SOF5 per
+    refinement + DQT/DHT), decode in range with the source's shape.
+    The error bound on arbitrary noise is quantizer-sized (the Annex K
+    table reaches 121), so only smoothness-free invariants are
+    asserted here; constant planes carry the exactness proof above."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.jpegcodec import (
+        decode_hierarchical_jpeg,
+        encode_hierarchical_jpeg,
+    )
+
+    img = np.array(
+        [[rnd.randrange(256) for _ in range(w)] for _ in range(h)], np.uint8
+    )
+    enc = encode_hierarchical_jpeg(img, levels=levels, entropy="dct")
+    assert enc == encode_hierarchical_jpeg(img, levels=levels, entropy="dct")
+    assert enc.count(b"\xff\xde") == 1  # DHP
+    assert enc.count(b"\xff\xc1") == 1  # SOF1 base
+    assert enc.count(b"\xff\xdb") == 1  # DQT
+    assert enc.count(b"\xff\xdf") == levels - 1  # EXP per refinement
+    assert enc.count(b"\xff\xc5") == levels - 1  # SOF5 differentials
+    dec, prec = decode_hierarchical_jpeg(enc)
+    assert prec == 8 and dec.shape == (h, w)
+    assert dec.dtype == np.uint8
+    # decoding is deterministic too
+    dec2, _ = decode_hierarchical_jpeg(enc)
+    assert np.array_equal(dec, dec2)
+
+
+def test_hierarchical_dct_jpeg_smooth_error_bound():
+    """On a gentle gradient the closed-loop pyramid must land close to
+    the source (each refinement recodes the remaining residual): the
+    final-level quantizer dominates, so the error stays well under one
+    low-frequency quant step. Also: 12/16-bit input honestly gates."""
+    import numpy as np
+    import pytest
+
+    from hw_kafka_streams_spark.operators.jpegcodec import (
+        decode_hierarchical_jpeg,
+        encode_hierarchical_jpeg,
+    )
+
+    x = np.arange(48)
+    img = ((np.add.outer(x, x)) * 2 % 256).astype(np.uint8)
+    dec, _ = decode_hierarchical_jpeg(
+        encode_hierarchical_jpeg(img, levels=3, entropy="dct")
+    )
+    err = np.abs(dec.astype(int) - img.astype(int)).max()
+    assert err <= 24, err
+    with pytest.raises(NotImplementedError):
+        encode_hierarchical_jpeg(
+            img.astype(np.uint16), levels=2, precision=12, entropy="dct"
+        )
+
+
+@settings(max_examples=25, deadline=None)
+@given(
     st.integers(min_value=1, max_value=700),
     st.integers(min_value=0, max_value=10),
     st.randoms(use_true_random=False),
