@@ -5249,3 +5249,84 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_e, 6).alias("p_expected"),
         F.round((p_bar - p_e) / (1 - p_e), 6).alias("fleiss_kappa"),
     )
+
+
+@register(
+    "q_l_diversity",
+    oracle="""
+        WITH cls AS (
+          SELECT lang, CAST(n_chars // 500 AS BIGINT) AS len_b,
+                 source, CAST(count(*) AS BIGINT) AS c
+          FROM documents
+          WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+          GROUP BY 1, 2, 3
+        ), kk AS (
+          SELECT lang, len_b, CAST(sum(c) AS BIGINT) AS k,
+                 CAST(max(c) AS BIGINT) AS top_c
+          FROM cls GROUP BY 1, 2
+        ), per_cls AS (
+          SELECT kk.lang, kk.len_b, kk.k, kk.top_c,
+                 round(exp(CAST(sum(CAST(round(
+                     -(CAST(cls.c AS DOUBLE) / kk.k)
+                     * ln(CAST(cls.c AS DOUBLE) / kk.k), 9)
+                   AS DECIMAL(18,9))) AS DOUBLE)), 6) AS entropy_l
+          FROM cls JOIN kk USING (lang, len_b)
+          GROUP BY 1, 2, 3, 4
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_classes,
+               round(min(entropy_l), 6) AS min_entropy_l,
+               CAST(sum(CASE WHEN entropy_l < 2 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_below_entropy_l2,
+               CAST(sum(CASE WHEN top_c > 2 * (k - top_c) THEN 1
+                        ELSE 0 END) AS BIGINT) AS n_fail_recursive_c2l2
+        FROM per_cls
+    """,
+    doc="Entropy and recursive (c,l)-diversity audit (Machanavajjhala "
+    "2007 definitions 3.1/3.2) over document quasi-identifier classes "
+    "(lang, 500-char length bucket) with source as the sensitive "
+    "attribute — the homogeneity-attack measures q_k_anonymity's "
+    "distinct-l underestimates (a class 99% one source still counts "
+    "l=2 distinct). Entropy-l = exp(H(source|class)) with per-term "
+    "9dp-DECIMAL entropy sums; recursive (2,2)-diversity fails when "
+    "the top source outnumbers twice the rest. Scale shape: one "
+    "(QI, sensitive) keyed count, class-keyed rollup of the tiny "
+    "count table, 1-row summary — no joins, no data-sized windows.",
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("lang").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    cls = docs.groupBy(
+        "lang",
+        F.expr("n_chars div 500").alias("len_b"),
+        "source",
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wk = W.partitionBy("lang", "len_b")
+    p = F.col("c").cast("double") / F.sum("c").over(wk)
+    per_cls = (
+        cls.withColumn(
+            "hterm", F.round(-p * F.log(p), 9).cast("decimal(18,9)")
+        )
+        .groupBy("lang", "len_b")
+        .agg(
+            F.sum("c").alias("k"),
+            F.max("c").alias("top_c"),
+            F.round(F.exp(F.sum("hterm").cast("double")), 6).alias(
+                "entropy_l"
+            ),
+        )
+    )
+    return per_cls.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.round(F.min("entropy_l"), 6).alias("min_entropy_l"),
+        F.sum(F.when(F.col("entropy_l") < 2, 1).otherwise(0)).alias(
+            "n_below_entropy_l2"
+        ),
+        F.sum(
+            F.when(
+                F.col("top_c") > 2 * (F.col("k") - F.col("top_c")), 1
+            ).otherwise(0)
+        ).alias("n_fail_recursive_c2l2"),
+    )

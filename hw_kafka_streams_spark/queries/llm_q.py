@@ -6041,3 +6041,101 @@ def q_rbo_rankers(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rbo_ext"),
     )
+
+
+@register(
+    "q_good_turing",
+    oracle=r"""
+        WITH toks AS (
+          SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                             t -> t <> '') AS t
+          FROM documents
+        ), wc AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1
+        ), coc AS (
+          SELECT c AS r, CAST(count(*) AS BIGINT) AS n_r
+          FROM wc GROUP BY 1
+        ), tot AS (
+          SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+                 CAST(count(*) AS BIGINT) AS n_types
+          FROM wc
+        )
+        SELECT a.r, a.n_r,
+               CAST(COALESCE(b.n_r, 0) AS BIGINT) AS n_r1,
+               round((CAST(a.r AS DOUBLE) + 1) * COALESCE(b.n_r, 0)
+                     / a.n_r, 6) AS r_star,
+               round((CAST(a.r AS DOUBLE) + 1) * COALESCE(b.n_r, 0)
+                     / (CAST(a.n_r AS DOUBLE) * t.n_tokens), 6)
+                 AS p_star,
+               t.n_tokens, t.n_types,
+               round(CAST((SELECT n_r FROM coc WHERE r = 1) AS DOUBLE)
+                     / t.n_tokens, 6) AS p_unseen
+        FROM coc a LEFT JOIN coc b ON b.r = a.r + 1, tot t
+        WHERE a.r <= 15 ORDER BY a.r
+    """,
+    doc="Good-Turing frequency re-estimation over the corpus unigram "
+    "counts (Good 1953; the smoothing family Kneser-Ney descends "
+    "from, complementing q_kn_lm_score's absolute discounting): "
+    "count-of-counts N_r, the Turing-adjusted count "
+    "r* = (r+1) N_{r+1}/N_r per frequency class r<=15, its "
+    "probability p* = r*/N, and the leave-one-out unseen mass "
+    "p0 = N_1/N — the number a dedup/decontamination pass changes "
+    "when it deletes hapaxes. All inputs are exact integer counts "
+    "(one tokenize-explode into a partial-agged word count, then a "
+    "count-of-counts rollup of the vocab-sized table); ratios are "
+    "rounded scalar epilogues. The r+1 lookup is a self-join on the "
+    "~15-row count-of-counts table.",
+)
+def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.text import word_tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    wc = (
+        docs.select(
+            F.explode(word_tokens(F.lower(F.col("text")))).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wc = managed_persist(wc)
+    coc = managed_persist(
+        wc.groupBy(F.col("c").alias("r")).agg(
+            F.count(F.lit(1)).alias("n_r")
+        )
+    )
+    tot = wc.agg(
+        F.sum("c").alias("n_tokens"), F.count(F.lit(1)).alias("n_types")
+    )
+    n1 = coc.filter(F.col("r") == 1).select(
+        F.col("n_r").alias("n_1")
+    )
+    nxt = coc.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1")
+    )
+    rs = (F.col("r").cast("double") + 1) * F.col("n_r1") / F.col("n_r")
+    return (
+        coc.filter(F.col("r") <= 15)
+        .join(F.broadcast(nxt), "r", "left")
+        .withColumn("n_r1", F.coalesce("n_r1", F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "r",
+            "n_r",
+            "n_r1",
+            F.round(rs, 6).alias("r_star"),
+            F.round(
+                (F.col("r").cast("double") + 1)
+                * F.col("n_r1")
+                / (F.col("n_r").cast("double") * F.col("n_tokens")),
+                6,
+            ).alias("p_star"),
+            "n_tokens",
+            "n_types",
+            F.round(
+                F.col("n_1").cast("double") / F.col("n_tokens"), 6
+            ).alias("p_unseen"),
+        )
+        .orderBy("r")
+    )

@@ -6166,3 +6166,229 @@ def q_gumbel_return_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rl_365d"
         ),
     ).orderBy("event_type")
+
+
+@register(
+    "q_nelson_aalen",
+    oracle="""
+        WITH per_u AS (
+          SELECT user_id,
+                 CAST(min(floor(epoch(ts))) AS BIGINT) AS first_s,
+                 CAST(max(floor(epoch(ts))) AS BIGINT) AS last_s
+          FROM events GROUP BY 1
+        ), hz AS (
+          SELECT CAST(max(floor(epoch(ts))) AS BIGINT) AS horizon
+          FROM events
+        ), dur AS (
+          SELECT CASE WHEN h.horizon - u.last_s > 43200
+                      THEN (u.last_s - u.first_s) // 3600
+                      ELSE (h.horizon - u.first_s) // 3600 END AS t,
+                 CASE WHEN h.horizon - u.last_s > 43200
+                      THEN 1 ELSE 0 END AS ev
+          FROM per_u u, hz h
+        ), at_t AS (
+          SELECT t, CAST(count(*) AS BIGINT) AS a,
+                 CAST(sum(ev) AS BIGINT) AS d
+          FROM dur GROUP BY 1
+        ), risk AS (
+          SELECT t, a, d,
+                 (SELECT CAST(count(*) AS BIGINT) FROM dur)
+                 - CAST(coalesce(sum(a) OVER (
+                     ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+          FROM at_t
+        ), ev_only AS (
+          SELECT t, n_risk, d,
+                 CAST(round(CAST(d AS DOUBLE) / n_risk, 9)
+                   AS DECIMAL(18,9)) AS hterm,
+                 CAST(round(CAST(d AS DOUBLE)
+                            / (CAST(n_risk AS DOUBLE) * n_risk), 9)
+                   AS DECIMAL(18,9)) AS vterm
+          FROM risk WHERE d > 0
+        )
+        SELECT t AS duration_h, n_risk, d AS d_events,
+               round(CAST(sum(hterm) OVER (
+                   ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS DOUBLE), 6) AS h_cum,
+               round(CAST(sum(vterm) OVER (
+                   ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS DOUBLE), 6) AS var_h
+        FROM ev_only ORDER BY t
+    """,
+    doc="Nelson-Aalen cumulative-hazard estimator of user lifetime — "
+    "the additive partner to q_kaplan_meier's product-limit curve "
+    "(H(t) = sum_{t_i<=t} d_i/n_i with Aalen's variance sum d_i/n_i^2; "
+    "same right-censoring convention: churned = last event >12h "
+    "before the horizon). Preferred over -ln(KM) in sparse risk sets "
+    "(it never degenerates when d = n). Scale shape identical to KM: "
+    "one per-user keyed agg, risk sets from cumulative counts over "
+    "the DISTINCT duration grid (domain-bounded hours), per-term "
+    "9dp-DECIMAL hazard increments so both engines walk identical "
+    "partial sums. No per-user window, no global row sort.",
+)
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    per_u = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("long")).alias("first_s"),
+        F.max(F.col("ts").cast("long")).alias("last_s"),
+    )
+    hz = e.agg(F.max(F.col("ts").cast("long")).alias("horizon"))
+    churned = (F.col("horizon") - F.col("last_s")) > 43200
+    dur = per_u.crossJoin(F.broadcast(hz)).select(
+        F.when(churned, F.expr("(last_s - first_s) div 3600"))
+        .otherwise(F.expr("(horizon - first_s) div 3600"))
+        .alias("t"),
+        F.when(churned, F.lit(1)).otherwise(F.lit(0)).alias("ev"),
+    )
+    at_t = dur.groupBy("t").agg(
+        F.count(F.lit(1)).alias("a"), F.sum("ev").alias("d")
+    )
+    ntot = dur.agg(F.count(F.lit(1)).alias("nt"))
+    w = Window.partitionBy(tiny_table_partition("t")).orderBy("t")
+    risk = (
+        at_t.crossJoin(F.broadcast(ntot))
+        .withColumn(
+            "n_risk",
+            F.col("nt")
+            - F.coalesce(
+                F.sum("a").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .filter(F.col("d") > 0)
+    )
+    nr = F.col("n_risk").cast("double")
+    hterm = F.round(F.col("d").cast("double") / nr, 9).cast("decimal(18,9)")
+    vterm = F.round(F.col("d").cast("double") / (nr * nr), 9).cast(
+        "decimal(18,9)"
+    )
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        risk.withColumn("hterm", hterm)
+        .withColumn("vterm", vterm)
+        .select(
+            F.col("t").alias("duration_h"),
+            "n_risk",
+            F.col("d").alias("d_events"),
+            F.round(F.sum("hterm").over(cum).cast("double"), 6).alias(
+                "h_cum"
+            ),
+            F.round(F.sum("vterm").over(cum).cast("double"), 6).alias(
+                "var_h"
+            ),
+        )
+        .orderBy("duration_h")
+    )
+
+
+@register(
+    "q_kendall_tau",
+    oracle="""
+        WITH bounds AS (
+          SELECT min(CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS h0,
+                 max(CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS h1
+          FROM events
+        ), grid AS (
+          SELECT unnest(range(h0, h1 + 1)) AS h FROM bounds
+        ), cnts AS (
+          SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+                 CAST(sum(CASE WHEN event_type = 'click'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS xa,
+                 CAST(sum(CASE WHEN event_type = 'view'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS xb
+          FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+        ), ser AS (
+          SELECT g.h, COALESCE(c.xa, 0) AS xa, COALESCE(c.xb, 0) AS xb
+          FROM grid g LEFT JOIN cnts c USING (h)
+        ), pairs AS (
+          SELECT CAST(sum(CASE
+                   WHEN (i.xa - j.xa) * (i.xb - j.xb) > 0 THEN 1
+                   WHEN (i.xa - j.xa) * (i.xb - j.xb) < 0 THEN -1
+                   ELSE 0 END) AS BIGINT) AS s,
+                 CAST(sum(CASE WHEN i.xa = j.xa THEN 1 ELSE 0 END)
+                   AS BIGINT) AS ta,
+                 CAST(sum(CASE WHEN i.xb = j.xb THEN 1 ELSE 0 END)
+                   AS BIGINT) AS tb,
+                 CAST(count(*) AS BIGINT) AS n0
+          FROM ser i JOIN ser j ON i.h < j.h
+        )
+        SELECT n0 AS n_pairs, s AS s_stat, ta AS ties_a, tb AS ties_b,
+               round(CAST(s AS DOUBLE)
+                     / sqrt(CAST(n0 - ta AS DOUBLE) * (n0 - tb)), 6)
+                 AS tau_b
+        FROM pairs
+    """,
+    doc="Kendall tau-b rank correlation between the hourly click and "
+    "view count series (zero-filled over the full hour grid) — the "
+    "concordance-based dependence measure that, unlike "
+    "q_spearman_corr, is robust to the mass ties integer count "
+    "series produce (tau-b divides out tied pairs on each margin). "
+    "S = sum of sign products over all hour pairs, exact integers; "
+    "tau-b = S/sqrt((n0-t_a)(n0-t_b)) is one rounded scalar. Scale "
+    "shape: the pair join is over the time-DOMAIN-bounded hour grid "
+    "(O(H^2) on ~720 hours at every SF, independent of event rows); "
+    "the event scan itself is one partial-agged hour bucketing.",
+)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    hcol = (F.col("ts").cast("long") / 3600).cast("long")
+    bounds = e.agg(
+        F.min(hcol).alias("h0"), F.max(hcol).alias("h1")
+    )
+    grid = bounds.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+    )
+    cnts = (
+        e.filter(F.col("event_type").isin("click", "view"))
+        .groupBy(hcol.alias("h"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("xa"),
+            F.sum(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).alias("xb"),
+        )
+    )
+    ser = managed_persist(
+        grid.join(cnts, "h", "left").select(
+            "h",
+            F.coalesce("xa", F.lit(0)).alias("xa"),
+            F.coalesce("xb", F.lit(0)).alias("xb"),
+        )
+    )
+    j = ser.select(
+        F.col("h").alias("h2"),
+        F.col("xa").alias("ya"),
+        F.col("xb").alias("yb"),
+    )
+    prod = (F.col("xa") - F.col("ya")) * (F.col("xb") - F.col("yb"))
+    pairs = (
+        ser.join(j, F.col("h") < F.col("h2"))
+        .agg(
+            F.sum(
+                F.when(prod > 0, 1).when(prod < 0, -1).otherwise(0)
+            ).alias("s"),
+            F.sum(
+                F.when(F.col("xa") == F.col("ya"), 1).otherwise(0)
+            ).alias("ta"),
+            F.sum(
+                F.when(F.col("xb") == F.col("yb"), 1).otherwise(0)
+            ).alias("tb"),
+            F.count(F.lit(1)).alias("n0"),
+        )
+    )
+    return pairs.select(
+        F.col("n0").alias("n_pairs"),
+        F.col("s").alias("s_stat"),
+        F.col("ta").alias("ties_a"),
+        F.col("tb").alias("ties_b"),
+        F.round(
+            F.col("s").cast("double")
+            / F.sqrt(
+                (F.col("n0") - F.col("ta")).cast("double")
+                * (F.col("n0") - F.col("tb"))
+            ),
+            6,
+        ).alias("tau_b"),
+    )
