@@ -5330,3 +5330,158 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("n_fail_recursive_c2l2"),
     )
+
+
+@register(
+    "q_dunn_posthoc",
+    oracle="""
+        WITH base AS (
+          SELECT lang AS g, CAST(n_chars AS DOUBLE) AS v
+          FROM documents
+          WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        ), per_v AS (
+          SELECT v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY v
+        ), rk AS (
+          SELECT v, c,
+                 2 * COALESCE(sum(c) OVER (
+                       ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) + c + 1 AS r2
+          FROM per_v
+        ), per_g AS (
+          SELECT g, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(r2 AS HUGEINT)) AS rs
+          FROM base JOIN rk USING (v) GROUP BY g
+        ), gl AS (
+          SELECT (SELECT CAST(sum(n) AS BIGINT) FROM per_g) AS nt,
+                 (SELECT sum(CAST(c AS HUGEINT) * c * c - c) FROM rk)
+                   AS ties
+        ), pairs AS (
+          SELECT a.g AS g1, b.g AS g2, a.n AS n1, b.n AS n2,
+                 (CAST(a.rs AS DOUBLE) / a.n - CAST(b.rs AS DOUBLE) / b.n)
+                 / (2.0 * sqrt(
+                     ((CAST(nt AS DOUBLE) * (nt + 1)
+                       - CAST(ties AS DOUBLE) / (nt - 1)) / 12.0)
+                     * (1.0 / a.n + 1.0 / b.n))) AS zv
+          FROM per_g a JOIN per_g b ON a.g < b.g, gl
+        ), p AS (
+          SELECT g1, g2, n1, n2, zv,
+                 2.0 * __NORM_UPPER__ AS pv
+          FROM pairs
+        ), m AS (
+          SELECT CAST(count(*) AS BIGINT) AS m FROM p
+        ), ranked AS (
+          SELECT g1, g2, n1, n2, zv, pv,
+                 CAST(row_number() OVER (ORDER BY pv, g1, g2)
+                   AS BIGINT) AS rnk, m.m
+          FROM p, m
+        ), thr AS (
+          SELECT CAST(coalesce(max(CASE WHEN pv <= rnk * 0.05
+                                        / CAST(m AS DOUBLE)
+                                   THEN rnk ELSE 0 END), 0) AS BIGINT)
+                   AS cutoff
+          FROM ranked
+        )
+        SELECT r.g1, r.g2, r.n1, r.n2,
+               round(r.zv, 4) AS z_score, round(r.pv, 6) AS p_value,
+               r.rnk, CAST(r.rnk <= t.cutoff AS INT) AS rejected
+        FROM ranked r, thr t ORDER BY r.rnk
+    """.replace("__NORM_UPPER__", _NORM_UPPER.format(x="abs(zv)")),
+    doc="Dunn's post-hoc pairwise rank test after Kruskal-Wallis "
+    "(Dunn 1964) over doc char length across languages, with the "
+    "tie-corrected variance and Benjamini-Hochberg step-up control "
+    "over the k(k-1)/2 pairs — answers WHICH language pairs differ "
+    "once q_kruskal_wallis's omnibus H fires. Doubled integer ranks "
+    "from distinct-value counts (exact DECIMAL rank sums and tie "
+    "term), one float epilogue per pair, two-sided p via the shared "
+    "A&S 26.2.17 polynomial. Scale shape: ranks via range-blocked "
+    "prefix sums (never a global rank window), then a k^2-bounded "
+    "group self-join and tiny-partition BH windows "
+    "(operators/stats.dunn_posthoc).",
+)
+def q_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.stats import dunn_posthoc
+
+    docs = load_table(spark, "documents", sf_dir)
+    return dunn_posthoc(docs, "lang", "n_chars")
+
+
+@register(
+    "q_cochran_armitage",
+    oracle="""
+        WITH b AS (
+          SELECT LEAST(n_chars // 500, 9) AS wsc,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en
+          FROM documents
+          WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        ), per_b AS (
+          SELECT wsc, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(en) AS BIGINT) AS r
+          FROM b GROUP BY 1
+        ), m AS (
+          SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(n) AS BIGINT) AS nt,
+                 CAST(sum(r) AS BIGINT) AS rt,
+                 CAST(sum(wsc * n) AS BIGINT) AS swn,
+                 CAST(sum(wsc * wsc * n) AS BIGINT) AS sw2n,
+                 CAST(sum(wsc * r) AS BIGINT) AS swr
+          FROM per_b
+        )
+        SELECT k AS k_buckets, nt AS n, rt AS n_positive,
+               round(CAST(swr AS DOUBLE)
+                     - CAST(rt AS DOUBLE) / nt * swn, 6) AS t_stat,
+               round((CAST(swr AS DOUBLE)
+                      - CAST(rt AS DOUBLE) / nt * swn)
+                     / sqrt((CAST(rt AS DOUBLE) / nt)
+                            * (1 - CAST(rt AS DOUBLE) / nt)
+                            * (CAST(sw2n AS DOUBLE)
+                               - CAST(swn AS DOUBLE) * swn / nt)), 6)
+                 AS z_score
+        FROM m
+    """,
+    doc="Cochran-Armitage trend test (Armitage 1955): is the "
+    "proportion of English documents monotone in the ordered length "
+    "buckets (500-char bins capped at 10)? — the dose-response audit "
+    "a plain chi-square independence test has no power for (it "
+    "ignores bucket ORDER). T = sum w_i(r_i - n_i p) with integer "
+    "scores w, exact integer moments (sum wn, sum w^2 n, sum wr), "
+    "z = T/sqrt(p(1-p)(sum w^2 n - (sum wn)^2/N)) one rounded scalar. "
+    "Scale shape: one bucket-keyed partial agg, a k-row rollup — no "
+    "joins, no windows.",
+)
+def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("n_chars").isNotNull() & F.col("lang").isNotNull()
+    )
+    per_b = docs.groupBy(
+        F.least(F.expr("n_chars div 500"), F.lit(9)).alias("wsc")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("lang") == "en", 1).otherwise(0)
+        ).alias("r"),
+    )
+    m = per_b.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nt"),
+        F.sum("r").alias("rt"),
+        F.sum(F.col("wsc") * F.col("n")).alias("swn"),
+        F.sum(F.col("wsc") * F.col("wsc") * F.col("n")).alias("sw2n"),
+        F.sum(F.col("wsc") * F.col("r")).alias("swr"),
+    )
+    pbar = F.col("rt").cast("double") / F.col("nt")
+    tstat = F.col("swr").cast("double") - pbar * F.col("swn")
+    var = (
+        pbar
+        * (1 - pbar)
+        * (
+            F.col("sw2n").cast("double")
+            - F.col("swn").cast("double") * F.col("swn") / F.col("nt")
+        )
+    )
+    return m.select(
+        F.col("k").alias("k_buckets"),
+        F.col("nt").alias("n"),
+        F.col("rt").alias("n_positive"),
+        F.round(tstat, 6).alias("t_stat"),
+        F.round(tstat / F.sqrt(var), 6).alias("z_score"),
+    )

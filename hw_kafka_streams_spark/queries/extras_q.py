@@ -3065,3 +3065,123 @@ def q_write_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_price_written")
     )
     return agg.crossJoin(F.broadcast(written))
+
+
+@register(
+    "q_press_loocv",
+    oracle="""
+        WITH pts AS (
+          SELECT CAST(l_quantity AS DECIMAL(12,2)) AS x,
+                 CAST(l_extendedprice AS DECIMAL(14,2)) AS y
+          FROM lineitem
+        ),
+        m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                 sum(x * x) AS sx2, sum(y * y) AS sy2
+          FROM pts
+        ),
+        fit AS (
+          SELECT n,
+                 CAST(sx AS DOUBLE) / n AS xbar,
+                 CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n AS sxx,
+                 CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS sst,
+                 (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                 / (CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                   AS b,
+                 (CAST(sy AS DOUBLE)
+                  - CAST(sx AS DOUBLE)
+                    * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                    / (CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n))
+                 / n AS a
+          FROM m
+        ),
+        terms AS (
+          SELECT f.n, f.sst, f.b,
+                 CAST(round(
+                   POWER((CAST(p.y AS DOUBLE)
+                          - (f.a + f.b * CAST(p.x AS DOUBLE)))
+                         / (1.0 - (1.0 / f.n
+                                   + (CAST(p.x AS DOUBLE) - f.xbar)
+                                     * (CAST(p.x AS DOUBLE) - f.xbar)
+                                     / f.sxx)), 2), 6)
+                   AS DECIMAL(38,6)) AS pterm,
+                 CAST(round(
+                   POWER(CAST(p.y AS DOUBLE)
+                         - (f.a + f.b * CAST(p.x AS DOUBLE)), 2), 6)
+                   AS DECIMAL(38,6)) AS eterm
+          FROM pts p CROSS JOIN fit f
+        )
+        SELECT CAST(max(n) AS BIGINT) AS n,
+               round(CAST(sum(pterm) AS DOUBLE), 2) AS press,
+               round(max(sst), 2) AS sst,
+               round(1.0 - CAST(sum(pterm) AS DOUBLE) / max(sst), 6)
+                 AS r2_pred,
+               round(1.0 - CAST(sum(eterm) AS DOUBLE) / max(sst), 6)
+                 AS r2_fit
+        FROM terms
+    """,
+    doc="PRESS statistic / leave-one-out cross-validation of the "
+    "price~quantity OLS fit (Allen 1974): PRESS = sum (e_i/(1-h_i))^2 "
+    "uses the closed-form LOO residual (no n refits — the hat "
+    "diagonal h_i = 1/n + (x-xbar)^2/Sxx already prices each row's "
+    "self-influence), and predictive R^2 = 1 - PRESS/SST against the "
+    "in-sample R^2 — the overfit gap a training-data regression "
+    "screen should report rather than R^2 alone. Exact-DECIMAL moment "
+    "sums feed the broadcast 1-row fit (the q_cooks_distance "
+    "machinery); per-row squared LOO residuals are 6dp-DECIMAL-summed "
+    "so reducer order cannot drift the total. One scan, one narrow "
+    "map, a 1-row epilogue.",
+)
+def q_press_loocv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    pts = li.select(
+        F.col("l_quantity").cast("decimal(12,2)").alias("x"),
+        F.col("l_extendedprice").cast("decimal(14,2)").alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sx2, sy2 = F.col("sx2").cast("double"), F.col("sy2").cast("double")
+    sxx = sx2 - sx * sx / n
+    b = (sxy - sx * sy / n) / sxx
+    fit = m.select(
+        "n",
+        (sx / n).alias("xbar"),
+        sxx.alias("sxx"),
+        (sy2 - sy * sy / n).alias("sst"),
+        b.alias("b"),
+        ((sy - sx * b) / n).alias("a"),
+    )
+    xd = F.col("x").cast("double")
+    yd = F.col("y").cast("double")
+    e = yd - (F.col("a") + F.col("b") * xd)
+    h = 1.0 / F.col("n") + (xd - F.col("xbar")) * (
+        xd - F.col("xbar")
+    ) / F.col("sxx")
+    pterm = F.round(F.pow(e / (F.lit(1.0) - h), 2), 6).cast(
+        "decimal(38,6)"
+    )
+    eterm = F.round(F.pow(e, 2), 6).cast("decimal(38,6)")
+    terms = pts.crossJoin(F.broadcast(fit)).select(
+        "n", "sst", pterm.alias("pterm"), eterm.alias("eterm")
+    )
+    return terms.agg(
+        F.max("n").alias("n"),
+        F.round(F.sum("pterm").cast("double"), 2).alias("press"),
+        F.round(F.max("sst"), 2).alias("sst"),
+        F.round(
+            F.lit(1.0) - F.sum("pterm").cast("double") / F.max("sst"), 6
+        ).alias("r2_pred"),
+        F.round(
+            F.lit(1.0) - F.sum("eterm").cast("double") / F.max("sst"), 6
+        ).alias("r2_fit"),
+    )

@@ -6392,3 +6392,234 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("tau_b"),
     )
+
+
+@register(
+    "q_bowker_symmetry",
+    oracle="""
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS nxt
+          FROM events
+        ), trans AS (
+          SELECT event_type AS src, nxt AS dst,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+        ), cells AS (
+          SELECT a.src AS i, a.dst AS j, a.n AS nij,
+                 CAST(COALESCE(b.n, 0) AS BIGINT) AS nji
+          FROM trans a LEFT JOIN trans b
+            ON a.src = b.dst AND a.dst = b.src
+          WHERE a.src < a.dst
+        )
+        SELECT CAST(count(*) AS BIGINT) AS df,
+               CAST(sum(nij + nji) AS BIGINT) AS n_offdiag,
+               round(CAST(sum(CAST(round(
+                   CAST((nij - nji) AS DOUBLE) * (nij - nji)
+                   / (nij + nji), 9) AS DECIMAL(18,9))) AS DOUBLE), 6)
+                 AS chi2
+        FROM cells
+    """,
+    doc="Bowker's test of symmetry (Bowker 1948 — the k x k "
+    "generalization of McNemar that q_mcnemar_filters covers only "
+    "for 2x2) over the user event-type transition matrix: is "
+    "P(view -> purchase) = P(purchase -> view) for every pair, i.e. "
+    "is the behavior graph reversible? chi2 = sum_{i<j} "
+    "(n_ij - n_ji)^2/(n_ij + n_ji), df = pairs with traffic. Exact "
+    "integer transition counts (the q_event_transitions window + "
+    "keyed count), per-term 9dp-DECIMAL chi2 sum over the k^2-bounded "
+    "cell table; pairs where only one direction occurs contribute "
+    "their full count (the asymmetric extreme).",
+)
+def q_bowker_symmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.withColumn("nxt", F.lead("event_type").over(w)).filter(
+        F.col("nxt").isNotNull()
+    )
+    trans = seq.groupBy(
+        F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    trans = managed_persist(trans)
+    b = trans.select(
+        F.col("src").alias("bsrc"),
+        F.col("dst").alias("bdst"),
+        F.col("n").alias("nji"),
+    )
+    cells = (
+        trans.filter(F.col("src") < F.col("dst"))
+        .join(
+            F.broadcast(b),
+            (F.col("src") == F.col("bdst")) & (F.col("dst") == F.col("bsrc")),
+            "left",
+        )
+        .select(
+            F.col("n").alias("nij"),
+            F.coalesce("nji", F.lit(0)).alias("nji"),
+        )
+    )
+    d = (F.col("nij") - F.col("nji")).cast("double")
+    term = F.round(
+        d * (F.col("nij") - F.col("nji")) / (F.col("nij") + F.col("nji")), 9
+    ).cast("decimal(18,9)")
+    return cells.agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum(F.col("nij") + F.col("nji")).alias("n_offdiag"),
+        F.round(F.sum(term).cast("double"), 6).alias("chi2"),
+    )
+
+
+@register(
+    "q_log_rank_test",
+    oracle="""
+        WITH per_u AS (
+          SELECT user_id, CAST(user_id % 2 AS INT) AS g,
+                 CAST(min(floor(epoch(ts))) AS BIGINT) AS first_s,
+                 CAST(max(floor(epoch(ts))) AS BIGINT) AS last_s
+          FROM events GROUP BY 1, 2
+        ), hz AS (
+          SELECT CAST(max(floor(epoch(ts))) AS BIGINT) AS horizon
+          FROM events
+        ), dur AS (
+          SELECT g,
+                 CASE WHEN h.horizon - u.last_s > 43200
+                      THEN (u.last_s - u.first_s) // 3600
+                      ELSE (h.horizon - u.first_s) // 3600 END AS t,
+                 CASE WHEN h.horizon - u.last_s > 43200
+                      THEN 1 ELSE 0 END AS ev
+          FROM per_u u, hz h
+        ), tots AS (
+          SELECT CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS tot0,
+                 CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS tot1
+          FROM dur
+        ), at_t AS (
+          SELECT t,
+                 CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS a0,
+                 CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS a1,
+                 CAST(sum(CASE WHEN g = 0 THEN ev ELSE 0 END) AS BIGINT)
+                   AS d0,
+                 CAST(sum(CASE WHEN g = 1 THEN ev ELSE 0 END) AS BIGINT)
+                   AS d1
+          FROM dur GROUP BY 1
+        ), risk AS (
+          SELECT t, d0, d1,
+                 tot0 - CAST(coalesce(sum(a0) OVER (
+                     ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS BIGINT) AS n0,
+                 tot1 - CAST(coalesce(sum(a1) OVER (
+                     ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS BIGINT) AS n1
+          FROM at_t, tots
+        ), terms AS (
+          SELECT d1,
+                 CAST(round(CAST(d0 + d1 AS DOUBLE) * n1 / (n0 + n1), 9)
+                   AS DECIMAL(18,9)) AS e1,
+                 CAST(round(CASE WHEN n0 + n1 > 1 THEN
+                     CAST(d0 + d1 AS DOUBLE)
+                     * (CAST(n1 AS DOUBLE) / (n0 + n1))
+                     * (CAST(n0 AS DOUBLE) / (n0 + n1))
+                     * (n0 + n1 - d0 - d1)
+                     / (n0 + n1 - 1) ELSE 0 END, 9)
+                   AS DECIMAL(18,9)) AS v1
+          FROM risk WHERE d0 + d1 > 0
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_times,
+               CAST(sum(d1) AS BIGINT) AS o1,
+               round(CAST(sum(e1) AS DOUBLE), 6) AS e1_sum,
+               round(CAST(sum(v1) AS DOUBLE), 6) AS v_sum,
+               round((CAST(sum(d1) AS DOUBLE) - CAST(sum(e1) AS DOUBLE))
+                     / sqrt(CAST(sum(v1) AS DOUBLE)), 6) AS z_score,
+               round(POWER(CAST(sum(d1) AS DOUBLE)
+                           - CAST(sum(e1) AS DOUBLE), 2)
+                     / CAST(sum(v1) AS DOUBLE), 6) AS chi2
+        FROM terms
+    """,
+    doc="Log-rank (Mantel-Cox) test comparing the churn-survival "
+    "curves of even- vs odd-id users — the two-sample partner to "
+    "q_kaplan_meier/q_nelson_aalen (same lifetime and >12h-censoring "
+    "convention): at each event time the observed group-1 deaths are "
+    "scored against the hypergeometric expectation "
+    "E = d*n1/(n0+n1) with variance d*(n1/n)(n0/n)(n-d)/(n-1); "
+    "chi2 = (O-E)^2/V. Per-time E and V are 9dp-DECIMAL terms so both "
+    "engines walk identical sums; risk sets come from per-group "
+    "cumulative counts over the DISTINCT duration grid "
+    "(domain-bounded hours). One per-user keyed agg, one tiny-grid "
+    "window, a 1-row epilogue.",
+)
+def q_log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    per_u = e.groupBy(
+        "user_id", (F.col("user_id") % 2).cast("int").alias("g")
+    ).agg(
+        F.min(F.col("ts").cast("long")).alias("first_s"),
+        F.max(F.col("ts").cast("long")).alias("last_s"),
+    )
+    hz = e.agg(F.max(F.col("ts").cast("long")).alias("horizon"))
+    churned = (F.col("horizon") - F.col("last_s")) > 43200
+    dur = per_u.crossJoin(F.broadcast(hz)).select(
+        "g",
+        F.when(churned, F.expr("(last_s - first_s) div 3600"))
+        .otherwise(F.expr("(horizon - first_s) div 3600"))
+        .alias("t"),
+        F.when(churned, F.lit(1)).otherwise(F.lit(0)).alias("ev"),
+    )
+    dur = managed_persist(dur)
+    g0 = F.when(F.col("g") == 0, 1).otherwise(0)
+    g1 = F.when(F.col("g") == 1, 1).otherwise(0)
+    tots = dur.agg(
+        F.sum(g0).alias("tot0"), F.sum(g1).alias("tot1")
+    )
+    at_t = dur.groupBy("t").agg(
+        F.sum(g0).alias("a0"),
+        F.sum(g1).alias("a1"),
+        F.sum(F.when(F.col("g") == 0, F.col("ev")).otherwise(0)).alias("d0"),
+        F.sum(F.when(F.col("g") == 1, F.col("ev")).otherwise(0)).alias("d1"),
+    )
+    w = (
+        Window.partitionBy(tiny_table_partition("t"))
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = at_t.crossJoin(F.broadcast(tots)).select(
+        "t",
+        "d0",
+        "d1",
+        (
+            F.col("tot0") - F.coalesce(F.sum("a0").over(w), F.lit(0))
+        ).alias("n0"),
+        (
+            F.col("tot1") - F.coalesce(F.sum("a1").over(w), F.lit(0))
+        ).alias("n1"),
+    ).filter(F.col("d0") + F.col("d1") > 0)
+    d = (F.col("d0") + F.col("d1")).cast("double")
+    nn = (F.col("n0") + F.col("n1")).cast("double")
+    e1 = F.round(d * F.col("n1") / nn, 9).cast("decimal(18,9)")
+    v1 = F.round(
+        F.when(
+            F.col("n0") + F.col("n1") > 1,
+            d
+            * (F.col("n1").cast("double") / nn)
+            * (F.col("n0").cast("double") / nn)
+            * (nn - d)
+            / (nn - 1),
+        ).otherwise(F.lit(0.0)),
+        9,
+    ).cast("decimal(18,9)")
+    terms = risk.select(
+        "d1", e1.alias("e1"), v1.alias("v1")
+    )
+    o_minus_e = F.sum("d1").cast("double") - F.sum("e1").cast("double")
+    vs = F.sum("v1").cast("double")
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_times"),
+        F.sum("d1").alias("o1"),
+        F.round(F.sum("e1").cast("double"), 6).alias("e1_sum"),
+        F.round(vs, 6).alias("v_sum"),
+        F.round(o_minus_e / F.sqrt(vs), 6).alias("z_score"),
+        F.round(F.pow(o_minus_e, 2) / vs, 6).alias("chi2"),
+    )
