@@ -6139,3 +6139,274 @@ def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r")
     )
+
+
+@register(
+    "q_ql_jelinek_mercer",
+    oracle="WITH " + _BM25_CTE + """,
+        coll AS (SELECT CAST(count(*) AS BIGINT) AS ctot FROM toks),
+        ctf AS (SELECT term, CAST(count(*) AS BIGINT) AS ctf
+                FROM toks WHERE term IN ('spark', 'join', 'hash')
+                GROUP BY 1),
+        pq AS (SELECT term, CAST(ctf AS DOUBLE) / ctot AS pc
+               FROM ctf CROSS JOIN coll),
+        kconst AS (SELECT CAST(sum(CAST(round(ln(0.5 * pc), 6)
+                          AS DECIMAL(18,6))) AS DOUBLE) AS kk FROM pq),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+               WHERE term IN ('spark', 'join', 'hash') GROUP BY 1, 2),
+        adj AS (SELECT tf.doc_id,
+                       sum(CAST(round(ln(1.0 + CAST(tf.tf AS DOUBLE)
+                                          / (dl.dl * pq.pc)), 6)
+                           AS DECIMAL(18,6))) AS a
+                FROM tf JOIN pq USING (term) JOIN dl USING (doc_id)
+                GROUP BY 1),
+        scored AS (
+          SELECT dl.doc_id,
+                 round(COALESCE(CAST(a AS DOUBLE), 0.0) + kk, 6) AS ql
+          FROM dl LEFT JOIN adj USING (doc_id) CROSS JOIN kconst
+        )
+        SELECT rnk, doc_id, ql FROM (
+          SELECT doc_id, ql,
+                 row_number() OVER (ORDER BY ql DESC, doc_id) AS rnk
+          FROM scored) WHERE rnk <= 10 ORDER BY rnk
+    """,
+    doc="Query-likelihood ranking with Jelinek-Mercer smoothing "
+    "(Zhai & Lafferty 2001), lambda=0.5, query {spark, join, hash}: "
+    "score = sum_q ln(0.5 tf/dl + 0.5 p(q|C)) — the fixed-mix "
+    "language-model ranker beside q_ql_dirichlet's adaptive "
+    "document-length prior (JM favors long docs less; the classic "
+    "smoothing A/B every IR stack compares). Decomposed as the 1-row "
+    "query constant sum ln(0.5 p_q) plus matched-term adjustments "
+    "ln(1 + tf/(dl p_q)) (6dp-DECIMAL-summed, docs-hitting-terms "
+    "sized, dl joined by key) — the full-corpus branch is constant "
+    "per doc, no token-stream join. Top-10 by TakeOrdered.",
+)
+def q_ql_jelinek_mercer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from hw_kafka_streams_spark.operators.text import word_tokens
+    from hw_kafka_streams_spark.operators.winutil import (
+        tiny_table_partition,
+    )
+
+    terms = ["spark", "join", "hash"]
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(word_tokens(F.lower(F.col("text")))).alias("term"),
+    )
+    toks = managed_persist(toks)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dl = managed_persist(dl)
+    coll = toks.agg(F.count(F.lit(1)).alias("ctot"))
+    ctf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("ctf"))
+    )
+    pq = ctf.crossJoin(F.broadcast(coll)).select(
+        "term", (F.col("ctf").cast("double") / F.col("ctot")).alias("pc")
+    )
+    pq = managed_persist(pq)
+    kconst = pq.agg(
+        F.sum(F.round(F.log(0.5 * F.col("pc")), 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("kk")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    adj = (
+        tf.join(F.broadcast(pq), "term")
+        .join(dl.hint("shuffle_hash"), "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.round(
+                    F.log(
+                        1.0
+                        + F.col("tf").cast("double")
+                        / (F.col("dl") * F.col("pc"))
+                    ),
+                    6,
+                ).cast("decimal(18,6)")
+            ).alias("a")
+        )
+    )
+    scored = (
+        dl.join(adj.hint("shuffle_hash"), "doc_id", "left")
+        .crossJoin(F.broadcast(kconst))
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(F.col("a").cast("double"), F.lit(0.0))
+                + F.col("kk"),
+                6,
+            ).alias("ql"),
+        )
+    )
+    top = scored.orderBy(F.desc("ql"), "doc_id").limit(10)
+    w = W.partitionBy(tiny_table_partition("doc_id")).orderBy(
+        F.desc("ql"), "doc_id"
+    )
+    return top.select(
+        F.row_number().over(w).alias("rnk"), "doc_id", "ql"
+    ).orderBy("rnk")
+
+
+@register(
+    "q_rouge_pairs",
+    oracle="WITH " + _JACC_PAIRS_CTE + """,
+        toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             t -> t <> '') AS toks
+          FROM documents
+        ),
+        uni AS (
+          SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT doc_id, unnest(toks) AS g FROM toks) GROUP BY 1, 2
+        ),
+        big AS (
+          SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT doc_id,
+                       unnest([array_to_string(toks[i:i+1], ' ')
+                               FOR i IN range(1, len(toks))]) AS g
+                FROM toks WHERE len(toks) >= 2)
+          GROUP BY 1, 2
+        ),
+        lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM toks),
+        p1 AS (
+          SELECT p.id1, p.id2,
+                 CAST(sum(LEAST(a.c, COALESCE(b.c, 0))) AS BIGINT)
+                   AS clip1
+          FROM cand p
+            JOIN uni a ON a.doc_id = p.id1
+            LEFT JOIN uni b ON b.doc_id = p.id2 AND b.g = a.g
+          GROUP BY 1, 2
+        ),
+        p2 AS (
+          SELECT p.id1, p.id2,
+                 CAST(sum(LEAST(a.c, COALESCE(b.c, 0))) AS BIGINT)
+                   AS clip2
+          FROM cand p
+            JOIN big a ON a.doc_id = p.id1
+            LEFT JOIN big b ON b.doc_id = p.id2 AND b.g = a.g
+          GROUP BY 1, 2
+        )
+        SELECT c.id1, c.id2,
+               round(CAST(p1.clip1 AS DOUBLE) / lb.n, 6) AS rouge1_r,
+               round(CASE WHEN p1.clip1 = 0 THEN 0.0
+                     ELSE 2.0 * p1.clip1 / (la.n + lb.n) END, 6)
+                 AS rouge1_f,
+               round(CAST(COALESCE(p2.clip2, 0) AS DOUBLE)
+                     / (lb.n - 1), 6) AS rouge2_r,
+               round(CASE WHEN COALESCE(p2.clip2, 0) = 0 THEN 0.0
+                     ELSE 2.0 * p2.clip2 / (la.n - 1 + lb.n - 1) END, 6)
+                 AS rouge2_f
+        FROM cand c
+          JOIN p1 ON p1.id1 = c.id1 AND p1.id2 = c.id2
+          LEFT JOIN p2 ON p2.id1 = c.id1 AND p2.id2 = c.id2
+          JOIN lens la ON la.doc_id = c.id1
+          JOIN lens lb ON lb.doc_id = c.id2
+        ORDER BY c.id1, c.id2
+    """,
+    doc="ROUGE-1/2 recall and F1 (Lin 2004) over the exact-Jaccard "
+    "near-dup candidate pairs, treating the higher-id doc as the "
+    "reference — the recall-oriented complement to q_bleu_pairs' "
+    "clipped precision (BLEU asks 'how much of the candidate is in "
+    "the reference'; ROUGE asks the reverse — together they separate "
+    "containment direction in near-dup diagnosis). The clipped match "
+    "sum sum_g min(c1, c2) is shared arithmetic with BLEU (exact "
+    "integers); F1 simplifies to 2*clip/(n1+n2), one rounded scalar "
+    "per pair. Scale shape identical to q_bleu_pairs: every join "
+    "hangs off the max_df=64-guarded candidate table, gram tables "
+    "semi-joined to pair members first.",
+)
+def q_rouge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.text import (
+        _adjacent_pairs,
+        word_tokens,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    cand = D.jaccard_candidate_pairs(docs, threshold=0.05, max_df=64).select(
+        "id1", "id2"
+    )
+    cand = managed_persist(cand)
+    ids = managed_persist(
+        cand.select(F.col("id1").alias("doc_id"))
+        .union(cand.select(F.col("id2")))
+        .distinct()
+    )
+    tk = managed_persist(
+        docs.join(F.broadcast(ids), "doc_id")
+        .select("doc_id", word_tokens(F.col("text")).alias("toks"))
+    )
+    uni = managed_persist(
+        tk.select("doc_id", F.explode("toks").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    big = managed_persist(
+        tk.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    _adjacent_pairs(F.col("toks")),
+                    lambda s: F.concat_ws(" ", s["w1"], s["w2"]),
+                )
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lens = tk.select("doc_id", F.size("toks").cast("long").alias("n"))
+
+    def clipped(grams, out):
+        a = grams.withColumnsRenamed({"doc_id": "id1", "c": "ca"})
+        b = grams.withColumnsRenamed({"doc_id": "id2", "c": "cb"})
+        return (
+            cand.join(a.hint("shuffle_hash"), "id1")
+            .join(F.broadcast(b), ["id2", "g"], "left")
+            .groupBy("id1", "id2")
+            .agg(
+                F.sum(F.least(F.col("ca"), F.coalesce(F.col("cb"), F.lit(0))))
+                .cast("long")
+                .alias(out)
+            )
+        )
+
+    p1 = clipped(uni, "clip1")
+    p2 = clipped(big, "clip2")
+    la = lens.withColumnsRenamed({"doc_id": "id1", "n": "la"})
+    lb = lens.withColumnsRenamed({"doc_id": "id2", "n": "lb"})
+    j = (
+        cand.join(F.broadcast(p1), ["id1", "id2"])
+        .join(F.broadcast(p2), ["id1", "id2"], "left")
+        .join(F.broadcast(la), "id1")
+        .join(F.broadcast(lb), "id2")
+    )
+    clip2 = F.coalesce(F.col("clip2"), F.lit(0))
+    laf, lbf = F.col("la").cast("double"), F.col("lb").cast("double")
+    return j.select(
+        "id1",
+        "id2",
+        F.round(F.col("clip1").cast("double") / lbf, 6).alias("rouge1_r"),
+        F.round(
+            F.when(F.col("clip1") == 0, F.lit(0.0)).otherwise(
+                2.0 * F.col("clip1") / (laf + lbf)
+            ),
+            6,
+        ).alias("rouge1_f"),
+        F.round(clip2.cast("double") / (lbf - 1), 6).alias("rouge2_r"),
+        F.round(
+            F.when(clip2 == 0, F.lit(0.0)).otherwise(
+                2.0 * clip2 / (laf - 1 + lbf - 1)
+            ),
+            6,
+        ).alias("rouge2_f"),
+    ).orderBy("id1", "id2")

@@ -3697,3 +3697,169 @@ def q_seq_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_type", "then_type")
     )
+
+
+@register(
+    "q_burrows_delta",
+    oracle=r"""
+        WITH toks AS (
+          SELECT source,
+                 unnest(list_filter(
+                   string_split_regex(trim(lower(text)), '\s+'),
+                   t -> t <> '')) AS w
+          FROM documents
+        ), csw AS (
+          SELECT source, w, CAST(count(*) AS BIGINT) AS c
+          FROM toks GROUP BY 1, 2
+        ), cs AS (
+          SELECT source, CAST(sum(c) AS BIGINT) AS tot
+          FROM csw GROUP BY 1
+        ), mfw AS (
+          SELECT w FROM (
+            SELECT w, row_number() OVER (
+                     ORDER BY sum(c) DESC, w) AS rnk
+            FROM csw GROUP BY w) WHERE rnk <= 30
+        ), grid AS (
+          SELECT cs.source, mfw.w, cs.tot,
+                 CAST(COALESCE(x.c, 0) AS DOUBLE) / cs.tot AS f
+          FROM cs CROSS JOIN mfw
+          LEFT JOIN csw x ON x.source = cs.source AND x.w = mfw.w
+        ), wstat AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(CAST(round(f, 9) AS DECIMAL(18,9)))
+                   AS DOUBLE) AS sf,
+                 CAST(sum(CAST(round(f * f, 9) AS DECIMAL(18,9)))
+                   AS DOUBLE) AS sf2
+          FROM grid GROUP BY 1
+        ), z AS (
+          SELECT g.source, g.w,
+                 (g.f - s.sf / s.k)
+                 / sqrt(GREATEST(s.sf2 / s.k
+                                 - (s.sf / s.k) * (s.sf / s.k),
+                                 1e-18)) AS zv
+          FROM grid g JOIN wstat s USING (w)
+        ), pairs AS (
+          SELECT a.source AS s1, b.source AS s2,
+                 round(CAST(sum(CAST(round(abs(a.zv - b.zv), 9)
+                       AS DECIMAL(18,9))) AS DOUBLE) / 30, 6) AS delta
+          FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+          GROUP BY 1, 2
+        )
+        SELECT CAST(rnk AS BIGINT) AS rnk, s1, s2, delta FROM (
+          SELECT s1, s2, delta,
+                 row_number() OVER (ORDER BY delta, s1, s2) AS rnk
+          FROM pairs) WHERE rnk <= 10 ORDER BY rnk
+    """,
+    doc="Burrows' Delta stylometric distance between sources "
+    "(Burrows 2002, the standard authorship-attribution measure): "
+    "z-score each source's relative frequency of the corpus's 30 "
+    "most frequent words (population sd across sources), then "
+    "Delta(s1,s2) = mean |z1 - z2| over those words; the 10 most "
+    "stylistically similar source pairs — the duplicate-PROVENANCE "
+    "signal (two 'different' crawls with near-zero Delta are one "
+    "source) that content dedup misses. Relative frequencies are "
+    "exact per-row divisions; cross-source moments and the pair "
+    "deltas are per-term 9dp-DECIMAL sums; sd guarded at 1e-18 for "
+    "degenerate words. Scale shape: one (source, word) partial-agged "
+    "count, MFW selection over the vocab-sized rollup, then all "
+    "joins bounded by k_sources x 30 rows.",
+)
+def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from hw_kafka_streams_spark.operators.winutil import (
+        tiny_table_partition,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    csw = (
+        docs.select(
+            "source",
+            F.explode(T.word_tokens(F.lower(F.col("text")))).alias("w"),
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    csw = managed_persist(csw)
+    cs = csw.groupBy("source").agg(F.sum("c").alias("tot"))
+    wtot = csw.groupBy("w").agg(F.sum("c").alias("cw"))
+    mfw = (
+        wtot.orderBy(F.desc("cw"), "w")
+        .limit(30)
+        .select(
+            "w",
+            F.row_number()
+            .over(
+                W.partitionBy(tiny_table_partition("w")).orderBy(
+                    F.desc("cw"), "w"
+                )
+            )
+            .alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 30)
+        .select("w")
+    )
+    grid = (
+        cs.crossJoin(F.broadcast(mfw))
+        .join(F.broadcast(csw.join(F.broadcast(mfw), "w")), ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            (
+                F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                / F.col("tot")
+            ).alias("f"),
+        )
+    )
+    grid = managed_persist(grid)
+    wstat = grid.groupBy("w").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.round(F.col("f"), 9).cast("decimal(18,9)"))
+        .cast("double")
+        .alias("sf"),
+        F.sum(F.round(F.col("f") * F.col("f"), 9).cast("decimal(18,9)"))
+        .cast("double")
+        .alias("sf2"),
+    )
+    mu = F.col("sf") / F.col("k")
+    sd = F.sqrt(
+        F.greatest(
+            F.col("sf2") / F.col("k") - mu * mu, F.lit(1e-18)
+        )
+    )
+    z = grid.join(F.broadcast(wstat), "w").select(
+        "source", "w", ((F.col("f") - mu) / sd).alias("zv")
+    )
+    zb = z.select(
+        F.col("source").alias("s2"),
+        F.col("w").alias("w2"),
+        F.col("zv").alias("zv2"),
+    )
+    pairs = (
+        z.join(
+            F.broadcast(zb),
+            (F.col("w") == F.col("w2")) & (F.col("source") < F.col("s2")),
+        )
+        .groupBy(F.col("source").alias("s1"), "s2")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.abs(F.col("zv") - F.col("zv2")), 9).cast(
+                        "decimal(18,9)"
+                    )
+                ).cast("double")
+                / 30,
+                6,
+            ).alias("delta")
+        )
+    )
+    top = pairs.orderBy("delta", "s1", "s2").limit(10)
+    w_r = W.partitionBy(tiny_table_partition("s1")).orderBy(
+        "delta", "s1", "s2"
+    )
+    return top.select(
+        F.row_number().over(w_r).cast("long").alias("rnk"),
+        "s1",
+        "s2",
+        "delta",
+    ).orderBy("rnk")
