@@ -200,6 +200,14 @@ HEADLINE = [
     "q_cooks_distance",
     "q_transfer_entropy",
     "q_rbo_rankers",
+    # round-11: the one genuinely new corpus-scan shape — the
+    # stylometric (source, word) count + MFW z-score pair fold. The
+    # rest of the round's additions stay off as shape-duplicates or
+    # domain-bounded epilogues (rouge/jelinek-mercer mirror
+    # bleu/ql_dirichlet's ratcheted stacks; kendall/log-rank/dunn/
+    # nelson-aalen are hour-grid- or k-row-bounded; press mirrors
+    # cooks; hier-DCT is fixture-capped like every codec query).
+    "q_burrows_delta",
 ]
 
 

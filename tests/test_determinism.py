@@ -127,6 +127,22 @@ DECIMAL_RECIPE_QUERIES = [
     # legitimately returns ZERO rows at sf0.001 (all blocks are
     # singletons), which the non-empty guard rejects; its trajectory
     # determinism is covered by the sf0.01 oracle hash.
+    # round 11: DECIMAL-per-term survival increments (NA hazard,
+    # log-rank E/V), doubled-rank DECIMAL sums + BH ordering (Dunn),
+    # per-term entropy (l-diversity), z-score grids (Burrows Delta),
+    # decimal ln sums (JM), the Bowker chi2 terms, and PRESS's
+    # 6dp-DECIMAL LOO residual sums. kendall_tau / good_turing /
+    # cochran_armitage / rouge_pairs stay out for the friedman
+    # reason's sibling: exact-integer until one final division,
+    # nothing to drift.
+    "q_nelson_aalen",
+    "q_log_rank_test",
+    "q_dunn_posthoc",
+    "q_l_diversity",
+    "q_burrows_delta",
+    "q_ql_jelinek_mercer",
+    "q_bowker_symmetry",
+    "q_press_loocv",
 ]
 
 

@@ -299,6 +299,10 @@ def test_headline_plans_no_smj_no_unexpected_nlj(spark, sf_dir):
         "q_cooks_distance",
         "q_transfer_entropy",
         "q_rbo_rankers",
+        # round-11: the k_sources x 30 MFW grid cross (a 30-row
+        # broadcast of the selected word list — bounded by
+        # construction, the intentional stylometry scaffold)
+        "q_burrows_delta",
     }
     offenders: dict[str, str] = {}
     for name in HEADLINE:

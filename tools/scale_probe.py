@@ -128,6 +128,15 @@ PROBES = [
     "q_cooks_distance",        # broadcast-fit narrow map + TakeOrdered
     "q_transfer_entropy",      # hour-grid self-join joint counts
     "q_rbo_rankers",           # dual tokenize/rank stacks + prefix overlap
+    # round-11 additions: the pair-generating / corpus-join shapes
+    # (round-6 lesson applies); the domain-bounded survival/rank
+    # epilogues (nelson_aalen, log_rank, dunn) and the fixture-capped
+    # hier-DCT codec stay out per the standing policies
+    "q_kendall_tau",           # hour-grid pair join, sign-product fold
+    "q_rouge_pairs",           # recall twin of the clipped-gram joins
+    "q_burrows_delta",         # (source,word) counts + MFW z-score pairs
+    "q_ql_jelinek_mercer",     # JM LM: tf x dl keyed join + const branch
+    "q_press_loocv",           # broadcast-fit LOO narrow map, DECIMAL sums
 ]
 
 

@@ -107,6 +107,12 @@ PROBES = [
     "q_decayed_heavy_hitters",
     "q_poisson_glm",
     "q_topic_coherence",
+    # round-11 new pair-generating / corpus-join shapes
+    "q_kendall_tau",
+    "q_rouge_pairs",
+    "q_burrows_delta",
+    "q_ql_jelinek_mercer",
+    "q_press_loocv",
 ]
 
 
@@ -280,6 +286,17 @@ NOTES = {
     "literal fit replay",
     "q_topic_coherence": "docs 10x; semi-joined presence table, "
     "co-occurrence bounded by the top-word set",
+    # round-11 additions
+    "q_kendall_tau": "events 10x; hour-grid pair join is time-DOMAIN-"
+    "bounded (720 hours at every SF) — only the bucketing scan grows",
+    "q_rouge_pairs": "docs 10x; same max_df=64-guarded candidate "
+    "stack as q_bleu_pairs, gram joins pair-bounded",
+    "q_burrows_delta": "docs 10x; one (source,word) partial-agged "
+    "count, MFW grid bounded at k_sources x 30",
+    "q_ql_jelinek_mercer": "docs 10x; matched-term tf x dl keyed "
+    "join, corpus branch constant per doc",
+    "q_press_loocv": "lineitem 10x; broadcast 1-row fit, one narrow "
+    "map with 6dp-DECIMAL term sums",
 }
 
 
