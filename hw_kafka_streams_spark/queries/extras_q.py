@@ -3096,25 +3096,28 @@ def q_write_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / n AS a
           FROM m
         ),
-        terms AS (
-          SELECT f.n, f.sst, f.b,
-                 CAST(round(
-                   POWER((CAST(p.y AS DOUBLE)
-                          - (f.a + f.b * CAST(p.x AS DOUBLE)))
-                         / (1.0 - (1.0 / f.n
-                                   + (CAST(p.x AS DOUBLE) - f.xbar)
-                                     * (CAST(p.x AS DOUBLE) - f.xbar)
-                                     / f.sxx)), 2), 6)
-                   AS DECIMAL(38,6)) AS pterm,
-                 CAST(round(
-                   POWER(CAST(p.y AS DOUBLE)
-                         - (f.a + f.b * CAST(p.x AS DOUBLE)), 2), 6)
-                   AS DECIMAL(38,6)) AS eterm
+        loo AS (
+          SELECT f.n, f.sst,
+                 (CAST(p.y AS DOUBLE)
+                  - (f.a + f.b * CAST(p.x AS DOUBLE))) AS e,
+                 (CAST(p.y AS DOUBLE)
+                  - (f.a + f.b * CAST(p.x AS DOUBLE)))
+                 / (1.0 - (1.0 / f.n
+                           + (CAST(p.x AS DOUBLE) - f.xbar)
+                             * (CAST(p.x AS DOUBLE) - f.xbar)
+                             / f.sxx)) AS el
           FROM pts p CROSS JOIN fit f
+        ),
+        terms AS (
+          SELECT n, sst,
+                 CAST(round(el * el, 6) AS DECIMAL(38,6)) AS pterm,
+                 CAST(round(e * e, 6) AS DECIMAL(38,6)) AS eterm
+          FROM loo
         )
         SELECT CAST(max(n) AS BIGINT) AS n,
-               round(CAST(sum(pterm) AS DOUBLE), 2) AS press,
-               round(max(sst), 2) AS sst,
+               round(CAST(sum(pterm) AS DOUBLE) / max(n), 4)
+                 AS press_mean,
+               round(max(sst) / max(n), 4) AS sst_mean,
                round(1.0 - CAST(sum(pterm) AS DOUBLE) / max(sst), 6)
                  AS r2_pred,
                round(1.0 - CAST(sum(eterm) AS DOUBLE) / max(sst), 6)
@@ -3127,7 +3130,9 @@ def q_write_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "diagonal h_i = 1/n + (x-xbar)^2/Sxx already prices each row's "
     "self-influence), and predictive R^2 = 1 - PRESS/SST against the "
     "in-sample R^2 — the overfit gap a training-data regression "
-    "screen should report rather than R^2 alone. Exact-DECIMAL moment "
+    "screen should report rather than R^2 alone. PRESS and SST are "
+    "reported as PER-ROW means (raw sums sit at ~5e13 where one "
+    "double ulp exceeds any decimal grid). Exact-DECIMAL moment "
     "sums feed the broadcast 1-row fit (the q_cooks_distance "
     "machinery); per-row squared LOO residuals are 6dp-DECIMAL-summed "
     "so reducer order cannot drift the total. One scan, one narrow "
@@ -3167,17 +3172,31 @@ def q_press_loocv(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = 1.0 / F.col("n") + (xd - F.col("xbar")) * (
         xd - F.col("xbar")
     ) / F.col("sxx")
-    pterm = F.round(F.pow(e / (F.lit(1.0) - h), 2), 6).cast(
-        "decimal(38,6)"
-    )
-    eterm = F.round(F.pow(e, 2), 6).cast("decimal(38,6)")
+    # explicit products, not pow(x, 2): libm pow is not guaranteed
+    # correctly-rounded and the two engines' pow can differ in the
+    # last ulp, which a .0000005-straddling round(., 6) then amplifies
+    el = e / (F.lit(1.0) - h)
+    pterm = F.round(el * el, 6).cast("decimal(38,6)")
+    eterm = F.round(e * e, 6).cast("decimal(38,6)")
     terms = pts.crossJoin(F.broadcast(fit)).select(
         "n", "sst", pterm.alias("pterm"), eterm.alias("eterm")
     )
+    # NO re-round on press: the 6dp per-term rounding can differ by
+    # ~1e-6 between engines on boundary-straddling terms, and a 2dp
+    # re-round amplifies that across a .005 edge (observed at both
+    # SFs). The bare double cast's own ulp at ~5e13 (0.008) absorbs a
+    # 1e-6 sum disagreement instead.
+    # outputs are PER-ROW means: the raw sums sit at ~5e13 where a
+    # ~1e-6 engine disagreement in boundary-straddling 6dp terms is
+    # within one double ulp of the total (observed flipping the last
+    # printed digit at both SFs); dividing by n pushes the noise ~11
+    # orders below the 4dp grid.
     return terms.agg(
         F.max("n").alias("n"),
-        F.round(F.sum("pterm").cast("double"), 2).alias("press"),
-        F.round(F.max("sst"), 2).alias("sst"),
+        F.round(F.sum("pterm").cast("double") / F.max("n"), 4).alias(
+            "press_mean"
+        ),
+        F.round(F.max("sst") / F.max("n"), 4).alias("sst_mean"),
         F.round(
             F.lit(1.0) - F.sum("pterm").cast("double") / F.max("sst"), 6
         ).alias("r2_pred"),
