@@ -284,6 +284,13 @@ def _next_round() -> int:
     return max(rounds) + 1
 
 
+# Always fresh-twinned, regardless of the prev-round anchor: the
+# detector compares against the PREVIOUS committed reading, so a row
+# whose committed number was itself residue-inflated (r10's
+# q_semantic_dedup 3.60 vs 2.0 fresh) would never trip the 1.5x gate
+# from an inflated baseline. Names here are re-anchored every run.
+FORCE_FRESH_TWIN = {"q_semantic_dedup"}
+
 FRESH_TWIN_MARK = "FRESH_TWIN_JSON:"
 
 
@@ -435,8 +442,10 @@ def main() -> None:
         if name in errors or name not in isolated:
             continue
         prev = prev_isolated.get(name)
-        if name in reruns or (
-            prev is not None and isolated[name] > max(1.5 * prev, 1.0)
+        if (
+            name in reruns
+            or name in FORCE_FRESH_TWIN
+            or (prev is not None and isolated[name] > max(1.5 * prev, 1.0))
         ):
             suspects.append(name)
     # Bound the twin pass: a whole-host slowdown could flag everything;
