@@ -5485,3 +5485,282 @@ def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tstat, 6).alias("t_stat"),
         F.round(tstat / F.sqrt(var), 6).alias("z_score"),
     )
+
+
+@register(
+    "q_cramer_von_mises",
+    oracle="""
+        WITH mom AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(n_chars AS HUGEINT)) AS s1,
+                 sum(CAST(n_chars AS HUGEINT) * n_chars) AS s2
+          FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+        ),
+        vals AS (
+          SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+          FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT source, v, c,
+                 sum(c) OVER (PARTITION BY source ORDER BY v) AS cm
+          FROM vals
+        ),
+        z AS (
+          SELECT c.source, c.c, c.cm, m.n,
+                 (c.v - CAST(m.s1 AS DOUBLE) / m.n)
+                 / sqrt(CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE)
+                        / (CAST(m.n AS DOUBLE) * m.n)) AS zv
+          FROM cum c JOIN mom m USING (source)
+        ),
+        phi AS (
+          SELECT source, c, cm, n,
+                 GREATEST(LEAST(CASE WHEN zv >= 0 THEN 1.0 - """
+    + _NORM_UPPER.format(x="zv")
+    + """
+                      ELSE """
+    + _NORM_UPPER.format(x="(-zv)")
+    + """
+                 END, 1.0 - 1e-15), 1e-15) AS ph
+          FROM z
+        ),
+        terms AS (
+          SELECT source, n,
+                 CAST(round(
+                   CAST(c AS DOUBLE) * ph * ph
+                   - ph * CAST(cm * cm - (cm - c) * (cm - c) AS DOUBLE)
+                     / n
+                   + CAST((cm * (4 * CAST(cm AS HUGEINT) * cm - 1)) // 3
+                          - ((cm - c) * (4 * CAST(cm - c AS HUGEINT)
+                                         * (cm - c) - 1)) // 3
+                       AS DOUBLE)
+                     / (4.0 * CAST(n AS DOUBLE) * n), 9)
+                   AS DECIMAL(38, 9)) AS t
+          FROM phi
+        ),
+        w2 AS (
+          SELECT source, CAST(min(n) AS BIGINT) AS n,
+                 1.0 / (12.0 * CAST(min(n) AS DOUBLE))
+                 + CAST(sum(t) AS DOUBLE) AS w
+          FROM terms GROUP BY 1
+        )
+        SELECT source, n, round(w, 6) AS w2,
+               round(w * (1.0 + 0.5 / n), 6) AS w2_star,
+               CAST(w * (1.0 + 0.5 / n) > 0.126 AS INT)
+                 AS reject_normal
+        FROM w2 ORDER BY source
+    """,
+    doc="Cramer-von Mises normality test per source over doc length — "
+    "the squared-distance member of the EDF-test family between "
+    "q_lilliefors (sup norm) and q_anderson_darling (tail-weighted): "
+    "W^2 = 1/(12n) + sum_i (F(z_(i)) - (2i-1)/(2n))^2. Grouped-count "
+    "formulation with EXACT integer rank coefficients: a tied value "
+    "spanning cumulative counts (cm-c, cm] contributes "
+    "c*F^2 - F*(cm^2-(cm-c)^2)/n + (g(cm)-g(cm-c))/(4n^2) with "
+    "g(b) = b(4b^2-1)/3 = sum of the first b odd squares — no row "
+    "explosion, one partial-agged pass over DISTINCT lengths. Normal "
+    "CDF via the shared A&S 26.2.17 text, population-sd z convention "
+    "(same as q_anderson_darling/q_lilliefors), per-term "
+    "DECIMAL(38,9) rounding. W*^2 = W^2(1+0.5/n) against Stephens' "
+    "5% estimated-parameters critical value 0.126.",
+)
+def q_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("n_chars").isNotNull()
+    )
+    dv = F.col("n_chars").cast("decimal(38,0)")
+    mom = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dv).alias("s1"),
+        F.sum(dv * dv).alias("s2"),
+    )
+    vals = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = W.partitionBy("source").orderBy("v")
+    cum = vals.withColumn("cm", F.sum("c").over(w))
+    n = F.col("n")
+    zv = (
+        F.col("v") - F.col("s1").cast("double") / n
+    ) / F.sqrt(
+        (n.cast("decimal(38,0)") * F.col("s2") - F.col("s1") * F.col("s1"))
+        .cast("double")
+        / (n.cast("double") * n)
+    )
+    z = cum.join(F.broadcast(mom), "source").select(
+        "source", "c", "cm", "n", zv.alias("zv")
+    )
+
+    def upper(x):
+        t = 1.0 / (1.0 + 0.2316419 * x)
+        return (F.exp(-x * x / 2.0) / 2.5066282746310002) * (
+            t
+            * (
+                0.319381530
+                + t
+                * (
+                    -0.356563782
+                    + t
+                    * (
+                        1.781477937
+                        + t * (-1.821255978 + t * 1.330274429)
+                    )
+                )
+            )
+        )
+
+    ph = F.greatest(
+        F.least(
+            F.when(F.col("zv") >= 0, 1.0 - upper(F.col("zv"))).otherwise(
+                upper(-F.col("zv"))
+            ),
+            F.lit(1.0 - 1e-15),
+        ),
+        F.lit(1e-15),
+    )
+    phi = z.select("source", "c", "cm", "n", ph.alias("ph"))
+    cmc = F.col("cm") - F.col("c")
+    a_coef = (F.col("cm") * F.col("cm") - cmc * cmc).cast("double")
+    # g(b) = b(4b^2-1)/3 stays under 9.2e18 for n <= 1.3M rows/group
+    # (sf1 documents is ~500k), so plain long arithmetic is exact.
+    b_coef = (
+        F.expr(
+            "(cm * (4 * cm * cm - 1)) div 3"
+            " - ((cm - c) * (4 * (cm - c) * (cm - c) - 1)) div 3"
+        )
+    ).cast("double")
+    term = F.round(
+        F.col("c").cast("double") * F.col("ph") * F.col("ph")
+        - F.col("ph") * a_coef / F.col("n")
+        + b_coef / (4.0 * F.col("n").cast("double") * F.col("n")),
+        9,
+    ).cast("decimal(38,9)")
+    w2 = phi.select("source", "n", term.alias("t")).groupBy("source").agg(
+        F.min("n").cast("long").alias("n"),
+        (
+            1.0 / (12.0 * F.min("n").cast("double"))
+            + F.sum("t").cast("double")
+        ).alias("w"),
+    )
+    nn = F.col("n").cast("double")
+    star = F.col("w") * (1.0 + 0.5 / nn)
+    return w2.select(
+        "source",
+        "n",
+        F.round(F.col("w"), 6).alias("w2"),
+        F.round(star, 6).alias("w2_star"),
+        (star > 0.126).cast("int").alias("reject_normal"),
+    ).orderBy("source")
+
+
+@register(
+    "q_wilcoxon_signed_rank",
+    oracle="""
+        WITH per_u AS (
+          SELECT user_id,
+                 CAST(sum(CASE WHEN event_type = 'click'
+                          THEN 1 ELSE 0 END) AS BIGINT)
+                 - CAST(sum(CASE WHEN event_type = 'view'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS d
+          FROM events WHERE event_type IN ('click', 'view')
+          GROUP BY 1
+        ),
+        nz AS (SELECT d, abs(d) AS av FROM per_u WHERE d <> 0),
+        per_v AS (
+          SELECT av, CAST(count(*) AS BIGINT) AS c,
+                 CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS cp
+          FROM nz GROUP BY 1
+        ),
+        rk AS (
+          SELECT av, c, cp,
+                 2 * COALESCE(sum(c) OVER (
+                       ORDER BY av ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) + c + 1 AS r2
+          FROM per_v
+        ),
+        m AS (
+          SELECT CAST(sum(c) AS BIGINT) AS n,
+                 sum(CAST(cp AS HUGEINT) * r2) AS w2p,
+                 sum(CAST(c AS HUGEINT) * c * c - c) AS ties
+          FROM rk
+        )
+        SELECT n AS n_pairs,
+               round(CAST(w2p AS DOUBLE) / 2, 2) AS w_plus,
+               round((CAST(w2p AS DOUBLE) / 2
+                      - CAST(n AS DOUBLE) * (n + 1) / 4)
+                     / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1)
+                            / 24.0
+                            - CAST(ties AS DOUBLE) / 48.0), 6)
+                 AS z_score
+        FROM m
+    """,
+    doc="Wilcoxon signed-rank test of the per-user click-minus-view "
+    "count difference — the PAIRED nonparametric partner to "
+    "q_mann_whitney (two independent samples) and q_sign_test (signs "
+    "only; this also uses magnitudes). Zero differences dropped "
+    "(Wilcoxon convention), |d| ranked with doubled average ranks "
+    "over DISTINCT magnitudes (the exact-integer spearman trick), "
+    "W+ = sum of positive-side ranks; tie-corrected normal z = "
+    "(W+ - n(n+1)/4)/sqrt(n(n+1)(2n+1)/24 - sum(t^3-t)/48). "
+    "Everything before z is exact integer arithmetic. Scale shape: "
+    "one per-user keyed agg, then ranks via distinct-magnitude "
+    "counts + prefix sums — never a global per-row rank window.",
+)
+def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type").isin("click", "view")
+    )
+    per_u = e.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            - F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        )
+        .cast("long")
+        .alias("d")
+    )
+    nz = per_u.filter(F.col("d") != 0).select(
+        "d", F.abs(F.col("d")).alias("av")
+    )
+    per_v = nz.groupBy("av").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("cp"),
+    )
+    w = W.partitionBy(tiny_table_partition("av")).orderBy("av")
+    rk = per_v.withColumn(
+        "r2",
+        2
+        * F.coalesce(
+            F.sum("c").over(w.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        + F.col("c")
+        + 1,
+    )
+    cdec = F.col("c").cast("decimal(38,0)")
+    m = rk.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("cp").cast("decimal(38,0)") * F.col("r2")).alias(
+            "w2p"
+        ),
+        F.sum(cdec * F.col("c") * F.col("c") - F.col("c")).alias("ties"),
+    )
+    nd = F.col("n").cast("double")
+    wp = F.col("w2p").cast("double") / 2
+    return m.select(
+        F.col("n").alias("n_pairs"),
+        F.round(wp, 2).alias("w_plus"),
+        F.round(
+            (wp - nd * (F.col("n") + 1) / 4)
+            / F.sqrt(
+                nd * (F.col("n") + 1) * (2 * F.col("n") + 1) / 24.0
+                - F.col("ties").cast("double") / 48.0
+            ),
+            6,
+        ).alias("z_score"),
+    )

@@ -3204,3 +3204,532 @@ def q_press_loocv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.sum("eterm").cast("double") / F.max("sst"), 6
         ).alias("r2_fit"),
     )
+
+
+@register(
+    "q_goldfeld_quandt",
+    oracle="""
+        WITH pts AS (
+          SELECT l_returnflag,
+                 CASE WHEN l_quantity <= 16 THEN 'low'
+                      WHEN l_quantity >= 35 THEN 'high' END AS seg,
+                 CAST(l_quantity AS DECIMAL(12,2)) AS x,
+                 CAST(l_extendedprice AS DECIMAL(14,2)) AS y
+          FROM lineitem
+          WHERE l_quantity <= 16 OR l_quantity >= 35
+        ),
+        m AS (
+          SELECT l_returnflag, seg, CAST(count(*) AS BIGINT) AS n,
+                 sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                 sum(x * x) AS sx2, sum(y * y) AS sy2
+          FROM pts GROUP BY 1, 2
+        ),
+        rss AS (
+          SELECT l_returnflag, seg, n,
+                 (CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n
+                  - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                    * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                    / (CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n))
+                   AS r
+          FROM m
+        ),
+        piv AS (
+          SELECT l_returnflag,
+                 CAST(min(CASE WHEN seg = 'low' THEN n END) AS BIGINT)
+                   AS n_low,
+                 CAST(min(CASE WHEN seg = 'high' THEN n END) AS BIGINT)
+                   AS n_high,
+                 min(CASE WHEN seg = 'low' THEN r END) AS rss_low,
+                 min(CASE WHEN seg = 'high' THEN r END) AS rss_high
+          FROM rss GROUP BY 1
+        )
+        SELECT l_returnflag, n_low, n_high,
+               round(rss_low, 2) AS rss_low,
+               round(rss_high, 2) AS rss_high,
+               round((rss_high / (n_high - 2))
+                     / (rss_low / (n_low - 2)), 6) AS gq_f
+        FROM piv ORDER BY l_returnflag
+    """,
+    doc="Goldfeld-Quandt heteroskedasticity test per returnflag: fit "
+    "price ~ quantity separately on the low-x (quantity <= 16) and "
+    "high-x (>= 35) segments — the middle dropped, the classic GQ "
+    "recipe — and compare residual variances via "
+    "F = (RSS_high/df_high)/(RSS_low/df_low). The split-sample "
+    "partner to q_breusch_pagan's auxiliary-regression LM: GQ needs "
+    "no residual re-join (RSS = Syy - Sxy^2/Sxx comes straight from "
+    "the closed form), so it is ONE exact-DECIMAL moment pass per "
+    "(flag, segment) with a 6-row double epilogue. The segment split "
+    "is VALUE-based (quantity is a 1..50 integer), never a rank "
+    "window — deterministic and 100 TB-safe.",
+)
+def q_goldfeld_quandt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_quantity") <= 16) | (F.col("l_quantity") >= 35)
+    )
+    pts = li.select(
+        "l_returnflag",
+        F.when(F.col("l_quantity") <= 16, "low")
+        .when(F.col("l_quantity") >= 35, "high")
+        .alias("seg"),
+        F.col("l_quantity").cast("decimal(12,2)").alias("x"),
+        F.col("l_extendedprice").cast("decimal(14,2)").alias("y"),
+    )
+    m = pts.groupBy("l_returnflag", "seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sx2 = F.col("sx2").cast("double")
+    sy2 = F.col("sy2").cast("double")
+    r = (
+        sy2
+        - sy * F.col("sy").cast("double") / n
+        - (sxy - sx * F.col("sy").cast("double") / n)
+        * (sxy - sx * F.col("sy").cast("double") / n)
+        / (sx2 - sx * F.col("sx").cast("double") / n)
+    )
+    rss = m.select("l_returnflag", "seg", "n", r.alias("r"))
+    piv = rss.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("seg") == "low", F.col("n")))
+        .cast("long")
+        .alias("n_low"),
+        F.min(F.when(F.col("seg") == "high", F.col("n")))
+        .cast("long")
+        .alias("n_high"),
+        F.min(F.when(F.col("seg") == "low", F.col("r"))).alias("rss_low"),
+        F.min(F.when(F.col("seg") == "high", F.col("r"))).alias(
+            "rss_high"
+        ),
+    )
+    return piv.select(
+        "l_returnflag",
+        "n_low",
+        "n_high",
+        F.round(F.col("rss_low"), 2).alias("rss_low"),
+        F.round(F.col("rss_high"), 2).alias("rss_high"),
+        F.round(
+            (F.col("rss_high") / (F.col("n_high") - 2))
+            / (F.col("rss_low") / (F.col("n_low") - 2)),
+            6,
+        ).alias("gq_f"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "q_lin_ccc",
+    oracle="""
+        WITH bounds AS (
+          SELECT min(CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS h0,
+                 max(CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS h1
+          FROM events
+        ), grid AS (
+          SELECT unnest(range(h0, h1 + 1)) AS h FROM bounds
+        ), cnts AS (
+          SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+                 CAST(sum(CASE WHEN event_type = 'click'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS xa,
+                 CAST(sum(CASE WHEN event_type = 'view'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS xb
+          FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+        ), ser AS (
+          SELECT g.h, COALESCE(c.xa, 0) AS xa, COALESCE(c.xb, 0) AS xb
+          FROM grid g LEFT JOIN cnts c USING (h)
+        ), m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(xa AS HUGEINT)) AS sx,
+                 sum(CAST(xb AS HUGEINT)) AS sy,
+                 sum(CAST(xa AS HUGEINT) * xb) AS sxy,
+                 sum(CAST(xa AS HUGEINT) * xa) AS sx2,
+                 sum(CAST(xb AS HUGEINT) * xb) AS sy2,
+                 sum(CAST(xa - xb AS HUGEINT) * (xa - xb)) AS sd2
+          FROM ser
+        )
+        SELECT n AS n_hours,
+               round((CAST(sx AS DOUBLE) - sy) / n, 6) AS bias,
+               round((CAST(sx AS DOUBLE) - sy) / n
+                     - 1.96 * sqrt(CAST(sd2 AS DOUBLE) / n
+                                   - (CAST(sx AS DOUBLE) - sy) / n
+                                     * ((CAST(sx AS DOUBLE) - sy) / n)),
+                     6) AS loa_lo,
+               round((CAST(sx AS DOUBLE) - sy) / n
+                     + 1.96 * sqrt(CAST(sd2 AS DOUBLE) / n
+                                   - (CAST(sx AS DOUBLE) - sy) / n
+                                     * ((CAST(sx AS DOUBLE) - sy) / n)),
+                     6) AS loa_hi,
+               round(2.0 * (CAST(sxy AS DOUBLE) / n
+                            - CAST(sx AS DOUBLE) / n
+                              * (CAST(sy AS DOUBLE) / n))
+                     / ((CAST(sx2 AS DOUBLE) / n
+                         - CAST(sx AS DOUBLE) / n
+                           * (CAST(sx AS DOUBLE) / n))
+                        + (CAST(sy2 AS DOUBLE) / n
+                           - CAST(sy AS DOUBLE) / n
+                             * (CAST(sy AS DOUBLE) / n))
+                        + (CAST(sx AS DOUBLE) / n
+                           - CAST(sy AS DOUBLE) / n)
+                          * (CAST(sx AS DOUBLE) / n
+                             - CAST(sy AS DOUBLE) / n)), 6) AS ccc
+        FROM m
+    """,
+    doc="Lin's concordance correlation + Bland-Altman limits of "
+    "agreement between the hourly click and view count series "
+    "(zero-filled grid, the q_kendall_tau series): CCC = "
+    "2*cov/(var_x + var_y + (mu_x - mu_y)^2) penalizes both scatter "
+    "AND location/scale shift — the method-agreement statistic that "
+    "Pearson r (q_ts_corr family) cannot express (r = 1 with bias "
+    "still means disagreement); the Bland-Altman bias +/- 1.96 sd "
+    "band is its clinical-stats companion. Population moments, all "
+    "exact HUGEINT/DECIMAL integer sums over the domain-bounded hour "
+    "grid; the two statistics are one double epilogue row.",
+)
+def q_lin_ccc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    hour = (F.floor(F.col("ts").cast("double")).cast("long") / 3600).cast(
+        "long"
+    )
+    bounds = e.agg(
+        F.min(F.expr("CAST(floor(CAST(ts AS DOUBLE)) AS BIGINT) div 3600")).alias("h0"),
+        F.max(F.expr("CAST(floor(CAST(ts AS DOUBLE)) AS BIGINT) div 3600")).alias("h1"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+    )
+    cnts = (
+        e.filter(F.col("event_type").isin("click", "view"))
+        .groupBy(
+            F.expr("CAST(floor(CAST(ts AS DOUBLE)) AS BIGINT) div 3600").alias("h")
+        )
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("xa"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("long")
+            .alias("xb"),
+        )
+    )
+    ser = grid.join(cnts, "h", "left").select(
+        F.coalesce(F.col("xa"), F.lit(0)).alias("xa"),
+        F.coalesce(F.col("xb"), F.lit(0)).alias("xb"),
+    )
+    xa = F.col("xa").cast("decimal(38,0)")
+    xb = F.col("xb").cast("decimal(38,0)")
+    m = ser.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(xa).alias("sx"),
+        F.sum(xb).alias("sy"),
+        F.sum(xa * F.col("xb")).alias("sxy"),
+        F.sum(xa * F.col("xa")).alias("sx2"),
+        F.sum(xb * F.col("xb")).alias("sy2"),
+        F.sum((xa - xb) * (F.col("xa") - F.col("xb"))).alias("sd2"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy")
+    sxy = F.col("sxy").cast("double")
+    sx2 = F.col("sx2").cast("double")
+    sy2 = F.col("sy2").cast("double")
+    sd2 = F.col("sd2").cast("double")
+    bias = (sx - sy) / n
+    sd_diff = F.sqrt(sd2 / n - bias * bias)
+    mx = sx / n
+    my = F.col("sy").cast("double") / n
+    ccc = (
+        2.0 * (sxy / n - mx * my)
+        / ((sx2 / n - mx * mx) + (sy2 / n - my * my) + (mx - my) * (mx - my))
+    )
+    return m.select(
+        F.col("n").alias("n_hours"),
+        F.round(bias, 6).alias("bias"),
+        F.round(bias - 1.96 * sd_diff, 6).alias("loa_lo"),
+        F.round(bias + 1.96 * sd_diff, 6).alias("loa_hi"),
+        F.round(ccc, 6).alias("ccc"),
+    )
+
+
+@register(
+    "q_deming_regression",
+    oracle="""
+        WITH bounds AS (
+          SELECT min(CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS h0,
+                 max(CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS h1
+          FROM events
+        ), grid AS (
+          SELECT unnest(range(h0, h1 + 1)) AS h FROM bounds
+        ), cnts AS (
+          SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+                 CAST(sum(CASE WHEN event_type = 'click'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS xa,
+                 CAST(sum(CASE WHEN event_type = 'view'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS xb
+          FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+        ), ser AS (
+          SELECT g.h, COALESCE(c.xa, 0) AS xa, COALESCE(c.xb, 0) AS xb
+          FROM grid g LEFT JOIN cnts c USING (h)
+        ), m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(xa AS HUGEINT)) AS sx,
+                 sum(CAST(xb AS HUGEINT)) AS sy,
+                 sum(CAST(xa AS HUGEINT) * xb) AS sxy,
+                 sum(CAST(xa AS HUGEINT) * xa) AS sx2,
+                 sum(CAST(xb AS HUGEINT) * xb) AS sy2
+          FROM ser
+        )
+        SELECT n AS n_hours,
+               round(((CAST(sy2 AS DOUBLE) / n
+                       - CAST(sy AS DOUBLE) / n * (CAST(sy AS DOUBLE) / n))
+                      - (CAST(sx2 AS DOUBLE) / n
+                         - CAST(sx AS DOUBLE) / n
+                           * (CAST(sx AS DOUBLE) / n))
+                      + sqrt(((CAST(sy2 AS DOUBLE) / n
+                               - CAST(sy AS DOUBLE) / n
+                                 * (CAST(sy AS DOUBLE) / n))
+                              - (CAST(sx2 AS DOUBLE) / n
+                                 - CAST(sx AS DOUBLE) / n
+                                   * (CAST(sx AS DOUBLE) / n)))
+                             * ((CAST(sy2 AS DOUBLE) / n
+                                 - CAST(sy AS DOUBLE) / n
+                                   * (CAST(sy AS DOUBLE) / n))
+                                - (CAST(sx2 AS DOUBLE) / n
+                                   - CAST(sx AS DOUBLE) / n
+                                     * (CAST(sx AS DOUBLE) / n)))
+                             + 4 * (CAST(sxy AS DOUBLE) / n
+                                    - CAST(sx AS DOUBLE) / n
+                                      * (CAST(sy AS DOUBLE) / n))
+                                 * (CAST(sxy AS DOUBLE) / n
+                                    - CAST(sx AS DOUBLE) / n
+                                      * (CAST(sy AS DOUBLE) / n))))
+                     / (2 * (CAST(sxy AS DOUBLE) / n
+                             - CAST(sx AS DOUBLE) / n
+                               * (CAST(sy AS DOUBLE) / n))), 6)
+                 AS slope,
+               round(CAST(sy AS DOUBLE) / n
+                     - ((CAST(sy2 AS DOUBLE) / n
+                         - CAST(sy AS DOUBLE) / n
+                           * (CAST(sy AS DOUBLE) / n))
+                        - (CAST(sx2 AS DOUBLE) / n
+                           - CAST(sx AS DOUBLE) / n
+                             * (CAST(sx AS DOUBLE) / n))
+                        + sqrt(((CAST(sy2 AS DOUBLE) / n
+                                 - CAST(sy AS DOUBLE) / n
+                                   * (CAST(sy AS DOUBLE) / n))
+                                - (CAST(sx2 AS DOUBLE) / n
+                                   - CAST(sx AS DOUBLE) / n
+                                     * (CAST(sx AS DOUBLE) / n)))
+                               * ((CAST(sy2 AS DOUBLE) / n
+                                   - CAST(sy AS DOUBLE) / n
+                                     * (CAST(sy AS DOUBLE) / n))
+                                  - (CAST(sx2 AS DOUBLE) / n
+                                     - CAST(sx AS DOUBLE) / n
+                                       * (CAST(sx AS DOUBLE) / n)))
+                               + 4 * (CAST(sxy AS DOUBLE) / n
+                                      - CAST(sx AS DOUBLE) / n
+                                        * (CAST(sy AS DOUBLE) / n))
+                                   * (CAST(sxy AS DOUBLE) / n
+                                      - CAST(sx AS DOUBLE) / n
+                                        * (CAST(sy AS DOUBLE) / n))))
+                       / (2 * (CAST(sxy AS DOUBLE) / n
+                               - CAST(sx AS DOUBLE) / n
+                                 * (CAST(sy AS DOUBLE) / n)))
+                       * (CAST(sx AS DOUBLE) / n), 6) AS intercept
+        FROM m
+    """,
+    doc="Deming (errors-in-variables, delta = 1) regression of the "
+    "hourly view count on the hourly click count — the "
+    "measurement-error-aware line q_regression_stats' plain OLS "
+    "biases toward zero when BOTH series are noisy: slope = "
+    "(Syy - Sxx + sqrt((Syy - Sxx)^2 + 4 Sxy^2)) / (2 Sxy), the "
+    "closed-form TLS solution. Exact integer moments over the "
+    "domain-bounded hour grid; slope and intercept are one double "
+    "epilogue row written with IDENTICAL expression text on both "
+    "engines so every IEEE intermediate matches.",
+)
+def q_deming_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    bounds = e.agg(
+        F.min(F.expr("CAST(floor(CAST(ts AS DOUBLE)) AS BIGINT) div 3600")).alias("h0"),
+        F.max(F.expr("CAST(floor(CAST(ts AS DOUBLE)) AS BIGINT) div 3600")).alias("h1"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+    )
+    cnts = (
+        e.filter(F.col("event_type").isin("click", "view"))
+        .groupBy(
+            F.expr("CAST(floor(CAST(ts AS DOUBLE)) AS BIGINT) div 3600").alias("h")
+        )
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("xa"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("long")
+            .alias("xb"),
+        )
+    )
+    ser = grid.join(cnts, "h", "left").select(
+        F.coalesce(F.col("xa"), F.lit(0)).alias("xa"),
+        F.coalesce(F.col("xb"), F.lit(0)).alias("xb"),
+    )
+    xa = F.col("xa").cast("decimal(38,0)")
+    xb = F.col("xb").cast("decimal(38,0)")
+    m = ser.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(xa).alias("sx"),
+        F.sum(xb).alias("sy"),
+        F.sum(xa * F.col("xb")).alias("sxy"),
+        F.sum(xa * F.col("xa")).alias("sx2"),
+        F.sum(xb * F.col("xb")).alias("sy2"),
+    )
+    n = F.col("n")
+    mx = F.col("sx").cast("double") / n
+    my = F.col("sy").cast("double") / n
+    sxx = F.col("sx2").cast("double") / n - mx * mx
+    syy = F.col("sy2").cast("double") / n - my * my
+    sxy = F.col("sxy").cast("double") / n - mx * my
+    slope = (syy - sxx + F.sqrt((syy - sxx) * (syy - sxx) + 4 * sxy * sxy)) / (
+        2 * sxy
+    )
+    return m.select(
+        F.col("n").alias("n_hours"),
+        F.round(slope, 6).alias("slope"),
+        F.round(my - slope * mx, 6).alias("intercept"),
+    )
+
+
+@register(
+    "q_cronbach_alpha",
+    oracle="""
+        WITH cell AS (
+          SELECT user_id, event_type,
+                 CAST(count(*) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2
+        ),
+        types AS (SELECT DISTINCT event_type FROM events),
+        users AS (SELECT DISTINCT user_id FROM events),
+        full_m AS (
+          SELECT u.user_id, t.event_type, COALESCE(c.x, 0) AS x
+          FROM users u CROSS JOIN types t
+          LEFT JOIN cell c USING (user_id, event_type)
+        ),
+        per_item AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(x AS HUGEINT)) AS s,
+                 sum(CAST(x AS HUGEINT) * x) AS q
+          FROM full_m GROUP BY 1
+        ),
+        item_var AS (
+          SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(min(n) AS BIGINT) AS n,
+                 sum(CAST(round(CAST(q AS DOUBLE) / n
+                           - CAST(s AS DOUBLE) / n
+                             * (CAST(s AS DOUBLE) / n), 9)
+                       AS DECIMAL(38,9))) AS sum_vi
+          FROM per_item
+        ),
+        tot AS (
+          SELECT user_id, sum(CAST(x AS HUGEINT)) AS t
+          FROM full_m GROUP BY 1
+        ),
+        tot_var AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(t AS HUGEINT)) AS s,
+                 sum(CAST(t AS HUGEINT) * t) AS q
+          FROM tot
+        )
+        SELECT i.k AS k_items, i.n AS n_users,
+               round(CAST(i.sum_vi AS DOUBLE), 6) AS sum_item_var,
+               round(CAST(t.q AS DOUBLE) / t.n
+                     - CAST(t.s AS DOUBLE) / t.n
+                       * (CAST(t.s AS DOUBLE) / t.n), 6) AS total_var,
+               round(CAST(i.k AS DOUBLE) / (i.k - 1)
+                     * (1.0 - CAST(i.sum_vi AS DOUBLE)
+                        / (CAST(t.q AS DOUBLE) / t.n
+                           - CAST(t.s AS DOUBLE) / t.n
+                             * (CAST(t.s AS DOUBLE) / t.n))), 6)
+                 AS cronbach_alpha
+        FROM item_var i CROSS JOIN tot_var t
+    """,
+    doc="Cronbach's alpha internal-consistency coefficient treating "
+    "each event_type as a test item and each user's per-type event "
+    "count as the item score (zero-filled user x type matrix): "
+    "alpha = k/(k-1) * (1 - sum(var_item)/var_total) — the "
+    "reliability statistic beside the agreement family "
+    "(q_fleiss_kappa rates categorical raters; alpha rates whether "
+    "numeric items measure one construct). Population variances from "
+    "exact integer moments (per-item AND per-user-total), per-item "
+    "variance 9dp-DECIMAL-rounded before the k-row sum so reducer "
+    "order cannot drift; one double epilogue row. Scale shape: two "
+    "keyed aggs (user x type, then type / user) — no window, no "
+    "pivot explosion; k is the bounded event-type vocabulary.",
+)
+def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    cell = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    types = e.select("event_type").distinct()
+    users = e.select("user_id").distinct()
+    full_m = (
+        users.crossJoin(F.broadcast(types))
+        .join(cell, ["user_id", "event_type"], "left")
+        .select(
+            "user_id",
+            "event_type",
+            F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+        )
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    per_item = full_m.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(xd).alias("s"),
+        F.sum(xd * F.col("x")).alias("q"),
+    )
+    vi = F.round(
+        F.col("q").cast("double") / F.col("n")
+        - F.col("s").cast("double")
+        / F.col("n")
+        * (F.col("s").cast("double") / F.col("n")),
+        9,
+    ).cast("decimal(38,9)")
+    item_var = per_item.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.min("n").cast("long").alias("n"),
+        F.sum(vi).alias("sum_vi"),
+    )
+    tot = full_m.groupBy("user_id").agg(F.sum(xd).alias("t"))
+    tot_var = tot.agg(
+        F.count(F.lit(1)).cast("long").alias("tn"),
+        F.sum("t").alias("ts"),
+        F.sum(F.col("t") * F.col("t")).alias("tq"),
+    )
+    tv = (
+        F.col("tq").cast("double") / F.col("tn")
+        - F.col("ts").cast("double")
+        / F.col("tn")
+        * (F.col("ts").cast("double") / F.col("tn"))
+    )
+    return (
+        item_var.crossJoin(F.broadcast(tot_var))
+        .select(
+            F.col("k").alias("k_items"),
+            F.col("n").alias("n_users"),
+            F.round(F.col("sum_vi").cast("double"), 6).alias(
+                "sum_item_var"
+            ),
+            F.round(tv, 6).alias("total_var"),
+            F.round(
+                F.col("k").cast("double")
+                / (F.col("k") - 1)
+                * (1.0 - F.col("sum_vi").cast("double") / tv),
+                6,
+            ).alias("cronbach_alpha"),
+        )
+    )

@@ -3863,3 +3863,213 @@ def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s2",
         "delta",
     ).orderBy("rnk")
+
+
+@register(
+    "q_kmv_distinct",
+    oracle="""
+        WITH wc AS (
+          SELECT DISTINCT t AS w
+          FROM (SELECT unnest(list_filter(string_split_regex(
+                         trim(lower(text)), '\\s+'), x -> x <> '')) AS t
+                FROM documents)
+        ),
+        h AS (
+          SELECT ('0x' || substring(md5(w || ':kmv'), 1, 15))::BIGINT
+                   AS h
+          FROM wc
+        ),
+        topk AS (SELECT h FROM h ORDER BY h LIMIT 128),
+        m AS (
+          SELECT CAST(count(*) AS BIGINT) AS k_eff,
+                 CAST(max(h) AS BIGINT) AS u_k
+          FROM topk
+        ),
+        ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_f0 FROM wc)
+        SELECT k_eff, u_k, exact_f0,
+               round(CASE WHEN k_eff < 128 THEN CAST(k_eff AS DOUBLE)
+                     ELSE 127.0 * 1152921504606846976.0 / u_k END, 2)
+                 AS kmv_f0,
+               round(abs(CASE WHEN k_eff < 128 THEN CAST(k_eff AS DOUBLE)
+                         ELSE 127.0 * 1152921504606846976.0 / u_k END
+                         - exact_f0) / exact_f0, 4) AS rel_err
+        FROM m CROSS JOIN ex
+    """,
+    doc="KMV (k-minimum-values) distinct-count sketch of the corpus "
+    "vocabulary (Bar-Yossef 2002, Beyer 2007): keep the k=128 "
+    "smallest 60-bit md5 hashes of the distinct words; F0-hat = "
+    "(k-1)/U_(k) with hashes read as fractions of 2^60 — the "
+    "order-statistics F0 estimator beside q_ams_f2 (F2) and "
+    "q_countmin_freq (point frequency). The md5 twin makes the "
+    "sketch VALUE-oracled, not tolerance-gated: both engines walk "
+    "the identical hash order, so U_(k) and the estimate match "
+    "bit-for-bit. Scale shape: the k smallest of N hashes is a "
+    "TakeOrdered (per-partition heap + driver merge of 128-row "
+    "spills), never a global sort; the sketch itself is mergeable "
+    "(union = k smallest of the concatenation), which is how 100 TB "
+    "of per-shard KMVs fold into one corpus cardinality without a "
+    "re-scan. If the vocab is smaller than k the sketch IS the "
+    "exact set (k_eff < k branch).",
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.dedup import md5h
+    from hw_kafka_streams_spark.operators.text import word_tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    wc = (
+        docs.select(
+            F.explode(word_tokens(F.lower(F.col("text")))).alias("w")
+        )
+        .distinct()
+    )
+    h = wc.select(md5h(F.concat(F.col("w"), F.lit(":kmv"))).alias("h"))
+    topk = h.orderBy("h").limit(128)
+    m = topk.agg(
+        F.count(F.lit(1)).cast("long").alias("k_eff"),
+        F.max("h").cast("long").alias("u_k"),
+    )
+    ex = wc.agg(F.count(F.lit(1)).cast("long").alias("exact_f0"))
+    est = F.when(
+        F.col("k_eff") < 128, F.col("k_eff").cast("double")
+    ).otherwise(F.lit(127.0) * 1152921504606846976.0 / F.col("u_k"))
+    return (
+        m.crossJoin(F.broadcast(ex))
+        .select(
+            "k_eff",
+            "u_k",
+            "exact_f0",
+            F.round(est, 2).alias("kmv_f0"),
+            F.round(
+                F.abs(est - F.col("exact_f0")) / F.col("exact_f0"), 4
+            ).alias("rel_err"),
+        )
+    )
+
+
+@register(
+    "q_hll_det_twin",
+    oracle="""
+        WITH wc AS (
+          SELECT DISTINCT t AS w
+          FROM (SELECT unnest(list_filter(string_split_regex(
+                         trim(lower(text)), '\\s+'), x -> x <> '')) AS t
+                FROM documents)
+        ),
+        h AS (
+          SELECT ('0x' || substring(md5(w || ':hll'), 1, 15))::BIGINT
+                   AS h
+          FROM wc
+        ),
+        parts AS (
+          SELECT h % 64 AS bucket, h // 64 AS rest FROM h
+        ),
+        reg AS (
+          SELECT bucket,
+                 max(CASE WHEN rest = 0 THEN 55
+                     ELSE 55 - length(bin(rest)) END) AS mj
+          FROM parts GROUP BY 1
+        ),
+        s AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_used,
+                 sum(CAST(CAST(1 AS BIGINT) << CAST(60 - mj AS INT)
+                     AS HUGEINT)) AS s_used
+          FROM reg
+        ),
+        raw AS (
+          SELECT 64 - n_used AS v_empty,
+                 0.709 * 4096.0 * 1152921504606846976.0
+                 / CAST(s_used + CAST(64 - n_used AS HUGEINT)
+                        * 1152921504606846976 AS DOUBLE) AS raw_est
+          FROM s
+        ),
+        ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_f0 FROM wc)
+        SELECT CAST(64 AS BIGINT) AS m_registers,
+               CAST(v_empty AS BIGINT) AS v_empty,
+               CAST(raw_est <= 160.0 AND v_empty > 0 AS INT)
+                 AS used_linear,
+               round(CASE WHEN raw_est <= 160.0 AND v_empty > 0
+                     THEN 64.0 * ln(64.0 / v_empty)
+                     ELSE raw_est END, 2) AS hll_f0,
+               exact_f0,
+               round(abs(CASE WHEN raw_est <= 160.0 AND v_empty > 0
+                         THEN 64.0 * ln(64.0 / v_empty)
+                         ELSE raw_est END - exact_f0) / exact_f0, 4)
+                 AS rel_err
+        FROM raw CROSS JOIN ex
+    """,
+    doc="Deterministic HyperLogLog twin over the corpus vocabulary "
+    "(Flajolet 2007): m=64 registers from the low 6 bits of the "
+    "60-bit md5 hash, rho = leading-zero rank of the remaining 54 "
+    "bits (via length(bin(x)) — identical minimal-binary semantics "
+    "both engines), harmonic mean with alpha_64 = 0.709 and the "
+    "small-range linear-counting branch. Unlike q_hll_partial_union "
+    "(engine DataSketches bytes, tolerance-gated) this twin is "
+    "VALUE-hash oracled end to end: registers, the exact dyadic "
+    "harmonic sum (integers scaled by 2^60, HUGEINT/DECIMAL(38,0)), "
+    "and the estimate all match bit-for-bit. Scale shape: one "
+    "64-key partial-agged shuffle over the distinct-word table; "
+    "registers are max-mergeable, the same fold that unions 100 TB "
+    "of per-shard register files into one cardinality.",
+)
+def q_hll_det_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.dedup import md5h
+    from hw_kafka_streams_spark.operators.text import word_tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    wc = (
+        docs.select(
+            F.explode(word_tokens(F.lower(F.col("text")))).alias("w")
+        )
+        .distinct()
+    )
+    h = wc.select(md5h(F.concat(F.col("w"), F.lit(":hll"))).alias("h"))
+    parts = h.select(
+        (F.col("h") % 64).alias("bucket"),
+        F.expr("h div 64").alias("rest"),
+    )
+    reg = parts.groupBy("bucket").agg(
+        F.max(
+            F.when(F.col("rest") == 0, F.lit(55)).otherwise(
+                F.lit(55) - F.length(F.bin(F.col("rest")))
+            )
+        ).alias("mj")
+    )
+    s = reg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_used"),
+        F.sum(
+            F.expr(
+                "CAST(shiftleft(CAST(1 AS BIGINT), CAST(60 - mj AS INT))"
+                " AS DECIMAL(38,0))"
+            )
+        ).alias("s_used"),
+    )
+    v_empty = (F.lit(64) - F.col("n_used")).alias("v_empty")
+    s_tot = (
+        F.col("s_used")
+        + (F.lit(64) - F.col("n_used")).cast("decimal(38,0)")
+        * F.lit(1152921504606846976).cast("decimal(38,0)")
+    ).cast("double")
+    raw = s.select(
+        v_empty,
+        (F.lit(0.709) * 4096.0 * 1152921504606846976.0 / s_tot).alias(
+            "raw_est"
+        ),
+    )
+    ex = wc.agg(F.count(F.lit(1)).cast("long").alias("exact_f0"))
+    linear = (F.col("raw_est") <= 160.0) & (F.col("v_empty") > 0)
+    est = F.when(
+        linear, F.lit(64.0) * F.log(F.lit(64.0) / F.col("v_empty"))
+    ).otherwise(F.col("raw_est"))
+    return (
+        raw.crossJoin(F.broadcast(ex))
+        .select(
+            F.lit(64).cast("long").alias("m_registers"),
+            F.col("v_empty").cast("long").alias("v_empty"),
+            linear.cast("int").alias("used_linear"),
+            F.round(est, 2).alias("hll_f0"),
+            "exact_f0",
+            F.round(
+                F.abs(est - F.col("exact_f0")) / F.col("exact_f0"), 4
+            ).alias("rel_err"),
+        )
+    )

@@ -143,6 +143,13 @@ DECIMAL_RECIPE_QUERIES = [
     "q_ql_jelinek_mercer",
     "q_bowker_symmetry",
     "q_press_loocv",
+    # round 11: decimal-summed EDF terms (CvM), per-item decimal
+    # variances (Cronbach), and the md5-ordered KMV/HLL sketches
+    # (TakeOrdered / register maxes must be partitioning-proof)
+    "q_cramer_von_mises",
+    "q_cronbach_alpha",
+    "q_kmv_distinct",
+    "q_hll_det_twin",
 ]
 
 
