@@ -6410,3 +6410,373 @@ def q_rouge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rouge2_f"),
     ).orderBy("id1", "id2")
+
+
+@register(
+    "q_rbp_eval",
+    oracle="WITH " + _BM25_CTE + """,
+        qt AS (SELECT doc_id, term, count(*) AS tf FROM toks
+               WHERE term IN ('spark', 'join', 'hash') GROUP BY 1, 2),
+        dfq AS (SELECT term, count(DISTINCT doc_id) AS df
+                FROM qt GROUP BY 1),
+        bm AS (
+          SELECT qt.doc_id, CAST(count(*) AS BIGINT) AS hits,
+                 sum(CAST(round(
+                   ln(1 + (stats.n_docs - dfq.df + 0.5)
+                      / (dfq.df + 0.5))
+                   * qt.tf * 2.2
+                   / (qt.tf + 1.2 * (1 - 0.75
+                                     + 0.75 * dl.dl / stats.avgdl)),
+                   6) AS DECIMAL(12,6))) AS s
+          FROM qt JOIN dfq USING (term) JOIN dl USING (doc_id)
+          CROSS JOIN stats GROUP BY qt.doc_id
+        ),
+        ranked AS (
+          SELECT doc_id, hits,
+                 CAST(row_number() OVER (ORDER BY s DESC, doc_id)
+                      AS BIGINT) AS r
+          FROM bm QUALIFY r <= 10
+        )
+        SELECT CAST(count(*) AS BIGINT) AS depth,
+               CAST(sum(CASE WHEN hits >= 2 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS rel_in_top10,
+               round(CAST(sum((CASE WHEN hits >= 2 THEN 1 ELSE 0 END)
+                              * CAST(round(pow(4.0, r - 1)
+                                           * pow(5.0, 10 - r))
+                                AS BIGINT)) AS DOUBLE)
+                     / 9765625.0, 8) AS rbp,
+               round(1048576.0 / 9765625.0, 8) AS residual
+        FROM ranked
+    """,
+    doc="Rank-biased precision (Moffat & Zobel 2008) of the BM25 "
+    "top-10 with persistence p = 4/5 and binary relevance "
+    "(>= 2 query terms hit): RBP = (1-p) sum_r rel_r p^(r-1) models "
+    "a user who inspects rank r+1 with probability p — the "
+    "user-model metric beside q_ndcg_eval (discount chosen by "
+    "formula) and q_err_eval (cascade). p = 4/5 makes every weight "
+    "the exact dyadic-free rational 4^(r-1)/5^r: numerators "
+    "4^(r-1)*5^(10-r) are EXACT BIGINTs (pow doubles are integral "
+    "< 2^53, rounded then cast identically on both engines), one "
+    "integer sum, one division by 5^10. The 'residual' column is "
+    "p^10 — the RBP mass beyond depth 10, the metric's own "
+    "uncertainty bound. Scale shape: TakeOrdered top-10 off the "
+    "bm25_scores sharded-index tables; no global window.",
+)
+def q_rbp_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from hw_kafka_streams_spark.operators.retrieval import bm25_scores
+    from hw_kafka_streams_spark.operators.winutil import (
+        tiny_table_partition,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    scores = bm25_scores(docs, ["spark", "join", "hash"], k1=1.2, b=0.75)
+    top = scores.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(10)
+    r = F.row_number().over(
+        W.partitionBy(tiny_table_partition("doc_id")).orderBy(
+            F.desc("bm25"), F.asc("doc_id")
+        )
+    )
+    ranked = top.withColumn("r", r)
+    rel = F.when(F.col("n_terms_hit") >= 2, 1).otherwise(0)
+    num = rel * F.round(
+        F.pow(F.lit(4.0), F.col("r") - 1) * F.pow(F.lit(5.0), 10 - F.col("r"))
+    ).cast("long")
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("depth"),
+        F.sum(rel).cast("long").alias("rel_in_top10"),
+        F.round(F.sum(num).cast("double") / 9765625.0, 8).alias("rbp"),
+        F.round(F.lit(1048576.0) / 9765625.0, 8).alias("residual"),
+    )
+
+
+@register(
+    "q_bpref_eval",
+    oracle="WITH " + _BM25_CTE + """,
+        qt AS (SELECT doc_id, term, count(*) AS tf FROM toks
+               WHERE term IN ('spark', 'join', 'hash') GROUP BY 1, 2),
+        dfq AS (SELECT term, count(DISTINCT doc_id) AS df
+                FROM qt GROUP BY 1),
+        bm AS (
+          SELECT qt.doc_id, CAST(count(*) AS BIGINT) AS hits,
+                 sum(CAST(round(
+                   ln(1 + (stats.n_docs - dfq.df + 0.5)
+                      / (dfq.df + 0.5))
+                   * qt.tf * 2.2
+                   / (qt.tf + 1.2 * (1 - 0.75
+                                     + 0.75 * dl.dl / stats.avgdl)),
+                   6) AS DECIMAL(12,6))) AS s
+          FROM qt JOIN dfq USING (term) JOIN dl USING (doc_id)
+          CROSS JOIN stats GROUP BY qt.doc_id
+        ),
+        judged AS (
+          SELECT CAST(sum(CASE WHEN hits >= 2 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS r_all,
+                 CAST(sum(CASE WHEN hits = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_all
+          FROM bm
+        ),
+        ranked AS (
+          SELECT doc_id, hits,
+                 CAST(row_number() OVER (ORDER BY s DESC, doc_id)
+                      AS BIGINT) AS r
+          FROM bm QUALIFY r <= 100
+        ),
+        above AS (
+          SELECT r, hits,
+                 COALESCE(sum(CASE WHEN hits = 1 THEN 1 ELSE 0 END)
+                   OVER (ORDER BY r ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS n_above
+          FROM ranked
+        ),
+        contrib AS (
+          SELECT j.r_all, j.n_all,
+                 CAST(round(1.0 - CAST(LEAST(a.n_above, j.r_all)
+                                    AS DOUBLE)
+                            / LEAST(j.r_all, j.n_all), 9)
+                   AS DECIMAL(18,9)) AS t
+          FROM above a CROSS JOIN judged j
+          WHERE a.hits >= 2
+        )
+        SELECT CAST(min(r_all) AS BIGINT) AS r_rel,
+               CAST(min(n_all) AS BIGINT) AS n_nonrel,
+               CAST(count(*) AS BIGINT) AS rel_retrieved,
+               round(CAST(sum(t) AS DOUBLE) / min(r_all), 6) AS bpref
+        FROM contrib
+    """,
+    doc="bpref (Buckley & Voorhees 2004) of the BM25 top-100 with "
+    "binary relevance (>= 2 query terms = relevant, exactly 1 = "
+    "judged nonrelevant): bpref = (1/R) sum_r (1 - min(#nonrel "
+    "above r, R)/min(R, N)) — the metric of choice when judgments "
+    "are INCOMPLETE (it only counts inversions among judged docs, "
+    "unlike MAP/nDCG which read unjudged as nonrelevant; the "
+    "training-data-eval case where most of the corpus is unlabeled). "
+    "Nonrel-above via a prefix count over the 100-row retrieved "
+    "list (tiny window), contributions 9dp-DECIMAL-rounded before "
+    "the sum; R and N are global judged counts off the bm25 table. "
+    "Scale shape: TakeOrdered top-100 + one broadcast scalar join; "
+    "never a corpus-wide rank window.",
+)
+def q_bpref_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from hw_kafka_streams_spark.operators.retrieval import bm25_scores
+    from hw_kafka_streams_spark.operators.winutil import (
+        tiny_table_partition,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    scores = managed_persist(
+        bm25_scores(docs, ["spark", "join", "hash"], k1=1.2, b=0.75)
+    )
+    judged = scores.agg(
+        F.sum(F.when(F.col("n_terms_hit") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("r_all"),
+        F.sum(F.when(F.col("n_terms_hit") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_all"),
+    )
+    top = scores.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(100)
+    w = W.partitionBy(tiny_table_partition("doc_id")).orderBy(
+        F.desc("bm25"), F.asc("doc_id")
+    )
+    ranked = top.withColumn(
+        "n_above",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("n_terms_hit") == 1, 1).otherwise(0)
+            ).over(w.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    contrib = (
+        ranked.filter(F.col("n_terms_hit") >= 2)
+        .crossJoin(F.broadcast(judged))
+        .select(
+            "r_all",
+            "n_all",
+            F.round(
+                1.0
+                - F.least(F.col("n_above"), F.col("r_all")).cast("double")
+                / F.least(F.col("r_all"), F.col("n_all")),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("t"),
+        )
+    )
+    return contrib.agg(
+        F.min("r_all").cast("long").alias("r_rel"),
+        F.min("n_all").cast("long").alias("n_nonrel"),
+        F.count(F.lit(1)).cast("long").alias("rel_retrieved"),
+        F.round(
+            F.sum("t").cast("double") / F.min("r_all"), 6
+        ).alias("bpref"),
+    )
+
+
+@register(
+    "q_chrf_pairs",
+    oracle="WITH " + _JACC_PAIRS_CTE + """,
+        members AS (
+          SELECT DISTINCT id1 AS doc_id FROM cand
+          UNION SELECT DISTINCT id2 FROM cand
+        ),
+        ch AS (
+          SELECT d.doc_id,
+                 regexp_replace(lower(d.text), '\\s+', '', 'g') AS s
+          FROM documents d JOIN members USING (doc_id)
+        ),
+        expand_n AS (
+          SELECT doc_id, s, unnest([1, 2, 3, 4]) AS n FROM ch
+        ),
+        pos AS (
+          SELECT doc_id, s, n,
+                 unnest(generate_series(1, length(s) - n + 1)) AS i
+          FROM expand_n
+        ),
+        cnt AS (
+          SELECT doc_id, n, substr(s, CAST(i AS INT), CAST(n AS INT))
+                   AS g,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM pos GROUP BY 1, 2, 3
+        ),
+        tot AS (
+          SELECT doc_id, n, CAST(sum(c) AS BIGINT) AS tot
+          FROM cnt GROUP BY 1, 2
+        ),
+        clip AS (
+          SELECT p.id1, p.id2, a.n,
+                 CAST(sum(LEAST(a.c, COALESCE(b.c, 0))) AS BIGINT)
+                   AS clip
+          FROM cand p
+            JOIN cnt a ON a.doc_id = p.id1
+            LEFT JOIN cnt b ON b.doc_id = p.id2 AND b.n = a.n
+                           AND b.g = a.g
+          GROUP BY 1, 2, 3
+        ),
+        per_n AS (
+          SELECT c.id1, c.id2,
+                 CAST(round(CAST(c.clip AS DOUBLE) / ta.tot, 9)
+                   AS DECIMAL(18,9)) AS p,
+                 CAST(round(CAST(c.clip AS DOUBLE) / tb.tot, 9)
+                   AS DECIMAL(18,9)) AS r
+          FROM clip c
+            JOIN tot ta ON ta.doc_id = c.id1 AND ta.n = c.n
+            JOIN tot tb ON tb.doc_id = c.id2 AND tb.n = c.n
+        ),
+        agg AS (
+          SELECT id1, id2,
+                 CAST(sum(p) AS DOUBLE) / 4 AS chrp,
+                 CAST(sum(r) AS DOUBLE) / 4 AS chrr
+          FROM per_n GROUP BY 1, 2
+        )
+        SELECT id1, id2, round(chrp, 6) AS chrp,
+               round(chrr, 6) AS chrr,
+               round(CASE WHEN chrp + chrr = 0 THEN 0.0
+                     ELSE 5.0 * chrp * chrr
+                          / (4.0 * chrp + chrr) END, 6) AS chrf2
+        FROM agg ORDER BY id1, id2
+    """,
+    doc="chrF2 (Popovic 2015) over the exact-Jaccard near-dup "
+    "candidate pairs: character 1-4-gram precision/recall on "
+    "whitespace-stripped lowercased text, macro-averaged over n, "
+    "F-beta with beta = 2 (recall-weighted) — the MT-eval companion "
+    "that catches morphology/typo-level overlap q_bleu_pairs' and "
+    "q_rouge_pairs' word n-grams miss entirely (one character edit "
+    "kills a word 4-gram but only 4 of ~L char 4-grams), which is "
+    "what makes chrF the robust near-dup arbiter for noisy/agglutinative "
+    "text. Clipped matches are exact integers; per-n P/R are "
+    "9dp-DECIMAL-rounded before the 4-term average. Scale shape: "
+    "gram tables are built ONLY for pair members (semi-join first), "
+    "every downstream join hangs off the max_df=64-guarded candidate "
+    "table; higher-id doc is the reference.",
+)
+def q_chrf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    cand = D.jaccard_candidate_pairs(docs, threshold=0.05, max_df=64).select(
+        "id1", "id2"
+    )
+    cand = managed_persist(cand)
+    ids = managed_persist(
+        cand.select(F.col("id1").alias("doc_id"))
+        .union(cand.select(F.col("id2")))
+        .distinct()
+    )
+    ch = docs.join(F.broadcast(ids), "doc_id").select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.col("text")), r"\s+", "").alias("s"),
+    )
+    pos = ch.select(
+        "doc_id",
+        "s",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3), F.lit(4))).alias(
+            "n"
+        ),
+    ).select(
+        "doc_id",
+        "s",
+        "n",
+        F.explode(
+            F.sequence(F.lit(1), F.length(F.col("s")) - F.col("n") + 1)
+        ).alias("i"),
+    )
+    cnt = managed_persist(
+        pos.select(
+            "doc_id",
+            "n",
+            F.expr("substring(s, i, n)").alias("g"),
+        )
+        .groupBy("doc_id", "n", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = cnt.groupBy("doc_id", "n").agg(
+        F.sum("c").cast("long").alias("tot")
+    )
+    a = cnt.withColumnsRenamed({"doc_id": "id1", "c": "ca"})
+    b = cnt.withColumnsRenamed({"doc_id": "id2", "c": "cb"})
+    clip = (
+        cand.join(a.hint("shuffle_hash"), "id1")
+        .join(b.hint("shuffle_hash"), ["id2", "n", "g"], "left")
+        .groupBy("id1", "id2", "n")
+        .agg(
+            F.sum(F.least(F.col("ca"), F.coalesce(F.col("cb"), F.lit(0))))
+            .cast("long")
+            .alias("clip")
+        )
+    )
+    ta = tot.withColumnsRenamed({"doc_id": "id1", "tot": "tot1"})
+    tb = tot.withColumnsRenamed({"doc_id": "id2", "tot": "tot2"})
+    per_n = (
+        clip.join(F.broadcast(ta), ["id1", "n"])
+        .join(F.broadcast(tb), ["id2", "n"])
+        .select(
+            "id1",
+            "id2",
+            F.round(F.col("clip").cast("double") / F.col("tot1"), 9)
+            .cast("decimal(18,9)")
+            .alias("p"),
+            F.round(F.col("clip").cast("double") / F.col("tot2"), 9)
+            .cast("decimal(18,9)")
+            .alias("r"),
+        )
+    )
+    agg = per_n.groupBy("id1", "id2").agg(
+        (F.sum("p").cast("double") / 4).alias("chrp"),
+        (F.sum("r").cast("double") / 4).alias("chrr"),
+    )
+    chrf2 = F.when(F.col("chrp") + F.col("chrr") == 0, 0.0).otherwise(
+        5.0
+        * F.col("chrp")
+        * F.col("chrr")
+        / (4.0 * F.col("chrp") + F.col("chrr"))
+    )
+    return agg.select(
+        "id1",
+        "id2",
+        F.round(F.col("chrp"), 6).alias("chrp"),
+        F.round(F.col("chrr"), 6).alias("chrr"),
+        F.round(chrf2, 6).alias("chrf2"),
+    ).orderBy("id1", "id2")
