@@ -5764,3 +5764,237 @@ def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_score"),
     )
+
+
+@register(
+    "q_krippendorff_alpha",
+    oracle="""
+        WITH span AS (
+          SELECT min(CAST(floor(epoch(ts)) AS BIGINT)) AS e0,
+                 max(CAST(floor(epoch(ts)) AS BIGINT)) AS e1
+          FROM events
+        ),
+        lab AS (
+          SELECT e.user_id AS u,
+                 LEAST(2, ((CAST(floor(epoch(e.ts)) AS BIGINT) - s.e0)
+                           * 3) // (s.e1 - s.e0 + 1)) AS c,
+                 e.event_type AS v, CAST(count(*) AS BIGINT) AS cnt
+          FROM events e CROSS JOIN span s
+          GROUP BY 1, 2, 3
+        ),
+        uv AS (
+          SELECT u, c, v FROM lab
+          QUALIFY row_number() OVER (PARTITION BY u, c
+                                     ORDER BY cnt DESC, v) = 1
+        ),
+        nuv AS (
+          SELECT u, v, CAST(count(*) AS BIGINT) AS k FROM uv
+          GROUP BY 1, 2
+        ),
+        mu AS (
+          SELECT u, CAST(sum(k) AS BIGINT) AS m FROM nuv GROUP BY 1
+        ),
+        du AS (
+          SELECT n.u,
+                 CAST(CAST(m.m AS DECIMAL(18,1))
+                      - CAST(sum(n.k * (n.k - 1)) AS DECIMAL(18,1))
+                        / (m.m - 1) AS DECIMAL(18,1)) AS d
+          FROM nuv n JOIN mu m USING (u)
+          WHERE m.m >= 2
+          GROUP BY n.u, m.m
+        ),
+        marg AS (
+          SELECT n.v, CAST(sum(n.k) AS BIGINT) AS nv
+          FROM nuv n JOIN mu m USING (u)
+          WHERE m.m >= 2
+          GROUP BY 1
+        ),
+        tot AS (
+          SELECT CAST(sum(nv) AS BIGINT) AS n,
+                 CAST(sum(nv * nv) AS BIGINT) AS sq,
+                 CAST(count(*) AS BIGINT) AS n_cat
+          FROM marg
+        ),
+        dd AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_units,
+                 CAST(sum(d) AS DOUBLE) AS do_sum
+          FROM du
+        )
+        SELECT d.n_units, t.n AS n_pairable, t.n_cat AS n_categories,
+               round(d.do_sum / t.n, 6) AS do_rate,
+               round(CAST(t.n * t.n - t.sq AS DOUBLE)
+                     / (CAST(t.n AS DOUBLE) * (t.n - 1)), 6) AS de_rate,
+               round(1.0 - (t.n - 1) * d.do_sum
+                           / CAST(t.n * t.n - t.sq AS DOUBLE), 6)
+                 AS kripp_alpha
+        FROM dd d CROSS JOIN tot t
+    """,
+    doc="Krippendorff's alpha (nominal) treating each third of the "
+    "event-stream time span as an independent 'coder' that labels "
+    "every active user with their dominant event_type in that "
+    "window (ties to the lexicographically smallest type) — the "
+    "agreement coefficient that, unlike q_fleiss_kappa/q_cochran_q, "
+    "HANDLES MISSING CELLS (users inactive in a window simply have "
+    "fewer pairable ratings; units with m < 2 drop out), which is "
+    "the real shape of multi-annotator training-data labels. "
+    "Observed disagreement per unit d_u = m_u - sum_v n_uv(n_uv-1)/"
+    "(m_u-1) stays EXACT decimal (m_u - 1 is 1 or 2 with 3 coders, "
+    "so terms are halves); expected disagreement from exact marginal "
+    "integers: alpha = 1 - (n-1)*sum(d_u)/(n^2 - sum n_v^2). Scale "
+    "shape: two keyed aggs + one QUALIFY mode per (user, window); "
+    "no global window, categories bounded by the event-type vocab.",
+)
+def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, "events", sf_dir)
+    es = F.expr("CAST(floor(CAST(ts AS DOUBLE)) AS BIGINT)")
+    span = e.agg(F.min(es).alias("e0"), F.max(es).alias("e1"))
+    lab = (
+        e.crossJoin(F.broadcast(span))
+        .groupBy(
+            F.col("user_id").alias("u"),
+            F.least(
+                F.lit(2),
+                F.expr(
+                    "((CAST(floor(CAST(ts AS DOUBLE)) AS BIGINT) - e0)"
+                    " * 3) div (e1 - e0 + 1)"
+                ),
+            ).alias("c"),
+            F.col("event_type").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    wuc = W.partitionBy("u", "c").orderBy(F.desc("cnt"), F.asc("v"))
+    uv = (
+        lab.withColumn("_rn", F.row_number().over(wuc))
+        .filter(F.col("_rn") == 1)
+        .select("u", "c", "v")
+    )
+    nuv = uv.groupBy("u", "v").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    mu = nuv.groupBy("u").agg(F.sum("k").cast("long").alias("m"))
+    du = (
+        nuv.join(mu, "u")
+        .filter(F.col("m") >= 2)
+        .groupBy("u", "m")
+        .agg(
+            (
+                F.col("m").cast("decimal(18,1)")
+                - F.sum(F.col("k") * (F.col("k") - 1)).cast("decimal(18,1)")
+                / (F.col("m") - 1)
+            )
+            .cast("decimal(18,1)")
+            .alias("d")
+        )
+    )
+    marg = (
+        nuv.join(mu, "u")
+        .filter(F.col("m") >= 2)
+        .groupBy("v")
+        .agg(F.sum("k").cast("long").alias("nv"))
+    )
+    tot = marg.agg(
+        F.sum("nv").cast("long").alias("n"),
+        F.sum(F.col("nv") * F.col("nv")).cast("long").alias("sq"),
+        F.count(F.lit(1)).cast("long").alias("n_cat"),
+    )
+    dd = du.agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum("d").cast("double").alias("do_sum"),
+    )
+    expd = (F.col("n") * F.col("n") - F.col("sq")).cast("double")
+    return (
+        dd.crossJoin(F.broadcast(tot))
+        .select(
+            "n_units",
+            F.col("n").alias("n_pairable"),
+            F.col("n_cat").alias("n_categories"),
+            F.round(F.col("do_sum") / F.col("n"), 6).alias("do_rate"),
+            F.round(
+                expd / (F.col("n").cast("double") * (F.col("n") - 1)), 6
+            ).alias("de_rate"),
+            F.round(
+                1.0 - (F.col("n") - 1) * F.col("do_sum") / expd, 6
+            ).alias("kripp_alpha"),
+        )
+    )
+
+
+@register(
+    "q_concentration_indices",
+    oracle="""
+        WITH per_s AS (
+          SELECT source, sum(CAST(n_chars AS HUGEINT)) AS x
+          FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+        ),
+        tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(x) AS HUGEINT) AS s
+          FROM per_s
+        ),
+        terms AS (
+          SELECT t.k, t.s,
+                 CAST(round(CAST(p.x AS DOUBLE) / t.s
+                            * (CAST(p.x AS DOUBLE) / t.s), 9)
+                   AS DECIMAL(18,9)) AS hhi_t,
+                 CAST(round(CAST(p.x AS DOUBLE) / t.s
+                            * ln(t.k * (CAST(p.x AS DOUBLE) / t.s)), 9)
+                   AS DECIMAL(18,9)) AS theil_t,
+                 CAST(round(ln(CAST(p.x AS DOUBLE) / t.s), 9)
+                   AS DECIMAL(18,9)) AS lng_t
+          FROM per_s p CROSS JOIN tot t
+        )
+        SELECT CAST(min(k) AS BIGINT) AS k_sources,
+               round(CAST(sum(hhi_t) AS DOUBLE), 6) AS hhi,
+               round((CAST(sum(hhi_t) AS DOUBLE) - 1.0 / min(k))
+                     / (1.0 - 1.0 / min(k)), 6) AS hhi_norm,
+               round(CAST(sum(theil_t) AS DOUBLE), 6) AS theil,
+               round(1.0 - min(k)
+                           * exp(CAST(sum(lng_t) AS DOUBLE) / min(k)),
+                     6) AS atkinson_1
+        FROM terms
+    """,
+    doc="Corpus-source concentration battery over the per-source "
+    "character mass: Herfindahl-Hirschman index sum(s_i^2) (+ the "
+    "k-normalized variant), Theil entropy index sum(s_i ln(k s_i)), "
+    "and Atkinson(eps=1) = 1 - geomean/mean — the three standard "
+    "inequality measures beside q_gini_coefficient (Lorenz-based) "
+    "and q_source_lang_entropy (Shannon): HHI weights the HEAD "
+    "(dedup/mixture dominance risk), Theil decomposes, Atkinson "
+    "prices the TAIL — together the data-mixture audit a 100 TB "
+    "corpus card reports per shard. One keyed agg to the k-row "
+    "source table; every term 9dp-DECIMAL-rounded before the k-row "
+    "sum, double epilogue only for the final ratios.",
+)
+def q_concentration_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("n_chars").isNotNull()
+    )
+    per_s = docs.groupBy("source").agg(
+        F.sum(F.col("n_chars").cast("decimal(38,0)")).alias("x")
+    )
+    tot = per_s.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("x").alias("s"),
+    )
+    share = F.col("x").cast("double") / F.col("s").cast("double")
+    terms = per_s.crossJoin(F.broadcast(tot)).select(
+        "k",
+        F.round(share * share, 9).cast("decimal(18,9)").alias("hhi_t"),
+        F.round(share * F.log(F.col("k") * share), 9)
+        .cast("decimal(18,9)")
+        .alias("theil_t"),
+        F.round(F.log(share), 9).cast("decimal(18,9)").alias("lng_t"),
+    )
+    k = F.min("k")
+    return terms.agg(
+        k.cast("long").alias("k_sources"),
+        F.round(F.sum("hhi_t").cast("double"), 6).alias("hhi"),
+        F.round(
+            (F.sum("hhi_t").cast("double") - 1.0 / k) / (1.0 - 1.0 / k), 6
+        ).alias("hhi_norm"),
+        F.round(F.sum("theil_t").cast("double"), 6).alias("theil"),
+        F.round(
+            1.0 - k * F.exp(F.sum("lng_t").cast("double") / k), 6
+        ).alias("atkinson_1"),
+    )

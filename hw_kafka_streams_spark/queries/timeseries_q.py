@@ -6623,3 +6623,119 @@ def q_log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(o_minus_e / F.sqrt(vs), 6).alias("z_score"),
         F.round(F.pow(o_minus_e, 2) / vs, 6).alias("chi2"),
     )
+
+
+@register(
+    "q_page_hinkley",
+    oracle="""
+        WITH bounds AS (
+          SELECT min(CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS h0,
+                 max(CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS h1
+          FROM events
+        ), grid AS (
+          SELECT unnest(range(h0, h1 + 1)) AS h FROM bounds
+        ), cnts AS (
+          SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+                 CAST(count(*) AS BIGINT) AS x
+          FROM events WHERE event_type = 'click' GROUP BY 1
+        ), ser AS (
+          SELECT row_number() OVER (ORDER BY g.h) AS t,
+                 COALESCE(c.x, 0) AS x
+          FROM grid g LEFT JOIN cnts c USING (h)
+        ), cum AS (
+          SELECT t, x,
+                 sum(x) OVER (ORDER BY t
+                              ROWS UNBOUNDED PRECEDING) AS cx
+          FROM ser
+        ), mt AS (
+          SELECT t, x, cx,
+                 CAST(cx AS DOUBLE)
+                 - CAST(sum(CAST(round(CAST(cx AS DOUBLE) / t, 9)
+                              AS DECIMAL(18,9)))
+                        OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                     AS DOUBLE)
+                 - t * 0.05 AS m
+          FROM cum
+        ), ph AS (
+          SELECT t, m,
+                 m - min(m) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                   AS ph_t
+          FROM mt
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_hours,
+               round(max(ph_t), 6) AS max_ph,
+               CAST(sum(CASE WHEN ph_t > 10.0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_alarm_hours,
+               CAST(COALESCE(min(CASE WHEN ph_t > 10.0 THEN t END), -1)
+                 AS BIGINT) AS first_alarm_t
+        FROM ph
+    """,
+    doc="Page-Hinkley upward mean-shift monitor (Page 1954; the "
+    "sequential-analysis sibling of q_cusum_changepoint — CUSUM "
+    "tracks deviation from a FIXED reference, PH from the RUNNING "
+    "mean, so it needs no in-control calibration) over the hourly "
+    "click-count series: m_t = sum_s (x_s - xbar_s - delta) with "
+    "delta = 0.05, PH_t = m_t - min_{s<=t} m_s, alarm when PH_t > "
+    "lambda = 10. The running-mean terms cx_s/s are 9dp-DECIMAL-"
+    "rounded before their cumulative sum so both engines walk one "
+    "exact trajectory; everything else is integer prefix sums. "
+    "Scale shape: all windows run over the domain-bounded hour grid "
+    "(~720 rows at any SF), the event scan is one partial-agged "
+    "hour bucketing; the streaming twin shape is an "
+    "applyInPandasWithState keyed monitor like q_ewma_monitor.",
+)
+def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, "events", sf_dir)
+    bounds = e.agg(
+        F.min(
+            F.expr("CAST(floor(CAST(ts AS DOUBLE)) AS BIGINT) div 3600")
+        ).alias("h0"),
+        F.max(
+            F.expr("CAST(floor(CAST(ts AS DOUBLE)) AS BIGINT) div 3600")
+        ).alias("h1"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+    )
+    cnts = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy(
+            F.expr("CAST(floor(CAST(ts AS DOUBLE)) AS BIGINT) div 3600").alias(
+                "h"
+            )
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    wg = W.partitionBy(tiny_table_partition("h")).orderBy("h")
+    ser = (
+        grid.join(cnts, "h", "left")
+        .select("h", F.coalesce(F.col("x"), F.lit(0)).alias("x"))
+        .withColumn("t", F.row_number().over(wg))
+    )
+    wt = W.partitionBy(tiny_table_partition("t")).orderBy("t").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cum = ser.withColumn("cx", F.sum("x").over(wt))
+    mean_term = F.round(F.col("cx").cast("double") / F.col("t"), 9).cast(
+        "decimal(18,9)"
+    )
+    mt = cum.withColumn(
+        "m",
+        F.col("cx").cast("double")
+        - F.sum(mean_term).over(wt).cast("double")
+        - F.col("t") * 0.05,
+    )
+    ph = mt.withColumn("ph_t", F.col("m") - F.min("m").over(wt))
+    alarm = F.col("ph_t") > 10.0
+    return ph.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.round(F.max("ph_t"), 6).alias("max_ph"),
+        F.sum(alarm.cast("int")).cast("long").alias("n_alarm_hours"),
+        F.coalesce(
+            F.min(F.when(alarm, F.col("t"))), F.lit(-1)
+        )
+        .cast("long")
+        .alias("first_alarm_t"),
+    )
