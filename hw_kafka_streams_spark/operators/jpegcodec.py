@@ -39,10 +39,14 @@ QM-coded arithmetic frames, encode/decode via
 encode/decode_hierarchical_jpeg) — including DCT pyramids: an SOF1
 extended-sequential base frame refined by SOF5 differential
 sequential DCT frames (level shift omitted, PRED=0, closed-loop
-residuals per Annex J.1.1.3 / F.1.1.5.1). Differential progressive
-and arithmetic-DCT frames (SOF6/13/14) raise NotImplementedError —
-this is the dependency-free exact-spec path that upgrades JPEG from
-header-only metadata to real pixel decode.
+residuals per Annex J.1.1.3 / F.1.1.5.1); AND 12-BIT extended
+sequential (SOF1 with P=12, single-component, Pq=1 16-BIT
+quantization tables per B.2.4.1, encode via
+encode_extended_jpeg_gray12 with Huffman tables covering the 12-bit
+DC/AC category range). Differential progressive and arithmetic-DCT
+frames (SOF6/13/14) raise NotImplementedError — this is the
+dependency-free exact-spec path that upgrades JPEG from header-only
+metadata to real pixel decode.
 
 Determinism contract (what makes the Spark queries oracle-able): every
 rounding site is ``floor(x + 0.5)`` (never banker's rounding), the
@@ -277,6 +281,7 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
     huff_ac: dict[int, _HuffDecoder] = {}
     frame = None  # (h, w, [(comp_id, hs, vs, qtab_id)])
     comp_tables = {}  # comp_id -> (dc_id, ac_id)
+    precision = 8  # SOF sample precision (8, or 12 for SOF1 gray)
     dri = 0  # restart interval in MCUs (0 = none)
     arith = False  # SOF9: arithmetic entropy coding
     dc_cond: dict[int, tuple[int, int]] = {}  # DAC: tbl -> (L, U)
@@ -296,13 +301,18 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
             p = 0
             while p < len(seg):
                 pq, tq = seg[p] >> 4, seg[p] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
                 tab = np.zeros((8, 8), dtype=np.int32)
-                for k in range(64):
-                    tab[ZIGZAG[k]] = seg[p + 1 + k]
+                if pq == 1:  # Pq=1: 16-bit big-endian entries (B.2.4.1)
+                    for k in range(64):
+                        tab[ZIGZAG[k]] = (
+                            seg[p + 1 + 2 * k] << 8
+                        ) | seg[p + 2 + 2 * k]
+                    p += 129
+                else:
+                    for k in range(64):
+                        tab[ZIGZAG[k]] = seg[p + 1 + k]
+                    p += 65
                 qtables[tq] = tab
-                p += 65
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -315,8 +325,23 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
                 p += 17 + n
         elif marker in (0xC0, 0xC1, 0xC9):  # SOF0/1 baseline, SOF9 arith
             arith = marker == 0xC9
+            precision = seg[0]
+            if precision not in (8, 12):
+                raise NotImplementedError(
+                    f"{precision}-bit DCT sample precision"
+                )
+            if precision == 12 and marker != 0xC1:
+                raise NotImplementedError(
+                    "12-bit samples only in extended sequential "
+                    "Huffman frames (SOF1) here"
+                )
             h, w = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
+            if precision == 12 and ncomp != 1:
+                raise NotImplementedError(
+                    "12-bit extended sequential: single-component "
+                    "(grayscale) scans only"
+                )
             comps = []
             for c in range(ncomp):
                 cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
@@ -408,7 +433,7 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
                 )
             return _decode_scan(
                 data, pos, frame, comp_tables, qtables, huff_dc, huff_ac,
-                dri,
+                dri, precision=precision,
             )
         pos += seglen
     raise ValueError("corrupt JPEG: no SOS marker")
@@ -449,7 +474,7 @@ def _decode_block(br, dc_dec, ac_dec, qtab, pred):
 
 
 def _decode_scan(data, pos, frame, comp_tables, qtables, huff_dc, huff_ac,
-                 dri=0):
+                 dri=0, precision=8):
     if frame is None:
         raise ValueError("corrupt JPEG: SOS before SOF")
     h, w, comps = frame
@@ -485,10 +510,10 @@ def _decode_scan(data, pos, frame, comp_tables, qtables, huff_dc, huff_ac,
                         y0 = (my * vs + vy) * 8
                         x0 = (mx * hs + vx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
-    return _planes_to_rgb(comps, planes, h, w, hmax, vmax)
+    return _planes_to_rgb(comps, planes, h, w, hmax, vmax, precision)
 
 
-def _planes_to_rgb(comps, planes, h, w, hmax, vmax) -> np.ndarray:
+def _planes_to_rgb(comps, planes, h, w, hmax, vmax, precision=8) -> np.ndarray:
     """Shared decode tail (baseline + progressive): upsample, crop,
     level-shift, T.871 color transform with floor(x+0.5) rounding."""
     # nearest (pixel-replication) upsample of subsampled components to
@@ -502,7 +527,12 @@ def _planes_to_rgb(comps, planes, h, w, hmax, vmax) -> np.ndarray:
         full.append(p[:h, :w])
     planes = full
     if len(comps) == 1:
-        y = np.clip(_round_half_up(planes[0] + 128.0), 0, 255).astype(np.uint8)
+        # level shift and clamp at the frame's declared precision:
+        # 2^(P-1) / 2^P - 1 (T.81 A.3.1) — uint16 planes for P > 8
+        shift = float(1 << (precision - 1))
+        maxv = (1 << precision) - 1
+        dt = np.uint8 if precision <= 8 else np.uint16
+        y = np.clip(_round_half_up(planes[0] + shift), 0, maxv).astype(dt)
         return np.stack([y, y, y], axis=-1)
     # integer-pipeline decode (libjpeg-style): YCbCr planes are rounded
     # and clamped to 0..255 BEFORE the color transform, so the chain
@@ -607,11 +637,12 @@ def _write_seq_block(bw_: _BitWriter, zz: np.ndarray, pred: int,
 
 
 def _encode_block(bw_: _BitWriter, blk: np.ndarray, q: np.ndarray,
-                  pred: int, dc_codes, ac_codes) -> int:
+                  pred: int, dc_codes, ac_codes,
+                  level: float = 128.0) -> int:
     # _quantize_block_zz keeps the exact-DC separation (S00 = sum/8);
     # see its docstring for the constant-block bit-exactness argument
     return _write_seq_block(
-        bw_, _quantize_block_zz(blk, q), pred, dc_codes, ac_codes
+        bw_, _quantize_block_zz(blk, q, level), pred, dc_codes, ac_codes
     )
 
 
@@ -714,13 +745,17 @@ def encode_baseline_jpeg(
     return bytes(out)
 
 
-def dc_roundtrip_value(v: int, q00: int) -> int:
+def dc_roundtrip_value(v: int, q00: int, precision: int = 8) -> int:
     """Closed form of encode→decode for one channel of a CONSTANT
-    image (the oracle's arithmetic twin): DC = 8·(v−128), quantized
-    floor(DC/q00 + 0.5), dequantized ·q00, IDCT'd /8, +128,
-    floor(+0.5), clamped."""
-    dcq = int(np.floor(8.0 * (v - 128) / q00 + 0.5))
-    return int(min(255, max(0, np.floor(dcq * q00 / 8.0 + 128.0 + 0.5))))
+    image (the oracle's arithmetic twin): DC = 8·(v−2^(P-1)), quantized
+    floor(DC/q00 + 0.5), dequantized ·q00, IDCT'd /8, +2^(P-1),
+    floor(+0.5), clamped to 0..2^P-1."""
+    shift = 1 << (precision - 1)
+    maxv = (1 << precision) - 1
+    dcq = int(np.floor(8.0 * (v - shift) / q00 + 0.5))
+    return int(
+        min(maxv, max(0, np.floor(dcq * q00 / 8.0 + shift + 0.5)))
+    )
 
 
 def encode_baseline_jpeg_gray(gray: np.ndarray) -> bytes:
@@ -759,6 +794,82 @@ def encode_baseline_jpeg_gray(gray: np.ndarray) -> bytes:
         for bx in range(bw2):
             blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
             pred = _encode_block(bw_, blk, QUANT_LUM, pred, dc_l, ac_l)
+    bw_.flush()
+    out.extend(bw_.bytes)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+# Extended-sequential 12-bit Huffman tables (T.81 F.1.3 allows DC
+# categories 0..16 and AC sizes 1..14 at 12-bit precision; Annex K's
+# tables only cover 8-bit). Construction-simple valid canonical codes:
+# all 17 DC categories at length 5 (Kraft 17/32, all-ones unused) and
+# all 226 AC symbols (EOB, ZRL, (run,size) for size<=14) at length 8
+# (Kraft 226/256, all-ones unused). Efficiency is irrelevant here —
+# the tables exist to carry 12-bit streams, not to compress well.
+DC_EXT12_BITS = [0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+DC_EXT12_VALS = list(range(17))
+AC_EXT12_VALS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 15)
+]
+AC_EXT12_BITS = [0, 0, 0, 0, 0, 0, 0, len(AC_EXT12_VALS), 0, 0, 0, 0,
+                 0, 0, 0, 0]
+
+# 16-bit quantization table for the 12-bit path: Annex K luminance
+# scaled x8 so the DCT range matches the 16x larger sample range and
+# several entries exceed 255 — the stream NEEDS Pq=1 to carry it.
+QUANT_LUM12 = QUANT_LUM * 8
+
+
+def encode_extended_jpeg_gray12(gray: np.ndarray) -> bytes:
+    """Encode an (h, w) 12-bit grayscale array (uint16, 0..4095) as an
+    extended sequential Huffman JPEG (SOF1, P=12) with a Pq=1 16-bit
+    quantization table (ITU T.81 B.2.4.1 Pq=1; F.1.3 extended
+    sequential). decode_baseline_jpeg returns the uint16 plane
+    replicated to 3 channels, clamped at 0..4095."""
+    if gray.ndim != 2:
+        raise ValueError("expected (h, w) grayscale")
+    px = gray.astype(np.int64)
+    if px.min() < 0 or px.max() > 4095:
+        raise ValueError("12-bit samples must be 0..4095")
+    h, w = px.shape
+    bh, bw2 = (h + 7) // 8, (w + 7) // 8
+    plane = np.pad(
+        px.astype(np.float64),
+        ((0, bh * 8 - h), (0, bw2 * 8 - w)),
+        mode="edge",
+    )
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker]))
+        out.extend(struct.pack(">H", len(payload) + 2))
+        out.extend(payload)
+
+    zz16 = b"".join(
+        struct.pack(">H", int(QUANT_LUM12[ZIGZAG[k]])) for k in range(64)
+    )
+    seg(0xDB, bytes([0x10]) + zz16)  # Pq=1, Tq=0
+    seg(
+        0xC1,
+        b"\x0c" + struct.pack(">HH", h, w) + b"\x01" + bytes([1, 0x11, 0]),
+    )
+    for tc, th, bits, vals in (
+        (0, 0, DC_EXT12_BITS, DC_EXT12_VALS),
+        (1, 0, AC_EXT12_BITS, AC_EXT12_VALS),
+    ):
+        seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+    seg(0xDA, b"\x01" + bytes([1, 0x00]) + b"\x00\x3f\x00")
+    dc_c = _build_codes(DC_EXT12_BITS, DC_EXT12_VALS)
+    ac_c = _build_codes(AC_EXT12_BITS, AC_EXT12_VALS)
+    bw_ = _BitWriter()
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw2):
+            blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            pred = _encode_block(
+                bw_, blk, QUANT_LUM12, pred, dc_c, ac_c, level=2048.0
+            )
     bw_.flush()
     out.extend(bw_.bytes)
     out.extend(b"\xff\xd9")
@@ -813,13 +924,18 @@ def _decode_progressive(data, pos, frame, qtables, huff_dc, huff_ac, dri):
             p = 0
             while p < len(seg):
                 pq, tq = seg[p] >> 4, seg[p] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
                 tab = np.zeros((8, 8), dtype=np.int32)
-                for k in range(64):
-                    tab[ZIGZAG[k]] = seg[p + 1 + k]
+                if pq == 1:  # Pq=1: 16-bit big-endian entries
+                    for k in range(64):
+                        tab[ZIGZAG[k]] = (
+                            seg[p + 1 + 2 * k] << 8
+                        ) | seg[p + 2 + 2 * k]
+                    p += 129
+                else:
+                    for k in range(64):
+                        tab[ZIGZAG[k]] = seg[p + 1 + k]
+                    p += 65
                 qtables[tq] = tab
-                p += 65
         elif marker == 0xC4:  # DHT between scans
             p = 0
             while p < len(seg):
@@ -1028,10 +1144,13 @@ def _ac_refine_block(br, blk, ss, se, al, ac, state):
 # scans → exact int equality), independent of the DCT stage.
 
 
-def _quantize_block_zz(blk: np.ndarray, q: np.ndarray) -> np.ndarray:
-    """8x8 spatial block (0..255 floats) → 64 quantized zigzag coefs
-    (same arithmetic as the baseline _encode_block)."""
-    b0 = blk - 128.0
+def _quantize_block_zz(
+    blk: np.ndarray, q: np.ndarray, level: float = 128.0
+) -> np.ndarray:
+    """8x8 spatial block (0..2^P-1 floats) → 64 quantized zigzag coefs
+    (same arithmetic as the baseline _encode_block). ``level`` is the
+    T.81 A.3.1 level shift 2^(P-1) — 128 for 8-bit, 2048 for 12-bit."""
+    b0 = blk - level
     dct = DCT_M @ b0 @ DCT_M.T
     dct[0, 0] = b0.sum() / 8.0
     qd = _round_half_up(dct / q).astype(np.int64)
@@ -1981,13 +2100,18 @@ def _decode_progressive_arith(data, pos, frame, qtables, dc_cond, ac_cond,
             p = 0
             while p < len(seg):
                 pq, tq = seg[p] >> 4, seg[p] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
                 tab = np.zeros((8, 8), dtype=np.int32)
-                for k in range(64):
-                    tab[ZIGZAG[k]] = seg[p + 1 + k]
+                if pq == 1:  # Pq=1: 16-bit big-endian entries
+                    for k in range(64):
+                        tab[ZIGZAG[k]] = (
+                            seg[p + 1 + 2 * k] << 8
+                        ) | seg[p + 2 + 2 * k]
+                    p += 129
+                else:
+                    for k in range(64):
+                        tab[ZIGZAG[k]] = seg[p + 1 + k]
+                    p += 65
                 qtables[tq] = tab
-                p += 65
         elif marker == 0xCC:  # DAC between scans
             p = 0
             while p < len(seg):
@@ -2774,13 +2898,18 @@ def decode_hierarchical_jpeg(data: bytes) -> tuple[np.ndarray, int]:
             p = 0
             while p < len(seg):
                 pq, tq = seg[p] >> 4, seg[p] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
                 tab = np.zeros((8, 8))
-                for k in range(64):
-                    tab[ZIGZAG[k]] = seg[p + 1 + k]
+                if pq == 1:  # Pq=1: 16-bit big-endian entries
+                    for k in range(64):
+                        tab[ZIGZAG[k]] = (
+                            seg[p + 1 + 2 * k] << 8
+                        ) | seg[p + 2 + 2 * k]
+                    p += 129
+                else:
+                    for k in range(64):
+                        tab[ZIGZAG[k]] = seg[p + 1 + k]
+                    p += 65
                 qtables[tq] = tab
-                p += 65
         elif marker == 0xCC:  # DAC
             p = 0
             while p < len(seg):

@@ -1992,3 +1992,70 @@ def synthesize_arith_jpeg_payloads(
     return df.select(F.col(id_col)).mapInPandas(
         gen, schema="doc_id long, payload binary"
     )
+
+
+def synthesize_ext12_jpeg_payloads(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """One REAL 12-bit extended sequential JPEG (T.81 SOF1 with a
+    Pq=1 16-bit quantization table) per row: doc i carries a CONSTANT
+    (9 + (i%5)*4) x (14 + (i%3)*8) gray plane of value (1337*i) mod
+    4096. Constant planes are the lossy DCT's oracle-able subset: the
+    whole decode reduces to the q00=128 DC roundtrip at precision 12
+    (dc_roundtrip_value), exact floor(x+0.5) integer arithmetic a SQL
+    oracle replays. Odd dims keep edge-replication padding live."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.jpegcodec import (
+        encode_extended_jpeg_gray12,
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                h = 9 + (i % 5) * 4
+                w = 14 + (i % 3) * 8
+                img = np.full((h, w), (1337 * i) % 4096, np.uint16)
+                payloads.append(encode_extended_jpeg_gray12(img))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+
+
+def ext12_jpeg_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Exact integer pixel stats over REAL decoded 12-bit extended
+    sequential JPEGs: dims, declared precision (12), sum and
+    sum-of-squares of the gray channel."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.jpegcodec import (
+        decode_baseline_jpeg,
+    )
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, data in zip(pdf["doc_id"], pdf[payload_col]):
+                px = decode_baseline_jpeg(bytes(data))
+                prec = 12 if px.dtype == np.uint16 else 8
+                v = px[..., 0].astype(np.int64)
+                out.append(
+                    (doc_id, px.shape[0], px.shape[1], prec,
+                     int(v.sum()), int((v * v).sum()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "height", "width", "precision",
+                         "sum_v", "sum_sq"],
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        work,
+        schema="doc_id long, height int, width int, precision int, "
+        "sum_v long, sum_sq long",
+    )

@@ -6780,3 +6780,55 @@ def q_chrf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("chrr"), 6).alias("chrr"),
         F.round(chrf2, 6).alias("chrf2"),
     ).orderBy("id1", "id2")
+
+
+@register(
+    "q_multimodal_jpeg12",
+    oracle="""
+        WITH base AS (
+          SELECT doc_id,
+                 CAST(9 + (doc_id % 5) * 4 AS BIGINT) AS h,
+                 CAST(14 + (doc_id % 3) * 8 AS BIGINT) AS w,
+                 CAST((1337 * doc_id) % 4096 AS BIGINT) AS v
+          FROM documents WHERE doc_id < 150
+        ), rec AS (
+          SELECT doc_id, h, w,
+                 LEAST(4095, GREATEST(0,
+                   2048 + 16 * CAST(FLOOR((v - 2048) / 16.0 + 0.5)
+                               AS BIGINT))) AS r
+          FROM base
+        )
+        SELECT doc_id, CAST(h AS INT) AS height, CAST(w AS INT) AS width,
+               CAST(12 AS INT) AS precision,
+               CAST(h * w * r AS BIGINT) AS sum_v,
+               CAST(h * w * r * r AS BIGINT) AS sum_sq
+        FROM rec ORDER BY doc_id
+    """,
+    doc="REAL 12-bit EXTENDED SEQUENTIAL JPEG decode "
+    "(operators/jpegcodec.py, ITU T.81 F.1.3 with Pq=1 16-BIT "
+    "quantization tables, B.2.4.1 — the round-11 gate close: Pq=1 "
+    "formerly raised NotImplementedError): per-doc constant 12-bit "
+    "gray planes are genuinely coded as SOF1 frames with a 16-bit "
+    "DQT (Annex K luminance x8 — several entries exceed 255, so the "
+    "stream REQUIRES Pq=1) and custom Huffman tables covering the "
+    "12-bit DC/AC category range Annex K's 8-bit tables cannot, then "
+    "fully entropy-decoded, dequantized, and IDCT'd back at the 16x "
+    "sample range. Constant planes make the lossy path exact: decode "
+    "reduces to dc_roundtrip_value at q00=128/precision 12 — "
+    "2048 + 16*floor((v-2048)/16 + 0.5) clamped to 0..4095 — which "
+    "the SQL oracle replays in integer arithmetic. Arrow-batched "
+    "mapInPandas; per-file decode never crosses executors. "
+    "Non-constant imagery is covered by the hypothesis determinism + "
+    "error-bound suite (a lossy cycle on arbitrary pixels is not "
+    "SQL-oracle-able).",
+)
+def q_multimodal_jpeg12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.multimodal import (
+        ext12_jpeg_stats,
+        synthesize_ext12_jpeg_payloads,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 150)
+    return ext12_jpeg_stats(
+        synthesize_ext12_jpeg_payloads(docs)
+    ).orderBy("doc_id")

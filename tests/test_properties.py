@@ -2136,3 +2136,102 @@ def test_arith_jpeg_restart_intervals(interval, seed):
         encode_sequential_arith_jpeg(img, restart_interval=interval)
     )
     assert np.array_equal(ref, got)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=4095),
+    st.integers(min_value=1, max_value=33),
+    st.integers(min_value=1, max_value=33),
+)
+def test_extended_jpeg12_constant_closed_form(v, h, w):
+    """12-bit extended sequential (SOF1, Pq=1 16-bit quant table):
+    on a CONSTANT plane the lossy path reduces to the q00 DC roundtrip
+    at precision 12 — the same closed form the 8-bit baseline proves,
+    now at the 16x sample range the 16-bit table exists to serve."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.jpegcodec import (
+        QUANT_LUM12,
+        dc_roundtrip_value,
+        decode_baseline_jpeg,
+        encode_extended_jpeg_gray12,
+    )
+
+    img = np.full((h, w), v, np.uint16)
+    dec = decode_baseline_jpeg(encode_extended_jpeg_gray12(img))
+    assert dec.dtype == np.uint16 and dec.shape == (h, w, 3)
+    rec = dc_roundtrip_value(v, int(QUANT_LUM12[0, 0]), precision=12)
+    u = np.unique(dec)
+    assert len(u) == 1 and int(u[0]) == rec, (v, u, rec)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.randoms(use_true_random=False),
+)
+def test_extended_jpeg12_deterministic_and_structured(h, w, rnd):
+    """Arbitrary 12-bit pixels: byte-deterministic encode, the stream
+    carries exactly one Pq=1 DQT (129-byte table payload) and one
+    SOF1 declaring P=12, and the decode is in-range uint16 of the
+    source's shape. Noise error is quantizer-sized (the x8 Annex K
+    table reaches 968), so exactness lives in the constant-plane
+    closed form above."""
+    import numpy as np
+    import struct
+
+    from hw_kafka_streams_spark.operators.jpegcodec import (
+        decode_baseline_jpeg,
+        encode_extended_jpeg_gray12,
+    )
+
+    img = np.array(
+        [[rnd.randrange(4096) for _ in range(w)] for _ in range(h)],
+        np.uint16,
+    )
+    enc = encode_extended_jpeg_gray12(img)
+    assert enc == encode_extended_jpeg_gray12(img)
+    assert enc.count(b"\xff\xc1") == 1
+    i = enc.index(b"\xff\xdb")
+    (seglen,) = struct.unpack(">H", enc[i + 2 : i + 4])
+    assert seglen == 2 + 1 + 128  # Pq=1: 64 x 16-bit entries
+    assert enc[i + 4] == 0x10  # Pq=1, Tq=0
+    j = enc.index(b"\xff\xc1")
+    assert enc[j + 4] == 12  # sample precision
+    dec = decode_baseline_jpeg(enc)
+    assert dec.dtype == np.uint16 and dec.shape == (h, w, 3)
+    assert int(dec.max()) <= 4095
+    dec2 = decode_baseline_jpeg(enc)
+    assert np.array_equal(dec, dec2)
+
+
+def test_extended_jpeg12_smooth_error_bound_and_gates():
+    """A gentle 12-bit gradient lands within one low-frequency quant
+    step; out-of-range input and non-SOF1 12-bit streams honestly
+    reject."""
+    import numpy as np
+    import pytest
+
+    from hw_kafka_streams_spark.operators.jpegcodec import (
+        decode_baseline_jpeg,
+        encode_extended_jpeg_gray12,
+    )
+
+    xx, yy = np.meshgrid(np.arange(48), np.arange(32))
+    img = (xx * 20 + yy * 12 + 100).astype(np.uint16)
+    dec = decode_baseline_jpeg(encode_extended_jpeg_gray12(img))[..., 0]
+    err = np.abs(dec.astype(np.int64) - img.astype(np.int64))
+    assert err.max() <= 160, err.max()  # q00 = 128 dominates
+    with pytest.raises(ValueError):
+        encode_extended_jpeg_gray12(np.full((8, 8), 4096, np.int32))
+    with pytest.raises(ValueError):
+        encode_extended_jpeg_gray12(np.full((8, 8), -1, np.int32))
+    # 12-bit declared in a non-SOF1 frame gates honestly: patch the
+    # SOF1 marker to SOF0 (baseline must be 8-bit per T.81)
+    enc = bytearray(encode_extended_jpeg_gray12(np.full((8, 8), 9, np.uint16)))
+    j = bytes(enc).index(b"\xff\xc1")
+    enc[j + 1] = 0xC0
+    with pytest.raises(NotImplementedError):
+        decode_baseline_jpeg(bytes(enc))
