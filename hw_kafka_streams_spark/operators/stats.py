@@ -1779,3 +1779,68 @@ def cuped_lift(
         )
         .orderBy("arm")
     )
+
+
+def croston_ses(
+    df: DataFrame,
+    key_col: str,
+    day_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Croston's method for intermittent demand (Croston 1972) per
+    key: split the demand series into non-zero demand SIZES z_i and
+    the INTER-DEMAND intervals p_i (in periods; p_1 = the position of
+    the first demand within the span), run simple exponential
+    smoothing over each, and forecast demand-per-period z_hat/p_hat —
+    the standard spare-parts/sparse-activity forecaster where plain
+    SES (or :func:`holt_linear`) biases toward zero between demands.
+
+    Input: one row per (key, day_index, demand>0); ``day_col`` is an
+    integer period index where 0 is the span start. Returns one row
+    per key: (key, n_demands, z_hat, p_hat, forecast).
+
+    Determinism: alpha = 1/2 is an exact binary constant and the SES
+    update l = 0.5*y + 0.5*l runs in a pinned op order, so the float
+    trajectory is bit-identical to a DuckDB recursive-CTE replay;
+    outputs round at the SPARK edge (HALF_UP) — dyadic trajectories
+    of integer demands land exactly on .5 at 6 dp, where Python's
+    banker's round() diverges from SQL round.
+
+    Scale shape: sequential within a key, parallel across keys —
+    ``applyInPandas`` after one key shuffle (the holt_linear shape).
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{key_col} long, n_demands long, z_hat double, p_hat double, "
+        "forecast double"
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(day_col)
+        key = pdf[key_col].iloc[0]
+        days = [int(d) for d in pdf[day_col]]
+        sizes = [float(v) for v in pdf["demand"]]
+        gaps = [float(days[0] + 1)] + [
+            float(b - a) for a, b in zip(days, days[1:])
+        ]
+        lz, lp = sizes[0], gaps[0]
+        for z, p in zip(sizes[1:], gaps[1:]):
+            lz = alpha * z + (1 - alpha) * lz
+            lp = alpha * p + (1 - alpha) * lp
+        return pd.DataFrame(
+            [[key, len(sizes), lz, lp, lz / lp]],
+            columns=[key_col, "n_demands", "z_hat", "p_hat", "forecast"],
+        )
+
+    # round at the Spark edge (HALF_UP, matching DuckDB's round) —
+    # Python's round() is banker's and the dyadic alpha=1/2
+    # trajectories of integer demands land EXACTLY on .5 at 6 dp
+    out = df.groupBy(key_col).applyInPandas(fit, out_schema)
+    return out.select(
+        key_col,
+        "n_demands",
+        F.round("z_hat", 6).alias("z_hat"),
+        F.round("p_hat", 6).alias("p_hat"),
+        F.round("forecast", 6).alias("forecast"),
+    )

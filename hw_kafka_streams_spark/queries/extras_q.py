@@ -3733,3 +3733,158 @@ def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cronbach_alpha"),
         )
     )
+
+
+# White-test epilogue, shared verbatim by the Spark (F.expr) and
+# DuckDB sides so every IEEE intermediate matches: Cramer's rule on
+# the 3x3 normal equations of u ~ 1 + x + x^2 (moments already cast
+# to double), then LM = n * R^2.
+_WHITE_DD = (
+    "(n_ * (x2 * x4 - x3 * x3) - x1 * (x1 * x4 - x3 * x2)"
+    " + x2 * (x1 * x3 - x2 * x2))"
+)
+_WHITE_D1 = (
+    "(u0 * (x2 * x4 - x3 * x3) - x1 * (u1 * x4 - x3 * u2)"
+    " + x2 * (u1 * x3 - x2 * u2))"
+)
+_WHITE_D2 = (
+    "(n_ * (u1 * x4 - x3 * u2) - u0 * (x1 * x4 - x3 * x2)"
+    " + x2 * (x1 * u2 - u1 * x2))"
+)
+_WHITE_D3 = (
+    "(n_ * (x2 * u2 - x3 * u1) - x1 * (x1 * u2 - x3 * u0)"
+    " + u0 * (x1 * x3 - x2 * x2))"
+)
+_WHITE_LM = (
+    f"n_ * ((({_WHITE_D1} / {_WHITE_DD}) * u0"
+    f" + ({_WHITE_D2} / {_WHITE_DD}) * u1"
+    f" + ({_WHITE_D3} / {_WHITE_DD}) * u2"
+    " - u0 * u0 / n_)"
+    " / (uu - u0 * u0 / n_))"
+)
+
+
+@register(
+    "q_white_test",
+    oracle="""
+        WITH pts AS (
+          SELECT l_returnflag,
+                 CAST(l_quantity AS BIGINT) AS xi,
+                 CAST(l_quantity AS DECIMAL(12,2)) AS x,
+                 CAST(l_extendedprice AS DECIMAL(14,2)) AS y
+          FROM lineitem
+        ),
+        m AS (
+          SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                 sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                 sum(x * x) AS sx2
+          FROM pts GROUP BY 1
+        ),
+        fit AS (
+          SELECT l_returnflag, n,
+                 (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                 / (CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                   AS b,
+                 (CAST(sy AS DOUBLE)
+                  - CAST(sx AS DOUBLE)
+                    * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                    / (CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n))
+                 / n AS a
+          FROM m
+        ),
+        aux AS (
+          SELECT p.l_returnflag, p.xi,
+                 CAST(round((CAST(p.y AS DOUBLE) - f.a
+                             - f.b * CAST(p.x AS DOUBLE))
+                            * (CAST(p.y AS DOUBLE) - f.a
+                               - f.b * CAST(p.x AS DOUBLE)), 4)
+                      AS DECIMAL(18,4)) AS u
+          FROM pts p JOIN fit f USING (l_returnflag)
+        ),
+        s AS (
+          SELECT l_returnflag,
+                 CAST(count(*) AS DOUBLE) AS n_,
+                 CAST(sum(xi) AS DOUBLE) AS x1,
+                 CAST(sum(xi * xi) AS DOUBLE) AS x2,
+                 CAST(sum(xi * xi * xi) AS DOUBLE) AS x3,
+                 CAST(sum(xi * xi * xi * xi) AS DOUBLE) AS x4,
+                 CAST(sum(u) AS DOUBLE) AS u0,
+                 CAST(sum(CAST(u AS DECIMAL(38,4)) * xi) AS DOUBLE)
+                   AS u1,
+                 CAST(sum(CAST(u AS DECIMAL(38,4)) * xi * xi)
+                   AS DOUBLE) AS u2,
+                 CAST(sum(CAST(u AS DECIMAL(38,4)) * u) AS DOUBLE)
+                   AS uu
+          FROM aux GROUP BY 1
+        )
+        SELECT l_returnflag, CAST(n_ AS BIGINT) AS n,
+               round(""" + _WHITE_LM + """, 6) AS lm_stat,
+               CAST(""" + _WHITE_LM + """ > 5.9915 AS INT)
+                 AS heteroskedastic
+        FROM s ORDER BY l_returnflag
+    """,
+    doc="White's heteroskedasticity test per returnflag: LM = n * R^2 "
+    "of the auxiliary regression of squared OLS residuals on "
+    "{1, x, x^2}, against chi2(2) 5% = 5.9915 — the specification-"
+    "free partner to q_breusch_pagan (BP tests variance LINEAR in x; "
+    "White's squared term also catches U-shaped variance without "
+    "assuming a form, White 1980). Same two-pass shape as BP: exact "
+    "decimal moment fit, residuals re-joined and 4dp-DECIMAL-rounded, "
+    "then exact integer/decimal aux moments (x powers stay BIGINT — "
+    "quantity is 1..50). The 3x3 normal equations solve by Cramer's "
+    "rule in a double epilogue whose expression TEXT is shared "
+    "verbatim between the engines (F.expr twin), so every IEEE "
+    "intermediate matches bit for bit.",
+)
+def q_white_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    pts = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("xi"),
+        F.col("l_quantity").cast("decimal(12,2)").alias("x"),
+        F.col("l_extendedprice").cast("decimal(14,2)").alias("y"),
+    )
+    m = pts.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy")
+    sxy = F.col("sxy").cast("double")
+    sx2 = F.col("sx2").cast("double")
+    b = (sxy - sx * sy / n) / (sx2 - sx * F.col("sx").cast("double") / n)
+    a = (F.col("sy").cast("double") - sx * b) / n
+    fit = m.select("l_returnflag", "n", b.alias("b"), a.alias("a"))
+    res = F.col("y").cast("double") - F.col("a") - F.col("b") * F.col(
+        "x"
+    ).cast("double")
+    aux = pts.join(F.broadcast(fit), "l_returnflag").select(
+        "l_returnflag",
+        "xi",
+        F.round(res * res, 4).cast("decimal(18,4)").alias("u"),
+    )
+    xd = F.col("xi").cast("decimal(38,0)")
+    ud = F.col("u").cast("decimal(38,4)")
+    s = aux.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n_"),
+        F.sum("xi").cast("double").alias("x1"),
+        F.sum(xd * F.col("xi")).cast("double").alias("x2"),
+        F.sum(xd * F.col("xi") * F.col("xi")).cast("double").alias("x3"),
+        F.sum(xd * F.col("xi") * F.col("xi") * F.col("xi"))
+        .cast("double")
+        .alias("x4"),
+        F.sum("u").cast("double").alias("u0"),
+        F.sum(ud * F.col("xi")).cast("double").alias("u1"),
+        F.sum(ud * F.col("xi") * F.col("xi")).cast("double").alias("u2"),
+        F.sum(ud * F.col("u")).cast("double").alias("uu"),
+    )
+    return s.select(
+        "l_returnflag",
+        F.col("n_").cast("long").alias("n"),
+        F.round(F.expr(_WHITE_LM), 6).alias("lm_stat"),
+        (F.expr(_WHITE_LM) > 5.9915).cast("int").alias("heteroskedastic"),
+    ).orderBy("l_returnflag")

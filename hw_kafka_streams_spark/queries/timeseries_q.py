@@ -6739,3 +6739,74 @@ def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("first_alarm_t"),
     )
+
+
+@register(
+    "q_croston_forecast",
+    oracle="""
+        WITH RECURSIVE d0 AS (
+          SELECT min(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS day0
+          FROM events
+        ), dem AS (
+          SELECT user_id,
+                 CAST(CAST(floor(epoch(e.ts)) AS BIGINT) // 86400
+                      - d.day0 AS BIGINT) AS day,
+                 CAST(count(*) AS DOUBLE) AS z
+          FROM events e CROSS JOIN d0 d
+          WHERE event_type = 'purchase' AND user_id < 25
+          GROUP BY 1, 2
+        ), seq AS (
+          SELECT user_id, day, z,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY day) AS rn,
+                 count(*) OVER (PARTITION BY user_id) AS n,
+                 CAST(COALESCE(day - lag(day) OVER (
+                        PARTITION BY user_id ORDER BY day),
+                      day + 1) AS DOUBLE) AS gap
+          FROM dem
+        ), rec AS (
+          SELECT user_id, n, 1 AS rn, z AS lz, gap AS lp
+          FROM seq WHERE rn = 1
+          UNION ALL
+          SELECT r.user_id, r.n, r.rn + 1,
+                 0.5 * s.z + 0.5 * r.lz,
+                 0.5 * s.gap + 0.5 * r.lp
+          FROM rec r JOIN seq s
+            ON s.user_id = r.user_id AND s.rn = r.rn + 1
+        )
+        SELECT user_id, CAST(n AS BIGINT) AS n_demands,
+               round(lz, 6) AS z_hat, round(lp, 6) AS p_hat,
+               round(lz / lp, 6) AS forecast
+        FROM rec WHERE rn = n ORDER BY user_id
+    """,
+    doc="Croston's intermittent-demand forecast (Croston 1972) of "
+    "daily purchase counts per user: SES (alpha = 1/2, exact binary) "
+    "separately over the non-zero demand SIZES and the inter-demand "
+    "INTERVALS, forecast = z_hat/p_hat per day — the sparse-series "
+    "forecaster where q_holt_forecast's plain smoothing biases "
+    "toward zero between demands (the classic spare-parts problem; "
+    "here: sparse user activity). Pinned-op-order recurrence makes "
+    "the float trajectory bit-identical to the DuckDB recursive-CTE "
+    "replay (the q_holt_forecast contract). Scale shape: one keyed "
+    "day-bucketed agg, then applyInPandas after one key shuffle — "
+    "sequential within a user, parallel across users; the CTE grid "
+    "is day-DOMAIN-bounded (~30 steps).",
+)
+def q_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.stats import croston_ses
+
+    e = load_table(spark, "events", sf_dir)
+    day = F.expr("CAST(floor(CAST(ts AS DOUBLE)) AS BIGINT) div 86400")
+    d0 = e.agg(F.min(day).alias("day0"))
+    dem = (
+        e.filter(
+            (F.col("event_type") == "purchase") & (F.col("user_id") < 25)
+        )
+        .crossJoin(F.broadcast(d0))
+        .groupBy(
+            "user_id",
+            (day - F.col("day0")).cast("long").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("demand"))
+    )
+    return croston_ses(dem, "user_id", "day", alpha=0.5).orderBy("user_id")
