@@ -5998,3 +5998,342 @@ def q_concentration_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - k * F.exp(F.sum("lng_t").cast("double") / k), 6
         ).alias("atkinson_1"),
     )
+
+
+@register(
+    "q_cliffs_delta",
+    oracle="""
+        WITH base AS (
+          SELECT lang = 'en' AS is_a, CAST(n_chars AS DOUBLE) AS v
+          FROM documents
+          WHERE lang IN ('en', 'zh') AND n_chars IS NOT NULL
+        ), per_v AS (
+          SELECT v,
+                 sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+                 sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS cb
+          FROM base GROUP BY v
+        ), rk AS (
+          SELECT ca, cb, ca + cb AS c,
+                 2 * COALESCE(sum(ca + cb) OVER (
+                       ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0)
+                 + (ca + cb) + 1 AS r2
+          FROM per_v
+        ), m AS (
+          SELECT CAST(sum(ca) AS BIGINT) AS n1,
+                 CAST(sum(cb) AS BIGINT) AS n2,
+                 sum(CAST(ca AS HUGEINT) * r2) AS r1d
+          FROM rk
+        ), u AS (
+          SELECT n1, n2,
+                 (CAST(r1d AS DOUBLE)
+                  - CAST(n1 AS DOUBLE) * (n1 + 1)) / 2 AS u_a
+          FROM m
+        )
+        SELECT n1 AS n_a, n2 AS n_b,
+               round((2 * u_a - CAST(n1 AS DOUBLE) * n2)
+                     / (CAST(n1 AS DOUBLE) * n2), 6) AS cliffs_delta,
+               CASE WHEN abs((2 * u_a - CAST(n1 AS DOUBLE) * n2)
+                             / (CAST(n1 AS DOUBLE) * n2)) < 0.147
+                    THEN 'negligible'
+                    WHEN abs((2 * u_a - CAST(n1 AS DOUBLE) * n2)
+                             / (CAST(n1 AS DOUBLE) * n2)) < 0.33
+                    THEN 'small'
+                    WHEN abs((2 * u_a - CAST(n1 AS DOUBLE) * n2)
+                             / (CAST(n1 AS DOUBLE) * n2)) < 0.474
+                    THEN 'medium' ELSE 'large' END AS magnitude
+        FROM u
+    """,
+    doc="Cliff's delta effect size of doc char length, English vs "
+    "Chinese: delta = (#(x>y) - #(x<y))/(n1*n2) = 2U/(n1*n2) - 1 — "
+    "the nonparametric effect-size companion to q_mann_whitney's "
+    "SIGNIFICANCE z (a huge corpus makes trivial differences "
+    "'significant'; delta says whether they MATTER), with Romano "
+    "2006's negligible/small/medium/large banding. Exact: U comes "
+    "from the doubled-average-rank integer machinery (ties get half "
+    "credit on both engines), so delta is an exact rational rounded "
+    "once. Scale shape identical to q_mann_whitney: distinct-value "
+    "counts + block prefix sums, never a global rank window.",
+)
+def q_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.stats import mann_whitney_u
+
+    docs = load_table(spark, "documents", sf_dir)
+    mw = mann_whitney_u(docs, "lang", "n_chars", "en", "zh")
+    delta = (2 * F.col("u_a") - F.col("n_a").cast("double") * F.col("n_b")) / (
+        F.col("n_a").cast("double") * F.col("n_b")
+    )
+    return mw.select(
+        "n_a",
+        "n_b",
+        F.round(delta, 6).alias("cliffs_delta"),
+        F.when(F.abs(delta) < 0.147, "negligible")
+        .when(F.abs(delta) < 0.33, "small")
+        .when(F.abs(delta) < 0.474, "medium")
+        .otherwise("large")
+        .alias("magnitude"),
+    )
+
+
+@register(
+    "q_mood_median",
+    oracle="""
+        WITH base AS (
+          SELECT lang AS g, CAST(n_chars AS DOUBLE) AS v
+          FROM documents
+          WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        ), med AS (
+          SELECT quantile_cont(v, 0.5) AS gm FROM base
+        ), per_g AS (
+          SELECT g,
+                 CAST(sum(CASE WHEN v > m.gm THEN 1 ELSE 0 END)
+                   AS BIGINT) AS above,
+                 CAST(sum(CASE WHEN v > m.gm THEN 0 ELSE 1 END)
+                   AS BIGINT) AS below
+          FROM base CROSS JOIN med m GROUP BY 1
+        ), tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(above) AS BIGINT) AS ta,
+                 CAST(sum(below) AS BIGINT) AS tb
+          FROM per_g
+        ), cells AS (
+          SELECT t.k, t.ta + t.tb AS n,
+                 CAST(round(
+                   (p.above - CAST(t.ta AS DOUBLE) * (p.above + p.below)
+                              / (t.ta + t.tb))
+                   * (p.above - CAST(t.ta AS DOUBLE) * (p.above + p.below)
+                                / (t.ta + t.tb))
+                   / (CAST(t.ta AS DOUBLE) * (p.above + p.below)
+                      / (t.ta + t.tb))
+                   + (p.below - CAST(t.tb AS DOUBLE) * (p.above + p.below)
+                                / (t.ta + t.tb))
+                     * (p.below - CAST(t.tb AS DOUBLE) * (p.above + p.below)
+                                  / (t.ta + t.tb))
+                     / (CAST(t.tb AS DOUBLE) * (p.above + p.below)
+                        / (t.ta + t.tb)), 9) AS DECIMAL(18,9)) AS x2
+          FROM per_g p CROSS JOIN tot t
+        )
+        SELECT CAST(min(k) AS BIGINT) AS k_groups,
+               CAST(min(n) AS BIGINT) AS n,
+               round(CAST(sum(x2) AS DOUBLE), 6) AS chi2,
+               CAST(min(k) - 1 AS BIGINT) AS df,
+               CAST(CAST(sum(x2) AS DOUBLE) > 9.4877 AS INT)
+                 AS reject_equal_medians
+        FROM cells
+    """,
+    doc="Mood's median test of doc char length across languages: "
+    "2 x k contingency chi2 of above-vs-at-or-below the POOLED "
+    "median — the maximally robust (if low-power) k-group location "
+    "test beside q_kruskal_wallis (KW uses full rank information; "
+    "Mood's only the median split, so one wild source can't move "
+    "it). Grand median via the proven F.percentile == quantile_cont "
+    "recipe; cells are exact integers, per-group chi2 terms "
+    "9dp-DECIMAL-rounded before the k-row sum; reject vs chi2(4) "
+    "5% = 9.4877. One agg for the median, one keyed agg for the "
+    "cells — no window, no sort.",
+)
+def q_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("n_chars").isNotNull() & F.col("lang").isNotNull()
+    )
+    base = docs.select(
+        F.col("lang").alias("g"), F.col("n_chars").cast("double").alias("v")
+    )
+    med = base.agg(F.percentile("v", F.lit(0.5)).alias("gm"))
+    per_g = (
+        base.crossJoin(F.broadcast(med))
+        .groupBy("g")
+        .agg(
+            F.sum(F.when(F.col("v") > F.col("gm"), 1).otherwise(0))
+            .cast("long")
+            .alias("above"),
+            F.sum(F.when(F.col("v") > F.col("gm"), 0).otherwise(1))
+            .cast("long")
+            .alias("below"),
+        )
+    )
+    tot = per_g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("above").cast("long").alias("ta"),
+        F.sum("below").cast("long").alias("tb"),
+    )
+    rowsum = (F.col("above") + F.col("below")).cast("double")
+    ea = F.col("ta").cast("double") * (F.col("above") + F.col("below")) / (
+        F.col("ta") + F.col("tb")
+    )
+    eb = F.col("tb").cast("double") * (F.col("above") + F.col("below")) / (
+        F.col("ta") + F.col("tb")
+    )
+    x2 = F.round(
+        (F.col("above") - ea) * (F.col("above") - ea) / ea
+        + (F.col("below") - eb) * (F.col("below") - eb) / eb,
+        9,
+    ).cast("decimal(18,9)")
+    cells = per_g.crossJoin(F.broadcast(tot)).select(
+        "k", (F.col("ta") + F.col("tb")).alias("n"), x2.alias("x2")
+    )
+    return cells.agg(
+        F.min("k").cast("long").alias("k_groups"),
+        F.min("n").cast("long").alias("n"),
+        F.round(F.sum("x2").cast("double"), 6).alias("chi2"),
+        (F.min("k") - 1).cast("long").alias("df"),
+        (F.sum("x2").cast("double") > 9.4877)
+        .cast("int")
+        .alias("reject_equal_medians"),
+    )
+
+
+@register(
+    "q_gwet_ac1",
+    oracle="""
+        WITH span AS (
+          SELECT min(CAST(floor(epoch(ts)) AS BIGINT)) AS e0,
+                 max(CAST(floor(epoch(ts)) AS BIGINT)) AS e1
+          FROM events
+        ),
+        lab AS (
+          SELECT e.user_id AS u,
+                 LEAST(2, ((CAST(floor(epoch(e.ts)) AS BIGINT) - s.e0)
+                           * 3) // (s.e1 - s.e0 + 1)) AS c,
+                 e.event_type AS v, CAST(count(*) AS BIGINT) AS cnt
+          FROM events e CROSS JOIN span s
+          GROUP BY 1, 2, 3
+        ),
+        uv AS (
+          SELECT u, c, v FROM lab
+          QUALIFY row_number() OVER (PARTITION BY u, c
+                                     ORDER BY cnt DESC, v) = 1
+        ),
+        nuv AS (
+          SELECT u, v, CAST(count(*) AS BIGINT) AS k FROM uv
+          GROUP BY 1, 2
+        ),
+        mu AS (
+          SELECT u, CAST(sum(k) AS BIGINT) AS m FROM nuv GROUP BY 1
+        ),
+        kept AS (
+          SELECT n.u, n.v, n.k, m.m FROM nuv n JOIN mu m USING (u)
+          WHERE m.m >= 2
+        ),
+        po_u AS (
+          SELECT u,
+                 CAST(round(CAST(sum(k * (k - 1)) AS DOUBLE)
+                            / (min(m) * (min(m) - 1)), 9)
+                   AS DECIMAL(18,9)) AS agree
+          FROM kept GROUP BY u
+        ),
+        pi_v AS (
+          SELECT v,
+                 sum(CAST(round(CAST(k AS DOUBLE) / m, 9)
+                       AS DECIMAL(18,9))) AS sh
+          FROM kept GROUP BY v
+        ),
+        units AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM po_u),
+        cats AS (SELECT CAST(count(*) AS BIGINT) AS kc FROM pi_v),
+        agg AS (
+          SELECT (SELECT CAST(sum(agree) AS DOUBLE) FROM po_u)
+                   / u.nu AS po,
+                 (SELECT sum(CAST(round(
+                      CAST(sh AS DOUBLE) / u.nu
+                      * (1.0 - CAST(sh AS DOUBLE) / u.nu), 9)
+                    AS DECIMAL(18,9))) FROM pi_v) AS pes,
+                 u.nu, c.kc
+          FROM units u CROSS JOIN cats c
+        )
+        SELECT nu AS n_units, kc AS n_categories,
+               round(po, 6) AS po,
+               round(CAST(pes AS DOUBLE) / (kc - 1), 6) AS pe_gamma,
+               round((po - CAST(pes AS DOUBLE) / (kc - 1))
+                     / (1.0 - CAST(pes AS DOUBLE) / (kc - 1)), 6)
+                 AS gwet_ac1
+        FROM agg
+    """,
+    doc="Gwet's AC1 agreement coefficient over the same three "
+    "time-window 'coders' as q_krippendorff_alpha: observed "
+    "agreement po = mean over units of within-unit rating-pair "
+    "agreement, chance term pe = sum_v pi_v(1-pi_v)/(K-1) — Gwet "
+    "2008's fix for the kappa PREVALENCE PARADOX (when one category "
+    "dominates, pi-based chance agreement saturates and "
+    "kappa/Krippendorff collapse toward 0 despite near-perfect raw "
+    "agreement; AC1's complement-weighted chance term does not). "
+    "Missing ratings handled like Krippendorff: units with m < 2 "
+    "drop, per-unit denominators m(m-1) in {2, 6} keep terms exact "
+    "ninths at worst, every fractional term 9dp-DECIMAL-rounded "
+    "before its sum. Same two keyed aggs + QUALIFY mode shape.",
+)
+def q_gwet_ac1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, "events", sf_dir)
+    es = F.expr("CAST(floor(CAST(ts AS DOUBLE)) AS BIGINT)")
+    span = e.agg(F.min(es).alias("e0"), F.max(es).alias("e1"))
+    lab = (
+        e.crossJoin(F.broadcast(span))
+        .groupBy(
+            F.col("user_id").alias("u"),
+            F.least(
+                F.lit(2),
+                F.expr(
+                    "((CAST(floor(CAST(ts AS DOUBLE)) AS BIGINT) - e0)"
+                    " * 3) div (e1 - e0 + 1)"
+                ),
+            ).alias("c"),
+            F.col("event_type").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    wuc = W.partitionBy("u", "c").orderBy(F.desc("cnt"), F.asc("v"))
+    uv = (
+        lab.withColumn("_rn", F.row_number().over(wuc))
+        .filter(F.col("_rn") == 1)
+        .select("u", "c", "v")
+    )
+    nuv = uv.groupBy("u", "v").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    mu = nuv.groupBy("u").agg(F.sum("k").cast("long").alias("m"))
+    kept = nuv.join(mu, "u").filter(F.col("m") >= 2)
+    po_u = kept.groupBy("u").agg(
+        F.round(
+            F.sum(F.col("k") * (F.col("k") - 1)).cast("double")
+            / (F.min("m") * (F.min("m") - 1)),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("agree")
+    )
+    pi_v = kept.groupBy("v").agg(
+        F.sum(
+            F.round(F.col("k").cast("double") / F.col("m"), 9).cast(
+                "decimal(18,9)"
+            )
+        ).alias("sh")
+    )
+    units = po_u.agg(
+        F.count(F.lit(1)).cast("long").alias("nu"),
+        F.sum("agree").cast("double").alias("agree_sum"),
+    )
+    pes = (
+        pi_v.crossJoin(F.broadcast(units))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("kc"),
+            F.sum(
+                F.round(
+                    F.col("sh").cast("double")
+                    / F.col("nu")
+                    * (1.0 - F.col("sh").cast("double") / F.col("nu")),
+                    9,
+                ).cast("decimal(18,9)")
+            ).alias("pes"),
+        )
+    )
+    po = F.col("agree_sum") / F.col("nu")
+    pe = F.col("pes").cast("double") / (F.col("kc") - 1)
+    return (
+        units.crossJoin(F.broadcast(pes))
+        .select(
+            F.col("nu").alias("n_units"),
+            F.col("kc").alias("n_categories"),
+            F.round(po, 6).alias("po"),
+            F.round(pe, 6).alias("pe_gamma"),
+            F.round((po - pe) / (1.0 - pe), 6).alias("gwet_ac1"),
+        )
+    )

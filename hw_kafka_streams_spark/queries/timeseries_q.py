@@ -6810,3 +6810,113 @@ def q_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("double").alias("demand"))
     )
     return croston_ses(dem, "user_id", "day", alpha=0.5).orderBy("user_id")
+
+
+@register(
+    "q_cox_stuart",
+    oracle="""
+        WITH bounds AS (
+          SELECT min(CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS h0,
+                 max(CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS h1
+          FROM events
+        ), grid AS (
+          SELECT unnest(range(h0, h1 + 1)) AS h FROM bounds
+        ), cnts AS (
+          SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+                 CAST(count(*) AS BIGINT) AS x
+          FROM events WHERE event_type = 'click' GROUP BY 1
+        ), ser AS (
+          SELECT row_number() OVER (ORDER BY g.h) - 1 AS t,
+                 COALESCE(c.x, 0) AS x
+          FROM grid g LEFT JOIN cnts c USING (h)
+        ), n AS (
+          SELECT CAST(count(*) AS BIGINT) // 2 AS half FROM ser
+        ), pairs AS (
+          SELECT a.x AS xa, b.x AS xb
+          FROM ser a JOIN n ON a.t < n.half
+          JOIN ser b ON b.t = a.t + n.half
+        ), m AS (
+          SELECT CAST(sum(CASE WHEN xb > xa THEN 1 ELSE 0 END)
+                   AS BIGINT) AS s_plus,
+                 CAST(sum(CASE WHEN xb < xa THEN 1 ELSE 0 END)
+                   AS BIGINT) AS s_minus
+          FROM pairs
+        )
+        SELECT s_plus, s_minus, s_plus + s_minus AS n_pairs,
+               round((s_plus - CAST(s_plus + s_minus AS DOUBLE) / 2)
+                     / sqrt(CAST(s_plus + s_minus AS DOUBLE) / 4), 6)
+                 AS z_score,
+               CAST(abs((s_plus - CAST(s_plus + s_minus AS DOUBLE) / 2)
+                        / sqrt(CAST(s_plus + s_minus AS DOUBLE) / 4))
+                    > 1.96 AS INT) AS trend
+        FROM m
+    """,
+    doc="Cox-Stuart trend test on the hourly click series: pair hour "
+    "t with hour t + H/2, count sign of the difference, binomial "
+    "z on the non-tied pairs — the assumption-free trend detector "
+    "beside q_mann_kendall (MK uses all O(H^2) pairs for power; "
+    "Cox-Stuart's H/2 independent pairs give the quick yes/no a "
+    "monitoring dashboard wants). Exact integer sign counts over "
+    "the domain-bounded hour grid (the self-join is on a computed "
+    "offset, ~360 pairs at any SF); one rounded z.",
+)
+def q_cox_stuart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, "events", sf_dir)
+    bounds = e.agg(
+        F.min(
+            F.expr("CAST(floor(CAST(ts AS DOUBLE)) AS BIGINT) div 3600")
+        ).alias("h0"),
+        F.max(
+            F.expr("CAST(floor(CAST(ts AS DOUBLE)) AS BIGINT) div 3600")
+        ).alias("h1"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+    )
+    cnts = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy(
+            F.expr("CAST(floor(CAST(ts AS DOUBLE)) AS BIGINT) div 3600").alias(
+                "h"
+            )
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    wg = W.partitionBy(tiny_table_partition("h")).orderBy("h")
+    ser = (
+        grid.join(cnts, "h", "left")
+        .select("h", F.coalesce(F.col("x"), F.lit(0)).alias("x"))
+        .withColumn("t", F.row_number().over(wg) - 1)
+    )
+    half = ser.agg(
+        F.expr("CAST(count(*) AS BIGINT) div 2").alias("half")
+    )
+    a = ser.select(F.col("t").alias("ta"), F.col("x").alias("xa"))
+    b = ser.select(F.col("t").alias("tb"), F.col("x").alias("xb"))
+    pairs = (
+        a.crossJoin(F.broadcast(half))
+        .filter(F.col("ta") < F.col("half"))
+        .join(
+            F.broadcast(b),
+            F.col("tb") == F.col("ta") + F.col("half"),
+        )
+    )
+    m = pairs.agg(
+        F.sum(F.when(F.col("xb") > F.col("xa"), 1).otherwise(0))
+        .cast("long")
+        .alias("s_plus"),
+        F.sum(F.when(F.col("xb") < F.col("xa"), 1).otherwise(0))
+        .cast("long")
+        .alias("s_minus"),
+    )
+    ntied = (F.col("s_plus") + F.col("s_minus")).cast("double")
+    z = (F.col("s_plus") - ntied / 2) / F.sqrt(ntied / 4)
+    return m.select(
+        "s_plus",
+        "s_minus",
+        (F.col("s_plus") + F.col("s_minus")).alias("n_pairs"),
+        F.round(z, 6).alias("z_score"),
+        (F.abs(z) > 1.96).cast("int").alias("trend"),
+    )
