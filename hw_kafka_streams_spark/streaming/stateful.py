@@ -762,3 +762,118 @@ def streaming_sprt_monitor(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+PH_OUTPUT_SCHEMA = (
+    "key string, n_total bigint, ph double, n_alarm_points bigint, "
+    "first_alarm_n bigint"
+)
+PH_STATE_SCHEMA = (
+    "n bigint, cum double, m double, min_m double, n_alarms bigint, "
+    "first_alarm_n bigint"
+)
+
+
+def _make_ph_fn(delta: float, lam: float):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, cum, m, min_m, n_alarms, first_alarm = (
+            state.get if state.exists else (0, 0.0, 0.0, 0.0, 0, None)
+        )
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts_us", "id"], kind="mergesort")
+        for v in rows["v"]:
+            v = float(v)
+            n += 1
+            cum += v
+            # deviation against the RUNNING mean INCLUDING v — the
+            # calibration-free property that distinguishes PH from
+            # CUSUM's fixed reference (Page 1954)
+            m += v - cum / n - delta
+            if m < min_m:
+                min_m = m
+            if m - min_m > lam:
+                n_alarms += 1
+                if first_alarm is None:
+                    first_alarm = n
+        state.update(
+            (
+                int(n),
+                float(cum),
+                float(m),
+                float(min_m),
+                int(n_alarms),
+                None if first_alarm is None else int(first_alarm),
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_total": [n],
+                "ph": [float(m - min_m)],
+                "n_alarm_points": [n_alarms],
+                "first_alarm_n": [first_alarm],
+            }
+        )
+
+    return fn
+
+
+def streaming_page_hinkley(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    delta: float = 0.05,
+    lam: float = 10.0,
+) -> DataFrame:
+    """Per-key Page-Hinkley upward mean-shift monitor over an
+    unbounded stream — the streaming twin of the batch
+    ``q_page_hinkley`` query: m_t = sum(x_s - xbar_s - delta) against
+    its running minimum, alarm while m - min(m) > lambda. Unlike
+    :func:`streaming_ewma_anomaly` (pointwise spike vs exponential
+    baseline) PH accumulates SMALL persistent shifts of the mean —
+    the drift detector for data-quality regressions that never spike.
+
+    Why stateful-custom: the running mean is over the key's whole
+    history and the minimum is over the whole m trajectory — neither
+    is windowable. State is four scalars + two counters per key;
+    within a batch rows fold in event-time order (ties by id) so
+    replays reproduce the same state. Emits one summary row per key
+    per batch (update mode); batch DataFrames degrade to the same
+    fold via ``applyInPandas``.
+    """
+    import pyspark.sql.functions as F
+
+    prepared = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+        F.col(id_col).cast("long").alias("id"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    fn = _make_ph_fn(delta, lam)
+    if not df.isStreaming:
+
+        def batch_fold(pdf: pd.DataFrame) -> pd.DataFrame:
+            class _FakeState:
+                exists = False
+                hasTimedOut = False
+
+                def update(self, t):
+                    pass
+
+            out = list(fn((pdf["key"].iloc[0],), iter([pdf]), _FakeState()))
+            return out[0]
+
+        return prepared.groupBy("key").applyInPandas(
+            batch_fold, schema=PH_OUTPUT_SCHEMA
+        )
+    return prepared.groupBy("key").applyInPandasWithState(
+        fn,
+        outputStructType=PH_OUTPUT_SCHEMA,
+        stateStructType=PH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1665,3 +1665,91 @@ def test_sprt_batch_twin_matches_query_registry(spark, sf_dir):
         assert m.n_at_decision == r.n_to_decision
         assert m.n_total == r.n_events
         assert abs(m.llr - r.llr_final) < 1e-4
+
+
+def test_streaming_page_hinkley_drift_alarms_across_batches(spark, tmpdir):
+    """State carries across microbatches: batch 1 establishes a level-10
+    baseline, batch 2 shifts the mean to 13 (a drift EWMA's pointwise
+    k-sigma test would never flag) and PH must alarm against the
+    CARRIED cumulative statistic; a steady key never alarms."""
+    import pandas as pd
+
+    from hw_kafka_streams_spark.streaming.stateful import (
+        streaming_page_hinkley,
+    )
+
+    rows = []
+    for i in range(30):
+        v = 10.0 + (0.5 if i % 2 else -0.5)
+        rows.append((0, "drifty", i, 1_700_000_000_000_000 + i * 1000, v))
+        rows.append((0, "steady", 100 + i, 1_700_000_000_000_000 + i * 1000, v))
+    for i in range(30, 80):
+        v = 13.0 + (0.5 if i % 2 else -0.5)  # persistent +3 shift
+        rows.append((1, "drifty", i, 1_700_000_000_000_000 + i * 1000, v))
+        w = 10.0 + (0.5 if i % 2 else -0.5)
+        rows.append((1, "steady", 100 + i, 1_700_000_000_000_000 + i * 1000, w))
+    pdf = pd.DataFrame(rows, columns=["b", "key", "id", "ts_us", "v"])
+    for b in (0, 1):
+        spark.createDataFrame(
+            pdf[pdf.b == b][["key", "id", "ts_us", "v"]]
+        ).coalesce(1).write.mode("append").parquet(f"{tmpdir}/ph")
+    stream = (
+        spark.readStream.schema("key string, id long, ts_us long, v double")
+        .parquet(f"{tmpdir}/ph")
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    )
+    name = f"ph_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_page_hinkley(stream, "key", "ts", "id", "v", delta=0.05,
+                               lam=10.0)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        final = spark.sql(
+            f"select key, max(n_total) n, max(n_alarm_points) a,"
+            f" max(first_alarm_n) fan from {name} group by key"
+        ).collect()
+    finally:
+        q.stop()
+    by_key = {r.key: r for r in final}
+    assert by_key["drifty"].n == 80
+    assert by_key["drifty"].a >= 1
+    assert by_key["drifty"].fan is not None and by_key["drifty"].fan > 30
+    assert by_key["steady"].a == 0
+
+
+def test_page_hinkley_batch_twin_matches_hand_fold(spark):
+    """The batch degrade (applyInPandas) runs the identical fold: same
+    PH trajectory, alarm count, and first-alarm index as a hand
+    replay."""
+    from hw_kafka_streams_spark.streaming.stateful import (
+        streaming_page_hinkley,
+    )
+
+    vals = [10.0] * 20 + [14.0] * 15
+    df = spark.createDataFrame(
+        [("k", i, 1_700_000_000_000_000 + i * 1000, v)
+         for i, v in enumerate(vals)],
+        "key string, id long, ts_us long, v double",
+    ).withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    row = streaming_page_hinkley(
+        df, "key", "ts", "id", "v", delta=0.05, lam=10.0
+    ).collect()[0]
+    n, cum, m, min_m, alarms, fan = 0, 0.0, 0.0, 0.0, 0, None
+    for v in vals:
+        n += 1
+        cum += v
+        m += v - cum / n - 0.05
+        min_m = min(min_m, m)
+        if m - min_m > 10.0:
+            alarms += 1
+            if fan is None:
+                fan = n
+    assert row.n_total == 35
+    assert row.n_alarm_points == alarms and alarms >= 1
+    assert row.first_alarm_n == fan
+    assert abs(row.ph - (m - min_m)) < 1e-12
