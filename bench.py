@@ -208,6 +208,18 @@ HEADLINE = [
     # nelson-aalen are hour-grid- or k-row-bounded; press mirrors
     # cooks; hier-DCT is fixture-capped like every codec query).
     "q_burrows_delta",
+    # round-11b additions: sketch pair, EDF + paired-rank + aux-OLS
+    # stats, drift monitor, 12-bit codec, intermittent-demand
+    # forecast, char-n-gram pair metric
+    "q_kmv_distinct",
+    "q_hll_det_twin",
+    "q_cramer_von_mises",
+    "q_wilcoxon_signed_rank",
+    "q_page_hinkley",
+    "q_white_test",
+    "q_multimodal_jpeg12",
+    "q_croston_forecast",
+    "q_chrf_pairs",
 ]
 
 

@@ -3867,20 +3867,26 @@ def q_white_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "xi",
         F.round(res * res, 4).cast("decimal(18,4)").alias("u"),
     )
-    xd = F.col("xi").cast("decimal(38,0)")
-    ud = F.col("u").cast("decimal(38,4)")
+    # xi is 1..50: LONG power sums stay exact (max 50^4 * rows ~ 4e14
+    # at sf1) and the u-moment products fit decimal(2,0)-narrowed
+    # multiplies (the round-10 precision lesson: keep p+s+1 <= 38 so
+    # Spark never truncates the product scale) — both orders of
+    # magnitude cheaper than 128-bit decimal(38) chains per row
+    xi = F.col("xi")
+    xn = F.col("xi").cast("decimal(2,0)")
+    ud = F.col("u")
     s = aux.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("double").alias("n_"),
         F.sum("xi").cast("double").alias("x1"),
-        F.sum(xd * F.col("xi")).cast("double").alias("x2"),
-        F.sum(xd * F.col("xi") * F.col("xi")).cast("double").alias("x3"),
-        F.sum(xd * F.col("xi") * F.col("xi") * F.col("xi"))
-        .cast("double")
-        .alias("x4"),
+        F.sum(xi * xi).cast("double").alias("x2"),
+        F.sum(xi * xi * xi).cast("double").alias("x3"),
+        F.sum(xi * xi * xi * xi).cast("double").alias("x4"),
         F.sum("u").cast("double").alias("u0"),
-        F.sum(ud * F.col("xi")).cast("double").alias("u1"),
-        F.sum(ud * F.col("xi") * F.col("xi")).cast("double").alias("u2"),
-        F.sum(ud * F.col("u")).cast("double").alias("uu"),
+        F.sum(ud * xn).cast("double").alias("u1"),
+        F.sum(ud * xn * xn).cast("double").alias("u2"),
+        F.sum(ud.cast("decimal(38,4)") * F.col("u"))
+        .cast("double")
+        .alias("uu"),
     )
     return s.select(
         "l_returnflag",

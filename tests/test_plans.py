@@ -303,6 +303,13 @@ def test_headline_plans_no_smj_no_unexpected_nlj(spark, sf_dir):
         # broadcast of the selected word list — bounded by
         # construction, the intentional stylometry scaffold)
         "q_burrows_delta",
+        # round-11b: 1-row broadcasts — the exact-F0 scalar crossed
+        # into both sketch reports (KMV / det-HLL rel_err columns)
+        # and the global span-start scalar anchoring croston's day
+        # index (same scalar-aggregate cross pattern)
+        "q_kmv_distinct",
+        "q_hll_det_twin",
+        "q_croston_forecast",
     }
     offenders: dict[str, str] = {}
     for name in HEADLINE:

@@ -137,6 +137,16 @@ PROBES = [
     "q_burrows_delta",         # (source,word) counts + MFW z-score pairs
     "q_ql_jelinek_mercer",     # JM LM: tf x dl keyed join + const branch
     "q_press_loocv",           # broadcast-fit LOO narrow map, DECIMAL sums
+    # round-11b headline additions (ratchet); the fixture-capped
+    # 12-bit codec and the 25-user-capped croston recurrence stay out
+    # per the standing fixed-size policies
+    "q_kmv_distinct",          # distinct-word scan + TakeOrdered sketch
+    "q_hll_det_twin",          # distinct-word scan + 64-register agg
+    "q_cramer_von_mises",      # grouped-EDF pass over distinct lengths
+    "q_wilcoxon_signed_rank",  # keyed agg + distinct-magnitude ranks
+    "q_page_hinkley",          # hour-grid prefix sums, domain-bounded
+    "q_white_test",            # two-pass residual moments + x^4 sums
+    "q_chrf_pairs",            # char-gram clip joins off candidate pairs
 ]
 
 

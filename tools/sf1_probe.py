@@ -113,6 +113,16 @@ PROBES = [
     "q_burrows_delta",
     "q_ql_jelinek_mercer",
     "q_press_loocv",
+    # round-11b headline additions (ratchet convention)
+    "q_kmv_distinct",
+    "q_hll_det_twin",
+    "q_cramer_von_mises",
+    "q_wilcoxon_signed_rank",
+    "q_page_hinkley",
+    "q_white_test",
+    "q_multimodal_jpeg12",
+    "q_croston_forecast",
+    "q_chrf_pairs",
 ]
 
 
@@ -293,6 +303,24 @@ NOTES = {
     "stack as q_bleu_pairs, gram joins pair-bounded",
     "q_burrows_delta": "docs 10x; one (source,word) partial-agged "
     "count, MFW grid bounded at k_sources x 30",
+    "q_kmv_distinct": "vocab-bounded distinct scan; k smallest of N "
+    "hashes is a TakeOrdered heap merge, never a global sort",
+    "q_hll_det_twin": "same distinct-word scan; 64-key register agg, "
+    "register maxes merge map-side",
+    "q_cramer_von_mises": "docs 10x; grouped-EDF pass over DISTINCT "
+    "lengths, same shape as q_anderson_darling",
+    "q_wilcoxon_signed_rank": "per-user keyed agg then "
+    "distinct-magnitude ranks; rank table bounded by |d| domain",
+    "q_page_hinkley": "hour-grid windows domain-bounded (~720 rows); "
+    "event scan one partial-agged bucketing",
+    "q_white_test": "two-pass residual moments like breusch_pagan "
+    "+ x^3/x^4 integer sums; epilogue 3-row",
+    "q_multimodal_jpeg12": "fixture capped at 150 docs — per-file "
+    "mapInPandas decode; flat probe = fixed fixture",
+    "q_croston_forecast": "user-keyed applyInPandas recurrence, "
+    "users capped at 25 by the query contract; flat by construction",
+    "q_chrf_pairs": "char-gram tables built only for pair members; "
+    "clip joins hang off the max_df=64-guarded candidate set",
     "q_ql_jelinek_mercer": "docs 10x; matched-term tf x dl keyed "
     "join, corpus branch constant per doc",
     "q_press_loocv": "lineitem 10x; broadcast 1-row fit, one narrow "
