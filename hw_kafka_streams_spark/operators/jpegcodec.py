@@ -39,14 +39,16 @@ QM-coded arithmetic frames, encode/decode via
 encode/decode_hierarchical_jpeg) — including DCT pyramids: an SOF1
 extended-sequential base frame refined by SOF5 differential
 sequential DCT frames (level shift omitted, PRED=0, closed-loop
-residuals per Annex J.1.1.3 / F.1.1.5.1); AND 12-BIT extended
+residuals per Annex J.1.1.3 / F.1.1.5.1), with the QM-coded twin
+(SOF9 base + SOF13 differential sequential DCT frames under the
+Annex F statistical models — entropy="dct_arith"); AND 12-BIT extended
 sequential (SOF1 with P=12, single-component, Pq=1 16-BIT
 quantization tables per B.2.4.1, encode via
 encode_extended_jpeg_gray12 with Huffman tables covering the 12-bit
-DC/AC category range). Differential progressive and arithmetic-DCT
-frames (SOF6/13/14) raise NotImplementedError — this is the
-dependency-free exact-spec path that upgrades JPEG from header-only
-metadata to real pixel decode.
+DC/AC category range). Differential PROGRESSIVE frames
+(SOF6/14) raise NotImplementedError — this is the dependency-free
+exact-spec path that upgrades JPEG from header-only metadata to real
+pixel decode.
 
 Determinism contract (what makes the Spark queries oracle-able): every
 rounding site is ``floor(x + 0.5)`` (never banker's rounding), the
@@ -2680,6 +2682,99 @@ def _dct_decode_plane(
     )
 
 
+def _dct_code_plane_arith(
+    plane: np.ndarray, q: np.ndarray, differential: bool,
+) -> tuple[bytes, np.ndarray]:
+    """QM-coded twin of :func:`_dct_code_plane` (T.81 F.1.4 inside an
+    Annex J pyramid): base frames run the DC prediction chain with the
+    F.1.4.4.1 conditioning; differential frames code the DC VALUE
+    itself (PRED=0 per F.1.1.5.1) through the same DC difference
+    model, and the AC model is unchanged (F.1.4.3 applies to
+    differential frames verbatim). Fresh coder + virgin statistics
+    per scan (each scan is its own entropy interval); closed loop as
+    in the Huffman twin."""
+    h, w = plane.shape
+    bh, bw2 = (h + 7) // 8, (w + 7) // 8
+    padded = np.pad(
+        plane.astype(np.float64),
+        ((0, bh * 8 - h), (0, bw2 * 8 - w)),
+        mode="edge",
+    )
+    enc = _qm.QMEncoder()
+    fixed = _qm.fixed_context()
+    dc_st = _fresh_stats(_DC_STAT_BINS)
+    ac_st = _fresh_stats(_AC_STAT_BINS)
+    dc_ctx = [0]
+    rec = np.zeros((bh * 8, bw2 * 8))
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw2):
+            blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            if differential:
+                zz = _dct_zz_nolevel(blk, q)
+                _arith_code_dc(
+                    enc, dc_st, dc_ctx, 0, int(zz[0]), (0, 1), False
+                )
+            else:
+                zz = _quantize_block_zz(blk, q)
+                diff = int(zz[0]) - pred
+                pred = int(zz[0])
+                _arith_code_dc(enc, dc_st, dc_ctx, 0, diff, (0, 1), False)
+            _arith_code_ac(enc, ac_st, fixed, 5, zz, False)
+            rec[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _idct_block_zz(
+                zz, q
+            )
+    rec = rec[:h, :w]
+    if differential:
+        recp = _round_half_up(rec).astype(np.int64)
+    else:
+        recp = np.clip(_round_half_up(rec + 128.0), 0, 255).astype(np.int64)
+    return bytes(enc.flush()), recp
+
+
+def _dct_decode_plane_arith(
+    data: bytes, pos: int, fh: int, fw: int, qtab: np.ndarray,
+    differential: bool,
+) -> tuple[np.ndarray, int]:
+    """Mirror of :func:`_dct_code_plane_arith`: one QM-coded
+    sequential-DCT scan of a single-component hierarchical frame.
+    Returns (int plane, end position)."""
+    bh, bw2 = (fh + 7) // 8, (fw + 7) // 8
+    dec = _qm.QMDecoder(data, pos)
+    fixed = _qm.fixed_context()
+    dc_st = _fresh_stats(_DC_STAT_BINS)
+    ac_st = _fresh_stats(_AC_STAT_BINS)
+    dc_ctx = [0]
+    out = np.zeros((bh * 8, bw2 * 8))
+    pred = 0
+    zz = np.zeros(64, dtype=np.int64)
+    for by in range(bh):
+        for bx in range(bw2):
+            zz[:] = 0
+            diff = _arith_code_dc(
+                dec, dc_st, dc_ctx, 0, None, (0, 1), True
+            )
+            if differential:
+                zz[0] = diff  # PRED=0 (F.1.1.5.1)
+            else:
+                pred += diff
+                zz[0] = pred
+            _arith_code_ac(dec, ac_st, fixed, 5, zz, True)
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _idct_block_zz(
+                zz, qtab
+            )
+    end = dec.marker_pos
+    if end is None:
+        end = dec.pos
+    plane = out[:fh, :fw]
+    if differential:
+        return _round_half_up(plane).astype(np.int64), end
+    return (
+        np.clip(_round_half_up(plane + 128.0), 0, 255).astype(np.int64),
+        end,
+    )
+
+
 def encode_hierarchical_jpeg(
     img: np.ndarray,
     levels: int = 3,
@@ -2709,9 +2804,9 @@ def encode_hierarchical_jpeg(
         raise ValueError("hierarchical coding needs levels >= 2")
     if not 1 <= predictor <= 7:
         raise ValueError(f"predictor must be 1-7, got {predictor}")
-    if entropy not in ("huffman", "arith", "dct"):
+    if entropy not in ("huffman", "arith", "dct", "dct_arith"):
         raise ValueError(
-            f"entropy must be huffman|arith|dct, got {entropy!r}"
+            f"entropy must be huffman|arith|dct|dct_arith, got {entropy!r}"
         )
     if precision is None:
         precision = 8 if img.dtype == np.uint8 else 16
@@ -2720,12 +2815,14 @@ def encode_hierarchical_jpeg(
     px = img.astype(np.int64)
     if px.min() < 0 or px.max() >= (1 << precision):
         raise ValueError(f"sample out of range for {precision}-bit")
-    if entropy == "dct":
+    if entropy in ("dct", "dct_arith"):
         if precision != 8:
             raise NotImplementedError(
                 "hierarchical DCT pyramids are 8-bit only (12-bit DCT "
                 "precision unsupported)"
             )
+        if entropy == "dct_arith":
+            return _encode_hierarchical_dct_arith(px, levels)
         return _encode_hierarchical_dct(px, levels)
     arith = entropy == "arith"
     h, w = px.shape
@@ -2852,6 +2949,58 @@ def _encode_hierarchical_dct(px: np.ndarray, levels: int) -> bytes:
     return bytes(out)
 
 
+def _encode_hierarchical_dct_arith(px: np.ndarray, levels: int) -> bytes:
+    """The entropy="dct_arith" body of :func:`encode_hierarchical_jpeg`:
+    DHP + SOF9 QM-coded extended-sequential base + EXP/SOF13
+    differential sequential DCT refinements — the arithmetic twin of
+    :func:`_encode_hierarchical_dct` (DAC conditioning defaults L=0
+    U=1 / Kx=5 written explicitly; no Huffman tables). Closed loop:
+    see :func:`_dct_code_plane_arith`."""
+    h, w = px.shape
+    pyramid = [px]
+    for _ in range(levels - 1):
+        pyramid.append(pyramid[-1][::2, ::2])
+    pyramid.reverse()  # coarsest first
+
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker]))
+        out.extend(struct.pack(">H", len(payload) + 2))
+        out.extend(payload)
+
+    zzq = bytes(int(QUANT_LUM[ZIGZAG[k]]) for k in range(64))
+    seg(0xDB, bytes([0]) + zzq)  # DQT, Pq=0 table 0
+    seg(0xCC, bytes([0x00, 0x10, 0x10, 5]))  # DAC: DC0 (L0,U1), AC0 Kx5
+    seg(0xDE, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+
+    base = pyramid[0]
+    seg(
+        0xC9,  # SOF9: extended sequential DCT, arithmetic
+        struct.pack(">BHHB", 8, base.shape[0], base.shape[1], 1)
+        + bytes([1, 0x11, 0]),
+    )
+    seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0x00]))
+    ent, rec = _dct_code_plane_arith(base, QUANT_LUM, False)
+    out += ent
+
+    for lvl in range(1, levels):
+        cur = pyramid[lvl]
+        ch, cw = cur.shape
+        seg(0xDF, bytes([0x11]))  # EXP: expand both axes
+        ref = _expand_ref(rec, 1, 1, ch, cw)
+        seg(
+            0xCD,  # SOF13: differential sequential DCT, arithmetic
+            struct.pack(">BHHB", 8, ch, cw, 1) + bytes([1, 0x11, 0]),
+        )
+        seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0x00]))
+        ent, drec = _dct_code_plane_arith(cur - ref, QUANT_LUM, True)
+        out += ent
+        rec = np.clip(ref + drec, 0, 255)
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
 def decode_hierarchical_jpeg(data: bytes) -> tuple[np.ndarray, int]:
     """Decode a single-component hierarchical JPEG: DHP + a base frame
     (lossless SOF3/SOF11 or sequential-DCT SOF0/SOF1) + EXP +
@@ -2932,8 +3081,9 @@ def decode_hierarchical_jpeg(data: bytes) -> tuple[np.ndarray, int]:
             frame = (
                 marker in (0xC7, 0xCF), fh, fw, marker in (0xCB, 0xCF), None
             )
-        elif marker in (0xC0, 0xC1, 0xC5):
-            # sequential DCT (base) / differential sequential DCT
+        elif marker in (0xC0, 0xC1, 0xC5, 0xC9, 0xCD):
+            # sequential DCT (base, Huffman or QM) / differential
+            # sequential DCT (SOF5 Huffman, SOF13 arithmetic)
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError(
@@ -2944,12 +3094,16 @@ def decode_hierarchical_jpeg(data: bytes) -> tuple[np.ndarray, int]:
                 raise NotImplementedError(
                     "multi-component hierarchical scans unsupported"
                 )
-            frame = (marker == 0xC5, fh, fw, False, seg[8])
-        elif marker in (0xC6, 0xCD, 0xCE):
+            frame = (
+                marker in (0xC5, 0xCD), fh, fw,
+                marker in (0xC9, 0xCD), seg[8],
+            )
+        elif marker in (0xC6, 0xCE):
             raise NotImplementedError(
-                "differential progressive / arithmetic-DCT hierarchical "
-                "frames (lossless pyramids — Huffman and arithmetic — "
-                "and the Huffman sequential-DCT pyramid supported)"
+                "differential PROGRESSIVE hierarchical frames "
+                "(sequential-DCT pyramids — Huffman SOF5 and "
+                "arithmetic SOF13 — and both lossless pyramids "
+                "supported)"
             )
         elif marker == 0xDA:  # SOS
             if frame is None:
@@ -2962,10 +3116,16 @@ def decode_hierarchical_jpeg(data: bytes) -> tuple[np.ndarray, int]:
             if pt != 0:
                 raise NotImplementedError("point transform unsupported")
             if dct_tq is not None:
-                plane, end = _dct_decode_plane(
-                    data, pos + seglen, fh, fw, qtables[dct_tq],
-                    huff[table], huff_ac[seg[2] & 0xF], differential,
-                )
+                if arith:
+                    plane, end = _dct_decode_plane_arith(
+                        data, pos + seglen, fh, fw, qtables[dct_tq],
+                        differential,
+                    )
+                else:
+                    plane, end = _dct_decode_plane(
+                        data, pos + seglen, fh, fw, qtables[dct_tq],
+                        huff[table], huff_ac[seg[2] & 0xF], differential,
+                    )
                 if differential:
                     if ref is None:
                         raise ValueError(

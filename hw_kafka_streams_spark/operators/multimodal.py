@@ -1688,7 +1688,8 @@ def synthesize_hier_dct_jpeg_payloads(
     df: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
     """One REAL DCT-pyramid hierarchical JPEG (T.81 Annex J with
-    SOF1 + SOF5 frames) per row: doc i carries a CONSTANT
+    SOF1 + SOF5 Huffman frames, or SOF9 + SOF13 QM-coded arithmetic
+    frames for odd doc ids) per row: doc i carries a CONSTANT
     (17 + (i%5)*4) x (21 + (i%3)*8) gray plane of value
     (911*i) mod 256, coded as a 2 + (i%3)-level pyramid. Constant
     planes are the lossy pyramid's oracle-able subset: the base frame
@@ -1711,9 +1712,15 @@ def synthesize_hier_dct_jpeg_payloads(
                 h = 17 + (i % 5) * 4
                 w = 21 + (i % 3) * 8
                 img = np.full((h, w), (911 * i) % 256, np.uint8)
+                # odd docs take the QM-coded pyramid (SOF9 base +
+                # SOF13 differentials): the quantized coefficients —
+                # and therefore the closed-form oracle — are identical
+                # to the Huffman path; only the entropy layer differs
                 payloads.append(
                     encode_hierarchical_jpeg(
-                        img, levels=2 + i % 3, entropy="dct"
+                        img,
+                        levels=2 + i % 3,
+                        entropy="dct_arith" if i % 2 else "dct",
                     )
                 )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})

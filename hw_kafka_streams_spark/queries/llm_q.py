@@ -4082,12 +4082,16 @@ def q_multimodal_jpeg_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="REAL DCT-PYRAMID hierarchical JPEG decode "
     "(operators/jpegcodec.py, ITU T.81 Annex J with SEQUENTIAL-DCT "
     "frames — the round-11 gate close): per-doc constant gray planes "
-    "are genuinely coded as DHP + an SOF1 extended-sequential base "
-    "frame + per level an EXP bilinear upsample and an SOF5 "
-    "DIFFERENTIAL sequential DCT frame (level shift omitted, PRED=0 "
-    "per F.1.1.5.1, closed-loop residual against the decoder's exact "
+    "are genuinely coded as DHP + an extended-sequential base frame "
+    "+ per level an EXP bilinear upsample and a DIFFERENTIAL "
+    "sequential DCT frame (level shift omitted, PRED=0 per "
+    "F.1.1.5.1, closed-loop residual against the decoder's exact "
     "reconstruction), then fully decoded by walking the multi-frame "
-    "stream. The pyramid is lossy, but constant planes make every "
+    "stream — even docs on the Huffman pair (SOF1 + SOF5), odd docs "
+    "on the QM-coded arithmetic pair (SOF9 + SOF13, the second "
+    "round-11 gate close): the entropy layer is lossless over "
+    "identical quantized coefficients, so ONE closed-form oracle "
+    "covers both. The pyramid is lossy, but constant planes make every "
     "frame DC-only, so the decode reduces to the Annex-K q00=16 DC "
     "roundtrip plus one quantize/dequantize per refinement — exact "
     "floor(x+0.5) integer arithmetic the SQL oracle unrolls (1-3 "

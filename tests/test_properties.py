@@ -2235,3 +2235,73 @@ def test_extended_jpeg12_smooth_error_bound_and_gates():
     enc[j + 1] = 0xC0
     with pytest.raises(NotImplementedError):
         decode_baseline_jpeg(bytes(enc))
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=255),
+    st.integers(min_value=1, max_value=33),
+    st.integers(min_value=1, max_value=33),
+    st.integers(min_value=2, max_value=4),
+)
+def test_hierarchical_dct_arith_equals_huffman(v, h, w, levels):
+    """SOF9 + SOF13 QM-coded DCT pyramids decode to EXACTLY the same
+    pixels as the SOF1 + SOF5 Huffman pyramid (the entropy layer is
+    lossless over identical quantized coefficients), so the constant-
+    plane closed form transfers verbatim — and arbitrary planes need
+    no separate error analysis."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.jpegcodec import (
+        decode_hierarchical_jpeg,
+        encode_hierarchical_jpeg,
+    )
+
+    img = np.full((h, w), v, np.uint8)
+    da, pa = decode_hierarchical_jpeg(
+        encode_hierarchical_jpeg(img, levels=levels, entropy="dct_arith")
+    )
+    dh, ph = decode_hierarchical_jpeg(
+        encode_hierarchical_jpeg(img, levels=levels, entropy="dct")
+    )
+    assert pa == ph == 8
+    assert np.array_equal(da, dh)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=2, max_value=4),
+    st.randoms(use_true_random=False),
+)
+def test_hierarchical_dct_arith_structure_and_determinism(h, w, levels, rnd):
+    """Arbitrary pixels through the QM-coded DCT pyramid:
+    byte-deterministic encode, correct stream structure (one SOF9
+    base, one SOF13 per refinement, a DAC and NO Huffman tables),
+    decode equals the Huffman pyramid's pixels."""
+    import numpy as np
+
+    from hw_kafka_streams_spark.operators.jpegcodec import (
+        decode_hierarchical_jpeg,
+        encode_hierarchical_jpeg,
+    )
+
+    img = np.array(
+        [[rnd.randrange(256) for _ in range(w)] for _ in range(h)], np.uint8
+    )
+    enc = encode_hierarchical_jpeg(img, levels=levels, entropy="dct_arith")
+    assert enc == encode_hierarchical_jpeg(
+        img, levels=levels, entropy="dct_arith"
+    )
+    assert enc.count(b"\xff\xc9") == 1  # SOF9 base
+    assert enc.count(b"\xff\xcd") == levels - 1  # SOF13 differentials
+    assert enc.count(b"\xff\xcc") == 1  # DAC
+    assert enc.count(b"\xff\xc4") == 0  # no DHT in a QM stream
+    assert enc.count(b"\xff\xdf") == levels - 1  # EXP per refinement
+    dec, prec = decode_hierarchical_jpeg(enc)
+    assert prec == 8 and dec.shape == (h, w) and dec.dtype == np.uint8
+    dh, _ = decode_hierarchical_jpeg(
+        encode_hierarchical_jpeg(img, levels=levels, entropy="dct")
+    )
+    assert np.array_equal(dec, dh)
