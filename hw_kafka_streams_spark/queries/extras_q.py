@@ -3894,3 +3894,149 @@ def q_white_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(_WHITE_LM), 6).alias("lm_stat"),
         (F.expr(_WHITE_LM) > 5.9915).cast("int").alias("heteroskedastic"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "q_jonckheere_terpstra",
+    oracle="""
+        WITH base AS (
+          SELECT o_orderpriority AS g,
+                 CAST(floor(o_totalprice / 1000) AS BIGINT) AS v
+          FROM orders WHERE o_orderpriority <> '4-NOT SPECIFIED'
+        ),
+        per_gv AS (
+          SELECT g, v, CAST(count(*) AS BIGINT) AS c
+          FROM base GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT g, v, c,
+                 COALESCE(sum(c) OVER (PARTITION BY g ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS clt
+          FROM per_gv
+        ),
+        u2 AS (
+          SELECT CAST(sum(CAST(b.c AS HUGEINT)
+                          * (2 * a.clt + a.c)) AS HUGEINT) AS jt2
+          FROM cum a JOIN per_gv b ON a.g < b.g AND a.v = b.v
+        ),
+        u2lt AS (
+          SELECT CAST(sum(CAST(b.c AS HUGEINT) * 2 * a.c)
+                   AS HUGEINT) AS cross2
+          FROM per_gv a JOIN per_gv b ON a.g < b.g AND a.v < b.v
+        ),
+        ns AS (
+          SELECT CAST(sum(c) AS BIGINT) AS n,
+                 CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS ssq
+          FROM (SELECT g, CAST(sum(c) AS BIGINT) AS c FROM per_gv
+                GROUP BY 1)
+        )
+        SELECT ns.n,
+               round((CAST(u2.jt2 + u2lt.cross2 AS DOUBLE)) / 2, 1)
+                 AS jt_stat,
+               round((CAST(ns.n AS DOUBLE) * ns.n - CAST(ssq AS DOUBLE))
+                     / 4, 1) AS jt_expected,
+               round(((CAST(u2.jt2 + u2lt.cross2 AS DOUBLE)) / 2
+                      - (CAST(ns.n AS DOUBLE) * ns.n
+                         - CAST(ssq AS DOUBLE)) / 4)
+                     / sqrt((CAST(ns.n AS DOUBLE) * ns.n * (2 * ns.n + 3)
+                             - sumn23.s) / 72), 6) AS z_approx
+        FROM u2 CROSS JOIN u2lt CROSS JOIN ns
+        CROSS JOIN (
+          SELECT CAST(sum(CAST(c AS HUGEINT) * c * (2 * c + 3))
+                   AS DOUBLE) AS s
+          FROM (SELECT g, CAST(sum(c) AS BIGINT) AS c FROM per_gv
+                GROUP BY 1)
+        ) sumn23
+    """,
+    doc="Jonckheere-Terpstra ordered-alternative trend test: does "
+    "order value trend monotonically with priority urgency "
+    "(1-URGENT < 2-HIGH < 3-MEDIUM < 5-LOW; the unordered "
+    "4-NOT SPECIFIED class excluded)? JT = sum of pairwise "
+    "Mann-Whitney counts over ordered group pairs — strictly more "
+    "powerful than q_kruskal_wallis when the alternative is ordered "
+    "(KW spends power on all permutations). Values bucketed to "
+    "exact 1k-bins so the per-(group, bucket) count table is "
+    "DOMAIN-bounded and every cum window runs over tiny partitions; "
+    "ties take the standard half credit via doubled counts (exact "
+    "integers). z uses the no-tie Hollander-Wolfe variance "
+    "n^2(2n+3) - sum n_i^2(2n_i+3) over 72 (a documented "
+    "approximation under the bucketing's heavy ties — both engines "
+    "replay it identically).",
+)
+def q_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from hw_kafka_streams_spark.operators.winutil import (
+        tiny_table_partition,
+    )
+
+    o = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    base = o.select(
+        F.col("o_orderpriority").alias("g"),
+        F.floor(F.col("o_totalprice") / 1000).cast("long").alias("v"),
+    )
+    per_gv = base.groupBy("g", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = W.partitionBy("g").orderBy("v").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    cum = per_gv.withColumn(
+        "clt", F.coalesce(F.sum("c").over(w), F.lit(0))
+    )
+    a_eq = cum.select(
+        F.col("g").alias("ga"), F.col("v").alias("va"),
+        F.col("c").alias("ca"), "clt",
+    )
+    b = per_gv.select(
+        F.col("g").alias("gb"), F.col("v").alias("vb"),
+        F.col("c").alias("cb"),
+    )
+    cd = F.col("cb").cast("decimal(38,0)")
+    jt2 = (
+        a_eq.join(
+            b,
+            (F.col("ga") < F.col("gb")) & (F.col("va") == F.col("vb")),
+        )
+        .agg(
+            F.sum(cd * (2 * F.col("clt") + F.col("ca"))).alias("jt2")
+        )
+    )
+    a2 = per_gv.select(
+        F.col("g").alias("ga"), F.col("v").alias("va"),
+        F.col("c").alias("ca"),
+    )
+    cross2 = (
+        a2.join(
+            b, (F.col("ga") < F.col("gb")) & (F.col("va") < F.col("vb"))
+        )
+        .agg(F.sum(cd * 2 * F.col("ca")).alias("cross2"))
+    )
+    per_g = per_gv.groupBy("g").agg(F.sum("c").cast("long").alias("c"))
+    gd = F.col("c").cast("decimal(38,0)")
+    ns = per_g.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(gd * F.col("c")).alias("ssq"),
+        F.sum(gd * F.col("c") * (2 * F.col("c") + 3))
+        .cast("double")
+        .alias("s23"),
+    )
+    jt = (F.col("jt2") + F.col("cross2")).cast("double") / 2
+    nd = F.col("n").cast("double")
+    expd = (nd * F.col("n") - F.col("ssq").cast("double")) / 4
+    varr = (
+        nd * F.col("n") * (2 * F.col("n") + 3) - F.col("s23")
+    ) / 72
+    return (
+        jt2.crossJoin(F.broadcast(cross2))
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "n",
+            F.round(jt, 1).alias("jt_stat"),
+            F.round(expd, 1).alias("jt_expected"),
+            F.round((jt - expd) / F.sqrt(varr), 6).alias("z_approx"),
+        )
+    )

@@ -6922,3 +6922,291 @@ def q_cox_stuart(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z_score"),
         (F.abs(z) > 1.96).cast("int").alias("trend"),
     )
+
+
+@register(
+    "q_partial_corr",
+    oracle="""
+        WITH bounds AS (
+          SELECT min(CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS h0,
+                 max(CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS h1
+          FROM events
+        ), grid AS (
+          SELECT unnest(range(h0, h1 + 1)) AS h FROM bounds
+        ), cnts AS (
+          SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+                 CAST(sum(CASE WHEN event_type = 'click'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                 CAST(sum(CASE WHEN event_type = 'view'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS y,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS z
+          FROM events GROUP BY 1
+        ), ser AS (
+          SELECT g.h, COALESCE(c.x, 0) AS x, COALESCE(c.y, 0) AS y,
+                 COALESCE(c.z, 0) AS z
+          FROM grid g LEFT JOIN cnts c USING (h)
+        ), m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(x AS HUGEINT)) AS sx,
+                 sum(CAST(y AS HUGEINT)) AS sy,
+                 sum(CAST(z AS HUGEINT)) AS sz,
+                 sum(CAST(x AS HUGEINT) * x) AS sxx,
+                 sum(CAST(y AS HUGEINT) * y) AS syy,
+                 sum(CAST(z AS HUGEINT) * z) AS szz,
+                 sum(CAST(x AS HUGEINT) * y) AS sxy,
+                 sum(CAST(x AS HUGEINT) * z) AS sxz,
+                 sum(CAST(y AS HUGEINT) * z) AS syz
+          FROM ser
+        ), r AS (
+          SELECT n,
+                 (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((n * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * sx)
+                        * (n * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * sy)) AS rxy,
+                 (n * CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * sz)
+                 / sqrt((n * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * sx)
+                        * (n * CAST(szz AS DOUBLE)
+                           - CAST(sz AS DOUBLE) * sz)) AS rxz,
+                 (n * CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE) * sz)
+                 / sqrt((n * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * sy)
+                        * (n * CAST(szz AS DOUBLE)
+                           - CAST(sz AS DOUBLE) * sz)) AS ryz
+          FROM m
+        )
+        SELECT n AS n_hours, round(rxy, 6) AS r_xy,
+               round((rxy - rxz * ryz)
+                     / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 6)
+                 AS r_xy_given_z,
+               round((rxy - rxz * ryz)
+                     / sqrt((1 - rxz * rxz) * (1 - ryz * ryz))
+                     * sqrt((n - 3)
+                            / (1 - ((rxy - rxz * ryz)
+                                    / sqrt((1 - rxz * rxz)
+                                           * (1 - ryz * ryz)))
+                                   * ((rxy - rxz * ryz)
+                                      / sqrt((1 - rxz * rxz)
+                                             * (1 - ryz * ryz))))),
+                     6) AS t_stat
+        FROM r
+    """,
+    doc="First-order partial correlation of the hourly click and view "
+    "series CONTROLLING for the purchase series: r_xy.z = "
+    "(r_xy - r_xz r_yz)/sqrt((1-r_xz^2)(1-r_yz^2)) with its "
+    "t = r sqrt((n-3)/(1-r^2)) — the does-the-correlation-survive-"
+    "the-confounder audit that raw q_spearman_corr/q_kendall_tau "
+    "cannot answer (overall activity level drives all three series; "
+    "the partial asks what remains). All three Pearson r's come from "
+    "ONE pass of exact integer moments over the domain-bounded hour "
+    "grid; the epilogue is a shared-text double expression.",
+)
+def q_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    cnts = e.groupBy(
+        F.expr("CAST(floor(CAST(ts AS DOUBLE)) AS BIGINT) div 3600").alias(
+            "h"
+        )
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("z"),
+    )
+    bounds = e.agg(
+        F.min(
+            F.expr("CAST(floor(CAST(ts AS DOUBLE)) AS BIGINT) div 3600")
+        ).alias("h0"),
+        F.max(
+            F.expr("CAST(floor(CAST(ts AS DOUBLE)) AS BIGINT) div 3600")
+        ).alias("h1"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+    )
+    ser = grid.join(cnts, "h", "left").select(
+        F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+        F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+        F.coalesce(F.col("z"), F.lit(0)).alias("z"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = ser.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(d("x")).alias("sx"),
+        F.sum(d("y")).alias("sy"),
+        F.sum(d("z")).alias("sz"),
+        F.sum(d("x") * F.col("x")).alias("sxx"),
+        F.sum(d("y") * F.col("y")).alias("syy"),
+        F.sum(d("z") * F.col("z")).alias("szz"),
+        F.sum(d("x") * F.col("y")).alias("sxy"),
+        F.sum(d("x") * F.col("z")).alias("sxz"),
+        F.sum(d("y") * F.col("z")).alias("syz"),
+    )
+    n = F.col("n")
+
+    def pear(sab, sa, sb, saa, sbb):
+        return (
+            n * F.col(sab).cast("double")
+            - F.col(sa).cast("double") * F.col(sb)
+        ) / F.sqrt(
+            (n * F.col(saa).cast("double") - F.col(sa).cast("double") * F.col(sa))
+            * (n * F.col(sbb).cast("double") - F.col(sb).cast("double") * F.col(sb))
+        )
+
+    rxy = pear("sxy", "sx", "sy", "sxx", "syy")
+    rxz = pear("sxz", "sx", "sz", "sxx", "szz")
+    ryz = pear("syz", "sy", "sz", "syy", "szz")
+    part = (rxy - rxz * ryz) / F.sqrt((1 - rxz * rxz) * (1 - ryz * ryz))
+    return m.select(
+        F.col("n").alias("n_hours"),
+        F.round(rxy, 6).alias("r_xy"),
+        F.round(part, 6).alias("r_xy_given_z"),
+        F.round(
+            part * F.sqrt((n - 3) / (1 - part * part)), 6
+        ).alias("t_stat"),
+    )
+
+
+@register(
+    "q_fisher_z_corr_diff",
+    oracle="""
+        WITH bounds AS (
+          SELECT min(CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS h0,
+                 max(CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS h1
+          FROM events
+        ), grid AS (
+          SELECT unnest(range(h0, h1 + 1)) AS h,
+                 h0 + (h1 - h0 + 1) // 2 AS mid
+          FROM bounds
+        ), cnts AS (
+          SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+                 CAST(sum(CASE WHEN event_type = 'click'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                 CAST(sum(CASE WHEN event_type = 'view'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS y
+          FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+        ), ser AS (
+          SELECT CASE WHEN g.h < g.mid THEN 0 ELSE 1 END AS half,
+                 COALESCE(c.x, 0) AS x, COALESCE(c.y, 0) AS y
+          FROM grid g LEFT JOIN cnts c USING (h)
+        ), m AS (
+          SELECT half, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(x AS HUGEINT)) AS sx,
+                 sum(CAST(y AS HUGEINT)) AS sy,
+                 sum(CAST(x AS HUGEINT) * x) AS sxx,
+                 sum(CAST(y AS HUGEINT) * y) AS syy,
+                 sum(CAST(x AS HUGEINT) * y) AS sxy
+          FROM ser GROUP BY 1
+        ), r AS (
+          SELECT half, n,
+                 (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((n * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * sx)
+                        * (n * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * sy)) AS rr
+          FROM m
+        ), piv AS (
+          SELECT CAST(min(CASE WHEN half = 0 THEN n END) AS BIGINT)
+                   AS n1,
+                 CAST(min(CASE WHEN half = 1 THEN n END) AS BIGINT)
+                   AS n2,
+                 min(CASE WHEN half = 0 THEN rr END) AS r1,
+                 min(CASE WHEN half = 1 THEN rr END) AS r2
+          FROM r
+        )
+        SELECT n1 AS n_first, n2 AS n_second,
+               round(r1, 6) AS r_first, round(r2, 6) AS r_second,
+               round((0.5 * ln((1 + r1) / (1 - r1))
+                      - 0.5 * ln((1 + r2) / (1 - r2)))
+                     / sqrt(1.0 / (n1 - 3) + 1.0 / (n2 - 3)), 6)
+                 AS z_diff
+        FROM piv
+    """,
+    doc="Fisher r-to-z test for a DIFFERENCE of correlations: is the "
+    "click-view correlation in the first half of the time span the "
+    "same as in the second half? z_i = atanh(r_i) written explicitly "
+    "as 0.5 ln((1+r)/(1-r)) — shared ln-only text on both engines "
+    "(no engine-atanh pairing to trust) — and z_diff = (z1 - z2)/"
+    "sqrt(1/(n1-3) + 1/(n2-3)), the standard two-sample correlation "
+    "comparison; the correlation-STABILITY audit behind any "
+    "train/validation time split (q_split_leakage checks overlap, "
+    "this checks a relationship drifting). One grouped exact-integer "
+    "moment pass over the halved hour grid, 2-row pivot epilogue.",
+)
+def q_fisher_z_corr_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    hexp = F.expr("CAST(floor(CAST(ts AS DOUBLE)) AS BIGINT) div 3600")
+    bounds = e.agg(F.min(hexp).alias("h0"), F.max(hexp).alias("h1"))
+    grid = bounds.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"),
+        (
+            F.col("h0")
+            + F.expr("CAST(h1 - h0 + 1 AS BIGINT) div 2")
+        ).alias("mid"),
+    )
+    cnts = (
+        e.filter(F.col("event_type").isin("click", "view"))
+        .groupBy(hexp.alias("h"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    ser = grid.join(cnts, "h", "left").select(
+        F.when(F.col("h") < F.col("mid"), 0).otherwise(1).alias("half"),
+        F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+        F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = ser.groupBy("half").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(d("x")).alias("sx"),
+        F.sum(d("y")).alias("sy"),
+        F.sum(d("x") * F.col("x")).alias("sxx"),
+        F.sum(d("y") * F.col("y")).alias("syy"),
+        F.sum(d("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    rr = (
+        n * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / F.sqrt(
+        (n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx"))
+        * (n * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    r = m.select("half", "n", rr.alias("rr"))
+    piv = r.groupBy().agg(
+        F.min(F.when(F.col("half") == 0, F.col("n")))
+        .cast("long")
+        .alias("n1"),
+        F.min(F.when(F.col("half") == 1, F.col("n")))
+        .cast("long")
+        .alias("n2"),
+        F.min(F.when(F.col("half") == 0, F.col("rr"))).alias("r1"),
+        F.min(F.when(F.col("half") == 1, F.col("rr"))).alias("r2"),
+    )
+    fz = lambda c: 0.5 * F.log((1 + F.col(c)) / (1 - F.col(c)))  # noqa: E731
+    return piv.select(
+        F.col("n1").alias("n_first"),
+        F.col("n2").alias("n_second"),
+        F.round(F.col("r1"), 6).alias("r_first"),
+        F.round(F.col("r2"), 6).alias("r_second"),
+        F.round(
+            (fz("r1") - fz("r2"))
+            / F.sqrt(
+                1.0 / (F.col("n1") - 3) + 1.0 / (F.col("n2") - 3)
+            ),
+            6,
+        ).alias("z_diff"),
+    )
