@@ -50,9 +50,15 @@ def mlm_mask_plan(
     positions — the unit T5-style span corruption denoises), and
     ``first_masked`` (1-based position of the first mask, 0 if none).
     All integers; all derived row-locally from the token array — the
-    plan is one narrow projection over the scan, no exchange at any
-    corpus size.
+    plan stays one narrow projection; at scale no exchange is added
+    (``spread_small`` below only fires when the scan has fewer
+    partitions than the cluster has cores, i.e. tiny local inputs
+    whose ~1.5 md5 evaluations per token otherwise run single-
+    threaded).
     """
+    from hw_kafka_streams_spark.operators.skew import spread_small
+
+    df = spread_small(df, key=id_col)
     idstr = F.col(id_col).cast("string")
 
     def masked_at(p: Column) -> Column:
@@ -75,39 +81,54 @@ def mlm_mask_plan(
         # mask_arr would re-hash every position once per statistic).
         size = F.size(m)
         pos = F.sequence(F.lit(1), size)
-        masked_pos = F.when(
+        masked_pos_arr = F.when(
             size >= 1,
             F.filter(pos, lambda p: F.element_at(m, p)),
         ).otherwise(F.array().cast("array<int>"))
 
-        def act_count(lo: int, hi: int) -> Column:
-            return F.size(
-                F.filter(
-                    masked_pos,
-                    lambda p: action_at(p).between(lo, hi),
+        def _stats2(mp: Column) -> Column:
+            # mp (the masked positions) is ALSO bound: the unbound
+            # version inlined the filter(pos, …) tree into every
+            # statistic (~6 evaluations per row). Likewise the action
+            # hashes are bound below — the three act-counts used to
+            # re-run action_at (one md5 each) per masked position per
+            # count, 3x the hashing the plan needs.
+            acts_arr = F.transform(mp, action_at)
+
+            def _stats3(acts: Column) -> Column:
+                def act_count(lo: int, hi: int) -> Column:
+                    return F.size(
+                        F.filter(acts, lambda a: a.between(lo, hi))
+                    )
+
+                # F.get is 0-based and NULL-safe out of bounds
+                # (element_at would raise under ANSI for p-1 == 0), so
+                # position p's predecessor (1-based p-1) is get(m, p-2).
+                span_starts = F.size(
+                    F.filter(
+                        mp,
+                        lambda p: (p == 1)
+                        | ~F.coalesce(F.get(m, p - 2), F.lit(False)),
+                    )
                 )
+                return F.struct(
+                    size.alias("n_tokens"),
+                    F.size(mp).alias("n_masked"),
+                    act_count(0, 7).alias("n_mask_tok"),
+                    act_count(8, 8).alias("n_rand_tok"),
+                    act_count(9, 9).alias("n_keep_tok"),
+                    span_starts.alias("n_spans"),
+                    F.coalesce(F.get(mp, 0), F.lit(0)).alias(
+                        "first_masked"
+                    ),
+                )
+
+            return F.element_at(
+                F.transform(F.array(acts_arr), _stats3), 1
             )
 
-        # F.get is 0-based and NULL-safe out of bounds (element_at
-        # would raise under ANSI for p-1 == 0), so position p's
-        # predecessor (1-based p-1) is get(m, p-2).
-        span_starts = F.size(
-            F.filter(
-                masked_pos,
-                lambda p: (p == 1)
-                | ~F.coalesce(F.get(m, p - 2), F.lit(False)),
-            )
-        )
-        return F.struct(
-            size.alias("n_tokens"),
-            F.size(masked_pos).alias("n_masked"),
-            act_count(0, 7).alias("n_mask_tok"),
-            act_count(8, 8).alias("n_rand_tok"),
-            act_count(9, 9).alias("n_keep_tok"),
-            span_starts.alias("n_spans"),
-            F.coalesce(F.get(masked_pos, 0), F.lit(0)).alias(
-                "first_masked"
-            ),
+        return F.element_at(
+            F.transform(F.array(masked_pos_arr), _stats2), 1
         )
 
     st = F.element_at(F.transform(F.array(mask_arr), _stats), 1)

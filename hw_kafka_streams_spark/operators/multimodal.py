@@ -48,6 +48,32 @@ MULTIMODAL_META_SCHEMA = (
     "doc_id long, modality string, n_bytes long, content_sha256 string, mime string"
 )
 
+
+def _ids_spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Project to the id column and spread it across the cluster.
+
+    Used by the HEAVY-codec synthesizers only (JPEG-LS, MC video,
+    FLAC: >= ~1.5 s of single-threaded encode+decode Python per 150
+    files, measured): their fixture ids arrive as ONE tiny scan
+    partition, so the whole codec pipeline ran serially on one core
+    of a 32-core host (q_multimodal_jls 3.5 → 1.7 s fresh-session by
+    spreading; the chained *_stats decode inherits the partitioning).
+    A deterministic hash repartition on the id (never round-robin-on-
+    rand — retried tasks must re-draw identical placement, guide
+    §2.5) spreads the Python work over ``defaultParallelism`` cores;
+    the exchange moves only the id column. Inputs that already carry
+    >= that many partitions (real corpus scans at scale) are left
+    untouched — no shuffle is added on the 100 TB path.
+
+    The LIGHT synthesizers (header-parse/tiny-plane codecs, < ~1 s of
+    Python) deliberately do NOT use it: the extra exchange + 32-task
+    fan-out costs ~0.4-0.5 s that their serial Python never spends
+    (measured regressions on q_multimodal_jpeg/jpeg12/avi).
+    """
+    from hw_kafka_streams_spark.operators.skew import spread_small
+
+    return spread_small(df.select(F.col(id_col)), key=id_col)
+
 DECODED_IMAGE_SCHEMA = (
     "doc_id long, width int, height int, format string, n_bytes long"
 )
@@ -1336,7 +1362,7 @@ def synthesize_flac_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame
                     payloads.append(encode_flac(left.astype(np.int16)))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return df.select(F.col(id_col)).mapInPandas(
+    return _ids_spread(df, id_col).mapInPandas(
         gen, schema="doc_id long, payload binary"
     )
 
@@ -1766,7 +1792,7 @@ def synthesize_jls_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(encode_jls(img, precision=prec))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return df.select(F.col(id_col)).mapInPandas(
+    return _ids_spread(df, id_col).mapInPandas(
         gen, schema="doc_id long, payload binary"
     )
 
@@ -1837,7 +1863,7 @@ def synthesize_mclv_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame
                 payloads.append(encode_mclv(np.stack(frames)))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return df.select(F.col(id_col)).mapInPandas(
+    return _ids_spread(df, id_col).mapInPandas(
         gen, schema="doc_id long, payload binary"
     )
 
@@ -1908,7 +1934,7 @@ def synthesize_jls_rgb_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFr
                 payloads.append(encode_jls(img, **kw))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return df.select(F.col(id_col)).mapInPandas(
+    return _ids_spread(df, id_col).mapInPandas(
         gen, schema="doc_id long, payload binary"
     )
 

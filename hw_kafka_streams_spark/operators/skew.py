@@ -41,3 +41,41 @@ def salted_join(
     )
     out = b.join(s, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def spread_small(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Scale-adaptive parallelism floor for heavy per-row stages.
+
+    Parquet scan parallelism is bounded by file splits: a table that
+    arrives as a handful of single-row-group files runs its WHOLE scan
+    stage — tokenize/explode/hash projections, partial aggregation,
+    Python kernels — on that many cores, no matter the cluster size
+    (the sf0.1 bench tables are exactly this: one row group each, so
+    every scan stage was single-threaded on a 32-core host). This
+    helper repartitions up to ``defaultParallelism`` ONLY when the
+    input has fewer partitions than that, so:
+
+    - small/local inputs get the cluster's full width for the heavy
+      derivation that follows (the exchange moves only the projected
+      input rows, which by construction here are tiny);
+    - at real scale the scan already has >= defaultParallelism splits
+      and this is a NO-OP — no shuffle is added on the 100 TB path
+      (the brief's "derive partitioning from input size, never a
+      constant tuned for local mode or the cluster").
+
+    ``key`` hashes on a column (deterministic under task retry —
+    guide §2.5's warning about rand-derived keys); ``None`` uses
+    round-robin, which Spark makes retry-safe via its built-in
+    sort-before-repartition.
+
+    Call it AFTER pushdown-able filters (so PushedFilters stay at the
+    scan) and BEFORE the expensive derivation.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if cur >= n:
+        return df
+    return df.repartition(n, F.col(key)) if key else df.repartition(n)
