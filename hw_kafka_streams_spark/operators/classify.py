@@ -52,7 +52,11 @@ def naive_bayes_predict(
     """
 
     def toks(df: DataFrame, *extra: str | Column) -> DataFrame:
-        return df.select(
+        from hw_kafka_streams_spark.operators.skew import spread_small
+
+        # spread: the tokenize-explode + map-side combine otherwise
+        # run inside a single-split scan stage; no-op at real scale
+        return spread_small(df, key=id_col).select(
             F.col(id_col).alias("id"),
             *extra,
             F.explode(word_tokens(F.lower(F.col(text_col)))).alias("t"),

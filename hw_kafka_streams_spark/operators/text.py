@@ -288,9 +288,16 @@ def unigram_logprob_scores(
     the vocabulary joins back by term (shard at crawl scale — here
     Spark/AQE picks broadcast); final agg reuses the doc partitioning.
     """
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_tokens(F.lower(F.col(text_col)))).alias("term"),
+    from hw_kafka_streams_spark.operators.skew import spread_small
+
+    # spread: tokenize-explode + map-side tf combine otherwise run
+    # inside a single-split scan stage; no-op at real scale
+    toks = spread_small(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")),
+        key="id",
+    ).select(
+        "id",
+        F.explode(word_tokens(F.lower(F.col("__t")))).alias("term"),
     )
     tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
     vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))

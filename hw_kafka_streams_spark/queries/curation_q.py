@@ -2507,9 +2507,12 @@ def q_mlm_mask_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hw_kafka_streams_spark.operators.dedup import word_shingles
+    from hw_kafka_streams_spark.operators.skew import spread_small
 
     docs = load_table(spark, "documents", sf_dir)
-    grams = docs.select(
+    # spread: the trigram explode + map-side (source, gram) combine
+    # otherwise run inside a single-split scan stage; no-op at scale
+    grams = spread_small(docs.select("source", "text")).select(
         "source",
         F.explode(word_shingles(F.col("text"), 3, distinct=False)).alias(
             "gram"
@@ -3996,8 +3999,14 @@ def q_topic_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sel = F.broadcast(managed_persist(sel))
     terms = sel.select("term").distinct()
+    from hw_kafka_streams_spark.operators.skew import spread_small
+
+    # spread: the full-corpus tokenize-explode feeding the presence
+    # table otherwise runs inside a single-split scan stage (serial);
+    # no-op at real scale
     pres = (
-        docs.select(
+        spread_small(docs.select("doc_id", "text"), key="doc_id")
+        .select(
             "doc_id",
             F.explode(word_tokens(F.lower(F.col("text")))).alias("term"),
         )

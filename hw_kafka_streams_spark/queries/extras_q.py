@@ -734,11 +734,16 @@ def q_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partial-agged reduction.",
 )
 def q_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.skew import spread_small
+
     li = load_table(spark, "lineitem", sf_dir)
-    pts = li.select(
-        "l_returnflag",
-        F.col("l_quantity").cast("decimal(12,2)").alias("x"),
-        F.col("l_extendedprice").cast("decimal(14,2)").alias("y"),
+    # spread: serial single-split scan stage otherwise; no-op at scale
+    pts = spread_small(
+        li.select(
+            "l_returnflag",
+            F.col("l_quantity").cast("decimal(12,2)").alias("x"),
+            F.col("l_extendedprice").cast("decimal(14,2)").alias("y"),
+        )
     )
     m = pts.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -876,12 +881,18 @@ def q_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
+    from hw_kafka_streams_spark.operators.skew import spread_small
+
     li = load_table(spark, "lineitem", sf_dir)
-    pts = li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.col("l_quantity").cast("decimal(12,2)").alias("x"),
-        F.col("l_extendedprice").cast("decimal(14,2)").alias("y"),
+    # spread: serial single-split scan stage otherwise; no-op at scale
+    pts = spread_small(
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("decimal(12,2)").alias("x"),
+            F.col("l_extendedprice").cast("decimal(14,2)").alias("y"),
+        ),
+        key="l_orderkey",
     )
     m = pts.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -3837,12 +3848,18 @@ _WHITE_LM = (
     "intermediate matches bit for bit.",
 )
 def q_white_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_streams_spark.operators.skew import spread_small
+
     li = load_table(spark, "lineitem", sf_dir)
-    pts = li.select(
-        "l_returnflag",
-        F.col("l_quantity").cast("long").alias("xi"),
-        F.col("l_quantity").cast("decimal(12,2)").alias("x"),
-        F.col("l_extendedprice").cast("decimal(14,2)").alias("y"),
+    # spread: the decimal moment sums below otherwise run inside a
+    # single-split scan stage (serial); no-op at real scale
+    pts = spread_small(
+        li.select(
+            "l_returnflag",
+            F.col("l_quantity").cast("long").alias("xi"),
+            F.col("l_quantity").cast("decimal(12,2)").alias("x"),
+            F.col("l_extendedprice").cast("decimal(14,2)").alias("y"),
+        )
     )
     m = pts.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
