@@ -410,10 +410,14 @@ def bigram_logprob_scores(
     (bigram), (w1) — all partial-aggregated map-side; the model tables
     join back by bigram (broadcast here, shard at crawl scale).
     """
-    base = df.select(
-        F.col(id_col).alias("id"),
-        word_tokens(F.lower(F.col(text_col))).alias("toks"),
-    )
+    from hw_kafka_streams_spark.operators.skew import spread_small
+
+    # spread: the tokenize + bigram explode otherwise run inside a
+    # single-split scan stage; no-op at real scale
+    base = spread_small(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")),
+        key="id",
+    ).select("id", word_tokens(F.lower(F.col("__t"))).alias("toks"))
     bg = base.select(
         "id", F.explode(_adjacent_pairs(F.col("toks"))).alias("p")
     ).select("id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
@@ -483,10 +487,14 @@ def bigram_backoff_scores(
     shard-joinable at crawl scale; N is a broadcast scalar.
     """
     model_df = df if model_df is None else model_df
-    base = df.select(
-        F.col(id_col).alias("id"),
-        word_tokens(F.lower(F.col(text_col))).alias("toks"),
-    )
+    from hw_kafka_streams_spark.operators.skew import spread_small
+
+    # spread: tokenize + bigram explode otherwise run inside a
+    # single-split scan stage; no-op at real scale
+    base = spread_small(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")),
+        key="id",
+    ).select("id", word_tokens(F.lower(F.col("__t"))).alias("toks"))
     tfb = (
         base.select(
             "id", F.explode(_adjacent_pairs(F.col("toks"))).alias("p")
@@ -605,11 +613,18 @@ def kneser_ney_scores(
     w1/w2 equi-joins AQE already splits.
     """
     model_df = df if model_df is None else model_df
+    from hw_kafka_streams_spark.operators.skew import spread_small
+
+    # spread: tokenize + bigram explode otherwise run inside a
+    # single-split scan stage; no-op at real scale
     tfb = (
-        df.select(
-            F.col(id_col).alias("id"),
-            word_tokens(F.lower(F.col(text_col))).alias("toks"),
+        spread_small(
+            df.select(
+                F.col(id_col).alias("id"), F.col(text_col).alias("__t")
+            ),
+            key="id",
         )
+        .select("id", word_tokens(F.lower(F.col("__t"))).alias("toks"))
         .select("id", F.explode(_adjacent_pairs(F.col("toks"))).alias("p"))
         .select("id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .groupBy("id", "w1", "w2")
