@@ -913,14 +913,8 @@ def _semantic_dedup_oracle(n_centroids: int = 8, iters: int = 2, tau: float = 0.
 def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hw_kafka_streams_spark.operators.stats import quantile_buckets
 
-    from hw_kafka_streams_spark.operators.skew import spread_small
-
     docs = load_table(spark, "documents", sf_dir)
-    # spread: the regexp-heavy quality_score projection otherwise runs
-    # inside a single-split scan stage; no-op at real scale
-    scored = spread_small(
-        docs.select("doc_id", "lang", "text"), key="doc_id"
-    ).select("doc_id", "lang", T.quality_score("text").alias("_q"))
+    scored = docs.select("doc_id", "lang", T.quality_score("text").alias("_q"))
     out = quantile_buckets(scored, "_q", "lang", n_buckets=10, out_col="decile")
     return out.select(
         "doc_id",

@@ -1,0 +1,52 @@
+#!/usr/bin/env python
+"""Dump ``.explain("formatted")`` for named queries to files.
+
+Usage: python tools/explain_dump.py <out_dir> <suffix> [query ...]
+
+Writes ``<out_dir>/<query>_<suffix>.txt`` per query (e.g.
+``plans/r11/q_bleu_pairs_before.txt``). With no query names, dumps the
+whole bench HEADLINE set. The formatted plan is the pre-execution one
+(``AdaptiveSparkPlan isFinalPlan=false``) — deterministic, host-load
+independent, and the artifact the optimization-round judge diffs.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import HEADLINE  # noqa: E402
+from hw_kafka_streams_spark.queries import queries  # noqa: E402
+from hw_kafka_streams_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    out_dir = sys.argv[1]
+    suffix = sys.argv[2]
+    names = sys.argv[3:] or list(HEADLINE)
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark("explain_dump")
+    qmap = queries()
+    for name in names:
+        if name not in qmap:
+            print(f"skip unknown query {name}", file=sys.stderr)
+            continue
+        try:
+            df = qmap[name](spark, sf_dir)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        except Exception as exc:  # keep dumping the rest
+            plan = f"EXPLAIN FAILED: {type(exc).__name__}: {exc}"
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as fh:
+            fh.write(f"-- {name} @ {sf_dir} ({suffix})\n")
+            fh.write(plan)
+        print(path)
+
+
+if __name__ == "__main__":
+    main()
