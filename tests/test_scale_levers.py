@@ -74,3 +74,45 @@ def test_dynamic_partition_pruning_reaches_fact_scan(spark, tmp_path, sf_dir):
     got = joined.agg(F.count(F.lit(1)).alias("n")).collect()[0].n
     exp = orders.filter(F.col("o_orderstatus") == "F").count()
     assert got == exp
+
+
+def test_spread_small_widens_single_split_scan(spark, sf_dir):
+    """The round-11 parallelism floor: a single-split scan is spread to
+    defaultParallelism; results are partitioning-invariant."""
+    from hw_kafka_streams_spark.operators.skew import spread_small
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    n = spark.sparkContext.defaultParallelism
+    assert docs.rdd.getNumPartitions() < n  # single-row-group fixture
+    spread = spread_small(docs, key="doc_id")
+    assert spread.rdd.getNumPartitions() == n
+    # keyed spread is deterministic and value-preserving
+    assert sorted(r.doc_id for r in spread.select("doc_id").collect()) == sorted(
+        r.doc_id for r in docs.select("doc_id").collect()
+    )
+
+
+def test_spread_small_noop_when_already_wide(spark, sf_dir):
+    """At >= defaultParallelism input partitions the helper must add NO
+    exchange — the 100 TB path is untouched."""
+    from hw_kafka_streams_spark.operators.skew import spread_small
+
+    n = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, "documents", sf_dir).repartition(n + 3, "doc_id")
+    out = spread_small(docs, key="doc_id")
+    assert out is docs  # identical object: no node added at all
+
+
+def test_mlm_mask_plan_hashes_actions_once(spark, sf_dir):
+    """The round-11 rewrite binds the masked-position and action-hash
+    arrays as lambda variables: within each output column's expression
+    tree the ':a'-suffixed action md5 now appears exactly once (it used
+    to be inlined once per act-count filter — 3 evaluations per masked
+    position, 21 total across the 7 output columns that each print the
+    bound struct tree)."""
+    from hw_kafka_streams_spark.operators.masking import mlm_mask_plan
+
+    docs = load_table(spark, "documents", sf_dir).limit(50)
+    plan = physical_plan(mlm_mask_plan(docs))
+    n_out_cols = 7
+    assert 1 <= plan.count(":a") <= n_out_cols, plan.count(":a")
