@@ -9,10 +9,16 @@ ONE JSON line::
      "detail": "BENCH_DETAIL.json"}, "shared_total": M, "sf": ...,
      "stream": {...}}
 
-The contract line is kept SMALL (≈250 chars) because the driver
-captures only a ~2000-char tail of stdout; the full per-query
-isolated/shared breakdown is written to ``BENCH_DETAIL.json`` at the
-repo root (and echoed to stderr). ``value`` is the total wall-clock
+The contract line is kept SMALL because the driver captures only a
+~2000-char tail of stdout; the full per-query isolated/shared
+breakdown is written to ``BENCH_DETAIL.json`` at the repo root (and
+echoed to stderr). Round 12 (VERDICT r11 items 1/2, additions-only):
+the line now also carries a flat ``per_query`` {name: sec} map so the
+driver's PERF comparator sees real per-query timings instead of the
+query-count field — filled slowest-first under a strict size budget
+(~1450 chars) so the line never overflows the tail the way round 6's
+full map did; ``per_query_omitted`` counts the (sub-noise-floor)
+entries that didn't fit. ``value`` is the total wall-clock
 over the headline set in ISOLATED mode (caches cleared before every
 timed run; cold codegen run discarded), so each per-query number is
 attributable to that query's code alone. ``shared_total`` reports the
@@ -493,6 +499,27 @@ def main() -> None:
         "sf": _sf_of(sf_dir),
         "stream": stream,
     }
+    # Driver-visible per-query seconds (VERDICT r11 items 1/2): the
+    # PERF comparator only sees the parsed final line, so give it real
+    # per-query numbers — but the driver records just a ~2000-char
+    # stdout TAIL, and round 6 proved a full ~97-entry map pushes the
+    # line past that and the driver records parsed:null. Compromise:
+    # emit the SLOWEST queries first under a strict serialized-size
+    # budget that keeps the whole line comfortably under the tail
+    # (every query that matters for perf deltas is multi-hundred-ms;
+    # the complete map is always in BENCH_DETAIL.json).
+    per_q: dict[str, float] = {}
+    budget = 1450
+    used = 0
+    for name, sec in sorted(isolated.items(), key=lambda kv: (-kv[1], kv[0])):
+        cost = len(name) + len(f"{sec:.2f}") + 5  # "name": 1.23,
+        if used + cost > budget:
+            break
+        per_q[name] = round(sec, 2)
+        used += cost
+    out["per_query"] = per_q
+    if len(per_q) < len(isolated):
+        out["per_query_omitted"] = len(isolated) - len(per_q)
     if errors:
         out["errors_n"] = len(errors)
     detail = {

@@ -245,16 +245,36 @@ def jaccard_candidate_pairs(
     measured 275k → 4.76M pairs at a synthetic sf1.) Default None
     preserves exact semantics (and the DuckDB oracle).
     """
-    postings = shingle_postings(df, text_col, id_col, n, distinct=True)
-    # The posting table feeds 3 consumers (set sizes + both self-join
-    # sides) — 4 with the max_df df-count — so persist it ONCE instead
-    # of re-running tokenize→explode→window per consumer (VERDICT r10
-    # item 3: the df guard must not cost an extra corpus scan). Spills
-    # to disk at scale; still cheaper than recomputing the shingle
-    # pipeline 3-4x over 100 TB.
-    postings = managed_persist(postings)
+    # Round-12 (guide §2.4): shingle SETS are built row-locally with
+    # :func:`shingle_array` (bit-identical hashes to the postings
+    # window path) instead of explode→window(lead)→dropDuplicates.
+    # That replaces the window's shuffle+sort of the exploded token
+    # stream with one sort-free keyed exchange of (id, text): shingle
+    # hashing runs at full cluster width after the conditional
+    # ``spread_small`` floor, the per-id set UNION (duplicate-id rows
+    # union their shingle sets, exactly the postings-path semantics)
+    # is a flatten+array_distinct fold over the same id partitioning,
+    # and set sizes become a row-local ``size(sh)`` instead of a
+    # grouped count over postings. One persist of the per-doc arrays
+    # feeds sizes and every explode consumer, so tokenize+hash still
+    # runs exactly once per corpus scan.
+    from hw_kafka_streams_spark.operators.skew import spread_small
+
+    base = spread_small(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")),
+        key="id",
+    )
+    per_row = base.select(
+        "id", shingle_array(F.col("__t"), n=n, distinct=True).alias("shr")
+    )
+    sarr = managed_persist(
+        per_row.groupBy("id").agg(
+            F.array_distinct(F.flatten(F.collect_list("shr"))).alias("sh")
+        )
+    )
     # TRUE set sizes, computed before any df cut (see docstring)
-    sizes = postings.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    sizes = sarr.select("id", F.size("sh").cast("long").alias("sz"))
+    postings = sarr.select("id", F.explode("sh").alias("shingle"))
     if max_df is not None:
         rare = (
             postings.groupBy("shingle")
@@ -869,13 +889,37 @@ def source_ngram_overlap(
     matrix from plain-text n-grams; md5 mode keeps the 60-bit
     collision odds identical to the oracled Jaccard pipeline.
     """
-    postings = shingle_postings(df, text_col, id_col, n, distinct=False, hash_mode=hash_mode)
-    src = df.select(F.col(id_col).alias("id"), F.col(group_col).alias("grp"))
+    # Round-12 (guide §2.4): shingles come from the row-local
+    # :func:`shingle_array` (bit-identical hashes) with the source kept
+    # on the row, so the former window pass (exchange + per-id sort
+    # over the exploded token stream) AND the postings⋈source id-join
+    # disappear outright — the (source, shingle) DISTINCT below was
+    # always the one shuffle this audit fundamentally needs, and now
+    # it is the only pre-join shuffle left. ``spread_small`` floors the
+    # tokenize/hash stage at cluster width on single-split local scans
+    # (no-op at scale); per-row ``array_distinct`` pre-shrinks the
+    # explode before the distinct.
+    from hw_kafka_streams_spark.operators.skew import spread_small
+
+    base = spread_small(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(group_col).alias("grp"),
+            F.col(text_col).alias("__t"),
+        ),
+        key="id",
+    )
     # persist: three consumers (sizes + both self-join sides) would
     # otherwise each recompute the whole shingle pipeline — measured 14
     # exchanges with 0 reuse; at crawl scale that is 3 full scans
     gs = managed_persist(
-        postings.join(src, "id").select("grp", "shingle").distinct()
+        base.select(
+            "grp",
+            F.explode(
+                shingle_array(F.col("__t"), n=n, distinct=True,
+                              hash_mode=hash_mode)
+            ).alias("shingle"),
+        ).distinct()
     )
     sizes = gs.groupBy("grp").agg(F.count(F.lit(1)).alias("sz"))
     a = gs.select(F.col("grp").alias("s1"), "shingle")

@@ -1,5 +1,7 @@
 """Deterministic pretraining-objective mask PLANNING — pure column
-expressions, zero shuffle.
+expressions; shuffle-free at scale (the one conditional exchange is
+``spread_small``'s small-input parallelism floor, a no-op on any scan
+that is already at least cluster-wide).
 
 The last data-prep step before a masked-LM or span-corruption
 pretraining run is deciding, per token, whether it is masked and what
@@ -58,7 +60,9 @@ def mlm_mask_plan(
     """
     from hw_kafka_streams_spark.operators.skew import spread_small
 
-    df = spread_small(df, key=id_col)
+    # Narrow projection FIRST (ADVICE r11): the conditional spread then
+    # moves only (id, text), never whole input rows.
+    df = spread_small(df.select(id_col, text_col), key=id_col)
     idstr = F.col(id_col).cast("string")
 
     def masked_at(p: Column) -> Column:

@@ -89,6 +89,30 @@ def bm25_scores(
     )
 
 
+def bm25_query_term_counts(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The persisted per-(doc, query-term) tf table the BM25 stack is
+    built on — exposed so a second ranker over the SAME tokenization
+    (e.g. q_rbo_rankers' raw-tf arm) derives its scores from the one
+    persisted aggregate instead of re-running tokenize+explode over
+    the corpus (round 12, guide §1.2/§5: ``managed_persist`` is
+    memoized on the plan, so this returns the very frame
+    :func:`bm25_scores` uses when called with the same inputs)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    return managed_persist(
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
 def rrf_fuse(
     ranked_a: DataFrame,
     ranked_b: DataFrame,

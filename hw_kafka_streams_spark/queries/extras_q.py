@@ -2398,12 +2398,20 @@ def q_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("_sr") <= 5)
             .drop("_sr", "day", "fp")
         )
-        row = survivors.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("s"),
-        ).collect()[0]
-        n_new = keep.limit(1).count()  # bounded replay probe
-        if n_new == 0:
+        # ONE driver action for both the appended-rows stats and the
+        # replay probe (round 12: the probe was a separate limit(1)
+        # job per day — same persisted `keep`, so folding it into the
+        # stats agg drops one fixed-overhead job per day, §1.2 "don't
+        # compute things twice")
+        row = (
+            survivors.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("s"),
+            )
+            .crossJoin(keep.agg(F.count(F.lit(1)).alias("n_new")))
+            .collect()[0]
+        )
+        if row["n_new"] == 0:
             return S.current_version(cur_t), 0, 0
         new_fps = keep.select("fp")
         if S.current_version(fps_t) == 0:

@@ -5979,8 +5979,10 @@ _RBO_PK = _RBO_P**_RBO_K
 def q_rbo_rankers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    from hw_kafka_streams_spark.operators.retrieval import bm25_scores
-    from hw_kafka_streams_spark.operators.text import word_tokens
+    from hw_kafka_streams_spark.operators.retrieval import (
+        bm25_query_term_counts,
+        bm25_scores,
+    )
     from hw_kafka_streams_spark.operators.winutil import (
         tiny_table_partition,
     )
@@ -5988,14 +5990,15 @@ def q_rbo_rankers(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = ["spark", "join", "hash"]
     docs = load_table(spark, "documents", sf_dir)
     bm = bm25_scores(docs, terms).select("doc_id", F.col("bm25").alias("s"))
-    toks = docs.select(
-        "doc_id",
-        F.explode(word_tokens(F.lower(F.col("text")))).alias("term"),
-    )
+    # Raw-tf arm from the SAME persisted (doc, term, tf) table the BM25
+    # arm is built on (identical tokenization — both lower+word_tokens),
+    # instead of a second tokenize+explode pass over the corpus (round
+    # 12, VERDICT r11 item 10: one corpus scan feeds both rankers;
+    # sum(tf) over query terms ≡ the old count of filtered token rows).
     tfsum = (
-        toks.filter(F.col("term").isin(terms))
+        bm25_query_term_counts(docs, terms)
         .groupBy("doc_id")
-        .agg(F.sum(F.lit(1)).cast("long").alias("s"))
+        .agg(F.sum("tf").cast("long").alias("s"))
     )
     tw = W.partitionBy(tiny_table_partition("doc_id")).orderBy(
         F.desc("s"), "doc_id"

@@ -92,15 +92,32 @@ def test_spread_small_widens_single_split_scan(spark, sf_dir):
     )
 
 
-def test_spread_small_noop_when_already_wide(spark, sf_dir):
-    """At >= defaultParallelism input partitions the helper must add NO
-    exchange — the 100 TB path is untouched."""
+def test_spread_small_noop_when_already_wide(spark, sf_dir, tmp_path):
+    """A source whose scan is already at least cluster-wide (>=
+    defaultParallelism row groups across its files) must get NO
+    exchange — the 100 TB path is untouched. Round 12: the width probe
+    reads parquet footers off the relation's file list instead of
+    forcing a plan-to-RDD translation (VERDICT r11 item 9), so 'wide'
+    is a property of the SOURCE files."""
     from hw_kafka_streams_spark.operators.skew import spread_small
 
     n = spark.sparkContext.defaultParallelism
-    docs = load_table(spark, "documents", sf_dir).repartition(n + 3, "doc_id")
+    wide_dir = str(tmp_path / "docs_wide")
+    load_table(spark, "documents", sf_dir).repartition(n + 3).write.parquet(
+        wide_dir
+    )
+    docs = spark.read.parquet(wide_dir).select("doc_id", "text")
     out = spread_small(docs, key="doc_id")
     assert out is docs  # identical object: no node added at all
+
+
+def test_spread_small_noop_on_non_file_source(spark):
+    """In-memory relations have no input files; the probe must resolve
+    to 'wide — do nothing' rather than guess or force planning."""
+    from hw_kafka_streams_spark.operators.skew import spread_small
+
+    df = spark.range(10).selectExpr("id as doc_id")
+    assert spread_small(df, key="doc_id") is df
 
 
 def test_mlm_mask_plan_hashes_actions_once(spark, sf_dir):
@@ -110,9 +127,50 @@ def test_mlm_mask_plan_hashes_actions_once(spark, sf_dir):
     to be inlined once per act-count filter — 3 evaluations per masked
     position, 21 total across the 7 output columns that each print the
     bound struct tree)."""
+    import re
+
     from hw_kafka_streams_spark.operators.masking import mlm_mask_plan
 
     docs = load_table(spark, "documents", sf_dir).limit(50)
     plan = physical_plan(mlm_mask_plan(docs))
     n_out_cols = 7
-    assert 1 <= plan.count(":a") <= n_out_cols, plan.count(":a")
+    # Anchored to the action-hash md5 input tail (ADVICE r11: a bare
+    # ':a' count flakes on any path/config/column name containing it):
+    # concat(..., cast(lambda x_N as string), :a) is the action_at
+    # expression and nothing else prints this shape.
+    hits = len(re.findall(r"cast\(lambda [^)]+ as string\), :a\)", plan))
+    assert 1 <= hits <= n_out_cols, (hits, plan.count(":a"))
+
+
+def test_gorilla_block_stats_chunked_equals_whole_series(spark, sf_dir):
+    """Round-12: (series, wall-clock-block) chunking must leave the
+    per-series aggregates identical to a one-block-per-series build
+    (sum/min/max over blocks == over the whole series), while actually
+    cutting each series into >1 block so parallelism is no longer
+    key-bounded."""
+    from hw_kafka_streams_spark.operators.gorillacodec import (
+        gorilla_block_stats,
+    )
+    from hw_kafka_streams_spark.sources.catalog import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    keys = ["event_type", "n_points", "sum_cents", "ts_min_us", "ts_max_us"]
+    day = gorilla_block_stats(ev).select(*keys).orderBy("event_type")
+    # one giant block per series: span > data range => single chunk,
+    # the pre-round-12 shape
+    whole = (
+        gorilla_block_stats(ev, block_us=1 << 60)
+        .select(*keys)
+        .orderBy("event_type")
+    )
+    assert day.collect() == whole.collect()
+    # the default span genuinely splits the fixture: total compressed
+    # bytes exceed the single-block build's (each extra block pays two
+    # raw 64-bit heads), proving >1 block per series actually formed
+    tot_day = gorilla_block_stats(ev).agg(F.sum("block_bytes")).collect()[0][0]
+    tot_whole = (
+        gorilla_block_stats(ev, block_us=1 << 60)
+        .agg(F.sum("block_bytes"))
+        .collect()[0][0]
+    )
+    assert tot_day > tot_whole

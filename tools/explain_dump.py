@@ -22,7 +22,24 @@ from hw_kafka_streams_spark.queries import queries  # noqa: E402
 from hw_kafka_streams_spark.session import get_spark  # noqa: E402
 
 
+def _formatted_plan(df) -> str:
+    """Capture ``df.explain("formatted")`` output via stdout redirect —
+    the public API only prints (ADVICE r11: the previous
+    ``PythonSQLUtils``/``_jdf`` internals break under Spark Connect and
+    across versions)."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
 def main() -> None:
+    if len(sys.argv) < 3:
+        print(__doc__, file=sys.stderr)
+        raise SystemExit(2)
     out_dir = sys.argv[1]
     suffix = sys.argv[2]
     names = sys.argv[3:] or list(HEADLINE)
@@ -35,10 +52,7 @@ def main() -> None:
             print(f"skip unknown query {name}", file=sys.stderr)
             continue
         try:
-            df = qmap[name](spark, sf_dir)
-            plan = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
+            plan = _formatted_plan(qmap[name](spark, sf_dir))
         except Exception as exc:  # keep dumping the rest
             plan = f"EXPLAIN FAILED: {type(exc).__name__}: {exc}"
         path = os.path.join(out_dir, f"{name}_{suffix}.txt")
