@@ -118,7 +118,7 @@ def bpe_oracle_sql(n_merges: int = 8) -> str:
     identical literal ``replace`` merge, so the merge table value-hash
     matches the Spark training run exactly."""
     ctes = [
-        """v0 AS (
+        """v0 AS MATERIALIZED (
           SELECT ' ' || array_to_string(
                    list_concat(string_split(w, ''), ['</w>']), ' ')
                  || ' ' AS sym,
@@ -134,7 +134,7 @@ def bpe_oracle_sql(n_merges: int = 8) -> str:
     for i in range(1, n_merges + 1):
         prev = f"v{i - 1}"
         ctes.append(
-            f"""w{i} AS (
+            f"""w{i} AS MATERIALIZED (
           SELECT a, b, pair_count FROM (
             SELECT a, b, CAST(sum(freq) AS BIGINT) AS pair_count
             FROM (
@@ -148,7 +148,7 @@ def bpe_oracle_sql(n_merges: int = 8) -> str:
         )"""
         )
         ctes.append(
-            f"""v{i} AS (
+            f"""v{i} AS MATERIALIZED (
           SELECT replace(replace(replace(sym,
                    ' ' || w{i}.a || ' ' || w{i}.b || ' ',
                    ' ' || w{i}.a || w{i}.b || ' '),

@@ -1150,7 +1150,26 @@ def containment_pairs_scored(
     """:func:`containment_pairs` keeping ``n_common`` in the output —
     shared by the top-k variant, which needs it as a deterministic
     tie-break."""
-    postings = shingle_postings(df, text_col, id_col, n, distinct=True)
+    # Round-12: row-local shingle sets + per-id union fold, exactly the
+    # :func:`jaccard_candidate_pairs` shape (see the comment there) —
+    # no window pass, one persist feeding sizes and both join sides
+    # (this path previously had NO persist, so the whole shingle
+    # pipeline re-ran per consumer wherever exchange reuse missed).
+    from hw_kafka_streams_spark.operators.skew import spread_small
+
+    base = spread_small(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")),
+        key="id",
+    )
+    per_row = base.select(
+        "id", shingle_array(F.col("__t"), n=n, distinct=True).alias("shr")
+    )
+    sarr = managed_persist(
+        per_row.groupBy("id").agg(
+            F.array_distinct(F.flatten(F.collect_list("shr"))).alias("sh")
+        )
+    )
+    postings = sarr.select("id", F.explode("sh").alias("shingle"))
     if max_df is not None:
         rare = (
             postings.groupBy("shingle")
@@ -1159,7 +1178,11 @@ def containment_pairs_scored(
             .select("shingle")
         )
         postings = postings.join(rare, "shingle")
-    sizes = postings.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+        # containment denominators follow the CUT postings (historical
+        # contract of this operator — unlike jaccard's true-size rule)
+        sizes = postings.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    else:
+        sizes = sarr.select("id", F.size("sh").cast("long").alias("sz"))
     p2 = postings.select(F.col("id").alias("idb"), F.col("shingle").alias("shb"))
     inter = (
         postings.join(
@@ -1208,8 +1231,19 @@ def char_span_pairs(
     the SQL oracle), not a hidden approximation.
     """
     from hw_kafka_streams_spark.operators.chunking import char_ngrams
+    from hw_kafka_streams_spark.operators.skew import spread_small
 
-    g = char_ngrams(df, text_col, id_col, n, stride).distinct()
+    # Round-12 (SQL-metrics profile): the strided substr explode ran as
+    # ONE 3.6 s task (single scan split) and re-ran for the df-guard
+    # consumer (no persist) — spread the (id, text) input to cluster
+    # width first (no-op at scale), persist the distinct gram postings
+    # once for all three consumers (df guard + both self-join sides).
+    src = spread_small(
+        df.select(F.col(id_col), F.col(text_col)), key=id_col
+    )
+    g = managed_persist(
+        char_ngrams(src, text_col, id_col, n, stride).distinct()
+    )
     if max_df is not None:
         keep = (
             g.groupBy("gram")

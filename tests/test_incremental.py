@@ -5,6 +5,8 @@ one state directory that each day's increment probes and extends
 
 from __future__ import annotations
 
+import pytest
+
 import glob
 import os
 
@@ -45,6 +47,8 @@ def _run_day(spark, rows, state, day_id):
     return {r.doc_id: r for r in out.collect()}
 
 
+@pytest.mark.slowgate
+@pytest.mark.slowgate
 def test_two_day_incremental_dedup_e2e(spark, tmp_path):
     state = str(tmp_path / "dedup_state")
 
@@ -78,6 +82,8 @@ def test_two_day_incremental_dedup_e2e(spark, tmp_path):
     assert 1 <= n_fp_files <= 4
 
 
+@pytest.mark.slowgate
+@pytest.mark.slowgate
 def test_incremental_replay_is_idempotent(spark, tmp_path):
     """Redelivering the same day (same day_id) must not duplicate index
     state or flip labels — the at-least-once compensation story."""
@@ -103,6 +109,8 @@ def test_incremental_replay_is_idempotent(spark, tmp_path):
     )
 
 
+@pytest.mark.slowgate
+@pytest.mark.slowgate
 def test_streaming_incremental_dedup_foreachbatch(spark, tmp_path):
     """The incremental pipeline as a StreamingQuery: two micro-batches
     through a file stream; batch-2 exact copies of batch-1 docs dedup
@@ -202,6 +210,8 @@ def test_incremental_null_text_and_id_passthrough(spark, tmp_path):
         incremental_dedup_step(spark, sdf, state, day_id=2)
 
 
+@pytest.mark.slowgate
+@pytest.mark.slowgate
 def test_corpus_build_over_snapshots_e2e(spark, tmp_path):
     """Composed pipeline: incremental (bloom + LSH) dedup -> quality
     filter -> snapshot commit per day, with snapshot_diff auditing each

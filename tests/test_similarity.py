@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from hw_kafka_streams_spark.operators.similarity import (
@@ -88,6 +90,7 @@ def test_lsh_prunes_candidates(spark, sf_dir):
     assert scored < 10 * n_corpus * 0.5, "LSH should prune >50% of pairs"
 
 
+@pytest.mark.slowgate
 def test_near_dup_exact_vs_lsh_blocked_agree_on_high_threshold(spark):
     rows = [
         (1, [1.0, 2.0, 3.0, 4.0]),
@@ -261,6 +264,7 @@ def test_quantize_vec_arrow_roundtrip(spark):
     assert out[2].ma == 0.0 and out[2].q == [0, 0, 0]
 
 
+@pytest.mark.slowgate
 def test_ivfpq_persisted_index_prunes_and_recalls(spark, sf_dir, tmp_path):
     from hw_kafka_streams_spark.operators.similarity import (
         brute_force_topk,

@@ -50,6 +50,7 @@ def test_unsupported_format_rejected(spark):
         read_files(spark, "/tmp/x", fmt="avroish")
 
 
+@pytest.mark.slowgate
 def test_stream_stream_interval_join(spark, tmpdir):
     left = spark.createDataFrame(
         [(1, "2026-01-01 00:00:00"), (2, "2026-01-01 01:00:00")],
