@@ -5,6 +5,8 @@ oracle (xxhash64 has no DuckDB twin).
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from hw_kafka_streams_spark.operators.dedup import (
@@ -126,6 +128,7 @@ def test_dedup_plans_have_no_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in plan
 
 
+@pytest.mark.slowgate
 def test_connected_components_chain_and_islands(spark):
     from hw_kafka_streams_spark.operators.dedup import (
         connected_components,

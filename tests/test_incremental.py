@@ -175,6 +175,7 @@ def test_streaming_incremental_dedup_foreachbatch(spark, tmp_path):
     assert os.path.exists(os.path.join(state, "bloom.parquet"))
 
 
+@pytest.mark.slowgate
 def test_incremental_null_text_and_id_passthrough(spark, tmp_path):
     """Docs with NULL text (→ NULL fingerprint) or NULL id must be
     labeled is_new and returned — not silently dropped by the

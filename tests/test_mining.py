@@ -9,6 +9,8 @@ on constructed fixtures.
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from pyspark.sql import functions as F
@@ -260,6 +262,7 @@ def test_naive_bayes_beats_prior_on_real_data(spark, sf_dir):
 # ---------------------------------------------------------------- IVF-PQ
 
 
+@pytest.mark.slowgate
 def test_ivfpq_topk_recall_and_shape(spark, sf_dir):
     from hw_kafka_streams_spark.operators import similarity as S
     from hw_kafka_streams_spark.sources.catalog import load_table

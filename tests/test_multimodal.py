@@ -109,6 +109,7 @@ def test_jpeg_sof_marker_scan_roundtrip():
     assert _parse_jpeg_dims(b"") is None
 
 
+@pytest.mark.slowgate
 def test_decode_image_meta_mixed_formats(spark):
     """Arrow decode stage handles PNG/JPEG/GIF/BMP/TIFF/WebP payloads
     in one batch."""

@@ -20,17 +20,66 @@ from hw_kafka_streams_spark.queries import REGISTRY, _load_all  # noqa: E402
 _load_all()
 _ORACLE_QUERIES = [name for name, q in REGISTRY.items() if q.oracle is not None]
 
+# Default-gate subset (round 12, VERDICT r11 item 3): the driver's own
+# t2 correctness gate runs this exact Spark-vs-DuckDB comparison for
+# EVERY registered query at sf0.01 in the same verify pipeline, one
+# step before pytest — re-running all ~425 of them inside the TIMED
+# pytest window was ~10 of the ~33 minutes that blew the tests_ok
+# budget. The default gate keeps one-or-more parity cases per operator
+# family (relational agg/join, windows, dedup/jaccard/minhash/
+# winnowing/span, similarity, sketches, stats, text/LM, codecs,
+# LLM-pipeline, snapshots, plus every query path this round touched);
+# the full sweep stays one `-m "slowgate or not slowgate"` away and is
+# run by the builder each round.
+_GATE_SUBSET = {
+    "q1_pricing_summary", "q7_nation_volume", "q18_large_volume_customer",
+    "q_topk_per_group", "q_window_running", "q_sessionize", "q_asof_join",
+    "q_event_funnel", "q_percentiles", "q_incremental_rollup",
+    "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash_lsh",
+    "q_dedup_cascade", "q_span_dedup", "q_winnowing_dups",
+    "q_prefix_filter_dups", "q_containment_topk", "q_source_overlap",
+    "q_bloom_prune_dedup", "q_block_dedup_rewrite",
+    "q_similarity_topk", "q_semantic_dedup", "q_knn_classify",
+    "q_kmv_distinct", "q_hll_det_twin", "q_countmin_freq",
+    "q_decayed_heavy_hitters",
+    "q_welch_ttest", "q_anova_f", "q_pearson_corr", "q_white_test",
+    "q_cooks_distance", "q_breusch_pagan", "q_winsorized_stats",
+    "q_tfidf_top_terms", "q_bm25_search", "q_rbo_rankers",
+    "q_unigram_lm_score", "q_bigram_lm_score", "q_kn_lm_score",
+    "q_naive_bayes_langid", "q_distinct_ngrams", "q_topic_coherence",
+    "q_mlm_mask_plan", "q_bleu_pairs", "q_chrf_pairs",
+    "q_bpe_train", "q_bpe_encode",
+    "q_multimodal_jpeg", "q_multimodal_flac", "q_multimodal_jls",
+    "q_multimodal_mclv", "q_gorilla_ts_blocks",
+    "q_sequence_pack", "q_data_mixture", "q_dsir_weights",
+    "q_gopher_rules", "q_quality_deciles", "q_epoch_repetition_plan",
+    "q_corpus_build_e2e", "q_text_quality", "q_censor_documents",
+    "q_llm_prep_pipeline", "q_filter_funnel",
+}
+_PARAMS = [
+    name if name in _GATE_SUBSET
+    else pytest.param(name, marks=pytest.mark.slowgate)
+    for name in _ORACLE_QUERIES
+]
+
 
 @pytest.fixture(scope="module")
 def con(sf_dir):
     return duckdb_con(sf_dir)
 
 
-@pytest.mark.parametrize("name", _ORACLE_QUERIES)
+@pytest.mark.parametrize("name", _PARAMS)
 def test_oracle_parity(spark, con, sf_dir, name):
     q = REGISTRY[name]
     msgs = compare_query(spark, con, q.fn, q.oracle, sf_dir)
     assert not msgs, f"{name}: {msgs}"
+
+
+def test_gate_subset_names_are_real():
+    """The gate subset must never silently rot: every listed name is a
+    registered oracled query."""
+    missing = _GATE_SUBSET - set(_ORACLE_QUERIES)
+    assert not missing, missing
 
 
 def test_rows_only_queries_return_rows(spark, sf_dir):

@@ -8,6 +8,8 @@ whole-stage codegen in the hot path.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from hw_kafka_streams_spark.plans import (
@@ -232,6 +234,7 @@ def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
     assert "AQEShuffleRead skewed" in plan
 
 
+@pytest.mark.slowgate
 def test_headline_plans_no_smj_no_unexpected_nlj(spark, sf_dir):
     """Plan-quality ratchet over the ENTIRE bench headline set: no
     sort-merge joins (every join in the set has a broadcastable side or

@@ -123,6 +123,7 @@ def test_topk_plan_broadcasts_queries(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+@pytest.mark.slowgate
 def test_ivf_recall_vs_brute_force(spark):
     """IVF with n_probe=4/16 must recover most true top-5 neighbors."""
     from hw_kafka_streams_spark.operators.similarity import brute_force_topk, ivf_topk
@@ -159,6 +160,7 @@ def test_banded_lsh_near_dup_recall(spark):
     assert len(lsh & exact) / len(exact) >= 0.6, (len(lsh), len(exact))
 
 
+@pytest.mark.slowgate
 def test_ivf_indexed_partition_pruning_and_recall(spark, tmpdir=None):
     import shutil
     import tempfile

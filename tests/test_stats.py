@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 
 def test_rank_auc_hand_computed_with_ties(spark):
     from hw_kafka_streams_spark.operators.stats import rank_auc
@@ -864,6 +866,7 @@ def test_forecast_skill_ranges_and_known_seasonality(spark, sf_dir):
         assert r.theil_u > 0
 
 
+@pytest.mark.slowgate
 def test_hurst_range_and_iid_vs_trending(spark, sf_dir):
     """H estimates live in a plausible band on real series; a strongly
     trending synthetic series must show higher H than an alternating

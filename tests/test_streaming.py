@@ -142,6 +142,7 @@ def test_session_window_batch_semantics(spark):
     assert got == {("u1", 3), ("u2", 1)}
 
 
+@pytest.mark.slowgate
 def test_streaming_windowed_counts(spark, tmpdir):
     _events_df(spark).coalesce(1).write.parquet(f"{tmpdir}/events")
     stream = spark.readStream.schema("user_id string, ts timestamp").parquet(
@@ -163,6 +164,7 @@ def test_streaming_windowed_counts(spark, tmpdir):
     assert n == len(EVENTS)
 
 
+@pytest.mark.slowgate
 def test_streaming_dedup(spark, tmpdir):
     dup_events = EVENTS + [("u1", "2026-01-01 00:01:00")]  # exact dup
     df = spark.createDataFrame(dup_events, "user_id string, ts_s string").select(
@@ -917,6 +919,7 @@ def test_neardup_replay_is_stable_and_idempotent(spark, tmpdir):
     assert spark.read.parquet(ix_dir).count() == n_rows  # no re-append
 
 
+@pytest.mark.slowgate
 def test_neardup_short_docs_still_labeled(spark, tmpdir):
     """Docs too short to signature (< n tokens, NULL text) must come
     back labeled (is_dup=false) instead of silently vanishing."""
@@ -1084,6 +1087,7 @@ def test_streaming_bloom_dedup_unbounded_horizon(spark, tmpdir):
     ]
 
 
+@pytest.mark.slowgate
 def test_streaming_bloom_dedup_replay_is_stable(spark, tmpdir):
     """A replayed batch (at-least-once, crash between sink and fold)
     re-evaluates against the pre-batch bitmap and emits the same rows;
